@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated parquet test tables (TESTDATA.md).
+  *
+  * In the reference, a "collection" is a named source inside a connector
+  * (`miso-connectors/src/lib.rs:133-138`); here a collection is a parquet
+  * table under a scale-factor directory. At cluster scale the same API
+  * would point at a partitioned data lake path — Spark's parquet source
+  * gives partition pruning / predicate pushdown / column pruning for free.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
+      // timestamp type, so read it as raw long nanos and floor to micros
+      // (the test data has no sub-microsecond components; DuckDB does the
+      // same nanos→micros conversion when reading).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+}
