@@ -1,0 +1,146 @@
+package graft.kql
+
+/** KQL abstract syntax — the analog of the reference's `QueryStep`/`Expr` IR
+  * (`miso-workflow-types/src/query.rs:8-33`, `expr.rs:15-48`), shaped for
+  * lowering onto Spark `Column`/`DataFrame` ops rather than an interpreter.
+  */
+
+/** One segment of a field path: `name[i][j]`
+  * (reference: `miso-workflow-types/src/field.rs:14-20`). */
+final case class FieldAccess(name: String, arrIndices: Seq[Int] = Nil)
+
+/** Nested field path `a.b[0].c`. */
+final case class FieldPath(parts: Seq[FieldAccess]) {
+  /** Render with the reference's display convention (dots + [i]). */
+  def render: String = parts.map { p =>
+    p.name + p.arrIndices.map(i => s"[$i]").mkString
+  }.mkString(".")
+  /** Flat name used for auto-aliasing (`display_with("_")` analog). */
+  def flat: String = parts.map { p =>
+    p.name + p.arrIndices.map(i => s"_$i").mkString
+  }.mkString("_")
+  def isSimple: Boolean = parts.length == 1 && parts.head.arrIndices.isEmpty
+  def simpleName: String = parts.head.name
+}
+object FieldPath {
+  def simple(name: String): FieldPath = FieldPath(Seq(FieldAccess(name)))
+}
+
+sealed trait Expr
+object Expr {
+  // Literals — `now()` is bound at parse time (reference parser.rs:368-372).
+  final case class IntLit(v: Long) extends Expr
+  final case class FloatLit(v: Double) extends Expr
+  final case class BoolLit(v: Boolean) extends Expr
+  final case class StrLit(v: String) extends Expr
+  case object NullLit extends Expr
+  /** Duration literal (`1d`, `2h`, `30m`, `10s`, `100ms`) in microseconds. */
+  final case class TimespanLit(micros: Long) extends Expr
+  /** `datetime(...)` literal, epoch microseconds UTC. */
+  final case class DatetimeLit(micros: Long) extends Expr
+
+  final case class Field(path: FieldPath) extends Expr
+
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+
+  /** op ∈ ==, !=, >, >=, <, <= */
+  final case class Cmp(op: String, l: Expr, r: Expr) extends Expr
+  /** op ∈ + - * / ; `/` always yields double (interpreter/mod.rs:70-103). */
+  final case class Arith(op: String, l: Expr, r: Expr) extends Expr
+  final case class Neg(e: Expr) extends Expr
+
+  final case class In(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
+  final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
+
+  /** op ∈ contains, startswith, endswith, has, has_cs (w/ optional negation). */
+  final case class StrOp(op: String, l: Expr, r: Expr, negated: Boolean) extends Expr
+
+  /** case(c1, v1, c2, v2, …, default) / iff(c, t, f). */
+  final case class Case(branches: Seq[(Expr, Expr)], default: Expr) extends Expr
+  /** extract(regex, group, source) → null on no-match. */
+  final case class Extract(regex: String, group: Int, src: Expr) extends Expr
+  /** bin(x, width) — numeric or timestamp flooring. */
+  final case class Bin(e: Expr, width: Expr) extends Expr
+  /** kind ∈ tostring toint tolong toreal todecimal tobool todouble. */
+  final case class Cast(kind: String, e: Expr) extends Expr
+  final case class Exists(e: Expr) extends Expr
+  /** strcat(e1, e2, ...) */
+  final case class StrCat(args: Seq[Expr]) extends Expr
+}
+
+sealed trait SortOrder
+object SortOrder { case object Asc extends SortOrder; case object Desc extends SortOrder }
+sealed trait NullsOrder
+object NullsOrder { case object First extends NullsOrder; case object Last extends NullsOrder }
+
+/** Reference defaults: asc + nulls last (`miso-workflow-types/src/sort.rs:7-22`). */
+final case class SortKey(
+    field: FieldPath,
+    order: SortOrder = SortOrder.Asc,
+    nulls: NullsOrder = NullsOrder.Last)
+
+sealed trait Aggregation
+object Aggregation {
+  case object Count extends Aggregation
+  final case class Countif(e: Expr) extends Aggregation
+  final case class DCount(f: FieldPath) extends Aggregation
+  final case class Sum(f: FieldPath) extends Aggregation
+  final case class Avg(f: FieldPath) extends Aggregation
+  final case class Min(f: FieldPath) extends Aggregation
+  final case class Max(f: FieldPath) extends Aggregation
+
+  /** Default output names (reference parser.rs:290-301). */
+  def defaultName(a: Aggregation): String = a match {
+    case Count       => "count_"
+    case Countif(_)  => "countif_"
+    case DCount(f)   => s"dcount_${f.flat}"
+    case Sum(f)      => s"sum_${f.flat}"
+    case Avg(f)      => s"avg_${f.flat}"
+    case Min(f)      => s"min_${f.flat}"
+    case Max(f)      => s"max_${f.flat}"
+  }
+}
+
+final case class AggField(agg: Aggregation, name: String)
+final case class ByField(expr: Expr, name: String)
+
+sealed trait JoinKind
+object JoinKind {
+  case object Inner extends JoinKind
+  case object Outer extends JoinKind
+  case object Left extends JoinKind
+  case object Right extends JoinKind
+}
+
+sealed trait ExpandKind
+object ExpandKind { case object Bag extends ExpandKind; case object Arr extends ExpandKind }
+
+sealed trait QueryStep
+object QueryStep {
+  final case class Scan(source: String) extends QueryStep
+  final case class Filter(e: Expr) extends QueryStep
+  /** (expr, outputName) pairs; Project keeps only these, Extend adds them. */
+  final case class Project(fields: Seq[(Expr, String)]) extends QueryStep
+  final case class Extend(fields: Seq[(Expr, String)]) extends QueryStep
+  /** project-rename pairs (to, from). */
+  final case class Rename(pairs: Seq[(String, String)]) extends QueryStep
+  final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
+  final case class Limit(n: Long) extends QueryStep
+  final case class Sort(keys: Seq[SortKey]) extends QueryStep
+  final case class TopN(keys: Seq[SortKey], n: Long) extends QueryStep
+  final case class Summarize(aggs: Seq[AggField], by: Seq[ByField]) extends QueryStep
+  final case class Distinct(fields: Seq[FieldPath]) extends QueryStep
+  final case class Union(sub: Query) extends QueryStep
+  final case class Join(
+      kind: JoinKind, sub: Query,
+      leftKey: FieldPath, rightKey: FieldPath) extends QueryStep
+  case object CountStep extends QueryStep
+}
+
+/** A parsed pipe query: first step is a Scan (or a let-reference). */
+final case class Query(steps: Seq[QueryStep])
+
+/** A full parse result: let-bindings (macro-expanded at compile) + main query. */
+final case class Parsed(lets: Map[String, Query], query: Query)

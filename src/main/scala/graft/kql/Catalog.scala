@@ -1,0 +1,51 @@
+package graft.kql
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source + view registry: maps `conn.collection` names to DataFrames, the
+  * analog of the reference's connector collection lookup
+  * (`miso-connectors/src/lib.rs:133-138`) and server-side views
+  * (`miso-server/src/http_server.rs:500-559`). Views and `let` bindings are
+  * pure macro expansion — spliced into the plan at reference, never
+  * materialized (`query_to_workflow.rs:51-84`).
+  */
+final class Catalog(spark: SparkSession) {
+  private val tables = mutable.Map[String, () => DataFrame]()
+  private val views = mutable.Map[String, Query]()
+
+  def register(name: String, df: => DataFrame): this.type = {
+    tables(name) = () => df
+    this
+  }
+
+  /** Register a KQL view; scans of `views.name` (or bare `name`) splice it. */
+  def registerView(name: String, kql: String): this.type = {
+    val parsed = Parser.parse(kql)
+    require(parsed.lets.isEmpty, "views cannot contain let bindings")
+    views(name) = parsed.query
+    this
+  }
+
+  def resolveTable(name: String): Option[DataFrame] = tables.get(name).map(_())
+
+  def resolveView(name: String): Option[Query] =
+    views.get(name).orElse {
+      if (name.startsWith("views.")) views.get(name.stripPrefix("views."))
+      else None
+    }
+}
+
+object Catalog {
+  /** Catalog over the driver parquet testdata: table names resolve bare
+    * (`lineitem`) or with a connector prefix (`test.lineitem`).
+    */
+  def forTestData(spark: SparkSession, sfDir: String): Catalog = {
+    val c = new Catalog(spark)
+    graft.Tables.names.foreach { n =>
+      c.register(n, graft.Tables.load(spark, sfDir, n))
+      c.register(s"test.$n", graft.Tables.load(spark, sfDir, n))
+    }
+    c
+  }
+}

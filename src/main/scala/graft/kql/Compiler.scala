@@ -1,0 +1,470 @@
+package graft.kql
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.KqlFunctions
+
+/** Lowers a parsed KQL pipeline onto DataFrame transformations.
+  *
+  * Design stance (SURVEY §7.1): we do NOT rebuild the reference's iterator
+  * engine or its 31 rewrite rules — the declarative DataFrame chain hands
+  * Catalyst the whole plan, and predicate pushdown / column pruning /
+  * partial-final aggregation / TakeOrderedAndProject replace
+  * `miso-optimizations` wholesale. What this class encodes is miso's
+  * *semantic quirks*:
+  *
+  *  - error-tolerant evaluation: per-row eval errors drop the row / null the
+  *    field, never fail the query (`filter.rs:36-45`, `project.rs:57-61`) —
+  *    compiled with `try_add`/`try_divide`/`try_cast`;
+  *  - `/` always yields double (`interpreter/mod.rs:70-103`);
+  *  - truthiness of non-boolean filter exprs (`value/mod.rs:479-492`);
+  *  - summarize drops rows whose group key is null (`summarize.rs:151-153`);
+  *  - sum/avg accumulate as f64 (`summarize.rs:580-596`);
+  *  - KQL join column-collision suffixes + missing-key drops
+  *    (`join.rs:57-86,183-185`);
+  *  - timespans surface as long microseconds; timestamp±timespan arithmetic.
+  */
+final class Compiler(
+    spark: SparkSession,
+    catalog: Catalog,
+    lets: Map[String, Query]) {
+
+  import Expr._
+
+  // ───────────────────────── type tracking ─────────────────────────
+
+  /** Lightweight type lattice for compile-time decisions (string concat vs
+    * numeric add, timestamp vs numeric bin, truthiness shape). The analog of
+    * the reference's runtime `type_tracker.rs`, resolved statically off the
+    * DataFrame schema.
+    */
+  sealed trait KT
+  private object KT {
+    case object Int extends KT; case object Float extends KT
+    case object Str extends KT; case object Bool extends KT
+    case object Ts extends KT; case object Span extends KT
+    case object Null extends KT; case object Arr extends KT
+    case object Other extends KT
+  }
+
+  private def ktOf(dt: DataType): KT = dt match {
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType => KT.Int
+    case _: FloatType | _: DoubleType | _: DecimalType => KT.Float
+    case _: StringType => KT.Str
+    case _: BooleanType => KT.Bool
+    case _: TimestampType | _: TimestampNTZType | _: DateType => KT.Ts
+    case _: NullType => KT.Null
+    case _: ArrayType => KT.Arr
+    case _ => KT.Other
+  }
+
+  private def fieldType(df: DataFrame, path: FieldPath): KT = {
+    def walk(dt: DataType, parts: Seq[FieldAccess]): KT = parts match {
+      case Seq() => ktOf(dt)
+      case head +: rest =>
+        dt match {
+          case st: StructType if st.fieldNames.contains(head.name) =>
+            var t = st(head.name).dataType
+            head.arrIndices.foreach { _ =>
+              t = t match { case a: ArrayType => a.elementType; case o => o }
+            }
+            walk(t, rest)
+          case _ => KT.Other
+        }
+    }
+    val head = path.parts.head
+    df.schema.fields.find(_.name == head.name) match {
+      case Some(f) =>
+        var t = f.dataType
+        head.arrIndices.foreach { _ =>
+          t = t match { case a: ArrayType => a.elementType; case o => o }
+        }
+        walk(t, path.parts.tail)
+      case None => KT.Other
+    }
+  }
+
+  private def infer(df: DataFrame, e: Expr): KT = e match {
+    case IntLit(_) => KT.Int
+    case FloatLit(_) => KT.Float
+    case BoolLit(_) => KT.Bool
+    case StrLit(_) => KT.Str
+    case NullLit => KT.Null
+    case TimespanLit(_) => KT.Span
+    case DatetimeLit(_) => KT.Ts
+    case Field(p) => fieldType(df, p)
+    case And(_, _) | Or(_, _) | Not(_) | Cmp(_, _, _) | In(_, _, _) |
+         Between(_, _, _, _) | StrOp(_, _, _, _) | Exists(_) => KT.Bool
+    case Neg(x) => infer(df, x)
+    case Arith(op, l, r) =>
+      val (lt, rt) = (infer(df, l), infer(df, r))
+      op match {
+        case "/" => if (lt == KT.Span && rt == KT.Span) KT.Float else KT.Float
+        case "+" | "-" =>
+          if (lt == KT.Str || rt == KT.Str) KT.Str
+          else if (lt == KT.Ts && rt == KT.Span) KT.Ts
+          else if (op == "-" && lt == KT.Ts && rt == KT.Ts) KT.Span
+          else if (lt == KT.Span || rt == KT.Span) KT.Span
+          else if (lt == KT.Float || rt == KT.Float) KT.Float
+          else KT.Int
+        case "*" =>
+          if (lt == KT.Span || rt == KT.Span) KT.Span
+          else if (lt == KT.Float || rt == KT.Float) KT.Float
+          else KT.Int
+      }
+    case Case(branches, default) =>
+      branches.headOption.map(b => infer(df, b._2)).getOrElse(infer(df, default))
+    case Extract(_, _, _) => KT.Str
+    case Bin(x, _) => infer(df, x)
+    case Cast(kind, _) => kind match {
+      case "tostring" => KT.Str
+      case "toint" | "tolong" => KT.Int
+      case "toreal" | "todouble" | "todecimal" => KT.Float
+      case "tobool" | "toboolean" => KT.Bool
+    }
+    case StrCat(_) => KT.Str
+  }
+
+  // ───────────────────────── expression lowering ─────────────────────────
+
+  def compileField(path: FieldPath): Column = {
+    val head = path.parts.head
+    var c: Column = col(head.name)
+    head.arrIndices.foreach(i => c = c.getItem(i))
+    path.parts.tail.foreach { part =>
+      c = c.getField(part.name)
+      part.arrIndices.foreach(i => c = c.getItem(i))
+    }
+    c
+  }
+
+  /** KQL truthiness (`value/mod.rs:479-492`): non-zero / non-empty / non-null. */
+  private def truthy(df: DataFrame, e: Expr, c: Column): Column = infer(df, e) match {
+    case KT.Bool => c
+    case KT.Int | KT.Float | KT.Span => c =!= 0
+    case KT.Str => length(c) > 0
+    case KT.Arr => size(c) > 0
+    case KT.Null => lit(false)
+    case _ => c.isNotNull
+  }
+
+  def compileBool(df: DataFrame, e: Expr): Column = truthy(df, e, compile(df, e))
+
+  def compile(df: DataFrame, e: Expr): Column = e match {
+    case IntLit(v) => lit(v)
+    case FloatLit(v) => lit(v)
+    case BoolLit(v) => lit(v)
+    case StrLit(v) => lit(v)
+    case NullLit => lit(null)
+    case TimespanLit(m) => lit(m)
+    case DatetimeLit(m) => timestamp_micros(lit(m))
+    case Field(p) => compileField(p)
+
+    case And(l, r) => compileBool(df, l) && compileBool(df, r)
+    case Or(l, r) => compileBool(df, l) || compileBool(df, r)
+    case Not(x) => !compileBool(df, x)
+
+    case Cmp(op, l, r) =>
+      val (lc, rc) = (compile(df, l), compile(df, r))
+      op match {
+        case "==" => lc === rc
+        case "!=" => lc =!= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+      }
+
+    case Neg(x) => -compile(df, x)
+
+    case Arith(op, l, r) =>
+      val (lt, rt) = (infer(df, l), infer(df, r))
+      val (lc, rc) = (compile(df, l), compile(df, r))
+      op match {
+        case "/" =>
+          // `/` always yields float; ÷0 is a row error ⇒ null ⇒ dropped
+          try_divide(lc.cast(DoubleType), rc.cast(DoubleType))
+        case "+" =>
+          if (lt == KT.Str || rt == KT.Str) concat(lc.cast(StringType), rc.cast(StringType))
+          else if (lt == KT.Ts && rt == KT.Span)
+            timestamp_micros(try_add(unix_micros(lc), rc))
+          else if (lt == KT.Span && rt == KT.Ts)
+            timestamp_micros(try_add(unix_micros(rc), lc))
+          else try_add(lc, rc)
+        case "-" =>
+          if (lt == KT.Ts && rt == KT.Span)
+            timestamp_micros(try_subtract(unix_micros(lc), rc))
+          else if (lt == KT.Ts && rt == KT.Ts)
+            try_subtract(unix_micros(lc), unix_micros(rc))
+          else try_subtract(lc, rc)
+        case "*" => try_multiply(lc, rc)
+      }
+
+    case In(x, items, negated) =>
+      val xc = compile(df, x)
+      val pred = items.map(i => xc === compile(df, i)).reduce(_ || _)
+      if (negated) !pred else pred
+
+    case Between(x, lo, hi, negated) =>
+      val xc = compile(df, x)
+      val pred = xc >= compile(df, lo) && xc <= compile(df, hi)
+      if (negated) !pred else pred
+
+    case StrOp(op, l, r, negated) =>
+      val lc = compile(df, l)
+      val pred = (op, r) match {
+        case ("contains", _) => lc.contains(compile(df, r))
+        case ("startswith", _) => lc.startsWith(compile(df, r))
+        case ("endswith", _) => lc.endsWith(compile(df, r))
+        case ("has", StrLit(s)) => KqlFunctions.has(lc, s)
+        case ("has_cs", StrLit(s)) => KqlFunctions.hasCs(lc, s)
+        case ("has" | "has_cs", _) =>
+          throw KqlParseException(s"'$op' requires a string literal phrase", 0)
+      }
+      if (negated) !pred else pred
+
+    case Case(branches, default) =>
+      val start = when(compileBool(df, branches.head._1), compile(df, branches.head._2))
+      branches.tail
+        .foldLeft(start) { case (acc, (c, v)) =>
+          acc.when(compileBool(df, c), compile(df, v))
+        }
+        .otherwise(compile(df, default))
+
+    case Extract(regex, group, src) =>
+      KqlFunctions.extractOrNull(compile(df, src), regex, group)
+
+    case Bin(x, width) =>
+      val xc = compile(df, x)
+      (infer(df, x), width) match {
+        case (KT.Ts, TimespanLit(m)) => KqlFunctions.binTime(xc, m)
+        case (KT.Ts, IntLit(sec)) => KqlFunctions.binTime(xc, sec * 1000000L)
+        case (KT.Int, IntLit(w)) =>
+          (floor(xc.cast(DoubleType) / lit(w.toDouble)).cast(LongType)) * lit(w)
+        case (_, IntLit(w)) => KqlFunctions.binNum(xc, w.toDouble)
+        case (_, FloatLit(w)) => KqlFunctions.binNum(xc, w)
+        case (KT.Span, TimespanLit(m)) =>
+          (floor(xc.cast(DoubleType) / lit(m.toDouble)).cast(LongType)) * lit(m)
+        case _ => throw KqlParseException("bin() width must be a literal", 0)
+      }
+
+    case Cast(kind, x) =>
+      val xc = compile(df, x)
+      kind match {
+        case "tostring" => xc.cast(StringType)
+        case "toint" | "tolong" => xc.try_cast(LongType)
+        case "toreal" | "todouble" | "todecimal" => xc.try_cast(DoubleType)
+        case "tobool" | "toboolean" => xc.try_cast(BooleanType)
+      }
+
+    case Exists(x) => compile(df, x).isNotNull
+
+    case StrCat(args) => concat(args.map(a => compile(df, a).cast(StringType)): _*)
+  }
+
+  // ───────────────────────── step lowering ─────────────────────────
+
+  def compile(q: Query): DataFrame =
+    q.steps.foldLeft(null.asInstanceOf[DataFrame]) { (df, step) =>
+      compileStep(df, step)
+    }
+
+  private def resolveScan(source: String): DataFrame =
+    lets.get(source).map(compile)
+      .orElse(catalog.resolveView(source).map(compile))
+      .orElse(catalog.resolveTable(source))
+      .getOrElse(throw KqlParseException(s"unknown source '$source'", 0))
+
+  private def compileStep(df: DataFrame, step: QueryStep): DataFrame = step match {
+    case QueryStep.Scan(source) => resolveScan(source)
+
+    case QueryStep.Filter(e) => df.filter(compileBool(df, e))
+
+    case QueryStep.Project(fields) =>
+      df.select(fields.map { case (e, n) => compile(df, e).as(n) }: _*)
+
+    case QueryStep.Extend(fields) =>
+      df.withColumns(fields.map { case (e, n) => n -> compile(df, e) }.toMap)
+
+    case QueryStep.Rename(pairs) =>
+      pairs.foldLeft(df) { case (acc, (to, from)) =>
+        if (!from.contains(".") && !from.contains("[")) acc.withColumnRenamed(from, to)
+        else throw KqlParseException(
+          s"project-rename of nested field '$from' not supported yet", 0)
+      }
+
+    case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)
+
+    case QueryStep.Limit(n) => df.limit(n.toInt)
+
+    case QueryStep.Sort(keys) => df.orderBy(keys.map(sortCol): _*)
+
+    case QueryStep.TopN(keys, n) => df.orderBy(keys.map(sortCol): _*).limit(n.toInt)
+
+    case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
+
+    case QueryStep.Distinct(fields) =>
+      if (fields.isEmpty) df.distinct()
+      else df.select(fields.map(f => compileField(f).as(f.flat)): _*).distinct()
+
+    case QueryStep.Union(sub) =>
+      df.unionByName(compile(sub), allowMissingColumns = true)
+
+    case QueryStep.Join(kind, sub, lk, rk) => compileJoin(df, kind, sub, lk, rk)
+
+    case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
+  }
+
+  private def sortCol(k: SortKey): Column = {
+    val c = compileField(k.field)
+    (k.order, k.nulls) match {
+      case (SortOrder.Asc, NullsOrder.Last) => c.asc_nulls_last
+      case (SortOrder.Asc, NullsOrder.First) => c.asc_nulls_first
+      case (SortOrder.Desc, NullsOrder.Last) => c.desc_nulls_last
+      case (SortOrder.Desc, NullsOrder.First) => c.desc_nulls_first
+    }
+  }
+
+  private def compileSummarize(
+      df: DataFrame, aggs: Seq[AggField], by: Seq[ByField]): DataFrame = {
+    // Null group key drops the row (summarize.rs:151-153).
+    val keyed = by.foldLeft(df)((acc, b) => acc.filter(compile(df, b.expr).isNotNull))
+    val aggCols = aggs.map { a =>
+      val c = a.agg match {
+        case Aggregation.Count => count(lit(1))
+        case Aggregation.Countif(e) => count_if(compileBool(df, e))
+        case Aggregation.DCount(f) => count_distinct(compileField(f))
+        // sum/avg accumulate as f64 in the reference (summarize.rs:580-596)
+        case Aggregation.Sum(f) => sum(compileField(f).cast(DoubleType))
+        case Aggregation.Avg(f) => avg(compileField(f).cast(DoubleType))
+        case Aggregation.Min(f) => min(compileField(f))
+        case Aggregation.Max(f) => max(compileField(f))
+      }
+      c.as(a.name)
+    }
+    if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
+    else keyed
+      .groupBy(by.map(b => compile(df, b.expr).as(b.name)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** KQL-style join (§2.3): single-key equi join; rows with a null/missing
+    * key are dropped from BOTH sides even for outer joins
+    * (`join.rs:183-185,232-234`); right-side columns that collide with left
+    * names get `1`,`2`,… suffixes, except the join key itself which is
+    * deduplicated (`join.rs:57-86`); left/right joins keep the kept side's
+    * values and only add the other side's non-colliding columns
+    * (`join.rs:143-160`).
+    *
+    * Schema-level deviation from the reference's per-row rule: the
+    * reference skips a colliding right value only when it equals the row's
+    * join-key value; a fixed schema can't vary per row, so we dedupe the
+    * join-key column and suffix every other collision.
+    *
+    * Scale: Spark picks broadcast/shuffled-hash/sort-merge; AQE re-plans at
+    * runtime. The reference's `hint.partitions=N` and dynamic `In` filters
+    * are subsumed by shuffle partitioning and DPP/runtime filters.
+    */
+  private def compileJoin(
+      left: DataFrame, kind: JoinKind, sub: Query,
+      lk: FieldPath, rk: FieldPath): DataFrame = {
+    val right = compile(sub)
+    val lkc = compileField(lk)
+    val l = left.filter(lkc.isNotNull).alias("__l")
+    val r0 = right.alias("__rk")
+    val rkc = compileField(rk)
+    val r = right.filter(rkc.isNotNull).alias("__r")
+
+    val sparkKind = kind match {
+      case JoinKind.Inner => "inner"
+      case JoinKind.Outer => "full_outer"
+      case JoinKind.Left => "left"
+      case JoinKind.Right => "right"
+    }
+    val cond = col(s"__l.${lk.render}") === col(s"__r.${rk.render}")
+    val joined = l.join(r, cond, sparkKind)
+
+    val leftCols = left.columns.toSeq
+    val rightCols = right.columns.toSeq
+    val lKeyName = if (lk.isSimple) lk.simpleName else lk.render
+    val rKeyName = if (rk.isSimple) rk.simpleName else rk.render
+
+    def qualL(c: String) = col(s"__l.$c")
+    def qualR(c: String) = col(s"__r.$c")
+
+    val out: Seq[Column] = kind match {
+      case JoinKind.Left =>
+        leftCols.map(c => qualL(c).as(c)) ++
+          rightCols.filterNot(leftCols.contains).map(c => qualR(c).as(c))
+      case JoinKind.Right =>
+        rightCols.map(c => qualR(c).as(c)) ++
+          leftCols.filterNot(rightCols.contains).map(c => qualL(c).as(c))
+      case JoinKind.Inner | JoinKind.Outer =>
+        val used = scala.collection.mutable.Set[String](leftCols: _*)
+        val leftOut = leftCols.map { c =>
+          if (c == lKeyName && kind == JoinKind.Outer)
+            coalesce(qualL(c), qualR(rKeyName)).as(c)
+          else qualL(c).as(c)
+        }
+        val rightOut = rightCols.flatMap { c =>
+          if (!leftCols.contains(c)) { used += c; Some(qualR(c).as(c)) }
+          else if (c == rKeyName && c == lKeyName) None // dedup join key
+          else {
+            var i = 1
+            while (used.contains(s"$c$i")) i += 1
+            used += s"$c$i"
+            Some(qualR(c).as(s"$c$i"))
+          }
+        }
+        leftOut ++ rightOut
+    }
+    // silence unused warning for r0 (kept for clarity of rkc scoping)
+    locally(r0)
+    joined.select(out: _*)
+  }
+
+  private def compileExpand(
+      df: DataFrame, fields: Seq[FieldPath], kind: ExpandKind): DataFrame = {
+    val simple = fields.filter(_.isSimple).map(_.simpleName)
+    require(simple.length == fields.length,
+      "mv-expand supports top-level fields only")
+    val schema = df.schema
+    def dtOf(n: String) = schema.fields.find(_.name == n).map(_.dataType)
+
+    val arrayFs = simple.filter(n => dtOf(n).exists(_.isInstanceOf[ArrayType]))
+    val mapFs = simple.filter(n => dtOf(n).exists(_.isInstanceOf[MapType]))
+    // scalar fields are left untouched (expand.rs: only Array/Object expand)
+
+    var out = df
+    if (arrayFs.length == 1 && mapFs.isEmpty) {
+      val f = arrayFs.head
+      out = out.withColumn(f, explode(col(f)))
+    } else if (arrayFs.nonEmpty && mapFs.isEmpty) {
+      // multi-field zip semantics: arrays_zip pads shorter arrays with null
+      // (expand.rs:27-70's Null padding)
+      out = out
+        .withColumn("__zip", explode(arrays_zip(arrayFs.map(col): _*)))
+      arrayFs.foreach { f => out = out.withColumn(f, col(s"__zip.$f")) }
+      out = out.drop("__zip")
+    }
+    mapFs.foreach { f =>
+      kind match {
+        case ExpandKind.Bag =>
+          // object → one-entry bags
+          out = out
+            .select(out.columns.map(col) :+
+              explode(col(f)).as(Seq("__k", "__v")): _*)
+            .withColumn(f, map(col("__k"), col("__v")))
+            .drop("__k", "__v")
+        case ExpandKind.Arr =>
+          // object → alternating key/value rows ([k, v, k, v…] flattened)
+          out = out.withColumn(f,
+            explode(flatten(transform(map_entries(col(f)),
+              e => array(e.getField("key").cast(StringType),
+                e.getField("value").cast(StringType))))))
+      }
+    }
+    out
+  }
+}

@@ -1,0 +1,64 @@
+package graft.kql
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public facade: KQL text → DataFrame (the whole engine in one call).
+  *
+  * ```scala
+  * val cat = Catalog.forTestData(spark, "/root/testdata/sf0.01")
+  * val df  = Kql.run(spark, cat, "events | where event_type == 'error' | count")
+  * ```
+  */
+object Kql {
+
+  def parse(kql: String): Parsed = Parser.parse(kql)
+
+  def parse(kql: String, nowMicros: Long): Parsed = Parser.parse(kql, nowMicros)
+
+  def run(spark: SparkSession, catalog: Catalog, kql: String): DataFrame = {
+    val parsed = parse(kql)
+    new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+  }
+
+  def run(spark: SparkSession, catalog: Catalog, kql: String, nowMicros: Long): DataFrame = {
+    val parsed = parse(kql, nowMicros)
+    new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+  }
+
+  /** Step-list printer, the analog of the reference's `POST /explain`
+    * (`http_server.rs:407-422`): our pipeline IR plus Spark's optimized plan.
+    */
+  def explain(spark: SparkSession, catalog: Catalog, kql: String): String = {
+    val parsed = parse(kql)
+    val steps = renderSteps(parsed)
+    val df = new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+    steps + "\n--- spark optimized plan ---\n" +
+      df.queryExecution.optimizedPlan.toString
+  }
+
+  def renderSteps(parsed: Parsed): String = {
+    def renderQuery(q: Query, indent: String): String =
+      q.steps.map(s => indent + renderStep(s, indent)).mkString("\n")
+    def renderStep(s: QueryStep, indent: String): String = s match {
+      case QueryStep.Scan(src) => s"scan $src"
+      case QueryStep.Filter(e) => s"filter $e"
+      case QueryStep.Project(fs) => s"project ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"
+      case QueryStep.Extend(fs) => s"extend ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"
+      case QueryStep.Rename(ps) => s"project-rename ${ps.map { case (t, f) => s"$t=$f" }.mkString(", ")}"
+      case QueryStep.Expand(fs, k) => s"mv-expand kind=$k ${fs.map(_.render).mkString(", ")}"
+      case QueryStep.Limit(n) => s"limit $n"
+      case QueryStep.Sort(ks) => s"sort by ${ks.mkString(", ")}"
+      case QueryStep.TopN(ks, n) => s"top $n by ${ks.mkString(", ")}"
+      case QueryStep.Summarize(aggs, by) =>
+        s"summarize ${aggs.map(a => s"${a.name}=${a.agg}").mkString(", ")}" +
+          (if (by.nonEmpty) s" by ${by.map(b => s"${b.name}=${b.expr}").mkString(", ")}" else "")
+      case QueryStep.Distinct(fs) => s"distinct ${fs.map(_.render).mkString(", ")}"
+      case QueryStep.Union(sub) => s"union (\n${renderQuery(sub, indent + "  ")}\n$indent)"
+      case QueryStep.Join(k, sub, lk, rk) =>
+        s"join kind=$k (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
+      case QueryStep.CountStep => "count"
+    }
+    (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
+      Seq(renderQuery(parsed.query, ""))).mkString("\n")
+  }
+}

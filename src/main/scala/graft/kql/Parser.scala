@@ -1,0 +1,551 @@
+package graft.kql
+
+import Token._
+import Expr._
+
+/** Recursive-descent KQL parser (analog of `miso-kql/src/parser.rs`, written
+  * fresh). `now()` is bound once at construction, matching the reference's
+  * parse-time binding (`parser.rs:368-372`).
+  */
+final class Parser(src: String, nowMicros: Long) {
+  private val toks: Vector[Token] = Lexer.lex(src)
+  private var p = 0
+
+  private def peek: Token = toks(p)
+  private def next(): Token = { val t = toks(p); p += 1; t }
+  private def fail(msg: String): Nothing = throw KqlParseException(msg, peek.pos)
+
+  private def isIdent(t: Token, s: String): Boolean = t match {
+    case Ident(w, _) => w.equalsIgnoreCase(s)
+    case _ => false
+  }
+  private def atIdent(s: String): Boolean = isIdent(peek, s)
+  private def eatIdent(s: String): Unit =
+    if (atIdent(s)) p += 1 else fail(s"expected '$s'")
+  private def atPunct(s: String): Boolean = peek match {
+    case Punct(w, _) => w == s
+    case _ => false
+  }
+  private def eatPunct(s: String): Unit =
+    if (atPunct(s)) p += 1 else fail(s"expected '$s'")
+  private def tryPunct(s: String): Boolean =
+    if (atPunct(s)) { p += 1; true } else false
+  private def tryIdent(s: String): Boolean =
+    if (atIdent(s)) { p += 1; true } else false
+
+  private def identText(): String = next() match {
+    case Ident(w, _) => w
+    case t => throw KqlParseException("expected identifier", t.pos)
+  }
+
+  // ───────────────────────── top level ─────────────────────────
+
+  def parse(): Parsed = {
+    var lets = Map.empty[String, Query]
+    while (atIdent("let")) {
+      p += 1
+      val name = identText()
+      eatPunct("=")
+      eatPunct("(")
+      val q = parsePipeline()
+      eatPunct(")")
+      eatPunct(";")
+      lets += name -> q
+    }
+    val q = parsePipeline()
+    peek match {
+      case Eof(_) => Parsed(lets, q)
+      case t => throw KqlParseException("trailing input after query", t.pos)
+    }
+  }
+
+  private def parsePipeline(): Query = {
+    val source = parseSourceRef()
+    val steps = Seq.newBuilder[QueryStep]
+    steps += QueryStep.Scan(source)
+    while (tryPunct("|")) steps += parseStep()
+    Query(steps.result())
+  }
+
+  /** `conn.collection` / bare name / view ref. */
+  private def parseSourceRef(): String = {
+    val sb = new StringBuilder(identText())
+    while (atPunct(".")) { p += 1; sb += '.'; sb ++= identText() }
+    sb.toString
+  }
+
+  // ───────────────────────── steps ─────────────────────────
+
+  private def parseStep(): QueryStep = peek match {
+    case Ident(w, _) => w.toLowerCase match {
+      case "where" | "filter" => p += 1; QueryStep.Filter(parseExpr())
+      case "project"          => p += 1; QueryStep.Project(parseProjFields())
+      case "extend"           => p += 1; QueryStep.Extend(parseProjFields())
+      case "project-rename"   => p += 1; QueryStep.Rename(parseRenames())
+      case "mv-expand"        => p += 1; parseExpand()
+      case "limit" | "take"   => p += 1; QueryStep.Limit(parseIntLit())
+      case "sort" | "order"   => p += 1; eatIdent("by"); QueryStep.Sort(parseSortKeys())
+      case "top"              => p += 1
+        val n = parseIntLit(); eatIdent("by"); QueryStep.TopN(parseSortKeys(), n)
+      case "summarize"        => p += 1; parseSummarize()
+      case "distinct"         => p += 1; QueryStep.Distinct(parseFieldList())
+      case "union"            => p += 1; parseUnion()
+      case "join"             => p += 1; parseJoin()
+      case "count"            => p += 1; QueryStep.CountStep
+      case other => fail(s"unknown step '$other'")
+    }
+    case t => throw KqlParseException("expected a step name after '|'", t.pos)
+  }
+
+  /** Project/extend fields with the reference's auto-naming
+    * (`parser.rs:303-348`): explicit alias > field-ish default name >
+    * `Column1`, `Column2`, … with `{base}{n}` dedup.
+    */
+  private def parseProjFields(): Seq[(Expr, String)] = {
+    final case class Raw(e: Expr, alias: Option[String])
+    val raw = Seq.newBuilder[Raw]
+    var done = false
+    while (!done) {
+      // alias = expr  (lookahead: ident '=' not '==')
+      val alias = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) if !reservedWords(a.toLowerCase) =>
+          p += 2; Some(a)
+        case _ => None
+      }
+      raw += Raw(parseExpr(), alias)
+      done = !tryPunct(",")
+    }
+    nameFields(raw.result().map(r => (r.e, r.alias)))
+  }
+
+  private def defaultExprName(e: Expr): Option[String] = e match {
+    case Field(f) => Some(f.render)
+    case Cast(_, inner) => defaultExprName(inner)
+    case Bin(inner, _) => defaultExprName(inner)
+    case _ => None
+  }
+
+  private def nameFields(fields: Seq[(Expr, Option[String])]): Seq[(Expr, String)] = {
+    val used = scala.collection.mutable.Set[String]()
+    def unique(base: String, initial: String): String = {
+      var cand = initial
+      var i = 1
+      while (used.contains(cand)) { cand = s"$base$i"; i += 1 }
+      used += cand
+      cand
+    }
+    fields.map { case (e, alias) =>
+      val name = alias match {
+        case Some(a) => unique(a, a)
+        case None => defaultExprName(e) match {
+          case Some(d) => unique(d, d)
+          case None    => unique("Column", "Column1")
+        }
+      }
+      (e, name)
+    }
+  }
+
+  private def parseRenames(): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var done = false
+    while (!done) {
+      val to = identText()
+      eatPunct("=")
+      val from = parseFieldPath().render
+      out += ((to, from))
+      done = !tryPunct(",")
+    }
+    out.result()
+  }
+
+  private def parseExpand(): QueryStep = {
+    var kind: ExpandKind = ExpandKind.Bag
+    if (atIdent("kind")) {
+      p += 1; eatPunct("=")
+      kind = identText().toLowerCase match {
+        case "bag" => ExpandKind.Bag
+        case "array" => ExpandKind.Arr
+        case other => fail(s"unknown mv-expand kind '$other'")
+      }
+    }
+    QueryStep.Expand(parseFieldList(), kind)
+  }
+
+  private def parseFieldList(): Seq[FieldPath] = {
+    val out = Seq.newBuilder[FieldPath]
+    var done = false
+    while (!done) { out += parseFieldPath(); done = !tryPunct(",") }
+    out.result()
+  }
+
+  private def parseIntLit(): Long = next() match {
+    case IntTok(v, _) => v
+    case t => throw KqlParseException("expected integer literal", t.pos)
+  }
+
+  private def parseSortKeys(): Seq[SortKey] = {
+    val out = Seq.newBuilder[SortKey]
+    var done = false
+    while (!done) {
+      val f = parseFieldPath()
+      var order: SortOrder = SortOrder.Asc
+      var nulls: NullsOrder = NullsOrder.Last
+      if (tryIdent("asc")) order = SortOrder.Asc
+      else if (tryIdent("desc")) order = SortOrder.Desc
+      if (tryIdent("nulls")) {
+        if (tryIdent("first")) nulls = NullsOrder.First
+        else if (tryIdent("last")) nulls = NullsOrder.Last
+        else fail("expected 'first' or 'last' after 'nulls'")
+      }
+      out += SortKey(f, order, nulls)
+      done = !tryPunct(",")
+    }
+    out.result()
+  }
+
+  private def parseSummarize(): QueryStep = {
+    final case class RawAgg(agg: Aggregation, alias: Option[String])
+    val aggs = Seq.newBuilder[RawAgg]
+    var done = false
+    while (!done) {
+      val alias = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) => p += 2; Some(a)
+        case _ => None
+      }
+      aggs += RawAgg(parseAggCall(), alias)
+      done = !tryPunct(",")
+    }
+    var by = Seq.empty[ByField]
+    if (tryIdent("by")) {
+      final case class RawBy(e: Expr, alias: Option[String])
+      val bys = Seq.newBuilder[RawBy]
+      var bdone = false
+      while (!bdone) {
+        val alias = (peek, toks.lift(p + 1)) match {
+          case (Ident(a, _), Some(Punct("=", _))) if !reservedWords(a.toLowerCase) =>
+            p += 2; Some(a)
+          case _ => None
+        }
+        bys += RawBy(parseExpr(), alias)
+        bdone = !tryPunct(",")
+      }
+      by = nameFields(bys.result().map(r => (r.e, r.alias)))
+        .map { case (e, n) => ByField(e, n) }
+    }
+    val named = {
+      val used = scala.collection.mutable.Set[String](by.map(_.name): _*)
+      def unique(base: String): String = {
+        var cand = base; var i = 1
+        while (used.contains(cand)) { cand = s"$base$i"; i += 1 }
+        used += cand; cand
+      }
+      aggs.result().map { ra =>
+        AggField(ra.agg, unique(ra.alias.getOrElse(Aggregation.defaultName(ra.agg))))
+      }
+    }
+    QueryStep.Summarize(named, by)
+  }
+
+  private def parseAggCall(): Aggregation = {
+    val name = identText().toLowerCase
+    eatPunct("(")
+    val agg = name match {
+      case "count" => Aggregation.Count
+      case "countif" => Aggregation.Countif(parseExpr())
+      case "dcount" => Aggregation.DCount(parseFieldPath())
+      case "sum" => Aggregation.Sum(parseFieldPath())
+      case "avg" => Aggregation.Avg(parseFieldPath())
+      case "min" => Aggregation.Min(parseFieldPath())
+      case "max" => Aggregation.Max(parseFieldPath())
+      case other => fail(s"unknown aggregation '$other'")
+    }
+    eatPunct(")")
+    agg
+  }
+
+  private def parseUnion(): QueryStep = {
+    if (tryPunct("(")) {
+      val q = parsePipeline()
+      eatPunct(")")
+      QueryStep.Union(q)
+    } else {
+      QueryStep.Union(Query(Seq(QueryStep.Scan(parseSourceRef()))))
+    }
+  }
+
+  private def parseJoin(): QueryStep = {
+    var kind: JoinKind = JoinKind.Inner
+    while (atIdent("kind") || atIdent("hint")) {
+      if (tryIdent("kind")) {
+        eatPunct("=")
+        kind = identText().toLowerCase match {
+          case "inner" => JoinKind.Inner
+          case "outer" | "fullouter" => JoinKind.Outer
+          case "left" | "leftouter" => JoinKind.Left
+          case "right" | "rightouter" => JoinKind.Right
+          case other => fail(s"unknown join kind '$other'")
+        }
+      } else {
+        // hint.partitions=N — accepted and ignored: Spark's shuffle
+        // partitioning supersedes the reference's manual partition hint.
+        eatIdent("hint"); eatPunct("."); identText(); eatPunct("="); next()
+      }
+    }
+    eatPunct("(")
+    val sub = parsePipeline()
+    eatPunct(")")
+    eatIdent("on")
+    // `on $left.a == $right.b` | `on f`
+    if (tryPunct("$")) {
+      eatIdent("left")
+      eatPunct(".")
+      val lk = parseFieldPath()
+      eatPunct("==")
+      eatPunct("$")
+      eatIdent("right")
+      eatPunct(".")
+      val rk = parseFieldPath()
+      QueryStep.Join(kind, sub, lk, rk)
+    } else {
+      val f = parseFieldPath()
+      QueryStep.Join(kind, sub, f, f)
+    }
+  }
+
+  // ───────────────────────── expressions ─────────────────────────
+
+  private val reservedWords = Set(
+    "and", "or", "not", "in", "between", "contains", "startswith",
+    "endswith", "has", "has_cs", "by", "asc", "desc", "nulls", "on", "kind")
+
+  def parseExpr(): Expr = parseOr()
+
+  private def parseOr(): Expr = {
+    var l = parseAnd()
+    while (atIdent("or")) { p += 1; l = Or(l, parseAnd()) }
+    l
+  }
+
+  private def parseAnd(): Expr = {
+    var l = parsePred()
+    while (atIdent("and")) { p += 1; l = And(l, parsePred()) }
+    l
+  }
+
+  private def parsePred(): Expr = {
+    val l = parseAdd()
+    peek match {
+      case Punct(op @ ("==" | "!=" | "<" | "<=" | ">" | ">="), _) =>
+        p += 1
+        Cmp(op, l, parseAdd())
+      case Punct("!", _) =>
+        // negated predicate: !in / !between / !contains / !has …
+        p += 1
+        parsePredTail(l, negated = true)
+      case Ident(w, _) if predWords(w.toLowerCase) =>
+        parsePredTail(l, negated = false)
+      case _ => l
+    }
+  }
+
+  private val predWords = Set(
+    "in", "between", "contains", "startswith", "endswith", "has", "has_cs")
+
+  private def parsePredTail(l: Expr, negated: Boolean): Expr = {
+    val w = identText().toLowerCase
+    w match {
+      case "in" =>
+        eatPunct("(")
+        val items = Seq.newBuilder[Expr]
+        var done = false
+        while (!done) { items += parseExpr(); done = !tryPunct(",") }
+        eatPunct(")")
+        In(l, items.result(), negated)
+      case "between" =>
+        eatPunct("(")
+        val lo = parseAdd()
+        eatPunct("..")
+        val hi = parseAdd()
+        eatPunct(")")
+        Between(l, lo, hi, negated)
+      case "contains" | "startswith" | "endswith" | "has" | "has_cs" =>
+        StrOp(w, l, parseAdd(), negated)
+      case other => fail(s"unknown predicate '$other'")
+    }
+  }
+
+  private def parseAdd(): Expr = {
+    var l = parseMul()
+    var loop = true
+    while (loop) {
+      if (atPunct("+")) { p += 1; l = Arith("+", l, parseMul()) }
+      else if (atPunct("-")) { p += 1; l = Arith("-", l, parseMul()) }
+      else loop = false
+    }
+    l
+  }
+
+  private def parseMul(): Expr = {
+    var l = parseUnary()
+    var loop = true
+    while (loop) {
+      if (atPunct("*")) { p += 1; l = Arith("*", l, parseUnary()) }
+      else if (atPunct("/")) { p += 1; l = Arith("/", l, parseUnary()) }
+      else loop = false
+    }
+    l
+  }
+
+  private def parseUnary(): Expr =
+    if (tryPunct("-")) Neg(parseUnary()) else parsePrimary()
+
+  private def parsePrimary(): Expr = peek match {
+    case IntTok(v, _) => p += 1; IntLit(v)
+    case FloatTok(v, _) => p += 1; FloatLit(v)
+    case StrTok(v, _) => p += 1; StrLit(v)
+    case TimespanTok(v, _) => p += 1; TimespanLit(v)
+    case Punct("(", _) => p += 1; val e = parseExpr(); eatPunct(")"); e
+    case Ident(w, _) =>
+      w.toLowerCase match {
+        case "true" => p += 1; BoolLit(true)
+        case "false" => p += 1; BoolLit(false)
+        case "null" => p += 1; NullLit
+        case _ if toks.lift(p + 1).exists(t => t.isInstanceOf[Punct] &&
+            t.asInstanceOf[Punct].s == "(") && funcWords(w.toLowerCase) =>
+          parseFuncCall()
+        case _ => Field(parseFieldPath())
+      }
+    case t => throw KqlParseException("expected expression", t.pos)
+  }
+
+  private val funcWords = Set(
+    "not", "case", "iff", "iif", "extract", "bin", "floor", "exists", "now",
+    "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
+    "todouble", "todecimal", "tobool", "toboolean")
+
+  private def parseFuncCall(): Expr = {
+    val name = identText().toLowerCase
+    eatPunct("(")
+    def args(): Seq[Expr] = {
+      val out = Seq.newBuilder[Expr]
+      if (!atPunct(")")) {
+        var done = false
+        while (!done) { out += parseExpr(); done = !tryPunct(",") }
+      }
+      out.result()
+    }
+    val e: Expr = name match {
+      case "not" =>
+        val a = args(); require(a.length == 1, "not() takes 1 arg"); Not(a.head)
+      case "iff" | "iif" =>
+        val a = args(); require(a.length == 3, "iff() takes 3 args")
+        Case(Seq((a(0), a(1))), a(2))
+      case "case" =>
+        val a = args()
+        require(a.length >= 3 && a.length % 2 == 1,
+          "case() takes cond,val pairs + default")
+        Case(a.dropRight(1).grouped(2).map(g => (g(0), g(1))).toSeq, a.last)
+      case "extract" =>
+        val a = args(); require(a.length == 3, "extract() takes 3 args")
+        (a(0), a(1)) match {
+          case (StrLit(re), IntLit(g)) => Extract(re, g.toInt, a(2))
+          case _ => fail("extract(regex_literal, group_literal, expr)")
+        }
+      case "bin" | "floor" =>
+        val a = args(); require(a.length == 2, "bin() takes 2 args"); Bin(a(0), a(1))
+      case "exists" =>
+        val a = args(); require(a.length == 1, "exists() takes 1 arg"); Exists(a.head)
+      case "now" =>
+        val a = args()
+        if (a.isEmpty) DatetimeLit(nowMicros)
+        else a.head match {
+          case TimespanLit(t) => DatetimeLit(nowMicros + t)
+          case Neg(TimespanLit(t)) => DatetimeLit(nowMicros - t)
+          case _ => fail("now() offset must be a timespan literal")
+        }
+      case "ago" =>
+        val a = args()
+        a.head match {
+          case TimespanLit(t) => DatetimeLit(nowMicros - t)
+          case _ => fail("ago() takes a timespan literal")
+        }
+      case "datetime" =>
+        // raw-ish datetime: accept a string literal or bare ISO tokens;
+        // re-read the raw source slice up to the matching ')'.
+        val startTok = peek
+        peek match {
+          case StrTok(s, _) =>
+            p += 1
+            DatetimeLit(parseDatetime(s.trim, startTok.pos))
+          case _ =>
+            val start = startTok.pos
+            var depth = 0
+            var endPos = start
+            var scanning = true
+            while (scanning) {
+              peek match {
+                case Punct("(", _) => depth += 1; p += 1
+                case Punct(")", _) if depth == 0 => endPos = peek.pos; scanning = false
+                case Punct(")", _) => depth -= 1; p += 1
+                case Eof(_) => fail("unterminated datetime()")
+                case _ => p += 1
+              }
+            }
+            DatetimeLit(parseDatetime(src.substring(start, endPos).trim, start))
+        }
+      case "strcat" => StrCat(args())
+      case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
+                "todecimal" | "tobool" | "toboolean") =>
+        val a = args(); require(a.length == 1, s"$c() takes 1 arg")
+        Cast(c, a.head)
+      case other => fail(s"unknown function '$other'")
+    }
+    eatPunct(")")
+    e
+  }
+
+  private def parseDatetime(text: String, pos: Int): Long = {
+    import java.time._
+    import java.time.format.DateTimeFormatter
+    val inst: Instant =
+      try Instant.parse(text)
+      catch {
+        case _: Exception =>
+          try LocalDateTime.parse(text.replace(' ', 'T')).toInstant(ZoneOffset.UTC)
+          catch {
+            case _: Exception =>
+              try LocalDate.parse(text, DateTimeFormatter.ISO_LOCAL_DATE)
+                .atStartOfDay.toInstant(ZoneOffset.UTC)
+              catch {
+                case _: Exception =>
+                  throw KqlParseException(s"cannot parse datetime '$text'", pos)
+              }
+          }
+      }
+    inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+  }
+
+  private def parseFieldPath(): FieldPath = {
+    val parts = Seq.newBuilder[FieldAccess]
+    var done = false
+    while (!done) {
+      val name = identText()
+      val idx = Seq.newBuilder[Int]
+      while (atPunct("[")) {
+        p += 1
+        idx += parseIntLit().toInt
+        eatPunct("]")
+      }
+      parts += FieldAccess(name, idx.result())
+      done = !tryPunct(".")
+    }
+    FieldPath(parts.result())
+  }
+}
+
+object Parser {
+  def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
+  def parse(src: String, nowMicros: Long): Parsed =
+    new Parser(src, nowMicros).parse()
+}

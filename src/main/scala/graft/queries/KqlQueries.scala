@@ -1,0 +1,166 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.kql.{Catalog, Kql}
+
+/** Correctness-gate queries expressed as actual KQL text and compiled by the
+  * engine (parse → lower → Catalyst). These exercise the full KQL spine at
+  * the DuckDB oracle, complementing CoreQueries' direct-DataFrame forms.
+  */
+object KqlQueries {
+
+  private def kq(name: String, kql: String, oracle: String): Q =
+    Q(name, oracle)((s: SparkSession, dir: String) =>
+      Kql.run(s, Catalog.forTestData(s, dir), kql))
+
+  val all: Seq[Q] = Seq(
+
+    kq("kql_filter_count",
+      "events | where event_type == 'error' | count",
+      "SELECT count(*) AS Count FROM events WHERE event_type = 'error'"),
+
+    kq("kql_where_project_sort",
+      """lineitem
+        | | where l_quantity >= 45 and l_returnflag == 'R'
+        | | project l_orderkey, l_linenumber, l_quantity
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    kq("kql_extend_arith",
+      """lineitem
+        | | where l_orderkey < 100
+        | | extend unit = l_extendedprice / l_quantity
+        | | project l_orderkey, l_linenumber, unit
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """SELECT l_orderkey, l_linenumber, l_extendedprice / l_quantity AS unit
+        |FROM lineitem WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    kq("kql_summarize_aggs",
+      """lineitem
+        | | summarize n=count(), sum_qty=sum(l_quantity), mn=min(l_extendedprice),
+        |     mx=max(l_extendedprice), dc=dcount(l_partkey) by l_returnflag, l_linestatus
+        | | sort by l_returnflag asc, l_linestatus asc""".stripMargin,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty,
+        |       min(l_extendedprice) AS mn, max(l_extendedprice) AS mx,
+        |       count(DISTINCT l_partkey) AS dc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+
+    kq("kql_bin_time",
+      """events
+        | | summarize n=count(), dc_users=dcount(user_id) by h=bin(ts, 1h), event_type
+        | | sort by h asc, event_type asc""".stripMargin,
+      """SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+        |       count(DISTINCT user_id) AS dc_users
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin),
+
+    kq("kql_countif_case",
+      """orders
+        | | extend bucket = case(o_totalprice < 50000, 'small', o_totalprice < 200000, 'mid', 'large')
+        | | summarize n=count(), urgent=countif(o_orderpriority == '1-URGENT') by bucket
+        | | sort by bucket asc""".stripMargin,
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'mid' ELSE 'large' END AS bucket,
+        |       count(*) AS n,
+        |       count(*) FILTER (o_orderpriority = '1-URGENT') AS urgent
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin),
+
+    kq("kql_topn",
+      "orders | top 10 by o_totalprice desc, o_orderkey asc | project o_orderkey, o_totalprice",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    kq("kql_sort_nulls_iff",
+      """customer
+        | | extend bal = iff(c_acctbal < 0, null, c_acctbal)
+        | | sort by bal desc nulls last, c_custkey asc
+        | | project c_custkey, bal""".stripMargin,
+      """SELECT c_custkey, CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal
+        |FROM customer ORDER BY bal DESC NULLS LAST, c_custkey""".stripMargin),
+
+    kq("kql_distinct",
+      "customer | distinct c_mktsegment, c_nationkey | sort by c_mktsegment asc, c_nationkey asc",
+      """SELECT DISTINCT c_mktsegment, c_nationkey FROM customer
+        |ORDER BY c_mktsegment, c_nationkey""".stripMargin),
+
+    kq("kql_union",
+      """events | where event_type == 'click'
+        | | union (events | where event_type == 'error')
+        | | summarize n=count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM (
+        |  SELECT * FROM events WHERE event_type = 'click'
+        |  UNION ALL SELECT * FROM events WHERE event_type = 'error'
+        |) GROUP BY event_type ORDER BY event_type""".stripMargin),
+
+    kq("kql_join_inner",
+      """orders | where o_totalprice > 400000
+        | | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | | project o_orderkey, c_name
+        | | sort by o_orderkey asc""".stripMargin,
+      """SELECT o_orderkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin),
+
+    kq("kql_join_left",
+      """customer | where c_custkey <= 200
+        | | join kind=left (orders | where o_totalprice > 400000) on $left.c_custkey == $right.o_custkey
+        | | project c_custkey, o_orderkey
+        | | sort by c_custkey asc, o_orderkey asc""".stripMargin,
+      """SELECT c_custkey, o_orderkey FROM customer
+        |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) big
+        |  ON c_custkey = o_custkey
+        |WHERE c_custkey <= 200 ORDER BY c_custkey, o_orderkey""".stripMargin),
+
+    kq("kql_extract_toint",
+      """events
+        | | extend k = toint(extract('"k": (\d+)', 1, props))
+        | | where exists(k)
+        | | summarize n=count() by k
+        | | sort by k asc""".stripMargin,
+      """SELECT CAST(nullif(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k,
+        |       count(*) AS n
+        |FROM events WHERE nullif(regexp_extract(props, '"k": (\d+)', 1), '') IS NOT NULL
+        |GROUP BY 1 ORDER BY k""".stripMargin),
+
+    kq("kql_datetime_filter",
+      """orders | where o_orderdate >= datetime(1997-06-01) | summarize n=count() by o_orderpriority
+        | | sort by o_orderpriority asc""".stripMargin,
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-06-01'
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    kq("kql_has",
+      "documents | where text has 'spark' | project doc_id | sort by doc_id asc",
+      """SELECT doc_id FROM documents
+        |WHERE regexp_matches(text, '(?i)(^|[^A-Za-z0-9])spark([^A-Za-z0-9]|$)')
+        |ORDER BY doc_id""".stripMargin),
+
+    kq("kql_strings",
+      """part | where p_name contains 'green' or p_type startswith 'PROMO'
+        | | project p_partkey, p_name | sort by p_partkey asc""".stripMargin,
+      """SELECT p_partkey, p_name FROM part
+        |WHERE contains(p_name, 'green') OR starts_with(p_type, 'PROMO')
+        |ORDER BY p_partkey""".stripMargin),
+
+    kq("kql_let_join",
+      """let big = (orders | where o_totalprice > 450000);
+        |big | join kind=inner (customer) on $left.o_custkey == $right.c_custkey
+        | | project o_orderkey, o_totalprice, c_name
+        | | sort by o_orderkey asc""".stripMargin,
+      """SELECT o_orderkey, o_totalprice, c_name FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin),
+
+    kq("kql_in_between",
+      """orders
+        | | where o_orderpriority in ('1-URGENT', '2-HIGH') and o_totalprice between (100000 .. 150000)
+        | | project o_orderkey, o_totalprice | sort by o_orderkey asc""".stripMargin,
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  AND o_totalprice BETWEEN 100000 AND 150000
+        |ORDER BY o_orderkey""".stripMargin)
+  )
+}
