@@ -2,13 +2,13 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.queries.{CoreQueries, KqlQueries, Q}
+import graft.queries.{CoreQueries, KqlQueries, PipelineQueries, Q}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** All registered queries (operator inventory + pipeline ops). */
-  def registry: Seq[Q] = CoreQueries.all ++ KqlQueries.all
+  def registry: Seq[Q] = CoreQueries.all ++ KqlQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors SURVEY §7.2's milestone-1 slice: filter → bin(1h) → count → top.

@@ -1,0 +1,113 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines, all expressed as
+  * declarative DataFrame transformations:
+  *
+  *  - exact: hash + groupBy (one shuffle on the hash — the minimum possible);
+  *  - MinHash + LSH: shingle → k-minhash signature → banded bucket join —
+  *    signatures are computed map-side with higher-order functions (no UDFs),
+  *    and candidate generation shuffles only (band, bucket) pairs, never
+  *    full pairwise O(n²);
+  *  - SimHash: 64-bit sign-of-weighted-bits fingerprint, Hamming-adjacent
+  *    buckets for candidates;
+  *  - n-gram Jaccard verification on candidate pairs only.
+  *
+  * 100 TB notes: every stage is a narrow map except the band-bucket groupBy
+  * (shuffle keyed on ~k/r × n rows of small tuples) and the candidate
+  * self-join (keyed on bucket — skew-safe because LSH buckets are
+  * hash-uniform; AQE handles stragglers).
+  */
+object Dedup {
+
+  /** Word n-gram shingles from a token array (empty when too few tokens). */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+
+  /** Distinct shingle set (for Jaccard). */
+  def shingleSet(text: Column, n: Int): Column =
+    array_distinct(shingles(TextAnalysis.tokens(text), n))
+
+  /** k-wide MinHash signature over a shingle array: sig[i] = min over
+    * shingles of xxhash64(shingle, i). Seeded by position → deterministic.
+    */
+  def minhashSignature(shingleCol: Column, k: Int): Column =
+    transform(sequence(lit(0), lit(k - 1)),
+      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+
+  /** LSH band keys: split the k-signature into bands of `rowsPerBand`,
+    * hash each band. Returns array<struct<band:int, bucket:bigint>>.
+    */
+  def lshBands(sig: Column, k: Int, rowsPerBand: Int): Column = {
+    val nBands = k / rowsPerBand
+    transform(sequence(lit(0), lit(nBands - 1)), b =>
+      struct(
+        b.cast("int").as("band"),
+        xxhash64(concat_ws(",",
+          transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+            v => v.cast("string")))).as("bucket")))
+  }
+
+  /** Candidate near-duplicate pairs via MinHash LSH, verified with exact
+    * n-gram Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard >= threshold.
+    */
+  def minhashDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val withSets = df
+      .select(col(idCol).as("id"), col(textCol).as("text"))
+      .withColumn("sh", shingleSet(col("text"), n))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    val buckets = withSets
+      .select(col("id"), col("sh"),
+        explode(lshBands(col("sig"), k, rowsPerBand)).as("bb"))
+      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
+    val a = buckets.select(
+      col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = buckets.select(
+      col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .distinct()
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash over tokens: bit i is the sign of Σ_tokens
+    * (±1 depending on bit i of xxhash64(token)). Pure higher-order
+    * functions — map-side only.
+    */
+  def simhash(toks: Column): Column = {
+    val bitSums = transform(sequence(lit(0), lit(63)), i =>
+      aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(
+          call_function("shiftright", xxhash64(t), i.cast("int"))
+            .bitwiseAND(lit(1L)) === 1L, 1L)
+          .otherwise(-1L)))
+    val bits = transform(bitSums, s => when(s > 0, 1L).otherwise(0L))
+    // two's-complement assembly: fold bits 62..0 (stays in long range under
+    // ANSI overflow checking), then add bit 63 as the sign contribution
+    val low = aggregate(reverse(slice(bits, 1, 63)), lit(0L),
+      (acc, b) => acc * lit(2L) + b)
+    low + element_at(bits, 64) * lit(Long.MinValue)
+  }
+
+  /** Exact-duplicate groups: hash text, keep the smallest id as canonical.
+    * Returns (text_hash, n_copies, keeper_id).
+    */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+}

@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  *
+  * Everything here is pure `Column` composition over higher-order functions
+  * (codegen'd, shuffle-free, fully map-side) — the shape that scales to
+  * 100 TB: no UDF serialization, no driver round-trips, trivially parallel
+  * per partition.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization, empty tokens dropped. */
+  def tokens(text: Column): Column =
+    filter(split(text, "\\s+"), t => length(t) > 0)
+
+  /** BPE-ish subword pre-tokenization (GPT-2-style pattern classes:
+    * letter runs, digit runs, punctuation runs — a deterministic proxy for
+    * a real BPE vocab, which would slot in behind the same signature).
+    */
+  def bpeishTokens(text: Column): Column =
+    filter(
+      regexp_extract_all(text, lit("""[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+"""), lit(0)),
+      t => length(t) > 0)
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Common-English stopwords used by the quality heuristics. */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "or", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that")
+
+  def stopwordCount(toks: Column): Column =
+    size(filter(toks, t => lower(t).isin(stopwords.map(lit): _*)))
+
+  /** Punctuation-character ratio over total characters. */
+  def punctRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[^\p{L}\p{N}\s]"""), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Alphabetic-character ratio. */
+  def alphaRatio(text: Column): Column =
+    size(regexp_extract_all(text, lit("""[\p{L}]"""), lit(0)))
+      .cast("double") / greatest(length(text), lit(1)).cast("double")
+
+  /** Document quality features as a struct: length, token stats, ratios.
+    * Mirrors the usual pretraining-quality heuristics (length bounds,
+    * mean token length, stopword density, punctuation density).
+    */
+  def qualityFeatures(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    struct(
+      length(text).cast("bigint").as("n_chars"),
+      size(toks).cast("bigint").as("n_tokens"),
+      (aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nTok)
+        .as("mean_token_len"),
+      (stopwordCount(toks).cast("double") / nTok).as("stopword_ratio"),
+      punctRatio(text).as("punct_ratio"),
+      alphaRatio(text).as("alpha_ratio"))
+  }
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Tiny on purpose — a broadcastable lookup; a real system
+    * swaps in char-n-gram profiles behind the same argmax shape.
+    */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "las", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "que", "pour"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "den", "mit", "für", "auf"),
+    "it" -> Seq("il", "di", "che", "la", "per", "un", "del", "una", "con", "sono"),
+    "pt" -> Seq("o", "de", "que", "do", "da", "em", "um", "para", "com", "uma"))
+
+  /** Language-ID: argmax of marker-word hit counts; 'und' when no marker
+    * hits at all. Pure columns — ties broken by language-code order.
+    */
+  def langId(text: Column): Column = {
+    val toks = transform(tokens(text), lower _)
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, words) =>
+      struct(
+        size(filter(toks, t => t.isin(words.map(lit): _*))).as("hits"),
+        lit(code).as("code"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
+  }
+
+  /** Order-sensitive rolling-hash document fingerprint over tokens:
+    * polynomial hash in modular arithmetic (mod 1e15 keeps `acc*31 + h`
+    * inside long range under ANSI overflow checking).
+    */
+  def fingerprint(text: Column): Column = {
+    val p = 1000000000000000L // 10^15
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as checkable queries: dedup, similarity
+  * search, text analysis, multimodal plumbing. Oracles where the same
+  * computation is expressible in DuckDB SQL; engine-hash-dependent ops
+  * (minhash/simhash/LSH) get rows-only checks here plus deterministic
+  * ScalaTest specs.
+  */
+object PipelineQueries {
+
+  val all: Seq[Q] = Seq(
+
+    // ───── text analysis ─────
+
+    Q("pl_token_count",
+      """SELECT doc_id,
+        |       CAST(len(list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)) AS INTEGER) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .orderBy("doc_id")),
+
+    Q("pl_quality",
+      """SELECT doc_id,
+        |       CAST(len(text) AS BIGINT) AS n_chars,
+        |       CAST(len(toks) AS BIGINT) AS n_tokens,
+        |       CAST(list_sum(list_transform(toks, x -> len(x))) AS DOUBLE)
+        |         / greatest(len(toks), 1) AS mean_token_len,
+        |       CAST(len(list_filter(toks, x -> lower(x) IN
+        |         ('the','a','an','of','to','in','and','or','is','are','was',
+        |          'for','on','with','as','at','by','it','this','that'))) AS DOUBLE)
+        |         / greatest(len(toks), 1) AS stopword_ratio
+        |FROM (SELECT doc_id, text,
+        |        list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |      FROM documents) ORDER BY doc_id""".stripMargin)(
+      (s, d) => Tables.load(s, d, "documents")
+        .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
+        .select(
+          col("doc_id"),
+          col("q.n_chars").as("n_chars"),
+          col("q.n_tokens").as("n_tokens"),
+          col("q.mean_token_len").as("mean_token_len"),
+          col("q.stopword_ratio").as("stopword_ratio"))
+        .orderBy("doc_id")),
+
+    // language-ID heuristic: engine-specific argmax — rows-only here,
+    // accuracy asserted in PipelineSpec on hand-labeled samples.
+    Q.noOracle("pl_lang_id")(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
+        .orderBy("doc_id")),
+
+    // rolling-hash fingerprint (xxhash64-based — not oracle-expressible)
+    Q.noOracle("pl_fingerprint")(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // ───── dedup ─────
+
+    Q("pl_dedup_exact",
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies,
+        |       min(doc_id) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin)(
+      (s, d) => Dedup.exactDupGroups(Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    // n-gram Jaccard near-dup (exact, restricted window so the O(n²) stays
+    // bounded; the scalable path is pl_minhash_dups below)
+    Q("pl_ngram_jaccard",
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 60))
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |           / len(list_distinct(list_concat(a.s, b.s))) AS jaccard
+        |  FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => {
+        val sh = Tables.load(s, d, "documents")
+          .filter(col("doc_id") < 60)
+          .select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("s"))
+        val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+        val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .withColumn("jaccard",
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double"))
+          .filter(col("jaccard") >= 0.2)
+          .select("id_a", "id_b", "jaccard")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only here,
+    // recall/precision asserted in PipelineSpec with planted duplicates)
+    Q.noOracle("pl_minhash_dups")(
+      (s, d) => Dedup.minhashDupPairs(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    Q.noOracle("pl_simhash")(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
+        .orderBy("doc_id")),
+
+    // ───── similarity search ─────
+
+    Q("pl_ann_brute",
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+        |           FROM embeddings)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC, neighbor_id) AS rank
+        |  FROM q, c WHERE query_id != neighbor_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", 10)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      }),
+
+    // LSH-bucketed ANN: approximate (bucket-local) — rows-only; recall vs
+    // brute force asserted in PipelineSpec.
+    Q.noOracle("pl_ann_lsh")(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.lshTopK(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", 10, nPlanes = 4)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      }),
+
+    // embedding near-dup pairs via LSH buckets — rows-only (bucket-local)
+    Q.noOracle("pl_cosine_dups")(
+      (s, d) => Similarity.cosineDupPairs(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.35, nPlanes = 4)
+        .orderBy("id_a", "id_b")),
+
+    // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
+
+    Q.noOracle("pl_multimodal_features")(
+      (s, d) => graft.multimodal.Multimodal.extractFeatures(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d))
+        .toDF()
+        .select("media_id", "kind", "n_bytes", "checksum")
+        .orderBy("media_id")),
+
+    Q.noOracle("pl_multimodal_frames")(
+      (s, d) => graft.multimodal.Multimodal.sampleFrames(
+        graft.multimodal.Multimodal.mediaFromDocuments(s, d), everyMs = 5000L)
+        .toDF()
+        .select("media_id", "sample_idx", "offset_ms")
+        .orderBy("media_id", "sample_idx"))
+  )
+}

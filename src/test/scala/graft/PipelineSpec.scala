@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.multimodal.Multimodal
+
+/** Deterministic tests for the pipeline operators whose hashes make them
+  * non-oracle-expressible: MinHash/LSH dedup recall on planted duplicates,
+  * LSH-ANN recall vs brute force, SimHash locality, language-ID on
+  * hand-labeled samples, multimodal plumbing shape.
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " +
+      "into the deep green forest while birds sing loudly above the trees"
+    val nearDup = base.replace("runs far away", "sprints far off") // small edit
+    val unrelated = "completely different content about database engines and " +
+      "distributed query processing with columnar storage formats everywhere"
+    val docs = Seq(
+      (1L, base), (2L, nearDup), (3L, unrelated),
+      (4L, "short text"), (5L, base + " extra trailing words here")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      n = 3, k = 64, rowsPerBand = 4, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "planted near-dup must be found")
+    assert(pairs.contains((1L, 5L)), "superset dup must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated must not pair")
+  }
+
+  test("minhash jaccard estimate agrees with exact ngram jaccard") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p"),
+      (2L, "a b c d e f g h i j k l m n o q")).toDF("doc_id", "text")
+    val got = Dedup.minhashDupPairs(docs, "doc_id", "text",
+      n = 2, k = 64, rowsPerBand = 4, threshold = 0.1).collect()
+    assert(got.length == 1)
+    val j = got(0).getDouble(2)
+    // exact 2-gram jaccard: 14 shared of 16 distinct shingles = 0.875
+    assert(j > 0.8 && j <= 0.9)
+  }
+
+  test("simhash: similar docs close in hamming, dissimilar far") {
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    val docs = Seq(
+      (1L, "spark is a unified analytics engine for large scale data processing"),
+      (2L, "spark is a unified analytics engine for very large data processing"),
+      (3L, "cats meow dogs bark birds chirp fish swim horses gallop")
+    ).toDF("doc_id", "text")
+    val got = docs.select(col("doc_id"),
+      Dedup.simhash(TextAnalysis.tokens(col("text"))).as("h"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hamming(got(1L), got(2L)) < hamming(got(1L), got(3L)))
+    assert(hamming(got(1L), got(2L)) <= 16)
+  }
+
+  test("exact dedup groups identical texts") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("doc_id", "text")
+    val groups = Dedup.exactDupGroups(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(groups == Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("brute-force ANN returns true nearest neighbors") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("LSH ANN recall vs brute force on real embeddings") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10, nPlanes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    // bucket-local search: every returned neighbor must be sane, and with
+    // 2 planes (4 buckets) recall should be well above random (~25%)
+    val recall = (brute & approx).size.toDouble / brute.size
+    assert(approx.nonEmpty)
+    assert(recall > 0.15, s"recall=$recall")
+  }
+
+  test("cosine dup pairs are symmetric-deduped and above threshold") {
+    val got = Similarity.cosineDupPairs(
+      Tables.load(spark, TestSpark.sf, "embeddings"),
+      "vec_id", "embedding", threshold = 0.3, nPlanes = 2)
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getDouble(2) >= 0.3)
+    }
+  }
+
+  test("langId identifies hand-labeled samples") {
+    val samples = Seq(
+      ("the cat is on the mat and it is happy", "en"),
+      ("el gato está en la casa y es de madrid", "es"),
+      ("le chat est sur le tapis et les oiseaux", "fr"),
+      ("der hund ist in dem haus und die katze", "de"),
+      ("xyzzy plugh qwerty", "und"))
+    val df = samples.map(_._1).toDF("text")
+      .withColumn("guess", TextAnalysis.langId(col("text")))
+    val got = df.collect().map(_.getString(1)).toSeq
+    assert(got == samples.map(_._2))
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+      .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+    val got = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == got(3L))
+    assert(got(1L) != got(2L))
+  }
+
+  test("quality features compute sane ranges") {
+    val r = Seq(("the quick brown fox, it jumps!", 1))
+      .toDF("text", "x")
+      .select(TextAnalysis.qualityFeatures(col("text")).as("q"))
+      .select("q.n_tokens", "q.stopword_ratio", "q.punct_ratio", "q.mean_token_len")
+      .collect()(0)
+    assert(r.getLong(0) == 6L)
+    assert(r.getDouble(1) > 0.2 && r.getDouble(1) < 0.5) // 'the', 'it'
+    assert(r.getDouble(2) > 0.0 && r.getDouble(2) < 0.2)
+    assert(r.getDouble(3) > 3.0)
+  }
+
+  test("bpeish tokenization splits letter/digit/punct runs") {
+    val got = Seq(("abc123,def!", 1)).toDF("text", "x")
+      .select(TextAnalysis.bpeishTokens(col("text")).as("t"))
+      .collect()(0).getSeq[String](0)
+    assert(got == Seq("abc", "123", ",", "def", "!"))
+  }
+
+  test("multimodal: features deterministic, frames sample by duration") {
+    val media = Multimodal.mediaFromDocuments(spark, TestSpark.sf)
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.checksum).toSeq == f2.map(_.checksum).toSeq)
+    assert(f1.forall(_.feature.length == 8))
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000L)
+    val byId = frames.collect().groupBy(_.media_id)
+    val m = media.collect()
+    m.foreach { row =>
+      val expected =
+        if (row.kind == "image" || row.duration_ms <= 0) 1
+        else (1 + row.duration_ms / 5000L).toInt
+      assert(byId(row.media_id).length == expected,
+        s"media ${row.media_id} kind=${row.kind} dur=${row.duration_ms}")
+    }
+    // resize stub caps dimensions
+    val resized = Multimodal.resize(media.toDF(), maxDim = 256)
+      .select(max(greatest(col("width"), col("height")))).collect()(0).getInt(0)
+    assert(resized <= 256)
+  }
+}
