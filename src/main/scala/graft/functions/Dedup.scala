@@ -61,23 +61,35 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
       threshold: Double = 0.8): DataFrame = {
+    // Shingle sets are computed once and cached for the two verification
+    // joins; only small (band, bucket, id) tuples flow through the LSH
+    // shuffle and only (id_a, id_b) pairs through the dedup — never the
+    // shingle arrays themselves (at 100 TB the arrays dominate row size;
+    // keeping them out of the wide joins is the difference between a
+    // bounded shuffle and an explosion).
+    // The cache() below is load-bearing for more than reuse: band hashing
+    // slices the signature inside a per-band lambda, and without a
+    // materialization barrier Catalyst's CollapseProject would inline the
+    // whole 64-hash signature expression into each of the 16 band slices —
+    // a 16× recompute of the most expensive stage. Caching (id, sh, sig)
+    // makes the bands read a stored column instead.
     val withSets = df
       .select(col(idCol).as("id"), col(textCol).as("text"))
       .withColumn("sh", shingleSet(col("text"), n))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
+      .cache()
     val buckets = withSets
-      .select(col("id"), col("sh"),
-        explode(lshBands(col("sig"), k, rowsPerBand)).as("bb"))
-      .select(col("id"), col("sh"), col("bb.band"), col("bb.bucket"))
-    val a = buckets.select(
-      col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(
-      col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "bucket"))
+      .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
       .distinct()
+    candidates
+      .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

@@ -137,6 +137,12 @@ object QueryStep {
       kind: JoinKind, sub: Query,
       leftKey: FieldPath, rightKey: FieldPath) extends QueryStep
   case object CountStep extends QueryStep
+  /** `write sink` — terminal: consume the stream into a sink, emit nothing
+    * (reference: `miso-workflow/src/write.rs:19-105`). */
+  final case class Write(target: String) extends QueryStep
+  /** `tee sink` — write to a sink AND pass rows downstream
+    * (reference: `miso-workflow/src/tee.rs:20-104`). */
+  final case class Tee(target: String) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

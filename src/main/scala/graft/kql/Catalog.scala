@@ -13,6 +13,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final class Catalog(spark: SparkSession) {
   private val tables = mutable.Map[String, () => DataFrame]()
   private val views = mutable.Map[String, Query]()
+  private val sinks = mutable.Map[String, String]()
 
   def register(name: String, df: => DataFrame): this.type = {
     tables(name) = () => df
@@ -26,6 +27,14 @@ final class Catalog(spark: SparkSession) {
     views(name) = parsed.query
     this
   }
+
+  /** Register a parquet sink path for `write`/`tee` targets. */
+  def registerSink(name: String, path: String): this.type = {
+    sinks(name) = path
+    this
+  }
+
+  def resolveSink(name: String): Option[String] = sinks.get(name)
 
   def resolveTable(name: String): Option[DataFrame] = tables.get(name).map(_())
 

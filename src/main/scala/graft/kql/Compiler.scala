@@ -314,6 +314,24 @@ final class Compiler(
     case QueryStep.Join(kind, sub, lk, rk) => compileJoin(df, kind, sub, lk, rk)
 
     case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
+
+    case QueryStep.Write(target) =>
+      // terminal sink: consume into the sink, emit nothing downstream
+      sinkWrite(df, target)
+      df.limit(0)
+
+    case QueryStep.Tee(target) =>
+      // write AND pass through; cache so the side-write and the downstream
+      // pipeline scan the input once
+      val cached = df.cache()
+      sinkWrite(cached, target)
+      cached
+  }
+
+  private def sinkWrite(df: DataFrame, target: String): Unit = {
+    val path = catalog.resolveSink(target).getOrElse(
+      throw KqlParseException(s"unknown sink '$target'", 0))
+    df.write.mode("append").parquet(path)
   }
 
   private def sortCol(k: SortKey): Column = {

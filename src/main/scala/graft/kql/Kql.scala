@@ -57,6 +57,8 @@ object Kql {
       case QueryStep.Join(k, sub, lk, rk) =>
         s"join kind=$k (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
       case QueryStep.CountStep => "count"
+      case QueryStep.Write(t) => s"write $t"
+      case QueryStep.Tee(t) => s"tee $t"
     }
     (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
       Seq(renderQuery(parsed.query, ""))).mkString("\n")

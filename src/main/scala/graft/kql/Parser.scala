@@ -92,6 +92,8 @@ final class Parser(src: String, nowMicros: Long) {
       case "union"            => p += 1; parseUnion()
       case "join"             => p += 1; parseJoin()
       case "count"            => p += 1; QueryStep.CountStep
+      case "write"            => p += 1; QueryStep.Write(parseSourceRef())
+      case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
       case other => fail(s"unknown step '$other'")
     }
     case t => throw KqlParseException("expected a step name after '|'", t.pos)

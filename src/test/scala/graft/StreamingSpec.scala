@@ -1,0 +1,109 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.kql.{Catalog, Kql}
+import graft.streaming.Progressive
+
+/** Progressive-results layer + KQL sink steps: the analog of the reference's
+  * partial streams (`partial_stream.rs`) and tee/write sinks.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("streaming aggregation refines as new files arrive (partial results)") {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    val batch1 = Seq(
+      ("2024-01-01 00:10:00", "error"), ("2024-01-01 00:20:00", "error"),
+      ("2024-01-01 01:10:00", "click"))
+      .toDF("ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = Progressive.aggregateStream(
+      spark, dir, batch1.schema,
+      df => df.groupBy("event_type").agg(count(lit(1)).as("n")),
+      queryName = "prog_counts", debounceMs = 100L)
+    try {
+      q.processAllAvailable()
+      val snap1 = spark.table("prog_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(snap1 == Map("error" -> 2L, "click" -> 1L))
+
+      // second source "completes" → the aggregate refines (miso's
+      // PartialStreamLog → updated snapshot)
+      Seq(("2024-01-01 02:00:00", "error"))
+        .toDF("ts", "event_type")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      val snap2 = spark.table("prog_counts").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(snap2 == Map("error" -> 3L, "click" -> 1L))
+    } finally q.stop()
+  }
+
+  test("windowed streaming bin with watermark bounds state") {
+    val dir = Files.createTempDirectory("graft_stream2").toString
+    val data = Seq(
+      ("2024-01-01 00:05:00", "a"), ("2024-01-01 00:55:00", "a"),
+      ("2024-01-01 01:05:00", "b"))
+      .toDF("ts", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    data.coalesce(1).write.mode("append").parquet(dir)
+    val src = spark.readStream.schema(data.schema).parquet(dir)
+    val agg = Progressive.binnedCounts(src, "ts", "1 hour", "10 minutes",
+      extraKeys = Seq("event_type"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("prog_bins").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("prog_bins").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2)))
+        .toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00.0", "a", 2L),
+        ("2024-01-01 01:00:00.0", "b", 1L)))
+    } finally q.stop()
+  }
+
+  test("kql write step is terminal and lands rows in the sink") {
+    val sink = Files.createTempDirectory("graft_sink").toString + "/out"
+    val cat = new Catalog(spark)
+    cat.register("src", Seq((1L, "a"), (2L, "b"), (3L, "a")).toDF("id", "tag"))
+    cat.registerSink("dest", sink)
+    val out = Kql.run(spark, cat, "src | where tag == 'a' | write dest")
+    assert(out.count() == 0) // write emits nothing downstream
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
+  test("kql tee step writes and passes rows through") {
+    val sink = Files.createTempDirectory("graft_sink2").toString + "/out"
+    val cat = new Catalog(spark)
+    cat.register("src", Seq((1L, "a"), (2L, "b")).toDF("id", "tag"))
+    cat.registerSink("dest", sink)
+    val out = Kql.run(spark, cat, "src | tee dest | summarize n=count()")
+    assert(out.collect()(0).getLong(0) == 2L)
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
+  test("kql summarize compiles against a streaming source (update mode)") {
+    val dir = Files.createTempDirectory("graft_stream3").toString
+    val data = Seq(("x", 1.0), ("y", 2.0), ("x", 3.0)).toDF("k", "v")
+    data.coalesce(1).write.mode("append").parquet(dir)
+    val cat = new Catalog(spark)
+    cat.register("stream_src", spark.readStream.schema(data.schema).parquet(dir))
+    val agg = Kql.run(spark, cat, "stream_src | summarize n=count(), s=sum(v) by k")
+    assert(agg.isStreaming)
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("kql_stream").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kql_stream").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == Set(("x", 2L, 4.0), ("y", 1L, 2.0)))
+    } finally q.stop()
+  }
+}
