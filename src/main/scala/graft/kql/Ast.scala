@@ -120,6 +120,11 @@ object ExpandKind { case object Bag extends ExpandKind; case object Arr extends 
 sealed trait QueryStep
 object QueryStep {
   final case class Scan(source: String) extends QueryStep
+  /** `conn.coll.raw("…")` — pass a native query to the backing engine
+    * (reference: connector `raw_query`, `miso-connectors/src/lib.rs:320-327`).
+    * Here the "native language" of the backing store is Spark SQL.
+    */
+  final case class RawScan(sql: String) extends QueryStep
   final case class Filter(e: Expr) extends QueryStep
   /** (expr, outputName) pairs; Project keeps only these, Extend adds them. */
   final case class Project(fields: Seq[(Expr, String)]) extends QueryStep

@@ -38,6 +38,16 @@ final class Catalog(spark: SparkSession) {
 
   def resolveTable(name: String): Option[DataFrame] = tables.get(name).map(_())
 
+  /** Run a native (Spark SQL) query with every registered table exposed as
+    * a temp view under its bare name — the analog of connector `raw_query`.
+    */
+  def rawQuery(sql: String): DataFrame = {
+    tables.foreach { case (name, mk) =>
+      if (!name.contains(".")) mk().createOrReplaceTempView(name)
+    }
+    spark.sql(sql)
+  }
+
   def resolveView(name: String): Option[Query] =
     views.get(name).orElse {
       if (name.startsWith("views.")) views.get(name.stripPrefix("views."))

@@ -131,10 +131,12 @@ final class Compiler(
   def compileField(path: FieldPath): Column = {
     val head = path.parts.head
     var c: Column = col(head.name)
-    head.arrIndices.foreach(i => c = c.getItem(i))
+    // get() (not getItem) tolerates out-of-bounds → null, matching the
+    // reference's missing semantics under Spark's ANSI mode
+    head.arrIndices.foreach(i => c = get(c, lit(i)))
     path.parts.tail.foreach { part =>
       c = c.getField(part.name)
-      part.arrIndices.foreach(i => c = c.getItem(i))
+      part.arrIndices.foreach(i => c = get(c, lit(i)))
     }
     c
   }
@@ -278,6 +280,8 @@ final class Compiler(
 
   private def compileStep(df: DataFrame, step: QueryStep): DataFrame = step match {
     case QueryStep.Scan(source) => resolveScan(source)
+
+    case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
 
     case QueryStep.Filter(e) => df.filter(compileBool(df, e))
 

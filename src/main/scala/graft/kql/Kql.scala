@@ -41,6 +41,7 @@ object Kql {
       q.steps.map(s => indent + renderStep(s, indent)).mkString("\n")
     def renderStep(s: QueryStep, indent: String): String = s match {
       case QueryStep.Scan(src) => s"scan $src"
+      case QueryStep.RawScan(sql) => s"""raw("$sql")"""
       case QueryStep.Filter(e) => s"filter $e"
       case QueryStep.Project(fs) => s"project ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"
       case QueryStep.Extend(fs) => s"extend ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"

@@ -62,7 +62,18 @@ final class Parser(src: String, nowMicros: Long) {
   private def parsePipeline(): Query = {
     val source = parseSourceRef()
     val steps = Seq.newBuilder[QueryStep]
-    steps += QueryStep.Scan(source)
+    // `conn.coll.raw("…")` / `raw("…")`: native (Spark SQL) pass-through
+    if ((source == "raw" || source.endsWith(".raw")) && atPunct("(")) {
+      p += 1
+      val sql = next() match {
+        case StrTok(s, _) => s
+        case t => throw KqlParseException("raw() takes a string literal", t.pos)
+      }
+      eatPunct(")")
+      steps += QueryStep.RawScan(sql)
+    } else {
+      steps += QueryStep.Scan(source)
+    }
     while (tryPunct("|")) steps += parseStep()
     Query(steps.result())
   }
