@@ -12,15 +12,21 @@ import org.apache.spark.sql.functions._
 object KqlFunctions {
 
   /** `has` — case-insensitive whole-phrase match with alphanumeric word
-    * boundaries (reference: `miso-workflow/src/interpreter/string_ops.rs:43-112`).
-    * Equivalent regex: `(?i)(^|[^A-Za-z0-9])phrase([^A-Za-z0-9]|$)`.
+    * boundaries (reference: `miso-workflow/src/interpreter/string_ops.rs:43-112`),
+    * compiled to the native codegen'd [[HasPhrase]] expression (scan-based,
+    * no regex). Semantically equivalent regex:
+    * `(?i)(^|[^A-Za-z0-9])phrase([^A-Za-z0-9]|$)`.
     */
-  def has(col: Column, phrase: String): Column =
-    col.rlike("(?i)(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(phrase) + "([^A-Za-z0-9]|$)")
+  def has(col: Column, phrase: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(HasPhrase(expression(col), expression(lit(phrase)), caseSensitive = false))
+  }
 
   /** `has_cs` — case-sensitive variant of [[has]]. */
-  def hasCs(col: Column, phrase: String): Column =
-    col.rlike("(^|[^A-Za-z0-9])" + java.util.regex.Pattern.quote(phrase) + "([^A-Za-z0-9]|$)")
+  def hasCs(col: Column, phrase: String): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(HasPhrase(expression(col), expression(lit(phrase)), caseSensitive = true))
+  }
 
   /** KQL `extract(regex, group, source)` — null (not "") when the regex does
     * not match (reference: `miso-workflow/src/interpreter/mod.rs:406-432`).
