@@ -60,11 +60,16 @@ object Catalog {
     * (`lineitem`) or with a connector prefix (`test.lineitem`).
     */
   def forTestData(spark: SparkSession, sfDir: String): Catalog = {
+    import org.apache.spark.sql.functions.{col, parse_json}
     val c = new Catalog(spark)
     graft.Tables.names.foreach { n =>
       c.register(n, graft.Tables.load(spark, sfDir, n))
       c.register(s"test.$n", graft.Tables.load(spark, sfDir, n))
     }
+    // schemaless view of events: props as a VariantType column (miso's
+    // native dynamic-JSON model) — field paths descend via try_variant_get
+    c.register("eventsv", graft.Tables.load(spark, sfDir, "events")
+      .withColumn("props", parse_json(col("props"))))
     c
   }
 }

@@ -45,6 +45,8 @@ final class Compiler(
     case object Str extends KT; case object Bool extends KT
     case object Ts extends KT; case object Span extends KT
     case object Null extends KT; case object Arr extends KT
+    /** A VariantType value (schemaless JSON — miso's native data model). */
+    case object Var extends KT
     case object Other extends KT
   }
 
@@ -56,7 +58,20 @@ final class Compiler(
     case _: TimestampType | _: TimestampNTZType | _: DateType => KT.Ts
     case _: NullType => KT.Null
     case _: ArrayType => KT.Arr
+    case _: VariantType => KT.Var
     case _ => KT.Other
+  }
+
+  /** Spark type a variant operand should be cast to when meeting a typed
+    * peer — the static analog of miso's dynamic cross-type comparison.
+    */
+  private def sparkTypeFor(kt: KT): DataType = kt match {
+    // numeric peers compare as double: a variant holding 1.5 must not be
+    // truncated (or nulled) by a long cast when compared against an int
+    case KT.Int | KT.Float | KT.Span => DoubleType
+    case KT.Bool => BooleanType
+    case KT.Ts => TimestampType
+    case _ => StringType
   }
 
   private def fieldType(df: DataFrame, path: FieldPath): KT = {
@@ -64,6 +79,7 @@ final class Compiler(
       case Seq() => ktOf(dt)
       case head +: rest =>
         dt match {
+          case _: VariantType => KT.Var // deeper paths stay variant
           case st: StructType if st.fieldNames.contains(head.name) =>
             var t = st(head.name).dataType
             head.arrIndices.foreach { _ =>
@@ -77,6 +93,8 @@ final class Compiler(
     df.schema.fields.find(_.name == head.name) match {
       case Some(f) =>
         var t = f.dataType
+        if (t.isInstanceOf[VariantType] &&
+          (head.arrIndices.nonEmpty || path.parts.tail.nonEmpty)) return KT.Var
         head.arrIndices.foreach { _ =>
           t = t match { case a: ArrayType => a.elementType; case o => o }
         }
@@ -98,7 +116,11 @@ final class Compiler(
          Between(_, _, _, _) | StrOp(_, _, _, _) | Exists(_) => KT.Bool
     case Neg(x) => infer(df, x)
     case Arith(op, l, r) =>
-      val (lt, rt) = (infer(df, l), infer(df, r))
+      // variant operands resolve to double (or string beside a string peer)
+      val lt0 = infer(df, l)
+      val rt0 = infer(df, r)
+      val lt = if (lt0 == KT.Var) { if (rt0 == KT.Str) KT.Str else KT.Float } else lt0
+      val rt = if (rt0 == KT.Var) { if (lt0 == KT.Str) KT.Str else KT.Float } else rt0
       op match {
         case "/" => if (lt == KT.Span && rt == KT.Span) KT.Float else KT.Float
         case "+" | "-" =>
@@ -128,6 +150,7 @@ final class Compiler(
 
   // ───────────────────────── expression lowering ─────────────────────────
 
+  /** Schema-blind field access (used where no input frame is in scope). */
   def compileField(path: FieldPath): Column = {
     val head = path.parts.head
     var c: Column = col(head.name)
@@ -141,6 +164,54 @@ final class Compiler(
     c
   }
 
+  /** Schema-aware field access: when the path descends into a VariantType
+    * column (schemaless JSON — miso's native model), the remaining segments
+    * compile to `try_variant_get` with a JSON path; a missing key yields
+    * null, exactly miso's missing semantics. JSON-null values remain
+    * non-null variant instances, so `exists()` keeps miso's null≠missing
+    * distinction for free.
+    */
+  def compileField(df: DataFrame, path: FieldPath): Column = {
+    def jsonPath(leadIdx: Seq[Int], parts: Seq[FieldAccess]): String = {
+      val sb = new StringBuilder("$")
+      leadIdx.foreach(i => sb ++= s"[$i]")
+      parts.foreach { p =>
+        sb ++= "." + p.name
+        p.arrIndices.foreach(i => sb ++= s"[$i]")
+      }
+      sb.toString
+    }
+    val head = path.parts.head
+    var dt: Option[DataType] = df.schema.fields.find(_.name == head.name).map(_.dataType)
+    var c: Column = col(head.name)
+    if (dt.exists(_.isInstanceOf[VariantType]) &&
+        (head.arrIndices.nonEmpty || path.parts.tail.nonEmpty))
+      return try_variant_get(c, jsonPath(head.arrIndices, path.parts.tail), "variant")
+    head.arrIndices.foreach { i =>
+      c = get(c, lit(i))
+      dt = dt.map { case a: ArrayType => a.elementType; case o => o }
+    }
+    var rest = path.parts.tail
+    while (rest.nonEmpty) {
+      if (dt.exists(_.isInstanceOf[VariantType]))
+        return try_variant_get(c, jsonPath(Nil, rest), "variant")
+      val part = rest.head
+      c = c.getField(part.name)
+      dt = dt.flatMap {
+        case st: StructType => st.fields.find(_.name == part.name).map(_.dataType)
+        case _ => None
+      }
+      if (dt.exists(_.isInstanceOf[VariantType]) && part.arrIndices.nonEmpty)
+        return try_variant_get(c, jsonPath(part.arrIndices, rest.tail), "variant")
+      part.arrIndices.foreach { i =>
+        c = get(c, lit(i))
+        dt = dt.map { case a: ArrayType => a.elementType; case o => o }
+      }
+      rest = rest.tail
+    }
+    c
+  }
+
   /** KQL truthiness (`value/mod.rs:479-492`): non-zero / non-empty / non-null. */
   private def truthy(df: DataFrame, e: Expr, c: Column): Column = infer(df, e) match {
     case KT.Bool => c
@@ -148,6 +219,14 @@ final class Compiler(
     case KT.Str => length(c) > 0
     case KT.Arr => size(c) > 0
     case KT.Null => lit(false)
+    case KT.Var =>
+      // dynamic truthiness cascade: bool → itself, number → non-zero,
+      // string → non-empty, else present-and-not-json-null
+      coalesce(
+        c.try_cast(BooleanType),
+        c.try_cast(DoubleType) =!= 0,
+        length(c.try_cast(StringType)) > 0,
+        lit(false))
     case _ => c.isNotNull
   }
 
@@ -161,14 +240,22 @@ final class Compiler(
     case NullLit => lit(null)
     case TimespanLit(m) => lit(m)
     case DatetimeLit(m) => timestamp_micros(lit(m))
-    case Field(p) => compileField(p)
+    case Field(p) => compileField(df, p)
 
     case And(l, r) => compileBool(df, l) && compileBool(df, r)
     case Or(l, r) => compileBool(df, l) || compileBool(df, r)
     case Not(x) => !compileBool(df, x)
 
     case Cmp(op, l, r) =>
-      val (lc, rc) = (compile(df, l), compile(df, r))
+      val (lt, rt) = (infer(df, l), infer(df, r))
+      var (lc, rc) = (compile(df, l), compile(df, r))
+      // variant operands are cast to the typed peer's type (both → string
+      // when both dynamic) — the static analog of miso's cross-type compare
+      if (lt == KT.Var && rt != KT.Var) lc = lc.try_cast(sparkTypeFor(rt))
+      else if (rt == KT.Var && lt != KT.Var) rc = rc.try_cast(sparkTypeFor(lt))
+      else if (lt == KT.Var && rt == KT.Var) {
+        lc = lc.try_cast(StringType); rc = rc.try_cast(StringType)
+      }
       op match {
         case "==" => lc === rc
         case "!=" => lc =!= rc
@@ -181,8 +268,17 @@ final class Compiler(
     case Neg(x) => -compile(df, x)
 
     case Arith(op, l, r) =>
-      val (lt, rt) = (infer(df, l), infer(df, r))
-      val (lc, rc) = (compile(df, l), compile(df, r))
+      var (lt, rt) = (infer(df, l), infer(df, r))
+      var (lc, rc) = (compile(df, l), compile(df, r))
+      // variant operands: string context → string, else numeric double
+      if (lt == KT.Var) {
+        if (rt == KT.Str) { lc = lc.try_cast(StringType); lt = KT.Str }
+        else { lc = lc.try_cast(DoubleType); lt = KT.Float }
+      }
+      if (rt == KT.Var) {
+        if (lt == KT.Str) { rc = rc.try_cast(StringType); rt = KT.Str }
+        else { rc = rc.try_cast(DoubleType); rt = KT.Float }
+      }
       op match {
         case "/" =>
           // `/` always yields float; ÷0 is a row error ⇒ null ⇒ dropped
@@ -204,17 +300,22 @@ final class Compiler(
       }
 
     case In(x, items, negated) =>
-      val xc = compile(df, x)
+      var xc = compile(df, x)
+      if (infer(df, x) == KT.Var)
+        xc = xc.try_cast(sparkTypeFor(items.headOption.map(infer(df, _)).getOrElse(KT.Str)))
       val pred = items.map(i => xc === compile(df, i)).reduce(_ || _)
       if (negated) !pred else pred
 
     case Between(x, lo, hi, negated) =>
-      val xc = compile(df, x)
+      var xc = compile(df, x)
+      if (infer(df, x) == KT.Var) xc = xc.try_cast(sparkTypeFor(infer(df, lo)))
       val pred = xc >= compile(df, lo) && xc <= compile(df, hi)
       if (negated) !pred else pred
 
     case StrOp(op, l, r, negated) =>
-      val lc = compile(df, l)
+      val lc =
+        if (infer(df, l) == KT.Var) compile(df, l).try_cast(StringType)
+        else compile(df, l)
       val pred = (op, r) match {
         case ("contains", _) => lc.contains(compile(df, r))
         case ("startswith", _) => lc.startsWith(compile(df, r))
@@ -244,6 +345,8 @@ final class Compiler(
         case (KT.Ts, IntLit(sec)) => KqlFunctions.binTime(xc, sec * 1000000L)
         case (KT.Int, IntLit(w)) =>
           (floor(xc.cast(DoubleType) / lit(w.toDouble)).cast(LongType)) * lit(w)
+        case (KT.Var, IntLit(w)) => KqlFunctions.binNum(xc.try_cast(DoubleType), w.toDouble)
+        case (KT.Var, FloatLit(w)) => KqlFunctions.binNum(xc.try_cast(DoubleType), w)
         case (_, IntLit(w)) => KqlFunctions.binNum(xc, w.toDouble)
         case (_, FloatLit(w)) => KqlFunctions.binNum(xc, w)
         case (KT.Span, TimespanLit(m)) =>
@@ -302,15 +405,16 @@ final class Compiler(
 
     case QueryStep.Limit(n) => df.limit(n.toInt)
 
-    case QueryStep.Sort(keys) => df.orderBy(keys.map(sortCol): _*)
+    case QueryStep.Sort(keys) => df.orderBy(keys.map(k => sortCol(df, k)): _*)
 
-    case QueryStep.TopN(keys, n) => df.orderBy(keys.map(sortCol): _*).limit(n.toInt)
+    case QueryStep.TopN(keys, n) =>
+      df.orderBy(keys.map(k => sortCol(df, k)): _*).limit(n.toInt)
 
     case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
 
     case QueryStep.Distinct(fields) =>
       if (fields.isEmpty) df.distinct()
-      else df.select(fields.map(f => compileField(f).as(f.flat)): _*).distinct()
+      else df.select(fields.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
     case QueryStep.Union(sub) =>
       df.unionByName(compile(sub), allowMissingColumns = true)
@@ -338,8 +442,11 @@ final class Compiler(
     df.write.mode("append").parquet(path)
   }
 
-  private def sortCol(k: SortKey): Column = {
-    val c = compileField(k.field)
+  private def sortCol(df: DataFrame, k: SortKey): Column = {
+    val c0 = compileField(df, k.field)
+    // variant sort keys order by their string form (documented deviation
+    // from miso's cross-type total order)
+    val c = if (fieldType(df, k.field) == KT.Var) c0.try_cast(StringType) else c0
     (k.order, k.nulls) match {
       case (SortOrder.Asc, NullsOrder.Last) => c.asc_nulls_last
       case (SortOrder.Asc, NullsOrder.First) => c.asc_nulls_first
@@ -352,22 +459,36 @@ final class Compiler(
       df: DataFrame, aggs: Seq[AggField], by: Seq[ByField]): DataFrame = {
     // Null group key drops the row (summarize.rs:151-153).
     val keyed = by.foldLeft(df)((acc, b) => acc.filter(compile(df, b.expr).isNotNull))
+    // variant-typed agg inputs tolerate non-numeric values (→ null, skipped)
+    def numeric(f: FieldPath): Column = {
+      val c = compileField(df, f)
+      if (fieldType(df, f) == KT.Var) c.try_cast(DoubleType) else c.cast(DoubleType)
+    }
+    def ordered(f: FieldPath): Column = {
+      val c = compileField(df, f)
+      if (fieldType(df, f) == KT.Var) c.try_cast(StringType) else c
+    }
     val aggCols = aggs.map { a =>
       val c = a.agg match {
         case Aggregation.Count => count(lit(1))
         case Aggregation.Countif(e) => count_if(compileBool(df, e))
-        case Aggregation.DCount(f) => count_distinct(compileField(f))
+        case Aggregation.DCount(f) => count_distinct(ordered(f))
         // sum/avg accumulate as f64 in the reference (summarize.rs:580-596)
-        case Aggregation.Sum(f) => sum(compileField(f).cast(DoubleType))
-        case Aggregation.Avg(f) => avg(compileField(f).cast(DoubleType))
-        case Aggregation.Min(f) => min(compileField(f))
-        case Aggregation.Max(f) => max(compileField(f))
+        case Aggregation.Sum(f) => sum(numeric(f))
+        case Aggregation.Avg(f) => avg(numeric(f))
+        case Aggregation.Min(f) => min(ordered(f))
+        case Aggregation.Max(f) => max(ordered(f))
       }
       c.as(a.name)
     }
+    // variant group keys group by their string form
+    def keyCol(b: ByField): Column = {
+      val c = compile(df, b.expr)
+      if (infer(df, b.expr) == KT.Var) c.try_cast(StringType) else c
+    }
     if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
     else keyed
-      .groupBy(by.map(b => compile(df, b.expr).as(b.name)): _*)
+      .groupBy(by.map(b => keyCol(b).as(b.name)): _*)
       .agg(aggCols.head, aggCols.tail: _*)
   }
 

@@ -154,6 +154,26 @@ object KqlQueries {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin),
 
+    // schemaless (VariantType) path: props is dynamic JSON, field access +
+    // cross-type comparison + aggregation all through the variant column
+    kq("kql_variant_filter",
+      """eventsv | where props.k >= 50
+        | | summarize n=count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    kq("kql_variant_agg",
+      """eventsv | extend k = toint(props.k)
+        | | summarize mn=min(k), mx=max(k), s=sum(k) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type,
+        |       min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mn,
+        |       max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS mx,
+        |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS s
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     kq("kql_in_between",
       """orders
         | | where o_orderpriority in ('1-URGENT', '2-HIGH') and o_totalprice between (100000 .. 150000)

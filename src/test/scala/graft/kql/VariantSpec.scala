@@ -1,0 +1,83 @@
+package graft.kql
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, parse_json}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Schemaless-column (VariantType) semantics — the closest Spark analog of
+  * miso's fully-dynamic `Log` model (SURVEY §1.1): heterogeneous rows in one
+  * column, missing ≠ JSON-null, cross-type access without declared schema.
+  */
+class VariantSpec extends AnyFunSuite {
+  import TestSpark.spark
+
+  private def varTable(json: String*): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(json).toDF("raw")
+      .withColumn("v", parse_json(col("raw")))
+      .drop("raw")
+  }
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("dyn", varTable(
+      """{"id": 1, "k": 10, "tag": "a", "nested": {"x": 1.5, "ys": [7, 8]}}""",
+      """{"id": 2, "k": 60, "tag": "b"}""",
+      """{"id": 3, "k": null, "tag": "c"}""",
+      """{"id": 4, "tag": "d"}""",
+      """{"id": 5, "k": "not-a-number", "tag": "e"}"""
+    ))
+    c
+  }
+
+  private def run(kql: String): DataFrame = Kql.run(spark, cat, kql)
+
+  test("numeric comparison through a variant path; bad values drop") {
+    // k>=50: id2 only (null k, missing k, non-numeric k all drop)
+    val got = run("dyn | where v.k >= 50 | project id = toint(v.id)")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("exists() distinguishes JSON null from missing key") {
+    // miso: a present key with null value EXISTS; a missing key does not
+    assert(run("dyn | where exists(v.k) | count").collect()(0).getLong(0) == 4L)
+    assert(run("dyn | where not(exists(v.k)) | count").collect()(0).getLong(0) == 1L)
+  }
+
+  test("nested variant paths incl. array index") {
+    val got = run("dyn | where v.nested.x > 1 | project y = toint(v.nested.ys[1])")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(8L))
+  }
+
+  test("string predicates through variant") {
+    assert(run("dyn | where v.tag startswith 'a' | count").collect()(0).getLong(0) == 1L)
+  }
+
+  test("summarize over variant paths: sum skips non-numeric values") {
+    val got = run("dyn | summarize n=count(), s=sum(v.k) by t=v.tag | sort by t")
+      .collect().map(r => (r.getString(0),
+        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 10.0), ("b", 60.0), ("c", null), ("d", null), ("e", null)))
+  }
+
+  test("variant group key groups by value") {
+    val got = run("dyn | summarize n=count() by t=v.tag | sort by t")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L), ("e", 1L)))
+  }
+
+  test("arithmetic on variant values yields double; non-numeric drops") {
+    val got = run("dyn | where v.k / 2 >= 5 | project id = toint(v.id)")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L))
+  }
+
+  test("variant truthiness: numbers, strings, null, missing") {
+    // truthy: k=10, k=60, k="not-a-number" (non-empty string);
+    // falsy: k=null (json null), k missing
+    assert(run("dyn | where v.k | count").collect()(0).getLong(0) == 3L)
+  }
+}
