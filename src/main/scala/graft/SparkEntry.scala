@@ -11,16 +11,17 @@ object SparkEntry {
   def registry: Seq[Q] = CoreQueries.all ++ KqlQueries.all ++ PipelineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Mirrors SURVEY §7.2's milestone-1 slice: filter → bin(1h) → count → top.
+    * SURVEY §7.2's milestone-1 slice, compiled by the actual KQL engine:
+    * parse → lower → Catalyst (filter pushdown → partial/final agg →
+    * TakeOrderedAndProject).
     */
   def entry(spark: SparkSession): DataFrame = {
-    val events = Tables.load(spark, "/root/testdata/sf0.001", "events")
-    events
-      .filter(col("event_type") === "error")
-      .groupBy(graft.functions.KqlFunctions.binTime(col("ts"), 3600L * 1000000L).as("h"))
-      .agg(count(lit(1)).as("c"))
-      .orderBy(col("c").desc, col("h"))
-      .limit(10)
+    val cat = graft.kql.Catalog.forTestData(spark, "/root/testdata/sf0.001")
+    graft.kql.Kql.run(spark, cat,
+      """events
+        | | where event_type == 'error'
+        | | summarize c=count() by h=bin(ts, 1h)
+        | | top 10 by c desc, h asc""".stripMargin)
   }
 
   /** One per implemented operator from SURVEY.md §2. */

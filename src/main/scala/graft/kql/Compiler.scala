@@ -473,9 +473,11 @@ final class Compiler(
         case Aggregation.Count => count(lit(1))
         case Aggregation.Countif(e) => count_if(compileBool(df, e))
         case Aggregation.DCount(f) => count_distinct(ordered(f))
-        // sum/avg accumulate as f64 in the reference (summarize.rs:580-596)
-        case Aggregation.Sum(f) => sum(numeric(f))
-        case Aggregation.Avg(f) => avg(numeric(f))
+        // sum/avg accumulate as f64 starting at 0.0 in the reference
+        // (summarize.rs:580-596), so empty/all-non-numeric input yields
+        // 0.0 — not SQL's null (tests.rs:1067-1083)
+        case Aggregation.Sum(f) => coalesce(sum(numeric(f)), lit(0.0))
+        case Aggregation.Avg(f) => coalesce(avg(numeric(f)), lit(0.0))
         case Aggregation.Min(f) => min(ordered(f))
         case Aggregation.Max(f) => max(ordered(f))
       }

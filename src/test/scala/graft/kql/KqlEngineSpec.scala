@@ -318,6 +318,38 @@ class KqlEngineSpec extends AnyFunSuite {
     assert(s.contains("spark optimized plan"))
   }
 
+  // ───────── empty-data + per-type sorts (tests.rs:1067, :932) ─────────
+
+  test("summarize without by on empty data: one row, sum/avg 0.0, min/max null") {
+    val c2 = new Catalog(spark)
+    c2.register("empty", logs("""{"x": 1}""").filter("x > 99"))
+    val got = Kql.run(spark, c2,
+      "empty | summarize max_x=max(x), min_x=min(x), sum_x=sum(x), avg_x=avg(x), cnt=count()")
+      .collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.isNullAt(r.fieldIndex("max_x")) && r.isNullAt(r.fieldIndex("min_x")))
+    assert(r.getDouble(r.fieldIndex("sum_x")) == 0.0)
+    assert(r.getDouble(r.fieldIndex("avg_x")) == 0.0)
+    assert(r.getLong(r.fieldIndex("cnt")) == 0L)
+  }
+
+  test("sort by each value type") {
+    val c2 = new Catalog(spark)
+    c2.register("typed", logs(
+      """{"i": 3, "f": 1.5, "s": "b", "b": true,  "t": "2024-01-02T00:00:00Z"}""",
+      """{"i": 1, "f": -2.5, "s": "a", "b": false, "t": "2024-01-01T00:00:00Z"}""",
+      """{"i": 2, "f": 0.5, "s": "c", "b": true,  "t": "2024-01-03T00:00:00Z"}"""
+    ).withColumn("t", org.apache.spark.sql.functions.col("t").cast("timestamp")))
+    def firstOf(key: String): Any =
+      Kql.run(spark, c2, s"typed | sort by $key | project $key").collect()(0).get(0)
+    assert(firstOf("i") == 1L)
+    assert(firstOf("f") == -2.5)
+    assert(firstOf("s") == "a")
+    assert(firstOf("b") == false)
+    assert(firstOf("t").toString.startsWith("2024-01-01"))
+  }
+
   // ───────── error handling ─────────
 
   test("parse errors carry position") {

@@ -56,11 +56,12 @@ class VariantSpec extends AnyFunSuite {
     assert(run("dyn | where v.tag startswith 'a' | count").collect()(0).getLong(0) == 1L)
   }
 
-  test("summarize over variant paths: sum skips non-numeric values") {
+  test("summarize over variant paths: sum skips non-numeric values (→ 0.0)") {
+    // all-non-numeric groups sum to 0.0, matching the reference's f64
+    // accumulator starting state (summarize.rs:580-587)
     val got = run("dyn | summarize n=count(), s=sum(v.k) by t=v.tag | sort by t")
-      .collect().map(r => (r.getString(0),
-        if (r.isNullAt(2)) null else r.getDouble(2))).toSeq
-    assert(got == Seq(("a", 10.0), ("b", 60.0), ("c", null), ("d", null), ("e", null)))
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(got == Seq(("a", 10.0), ("b", 60.0), ("c", 0.0), ("d", 0.0), ("e", 0.0)))
   }
 
   test("variant group key groups by value") {
