@@ -395,10 +395,28 @@ final class Compiler(
       df.withColumns(fields.map { case (e, n) => n -> compile(df, e) }.toMap)
 
     case QueryStep.Rename(pairs) =>
+      // nested-aware move (reference: `rename_field` remove-then-insert,
+      // interpreter/mod.rs:558-597): top-level = cheap rename; a nested
+      // source is copied to the new top-level name, then dropped from its
+      // parent struct via dropFields
       pairs.foldLeft(df) { case (acc, (to, from)) =>
         if (!from.contains(".") && !from.contains("[")) acc.withColumnRenamed(from, to)
-        else throw KqlParseException(
-          s"project-rename of nested field '$from' not supported yet", 0)
+        else if (!from.contains("[")) {
+          val parts = from.split('.')
+          val parent = parts.head
+          val subPath = parts.tail.mkString(".")
+          val moved = acc.withColumn(to, col(from))
+          // Spark cannot drop a struct's last field — when the move empties
+          // the parent struct, drop the parent column entirely
+          val parentIsSingleField = acc.schema.fields.find(_.name == parent)
+            .map(_.dataType).exists {
+              case st: StructType => parts.length == 2 && st.fields.length == 1
+              case _ => false
+            }
+          if (parentIsSingleField) moved.drop(parent)
+          else moved.withColumn(parent, col(parent).dropFields(subPath))
+        } else throw KqlParseException(
+          s"project-rename of array-indexed field '$from' not supported", 0)
       }
 
     case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)

@@ -42,21 +42,25 @@ object Kql {
     def renderStep(s: QueryStep, indent: String): String = s match {
       case QueryStep.Scan(src) => s"scan $src"
       case QueryStep.RawScan(sql) => s"""raw("$sql")"""
-      case QueryStep.Filter(e) => s"filter $e"
-      case QueryStep.Project(fs) => s"project ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"
-      case QueryStep.Extend(fs) => s"extend ${fs.map { case (e, n) => s"$n=$e" }.mkString(", ")}"
-      case QueryStep.Rename(ps) => s"project-rename ${ps.map { case (t, f) => s"$t=$f" }.mkString(", ")}"
+      case QueryStep.Filter(e) => s"where ${Render.expr(e)}"
+      case QueryStep.Project(fs) =>
+        s"project ${fs.map { case (e, n) => s"$n = ${Render.expr(e)}" }.mkString(", ")}"
+      case QueryStep.Extend(fs) =>
+        s"extend ${fs.map { case (e, n) => s"$n = ${Render.expr(e)}" }.mkString(", ")}"
+      case QueryStep.Rename(ps) => s"project-rename ${ps.map { case (t, f) => s"$t = $f" }.mkString(", ")}"
       case QueryStep.Expand(fs, k) => s"mv-expand kind=$k ${fs.map(_.render).mkString(", ")}"
       case QueryStep.Limit(n) => s"limit $n"
-      case QueryStep.Sort(ks) => s"sort by ${ks.mkString(", ")}"
-      case QueryStep.TopN(ks, n) => s"top $n by ${ks.mkString(", ")}"
+      case QueryStep.Sort(ks) => s"sort by ${ks.map(Render.sortKey).mkString(", ")}"
+      case QueryStep.TopN(ks, n) => s"top $n by ${ks.map(Render.sortKey).mkString(", ")}"
       case QueryStep.Summarize(aggs, by) =>
-        s"summarize ${aggs.map(a => s"${a.name}=${a.agg}").mkString(", ")}" +
-          (if (by.nonEmpty) s" by ${by.map(b => s"${b.name}=${b.expr}").mkString(", ")}" else "")
+        s"summarize ${aggs.map(a => s"${a.name} = ${Render.agg(a.agg)}").mkString(", ")}" +
+          (if (by.nonEmpty)
+            s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
+          else "")
       case QueryStep.Distinct(fs) => s"distinct ${fs.map(_.render).mkString(", ")}"
       case QueryStep.Union(sub) => s"union (\n${renderQuery(sub, indent + "  ")}\n$indent)"
       case QueryStep.Join(k, sub, lk, rk) =>
-        s"join kind=$k (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
+        s"join kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
       case QueryStep.CountStep => "count"
       case QueryStep.Write(t) => s"write $t"
       case QueryStep.Tee(t) => s"tee $t"

@@ -1,0 +1,71 @@
+package graft.kql
+
+/** KQL-style pretty-printer for expressions — used by the explain surface so
+  * plans read like the query language, not like AST case classes (the
+  * reference's `miso-workflow/src/display.rs` analog).
+  */
+object Render {
+  import Expr._
+
+  def expr(e: Expr): String = e match {
+    case IntLit(v) => v.toString
+    case FloatLit(v) => v.toString
+    case BoolLit(v) => v.toString
+    case StrLit(v) => "'" + v.replace("'", "\\'") + "'"
+    case NullLit => "null"
+    case TimespanLit(m) => renderTimespan(m)
+    case DatetimeLit(m) =>
+      "datetime(" + java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L) + ")"
+    case Field(p) => p.render
+    case And(l, r) => s"${paren(l)} and ${paren(r)}"
+    case Or(l, r) => s"${paren(l)} or ${paren(r)}"
+    case Not(x) => s"not(${expr(x)})"
+    case Cmp(op, l, r) => s"${paren(l)} $op ${paren(r)}"
+    case Arith(op, l, r) => s"${paren(l)} $op ${paren(r)}"
+    case Neg(x) => s"-${paren(x)}"
+    case In(x, items, neg) =>
+      s"${paren(x)} ${if (neg) "!in" else "in"} (${items.map(expr).mkString(", ")})"
+    case Between(x, lo, hi, neg) =>
+      s"${paren(x)} ${if (neg) "!between" else "between"} (${expr(lo)} .. ${expr(hi)})"
+    case StrOp(op, l, r, neg) => s"${paren(l)} ${if (neg) "!" + op else op} ${paren(r)}"
+    case Case(branches, default) =>
+      "case(" + branches.map { case (c, v) => s"${expr(c)}, ${expr(v)}" }
+        .mkString(", ") + s", ${expr(default)})"
+    case Extract(re, g, src) => s"""extract("$re", $g, ${expr(src)})"""
+    case Bin(x, w) => s"bin(${expr(x)}, ${expr(w)})"
+    case Cast(kind, x) => s"$kind(${expr(x)})"
+    case Exists(x) => s"exists(${expr(x)})"
+    case StrCat(args) => s"strcat(${args.map(expr).mkString(", ")})"
+  }
+
+  private def paren(e: Expr): String = e match {
+    case And(_, _) | Or(_, _) | Cmp(_, _, _) | Arith(_, _, _) |
+         In(_, _, _) | Between(_, _, _, _) | StrOp(_, _, _, _) => s"(${expr(e)})"
+    case _ => expr(e)
+  }
+
+  def renderTimespan(micros: Long): String = {
+    val units = Seq(
+      86400000000L -> "d", 3600000000L -> "h", 60000000L -> "m",
+      1000000L -> "s", 1000L -> "ms", 1L -> "us")
+    units.find { case (u, _) => micros != 0 && micros % u == 0 }
+      .map { case (u, s) => s"${micros / u}$s" }
+      .getOrElse(s"${micros}us")
+  }
+
+  def sortKey(k: SortKey): String = {
+    val ord = k.order match { case SortOrder.Asc => "asc"; case SortOrder.Desc => "desc" }
+    val n = k.nulls match { case NullsOrder.First => " nulls first"; case NullsOrder.Last => "" }
+    s"${k.field.render} $ord$n"
+  }
+
+  def agg(a: Aggregation): String = a match {
+    case Aggregation.Count => "count()"
+    case Aggregation.Countif(e) => s"countif(${expr(e)})"
+    case Aggregation.DCount(f) => s"dcount(${f.render})"
+    case Aggregation.Sum(f) => s"sum(${f.render})"
+    case Aggregation.Avg(f) => s"avg(${f.render})"
+    case Aggregation.Min(f) => s"min(${f.render})"
+    case Aggregation.Max(f) => s"max(${f.render})"
+  }
+}

@@ -59,6 +59,17 @@ class NestedFieldSpec extends AnyFunSuite {
     assert(got == Seq(1L))
   }
 
+  test("project-rename moves a nested field to top level") {
+    val got = Kql.run(spark, cat,
+      "hdfs.logs | project-rename svc = resource.service | where svc == 'namenode' | count")
+    assert(got.collect()(0).getLong(0) == 1L)
+    val df = Kql.run(spark, cat, "hdfs.logs | project-rename svc = resource.service")
+    assert(df.columns.contains("svc"))
+    // move, not copy: `service` was resource's only field, so the emptied
+    // parent struct is dropped entirely
+    assert(!df.columns.contains("resource"))
+  }
+
   test("raw() passes native Spark SQL through the catalog") {
     val c = new Catalog(spark)
     import spark.implicits._
