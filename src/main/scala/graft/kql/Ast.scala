@@ -129,8 +129,8 @@ object QueryStep {
   /** (expr, outputName) pairs; Project keeps only these, Extend adds them. */
   final case class Project(fields: Seq[(Expr, String)]) extends QueryStep
   final case class Extend(fields: Seq[(Expr, String)]) extends QueryStep
-  /** project-rename pairs (to, from). */
-  final case class Rename(pairs: Seq[(String, String)]) extends QueryStep
+  /** project-rename pairs (to, from) — `from` keeps its parsed structure. */
+  final case class Rename(pairs: Seq[(String, FieldPath)]) extends QueryStep
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
   final case class Limit(n: Long) extends QueryStep
   final case class Sort(keys: Seq[SortKey]) extends QueryStep

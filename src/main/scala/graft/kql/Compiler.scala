@@ -395,29 +395,7 @@ final class Compiler(
       df.withColumns(fields.map { case (e, n) => n -> compile(df, e) }.toMap)
 
     case QueryStep.Rename(pairs) =>
-      // nested-aware move (reference: `rename_field` remove-then-insert,
-      // interpreter/mod.rs:558-597): top-level = cheap rename; a nested
-      // source is copied to the new top-level name, then dropped from its
-      // parent struct via dropFields
-      pairs.foldLeft(df) { case (acc, (to, from)) =>
-        if (!from.contains(".") && !from.contains("[")) acc.withColumnRenamed(from, to)
-        else if (!from.contains("[")) {
-          val parts = from.split('.')
-          val parent = parts.head
-          val subPath = parts.tail.mkString(".")
-          val moved = acc.withColumn(to, col(from))
-          // Spark cannot drop a struct's last field — when the move empties
-          // the parent struct, drop the parent column entirely
-          val parentIsSingleField = acc.schema.fields.find(_.name == parent)
-            .map(_.dataType).exists {
-              case st: StructType => parts.length == 2 && st.fields.length == 1
-              case _ => false
-            }
-          if (parentIsSingleField) moved.drop(parent)
-          else moved.withColumn(parent, col(parent).dropFields(subPath))
-        } else throw KqlParseException(
-          s"project-rename of array-indexed field '$from' not supported", 0)
-      }
+      pairs.foldLeft(df) { case (acc, (to, from)) => compileRename(acc, to, from) }
 
     case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)
 
@@ -452,6 +430,57 @@ final class Compiler(
       val cached = df.cache()
       sinkWrite(cached, target)
       cached
+  }
+
+  /** Nested-aware field move (reference: `rename_field` remove-then-insert,
+    * interpreter/mod.rs:558-597). Resolution is case-insensitive like
+    * Spark's analyzer; removing a struct's only field cascades the drop
+    * upward (Spark cannot represent an empty struct), and the inserted
+    * value overwrites an existing column of the same name — including the
+    * path's own parent.
+    */
+  private def compileRename(df: DataFrame, to: String, from: FieldPath): DataFrame = {
+    if (from.parts.exists(_.arrIndices.nonEmpty))
+      throw KqlParseException(
+        s"project-rename of array-indexed field '${from.render}' not supported", 0)
+    def resolve(fields: Seq[StructField], name: String): Option[StructField] =
+      fields.find(_.name == name).orElse(fields.find(_.name.equalsIgnoreCase(name)))
+    if (from.isSimple) {
+      val actual = resolve(df.schema.fields.toSeq, from.simpleName)
+        .map(_.name).getOrElse(from.simpleName)
+      return df.withColumnRenamed(actual, to)
+    }
+    val names = from.parts.map(_.name)
+    // resolved chain: actual field names + struct types along the path
+    val chain = Seq.newBuilder[StructField]
+    var fields: Seq[StructField] = df.schema.fields.toSeq
+    names.foreach { n =>
+      val f = resolve(fields, n).getOrElse(
+        throw KqlParseException(s"project-rename: no field '${from.render}'", 0))
+      chain += f
+      fields = f.dataType match {
+        case st: StructType => st.fields.toSeq
+        case _ => Seq.empty
+      }
+    }
+    val resolved = chain.result()
+    // cascade: removing names[j] from its container; if that container is a
+    // single-field struct, remove the container instead, up to the column
+    var j = resolved.length - 1
+    while (j > 0 && (resolved(j - 1).dataType match {
+        case st: StructType => st.fields.length == 1
+        case _ => false
+      })) j -= 1
+    val topName = resolved.head.name
+    val tmp = "__graft_rename"
+    val withValue = df.withColumn(tmp, compileField(df, from))
+    val removed =
+      if (j == 0) withValue.drop(topName)
+      else withValue.withColumn(topName,
+        col(topName).dropFields(resolved.slice(1, j + 1).map(_.name).mkString(".")))
+    if (removed.columns.exists(_.equalsIgnoreCase(to)))
+      removed.withColumn(to, col(tmp)).drop(tmp)
+    else removed.withColumnRenamed(tmp, to)
   }
 
   private def sinkWrite(df: DataFrame, target: String): Unit = {

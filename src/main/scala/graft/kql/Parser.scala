@@ -159,14 +159,13 @@ final class Parser(src: String, nowMicros: Long) {
     }
   }
 
-  private def parseRenames(): Seq[(String, String)] = {
-    val out = Seq.newBuilder[(String, String)]
+  private def parseRenames(): Seq[(String, FieldPath)] = {
+    val out = Seq.newBuilder[(String, FieldPath)]
     var done = false
     while (!done) {
       val to = identText()
       eatPunct("=")
-      val from = parseFieldPath().render
-      out += ((to, from))
+      out += ((to, parseFieldPath()))
       done = !tryPunct(",")
     }
     out.result()

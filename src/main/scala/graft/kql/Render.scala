@@ -11,7 +11,7 @@ object Render {
     case IntLit(v) => v.toString
     case FloatLit(v) => v.toString
     case BoolLit(v) => v.toString
-    case StrLit(v) => "'" + v.replace("'", "\\'") + "'"
+    case StrLit(v) => "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
     case NullLit => "null"
     case TimespanLit(m) => renderTimespan(m)
     case DatetimeLit(m) =>

@@ -70,6 +70,25 @@ class NestedFieldSpec extends AnyFunSuite {
     assert(!df.columns.contains("resource"))
   }
 
+  test("project-rename edge cases: rename onto parent name, deep cascade, case-insensitive") {
+    val c2 = new Catalog(spark)
+    c2.register("deep", logs(
+      """{"a": {"b": {"c": 7}}, "r": {"s": 1}, "multi": {"x": 1, "y": 2}}"""))
+    // renaming the sole field of a depth-3 chain cascades: a.b.c → whole `a` drops
+    val d1 = Kql.run(spark, c2, "deep | project-rename v = a.b.c")
+    assert(d1.columns.contains("v") && !d1.columns.contains("a"))
+    assert(d1.select("v").collect()(0).getLong(0) == 7L)
+    // rename onto the parent's own name: value survives, struct replaced
+    val d2 = Kql.run(spark, c2, "deep | project-rename r = r.s")
+    assert(d2.select("r").collect()(0).getLong(0) == 1L)
+    // multi-field parent with target = parent name
+    val d3 = Kql.run(spark, c2, "deep | project-rename multi = multi.x")
+    assert(d3.select("multi").collect()(0).getLong(0) == 1L)
+    // case-insensitive source resolution (Spark analyzer semantics)
+    val d4 = Kql.run(spark, c2, "deep | project-rename rr = R.s")
+    assert(d4.columns.contains("rr") && !d4.columns.contains("r"))
+  }
+
   test("raw() passes native Spark SQL through the catalog") {
     val c = new Catalog(spark)
     import spark.implicits._
