@@ -519,7 +519,12 @@ final class Compiler(
       val c = a.agg match {
         case Aggregation.Count => count(lit(1))
         case Aggregation.Countif(e) => count_if(compileBool(df, e))
-        case Aggregation.DCount(f) => count_distinct(ordered(f))
+        // the reference's dcount set counts an explicit Null as a distinct
+        // value (tests.rs:2051-2061: {1,1,null,null,2} → 3); SQL's
+        // count(distinct) excludes nulls, so add one when any null exists
+        case Aggregation.DCount(f) =>
+          count_distinct(ordered(f)) +
+            coalesce(max(when(ordered(f).isNull, 1L).otherwise(0L)), lit(0L))
         // sum/avg accumulate as f64 starting at 0.0 in the reference
         // (summarize.rs:580-596), so empty/all-non-numeric input yields
         // 0.0 — not SQL's null (tests.rs:1067-1083)
@@ -616,31 +621,48 @@ final class Compiler(
     joined.select(out: _*)
   }
 
+  /** Write a value back at a (possibly nested, index-free) field path. */
+  private def writeBack(df: DataFrame, path: FieldPath, value: Column): DataFrame =
+    if (path.isSimple) df.withColumn(path.simpleName, value)
+    else df.withColumn(path.parts.head.name,
+      col(path.parts.head.name)
+        .withField(path.parts.tail.map(_.name).mkString("."), value))
+
   private def compileExpand(
       df: DataFrame, fields: Seq[FieldPath], kind: ExpandKind): DataFrame = {
-    val simple = fields.filter(_.isSimple).map(_.simpleName)
-    require(simple.length == fields.length,
-      "mv-expand supports top-level fields only")
-    val schema = df.schema
-    def dtOf(n: String) = schema.fields.find(_.name == n).map(_.dataType)
-
-    val arrayFs = simple.filter(n => dtOf(n).exists(_.isInstanceOf[ArrayType]))
-    val mapFs = simple.filter(n => dtOf(n).exists(_.isInstanceOf[MapType]))
-    // scalar fields are left untouched (expand.rs: only Array/Object expand)
+    require(fields.forall(_.parts.forall(_.arrIndices.isEmpty)),
+      "mv-expand of array-indexed paths not supported")
+    // non-existent / scalar fields are left untouched (expand.rs: only
+    // Array/Object values expand; fieldType returns Other for unknowns)
+    val arrayFs = fields.filter(f => fieldType(df, f) == KT.Arr)
+    val mapFs = fields.filter(f => f.isSimple &&
+      df.schema.fields.find(_.name == f.simpleName).exists(_.dataType.isInstanceOf[MapType]))
 
     var out = df
-    if (arrayFs.length == 1 && mapFs.isEmpty) {
+    if (arrayFs.length == 1) {
       val f = arrayFs.head
-      out = out.withColumn(f, explode(col(f)))
-    } else if (arrayFs.nonEmpty && mapFs.isEmpty) {
+      if (f.isSimple) out = out.withColumn(f.simpleName, explode(col(f.simpleName)))
+      else {
+        // nested path: explode into a temp column, write back in place
+        // (expand.rs handles deep paths via insert_field_value)
+        out = out.withColumn("__exp", explode(compileField(out, f)))
+        out = writeBack(out, f, col("__exp")).drop("__exp")
+      }
+    } else if (arrayFs.nonEmpty) {
       // multi-field zip semantics: arrays_zip pads shorter arrays with null
-      // (expand.rs:27-70's Null padding)
-      out = out
-        .withColumn("__zip", explode(arrays_zip(arrayFs.map(col): _*)))
-      arrayFs.foreach { f => out = out.withColumn(f, col(s"__zip.$f")) }
+      // (expand.rs:27-70's Null padding); nested paths go through temp cols
+      val tmps = arrayFs.indices.map(i => s"__exp_$i")
+      arrayFs.zip(tmps).foreach { case (f, t) =>
+        out = out.withColumn(t, compileField(out, f))
+      }
+      out = out.withColumn("__zip", explode(arrays_zip(tmps.map(col): _*)))
+      arrayFs.zip(tmps).foreach { case (f, t) =>
+        out = writeBack(out, f, col(s"__zip.$t"))
+      }
       out = out.drop("__zip")
+      tmps.foreach(t => out = out.drop(t))
     }
-    mapFs.foreach { f =>
+    mapFs.map(_.simpleName).foreach { f =>
       kind match {
         case ExpandKind.Bag =>
           // object → one-entry bags
