@@ -410,7 +410,14 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parseUnary(): Expr =
-    if (tryPunct("-")) Neg(parseUnary()) else parsePrimary()
+    if (tryPunct("-")) parseUnary() match {
+      // fold negation into numeric literals so `-73.75` IS a literal
+      case IntLit(v) => IntLit(-v)
+      case FloatLit(v) => FloatLit(-v)
+      case TimespanLit(m) => TimespanLit(-m)
+      case other => Neg(other)
+    }
+    else parsePrimary()
 
   private def parsePrimary(): Expr = peek match {
     case IntTok(v, _) => p += 1; IntLit(v)
