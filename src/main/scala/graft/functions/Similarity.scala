@@ -98,6 +98,78 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** IVF (inverted-file) ANN: k-means-style coarse quantization with
+    * deterministically seeded centroids (one refinement sweep), corpus
+    * assigned to its nearest centroid, queries probing the `nProbe` nearest
+    * cells. The centroid table is tiny (k × dim) and broadcast — the
+    * classic billion-vector layout: one narrow assignment pass over the
+    * corpus, candidate search touching ~nProbe/k of it.
+    *
+    * @return same shape as [[bruteForceTopK]]
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // seed centroids: deterministic sample (hash-ordered first nCells), then
+    // one Lloyd refinement sweep — enough to spread the cells
+    val seeds = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCells)
+      .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
+    def centroidArray(cents: Array[Array[Float]]) =
+      array(cents.map(ct => array(ct.map(v => lit(v.toDouble)): _*)): _*)
+    def nearestCell(vec: Column, cents: Array[Array[Float]]): Column =
+      array_max(
+        zip_with(centroidArray(cents),
+          sequence(lit(0), lit(cents.length - 1)),
+          (ct, i) => struct(cosine(vec.cast("array<double>"), ct).as("s"), i.as("i"))))
+        .getField("i")
+    // one Lloyd refinement sweep: per-cell mean via (cell, dim) partial sums
+    // — k × dim tiny rows collected, corpus scanned once
+    val assigned0 = c.withColumn("__cell", nearestCell(col("__cv"), seeds))
+    val refined: Array[Array[Float]] = {
+      val dim = seeds.head.length
+      val sums = assigned0
+        .select(col("__cell"), posexplode(col("__cv")).as(Seq("__d", "__v")))
+        .groupBy("__cell", "__d")
+        .agg(sum(col("__v")).as("s"), count(lit(1)).as("n"))
+        .collect()
+        .groupBy(_.getInt(0))
+      seeds.indices.map { cell =>
+        sums.get(cell).map { rows =>
+          val vec = new Array[Float](dim)
+          rows.foreach(r => vec(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          vec
+        }.getOrElse(seeds(cell))
+      }.toArray
+    }
+    val corpusCells = c
+      .withColumn("__cell", nearestCell(col("__cv"), refined))
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__cells", probeCells(col("__qv"), refined, nProbe)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    corpusCells
+      .join(q, array_contains(col("__cells"), col("__cell")))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** Indices of the `nProbe` nearest centroids for a query vector. */
+  private def probeCells(vec: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
+    val centArr = array(cents.map(ct => array(ct.map(v => lit(v.toDouble)): _*)): _*)
+    val scored = zip_with(centArr, sequence(lit(0), lit(cents.length - 1)),
+      (ct, i) => struct(cosine(vec.cast("array<double>"), ct).as("s"), i.as("i")))
+    transform(
+      slice(reverse(array_sort(scored)), 1, nProbe),
+      x => x.getField("i"))
+  }
+
   /** Embedding near-duplicate pairs: cosine above threshold, via LSH
     * buckets (exact within bucket). Returns (id_a, id_b, score), id_a<id_b.
     */

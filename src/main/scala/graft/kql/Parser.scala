@@ -443,6 +443,9 @@ final class Parser(src: String, nowMicros: Long) {
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
     "todouble", "todecimal", "tobool", "toboolean")
 
+  private def arity(cond: Boolean, msg: String): Unit =
+    if (!cond) fail(msg)
+
   private def parseFuncCall(): Expr = {
     val name = identText().toLowerCase
     eatPunct("(")
@@ -456,25 +459,25 @@ final class Parser(src: String, nowMicros: Long) {
     }
     val e: Expr = name match {
       case "not" =>
-        val a = args(); require(a.length == 1, "not() takes 1 arg"); Not(a.head)
+        val a = args(); arity(a.length == 1, "not() takes 1 arg"); Not(a.head)
       case "iff" | "iif" =>
-        val a = args(); require(a.length == 3, "iff() takes 3 args")
+        val a = args(); arity(a.length == 3, "iff() takes 3 args")
         Case(Seq((a(0), a(1))), a(2))
       case "case" =>
         val a = args()
-        require(a.length >= 3 && a.length % 2 == 1,
+        arity(a.length >= 3 && a.length % 2 == 1,
           "case() takes cond,val pairs + default")
         Case(a.dropRight(1).grouped(2).map(g => (g(0), g(1))).toSeq, a.last)
       case "extract" =>
-        val a = args(); require(a.length == 3, "extract() takes 3 args")
+        val a = args(); arity(a.length == 3, "extract() takes 3 args")
         (a(0), a(1)) match {
           case (StrLit(re), IntLit(g)) => Extract(re, g.toInt, a(2))
           case _ => fail("extract(regex_literal, group_literal, expr)")
         }
       case "bin" | "floor" =>
-        val a = args(); require(a.length == 2, "bin() takes 2 args"); Bin(a(0), a(1))
+        val a = args(); arity(a.length == 2, "bin() takes 2 args"); Bin(a(0), a(1))
       case "exists" =>
-        val a = args(); require(a.length == 1, "exists() takes 1 arg"); Exists(a.head)
+        val a = args(); arity(a.length == 1, "exists() takes 1 arg"); Exists(a.head)
       case "now" =>
         val a = args()
         if (a.isEmpty) DatetimeLit(nowMicros)
@@ -516,7 +519,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "strcat" => StrCat(args())
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
-        val a = args(); require(a.length == 1, s"$c() takes 1 arg")
+        val a = args(); arity(a.length == 1, s"$c() takes 1 arg")
         Cast(c, a.head)
       case other => fail(s"unknown function '$other'")
     }

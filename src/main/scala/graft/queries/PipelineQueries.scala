@@ -150,6 +150,48 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // IVF coarse-quantized ANN (deterministically seeded k-means cells) —
+    // approximate; recall vs brute force asserted in PipelineSpec
+    Q.noOracle("pl_ann_ivf")(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", 10, nCells = 16, nProbe = 4)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      }),
+
+    // exact near-dup pairs on a bounded window — DuckDB-oracled (ids only;
+    // scores are engine-summation-order dependent)
+    Q("pl_cosine_dups_exact",
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM e a, e b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.v, b.v) >= 0.35
+        |ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+          .select("id_a", "id_b")
+          .orderBy("id_a", "id_b")
+      }),
+
+    // skew-safe salted aggregation (l_returnflag is low-cardinality = the
+    // skewed-key shape); l_quantity is integer-valued so the two-phase sum
+    // is order-exact against the oracle
+    Q("pl_salted_agg",
+      """SELECT l_returnflag, count(*) AS n, sum(l_quantity) AS sum_l_quantity
+        |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)(
+      (s, d) => graft.functions.Skew.saltedAggregate(
+        Tables.load(s, d, "lineitem"), "l_returnflag", "l_quantity", buckets = 32)
+        .orderBy("l_returnflag")),
+
     // embedding near-dup pairs via LSH buckets — rows-only (bucket-local)
     Q.noOracle("pl_cosine_dups")(
       (s, d) => Similarity.cosineDupPairs(

@@ -91,6 +91,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.15, s"recall=$recall")
   }
 
+  test("IVF ANN recall vs brute force on real embeddings") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.ivfTopK(q, emb, "vec_id", "vec_id", "embedding", 10,
+      nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(ivf.nonEmpty)
+    // probing half the cells should recover well above that fraction of
+    // true neighbors (nearby vectors concentrate in nearby cells)
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("salted aggregation equals plain groupBy") {
+    val li = Tables.load(spark, TestSpark.sf, "lineitem")
+    val salted = graft.functions.Skew.saltedAggregate(li, "l_returnflag", "l_quantity")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val plain = li.groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum("l_quantity").as("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == plain)
+  }
+
   test("cosine dup pairs are symmetric-deduped and above threshold") {
     val got = Similarity.cosineDupPairs(
       Tables.load(spark, TestSpark.sf, "embeddings"),
