@@ -74,8 +74,7 @@ object Dedup {
     // a 16× recompute of the most expensive stage. Caching (id, sh, sig)
     // makes the bands read a stored column instead.
     val withSets = df
-      .select(col(idCol).as("id"), col(textCol).as("text"))
-      .withColumn("sh", shingleSet(col("text"), n))
+      .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
       .cache()

@@ -287,6 +287,36 @@ class KqlEngineSpec extends AnyFunSuite {
       == Seq(Map("Count" -> 3L)))
   }
 
+  test("let chained variables and let inside union") {
+    // tests.rs: let_chained_variables / let_variable_in_union
+    assert(rows(
+      """let qs = (test.stack | where type == 'question');
+        |let hi = (qs | where score >= 8);
+        |hi | count""".stripMargin) == Seq(Map("Count" -> 1L)))
+    assert(rows(
+      """let qs = (test.stack | where type == 'question');
+        |qs | union (qs) | count""".stripMargin) == Seq(Map("Count" -> 6L)))
+  }
+
+  test("nested case expressions") {
+    // tests.rs: case_nested
+    val got = rows(
+      """test.nums | extend c = case(a >= 2, case(a >= 3, 'big', 'mid'), 'small')
+        | | where exists(a) | project a, c | sort by a""".stripMargin)
+    assert(got.map(m => (m("a"), m("c"))) ==
+      Seq((1L, "small"), (2L, "mid"), (3L, "big")))
+  }
+
+  test("explain golden: rendered steps are stable") {
+    val parsed = Kql.parse(
+      "test.stack | where score > 2 and type == 'question' | summarize n=count() by user | top 3 by n desc")
+    assert(Kql.renderSteps(parsed) ==
+      """scan test.stack
+        |where (score > 2) and (type == 'question')
+        |summarize n = count() by user = user
+        |top 3 by n desc""".stripMargin)
+  }
+
   test("views registered on the catalog resolve like sources") {
     cat.registerView("questions", "test.stack | where type == 'question'")
     assert(rows("views.questions | count") == Seq(Map("Count" -> 3L)))
