@@ -23,9 +23,12 @@ object Tables {
       // same nanos→micros conversion when reading).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      // integer division: `/` would promote to double, and epoch nanos
+      // (~1.7e18) exceed double's 2^53 exact range — truncation after a
+      // down-rounded division would shave 1µs off a fraction of rows
       df.withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.col("ts") / 1000L cast "long"))
+          org.apache.spark.sql.functions.expr("ts div 1000")))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

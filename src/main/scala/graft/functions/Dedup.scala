@@ -34,11 +34,13 @@ object Dedup {
     array_distinct(shingles(TextAnalysis.tokens(text), n))
 
   /** k-wide MinHash signature over a shingle array: sig[i] = min over
-    * shingles of xxhash64(shingle, i). Seeded by position → deterministic.
+    * shingles of xxhash64(shingle, seed=i). Lowered to the native
+    * single-pass [[graft.functions.MinHashSig]] expression.
     */
-  def minhashSignature(shingleCol: Column, k: Int): Column =
-    transform(sequence(lit(0), lit(k - 1)),
-      i => array_min(transform(shingleCol, s => xxhash64(s, i))))
+  def minhashSignature(shingleCol: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.MinHashSig(expression(shingleCol), k))
+  }
 
   /** LSH band keys: split the k-signature into bands of `rowsPerBand`,
     * hash each band. Returns array<struct<band:int, bucket:bigint>>.
@@ -97,22 +99,13 @@ object Dedup {
   }
 
   /** 64-bit SimHash over tokens: bit i is the sign of Σ_tokens
-    * (±1 depending on bit i of xxhash64(token)). Pure higher-order
-    * functions — map-side only.
+    * (±1 depending on bit i of xxhash64(token)). Lowered to the native
+    * single-pass [[graft.functions.SimHash64]] expression — map-side only,
+    * stays in whole-stage codegen, one hash per token.
     */
   def simhash(toks: Column): Column = {
-    val bitSums = transform(sequence(lit(0), lit(63)), i =>
-      aggregate(toks, lit(0L), (acc, t) =>
-        acc + when(
-          call_function("shiftright", xxhash64(t), i.cast("int"))
-            .bitwiseAND(lit(1L)) === 1L, 1L)
-          .otherwise(-1L)))
-    val bits = transform(bitSums, s => when(s > 0, 1L).otherwise(0L))
-    // two's-complement assembly: fold bits 62..0 (stays in long range under
-    // ANSI overflow checking), then add bit 63 as the sign contribution
-    val low = aggregate(reverse(slice(bits, 1, 63)), lit(0L),
-      (acc, b) => acc * lit(2L) + b)
-    low + element_at(bits, 64) * lit(Long.MinValue)
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.SimHash64(expression(toks)))
   }
 
   /** Exact-duplicate groups: hash text, keep the smallest id as canonical.

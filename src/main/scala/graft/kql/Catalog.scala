@@ -1,6 +1,6 @@
 package graft.kql
 
-import scala.collection.mutable
+import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Source + view registry: maps `conn.collection` names to DataFrames, the
@@ -11,9 +11,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * materialized (`query_to_workflow.rs:51-84`).
   */
 final class Catalog(spark: SparkSession) {
-  private val tables = mutable.Map[String, () => DataFrame]()
-  private val views = mutable.Map[String, Query]()
-  private val sinks = mutable.Map[String, String]()
+  // concurrent maps: the HTTP server mutates views/sinks from its handler
+  // threads while query threads read them
+  private val tables = TrieMap[String, () => DataFrame]()
+  private val views = TrieMap[String, Query]()
+  private val sinks = TrieMap[String, String]()
 
   def register(name: String, df: => DataFrame): this.type = {
     tables(name) = () => df

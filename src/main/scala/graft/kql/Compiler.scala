@@ -74,23 +74,33 @@ final class Compiler(
     case _ => StringType
   }
 
+  /** Case-insensitive field lookup matching Spark's analyzer resolution —
+    * `where Value` must get the same type-driven semantics as `where value`.
+    */
+  private def findField(fields: Seq[StructField], name: String): Option[StructField] =
+    fields.find(_.name == name).orElse(fields.find(_.name.equalsIgnoreCase(name)))
+
   private def fieldType(df: DataFrame, path: FieldPath): KT = {
     def walk(dt: DataType, parts: Seq[FieldAccess]): KT = parts match {
       case Seq() => ktOf(dt)
       case head +: rest =>
         dt match {
           case _: VariantType => KT.Var // deeper paths stay variant
-          case st: StructType if st.fieldNames.contains(head.name) =>
-            var t = st(head.name).dataType
-            head.arrIndices.foreach { _ =>
-              t = t match { case a: ArrayType => a.elementType; case o => o }
+          case st: StructType =>
+            findField(st.fields.toSeq, head.name) match {
+              case Some(f) =>
+                var t = f.dataType
+                head.arrIndices.foreach { _ =>
+                  t = t match { case a: ArrayType => a.elementType; case o => o }
+                }
+                walk(t, rest)
+              case None => KT.Other
             }
-            walk(t, rest)
           case _ => KT.Other
         }
     }
     val head = path.parts.head
-    df.schema.fields.find(_.name == head.name) match {
+    findField(df.schema.fields.toSeq, head.name) match {
       case Some(f) =>
         var t = f.dataType
         if (t.isInstanceOf[VariantType] &&
@@ -182,7 +192,7 @@ final class Compiler(
       sb.toString
     }
     val head = path.parts.head
-    var dt: Option[DataType] = df.schema.fields.find(_.name == head.name).map(_.dataType)
+    var dt: Option[DataType] = findField(df.schema.fields.toSeq, head.name).map(_.dataType)
     var c: Column = col(head.name)
     if (dt.exists(_.isInstanceOf[VariantType]) &&
         (head.arrIndices.nonEmpty || path.parts.tail.nonEmpty))
@@ -198,7 +208,7 @@ final class Compiler(
       val part = rest.head
       c = c.getField(part.name)
       dt = dt.flatMap {
-        case st: StructType => st.fields.find(_.name == part.name).map(_.dataType)
+        case st: StructType => findField(st.fields.toSeq, part.name).map(_.dataType)
         case _ => None
       }
       if (dt.exists(_.isInstanceOf[VariantType]) && part.arrIndices.nonEmpty)
@@ -220,13 +230,19 @@ final class Compiler(
     case KT.Arr => size(c) > 0
     case KT.Null => lit(false)
     case KT.Var =>
-      // dynamic truthiness cascade: bool → itself, number → non-zero,
-      // string → non-empty, else present-and-not-json-null
-      coalesce(
-        c.try_cast(BooleanType),
-        c.try_cast(DoubleType) =!= 0,
-        length(c.try_cast(StringType)) > 0,
-        lit(false))
+      // per-runtime-type dispatch via schema_of_variant, replicating the
+      // reference's to_bool (value/mod.rs:479-492): a string is truthy iff
+      // non-empty ("0"/"false" are truthy strings!), bool → itself,
+      // numbers → non-zero, JSON null (VOID) / missing → false,
+      // arrays/objects → present ⇒ truthy
+      val t = schema_of_variant(c)
+      when(t === "STRING", length(c.try_cast(StringType)) > 0)
+        .when(t === "BOOLEAN", c.try_cast(BooleanType))
+        .when(t === "VOID", lit(false))
+        .when(t.startsWith("DECIMAL") ||
+          t.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT"),
+          c.try_cast(DoubleType) =!= 0)
+        .otherwise(c.isNotNull)
     case _ => c.isNotNull
   }
 
@@ -420,15 +436,17 @@ final class Compiler(
     case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
 
     case QueryStep.Write(target) =>
-      // terminal sink: consume into the sink, emit nothing downstream
-      sinkWrite(df, target)
+      // terminal sink: consume into the sink, emit nothing downstream.
+      // Recorded, not executed — explaining a query must not mutate its
+      // sinks; Kql.run flushes via runWrites().
+      pendingWrites += ((df, resolveSinkPath(target)))
       df.limit(0)
 
     case QueryStep.Tee(target) =>
       // write AND pass through; cache so the side-write and the downstream
       // pipeline scan the input once
       val cached = df.cache()
-      sinkWrite(cached, target)
+      pendingWrites += ((cached, resolveSinkPath(target)))
       cached
   }
 
@@ -483,11 +501,22 @@ final class Compiler(
     else removed.withColumnRenamed(tmp, to)
   }
 
-  private def sinkWrite(df: DataFrame, target: String): Unit = {
-    val path = catalog.resolveSink(target).getOrElse(
-      throw KqlParseException(s"unknown sink '$target'", 0))
-    df.write.mode("append").parquet(path)
+  /** Sink writes recorded during compilation; Kql.run executes them via
+    * [[runWrites]], Kql.explain deliberately does not.
+    */
+  private val pendingWrites =
+    scala.collection.mutable.ListBuffer[(DataFrame, String)]()
+
+  def runWrites(): Unit = {
+    pendingWrites.foreach { case (d, path) =>
+      d.write.mode("append").parquet(path)
+    }
+    pendingWrites.clear()
   }
+
+  private def resolveSinkPath(target: String): String =
+    catalog.resolveSink(target).getOrElse(
+      throw KqlParseException(s"unknown sink '$target'", 0))
 
   private def sortCol(df: DataFrame, k: SortKey): Column = {
     val c0 = compileField(df, k.field)
@@ -515,6 +544,14 @@ final class Compiler(
       val c = compileField(df, f)
       if (fieldType(df, f) == KT.Var) c.try_cast(StringType) else c
     }
+    // min/max keep native types for typed columns; variant values compare
+    // numerically (string form would order "99" above "100") — non-numeric
+    // variants null out, a documented narrowing of the reference's
+    // cross-type total order
+    def minmax(f: FieldPath): Column = {
+      val c = compileField(df, f)
+      if (fieldType(df, f) == KT.Var) c.try_cast(DoubleType) else c
+    }
     val aggCols = aggs.map { a =>
       val c = a.agg match {
         case Aggregation.Count => count(lit(1))
@@ -530,8 +567,8 @@ final class Compiler(
         // 0.0 — not SQL's null (tests.rs:1067-1083)
         case Aggregation.Sum(f) => coalesce(sum(numeric(f)), lit(0.0))
         case Aggregation.Avg(f) => coalesce(avg(numeric(f)), lit(0.0))
-        case Aggregation.Min(f) => min(ordered(f))
-        case Aggregation.Max(f) => max(ordered(f))
+        case Aggregation.Min(f) => min(minmax(f))
+        case Aggregation.Max(f) => max(minmax(f))
       }
       c.as(a.name)
     }
@@ -567,11 +604,8 @@ final class Compiler(
       left: DataFrame, kind: JoinKind, sub: Query,
       lk: FieldPath, rk: FieldPath): DataFrame = {
     val right = compile(sub)
-    val lkc = compileField(lk)
-    val l = left.filter(lkc.isNotNull).alias("__l")
-    val r0 = right.alias("__rk")
-    val rkc = compileField(rk)
-    val r = right.filter(rkc.isNotNull).alias("__r")
+    val l = left.filter(compileField(lk).isNotNull).alias("__l")
+    val r = right.filter(compileField(rk).isNotNull).alias("__r")
 
     val sparkKind = kind match {
       case JoinKind.Inner => "inner"
@@ -616,8 +650,6 @@ final class Compiler(
         }
         leftOut ++ rightOut
     }
-    // silence unused warning for r0 (kept for clarity of rkc scoping)
-    locally(r0)
     joined.select(out: _*)
   }
 
@@ -641,11 +673,17 @@ final class Compiler(
     var out = df
     if (arrayFs.length == 1) {
       val f = arrayFs.head
-      if (f.isSimple) out = out.withColumn(f.simpleName, explode(col(f.simpleName)))
+      // reference semantics (expand.rs): a NULL value is not an array →
+      // the row passes through unchanged; an EMPTY array yields no rows.
+      // explode_outer keeps both, explode drops both — so pre-filter the
+      // empty case and use the outer variant.
+      val fc = compileField(out, f)
+      out = out.filter(fc.isNull || size(fc) > 0)
+      if (f.isSimple) out = out.withColumn(f.simpleName, explode_outer(col(f.simpleName)))
       else {
         // nested path: explode into a temp column, write back in place
         // (expand.rs handles deep paths via insert_field_value)
-        out = out.withColumn("__exp", explode(compileField(out, f)))
+        out = out.withColumn("__exp", explode_outer(compileField(out, f)))
         out = writeBack(out, f, col("__exp")).drop("__exp")
       }
     } else if (arrayFs.nonEmpty) {

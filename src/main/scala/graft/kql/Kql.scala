@@ -17,12 +17,18 @@ object Kql {
 
   def run(spark: SparkSession, catalog: Catalog, kql: String): DataFrame = {
     val parsed = parse(kql)
-    new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val df = compiler.compile(parsed.query)
+    compiler.runWrites() // write/tee sinks flush on run, never on explain
+    df
   }
 
   def run(spark: SparkSession, catalog: Catalog, kql: String, nowMicros: Long): DataFrame = {
     val parsed = parse(kql, nowMicros)
-    new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val df = compiler.compile(parsed.query)
+    compiler.runWrites()
+    df
   }
 
   /** Step-list printer, the analog of the reference's `POST /explain`

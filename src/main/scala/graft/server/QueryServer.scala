@@ -71,12 +71,22 @@ final class QueryServer(spark: SparkSession, catalog: Catalog, port: Int) {
     ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
     ex.sendResponseHeaders(200, 0) // chunked
     val out = ex.getResponseBody
-    val it = df.toJSON.toLocalIterator()
-    while (it.hasNext) {
-      out.write(s"data: ${it.next()}\n\n".getBytes(UTF_8))
-      out.flush()
+    // once the 200 + SSE headers are on the wire, execution errors cannot
+    // become an HTTP status — surface them as an SSE error event (the
+    // reference streams errors in-band the same way)
+    try {
+      val it = df.toJSON.toLocalIterator()
+      while (it.hasNext) {
+        out.write(s"data: ${it.next()}\n\n".getBytes(UTF_8))
+        out.flush()
+      }
+      out.write("event: done\ndata: \n\n".getBytes(UTF_8))
+    } catch {
+      case e: Exception =>
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+          .trim.replace("\n", " ").take(500)
+        out.write(s"event: error\ndata: $msg\n\n".getBytes(UTF_8))
     }
-    out.write("event: done\ndata: \n\n".getBytes(UTF_8))
     out.flush()
   }
 

@@ -21,6 +21,14 @@ object Progressive {
   /** Run an aggregation KQL-style over a file stream, refining results into
     * an in-memory table as data arrives.
     *
+    * Output-mode tradeoff (be honest about it): `complete` keeps the whole
+    * refined snapshot queryable — the exact miso partial-stream experience —
+    * but retains ALL aggregation state (watermarks do not prune in complete
+    * mode), so it fits bounded key spaces (dashboards over event types,
+    * rolling top-ks). For unbounded keys (time bins advancing forever) use
+    * `update` with a watermarked aggregation like [[binnedCounts]]: state
+    * is pruned, and each batch emits only changed rows.
+    *
     * @param dir        directory of parquet files (each new file = a batch,
     *                   the analog of one source/split completing in miso)
     * @param schema     input schema (streaming reads need it declared)
@@ -29,6 +37,8 @@ object Progressive {
     *                   `spark.table(queryName)`)
     * @param debounceMs emission cadence — the analog of miso's 1 s
     *                   partial-stream debounce
+    * @param outputMode `complete` (full snapshot, unbounded state) or
+    *                   `update` (changed rows only, watermark-pruned state)
     */
   def aggregateStream(
       spark: SparkSession,
@@ -36,10 +46,11 @@ object Progressive {
       schema: StructType,
       transform: DataFrame => DataFrame,
       queryName: String,
-      debounceMs: Long = 1000L): StreamingQuery = {
+      debounceMs: Long = 1000L,
+      outputMode: String = "complete"): StreamingQuery = {
     val src = spark.readStream.schema(schema).parquet(dir)
     transform(src).writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.ProcessingTime(debounceMs))
@@ -49,7 +60,9 @@ object Progressive {
   /** Windowed (binned) streaming aggregation with a watermark — the
     * streaming form of `summarize n=count() by bin(ts, w)`; late data beyond
     * the watermark is dropped and state is bounded (the 100 TB requirement
-    * miso's unbounded in-memory snapshots can't meet).
+    * miso's unbounded in-memory snapshots can't meet). NOTE: the
+    * state-pruning guarantee requires `append`/`update` output mode —
+    * complete mode ignores watermarks by design.
     */
   def binnedCounts(
       stream: DataFrame,

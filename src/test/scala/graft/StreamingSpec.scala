@@ -89,6 +89,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("explain of a write/tee query does not mutate the sink") {
+    val sink = Files.createTempDirectory("graft_sink3").toString + "/out"
+    val cat = new Catalog(spark)
+    cat.register("src", Seq((1L, "a")).toDF("id", "tag"))
+    cat.registerSink("dest", sink)
+    Kql.explain(spark, cat, "src | write dest")
+    assert(!new java.io.File(sink).exists(), "explain must not write the sink")
+    Kql.run(spark, cat, "src | write dest").count()
+    assert(spark.read.parquet(sink).count() == 1)
+  }
+
   test("kql summarize compiles against a streaming source (update mode)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     val data = Seq(("x", 1.0), ("y", 2.0), ("x", 3.0)).toDF("k", "v")

@@ -72,6 +72,26 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(count("test.nested | mv-expand plain") == 2)
   }
 
+  test("mv-expand: null array passes through, empty array drops (expand.rs)") {
+    val c2 = new Catalog(spark)
+    c2.register("arrs", logs(
+      """{"id": 1, "a": [7, 8]}""",
+      """{"id": 2, "a": null}""",
+      """{"id": 3, "a": []}"""))
+    val got = Kql.run(spark, c2, "arrs | mv-expand a | project id, a | sort by id, a")
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) null else r.getLong(1))).toSeq
+    assert(got == Seq((1L, 7L), (1L, 8L), (2L, null)))
+  }
+
+  test("field references resolve case-insensitively with correct type semantics") {
+    val c2 = new Catalog(spark)
+    c2.register("ci", logs("""{"val": 0}""", """{"val": 2}"""))
+    // truthiness of a numeric column must treat 0 as falsy even when the
+    // reference uses different casing
+    assert(Kql.run(spark, c2, "ci | where Val | count").collect()(0).getLong(0) == 1L)
+    assert(Kql.run(spark, c2, "ci | where val | count").collect()(0).getLong(0) == 1L)
+  }
+
   // join_empty_right_side / join_no_key_matches
   test("joins against an empty or non-matching right side") {
     assert(count("test.jl | join kind=inner (test.jr_empty) on id") == 0)

@@ -81,4 +81,25 @@ class VariantSpec extends AnyFunSuite {
     // falsy: k=null (json null), k missing
     assert(run("dyn | where v.k | count").collect()(0).getLong(0) == 3L)
   }
+
+  test("variant truthiness: string '0'/'false' are truthy (non-empty)") {
+    // reference to_bool: any non-empty string ⇒ true — "0" must not be
+    // coerced to a falsy number/boolean
+    val c2 = new Catalog(spark)
+    c2.register("tv", varTable(
+      """{"id": 1, "s": "0"}""", """{"id": 2, "s": "false"}""",
+      """{"id": 3, "s": ""}""", """{"id": 4, "s": 0}""",
+      """{"id": 5, "s": true}"""))
+    val got = Kql.run(spark, c2, "tv | where v.s | project i = toint(v.id)")
+      .collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 5L))
+  }
+
+  test("variant min/max compare numerically, not lexicographically") {
+    val c2 = new Catalog(spark)
+    c2.register("mm", varTable(
+      """{"k": 2}""", """{"k": 100}""", """{"k": 99}"""))
+    val r = Kql.run(spark, c2, "mm | summarize mn=min(v.k), mx=max(v.k)").collect()(0)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 100.0)
+  }
 }
