@@ -109,7 +109,9 @@ final class Compiler(
           t = t match { case a: ArrayType => a.elementType; case o => o }
         }
         walk(t, path.parts.tail)
-      case None => KT.Other
+      // a non-existent field is MISSING in the reference's schemaless model
+      // — it evaluates as null everywhere, never an analysis error
+      case None => KT.Null
     }
   }
 
@@ -192,7 +194,11 @@ final class Compiler(
       sb.toString
     }
     val head = path.parts.head
-    var dt: Option[DataType] = findField(df.schema.fields.toSeq, head.name).map(_.dataType)
+    val headField = findField(df.schema.fields.toSeq, head.name)
+    // missing field ≡ null (the reference's schemaless model: referencing
+    // an absent key yields "missing", which our fixed schemas fold to null)
+    if (headField.isEmpty) return lit(null)
+    var dt: Option[DataType] = headField.map(_.dataType)
     var c: Column = col(head.name)
     if (dt.exists(_.isInstanceOf[VariantType]) &&
         (head.arrIndices.nonEmpty || path.parts.tail.nonEmpty))
@@ -248,6 +254,49 @@ final class Compiler(
 
   def compileBool(df: DataFrame, e: Expr): Column = truthy(df, e, compile(df, e))
 
+  /** Comparisons under the reference's total order (`value/mod.rs:146-209`):
+    * Null is an ordinary value that sorts BEFORE everything, so
+    * `null == null` is true, `null <= 5` is true, `null >= 5` is false.
+    * SQL three-valued logic would drop all of these rows; the reference's
+    * test corpus asserts the total-order behavior explicitly
+    * (null_in_lte_operator, in_operator_with_null_in_list,
+    * between_null_endpoints).
+    *
+    * Pushdown-aware lowering: a null operand only makes the predicate TRUE
+    * when null sits on the "small" side (`null < x`, `x > null`) or both
+    * sides are null. When the side that could flip the result is a non-null
+    * literal, the plain SQL comparison is semantically identical (null →
+    * false either way) and stays pushable to the parquet scan; the guarded
+    * CASE form is emitted only when it is actually needed.
+    */
+  private def nonNullLiteral(e: Expr): Boolean = e match {
+    case IntLit(_) | FloatLit(_) | BoolLit(_) | StrLit(_) |
+         TimespanLit(_) | DatetimeLit(_) => true
+    case _ => false
+  }
+
+  private def totalOrderCmp(
+      op: String, l: Expr, r: Expr, lc: Column, rc: Column): Column = op match {
+    case "==" => lc <=> rc // EqualNullSafe is parquet-pushable
+    case "!=" => !(lc <=> rc) // null != literal is TRUE under the total order
+    // The literal shortcuts conjoin isNotNull so the predicate is
+    // two-valued (never SQL-null): negation contexts (!in, !between, not())
+    // must see `false`, not null, to keep total-order semantics. Both
+    // conjuncts remain parquet-pushable.
+    case "<" =>
+      if (nonNullLiteral(l)) (lc < rc) && rc.isNotNull
+      else when(lc.isNull, rc.isNotNull).when(rc.isNull, lit(false)).otherwise(lc < rc)
+    case "<=" =>
+      if (nonNullLiteral(l)) (lc <= rc) && rc.isNotNull
+      else when(lc.isNull, lit(true)).when(rc.isNull, lit(false)).otherwise(lc <= rc)
+    case ">" =>
+      if (nonNullLiteral(r)) (lc > rc) && lc.isNotNull
+      else when(rc.isNull, lc.isNotNull).when(lc.isNull, lit(false)).otherwise(lc > rc)
+    case ">=" =>
+      if (nonNullLiteral(r)) (lc >= rc) && lc.isNotNull
+      else when(rc.isNull, lit(true)).when(lc.isNull, lit(false)).otherwise(lc >= rc)
+  }
+
   def compile(df: DataFrame, e: Expr): Column = e match {
     case IntLit(v) => lit(v)
     case FloatLit(v) => lit(v)
@@ -272,14 +321,7 @@ final class Compiler(
       else if (lt == KT.Var && rt == KT.Var) {
         lc = lc.try_cast(StringType); rc = rc.try_cast(StringType)
       }
-      op match {
-        case "==" => lc === rc
-        case "!=" => lc =!= rc
-        case ">" => lc > rc
-        case ">=" => lc >= rc
-        case "<" => lc < rc
-        case "<=" => lc <= rc
-      }
+      totalOrderCmp(op, l, r, lc, rc)
 
     case Neg(x) => -compile(df, x)
 
@@ -319,13 +361,16 @@ final class Compiler(
       var xc = compile(df, x)
       if (infer(df, x) == KT.Var)
         xc = xc.try_cast(sparkTypeFor(items.headOption.map(infer(df, _)).getOrElse(KT.Str)))
-      val pred = items.map(i => xc === compile(df, i)).reduce(_ || _)
+      // null-safe equality: `x in (1, null, 3)` matches null x
+      // (tests.rs:1954 — Null is an ordinary comparable value)
+      val pred = items.map(i => xc <=> compile(df, i)).reduce(_ || _)
       if (negated) !pred else pred
 
     case Between(x, lo, hi, negated) =>
       var xc = compile(df, x)
       if (infer(df, x) == KT.Var) xc = xc.try_cast(sparkTypeFor(infer(df, lo)))
-      val pred = xc >= compile(df, lo) && xc <= compile(df, hi)
+      val pred = totalOrderCmp(">=", x, lo, xc, compile(df, lo)) &&
+        totalOrderCmp("<=", x, hi, xc, compile(df, hi))
       if (negated) !pred else pred
 
     case StrOp(op, l, r, negated) =>

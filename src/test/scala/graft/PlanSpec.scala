@@ -26,8 +26,11 @@ class PlanSpec extends AnyFunSuite {
 
   test("KQL-compiled filter also pushes down") {
     val p = plan("kql_where_project_sort")
-    assert(p.contains("PushedFilters: [IsNotNull(l_quantity)") ||
-      p.contains("DataFilters: [isnotnull(l_quantity"))
+    // the quantity predicate must appear among the scan's data filters
+    // (order within the list is optimizer-dependent)
+    val scanLine = p.split("\n").find(_.contains("DataFilters:")).getOrElse("")
+    assert(scanLine.contains("l_quantity") && scanLine.contains(">= 45"),
+      s"filter not pushed: $scanLine")
   }
 
   test("star join broadcasts dimension tables") {

@@ -76,12 +76,14 @@ class KqlEngineSpec extends AnyFunSuite {
 
   test("filter in / not in") {
     assert(rows("test.nums | where a in (1, 3) | count") == Seq(Map("Count" -> 2L)))
-    assert(rows("test.nums | where a !in (1, 3) | count") == Seq(Map("Count" -> 1L)))
+    // total-order semantics: the null-a row is NOT in (1,3), so !in keeps it
+    assert(rows("test.nums | where a !in (1, 3) | count") == Seq(Map("Count" -> 2L)))
   }
 
   test("filter between") {
     assert(rows("test.nums | where a between (2 .. 3) | count") == Seq(Map("Count" -> 2L)))
-    assert(rows("test.nums | where a !between (2 .. 3) | count") == Seq(Map("Count" -> 1L)))
+    // total-order: null < 2 is true, so the null-a row is !between
+    assert(rows("test.nums | where a !between (2 .. 3) | count") == Seq(Map("Count" -> 2L)))
   }
 
   test("filter null comparison drops row (missing semantics)") {
