@@ -138,6 +138,39 @@ class EdgeCaseSpec2 extends AnyFunSuite {
     assert(got.length == 1 && got(0).getDouble(got(0).fieldIndex("avg_x")) == 15.0)
   }
 
+  // filter_eq_fields / filter_not_eq_fields: field-to-field comparison
+  test("field == field and field != field") {
+    val d = logs("""{"a": 1, "b": 1}""", """{"a": 1, "b": 2}""", """{"a": null, "b": null}""")
+    assert(runOn(d, "test.c | where a == b").count() == 2)   // null==null true
+    assert(runOn(d, "test.c | where a != b").count() == 1)
+    assert(runOn(d, "test.c | where not(a == b)").count() == 1)
+  }
+
+  // filter_eq_float / filter_eq_bool
+  test("equality on float and bool values") {
+    val d = logs("""{"f": 1.5, "b": true}""", """{"f": 2.5, "b": false}""")
+    assert(runOn(d, "test.c | where f == 1.5").count() == 1)
+    assert(runOn(d, "test.c | where b == true").count() == 1)
+    assert(runOn(d, "test.c | where b == false").count() == 1)
+  }
+
+  // sort_asc_then_desc
+  test("multi-key sort asc then desc") {
+    val d = logs(
+      """{"a": 1, "b": 9}""", """{"a": 1, "b": 3}""", """{"a": 0, "b": 5}""")
+    val got = runOn(d, "test.c | sort by a asc, b desc | project a, b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((0L, 5L), (1L, 9L), (1L, 3L)))
+  }
+
+  // project_filter: filter referencing only projected-in fields
+  test("project then filter on the computed field") {
+    val d = logs("""{"x": 2}""", """{"x": 5}""")
+    val got = runOn(d, "test.c | project doubled = x * 2 | where doubled > 5")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(10L))
+  }
+
   // summarize_countif_all_false
   test("countif that never fires is zero") {
     val d = logs("""{"x": 1}""", """{"x": 2}""")
