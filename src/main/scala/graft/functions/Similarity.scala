@@ -73,24 +73,35 @@ object Similarity {
     aggregate(bits, lit(0L), (acc, b) => acc * 2L + b)
   }
 
-  /** Approximate top-k: candidates restricted to the query's LSH bucket.
-    * Same output shape as [[bruteForceTopK]]; recall traded for a
-    * ~2^nPlanes candidate-set reduction (multi-probe would widen it).
+  /** Approximate top-k with multi-probe: each query searches its own sign
+    * bucket plus every Hamming-1 neighbor bucket (flip one hyperplane bit) —
+    * the standard recall boost for sign-LSH: a near neighbor that fell just
+    * across one hyperplane is still found. Candidate volume ≈
+    * (nPlanes+1)/2^nPlanes of the corpus per query; the corpus is still
+    * hashed exactly once, map-side.
     */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String,
-      k: Int, nPlanes: Int = 4): DataFrame = {
+      k: Int, nPlanes: Int = 4, multiProbe: Boolean = true): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val qBucket = lshBucket(col(vecCol), nPlanes)
+    val probes =
+      if (multiProbe)
+        // exact bucket + one-bit flips: bucket ^ (1 << p) for each plane
+        concat(array(qBucket), transform(sequence(lit(0), lit(nPlanes - 1)),
+          p => qBucket.bitwiseXOR(
+            call_function("shiftleft", lit(1L), p.cast("int")))))
+      else array(qBucket)
     val q = broadcast(queries.select(
       col(qidCol).as("query_id"), col(vecCol).as("__qv"),
-      lshBucket(col(vecCol), nPlanes).as("__bucket")))
+      probes.as("__probes")))
     val c = corpus.select(
       col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
       lshBucket(col(vecCol), nPlanes).as("__bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
-    c.join(q, Seq("__bucket"))
+    c.join(q, array_contains(col("__probes"), col("__bucket")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
       .withColumn("rank", row_number().over(w))

@@ -82,13 +82,20 @@ class PipelineSpec extends AnyFunSuite {
     val q = emb.filter(col("vec_id") < 5)
     val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    val approx = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10, nPlanes = 2)
+    val single = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10,
+      nPlanes = 2, multiProbe = false)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
-    // bucket-local search: every returned neighbor must be sane, and with
-    // 2 planes (4 buckets) recall should be well above random (~25%)
-    val recall = (brute & approx).size.toDouble / brute.size
-    assert(approx.nonEmpty)
-    assert(recall > 0.15, s"recall=$recall")
+    val multi = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10,
+      nPlanes = 2, multiProbe = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val singleRecall = (brute & single).size.toDouble / brute.size
+    val multiRecall = (brute & multi).size.toDouble / brute.size
+    assert(single.nonEmpty && multi.nonEmpty)
+    assert(singleRecall > 0.15, s"single-probe recall=$singleRecall")
+    // multi-probe widens the candidate set: recall must not regress and
+    // should be high with 2 planes (probing 3 of 4 buckets)
+    assert(multiRecall >= singleRecall, s"multi=$multiRecall single=$singleRecall")
+    assert(multiRecall > 0.5, s"multi-probe recall=$multiRecall")
   }
 
   test("IVF ANN recall vs brute force on real embeddings") {
