@@ -171,6 +171,37 @@ class EdgeCaseSpec2 extends AnyFunSuite {
     assert(got == Seq(10L))
   }
 
+  // expand_object (tests.rs): object → one-entry bags
+  test("mv-expand bag kind unrolls a map into single-entry maps") {
+    import spark.implicits._
+    val d = Seq((1L, Map("env" -> "prod", "region" -> "us-east")))
+      .toDF("id", "metadata")
+    val got = runOn(d, "test.c | mv-expand metadata")
+      .collect().map(r => (r.getLong(0), r.getMap[String, String](1).toMap)).toSeq
+      .sortBy(_._2.keys.head)
+    assert(got == Seq(
+      (1L, Map("env" -> "prod")),
+      (1L, Map("region" -> "us-east"))))
+  }
+
+  // expand_object_array_kind (tests.rs): object → alternating k,v rows
+  test("mv-expand array kind flattens a map into alternating key/value rows") {
+    import spark.implicits._
+    val d = Seq((1L, Map("env" -> "prod", "region" -> "us-east")))
+      .toDF("id", "metadata")
+    val got = runOn(d, "test.c | mv-expand kind=array metadata")
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("env", "prod", "region", "us-east"))
+    assert(runOn(d, "test.c | mv-expand kind=array metadata").count() == 4)
+  }
+
+  // expand_empty_object: empty map → row dropped (nothing to unroll)
+  test("mv-expand of an empty map emits no rows") {
+    import spark.implicits._
+    val d = Seq((1L, Map.empty[String, String])).toDF("id", "metadata")
+    assert(runOn(d, "test.c | mv-expand metadata").count() == 0)
+  }
+
   // summarize_countif_all_false
   test("countif that never fires is zero") {
     val d = logs("""{"x": 1}""", """{"x": 2}""")
