@@ -69,17 +69,20 @@ object Dedup {
     // shingle arrays themselves (at 100 TB the arrays dominate row size;
     // keeping them out of the wide joins is the difference between a
     // bounded shuffle and an explosion).
-    // The cache() below is load-bearing for more than reuse: band hashing
-    // slices the signature inside a per-band lambda, and without a
+    // The localCheckpoint() below is load-bearing for more than reuse: band
+    // hashing slices the signature inside a per-band lambda, and without a
     // materialization barrier Catalyst's CollapseProject would inline the
     // whole 64-hash signature expression into each of the 16 band slices —
-    // a 16× recompute of the most expensive stage. Caching (id, sh, sig)
-    // makes the bands read a stored column instead.
+    // a 16× recompute of the most expensive stage. Checkpointing
+    // (id, sh, sig) makes the bands read a stored column instead, and —
+    // unlike cache(), which pins executor storage until an explicit
+    // unpersist this lazy-returning function can never safely issue — its
+    // blocks are released once the RDD is garbage-collected.
     val withSets = df
       .select(col(idCol).as("id"), shingleSet(col(textCol), n).as("sh"))
       .filter(size(col("sh")) > 0)
       .withColumn("sig", minhashSignature(col("sh"), k))
-      .cache()
+      .localCheckpoint()
     val buckets = withSets
       .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))

@@ -192,11 +192,13 @@ object PipelineQueries {
         Tables.load(s, d, "lineitem"), "l_returnflag", "l_quantity", buckets = 32)
         .orderBy("l_returnflag")),
 
-    // embedding near-dup pairs via LSH buckets — rows-only (bucket-local)
+    // embedding near-dup pairs via banded sign-LSH + exact verify on
+    // candidates — rows-only (approximate); recall vs pl_cosine_dups_exact
+    // asserted in PipelineSpec on the overlapping window
     Q.noOracle("pl_cosine_dups")(
       (s, d) => Similarity.cosineDupPairs(
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
-        threshold = 0.35, nPlanes = 4)
+        threshold = 0.35, nPlanes = 32, rowsPerBand = 4)
         .orderBy("id_a", "id_b")),
 
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────

@@ -126,12 +126,62 @@ class PipelineSpec extends AnyFunSuite {
   test("cosine dup pairs are symmetric-deduped and above threshold") {
     val got = Similarity.cosineDupPairs(
       Tables.load(spark, TestSpark.sf, "embeddings"),
-      "vec_id", "embedding", threshold = 0.3, nPlanes = 2)
+      "vec_id", "embedding", threshold = 0.3)
       .collect()
+    assert(got.nonEmpty)
     got.foreach { r =>
       assert(r.getLong(0) < r.getLong(1))
       assert(r.getDouble(2) >= 0.3)
     }
+  }
+
+  test("banded cosine dup pairs: recall vs exact all-pairs on a window") {
+    // same window + threshold as the pl_cosine_dups_exact gate query; the
+    // gate data's pairs at 0.35 are background-tail (~2.8σ of a Gaussian
+    // similarity distribution) — the hardest regime for sign-LSH, where the
+    // old single-16-bucket design measured 0.14 recall
+    val e = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") < 200)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.cosineDupPairs(e, "vec_id", "embedding",
+      threshold = 0.35, nPlanes = 32, rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "verified candidates must all be true pairs")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall=$recall (expected ~0.7 with 8 bands of 4)")
+  }
+
+  test("banded cosine dup pairs: planted near-dups found at high threshold") {
+    // the design regime — near-duplicate detection at threshold >= 0.9,
+    // where longer bands (r=8) keep candidate volume ~n²·b·2^-8 while
+    // per-band match probability for a planted dup stays near 1
+    val base = Tables.load(spark, TestSpark.sf, "embeddings")
+      .filter(col("vec_id") < 100)
+      .select(col("vec_id"), col("embedding"))
+    // plant: copy each vector with a deterministic ±2% relative per-dim
+    // jitter (alternating sign by dimension) — cosine vs the original is
+    // ~0.9996, a genuine near-duplicate rather than an identical angle
+    val planted = base.select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      zip_with(col("embedding"),
+        sequence(lit(0), size(col("embedding")) - 1),
+        (x, i) => x * (lit(1.0f) + when(pmod(i, lit(2)) === 0,
+          lit(0.02f)).otherwise(lit(-0.02f)))).as("embedding"))
+    val pairs = Similarity.cosineDupPairs(
+      base.unionByName(planted), "vec_id", "embedding",
+      threshold = 0.9, nPlanes = 32, rowsPerBand = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // uniform scaling leaves cosine at exactly 1: every planted pair must
+    // land in the same bucket in every band and survive verification
+    val expected = (0L until 100L).map(i => (i, i + 10000L)).toSet
+    assert(expected.subsetOf(pairs),
+      s"missing planted pairs: ${(expected -- pairs).take(5)}")
   }
 
   test("langId identifies hand-labeled samples") {
