@@ -33,4 +33,31 @@ object Tables {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }
   }
+
+  /** Streaming read of the same table, for the progressive partial-results
+    * path: each parquet file is a micro-batch (`maxFilesPerTrigger`), so a
+    * multi-file table refines its aggregate over several triggers — the
+    * analog of one source split completing in the reference's partial
+    * stream. Schema comes from a batch footer read (streaming sources
+    * require a declared schema).
+    */
+  def loadStream(
+      spark: SparkSession, sfDir: String, name: String,
+      maxFilesPerTrigger: Int = 1): DataFrame = {
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else {
+      val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(s"$sfDir/$name.parquet")
+    }
+  }
 }

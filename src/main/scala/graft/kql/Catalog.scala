@@ -14,6 +14,7 @@ final class Catalog(spark: SparkSession) {
   // concurrent maps: the HTTP server mutates views/sinks from its handler
   // threads while query threads read them
   private val tables = TrieMap[String, () => DataFrame]()
+  private val streams = TrieMap[String, () => DataFrame]()
   private val views = TrieMap[String, Query]()
   private val sinks = TrieMap[String, String]()
 
@@ -21,6 +22,17 @@ final class Catalog(spark: SparkSession) {
     tables(name) = () => df
     this
   }
+
+  /** Register a streaming view of a table, used by the progressive
+    * partial-results path: the same rows, but as a streaming DataFrame
+    * whose micro-batches refine blocking aggregates while the query runs.
+    */
+  def registerStream(name: String, df: => DataFrame): this.type = {
+    streams(name) = () => df
+    this
+  }
+
+  def resolveStream(name: String): Option[DataFrame] = streams.get(name).map(_())
 
   /** Register a KQL view; scans of `views.name` (or bare `name`) splice it. */
   def registerView(name: String, kql: String): this.type = {
@@ -67,6 +79,8 @@ object Catalog {
     graft.Tables.names.foreach { n =>
       c.register(n, graft.Tables.load(spark, sfDir, n))
       c.register(s"test.$n", graft.Tables.load(spark, sfDir, n))
+      c.registerStream(n, graft.Tables.loadStream(spark, sfDir, n))
+      c.registerStream(s"test.$n", graft.Tables.loadStream(spark, sfDir, n))
     }
     // schemaless view of events: props as a VariantType column (miso's
     // native dynamic-JSON model) — field paths descend via try_variant_get

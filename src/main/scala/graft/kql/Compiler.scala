@@ -28,7 +28,8 @@ import graft.functions.KqlFunctions
 final class Compiler(
     spark: SparkSession,
     catalog: Catalog,
-    lets: Map[String, Query]) {
+    lets: Map[String, Query],
+    streamFirstScan: Boolean = false) {
 
   import Expr._
 
@@ -436,11 +437,31 @@ final class Compiler(
       compileStep(df, step)
     }
 
-  private def resolveScan(source: String): DataFrame =
-    lets.get(source).map(compile)
-      .orElse(catalog.resolveView(source).map(compile))
+  /** Apply a step suffix to an already-materialized DataFrame — used by the
+    * partial-stream path to run the post-aggregation steps (sort/top/limit/
+    * project) against each refining snapshot in batch mode, where blocking
+    * operators are legal.
+    */
+  def applySteps(df: DataFrame, steps: Seq[QueryStep]): DataFrame =
+    steps.foldLeft(df)(compileStep)
+
+  // Consumed-once: with streamFirstScan, only the FIRST scan compiled (the
+  // top-level pipeline's source, or the source inside the `let` it opens
+  // with) resolves as a streaming DataFrame; join/union subqueries compile
+  // later and stay batch, so joins lower to Spark's stream-static join.
+  private var pendingStreamScan = streamFirstScan
+
+  private def resolveScan(source: String): DataFrame = {
+    val wantStream = pendingStreamScan
+    pendingStreamScan = false
+    lets.get(source).map { q => pendingStreamScan = wantStream; compile(q) }
+      .orElse(catalog.resolveView(source).map { q =>
+        pendingStreamScan = wantStream; compile(q)
+      })
+      .orElse(if (wantStream) catalog.resolveStream(source) else None)
       .orElse(catalog.resolveTable(source))
       .getOrElse(throw KqlParseException(s"unknown source '$source'", 0))
+  }
 
   private def compileStep(df: DataFrame, step: QueryStep): DataFrame = step match {
     case QueryStep.Scan(source) => resolveScan(source)

@@ -1,11 +1,14 @@
 package graft.server
 
+import java.io.{IOException, OutputStream}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
+import java.util.concurrent.atomic.{AtomicBoolean, AtomicLong}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
-import graft.kql.{Catalog, Kql, KqlParseException}
+import org.apache.spark.sql.streaming.Trigger
+import graft.kql.{Catalog, Compiler, Kql, KqlParseException, Parsed, Query, QueryStep}
 
 /** HTTP/SSE API mirroring the reference's server surface
   * (`miso-server/src/http_server.rs`): `POST /query` streams result rows as
@@ -13,13 +16,34 @@ import graft.kql.{Catalog, Kql, KqlParseException}
   * `POST /views/{id}` registers a named view. Built on the JDK's HttpServer
   * + Spark's bundled Jackson — no extra dependencies.
   *
+  * Progressive partials (`partial_stream: true` in the request body — the
+  * reference's hallmark feature, `miso-workflow/src/partial_stream.rs:1-49`,
+  * `http_server.rs:335-405`): an eligible aggregation runs as a Structured
+  * Streaming query over the source, and each debounced micro-batch emits an
+  * `event: partial` frame holding the full refining snapshot, followed by
+  * the final rows and `event: done`. Post-aggregation steps (sort/top/
+  * limit/project) are applied to each snapshot in batch mode, where
+  * blocking operators are legal — the analog of the reference snapshotting
+  * its blocking operators mid-query.
+  *
+  * Cancellation (`http_server.rs:345-349`, `cancel_iter.rs`): every query
+  * runs in its own Spark job group; a failed SSE write (client went away)
+  * cancels the group, so a shared cluster stops paying for abandoned
+  * queries. A keepalive comment frame probes the connection while the
+  * handler thread is blocked inside a Spark job.
+  *
+  * Security: binds loopback by default; `raw("…")` (arbitrary Spark SQL —
+  * it can read any local file) is refused unless `allowRaw` is set.
+  *
   * Scale note: rows stream through `toJSON.toLocalIterator`, so the driver
   * holds one partition at a time, never the full result — the moral
   * equivalent of miso's channel-fed SSE writer.
   */
-final class QueryServer(spark: SparkSession, catalog: Catalog, port: Int) {
+final class QueryServer(
+    spark: SparkSession, catalog: Catalog, port: Int,
+    host: String = "127.0.0.1", allowRaw: Boolean = false) {
   private val mapper = new ObjectMapper()
-  private val server = HttpServer.create(new InetSocketAddress(port), 0)
+  private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -46,14 +70,20 @@ final class QueryServer(spark: SparkSession, catalog: Catalog, port: Int) {
   private def body(ex: HttpExchange): String =
     new String(ex.getRequestBody.readAllBytes(), UTF_8)
 
-  /** Request body: `{"query": "…"}` or raw KQL text. */
-  private def queryOf(ex: HttpExchange): String = {
+  /** Request body: `{"query": "…", "partial_stream": bool, "debounce_ms": n}`
+    * or raw KQL text.
+    */
+  private case class Req(kql: String, partial: Boolean, debounceMs: Long)
+
+  private def reqOf(ex: HttpExchange): Req = {
     val raw = body(ex)
     if (raw.trim.startsWith("{")) {
       val node = mapper.readTree(raw)
       require(node.has("query"), "missing 'query' field")
-      node.get("query").asText()
-    } else raw
+      Req(node.get("query").asText(),
+        node.path("partial_stream").asBoolean(false),
+        math.max(10L, node.path("debounce_ms").asLong(1000L)))
+    } else Req(raw, partial = false, 1000L)
   }
 
   private def respond(ex: HttpExchange, code: Int, text: String): Unit = {
@@ -63,54 +93,240 @@ final class QueryServer(spark: SparkSession, catalog: Catalog, port: Int) {
     ex.getResponseBody.write(bytes)
   }
 
-  /** SSE stream of JSON rows: `data: {…}` per row, `event: done` terminal
-    * (the reference's stream shape, `http_server.rs:335-405`).
+  private def checkRaw(parsed: Parsed): Unit =
+    if (!allowRaw && QueryServer.anyStep(parsed) {
+      case _: QueryStep.RawScan => true; case _ => false
+    }) throw new IllegalArgumentException(
+      "raw() is disabled on this server (start with allowRaw=true to enable)")
+
+  /** SSE stream of JSON rows: optional `event: partial` refining snapshots,
+    * `data: {…}` per final row, `event: done` terminal (the reference's
+    * stream shape, `http_server.rs:335-405`).
     */
   private def handleQuery(ex: HttpExchange): Unit = {
-    val df = Kql.run(spark, catalog, queryOf(ex))
-    ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
-    ex.sendResponseHeaders(200, 0) // chunked
-    val out = ex.getResponseBody
-    // once the 200 + SSE headers are on the wire, execution errors cannot
-    // become an HTTP status — surface them as an SSE error event (the
-    // reference streams errors in-band the same way)
+    val req = reqOf(ex)
+    val parsed = Kql.parse(req.kql)
+    checkRaw(parsed)
+    val groupId = s"graft-query-${QueryServer.ids.incrementAndGet()}"
+    // thread-local group: every job this handler thread submits joins it,
+    // so a disconnect can cancel exactly this query's work
+    spark.sparkContext.setJobGroup(groupId, req.kql.take(200), interruptOnCancel = true)
     try {
-      val it = df.toJSON.toLocalIterator()
-      while (it.hasNext) {
-        out.write(s"data: ${it.next()}\n\n".getBytes(UTF_8))
-        out.flush()
-      }
-      out.write("event: done\ndata: \n\n".getBytes(UTF_8))
-    } catch {
-      case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-          .trim.replace("\n", " ").take(500)
-        out.write(s"event: error\ndata: $msg\n\n".getBytes(UTF_8))
-    }
-    out.flush()
+      if (req.partial && QueryServer.partialEligible(parsed))
+        streamPartials(ex, parsed, req.debounceMs, groupId)
+      else
+        batchQuery(ex, parsed, groupId)
+    } finally spark.sparkContext.clearJobGroup()
   }
 
-  private def handleExplain(ex: HttpExchange): Unit =
-    respond(ex, 200, Kql.explain(spark, catalog, queryOf(ex)))
+  /** Open the SSE response and hand back the stream. Once the 200 + SSE
+    * headers are on the wire, execution errors cannot become an HTTP
+    * status — they surface as in-band `event: error` frames.
+    */
+  private def openSse(ex: HttpExchange): OutputStream = {
+    ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
+    ex.sendResponseHeaders(200, 0) // chunked
+    ex.getResponseBody
+  }
+
+  private def sseError(out: OutputStream, e: Exception): Unit = {
+    val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+      .trim.replace("\n", " ").take(500)
+    out.write(s"event: error\ndata: $msg\n\n".getBytes(UTF_8))
+  }
+
+  private def batchQuery(ex: HttpExchange, parsed: Parsed, groupId: String): Unit = {
+    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val df = compiler.compile(parsed.query)
+    compiler.runWrites() // write/tee sinks flush on run, never on explain
+    val out = openSse(ex)
+    val lock = new Object
+    val alive = new AtomicBoolean(true)
+    // keepalive probe: while this thread is blocked inside a Spark job the
+    // only way to notice a vanished client is to write to it — SSE comment
+    // frames are protocol-noise to clients and broken pipes to us
+    val watchdog = new Thread(() => {
+      while (alive.get()) {
+        Thread.sleep(250)
+        if (alive.get()) {
+          try lock.synchronized { out.write(": keepalive\n\n".getBytes(UTF_8)); out.flush() }
+          catch {
+            case _: IOException =>
+              alive.set(false)
+              spark.sparkContext.cancelJobGroup(groupId)
+          }
+        }
+      }
+    })
+    watchdog.setDaemon(true)
+    watchdog.start()
+    try {
+      val it = df.toJSON.toLocalIterator()
+      while (alive.get() && it.hasNext) {
+        val row = it.next()
+        lock.synchronized { out.write(s"data: $row\n\n".getBytes(UTF_8)); out.flush() }
+      }
+      if (alive.get())
+        lock.synchronized { out.write("event: done\ndata: \n\n".getBytes(UTF_8)); out.flush() }
+    } catch {
+      case _: IOException => spark.sparkContext.cancelJobGroup(groupId)
+      case e: Exception =>
+        // a job killed by the watchdog's cancel surfaces here as a
+        // SparkException — not an error worth reporting to a gone client
+        if (alive.get()) try lock.synchronized(sseError(out, e)) catch { case _: IOException => () }
+    } finally alive.set(false)
+  }
+
+  /** Progressive partial results: run the aggregation prefix as a
+    * Structured Streaming query (complete mode — each micro-batch refines
+    * the full snapshot), emit debounced `event: partial` frames, then the
+    * final snapshot as ordinary rows. Falls back to the batch path when the
+    * source has no streaming registration or the plan is not streamable
+    * (e.g. dcount — distinct aggregation — or a pre-aggregation sort).
+    */
+  private def streamPartials(
+      ex: HttpExchange, parsed: Parsed, debounceMs: Long, groupId: String): Unit = {
+    val steps = parsed.query.steps
+    val lastAgg = steps.lastIndexWhere(QueryServer.isBlockingAgg)
+    val prefix = Query(steps.take(lastAgg + 1))
+    val suffix = steps.drop(lastAgg + 1)
+    val compiler = new Compiler(spark, catalog, parsed.lets, streamFirstScan = true)
+    val qn = s"graft_partial_${QueryServer.ids.incrementAndGet()}"
+    val started =
+      try {
+        val sdf = compiler.compile(prefix)
+        if (!sdf.isStreaming) None
+        else Some(sdf.writeStream
+          .outputMode("complete")
+          .format("memory")
+          .queryName(qn)
+          .trigger(Trigger.ProcessingTime(debounceMs))
+          .start())
+      } catch { case _: Exception => None }
+    started match {
+      case None => batchQuery(ex, parsed, groupId) // not streamable: no partials
+      case Some(sq) =>
+        def snapshot(): Seq[String] =
+          compiler.applySteps(spark.table(qn), suffix).toJSON.collect().toSeq
+        val out = openSse(ex)
+        val done = new AtomicBoolean(false)
+        val runner = new Thread(() => {
+          try sq.processAllAvailable()
+          catch { case _: Throwable => () }
+          finally done.set(true)
+        })
+        runner.setDaemon(true)
+        runner.start()
+        var disconnected = false
+        var lastKey: String = null
+        try {
+          while (!done.get() && !disconnected) {
+            Thread.sleep(math.min(math.max(debounceMs / 2, 10L), 200L))
+            val snap = snapshot()
+            val key = snap.mkString("")
+            try {
+              if (snap.nonEmpty && key != lastKey) {
+                lastKey = key
+                out.write(s"event: partial\ndata: [${snap.mkString(",")}]\n\n".getBytes(UTF_8))
+              } else out.write(": keepalive\n\n".getBytes(UTF_8))
+              out.flush()
+            } catch {
+              case _: IOException =>
+                // client went away mid-stream: stop the streaming query and
+                // anything else this request started
+                disconnected = true
+                spark.sparkContext.cancelJobGroup(groupId)
+            }
+          }
+          if (!disconnected) {
+            val fin = snapshot()
+            fin.foreach(r => out.write(s"data: $r\n\n".getBytes(UTF_8)))
+            out.write("event: done\ndata: \n\n".getBytes(UTF_8))
+            out.flush()
+          }
+        } catch {
+          case e: Exception =>
+            if (!disconnected) try { sseError(out, e); out.flush() } catch { case _: IOException => () }
+        } finally {
+          try sq.stop() catch { case _: Throwable => () }
+          try spark.catalog.dropTempView(qn) catch { case _: Throwable => () }
+        }
+    }
+  }
+
+  private def handleExplain(ex: HttpExchange): Unit = {
+    val req = reqOf(ex)
+    checkRaw(Kql.parse(req.kql))
+    respond(ex, 200, Kql.explain(spark, catalog, req.kql))
+  }
 
   /** `POST /views/{id}` registers; scans of `views.{id}` splice it. */
   private def handleView(ex: HttpExchange): Unit = {
     val id = ex.getRequestURI.getPath.stripPrefix("/views/")
     require(id.nonEmpty && id.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad view id '$id'")
-    catalog.registerView(id, queryOf(ex))
+    catalog.registerView(id, body(ex))
     respond(ex, 200, s"view '$id' registered")
   }
 }
 
 object QueryServer {
-  /** Start on an ephemeral (or given) port. */
-  def start(spark: SparkSession, catalog: Catalog, port: Int = 0): QueryServer =
-    new QueryServer(spark, catalog, port).start()
+  private val ids = new AtomicLong(0L)
+
+  /** Recursive step predicate over the main query, lets, and join/union
+    * subqueries.
+    */
+  def anyStep(parsed: Parsed)(p: QueryStep => Boolean): Boolean = {
+    def inQuery(q: Query): Boolean = q.steps.exists { s =>
+      p(s) || (s match {
+        case QueryStep.Union(sub) => inQuery(sub)
+        case QueryStep.Join(_, sub, _, _) => inQuery(sub)
+        case _ => false
+      })
+    }
+    parsed.lets.values.exists(inQuery) || inQuery(parsed.query)
+  }
+
+  private def isBlockingAgg(s: QueryStep): Boolean = s match {
+    case _: QueryStep.Summarize => true
+    case QueryStep.CountStep => true
+    case _ => false
+  }
+
+  /** Partial-stream eligibility, mirroring the reference's
+    * (`miso-workflow/src/lib.rs:400-434`): the pipeline must contain a
+    * blocking aggregate (something to refine), everything after the last
+    * one must be snapshot-applicable (sort/top/limit/project/filter/...),
+    * and there must be no sink steps (a sink must flush once, not per
+    * partial).
+    */
+  def partialEligible(parsed: Parsed): Boolean = {
+    val steps = parsed.query.steps
+    val i = steps.lastIndexWhere(isBlockingAgg)
+    i >= 0 &&
+      steps.drop(i + 1).forall {
+        case _: QueryStep.Filter | _: QueryStep.Project | _: QueryStep.Extend |
+             _: QueryStep.Rename | _: QueryStep.Sort | _: QueryStep.TopN |
+             _: QueryStep.Limit | _: QueryStep.Distinct => true
+        case _ => false
+      } &&
+      !anyStep(parsed) {
+        case _: QueryStep.Write | _: QueryStep.Tee => true
+        case _ => false
+      }
+  }
+
+  /** Start on an ephemeral (or given) port, loopback-only by default. */
+  def start(
+      spark: SparkSession, catalog: Catalog, port: Int = 0,
+      host: String = "127.0.0.1", allowRaw: Boolean = false): QueryServer =
+    new QueryServer(spark, catalog, port, host, allowRaw).start()
 
   /** Standalone entry point: serve the testdata catalog. */
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val port = sys.env.getOrElse("SPARK_GRAFT_PORT", "8580").toInt
+    val host = sys.env.getOrElse("SPARK_GRAFT_BIND", "127.0.0.1")
+    val allowRaw = sys.env.get("SPARK_GRAFT_ALLOW_RAW").contains("1")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -118,8 +334,8 @@ object QueryServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = start(spark, Catalog.forTestData(spark, sfDir), port)
-    println(s"graft query server listening on :${srv.boundPort} (sf=$sfDir)")
+    val srv = start(spark, Catalog.forTestData(spark, sfDir), port, host, allowRaw)
+    println(s"graft query server listening on $host:${srv.boundPort} (sf=$sfDir)")
     Thread.currentThread().join()
   }
 }

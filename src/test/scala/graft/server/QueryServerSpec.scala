@@ -64,4 +64,110 @@ class QueryServerSpec extends AnyFunSuite {
   test("bad view id rejected") {
     assert(post("/views/../etc", "events | count").statusCode() != 200)
   }
+
+  test("raw() is refused unless the server allows it") {
+    val r = post("/query", """events.raw("SELECT 1 AS x") | count""")
+    assert(r.statusCode() == 400)
+    assert(r.body().contains("raw() is disabled"))
+    val open = QueryServer.start(spark, Catalog.forTestData(spark, graft.TestSpark.sf),
+      allowRaw = true)
+    try {
+      val r2 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${open.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString("""events.raw("SELECT 1 AS x") | count"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r2.statusCode() == 200 && r2.body().contains("\"Count\":1"))
+    } finally open.stop()
+  }
+
+  test("partial_stream emits refining partials before the final snapshot") {
+    import org.apache.spark.sql.functions.col
+    // multi-file source: each file is one micro-batch, so the aggregate
+    // refines over several triggers — the reference's partial-stream shape
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial").toString
+    graft.Tables.load(spark, graft.TestSpark.sf, "events")
+      .repartition(16).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
+    cat.register("ev_multi", spark.read.parquet(dir))
+    cat.registerStream("ev_multi",
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
+    val srv = QueryServer.start(spark, cat)
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "ev_multi | summarize n=count() by event_type | sort by event_type",
+              | "partial_stream": true, "debounce_ms": 50}""".stripMargin))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val body = r.body()
+      val partials = body.split("\n").filter(_.startsWith("event: partial")).length
+      assert(partials >= 2, s"expected >=2 refining partials, got $partials:\n$body")
+      assert(body.indexOf("event: partial") < body.indexOf("event: done"))
+      // final rows: one per event type, counts equal to the batch answer
+      val finalRows = body.split("\n").filter(_.startsWith("data: {")).toSeq
+      assert(finalRows.length == 5, s"final rows:\n${finalRows.mkString("\n")}")
+      val batchN = graft.Tables.load(spark, graft.TestSpark.sf, "events").count()
+      val finalN = finalRows.map(l => """"n":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong).sum
+      assert(finalN == batchN, s"final snapshot must equal batch: $finalN != $batchN")
+      // the first partial is a genuine mid-query snapshot: fewer rows counted
+      val firstPartial = body.linesIterator
+        .dropWhile(!_.startsWith("event: partial")).drop(1).next()
+      val firstN = """"n":(\d+)""".r.findAllMatchIn(firstPartial).map(_.group(1).toLong).sum
+      assert(firstN < batchN, s"first partial should be mid-query: $firstN vs $batchN")
+    } finally srv.stop()
+  }
+
+  test("partial_stream on an ineligible query falls back to batch") {
+    // no blocking aggregate -> not eligible, runs the batch path
+    val r = post("/query",
+      """{"query": "events | where value > 1 | limit 3", "partial_stream": true}""")
+    assert(r.statusCode() == 200)
+    assert(!r.body().contains("event: partial"))
+    assert(r.body().contains("event: done"))
+    assert(r.body().split("\n").count(_.startsWith("data: {")) == 3)
+  }
+
+  test("partial_stream with dcount falls back to batch (not streamable)") {
+    val r = post("/query",
+      """{"query": "events | summarize d=dcount(event_type)", "partial_stream": true}""")
+    assert(r.statusCode() == 200)
+    assert(!r.body().contains("event: partial"))
+    assert(r.body().contains("\"d\":5"))
+  }
+
+  test("client disconnect cancels the query's Spark jobs") {
+    val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
+    // a query that takes several seconds on 4 local cores: full scan of a
+    // wide synthetic range with a hash per row
+    cat.register("slow",
+      spark.range(0L, 12000000000L, 1L, 8)
+        .selectExpr("hash(id) AS h"))
+    val srv = QueryServer.start(spark, cat)
+    try {
+      val sock = new java.net.Socket("127.0.0.1", srv.boundPort)
+      val kql = "slow | summarize s=sum(h)"
+      val req = s"POST /query HTTP/1.1\r\nHost: localhost\r\nContent-Length: ${kql.length}\r\n" +
+        s"Content-Type: text/plain\r\n\r\n$kql"
+      sock.getOutputStream.write(req.getBytes("UTF-8"))
+      sock.getOutputStream.flush()
+      // wait until the job is actually running, then vanish
+      val tracker = spark.sparkContext.statusTracker
+      val t0 = System.currentTimeMillis()
+      while (tracker.getActiveJobIds().isEmpty && System.currentTimeMillis() - t0 < 10000)
+        Thread.sleep(50)
+      assert(tracker.getActiveJobIds().nonEmpty, "slow query never started")
+      sock.close()
+      // the keepalive probe should hit the broken pipe and cancel the group
+      val t1 = System.currentTimeMillis()
+      while (tracker.getActiveJobIds().nonEmpty && System.currentTimeMillis() - t1 < 15000)
+        Thread.sleep(100)
+      val lingering = tracker.getActiveJobIds()
+      assert(lingering.isEmpty,
+        s"jobs still active ${System.currentTimeMillis() - t1}ms after disconnect: ${lingering.mkString(",")}")
+    } finally srv.stop()
+  }
 }
