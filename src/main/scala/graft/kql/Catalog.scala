@@ -10,13 +10,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * pure macro expansion — spliced into the plan at reference, never
   * materialized (`query_to_workflow.rs:51-84`).
   */
+/** A `write`/`tee` target: parquet path, plus the primary key when the sink
+  * upserts instead of appending.
+  */
+final case class SinkSpec(path: String, primaryKey: Option[String])
+
 final class Catalog(spark: SparkSession) {
   // concurrent maps: the HTTP server mutates views/sinks from its handler
   // threads while query threads read them
   private val tables = TrieMap[String, () => DataFrame]()
   private val streams = TrieMap[String, () => DataFrame]()
   private val views = TrieMap[String, Query]()
-  private val sinks = TrieMap[String, String]()
+  private val sinks = TrieMap[String, SinkSpec]()
 
   def register(name: String, df: => DataFrame): this.type = {
     tables(name) = () => df
@@ -42,13 +47,24 @@ final class Catalog(spark: SparkSession) {
     this
   }
 
-  /** Register a parquet sink path for `write`/`tee` targets. */
+  /** Register an append-mode parquet sink path for `write`/`tee` targets
+    * (reference `create_sink`, `miso-connectors/src/lib.rs:306-310`).
+    */
   def registerSink(name: String, path: String): this.type = {
-    sinks(name) = path
+    sinks(name) = SinkSpec(path, None)
     this
   }
 
-  def resolveSink(name: String): Option[String] = sinks.get(name)
+  /** Register a key-upserting sink: rows written here replace stored rows
+    * sharing the primary-key value (reference `create_updatable_sink`,
+    * `lib.rs:311-318`, `memory.rs:181-195`).
+    */
+  def registerUpsertSink(name: String, path: String, primaryKey: String): this.type = {
+    sinks(name) = SinkSpec(path, Some(primaryKey))
+    this
+  }
+
+  def resolveSink(name: String): Option[SinkSpec] = sinks.get(name)
 
   def resolveTable(name: String): Option[DataFrame] = tables.get(name).map(_())
 

@@ -505,14 +505,16 @@ final class Compiler(
       // terminal sink: consume into the sink, emit nothing downstream.
       // Recorded, not executed — explaining a query must not mutate its
       // sinks; Kql.run flushes via runWrites().
-      pendingWrites += ((df, resolveSinkPath(target)))
+      pendingWrites += ((df, resolveSinkSpec(target)))
       df.limit(0)
 
     case QueryStep.Tee(target) =>
-      // write AND pass through; cache so the side-write and the downstream
-      // pipeline scan the input once
-      val cached = df.cache()
-      pendingWrites += ((cached, resolveSinkPath(target)))
+      // write AND pass through; localCheckpoint so the side-write and the
+      // downstream pipeline scan the input once, and — unlike cache(),
+      // which pins executor storage until an unpersist nothing here can
+      // safely issue — the blocks release once the RDD is GC'd
+      val cached = df.localCheckpoint()
+      pendingWrites += ((cached, resolveSinkSpec(target)))
       cached
   }
 
@@ -571,16 +573,19 @@ final class Compiler(
     * [[runWrites]], Kql.explain deliberately does not.
     */
   private val pendingWrites =
-    scala.collection.mutable.ListBuffer[(DataFrame, String)]()
+    scala.collection.mutable.ListBuffer[(DataFrame, SinkSpec)]()
 
   def runWrites(): Unit = {
-    pendingWrites.foreach { case (d, path) =>
-      d.write.mode("append").parquet(path)
+    pendingWrites.foreach {
+      case (d, SinkSpec(path, Some(key))) =>
+        graft.sources.Sinks.upsert(spark, d, path, key)
+      case (d, SinkSpec(path, None)) =>
+        graft.sources.Sinks.append(d, path)
     }
     pendingWrites.clear()
   }
 
-  private def resolveSinkPath(target: String): String =
+  private def resolveSinkSpec(target: String): SinkSpec =
     catalog.resolveSink(target).getOrElse(
       throw KqlParseException(s"unknown sink '$target'", 0))
 

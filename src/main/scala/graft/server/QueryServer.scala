@@ -41,9 +41,14 @@ import graft.kql.{Catalog, Compiler, Kql, KqlParseException, Parsed, Query, Quer
   */
 final class QueryServer(
     spark: SparkSession, catalog: Catalog, port: Int,
-    host: String = "127.0.0.1", allowRaw: Boolean = false) {
+    host: String = "127.0.0.1", allowRaw: Boolean = false,
+    statusDir: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private val server = HttpServer.create(new InetSocketAddress(host, port), 0)
+  // query-status tracking through an upsert sink (reference
+  // `miso-server/src/query_status.rs`): one record per query id, advanced
+  // planning → running → success/error/canceled; the table is plain parquet
+  private val statusWriter = statusDir.map(new QueryStatusWriter(spark, _))
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -108,14 +113,23 @@ final class QueryServer(
     val parsed = Kql.parse(req.kql)
     checkRaw(parsed)
     val groupId = s"graft-query-${QueryServer.ids.incrementAndGet()}"
+    val status = statusWriter.map(_.start(groupId, req.kql))
     // thread-local group: every job this handler thread submits joins it,
     // so a disconnect can cancel exactly this query's work
     spark.sparkContext.setJobGroup(groupId, req.kql.take(200), interruptOnCancel = true)
     try {
-      if (req.partial && QueryServer.partialEligible(parsed))
-        streamPartials(ex, parsed, req.debounceMs, groupId)
-      else
-        batchQuery(ex, parsed, groupId)
+      status.foreach(_.update("running"))
+      val outcome =
+        if (req.partial && QueryServer.partialEligible(parsed))
+          streamPartials(ex, parsed, req.debounceMs, groupId)
+        else
+          batchQuery(ex, parsed, groupId)
+      status.foreach(_.finish(outcome))
+    } catch {
+      case e: Exception =>
+        status.foreach(_.finish("error",
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(500))))
+        throw e
     } finally spark.sparkContext.clearJobGroup()
   }
 
@@ -135,11 +149,13 @@ final class QueryServer(
     out.write(s"event: error\ndata: $msg\n\n".getBytes(UTF_8))
   }
 
-  private def batchQuery(ex: HttpExchange, parsed: Parsed, groupId: String): Unit = {
+  /** @return outcome for the status record: success | canceled | error */
+  private def batchQuery(ex: HttpExchange, parsed: Parsed, groupId: String): String = {
     val compiler = new Compiler(spark, catalog, parsed.lets)
     val df = compiler.compile(parsed.query)
     compiler.runWrites() // write/tee sinks flush on run, never on explain
     val out = openSse(ex)
+    var outcome = "success"
     val lock = new Object
     val alive = new AtomicBoolean(true)
     // keepalive probe: while this thread is blocked inside a Spark job the
@@ -168,13 +184,20 @@ final class QueryServer(
       }
       if (alive.get())
         lock.synchronized { out.write("event: done\ndata: \n\n".getBytes(UTF_8)); out.flush() }
+      else outcome = "canceled"
     } catch {
-      case _: IOException => spark.sparkContext.cancelJobGroup(groupId)
+      case _: IOException =>
+        outcome = "canceled"
+        spark.sparkContext.cancelJobGroup(groupId)
       case e: Exception =>
         // a job killed by the watchdog's cancel surfaces here as a
         // SparkException — not an error worth reporting to a gone client
-        if (alive.get()) try lock.synchronized(sseError(out, e)) catch { case _: IOException => () }
+        if (alive.get()) {
+          outcome = "error"
+          try lock.synchronized(sseError(out, e)) catch { case _: IOException => () }
+        } else outcome = "canceled"
     } finally alive.set(false)
+    outcome
   }
 
   /** Progressive partial results: run the aggregation prefix as a
@@ -185,7 +208,7 @@ final class QueryServer(
     * (e.g. dcount — distinct aggregation — or a pre-aggregation sort).
     */
   private def streamPartials(
-      ex: HttpExchange, parsed: Parsed, debounceMs: Long, groupId: String): Unit = {
+      ex: HttpExchange, parsed: Parsed, debounceMs: Long, groupId: String): String = {
     val steps = parsed.query.steps
     val lastAgg = steps.lastIndexWhere(QueryServer.isBlockingAgg)
     val prefix = Query(steps.take(lastAgg + 1))
@@ -218,6 +241,7 @@ final class QueryServer(
         runner.setDaemon(true)
         runner.start()
         var disconnected = false
+        var outcome = "success"
         var lastKey: String = null
         try {
           while (!done.get() && !disconnected) {
@@ -246,11 +270,13 @@ final class QueryServer(
           }
         } catch {
           case e: Exception =>
+            outcome = "error"
             if (!disconnected) try { sseError(out, e); out.flush() } catch { case _: IOException => () }
         } finally {
           try sq.stop() catch { case _: Throwable => () }
           try spark.catalog.dropTempView(qn) catch { case _: Throwable => () }
         }
+        if (disconnected) "canceled" else outcome
     }
   }
 
@@ -318,8 +344,9 @@ object QueryServer {
   /** Start on an ephemeral (or given) port, loopback-only by default. */
   def start(
       spark: SparkSession, catalog: Catalog, port: Int = 0,
-      host: String = "127.0.0.1", allowRaw: Boolean = false): QueryServer =
-    new QueryServer(spark, catalog, port, host, allowRaw).start()
+      host: String = "127.0.0.1", allowRaw: Boolean = false,
+      statusDir: Option[String] = None): QueryServer =
+    new QueryServer(spark, catalog, port, host, allowRaw, statusDir).start()
 
   /** Standalone entry point: serve the testdata catalog. */
   def main(args: Array[String]): Unit = {
@@ -334,7 +361,11 @@ object QueryServer {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val srv = start(spark, Catalog.forTestData(spark, sfDir), port, host, allowRaw)
+    val cat = Catalog.forTestData(spark, sfDir)
+    // with status tracking enabled, the status table is itself queryable
+    val statusDir = sys.env.get("SPARK_GRAFT_STATUS_DIR")
+    statusDir.foreach(d => cat.register("query_status", spark.read.parquet(d)))
+    val srv = start(spark, cat, port, host, allowRaw, statusDir)
     println(s"graft query server listening on $host:${srv.boundPort} (sf=$sfDir)")
     Thread.currentThread().join()
   }

@@ -1,0 +1,55 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet sink writers for KQL `write`/`tee` targets.
+  *
+  * Two modes, matching the reference's sink split
+  * (`miso-connectors/src/lib.rs:306-318`): plain append (`create_sink`) and
+  * key-based upsert (`create_updatable_sink`,
+  * `miso-connectors/src/memory.rs:181-195`) where an incoming row replaces
+  * the stored row sharing its primary-key value.
+  */
+object Sinks {
+
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode("append").parquet(path)
+
+  /** Key-based merge/overwrite (the reference's `UpdatableSink::upsert`,
+    * `memory.rs:87-103`): incoming rows replace existing rows with the same
+    * primary-key value; a batch lacking the key column fails like the
+    * reference's `SinkUpsertError::PrimaryKeyNotFound`. Duplicate keys
+    * within one batch are collapsed to a single row (which one is
+    * nondeterministic — a DataFrame has no row order to make "last" of).
+    *
+    * Implementation is read-merge-write with a directory swap, sized for
+    * control tables (query status, watermark registries — the reference's
+    * only upsert consumers). At data scale, partition the target by a
+    * key-derived bucket and use dynamic partition-overwrite so a batch
+    * rewrites only the partitions its keys land in, not the whole table.
+    */
+  def upsert(spark: SparkSession, df: DataFrame, path: String, primaryKey: String): Unit = {
+    require(df.columns.exists(_.equalsIgnoreCase(primaryKey)),
+      s"upsert primary key '$primaryKey' not found in row schema " +
+        s"[${df.columns.mkString(", ")}]")
+    val incoming = df.dropDuplicates(primaryKey)
+    val dir = new Path(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(dir)) {
+        // keep existing rows whose key is absent from the batch, then take
+        // the batch wholesale; schema-tolerant like the engine's bag union
+        spark.read.parquet(path)
+          .join(incoming.select(primaryKey).distinct(), Seq(primaryKey), "left_anti")
+          .unionByName(incoming, allowMissingColumns = true)
+      } else incoming
+    // the merged plan reads the directory it is about to replace — write to
+    // a sibling temp dir first, then swap
+    val tmp = new Path(path + ".upsert-tmp")
+    fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(dir, true)
+    fs.rename(tmp, dir)
+  }
+}
