@@ -1,6 +1,52 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark entry point: runs every registered query against
+  * `SPARK_GRAFT_SF_DIR`, prints one JSON line with per-query seconds, and
+  * exits nonzero if any query failed — a crashed query must never
+  * masquerade as a fast one (its time is recorded as the -1 sentinel and
+  * its message lands in `"errors"`).
+  */
 object Bench {
+
+  final case class Result(
+      times: Seq[(String, Double)], errors: Seq[(String, String)]) {
+    def totalSec: Double = times.collect { case (_, t) if t >= 0 => t }.sum
+    def json(sfDir: String): String = {
+      val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      val errs = errors.map { case (k, m) =>
+        s"\"$k\":\"${m.replace("\\", "\\\\").replace("\"", "\\\"")}\""
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":$qs,""" +
+        s""""failures":${errors.length},"errors":$errs,"sf":"$sfDir"}"""
+    }
+  }
+
+  /** Run each query through a noop sink (a bare count() would let Catalyst
+    * eliminate ORDER BYs and prune projections, timing a cheaper plan than
+    * the query declares). Failures record a -1 time sentinel.
+    */
+  def run(
+      spark: SparkSession, sfDir: String,
+      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Result = {
+    val outcomes = queries.map { case (name, fn) =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
+      } catch {
+        case e: Throwable =>
+          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+            .trim.replace("\n", " ").take(300)
+          (name, -1.0, Some(msg))
+      }
+    }
+    Result(
+      outcomes.map { case (n, t, _) => n -> t },
+      outcomes.collect { case (n, _, Some(m)) => n -> m })
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,19 +64,9 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "lineitem").limit(1).collect()
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // noop sink consumes every row: a bare count() would let Catalyst
-      // eliminate the ORDER BY and prune projections, timing a cheaper
-      // plan than the query actually declares
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val result = run(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    println(result.json(sfDir))
     spark.stop()
+    if (result.errors.nonEmpty) sys.exit(1)
   }
 }
