@@ -46,14 +46,4 @@ object KqlFunctions {
     */
   def binTime(ts: Column, widthMicros: Long): Column =
     timestamp_micros(floor(unix_micros(ts) / lit(widthMicros)) * lit(widthMicros))
-
-  /** KQL truthiness: non-empty / non-zero / non-null ⇒ true
-    * (reference: `miso-workflow-types/src/value/mod.rs:479-492`).
-    */
-  def truthy(c: Column): Column = {
-    // bool → itself; numeric → != 0; string → non-empty; null → false.
-    // Applied by the expression compiler only where the operand type calls
-    // for it; this generic form handles the string/bool/numeric cases.
-    coalesce(c.cast("boolean"), lit(false))
-  }
 }

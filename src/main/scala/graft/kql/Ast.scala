@@ -131,6 +131,12 @@ object QueryStep {
   final case class Extend(fields: Seq[(Expr, String)]) extends QueryStep
   /** project-rename pairs (to, from) — `from` keeps its parsed structure. */
   final case class Rename(pairs: Seq[(String, FieldPath)]) extends QueryStep
+  /** project-away: drop the listed columns, keep everything else (KQL
+    * sugar — not in the reference; complement-of-project semantics). */
+  final case class ProjectAway(fields: Seq[FieldPath]) extends QueryStep
+  /** project-keep: keep only the listed columns, in their original schema
+    * order (KQL semantics — order comes from the table, not the list). */
+  final case class ProjectKeep(fields: Seq[FieldPath]) extends QueryStep
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
   final case class Limit(n: Long) extends QueryStep
   final case class Sort(keys: Seq[SortKey]) extends QueryStep

@@ -163,20 +163,6 @@ final class Compiler(
 
   // ───────────────────────── expression lowering ─────────────────────────
 
-  /** Schema-blind field access (used where no input frame is in scope). */
-  def compileField(path: FieldPath): Column = {
-    val head = path.parts.head
-    var c: Column = col(head.name)
-    // get() (not getItem) tolerates out-of-bounds → null, matching the
-    // reference's missing semantics under Spark's ANSI mode
-    head.arrIndices.foreach(i => c = get(c, lit(i)))
-    path.parts.tail.foreach { part =>
-      c = c.getField(part.name)
-      part.arrIndices.foreach(i => c = get(c, lit(i)))
-    }
-    c
-  }
-
   /** Schema-aware field access: when the path descends into a VariantType
     * column (schemaless JSON — miso's native model), the remaining segments
     * compile to `try_variant_get` with a JSON path; a missing key yields
@@ -479,6 +465,16 @@ final class Compiler(
     case QueryStep.Rename(pairs) =>
       pairs.foldLeft(df) { case (acc, (to, from)) => compileRename(acc, to, from) }
 
+    case QueryStep.ProjectAway(fields) =>
+      // complement-of-project: drop what's listed (missing names are
+      // no-ops, matching drop()'s tolerance and the missing≡null model)
+      df.drop(fields.map(_.render): _*)
+
+    case QueryStep.ProjectKeep(fields) =>
+      // KQL orders the kept columns by the table's schema, not the list
+      val keep = fields.map(_.render.toLowerCase).toSet
+      df.select(df.columns.filter(c => keep.contains(c.toLowerCase)).map(col): _*)
+
     case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)
 
     case QueryStep.Limit(n) => df.limit(n.toInt)
@@ -675,8 +671,15 @@ final class Compiler(
       left: DataFrame, kind: JoinKind, sub: Query,
       lk: FieldPath, rk: FieldPath): DataFrame = {
     val right = compile(sub)
-    val l = left.filter(compileField(lk).isNotNull).alias("__l")
-    val r = right.filter(compileField(rk).isNotNull).alias("__r")
+    // key expressions compile through the schema-aware path BEFORE aliasing,
+    // into temp columns: nested (`a.b`), array-indexed (`a.b[0]`), variant,
+    // and missing fields all get their usual lowering (a missing key is
+    // null, and null keys drop — join.rs:183-185), and the join condition
+    // stays a plain column equality (equi-join → hash/broadcast-able)
+    val l = left.withColumn("__lkey", compileField(left, lk))
+      .filter(col("__lkey").isNotNull).alias("__l")
+    val r = right.withColumn("__rkey", compileField(right, rk))
+      .filter(col("__rkey").isNotNull).alias("__r")
 
     val sparkKind = kind match {
       case JoinKind.Inner => "inner"
@@ -684,7 +687,7 @@ final class Compiler(
       case JoinKind.Left => "left"
       case JoinKind.Right => "right"
     }
-    val cond = col(s"__l.${lk.render}") === col(s"__r.${rk.render}")
+    val cond = col("__l.__lkey") === col("__r.__rkey")
     val joined = l.join(r, cond, sparkKind)
 
     val leftCols = left.columns.toSeq
@@ -731,63 +734,86 @@ final class Compiler(
       col(path.parts.head.name)
         .withField(path.parts.tail.map(_.name).mkString("."), value))
 
+  /** DataType of a compiled field path (compile-time schema probe). */
+  private def dataTypeAt(df: DataFrame, f: FieldPath): DataType =
+    df.select(compileField(df, f)).schema.head.dataType
+
+  /** Render an entry value for object expansion: atomic values cast to
+    * string, composite values as JSON (the closest static-schema shape to
+    * the reference's dynamic `Value` rendering).
+    */
+  private def entryValueString(c: Column, dt: DataType): Column = dt match {
+    case _: StructType | _: ArrayType | _: MapType => to_json(c)
+    case _ => c.cast(StringType)
+  }
+
+  /** The "expansion array" of an object (map) column, per expand kind
+    * (expand.rs:103-124): bag → one-entry maps; array → flattened
+    * alternating [k, v, k, v, …].
+    */
+  private def mapExpansion(m: Column, kind: ExpandKind): Column = kind match {
+    case ExpandKind.Bag =>
+      transform(map_entries(m), e => map(e.getField("key"), e.getField("value")))
+    case ExpandKind.Arr =>
+      flatten(transform(map_entries(m),
+        e => array(e.getField("key").cast(StringType),
+          e.getField("value").cast(StringType))))
+  }
+
+  /** Expansion array of a struct column — statically-shaped Objects expand
+    * too (expand.rs treats any Object value alike). Entry values unify as
+    * strings/JSON since a Spark map needs one value type (documented
+    * deviation from the reference's dynamic values).
+    */
+  private def structExpansion(s: Column, st: StructType, kind: ExpandKind): Column = {
+    val entries = kind match {
+      case ExpandKind.Bag =>
+        array(st.fields.map(fd =>
+          map(lit(fd.name), entryValueString(s.getField(fd.name), fd.dataType))): _*)
+      case ExpandKind.Arr =>
+        flatten(array(st.fields.map(fd =>
+          array(lit(fd.name), entryValueString(s.getField(fd.name), fd.dataType))): _*))
+    }
+    // a null struct is not expandable — null expansion, not n null entries
+    when(s.isNull, lit(null)).otherwise(entries)
+  }
+
   private def compileExpand(
       df: DataFrame, fields: Seq[FieldPath], kind: ExpandKind): DataFrame = {
     require(fields.forall(_.parts.forall(_.arrIndices.isEmpty)),
       "mv-expand of array-indexed paths not supported")
-    // non-existent / scalar fields are left untouched (expand.rs: only
-    // Array/Object values expand; fieldType returns Other for unknowns)
-    val arrayFs = fields.filter(f => fieldType(df, f) == KT.Arr)
-    val mapFs = fields.filter(f => f.isSimple &&
-      df.schema.fields.find(_.name == f.simpleName).exists(_.dataType.isInstanceOf[MapType]))
+    // For each requested field, its expansion array (expand.rs:98-131):
+    // arrays expand as themselves, objects per kind; anything else —
+    // scalar, missing, null — is not expandable and passes through.
+    val expandable: Seq[(FieldPath, Column)] = fields.flatMap { f =>
+      val c = compileField(df, f)
+      dataTypeAt(df, f) match {
+        case _: ArrayType => Some(f -> c)
+        case _: MapType => Some(f -> mapExpansion(c, kind))
+        case st: StructType => Some(f -> structExpansion(c, st, kind))
+        case _ => None
+      }
+    }
+    if (expandable.isEmpty) return df
 
     var out = df
-    if (arrayFs.length == 1) {
-      val f = arrayFs.head
-      // reference semantics (expand.rs): a NULL value is not an array →
-      // the row passes through unchanged; an EMPTY array yields no rows.
-      // explode_outer keeps both, explode drops both — so pre-filter the
-      // empty case and use the outer variant.
-      val fc = compileField(out, f)
-      out = out.filter(fc.isNull || size(fc) > 0)
-      if (f.isSimple) out = out.withColumn(f.simpleName, explode_outer(col(f.simpleName)))
-      else {
-        // nested path: explode into a temp column, write back in place
-        // (expand.rs handles deep paths via insert_field_value)
-        out = out.withColumn("__exp", explode_outer(compileField(out, f)))
-        out = writeBack(out, f, col("__exp")).drop("__exp")
-      }
-    } else if (arrayFs.nonEmpty) {
-      // multi-field zip semantics: arrays_zip pads shorter arrays with null
-      // (expand.rs:27-70's Null padding); nested paths go through temp cols
-      val tmps = arrayFs.indices.map(i => s"__exp_$i")
-      arrayFs.zip(tmps).foreach { case (f, t) =>
-        out = out.withColumn(t, compileField(out, f))
-      }
-      out = out.withColumn("__zip", explode(arrays_zip(tmps.map(col): _*)))
-      arrayFs.zip(tmps).foreach { case (f, t) =>
-        out = writeBack(out, f, col(s"__zip.$t"))
-      }
-      out = out.drop("__zip")
-      tmps.foreach(t => out = out.drop(t))
+    val tmps = expandable.indices.map(i => s"__exp_$i").toList
+    expandable.zip(tmps).foreach { case ((_, e), t) => out = out.withColumn(t, e) }
+    // reference OutputIter zip semantics (expand.rs:38-68), per row: expand
+    // to the longest non-null expansion, padding shorter (and null) fields
+    // with null; a row where EVERY expansion is null passes through once;
+    // a row with at least one non-null expansion, all of them empty,
+    // emits nothing.
+    val lens = tmps.map(t => size(col(t)))
+    val maxLen = if (lens.length == 1) lens.head else greatest(lens: _*)
+    out = out.withColumn("__len", maxLen)
+      .filter(col("__len").isNull || col("__len") > 0)
+      .withColumn("__i", explode_outer(
+        when(col("__len").isNull, array(lit(0)))
+          .otherwise(sequence(lit(0), col("__len") - 1))))
+    expandable.zip(tmps).foreach { case ((f, _), t) =>
+      out = writeBack(out, f, get(col(t), col("__i")))
     }
-    mapFs.map(_.simpleName).foreach { f =>
-      kind match {
-        case ExpandKind.Bag =>
-          // object → one-entry bags
-          out = out
-            .select(out.columns.map(col) :+
-              explode(col(f)).as(Seq("__k", "__v")): _*)
-            .withColumn(f, map(col("__k"), col("__v")))
-            .drop("__k", "__v")
-        case ExpandKind.Arr =>
-          // object → alternating key/value rows ([k, v, k, v…] flattened)
-          out = out.withColumn(f,
-            explode(flatten(transform(map_entries(col(f)),
-              e => array(e.getField("key").cast(StringType),
-                e.getField("value").cast(StringType))))))
-      }
-    }
-    out
+    out.drop("__i" :: "__len" :: tmps: _*)
   }
 }

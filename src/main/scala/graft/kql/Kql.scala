@@ -55,6 +55,8 @@ object Kql {
         s"extend ${fs.map { case (e, n) => s"$n = ${Render.expr(e)}" }.mkString(", ")}"
       case QueryStep.Rename(ps) =>
         s"project-rename ${ps.map { case (t, f) => s"$t = ${f.render}" }.mkString(", ")}"
+      case QueryStep.ProjectAway(fs) => s"project-away ${fs.map(_.render).mkString(", ")}"
+      case QueryStep.ProjectKeep(fs) => s"project-keep ${fs.map(_.render).mkString(", ")}"
       case QueryStep.Expand(fs, k) => s"mv-expand kind=$k ${fs.map(_.render).mkString(", ")}"
       case QueryStep.Limit(n) => s"limit $n"
       case QueryStep.Sort(ks) => s"sort by ${ks.map(Render.sortKey).mkString(", ")}"

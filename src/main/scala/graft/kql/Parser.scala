@@ -93,6 +93,8 @@ final class Parser(src: String, nowMicros: Long) {
       case "project"          => p += 1; QueryStep.Project(parseProjFields())
       case "extend"           => p += 1; QueryStep.Extend(parseProjFields())
       case "project-rename"   => p += 1; QueryStep.Rename(parseRenames())
+      case "project-away"     => p += 1; QueryStep.ProjectAway(parseFieldList())
+      case "project-keep"     => p += 1; QueryStep.ProjectKeep(parseFieldList())
       case "mv-expand"        => p += 1; parseExpand()
       case "limit" | "take"   => p += 1; QueryStep.Limit(parseIntLit())
       case "sort" | "order"   => p += 1; eatIdent("by"); QueryStep.Sort(parseSortKeys())

@@ -331,7 +331,8 @@ object QueryServer {
     i >= 0 &&
       steps.drop(i + 1).forall {
         case _: QueryStep.Filter | _: QueryStep.Project | _: QueryStep.Extend |
-             _: QueryStep.Rename | _: QueryStep.Sort | _: QueryStep.TopN |
+             _: QueryStep.Rename | _: QueryStep.ProjectAway |
+             _: QueryStep.ProjectKeep | _: QueryStep.Sort | _: QueryStep.TopN |
              _: QueryStep.Limit | _: QueryStep.Distinct => true
         case _ => false
       } &&
