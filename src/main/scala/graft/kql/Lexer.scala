@@ -16,8 +16,26 @@ object Token {
   final case class Eof(pos: Int) extends Token
 }
 
-final case class KqlParseException(msg: String, pos: Int)
-  extends RuntimeException(s"$msg (at offset $pos)")
+/** One positioned diagnostic (reference `parser.rs` rich errors: message +
+  * line/column + what was expected at that point).
+  */
+final case class ParseError(
+    msg: String, pos: Int, line: Int, column: Int,
+    expected: Seq[String] = Nil) {
+  def render: String = {
+    val exp = if (expected.isEmpty) "" else s" (expected: ${expected.mkString(", ")})"
+    s"$msg at line $line, column $column$exp"
+  }
+}
+
+/** Parse failure carrying every diagnostic the parser recovered past —
+  * the single-error constructor form stays for compiler-side errors.
+  */
+final case class KqlParseException(
+    msg: String, pos: Int, errors: Seq[ParseError] = Nil)
+  extends RuntimeException(
+    if (errors.isEmpty) s"$msg (at offset $pos)"
+    else errors.map(_.render).mkString("; "))
 
 object Lexer {
   import Token._

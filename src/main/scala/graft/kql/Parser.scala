@@ -10,10 +10,32 @@ import Expr._
 final class Parser(src: String, nowMicros: Long) {
   private val toks: Vector[Token] = Lexer.lex(src)
   private var p = 0
+  // diagnostics recovered past (reference parser.rs:39-72 collects multiple
+  // labelled errors instead of stopping at the first)
+  private val errors = Seq.newBuilder[ParseError]
+  private var nErrors = 0
 
-  private def peek: Token = toks(p)
-  private def next(): Token = { val t = toks(p); p += 1; t }
+  // clamp to the trailing Eof: error recovery may resync after a helper
+  // consumed the Eof token itself
+  private def peek: Token = toks(math.min(p, toks.length - 1))
+  private def next(): Token = { val t = peek; p += 1; t }
   private def fail(msg: String): Nothing = throw KqlParseException(msg, peek.pos)
+  private def fail(msg: String, expected: Seq[String]): Nothing =
+    throw KqlParseException(msg, peek.pos,
+      Seq(toError(KqlParseException(msg, peek.pos)).copy(expected = expected)))
+
+  private def lineCol(pos: Int): (Int, Int) = {
+    val upto = src.substring(0, math.min(math.max(pos, 0), src.length))
+    (upto.count(_ == '\n') + 1, pos - upto.lastIndexOf('\n'))
+  }
+
+  private def toError(e: KqlParseException): ParseError =
+    e.errors.headOption.getOrElse {
+      val (l, c) = lineCol(e.pos)
+      ParseError(e.msg, e.pos, l, c)
+    }
+
+  private def record(e: KqlParseException): Unit = { errors += toError(e); nErrors += 1 }
 
   private def isIdent(t: Token, s: String): Boolean = t match {
     case Ident(w, _) => w.equalsIgnoreCase(s)
@@ -21,13 +43,13 @@ final class Parser(src: String, nowMicros: Long) {
   }
   private def atIdent(s: String): Boolean = isIdent(peek, s)
   private def eatIdent(s: String): Unit =
-    if (atIdent(s)) p += 1 else fail(s"expected '$s'")
+    if (atIdent(s)) p += 1 else fail(s"expected '$s'", Seq(s))
   private def atPunct(s: String): Boolean = peek match {
     case Punct(w, _) => w == s
     case _ => false
   }
   private def eatPunct(s: String): Unit =
-    if (atPunct(s)) p += 1 else fail(s"expected '$s'")
+    if (atPunct(s)) p += 1 else fail(s"expected '$s'", Seq(s))
   private def tryPunct(s: String): Boolean =
     if (atPunct(s)) { p += 1; true } else false
   private def tryIdent(s: String): Boolean =
@@ -54,9 +76,14 @@ final class Parser(src: String, nowMicros: Long) {
     }
     val q = parsePipeline()
     peek match {
-      case Eof(_) => Parsed(lets, q)
-      case t => throw KqlParseException("trailing input after query", t.pos)
+      case Eof(_) => ()
+      case t =>
+        record(KqlParseException("trailing input after query", t.pos))
     }
+    val errs = errors.result()
+    if (errs.nonEmpty)
+      throw KqlParseException(errs.head.msg, errs.head.pos, errs)
+    Parsed(lets, q)
   }
 
   private def parsePipeline(): Query = {
@@ -74,7 +101,20 @@ final class Parser(src: String, nowMicros: Long) {
     } else {
       steps += QueryStep.Scan(source)
     }
-    while (tryPunct("|")) steps += parseStep()
+    // error recovery (reference parser.rs:39-72): a step that fails to
+    // parse records its diagnostic and resyncs at the next step boundary
+    // (`|`, or `)` so a broken join/union subquery doesn't eat the outer
+    // query), letting one pass surface every broken step
+    while (tryPunct("|")) {
+      val startP = p
+      try steps += parseStep()
+      catch {
+        case e: KqlParseException =>
+          record(e)
+          if (p == startP) p += 1 // guarantee progress
+          while (!atPunct("|") && !atPunct(")") && !peek.isInstanceOf[Eof]) p += 1
+      }
+    }
     Query(steps.result())
   }
 
@@ -107,9 +147,9 @@ final class Parser(src: String, nowMicros: Long) {
       case "count"            => p += 1; QueryStep.CountStep
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
-      case other => fail(s"unknown step '$other'")
+      case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
-    case t => throw KqlParseException("expected a step name after '|'", t.pos)
+    case t => fail("expected a step name after '|'", Parser.stepKeywords)
   }
 
   /** Project/extend fields with the reference's auto-naming
@@ -312,14 +352,19 @@ final class Parser(src: String, nowMicros: Long) {
     eatIdent("on")
     // `on $left.a == $right.b` | `on f`
     if (tryPunct("$")) {
-      eatIdent("left")
+      val side1 = identText()
       eatPunct(".")
       val lk = parseFieldPath()
       eatPunct("==")
       eatPunct("$")
-      eatIdent("right")
+      val side2 = identText()
       eatPunct(".")
       val rk = parseFieldPath()
+      // reference validation: the condition must compare the two sides,
+      // not e.g. $left against $left
+      if (!side1.equalsIgnoreCase("left") || !side2.equalsIgnoreCase("right"))
+        fail("join condition must compare $left.<field> == $right.<field>",
+          Seq("$left", "$right"))
       QueryStep.Join(kind, sub, lk, rk)
     } else {
       val f = parseFieldPath()
@@ -569,6 +614,12 @@ final class Parser(src: String, nowMicros: Long) {
 }
 
 object Parser {
+  /** Step names reported as the expected set at a broken step boundary. */
+  val stepKeywords: Seq[String] = Seq(
+    "where", "project", "extend", "project-rename", "project-away",
+    "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
+    "summarize", "distinct", "union", "join", "count", "write", "tee")
+
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =
     new Parser(src, nowMicros).parse()
