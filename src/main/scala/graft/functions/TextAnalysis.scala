@@ -88,15 +88,14 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
   }
 
-  /** Order-sensitive rolling-hash document fingerprint over tokens:
-    * polynomial hash in modular arithmetic (mod 1e15 keeps `acc*31 + h`
-    * inside long range under ANSI overflow checking).
+  /** Order-sensitive rolling-hash document fingerprint over tokens,
+    * lowered to the native single-pass [[graft.functions.PolyFingerprint]]
+    * expression. The char-polynomial hash is chosen over xxhash64 so the
+    * identical computation runs as plain SQL in the DuckDB oracle — the
+    * gate query hash-verifies cross-engine instead of rows-only.
     */
   def fingerprint(text: Column): Column = {
-    val p = 1000000000000000L // 10^15
-    aggregate(
-      tokens(text),
-      lit(0L),
-      (acc, t) => pmod(acc * lit(31L) + pmod(xxhash64(t), lit(p)), lit(p)))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.PolyFingerprint(expression(tokens(text))))
   }
 }

@@ -12,6 +12,27 @@ import graft.functions.{Dedup, Similarity, TextAnalysis}
   */
 object PipelineQueries {
 
+  /** DuckDB mirror of [[TextAnalysis.langId]], generated from the same
+    * `langProfiles` map: marker-hit structs, `list_max` argmax (ties break
+    * to the later code in both engines — struct comparison), 'und' on zero
+    * hits.
+    */
+  private val langIdOracleSql: String = {
+    val arms = TextAnalysis.langProfiles.toSeq.sortBy(_._1).map { case (code, words) =>
+      s"{'hits': len(list_filter(toks, t -> t IN (" +
+        words.map(w => s"'$w'").mkString(", ") + s"))), 'code': '$code'}"
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id,
+       |  list_transform(list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0),
+       |                 x -> lower(x)) AS toks
+       |FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN best.hits > 0 THEN best.code ELSE 'und' END AS lang_guess
+       |FROM (SELECT doc_id, list_max([
+       |    $arms]) AS best FROM t)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ───── text analysis ─────
@@ -49,15 +70,30 @@ object PipelineQueries {
           col("q.stopword_ratio").as("stopword_ratio"))
         .orderBy("doc_id")),
 
-    // language-ID heuristic: engine-specific argmax — rows-only here,
-    // accuracy asserted in PipelineSpec on hand-labeled samples.
-    Q.noOracle("pl_lang_id")(
+    // language-ID heuristic: marker-word argmax is pure logic, so the
+    // oracle recomputes it in SQL (generated from the same langProfiles —
+    // one source of truth for both engines); accuracy on hand-labeled
+    // samples asserted in PipelineSpec.
+    Q("pl_lang_id", langIdOracleSql)(
       (s, d) => Tables.load(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.langId(col("text")).as("lang_guess"))
         .orderBy("doc_id")),
 
-    // rolling-hash fingerprint (xxhash64-based — not oracle-expressible)
-    Q.noOracle("pl_fingerprint")(
+    // polynomial rolling-hash fingerprint — the char-polynomial runs as
+    // plain SQL in DuckDB, so this gate hash-verifies cross-engine
+    Q("pl_fingerprint",
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT), list_transform(toks, t ->
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(string_split(t, ''), c -> CAST(unicode(c) AS BIGINT))),
+        |        (a, c) -> (a*131 + c) % 1000000000000000))),
+        |    (acc, th) -> (acc*31 + th) % 1000000000000000) AS fp
+        |FROM (SELECT doc_id,
+        |        list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin)(
       (s, d) => Tables.load(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
