@@ -49,6 +49,10 @@ final class QueryServer(
   // `miso-server/src/query_status.rs`): one record per query id, advanced
   // planning → running → success/error/canceled; the table is plain parquet
   private val statusWriter = statusDir.map(new QueryStatusWriter(spark, _))
+  // per-step row metrics (reference miso-common/src/metrics.rs) harvested
+  // from executed-plan SQLMetrics; owned per server so tests don't
+  // double-count across instances
+  private val metrics = new StepMetricsListener
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -56,12 +60,18 @@ final class QueryServer(
     server.createContext("/query", (ex: HttpExchange) => handle(ex, handleQuery))
     server.createContext("/explain", (ex: HttpExchange) => handle(ex, handleExplain))
     server.createContext("/views/", (ex: HttpExchange) => handle(ex, handleView))
+    server.createContext("/metrics", (ex: HttpExchange) =>
+      handle(ex, e => respond(e, 200, metrics.render)))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
+    spark.listenerManager.register(metrics)
     server.start()
     this
   }
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = {
+    spark.listenerManager.unregister(metrics)
+    server.stop(0)
+  }
 
   private def handle(ex: HttpExchange, fn: HttpExchange => Unit): Unit =
     try fn(ex)

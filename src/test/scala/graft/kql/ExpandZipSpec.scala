@@ -115,6 +115,17 @@ class ExpandZipSpec extends AnyFunSuite {
     assert(got == Seq(1L, 2L))
   }
 
+  // expand_object_array_kind_zip_with_regular_array (tests.rs:1677):
+  // the flattened object entries zip against the plain array
+  test("array-kind object zips against a regular array with null padding") {
+    val d = logs("""{"id": 1, "metadata": {"a": 1, "b": 2}, "items": ["x", "y", "z"]}""")
+    val got = runOn(d, "test.c | mv-expand kind=array metadata, items | project metadata, items")
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)))).toSeq
+    assert(got == Seq(
+      (Some("a"), Some("x")), (Some("1"), Some("y")),
+      (Some("b"), Some("z")), (Some("2"), None)))
+  }
+
   // ───────── project-away / project-keep sugar ─────────
 
   test("project-away drops listed columns, keeps the rest") {

@@ -139,6 +139,32 @@ class QueryServerSpec extends AnyFunSuite {
     assert(r.body().contains("\"d\":5"))
   }
 
+  test("GET /metrics exposes per-step row counters after a query") {
+    val srv = QueryServer.start(spark, Catalog.forTestData(spark, graft.TestSpark.sf))
+    try {
+      val r0 = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "events | where value > 0 | summarize n=count() by event_type")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r0.statusCode() == 200)
+      // QueryExecutionListener delivery is async — poll briefly
+      def metrics(): String = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/metrics"))
+          .GET().build(),
+        HttpResponse.BodyHandlers.ofString()).body()
+      val t0 = System.currentTimeMillis()
+      var body = metrics()
+      while (!body.contains("graft_step_rows") && System.currentTimeMillis() - t0 < 10000) {
+        Thread.sleep(100); body = metrics()
+      }
+      assert(body.contains("""graft_queries_total{outcome="success"} """))
+      assert(body.contains("graft_step_rows{step="), body)
+      assert("""graft_step_rows\{step="[^"]*HashAggregate""".r.findFirstIn(body).isDefined ||
+        body.contains("HashAggregate"), body)
+    } finally srv.stop()
+  }
+
   test("client disconnect cancels the query's Spark jobs") {
     val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
     // a query that takes several seconds on 4 local cores: full scan of a
