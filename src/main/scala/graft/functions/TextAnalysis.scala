@@ -75,9 +75,20 @@ object TextAnalysis {
     "pt" -> Seq("o", "de", "que", "do", "da", "em", "um", "para", "com", "uma"))
 
   /** Language-ID: argmax of marker-word hit counts; 'und' when no marker
-    * hits at all. Pure columns — ties broken by language-code order.
+    * hits at all; ties won by the greatest code. Lowered to the native
+    * single-pass [[graft.functions.LangId]] expression — the Column form
+    * ([[langIdColumnForm]]) repeats tokenize+lower once per language.
     */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.LangId(expression(text)))
+  }
+
+  /** Reference Column-combinator form of [[langId]] — kept as the
+    * differential-testing twin for the native kernel (LangIdSpec asserts
+    * they agree on every document).
+    */
+  def langIdColumnForm(text: Column): Column = {
     val toks = transform(tokens(text), lower _)
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (code, words) =>
       struct(

@@ -197,6 +197,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == samples.map(_._2))
   }
 
+  test("native langId agrees with the Column form on corpus and edge cases") {
+    val edge = Seq(
+      "", "   ", "\tle\nlade\f", // odd whitespace, fr/es shared markers
+      "de de la la",                   // multi-language markers, tie shapes
+      "the le der el il o",            // one hit in every language → greatest code wins
+      "FÜR UND DER", "Le LA dE",       // case folding incl. non-ASCII
+      "un un del del que que")         // words marking 2-3 languages each
+    val corpus = Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select(col("text")).limit(300)
+      .unionByName(edge.toDF("text"))
+    val both = corpus.select(
+      TextAnalysis.langId(col("text")).as("fast"),
+      TextAnalysis.langIdColumnForm(col("text")).as("ref"))
+    val diff = both.filter(not(col("fast") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"native/Column langId disagree: ${diff.take(5).toSeq}")
+  }
+
   test("fingerprint is order-sensitive and deterministic") {
     val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
       .select(col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
