@@ -22,16 +22,25 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles from a token array (empty when too few tokens). */
-  def shingles(toks: Column, n: Int): Column =
+  /** Word n-gram shingles from a token array (empty when too few tokens).
+    * Kept as the differential-testing twin for the native kernel — the
+    * `slice(toks, i, n)` lambda re-evaluates `toks` per shingle position,
+    * so this form is O(tokens²) when `toks` is a whole tokenize expression.
+    */
+  def shinglesColumnForm(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - lit(n - 1)),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
 
-  /** Distinct shingle set (for Jaccard). */
-  def shingleSet(text: Column, n: Int): Column =
-    array_distinct(shingles(TextAnalysis.tokens(text), n))
+  /** Distinct shingle set (for Jaccard), lowered to the native single-pass
+    * [[graft.functions.ShingleSet]] expression.
+    */
+  def shingleSet(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.ShingleSet(
+      expression(TextAnalysis.tokens(text)), n))
+  }
 
   /** k-wide MinHash signature over a shingle array: sig[i] = min over
     * shingles of xxhash64(shingle, seed=i). Lowered to the native
@@ -94,9 +103,13 @@ object Dedup {
     candidates
       .join(withSets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(withSets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      // |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct shingle sets —
+      // one array walk per pair instead of also materializing the union
+      .withColumn("__inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+        col("__inter") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("__inter")))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }

@@ -197,6 +197,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == samples.map(_._2))
   }
 
+  test("native shingleSet agrees with the Column form on corpus and edge cases") {
+    val edge = Seq("", "a", "a b", "a b c", "a b c d", "x x x x x", "a  b\tc")
+    val corpus = Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select(col("text")).limit(300)
+      .unionByName(edge.toDF("text"))
+    val both = corpus.select(
+      Dedup.shingleSet(col("text"), 3).as("fast"),
+      array_distinct(Dedup.shinglesColumnForm(
+        TextAnalysis.tokens(col("text")), 3)).as("ref"))
+    val diff = both.filter(not(col("fast") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"native/Column shingleSet disagree: ${diff.take(3).toSeq}")
+  }
+
   test("native langId agrees with the Column form on corpus and edge cases") {
     val edge = Seq(
       "", "   ", "\tle\nlade\f", // odd whitespace, fr/es shared markers
