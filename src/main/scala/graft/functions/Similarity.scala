@@ -65,9 +65,19 @@ object Similarity {
 
   /** Sign bits over `nPlanes` random hyperplanes (bit p = sign of
     * dot(vec, plane_p)): `array<bigint>` of 0/1, length nPlanes. Map-side
-    * only, computed once per row.
+    * only, computed once per row; lowered to the native single-pass
+    * [[graft.functions.SignBits]] expression.
     */
-  def lshBits(vec: Column, nPlanes: Int): Column =
+  def lshBits(vec: Column, nPlanes: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(SignBits(expression(vec), nPlanes))
+  }
+
+  /** Reference Column-combinator form of [[lshBits]] — kept as the
+    * differential-testing twin for the native kernel (each plane's
+    * zip_with + aggregate re-runs interpreted per row).
+    */
+  def lshBitsColumnForm(vec: Column, nPlanes: Int): Column =
     transform(sequence(lit(0), lit(nPlanes - 1)), p => {
       val d = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -47,9 +47,19 @@ object TextAnalysis {
 
   /** Document quality features as a struct: length, token stats, ratios.
     * Mirrors the usual pretraining-quality heuristics (length bounds,
-    * mean token length, stopword density, punctuation density).
+    * mean token length, stopword density, punctuation density). Lowered to
+    * the native single-pass [[graft.functions.QualityFeaturesExpr]]; the
+    * Column form tokenized the document once per feature.
     */
   def qualityFeatures(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.QualityFeaturesExpr(expression(text)))
+  }
+
+  /** Reference Column-combinator form of [[qualityFeatures]] — the
+    * differential-testing twin for the native kernel.
+    */
+  def qualityFeaturesColumnForm(text: Column): Column = {
     val toks = tokens(text)
     val nTok = greatest(size(toks), lit(1)).cast("double")
     struct(

@@ -210,6 +210,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(diff.isEmpty, s"native/Column shingleSet disagree: ${diff.take(3).toSeq}")
   }
 
+  test("native qualityFeatures agrees with the Column form on corpus and edge cases") {
+    val edge = Seq(
+      "", "   ", "a", "¡Hola! ¿Qué tal?", "π ≈ 3.14159 Ⅻ",
+      "the the THE", "tabs\there\nandmore", "no-stop words: 42!")
+    val corpus = Tables.load(spark, graft.TestSpark.sf, "documents")
+      .select(col("text")).limit(300)
+      .unionByName(edge.toDF("text"))
+    val both = corpus.select(
+      TextAnalysis.qualityFeatures(col("text")).as("fast"),
+      TextAnalysis.qualityFeaturesColumnForm(col("text")).as("ref"))
+    val diff = both.filter(not(col("fast") <=> col("ref"))).collect()
+    assert(diff.isEmpty, s"native/Column qualityFeatures disagree: ${diff.take(3).toSeq}")
+  }
+
+  test("native lshBits agrees with the Column form on real embeddings") {
+    val emb = Tables.load(spark, graft.TestSpark.sf, "embeddings")
+      .select(col("embedding")).limit(200)
+    for (nPlanes <- Seq(4, 32)) {
+      val both = emb.select(
+        Similarity.lshBits(col("embedding"), nPlanes).as("fast"),
+        Similarity.lshBitsColumnForm(col("embedding"), nPlanes).as("ref"))
+      val diff = both.filter(not(col("fast") <=> col("ref"))).collect()
+      assert(diff.isEmpty,
+        s"native/Column lshBits disagree at nPlanes=$nPlanes: ${diff.take(3).toSeq}")
+    }
+  }
+
   test("native langId agrees with the Column form on corpus and edge cases") {
     val edge = Seq(
       "", "   ", "\tle\nlade\f", // odd whitespace, fr/es shared markers
