@@ -33,6 +33,54 @@ object PipelineQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[Dedup.simhash]] — the token hash is an
+    * arithmetic-only polynomial+mixer (see [[graft.functions.SimHashUtil]])
+    * chosen precisely so this oracle exists: tokens unnest into rows, the
+    * mix steps chain through CTEs in HUGEINT mod-2^64 arithmetic, and the
+    * 64 bit-majorities are generated `sum(CASE …)` columns. Docs with no
+    * tokens keep simhash 0 via the left join.
+    */
+  private val simhashOracleSql: String = {
+    val W = "18446744073709551616" // 2^64
+    val C = java.lang.Long.toUnsignedString(graft.functions.SimHashUtil.C)
+    val downMix = s"(h + h // 8589934592) % $W" // h += h >>> 33
+    val mul = s"(h * $C) % $W"
+    val ones = (0 until 64).map { b =>
+      val p = java.math.BigInteger.ONE.shiftLeft(b).toString
+      s"sum(CASE WHEN h // $p % 2 = 1 THEN 1 ELSE 0 END) AS o$b"
+    }.mkString(",\n    ")
+    // bit-63 weight is -2^63; emitting it first keeps every partial sum
+    // of the 64 BIGINT terms inside signed-64 range
+    val value = (63 to 0 by -1).map { b =>
+      val w =
+        if (b == 63) "-9223372036854775808"
+        else java.math.BigInteger.ONE.shiftLeft(b).toString
+      s"CASE WHEN 2 * o$b > n THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+    }.mkString(" +\n    ")
+    s"""WITH tok AS (
+       |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+       |                                    x -> len(x) > 0)) AS t
+       |  FROM documents),
+       |h0 AS (SELECT doc_id, list_reduce(
+       |    list_prepend(CAST(0 AS HUGEINT),
+       |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (a, c) -> (a * 131 + c) % $W) AS h FROM tok),
+       |h1 AS (SELECT doc_id, $downMix AS h FROM h0),
+       |h2 AS (SELECT doc_id, $mul AS h FROM h1),
+       |h3 AS (SELECT doc_id, $downMix AS h FROM h2),
+       |h4 AS (SELECT doc_id, $mul AS h FROM h3),
+       |h5 AS (SELECT doc_id, $downMix AS h FROM h4),
+       |bits AS (SELECT doc_id, count(*) AS n,
+       |    $ones
+       |  FROM h5 GROUP BY doc_id),
+       |v AS (SELECT doc_id,
+       |    $value AS simhash
+       |  FROM bits)
+       |SELECT d.doc_id, coalesce(v.simhash, CAST(0 AS BIGINT)) AS simhash
+       |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ───── text analysis ─────
@@ -146,7 +194,7 @@ object PipelineQueries {
         n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
         .orderBy("id_a", "id_b")),
 
-    Q.noOracle("pl_simhash")(
+    Q("pl_simhash", simhashOracleSql)(
       (s, d) => Tables.load(s, d, "documents")
         .select(col("doc_id"),
           Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
