@@ -21,11 +21,36 @@ final class Catalog(spark: SparkSession) {
   private val tables = TrieMap[String, () => DataFrame]()
   private val streams = TrieMap[String, () => DataFrame]()
   private val views = TrieMap[String, Query]()
+  private val viewSources = TrieMap[String, String]()
   private val sinks = TrieMap[String, SinkSpec]()
+  // human-readable source description per table, for the connectors API
+  private val tableDescs = TrieMap[String, String]()
 
   def register(name: String, df: => DataFrame): this.type = {
     tables(name) = () => df
+    tableDescs.putIfAbsent(name, "dataframe")
     this
+  }
+
+  /** Register a file-backed table — the analog of `POST /connectors/{id}`
+    * configuring a connector (`miso-server/src/http_server.rs`).
+    */
+  def registerPath(name: String, path: String, format: String): this.type = {
+    require(Set("parquet", "json").contains(format), s"unsupported format '$format'")
+    tables(name) = () => spark.read.format(format).load(path)
+    tableDescs(name) = s"$format:$path"
+    this
+  }
+
+  def tableNames: Seq[String] = tables.keys.toSeq.sorted
+  def tableDesc(name: String): Option[String] =
+    tables.get(name).map(_ => tableDescs.getOrElse(name, "dataframe"))
+
+  def removeTable(name: String): Boolean = {
+    val had = tables.remove(name).isDefined
+    streams.remove(name)
+    tableDescs.remove(name)
+    had
   }
 
   /** Register a streaming view of a table, used by the progressive
@@ -44,7 +69,16 @@ final class Catalog(spark: SparkSession) {
     val parsed = Parser.parse(kql)
     require(parsed.lets.isEmpty, "views cannot contain let bindings")
     views(name) = parsed.query
+    viewSources(name) = kql
     this
+  }
+
+  def viewNames: Seq[String] = views.keys.toSeq.sorted
+  def viewSource(name: String): Option[String] = viewSources.get(name)
+
+  def removeView(name: String): Boolean = {
+    viewSources.remove(name)
+    views.remove(name).isDefined
   }
 
   /** Register an append-mode parquet sink path for `write`/`tee` targets

@@ -13,8 +13,9 @@ import graft.kql.{Catalog, Compiler, Kql, KqlParseException, Parsed, Query, Quer
 /** HTTP/SSE API mirroring the reference's server surface
   * (`miso-server/src/http_server.rs`): `POST /query` streams result rows as
   * server-sent events, `POST /explain` returns the plan without executing,
-  * `POST /views/{id}` registers a named view. Built on the JDK's HttpServer
-  * + Spark's bundled Jackson — no extra dependencies.
+  * views and connectors have list/get/register/delete routes, and
+  * `GET /health` / `GET /metrics` cover operations. Built on the JDK's
+  * HttpServer + Spark's bundled Jackson — no extra dependencies.
   *
   * Progressive partials (`partial_stream: true` in the request body — the
   * reference's hallmark feature, `miso-workflow/src/partial_stream.rs:1-49`,
@@ -59,9 +60,12 @@ final class QueryServer(
   def start(): this.type = {
     server.createContext("/query", (ex: HttpExchange) => handle(ex, handleQuery))
     server.createContext("/explain", (ex: HttpExchange) => handle(ex, handleExplain))
-    server.createContext("/views/", (ex: HttpExchange) => handle(ex, handleView))
+    server.createContext("/views", (ex: HttpExchange) => handle(ex, handleView))
+    server.createContext("/connectors", (ex: HttpExchange) => handle(ex, handleConnector))
     server.createContext("/metrics", (ex: HttpExchange) =>
       handle(ex, e => respond(e, 200, metrics.render)))
+    server.createContext("/health", (ex: HttpExchange) =>
+      handle(ex, e => respond(e, 200, "ok")))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
     spark.listenerManager.register(metrics)
     server.start()
@@ -296,12 +300,78 @@ final class QueryServer(
     respond(ex, 200, Kql.explain(spark, catalog, req.kql))
   }
 
-  /** `POST /views/{id}` registers; scans of `views.{id}` splice it. */
+  private def jsonList(names: Seq[String]): String =
+    names.map(n => mapper.writeValueAsString(n)).mkString("[", ",", "]")
+
+  /** Views CRUD, mirroring the reference's `get_views`/`get_view`/
+    * `post_view`/`delete_view` routes: `GET /views` lists, `GET /views/{id}`
+    * returns the KQL source, `POST /views/{id}` registers (scans of
+    * `views.{id}` splice it), `DELETE /views/{id}` unregisters.
+    */
   private def handleView(ex: HttpExchange): Unit = {
-    val id = ex.getRequestURI.getPath.stripPrefix("/views/")
-    require(id.nonEmpty && id.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad view id '$id'")
-    catalog.registerView(id, body(ex))
-    respond(ex, 200, s"view '$id' registered")
+    val path = ex.getRequestURI.getPath
+    require(path == "/views" || path.startsWith("/views/"), s"bad path $path")
+    val id = path.stripPrefix("/views").stripPrefix("/")
+    val method = ex.getRequestMethod
+    if (id.isEmpty) {
+      require(method == "GET", s"$method not supported on /views")
+      respond(ex, 200, jsonList(catalog.viewNames))
+      return
+    }
+    require(id.matches("[A-Za-z_][A-Za-z0-9_]*"), s"bad view id '$id'")
+    method match {
+      case "GET" =>
+        catalog.viewSource(id) match {
+          case Some(src) => respond(ex, 200, src)
+          case None => respond(ex, 404, s"no view '$id'")
+        }
+      case "POST" | "PUT" =>
+        catalog.registerView(id, body(ex))
+        respond(ex, 200, s"view '$id' registered")
+      case "DELETE" =>
+        if (catalog.removeView(id)) respond(ex, 200, s"view '$id' deleted")
+        else respond(ex, 404, s"no view '$id'")
+      case m => respond(ex, 405, s"$m not supported on /views/$id")
+    }
+  }
+
+  /** Connectors CRUD, mirroring the reference's `get_connectors`/
+    * `get_connector`/`post_connector`/`delete_connector` routes over the
+    * catalog's table registry. `POST /connectors/{id}` with
+    * `{"path": …, "format": "parquet"|"json"}` registers a file-backed
+    * table — it exposes local files like `raw()` does, so it requires
+    * `allowRaw`.
+    */
+  private def handleConnector(ex: HttpExchange): Unit = {
+    val path = ex.getRequestURI.getPath
+    require(path == "/connectors" || path.startsWith("/connectors/"), s"bad path $path")
+    val id = path.stripPrefix("/connectors").stripPrefix("/")
+    val method = ex.getRequestMethod
+    if (id.isEmpty) {
+      require(method == "GET", s"$method not supported on /connectors")
+      respond(ex, 200, jsonList(catalog.tableNames))
+      return
+    }
+    method match {
+      case "GET" =>
+        catalog.tableDesc(id) match {
+          case Some(desc) => respond(ex, 200, desc)
+          case None => respond(ex, 404, s"no connector '$id'")
+        }
+      case "POST" | "PUT" =>
+        if (!allowRaw) throw new IllegalArgumentException(
+          "registering file connectors is disabled on this server " +
+            "(start with allowRaw=true to enable)")
+        val node = mapper.readTree(body(ex))
+        require(node.has("path"), "missing 'path' field")
+        catalog.registerPath(id, node.get("path").asText(),
+          node.path("format").asText("parquet"))
+        respond(ex, 200, s"connector '$id' registered")
+      case "DELETE" =>
+        if (catalog.removeTable(id)) respond(ex, 200, s"connector '$id' deleted")
+        else respond(ex, 404, s"no connector '$id'")
+      case m => respond(ex, 405, s"$m not supported on /connectors/$id")
+    }
   }
 }
 

@@ -55,6 +55,71 @@ class QueryServerSpec extends AnyFunSuite {
     assert(r.statusCode() == 200 && r.body().contains("\"Count\":"))
   }
 
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).GET().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def delete(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(base + path)).DELETE().build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("GET /health answers ok") {
+    val r = get("/health")
+    assert(r.statusCode() == 200 && r.body() == "ok")
+  }
+
+  test("views CRUD: list, fetch source, delete") {
+    val src = "events | where event_type == 'click'"
+    assert(post("/views/clicks", src).statusCode() == 200)
+    assert(get("/views").body().contains("\"clicks\""))
+    assert(get("/views/clicks").body() == src)
+    assert(delete("/views/clicks").statusCode() == 200)
+    assert(get("/views/clicks").statusCode() == 404)
+    assert(!get("/views").body().contains("\"clicks\""))
+  }
+
+  test("connectors: list and describe registered tables") {
+    val r = get("/connectors")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"events\"") && r.body().contains("\"test.lineitem\""))
+    assert(get("/connectors/events").statusCode() == 200)
+    assert(get("/connectors/no_such_table").statusCode() == 404)
+  }
+
+  test("connectors: file registration requires allowRaw, then round-trips") {
+    // default server refuses path registration (same posture as raw())
+    val refuse = post("/connectors/ext",
+      s"""{"path": "${graft.TestSpark.sf}/region.parquet", "format": "parquet"}""")
+    assert(refuse.statusCode() == 400)
+    val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
+    val srv = QueryServer.start(spark, cat, allowRaw = true)
+    try {
+      val b = s"http://localhost:${srv.boundPort}"
+      val reg = client.send(
+        HttpRequest.newBuilder(URI.create(s"$b/connectors/ext"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            s"""{"path": "${graft.TestSpark.sf}/region.parquet", "format": "parquet"}"""))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(reg.statusCode() == 200)
+      val q = client.send(
+        HttpRequest.newBuilder(URI.create(s"$b/query"))
+          .POST(HttpRequest.BodyPublishers.ofString("ext | count")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(q.statusCode() == 200 && q.body().contains("\"Count\":5"))
+      assert(client.send(
+        HttpRequest.newBuilder(URI.create(s"$b/connectors/ext")).DELETE().build(),
+        HttpResponse.BodyHandlers.ofString()).statusCode() == 200)
+      val gone = client.send(
+        HttpRequest.newBuilder(URI.create(s"$b/query"))
+          .POST(HttpRequest.BodyPublishers.ofString("ext | count")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(gone.statusCode() != 200)
+    } finally srv.stop()
+  }
+
   test("bad KQL yields 400 with the parse error") {
     val r = post("/query", "events | frobnicate")
     assert(r.statusCode() == 400)
