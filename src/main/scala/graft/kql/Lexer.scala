@@ -11,6 +11,7 @@ object Token {
   final case class FloatTok(v: Double, pos: Int) extends Token
   final case class StrTok(v: String, pos: Int) extends Token
   final case class TimespanTok(micros: Long, pos: Int) extends Token
+  final case class DatetimeTok(micros: Long, pos: Int) extends Token
   /** Punctuation / operators: | , ( ) [ ] . .. == != <= >= < > + - * / = ! $ ; */
   final case class Punct(s: String, pos: Int) extends Token
   final case class Eof(pos: Int) extends Token
@@ -55,8 +56,28 @@ object Lexer {
       } else if (c == '"' || c == '\'') {
         val (s, next) = lexString(src, i, c)
         out += StrTok(s, i); i = next
+      } else if ((c == 'h' || c == 'H') && i + 1 < n &&
+          (src.charAt(i + 1) == '"' || src.charAt(i + 1) == '\'' ||
+            (src.charAt(i + 1) == '@' && i + 2 < n &&
+              (src.charAt(i + 2) == '"' || src.charAt(i + 2) == '\'')))) {
+        // the reference lexes h"…" byte strings and its parser rejects them
+        // (parser.rs:482) — fail with the same guidance
+        throw KqlParseException(
+          "byte strings are currently not supported. " +
+            "Use regular strings with double quotes", i)
+      } else if (c == '@' && i + 1 < n &&
+          (src.charAt(i + 1) == '"' || src.charAt(i + 1) == '\'')) {
+        // verbatim string: no backslash escapes, quote doubled to escape
+        val (s, next) = lexRawString(src, i + 1, src.charAt(i + 1))
+        out += StrTok(s, i); i = next
+      } else if (c == '`' && src.startsWith("```", i)) {
+        val (s, next) = lexFenced(src, i, "```")
+        out += StrTok(s, i); i = next
+      } else if (c == '~' && src.startsWith("~~~", i)) {
+        val (s, next) = lexFenced(src, i, "~~~")
+        out += StrTok(s, i); i = next
       } else if (c.isDigit) {
-        val (tok, next) = lexNumber(src, i)
+        val (tok, next) = lexDatetime(src, i).getOrElse(lexNumber(src, i))
         out += tok; i = next
       } else if (c.isLetter || c == '_' || c == '@') {
         val start = i
@@ -87,6 +108,11 @@ object Lexer {
   private val hyphenKeywords =
     Set("mv-expand", "project-rename", "project-away", "project-keep")
 
+  /** Escaped string literal — the reference's full escape set
+    * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),
+    * and `\x`/`\u`/`\U` hex code points; malformed escapes fall back to the
+    * literal characters, unknown ones keep the backslash.
+    */
   private def lexString(src: String, start: Int, quote: Char): (String, Int) = {
     val sb = new StringBuilder
     var i = start + 1
@@ -94,25 +120,155 @@ object Lexer {
     while (i < n && src.charAt(i) != quote) {
       val c = src.charAt(i)
       if (c == '\\' && i + 1 < n) {
-        src.charAt(i + 1) match {
+        val esc = src.charAt(i + 1)
+        i += 2
+        esc match {
           case 'n' => sb += '\n'; case 't' => sb += '\t'; case 'r' => sb += '\r'
+          case 'a' => sb += '\u0007'; case 'b' => sb += '\b'
+          case 'f' => sb += '\f'; case 'v' => sb += '\u000B'
           case c2 @ ('\\' | '"' | '\'') => sb += c2
+          case 'x' | 'u' | 'U' =>
+            val want = esc match { case 'x' => 2; case 'u' => 4; case _ => 8 }
+            val hex = src.substring(i, math.min(n, i + want))
+            val cp =
+              if (hex.length == want && hex.forall(h => Character.digit(h, 16) >= 0))
+                try {
+                  val v = java.lang.Long.parseLong(hex, 16)
+                  if (Character.isValidCodePoint(v.toInt) && v <= Int.MaxValue) Some(v.toInt)
+                  else None
+                } catch { case _: NumberFormatException => None }
+              else None
+            cp match {
+              case Some(v) => sb.appendAll(Character.toChars(v)); i += want
+              case None => sb += '\\'; sb += esc // malformed: keep literally
+            }
+          case d if d >= '0' && d <= '7' =>
+            var oct = d.toString
+            while (oct.length < 3 && i < n &&
+                src.charAt(i) >= '0' && src.charAt(i) <= '7') {
+              oct += src.charAt(i); i += 1
+            }
+            val v = Integer.parseInt(oct, 8)
+            if (v <= 0xFF) sb += v.toChar
+            else { sb += '\\'; sb ++= oct } // > byte range: keep literally
           // unknown escape (e.g. \d in a regex): keep the backslash
           case other => sb += '\\'; sb += other
         }
-        i += 2
       } else { sb += c; i += 1 }
     }
     if (i >= n) throw KqlParseException("unterminated string", start)
     (sb.toString, i + 1)
   }
 
-  /** Numbers: int, float (with `.` or exponent), or timespan (suffix
-    * d/h/m/s/ms/us — folded to microseconds; `m` is minutes per KQL).
+  /** Verbatim `@"…"` string: no escapes; the quote is escaped by doubling. */
+  private def lexRawString(src: String, start: Int, quote: Char): (String, Int) = {
+    val sb = new StringBuilder
+    var i = start + 1
+    val n = src.length
+    while (i < n) {
+      val c = src.charAt(i)
+      if (c == quote) {
+        if (i + 1 < n && src.charAt(i + 1) == quote) { sb += quote; i += 2 }
+        else return (sb.toString, i + 1)
+      } else { sb += c; i += 1 }
+    }
+    throw KqlParseException("unterminated string", start)
+  }
+
+  /** Multiline string fenced by ``` or ~~~ — content is fully verbatim; a
+    * missing closing fence takes the rest of the input (reference
+    * `parse_multiline_*` behavior).
+    */
+  private def lexFenced(src: String, start: Int, fence: String): (String, Int) = {
+    val from = start + fence.length
+    val end = src.indexOf(fence, from)
+    if (end < 0) (src.substring(from), src.length)
+    else (src.substring(from, end), end + fence.length)
+  }
+
+  // bare datetime literals (`lexer.rs:207-215`, priority over numbers):
+  // `2024-01-02`, `2024-01-02 03:04:05[.frac]`, and full ISO-8601 with
+  // T + Z/offset; date-only and space-separated forms assume UTC
+  private val isoDatetimeRe = java.util.regex.Pattern.compile(
+    """\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?(Z|[+-]\d{2}:\d{2})""")
+  private val plainDatetimeRe = java.util.regex.Pattern.compile(
+    """(\d{4}-\d{2}-\d{2})(\s+(\d{2}:\d{2}:\d{2}(\.\d+)?))?""")
+
+  private def lexDatetime(src: String, start: Int): Option[(Token, Int)] = {
+    import java.time._
+    def micros(inst: Instant): Long =
+      inst.getEpochSecond * 1000000L + inst.getNano / 1000L
+    val iso = isoDatetimeRe.matcher(src)
+    iso.region(start, src.length)
+    if (iso.lookingAt()) {
+      // out-of-range components fall through to number lexing, like the
+      // reference's Option-returning callback
+      try return Some((DatetimeTok(
+        micros(OffsetDateTime.parse(src.substring(start, iso.end())).toInstant),
+        start), iso.end()))
+      catch { case _: Exception => () }
+    }
+    val plain = plainDatetimeRe.matcher(src)
+    plain.region(start, src.length)
+    if (plain.lookingAt()) {
+      try {
+        val inst =
+          if (plain.group(3) == null)
+            LocalDate.parse(plain.group(1)).atStartOfDay.toInstant(ZoneOffset.UTC)
+          else
+            LocalDateTime.parse(plain.group(1) + "T" + plain.group(3))
+              .toInstant(ZoneOffset.UTC)
+        return Some((DatetimeTok(micros(inst), start), plain.end()))
+      } catch { case _: Exception => () }
+    }
+    None
+  }
+
+  /** Valid timespan suffixes (`lexer.rs:248` regex): short and long forms
+    * of days/hours/minutes/seconds/millis/micros/nanos plus .NET ticks;
+    * `us` kept as a convenience alias.
+    */
+  private val timespanSuffixes: Set[String] = {
+    def forms(stem: String) =
+      Set(stem, stem + "s", stem + "sec", stem + "second", stem + "seconds")
+    Set("d", "day", "days", "h", "hr", "hrs", "hour", "hours",
+      "m", "min", "mins", "minute", "minutes",
+      "s", "sec", "secs", "second", "seconds",
+      "ms", "tick", "ticks", "us") ++
+      forms("milli") ++ forms("micro") ++ forms("nano")
+  }
+
+  /** Microseconds for `value` of the given suffix, with the reference's
+    * truncation behavior (`lexer.rs:452-482`): nanos/micros/millis/ticks
+    * truncate the numeric value first; seconds and larger keep the
+    * fraction. Sub-microsecond remainders truncate (timespans are long
+    * microseconds — SCALE.md deviation log).
+    */
+  private def timespanMicros(value: Double, suffix: String): Long =
+    if (suffix.startsWith("nano")) value.toLong / 1000L
+    else if (suffix.startsWith("micro") || suffix == "us") value.toLong
+    else if (suffix.startsWith("milli") || suffix == "ms") value.toLong * 1000L
+    else if (suffix.startsWith("tick")) (value * 100.0).toLong / 1000L
+    else if (suffix.startsWith("s")) (value * 1e6).toLong
+    else if (suffix.startsWith("m")) (value * 60e6).toLong
+    else if (suffix.startsWith("h")) (value * 3600e6).toLong
+    else (value * 86400e6).toLong // d
+  /** Numbers: int (decimal or 0x hex), float (with `.` or exponent), or
+    * timespan (suffix folded to microseconds; `m` is minutes per KQL).
+    * Digits followed by a non-suffix word lex as one identifier, like the
+    * reference's `[0-9]+[_a-zA-Z][_a-zA-Z0-9]*` ident rule.
     */
   private def lexNumber(src: String, start: Int): (Token, Int) = {
     var i = start
     val n = src.length
+    // hex integer literal 0x1F (lexer.rs:244)
+    if (src.charAt(start) == '0' && start + 1 < n &&
+        (src.charAt(start + 1) == 'x' || src.charAt(start + 1) == 'X') &&
+        start + 2 < n && Character.digit(src.charAt(start + 2), 16) >= 0) {
+      i = start + 2
+      while (i < n && Character.digit(src.charAt(i), 16) >= 0) i += 1
+      return (IntTok(java.lang.Long.parseLong(src.substring(start + 2, i), 16), start), i)
+    }
     while (i < n && src.charAt(i).isDigit) i += 1
     var isFloat = false
     // fractional part — but NOT the `..` range operator
@@ -122,7 +278,9 @@ object Lexer {
       while (i < n && src.charAt(i).isDigit) i += 1
     }
     if (i < n && (src.charAt(i) == 'e' || src.charAt(i) == 'E') &&
-        i + 1 < n && (src.charAt(i + 1).isDigit || src.charAt(i + 1) == '-')) {
+        ((i + 1 < n && src.charAt(i + 1).isDigit) ||
+          (i + 2 < n && (src.charAt(i + 1) == '-' || src.charAt(i + 1) == '+') &&
+            src.charAt(i + 2).isDigit))) {
       isFloat = true
       i += 2
       while (i < n && src.charAt(i).isDigit) i += 1
@@ -132,24 +290,22 @@ object Lexer {
     val sufStart = i
     while (i < n && src.charAt(i).isLetter) i += 1
     val suffix = src.substring(sufStart, i)
-    val unitMicros: Option[Long] = suffix match {
-      case "d"  => Some(86400L * 1000000L)
-      case "h"  => Some(3600L * 1000000L)
-      case "m"  => Some(60L * 1000000L)
-      case "s"  => Some(1000000L)
-      case "ms" => Some(1000L)
-      case "us" | "micro" | "microsecond" => Some(1L)
-      case ""   => None
-      case other => throw KqlParseException(s"unknown numeric suffix '$other'", sufStart)
-    }
-    unitMicros match {
-      case Some(u) =>
-        val micros =
-          if (isFloat) (numText.toDouble * u).toLong else numText.toLong * u
-        (TimespanTok(micros, start), i)
-      case None =>
-        if (isFloat) (FloatTok(numText.toDouble, start), sufStart)
-        else (IntTok(numText.toLong, start), sufStart)
+    // a char continuing the token after the letters (e.g. `1h30`) makes
+    // the whole thing an identifier, per longest-match in the reference
+    val continues = i < n && (src.charAt(i).isDigit || src.charAt(i) == '_')
+    if (suffix.isEmpty) {
+      if (isFloat) (FloatTok(numText.toDouble, start), sufStart)
+      else (IntTok(numText.toLong, start), sufStart)
+    } else if (timespanSuffixes(suffix) && !continues) {
+      (TimespanTok(timespanMicros(numText.toDouble, suffix), start), i)
+    } else if (!isFloat) {
+      // digits + word = one identifier (e.g. `4xx_errors`), reference
+      // ident rule; scan the full ident tail
+      var j = i
+      while (j < n && (src.charAt(j).isLetterOrDigit || src.charAt(j) == '_')) j += 1
+      (Ident(src.substring(start, j), start), j)
+    } else {
+      throw KqlParseException(s"unknown numeric suffix '$suffix'", sufStart)
     }
   }
 }

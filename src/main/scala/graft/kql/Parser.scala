@@ -471,6 +471,7 @@ final class Parser(src: String, nowMicros: Long) {
     case FloatTok(v, _) => p += 1; FloatLit(v)
     case StrTok(v, _) => p += 1; StrLit(v)
     case TimespanTok(v, _) => p += 1; TimespanLit(v)
+    case DatetimeTok(v, _) => p += 1; DatetimeLit(v)
     case Punct("(", _) => p += 1; val e = parseExpr(); eatPunct(")"); e
     case Ident(w, _) =>
       w.toLowerCase match {
