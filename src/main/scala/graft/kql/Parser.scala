@@ -548,6 +548,8 @@ final class Parser(src: String, nowMicros: Long) {
           case StrTok(s, _) =>
             p += 1
             DatetimeLit(parseDatetime(s.trim, startTok.pos))
+          // datetime(null) is the null literal (parser_tests.rs:945)
+          case Ident(w, _) if w.equalsIgnoreCase("null") => p += 1; NullLit
           case _ =>
             val start = startTok.pos
             var depth = 0

@@ -213,6 +213,44 @@ class KqlEngineSpec extends AnyFunSuite {
     assert(df.columns.toSeq == Seq("count_", "sum_score", "dcount_user"))
   }
 
+  // test_summarize_unnamed_aggregations_with_duplicates (parser_tests.rs:520)
+  test("duplicate unnamed aggregations get numbered suffixes") {
+    val df = run("test.stack | summarize count(), count(), sum(score)")
+    assert(df.columns.toSeq == Seq("count_", "count_1", "sum_score"))
+  }
+
+  // test_summarize_unnamed_with_named_conflicts (parser_tests.rs:537): the
+  // explicit alias claims count_ first; the unnamed counts number after it
+  test("explicit alias conflicting with a default agg name") {
+    val df = run("test.stack | summarize count_ = sum(score), count(), count()")
+    assert(df.columns.toSeq == Seq("count_", "count_1", "count_2"))
+  }
+
+  // test_project_unnamed (parser_tests.rs:358): auto-names fill around
+  // explicit ones, and a colliding explicit name seeds its own counter
+  test("project auto-naming around an explicit Column2") {
+    val df = run(
+      "test.stack | project score + 1, score + 1, score, Column2 = 5, user")
+    assert(df.columns.toSeq ==
+      Seq("Column1", "Column2", "score", "Column21", "user"))
+  }
+
+  // keyword used as a field name (parser_tests.rs `where in == "value"`)
+  test("reserved words resolve as field names in expressions") {
+    val d = spark.read.json(spark.createDataset(Seq(
+      """{"in": "value", "top": 1}""", """{"in": "other", "top": 2}"""))(
+      org.apache.spark.sql.Encoders.STRING))
+    val c = new Catalog(spark)
+    c.register("test.kw", d)
+    assert(Kql.run(spark, c, "test.kw | where in == 'value'").count() == 1)
+  }
+
+  // test datetime(null) → null literal (parser_tests.rs:945)
+  test("datetime(null) is the null literal") {
+    assert(run("test.stack | where score == datetime(null)").count() ==
+      run("test.stack | where score == null").count())
+  }
+
   test("summarize by bin of numeric") {
     val got = rows("test.stack | summarize n=count() by b=bin(score, 5) | sort by b")
     assert(got == Seq(Map("b" -> 0L, "n" -> 2L), Map("b" -> 5L, "n" -> 2L)))
