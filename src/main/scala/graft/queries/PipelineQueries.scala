@@ -285,6 +285,32 @@ object PipelineQueries {
         threshold = 0.35, nPlanes = 32, rowsPerBand = 4)
         .orderBy("id_a", "id_b")),
 
+    // gap-based sessionization over the events log (session_window — one
+    // merging shuffle); oracle recomputes sessions with lag + running sum.
+    // Integer-cents value sum keeps the hash cross-engine-exact.
+    Q("pl_sessionize",
+      """WITH flags AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 7200 SECOND
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags)
+        |SELECT user_id, min(ts) AS session_start,
+        |       max(ts) + INTERVAL 7200 SECOND AS session_end,
+        |       count(*) AS n_events,
+        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin)(
+      (s, d) => graft.functions.Sessionize.sessions(
+        Tables.load(s, d, "events"), "user_id", "ts",
+        gapSeconds = 7200L, valueCol = "value")
+        .orderBy("user_id", "session_start")),
+
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
     Q.noOracle("pl_multimodal_features")(

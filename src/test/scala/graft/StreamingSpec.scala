@@ -100,6 +100,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(sink).count() == 1)
   }
 
+  test("batch sessionization: gap splits, boundary semantics, cents sum") {
+    import graft.functions.Sessionize
+    val ts = udf((s: String) => java.sql.Timestamp.valueOf(s))
+    val events = Seq(
+      (1L, "2024-01-01 00:00:00", 1.25),
+      (1L, "2024-01-01 00:10:00", 2.50),  // same session (10 min < 30 min)
+      (1L, "2024-01-01 00:40:00", 4.00),  // exactly at the boundary: MERGES
+      (1L, "2024-01-01 02:00:00", 8.00),  // past the gap => second session
+      (2L, "2024-01-01 00:05:00", 0.10))
+      .toDF("user_id", "raw_ts", "value")
+      .withColumn("ts", ts(col("raw_ts"))).drop("raw_ts")
+    val got = Sessionize.sessions(events, "user_id", "ts", 1800L, "value")
+      .orderBy("user_id", "session_start")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString,
+        r.getTimestamp(2).toString, r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(got == Seq(
+      (1L, "2024-01-01 00:00:00.0", "2024-01-01 01:10:00.0", 3L, 775L),
+      (1L, "2024-01-01 02:00:00.0", "2024-01-01 02:30:00.0", 1L, 800L),
+      (2L, "2024-01-01 00:05:00.0", "2024-01-01 00:35:00.0", 1L, 10L)))
+  }
+
+  test("streaming sessionization closes sessions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{ClosedSession, SessionEvent, StreamingSessionize}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(uid: Long, s: String, v: Double) =
+      SessionEvent(uid, java.sql.Timestamp.valueOf(s), v)
+    val input = MemoryStream[SessionEvent]
+    val sessions = StreamingSessionize.sessions(input.toDS(), gapSeconds = 1800L)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions").start()
+    try {
+      // batch 1: two events inside one session — nothing closes yet
+      input.addData(
+        ev(1L, "2024-01-01 00:00:00", 1.25), ev(1L, "2024-01-01 00:10:00", 2.50))
+      q.processAllAvailable()
+      assert(spark.table("stream_sessions").count() == 0)
+      // batch 2: an event past the gap closes the open session and emits it
+      input.addData(ev(1L, "2024-01-01 02:00:00", 4.00))
+      q.processAllAvailable()
+      val got = spark.table("stream_sessions").as[ClosedSession].collect().toSeq
+      assert(got == Seq(ClosedSession(1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:40:00"), 2L, 375L)))
+      // matches the batch operator on the same closed window
+    } finally q.stop()
+  }
+
   test("kql summarize compiles against a streaming source (update mode)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     val data = Seq(("x", 1.0), ("y", 2.0), ("x", 3.0)).toDF("k", "v")
