@@ -59,4 +59,43 @@ class PlanSpec extends AnyFunSuite {
   test("distinct lowers to aggregation") {
     assert(plan("q_distinct").contains("HashAggregate"))
   }
+
+  // short_circuit_where_false (tests.rs): a provably-false filter must
+  // collapse the whole plan (PropagateEmptyRelation), not run a scan
+  test("where false collapses to an empty relation — no scan executes") {
+    val cat = graft.kql.Catalog.forTestData(spark, sf)
+    val p = graft.kql.Kql.run(spark, cat, "lineitem | where false")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("LocalTableScan") || p.contains("EmptyRelation"),
+      s"expected empty-relation plan, got:\n$p")
+    assert(!p.contains("FileScan"), "the parquet scan must be optimized away")
+  }
+
+  // bare datetime literals (new lexer tokens) must stay pushdown-friendly.
+  // (The shared `events` table can't show this: its nanos→micros load makes
+  // ts a computed column, so only IsNotNull pushes there.)
+  test("bare datetime comparison pushes to the parquet scan") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft_tsplan").toString
+    Seq(("2024-01-01 10:00:00", 1L), ("2024-01-03 10:00:00", 2L))
+      .toDF("raw", "id").select(col("raw").cast("timestamp").as("ts"), col("id"))
+      .write.mode("overwrite").parquet(dir)
+    val cat = new graft.kql.Catalog(spark)
+    cat.register("tsdata", spark.read.parquet(dir))
+    val p = graft.kql.Kql.run(spark, cat,
+      "tsdata | where ts >= 2024-01-02 | project id")
+      .queryExecution.executedPlan.toString
+    val scanLine = p.split("\n").find(_.contains("PushedFilters:")).getOrElse("")
+    assert(scanLine.contains("GreaterThanOrEqual(ts"),
+      s"datetime filter not pushed: $scanLine")
+  }
+
+  test("sessionization plans as a single merging session aggregation") {
+    val p = plan("pl_sessionize")
+    assert(p.contains("session_window") || p.contains("SessionWindow"),
+      "must use the native session_window aggregation")
+    assert("Exchange".r.findAllIn(p).length <= 2,
+      s"sessionization should shuffle once (plus output ordering), got:\n$p")
+  }
 }
