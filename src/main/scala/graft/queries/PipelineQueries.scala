@@ -313,14 +313,46 @@ object PipelineQueries {
 
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
-    Q.noOracle("pl_multimodal_features")(
+    // the stub decode is a rolling byte hash and the corpus is ASCII
+    // (bytes == code points), so the checksum recomputes as plain SQL in
+    // HUGEINT mod-2^64 arithmetic — full cross-engine hash verification
+    // of the batching pipeline's output
+    Q("pl_multimodal_features",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(1125899906842597 AS HUGEINT),
+        |        list_transform(string_split(text, ''),
+        |                       c -> CAST(unicode(c) AS HUGEINT))),
+        |      (a, c) -> (a * 31 + c) % 18446744073709551616) AS hv,
+        |    length(text) AS n
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  ['image', 'audio', 'video'][CAST(doc_id % 3 + 1 AS INT)] AS kind,
+        |  CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(CASE WHEN hv >= 9223372036854775808
+        |            THEN hv - 18446744073709551616 ELSE hv END AS BIGINT)
+        |    AS checksum
+        |FROM h ORDER BY media_id""".stripMargin)(
       (s, d) => graft.multimodal.Multimodal.extractFeatures(
         graft.multimodal.Multimodal.mediaFromDocuments(s, d))
         .toDF()
         .select("media_id", "kind", "n_bytes", "checksum")
         .orderBy("media_id")),
 
-    Q.noOracle("pl_multimodal_frames")(
+    // frame sampling cadence is pure arithmetic over the synthesized
+    // durations — images yield one sample, audio/video one per 5 s
+    Q("pl_multimodal_frames",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 OR (doc_id * 97) % 30000 <= 0 THEN 1
+        |              ELSE CAST(1 + ((doc_id * 97) % 30000) // 5000 AS BIGINT)
+        |         END AS cnt
+        |  FROM documents)
+        |SELECT media_id,
+        |       CAST(unnest(range(0, cnt)) AS INT) AS sample_idx,
+        |       CAST(unnest(range(0, cnt)) * 5000 AS BIGINT) AS offset_ms
+        |FROM m ORDER BY media_id, sample_idx""".stripMargin)(
       (s, d) => graft.multimodal.Multimodal.sampleFrames(
         graft.multimodal.Multimodal.mediaFromDocuments(s, d), everyMs = 5000L)
         .toDF()
