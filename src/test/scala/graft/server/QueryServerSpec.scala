@@ -186,6 +186,41 @@ class QueryServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  // partial_stream_topn (tests.rs): a top-n suffix applies to every
+  // refining snapshot, so each partial frame is already capped and sorted
+  test("partial_stream with a topn suffix caps each snapshot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_partial2").toString
+    graft.Tables.load(spark, graft.TestSpark.sf, "events")
+      .repartition(16).write.mode("overwrite").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
+    cat.register("ev_top", spark.read.parquet(dir))
+    cat.registerStream("ev_top",
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(dir))
+    val srv = QueryServer.start(spark, cat)
+    try {
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            """{"query": "ev_top | summarize n=count() by event_type | top 2 by n desc",
+              | "partial_stream": true, "debounce_ms": 50}""".stripMargin))
+          .build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      val body = r.body()
+      assert(body.split("\n").exists(_.startsWith("event: partial")),
+        s"expected partial frames:\n$body")
+      // every partial snapshot is already top-2
+      for (line <- body.linesIterator if line.startsWith("data: [")) {
+        val rows = """\{[^}]*\}""".r.findAllIn(line).length
+        assert(rows <= 2, s"partial snapshot must be capped at 2: $line")
+      }
+      // final rows equal the batch top-2
+      val finalRows = body.split("\n").filter(_.startsWith("data: {")).toSeq
+      assert(finalRows.length == 2, s"final rows:\n${finalRows.mkString("\n")}")
+    } finally srv.stop()
+  }
+
   test("partial_stream on an ineligible query falls back to batch") {
     // no blocking aggregate -> not eligible, runs the batch path
     val r = post("/query",
