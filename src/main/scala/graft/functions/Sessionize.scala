@@ -11,8 +11,10 @@ import org.apache.spark.sql.functions._
   * session-interval aggregation, Catalyst-native): one shuffle on
   * (key, merged-window), map-side partial merge, spills — the right plan
   * at 100 TB. A session's `end` is last event time + gap, per
-  * `session_window` semantics: an event extends the session it falls
-  * inside (`diff < gap`), opens a new one at `diff >= gap`.
+  * `session_window` semantics: session intervals that touch are merged,
+  * so an event at `diff <= gap` extends the session and one at
+  * `diff > gap` opens a new session (StreamingSpec pins `diff == gap`
+  * merging; the streaming twin and the DuckDB oracle agree).
   *
   * The value aggregate is integer cents (`round(value*100)`), not a raw
   * double sum — double addition is order-sensitive across engines, integer

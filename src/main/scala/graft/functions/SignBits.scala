@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Single-pass random-hyperplane sign-bit kernel called from generated
   * code.
@@ -19,7 +19,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * becomes 0.
   */
 object SignBitsUtil {
-  def signBits(vec: ArrayData, nPlanes: Int): ArrayData = {
+  def signBits(vec: ArrayData, nPlanes: Int, isFloat: Boolean): ArrayData = {
     val n = vec.numElements()
     val out = new Array[Long](nPlanes)
     var p = 0
@@ -33,7 +33,8 @@ object SignBitsUtil {
         else {
           val h = XXH64.hashInt(j, hp)
           val comp = java.lang.Math.floorMod(h, 100000L).toDouble / 100000.0d - 0.5d
-          s += vec.getFloat(j) * comp
+          val x = if (isFloat) vec.getFloat(j).toDouble else vec.getDouble(j)
+          s += x * comp
         }
         j += 1
       }
@@ -52,11 +53,21 @@ case class SignBits(child: Expression, nPlanes: Int) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  // reading a double array through getFloat would yield silent garbage
+  // bits — validate like CosineSim and dispatch on the element type
+  private lazy val isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case other => throw new IllegalArgumentException(
+      s"SignBits expects array<float> or array<double>, got $other")
+  }
+
   override def nullSafeEval(input: Any): Any =
-    SignBitsUtil.signBits(input.asInstanceOf[ArrayData], nPlanes)
+    SignBitsUtil.signBits(input.asInstanceOf[ArrayData], nPlanes, isFloat)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SignBitsUtil.signBits($c, $nPlanes)")
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.SignBitsUtil.signBits($c, $nPlanes, $isFloat)")
 
   override protected def withNewChildInternal(newChild: Expression): SignBits =
     copy(child = newChild)

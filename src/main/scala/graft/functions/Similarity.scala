@@ -51,7 +51,7 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     scored
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
@@ -138,7 +138,7 @@ object Similarity {
     c.join(q, array_contains(col("__probes"), col("__bucket")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }
@@ -200,7 +200,7 @@ object Similarity {
       .join(q, array_contains(col("__cells"), col("__cell")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
   }

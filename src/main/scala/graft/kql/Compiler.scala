@@ -751,13 +751,23 @@ final class Compiler(
     * (expand.rs:103-124): bag → one-entry maps; array → flattened
     * alternating [k, v, k, v, …].
     */
-  private def mapExpansion(m: Column, kind: ExpandKind): Column = kind match {
-    case ExpandKind.Bag =>
-      transform(map_entries(m), e => map(e.getField("key"), e.getField("value")))
+  private def mapExpansion(m: Column, vt: DataType, kind: ExpandKind): Column = kind match {
+    case ExpandKind.Bag => vt match {
+      // composite values → JSON (aligns with structExpansion and the
+      // reference's dynamic rendering); atomic values stay native-typed
+      case _: StructType | _: ArrayType | _: MapType =>
+        transform(map_entries(m),
+          e => map(e.getField("key"), to_json(e.getField("value"))))
+      case _ =>
+        transform(map_entries(m), e => map(e.getField("key"), e.getField("value")))
+    }
     case ExpandKind.Arr =>
+      // composite map values render as JSON via entryValueString, matching
+      // the struct-expansion path (a plain cast would print Spark's
+      // struct-literal text instead)
       flatten(transform(map_entries(m),
         e => array(e.getField("key").cast(StringType),
-          e.getField("value").cast(StringType))))
+          entryValueString(e.getField("value"), vt))))
   }
 
   /** Expansion array of a struct column — statically-shaped Objects expand
@@ -789,7 +799,7 @@ final class Compiler(
       val c = compileField(df, f)
       dataTypeAt(df, f) match {
         case _: ArrayType => Some(f -> c)
-        case _: MapType => Some(f -> mapExpansion(c, kind))
+        case mt: MapType => Some(f -> mapExpansion(c, mt.valueType, kind))
         case st: StructType => Some(f -> structExpansion(c, st, kind))
         case _ => None
       }

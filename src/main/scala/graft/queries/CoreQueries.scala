@@ -342,7 +342,7 @@ object CoreQueries {
           .orderBy(col("c_acctbal").desc, col("c_custkey"))
         t(s, d, "customer")
           .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"),
-            row_number().over(w).as("rn"))
+            row_number().over(w).cast("long").as("rn"))
           .filter(col("rn") <= 3)
           .orderBy("c_mktsegment", "rn")
       }),

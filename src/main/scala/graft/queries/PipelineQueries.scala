@@ -303,7 +303,8 @@ object PipelineQueries {
         |SELECT user_id, min(ts) AS session_start,
         |       max(ts) + INTERVAL 7200 SECOND AS session_end,
         |       count(*) AS n_events,
-        |       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |         AS sum_cents
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin)(
       (s, d) => graft.functions.Sessionize.sessions(

@@ -445,7 +445,8 @@ object QueryServer {
     val cat = Catalog.forTestData(spark, sfDir)
     // with status tracking enabled, the status table is itself queryable
     val statusDir = sys.env.get("SPARK_GRAFT_STATUS_DIR")
-    statusDir.foreach(d => cat.register("query_status", spark.read.parquet(d)))
+    statusDir.foreach(d => cat.register("query_status",
+      graft.sources.Sinks.readUpserted(spark, d)))
     val srv = start(spark, cat, port, host, allowRaw, statusDir)
     println(s"graft query server listening on $host:${srv.boundPort} (sf=$sfDir)")
     Thread.currentThread().join()

@@ -16,6 +16,39 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  // One lock per target path: QueryServer's handler pool fires a status
+  // upsert per query lifecycle stage, and an unsynchronized
+  // read-merge-delete-rename loses records (both merge from the same
+  // pre-image) or leaves the directory briefly absent for readers.
+  private val pathLocks =
+    scala.collection.concurrent.TrieMap[String, Object]()
+  private def lockFor(path: String): Object =
+    pathLocks.getOrElseUpdate(path, new Object)
+
+  /** Read a directory that an [[upsert]] may be swapping concurrently.
+    * Listing AND execution both race the swap (a lazily-read file can
+    * vanish between plan and task), so the whole read is materialized
+    * inside the retry loop and returned as an in-memory frame. Sized for
+    * the same control tables upsert itself is (query status, watermark
+    * registries) — not a data-scale read path.
+    */
+  def readUpserted(
+      spark: SparkSession, path: String,
+      attempts: Int = 5, backoffMs: Long = 100): DataFrame = {
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try {
+        val df = spark.read.parquet(path)
+        val rows = java.util.Arrays.asList(df.collect(): _*)
+        return spark.createDataFrame(rows, df.schema)
+      } catch { case e: Throwable =>
+        last = e; i += 1; Thread.sleep(backoffMs)
+      }
+    }
+    throw last
+  }
+
   /** Key-based merge/overwrite (the reference's `UpdatableSink::upsert`,
     * `memory.rs:87-103`): incoming rows replace existing rows with the same
     * primary-key value; a batch lacking the key column fails like the
@@ -29,27 +62,34 @@ object Sinks {
     * key-derived bucket and use dynamic partition-overwrite so a batch
     * rewrites only the partitions its keys land in, not the whole table.
     */
-  def upsert(spark: SparkSession, df: DataFrame, path: String, primaryKey: String): Unit = {
-    require(df.columns.exists(_.equalsIgnoreCase(primaryKey)),
-      s"upsert primary key '$primaryKey' not found in row schema " +
-        s"[${df.columns.mkString(", ")}]")
-    val incoming = df.dropDuplicates(primaryKey)
-    val dir = new Path(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val merged =
-      if (fs.exists(dir)) {
-        // keep existing rows whose key is absent from the batch, then take
-        // the batch wholesale; schema-tolerant like the engine's bag union
-        spark.read.parquet(path)
-          .join(incoming.select(primaryKey).distinct(), Seq(primaryKey), "left_anti")
-          .unionByName(incoming, allowMissingColumns = true)
-      } else incoming
-    // the merged plan reads the directory it is about to replace — write to
-    // a sibling temp dir first, then swap
-    val tmp = new Path(path + ".upsert-tmp")
-    fs.delete(tmp, true)
-    merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dir, true)
-    fs.rename(tmp, dir)
-  }
+  def upsert(spark: SparkSession, df: DataFrame, path: String, primaryKey: String): Unit =
+    lockFor(path).synchronized {
+      require(df.columns.exists(_.equalsIgnoreCase(primaryKey)),
+        s"upsert primary key '$primaryKey' not found in row schema " +
+          s"[${df.columns.mkString(", ")}]")
+      val incoming = df.dropDuplicates(primaryKey)
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val merged =
+        if (fs.exists(dir)) {
+          // keep existing rows whose key is absent from the batch, then take
+          // the batch wholesale; schema-tolerant like the engine's bag union
+          spark.read.parquet(path)
+            .join(incoming.select(primaryKey).distinct(), Seq(primaryKey), "left_anti")
+            .unionByName(incoming, allowMissingColumns = true)
+        } else incoming
+      // the merged plan reads the directory it is about to replace — write
+      // to a sibling temp dir first, then swap. The swap is two metadata
+      // renames (not a recursive delete of the live dir), so the
+      // readers-see-nothing window is as small as the filesystem allows;
+      // readUpserted retries across it.
+      val tmp = new Path(path + ".upsert-tmp")
+      val old = new Path(path + ".upsert-old")
+      fs.delete(tmp, true)
+      merged.write.mode("overwrite").parquet(tmp.toString)
+      fs.delete(old, true)
+      if (fs.exists(dir)) fs.rename(dir, old)
+      fs.rename(tmp, dir)
+      fs.delete(old, true)
+    }
 }

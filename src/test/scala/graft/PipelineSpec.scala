@@ -73,8 +73,8 @@ class PipelineSpec extends AnyFunSuite {
       (3L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
     val top = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0), vecs, "vec_id", "vec_id", "embedding", 2)
-      .collect().map(r => (r.getInt(1), r.getLong(2)))
-    assert(top.toSeq == Seq((1, 1L), (2, 2L)))
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(top.toSeq == Seq((1L, 1L), (2L, 2L)))
   }
 
   test("LSH ANN recall vs brute force on real embeddings") {
@@ -235,6 +235,22 @@ class PipelineSpec extends AnyFunSuite {
       assert(diff.isEmpty,
         s"native/Column lshBits disagree at nPlanes=$nPlanes: ${diff.take(3).toSeq}")
     }
+  }
+
+  test("lshBits accepts array<double> and rejects non-numeric arrays") {
+    // r02 advice: getFloat on a double array read silent garbage — now it
+    // dispatches on element type like CosineSim and errors on anything else
+    val floats = Seq(Tuple1(Array(0.5f, -1.25f, 2.0f))).toDF("v")
+    val doubles = Seq(Tuple1(Array(0.5d, -1.25d, 2.0d))).toDF("v")
+    val fromF = floats.select(Similarity.lshBits(col("v"), 16)).collect()
+    val fromD = doubles.select(Similarity.lshBits(col("v"), 16)).collect()
+    // the values are float-exact, so the sign bits must agree bitwise
+    assert(fromF.head.getSeq[Long](0) == fromD.head.getSeq[Long](0))
+    val e = intercept[Exception] {
+      Seq(Tuple1(Array("a", "b"))).toDF("v")
+        .select(Similarity.lshBits(col("v"), 4)).collect()
+    }
+    assert(e.getMessage != null)
   }
 
   test("native langId agrees with the Column form on corpus and edge cases") {

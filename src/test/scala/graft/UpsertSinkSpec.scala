@@ -51,6 +51,44 @@ class UpsertSinkSpec extends AnyFunSuite {
     assert(spark.read.parquet(path).count() == 5)
   }
 
+  test("concurrent upserts to one path serialize: no lost records") {
+    // the r02 advice finding: QueryServer's handler pool upserts the same
+    // statusDir concurrently; unsynchronized read-merge-swap loses records
+    val path = tmp()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val futures = (0 until 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            Sinks.upsert(spark, Seq((i.toLong, s"v$i")).toDF("id", "v"), path, "id")
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+    val got = spark.read.parquet(path).select("id").as[Long].collect().sorted
+    assert(got.toSeq == (0L until 16L))
+  }
+
+  test("readUpserted tolerates a concurrently swapping directory") {
+    val path = tmp()
+    Sinks.upsert(spark, Seq((1L, "a")).toDF("id", "v"), path, "id")
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val writer = new Thread(() => {
+      var i = 0
+      while (!stop.get()) {
+        Sinks.upsert(spark, Seq((i.toLong, "x")).toDF("id", "v"), path, "id")
+        i += 1
+      }
+    })
+    writer.start()
+    try {
+      // each read re-resolves the directory; retry must absorb the swap
+      (0 until 10).foreach { _ =>
+        assert(Sinks.readUpserted(spark, path).count() >= 1)
+      }
+    } finally { stop.set(true); writer.join() }
+  }
+
   test("query status lifecycle: planning -> running -> success, one record") {
     // port of the reference's tests/query_status.rs
     val path = tmp()

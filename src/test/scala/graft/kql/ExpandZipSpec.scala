@@ -84,6 +84,21 @@ class ExpandZipSpec extends AnyFunSuite {
     assert(got == Seq("name", "test", "options", """{"nested":true}"""))
   }
 
+  // r02 advice: composite MAP values must render as JSON like the struct
+  // path, not as Spark's struct-literal text
+  test("expand of a map with struct values renders them as JSON") {
+    import org.apache.spark.sql.functions._
+    val base = logs("""{"id": 1, "inner": {"nested": true}}""")
+      .select(col("id"),
+        map(lit("opts"), col("inner")).as("m"))
+    val arr = runOn(base, "test.c | mv-expand kind=array m")
+      .collect().map(_.getString(1)).toSeq
+    assert(arr == Seq("opts", """{"nested":true}"""))
+    val bag = runOn(base, "test.c | mv-expand m")
+      .collect().map(_.getMap[String, String](1).toMap).toSeq
+    assert(bag == Seq(Map("opts" -> """{"nested":true}""")))
+  }
+
   // expand_mixed_array_and_object (tests.rs:1576): arrays and objects zip
   test("mixed array and object fields zip together") {
     val d = logs(

@@ -71,6 +71,24 @@ def main():
         problems = []
         if sorted(gcols) != sorted(ecols):
             problems.append(f"cols spark={sorted(gcols)} duck={sorted(ecols)}")
+        else:
+            # DuckDB-visible type compare: python fetchall() hides e.g.
+            # HUGEINT-vs-BIGINT or TIMESTAMP_NS-vs-TIMESTAMP divergences
+            # that the driver's arrow/pandas-based hash does NOT hide
+            # (pl_sessionize failed r02 exactly this way). Exact match
+            # required — fix the oracle SQL or the Spark output type.
+            try:
+                gt = {r[0]: r[1] for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                ).fetchall()}
+                et = {r[0]: r[1] for r in con.execute(
+                    f"DESCRIBE {oracle[name]}").fetchall()}
+                tdiff = [f"{c}: spark={gt[c]} duck={et[c]}"
+                         for c in sorted(gt) if gt[c] != et.get(c)]
+                if tdiff:
+                    problems.append("type mismatch " + "; ".join(tdiff))
+            except Exception as e:
+                problems.append(f"type compare errored: {e}")
         if len(grows) != len(erows):
             problems.append(f"rows spark={len(grows)} duck={len(erows)}")
         if not problems:
