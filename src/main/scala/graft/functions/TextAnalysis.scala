@@ -109,6 +109,23 @@ object TextAnalysis {
     when(best.getField("hits") > 0, best.getField("code")).otherwise(lit("und"))
   }
 
+  /** PII-bearing span patterns, written in the RE2-compatible subset
+    * (character classes + bounded quantifiers, no backrefs/lookaround) so
+    * the identical pattern runs in the DuckDB oracle and in any RE2-based
+    * downstream scrubber.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  /** Redact email addresses and phone-number-shaped digit runs — the
+    * standard pre-training scrub pass. Pure map-side `regexp_replace`
+    * chain: codegen'd, shuffle-free, linear in text size.
+    */
+  def redactPII(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Order-sensitive rolling-hash document fingerprint over tokens,
     * lowered to the native single-pass [[graft.functions.PolyFingerprint]]
     * expression. The char-polynomial hash is chosen over xxhash64 so the

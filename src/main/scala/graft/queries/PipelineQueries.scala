@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Graph, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as checkable queries: dedup, similarity
   * search, text analysis, multimodal plumbing. Oracles where the same
@@ -311,6 +311,126 @@ object PipelineQueries {
         Tables.load(s, d, "events"), "user_id", "ts",
         gapSeconds = 7200L, valueCol = "value")
         .orderBy("user_id", "session_start")),
+
+    // dup-cluster resolution: connected components (iterative hash-to-min
+    // label propagation) over the exact-cosine dup-pair edges — pairs →
+    // clusters → one canonical keeper per component. Oracle recomputes the
+    // components as a recursive-CTE transitive closure (bounded window).
+    Q("pl_dup_clusters",
+      """WITH RECURSIVE
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |      FROM embeddings WHERE vec_id < 200),
+        |pairs AS (SELECT a.vec_id AS s, b.vec_id AS d FROM e a, e b
+        |          WHERE a.vec_id < b.vec_id
+        |            AND list_cosine_similarity(a.v, b.v) >= 0.35),
+        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT vec_id, vec_id FROM e
+        |  UNION
+        |  SELECT edges.d, reach.r FROM reach JOIN edges ON reach.id = edges.s)
+        |SELECT id AS vec_id, min(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY vec_id""".stripMargin)(
+      (s, d) => {
+        val e = Tables.load(s, d, "embeddings").filter(col("vec_id") < 200)
+        val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+        val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+        val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .filter(Similarity.cosine(col("va"), col("vb")) >= 0.35)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        Graph.connectedComponents(e.select(col("vec_id").as("id")), pairs)
+          .select(col("id").as("vec_id"), col("cluster_id"))
+          .orderBy("vec_id")
+      }),
+
+    // ───── reproducible sampling ─────
+
+    // deterministic Bernoulli sample: membership = pure id arithmetic, so
+    // it pushes down as a filter and replays identically in both engines
+    Q("pl_sample_hash",
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+         |        % ${Sampling.P} < ${(0.1 * Sampling.P).toLong}
+         |ORDER BY doc_id""".stripMargin)(
+      (s, d) => Sampling.bernoulli(Tables.load(s, d, "documents"), "doc_id", 0.1)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // per-language quota sample: k smallest mixed hashes per stratum
+    Q("pl_sample_stratified",
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang, row_number() OVER (
+         |    PARTITION BY lang
+         |    ORDER BY ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+         |               % ${Sampling.P}, doc_id) AS rn
+         |  FROM documents)
+         |WHERE rn <= 20 ORDER BY doc_id""".stripMargin)(
+      (s, d) => Sampling.stratified(
+        Tables.load(s, d, "documents"), "lang", "doc_id", k = 20)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")),
+
+    // ───── PII scrub + per-group quantiles ─────
+
+    // the corpus is synthetic word salad with no PII, so the gate plants a
+    // deterministic contact line per row, then redacts it — the scrub pass
+    // itself (RE2-safe patterns, map-side regexp chain) is what's verified
+    Q("pl_redact",
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      'contact: user' || CAST(doc_id AS VARCHAR) ||
+        |        '@example.com tel +1-555-' ||
+        |        lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ' || text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\+?[0-9][0-9-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.redactPII(concat(
+            lit("contact: user"), col("doc_id").cast("string"),
+            lit("@example.com tel +1-555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" "), col("text"))).as("redacted"))
+        .orderBy("doc_id")),
+
+    // rank-selected token-count quantiles per language — integer-exact (no
+    // interpolation), so the gate hash-verifies; the IEEE double `p*cnt`
+    // rank arithmetic is bit-identical in both engines
+    Q("pl_token_quantiles",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT lang, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS cnt FROM t)
+        |SELECT lang,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.5 * cnt) AS BIGINT))
+        |           THEN n END) AS p50,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.9 * cnt) AS BIGINT))
+        |           THEN n END) AS p90,
+        |  max(CASE WHEN rn = greatest(1, CAST(ceil(0.99 * cnt) AS BIGINT))
+        |           THEN n END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)(
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val t = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        val r = t
+          .withColumn("rn", row_number()
+            .over(Window.partitionBy("lang").orderBy(col("n"), col("doc_id")))
+            .cast("long"))
+          .withColumn("cnt",
+            count(lit(1)).over(Window.partitionBy("lang")))
+        def pick(p: Double) =
+          max(when(col("rn") === greatest(lit(1L), ceil(lit(p) * col("cnt"))),
+            col("n")))
+        r.groupBy("lang")
+          .agg(pick(0.5).as("p50"), pick(0.9).as("p90"), pick(0.99).as("p99"))
+          .orderBy("lang")
+      }),
 
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Graph, Sampling, TextAnalysis}
+
+/** Deterministic tests for the round-4 pipeline additions: connected
+  * components, reproducible sampling, and PII redaction.
+  */
+class GraphSamplingSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("connectedComponents labels chains, cliques, and singletons") {
+    // components: {1,2,3,4} as a path (diameter 3 — needs >1 round),
+    // {10,11,12} as a triangle, {20} singleton
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L).toDF("id")
+    val edges = Seq(
+      (2L, 1L), (2L, 3L), (4L, 3L),        // path, mixed orientation
+      (10L, 11L), (11L, 12L), (10L, 12L)   // triangle
+    ).toDF("src", "dst")
+    val got = Graph.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
+  }
+
+  test("connectedComponents converges on a long path within maxIter") {
+    // path 0-1-2-...-19: min-label propagation moves the min one hop per
+    // round, so this pins that the convergence probe actually iterates
+    val n = 20
+    val vertices = (0 until n).map(_.toLong).toDF("id")
+    val edges = (0 until n - 1).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val got = Graph.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(got.sameElements(Array(0L)))
+  }
+
+  test("bernoulli sample is invariant under repartitioning") {
+    val df = (0L until 1000L).toDF("doc_id")
+    val a = Sampling.bernoulli(df, "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(df.repartition(7), "doc_id", 0.2)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // rate lands near the target on 1000 uniform ids
+    assert(a.size > 150 && a.size < 250, s"got ${a.size}")
+  }
+
+  test("stratified sample takes exactly k per stratum, deterministically") {
+    val df = (0L until 300L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "lang")
+    val a = Sampling.stratified(df, "lang", "doc_id", k = 10)
+    val counts = a.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("s0" -> 10L, "s1" -> 10L, "s2" -> 10L))
+    val again = Sampling.stratified(df.repartition(5), "lang", "doc_id", k = 10)
+    assert(a.collect().map(_.getLong(0)).toSet ==
+      again.collect().map(_.getLong(0)).toSet)
+  }
+
+  test("redactPII scrubs emails and phone runs, leaves prose alone") {
+    val got = Seq(
+      "write to jane.doe+spam@corp.example.org today",
+      "call +1-555-867-5309 or 08-555-4242 now",
+      "no pii here just words and the number 42"
+    ).toDF("text").select(TextAnalysis.redactPII(col("text")).as("r"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "write to <EMAIL> today")
+    assert(got(1) == "call <PHONE> or <PHONE> now")
+    assert(got(2) == "no pii here just words and the number 42")
+  }
+}
