@@ -34,6 +34,23 @@ object Sampling {
   def bernoulli(df: DataFrame, idCol: String, frac: Double): DataFrame =
     df.filter(mix(col(idCol)) < lit((frac * P).toLong))
 
+  /** Weighted data mixing: sample each stratum (source/domain) at its own
+    * rate — the standard pretraining-mixture shape ("2× books, 0.3× web").
+    * Rates are a tiny broadcast map compiled into a CASE chain; the
+    * decision stays the same pushed-down deterministic filter as
+    * [[bernoulli]], so a mixture is reproducible row-by-row. Strata absent
+    * from `rates` default to `defaultRate`.
+    */
+  def mixture(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
+    val rate = rates.foldLeft(lit((defaultRate * P).toLong)) {
+      case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit((r * P).toLong)).otherwise(acc)
+    }
+    df.filter(mix(col(idCol)) < rate)
+  }
+
   /** Per-stratum quota sample: the `k` rows of each stratum with the
     * smallest mixed hash (ties broken by id — fully deterministic).
     * One shuffle on the stratum key; each stratum sorts locally and keeps

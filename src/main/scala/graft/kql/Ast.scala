@@ -86,6 +86,10 @@ object Aggregation {
   case object Count extends Aggregation
   final case class Countif(e: Expr) extends Aggregation
   final case class DCount(f: FieldPath) extends Aggregation
+  /** Beyond-the-reference fast mode: HyperLogLog++ distinct estimate —
+    * no exact-distinct shuffle, mergeable sketch state (SURVEY §2.2 notes
+    * `approx_count_distinct` as the documented fast mode of `dcount`). */
+  final case class DCountApprox(f: FieldPath) extends Aggregation
   final case class Sum(f: FieldPath) extends Aggregation
   final case class Avg(f: FieldPath) extends Aggregation
   final case class Min(f: FieldPath) extends Aggregation
@@ -96,6 +100,7 @@ object Aggregation {
     case Count       => "count_"
     case Countif(_)  => "countif_"
     case DCount(f)   => s"dcount_${f.flat}"
+    case DCountApprox(f) => s"dcount_approx_${f.flat}"
     case Sum(f)      => s"sum_${f.flat}"
     case Avg(f)      => s"avg_${f.flat}"
     case Min(f)      => s"min_${f.flat}"

@@ -629,6 +629,12 @@ final class Compiler(
         case Aggregation.DCount(f) =>
           count_distinct(ordered(f)) +
             coalesce(max(when(ordered(f).isNull, 1L).otherwise(0L)), lit(0L))
+        // HLL++ fast mode: partial sketches merge map-side, no exact
+        // per-key distinct shuffle — the 100 TB path when ±2% is fine.
+        // Same null-counts-as-a-distinct adjustment as exact dcount.
+        case Aggregation.DCountApprox(f) =>
+          approx_count_distinct(ordered(f)) +
+            coalesce(max(when(ordered(f).isNull, 1L).otherwise(0L)), lit(0L))
         // sum/avg accumulate as f64 starting at 0.0 in the reference
         // (summarize.rs:580-596), so empty/all-non-numeric input yields
         // 0.0 — not SQL's null (tests.rs:1067-1083)

@@ -308,6 +308,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "count" => Aggregation.Count
       case "countif" => Aggregation.Countif(parseExpr())
       case "dcount" => Aggregation.DCount(parseFieldPath())
+      case "dcount_approx" => Aggregation.DCountApprox(parseFieldPath())
       case "sum" => Aggregation.Sum(parseFieldPath())
       case "avg" => Aggregation.Avg(parseFieldPath())
       case "min" => Aggregation.Min(parseFieldPath())

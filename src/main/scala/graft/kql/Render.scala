@@ -63,6 +63,7 @@ object Render {
     case Aggregation.Count => "count()"
     case Aggregation.Countif(e) => s"countif(${expr(e)})"
     case Aggregation.DCount(f) => s"dcount(${f.render})"
+    case Aggregation.DCountApprox(f) => s"dcount_approx(${f.render})"
     case Aggregation.Sum(f) => s"sum(${f.render})"
     case Aggregation.Avg(f) => s"avg(${f.render})"
     case Aggregation.Min(f) => s"min(${f.render})"

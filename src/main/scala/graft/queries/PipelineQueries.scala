@@ -369,6 +369,27 @@ object PipelineQueries {
         .select("doc_id", "lang")
         .orderBy("doc_id")),
 
+    // pretraining-mixture sampling: each source sampled at its own rate
+    // (src0 upweighted, src1 half, long tail thinned) — same pushed-down
+    // deterministic arithmetic as pl_sample_hash, so row-reproducible
+    Q("pl_sample_mixture", {
+      val (r0, r1, rDef) =
+        ((0.8 * Sampling.P).toLong, (0.4 * Sampling.P).toLong,
+          (0.05 * Sampling.P).toLong)
+      s"""SELECT doc_id, source FROM documents
+         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
+         |        % ${Sampling.P} <
+         |      CASE WHEN source = 'src0' THEN $r0
+         |           WHEN source = 'src1' THEN $r1
+         |           ELSE $rDef END
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, d) => Sampling.mixture(
+        Tables.load(s, d, "documents"), "source", "doc_id",
+        rates = Map("src0" -> 0.8, "src1" -> 0.4), defaultRate = 0.05)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // ───── PII scrub + per-group quantiles ─────
 
     // the corpus is synthetic word salad with no PII, so the gate plants a

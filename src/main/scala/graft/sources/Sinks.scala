@@ -16,6 +16,27 @@ object Sinks {
   def append(df: DataFrame, path: String): Unit =
     df.write.mode("append").parquet(path)
 
+  /** Write as a bucketed (and per-bucket sorted) parquet table, registered
+    * in the session catalog with its bucket spec and backed by `path`.
+    *
+    * Bucketing is the 100 TB co-location lever the plain parquet sinks
+    * can't offer: two tables bucketed on the same key with the same bucket
+    * count join with NO shuffle on either side (Catalyst sees the
+    * hash-partitioned layout and plans a zero-Exchange sort-merge join —
+    * BucketedJoinSpec pins this), and aggregations on the bucket key skip
+    * their exchange the same way. The write itself costs one shuffle into
+    * `nBuckets` files per partition-writer — paid once, amortized over
+    * every downstream join/agg on that key.
+    */
+  def writeBucketed(
+      df: DataFrame, table: String, path: String,
+      key: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .option("path", path)
+      .bucketBy(nBuckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+
   // One lock per target path: QueryServer's handler pool fires a status
   // upsert per query lifecycle stage, and an unsynchronized
   // read-merge-delete-rename loses records (both merge from the same

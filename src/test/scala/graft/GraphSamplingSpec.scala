@@ -59,6 +59,22 @@ class GraphSamplingSpec extends AnyFunSuite {
       again.collect().map(_.getLong(0)).toSet)
   }
 
+  test("mixture samples each stratum at its own rate") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val got = Sampling.mixture(df, "src", "doc_id",
+      rates = Map("s0" -> 0.5, "s1" -> 0.1), defaultRate = 0.0)
+    val counts = got.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.getOrElse("s2", 0L) == 0L, "default rate 0 excludes s2")
+    assert(counts("s0") > 400 && counts("s0") < 600, s"s0 ~50%: $counts")
+    assert(counts("s1") > 50 && counts("s1") < 150, s"s1 ~10%: $counts")
+    // membership is a row property: the s0 sample is exactly the bernoulli
+    // sample of the s0 stratum at the same rate
+    val direct = Sampling.bernoulli(df.filter(col("src") === "s0"), "doc_id", 0.5)
+    assert(got.filter(col("src") === "s0").collect().map(_.getLong(0)).toSet ==
+      direct.collect().map(_.getLong(0)).toSet)
+  }
+
   test("redactPII scrubs emails and phone runs, leaves prose alone") {
     val got = Seq(
       "write to jane.doe+spam@corp.example.org today",

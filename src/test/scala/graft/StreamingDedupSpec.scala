@@ -1,0 +1,56 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamingDedup
+
+final case class DedupDoc(ts: Timestamp, text: String)
+
+/** Streaming exact dedup: duplicates inside the watermark horizon are
+  * dropped; state is evicted past the horizon (the bound that keeps the
+  * state store finite at ingest scale).
+  */
+class StreamingDedupSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("drops in-horizon duplicates, evicts state past the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DedupDoc]
+    val q = StreamingDedup.dedupStream(
+      input.toDF(), "ts", "text", horizon = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        DedupDoc(t("2024-01-01 00:00:00"), "alpha"),
+        DedupDoc(t("2024-01-01 00:10:00"), "beta"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+
+      // same content re-arrives inside the horizon → dropped; a far-future
+      // row advances the watermark past alpha's expiry
+      input.addData(
+        DedupDoc(t("2024-01-01 00:20:00"), "alpha"),
+        DedupDoc(t("2024-01-01 05:00:00"), "gamma"))
+      q.processAllAvailable()
+      val afterB2 = spark.table("dedup_out").as[DedupDoc].collect()
+        .map(_.text).toSeq
+      assert(afterB2.count(_ == "alpha") == 1, "in-horizon dup must drop")
+      assert(afterB2.contains("gamma"))
+
+      // alpha's hash state is older than the advanced watermark → evicted;
+      // a late re-occurrence is treated as new (the batch compaction pass
+      // owns cross-horizon dups)
+      input.addData(DedupDoc(t("2024-01-01 06:00:00"), "alpha"))
+      q.processAllAvailable()
+      val afterB3 = spark.table("dedup_out").as[DedupDoc].collect()
+        .map(_.text).toSeq
+      assert(afterB3.count(_ == "alpha") == 2,
+        "state must be evicted past the horizon")
+    } finally q.stop()
+  }
+}
