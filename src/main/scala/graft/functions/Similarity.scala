@@ -162,14 +162,8 @@ object Similarity {
     // one Lloyd refinement sweep — enough to spread the cells
     val seeds = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCells)
       .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
-    def centroidArray(cents: Array[Array[Float]]) =
-      array(cents.map(ct => array(ct.map(v => lit(v.toDouble)): _*)): _*)
     def nearestCell(vec: Column, cents: Array[Array[Float]]): Column =
-      array_max(
-        zip_with(centroidArray(cents),
-          sequence(lit(0), lit(cents.length - 1)),
-          (ct, i) => struct(cosine(vec.cast("array<double>"), ct).as("s"), i.as("i"))))
-        .getField("i")
+      element_at(nearestCells(vec, cents, 1), 1)
     // one Lloyd refinement sweep: per-cell mean via (cell, dim) partial sums
     // — k × dim tiny rows collected, corpus scanned once
     val assigned0 = c.withColumn("__cell", nearestCell(col("__cv"), seeds))
@@ -193,7 +187,7 @@ object Similarity {
       .withColumn("__cell", nearestCell(col("__cv"), refined))
     val q = broadcast(queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__cells", probeCells(col("__qv"), refined, nProbe)))
+      .withColumn("__cells", nearestCells(col("__qv"), refined, nProbe)))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
     corpusCells
@@ -205,8 +199,24 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Indices of the `nProbe` nearest centroids for a query vector. */
-  private def probeCells(vec: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
+  /** Indices of the `nProbe` nearest centroids (nearest first) for a
+    * vector, lowered to the native single-pass codegen'd
+    * [[graft.functions.NearestCells]] kernel (centroids ride along as a
+    * codegen reference object — k × dim doubles, no per-row literal-array
+    * rebuild, no interpreted lambdas).
+    */
+  def nearestCells(vec: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(NearestCells(expression(vec),
+      cents.map(_.map(_.toDouble)), nProbe))
+  }
+
+  /** Reference Column-combinator form of [[nearestCells]] — the
+    * differential-testing twin for the native kernel (per-row interpreted
+    * zip_with + array_sort over the centroid literal).
+    */
+  def nearestCellsColumnForm(
+      vec: Column, cents: Array[Array[Float]], nProbe: Int): Column = {
     val centArr = array(cents.map(ct => array(ct.map(v => lit(v.toDouble)): _*)): _*)
     val scored = zip_with(centArr, sequence(lit(0), lit(cents.length - 1)),
       (ct, i) => struct(cosine(vec.cast("array<double>"), ct).as("s"), i.as("i")))

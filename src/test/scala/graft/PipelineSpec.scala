@@ -237,6 +237,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native nearestCells agrees with the Column form on real embeddings") {
+    val emb = Tables.load(spark, graft.TestSpark.sf, "embeddings")
+      .select(col("embedding")).limit(200)
+    // deterministic fake centroids derived from the first rows
+    val cents = Tables.load(spark, graft.TestSpark.sf, "embeddings")
+      .orderBy(col("vec_id")).limit(8)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    for (nProbe <- Seq(1, 3)) {
+      val both = emb.select(
+        Similarity.nearestCells(col("embedding"), cents, nProbe).as("fast"),
+        Similarity.nearestCellsColumnForm(col("embedding"), cents, nProbe).as("ref"))
+      val diff = both.filter(not(col("fast") <=> col("ref"))).collect()
+      assert(diff.isEmpty,
+        s"native/Column nearestCells disagree at nProbe=$nProbe: ${diff.take(3).toSeq}")
+    }
+  }
+
   test("lshBits accepts array<double> and rejects non-numeric arrays") {
     // r02 advice: getFloat on a double array read silent garbage — now it
     // dispatches on element type like CosineSim and errors on anything else
