@@ -26,20 +26,37 @@ object Bench {
   /** Run each query through a noop sink (a bare count() would let Catalyst
     * eliminate ORDER BYs and prune projections, timing a cheaper plan than
     * the query declares). Failures record a -1 time sentinel.
+    *
+    * Each query runs `repeats` times and reports the MINIMUM: wall-clock on
+    * a shared machine is one-sided noise (a background process can only add
+    * time, never subtract it), so min-of-N estimates the query's true cost
+    * far more stably than a single sample — a bench run that collides with
+    * unrelated load should not read as a 3× regression. A failure in ANY
+    * repeat still fails the query.
     */
   def run(
       spark: SparkSession, sfDir: String,
-      queries: Seq[(String, (SparkSession, String) => DataFrame)]): Result = {
+      queries: Seq[(String, (SparkSession, String) => DataFrame)],
+      repeats: Int = 2): Result = {
     val outcomes = queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (name, (System.nanoTime() - t0) / 1e9, None: Option[String])
-      } catch {
-        case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .trim.replace("\n", " ").take(300)
-          (name, -1.0, Some(msg))
+      var best = Double.MaxValue
+      var err: Option[String] = None
+      var i = 0
+      while (i < repeats && err.isEmpty) {
+        val t0 = System.nanoTime()
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+              .trim.replace("\n", " ").take(300))
+        }
+        i += 1
+      }
+      err match {
+        case Some(m) => (name, -1.0, Some(m))
+        case None    => (name, best, None: Option[String])
       }
     }
     Result(
@@ -64,7 +81,8 @@ object Bench {
       spark.range(1000000L).selectExpr("sum(id)").collect()
       Tables.load(spark, sfDir, "lineitem").limit(1).collect()
     } catch { case _: Throwable => () }
-    val result = run(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1))
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
+    val result = run(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), repeats)
     println(result.json(sfDir))
     spark.stop()
     if (result.errors.nonEmpty) sys.exit(1)

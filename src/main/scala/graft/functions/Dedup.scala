@@ -124,6 +124,36 @@ object Dedup {
     column(graft.functions.SimHash64(expression(toks)))
   }
 
+  /** Benchmark-contamination score: for every corpus document, the
+    * fraction of its distinct word n-gram shingles that also appear
+    * anywhere in a benchmark corpus — the standard decontamination check
+    * run before training (drop or flag documents overlapping eval sets).
+    *
+    * Shape at scale: the benchmark side collapses to its distinct shingle
+    * set — eval suites are tiny next to a 100 TB corpus — and is
+    * explicitly broadcast, so the overlap test is a map-side hash probe;
+    * the only shuffle is the per-document count aggregation (partial
+    * map-side combine, doc-keyed, no hot keys). Documents with fewer than
+    * `n` tokens have no shingles and drop out, in both this and the
+    * oracle.
+    */
+  def contaminationScore(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 3): DataFrame = {
+    val docSh = corpus.select(col(idCol), explode(shingleSet(col(textCol), n)).as("s"))
+    val benchSh = benchmark
+      .select(explode(shingleSet(col(benchTextCol), n)).as("s"))
+      .distinct()
+      .withColumn("__hit", lit(1))
+    docSh.join(broadcast(benchSh), Seq("s"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("__hit"), lit(0))).as("n_overlap"))
+      .withColumn("contamination",
+        col("n_overlap").cast("double") / col("n_shingles"))
+  }
+
   /** Exact-duplicate groups: hash text, keep the smallest id as canonical.
     * Returns (text_hash, n_copies, keeper_id).
     */

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines.
@@ -135,5 +136,77 @@ object TextAnalysis {
   def fingerprint(text: Column): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     column(graft.functions.PolyFingerprint(expression(tokens(text))))
+  }
+
+  /** Repetition-based quality signals (the Gopher-rule family): how much
+    * of a document is the same token or bigram repeated. High values mark
+    * boilerplate / degenerate generations that length or stopword ratios
+    * miss.
+    *
+    *   - `dup_token_frac`  — fraction of token occurrences beyond each
+    *     token's first (1 − distinct/total)
+    *   - `top_token_frac`  — share of the single most frequent token
+    *   - `top_bigram_frac` — share of the most frequent adjacent bigram
+    *     (0 for single-token docs)
+    *
+    * Shape at scale: explode + two-level groupBy — map-side partial
+    * counts, one shuffle keyed by (doc, gram) then (doc), both
+    * well-distributed (no global hot key). Linear in corpus tokens,
+    * unlike the O(tokens²) nested-lambda HOF form.
+    */
+  def repetitionFeatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), tokens(col(textCol)).as("toks"))
+    val uni = toks.select(col(idCol), explode(col("toks")).as("t"))
+      .groupBy(col(idCol), col("t")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+    val bi = toks.select(col(idCol),
+        explode(zip_with(
+          slice(col("toks"), lit(1), size(col("toks")) - 1),
+          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
+      .groupBy(col(idCol)).agg(sum("c").as("n_bigrams"), max("c").as("top_bg_c"))
+    uni.join(bi, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        ((col("n_tokens") - col("n_distinct")).cast("double") / col("n_tokens"))
+          .as("dup_token_frac"),
+        (col("top_c").cast("double") / col("n_tokens")).as("top_token_frac"),
+        coalesce(col("top_bg_c").cast("double") / col("n_bigrams"), lit(0.0))
+          .as("top_bigram_frac"))
+  }
+
+  /** TF-IDF-style keyword extraction: the top-`k` most distinctive tokens
+    * per document, scored `tf * N / df` (linear inverse document
+    * frequency). The score stays in scaled BIGINT arithmetic
+    * (`tf * N * 1e6 div df`) rather than `tf * ln(N/df)` doubles so it is
+    * bit-exact across engines — the log only reshapes the weighting curve,
+    * not the plan, and a caller who wants it swaps one projection.
+    *
+    * Plan shape at scale: one shuffle for per-document term counts
+    * (groupBy doc,token — map-side partial agg), one for document
+    * frequencies (groupBy token over the already-distinct tf rows), a
+    * token-partitioned join against the |vocab|-sized df table (Catalyst
+    * broadcasts it when it fits, AQE decides beyond), and a per-document
+    * top-k window. The corpus size N joins in as a broadcast 1-row
+    * aggregate — no driver-side count.
+    */
+  def keywords(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val tf = tok.groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("token").asc)
+    tf.join(dfreq, "token")
+      .crossJoin(broadcast(n))
+      .withColumn("score", expr("tf * n_docs * 1000000 div df"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))
   }
 }

@@ -453,6 +453,235 @@ object PipelineQueries {
           .orderBy("lang")
       }),
 
+    // scale path of pl_token_quantiles: a mergeable quantile sketch
+    // (percentile_approx) instead of the global rank window — partial/final
+    // aggregation, no per-group sort of the full data. Approximate by
+    // contract, so rows-only here; GraphSamplingSpec pins agreement with
+    // the exact ranks when the sketch budget exceeds the group size.
+    Q.noOracle("pl_token_quantiles_approx")(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
+        .groupBy("lang")
+        .agg(percentile_approx(
+          col("n"), array(lit(0.5), lit(0.9), lit(0.99)), lit(10000)).as("qs"))
+        .select(col("lang"),
+          col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
+        .orderBy("lang")),
+
+    // ───── as-of enrichment + keyword extraction ─────
+
+    // as-of join: each purchase picks up the latest view at-or-before it
+    // for the same user. The right side is collapsed per (user, ts) first
+    // so the match is deterministic. DuckDB's native ASOF JOIN is the
+    // oracle for the union+carry-forward lowering (one shuffle, no
+    // quadratic candidate set — see graft.functions.AsOf).
+    Q("pl_asof_join",
+      """WITH v AS (SELECT user_id, ts, max(value) AS v_value
+        |           FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+        |     p AS (SELECT event_id, user_id, ts FROM events
+        |           WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts,
+        |       v.ts AS asof_ts, v.v_value AS asof_v_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY p.event_id""".stripMargin)(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts")
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max(col("value")).as("v_value"))
+        graft.functions.AsOf.join(
+          purchases, views, key = "user_id", ts = "ts", payload = Seq("v_value"))
+          .orderBy("event_id")
+      }),
+
+    // TF-IDF keyword extraction (integer-exact linear-idf scoring): the
+    // 5 most distinctive tokens per document, hash-verified cross-engine
+    Q("pl_keywords",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, token, tf, score, rank FROM (
+        |  SELECT tf.doc_id, tf.token, tf.tf,
+        |         CAST(tf.tf * n.n_docs * 1000000 // df.df AS BIGINT) AS score,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |           ORDER BY tf.tf * n.n_docs * 1000000 // df.df DESC,
+        |                    tf.token) AS INTEGER) AS rank
+        |  FROM tf JOIN df USING (token) CROSS JOIN n)
+        |WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin)(
+      (s, d) => TextAnalysis.keywords(
+        Tables.load(s, d, "documents"), "doc_id", "text", k = 5)
+        .orderBy("doc_id", "rank")),
+
+    // end-to-end near-dup removal: jaccard pair edges → connected
+    // components → one keeper (min id) per cluster with its member count.
+    // Same bounded window as pl_ngram_jaccard; the scalable candidate
+    // generator is the minhash path. Oracle recomputes the components as
+    // a recursive-CTE transitive closure.
+    Q("pl_dedup_keep",
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |        FROM documents WHERE doc_id < 60)),
+        |pairs AS (
+        |  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM sh
+        |  UNION
+        |  SELECT edges.d, reach.r FROM reach JOIN edges ON reach.id = edges.s),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+        |SELECT cluster_id AS doc_id, count(*) AS n_members
+        |FROM cc GROUP BY 1 ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").filter(col("doc_id") < 60)
+        val sh = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("s"))
+        val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+        val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+        val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .filter(
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double") >= 0.2)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        Graph.connectedComponents(docs.select(col("doc_id").as("id")), pairs)
+          .groupBy("cluster_id").agg(count(lit(1)).as("n_members"))
+          .select(col("cluster_id").as("doc_id"), col("n_members"))
+          .orderBy("doc_id")
+      }),
+
+    // interval-containment join: errors attributed to the gap-session that
+    // contains them (bin-bucketed range join — candidates only where point
+    // and interval share a time bin; see graft.functions.Temporal). Oracle
+    // recomputes sessions with the window-sum CTE and joins by inequality.
+    Q("pl_interval_join",
+      """WITH flags AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 7200 SECOND
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grp AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flags),
+        |sess AS (
+        |  SELECT user_id, min(ts) AS session_start,
+        |         max(ts) + INTERVAL 7200 SECOND AS session_end
+        |  FROM grp GROUP BY user_id, sid)
+        |SELECT s.user_id, s.session_start, count(*) AS n_errors
+        |FROM sess s JOIN events e
+        |  ON e.user_id = s.user_id AND e.event_type = 'error'
+        | AND e.ts >= s.session_start AND e.ts <= s.session_end
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        val sessions = graft.functions.Sessionize.sessions(
+          ev, "user_id", "ts", gapSeconds = 7200L, valueCol = "value")
+          .select("user_id", "session_start", "session_end")
+        val errors = ev.filter(col("event_type") === "error")
+          .select("user_id", "ts")
+        graft.functions.Temporal.intervalJoin(
+          errors, sessions, key = "user_id", ts = "ts",
+          start = "session_start", end = "session_end", binSeconds = 3600L)
+          .groupBy("user_id", "session_start")
+          .agg(count(lit(1)).as("n_errors"))
+          .orderBy("user_id", "session_start")
+      }),
+
+    // Gopher-family repetition signals: duplicate-token fraction, top
+    // token / top adjacent-bigram share. Exact counts + single divisions,
+    // so the DuckDB mirror hash-matches bit-for-bit.
+    Q("pl_repetition",
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |uc AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+        |ug AS (SELECT doc_id, tok, count(*) AS c FROM uc GROUP BY 1, 2),
+        |u AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |             count(*) AS n_distinct, max(c) AS top_c
+        |      FROM ug GROUP BY 1),
+        |bgr AS (SELECT doc_id,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i + 1])) AS b
+        |  FROM t),
+        |bc AS (SELECT doc_id, b, count(*) AS c FROM bgr GROUP BY 1, 2),
+        |bt AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |              max(c) AS top_bg
+        |       FROM bc GROUP BY 1)
+        |SELECT u.doc_id, u.n_tokens,
+        |  CAST(u.n_tokens - u.n_distinct AS DOUBLE) / u.n_tokens AS dup_token_frac,
+        |  CAST(u.top_c AS DOUBLE) / u.n_tokens AS top_token_frac,
+        |  coalesce(CAST(bt.top_bg AS DOUBLE) / bt.n_bigrams, 0.0) AS top_bigram_frac
+        |FROM u LEFT JOIN bt ON u.doc_id = bt.doc_id
+        |ORDER BY u.doc_id""".stripMargin)(
+      (s, d) => TextAnalysis.repetitionFeatures(
+        Tables.load(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // concat-and-chunk sequence packing: each document's start offset in
+    // the concatenated token stream and the 2048-token training sequences
+    // it lands in. The Spark side is the two-phase distributed prefix sum
+    // (graft.functions.Packing) — no single-task global window; the oracle
+    // is the plain SQL window sum it must agree with.
+    Q("pl_pack_sequences",
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |         - n_tokens AS BIGINT) AS tok_offset
+        |  FROM t)
+        |SELECT doc_id, n_tokens, tok_offset,
+        |  tok_offset // 2048 AS seq_first,
+        |  greatest(tok_offset, tok_offset + n_tokens - 1) // 2048 AS seq_last
+        |FROM c ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.functions.Packing.packSequences(
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"),
+            TextAnalysis.tokenCount(col("text")).cast("bigint").as("n_tokens")),
+        "doc_id", "n_tokens", budget = 2048L)
+        .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+        .orderBy("doc_id")),
+
+    // benchmark decontamination: distinct-3-gram overlap of every non-src1
+    // document against the src1 "benchmark" shingle set (broadcast
+    // map-side probe; only the per-doc count aggregation shuffles)
+    Q("pl_contamination",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS s
+        |  FROM t),
+        |bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src1')
+        |SELECT sh.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(count(bench.s) AS BIGINT) AS n_overlap,
+        |  CAST(count(bench.s) AS DOUBLE) / count(*) AS contamination
+        |FROM sh LEFT JOIN bench ON sh.s = bench.s
+        |WHERE sh.source <> 'src1'
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.contaminationScore(
+          docs.filter(col("source") =!= "src1"), "doc_id", "text",
+          docs.filter(col("source") === "src1"), "text", n = 3)
+          .orderBy("doc_id")
+      }),
+
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
     // the stub decode is a rolling byte hash and the corpus is ASCII

@@ -1,0 +1,90 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{AsOf, TextAnalysis}
+
+/** As-of join semantics + keyword-extraction scoring, pinned on small
+  * hand-computed fixtures.
+  */
+class AsOfSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:05:00"), 105.0),
+    (1L, ts("2024-01-01 10:10:00"), 110.0),
+    (2L, ts("2024-01-01 09:00:00"), 900.0)
+  ).toDF("key", "ts", "px")
+
+  private val trades = Seq(
+    (10L, 1L, ts("2024-01-01 10:04:59")), // between first two quotes
+    (11L, 1L, ts("2024-01-01 10:05:00")), // exactly at a quote: inclusive
+    (12L, 1L, ts("2024-01-01 09:59:59")), // before any quote: null
+    (13L, 2L, ts("2024-01-01 23:00:00")), // long after the only quote
+    (14L, 3L, ts("2024-01-01 12:00:00"))  // key with no right rows
+  ).toDF("id", "key", "ts")
+
+  test("as-of join picks the latest right row at-or-before each left ts") {
+    val got = AsOf.join(trades, quotes, "key", "ts", Seq("px"))
+      .select("id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(
+      10L -> Some(100.0),
+      11L -> Some(105.0),
+      12L -> None,
+      13L -> Some(900.0),
+      14L -> None))
+  }
+
+  test("as-of join carries the matched right timestamp") {
+    val got = AsOf.join(trades, quotes, "key", "ts", Seq("px"))
+      .filter(col("id") === 11L).select("asof_ts").collect()
+    assert(got.head.getTimestamp(0) == ts("2024-01-01 10:05:00"))
+  }
+
+  test("as-of join keeps every left row and all left columns") {
+    val out = AsOf.join(trades, quotes, "key", "ts", Seq("px"))
+    assert(out.count() == trades.count())
+    assert(out.columns.toSeq == Seq("id", "key", "ts", "asof_ts", "asof_px"))
+  }
+
+  test("as-of join is invariant under input repartitioning") {
+    val a = AsOf.join(trades, quotes, "key", "ts", Seq("px"))
+      .collect().map(_.toString).sorted
+    val b = AsOf.join(trades.repartition(7), quotes.repartition(3),
+      "key", "ts", Seq("px"))
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("keywords ranks rare tokens above common ones, tf breaks up") {
+    // "zebra" appears only in doc 1 (df=1); "the" is in all three (df=3).
+    // In doc 1, zebra (tf=1, df=1) must outscore the (tf=2, df=3):
+    // 1*3e6/1 = 3e6 > 2*3e6/3 = 2e6.
+    val docs = Seq(
+      (1L, "the zebra the"),
+      (2L, "the quick fox"),
+      (3L, "the slow fox")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 2)
+      .filter(col("doc_id") === 1L).orderBy("rank")
+      .select("token", "score").as[(String, Long)].collect()
+    assert(got.head == ("zebra", 3000000L))
+    assert(got(1) == ("the", 2000000L))
+  }
+
+  test("keywords returns at most k per document, rank is dense from 1") {
+    val docs = Seq((1L, "a b c d e f"), (2L, "a")).toDF("doc_id", "text")
+    val got = TextAnalysis.keywords(docs, "doc_id", "text", k = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("n"), collect_set("rank").as("rs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 1L))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Dedup, TextAnalysis}
+
+/** Hand-computed expectations for the repetition quality signals and the
+  * benchmark-contamination score.
+  */
+class RepetitionSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  test("repetition features on hand-computed docs") {
+    val docs = Seq(
+      (1L, "a a a b"),        // 4 tokens, 2 distinct; top token a=3; bigrams: "a a"×2, "a b" → top 2/3
+      (2L, "x y z"),          // no repetition at all
+      (3L, "w")               // single token: no bigrams
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got(0) == ((1L, 4L, 0.5, 0.75, 2.0 / 3.0)))
+    assert(got(1) == ((2L, 3L, 0.0, 1.0 / 3.0, 0.5)))
+    assert(got(2) == ((3L, 1L, 0.0, 1.0, 0.0)))
+  }
+
+  test("a fully repeated doc maxes the signals") {
+    val docs = Seq((1L, "spam spam spam spam")).toDF("doc_id", "text")
+    val r = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(r == ((1L, 4L, 0.75, 1.0, 1.0)))
+  }
+
+  test("contamination score counts distinct-shingle overlap") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),  // shingles: tqb qbf bfj fjx? → 3-grams over 5 tokens = 3
+      (2L, "totally novel content here"),
+      (3L, "a b")                          // < 3 tokens: no shingles, drops out
+    ).toDF("doc_id", "text")
+    val bench = Seq(
+      (10L, "the quick brown fox")         // shingles: "the quick brown", "quick brown fox"
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, "doc_id", "text", bench, "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 1: 3 shingles, 2 overlap; doc 2: 2 shingles, 0 overlap
+    assert(got == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 0L, 0.0)))
+  }
+
+  test("overlap counts each distinct shingle once, not per benchmark copy") {
+    val corpus = Seq((1L, "p q r")).toDF("doc_id", "text")
+    val bench = Seq((10L, "p q r"), (11L, "p q r")).toDF("doc_id", "text")
+    val got = Dedup.contaminationScore(corpus, "doc_id", "text", bench, "text")
+      .as[(Long, Long, Long, Double)].head()
+    assert(got == ((1L, 1L, 1L, 1.0)))
+  }
+}

@@ -82,9 +82,12 @@ class UpsertSinkSpec extends AnyFunSuite {
     })
     writer.start()
     try {
-      // each read re-resolves the directory; retry must absorb the swap
+      // each read re-resolves the directory; retry must absorb the swap.
+      // attempts is raised well above the default: under a loaded machine
+      // (the full parallel suite) a single read attempt can span several
+      // swaps, and this test is probing tolerance, not retry tuning.
       (0 until 10).foreach { _ =>
-        assert(Sinks.readUpserted(spark, path).count() >= 1)
+        assert(Sinks.readUpserted(spark, path, attempts = 30).count() >= 1)
       }
     } finally { stop.set(true); writer.join() }
   }
