@@ -98,4 +98,47 @@ class PlanSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).length <= 2,
       s"sessionization should shuffle once (plus output ordering), got:\n$p")
   }
+
+  // the as-of join's whole point is avoiding the quadratic lowering: an
+  // inequality join would plan as BroadcastNestedLoopJoin (per-left-row
+  // scan of the right side)
+  test("as-of join plans as union + running window, not a nested-loop join") {
+    val p = plan("pl_asof_join")
+    assert(!p.contains("NestedLoopJoin"),
+      s"as-of must not fall back to a nested-loop join:\n$p")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the carry-forward window")
+  }
+
+  test("interval join is an equi-join on (key, bin), not a pure theta join") {
+    val p = plan("pl_interval_join")
+    assert(!p.contains("NestedLoopJoin"),
+      s"bucketed range join must not plan as nested-loop:\n$p")
+  }
+
+  // contamination: the benchmark shingle set must broadcast — a shuffled
+  // join here would reshuffle the full corpus's shingles by value
+  test("contamination probes a broadcast benchmark set") {
+    val p = plan("pl_contamination")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark set must broadcast:\n$p")
+  }
+
+  // sequence packing: the global prefix sum must NOT collapse the corpus
+  // into one task — only the per-partition totals (rows = #partitions)
+  // may pass through a single-partition exchange
+  test("packing avoids a corpus-wide single-partition window") {
+    val df = graft.functions.Packing.withGlobalOffset(
+      Tables.load(spark, sf, "documents")
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.lit(1L).as("n")),
+      "doc_id", "n", "off")
+    val p = df.queryExecution.executedPlan.toString
+    // the doc-bearing side goes through a range repartition; the lone
+    // SinglePartition exchange feeds the tiny per-partition totals window
+    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
+      s"expected range partitioning for the data side:\n$p")
+    assert("SinglePartition".r.findAllIn(p).length <= 1,
+      s"at most the totals prefix-sum may be single-partition:\n$p")
+  }
 }
