@@ -154,6 +154,37 @@ object Dedup {
         col("n_overlap").cast("double") / col("n_shingles"))
   }
 
+  /** Pairwise shingle-overlap matrix between corpus slices (sources,
+    * snapshots, domains): for every pair of groups, the Jaccard similarity
+    * of their distinct n-gram sets — the dataset-mixing diagnostic that
+    * tells you which sources are near-copies of each other before you
+    * assign mixture weights.
+    *
+    * Shape at scale: one distinct over (group, shingle) — the vocabulary
+    * per source, far smaller than the corpus — then a self-join keyed on
+    * the shingle. Output is |groups|² rows, tiny. The shingle-keyed join
+    * can skew on stop-shingles shared by every source; at 100 TB prune the
+    * head (drop shingles appearing in ALL groups — they contribute equally
+    * to every intersection) or salt the join.
+    */
+  def groupOverlap(
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
+    val sh = df
+      .select(col(groupCol), explode(shingleSet(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
+    sh.as("a").join(sh.as("b"), "s")
+      .filter(col(s"a.$groupCol") < col(s"b.$groupCol"))
+      .groupBy(col(s"a.$groupCol").as("grp_a"), col(s"b.$groupCol").as("grp_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col(groupCol).as("grp_a"), col("sz").as("sz_a")), "grp_a")
+      .join(sizes.select(col(groupCol).as("grp_b"), col("sz").as("sz_b")), "grp_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") /
+          (col("sz_a") + col("sz_b") - col("n_common")))
+      .select("grp_a", "grp_b", "n_common", "jaccard")
+  }
+
   /** Exact-duplicate groups: hash text, keep the smallest id as canonical.
     * Returns (text_hash, n_copies, keeper_id).
     */

@@ -682,6 +682,98 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // embedding outlier sweep: top-3 farthest-from-centroid vectors per
+    // label. Everything up to the final projection is exact scaled-integer
+    // arithmetic (decimal fold / HUGEINT in DuckDB) — a float centroid
+    // would be order-sensitive and never hash-match cross-engine.
+    Q("pl_embed_outliers",
+      """WITH sv AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS sv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, unnest(sv) AS v,
+        |             unnest(range(1, len(sv) + 1)) AS pos
+        |      FROM sv),
+        |s AS (SELECT label, pos, CAST(sum(v) AS BIGINT) AS s
+        |      FROM e GROUP BY 1, 2),
+        |cent AS (SELECT label, list(s ORDER BY pos) AS sarr FROM s GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n FROM sv GROUP BY 1),
+        |sc AS (SELECT sv.vec_id, sv.label,
+        |    list_sum(list_transform(range(1, len(sv.sv) + 1),
+        |      i -> CAST(sv.sv[i] * n.n - cent.sarr[i] AS HUGEINT)
+        |           * CAST(sv.sv[i] * n.n - cent.sarr[i] AS HUGEINT))) AS score_i
+        |  FROM sv JOIN cent USING (label) JOIN n USING (label)),
+        |r AS (SELECT label, vec_id,
+        |    CAST(row_number() OVER (PARTITION BY label
+        |      ORDER BY score_i DESC, vec_id) AS INTEGER) AS rank,
+        |    CAST(score_i AS DOUBLE) AS score
+        |  FROM sc)
+        |SELECT label, vec_id, rank, score FROM r
+        |WHERE rank <= 3 ORDER BY label, rank""".stripMargin)(
+      (s, d) => graft.functions.Embeddings.labelOutliers(
+        Tables.load(s, d, "embeddings"), "vec_id", "label", "embedding", k = 3)
+        .orderBy("label", "rank")),
+
+    // cross-source overlap matrix: Jaccard of distinct 3-gram vocabularies
+    // per source pair — the dataset-mixing diagnostic (which sources are
+    // near-copies before you weight them)
+    Q("pl_source_overlap",
+      """WITH t AS (SELECT source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS s
+        |  FROM t),
+        |sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY 1),
+        |ov AS (SELECT a.source AS grp_a, b.source AS grp_b,
+        |              CAST(count(*) AS BIGINT) AS n_common
+        |       FROM sh a JOIN sh b USING (s)
+        |       WHERE a.source < b.source GROUP BY 1, 2)
+        |SELECT ov.grp_a, ov.grp_b, ov.n_common,
+        |  CAST(ov.n_common AS DOUBLE) / (x.sz + y.sz - ov.n_common) AS jaccard
+        |FROM ov JOIN sz x ON x.source = ov.grp_a
+        |        JOIN sz y ON y.source = ov.grp_b
+        |ORDER BY grp_a, grp_b""".stripMargin)(
+      (s, d) => Dedup.groupOverlap(
+        Tables.load(s, d, "documents"), "source", "text", n = 3)
+        .orderBy("grp_a", "grp_b")),
+
+    // end-to-end curation funnel: survivors after each pretraining filter
+    // stage (length gate → repetition gate → exact-dedup keeper), as one
+    // row of stage counts — the shape of a real curation report
+    Q("pl_curation_funnel",
+      """WITH t AS (SELECT doc_id, text,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS dup_frac,
+        |    min(doc_id) OVER (PARTITION BY text) AS keeper
+        |  FROM t)
+        |SELECT CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(count(*) FILTER (WHERE n_tokens >= 30) AS BIGINT) AS n_quality,
+        |  CAST(count(*) FILTER (WHERE n_tokens >= 30 AND dup_frac <= 0.6)
+        |       AS BIGINT) AS n_repetition,
+        |  CAST(count(*) FILTER (WHERE n_tokens >= 30 AND dup_frac <= 0.6
+        |                          AND keeper = doc_id) AS BIGINT) AS n_dedup
+        |FROM f""".stripMargin)(
+      (s, d) => {
+        val toks = TextAnalysis.tokens(col("text"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("text"))
+        val f = Tables.load(s, d, "documents")
+          .select(col("doc_id"), col("text"), size(toks).as("n_tokens"),
+            (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+              .as("dup_frac"))
+          .withColumn("keeper", min(col("doc_id")).over(w))
+        val q = col("n_tokens") >= 30
+        val r = q && col("dup_frac") <= 0.6
+        f.agg(
+          count(lit(1)).as("n_total"),
+          count_if(q).as("n_quality"),
+          count_if(r).as("n_repetition"),
+          count_if(r && col("keeper") === col("doc_id")).as("n_dedup"))
+      }),
+
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
     // the stub decode is a rolling byte hash and the corpus is ASCII

@@ -124,6 +124,15 @@ class PlanSpec extends AnyFunSuite {
       s"benchmark set must broadcast:\n$p")
   }
 
+  // outlier scoring joins the labels×dims centroid table back to the
+  // corpus — that side must broadcast so the corpus is probed map-side
+  // (its own computation may shuffle; the corpus-wide join must not)
+  test("embedding outlier scoring broadcasts the centroid table") {
+    val p = plan("pl_embed_outliers")
+    assert(p.contains("BroadcastHashJoin"),
+      s"centroid join must broadcast:\n$p")
+  }
+
   // sequence packing: the global prefix sum must NOT collapse the corpus
   // into one task — only the per-partition totals (rows = #partitions)
   // may pass through a single-partition exchange
