@@ -68,6 +68,11 @@ object Expr {
   final case class Exists(e: Expr) extends Expr
   /** strcat(e1, e2, ...) */
   final case class StrCat(args: Seq[Expr]) extends Expr
+  /** Unary text-pipeline scalar (beyond the reference's closed set):
+    * name ∈ tokencount simhash fingerprint langid — lowered to the native
+    * single-pass kernels in [[graft.functions]].
+    */
+  final case class TextFn(name: String, arg: Expr) extends Expr
 }
 
 sealed trait SortOrder

@@ -159,6 +159,10 @@ final class Compiler(
       case "tobool" | "toboolean" => KT.Bool
     }
     case StrCat(_) => KT.Str
+    case TextFn(name, _) => name match {
+      case "langid" => KT.Str
+      case _ => KT.Int // tokencount / simhash / fingerprint
+    }
   }
 
   // ───────────────────────── expression lowering ─────────────────────────
@@ -414,6 +418,20 @@ final class Compiler(
     case Exists(x) => compile(df, x).isNotNull
 
     case StrCat(args) => concat(args.map(a => compile(df, a).cast(StringType)): _*)
+
+    // text-pipeline scalars (beyond the reference's closed function set):
+    // each lowers to the same native single-pass kernel the DataFrame API
+    // uses, so KQL queries and DataFrame pipelines agree bit-for-bit
+    case TextFn(name, x) =>
+      val xc = compile(df, x).cast(StringType)
+      name match {
+        case "tokencount" =>
+          graft.functions.TextAnalysis.tokenCount(xc).cast(LongType)
+        case "simhash" =>
+          graft.functions.Dedup.simhash(graft.functions.TextAnalysis.tokens(xc))
+        case "fingerprint" => graft.functions.TextAnalysis.fingerprint(xc)
+        case "langid" => graft.functions.TextAnalysis.langId(xc)
+      }
   }
 
   // ───────────────────────── step lowering ─────────────────────────

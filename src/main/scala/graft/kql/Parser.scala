@@ -490,7 +490,8 @@ final class Parser(src: String, nowMicros: Long) {
   private val funcWords = Set(
     "not", "case", "iff", "iif", "extract", "bin", "floor", "exists", "now",
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
-    "todouble", "todecimal", "tobool", "toboolean")
+    "todouble", "todecimal", "tobool", "toboolean",
+    "tokencount", "simhash", "fingerprint", "langid")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -568,6 +569,9 @@ final class Parser(src: String, nowMicros: Long) {
             DatetimeLit(parseDatetime(src.substring(start, endPos).trim, start))
         }
       case "strcat" => StrCat(args())
+      case f @ ("tokencount" | "simhash" | "fingerprint" | "langid") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        TextFn(f, a.head)
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

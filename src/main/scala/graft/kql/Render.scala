@@ -36,6 +36,7 @@ object Render {
     case Cast(kind, x) => s"$kind(${expr(x)})"
     case Exists(x) => s"exists(${expr(x)})"
     case StrCat(args) => s"strcat(${args.map(expr).mkString(", ")})"
+    case TextFn(name, x) => s"$name(${expr(x)})"
   }
 
   private def paren(e: Expr): String = e match {

@@ -181,6 +181,22 @@ object KqlQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
         |  AND o_totalprice BETWEEN 100000 AND 150000
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // pipeline scalar functions inside KQL: tokencount() in an extend feeds
+    // a summarize — one engine surface over both query and curation ops.
+    // sum() through the KQL path is double by KQL typing; integer token
+    // counts stay exact in double up to 2^53.
+    kq("kql_tokencount",
+      """documents
+        | | extend n = tokencount(text)
+        | | summarize n_docs=count(), total_tokens=sum(n), max_tokens=max(n) by lang
+        | | sort by lang asc""".stripMargin,
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) AS DOUBLE) AS total_tokens,
+        |  CAST(max(len(list_filter(string_split_regex(text, '\s+'),
+        |                           x -> len(x) > 0))) AS BIGINT) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
   )
 }
