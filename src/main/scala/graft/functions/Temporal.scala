@@ -30,6 +30,55 @@ object Temporal {
   private def bin(ts: Column, binSeconds: Long): Column =
     floor(unix_timestamp(ts) / binSeconds).cast("long")
 
+  /** Rolling trailing-window features per key: for every row, the count of
+    * that key's rows and the exact integer-cents value sum within the
+    * trailing `windowSeconds` (inclusive both ends) — rate/velocity
+    * features for anomaly detection and feature engineering.
+    *
+    * One shuffle on the key, then a single sorted pass per partition
+    * (range frames evaluate incrementally). The sum is integer cents, not
+    * raw doubles: trailing-window double sums would be order-sensitive and
+    * engine-divergent. A pathological hot key serializes into one task —
+    * the standard mitigation is slicing such keys by coarse time range
+    * with one window-length of overlap and dropping the warm-up rows.
+    */
+  def rollingWindow(
+      df: DataFrame, keyCol: String, tsCol: String,
+      windowSeconds: Long, valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("__ts_sec"))
+      .rangeBetween(-windowSeconds, 0)
+    df.withColumn("__ts_sec", unix_timestamp(col(tsCol)))
+      .withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_cents_window",
+        sum(round(col(valueCol) * 100).cast("bigint")).over(w))
+      .drop("__ts_sec")
+  }
+
+  /** Gap-filled time series (the KQL `make-series` shape): per-group counts
+    * at a fixed `step`, with missing buckets emitted as zero over each
+    * group's own [min, max] bucket range. The grid generates from the tiny
+    * per-group bounds table (`sequence` + explode — rows = buckets, not
+    * data), then left-joins the real counts back.
+    */
+  def makeSeries(
+      df: DataFrame, groupCol: String, tsCol: String,
+      stepSeconds: Long): DataFrame = {
+    val counts = df
+      .groupBy(col(groupCol),
+        timestamp_seconds(
+          expr(s"unix_timestamp($tsCol) div $stepSeconds") * stepSeconds).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val grid = counts.groupBy(col(groupCol))
+      .agg(min("h").as("h0"), max("h").as("h1"))
+      .select(col(groupCol),
+        explode(sequence(col("h0"), col("h1"),
+          expr(s"interval $stepSeconds seconds"))).as("h"))
+    grid.join(counts, Seq(groupCol, "h"), "left")
+      .select(col(groupCol), col("h"), coalesce(col("n"), lit(0L)).as("n"))
+  }
+
   def intervalJoin(
       points: DataFrame,
       intervals: DataFrame,

@@ -122,6 +122,14 @@ object JoinKind {
   case object Outer extends JoinKind
   case object Left extends JoinKind
   case object Right extends JoinKind
+  // beyond the reference's four kinds (join.rs accepts inner/outer/left/
+  // right only): existence joins, the blocklist/allowlist primitives of a
+  // curation pipeline — emit one side filtered by key presence/absence in
+  // the other, never widening the row
+  case object LeftSemi extends JoinKind
+  case object LeftAnti extends JoinKind
+  case object RightSemi extends JoinKind
+  case object RightAnti extends JoinKind
 }
 
 sealed trait ExpandKind

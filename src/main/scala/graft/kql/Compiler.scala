@@ -705,13 +705,32 @@ final class Compiler(
     val r = right.withColumn("__rkey", compileField(right, rk))
       .filter(col("__rkey").isNotNull).alias("__r")
 
+    val cond = col("__l.__lkey") === col("__r.__rkey")
+
+    // existence joins return early: output is ONE side's original columns,
+    // filtered by key presence/absence on the other — no merge, no
+    // collision suffixes. Catalyst plans these as broadcast/shuffled
+    // semi/anti hash joins (the probe side streams; the filter side builds),
+    // the right shape for blocklist removal at scale.
+    kind match {
+      case JoinKind.LeftSemi | JoinKind.LeftAnti =>
+        val how = if (kind == JoinKind.LeftSemi) "left_semi" else "left_anti"
+        return l.join(r, cond, how)
+          .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)): _*)
+      case JoinKind.RightSemi | JoinKind.RightAnti =>
+        val how = if (kind == JoinKind.RightSemi) "left_semi" else "left_anti"
+        return r.join(l, cond, how)
+          .select(right.columns.toSeq.map(c => col(s"__r.$c").as(c)): _*)
+      case _ => ()
+    }
+
     val sparkKind = kind match {
       case JoinKind.Inner => "inner"
       case JoinKind.Outer => "full_outer"
       case JoinKind.Left => "left"
       case JoinKind.Right => "right"
+      case _ => throw new IllegalStateException("handled above")
     }
-    val cond = col("__l.__lkey") === col("__r.__rkey")
     val joined = l.join(r, cond, sparkKind)
 
     val leftCols = left.columns.toSeq
@@ -729,7 +748,7 @@ final class Compiler(
       case JoinKind.Right =>
         rightCols.map(c => qualR(c).as(c)) ++
           leftCols.filterNot(rightCols.contains).map(c => qualL(c).as(c))
-      case JoinKind.Inner | JoinKind.Outer =>
+      case _ => // Inner | Outer (semi/anti returned early)
         val used = scala.collection.mutable.Set[String](leftCols: _*)
         val leftOut = leftCols.map { c =>
           if (c == lKeyName && kind == JoinKind.Outer)

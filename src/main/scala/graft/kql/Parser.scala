@@ -339,6 +339,10 @@ final class Parser(src: String, nowMicros: Long) {
           case "outer" | "fullouter" => JoinKind.Outer
           case "left" | "leftouter" => JoinKind.Left
           case "right" | "rightouter" => JoinKind.Right
+          case "leftsemi" => JoinKind.LeftSemi
+          case "leftanti" | "leftantisemi" => JoinKind.LeftAnti
+          case "rightsemi" => JoinKind.RightSemi
+          case "rightanti" | "rightantisemi" => JoinKind.RightAnti
           case other => fail(s"unknown join kind '$other'")
         }
       } else {

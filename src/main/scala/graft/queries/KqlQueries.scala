@@ -197,6 +197,30 @@ object KqlQueries {
         |                           x -> len(x) > 0))) AS DOUBLE) AS total_tokens,
         |  CAST(max(len(list_filter(string_split_regex(text, '\s+'),
         |                           x -> len(x) > 0))) AS BIGINT) AS max_tokens
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // existence joins (beyond the reference's 4 kinds): blocklist/allowlist
+    // filtering without widening rows — the curation-removal primitive
+    kq("kql_join_anti",
+      """orders
+        | | join kind=leftanti (customer | where c_mktsegment == 'BUILDING')
+        |     on $left.o_custkey == $right.c_custkey
+        | | summarize n=count() by o_orderpriority
+        | | sort by o_orderpriority asc""".stripMargin,
+      """SELECT o_orderpriority, count(*) AS n FROM orders
+        |WHERE o_custkey NOT IN
+        |  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin),
+
+    kq("kql_join_semi",
+      """customer
+        | | join kind=leftsemi (orders | where o_totalprice >= 200000)
+        |     on $left.c_custkey == $right.o_custkey
+        | | project c_custkey, c_name
+        | | sort by c_custkey asc""".stripMargin,
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice >= 200000)
+        |ORDER BY c_custkey""".stripMargin)
   )
 }

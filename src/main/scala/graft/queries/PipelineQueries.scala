@@ -774,6 +774,40 @@ object PipelineQueries {
           count_if(r && col("keeper") === col("doc_id")).as("n_dedup"))
       }),
 
+    // rolling trailing-hour features per user (rate/velocity): count and
+    // exact integer-cents value sum over RANGE [-1h, now] — one shuffle on
+    // the key, incremental range frames, no self-join
+    Q("pl_rolling_window",
+      """SELECT event_id, user_id, ts,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_window,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_cents_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 3600 SECOND PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin)(
+      (s, d) => graft.functions.Temporal.rollingWindow(
+        Tables.load(s, d, "events"), "user_id", "ts", 3600L, "value")
+        .select("event_id", "user_id", "ts", "n_window", "sum_cents_window")
+        .orderBy("event_id")),
+
+    // make-series: gap-filled per-type hourly counts over each type's own
+    // time range (grid generated from the tiny bounds table, zero-filled)
+    Q("pl_make_series",
+      """WITH c AS (SELECT event_type, date_trunc('hour', ts) AS h,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |g AS (SELECT event_type,
+        |    unnest(range(h0, h1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS h
+        |  FROM b)
+        |SELECT g.event_type, g.h, coalesce(c.n, 0) AS n
+        |FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.h = c.h
+        |ORDER BY 1, 2""".stripMargin)(
+      (s, d) => graft.functions.Temporal.makeSeries(
+        Tables.load(s, d, "events"), "event_type", "ts", 3600L)
+        .orderBy("event_type", "h")),
+
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
     // the stub decode is a rolling byte hash and the corpus is ASCII

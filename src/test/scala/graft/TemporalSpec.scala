@@ -56,4 +56,36 @@ class TemporalSpec extends AnyFunSuite {
       assert(got.length == got.toSet.size, s"bin=$bin dup rows")
     }
   }
+
+  test("rollingWindow counts the trailing range inclusively per key") {
+    val ev = Seq(
+      (1L, 7L, ts("2024-01-01 10:00:00"), 1.0),
+      (2L, 7L, ts("2024-01-01 10:30:00"), 2.0),
+      (3L, 7L, ts("2024-01-01 11:00:00"), 4.0), // exactly 1h after #1: included
+      (4L, 7L, ts("2024-01-01 12:30:00"), 8.0), // everything else aged out
+      (5L, 8L, ts("2024-01-01 10:45:00"), 16.0) // other key, inside #2's hour
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingWindow(ev, "user_id", "ts", 3600L, "value")
+      .orderBy("event_id")
+      .select("event_id", "n_window", "sum_cents_window")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 100L), (2L, 2L, 300L), (3L, 3L, 700L),
+      (4L, 1L, 800L), (5L, 1L, 1600L)))
+  }
+
+  test("makeSeries zero-fills interior gaps over each group's own range") {
+    val ev = Seq(
+      (1L, "a", ts("2024-01-01 10:10:00")),
+      (2L, "a", ts("2024-01-01 10:20:00")),
+      (3L, "a", ts("2024-01-01 13:00:00")), // 11:00 and 12:00 are gaps
+      (4L, "b", ts("2024-01-01 00:30:00"))  // single-bucket group: no gaps
+    ).toDF("id", "g", "ts")
+    val got = Temporal.makeSeries(ev, "g", "ts", 3600L)
+      .orderBy("g", "h")
+      .select("g", "n").as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("a", 2L), ("a", 0L), ("a", 0L), ("a", 1L), // 10,11,12,13
+      ("b", 1L)))
+  }
 }
