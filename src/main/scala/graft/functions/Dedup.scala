@@ -185,6 +185,35 @@ object Dedup {
       .select("grp_a", "grp_b", "n_common", "jaccard")
   }
 
+  /** Boilerplate n-gram detection: shingles recurring across many
+    * DIFFERENT documents of the same group (source/domain) — headers,
+    * footers, navigation chrome, license blurbs. Flagging them (and
+    * stripping matching spans) is a standard web-corpus cleanup pass that
+    * per-document repetition signals cannot catch.
+    *
+    * Returns (group, shingle, n_docs, doc_frac) for shingles present in at
+    * least `minDocs` distinct documents of the group. Shape at scale: the
+    * per-doc distinct shingle explode feeds a (group, shingle)-keyed count
+    * — map-side partial agg, uniform keys — and the per-group doc totals
+    * join back from a |groups|-row broadcast.
+    */
+  def boilerplateShingles(
+      df: DataFrame, groupCol: String, idCol: String, textCol: String,
+      n: Int = 3, minDocs: Int = 3): DataFrame = {
+    val sh = df.select(
+      col(groupCol), col(idCol),
+      explode(shingleSet(col(textCol), n)).as("shingle"))
+    val totals = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs_total"))
+    sh.groupBy(col(groupCol), col("shingle"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+      .join(broadcast(totals), groupCol)
+      .withColumn("doc_frac",
+        col("n_docs").cast("double") / col("n_docs_total"))
+      .select(groupCol, "shingle", "n_docs", "doc_frac")
+  }
+
   /** Exact-duplicate groups: hash text, keep the smallest id as canonical.
     * Returns (text_hash, n_copies, keeper_id).
     */

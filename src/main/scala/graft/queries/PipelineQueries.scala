@@ -808,6 +808,57 @@ object PipelineQueries {
         Tables.load(s, d, "events"), "event_type", "ts", 3600L)
         .orderBy("event_type", "h")),
 
+    // boilerplate detection: 3-grams recurring across ≥3 distinct docs of
+    // one source (headers/footers/chrome — cross-document repetition that
+    // per-doc signals can't see)
+    Q("pl_boilerplate",
+      """WITH t AS (SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |sh AS (SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |      i -> array_to_string(toks[i:i+2], ' ')))) AS shingle
+        |  FROM t),
+        |c AS (SELECT source, shingle, CAST(count(*) AS BIGINT) AS n_docs
+        |      FROM sh GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_total
+        |        FROM documents GROUP BY 1)
+        |SELECT c.source, c.shingle, c.n_docs,
+        |  CAST(c.n_docs AS DOUBLE) / tot.n_docs_total AS doc_frac
+        |FROM c JOIN tot ON c.source = tot.source
+        |ORDER BY 1, 2""".stripMargin)(
+      (s, d) => Dedup.boilerplateShingles(
+        Tables.load(s, d, "documents"), "source", "doc_id", "text",
+        n = 3, minDocs = 3)
+        .orderBy("source", "shingle")),
+
+    // conversion funnel over the event log: users whose FIRST view precedes
+    // their first click precedes their first purchase — one grouped pass
+    // for the per-user stage timestamps, one global fold
+    Q("pl_event_funnel",
+      """WITH f AS (SELECT user_id,
+        |    min(ts) FILTER (WHERE event_type = 'view') AS v,
+        |    min(ts) FILTER (WHERE event_type = 'click') AS c,
+        |    min(ts) FILTER (WHERE event_type = 'purchase') AS p
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(count(v) AS BIGINT) AS n_view,
+        |  CAST(count(*) FILTER (WHERE v < c) AS BIGINT) AS n_view_click,
+        |  CAST(count(*) FILTER (WHERE v < c AND c < p) AS BIGINT)
+        |    AS n_view_click_purchase
+        |FROM f""".stripMargin)(
+      (s, d) => {
+        val ev = Tables.load(s, d, "events")
+        ev.groupBy("user_id").agg(
+          min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "click", col("ts"))).as("c"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+          .agg(
+            count(col("v")).as("n_view"),
+            count_if(col("v") < col("c")).as("n_view_click"),
+            count_if(col("v") < col("c") && col("c") < col("p"))
+              .as("n_view_click_purchase"))
+      }),
+
     // ───── multimodal plumbing (stubbed codecs, real Spark shape) ─────
 
     // the stub decode is a rolling byte hash and the corpus is ASCII

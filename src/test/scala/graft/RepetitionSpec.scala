@@ -47,6 +47,21 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 0L, 0.0)))
   }
 
+  test("boilerplate finds shingles shared across enough docs of a group") {
+    val docs = Seq(
+      (1L, "g", "copyright acme corp page one"),
+      (2L, "g", "copyright acme corp page two"),
+      (3L, "g", "copyright acme corp and more"),
+      (4L, "g", "totally unrelated body text"),
+      (5L, "h", "copyright acme corp elsewhere") // other group: only 1 doc
+    ).toDF("doc_id", "source", "text")
+    val got = Dedup.boilerplateShingles(docs, "source", "doc_id", "text",
+      n = 3, minDocs = 3)
+      .orderBy("source", "shingle")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", "copyright acme corp", 3L, 0.75)))
+  }
+
   test("overlap counts each distinct shingle once, not per benchmark copy") {
     val corpus = Seq((1L, "p q r")).toDF("doc_id", "text")
     val bench = Seq((10L, "p q r"), (11L, "p q r")).toDF("doc_id", "text")
