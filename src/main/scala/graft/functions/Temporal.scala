@@ -45,15 +45,19 @@ object Temporal {
   def rollingWindow(
       df: DataFrame, keyCol: String, tsCol: String,
       windowSeconds: Long, valueCol: String): DataFrame = {
+    // the range key is MICROSECONDS, not unix_timestamp seconds: flooring
+    // to whole seconds silently widens the window for rows with
+    // sub-second components (a row 3600.4s back floors to exactly 3600s
+    // and sneaks in) — caught by the sf0.1 oracle, invisible at sf0.01
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(keyCol))
-      .orderBy(col("__ts_sec"))
-      .rangeBetween(-windowSeconds, 0)
-    df.withColumn("__ts_sec", unix_timestamp(col(tsCol)))
+      .orderBy(col("__ts_us"))
+      .rangeBetween(-windowSeconds * 1000000L, 0)
+    df.withColumn("__ts_us", unix_micros(col(tsCol)))
       .withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_cents_window",
         sum(round(col(valueCol) * 100).cast("bigint")).over(w))
-      .drop("__ts_sec")
+      .drop("__ts_us")
   }
 
   /** Gap-filled time series (the KQL `make-series` shape): per-group counts

@@ -74,6 +74,21 @@ class TemporalSpec extends AnyFunSuite {
       (4L, 1L, 800L), (5L, 1L, 1600L)))
   }
 
+  test("rollingWindow respects sub-second boundaries (no second-flooring)") {
+    // #2 sits 3600.4 s after #1: OUTSIDE the hour. Flooring timestamps to
+    // whole seconds would report the gap as exactly 3600 and include it —
+    // the bug the sf0.1 oracle caught.
+    val ev = Seq(
+      (1L, 7L, Timestamp.valueOf("2024-01-01 10:00:00.300"), 1.0),
+      (2L, 7L, Timestamp.valueOf("2024-01-01 11:00:00.700"), 2.0),
+      (3L, 7L, Timestamp.valueOf("2024-01-01 11:30:00.100"), 4.0)
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.rollingWindow(ev, "user_id", "ts", 3600L, "value")
+      .orderBy("event_id").select("event_id", "n_window")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
+  }
+
   test("makeSeries zero-fills interior gaps over each group's own range") {
     val ev = Seq(
       (1L, "a", ts("2024-01-01 10:10:00")),
