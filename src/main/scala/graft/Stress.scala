@@ -65,8 +65,13 @@ object Stress {
     time("exact_dedup", n) {
       graft.functions.Dedup.exactDupGroups(docs, "doc_id", "text")
     }
-    time("repetition", n) {
-      graft.functions.TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+    time("repetition_kernel", n) {
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.repetitionSignals(col("text")).as("r"))
+    }
+    time("repetition_exploded", n / 10) { // shuffle-bound twin: run at n/10
+      graft.functions.TextAnalysis.repetitionFeatures(
+        docs.filter(col("doc_id") < n / 10), "doc_id", "text")
     }
     time("quality", n) {
       docs.select(col("doc_id"),

@@ -138,6 +138,17 @@ object TextAnalysis {
     column(graft.functions.PolyFingerprint(expression(tokens(text))))
   }
 
+  /** Per-row repetition signals as a struct
+    * (n_tokens, dup_token_frac, top_token_frac, top_bigram_frac) — the
+    * native single-pass [[graft.functions.RepetitionExpr]] kernel. Fully
+    * map-side (no corpus explode, no shuffle); value-identical to the
+    * exploded [[repetitionFeatures]] twin, which RepetitionSpec pins.
+    */
+  def repetitionSignals(text: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.RepetitionExpr(expression(text)))
+  }
+
   /** Repetition-based quality signals (the Gopher-rule family): how much
     * of a document is the same token or bigram repeated. High values mark
     * boilerplate / degenerate generations that length or stopword ratios

@@ -625,8 +625,17 @@ object PipelineQueries {
         |  coalesce(CAST(bt.top_bg AS DOUBLE) / bt.n_bigrams, 0.0) AS top_bigram_frac
         |FROM u LEFT JOIN bt ON u.doc_id = bt.doc_id
         |ORDER BY u.doc_id""".stripMargin)(
-      (s, d) => TextAnalysis.repetitionFeatures(
-        Tables.load(s, d, "documents"), "doc_id", "text")
+      // the native map-side kernel; the exploded twin
+      // (TextAnalysis.repetitionFeatures) is pinned value-identical by
+      // RepetitionSpec. Zero-token docs drop, like the oracle's join.
+      (s, d) => Tables.load(s, d, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.repetitionSignals(col("text")).as("r"))
+        .select(col("doc_id"), col("r.n_tokens").as("n_tokens"),
+          col("r.dup_token_frac").as("dup_token_frac"),
+          col("r.top_token_frac").as("top_token_frac"),
+          col("r.top_bigram_frac").as("top_bigram_frac"))
+        .filter(col("n_tokens") > 0)
         .orderBy("doc_id")),
 
     // concat-and-chunk sequence packing: each document's start offset in

@@ -47,6 +47,22 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got == Seq((1L, 3L, 2L, 2.0 / 3.0), (2L, 2L, 0L, 0.0)))
   }
 
+  test("native repetition kernel is value-identical to the exploded twin") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val viaKernel = docs
+      .select(col("doc_id"), TextAnalysis.repetitionSignals(col("text")).as("r"))
+      .select(col("doc_id"), col("r.n_tokens"), col("r.dup_token_frac"),
+        col("r.top_token_frac"), col("r.top_bigram_frac"))
+      .filter(col("n_tokens") > 0)
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    val viaExplode = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(viaKernel == viaExplode && viaKernel.nonEmpty)
+  }
+
   test("boilerplate finds shingles shared across enough docs of a group") {
     val docs = Seq(
       (1L, "g", "copyright acme corp page one"),
