@@ -47,10 +47,14 @@ object AsOf {
       payload: Seq[String],
       prefix: String = "asof_"): DataFrame = {
     val carried = (ts +: payload).map(p => prefix + p)
-    val r = right.select(
-      col(key) +: col(ts) +:
-        (col(ts).as(prefix + ts) +:
-          payload.map(p => col(p).as(prefix + p))): _*)
+    // a right row with a null timestamp can match nothing (ts >= null is
+    // never true), but under asc ordering nulls sort FIRST, so without
+    // this filter its payload would carry into every left row of the key
+    val r = right.filter(col(ts).isNotNull)
+      .select(
+        col(key) +: col(ts) +:
+          (col(ts).as(prefix + ts) +:
+            payload.map(p => col(p).as(prefix + p))): _*)
       .withColumn("__side", lit(0))
     val l = left.withColumn("__side", lit(1))
 

@@ -63,7 +63,10 @@ object Embeddings {
       .withColumn("score_i",
         aggregate(
           zip_with(col("sv"), col("s_arr"), (x, s) => {
-            val t = (x * col("n") - s).cast("decimal(38,0)")
+            // x promotes to decimal BEFORE the multiply: x·n is already
+            // past 2^63 at n ~ 1e10 members, so a LONG product would
+            // ANSI-overflow (or silently wrap) before the decimal cast
+            val t = x.cast("decimal(38,0)") * col("n") - s
             t * t
           }),
           lit(0).cast("decimal(38,0)"),

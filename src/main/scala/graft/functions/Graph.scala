@@ -57,6 +57,14 @@ object Graph {
       labels = next
       i += 1
     }
+    // silent truncation would hand downstream dedup MULTIPLE "canonical"
+    // ids inside one component — fail loudly instead (rounds needed equal
+    // the component diameter; a hit here means the graph is a long chain,
+    // not a dup near-clique, and the caller should raise maxIter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter rounds — " +
+          "component diameter exceeds maxIter; raise it")
     labels
   }
 }

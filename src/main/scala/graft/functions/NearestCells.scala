@@ -62,8 +62,14 @@ object NearestCellsUtil {
       var best = -1
       var c = 0
       while (c < k) {
-        // ties to the larger index — scanning up with >= keeps the last max
-        if (!taken(c) && (best < 0 || scores(c) >= scores(best))) best = c
+        // ties to the larger index — scanning up with >= keeps the last
+        // max. Double.compare, not >=: a NaN score (NaN centroid/vector
+        // component) must order GREATEST like Spark's double ordering in
+        // the array_max twin — the raw primitive >= is always false
+        // against NaN, which would make selection position-dependent
+        if (!taken(c) &&
+            (best < 0 || java.lang.Double.compare(scores(c), scores(best)) >= 0))
+          best = c
         c += 1
       }
       taken(best) = true

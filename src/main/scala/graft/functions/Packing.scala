@@ -31,8 +31,14 @@ import org.apache.spark.sql.functions._
 object Packing {
 
   /** Adds `outCol` = sum of `sizeCol` over all rows strictly before this
-    * one in ascending `orderCol` order (i.e. this row's start offset in
-    * the concatenated stream).
+    * one in ascending `(orderCol, sizeCol)` order (i.e. this row's start
+    * offset in the concatenated stream).
+    *
+    * Determinism contract: offsets are fully deterministic when `orderCol`
+    * is unique (the intended use — a document id). Ties on `orderCol`
+    * break by `sizeCol`, so the OUTPUT MULTISET stays deterministic for
+    * (orderCol, sizeCol)-distinct rows; rows identical in both are
+    * interchangeable and may swap offsets between runs.
     */
   def withGlobalOffset(
       df: DataFrame, orderCol: String, sizeCol: String,
@@ -40,7 +46,7 @@ object Packing {
     val parted = df
       .repartitionByRange(col(orderCol))
       .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid").orderBy(col(orderCol))
+    val w = Window.partitionBy("__pid").orderBy(col(orderCol), col(sizeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val local = parted.withColumn("__run", sum(col(sizeCol)).over(w))
     // one row per partition; the exclusive prefix sum over them runs on a

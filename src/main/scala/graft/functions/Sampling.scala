@@ -18,21 +18,36 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Modulus/multiplier chosen so every intermediate stays < 2^63
-    * (ANSI-mode safe): (id mod P) * A + B < 10^6 * 2.7e9 ≈ 2.7e15. */
-  val P = 1000003L
-  val A = 2654435761L // Knuth's 2^32 golden-ratio multiplier
-  val B = 104729L
+  /** Modulus: the Mersenne prime 2^61 − 1. The multiplier must be of the
+    * modulus's ORDER (Knuth's 64-bit MMIX LCG constants): with a small
+    * multiplier the affine image of a small id never wraps M, so "mix" is
+    * monotonic in the id and every comparison against a rate threshold
+    * degenerates to an id-range test. The image id·A reaches ~5.9e37 —
+    * far past BIGINT — so Spark folds it in decimal(38,0) (exact,
+    * codegen'd) and the DuckDB oracle in HUGEINT; the residue casts back
+    * to a BIGINT in [0, M). The mix also consumes the FULL id: an earlier
+    * variant reduced `id mod 1000003` first to stay inside BIGINT, which
+    * made every decision periodic in the id with that period. */
+  val M = 2305843009213693951L
+  val A = 6364136223846793005L // Knuth MMIX multiplier
+  val B = 1442695040888963407L // Knuth MMIX increment
 
-  /** Affine-modular mix of an id into [0, P). Map-side, codegen'd,
-    * engine-independent integer arithmetic. */
-  def mix(id: Column): Column = pmod(pmod(id, lit(P)) * A + B, lit(P))
+  /** Affine-modular mix of an id into [0, M). Map-side, codegen'd,
+    * engine-independent integer arithmetic; [[mixSql]] is the generated
+    * DuckDB mirror. */
+  def mix(id: Column): Column =
+    pmod(id.cast("decimal(38,0)") * lit(A) + lit(B), lit(M)).cast("long")
 
-  /** Keep ≈`frac` of rows, decided by `mix(id) < frac·P` — a deterministic
+  /** DuckDB SQL computing exactly [[mix]] of a non-negative id column —
+    * oracles interpolate this so both engines run one formula. */
+  def mixSql(idCol: String): String =
+    s"((CAST($idCol AS HUGEINT) * $A + $B) % $M)"
+
+  /** Keep ≈`frac` of rows, decided by `mix(id) < frac·M` — a deterministic
     * Bernoulli sample that pushes down as a plain filter (no shuffle, no
     * RNG state). */
   def bernoulli(df: DataFrame, idCol: String, frac: Double): DataFrame =
-    df.filter(mix(col(idCol)) < lit((frac * P).toLong))
+    df.filter(mix(col(idCol)) < lit((frac * M).toLong))
 
   /** Weighted data mixing: sample each stratum (source/domain) at its own
     * rate — the standard pretraining-mixture shape ("2× books, 0.3× web").
@@ -44,9 +59,9 @@ object Sampling {
   def mixture(
       df: DataFrame, strataCol: String, idCol: String,
       rates: Map[String, Double], defaultRate: Double = 0.0): DataFrame = {
-    val rate = rates.foldLeft(lit((defaultRate * P).toLong)) {
+    val rate = rates.foldLeft(lit((defaultRate * M).toLong)) {
       case (acc, (stratum, r)) =>
-        when(col(strataCol) === stratum, lit((r * P).toLong)).otherwise(acc)
+        when(col(strataCol) === stratum, lit((r * M).toLong)).otherwise(acc)
     }
     df.filter(mix(col(idCol)) < rate)
   }

@@ -69,10 +69,15 @@ object Temporal {
   def makeSeries(
       df: DataFrame, groupCol: String, tsCol: String,
       stepSeconds: Long): DataFrame = {
+    // floor division, not `div`: `div` truncates toward zero, which shifts
+    // pre-1970 (negative-epoch) timestamps into the bucket AFTER them —
+    // floor matches bin()/date_trunc semantics on historical data.
+    // Unix seconds stay well inside double's 2^53 exact range.
     val counts = df
       .groupBy(col(groupCol),
         timestamp_seconds(
-          expr(s"unix_timestamp($tsCol) div $stepSeconds") * stepSeconds).as("h"))
+          floor(unix_timestamp(col(tsCol)) / stepSeconds).cast("long")
+            * stepSeconds).as("h"))
       .agg(count(lit(1)).as("n"))
     val grid = counts.groupBy(col(groupCol))
       .agg(min("h").as("h0"), max("h").as("h1"))

@@ -173,10 +173,13 @@ object TextAnalysis {
         sum("c").as("n_tokens"),
         count(lit(1)).as("n_distinct"),
         max("c").as("top_c"))
+    // greatest(…, 0): slice() throws on a negative length, which size-1
+    // produces for empty-token documents (empty/whitespace-only text)
+    val nBi = greatest(size(col("toks")) - 1, lit(0))
     val bi = toks.select(col(idCol),
         explode(zip_with(
-          slice(col("toks"), lit(1), size(col("toks")) - 1),
-          slice(col("toks"), lit(2), size(col("toks")) - 1),
+          slice(col("toks"), lit(1), nBi),
+          slice(col("toks"), lit(2), nBi),
           (a, b) => concat_ws(" ", a, b))).as("bg"))
       .groupBy(col(idCol), col("bg")).agg(count(lit(1)).as("c"))
       .groupBy(col(idCol)).agg(sum("c").as("n_bigrams"), max("c").as("top_bg_c"))
@@ -215,7 +218,11 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("token").asc)
     tf.join(dfreq, "token")
       .crossJoin(broadcast(n))
-      .withColumn("score", expr("tf * n_docs * 1000000 div df"))
+      // the product folds in decimal(38,0): tf·N·1e6 passes 2^63 already
+      // at N ~ 1e9 docs with tf ~ 1e4 (ANSI overflow as a BIGINT); the
+      // result re-narrows to BIGINT only after the division by df
+      .withColumn("score",
+        expr("CAST(CAST(tf AS DECIMAL(38,0)) * n_docs * 1000000 div df AS BIGINT)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))

@@ -348,8 +348,7 @@ object PipelineQueries {
     // it pushes down as a filter and replays identically in both engines
     Q("pl_sample_hash",
       s"""SELECT doc_id, lang FROM documents
-         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
-         |        % ${Sampling.P} < ${(0.1 * Sampling.P).toLong}
+         |WHERE ${Sampling.mixSql("doc_id")} < ${(0.1 * Sampling.M).toLong}
          |ORDER BY doc_id""".stripMargin)(
       (s, d) => Sampling.bernoulli(Tables.load(s, d, "documents"), "doc_id", 0.1)
         .select("doc_id", "lang")
@@ -360,8 +359,7 @@ object PipelineQueries {
       s"""SELECT doc_id, lang FROM (
          |  SELECT doc_id, lang, row_number() OVER (
          |    PARTITION BY lang
-         |    ORDER BY ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
-         |               % ${Sampling.P}, doc_id) AS rn
+         |    ORDER BY ${Sampling.mixSql("doc_id")}, doc_id) AS rn
          |  FROM documents)
          |WHERE rn <= 20 ORDER BY doc_id""".stripMargin)(
       (s, d) => Sampling.stratified(
@@ -374,11 +372,10 @@ object PipelineQueries {
     // deterministic arithmetic as pl_sample_hash, so row-reproducible
     Q("pl_sample_mixture", {
       val (r0, r1, rDef) =
-        ((0.8 * Sampling.P).toLong, (0.4 * Sampling.P).toLong,
-          (0.05 * Sampling.P).toLong)
+        ((0.8 * Sampling.M).toLong, (0.4 * Sampling.M).toLong,
+          (0.05 * Sampling.M).toLong)
       s"""SELECT doc_id, source FROM documents
-         |WHERE ((doc_id % ${Sampling.P}) * ${Sampling.A} + ${Sampling.B})
-         |        % ${Sampling.P} <
+         |WHERE ${Sampling.mixSql("doc_id")} <
          |      CASE WHEN source = 'src0' THEN $r0
          |           WHEN source = 'src1' THEN $r1
          |           ELSE $rDef END
@@ -709,8 +706,8 @@ object PipelineQueries {
         |n AS (SELECT label, count(*) AS n FROM sv GROUP BY 1),
         |sc AS (SELECT sv.vec_id, sv.label,
         |    list_sum(list_transform(range(1, len(sv.sv) + 1),
-        |      i -> CAST(sv.sv[i] * n.n - cent.sarr[i] AS HUGEINT)
-        |           * CAST(sv.sv[i] * n.n - cent.sarr[i] AS HUGEINT))) AS score_i
+        |      i -> (CAST(sv.sv[i] AS HUGEINT) * n.n - cent.sarr[i])
+        |           * (CAST(sv.sv[i] AS HUGEINT) * n.n - cent.sarr[i]))) AS score_i
         |  FROM sv JOIN cent USING (label) JOIN n USING (label)),
         |r AS (SELECT label, vec_id,
         |    CAST(row_number() OVER (PARTITION BY label

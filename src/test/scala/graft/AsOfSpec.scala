@@ -64,6 +64,24 @@ class AsOfSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("a null-timestamp right row matches nothing") {
+    // regression: nulls sort FIRST under asc, so an unfiltered null-ts
+    // right row carried its payload into every left row of the key
+    val q = Seq(
+      (1L, None: Option[Timestamp], 666.0),
+      (1L, Some(ts("2024-01-01 10:00:00")), 100.0)
+    ).toDF("key", "ts", "px")
+    val t = Seq(
+      (20L, 1L, ts("2024-01-01 09:00:00")), // before any real quote
+      (21L, 1L, ts("2024-01-01 11:00:00"))  // after the real quote
+    ).toDF("id", "key", "ts")
+    val got = AsOf.join(t, q, "key", "ts", Seq("px"))
+      .select("id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(got == Map(20L -> None, 21L -> Some(100.0)))
+  }
+
   test("keywords ranks rare tokens above common ones, tf breaks up") {
     // "zebra" appears only in doc 1 (df=1); "the" is in all three (df=3).
     // In doc 1, zebra (tf=1, df=1) must outscore the (tf=2, df=3):

@@ -37,6 +37,31 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(got.sameElements(Array(0L)))
   }
 
+  test("connectedComponents fails loudly when maxIter truncates") {
+    // a 6-node path has diameter 5: maxIter=2 cannot converge, and a
+    // silent return would hand dedup multiple "canonical" ids per cluster
+    val vertices = (0 until 6).map(_.toLong).toDF("id")
+    val edges = (0 until 5).map(i => (i.toLong, i.toLong + 1)).toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      Graph.connectedComponents(vertices, edges, maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
+  test("sampling decisions are not periodic in the id") {
+    // regression: the old mixer reduced id mod 1000003 BEFORE hashing, so
+    // ids differing by that period always shared a fate
+    val period = 1000003L
+    val base = (0L until 1000L).toDF("doc_id")
+    val shifted = (0L until 1000L).map(_ + period).toDF("doc_id")
+    val a = Sampling.bernoulli(base, "doc_id", 0.2)
+      .as[Long].collect().toSet
+    val b = Sampling.bernoulli(shifted, "doc_id", 0.2)
+      .as[Long].collect().map(_ - period).toSet
+    assert(a != b, "ids one period apart must not be co-selected verbatim")
+    assert(a.nonEmpty && b.nonEmpty)
+  }
+
   test("bernoulli sample is invariant under repartitioning") {
     val df = (0L until 1000L).toDF("doc_id")
     val a = Sampling.bernoulli(df, "doc_id", 0.2)

@@ -41,6 +41,15 @@ class PackingSpec extends AnyFunSuite {
     assert(got == Seq((1L, 0L, 0L, 0L), (2L, 8L, 0L, 1L), (3L, 14L, 1L, 1L)))
   }
 
+  test("orderCol ties break by size: output multiset is deterministic") {
+    val df = Seq((1L, 5L), (2L, 9L), (2L, 3L), (3L, 2L)).toDF("id", "n")
+    val got = Packing.withGlobalOffset(df.repartition(5), "id", "n", "off")
+      .orderBy("id", "n").select("id", "n", "off")
+      .as[(Long, Long, Long)].collect().toSeq
+    // within id=2, the smaller size sorts first: offsets 5 then 8
+    assert(got == Seq((1L, 5L, 0L), (2L, 3L, 5L), (2L, 9L, 8L), (3L, 2L, 17L)))
+  }
+
   test("zero-length docs keep a valid one-point sequence range") {
     val df = Seq((1L, 4L), (2L, 0L), (3L, 4L)).toDF("id", "n")
     val got = Packing.packSequences(df, "id", "n", budget = 4L)

@@ -255,6 +255,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("nearestCells orders a NaN-scored centroid greatest, like Spark") {
+    // regression: primitive >= is always false against NaN, making
+    // selection position-dependent; Double.compare ranks NaN greatest,
+    // matching the array_max/array_sort Column twin
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec = new GenericArrayData(Array[Any](1.0f, 0.0f))
+    for (nanIdx <- 0 until 3) {
+      val cents = Array.tabulate(3, 2) { (c, j) =>
+        if (c == nanIdx) Double.NaN else if (j == 0) c + 1.0 else 1.0
+      }
+      val got = graft.functions.NearestCellsUtil
+        .nearest(vec, cents.flatten, 3, 2, 1, isFloat = true)
+        .toIntArray()
+      assert(got.head == nanIdx, s"NaN centroid at $nanIdx must rank first")
+    }
+  }
+
   test("lshBits accepts array<double> and rejects non-numeric arrays") {
     // r02 advice: getFloat on a double array read silent garbage — now it
     // dispatches on element type like CosineSim and errors on anything else

@@ -24,6 +24,20 @@ class RepetitionSpec extends AnyFunSuite {
     assert(got(2) == ((3L, 1L, 0.0, 1.0, 0.0)))
   }
 
+  test("exploded form tolerates empty and whitespace-only documents") {
+    // regression: slice(toks, 1, size-1) got length -1 for empty token
+    // arrays and threw at runtime
+    val docs = Seq(
+      (1L, "a b c"), (2L, ""), (3L, "   \t  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L)) // token-less docs drop, like the oracle's join
+    val kernel = docs.select(
+        TextAnalysis.repetitionSignals($"text").getField("n_tokens"))
+      .as[Long].collect().toSeq.sorted
+    assert(kernel == Seq(0L, 0L, 3L)) // kernel keeps them, with zeros
+  }
+
   test("a fully repeated doc maxes the signals") {
     val docs = Seq((1L, "spam spam spam spam")).toDF("doc_id", "text")
     val r = TextAnalysis.repetitionFeatures(docs, "doc_id", "text")

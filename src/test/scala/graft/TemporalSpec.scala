@@ -89,6 +89,21 @@ class TemporalSpec extends AnyFunSuite {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 2L)))
   }
 
+  test("makeSeries floors pre-1970 timestamps into the preceding bucket") {
+    // regression: `div` truncates toward zero, so unix -1800 landed in the
+    // 1970-01-01 00:00 bucket instead of 1969-12-31 23:00
+    val ev = Seq(
+      (1L, "g", ts("1969-12-31 23:30:00")),
+      (2L, "g", ts("1970-01-01 00:30:00"))
+    ).toDF("id", "g", "ts")
+    val got = Temporal.makeSeries(ev, "g", "ts", 3600L)
+      .orderBy("h")
+      .select(date_format(col("h"), "yyyy-MM-dd HH:mm").as("h"), col("n"))
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("1969-12-31 23:00", 1L), ("1970-01-01 00:00", 1L)))
+  }
+
   test("makeSeries zero-fills interior gaps over each group's own range") {
     val ev = Seq(
       (1L, "a", ts("2024-01-01 10:10:00")),
