@@ -81,4 +81,28 @@ object Sampling {
       .filter(col("__rn") <= k)
       .drop("__rn")
   }
+
+  /** Reproducible WEIGHTED sampling without replacement per stratum
+    * (Efraimidis–Spirakis A-Res): each row draws its uniform
+    * u = (mix(id)+1)/M ∈ (0,1] deterministically from the id, scores
+    * key = ln(u)/w, and the k largest keys win — inclusion probability
+    * proportional to the weight (quality score, length, recency), yet
+    * byte-reproducible across runs/partitionings like every sampler here.
+    * The key uses doubles (ln has no exact integer form), so this one is
+    * pinned by a JVM-recomputation spec instead of a cross-engine oracle.
+    * Rows with null or non-positive weight are never selected.
+    */
+  def weightedStratified(
+      df: DataFrame, strataCol: String, idCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    val u = (mix(col(idCol)).cast("double") + 1.0) / M.toDouble
+    val key = log(u) / col(weightCol)
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("__wkey").desc, col(idCol))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wkey", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__wkey", "__rn")
+  }
 }

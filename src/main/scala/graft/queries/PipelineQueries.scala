@@ -387,6 +387,16 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // weight-proportional reproducible sampling (A-Res with hash-derived
+    // uniforms): longer docs proportionally likelier, byte-reproducible.
+    // ln() has no exact cross-engine integer form → rows-only here;
+    // GraphSamplingSpec pins exact agreement with a JVM recomputation.
+    Q.noOracle("pl_sample_weighted")(
+      (s, d) => Sampling.weightedStratified(
+        Tables.load(s, d, "documents"), "lang", "doc_id", "n_chars", k = 20)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
     // ───── PII scrub + per-group quantiles ─────
 
     // the corpus is synthetic word salad with no PII, so the gate plants a

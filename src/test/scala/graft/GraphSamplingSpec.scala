@@ -62,6 +62,39 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(a.nonEmpty && b.nonEmpty)
   }
 
+  test("weighted sampling matches an exact JVM recomputation of A-Res") {
+    val rows = (1L to 400L).map(i => (i, s"s${i % 2}", (i % 7 + 1).toDouble))
+    val df = rows.toDF("doc_id", "src", "w").repartition(9)
+    val got = Sampling.weightedStratified(df, "src", "doc_id", "w", k = 10)
+      .select("src", "doc_id").as[(String, Long)].collect().toSet
+    // recompute the same arithmetic locally: u=(mix+1)/M, key=ln(u)/w
+    def mixLocal(id: Long): Long =
+      ((BigInt(id) * Sampling.A + Sampling.B) mod BigInt(Sampling.M)).toLong
+    val want = rows
+      .map { case (id, s, w) =>
+        val u = (mixLocal(id).toDouble + 1.0) / Sampling.M.toDouble
+        (s, id, math.log(u) / w)
+      }
+      .groupBy(_._1)
+      .toSeq // a Map would collapse the flatMapped (s, id) pairs by key
+      .flatMap { case (s, grp) =>
+        grp.sortBy(t => (-t._3, t._2)).take(10).map(t => (s, t._2))
+      }
+      .toSet
+    assert(got == want)
+  }
+
+  test("weighted sampling prefers heavy rows and skips non-positive weights") {
+    val df = (1L to 200L)
+      .map(i => (i, "s", if (i <= 20) 1000.0 else if (i <= 40) 0.0 else 0.001))
+      .toDF("doc_id", "src", "w")
+    val got = Sampling.weightedStratified(df, "src", "doc_id", "w", k = 15)
+      .select("doc_id").as[Long].collect().toSet
+    // weight 1000 vs 0.001: the heavy block dominates; zero-weight never picked
+    assert(got.count(_ <= 20) >= 12, s"heavy rows under-selected: $got")
+    assert(!got.exists(id => id > 20 && id <= 40), "zero-weight row selected")
+  }
+
   test("bernoulli sample is invariant under repartitioning") {
     val df = (0L until 1000L).toDF("doc_id")
     val a = Sampling.bernoulli(df, "doc_id", 0.2)
