@@ -194,6 +194,61 @@ object TextAnalysis {
           .as("top_bigram_frac"))
   }
 
+  /** BM25-style relevance ranking of documents against a bag-of-words
+    * query — the search primitive of a log/document engine. Standard BM25
+    * term saturation and length normalization (k1, b), with one deviation:
+    * the idf factor is the RATIONAL (N − df + ½)/(df + ½), not its log —
+    * log is monotonic, so per-term ordering is preserved, and the rational
+    * form is a pure arithmetic tree over integers that evaluates
+    * bit-identically in any engine (the DuckDB oracle hash-matches; a log
+    * differs in the last ulp between libm implementations). Callers who
+    * want the classical curve swap one projection.
+    *
+    * Per-document scores sum the terms in FIXED query order via one
+    * conditional aggregate per term (each term contributes at most one row
+    * per doc) — a floating sum over an unordered group would be
+    * order-sensitive and nondeterministic under shuffles.
+    *
+    * Shape at scale: token explode → per-doc tf of query terms only
+    * (filter BEFORE the shuffle — candidate rows ≤ |query| per doc), df
+    * and corpus stats as broadcast one-row/`|query|`-row aggregates, then
+    * a doc-keyed conditional aggregation and a bounded top-k window.
+    */
+  def bm25(
+      docs: DataFrame, idCol: String, textCol: String,
+      query: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(query.nonEmpty, "bm25 needs at least one query term")
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
+    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(
+      count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
+    val tf = tok.filter(col("token").isin(query: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
+      .withColumn("score_t",
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) *
+            (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("total_dl"))))
+    val perDoc = scored.groupBy(col(idCol)).agg(
+      query.map(t =>
+        coalesce(max(when(col("token") === t, col("score_t"))), lit(0.0)))
+        .reduce(_ + _).as("score"))
+    // top-k FIRST (fuses to TakeOrderedAndProject — distributed heap),
+    // then rank the surviving k rows; a global row_number window before
+    // the cut would drag every scored doc through one task
+    val top = perDoc.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
+      .select(col(idCol), col("score"), col("rank"))
+  }
+
   /** TF-IDF-style keyword extraction: the top-`k` most distinctive tokens
     * per document, scored `tf * N / df` (linear inverse document
     * frequency). The score stays in scaled BIGINT arithmetic

@@ -606,6 +606,47 @@ object PipelineQueries {
           .orderBy("user_id", "session_start")
       }),
 
+    // BM25 document search (rational idf — see TextAnalysis.bm25): top-20
+    // docs for a 3-term query, every double op mirrored in the same
+    // evaluation order so the oracle hash-matches bit-for-bit
+    Q("pl_bm25",
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token IN ('table', 'query', 'spark')
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * (tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |           * (CAST(0.25 AS DOUBLE)
+        |              + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)) AS score_t
+        |  FROM tf JOIN dfq USING (token)
+        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats),
+        |agg AS (SELECT doc_id,
+        |    ((coalesce(max(CASE WHEN token = 'table' THEN score_t END),
+        |               CAST(0 AS DOUBLE))
+        |      + coalesce(max(CASE WHEN token = 'query' THEN score_t END),
+        |                 CAST(0 AS DOUBLE)))
+        |      + coalesce(max(CASE WHEN token = 'spark' THEN score_t END),
+        |                 CAST(0 AS DOUBLE))) AS score
+        |  FROM sc GROUP BY 1),
+        |top AS (SELECT doc_id, score FROM agg
+        |        ORDER BY score DESC, doc_id LIMIT 20)
+        |SELECT doc_id, score,
+        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |FROM top ORDER BY rank""".stripMargin)(
+      (s, d) => TextAnalysis.bm25(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        query = Seq("table", "query", "spark"), k = 20)
+        .orderBy("rank")),
+
     // Gopher-family repetition signals: duplicate-token fraction, top
     // token / top adjacent-bigram share. Exact counts + single divisions,
     // so the DuckDB mirror hash-matches bit-for-bit.

@@ -105,4 +105,34 @@ class AsOfSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 3L, 2L -> 1L))
   }
+
+  test("bm25 ranks multi-term matches over single, rare terms over common") {
+    val docs = Seq(
+      (1L, "needle haystack filler filler filler"), // both query terms
+      (2L, "needle filler filler filler filler"),   // rare term only
+      (3L, "haystack filler filler filler filler"), // common term only
+      (4L, "haystack other filler filler filler"),
+      (5L, "haystack more filler filler filler"),
+      (6L, "nothing relevant here at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(
+      docs, "doc_id", "text", query = Seq("needle", "haystack"), k = 10)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    // doc 1 matches both terms → first; doc 2's term is rarer (df=2) than
+    // haystack (df=4) → outranks the haystack-only docs; doc 6 absent
+    assert(got.head == 1L)
+    assert(got(1) == 2L)
+    assert(!got.contains(6L))
+    assert(got.toSet == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("bm25 length normalization favors the shorter doc at equal tf") {
+    val docs = Seq(
+      (1L, "term " + ("pad " * 4).trim),
+      (2L, "term " + ("pad " * 40).trim)
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(docs, "doc_id", "text", Seq("term"), k = 2)
+      .orderBy("rank").select("doc_id").as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L))
+  }
 }
