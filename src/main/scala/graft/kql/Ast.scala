@@ -172,6 +172,11 @@ object QueryStep {
   /** `tee sink` — write to a sink AND pass rows downstream
     * (reference: `miso-workflow/src/tee.rs:20-104`). */
   final case class Tee(target: String) extends QueryStep
+  /** `search [kind=case_sensitive] "term"` — free-text filter across every
+    * string column (KQL's log-exploration staple; beyond the reference's
+    * step set). Case-insensitive substring by default.
+    */
+  final case class Search(term: String, caseSensitive: Boolean) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

@@ -474,6 +474,24 @@ final class Compiler(
 
     case QueryStep.Filter(e) => df.filter(compileBool(df, e))
 
+    // free-text search: substring disjunction over every string column
+    // (variant columns participate through their JSON text). Stays a
+    // plain filter — narrow, pushdown-friendly for the string columns.
+    case QueryStep.Search(term, cs) =>
+      val searchable = df.schema.fields.collect {
+        case f if f.dataType == StringType => col(f.name)
+        case f if f.dataType.isInstanceOf[VariantType] =>
+          col(f.name).cast(StringType)
+      }
+      if (searchable.isEmpty) df.filter(lit(false))
+      else {
+        val preds = searchable.map { c =>
+          if (cs) c.contains(lit(term))
+          else lower(c).contains(lit(term.toLowerCase(java.util.Locale.ROOT)))
+        }
+        df.filter(preds.reduce(_ || _))
+      }
+
     case QueryStep.Project(fields) =>
       df.select(fields.map { case (e, n) => compile(df, e).as(n) }: _*)
 

@@ -147,6 +147,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "count"            => p += 1; QueryStep.CountStep
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
+      case "search"           => p += 1; parseSearch()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -211,6 +212,22 @@ final class Parser(src: String, nowMicros: Long) {
       done = !tryPunct(",")
     }
     out.result()
+  }
+
+  private def parseSearch(): QueryStep = {
+    var cs = false
+    if (atIdent("kind")) {
+      next(); eatPunct("=")
+      identText().toLowerCase match {
+        case "case_sensitive" => cs = true
+        case "default" => cs = false
+        case other => fail(s"unknown search kind '$other'")
+      }
+    }
+    peek match {
+      case StrTok(s, _) => p += 1; QueryStep.Search(s, cs)
+      case t => throw KqlParseException("search expects a quoted term", t.pos)
+    }
   }
 
   private def parseExpand(): QueryStep = {
@@ -630,7 +647,8 @@ object Parser {
   val stepKeywords: Seq[String] = Seq(
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
-    "summarize", "distinct", "union", "join", "count", "write", "tee")
+    "summarize", "distinct", "union", "join", "count", "write", "tee",
+    "search")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

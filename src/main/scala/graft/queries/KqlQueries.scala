@@ -199,6 +199,17 @@ object KqlQueries {
         |                           x -> len(x) > 0))) AS BIGINT) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
 
+    // free-text search across all string columns (KQL's log-exploration
+    // staple, beyond the reference's step set) — case-insensitive
+    // substring disjunction, here over event_type and the props JSON
+    kq("kql_search",
+      """events | search "err"
+        | | summarize n=count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE lower(event_type) LIKE '%err%' OR lower(props) LIKE '%err%'
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // existence joins (beyond the reference's 4 kinds): blocklist/allowlist
     // filtering without widening rows — the curation-removal primitive
     kq("kql_join_anti",
