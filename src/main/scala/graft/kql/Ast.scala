@@ -99,6 +99,10 @@ object Aggregation {
   final case class Avg(f: FieldPath) extends Aggregation
   final case class Min(f: FieldPath) extends Aggregation
   final case class Max(f: FieldPath) extends Aggregation
+  /** `percentile(f, 95)` — approximate percentile via a mergeable quantile
+    * sketch (Azure KQL's percentile is likewise approximate/T-digest;
+    * beyond the reference's closed agg set). `p` ∈ [0, 100]. */
+  final case class Percentile(f: FieldPath, p: Double) extends Aggregation
 
   /** Default output names (reference parser.rs:290-301). */
   def defaultName(a: Aggregation): String = a match {
@@ -110,6 +114,9 @@ object Aggregation {
     case Avg(f)      => s"avg_${f.flat}"
     case Min(f)      => s"min_${f.flat}"
     case Max(f)      => s"max_${f.flat}"
+    case Percentile(f, p) =>
+      val ps = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
+      s"percentile_${f.flat}_$ps"
   }
 }
 

@@ -678,6 +678,12 @@ final class Compiler(
         case Aggregation.Avg(f) => coalesce(avg(numeric(f)), lit(0.0))
         case Aggregation.Min(f) => min(minmax(f))
         case Aggregation.Max(f) => max(minmax(f))
+        // approximate percentile: mergeable sketch state, partial/final
+        // aggregation — no per-group sort of the data (the 100 TB path;
+        // Azure KQL's percentile is likewise approximate). Accuracy knob
+        // is the sketch budget; empty input → null like min/max.
+        case Aggregation.Percentile(f, p) =>
+          percentile_approx(numeric(f), lit(p / 100.0), lit(10000))
       }
       c.as(a.name)
     }

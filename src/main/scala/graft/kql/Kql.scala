@@ -73,6 +73,8 @@ object Kql {
       case QueryStep.CountStep => "count"
       case QueryStep.Write(t) => s"write $t"
       case QueryStep.Tee(t) => s"tee $t"
+      case QueryStep.Search(term, cs) =>
+        s"""search ${if (cs) "kind=case_sensitive " else ""}"$term""""
     }
     (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
       Seq(renderQuery(parsed.query, ""))).mkString("\n")

@@ -330,6 +330,16 @@ final class Parser(src: String, nowMicros: Long) {
       case "avg" => Aggregation.Avg(parseFieldPath())
       case "min" => Aggregation.Min(parseFieldPath())
       case "max" => Aggregation.Max(parseFieldPath())
+      case "percentile" =>
+        val f = parseFieldPath()
+        eatPunct(",")
+        val p = peek match {
+          case IntTok(v, _) => next(); v.toDouble
+          case FloatTok(v, _) => next(); v
+          case t => throw KqlParseException("percentile expects a numeric p", t.pos)
+        }
+        arity(p >= 0 && p <= 100, "percentile p must be in [0, 100]")
+        Aggregation.Percentile(f, p)
       case other => fail(s"unknown aggregation '$other'")
     }
     eatPunct(")")

@@ -69,5 +69,8 @@ object Render {
     case Aggregation.Avg(f) => s"avg(${f.render})"
     case Aggregation.Min(f) => s"min(${f.render})"
     case Aggregation.Max(f) => s"max(${f.render})"
+    case Aggregation.Percentile(f, p) =>
+      val ps = if (p == p.floor) p.toLong.toString else p.toString
+      s"percentile(${f.render}, $ps)"
   }
 }

@@ -48,4 +48,38 @@ class DcountApproxSpec extends AnyFunSuite {
       "events | summarize dcount_approx(user_id)")
     assert(df.columns.contains("dcount_approx_user_id"))
   }
+
+  test("percentile() lands at the right RANK (the sketch's contract)") {
+    // a quantile sketch returns an actual data value near rank p·n — the
+    // right check is rank accuracy, not distance to the interpolated
+    // exact quantile (which can sit far away inside a sparse tail gap)
+    val approx = Kql.run(spark, cat,
+      "events | summarize p=percentile(value, 50), hi=percentile(value, 99) by event_type | sort by event_type asc")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    import org.apache.spark.sql.functions._
+    val ev = Tables.load(spark, TestSpark.sf, "events")
+    assert(approx.nonEmpty)
+    approx.foreach { case (g, p50, p99) =>
+      val grp = ev.filter(col("event_type") === g)
+      val n = grp.count().toDouble
+      def rankOf(v: Double): Double =
+        grp.filter(col("value") <= v).count() / n
+      assert(math.abs(rankOf(p50) - 0.50) <= 0.02, s"$g p50 rank ${rankOf(p50)}")
+      assert(math.abs(rankOf(p99) - 0.99) <= 0.02, s"$g p99 rank ${rankOf(p99)}")
+    }
+  }
+
+  test("percentile default name and render round-trip") {
+    val df = Kql.run(spark, cat, "events | summarize percentile(value, 95)")
+    assert(df.columns.contains("percentile_value_95"))
+    assert(Render.agg(Aggregation.Percentile(
+      FieldPath(Seq(FieldAccess("value"))), 95.0)) == "percentile(value, 95)")
+  }
+
+  test("percentile p outside [0, 100] is a parse error") {
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, cat, "events | summarize percentile(value, 101)")
+    }
+    assert(e.getMessage.contains("[0, 100]"))
+  }
 }
