@@ -142,6 +142,10 @@ object JoinKind {
 sealed trait ExpandKind
 object ExpandKind { case object Bag extends ExpandKind; case object Arr extends ExpandKind }
 
+/** One segment of a `parse` pattern: a literal to match, or a capture
+  * `(name, castKind)` where castKind is "string" or a numeric cast name. */
+final case class ParseSeg(literal: Option[String], capture: Option[(String, String)])
+
 sealed trait QueryStep
 object QueryStep {
   final case class Scan(source: String) extends QueryStep
@@ -184,6 +188,13 @@ object QueryStep {
     * step set). Case-insensitive substring by default.
     */
   final case class Search(term: String, caseSensitive: Boolean) extends QueryStep
+  /** `parse src with "lit" name1 "lit2" name2:long …` — pattern-split
+    * extraction into typed columns (KQL's structured-log extractor;
+    * beyond the reference's step set). Non-matching rows keep null
+    * captures; the pattern finds its first occurrence anywhere in the
+    * source (unanchored), captures are non-greedy except the last.
+    */
+  final case class Parse(src: FieldPath, segs: Seq[ParseSeg]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

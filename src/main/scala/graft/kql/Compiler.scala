@@ -474,6 +474,32 @@ final class Compiler(
 
     case QueryStep.Filter(e) => df.filter(compileBool(df, e))
 
+    // parse: pattern-split extraction — one regex built from the literal
+    // segments (quoted) and captures ((.*?) non-greedy, last capture
+    // greedy), evaluated once per capture through the null-on-no-match
+    // extract. Pure map-side projection; a non-matching row keeps null
+    // captures rather than erroring, per the engine's row-error policy.
+    case QueryStep.Parse(srcPath, segs) =>
+      val src = compileField(df, srcPath).cast(StringType)
+      val captures = segs.collect { case ParseSeg(_, Some(c)) => c }
+      val lastCapture = captures.last._1
+      val regex = segs.map {
+        case ParseSeg(Some(litSeg), _) =>
+          java.util.regex.Pattern.quote(litSeg)
+        case ParseSeg(_, Some((name, _))) =>
+          if (name == lastCapture) "(.*)" else "(.*?)"
+        case _ => ""
+      }.mkString
+      captures.zipWithIndex.foldLeft(df) { case (acc, ((name, kind), i)) =>
+        val raw = KqlFunctions.extractOrNull(src, regex, i + 1)
+        val typed = kind match {
+          case "long" | "int" => raw.try_cast(LongType)
+          case "real" | "double" => raw.try_cast(DoubleType)
+          case _ => raw
+        }
+        acc.withColumn(name, typed)
+      }
+
     // free-text search: substring disjunction over every string column
     // (variant columns participate through their JSON text). Stays a
     // plain filter — narrow, pushdown-friendly for the string columns.

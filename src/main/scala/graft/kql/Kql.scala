@@ -75,6 +75,14 @@ object Kql {
       case QueryStep.Tee(t) => s"tee $t"
       case QueryStep.Search(term, cs) =>
         s"""search ${if (cs) "kind=case_sensitive " else ""}"$term""""
+      case QueryStep.Parse(src, segs) =>
+        val body = segs.map {
+          case ParseSeg(Some(l), _) => "\"" + l + "\""
+          case ParseSeg(_, Some((n, "string"))) => n
+          case ParseSeg(_, Some((n, k))) => s"$n:$k"
+          case _ => ""
+        }.mkString(" ")
+        s"parse ${src.render} with $body"
     }
     (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
       Seq(renderQuery(parsed.query, ""))).mkString("\n")

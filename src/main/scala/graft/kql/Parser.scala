@@ -148,6 +148,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
       case "search"           => p += 1; parseSearch()
+      case "parse"            => p += 1; parseParse()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -228,6 +229,36 @@ final class Parser(src: String, nowMicros: Long) {
       case StrTok(s, _) => p += 1; QueryStep.Search(s, cs)
       case t => throw KqlParseException("search expects a quoted term", t.pos)
     }
+  }
+
+  private def parseParse(): QueryStep = {
+    val src = parseFieldPath()
+    eatIdent("with")
+    val segs = Seq.newBuilder[ParseSeg]
+    var nCaptures = 0
+    var scanning = true
+    while (scanning) {
+      peek match {
+        case StrTok(s, _) =>
+          p += 1
+          segs += ParseSeg(Some(s), None)
+        case Ident(w, _) => // pattern ends at `|`/EOF, so any ident is a capture
+          p += 1
+          val kind =
+            if (atPunct(":")) {
+              next()
+              identText().toLowerCase match {
+                case k @ ("string" | "long" | "int" | "real" | "double") => k
+                case other => fail(s"unknown parse capture type '$other'")
+              }
+            } else "string"
+          segs += ParseSeg(None, Some((w, kind)))
+          nCaptures += 1
+        case _ => scanning = false
+      }
+    }
+    arity(nCaptures >= 1, "parse needs at least one capture column")
+    QueryStep.Parse(src, segs.result())
   }
 
   private def parseExpand(): QueryStep = {
@@ -658,7 +689,7 @@ object Parser {
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
     "summarize", "distinct", "union", "join", "count", "write", "tee",
-    "search")
+    "search", "parse")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

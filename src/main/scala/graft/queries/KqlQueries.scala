@@ -210,6 +210,17 @@ object KqlQueries {
         |WHERE lower(event_type) LIKE '%err%' OR lower(props) LIKE '%err%'
         |GROUP BY 1 ORDER BY event_type""".stripMargin),
 
+    // parse step: pattern-split extraction of a typed column out of raw
+    // log text (here the props JSON treated as text), feeding a summarize
+    kq("kql_parse",
+      """events
+        | | parse props with "{\"k\": " kv:long "}"
+        | | summarize n=count(), mx=max(kv) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n,
+        |  max(CAST(regexp_extract(props, '\{"k": (.*)\}', 1) AS BIGINT)) AS mx
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
+
     // existence joins (beyond the reference's 4 kinds): blocklist/allowlist
     // filtering without widening rows — the curation-removal primitive
     kq("kql_join_anti",
