@@ -218,32 +218,45 @@ object TextAnalysis {
       docs: DataFrame, idCol: String, textCol: String,
       query: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(query.nonEmpty, "bm25 needs at least one query term")
+    // distinct: a repeated query term would otherwise sum its per-term
+    // score once per occurrence and inflate those documents
+    val terms = query.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    def tfc(t: String) = s"__tf_${terms.indexOf(t)}"
+    def dfc(t: String) = s"__df_${terms.indexOf(t)}"
+    // ONE pass over the token explode: per-doc length and one conditional
+    // tf per query term (an earlier form scanned and exploded the corpus
+    // twice — once for dl, once for tf — doubling the dominant cost)
     val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("token"))
-    val dl = tok.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(
-      count(lit(1)).as("n_docs"), sum("dl").as("total_dl"))
-    val tf = tok.filter(col("token").isin(query: _*))
-      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
-    val scored = tf
-      .join(broadcast(dfreq), "token")
-      .join(dl, idCol)
+    val perDoc = tok.groupBy(col(idCol)).agg(
+      count(lit(1)).as("dl"),
+      terms.map(t =>
+        sum(when(col("token") === t, 1L).otherwise(0L)).as(tfc(t))): _*)
+    // corpus size, total length, and every term's doc frequency in one
+    // broadcast row
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum("dl").as("total_dl") +:
+        terms.map(t =>
+          sum(when(col(tfc(t)) > 0, 1L).otherwise(0L)).as(dfc(t))): _*)
+    val scored = perDoc
       .crossJoin(broadcast(stats))
-      .withColumn("idf",
-        (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5))
-      .withColumn("score_t",
-        col("idf") * (col("tf") * lit(k1 + 1.0)) /
-          (col("tf") + lit(k1) *
-            (lit(1.0 - b) + lit(b) * col("dl") * col("n_docs") / col("total_dl"))))
-    val perDoc = scored.groupBy(col(idCol)).agg(
-      query.map(t =>
-        coalesce(max(when(col("token") === t, col("score_t"))), lit(0.0)))
-        .reduce(_ + _).as("score"))
+      .filter(terms.map(t => col(tfc(t)) > 0).reduce(_ || _))
+      .withColumn("score",
+        terms.map { t =>
+          val tf = col(tfc(t))
+          val idf = (col("n_docs") - col(dfc(t)) + 0.5) / (col(dfc(t)) + 0.5)
+          when(tf > 0,
+            idf * (tf * lit(k1 + 1.0)) /
+              (tf + lit(k1) *
+                (lit(1.0 - b) +
+                  lit(b) * col("dl") * col("n_docs") / col("total_dl"))))
+            .otherwise(lit(0.0))
+        }.reduce(_ + _))
     // top-k FIRST (fuses to TakeOrderedAndProject — distributed heap),
     // then rank the surviving k rows; a global row_number window before
     // the cut would drag every scored doc through one task
-    val top = perDoc.orderBy(col("score").desc, col(idCol).asc).limit(k)
+    val top = scored.orderBy(col("score").desc, col(idCol).asc).limit(k)
     top.withColumn("rank",
       row_number().over(Window.orderBy(col("score").desc, col(idCol).asc)))
       .select(col(idCol), col("score"), col("rank"))

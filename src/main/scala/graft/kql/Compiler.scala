@@ -475,39 +475,51 @@ final class Compiler(
     case QueryStep.Filter(e) => df.filter(compileBool(df, e))
 
     // parse: pattern-split extraction — one regex built from the literal
-    // segments (quoted) and captures ((.*?) non-greedy, last capture
-    // greedy), evaluated once per capture through the null-on-no-match
-    // extract. Pure map-side projection; a non-matching row keeps null
-    // captures rather than erroring, per the engine's row-error policy.
+    // segments (quoted) and captures ((.*?) non-greedy, the POSITIONALLY
+    // last capture greedy), with (?s) so values containing newlines still
+    // match. A row that misses the pattern keeps null captures (row-error
+    // policy) — tested with an explicit rlike, NOT nullif-on-empty, so a
+    // matching row whose capture is legitimately empty keeps "". All
+    // capture columns materialize in ONE withColumns against the original
+    // frame: a capture named after the source column must not replace the
+    // source out from under the later captures.
     case QueryStep.Parse(srcPath, segs) =>
       val src = compileField(df, srcPath).cast(StringType)
       val captures = segs.collect { case ParseSeg(_, Some(c)) => c }
-      val lastCapture = captures.last._1
-      val regex = segs.map {
+      var seen = 0
+      val nCaps = captures.length
+      val regex = "(?s)" + segs.map {
         case ParseSeg(Some(litSeg), _) =>
           java.util.regex.Pattern.quote(litSeg)
-        case ParseSeg(_, Some((name, _))) =>
-          if (name == lastCapture) "(.*)" else "(.*?)"
+        case ParseSeg(_, Some(_)) =>
+          seen += 1
+          if (seen == nCaps) "(.*)" else "(.*?)"
         case _ => ""
       }.mkString
-      captures.zipWithIndex.foldLeft(df) { case (acc, ((name, kind), i)) =>
-        val raw = KqlFunctions.extractOrNull(src, regex, i + 1)
+      val matches = src.rlike(regex)
+      val newCols = captures.zipWithIndex.map { case ((name, kind), i) =>
+        val raw = when(matches, regexp_extract(src, regex, i + 1))
         val typed = kind match {
           case "long" | "int" => raw.try_cast(LongType)
           case "real" | "double" => raw.try_cast(DoubleType)
           case _ => raw
         }
-        acc.withColumn(name, typed)
-      }
+        name -> typed
+      }.toMap
+      df.withColumns(newCols)
 
     // free-text search: substring disjunction over every string column
     // (variant columns participate through their JSON text). Stays a
     // plain filter — narrow, pushdown-friendly for the string columns.
     case QueryStep.Search(term, cs) =>
+      // backtick-quote: projected columns can carry dots in their NAME
+      // (default naming of nested-path projections), which bare col()
+      // would misread as struct access
+      def exact(n: String) = col(s"`$n`")
       val searchable = df.schema.fields.collect {
-        case f if f.dataType == StringType => col(f.name)
+        case f if f.dataType == StringType => exact(f.name)
         case f if f.dataType.isInstanceOf[VariantType] =>
-          col(f.name).cast(StringType)
+          exact(f.name).cast(StringType)
       }
       if (searchable.isEmpty) df.filter(lit(false))
       else {

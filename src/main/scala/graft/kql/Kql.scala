@@ -74,10 +74,13 @@ object Kql {
       case QueryStep.Write(t) => s"write $t"
       case QueryStep.Tee(t) => s"tee $t"
       case QueryStep.Search(term, cs) =>
-        s"""search ${if (cs) "kind=case_sensitive " else ""}"$term""""
+        // StrLit rendering escapes embedded quotes/backslashes, keeping
+        // the explain output re-parseable
+        s"search ${if (cs) "kind=case_sensitive " else ""}" +
+          Render.expr(Expr.StrLit(term))
       case QueryStep.Parse(src, segs) =>
         val body = segs.map {
-          case ParseSeg(Some(l), _) => "\"" + l + "\""
+          case ParseSeg(Some(l), _) => Render.expr(Expr.StrLit(l))
           case ParseSeg(_, Some((n, "string"))) => n
           case ParseSeg(_, Some((n, k))) => s"$n:$k"
           case _ => ""

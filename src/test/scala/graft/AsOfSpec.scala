@@ -126,6 +126,17 @@ class AsOfSpec extends AnyFunSuite {
     assert(got.toSet == Set(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("bm25 deduplicates repeated query terms") {
+    val docs = Seq(
+      (1L, "needle one"), (2L, "haystack two")).toDF("doc_id", "text")
+    val once = TextAnalysis.bm25(docs, "doc_id", "text", Seq("needle"), k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    val twice = TextAnalysis.bm25(
+      docs, "doc_id", "text", Seq("needle", "needle"), k = 5)
+      .select("doc_id", "score").as[(Long, Double)].collect().toSeq
+    assert(once == twice)
+  }
+
   test("bm25 length normalization favors the shorter doc at equal tf") {
     val docs = Seq(
       (1L, "term " + ("pad " * 4).trim),

@@ -58,9 +58,38 @@ class ParseStepSpec extends AnyFunSuite {
     assert(e.getMessage.contains("at least one capture"))
   }
 
-  test("explain renders the parse step back as KQL") {
+  test("explain renders the parse step back as parseable KQL") {
     val rendered = Kql.explain(spark, cat,
       """access | parse msg with verb " " code:long | count""")
-    assert(rendered.contains("parse msg with verb \" \" code:long"))
+    assert(rendered.contains("parse msg with verb ' ' code:long"))
+  }
+
+  test("a matching row with an EMPTY capture keeps empty, not null") {
+    val c = new Catalog(spark)
+    c.register("t", Seq((1L, "a=;done"), (2L, "no match here"))
+      .toDF("id", "s"))
+    val got = Kql.run(spark, c,
+      """t | parse s with "a=" v ";" rest | project id, v, rest | sort by id asc""")
+      .collect().map(r => (r.getLong(0), Option(r.getString(1)), Option(r.getString(2))))
+    assert(got(0) == ((1L, Some(""), Some("done")))) // matched, v empty
+    assert(got(1) == ((2L, None, None)))             // unmatched: nulls
+  }
+
+  test("a capture named after the source still extracts later captures") {
+    val c = new Catalog(spark)
+    c.register("t", Seq((1L, "a;b")).toDF("id", "s"))
+    val got = Kql.run(spark, c,
+      """t | parse s with s ";" rest | project s, rest""")
+      .as[(String, String)].head()
+    assert(got == (("a", "b")))
+  }
+
+  test("values spanning newlines still match (DOTALL)") {
+    val c = new Catalog(spark)
+    c.register("t", Seq((1L, "start: line1\nline2 end")).toDF("id", "s"))
+    val got = Kql.run(spark, c,
+      """t | parse s with "start: " body " end" | project body""")
+      .as[String].head()
+    assert(got == "line1\nline2")
   }
 }

@@ -49,6 +49,17 @@ class SearchSpec extends AnyFunSuite {
     assert(got == Seq(2L))
   }
 
+  test("search survives projected columns with dots in their names") {
+    // `project props.k` default-names the output column literally
+    // "props.k"; search must treat that as one column, not struct access
+    val c2 = new Catalog(spark)
+    c2.register("t", Seq((1L, "hello"), (2L, "world"))
+      .toDF("id", "a").selectExpr("id", "a AS `a.b`"))
+    val got = Kql.run(spark, c2, """t | search "wor" | project id""")
+      .as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
   test("a bare search term is a parse error with position info") {
     val e = intercept[KqlParseException] {
       Kql.run(spark, cat, "logs | search unquoted")
