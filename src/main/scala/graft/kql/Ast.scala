@@ -73,6 +73,11 @@ object Expr {
     * single-pass kernels in [[graft.functions]].
     */
   final case class TextFn(name: String, arg: Expr) extends Expr
+  /** Common string scalars (real-KQL surface beyond the reference's
+    * closed set): name ∈ strlen tolower toupper trim substring
+    * replace_string. substring is 0-based like KQL, clamped at 0.
+    */
+  final case class StrFn(name: String, args: Seq[Expr]) extends Expr
 }
 
 sealed trait SortOrder

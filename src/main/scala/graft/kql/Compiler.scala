@@ -163,6 +163,8 @@ final class Compiler(
       case "langid" => KT.Str
       case _ => KT.Int // tokencount / simhash / fingerprint
     }
+    case StrFn(name, _) =>
+      if (name == "strlen") KT.Int else KT.Str
   }
 
   // ───────────────────────── expression lowering ─────────────────────────
@@ -431,6 +433,26 @@ final class Compiler(
           graft.functions.Dedup.simhash(graft.functions.TextAnalysis.tokens(xc))
         case "fingerprint" => graft.functions.TextAnalysis.fingerprint(xc)
         case "langid" => graft.functions.TextAnalysis.langId(xc)
+      }
+
+    case StrFn(name, args) =>
+      val cs = args.map(a => compile(df, a))
+      name match {
+        case "strlen" => length(cs.head.cast(StringType)).cast(LongType)
+        case "tolower" => lower(cs.head.cast(StringType))
+        case "toupper" => upper(cs.head.cast(StringType))
+        case "trim" => trim(cs.head.cast(StringType))
+        case "substring" =>
+          // KQL substring is 0-based with a negative start clamped to 0;
+          // Spark's is 1-based
+          val start = greatest(cs(1).try_cast(LongType), lit(0L)) + lit(1L)
+          val len =
+            if (cs.length == 3) cs(2).try_cast(LongType)
+            else lit(Int.MaxValue.toLong)
+          cs.head.cast(StringType).substr(start.cast(IntegerType), len.cast(IntegerType))
+        case "replace_string" =>
+          replace(cs.head.cast(StringType),
+            cs(1).cast(StringType), cs(2).cast(StringType))
       }
   }
 

@@ -553,7 +553,8 @@ final class Parser(src: String, nowMicros: Long) {
     "not", "case", "iff", "iif", "extract", "bin", "floor", "exists", "now",
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
     "todouble", "todecimal", "tobool", "toboolean",
-    "tokencount", "simhash", "fingerprint", "langid")
+    "tokencount", "simhash", "fingerprint", "langid",
+    "strlen", "tolower", "toupper", "trim", "substring", "replace_string")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -634,6 +635,18 @@ final class Parser(src: String, nowMicros: Long) {
       case f @ ("tokencount" | "simhash" | "fingerprint" | "langid") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         TextFn(f, a.head)
+      case f @ ("strlen" | "tolower" | "toupper" | "trim") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
+      case "substring" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "substring() takes (source, start[, length])")
+        StrFn("substring", a)
+      case "replace_string" =>
+        val a = args()
+        arity(a.length == 3, "replace_string() takes (source, lookup, rewrite)")
+        StrFn("replace_string", a)
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

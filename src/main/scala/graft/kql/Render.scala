@@ -37,6 +37,7 @@ object Render {
     case Exists(x) => s"exists(${expr(x)})"
     case StrCat(args) => s"strcat(${args.map(expr).mkString(", ")})"
     case TextFn(name, x) => s"$name(${expr(x)})"
+    case StrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
   }
 
   private def paren(e: Expr): String = e match {

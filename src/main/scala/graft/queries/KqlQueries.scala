@@ -183,6 +183,17 @@ object KqlQueries {
         |  AND o_totalprice BETWEEN 100000 AND 150000
         |ORDER BY o_orderkey""".stripMargin),
 
+    // string scalar surface (real-KQL functions beyond the reference's
+    // closed expression set): strlen / substring (0-based) / toupper
+    kq("kql_strfns",
+      """documents
+        | | extend n = strlen(text), head = substring(text, 0, 8), up = toupper(lang)
+        | | project doc_id, n, head, up
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, CAST(len(text) AS BIGINT) AS n,
+        |       substring(text, 1, 8) AS head, upper(lang) AS up
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // pipeline scalar functions inside KQL: tokencount() in an extend feeds
     // a summarize — one engine surface over both query and curation ops.
     // sum() through the KQL path is double by KQL typing; integer token

@@ -1,0 +1,66 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The string scalar surface: strlen/tolower/toupper/trim/substring/
+  * replace_string, with KQL's 0-based substring semantics.
+  */
+class StrFnSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("t", Seq(
+      (1L, "  Hello World  "),
+      (2L, "abc"),
+      (3L, "")
+    ).toDF("id", "s"))
+    c
+  }
+
+  private def one(kql: String): org.apache.spark.sql.Row =
+    Kql.run(spark, cat, kql).collect().head
+
+  test("strlen, tolower, toupper, trim") {
+    val r = one(
+      """t | where id == 1
+        | | project n = strlen(s), lo = tolower(s), up = toupper(s), tr = trim(s)""".stripMargin)
+    assert(r.getLong(0) == 15L)
+    assert(r.getString(1) == "  hello world  ")
+    assert(r.getString(2) == "  HELLO WORLD  ")
+    assert(r.getString(3) == "Hello World")
+  }
+
+  test("substring is 0-based; omitted length runs to the end") {
+    val r = one(
+      """t | where id == 2
+        | | project a = substring(s, 0, 2), b = substring(s, 1), c = substring(s, 2, 99)""".stripMargin)
+    assert(r.getString(0) == "ab")
+    assert(r.getString(1) == "bc")
+    assert(r.getString(2) == "c")
+  }
+
+  test("substring clamps negative starts and survives out-of-range") {
+    val r = one(
+      """t | where id == 2
+        | | project a = substring(s, -5, 2), b = substring(s, 10, 3)""".stripMargin)
+    assert(r.getString(0) == "ab") // negative start clamps to 0
+    assert(r.getString(1) == "")   // past the end: empty, not error
+  }
+
+  test("replace_string replaces literally, not as regex") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq((1L, "a.b.a.b")).toDF("id", "s"))
+    val r = Kql.run(spark, c2,
+      """u | project out = replace_string(s, "a.b", "X")""").collect().head
+    assert(r.getString(0) == "X.X") // "." matched literally
+  }
+
+  test("strlen of empty is 0; functions compose with where/summarize") {
+    val n = Kql.run(spark, cat,
+      "t | where strlen(trim(s)) == 0 | count").as[Long].head()
+    assert(n == 1L) // only the empty string row
+  }
+}
