@@ -78,6 +78,11 @@ object Expr {
     * replace_string. substring is 0-based like KQL, clamped at 0.
     */
   final case class StrFn(name: String, args: Seq[Expr]) extends Expr
+  /** Datetime scalars (real-KQL surface beyond the reference): name ∈
+    * startofday startofhour hourofday dayofmonth monthofyear. Timestamps
+    * are UTC throughout (session timezone pinned), so truncations and
+    * field extractions agree across engines. */
+  final case class DtFn(name: String, arg: Expr) extends Expr
 }
 
 sealed trait SortOrder

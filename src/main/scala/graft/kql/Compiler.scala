@@ -165,6 +165,10 @@ final class Compiler(
     }
     case StrFn(name, _) =>
       if (name == "strlen") KT.Int else KT.Str
+    case DtFn(name, _) => name match {
+      case "startofday" | "startofhour" => KT.Ts
+      case _ => KT.Int
+    }
   }
 
   // ───────────────────────── expression lowering ─────────────────────────
@@ -453,6 +457,16 @@ final class Compiler(
         case "replace_string" =>
           replace(cs.head.cast(StringType),
             cs(1).cast(StringType), cs(2).cast(StringType))
+      }
+
+    case DtFn(name, x) =>
+      val xc = compile(df, x).try_cast(TimestampType)
+      name match {
+        case "startofday" => date_trunc("day", xc)
+        case "startofhour" => date_trunc("hour", xc)
+        case "hourofday" => hour(xc).cast(LongType)
+        case "dayofmonth" => dayofmonth(xc).cast(LongType)
+        case "monthofyear" => month(xc).cast(LongType)
       }
   }
 

@@ -554,7 +554,8 @@ final class Parser(src: String, nowMicros: Long) {
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
     "todouble", "todecimal", "tobool", "toboolean",
     "tokencount", "simhash", "fingerprint", "langid",
-    "strlen", "tolower", "toupper", "trim", "substring", "replace_string")
+    "strlen", "tolower", "toupper", "trim", "substring", "replace_string",
+    "startofday", "startofhour", "hourofday", "dayofmonth", "monthofyear")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -647,6 +648,10 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 3, "replace_string() takes (source, lookup, rewrite)")
         StrFn("replace_string", a)
+      case f @ ("startofday" | "startofhour" | "hourofday" | "dayofmonth" |
+                "monthofyear") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        DtFn(f, a.head)
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

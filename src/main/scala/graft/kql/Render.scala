@@ -38,6 +38,7 @@ object Render {
     case StrCat(args) => s"strcat(${args.map(expr).mkString(", ")})"
     case TextFn(name, x) => s"$name(${expr(x)})"
     case StrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
+    case DtFn(name, x) => s"$name(${expr(x)})"
   }
 
   private def paren(e: Expr): String = e match {

@@ -183,6 +183,19 @@ object KqlQueries {
         |  AND o_totalprice BETWEEN 100000 AND 150000
         |ORDER BY o_orderkey""".stripMargin),
 
+    // datetime scalar surface: truncations + field extraction over UTC
+    // timestamps, feeding a summarize
+    kq("kql_dtfns",
+      """events
+        | | extend d = startofday(ts), h = hourofday(ts)
+        | | summarize n = count() by d, h
+        | | sort by d asc, h asc | limit 100""".stripMargin,
+      """SELECT d, h, n FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |         CAST(hour(ts) AS BIGINT) AS h, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |ORDER BY d, h LIMIT 100""".stripMargin),
+
     // string scalar surface (real-KQL functions beyond the reference's
     // closed expression set): strlen / substring (0-based) / toupper
     kq("kql_strfns",

@@ -58,6 +58,20 @@ class StrFnSpec extends AnyFunSuite {
     assert(r.getString(0) == "X.X") // "." matched literally
   }
 
+  test("datetime scalars: truncation and field extraction in UTC") {
+    val c2 = new Catalog(spark)
+    c2.register("e", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-03-15 17:45:30")))
+      .toDF("id", "ts"))
+    val r = Kql.run(spark, c2,
+      """e | project d = startofday(ts), sh = startofhour(ts),
+        |    h = hourofday(ts), dom = dayofmonth(ts), m = monthofyear(ts)""".stripMargin)
+      .collect().head
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-03-15 00:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-03-15 17:00:00"))
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) == ((17L, 15L, 3L)))
+  }
+
   test("strlen of empty is 0; functions compose with where/summarize") {
     val n = Kql.run(spark, cat,
       "t | where strlen(trim(s)) == 0 | count").as[Long].head()
