@@ -79,10 +79,33 @@ object Expr {
     */
   final case class StrFn(name: String, args: Seq[Expr]) extends Expr
   /** Datetime scalars (real-KQL surface beyond the reference): name ∈
-    * startofday startofhour hourofday dayofmonth monthofyear. Timestamps
+    * startofday startofhour startofweek startofmonth startofyear endofday
+    * hourofday dayofmonth monthofyear dayofweek weekofyear. Timestamps
     * are UTC throughout (session timezone pinned), so truncations and
-    * field extractions agree across engines. */
+    * field extractions agree across engines. Weeks start on Sunday
+    * (KQL convention): startofweek truncates to the preceding Sunday and
+    * dayofweek yields 0 (Sunday) … 6 (Saturday); weekofyear is ISO 8601. */
   final case class DtFn(name: String, arg: Expr) extends Expr
+  /** `datetime_diff(period, dt1, dt2)` → signed count of PERIOD BOUNDARIES
+    * crossed between dt2 and dt1 (KQL semantics — datetime_diff('year',
+    * 2015-01-01, 2014-12-31) is 1): both sides truncate to the period then
+    * difference, not elapsed-time division. period ∈ year month day hour
+    * minute second. */
+  final case class DtDiff(period: String, a: Expr, b: Expr) extends Expr
+  /** Null/empty scalars (real-KQL): isnull isnotnull isempty isnotempty
+    * take one arg; coalesce takes 2+. KQL's isempty treats null and the
+    * empty string alike, and coalesce likewise skips empty *strings*, not
+    * just nulls. */
+  final case class NullFn(name: String, args: Seq[Expr]) extends Expr
+  /** Math scalars (real-KQL): abs round exp log log10 log2 sqrt pow sign.
+    * `log` is the natural logarithm (KQL convention); round takes an
+    * optional precision. abs preserves int-ness; the rest yield real. */
+  final case class MathFn(name: String, args: Seq[Expr]) extends Expr
+  /** Array/string scalars (real-KQL): split(s, delim[, index]) — literal
+    * (non-regex) delimiter, 0-based index form returns the single element;
+    * indexof(s, lookup) — 0-based, -1 when absent; array_length(arr);
+    * strcat_delim(delim, e1, e2, …). */
+  final case class ArrFn(name: String, args: Seq[Expr]) extends Expr
 }
 
 sealed trait SortOrder
@@ -113,6 +136,23 @@ object Aggregation {
     * sketch (Azure KQL's percentile is likewise approximate/T-digest;
     * beyond the reference's closed agg set). `p` ∈ [0, 100]. */
   final case class Percentile(f: FieldPath, p: Double) extends Aggregation
+  /** `make_list(f)` / `make_set(f)` — collect group values into an array.
+    * KQL leaves the order unspecified; we SORT the result (nulls dropped,
+    * set additionally dedups) so output is deterministic across engines,
+    * partitionings, and re-runs — the only sane contract for a distributed
+    * engine. */
+  final case class MakeList(f: FieldPath) extends Aggregation
+  final case class MakeSet(f: FieldPath) extends Aggregation
+  /** `arg_max(f, ret)` / `arg_min(f, ret)` — value of `ret` on the row
+    * where `f` is extreme. Ties break by the larger (resp. smaller) `ret`
+    * — KQL leaves ties unspecified; a total rule keeps results stable
+    * under repartitioning. */
+  final case class ArgMax(f: FieldPath, ret: FieldPath) extends Aggregation
+  final case class ArgMin(f: FieldPath, ret: FieldPath) extends Aggregation
+  /** `stdev(f)` / `variance(f)` — sample standard deviation / variance
+    * (n−1 denominator, KQL convention); empty/single-row groups → null. */
+  final case class Stdev(f: FieldPath) extends Aggregation
+  final case class Variance(f: FieldPath) extends Aggregation
 
   /** Default output names (reference parser.rs:290-301). */
   def defaultName(a: Aggregation): String = a match {
@@ -127,6 +167,12 @@ object Aggregation {
     case Percentile(f, p) =>
       val ps = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
       s"percentile_${f.flat}_$ps"
+    case MakeList(f)  => s"list_${f.flat}"
+    case MakeSet(f)   => s"set_${f.flat}"
+    case ArgMax(f, _) => s"max_${f.flat}"
+    case ArgMin(f, _) => s"min_${f.flat}"
+    case Stdev(f)     => s"stdev_${f.flat}"
+    case Variance(f)  => s"variance_${f.flat}"
   }
 }
 
@@ -156,9 +202,20 @@ object ExpandKind { case object Bag extends ExpandKind; case object Arr extends 
   * `(name, castKind)` where castKind is "string" or a numeric cast name. */
 final case class ParseSeg(literal: Option[String], capture: Option[(String, String)])
 
+/** One level of a `top-nested` step: keep the top `n` values of `of` ranked
+  * by `agg` (descending), within each combination of the previous levels'
+  * keys. Ties break by the smaller key value — KQL leaves ties unspecified;
+  * a total rule keeps results stable under repartitioning. */
+final case class TopNestedLevel(n: Long, of: FieldPath, agg: AggField)
+
 sealed trait QueryStep
 object QueryStep {
   final case class Scan(source: String) extends QueryStep
+  /** `range name from lo to hi step s` — generated table source (KQL's
+    * range operator): inclusive of `hi` when the grid lands on it. Works
+    * over ints and datetimes (timespan step). */
+  final case class RangeScan(
+      name: String, lo: Expr, hi: Expr, step: Expr) extends QueryStep
   /** `conn.coll.raw("…")` — pass a native query to the backing engine
     * (reference: connector `raw_query`, `miso-connectors/src/lib.rs:320-327`).
     * Here the "native language" of the backing store is Spark SQL.
@@ -178,6 +235,13 @@ object QueryStep {
   final case class ProjectKeep(fields: Seq[FieldPath]) extends QueryStep
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
   final case class Limit(n: Long) extends QueryStep
+  /** `top-nested N1 of k1 by agg1, top-nested N2 of k2 by agg2, …` —
+    * hierarchical top-k (real-KQL surface beyond the reference): level 1
+    * keeps the top N1 `k1` groups by `agg1`; level 2 aggregates within
+    * those and keeps the top N2 `k2` per surviving `k1`; and so on.
+    * Output columns: k1, agg1, k2, agg2, … one row per deepest-level
+    * survivor. */
+  final case class TopNested(levels: Seq[TopNestedLevel]) extends QueryStep
   final case class Sort(keys: Seq[SortKey]) extends QueryStep
   final case class TopN(keys: Seq[SortKey], n: Long) extends QueryStep
   final case class Summarize(aggs: Seq[AggField], by: Seq[ByField]) extends QueryStep

@@ -166,8 +166,25 @@ final class Compiler(
     case StrFn(name, _) =>
       if (name == "strlen") KT.Int else KT.Str
     case DtFn(name, _) => name match {
-      case "startofday" | "startofhour" => KT.Ts
+      case "startofday" | "startofhour" | "startofweek" | "startofmonth" |
+           "startofyear" | "endofday" => KT.Ts
       case _ => KT.Int
+    }
+    case DtDiff(_, _, _) => KT.Int
+    case NullFn(name, args) =>
+      if (name == "coalesce") infer(df, args.head) else KT.Bool
+    case MathFn(name, args) => name match {
+      case "abs" => infer(df, args.head) match {
+        case KT.Float => KT.Float
+        case KT.Span  => KT.Span
+        case _        => KT.Int
+      }
+      case _ => KT.Float
+    }
+    case ArrFn(name, args) => name match {
+      case "split" => if (args.length == 3) KT.Str else KT.Arr
+      case "array_length" | "indexof" => KT.Int
+      case _ => KT.Str // strcat_delim
     }
   }
 
@@ -464,9 +481,116 @@ final class Compiler(
       name match {
         case "startofday" => date_trunc("day", xc)
         case "startofhour" => date_trunc("hour", xc)
+        // KQL weeks start on Sunday; Spark's date_trunc('week') starts
+        // Monday, so back up to the previous Sunday by dayofweek (Sun=1)
+        case "startofweek" =>
+          date_sub(to_date(xc), dayofweek(xc) - lit(1)).cast(TimestampType)
+        case "startofmonth" => date_trunc("month", xc)
+        case "startofyear" => date_trunc("year", xc)
+        // last representable tick of the day at this engine's precision
+        // (µs; the reference/KQL tick is 100 ns)
+        case "endofday" =>
+          timestamp_micros(
+            unix_micros(date_trunc("day", xc)) + lit(86400000000L - 1L))
         case "hourofday" => hour(xc).cast(LongType)
         case "dayofmonth" => dayofmonth(xc).cast(LongType)
         case "monthofyear" => month(xc).cast(LongType)
+        case "dayofweek" => (dayofweek(xc) - lit(1)).cast(LongType)
+        case "weekofyear" => weekofyear(xc).cast(LongType)
+      }
+
+    // period-boundary crossing count (KQL datetime_diff): truncate both
+    // sides to the period, then difference — never elapsed-time division
+    case DtDiff(period, a, b) =>
+      val ac = compile(df, a).try_cast(TimestampType)
+      val bc = compile(df, b).try_cast(TimestampType)
+      period match {
+        case "year" => (year(ac) - year(bc)).cast(LongType)
+        case "month" =>
+          ((year(ac) * lit(12) + month(ac)) -
+            (year(bc) * lit(12) + month(bc))).cast(LongType)
+        case _ =>
+          val micros = period match {
+            case "day" => 86400000000L
+            case "hour" => 3600000000L
+            case "minute" => 60000000L
+            case "second" => 1000000L
+          }
+          // both sides are truncated to the period, so the division is
+          // exact — the long cast loses nothing
+          ((unix_micros(date_trunc(period, ac)) -
+            unix_micros(date_trunc(period, bc))) / lit(micros)).cast(LongType)
+      }
+
+    case NullFn(name, args) =>
+      val cs = args.map(a => compile(df, a))
+      def empty(i: Int): Column =
+        cs(i).isNull.or(cs(i).cast(StringType) === lit(""))
+      name match {
+        case "isnull" => cs.head.isNull
+        case "isnotnull" => cs.head.isNotNull
+        case "isempty" => empty(0)
+        case "isnotempty" => !empty(0)
+        // KQL coalesce skips empty strings as well as nulls
+        case "coalesce" =>
+          val guarded = args.indices.map { i =>
+            if (infer(df, args(i)) == KT.Str)
+              when(cs(i) === lit(""), lit(null)).otherwise(cs(i))
+            else cs(i)
+          }
+          coalesce(guarded: _*)
+      }
+
+    case MathFn(name, args) =>
+      def d(i: Int): Column = compile(df, args(i)).try_cast(DoubleType)
+      name match {
+        case "abs" => infer(df, args.head) match {
+          case KT.Float => abs(d(0))
+          case _ => abs(compile(df, args.head).try_cast(LongType))
+        }
+        case "round" => args match {
+          case Seq(_) => round(d(0))
+          case Seq(_, IntLit(p)) => round(d(0), p.toInt)
+          case _ => throw KqlParseException(
+            "round() precision must be an integer literal", 0)
+        }
+        case "exp" => exp(d(0))
+        case "log" => log(d(0)) // natural log, KQL convention
+        case "log10" => log10(d(0))
+        case "log2" => log2(d(0))
+        case "sqrt" => sqrt(d(0))
+        case "pow" => pow(d(0), d(1))
+        case "sign" => signum(d(0))
+      }
+
+    case ArrFn(name, args) =>
+      def s(i: Int): Column = compile(df, args(i)).cast(StringType)
+      name match {
+        case "split" =>
+          val delim = args(1) match {
+            case StrLit(v) => v
+            case _ => throw KqlParseException(
+              "split() delimiter must be a string literal", 0)
+          }
+          // literal (non-regex) delimiter; limit -1 keeps trailing empties
+          val arr = split(s(0), java.util.regex.Pattern.quote(delim), -1)
+          if (args.length == 3) // 0-based element form; out-of-range → null
+            try_element_at(arr,
+              (compile(df, args(2)).try_cast(LongType) + lit(1L))
+                .cast(IntegerType))
+          else arr
+        case "indexof" => // 0-based; -1 when absent (instr is 1-based/0)
+          (instr(s(0), s(1)) - lit(1)).cast(LongType)
+        case "array_length" => size(compile(df, args.head)).cast(LongType)
+        // null args are skipped entirely (concat_ws semantics — DuckDB's
+        // concat_ws agrees, so both engines render the same string)
+        case "strcat_delim" =>
+          val delim = args.head match {
+            case StrLit(v) => v
+            case _ => throw KqlParseException(
+              "strcat_delim() delimiter must be a string literal", 0)
+          }
+          concat_ws(delim, args.tail.map(a => compile(df, a).cast(StringType)): _*)
       }
   }
 
@@ -507,6 +631,27 @@ final class Compiler(
     case QueryStep.Scan(source) => resolveScan(source)
 
     case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
+
+    // generated source: spark.range is a parallel, partitioned generator
+    // (no driver materialization), so a billion-row grid is still a narrow
+    // distributed scan. Inclusive upper bound, KQL-style.
+    case QueryStep.RangeScan(name, lo, hi, step) =>
+      def const(e: Expr, what: String): Long = e match {
+        case IntLit(v) => v
+        case DatetimeLit(v) => v
+        case TimespanLit(v) => v
+        case Neg(IntLit(v)) => -v
+        case _ => throw KqlParseException(
+          s"range $what must be an int, datetime, or timespan literal", 0)
+      }
+      val loV = const(lo, "start")
+      val hiV = const(hi, "stop")
+      val stV = const(step, "step")
+      if (stV <= 0) throw KqlParseException("range step must be positive", 0)
+      val isTime = lo.isInstanceOf[DatetimeLit]
+      val ids = spark.range(loV, hiV + 1, stV)
+      if (isTime) ids.select(timestamp_micros(col("id")).as(name))
+      else ids.select(col("id").as(name))
 
     case QueryStep.Filter(e) => df.filter(compileBool(df, e))
 
@@ -593,6 +738,44 @@ final class Compiler(
 
     case QueryStep.TopN(keys, n) =>
       df.orderBy(keys.map(k => sortCol(df, k)): _*).limit(n.toInt)
+
+    // hierarchical top-k: per level, aggregate (map-side partial → final),
+    // keep the top n groups per parent via row_number over the AGGREGATED
+    // frame (post-agg cardinality = |distinct keys|, so the level-1 global
+    // window is a bounded driver-sized sort, not a data-scale one), then
+    // the next level joins back to the survivors — a broadcast-sized join
+    // at every depth. Ties break by the smaller key (total rule).
+    case QueryStep.TopNested(levels) =>
+      import org.apache.spark.sql.expressions.Window
+      var acc: DataFrame = null
+      // (output column name, original field path) per completed level —
+      // grouping always re-derives keys from the BASE frame's paths, so
+      // nested keys (a.b) survive into deeper levels
+      var parents = Seq.empty[(String, FieldPath)]
+      levels.foreach { lvl =>
+        val keyName = lvl.of.flat
+        val parentNames = parents.map(_._1)
+        val grouped = compileSummarize(
+          df, Seq(lvl.agg),
+          (parents :+ (keyName, lvl.of)).map {
+            case (n2, f) => ByField(Field(f), n2)
+          })
+        val scoped =
+          if (acc == null) grouped
+          else grouped.join(broadcast(acc), parentNames, "inner")
+        val w =
+          (if (parentNames.isEmpty) Window.partitionBy()
+           else Window.partitionBy(parentNames.map(col): _*))
+            .orderBy(col(lvl.agg.name).desc, col(keyName).asc)
+        acc = scoped
+          .withColumn("__rk", row_number().over(w))
+          .filter(col("__rk") <= lit(lvl.n))
+          .drop("__rk")
+        parents = parents :+ (keyName, lvl.of)
+      }
+      // column order: k1, agg1, k2, agg2, …
+      val ordered = levels.flatMap(l => Seq(l.of.flat, l.agg.name))
+      acc.select(ordered.map(col): _*)
 
     case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
 
@@ -758,6 +941,26 @@ final class Compiler(
         // is the sketch budget; empty input → null like min/max.
         case Aggregation.Percentile(f, p) =>
           percentile_approx(numeric(f), lit(p / 100.0), lit(10000))
+        // collected arrays are SORTED (KQL leaves order unspecified; a
+        // deterministic order is the only stable contract under shuffles
+        // and re-runs). collect_list drops nulls, matching KQL's make_list.
+        case Aggregation.MakeList(f) => array_sort(collect_list(ordered(f)))
+        case Aggregation.MakeSet(f) => array_sort(collect_set(ordered(f)))
+        // arg extremes: lexicographic struct max/min gives a total rule —
+        // extreme key first, then extreme return value on key ties (KQL
+        // leaves ties unspecified; totality keeps re-runs identical). Rows
+        // with a null key are dropped via the when() guard, like KQL.
+        case Aggregation.ArgMax(f, ret) =>
+          val k = minmax(f)
+          max(when(k.isNotNull, struct(k.as("_k"), ordered(ret).as("_v"))))
+            .getField("_v")
+        case Aggregation.ArgMin(f, ret) =>
+          val k = minmax(f)
+          min(when(k.isNotNull, struct(k.as("_k"), ordered(ret).as("_v"))))
+            .getField("_v")
+        // sample (n−1) forms, KQL convention; empty/singleton groups → null
+        case Aggregation.Stdev(f) => stddev_samp(numeric(f))
+        case Aggregation.Variance(f) => var_samp(numeric(f))
       }
       c.as(a.name)
     }

@@ -48,6 +48,12 @@ object Kql {
     def renderStep(s: QueryStep, indent: String): String = s match {
       case QueryStep.Scan(src) => s"scan $src"
       case QueryStep.RawScan(sql) => s"""raw("$sql")"""
+      case QueryStep.RangeScan(n, lo, hi, st) =>
+        s"range $n from ${Render.expr(lo)} to ${Render.expr(hi)} step ${Render.expr(st)}"
+      case QueryStep.TopNested(levels) =>
+        levels.map(l =>
+          s"top-nested ${l.n} of ${l.of.render} by ${l.agg.name} = ${Render.agg(l.agg.agg)}")
+          .mkString(", ")
       case QueryStep.Filter(e) => s"where ${Render.expr(e)}"
       case QueryStep.Project(fs) =>
         s"project ${fs.map { case (e, n) => s"$n = ${Render.expr(e)}" }.mkString(", ")}"

@@ -106,7 +106,8 @@ object Lexer {
   }
 
   private val hyphenKeywords =
-    Set("mv-expand", "project-rename", "project-away", "project-keep")
+    Set("mv-expand", "project-rename", "project-away", "project-keep",
+      "top-nested")
 
   /** Escaped string literal — the reference's full escape set
     * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),

@@ -87,6 +87,20 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parsePipeline(): Query = {
+    // `range name from lo to hi step s` as a generated source (only when
+    // the 'from' keyword follows, so a table named `range` still scans)
+    if (atIdent("range") && toks.lift(p + 2).exists {
+        case Ident(w, _) => w.equalsIgnoreCase("from"); case _ => false }) {
+      p += 1
+      val name = identText()
+      eatIdent("from"); val lo = parseExpr()
+      eatIdent("to"); val hi = parseExpr()
+      eatIdent("step"); val st = parseExpr()
+      val steps = Seq.newBuilder[QueryStep]
+      steps += QueryStep.RangeScan(name, lo, hi, st)
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     val source = parseSourceRef()
     val steps = Seq.newBuilder[QueryStep]
     // `conn.coll.raw("…")` / `raw("…")`: native (Spark SQL) pass-through
@@ -101,10 +115,17 @@ final class Parser(src: String, nowMicros: Long) {
     } else {
       steps += QueryStep.Scan(source)
     }
-    // error recovery (reference parser.rs:39-72): a step that fails to
-    // parse records its diagnostic and resyncs at the next step boundary
-    // (`|`, or `)` so a broken join/union subquery doesn't eat the outer
-    // query), letting one pass surface every broken step
+    parseStepTail(steps)
+    Query(steps.result())
+  }
+
+  /** The `| step | step …` tail, with error recovery (reference
+    * parser.rs:39-72): a step that fails to parse records its diagnostic
+    * and resyncs at the next step boundary (`|`, or `)` so a broken
+    * join/union subquery doesn't eat the outer query), letting one pass
+    * surface every broken step. */
+  private def parseStepTail(
+      steps: scala.collection.mutable.Builder[QueryStep, Seq[QueryStep]]): Unit =
     while (tryPunct("|")) {
       val startP = p
       try steps += parseStep()
@@ -115,8 +136,6 @@ final class Parser(src: String, nowMicros: Long) {
           while (!atPunct("|") && !atPunct(")") && !peek.isInstanceOf[Eof]) p += 1
       }
     }
-    Query(steps.result())
-  }
 
   /** `conn.collection` / bare name / view ref. */
   private def parseSourceRef(): String = {
@@ -137,6 +156,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "project-keep"     => p += 1; QueryStep.ProjectKeep(parseFieldList())
       case "mv-expand"        => p += 1; parseExpand()
       case "limit" | "take"   => p += 1; QueryStep.Limit(parseIntLit())
+      case "top-nested"       => p += 1; parseTopNested()
       case "sort" | "order"   => p += 1; eatIdent("by"); QueryStep.Sort(parseSortKeys())
       case "top"              => p += 1
         val n = parseIntLit(); eatIdent("by"); QueryStep.TopN(parseSortKeys(), n)
@@ -306,6 +326,34 @@ final class Parser(src: String, nowMicros: Long) {
     out.result()
   }
 
+  /** `top-nested N1 of k1 by [name =] agg1, top-nested N2 of k2 by …` */
+  private def parseTopNested(): QueryStep = {
+    val levels = Seq.newBuilder[TopNestedLevel]
+    val used = scala.collection.mutable.Set[String]()
+    def unique(base: String): String = {
+      var cand = base; var i = 1
+      while (used.contains(cand)) { cand = s"$base$i"; i += 1 }
+      used += cand; cand
+    }
+    def level(): TopNestedLevel = {
+      val n = parseIntLit()
+      eatIdent("of")
+      val of = parseFieldPath()
+      used += of.flat
+      eatIdent("by")
+      val alias = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) => p += 2; Some(a)
+        case _ => None
+      }
+      val agg = parseAggCall()
+      TopNestedLevel(n, of,
+        AggField(agg, unique(alias.getOrElse(Aggregation.defaultName(agg)))))
+    }
+    levels += level()
+    while (tryPunct(",")) { eatIdent("top-nested"); levels += level() }
+    QueryStep.TopNested(levels.result())
+  }
+
   private def parseSummarize(): QueryStep = {
     final case class RawAgg(agg: Aggregation, alias: Option[String])
     val aggs = Seq.newBuilder[RawAgg]
@@ -371,6 +419,16 @@ final class Parser(src: String, nowMicros: Long) {
         }
         arity(p >= 0 && p <= 100, "percentile p must be in [0, 100]")
         Aggregation.Percentile(f, p)
+      case "make_list" => Aggregation.MakeList(parseFieldPath())
+      case "make_set" => Aggregation.MakeSet(parseFieldPath())
+      case "arg_max" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.ArgMax(f, parseFieldPath())
+      case "arg_min" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.ArgMin(f, parseFieldPath())
+      case "stdev" => Aggregation.Stdev(parseFieldPath())
+      case "variance" => Aggregation.Variance(parseFieldPath())
       case other => fail(s"unknown aggregation '$other'")
     }
     eatPunct(")")
@@ -555,7 +613,12 @@ final class Parser(src: String, nowMicros: Long) {
     "todouble", "todecimal", "tobool", "toboolean",
     "tokencount", "simhash", "fingerprint", "langid",
     "strlen", "tolower", "toupper", "trim", "substring", "replace_string",
-    "startofday", "startofhour", "hourofday", "dayofmonth", "monthofyear")
+    "startofday", "startofhour", "hourofday", "dayofmonth", "monthofyear",
+    "startofweek", "startofmonth", "startofyear", "endofday", "dayofweek",
+    "weekofyear", "datetime_diff",
+    "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
+    "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
+    "split", "indexof", "array_length", "strcat_delim")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -649,9 +712,55 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3, "replace_string() takes (source, lookup, rewrite)")
         StrFn("replace_string", a)
       case f @ ("startofday" | "startofhour" | "hourofday" | "dayofmonth" |
-                "monthofyear") =>
+                "monthofyear" | "startofweek" | "startofmonth" |
+                "startofyear" | "endofday" | "dayofweek" | "weekofyear") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         DtFn(f, a.head)
+      case "datetime_diff" =>
+        val a = args()
+        arity(a.length == 3, "datetime_diff() takes (period, dt1, dt2)")
+        a.head match {
+          case StrLit(p) if Set("year", "month", "day", "hour", "minute",
+              "second").contains(p.toLowerCase) =>
+            DtDiff(p.toLowerCase, a(1), a(2))
+          case _ => fail(
+            "datetime_diff period must be one of 'year' 'month' 'day' " +
+              "'hour' 'minute' 'second'")
+        }
+      case f @ ("isnull" | "isnotnull" | "isempty" | "isnotempty") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        NullFn(f, a)
+      case "coalesce" =>
+        val a = args(); arity(a.length >= 2, "coalesce() takes 2+ args")
+        NullFn("coalesce", a)
+      case f @ ("abs" | "exp" | "log" | "log10" | "log2" | "sqrt" | "sign") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        MathFn(f, a)
+      case "round" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "round() takes (value[, precision])")
+        MathFn("round", a)
+      case "pow" =>
+        val a = args(); arity(a.length == 2, "pow() takes (base, exponent)")
+        MathFn("pow", a)
+      case "split" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "split() takes (source, delimiter[, index])")
+        arity(a(1).isInstanceOf[StrLit],
+          "split() delimiter must be a string literal")
+        ArrFn("split", a)
+      case "indexof" =>
+        val a = args(); arity(a.length == 2, "indexof() takes (source, lookup)")
+        ArrFn("indexof", a)
+      case "array_length" =>
+        val a = args(); arity(a.length == 1, "array_length() takes 1 arg")
+        ArrFn("array_length", a)
+      case "strcat_delim" =>
+        val a = args()
+        arity(a.length >= 2, "strcat_delim() takes (delimiter, e1, …)")
+        ArrFn("strcat_delim", a)
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

@@ -39,6 +39,10 @@ object Render {
     case TextFn(name, x) => s"$name(${expr(x)})"
     case StrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case DtFn(name, x) => s"$name(${expr(x)})"
+    case DtDiff(p, a, b) => s"datetime_diff('$p', ${expr(a)}, ${expr(b)})"
+    case NullFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
+    case MathFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
+    case ArrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
   }
 
   private def paren(e: Expr): String = e match {
@@ -74,5 +78,11 @@ object Render {
     case Aggregation.Percentile(f, p) =>
       val ps = if (p == p.floor) p.toLong.toString else p.toString
       s"percentile(${f.render}, $ps)"
+    case Aggregation.MakeList(f) => s"make_list(${f.render})"
+    case Aggregation.MakeSet(f) => s"make_set(${f.render})"
+    case Aggregation.ArgMax(f, r) => s"arg_max(${f.render}, ${r.render})"
+    case Aggregation.ArgMin(f, r) => s"arg_min(${f.render}, ${r.render})"
+    case Aggregation.Stdev(f) => s"stdev(${f.render})"
+    case Aggregation.Variance(f) => s"variance(${f.render})"
   }
 }

@@ -267,6 +267,149 @@ object KqlQueries {
       """SELECT c_custkey, c_name FROM customer
         |WHERE c_custkey IN
         |  (SELECT o_custkey FROM orders WHERE o_totalprice >= 200000)
-        |ORDER BY c_custkey""".stripMargin)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // null/empty scalar surface: isempty/isnotempty/isnull + KQL coalesce
+    // (skips empty STRINGS, not just nulls). The data has no nulls, so the
+    // query synthesizes them through iff() branches first.
+    kq("kql_nullfns",
+      """lineitem
+        | | extend m = iff(l_discount > 0.05, l_linestatus, '')
+        | | extend e = isempty(m), ne = isnotempty(m),
+        |          nn = isnull(iff(l_quantity < 10.0, null, l_returnflag)),
+        |          c = coalesce(m, l_returnflag)
+        | | summarize n = count() by e, ne, nn, c
+        | | sort by e asc, ne asc, nn asc, c asc""".stripMargin,
+      """SELECT e, ne, nn, c, count(*) AS n FROM (
+        |  SELECT (m IS NULL OR m = '') AS e,
+        |         NOT (m IS NULL OR m = '') AS ne,
+        |         (CASE WHEN l_quantity < 10.0 THEN NULL
+        |               ELSE l_returnflag END) IS NULL AS nn,
+        |         coalesce(nullif(m, ''), l_returnflag) AS c
+        |  FROM (SELECT CASE WHEN l_discount > 0.05 THEN l_linestatus
+        |               ELSE '' END AS m, * FROM lineitem))
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1, 2, 3, 4""".stripMargin),
+
+    // math scalars, restricted to cross-engine-EXACT results (the gate
+    // hashes doubles at full precision): abs over longs, round() of x/8
+    // (positive halves round away from zero in both engines), sign of an
+    // exact-zero-capable difference, and pow(2, n) which every libm gets
+    // exact. ln/exp/sqrt/log2/log10 are pinned in MathFnSpec instead —
+    // their last ulp is libm-specific.
+    kq("kql_mathfns",
+      """lineitem
+        | | extend a = abs(toint(l_quantity) - 25),
+        |          r = round(l_extendedprice / 8.0),
+        |          s = sign(l_discount - 0.04),
+        |          p = pow(2.0, l_linenumber)
+        | | project l_orderkey, l_linenumber, a, r, s, p
+        | | sort by l_orderkey asc, l_linenumber asc
+        | | limit 2000""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |       abs(CAST(l_quantity AS BIGINT) - 25) AS a,
+        |       round(l_extendedprice / 8.0) AS r,
+        |       CAST(sign(l_discount - 0.04) AS DOUBLE) AS s,
+        |       pow(2.0, l_linenumber) AS p
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin),
+
+    // array/string scalars: split (literal delimiter, trailing empties
+    // kept), 0-based indexed split element, indexof (0-based, -1 absent),
+    // array_length, strcat_delim (nulls skipped, concat_ws semantics)
+    kq("kql_arrayfns",
+      """documents
+        | | extend toks = array_length(split(text, ' ')),
+        |          first = split(text, ' ', 0),
+        |          i = indexof(text, 'table'),
+        |          j = strcat_delim('|', lang, source)
+        | | project doc_id, toks, first, i, j
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+        |       string_split(text, ' ')[1] AS first,
+        |       CAST(strpos(text, 'table') - 1 AS BIGINT) AS i,
+        |       concat_ws('|', lang, source) AS j
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // datetime surface #2: Sunday-start weeks (KQL convention — Spark and
+    // DuckDB both default Monday, so each side derives Sunday explicitly),
+    // boundary-crossing datetime_diff, ISO week numbers, end-of-day ticks
+    kq("kql_dtfns2",
+      """events
+        | | extend w = startofweek(ts), dw = dayofweek(ts),
+        |          m = startofmonth(ts), eod = endofday(ts),
+        |          dd = datetime_diff('day', ts, datetime(2024-01-01)),
+        |          hh = datetime_diff('hour', ts, datetime(2024-01-01)),
+        |          wy = weekofyear(ts)
+        | | summarize n = count() by w, dw, m, eod, dd, hh, wy
+        | | sort by hh asc, dw asc""".stripMargin,
+      """SELECT w, dw, m, eod, dd, hh, wy, count(*) AS n FROM (
+        |  SELECT
+        |    CAST(date_trunc('day', ts)
+        |         - to_days(CAST(dayofweek(ts) AS INT)) AS TIMESTAMP) AS w,
+        |    CAST(dayofweek(ts) AS BIGINT) AS dw,
+        |    CAST(date_trunc('month', ts) AS TIMESTAMP) AS m,
+        |    CAST(date_trunc('day', ts) + INTERVAL 1 DAY
+        |         - INTERVAL 1 MICROSECOND AS TIMESTAMP) AS eod,
+        |    date_diff('day', TIMESTAMP '2024-01-01', ts) AS dd,
+        |    date_diff('hour', TIMESTAMP '2024-01-01', ts) AS hh,
+        |    CAST(weekofyear(ts) AS BIGINT) AS wy
+        |  FROM events)
+        |GROUP BY 1, 2, 3, 4, 5, 6, 7 ORDER BY hh, dw""".stripMargin),
+
+    // extended aggregates: sample stdev/variance (floored at fixed scale —
+    // accumulation order differs across engines, so raw doubles can't
+    // hash), total-ruled arg extremes (extreme key, then extreme return
+    // value on ties), and sorted make_set
+    kq("kql_agg_ext",
+      """lineitem
+        | | summarize sd = stdev(l_quantity), va = variance(l_quantity),
+        |             am = arg_max(l_extendedprice, l_orderkey),
+        |             an = arg_min(l_extendedprice, l_orderkey),
+        |             st = make_set(l_linestatus)
+        |     by l_returnflag
+        | | extend sdi = toint(bin(sd * 1000.0, 1.0)),
+        |          vai = toint(bin(va * 1000.0, 1.0))
+        | | project l_returnflag, sdi, vai, am, an, st
+        | | sort by l_returnflag asc""".stripMargin,
+      """SELECT l_returnflag,
+        |  CAST(floor(stddev_samp(l_quantity) * 1000) AS BIGINT) AS sdi,
+        |  CAST(floor(var_samp(l_quantity) * 1000) AS BIGINT) AS vai,
+        |  (array_agg(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC))[1] AS am,
+        |  (array_agg(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC))[1] AS an,
+        |  list_sort(list_distinct(list(l_linestatus))) AS st
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // hierarchical top-k: level 1 keeps the top 3 event types by count,
+    // level 2 the top 2 users per surviving type. Both engines use the
+    // same total tie rule (agg desc, then key asc) so ranking is
+    // deterministic under count ties.
+    kq("kql_topnested",
+      """events
+        | | top-nested 3 of event_type by n1 = count(),
+        |   top-nested 2 of user_id by n2 = count()
+        | | sort by event_type asc, user_id asc""".stripMargin,
+      """WITH l1 AS (
+        |  SELECT event_type, count(*) AS n1,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type ASC) AS rk
+        |  FROM events GROUP BY 1),
+        |k1 AS (SELECT event_type, n1 FROM l1 WHERE rk <= 3),
+        |l2 AS (
+        |  SELECT e.event_type, e.user_id, count(*) AS n2,
+        |         row_number() OVER (PARTITION BY e.event_type
+        |                            ORDER BY count(*) DESC, e.user_id ASC) AS rk
+        |  FROM events e JOIN k1 USING (event_type)
+        |  GROUP BY 1, 2)
+        |SELECT l2.event_type, k1.n1, l2.user_id, l2.n2
+        |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
+        |ORDER BY event_type, user_id""".stripMargin),
+
+    // generated source: inclusive grid through a distributed spark.range
+    // (sum stays exact — integer values in doubles are order-insensitive)
+    kq("kql_range",
+      """range x from 1 to 1000 step 7
+        | | extend y = x * 2
+        | | summarize n = count(), s = sum(y)""".stripMargin,
+      """SELECT count(*) AS n, CAST(sum(x * 2) AS DOUBLE) AS s
+        |FROM generate_series(1, 1000, 7) AS t(x)""".stripMargin)
   )
 }

@@ -1,0 +1,198 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** The round-4 scalar/aggregate surface: null/empty fns, math fns (the
+  * libm-backed ones are pinned HERE, not in the DuckDB gate — their last
+  * ulp is libm-specific), split/indexof/array_length/strcat_delim, the
+  * extended datetime fns (Sunday-start weeks, boundary-crossing
+  * datetime_diff), and make_list/make_set/arg_max/arg_min/stdev/variance.
+  */
+class ScalarFnSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("t", Seq(
+      (1L, "a,b,,c", Some("x"), 4.0, "g1"),
+      (2L, "", None: Option[String], 16.0, "g1"),
+      (3L, "no-commas", Some(""), 25.0, "g2")
+    ).toDF("id", "s", "opt", "x", "g"))
+    c.register("ts", Seq(
+      // 2024-01-07 is a Sunday; 2024-01-08 a Monday
+      (1L, java.sql.Timestamp.valueOf("2024-01-08 13:45:30")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-07 00:00:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-13 23:59:59"))
+    ).toDF("id", "at"))
+    c
+  }
+
+  private def one(kql: String): org.apache.spark.sql.Row =
+    Kql.run(spark, cat, kql).collect().head
+
+  // ── null/empty ──
+
+  test("isnull / isnotnull / isempty / isnotempty") {
+    val r = one(
+      """t | where id == 2
+        | | project a = isnull(opt), b = isnotnull(s), c = isempty(s), d = isnotempty(s)""".stripMargin)
+    assert(r.getBoolean(0))  // opt is null
+    assert(r.getBoolean(1))  // s is "" — not null
+    assert(r.getBoolean(2))  // "" is empty
+    assert(!r.getBoolean(3))
+  }
+
+  test("isempty treats null and empty string alike") {
+    val r = one("t | where id == 3 | project a = isempty(opt)")
+    assert(r.getBoolean(0)) // Some("") — empty string
+  }
+
+  test("coalesce skips empty strings, not just nulls") {
+    val r = one(
+      """t | where id == 3
+        | | project a = coalesce(opt, s), b = coalesce(opt, '', 'fallback')""".stripMargin)
+    assert(r.getString(0) == "no-commas") // opt is "" → skipped
+    assert(r.getString(1) == "fallback")
+  }
+
+  // ── math ──
+
+  test("libm-backed math fns match the JVM values") {
+    val r = one(
+      """t | where id == 2
+        | | project a = log(x), b = log2(x), c = log10(x), d = sqrt(x),
+        |           e = exp(0.0), f = pow(x, 0.5)""".stripMargin)
+    assert(r.getDouble(0) == math.log(16.0))
+    assert(r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == math.log10(16.0))
+    assert(r.getDouble(3) == 4.0)
+    assert(r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 4.0)
+  }
+
+  test("abs keeps int-ness; round takes an optional precision; sign") {
+    val r = one(
+      """t | where id == 1
+        | | project a = abs(0 - 7), b = round(2.567, 2), c = round(2.5),
+        |           d = sign(0.0 - 3.5), e = sign(0.0)""".stripMargin)
+    assert(r.getLong(0) == 7L)
+    assert(r.getDouble(1) == 2.57)
+    assert(r.getDouble(2) == 3.0) // positive halves round up
+    assert(r.getDouble(3) == -1.0)
+    assert(r.getDouble(4) == 0.0)
+  }
+
+  // ── array/string ──
+
+  test("split keeps interior and trailing empties; literal delimiter") {
+    val r = one("t | where id == 1 | project n = array_length(split(s, ','))")
+    assert(r.getLong(0) == 4L) // a, b, "", c
+    val r2 = one("t | where id == 3 | project n = array_length(split(s, ','))")
+    assert(r2.getLong(0) == 1L) // no delimiter: whole string
+  }
+
+  test("split with index is 0-based; out of range is null not error") {
+    val r = one(
+      """t | where id == 1
+        | | project a = split(s, ',', 0), b = split(s, ',', 2), c = split(s, ',', 9)""".stripMargin)
+    assert(r.getString(0) == "a")
+    assert(r.getString(1) == "")
+    assert(r.isNullAt(2))
+  }
+
+  test("indexof is 0-based with -1 for absent") {
+    val r = one(
+      """t | where id == 1
+        | | project a = indexof(s, 'b'), b = indexof(s, 'zz')""".stripMargin)
+    assert(r.getLong(0) == 2L)
+    assert(r.getLong(1) == -1L)
+  }
+
+  test("strcat_delim skips nulls entirely (concat_ws semantics)") {
+    val r = one(
+      """t | where id == 2
+        | | project a = strcat_delim('-', 'x', opt, 'y')""".stripMargin)
+    assert(r.getString(0) == "x-y") // null middle arg: no doubled delimiter
+  }
+
+  // ── datetime ──
+
+  test("startofweek truncates to the preceding SUNDAY (KQL convention)") {
+    val mon = one("ts | where id == 1 | project w = startofweek(at), dw = dayofweek(at)")
+    assert(mon.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-07 00:00:00"))
+    assert(mon.getLong(1) == 1L) // Monday = 1 (Sunday = 0)
+    val sun = one("ts | where id == 2 | project w = startofweek(at), dw = dayofweek(at)")
+    assert(sun.getTimestamp(0) ==
+      java.sql.Timestamp.valueOf("2024-01-07 00:00:00")) // Sunday is its own week start
+    assert(sun.getLong(1) == 0L)
+  }
+
+  test("startofmonth / startofyear / endofday / weekofyear") {
+    val r = one(
+      """ts | where id == 1
+        | | project m = startofmonth(at), y = startofyear(at), e = endofday(at), wy = weekofyear(at)""".stripMargin)
+    assert(r.getTimestamp(0) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(1) == java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(r.getTimestamp(2).toInstant ==
+      java.time.Instant.parse("2024-01-08T23:59:59.999999Z"))
+    assert(r.getLong(3) == 2L) // ISO week 2
+  }
+
+  test("datetime_diff counts period BOUNDARIES crossed, not elapsed units") {
+    val r = one(
+      """ts | where id == 3
+        | | project y = datetime_diff('year', at, datetime(2023-12-31)),
+        |           d = datetime_diff('day', at, datetime(2024-01-13 23:00:00)),
+        |           h = datetime_diff('hour', at, datetime(2024-01-13 23:00:00)),
+        |           mo = datetime_diff('month', at, datetime(2023-11-15))""".stripMargin)
+    assert(r.getLong(0) == 1L) // one year boundary despite <1 elapsed year
+    assert(r.getLong(1) == 0L) // same day
+    assert(r.getLong(2) == 0L) // same hour
+    assert(r.getLong(3) == 2L) // Nov → Jan crosses two month boundaries
+  }
+
+  // ── aggregates ──
+
+  test("make_list sorts and drops nulls; make_set dedups") {
+    val df = Kql.run(spark, cat,
+      "t | summarize l = make_list(opt), s2 = make_set(g)")
+    val r = df.collect().head
+    assert(r.getSeq[String](0) == Seq("", "x")) // null dropped, sorted
+    assert(r.getSeq[String](1) == Seq("g1", "g2"))
+  }
+
+  test("arg_max / arg_min with a total tie rule") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      ("a", 10.0, 1L), ("a", 10.0, 5L), ("a", 3.0, 9L),
+      ("b", 2.0, 7L)
+    ).toDF("k", "v", "ret"))
+    val r = Kql.run(spark, c2,
+      """u | summarize am = arg_max(v, ret), an = arg_min(v, ret) by k
+        |  | sort by k asc""".stripMargin).collect()
+    assert(r(0).getLong(1) == 5L) // max v=10 twice → larger ret wins
+    assert(r(0).getLong(2) == 9L) // min v=3 unique
+    assert(r(1).getLong(1) == 7L)
+  }
+
+  test("stdev / variance are the sample (n-1) forms") {
+    val r = one("t | summarize sd = stdev(x), va = variance(x)")
+    // values 4, 16, 25: mean 15, var = ((-11)^2 + 1 + 10^2)/2 = 111
+    assert(math.abs(r.getDouble(1) - 111.0) < 1e-9)
+    assert(math.abs(r.getDouble(0) - math.sqrt(111.0)) < 1e-9)
+  }
+
+  test("render round-trips the new functions") {
+    import Expr._
+    assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
+      StrLit("z")))) == "coalesce(a, 'z')")
+    assert(Render.expr(MathFn("pow", Seq(IntLit(2), IntLit(8)))) == "pow(2, 8)")
+    assert(Render.expr(DtDiff("day", Field(FieldPath.simple("a")),
+      Field(FieldPath.simple("b")))) == "datetime_diff('day', a, b)")
+    assert(Render.agg(Aggregation.ArgMax(FieldPath.simple("v"),
+      FieldPath.simple("r"))) == "arg_max(v, r)")
+  }
+}
