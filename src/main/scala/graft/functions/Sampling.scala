@@ -92,6 +92,30 @@ object Sampling {
     * pinned by a JVM-recomputation spec instead of a cross-engine oracle.
     * Rows with null or non-positive weight are never selected.
     */
+  /** Reproducible global corpus shuffle — the training-order primitive: a
+    * deterministic permutation of the corpus, different per `epoch`, with
+    * an explicit 0-based position column. Order = the affine-modular mix
+    * of (id + epoch·1000003): bijective over ids mod the Mersenne prime,
+    * so distinct ids never tie and the permutation is a pure function of
+    * (id, epoch) — identical across re-runs, partitionings, and engines.
+    *
+    * Scale: ordering is a range-partitioned sort on the hash key (uniform
+    * → balanced); the position column comes from Packing.withGlobalOffset's
+    * two-phase distributed prefix sum (per-partition window + one bounded
+    * per-partition-totals pass), NOT a global single-partition window.
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, epoch: Long): DataFrame = {
+    val keyed = df
+      .withColumn("__sk", mix(col(idCol) + lit(epoch) * lit(1000003L)))
+      .withColumn("__one", lit(1L))
+    Packing.withGlobalOffset(keyed, "__sk", "__one", "pos")
+      .drop("__one").withColumnRenamed("__sk", "shuffle_key")
+  }
+
+  /** DuckDB mirror of [[shuffleOrder]]'s ordering key. */
+  def shuffleKeySql(idCol: String, epoch: Long): String =
+    mixSql(s"($idCol + ${epoch * 1000003L})")
+
   def weightedStratified(
       df: DataFrame, strataCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {

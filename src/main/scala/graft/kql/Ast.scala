@@ -106,6 +106,12 @@ object Expr {
     * indexof(s, lookup) — 0-based, -1 when absent; array_length(arr);
     * strcat_delim(delim, e1, e2, …). */
   final case class ArrFn(name: String, args: Seq[Expr]) extends Expr
+  /** Serialized window scalars (real-KQL): row_number([start]),
+    * prev(col[, offset[, default]]), next(col[, offset[, default]]),
+    * row_cumsum(term). Only valid on a SERIALIZED row set — i.e. after a
+    * `sort`/`top` step whose keys then define the window order (KQL's
+    * serialize-then-window model); the compiler rejects them otherwise. */
+  final case class WinFn(name: String, args: Seq[Expr]) extends Expr
 }
 
 sealed trait SortOrder
@@ -153,6 +159,11 @@ object Aggregation {
     * (n−1 denominator, KQL convention); empty/single-row groups → null. */
   final case class Stdev(f: FieldPath) extends Aggregation
   final case class Variance(f: FieldPath) extends Aggregation
+  /** Conditional aggregate family (real-KQL): `sumif/avgif/minif/maxif
+    * (f, predicate)` and `dcountif(f, predicate)` — aggregate only the
+    * rows where the predicate is truthy. sumif of no matching rows is 0.0
+    * (KQL/reference sum convention); the others yield null. */
+  final case class AggIf(kind: String, f: FieldPath, pred: Expr) extends Aggregation
 
   /** Default output names (reference parser.rs:290-301). */
   def defaultName(a: Aggregation): String = a match {
@@ -173,6 +184,7 @@ object Aggregation {
     case ArgMin(f, _) => s"min_${f.flat}"
     case Stdev(f)     => s"stdev_${f.flat}"
     case Variance(f)  => s"variance_${f.flat}"
+    case AggIf(k, f, _) => s"${k}_${f.flat}"
   }
 }
 
@@ -251,6 +263,10 @@ object QueryStep {
       kind: JoinKind, sub: Query,
       leftKey: FieldPath, rightKey: FieldPath) extends QueryStep
   case object CountStep extends QueryStep
+  /** `getschema` — one row per column: (ColumnName, ColumnOrdinal,
+    * DataType, ColumnType), KQL's schema-introspection step. Computed from
+    * the compile-time schema; never touches data. */
+  case object GetSchema extends QueryStep
   /** `write sink` — terminal: consume the stream into a sink, emit nothing
     * (reference: `miso-workflow/src/write.rs:19-105`). */
   final case class Write(target: String) extends QueryStep

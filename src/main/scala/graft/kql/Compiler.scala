@@ -186,6 +186,10 @@ final class Compiler(
       case "array_length" | "indexof" => KT.Int
       case _ => KT.Str // strcat_delim
     }
+    case WinFn(name, args) => name match {
+      case "row_number" => KT.Int
+      case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
+    }
   }
 
   // ───────────────────────── expression lowering ─────────────────────────
@@ -592,6 +596,40 @@ final class Compiler(
           }
           concat_ws(delim, args.tail.map(a => compile(df, a).cast(StringType)): _*)
       }
+
+    // serialized window scalars: ordered by the preceding sort's keys.
+    // The window is intentionally UNPARTITIONED — KQL's serialize model is
+    // a single total order, which is inherently one partition. That is the
+    // right tool for post-aggregation frames and bounded results; for
+    // data-scale sequences use summarize/rolling/session operators, which
+    // partition (SCALE.md documents the boundary).
+    case WinFn(name, args) =>
+      import org.apache.spark.sql.expressions.Window
+      val keys = serialOrder.getOrElse(throw KqlParseException(
+        s"$name() requires a serialized input — add a 'sort by' first", 0))
+      val w = Window.orderBy(keys.map(k => sortCol(df, k)): _*)
+      name match {
+        case "row_number" =>
+          val base = row_number().over(w).cast(LongType)
+          args.headOption match {
+            case Some(IntLit(s)) => base + lit(s - 1L)
+            case _ => base
+          }
+        case "prev" | "next" =>
+          val c = compile(df, args.head)
+          val off = args.lift(1) match {
+            case Some(IntLit(k)) => k.toInt
+            case _ => 1
+          }
+          val v = (if (name == "prev") lag(c, off) else lead(c, off)).over(w)
+          args.lift(2) match {
+            case Some(d) => coalesce(v, compile(df, d))
+            case None => v
+          }
+        case "row_cumsum" =>
+          sum(compile(df, args.head))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+      }
   }
 
   // ───────────────────────── step lowering ─────────────────────────
@@ -627,7 +665,39 @@ final class Compiler(
       .getOrElse(throw KqlParseException(s"unknown source '$source'", 0))
   }
 
-  private def compileStep(df: DataFrame, step: QueryStep): DataFrame = step match {
+  /** KQL type name for a Spark type — the `ColumnType` column of
+    * `getschema` (KQL's scalar-name vocabulary). */
+  private def kqlTypeName(t: DataType): String = t match {
+    case LongType | IntegerType | ShortType | ByteType => "long"
+    case DoubleType | FloatType | _: DecimalType => "real"
+    case StringType => "string"
+    case BooleanType => "bool"
+    case TimestampType | TimestampNTZType => "datetime"
+    case DayTimeIntervalType.DEFAULT => "timespan"
+    case _ => "dynamic" // arrays, maps, structs, variant
+  }
+
+  /** Sort keys of the current SERIALIZED prefix (KQL: a sort/top step
+    * serializes the row set; where/extend/project/take preserve it; every
+    * other step destroys it). Window scalars (`row_number`/`prev`/`next`/
+    * `row_cumsum`) order over these keys. */
+  private var serialOrder: Option[Seq[SortKey]] = None
+
+  private def compileStep(df: DataFrame, step: QueryStep): DataFrame = {
+    val out = compileStepInner(df, step)
+    step match {
+      case QueryStep.Sort(keys) => serialOrder = Some(keys)
+      case QueryStep.TopN(keys, _) => serialOrder = Some(keys)
+      case _: QueryStep.Filter | _: QueryStep.Limit | _: QueryStep.Extend |
+           _: QueryStep.Project | _: QueryStep.Rename |
+           _: QueryStep.ProjectAway | _: QueryStep.ProjectKeep |
+           _: QueryStep.Search | _: QueryStep.Parse | _: QueryStep.Tee => ()
+      case _ => serialOrder = None
+    }
+    out
+  }
+
+  private def compileStepInner(df: DataFrame, step: QueryStep): DataFrame = step match {
     case QueryStep.Scan(source) => resolveScan(source)
 
     case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
@@ -778,6 +848,15 @@ final class Compiler(
       acc.select(ordered.map(col): _*)
 
     case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
+
+    // schema introspection: compile-time metadata, no data scan. DataType
+    // is the engine's type string; ColumnType is the KQL-name mapping.
+    case QueryStep.GetSchema =>
+      val rows = df.schema.fields.zipWithIndex.map { case (f, i) =>
+        (f.name, i.toLong, f.dataType.simpleString, kqlTypeName(f.dataType))
+      }.toSeq
+      import spark.implicits._
+      rows.toDF("ColumnName", "ColumnOrdinal", "DataType", "ColumnType")
 
     case QueryStep.Distinct(fields) =>
       if (fields.isEmpty) df.distinct()
@@ -961,6 +1040,21 @@ final class Compiler(
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))
+        // conditional family: aggregate only predicate-truthy rows (the
+        // when() leaves non-matching rows null, which every aggregate
+        // skips). sumif keeps the reference's empty-sum→0.0 convention;
+        // dcountif keeps dcount's explicit-null-counts-as-distinct rule.
+        case Aggregation.AggIf(kind, f, pred) =>
+          val p = compileBool(df, pred)
+          kind match {
+            case "sumif" => coalesce(sum(when(p, numeric(f))), lit(0.0))
+            case "avgif" => avg(when(p, numeric(f)))
+            case "minif" => min(when(p, minmax(f)))
+            case "maxif" => max(when(p, minmax(f)))
+            case "dcountif" =>
+              count_distinct(when(p, ordered(f))) + coalesce(
+                max(when(p.and(ordered(f).isNull), 1L).otherwise(0L)), lit(0L))
+          }
       }
       c.as(a.name)
     }

@@ -77,6 +77,7 @@ object Kql {
       case QueryStep.Join(k, sub, lk, rk) =>
         s"join kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
       case QueryStep.CountStep => "count"
+      case QueryStep.GetSchema => "getschema"
       case QueryStep.Write(t) => s"write $t"
       case QueryStep.Tee(t) => s"tee $t"
       case QueryStep.Search(term, cs) =>

@@ -165,6 +165,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "union"            => p += 1; parseUnion()
       case "join"             => p += 1; parseJoin()
       case "count"            => p += 1; QueryStep.CountStep
+      case "getschema"        => p += 1; QueryStep.GetSchema
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
       case "search"           => p += 1; parseSearch()
@@ -429,6 +430,9 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.ArgMin(f, parseFieldPath())
       case "stdev" => Aggregation.Stdev(parseFieldPath())
       case "variance" => Aggregation.Variance(parseFieldPath())
+      case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif") =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.AggIf(k, f, parseExpr())
       case other => fail(s"unknown aggregation '$other'")
     }
     eatPunct(")")
@@ -618,7 +622,8 @@ final class Parser(src: String, nowMicros: Long) {
     "weekofyear", "datetime_diff",
     "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
-    "split", "indexof", "array_length", "strcat_delim")
+    "split", "indexof", "array_length", "strcat_delim",
+    "row_number", "prev", "next", "row_cumsum")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -761,6 +766,22 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length >= 2, "strcat_delim() takes (delimiter, e1, …)")
         ArrFn("strcat_delim", a)
+      case "row_number" =>
+        val a = args()
+        arity(a.length <= 1, "row_number() takes an optional starting index")
+        arity(a.forall(_.isInstanceOf[IntLit]),
+          "row_number() starting index must be an int literal")
+        WinFn("row_number", a)
+      case f @ ("prev" | "next") =>
+        val a = args()
+        arity(a.nonEmpty && a.length <= 3,
+          s"$f() takes (column[, offset[, default]])")
+        arity(a.lift(1).forall(_.isInstanceOf[IntLit]),
+          s"$f() offset must be an int literal")
+        WinFn(f, a)
+      case "row_cumsum" =>
+        val a = args(); arity(a.length == 1, "row_cumsum() takes 1 arg")
+        WinFn("row_cumsum", a)
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

@@ -43,6 +43,7 @@ object Render {
     case NullFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case MathFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case ArrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
+    case WinFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
   }
 
   private def paren(e: Expr): String = e match {
@@ -84,5 +85,6 @@ object Render {
     case Aggregation.ArgMin(f, r) => s"arg_min(${f.render}, ${r.render})"
     case Aggregation.Stdev(f) => s"stdev(${f.render})"
     case Aggregation.Variance(f) => s"variance(${f.render})"
+    case Aggregation.AggIf(k, f, p) => s"$k(${f.render}, ${expr(p)})"
   }
 }

@@ -410,6 +410,69 @@ object KqlQueries {
         | | extend y = x * 2
         | | summarize n = count(), s = sum(y)""".stripMargin,
       """SELECT count(*) AS n, CAST(sum(x * 2) AS DOUBLE) AS s
-        |FROM generate_series(1, 1000, 7) AS t(x)""".stripMargin)
+        |FROM generate_series(1, 1000, 7) AS t(x)""".stripMargin),
+
+    // serialized window scalars over the sort's key order: lag/lead/
+    // row_number/running-sum. The cumsum runs over integer cents
+    // (floor(value*100)) so accumulation is order-insensitive-exact in
+    // both engines.
+    kq("kql_window",
+      """events
+        | | where event_type == 'purchase'
+        | | sort by ts asc, event_id asc
+        | | extend rn = row_number(), pv = prev(event_id), nx = next(event_id),
+        |          cum = row_cumsum(toint(bin(value * 100.0, 1.0)))
+        | | project event_id, rn, pv, nx, cum
+        | | limit 1000""".stripMargin,
+      """SELECT event_id,
+        |  CAST(row_number() OVER w AS BIGINT) AS rn,
+        |  lag(event_id) OVER w AS pv,
+        |  lead(event_id) OVER w AS nx,
+        |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+        |       OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |       AS BIGINT) AS cum
+        |FROM events WHERE event_type = 'purchase'
+        |WINDOW w AS (ORDER BY ts, event_id)
+        |ORDER BY ts, event_id LIMIT 1000""".stripMargin),
+
+    // conditional aggregate family over integer cents (exact in double
+    // regardless of accumulation order); avgif mirrors as sum/count on
+    // the DuckDB side for bit-exact division
+    kq("kql_aggif",
+      """events
+        | | extend cents = toint(bin(value * 100.0, 1.0)), d = startofday(ts)
+        | | summarize s = sumif(cents, event_type == 'purchase'),
+        |             a = avgif(cents, event_type == 'signup'),
+        |             mn = minif(cents, event_type == 'view'),
+        |             mx = maxif(cents, event_type == 'click'),
+        |             dc = dcountif(user_id, event_type == 'error')
+        |     by d
+        | | sort by d asc""".stripMargin,
+      """SELECT d, s, a, mn, mx, dc FROM (
+        |  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS d,
+        |    coalesce(CAST(sum(CASE WHEN event_type = 'purchase' THEN cents END)
+        |                  AS DOUBLE), 0.0) AS s,
+        |    CAST(sum(CASE WHEN event_type = 'signup' THEN cents END) AS DOUBLE)
+        |      / count(CASE WHEN event_type = 'signup' THEN cents END) AS a,
+        |    min(CASE WHEN event_type = 'view' THEN cents END) AS mn,
+        |    max(CASE WHEN event_type = 'click' THEN cents END) AS mx,
+        |    count(DISTINCT CASE WHEN event_type = 'error' THEN user_id END) AS dc
+        |  FROM (SELECT *, CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |        FROM events)
+        |  GROUP BY 1) ORDER BY d""".stripMargin),
+
+    // schema introspection: compile-time metadata only — the oracle pins
+    // the expected rows as literals (the Spark side derives them from the
+    // resolved schema)
+    kq("kql_getschema",
+      "documents | getschema | sort by ColumnOrdinal asc",
+      """SELECT * FROM (VALUES
+        |  ('doc_id', CAST(0 AS BIGINT), 'bigint', 'long'),
+        |  ('text',   CAST(1 AS BIGINT), 'string', 'string'),
+        |  ('lang',   CAST(2 AS BIGINT), 'string', 'string'),
+        |  ('source', CAST(3 AS BIGINT), 'string', 'string'),
+        |  ('n_chars', CAST(4 AS BIGINT), 'bigint', 'long'))
+        |  AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)
+        |ORDER BY ColumnOrdinal""".stripMargin)
   )
 }

@@ -344,6 +344,19 @@ object PipelineQueries {
 
     // ───── reproducible sampling ─────
 
+    // reproducible per-epoch corpus shuffle: training order as a pure
+    // function of (id, epoch) — a bijective affine-modular key orders the
+    // permutation, a two-phase distributed prefix sum assigns 0-based
+    // positions (no global single-partition window)
+    Q("pl_shuffle_order",
+      s"""SELECT doc_id, CAST(row_number() OVER (
+         |  ORDER BY ${Sampling.shuffleKeySql("doc_id", 1L)}) - 1
+         |  AS BIGINT) AS pos
+         |FROM documents ORDER BY pos LIMIT 1000""".stripMargin)(
+      (s, d) => Sampling.shuffleOrder(Tables.load(s, d, "documents"), "doc_id", 1L)
+        .select("doc_id", "pos")
+        .orderBy("pos").limit(1000)),
+
     // deterministic Bernoulli sample: membership = pure id arithmetic, so
     // it pushes down as a filter and replays identically in both engines
     Q("pl_sample_hash",

@@ -144,4 +144,29 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(got(1) == "call <PHONE> or <PHONE> now")
     assert(got(2) == "no pii here just words and the number 42")
   }
+
+  test("shuffleOrder is a complete 0-based permutation") {
+    val df = spark.range(500).toDF("id")
+    val pos = Sampling.shuffleOrder(df, "id", 0L)
+      .select("pos").collect().map(_.getLong(0)).sorted.toSeq
+    assert(pos == (0L until 500L).toSeq)
+  }
+
+  test("shuffleOrder is invariant under repartitioning") {
+    val df = spark.range(300).toDF("id")
+    def asMap(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "pos").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = asMap(Sampling.shuffleOrder(df, "id", 2L))
+    val b = asMap(Sampling.shuffleOrder(df.repartition(7), "id", 2L))
+    assert(a == b)
+  }
+
+  test("shuffleOrder epochs give different, individually-valid orders") {
+    val df = spark.range(200).toDF("id")
+    def order(e: Long) = Sampling.shuffleOrder(df, "id", e)
+      .orderBy("pos").select("id").collect().map(_.getLong(0)).toSeq
+    val e0 = order(0L); val e1 = order(1L)
+    assert(e0 != e1)                  // the permutation changes per epoch
+    assert(e0.sorted == e1.sorted)    // but both cover the whole corpus
+  }
 }

@@ -150,4 +150,33 @@ class PlanSpec extends AnyFunSuite {
     assert("SinglePartition".r.findAllIn(p).length <= 1,
       s"at most the totals prefix-sum may be single-partition:\n$p")
   }
+
+  test("top-nested joins level 2 to the level-1 survivors by broadcast") {
+    val p = plan("kql_topnested")
+    assert(p.contains("BroadcastHashJoin"),
+      s"survivor join must broadcast (bounded by n1):\n$p")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join for a top-k set")
+    // both levels aggregate partial/final (map-side combine before shuffle)
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      "levels must aggregate with partial/final HashAggregate")
+  }
+
+  test("conditional aggregates fuse into one single-pass aggregation") {
+    val p = plan("kql_aggif")
+    // all five *if aggregates compute in ONE scan + one partial/final agg
+    // pair — no self-joins, no repeated scans
+    assert("Scan parquet".r.findAllIn(p).length == 1,
+      s"one scan only:\n$p")
+    assert(!p.contains("Join"), "no join: predicates become when() inputs")
+  }
+
+  test("corpus shuffle avoids a corpus-wide single-partition window") {
+    val df = graft.functions.Sampling.shuffleOrder(
+      Tables.load(spark, sf, "documents").select("doc_id"), "doc_id", 1L)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.toLowerCase.contains("rangepartitioning"),
+      s"shuffle key must range-partition the corpus:\n$p")
+    assert("SinglePartition".r.findAllIn(p).length <= 1,
+      s"at most the totals prefix-sum may be single-partition:\n$p")
+  }
 }

@@ -185,6 +185,34 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(0) - math.sqrt(111.0)) < 1e-9)
   }
 
+  test("conditional aggregates skip non-matching rows") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      ("a", 10L), ("a", 20L), ("b", 30L), ("b", 40L), ("b", 40L)
+    ).toDF("k", "v"))
+    val r = Kql.run(spark, c2,
+      """u | summarize s = sumif(v, k == 'a'), av = avgif(v, k == 'b'),
+        |             mn = minif(v, k == 'b'), mx = maxif(v, k == 'a'),
+        |             dc = dcountif(v, k == 'b'),
+        |             zero = sumif(v, k == 'zzz'), none = maxif(v, k == 'zzz')""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 30.0)
+    assert(r.getDouble(1) == 110.0 / 3.0)
+    assert(r.getLong(2) == 30L)
+    assert(r.getLong(3) == 20L)
+    assert(r.getLong(4) == 2L)   // distinct {30, 40}
+    assert(r.getDouble(5) == 0.0) // sumif over nothing: 0.0, not null
+    assert(r.isNullAt(6))         // maxif over nothing: null
+  }
+
+  test("getschema emits one metadata row per column") {
+    val rows = Kql.run(spark, cat,
+      "t | getschema | sort by ColumnOrdinal asc").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1), r.getString(3))).toSeq ==
+      Seq(("id", 0L, "long"), ("s", 1L, "string"), ("opt", 2L, "string"),
+        ("x", 3L, "real"), ("g", 4L, "string")))
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
