@@ -246,6 +246,16 @@ object QueryStep {
     * order (KQL semantics — order comes from the table, not the list). */
   final case class ProjectKeep(fields: Seq[FieldPath]) extends QueryStep
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
+  /** `mv-apply x = arr on ( <steps> )` — run a subpipeline over each ROW's
+    * expanded array elements (KQL's per-row subquery). Supported inner
+    * steps: `where`, `extend`, `summarize` (no `by` — the implicit group
+    * is the source row), and `sort by … | take N` (per-row top-k).
+    * Without a summarize the output is one row per surviving element
+    * (original columns + element + extensions); with one it is one row
+    * per source row (original columns + aggregates). Rows whose array is
+    * null/empty produce nothing, like mv-apply. */
+  final case class MvApply(
+      name: String, src: FieldPath, sub: Seq[QueryStep]) extends QueryStep
   final case class Limit(n: Long) extends QueryStep
   /** `top-nested N1 of k1 by agg1, top-nested N2 of k2 by agg2, …` —
     * hierarchical top-k (real-KQL surface beyond the reference): level 1
@@ -281,10 +291,24 @@ object QueryStep {
   /** `parse src with "lit" name1 "lit2" name2:long …` — pattern-split
     * extraction into typed columns (KQL's structured-log extractor;
     * beyond the reference's step set). Non-matching rows keep null
-    * captures; the pattern finds its first occurrence anywhere in the
-    * source (unanchored), captures are non-greedy except the last.
+    * captures (`strict=false`) or are DROPPED (`strict=true` —
+    * `parse-where`); the pattern finds its first occurrence anywhere in
+    * the source (unanchored), captures are non-greedy except the last.
     */
-  final case class Parse(src: FieldPath, segs: Seq[ParseSeg]) extends QueryStep
+  final case class Parse(
+      src: FieldPath, segs: Seq[ParseSeg], strict: Boolean = false) extends QueryStep
+  /** `evaluate pivot(col, agg(...), v1, v2, …)` — rotate the values of
+    * `col` into one aggregated output column per listed value, grouped by
+    * every other column (KQL pivot plugin semantics). Values are required
+    * literals: the output schema stays static, so no extra distinct scan
+    * runs and plans stay cacheable. */
+  final case class Pivot(
+      col: FieldPath, agg: AggField, values: Seq[Expr]) extends QueryStep
+  /** `serialize` — KQL's order-freeze marker. Order here only ever comes
+    * from an explicit sort, so this is a validated no-op: legal (and
+    * inert) on an already-serialized prefix, rejected otherwise to keep
+    * the window-function contract explicit. */
+  case object Serialize extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

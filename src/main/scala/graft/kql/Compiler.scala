@@ -691,7 +691,8 @@ final class Compiler(
       case _: QueryStep.Filter | _: QueryStep.Limit | _: QueryStep.Extend |
            _: QueryStep.Project | _: QueryStep.Rename |
            _: QueryStep.ProjectAway | _: QueryStep.ProjectKeep |
-           _: QueryStep.Search | _: QueryStep.Parse | _: QueryStep.Tee => ()
+           _: QueryStep.Search | _: QueryStep.Parse | _: QueryStep.Tee |
+           QueryStep.Serialize => ()
       case _ => serialOrder = None
     }
     out
@@ -734,7 +735,7 @@ final class Compiler(
     // capture columns materialize in ONE withColumns against the original
     // frame: a capture named after the source column must not replace the
     // source out from under the later captures.
-    case QueryStep.Parse(srcPath, segs) =>
+    case QueryStep.Parse(srcPath, segs, strict) =>
       val src = compileField(df, srcPath).cast(StringType)
       val captures = segs.collect { case ParseSeg(_, Some(c)) => c }
       var seen = 0
@@ -757,7 +758,10 @@ final class Compiler(
         }
         name -> typed
       }.toMap
-      df.withColumns(newCols)
+      // parse-where drops non-matching rows (the filter sits on the same
+      // rlike the captures branch on, so one regex eval feeds both)
+      if (strict) df.filter(matches).withColumns(newCols)
+      else df.withColumns(newCols)
 
     // free-text search: substring disjunction over every string column
     // (variant columns participate through their JSON text). Stays a
@@ -801,6 +805,62 @@ final class Compiler(
       df.select(df.columns.filter(c => keep.contains(c.toLowerCase)).map(col): _*)
 
     case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)
+
+    // mv-apply: per-row subquery over array elements. Shape: explode
+    // (narrow) → inner steps on the exploded frame → either one row per
+    // surviving element, or (with summarize) a groupBy on a synthetic row
+    // id — uniform keys, one shuffle; original columns ride along via
+    // first() (constant within a row's group, so deterministic). The row
+    // id is evaluated on a single plan branch (no self-join), which keeps
+    // monotonically_increasing_id safe here.
+    case QueryStep.MvApply(name, src, sub) =>
+      val rid = "__mvapply_rid"
+      // bare form (`mv-apply arr on …`) replaces the array column with the
+      // element, so it must not also be carried as an "original"
+      val origCols = df.columns.toSeq.filterNot(_.equalsIgnoreCase(name))
+      var cur = df
+        .withColumn(rid, monotonically_increasing_id())
+        .withColumn(name, explode(compileField(df, src)))
+      var aggNames = Seq.empty[String]
+      var extended = Seq.empty[String]
+      var i = 0
+      while (i < sub.length) {
+        sub(i) match {
+          case QueryStep.Filter(e) =>
+            cur = cur.filter(compileBool(cur, e))
+          case QueryStep.Extend(fields) =>
+            cur = compileStepInner(cur, QueryStep.Extend(fields))
+            extended = extended ++ fields.map(_._2)
+          case QueryStep.Summarize(aggs, by) =>
+            if (by.nonEmpty) throw KqlParseException(
+              "mv-apply summarize cannot take 'by' — the group is the row", 0)
+            if (aggNames.nonEmpty) throw KqlParseException(
+              "mv-apply supports one summarize", 0)
+            val aggCols = aggs.map(a => aggColumn(cur, a.agg).as(a.name))
+            val carried = origCols.map(c => first(col(s"`$c`")).as(c))
+            val all = aggCols ++ carried
+            cur = cur.groupBy(col(rid)).agg(all.head, all.tail: _*)
+            aggNames = aggs.map(_.name)
+          // per-row top-k: `sort by … | take N` inside the subquery
+          case QueryStep.Sort(keys)
+              if i + 1 < sub.length && sub(i + 1).isInstanceOf[QueryStep.Limit] =>
+            val n = sub(i + 1).asInstanceOf[QueryStep.Limit].n
+            import org.apache.spark.sql.expressions.Window
+            val w = Window.partitionBy(col(rid))
+              .orderBy(keys.map(k => sortCol(cur, k)): _*)
+            cur = cur.withColumn("__mvrk", row_number().over(w))
+              .filter(col("__mvrk") <= lit(n)).drop("__mvrk")
+            i += 1 // the take is consumed with the sort
+          case other => throw KqlParseException(
+            "mv-apply supports where / extend / summarize / sort by … | take N" +
+              s", not ${other.getClass.getSimpleName}", 0)
+        }
+        i += 1
+      }
+      val outCols =
+        if (aggNames.nonEmpty) origCols ++ aggNames
+        else origCols ++ Seq(name) ++ extended
+      cur.select(outCols.map(c => col(s"`$c`")): _*)
 
     case QueryStep.Limit(n) => df.limit(n.toInt)
 
@@ -848,6 +908,46 @@ final class Compiler(
       acc.select(ordered.map(col): _*)
 
     case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
+
+    // pivot: one aggregated column per listed value, grouped by every
+    // OTHER column (KQL pivot plugin). Lowers to RelationalGroupedDataset
+    // .pivot with explicit values — a single partial/final aggregation,
+    // no distinct-scan for the schema and no per-value scans.
+    case QueryStep.Pivot(colPath, agg, values) =>
+      val pivotName = colPath.flat
+      val aggSrc = agg.agg match {
+        // the aggregated field (if any) also leaves the group-by set
+        case Aggregation.Sum(f) => Some(f.flat)
+        case Aggregation.Avg(f) => Some(f.flat)
+        case Aggregation.Min(f) => Some(f.flat)
+        case Aggregation.Max(f) => Some(f.flat)
+        case Aggregation.DCount(f) => Some(f.flat)
+        case Aggregation.DCountApprox(f) => Some(f.flat)
+        case Aggregation.Percentile(f, _) => Some(f.flat)
+        case Aggregation.MakeList(f) => Some(f.flat)
+        case Aggregation.MakeSet(f) => Some(f.flat)
+        case Aggregation.Stdev(f) => Some(f.flat)
+        case Aggregation.Variance(f) => Some(f.flat)
+        case _ => None
+      }
+      val groupCols = df.columns.filter(c =>
+        !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))
+      val vals = values.map {
+        case StrLit(s) => s: Any
+        case IntLit(v) => v: Any
+        case FloatLit(v) => v: Any
+        case BoolLit(v) => v: Any
+        case _ => throw KqlParseException("pivot values must be literals", 0)
+      }
+      df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
+        .pivot(compileField(df, colPath), vals)
+        .agg(aggColumn(df, agg.agg))
+
+    case QueryStep.Serialize =>
+      if (serialOrder.isEmpty) throw KqlParseException(
+        "serialize requires an ordered input here — add a 'sort by' first " +
+          "(a distributed engine has no inherent row order to freeze)", 0)
+      df
 
     // schema introspection: compile-time metadata, no data scan. DataType
     // is the engine's type string; ColumnType is the KQL-name mapping.
@@ -974,6 +1074,21 @@ final class Compiler(
       df: DataFrame, aggs: Seq[AggField], by: Seq[ByField]): DataFrame = {
     // Null group key drops the row (summarize.rs:151-153).
     val keyed = by.foldLeft(df)((acc, b) => acc.filter(compile(df, b.expr).isNotNull))
+    val aggCols = aggs.map(a => aggColumn(df, a.agg).as(a.name))
+    // variant group keys group by their string form
+    def keyCol(b: ByField): Column = {
+      val c = compile(df, b.expr)
+      if (infer(df, b.expr) == KT.Var) c.try_cast(StringType) else c
+    }
+    if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
+    else keyed
+      .groupBy(by.map(b => keyCol(b).as(b.name)): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+  }
+
+  /** Lower one aggregation to its Spark Column (shared by summarize,
+    * top-nested, and pivot). */
+  private def aggColumn(df: DataFrame, agg: Aggregation): Column = {
     // variant-typed agg inputs tolerate non-numeric values (→ null, skipped)
     def numeric(f: FieldPath): Column = {
       val c = compileField(df, f)
@@ -991,8 +1106,7 @@ final class Compiler(
       val c = compileField(df, f)
       if (fieldType(df, f) == KT.Var) c.try_cast(DoubleType) else c
     }
-    val aggCols = aggs.map { a =>
-      val c = a.agg match {
+    agg match {
         case Aggregation.Count => count(lit(1))
         case Aggregation.Countif(e) => count_if(compileBool(df, e))
         // the reference's dcount set counts an explicit Null as a distinct
@@ -1055,18 +1169,7 @@ final class Compiler(
               count_distinct(when(p, ordered(f))) + coalesce(
                 max(when(p.and(ordered(f).isNull), 1L).otherwise(0L)), lit(0L))
           }
-      }
-      c.as(a.name)
     }
-    // variant group keys group by their string form
-    def keyCol(b: ByField): Column = {
-      val c = compile(df, b.expr)
-      if (infer(df, b.expr) == KT.Var) c.try_cast(StringType) else c
-    }
-    if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
-    else keyed
-      .groupBy(by.map(b => keyCol(b).as(b.name)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
   }
 
   /** KQL-style join (§2.3): single-key equi join; rows with a null/missing

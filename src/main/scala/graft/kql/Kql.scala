@@ -64,6 +64,9 @@ object Kql {
       case QueryStep.ProjectAway(fs) => s"project-away ${fs.map(_.render).mkString(", ")}"
       case QueryStep.ProjectKeep(fs) => s"project-keep ${fs.map(_.render).mkString(", ")}"
       case QueryStep.Expand(fs, k) => s"mv-expand kind=$k ${fs.map(_.render).mkString(", ")}"
+      case QueryStep.MvApply(n, src, sub) =>
+        s"mv-apply $n = ${src.render} on (\n" +
+          renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
       case QueryStep.Limit(n) => s"limit $n"
       case QueryStep.Sort(ks) => s"sort by ${ks.map(Render.sortKey).mkString(", ")}"
       case QueryStep.TopN(ks, n) => s"top $n by ${ks.map(Render.sortKey).mkString(", ")}"
@@ -85,14 +88,18 @@ object Kql {
         // the explain output re-parseable
         s"search ${if (cs) "kind=case_sensitive " else ""}" +
           Render.expr(Expr.StrLit(term))
-      case QueryStep.Parse(src, segs) =>
+      case QueryStep.Parse(src, segs, strict) =>
         val body = segs.map {
           case ParseSeg(Some(l), _) => Render.expr(Expr.StrLit(l))
           case ParseSeg(_, Some((n, "string"))) => n
           case ParseSeg(_, Some((n, k))) => s"$n:$k"
           case _ => ""
         }.mkString(" ")
-        s"parse ${src.render} with $body"
+        s"${if (strict) "parse-where" else "parse"} ${src.render} with $body"
+      case QueryStep.Pivot(c, agg, vs) =>
+        s"evaluate pivot(${c.render}, ${Render.agg(agg.agg)}, " +
+          s"${vs.map(Render.expr).mkString(", ")})"
+      case QueryStep.Serialize => "serialize"
     }
     (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
       Seq(renderQuery(parsed.query, ""))).mkString("\n")

@@ -155,6 +155,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "project-away"     => p += 1; QueryStep.ProjectAway(parseFieldList())
       case "project-keep"     => p += 1; QueryStep.ProjectKeep(parseFieldList())
       case "mv-expand"        => p += 1; parseExpand()
+      case "mv-apply"         => p += 1; parseMvApply()
       case "limit" | "take"   => p += 1; QueryStep.Limit(parseIntLit())
       case "top-nested"       => p += 1; parseTopNested()
       case "sort" | "order"   => p += 1; eatIdent("by"); QueryStep.Sort(parseSortKeys())
@@ -170,6 +171,9 @@ final class Parser(src: String, nowMicros: Long) {
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
       case "search"           => p += 1; parseSearch()
       case "parse"            => p += 1; parseParse()
+      case "parse-where"      => p += 1; parseParse(strict = true)
+      case "evaluate"         => p += 1; parseEvaluate()
+      case "serialize"        => p += 1; QueryStep.Serialize
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -252,7 +256,7 @@ final class Parser(src: String, nowMicros: Long) {
     }
   }
 
-  private def parseParse(): QueryStep = {
+  private def parseParse(strict: Boolean = false): QueryStep = {
     val src = parseFieldPath()
     eatIdent("with")
     val segs = Seq.newBuilder[ParseSeg]
@@ -279,7 +283,47 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     arity(nCaptures >= 1, "parse needs at least one capture column")
-    QueryStep.Parse(src, segs.result())
+    QueryStep.Parse(src, segs.result(), strict)
+  }
+
+  /** `evaluate pivot(col, agg(...), v1, v2, …)` */
+  private def parseEvaluate(): QueryStep = {
+    val plugin = identText().toLowerCase
+    if (plugin != "pivot") fail(s"unknown evaluate plugin '$plugin'")
+    eatPunct("(")
+    val col = parseFieldPath()
+    eatPunct(",")
+    val alias = (peek, toks.lift(p + 1)) match {
+      case (Ident(a, _), Some(Punct("=", _))) => p += 2; Some(a)
+      case _ => None
+    }
+    val agg = parseAggCall()
+    val values = Seq.newBuilder[Expr]
+    while (tryPunct(",")) values += parseExpr()
+    eatPunct(")")
+    val vs = values.result()
+    arity(vs.nonEmpty,
+      "pivot() requires explicit value literals (static output schema)")
+    QueryStep.Pivot(col,
+      AggField(agg, alias.getOrElse(Aggregation.defaultName(agg))), vs)
+  }
+
+  /** `mv-apply [x =] arrField on ( step | step … )` — the inner pipeline
+    * has no source of its own (it runs over the row's expanded elements). */
+  private def parseMvApply(): QueryStep = {
+    val (name, src) = (peek, toks.lift(p + 1)) match {
+      case (Ident(a, _), Some(Punct("=", _))) =>
+        p += 2; (a, parseFieldPath())
+      case _ =>
+        val f = parseFieldPath(); (f.flat, f)
+    }
+    eatIdent("on")
+    eatPunct("(")
+    val steps = Seq.newBuilder[QueryStep]
+    steps += parseStep()
+    while (tryPunct("|")) steps += parseStep()
+    eatPunct(")")
+    QueryStep.MvApply(name, src, steps.result())
   }
 
   private def parseExpand(): QueryStep = {

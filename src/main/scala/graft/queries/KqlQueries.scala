@@ -473,6 +473,47 @@ object KqlQueries {
         |  ('source', CAST(3 AS BIGINT), 'string', 'string'),
         |  ('n_chars', CAST(4 AS BIGINT), 'bigint', 'long'))
         |  AS t(ColumnName, ColumnOrdinal, DataType, ColumnType)
-        |ORDER BY ColumnOrdinal""".stripMargin)
+        |ORDER BY ColumnOrdinal""".stripMargin),
+
+    // pivot plugin: one aggregated column per listed value — a single
+    // partial/final aggregation (plan has no per-value scans); combos
+    // with no rows are null in both engines (sum-of-nothing)
+    kq("kql_pivot",
+      """documents
+        | | project lang, source, n_chars
+        | | evaluate pivot(source, s = sum(n_chars), 'src0', 'src7', 'src19')
+        | | sort by lang asc""".stripMargin,
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN n_chars END) AS DOUBLE) AS src0,
+        |  CAST(sum(CASE WHEN source = 'src7' THEN n_chars END) AS DOUBLE) AS src7,
+        |  CAST(sum(CASE WHEN source = 'src19' THEN n_chars END) AS DOUBLE) AS src19
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // parse-where: extraction that FILTERS — non-matching rows drop
+    // instead of keeping null captures
+    kq("kql_parsewhere",
+      """events
+        | | parse-where props with "{\"k\": 1" rest:string "}"
+        | | summarize n = count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE regexp_matches(props, '(?s)\{"k": 1.*\}')
+        |GROUP BY 1 ORDER BY event_type""".stripMargin),
+
+    // mv-apply: per-row subquery over the row's tokens — filter long
+    // tokens, aggregate count/distinct back to one row per document.
+    // Docs with no qualifying token disappear (inner explode), matching
+    // the unnest-then-group oracle.
+    kq("kql_mvapply",
+      """documents
+        | | extend toks = split(text, ' ')
+        | | mv-apply t = toks on (where strlen(t) > 4 | summarize n = count(), d = dcount(t))
+        | | project doc_id, n, d
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, count(*) AS n, count(DISTINCT t) AS d
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+        |      FROM documents)
+        |WHERE len(t) > 4
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
   )
 }

@@ -213,6 +213,45 @@ class ScalarFnSpec extends AnyFunSuite {
         ("x", 3L, "real"), ("g", 4L, "string")))
   }
 
+  test("evaluate pivot rotates listed values into aggregated columns") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      ("a", "x", 1L), ("a", "x", 2L), ("a", "y", 5L),
+      ("b", "y", 7L)
+    ).toDF("k", "typ", "v"))
+    val rows = Kql.run(spark, c2,
+      """u | evaluate pivot(typ, s = sum(v), 'x', 'y')
+        |  | sort by k asc""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0),
+      if (r.isNullAt(1)) null else r.getDouble(1),
+      if (r.isNullAt(2)) null else r.getDouble(2))).toSeq ==
+      Seq(("a", 3.0, 5.0), ("b", null, 7.0)))
+  }
+
+  test("parse-where drops rows that miss the pattern") {
+    val c2 = new Catalog(spark)
+    c2.register("logs", Seq(
+      "code=200 ok", "code=404 missing", "no code here"
+    ).toDF("line"))
+    val rows = Kql.run(spark, c2,
+      """logs | parse-where line with "code=" code:long " " word
+        |     | sort by code asc""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows.map(r => (r.getLong(1), r.getString(2))).toSeq ==
+      Seq((200L, "ok"), (404L, "missing")))
+  }
+
+  test("serialize is a validated no-op: legal after sort, rejected cold") {
+    val rn = Kql.run(spark, cat,
+      "t | sort by id asc | serialize | extend rn = row_number() | project rn")
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(rn == Seq(1L, 2L, 3L))
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, cat, "t | serialize | extend rn = row_number()")
+    }
+    assert(e.getMessage.contains("sort"))
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
