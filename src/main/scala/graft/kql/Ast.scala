@@ -268,7 +268,11 @@ object QueryStep {
   final case class TopN(keys: Seq[SortKey], n: Long) extends QueryStep
   final case class Summarize(aggs: Seq[AggField], by: Seq[ByField]) extends QueryStep
   final case class Distinct(fields: Seq[FieldPath]) extends QueryStep
-  final case class Union(sub: Query) extends QueryStep
+  /** `union [withsource=Col] (subquery)` — bag union; `withsource` adds a
+    * column naming the scan each row came from (KQL surface; the name of
+    * a raw scan is "raw", of a range source "range"). */
+  final case class Union(
+      sub: Query, withSource: Option[String] = None) extends QueryStep
   final case class Join(
       kind: JoinKind, sub: Query,
       leftKey: FieldPath, rightKey: FieldPath) extends QueryStep

@@ -698,15 +698,24 @@ final class Compiler(
     out
   }
 
-  private def compileStepInner(df: DataFrame, step: QueryStep): DataFrame = step match {
-    case QueryStep.Scan(source) => resolveScan(source)
+  /** Name of the most recently compiled scan — what `union withsource=`
+    * stamps on each branch's rows. */
+  private var currentSource: String = "unknown"
 
-    case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
+  private def compileStepInner(df: DataFrame, step: QueryStep): DataFrame = step match {
+    case QueryStep.Scan(source) =>
+      currentSource = source
+      resolveScan(source)
+
+    case QueryStep.RawScan(sql) =>
+      currentSource = "raw"
+      catalog.rawQuery(sql)
 
     // generated source: spark.range is a parallel, partitioned generator
     // (no driver materialization), so a billion-row grid is still a narrow
     // distributed scan. Inclusive upper bound, KQL-style.
     case QueryStep.RangeScan(name, lo, hi, step) =>
+      currentSource = "range"
       def const(e: Expr, what: String): Long = e match {
         case IntLit(v) => v
         case DatetimeLit(v) => v
@@ -962,8 +971,18 @@ final class Compiler(
       if (fields.isEmpty) df.distinct()
       else df.select(fields.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
-    case QueryStep.Union(sub) =>
-      df.unionByName(compile(sub), allowMissingColumns = true)
+    case QueryStep.Union(sub, ws) =>
+      val leftName = currentSource
+      val right = compile(sub)
+      val rightName = currentSource
+      currentSource = leftName // the union's identity stays the left pipe's
+      ws match {
+        case None => df.unionByName(right, allowMissingColumns = true)
+        case Some(colName) =>
+          df.withColumn(colName, lit(leftName))
+            .unionByName(right.withColumn(colName, lit(rightName)),
+              allowMissingColumns = true)
+      }
 
     case QueryStep.Join(kind, sub, lk, rk) => compileJoin(df, kind, sub, lk, rk)
 

@@ -76,7 +76,9 @@ object Kql {
             s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
           else "")
       case QueryStep.Distinct(fs) => s"distinct ${fs.map(_.render).mkString(", ")}"
-      case QueryStep.Union(sub) => s"union (\n${renderQuery(sub, indent + "  ")}\n$indent)"
+      case QueryStep.Union(sub, ws) =>
+        val w = ws.map(c => s"withsource=$c ").getOrElse("")
+        s"union $w(\n${renderQuery(sub, indent + "  ")}\n$indent)"
       case QueryStep.Join(k, sub, lk, rk) =>
         s"join kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $$left.${lk.render} == $$right.${rk.render}"
       case QueryStep.CountStep => "count"

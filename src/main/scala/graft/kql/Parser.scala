@@ -37,6 +37,10 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def record(e: KqlParseException): Unit = { errors += toError(e); nErrors += 1 }
 
+  /** Scalar `let` bindings (`let x = 5;`), substituted into expressions at
+    * parse time. Query lets live in [[Parsed.lets]] instead. */
+  private var scalarLets = Map.empty[String, Expr]
+
   private def isIdent(t: Token, s: String): Boolean = t match {
     case Ident(w, _) => w.equalsIgnoreCase(s)
     case _ => false
@@ -68,11 +72,20 @@ final class Parser(src: String, nowMicros: Long) {
       p += 1
       val name = identText()
       eatPunct("=")
-      eatPunct("(")
-      val q = parsePipeline()
-      eatPunct(")")
-      eatPunct(";")
-      lets += name -> q
+      // `let x = (query);` binds a subquery (reference semantics);
+      // `let x = <expr>;` binds a SCALAR, substituted at parse time
+      // (real-KQL surface; write scalar lets without outer parens)
+      if (atPunct("(")) {
+        p += 1
+        val q = parsePipeline()
+        eatPunct(")")
+        eatPunct(";")
+        lets += name -> q
+      } else {
+        val e = parseExpr()
+        eatPunct(";")
+        scalarLets += name -> e
+      }
     }
     val q = parsePipeline()
     peek match {
@@ -484,12 +497,15 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parseUnion(): QueryStep = {
+    val ws =
+      if (atIdent("withsource")) { p += 1; eatPunct("="); Some(identText()) }
+      else None
     if (tryPunct("(")) {
       val q = parsePipeline()
       eatPunct(")")
-      QueryStep.Union(q)
+      QueryStep.Union(q, ws)
     } else {
-      QueryStep.Union(Query(Seq(QueryStep.Scan(parseSourceRef()))))
+      QueryStep.Union(Query(Seq(QueryStep.Scan(parseSourceRef()))), ws)
     }
   }
 
@@ -650,7 +666,13 @@ final class Parser(src: String, nowMicros: Long) {
         case _ if toks.lift(p + 1).exists(t => t.isInstanceOf[Punct] &&
             t.asInstanceOf[Punct].s == "(") && funcWords(w.toLowerCase) =>
           parseFuncCall()
-        case _ => Field(parseFieldPath())
+        case _ =>
+          val fp = parseFieldPath()
+          // scalar let bindings substitute at parse time (KQL lets shadow
+          // columns); only simple refs — `x.y` always means a field
+          if (fp.isSimple && scalarLets.contains(fp.simpleName))
+            scalarLets(fp.simpleName)
+          else Field(fp)
       }
     case t => throw KqlParseException("expected expression", t.pos)
   }

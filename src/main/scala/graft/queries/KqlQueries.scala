@@ -514,6 +514,30 @@ object KqlQueries {
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
         |      FROM documents)
         |WHERE len(t) > 4
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // union withsource: rows keep the name of the scan they came from
+    kq("kql_union_withsource",
+      """customer
+        | | project key = c_custkey
+        | | union withsource=src (supplier | project key = s_suppkey)
+        | | summarize n = count() by src
+        | | sort by src asc""".stripMargin,
+      """SELECT src, count(*) AS n FROM (
+        |  SELECT 'customer' AS src FROM customer
+        |  UNION ALL SELECT 'supplier' AS src FROM supplier)
+        |GROUP BY 1 ORDER BY src""".stripMargin),
+
+    // scalar lets: parse-time substitution feeding a filter that still
+    // pushes down to the scan
+    kq("kql_scalar_let",
+      """let qty = 45; let flag = 'R';
+        |lineitem
+        | | where l_quantity >= qty and l_returnflag == flag
+        | | summarize n = count() by l_linestatus
+        | | sort by l_linestatus asc""".stripMargin,
+      """SELECT l_linestatus, count(*) AS n FROM lineitem
+        |WHERE l_quantity >= 45 AND l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)
   )
 }

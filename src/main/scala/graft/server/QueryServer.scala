@@ -384,7 +384,7 @@ object QueryServer {
   def anyStep(parsed: Parsed)(p: QueryStep => Boolean): Boolean = {
     def inQuery(q: Query): Boolean = q.steps.exists { s =>
       p(s) || (s match {
-        case QueryStep.Union(sub) => inQuery(sub)
+        case QueryStep.Union(sub, _) => inQuery(sub)
         case QueryStep.Join(_, sub, _, _) => inQuery(sub)
         case _ => false
       })

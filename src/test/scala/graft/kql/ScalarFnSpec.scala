@@ -252,6 +252,33 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("sort"))
   }
 
+  test("union withsource stamps each branch with its scan name") {
+    val c2 = new Catalog(spark)
+    c2.register("alpha", Seq(1L, 2L).toDF("v"))
+    c2.register("beta", Seq(3L).toDF("v"))
+    val rows = Kql.run(spark, c2,
+      "alpha | union withsource=origin (beta) | sort by v asc").collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")))
+  }
+
+  test("scalar let bindings substitute into expressions") {
+    val r = one(
+      """let lo = 2; let cap = strcat('v', '!');
+        |t | where id >= lo | project a = id * lo, b = cap
+        |  | sort by a asc""".stripMargin)
+    assert(r.getLong(0) == 4L)
+    assert(r.getString(1) == "v!")
+  }
+
+  test("scalar lets compose with query lets and shadow columns") {
+    val rows = Kql.run(spark, cat,
+      """let thresh = 10.0;
+        |let big = (t | where x >= thresh);
+        |big | project id | sort by id asc""".stripMargin).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L)) // x = 16, 25
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
