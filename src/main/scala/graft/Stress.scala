@@ -41,11 +41,21 @@ object Stress {
       .withColumn("value",
         (pmod(xxhash64(col("event_id"), lit(2)), lit(10000L)) / 100.0))
 
+  /** Min-of-N like Bench: this host shows intermittent multi-second
+    * noisy-neighbor stalls (measured 10× swings on identical plans), and
+    * wall-clock noise is one-sided — the minimum is the true cost. */
+  private val repeats = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPEATS", "2").toInt
+
   private def time(name: String, n: Long)(df: => DataFrame): Unit = {
-    val t0 = System.nanoTime()
-    df.write.format("noop").mode("overwrite").save()
-    val sec = (System.nanoTime() - t0) / 1e9
-    println(f"""{"op":"$name","n":$n,"sec":$sec%.2f}""")
+    var best = Double.MaxValue
+    var i = 0
+    while (i < repeats) {
+      val t0 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      best = math.min(best, (System.nanoTime() - t0) / 1e9)
+      i += 1
+    }
+    println(f"""{"op":"$name","n":$n,"sec":$best%.2f}""")
   }
 
   def main(args: Array[String]): Unit = {
@@ -100,6 +110,30 @@ object Stress {
     time("sessionize", n) {
       graft.functions.Sessionize.sessions(
         events, "user_id", "ts", gapSeconds = 1800L, valueCol = "value")
+    }
+    time("corpus_shuffle", n) {
+      graft.functions.Sampling.shuffleOrder(docs.select("doc_id"), "doc_id", 3L)
+    }
+    // KQL spine at scale: per-row array subquery (explode + rid groupBy)
+    // and hierarchical top-k (two aggs + broadcast join + bounded windows)
+    time("kql_mv_apply", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("docs", docs)
+      graft.kql.Kql.run(spark, cat,
+        """docs
+          | | extend toks = split(text, ' ')
+          | | mv-apply t = toks on (where strlen(t) > 4 | summarize n = count())
+          |""".stripMargin)
+    }
+    time("kql_top_nested", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("etype",
+        concat(lit("t"), pmod(col("user_id"), lit(50)).cast("string"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev
+          | | top-nested 5 of etype by n1 = count(),
+          |   top-nested 3 of user_id by n2 = count()
+          |""".stripMargin)
     }
     spark.stop()
   }
