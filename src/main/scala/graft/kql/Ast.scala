@@ -54,8 +54,13 @@ object Expr {
   final case class In(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr
 
-  /** op ∈ contains, startswith, endswith, has, has_cs (w/ optional negation). */
+  /** op ∈ contains, startswith, endswith, has, has_cs, matches_regex
+    * (w/ optional negation). `matches regex` takes a literal pattern. */
   final case class StrOp(op: String, l: Expr, r: Expr, negated: Boolean) extends Expr
+  /** `bin_at(x, width, anchor)` — binning aligned to an explicit anchor
+    * instead of zero/epoch: anchor + floor((x−anchor)/width)·width. Works
+    * over numerics and datetimes (timespan width). */
+  final case class BinAt(x: Expr, width: Expr, anchor: Expr) extends Expr
 
   /** case(c1, v1, c2, v2, …, default) / iff(c, t, f). */
   final case class Case(branches: Seq[(Expr, Expr)], default: Expr) extends Expr
@@ -273,9 +278,14 @@ object QueryStep {
     * a raw scan is "raw", of a range source "range"). */
   final case class Union(
       sub: Query, withSource: Option[String] = None) extends QueryStep
+  /** Equi join on one or more key pairs. The reference allows exactly one
+    * (`parser.rs:1122-1163`); multi-key conditions (`on $left.a ==
+    * $right.a, $left.b == $right.b`) are real-KQL surface beyond it. A
+    * row with a null/missing value in ANY key drops from both sides, the
+    * one-key rule applied conjunctively. */
   final case class Join(
       kind: JoinKind, sub: Query,
-      leftKey: FieldPath, rightKey: FieldPath) extends QueryStep
+      keys: Seq[(FieldPath, FieldPath)]) extends QueryStep
   case object CountStep extends QueryStep
   /** `getschema` — one row per column: (ColumnName, ColumnOrdinal,
     * DataType, ColumnType), KQL's schema-introspection step. Computed from

@@ -163,8 +163,12 @@ final class Compiler(
       case "langid" => KT.Str
       case _ => KT.Int // tokencount / simhash / fingerprint
     }
-    case StrFn(name, _) =>
-      if (name == "strlen") KT.Int else KT.Str
+    case StrFn(name, _) => name match {
+      case "strlen" | "countof" => KT.Int
+      case "extract_all" => KT.Arr
+      case _ => KT.Str
+    }
+    case BinAt(x, _, _) => infer(df, x)
     case DtFn(name, _) => name match {
       case "startofday" | "startofhour" | "startofweek" | "startofmonth" |
            "startofyear" | "endofday" => KT.Ts
@@ -401,8 +405,11 @@ final class Compiler(
         case ("endswith", _) => lc.endsWith(compile(df, r))
         case ("has", StrLit(s)) => KqlFunctions.has(lc, s)
         case ("has_cs", StrLit(s)) => KqlFunctions.hasCs(lc, s)
+        case ("matches_regex", StrLit(s)) => lc.cast(StringType).rlike(s)
         case ("has" | "has_cs", _) =>
           throw KqlParseException(s"'$op' requires a string literal phrase", 0)
+        case ("matches_regex", _) =>
+          throw KqlParseException("'matches regex' requires a literal pattern", 0)
       }
       if (negated) !pred else pred
 
@@ -478,6 +485,41 @@ final class Compiler(
         case "replace_string" =>
           replace(cs.head.cast(StringType),
             cs(1).cast(StringType), cs(2).cast(StringType))
+        // non-overlapping occurrence count: length difference over the
+        // search length (exact integer division by construction)
+        case "countof" =>
+          val s0 = cs.head.cast(StringType)
+          val sub = cs(1).cast(StringType)
+          ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
+            .cast(LongType)
+        case "tohex" => lower(hex(cs.head.try_cast(LongType)))
+        case "base64_encode_tostring" => base64(cs.head.cast(BinaryType))
+        case "base64_decode_tostring" => unbase64(cs.head.cast(StringType))
+          .cast(StringType)
+        // full matches when the pattern has no capture group, else group 1
+        // (regexp_extract_all semantics shared by both engines)
+        case "extract_all" =>
+          val re = args.head.asInstanceOf[StrLit].v
+          val g =
+            if (java.util.regex.Pattern.compile(re).matcher("").groupCount() > 0) 1
+            else 0
+          regexp_extract_all(cs(1).cast(StringType), lit(re), lit(g))
+      }
+
+    // anchored binning: anchor + floor((x − anchor)/width)·width
+    case BinAt(x, width, anchor) =>
+      val xt = infer(df, x)
+      (xt, width) match {
+        case (KT.Ts, TimespanLit(w)) =>
+          val xm = unix_micros(compile(df, x).try_cast(TimestampType))
+          val am = unix_micros(compile(df, anchor).try_cast(TimestampType))
+          timestamp_micros(am + floor((xm - am).cast(DoubleType) / lit(w.toDouble))
+            .cast(LongType) * lit(w))
+        case _ =>
+          val xc = compile(df, x).try_cast(DoubleType)
+          val ac = compile(df, anchor).try_cast(DoubleType)
+          val wc = compile(df, width).try_cast(DoubleType)
+          ac + floor((xc - ac) / wc) * wc
       }
 
     case DtFn(name, x) =>
@@ -984,7 +1026,7 @@ final class Compiler(
               allowMissingColumns = true)
       }
 
-    case QueryStep.Join(kind, sub, lk, rk) => compileJoin(df, kind, sub, lk, rk)
+    case QueryStep.Join(kind, sub, keys) => compileJoin(df, kind, sub, keys)
 
     case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
 
@@ -1210,19 +1252,27 @@ final class Compiler(
     */
   private def compileJoin(
       left: DataFrame, kind: JoinKind, sub: Query,
-      lk: FieldPath, rk: FieldPath): DataFrame = {
+      keys: Seq[(FieldPath, FieldPath)]): DataFrame = {
     val right = compile(sub)
     // key expressions compile through the schema-aware path BEFORE aliasing,
     // into temp columns: nested (`a.b`), array-indexed (`a.b[0]`), variant,
     // and missing fields all get their usual lowering (a missing key is
-    // null, and null keys drop — join.rs:183-185), and the join condition
-    // stays a plain column equality (equi-join → hash/broadcast-able)
-    val l = left.withColumn("__lkey", compileField(left, lk))
-      .filter(col("__lkey").isNotNull).alias("__l")
-    val r = right.withColumn("__rkey", compileField(right, rk))
-      .filter(col("__rkey").isNotNull).alias("__r")
+    // null, and null keys drop — join.rs:183-185; with multiple pairs ANY
+    // null key drops the row, the one-key rule applied conjunctively), and
+    // the join condition stays plain column equalities (equi-join →
+    // hash/broadcast-able)
+    val l = keys.zipWithIndex.foldLeft(left) { case (d, ((lk, _), i)) =>
+      d.withColumn(s"__lkey$i", compileField(left, lk))
+        .filter(col(s"__lkey$i").isNotNull)
+    }.alias("__l")
+    val r = keys.zipWithIndex.foldLeft(right) { case (d, ((_, rk), i)) =>
+      d.withColumn(s"__rkey$i", compileField(right, rk))
+        .filter(col(s"__rkey$i").isNotNull)
+    }.alias("__r")
 
-    val cond = col("__l.__lkey") === col("__r.__rkey")
+    val cond = keys.indices
+      .map(i => col(s"__l.__lkey$i") === col(s"__r.__rkey$i"))
+      .reduce(_ && _)
 
     // existence joins return early: output is ONE side's original columns,
     // filtered by key presence/absence on the other — no merge, no
@@ -1252,8 +1302,13 @@ final class Compiler(
 
     val leftCols = left.columns.toSeq
     val rightCols = right.columns.toSeq
-    val lKeyName = if (lk.isSimple) lk.simpleName else lk.render
-    val rKeyName = if (rk.isSimple) rk.simpleName else rk.render
+    def keyName(f: FieldPath) = if (f.isSimple) f.simpleName else f.render
+    // left key name → its paired right key name (outer-join coalesce);
+    // right key names whose pair shares the name get deduplicated
+    val pairByLeft = keys.map { case (lk, rk) => keyName(lk) -> keyName(rk) }.toMap
+    val samePairNames = keys.collect {
+      case (lk, rk) if keyName(lk) == keyName(rk) => keyName(lk)
+    }.toSet
 
     def qualL(c: String) = col(s"__l.$c")
     def qualR(c: String) = col(s"__r.$c")
@@ -1268,13 +1323,13 @@ final class Compiler(
       case _ => // Inner | Outer (semi/anti returned early)
         val used = scala.collection.mutable.Set[String](leftCols: _*)
         val leftOut = leftCols.map { c =>
-          if (c == lKeyName && kind == JoinKind.Outer)
-            coalesce(qualL(c), qualR(rKeyName)).as(c)
+          if (kind == JoinKind.Outer && pairByLeft.contains(c))
+            coalesce(qualL(c), qualR(pairByLeft(c))).as(c)
           else qualL(c).as(c)
         }
         val rightOut = rightCols.flatMap { c =>
           if (!leftCols.contains(c)) { used += c; Some(qualR(c).as(c)) }
-          else if (c == rKeyName && c == lKeyName) None // dedup join key
+          else if (samePairNames.contains(c)) None // dedup join key
           else {
             var i = 1
             while (used.contains(s"$c$i")) i += 1

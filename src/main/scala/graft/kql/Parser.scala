@@ -535,26 +535,31 @@ final class Parser(src: String, nowMicros: Long) {
     val sub = parsePipeline()
     eatPunct(")")
     eatIdent("on")
-    // `on $left.a == $right.b` | `on f`
-    if (tryPunct("$")) {
-      val side1 = identText()
-      eatPunct(".")
-      val lk = parseFieldPath()
-      eatPunct("==")
-      eatPunct("$")
-      val side2 = identText()
-      eatPunct(".")
-      val rk = parseFieldPath()
-      // reference validation: the condition must compare the two sides,
-      // not e.g. $left against $left
-      if (!side1.equalsIgnoreCase("left") || !side2.equalsIgnoreCase("right"))
-        fail("join condition must compare $left.<field> == $right.<field>",
-          Seq("$left", "$right"))
-      QueryStep.Join(kind, sub, lk, rk)
-    } else {
-      val f = parseFieldPath()
-      QueryStep.Join(kind, sub, f, f)
-    }
+    // one or more comma-separated pairs: `$left.a == $right.b` | bare `f`
+    def keyPair(): (FieldPath, FieldPath) =
+      if (tryPunct("$")) {
+        val side1 = identText()
+        eatPunct(".")
+        val lk = parseFieldPath()
+        eatPunct("==")
+        eatPunct("$")
+        val side2 = identText()
+        eatPunct(".")
+        val rk = parseFieldPath()
+        // reference validation: the condition must compare the two sides,
+        // not e.g. $left against $left
+        if (!side1.equalsIgnoreCase("left") || !side2.equalsIgnoreCase("right"))
+          fail("join condition must compare $left.<field> == $right.<field>",
+            Seq("$left", "$right"))
+        (lk, rk)
+      } else {
+        val f = parseFieldPath()
+        (f, f)
+      }
+    val keys = Seq.newBuilder[(FieldPath, FieldPath)]
+    keys += keyPair()
+    while (tryPunct(",")) keys += keyPair()
+    QueryStep.Join(kind, sub, keys.result())
   }
 
   // ───────────────────────── expressions ─────────────────────────
@@ -594,7 +599,8 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private val predWords = Set(
-    "in", "between", "contains", "startswith", "endswith", "has", "has_cs")
+    "in", "between", "contains", "startswith", "endswith", "has", "has_cs",
+    "matches")
 
   private def parsePredTail(l: Expr, negated: Boolean): Expr = {
     val w = identText().toLowerCase
@@ -615,6 +621,9 @@ final class Parser(src: String, nowMicros: Long) {
         Between(l, lo, hi, negated)
       case "contains" | "startswith" | "endswith" | "has" | "has_cs" =>
         StrOp(w, l, parseAdd(), negated)
+      case "matches" =>
+        eatIdent("regex")
+        StrOp("matches_regex", l, parseAdd(), negated)
       case other => fail(s"unknown predicate '$other'")
     }
   }
@@ -689,7 +698,9 @@ final class Parser(src: String, nowMicros: Long) {
     "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
     "split", "indexof", "array_length", "strcat_delim",
-    "row_number", "prev", "next", "row_cumsum")
+    "row_number", "prev", "next", "row_cumsum",
+    "countof", "extract_all", "bin_at", "tohex",
+    "base64_encode_tostring", "base64_decode_tostring")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -848,6 +859,21 @@ final class Parser(src: String, nowMicros: Long) {
       case "row_cumsum" =>
         val a = args(); arity(a.length == 1, "row_cumsum() takes 1 arg")
         WinFn("row_cumsum", a)
+      case "countof" =>
+        val a = args(); arity(a.length == 2, "countof() takes (source, search)")
+        StrFn("countof", a)
+      case f @ ("tohex" | "base64_encode_tostring" | "base64_decode_tostring") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
+      case "extract_all" =>
+        val a = args()
+        arity(a.length == 2, "extract_all() takes (regex_literal, source)")
+        arity(a.head.isInstanceOf[StrLit], "extract_all() regex must be a literal")
+        StrFn("extract_all", a)
+      case "bin_at" =>
+        val a = args()
+        arity(a.length == 3, "bin_at() takes (value, width, anchor)")
+        BinAt(a(0), a(1), a(2))
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")

@@ -27,7 +27,9 @@ object Render {
       s"${paren(x)} ${if (neg) "!in" else "in"} (${items.map(expr).mkString(", ")})"
     case Between(x, lo, hi, neg) =>
       s"${paren(x)} ${if (neg) "!between" else "between"} (${expr(lo)} .. ${expr(hi)})"
-    case StrOp(op, l, r, neg) => s"${paren(l)} ${if (neg) "!" + op else op} ${paren(r)}"
+    case StrOp(op, l, r, neg) =>
+      val word = if (op == "matches_regex") "matches regex" else op
+      s"${paren(l)} ${if (neg) "!" + word else word} ${paren(r)}"
     case Case(branches, default) =>
       "case(" + branches.map { case (c, v) => s"${expr(c)}, ${expr(v)}" }
         .mkString(", ") + s", ${expr(default)})"
@@ -44,6 +46,7 @@ object Render {
     case MathFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case ArrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case WinFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
+    case BinAt(x, w, a) => s"bin_at(${expr(x)}, ${expr(w)}, ${expr(a)})"
   }
 
   private def paren(e: Expr): String = e match {

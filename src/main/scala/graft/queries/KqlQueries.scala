@@ -538,6 +538,50 @@ object KqlQueries {
         | | sort by l_linestatus asc""".stripMargin,
       """SELECT l_linestatus, count(*) AS n FROM lineitem
         |WHERE l_quantity >= 45 AND l_returnflag = 'R'
-        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin)
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin),
+
+    // multi-key equi join (the reference allows exactly one key pair):
+    // both key columns join conjunctively, same-name pairs dedup, still
+    // a hash join
+    kq("kql_join_multikey",
+      """events
+        | | summarize n = count() by user_id, event_type
+        | | join kind=inner (events
+        |     | where value >= 50.0
+        |     | summarize m = count() by user_id, event_type)
+        |     on user_id, event_type
+        | | summarize pairs = count(), tot = sum(n), hits = sum(m) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT a.event_type, count(*) AS pairs,
+        |       CAST(sum(a.n) AS DOUBLE) AS tot,
+        |       CAST(sum(b.m) AS DOUBLE) AS hits
+        |FROM (SELECT user_id, event_type, count(*) AS n FROM events
+        |      GROUP BY 1, 2) a
+        |JOIN (SELECT user_id, event_type, count(*) AS m FROM events
+        |      WHERE value >= 50.0 GROUP BY 1, 2) b
+        |  ON a.user_id = b.user_id AND a.event_type = b.event_type
+        |GROUP BY 1 ORDER BY a.event_type""".stripMargin),
+
+    // string scalar surface #2: countof / tohex / base64 round-trip /
+    // extract_all / matches regex — all exact string results, plus an
+    // anchored bin over doc length
+    kq("kql_strfns2",
+      """documents
+        | | where text matches regex 'table.*table'
+        | | extend c = countof(text, 'the'), hx = tohex(doc_id),
+        |          rt = base64_decode_tostring(base64_encode_tostring(source)),
+        |          words = array_length(extract_all('[a-z]+', text)),
+        |          nb = bin_at(n_chars, 50, 10)
+        | | project doc_id, c, hx, rt, words, nb
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  CAST((len(text) - len(replace(text, 'the', ''))) / 3 AS BIGINT) AS c,
+        |  lower(to_hex(doc_id)) AS hx,
+        |  decode(from_base64(to_base64(encode(source)))) AS rt,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS words,
+        |  10 + floor((n_chars - 10) / 50.0) * 50 AS nb
+        |FROM documents
+        |WHERE regexp_matches(text, 'table.*table')
+        |ORDER BY doc_id""".stripMargin)
   )
 }

@@ -279,6 +279,23 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSeq == Seq(2L, 3L)) // x = 16, 25
   }
 
+  test("multi-key join matches conjunctively and drops any-null keys") {
+    val c2 = new Catalog(spark)
+    c2.register("l", Seq(
+      (1L, "a", 10L), (1L, "b", 20L), (2L, "a", 30L)
+    ).toDF("k1", "k2", "lv"))
+    c2.register("r", Seq(
+      (1L, "a", 100L), (1L, "b", 200L), (9L, "a", 900L)
+    ).toDF("k1", "k2", "rv"))
+    val rows = Kql.run(spark, c2,
+      """l | join kind=inner (r) on $left.k1 == $right.k1, $left.k2 == $right.k2
+        |  | project k1, k2, lv, rv | sort by k1 asc, k2 asc""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+      r.getLong(3))).toSeq ==
+      Seq((1L, "a", 10L, 100L), (1L, "b", 20L, 200L)))
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),

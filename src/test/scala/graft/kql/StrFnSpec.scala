@@ -77,4 +77,59 @@ class StrFnSpec extends AnyFunSuite {
       "t | where strlen(trim(s)) == 0 | count").as[Long].head()
     assert(n == 1L) // only the empty string row
   }
+
+  test("countof counts non-overlapping occurrences") {
+    val r = Kql.run(spark, cat,
+      """t | where id == 1
+        | | project a = countof(s, 'l'), b = countof(s, 'lo'), c = countof(s, 'zz')""".stripMargin)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((3L, 1L, 0L)))
+  }
+
+  test("tohex is lowercase; base64 round-trips") {
+    val r = Kql.run(spark, cat,
+      """t | where id == 2
+        | | project h = tohex(255), h2 = tohex(id),
+        |           b = base64_encode_tostring(s),
+        |           rt = base64_decode_tostring(base64_encode_tostring(s))""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "ff")
+    assert(r.getString(1) == "2")
+    assert(r.getString(2) == "YWJj") // "abc"
+    assert(r.getString(3) == "abc")
+  }
+
+  test("extract_all: full matches without groups, group 1 with") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq("a1 b22 c333").toDF("s"))
+    val r = Kql.run(spark, c2,
+      """u | project a = extract_all('[a-z]\\d+', s),
+        |    b = extract_all('[a-z](\\d+)', s)""".stripMargin).collect().head
+    assert(r.getSeq[String](0) == Seq("a1", "b22", "c333"))
+    assert(r.getSeq[String](1) == Seq("1", "22", "333"))
+  }
+
+  test("matches regex filters; negation inverts") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq("code=7", "code=x", "none").toDF("s"))
+    val hit = Kql.run(spark, c2,
+      "u | where s matches regex 'code=\\\\d+' | count").as[Long].head()
+    assert(hit == 1L)
+    val miss = Kql.run(spark, c2,
+      "u | where s !matches regex 'code=' | count").as[Long].head()
+    assert(miss == 1L)
+  }
+
+  test("bin_at anchors numeric and datetime bins") {
+    val c2 = new Catalog(spark)
+    import java.sql.Timestamp
+    c2.register("e", Seq((23.0, Timestamp.valueOf("2024-03-15 10:37:00")))
+      .toDF("x", "ts"))
+    val r = Kql.run(spark, c2,
+      """e | project a = bin_at(x, 10.0, 5.0),
+        |    b = bin_at(ts, 1h, datetime(2024-03-15 00:30:00))""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 15.0)
+    assert(r.getTimestamp(1) == Timestamp.valueOf("2024-03-15 10:30:00"))
+  }
 }
