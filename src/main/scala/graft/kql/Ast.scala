@@ -233,6 +233,12 @@ object QueryStep {
     * over ints and datetimes (timespan step). */
   final case class RangeScan(
       name: String, lo: Expr, hi: Expr, step: Expr) extends QueryStep
+  /** `datatable (a: long, b: string) [1, 'x', 2, 'y']` — inline literal
+    * table source (KQL surface): row-major literal list, column types ∈
+    * long int real string bool datetime timespan. Bounded by query text,
+    * so driver-side construction is correct here. */
+  final case class DataTable(
+      cols: Seq[(String, String)], values: Seq[Expr]) extends QueryStep
   /** `conn.coll.raw("…")` — pass a native query to the backing engine
     * (reference: connector `raw_query`, `miso-connectors/src/lib.rs:320-327`).
     * Here the "native language" of the backing store is Spark SQL.

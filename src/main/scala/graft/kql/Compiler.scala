@@ -663,9 +663,15 @@ final class Compiler(
             case Some(IntLit(k)) => k.toInt
             case _ => 1
           }
-          val v = (if (name == "prev") lag(c, off) else lead(c, off)).over(w)
+          def shifted(e: Column) =
+            (if (name == "prev") lag(e, off) else lead(e, off)).over(w)
+          val v = shifted(c)
           args.lift(2) match {
-            case Some(d) => coalesce(v, compile(df, d))
+            // KQL's default fills only OUT-OF-BOUNDS rows, not genuine
+            // nulls in range — a shifted constant sentinel is null exactly
+            // when the requested row doesn't exist
+            case Some(d) =>
+              when(shifted(lit(1)).isNull, compile(df, d)).otherwise(v)
             case None => v
           }
         case "row_cumsum" =>
@@ -676,10 +682,44 @@ final class Compiler(
 
   // ───────────────────────── step lowering ─────────────────────────
 
-  def compile(q: Query): DataFrame =
-    q.steps.foldLeft(null.asInstanceOf[DataFrame]) { (df, step) =>
+  /** Every field path referenced anywhere in an expression (generic
+    * product walk, so new Expr shapes are covered automatically). */
+  private def fieldRefs(e: Expr): Seq[FieldPath] = {
+    def walk(x: Any): Seq[FieldPath] = x match {
+      case Field(p) => Seq(p)
+      case xs: Seq[_] => xs.flatMap(walk(_))
+      case p: Product => p.productIterator.toSeq.flatMap(walk(_))
+      case _ => Nil
+    }
+    walk(e)
+  }
+
+  /** Source label of the pipeline currently being compiled (saved and
+    * restored per [[compile]] call, so nested join/union subqueries never
+    * leak their scan names into the enclosing pipeline's label). */
+  private var pipelineSource: String = "unknown"
+
+  def compile(q: Query): DataFrame = {
+    val saved = pipelineSource
+    pipelineSource = sourceNameOf(q)
+    val out = q.steps.foldLeft(null.asInstanceOf[DataFrame]) { (df, step) =>
       compileStep(df, step)
     }
+    pipelineSource = saved
+    out
+  }
+
+  /** Display name of a pipeline's source, from its AST head — what
+    * `union withsource=` stamps on that branch's rows. Pure (no
+    * compile-order state): a join/let inside a branch cannot leak its
+    * own scan name into the label. */
+  private def sourceNameOf(q: Query): String = q.steps.headOption match {
+    case Some(QueryStep.Scan(source)) => source
+    case Some(_: QueryStep.RawScan) => "raw"
+    case Some(_: QueryStep.RangeScan) => "range"
+    case Some(_: QueryStep.DataTable) => "datatable"
+    case _ => "unknown"
+  }
 
   /** Apply a step suffix to an already-materialized DataFrame — used by the
     * partial-stream path to run the post-aggregation steps (sort/top/limit/
@@ -727,12 +767,37 @@ final class Compiler(
 
   private def compileStep(df: DataFrame, step: QueryStep): DataFrame = {
     val out = compileStepInner(df, step)
+    // a step that drops or REDEFINES a sort-key column breaks the frozen
+    // order — clear it so window scalars fail loudly instead of silently
+    // ordering by null/new values
+    def keyNames: Set[String] =
+      serialOrder.toSeq.flatten.map(_.field.simpleName.toLowerCase).toSet
+    def invalidates(defined: Seq[String], kept: Option[Seq[String]]): Boolean = {
+      val keys = keyNames
+      defined.exists(d => keys.contains(d.toLowerCase)) ||
+        kept.exists(k => !keys.subsetOf(k.map(_.toLowerCase).toSet))
+    }
     step match {
       case QueryStep.Sort(keys) => serialOrder = Some(keys)
       case QueryStep.TopN(keys, _) => serialOrder = Some(keys)
-      case _: QueryStep.Filter | _: QueryStep.Limit | _: QueryStep.Extend |
-           _: QueryStep.Project | _: QueryStep.Rename |
-           _: QueryStep.ProjectAway | _: QueryStep.ProjectKeep |
+      case QueryStep.Extend(fields) =>
+        if (invalidates(fields.map(_._2), None)) serialOrder = None
+      case QueryStep.Project(fields) =>
+        // a projected key column counts as KEPT only when it passes through
+        // unchanged (a bare field ref of itself)
+        val passthrough = fields.collect {
+          case (Field(p), n) if p.isSimple && p.simpleName.equalsIgnoreCase(n) => n
+        }
+        val redefined = fields.map(_._2).filterNot(passthrough.contains)
+        if (invalidates(redefined, Some(passthrough))) serialOrder = None
+      case QueryStep.ProjectKeep(fs) =>
+        if (invalidates(Nil, Some(fs.map(_.simpleName)))) serialOrder = None
+      case QueryStep.ProjectAway(fs) =>
+        if (invalidates(fs.map(_.simpleName), None)) serialOrder = None
+      case QueryStep.Rename(pairs) =>
+        if (invalidates(pairs.map(_._1) ++ pairs.map(_._2.simpleName), None))
+          serialOrder = None
+      case _: QueryStep.Filter | _: QueryStep.Limit |
            _: QueryStep.Search | _: QueryStep.Parse | _: QueryStep.Tee |
            QueryStep.Serialize => ()
       case _ => serialOrder = None
@@ -740,24 +805,57 @@ final class Compiler(
     out
   }
 
-  /** Name of the most recently compiled scan — what `union withsource=`
-    * stamps on each branch's rows. */
-  private var currentSource: String = "unknown"
-
   private def compileStepInner(df: DataFrame, step: QueryStep): DataFrame = step match {
-    case QueryStep.Scan(source) =>
-      currentSource = source
-      resolveScan(source)
+    case QueryStep.Scan(source) => resolveScan(source)
 
-    case QueryStep.RawScan(sql) =>
-      currentSource = "raw"
-      catalog.rawQuery(sql)
+    case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
+
+    // inline literal table: bounded by the query text itself, so building
+    // the rows on the driver is the right call (same as any VALUES list)
+    case QueryStep.DataTable(cols, values) =>
+      def sparkType(t: String): DataType = t match {
+        case "long" | "int" | "timespan" => LongType
+        case "real" | "double" => DoubleType
+        case "string" => StringType
+        case "bool" | "boolean" => BooleanType
+        case "datetime" => TimestampType
+      }
+      // validated against the DECLARED column type: a mismatch is a parse
+      // error here, not a runtime crash in the executor's row converter
+      def toValue(e: Expr, t: String): Any = (e, t) match {
+        case (NullLit, _) => null
+        case (Neg(inner @ (IntLit(_) | FloatLit(_))), _) =>
+          toValue(inner, t) match {
+            case l: java.lang.Long => java.lang.Long.valueOf(-l)
+            case d: java.lang.Double => java.lang.Double.valueOf(-d)
+            case other => other
+          }
+        case (IntLit(v), "real" | "double") => java.lang.Double.valueOf(v.toDouble)
+        case (IntLit(v), "long" | "int") => java.lang.Long.valueOf(v)
+        case (FloatLit(v), "real" | "double") => java.lang.Double.valueOf(v)
+        case (StrLit(v), "string") => v
+        case (BoolLit(v), "bool" | "boolean") => java.lang.Boolean.valueOf(v)
+        case (DatetimeLit(m), "datetime") =>
+          java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+            Math.floorDiv(m, 1000000L), Math.floorMod(m, 1000000L) * 1000L))
+        case (TimespanLit(m), "timespan") => java.lang.Long.valueOf(m)
+        case _ => throw KqlParseException(
+          s"datatable value ${Render.expr(e)} does not fit column type '$t'", 0)
+      }
+      val schema = StructType(cols.map { case (n, t) =>
+        StructField(n, sparkType(t), nullable = true) })
+      val rows = values.grouped(cols.length).map { grp =>
+        org.apache.spark.sql.Row(
+          grp.zip(cols).map { case (e, (_, t)) => toValue(e, t) }: _*)
+      }.toSeq
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
 
     // generated source: spark.range is a parallel, partitioned generator
     // (no driver materialization), so a billion-row grid is still a narrow
     // distributed scan. Inclusive upper bound, KQL-style.
     case QueryStep.RangeScan(name, lo, hi, step) =>
-      currentSource = "range"
       def const(e: Expr, what: String): Long = e match {
         case IntLit(v) => v
         case DatetimeLit(v) => v
@@ -770,7 +868,15 @@ final class Compiler(
       val hiV = const(hi, "stop")
       val stV = const(step, "step")
       if (stV <= 0) throw KqlParseException("range step must be positive", 0)
+      // bound types must be coherent: a stray int beside a datetime would
+      // silently build a grid over raw epoch microseconds (~10^15 rows)
       val isTime = lo.isInstanceOf[DatetimeLit]
+      if (hi.isInstanceOf[DatetimeLit] != isTime) throw KqlParseException(
+        "range start and stop must both be ints or both datetimes", 0)
+      if (isTime && !step.isInstanceOf[TimespanLit]) throw KqlParseException(
+        "a datetime range needs a timespan step (e.g. 1h)", 0)
+      if (!isTime && step.isInstanceOf[TimespanLit]) throw KqlParseException(
+        "a numeric range needs an int step", 0)
       val ids = spark.range(loV, hiV + 1, stV)
       if (isTime) ids.select(timestamp_micros(col("id")).as(name))
       else ids.select(col("id").as(name))
@@ -966,21 +1072,27 @@ final class Compiler(
     // no distinct-scan for the schema and no per-value scans.
     case QueryStep.Pivot(colPath, agg, values) =>
       val pivotName = colPath.flat
-      val aggSrc = agg.agg match {
-        // the aggregated field (if any) also leaves the group-by set
-        case Aggregation.Sum(f) => Some(f.flat)
-        case Aggregation.Avg(f) => Some(f.flat)
-        case Aggregation.Min(f) => Some(f.flat)
-        case Aggregation.Max(f) => Some(f.flat)
-        case Aggregation.DCount(f) => Some(f.flat)
-        case Aggregation.DCountApprox(f) => Some(f.flat)
-        case Aggregation.Percentile(f, _) => Some(f.flat)
-        case Aggregation.MakeList(f) => Some(f.flat)
-        case Aggregation.MakeSet(f) => Some(f.flat)
-        case Aggregation.Stdev(f) => Some(f.flat)
-        case Aggregation.Variance(f) => Some(f.flat)
-        case _ => None
-      }
+      // every field the aggregate touches (its input AND any predicate
+      // refs) leaves the group-by set — otherwise the output granularity
+      // silently becomes one row per distinct input value
+      val aggSrc: Seq[String] = (agg.agg match {
+        case Aggregation.Sum(f) => Seq(f)
+        case Aggregation.Avg(f) => Seq(f)
+        case Aggregation.Min(f) => Seq(f)
+        case Aggregation.Max(f) => Seq(f)
+        case Aggregation.DCount(f) => Seq(f)
+        case Aggregation.DCountApprox(f) => Seq(f)
+        case Aggregation.Percentile(f, _) => Seq(f)
+        case Aggregation.MakeList(f) => Seq(f)
+        case Aggregation.MakeSet(f) => Seq(f)
+        case Aggregation.Stdev(f) => Seq(f)
+        case Aggregation.Variance(f) => Seq(f)
+        case Aggregation.ArgMax(f, r) => Seq(f, r)
+        case Aggregation.ArgMin(f, r) => Seq(f, r)
+        case Aggregation.AggIf(_, f, pred) => f +: fieldRefs(pred)
+        case Aggregation.Countif(e) => fieldRefs(e)
+        case Aggregation.Count => Nil
+      }).map(_.flat)
       val groupCols = df.columns.filter(c =>
         !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))
       val vals = values.map {
@@ -1014,10 +1126,9 @@ final class Compiler(
       else df.select(fields.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
     case QueryStep.Union(sub, ws) =>
-      val leftName = currentSource
+      val leftName = pipelineSource
+      val rightName = sourceNameOf(sub)
       val right = compile(sub)
-      val rightName = currentSource
-      currentSource = leftName // the union's identity stays the left pipe's
       ws match {
         case None => df.unionByName(right, allowMissingColumns = true)
         case Some(colName) =>

@@ -50,6 +50,9 @@ object Kql {
       case QueryStep.RawScan(sql) => s"""raw("$sql")"""
       case QueryStep.RangeScan(n, lo, hi, st) =>
         s"range $n from ${Render.expr(lo)} to ${Render.expr(hi)} step ${Render.expr(st)}"
+      case QueryStep.DataTable(cols, vs) =>
+        s"datatable (${cols.map { case (n, t) => s"$n: $t" }.mkString(", ")}) " +
+          s"[${vs.map(Render.expr).mkString(", ")}]"
       case QueryStep.TopNested(levels) =>
         levels.map(l =>
           s"top-nested ${l.n} of ${l.of.render} by ${l.agg.name} = ${Render.agg(l.agg.agg)}")

@@ -114,6 +114,43 @@ final class Parser(src: String, nowMicros: Long) {
       parseStepTail(steps)
       return Query(steps.result())
     }
+    // `datatable (a: long, b: string) [1, 'x', …]` inline literal source
+    if (atIdent("datatable") && toks.lift(p + 1).exists {
+        case Punct("(", _) => true; case _ => false }) {
+      p += 1
+      eatPunct("(")
+      val cols = Seq.newBuilder[(String, String)]
+      var more = true
+      while (more) {
+        val n = identText()
+        eatPunct(":")
+        val t = identText().toLowerCase match {
+          case k @ ("long" | "int" | "real" | "double" | "string" | "bool" |
+                    "boolean" | "datetime" | "timespan") => k
+          case other => fail(s"unknown datatable column type '$other'")
+        }
+        cols += ((n, t))
+        more = tryPunct(",")
+      }
+      eatPunct(")")
+      eatPunct("[")
+      val values = Seq.newBuilder[Expr]
+      if (!atPunct("]")) {
+        var vmore = true
+        while (vmore) { values += parseExpr(); vmore = tryPunct(",") }
+      }
+      eatPunct("]")
+      val colSeq = cols.result()
+      val valSeq = values.result()
+      arity(colSeq.nonEmpty, "datatable needs at least one column")
+      arity(valSeq.length % colSeq.length == 0,
+        s"datatable value count ${valSeq.length} is not a multiple of " +
+          s"${colSeq.length} columns")
+      val steps = Seq.newBuilder[QueryStep]
+      steps += QueryStep.DataTable(colSeq, valSeq)
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     val source = parseSourceRef()
     val steps = Seq.newBuilder[QueryStep]
     // `conn.coll.raw("…")` / `raw("…")`: native (Spark SQL) pass-through

@@ -582,6 +582,23 @@ object KqlQueries {
         |  10 + floor((n_chars - 10) / 50.0) * 50 AS nb
         |FROM documents
         |WHERE regexp_matches(text, 'table.*table')
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // datatable: inline literal dimension joined against real data —
+    // the lookup-table idiom
+    kq("kql_datatable",
+      """let dims = (datatable (lang: string, label: string)
+        |  ['en', 'english', 'de', 'german', 'fr', 'french']);
+        |documents
+        | | join kind=left (dims) on lang
+        | | summarize n = count() by lbl = coalesce(label, 'other')
+        | | sort by lbl asc""".stripMargin,
+      // the coalesce keeps unmatched docs visible: KQL summarize drops
+      // null group keys, so a bare `by label` would lose them
+      """SELECT coalesce(label, 'other') AS lbl, count(*) AS n FROM documents
+        |LEFT JOIN (VALUES ('en', 'english'), ('de', 'german'),
+        |                  ('fr', 'french')) AS dims(lang, label)
+        |  USING (lang)
+        |GROUP BY 1 ORDER BY lbl""".stripMargin)
   )
 }

@@ -386,6 +386,9 @@ object QueryServer {
       p(s) || (s match {
         case QueryStep.Union(sub, _) => inQuery(sub)
         case QueryStep.Join(_, sub, _) => inQuery(sub)
+        // mv-apply's inner pipeline can itself hold join/union subqueries
+        // — the raw() gate and sink checks must see through it
+        case QueryStep.MvApply(_, _, sub) => inQuery(Query(sub))
         case _ => false
       })
     }

@@ -296,6 +296,80 @@ class ScalarFnSpec extends AnyFunSuite {
       Seq((1L, "a", 10L, 100L), (1L, "b", 20L, 200L)))
   }
 
+  test("datatable builds a typed inline table") {
+    val rows = Kql.run(spark, new Catalog(spark),
+      """datatable (k: string, v: long, w: real, ok: bool, at: datetime)
+        |  ['a', 1, 1.5, true, datetime(2024-01-01),
+        |   'b', -2, 0.5, false, datetime(2024-02-01)]
+        | | sort by k asc""".stripMargin).collect()
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a")
+    assert(rows(0).getLong(1) == 1L)
+    assert(rows(0).getDouble(2) == 1.5)
+    assert(rows(0).getBoolean(3))
+    assert(rows(1).getLong(1) == -2L)
+    assert(rows(1).getTimestamp(4) ==
+      java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+  }
+
+  test("datatable value-count mismatch is a parse error") {
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, new Catalog(spark),
+        "datatable (a: long, b: long) [1, 2, 3] | count")
+    }
+    assert(e.getMessage.contains("multiple"))
+  }
+
+  test("datatable type mismatches fail at compile, not in the executor") {
+    for (bad <- Seq(
+      "datatable (a: long) ['x'] | count",
+      "datatable (a: long) [1.5] | count",
+      "datatable (d: datetime) [5] | count")) {
+      val e = intercept[KqlParseException] {
+        Kql.run(spark, new Catalog(spark), bad).collect()
+      }
+      assert(e.getMessage.contains("does not fit"), bad)
+    }
+  }
+
+  test("range rejects mixed bound types and mismatched steps") {
+    for (bad <- Seq(
+      "range x from 0 to datetime(2024-01-01) step 1",
+      "range x from datetime(2024-01-01) to datetime(2024-01-02) step 1",
+      "range x from 1 to 10 step 1h")) {
+      intercept[KqlParseException] { Kql.run(spark, cat, bad) }
+    }
+  }
+
+  test("pivot with conditional/arg aggregates keeps group granularity") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      ("a", "x", 1L), ("a", "x", -2L), ("a", "y", 5L), ("b", "y", 7L)
+    ).toDF("k", "typ", "v"))
+    val rows = Kql.run(spark, c2,
+      """u | evaluate pivot(typ, s = sumif(v, v > 0), 'x', 'y')
+        |  | sort by k asc""".stripMargin).collect()
+    // v must leave the group-by: one row per k, not per (k, v)
+    assert(rows.length == 2)
+    assert(rows(0).getString(0) == "a" && rows(0).schema.fieldNames.toSeq ==
+      Seq("k", "x", "y"))
+    assert(rows(0).getDouble(1) == 1.0 && rows(0).getDouble(2) == 5.0)
+  }
+
+  test("union withsource labels are immune to joins inside branches") {
+    val c2 = new Catalog(spark)
+    c2.register("alpha", Seq((1L, 1L)).toDF("v", "k"))
+    c2.register("beta", Seq((2L, 1L)).toDF("v", "k"))
+    c2.register("gamma", Seq(1L).toDF("k"))
+    val rows = Kql.run(spark, c2,
+      """alpha
+        | | join kind=inner (gamma) on k
+        | | union withsource=src (beta | join kind=inner (gamma) on k)
+        | | sort by v asc""".stripMargin).collect()
+    val srcIdx = rows.head.schema.fieldIndex("src")
+    assert(rows.map(_.getString(srcIdx)).toSeq == Seq("alpha", "beta"))
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),

@@ -74,6 +74,39 @@ class WindowFnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("serialized"))
   }
 
+  test("dropping or redefining a sort key de-serializes the input") {
+    // project away the key: window must be rejected, not silently random
+    val e1 = intercept[KqlParseException] {
+      Kql.run(spark, cat, "t | sort by v asc | project id | extend rn = row_number()")
+    }
+    assert(e1.getMessage.contains("serialized"))
+    // overwrite the key: same
+    val e2 = intercept[KqlParseException] {
+      Kql.run(spark, cat,
+        "t | sort by v asc | extend v = 0 - v | extend rn = row_number()")
+    }
+    assert(e2.getMessage.contains("serialized"))
+    // projecting the key THROUGH keeps serialization
+    val ok = Kql.run(spark, cat,
+      "t | sort by v asc | project id, v | extend rn = row_number() | sort by rn asc")
+      .collect()
+    assert(ok.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("prev/next default fills only out-of-bounds rows, not real nulls") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("u", Seq(
+      (1L, Some(10L)), (2L, None: Option[Long]), (3L, Some(30L))
+    ).toDF("id", "v"))
+    val rows = Kql.run(spark, c2,
+      """u | sort by id asc | extend p = prev(v, 1, 0 - 1)
+        |  | project id, p | sort by id asc""".stripMargin).collect()
+    assert(rows(0).getLong(1) == -1L) // no previous row: default
+    assert(rows(1).getLong(1) == 10L)
+    assert(rows(2).isNullAt(1))       // previous row EXISTS, value is null
+  }
+
   test("descending sort keys order the window the same way") {
     val rows = Kql.run(spark, cat,
       "t | sort by id desc | extend rn = row_number() | project id, rn | sort by rn asc")
