@@ -157,6 +157,7 @@ final class Compiler(
       case "toint" | "tolong" => KT.Int
       case "toreal" | "todouble" | "todecimal" => KT.Float
       case "tobool" | "toboolean" => KT.Bool
+      case "todynamic" => KT.Var
     }
     case StrCat(_) => KT.Str
     case TextFn(name, _) => name match {
@@ -406,6 +407,9 @@ final class Compiler(
         case ("has", StrLit(s)) => KqlFunctions.has(lc, s)
         case ("has_cs", StrLit(s)) => KqlFunctions.hasCs(lc, s)
         case ("matches_regex", StrLit(s)) => lc.cast(StringType).rlike(s)
+        // case-insensitive equality (=~ / !~): both sides lowercased
+        case ("=~", _) =>
+          lower(lc.cast(StringType)) === lower(compile(df, r).cast(StringType))
         case ("has" | "has_cs", _) =>
           throw KqlParseException(s"'$op' requires a string literal phrase", 0)
         case ("matches_regex", _) =>
@@ -447,6 +451,10 @@ final class Compiler(
         case "toint" | "tolong" => xc.try_cast(LongType)
         case "toreal" | "todouble" | "todecimal" => xc.try_cast(DoubleType)
         case "tobool" | "toboolean" => xc.try_cast(BooleanType)
+        // parse a JSON string into a variant: malformed input → null
+        // (row-error-drop policy), and the result flows through the same
+        // variant field-path/truthiness machinery as native variant columns
+        case "todynamic" => try_parse_json(xc.cast(StringType))
       }
 
     case Exists(x) => compile(df, x).isNotNull

@@ -41,7 +41,7 @@ final case class KqlParseException(
 object Lexer {
   import Token._
 
-  private val multiCharPunct = Seq("==", "!=", "<=", ">=", "..")
+  private val multiCharPunct = Seq("==", "!=", "<=", ">=", "..", "=~", "!~")
 
   def lex(src: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]
@@ -97,7 +97,7 @@ object Lexer {
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         if (multiCharPunct.contains(two)) { out += Punct(two, i); i += 2 }
-        else if ("|,()[].=!<>+-*/$;:".indexOf(c) >= 0) { out += Punct(c.toString, i); i += 1 }
+        else if ("|,()[].=!<>+-*/$;:~".indexOf(c) >= 0) { out += Punct(c.toString, i); i += 1 }
         else throw KqlParseException(s"unexpected character '$c'", i)
       }
     }

@@ -215,6 +215,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "distinct"         => p += 1; QueryStep.Distinct(parseFieldList())
       case "union"            => p += 1; parseUnion()
       case "join"             => p += 1; parseJoin()
+      case "lookup"           => p += 1; parseJoin(defaultKind = Some(JoinKind.Left))
       case "count"            => p += 1; QueryStep.CountStep
       case "getschema"        => p += 1; QueryStep.GetSchema
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
@@ -546,8 +547,10 @@ final class Parser(src: String, nowMicros: Long) {
     }
   }
 
-  private def parseJoin(): QueryStep = {
-    var kind: JoinKind = JoinKind.Inner
+  private def parseJoin(defaultKind: Option[JoinKind] = None): QueryStep = {
+    // `lookup` is join sugar whose default kind is leftouter (dimension
+    // enrichment); bare `join` defaults to inner like the reference
+    var kind: JoinKind = defaultKind.getOrElse(JoinKind.Inner)
     while (atIdent("kind") || atIdent("hint")) {
       if (tryIdent("kind")) {
         eatPunct("=")
@@ -625,6 +628,9 @@ final class Parser(src: String, nowMicros: Long) {
       case Punct(op @ ("==" | "!=" | "<" | "<=" | ">" | ">="), _) =>
         p += 1
         Cmp(op, l, parseAdd())
+      // case-insensitive string equality (real-KQL =~ / !~)
+      case Punct("=~", _) => p += 1; StrOp("=~", l, parseAdd(), negated = false)
+      case Punct("!~", _) => p += 1; StrOp("=~", l, parseAdd(), negated = true)
       case Punct("!", _) =>
         // negated predicate: !in / !between / !contains / !has …
         p += 1
@@ -637,18 +643,25 @@ final class Parser(src: String, nowMicros: Long) {
 
   private val predWords = Set(
     "in", "between", "contains", "startswith", "endswith", "has", "has_cs",
-    "matches")
+    "matches", "has_any", "has_all")
 
   private def parsePredTail(l: Expr, negated: Boolean): Expr = {
     val w = identText().toLowerCase
     w match {
       case "in" =>
+        // `in~` is the case-insensitive variant: desugar to =~ disjunction
+        val ci = tryPunct("~")
         eatPunct("(")
         val items = Seq.newBuilder[Expr]
         var done = false
         while (!done) { items += parseExpr(); done = !tryPunct(",") }
         eatPunct(")")
-        In(l, items.result(), negated)
+        if (ci) {
+          val ors = items.result()
+            .map(it => StrOp("=~", l, it, negated = false): Expr)
+            .reduce((a, b) => Or(a, b))
+          if (negated) Not(ors) else ors
+        } else In(l, items.result(), negated)
       case "between" =>
         eatPunct("(")
         val lo = parseAdd()
@@ -661,6 +674,19 @@ final class Parser(src: String, nowMicros: Long) {
       case "matches" =>
         eatIdent("regex")
         StrOp("matches_regex", l, parseAdd(), negated)
+      // any/all of a phrase list: desugars to a has disjunction/conjunction
+      case w2 @ ("has_any" | "has_all") =>
+        eatPunct("(")
+        val items = Seq.newBuilder[Expr]
+        var done = false
+        while (!done) { items += parseExpr(); done = !tryPunct(",") }
+        eatPunct(")")
+        val preds = items.result()
+          .map(it => StrOp("has", l, it, negated = false): Expr)
+        val combined =
+          if (w2 == "has_any") preds.reduce((a, b) => Or(a, b))
+          else preds.reduce((a, b) => And(a, b))
+        if (negated) Not(combined) else combined
       case other => fail(s"unknown predicate '$other'")
     }
   }
@@ -737,7 +763,8 @@ final class Parser(src: String, nowMicros: Long) {
     "split", "indexof", "array_length", "strcat_delim",
     "row_number", "prev", "next", "row_cumsum",
     "countof", "extract_all", "bin_at", "tohex",
-    "base64_encode_tostring", "base64_decode_tostring")
+    "base64_encode_tostring", "base64_decode_tostring",
+    "todynamic", "parse_json")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -915,6 +942,9 @@ final class Parser(src: String, nowMicros: Long) {
                 "todecimal" | "tobool" | "toboolean") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")
         Cast(c, a.head)
+      case c @ ("todynamic" | "parse_json") =>
+        val a = args(); arity(a.length == 1, s"$c() takes 1 arg")
+        Cast("todynamic", a.head)
       case other => fail(s"unknown function '$other'")
     }
     eatPunct(")")

@@ -28,8 +28,13 @@ object Render {
     case Between(x, lo, hi, neg) =>
       s"${paren(x)} ${if (neg) "!between" else "between"} (${expr(lo)} .. ${expr(hi)})"
     case StrOp(op, l, r, neg) =>
-      val word = if (op == "matches_regex") "matches regex" else op
-      s"${paren(l)} ${if (neg) "!" + word else word} ${paren(r)}"
+      val word = op match {
+        case "matches_regex" => "matches regex"
+        case "=~" => if (neg) "!~" else "=~"
+        case o => o
+      }
+      val shown = if (neg && op != "=~") "!" + word else word
+      s"${paren(l)} $shown ${paren(r)}"
     case Case(branches, default) =>
       "case(" + branches.map { case (c, v) => s"${expr(c)}, ${expr(v)}" }
         .mkString(", ") + s", ${expr(default)})"

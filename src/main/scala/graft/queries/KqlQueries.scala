@@ -599,6 +599,45 @@ object KqlQueries {
         |LEFT JOIN (VALUES ('en', 'english'), ('de', 'german'),
         |                  ('fr', 'french')) AS dims(lang, label)
         |  USING (lang)
-        |GROUP BY 1 ORDER BY lbl""".stripMargin)
+        |GROUP BY 1 ORDER BY lbl""".stripMargin),
+
+    // case-insensitive operator family (=~, in~) and phrase-list
+    // predicates (has_any / has_all)
+    kq("kql_ci_ops",
+      """documents
+        | | where lang =~ 'EN' or lang in~ ('DE', 'FR')
+        | | where text has_any ('spark', 'window') and text !has_all ('zebra', 'quark')
+        | | summarize n = count() by lang
+        | | sort by lang asc""".stripMargin,
+      """SELECT lang, count(*) AS n FROM documents
+        |WHERE (lower(lang) = lower('EN')
+        |       OR lower(lang) IN (lower('DE'), lower('FR')))
+        |  AND (regexp_matches(text, '(?i)(^|[^A-Za-z0-9])spark([^A-Za-z0-9]|$)')
+        |       OR regexp_matches(text, '(?i)(^|[^A-Za-z0-9])window([^A-Za-z0-9]|$)'))
+        |  AND NOT (regexp_matches(text, '(?i)(^|[^A-Za-z0-9])zebra([^A-Za-z0-9]|$)')
+        |       AND regexp_matches(text, '(?i)(^|[^A-Za-z0-9])quark([^A-Za-z0-9]|$)'))
+        |GROUP BY 1 ORDER BY lang""".stripMargin),
+
+    // todynamic: JSON text parsed into a variant, then the usual variant
+    // field-path machinery
+    kq("kql_todynamic",
+      """events
+        | | extend d = todynamic(props)
+        | | project event_id, k = toint(d.k)
+        | | sort by event_id asc | limit 2000""".stripMargin,
+      """SELECT event_id,
+        |       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin),
+
+    // lookup: dimension-enrichment join sugar, default kind=leftouter
+    kq("kql_lookup",
+      """customer
+        | | lookup (nation | project n_nationkey, n_name)
+        |     on $left.c_nationkey == $right.n_nationkey
+        | | summarize cnt = count() by n_name
+        | | sort by n_name asc""".stripMargin,
+      """SELECT n_name, count(*) AS cnt FROM customer
+        |LEFT JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin)
   )
 }

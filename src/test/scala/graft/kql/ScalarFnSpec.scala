@@ -370,6 +370,54 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(rows.map(_.getString(srcIdx)).toSeq == Seq("alpha", "beta"))
   }
 
+  test("=~ / !~ / in~ compare case-insensitively") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq("Alpha", "BETA", "gamma").toDF("s"))
+    assert(Kql.run(spark, c2, "u | where s =~ 'alpha' | count")
+      .as[Long].head() == 1L)
+    assert(Kql.run(spark, c2, "u | where s !~ 'ALPHA' | count")
+      .as[Long].head() == 2L)
+    assert(Kql.run(spark, c2, "u | where s in~ ('beta', 'GAMMA') | count")
+      .as[Long].head() == 2L)
+  }
+
+  test("has_any / has_all are whole-phrase, case-insensitive") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      "the Spark engine", "a window function", "sparkle and win"
+    ).toDF("s"))
+    assert(Kql.run(spark, c2,
+      "u | where s has_any ('spark', 'window') | count").as[Long].head() == 2L)
+    val all = Kql.run(spark, c2,
+      "u | where s has_all ('spark', 'engine') | count").as[Long].head()
+    assert(all == 1L) // 'sparkle' is not the phrase 'spark'
+  }
+
+  test("todynamic parses JSON text into a variant; bad input is null") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(
+      (1L, """{"a": 5, "b": {"c": "x"}}"""), (2L, "not json")
+    ).toDF("id", "j"))
+    val rows = Kql.run(spark, c2,
+      """u | extend d = todynamic(j)
+        |  | project id, a = toint(d.a), c = tostring(d.b.c), ok = exists(d)
+        |  | sort by id asc""".stripMargin).collect()
+    assert(rows(0).getLong(1) == 5L)
+    assert(rows(0).getString(2) == "x")
+    assert(rows(0).getBoolean(3))
+    assert(rows(1).isNullAt(1) && !rows(1).getBoolean(3))
+  }
+
+  test("lookup defaults to a left-outer dimension join") {
+    val c2 = new Catalog(spark)
+    c2.register("facts", Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v"))
+    c2.register("dim", Seq((1L, "one"), (2L, "two")).toDF("k", "name"))
+    val rows = Kql.run(spark, c2,
+      "facts | lookup (dim) on k | project v, name | sort by v asc").collect()
+    assert(rows.length == 3)
+    assert(rows(2).isNullAt(1)) // unmatched fact survives with null name
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
