@@ -288,10 +288,13 @@ object QueryStep {
     * (`parser.rs:1122-1163`); multi-key conditions (`on $left.a ==
     * $right.a, $left.b == $right.b`) are real-KQL surface beyond it. A
     * row with a null/missing value in ANY key drops from both sides, the
-    * one-key rule applied conjunctively. */
+    * one-key rule applied conjunctively — EXCEPT under `lookup` sugar,
+    * where null-key left rows survive unmatched and the right key columns
+    * are dropped from the output (KQL lookup semantics). */
   final case class Join(
       kind: JoinKind, sub: Query,
-      keys: Seq[(FieldPath, FieldPath)]) extends QueryStep
+      keys: Seq[(FieldPath, FieldPath)],
+      lookup: Boolean = false) extends QueryStep
   case object CountStep extends QueryStep
   /** `getschema` — one row per column: (ColumnName, ColumnOrdinal,
     * DataType, ColumnType), KQL's schema-introspection step. Computed from

@@ -407,9 +407,11 @@ final class Compiler(
         case ("has", StrLit(s)) => KqlFunctions.has(lc, s)
         case ("has_cs", StrLit(s)) => KqlFunctions.hasCs(lc, s)
         case ("matches_regex", StrLit(s)) => lc.cast(StringType).rlike(s)
-        // case-insensitive equality (=~ / !~): both sides lowercased
+        // case-insensitive equality (=~ / !~): both sides lowercased.
+        // Null-safe like == (Cmp lowers via <=>): negation contexts must
+        // see false, not null, or !~ would silently drop null rows
         case ("=~", _) =>
-          lower(lc.cast(StringType)) === lower(compile(df, r).cast(StringType))
+          lower(lc.cast(StringType)) <=> lower(compile(df, r).cast(StringType))
         case ("has" | "has_cs", _) =>
           throw KqlParseException(s"'$op' requires a string literal phrase", 0)
         case ("matches_regex", _) =>
@@ -1145,7 +1147,8 @@ final class Compiler(
               allowMissingColumns = true)
       }
 
-    case QueryStep.Join(kind, sub, keys) => compileJoin(df, kind, sub, keys)
+    case QueryStep.Join(kind, sub, keys, lookup) =>
+      compileJoin(df, kind, sub, keys, lookup)
 
     case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
 
@@ -1371,7 +1374,7 @@ final class Compiler(
     */
   private def compileJoin(
       left: DataFrame, kind: JoinKind, sub: Query,
-      keys: Seq[(FieldPath, FieldPath)]): DataFrame = {
+      keys: Seq[(FieldPath, FieldPath)], lookup: Boolean = false): DataFrame = {
     val right = compile(sub)
     // key expressions compile through the schema-aware path BEFORE aliasing,
     // into temp columns: nested (`a.b`), array-indexed (`a.b[0]`), variant,
@@ -1380,13 +1383,16 @@ final class Compiler(
     // null key drops the row, the one-key rule applied conjunctively), and
     // the join condition stays plain column equalities (equi-join →
     // hash/broadcast-able)
+    // lookup keeps null-key left rows (they survive unmatched, like any
+    // other key without a dimension row) — the plain === condition below
+    // already guarantees nulls never MATCH
     val l = keys.zipWithIndex.foldLeft(left) { case (d, ((lk, _), i)) =>
-      d.withColumn(s"__lkey$i", compileField(left, lk))
-        .filter(col(s"__lkey$i").isNotNull)
+      val keyed = d.withColumn(s"__lkey$i", compileField(left, lk))
+      if (lookup) keyed else keyed.filter(col(s"__lkey$i").isNotNull)
     }.alias("__l")
     val r = keys.zipWithIndex.foldLeft(right) { case (d, ((_, rk), i)) =>
-      d.withColumn(s"__rkey$i", compileField(right, rk))
-        .filter(col(s"__rkey$i").isNotNull)
+      val keyed = d.withColumn(s"__rkey$i", compileField(right, rk))
+      if (lookup) keyed else keyed.filter(col(s"__rkey$i").isNotNull)
     }.alias("__r")
 
     val cond = keys.indices
@@ -1432,10 +1438,14 @@ final class Compiler(
     def qualL(c: String) = col(s"__l.$c")
     def qualR(c: String) = col(s"__r.$c")
 
+    val rKeyNameSet = keys.map { case (_, rk) => keyName(rk).toLowerCase }.toSet
     val out: Seq[Column] = kind match {
       case JoinKind.Left =>
+        // lookup drops the right key columns entirely (KQL lookup output)
         leftCols.map(c => qualL(c).as(c)) ++
-          rightCols.filterNot(leftCols.contains).map(c => qualR(c).as(c))
+          rightCols.filterNot(leftCols.contains)
+            .filterNot(c => lookup && rKeyNameSet.contains(c.toLowerCase))
+            .map(c => qualR(c).as(c))
       case JoinKind.Right =>
         rightCols.map(c => qualR(c).as(c)) ++
           leftCols.filterNot(rightCols.contains).map(c => qualL(c).as(c))

@@ -82,11 +82,12 @@ object Kql {
       case QueryStep.Union(sub, ws) =>
         val w = ws.map(c => s"withsource=$c ").getOrElse("")
         s"union $w(\n${renderQuery(sub, indent + "  ")}\n$indent)"
-      case QueryStep.Join(k, sub, keys) =>
+      case QueryStep.Join(k, sub, keys, lookup) =>
         val cond = keys.map { case (lk, rk) =>
           s"$$left.${lk.render} == $$right.${rk.render}"
         }.mkString(", ")
-        s"join kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $cond"
+        val step = if (lookup) "lookup" else "join"
+        s"$step kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $cond"
       case QueryStep.CountStep => "count"
       case QueryStep.GetSchema => "getschema"
       case QueryStep.Write(t) => s"write $t"

@@ -215,7 +215,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "distinct"         => p += 1; QueryStep.Distinct(parseFieldList())
       case "union"            => p += 1; parseUnion()
       case "join"             => p += 1; parseJoin()
-      case "lookup"           => p += 1; parseJoin(defaultKind = Some(JoinKind.Left))
+      case "lookup"           => p += 1; parseJoin(lookup = true)
       case "count"            => p += 1; QueryStep.CountStep
       case "getschema"        => p += 1; QueryStep.GetSchema
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
@@ -547,10 +547,11 @@ final class Parser(src: String, nowMicros: Long) {
     }
   }
 
-  private def parseJoin(defaultKind: Option[JoinKind] = None): QueryStep = {
-    // `lookup` is join sugar whose default kind is leftouter (dimension
-    // enrichment); bare `join` defaults to inner like the reference
-    var kind: JoinKind = defaultKind.getOrElse(JoinKind.Inner)
+  private def parseJoin(lookup: Boolean = false): QueryStep = {
+    // `lookup` is join sugar: default kind leftouter, only
+    // leftouter/inner allowed, right key columns dropped, null-key left
+    // rows survive unmatched (dimension-enrichment semantics)
+    var kind: JoinKind = if (lookup) JoinKind.Left else JoinKind.Inner
     while (atIdent("kind") || atIdent("hint")) {
       if (tryIdent("kind")) {
         eatPunct("=")
@@ -599,7 +600,9 @@ final class Parser(src: String, nowMicros: Long) {
     val keys = Seq.newBuilder[(FieldPath, FieldPath)]
     keys += keyPair()
     while (tryPunct(",")) keys += keyPair()
-    QueryStep.Join(kind, sub, keys.result())
+    if (lookup && kind != JoinKind.Left && kind != JoinKind.Inner)
+      fail("lookup allows kind=leftouter (default) or kind=inner only")
+    QueryStep.Join(kind, sub, keys.result(), lookup)
   }
 
   // ───────────────────────── expressions ─────────────────────────
@@ -651,17 +654,13 @@ final class Parser(src: String, nowMicros: Long) {
       case "in" =>
         // `in~` is the case-insensitive variant: desugar to =~ disjunction
         val ci = tryPunct("~")
-        eatPunct("(")
-        val items = Seq.newBuilder[Expr]
-        var done = false
-        while (!done) { items += parseExpr(); done = !tryPunct(",") }
-        eatPunct(")")
+        val items = parseExprList()
         if (ci) {
-          val ors = items.result()
+          val ors = items
             .map(it => StrOp("=~", l, it, negated = false): Expr)
             .reduce((a, b) => Or(a, b))
           if (negated) Not(ors) else ors
-        } else In(l, items.result(), negated)
+        } else In(l, items, negated)
       case "between" =>
         eatPunct("(")
         val lo = parseAdd()
@@ -676,12 +675,10 @@ final class Parser(src: String, nowMicros: Long) {
         StrOp("matches_regex", l, parseAdd(), negated)
       // any/all of a phrase list: desugars to a has disjunction/conjunction
       case w2 @ ("has_any" | "has_all") =>
-        eatPunct("(")
-        val items = Seq.newBuilder[Expr]
-        var done = false
-        while (!done) { items += parseExpr(); done = !tryPunct(",") }
-        eatPunct(")")
-        val preds = items.result()
+        val items = parseExprList()
+        arity(items.forall(_.isInstanceOf[StrLit]),
+          s"$w2 takes string literal phrases")
+        val preds = items
           .map(it => StrOp("has", l, it, negated = false): Expr)
         val combined =
           if (w2 == "has_any") preds.reduce((a, b) => Or(a, b))
@@ -689,6 +686,16 @@ final class Parser(src: String, nowMicros: Long) {
         if (negated) Not(combined) else combined
       case other => fail(s"unknown predicate '$other'")
     }
+  }
+
+  /** Parenthesized comma-separated expression list: `(e1, e2, …)`. */
+  private def parseExprList(): Seq[Expr] = {
+    eatPunct("(")
+    val items = Seq.newBuilder[Expr]
+    var done = false
+    while (!done) { items += parseExpr(); done = !tryPunct(",") }
+    eatPunct(")")
+    items.result()
   }
 
   private def parseAdd(): Expr = {

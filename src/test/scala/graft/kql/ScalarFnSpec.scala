@@ -418,6 +418,34 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1)) // unmatched fact survives with null name
   }
 
+  test("lookup keeps null-key rows, drops right key cols, limits kinds") {
+    val c2 = new Catalog(spark)
+    c2.register("facts", Seq(
+      (Some(1L), 10L), (None: Option[Long], 99L)).toDF("k", "v"))
+    c2.register("dim", Seq((1L, "one")).toDF("dk", "name"))
+    val df = Kql.run(spark, c2,
+      """facts | lookup (dim) on $left.k == $right.dk
+        |      | sort by v asc""".stripMargin)
+    // right key column dk is dropped from the output (KQL lookup)
+    assert(df.columns.toSeq == Seq("k", "v", "name"))
+    val rows = df.collect()
+    assert(rows.length == 2)       // the null-key fact SURVIVES…
+    assert(rows(1).isNullAt(2))    // …unmatched
+    intercept[KqlParseException] { // and exotic kinds are rejected
+      Kql.run(spark, c2, "facts | lookup kind=rightanti (dim) on $left.k == $right.dk")
+    }
+  }
+
+  test("!~ and !in~ keep null rows (null-safe like != / !in)") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(Some("Alpha"), None: Option[String]).toDF("s"))
+    // the null row is NOT equal to 'alpha', so negation keeps it
+    assert(Kql.run(spark, c2, "u | where s !~ 'alpha' | count")
+      .as[Long].head() == 1L)
+    assert(Kql.run(spark, c2, "u | where s !in~ ('alpha') | count")
+      .as[Long].head() == 1L)
+  }
+
   test("render round-trips the new functions") {
     import Expr._
     assert(Render.expr(NullFn("coalesce", Seq(Field(FieldPath.simple("a")),
