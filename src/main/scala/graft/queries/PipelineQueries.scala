@@ -95,6 +95,19 @@ object PipelineQueries {
           TextAnalysis.tokenCount(col("text")).as("n_tokens"))
         .orderBy("doc_id")),
 
+    // BPE-ish subword pre-tokenization count (GPT-2-style pattern classes:
+    // letter runs, digit runs, punct runs) — both engines run the same RE2
+    Q("pl_token_count_bpe",
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]+')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin)(
+      (s, d) => Tables.load(s, d, "documents")
+        .select(
+          col("doc_id"),
+          size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpeish"))
+        .orderBy("doc_id")),
+
     Q("pl_quality",
       """SELECT doc_id,
         |       CAST(len(text) AS BIGINT) AS n_chars,
