@@ -8,7 +8,7 @@ import com.fasterxml.jackson.databind.ObjectMapper
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.Trigger
-import graft.kql.{Catalog, Compiler, Kql, KqlParseException, Parsed, Query, QueryStep}
+import graft.kql.{Aggregation, Catalog, Compiler, Kql, KqlParseException, Parsed, Query, QueryStep}
 
 /** HTTP/SSE API mirroring the reference's server surface
   * (`miso-server/src/http_server.rs`): `POST /query` streams result rows as
@@ -401,6 +401,20 @@ object QueryServer {
     case _ => false
   }
 
+  /** Whether a step's aggregates can execute as a streaming aggregation —
+    * exact distinct (dcount/dcountif) cannot (Spark rejects distinct aggs
+    * on streaming frames), so such queries fall back to batch final-only
+    * results instead of crashing the partial path. `dcount_approx` is the
+    * streamable alternative (mergeable HLL++ sketches). */
+  private def streamableAggs(s: QueryStep): Boolean = s match {
+    case QueryStep.Summarize(aggs, _) => aggs.forall(_.agg match {
+      case _: Aggregation.DCount => false
+      case Aggregation.AggIf("dcountif", _, _) => false
+      case _ => true
+    })
+    case _ => true
+  }
+
   /** Partial-stream eligibility, mirroring the reference's
     * (`miso-workflow/src/lib.rs:400-434`): the pipeline must contain a
     * blocking aggregate (something to refine), everything after the last
@@ -422,7 +436,8 @@ object QueryServer {
       !anyStep(parsed) {
         case _: QueryStep.Write | _: QueryStep.Tee => true
         case _ => false
-      }
+      } &&
+      !anyStep(parsed)(s => !streamableAggs(s))
   }
 
   /** Start on an ephemeral (or given) port, loopback-only by default. */

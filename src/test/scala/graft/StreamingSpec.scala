@@ -45,6 +45,46 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("extended aggregates run on the streaming (partial) path") {
+    val dir = Files.createTempDirectory("graft_stream_ext").toString
+    val data = Seq(("a", 1.0), ("a", 4.0), ("b", 9.0)).toDF("k", "v")
+    data.coalesce(1).write.mode("append").parquet(dir)
+    val cat = new Catalog(spark)
+    cat.register("sx", spark.read.parquet(dir))
+    cat.registerStream("sx",
+      spark.readStream.schema(data.schema).parquet(dir))
+    val parsed = Kql.parse(
+      "sx | summarize st = make_set(k), sd = stdev(v), am = arg_max(v, k), s = sumif(v, v > 1.0)")
+    val df = new graft.kql.Compiler(spark, cat, parsed.lets,
+      streamFirstScan = true).compile(parsed.query)
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName("prog_ext").start()
+    try {
+      q.processAllAvailable()
+      val r = spark.table("prog_ext").collect().head
+      assert(r.getSeq[String](0) == Seq("a", "b"))
+      assert(math.abs(r.getDouble(1) - math.sqrt(
+        ((1.0 - 14.0 / 3) * (1.0 - 14.0 / 3) + (4.0 - 14.0 / 3) * (4.0 - 14.0 / 3) +
+          (9.0 - 14.0 / 3) * (9.0 - 14.0 / 3)) / 2)) < 1e-9)
+      assert(r.getString(2) == "b") // arg_max(v=9)
+      assert(r.getDouble(3) == 13.0)
+    } finally q.stop()
+  }
+
+  test("exact-distinct queries are NOT partial-eligible (streaming can't run them)") {
+    import graft.server.QueryServer
+    // dcount → fall back to batch final-only instead of crashing mid-stream
+    assert(!QueryServer.partialEligible(Kql.parse(
+      "events | summarize d = dcount(user_id) by event_type")))
+    assert(!QueryServer.partialEligible(Kql.parse(
+      "events | summarize d = dcountif(user_id, value > 1.0) by event_type")))
+    // the approximate form streams fine and stays eligible
+    assert(QueryServer.partialEligible(Kql.parse(
+      "events | summarize d = dcount_approx(user_id) by event_type")))
+    assert(QueryServer.partialEligible(Kql.parse(
+      "events | summarize st = make_set(event_type), n = count() by user_id")))
+  }
+
   test("windowed streaming bin with watermark bounds state") {
     val dir = Files.createTempDirectory("graft_stream2").toString
     val data = Seq(
