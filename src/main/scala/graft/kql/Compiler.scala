@@ -647,6 +647,17 @@ final class Compiler(
               "strcat_delim() delimiter must be a string literal", 0)
           }
           concat_ws(delim, args.tail.map(a => compile(df, a).cast(StringType)): _*)
+        // strcat_array(arr, delim): join array elements into one string
+        // (Kusto strcat_array). Null elements are skipped (concat_ws
+        // semantics via array_join's null-replacement being absent).
+        case "strcat_array" =>
+          val delim = args(1) match {
+            case StrLit(v) => v
+            case _ => throw KqlParseException(
+              "strcat_array() delimiter must be a string literal", 0)
+          }
+          array_join(
+            transform(compile(df, args.head), e => e.cast(StringType)), delim)
       }
 
     // serialized window scalars: ordered by the preceding sort's keys.

@@ -767,7 +767,7 @@ final class Parser(src: String, nowMicros: Long) {
     "weekofyear", "datetime_diff",
     "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
-    "split", "indexof", "array_length", "strcat_delim",
+    "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
     "countof", "extract_all", "bin_at", "tohex",
     "base64_encode_tostring", "base64_decode_tostring",
@@ -914,6 +914,12 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length >= 2, "strcat_delim() takes (delimiter, e1, …)")
         ArrFn("strcat_delim", a)
+      case "strcat_array" =>
+        val a = args()
+        arity(a.length == 2, "strcat_array() takes (array, delimiter)")
+        arity(a(1).isInstanceOf[StrLit],
+          "strcat_array() delimiter must be a string literal")
+        ArrFn("strcat_array", a)
       case "row_number" =>
         val a = args()
         arity(a.length <= 1, "row_number() takes an optional starting index")

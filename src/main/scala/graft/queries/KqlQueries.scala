@@ -359,7 +359,9 @@ object KqlQueries {
     // extended aggregates: sample stdev/variance (floored at fixed scale —
     // accumulation order differs across engines, so raw doubles can't
     // hash), total-ruled arg extremes (extreme key, then extreme return
-    // value on ties), and sorted make_set
+    // value on ties), and sorted make_set projected as a joined string —
+    // the driver's pandas comparator cannot sort/hash array cells, so the
+    // gate-visible column must be scalar (strcat_array on both sides)
     kq("kql_agg_ext",
       """lineitem
         | | summarize sd = stdev(l_quantity), va = variance(l_quantity),
@@ -368,15 +370,16 @@ object KqlQueries {
         |             st = make_set(l_linestatus)
         |     by l_returnflag
         | | extend sdi = toint(bin(sd * 1000.0, 1.0)),
-        |          vai = toint(bin(va * 1000.0, 1.0))
-        | | project l_returnflag, sdi, vai, am, an, st
+        |          vai = toint(bin(va * 1000.0, 1.0)),
+        |          sts = strcat_array(st, ',')
+        | | project l_returnflag, sdi, vai, am, an, sts
         | | sort by l_returnflag asc""".stripMargin,
       """SELECT l_returnflag,
         |  CAST(floor(stddev_samp(l_quantity) * 1000) AS BIGINT) AS sdi,
         |  CAST(floor(var_samp(l_quantity) * 1000) AS BIGINT) AS vai,
         |  (array_agg(l_orderkey ORDER BY l_extendedprice DESC, l_orderkey DESC))[1] AS am,
         |  (array_agg(l_orderkey ORDER BY l_extendedprice ASC, l_orderkey ASC))[1] AS an,
-        |  list_sort(list_distinct(list(l_linestatus))) AS st
+        |  array_to_string(list_sort(list_distinct(list(l_linestatus))), ',') AS sts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // hierarchical top-k: level 1 keeps the top 3 event types by count,
