@@ -81,6 +81,117 @@ object PipelineQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  /** DuckDB mirror of [[Dedup.minhashDupPairs]] (n=3, k=64, r=4, θ=0.4):
+    * a full XXH64 implementation in HUGEINT mod-2^64 SQL — stripe lanes
+    * fold through a struct `list_reduce`, 8/4/1-byte tails and the final
+    * avalanche chain through `* REPLACE` CTEs, and 64-bit multiplies split
+    * the left operand at 2^32 so every product stays inside signed
+    * HUGEINT. Validated byte-for-byte against the reference xxHash test
+    * vectors and Spark's `XXH64.hashUnsafeBytes` (seeds 0–63).
+    *
+    * Two documented equivalences vs the engine:
+    *  - bytes are taken as `unicode(char)` per split character, which
+    *    equals UTF-8 bytes only for ASCII — true of the generated corpus
+    *    (asserted: octet_length(encode(text)) = length(text) at all SFs);
+    *  - band buckets compare the signature slice VALUES for equality
+    *    where the engine compares xxhash64 of the rendered slice string —
+    *    identical output unless two distinct slices collide in 64 bits.
+    */
+  private val minhashOracleSql: String = {
+    val W = "18446744073709551616" // 2^64
+    val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
+    val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
+    val P3 = "1609587929392839161"   // 0x165667B19E3779F9
+    val P4 = "9650029242287828579"   // 0x85EBCA77C2B2AE63
+    val P5 = "2870177450012600261"   // 0x27D4EB2F165667C5
+    // (a*b) mod 2^64 with a,b < 2^64: split a at 2^32 so both partial
+    // products stay below 2^96 (signed HUGEINT holds up to 2^127-1)
+    def mul(a: String, b: String): String =
+      s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * ($b) % 4294967296) * 4294967296) % $W"
+    def rotl(x: String, r: Int): String = {
+      val lo = java.math.BigInteger.ONE.shiftLeft(64 - r).toString
+      val sh = java.math.BigInteger.ONE.shiftLeft(r).toString
+      s"((($x) % $lo) * $sh + ($x) // $lo)"
+    }
+    def rnd(acc: String, inp: String): String =
+      mul(rotl(s"(($acc) + ${mul(inp, P2)}) % $W", 31), P1)
+    def rnd0(inp: String): String = mul(rotl(mul(inp, P2), 31), P1)
+    def mergeRnd(h: String, v: String): String =
+      s"(${mul(s"xor(($h), ${rnd0(v)})", P1)} + $P4) % $W"
+    // little-endian 8-byte word from the 1-based byte list at offset expr
+    def word8(base: String): String =
+      (0 until 8).map(j =>
+        s"bs[$base+${j + 1}] * ${java.math.BigInteger.ONE.shiftLeft(8 * j)}")
+        .mkString(" + ")
+    val dword = "bs[CAST((n//8)*8+1 AS BIGINT)] + bs[CAST((n//8)*8+2 AS BIGINT)]*256 + " +
+      "bs[CAST((n//8)*8+3 AS BIGINT)]*65536 + bs[CAST((n//8)*8+4 AS BIGINT)]*16777216"
+    s"""WITH docs AS (SELECT doc_id,
+       |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
+       |  FROM documents),
+       |shs AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, len(toks) - 1),
+       |      i -> array_to_string(toks[i:i+2], ' '))) AS s
+       |  FROM docs WHERE len(toks) >= 3),
+       |ds AS (SELECT DISTINCT unnest(s) AS t FROM shs),
+       |pre0 AS (SELECT t,
+       |  list_transform(string_split(t,''), c -> CAST(unicode(c) AS HUGEINT)) AS bs,
+       |  CAST(octet_length(encode(t)) AS HUGEINT) AS n FROM ds),
+       |pre AS (SELECT t, bs, n, n // 32 AS nst,
+       |  list_transform(range(0, CAST(n // 8 AS BIGINT)), i -> ${word8("8*i")}) AS w8
+       |  FROM pre0),
+       |sd AS (SELECT t, bs, n, nst, w8, CAST(s.seed AS HUGEINT) AS seed FROM pre
+       |       CROSS JOIN (SELECT unnest(range(0,64)) AS seed) s),
+       |st AS (SELECT *, CASE WHEN nst > 0 THEN list_reduce(
+       |    list_prepend({'a': (seed + $P1 + $P2) % $W, 'b': (seed + $P2) % $W,
+       |                  'c': seed, 'd': (seed - $P1 + $W) % $W},
+       |      list_transform(range(0, CAST(nst AS BIGINT)), i ->
+       |        {'a': w8[4*i+1], 'b': w8[4*i+2], 'c': w8[4*i+3], 'd': w8[4*i+4]})),
+       |    (s, u) -> {'a': ${rnd("s.a", "u.a")}, 'b': ${rnd("s.b", "u.b")},
+       |               'c': ${rnd("s.c", "u.c")}, 'd': ${rnd("s.d", "u.d")}})
+       |  ELSE NULL END AS v FROM sd),
+       |m0 AS (SELECT *, CASE WHEN nst > 0 THEN
+       |    (${rotl("v.a", 1)} + ${rotl("v.b", 7)} + ${rotl("v.c", 12)} + ${rotl("v.d", 18)}) % $W
+       |  ELSE (seed + $P5) % $W END AS h FROM st),
+       |m1 AS (SELECT * REPLACE (CASE WHEN nst > 0 THEN ${mergeRnd("h", "v.a")} ELSE h END AS h) FROM m0),
+       |m2 AS (SELECT * REPLACE (CASE WHEN nst > 0 THEN ${mergeRnd("h", "v.b")} ELSE h END AS h) FROM m1),
+       |m3 AS (SELECT * REPLACE (CASE WHEN nst > 0 THEN ${mergeRnd("h", "v.c")} ELSE h END AS h) FROM m2),
+       |m4 AS (SELECT * REPLACE (CASE WHEN nst > 0 THEN ${mergeRnd("h", "v.d")} ELSE h END AS h) FROM m3),
+       |l0 AS (SELECT * REPLACE ((h + n) % $W AS h) FROM m4),
+       |l8 AS (SELECT * REPLACE (list_reduce(
+       |    list_prepend(h, w8[CAST(nst*4+1 AS BIGINT):CAST(n//8 AS BIGINT)]),
+       |    (h, w) -> (${mul(rotl(s"xor(h, ${rnd0("w")})", 27), P1)} + $P4) % $W) AS h) FROM l0),
+       |l4 AS (SELECT * REPLACE (CASE WHEN n % 8 >= 4 THEN
+       |    (${mul(rotl(s"xor(h, ${mul(dword, P1)})", 23), P2)} + $P3) % $W
+       |  ELSE h END AS h) FROM l8),
+       |l1 AS (SELECT * REPLACE (list_reduce(
+       |    list_prepend(h, bs[CAST((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1 AS BIGINT):CAST(n AS BIGINT)]),
+       |    (h, c) -> ${mul(rotl(s"xor(h, ${mul("c", P5)})", 11), P1)}) AS h) FROM l4),
+       |a1 AS (SELECT * REPLACE (xor(h, h // 8589934592) AS h) FROM l1),
+       |a2 AS (SELECT * REPLACE (${mul("h", P2)} AS h) FROM a1),
+       |a3 AS (SELECT * REPLACE (xor(h, h // 536870912) AS h) FROM a2),
+       |a4 AS (SELECT * REPLACE (${mul("h", P3)} AS h) FROM a3),
+       |a5 AS (SELECT * REPLACE (xor(h, h // 4294967296) AS h) FROM a4),
+       |hv AS (SELECT t,
+       |  CAST(CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS BIGINT) AS hv,
+       |  CAST(seed AS BIGINT) AS seed FROM a5),
+       |docsh AS (SELECT doc_id, unnest(s) AS t FROM shs),
+       |sigs AS (SELECT doc_id, seed, min(hv) AS mh FROM docsh JOIN hv USING (t)
+       |         GROUP BY doc_id, seed),
+       |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigs GROUP BY doc_id),
+       |bands AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bucket
+       |          FROM sig CROSS JOIN (SELECT unnest(range(0,16)) AS b)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+       |         WHERE a.doc_id < b.doc_id),
+       |jac AS (SELECT id_a, id_b,
+       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+       |    len(sa.s) AS na, len(sb.s) AS nb
+       |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+       |            JOIN shs sb ON cand.id_b = sb.doc_id)
+       |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard FROM jac
+       |WHERE inter / (na + nb - inter) >= 0.4 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ───── text analysis ─────
@@ -199,9 +310,11 @@ object PipelineQueries {
           .orderBy("id_a", "id_b")
       }),
 
-    // MinHash+LSH near-dup pairs (xxhash64 signatures — rows-only here,
-    // recall/precision asserted in PipelineSpec with planted duplicates)
-    Q.noOracle("pl_minhash_dups")(
+    // MinHash+LSH near-dup pairs — full cross-engine oracle: the seeded
+    // xxhash64 signature hash is reimplemented in DuckDB HUGEINT SQL
+    // (see minhashOracleSql); recall/precision additionally asserted in
+    // PipelineSpec with planted duplicates
+    Q("pl_minhash_dups", minhashOracleSql)(
       (s, d) => Dedup.minhashDupPairs(
         Tables.load(s, d, "documents"), "doc_id", "text",
         n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
