@@ -11,14 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
 
   final case class Result(
-      times: Seq[(String, Double)], errors: Seq[(String, String)]) {
+      times: Seq[(String, Double)], errors: Seq[(String, String)],
+      maxTimes: Seq[(String, Double)] = Nil) {
     def totalSec: Double = times.collect { case (_, t) if t >= 0 => t }.sum
     def json(sfDir: String): String = {
       val qs = times.map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      // per-query min/max spread: "queries" stays the min-of-N estimate
+      // (one-sided noise), and a wide max/min ratio marks the sample —
+      // not the query — as contended, so a poisoned run self-identifies
+      val mx = maxTimes.toMap
+      val spread = times.collect { case (k, v) if v >= 0 && mx.contains(k) =>
+        s"""\"$k\":{"min":$v,"max":${mx(k)}}"""
+      }.mkString("{", ",", "}")
       val errs = errors.map { case (k, m) =>
         s"\"$k\":\"${m.replace("\\", "\\\\").replace("\"", "\\\"")}\""
       }.mkString("{", ",", "}")
       s"""{"metric":"total","value":$totalSec,"unit":"sec","queries":$qs,""" +
+        s""""spread":$spread,""" +
         s""""failures":${errors.length},"errors":$errs,"sf":"$sfDir"}"""
     }
   }
@@ -40,13 +49,16 @@ object Bench {
       repeats: Int = 2): Result = {
     val outcomes = queries.map { case (name, fn) =>
       var best = Double.MaxValue
+      var worst = 0.0
       var err: Option[String] = None
       var i = 0
       while (i < repeats && err.isEmpty) {
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          best = math.min(best, (System.nanoTime() - t0) / 1e9)
+          val t = (System.nanoTime() - t0) / 1e9
+          best = math.min(best, t)
+          worst = math.max(worst, t)
         } catch {
           case e: Throwable =>
             err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
@@ -55,13 +67,14 @@ object Bench {
         i += 1
       }
       err match {
-        case Some(m) => (name, -1.0, Some(m))
-        case None    => (name, best, None: Option[String])
+        case Some(m) => (name, -1.0, worst, Some(m))
+        case None    => (name, best, worst, None: Option[String])
       }
     }
     Result(
-      outcomes.map { case (n, t, _) => n -> t },
-      outcomes.collect { case (n, _, Some(m)) => n -> m })
+      outcomes.map { case (n, t, _, _) => n -> t },
+      outcomes.collect { case (n, _, _, Some(m)) => n -> m },
+      outcomes.map { case (n, _, w, _) => n -> w })
   }
 
   def main(args: Array[String]): Unit = {

@@ -27,4 +27,18 @@ class BenchSpec extends AnyFunSuite {
     assert(result.errors.isEmpty)
     assert(result.json("sf").contains(""""failures":0"""))
   }
+
+  test("json carries a per-query min/max spread; min bounds max") {
+    val result = Bench.run(spark, TestSpark.sf, Seq(
+      "ok" -> ((s, d) => Tables.load(s, d, "region"))), repeats = 3)
+    val json = result.json("sf")
+    assert(json.contains(""""spread":{"ok":{"min":"""))
+    val mn = result.times.toMap.apply("ok")
+    val mx = result.maxTimes.toMap.apply("ok")
+    assert(mn >= 0.0 && mx >= mn)
+    // a crashed query is excluded from the spread (its -1 is a sentinel)
+    val bad = Bench.run(spark, TestSpark.sf, Seq(
+      "broken" -> ((_, _) => throw new RuntimeException("boom"))))
+    assert(!bad.json("sf").contains(""""broken":{"min""""))
+  }
 }
