@@ -34,6 +34,26 @@ object Tables {
     }
   }
 
+  /** V2-source read for scans that feed a bare count/min/max aggregate:
+    * with `spark.sql.parquet.aggregatePushdown` on, the aggregate is
+    * answered from parquet row-group metadata without materializing rows —
+    * the Spark analog of the reference connectors' `QueryResponse::Count`
+    * (`miso-connectors/src/lib.rs:109-113`). The v1/v2 choice is a session
+    * conf read at DataFrame creation, so it is flipped only around this
+    * read; every other scan stays on the default v1 path (which bucketed
+    * joins and the nanos-ts legacy conversion rely on). PlanSpec pins the
+    * `PushedAggregation: [COUNT(*)]` scan for q_count.
+    */
+  def loadAgg(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    require(name != "events", "events needs the v1 nanos-ts load path")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "")
+    try spark.read.parquet(s"$sfDir/$name.parquet")
+    finally spark.conf.set(key, prev)
+  }
+
   /** Streaming read of the same table, for the progressive partial-results
     * path: each parquet file is a micro-batch (`maxFilesPerTrigger`), so a
     * multi-file table refines its aggregate over several triggers — the

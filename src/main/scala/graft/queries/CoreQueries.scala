@@ -264,9 +264,11 @@ object CoreQueries {
       }),
 
     // ───── Count (single-row result like miso's `count`) ─────
+    // v2 scan so the count is answered from parquet row-group metadata
+    // (PushedAggregation, the reference's QueryResponse::Count analog)
     Q("q_count",
       "SELECT count(*) AS Count FROM lineitem")(
-      (s, d) => t(s, d, "lineitem").agg(count(lit(1)).as("Count"))),
+      (s, d) => Tables.loadAgg(s, d, "lineitem").agg(count(lit(1)).as("Count"))),
 
     // ───── case / iff (KQL conditional chain) ─────
     Q("q_case",

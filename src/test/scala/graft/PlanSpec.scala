@@ -24,6 +24,15 @@ class PlanSpec extends AnyFunSuite {
       "scan must read only referenced columns")
   }
 
+  // the reference's connectors answer `count` without materializing rows
+  // (QueryResponse::Count, miso-connectors/src/lib.rs:109-113); the Spark
+  // analog is parquet aggregate pushdown on the v2 scan
+  test("bare count is answered by the scan, not by reading rows") {
+    val p = plan("q_count")
+    assert(p.contains("PushedAggregation: [COUNT(*)]"),
+      s"count must push to the parquet scan:\n$p")
+  }
+
   test("KQL-compiled filter also pushes down") {
     val p = plan("kql_where_project_sort")
     // the quantity predicate must appear among the scan's data filters
