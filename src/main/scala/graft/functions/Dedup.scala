@@ -162,23 +162,46 @@ object Dedup {
     *
     * Shape at scale: one distinct over (group, shingle) — the vocabulary
     * per source, far smaller than the corpus — then a self-join keyed on
-    * the shingle. Output is |groups|² rows, tiny. The shingle-keyed join
-    * can skew on stop-shingles shared by every source; at 100 TB prune the
-    * head (drop shingles appearing in ALL groups — they contribute equally
-    * to every intersection) or salt the join.
+    * the shingle. Output is |groups|² rows, tiny.
+    *
+    * Stop-shingle prune (on by default): a shingle present in ALL groups
+    * adds exactly +1 to every pairwise intersection and +1 to every set
+    * size, so such shingles — the hottest join keys, each fanning out
+    * |groups|² rows — are dropped before the self-join and their count U
+    * added back to every pair's `n_common` afterwards (sizes stay computed
+    * on the full sets). Output is provably identical (PipelineSpec runs
+    * both forms); what changes is the join's key-multiplicity ceiling.
     */
   def groupOverlap(
-      df: DataFrame, groupCol: String, textCol: String, n: Int = 3): DataFrame = {
+      df: DataFrame, groupCol: String, textCol: String, n: Int = 3,
+      pruneUniversal: Boolean = true): DataFrame = {
     val sh = df
       .select(col(groupCol), explode(shingleSet(col(textCol), n)).as("s"))
       .distinct()
     val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
-    sh.as("a").join(sh.as("b"), "s")
+    // all candidate pairs (|groups|² rows, tiny) — needed because a pair
+    // whose overlap is entirely universal shingles has no post-prune join
+    // row yet must still report n_common = U
+    val pairs = sizes.select(col(groupCol).as("grp_a"), col("sz").as("sz_a"))
+      .crossJoin(sizes.select(col(groupCol).as("grp_b"), col("sz").as("sz_b")))
+      .filter(col("grp_a") < col("grp_b"))
+    val (joinSide, uCount) =
+      if (pruneUniversal) {
+        val ng = sh.select(count_distinct(col(groupCol)).as("ng"))
+        val universal = sh.groupBy(col("s")).agg(count(lit(1)).as("gcnt"))
+          .join(broadcast(ng), col("gcnt") === col("ng")).select("s")
+        (sh.join(broadcast(universal), Seq("s"), "left_anti"),
+          universal.agg(count(lit(1)).as("u")))
+      } else (sh, sh.limit(0).agg(count(lit(1)).as("u")))
+    val common = joinSide.as("a").join(joinSide.as("b"), "s")
       .filter(col(s"a.$groupCol") < col(s"b.$groupCol"))
       .groupBy(col(s"a.$groupCol").as("grp_a"), col(s"b.$groupCol").as("grp_b"))
-      .agg(count(lit(1)).as("n_common"))
-      .join(sizes.select(col(groupCol).as("grp_a"), col("sz").as("sz_a")), "grp_a")
-      .join(sizes.select(col(groupCol).as("grp_b"), col("sz").as("sz_b")), "grp_b")
+      .agg(count(lit(1)).as("n_common0"))
+    pairs
+      .join(common, Seq("grp_a", "grp_b"), "left_outer")
+      .crossJoin(broadcast(uCount))
+      .withColumn("n_common", coalesce(col("n_common0"), lit(0L)) + col("u"))
+      .filter(col("n_common") > 0)
       .withColumn("jaccard",
         col("n_common").cast("double") /
           (col("sz_a") + col("sz_b") - col("n_common")))

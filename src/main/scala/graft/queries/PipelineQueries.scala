@@ -349,13 +349,15 @@ object PipelineQueries {
       }),
 
     // LSH-bucketed ANN: approximate (bucket-local) — rows-only; recall vs
-    // brute force asserted in PipelineSpec.
+    // brute force asserted in PipelineSpec. Plane count auto-sized from
+    // the corpus (Similarity.autoPlanes), so the probed candidate fraction
+    // shrinks as the corpus grows instead of staying a fixed 5/16.
     Q.noOracle("pl_ann_lsh")(
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         Similarity.lshTopK(
           emb.filter(col("vec_id") < 5), emb,
-          "vec_id", "vec_id", "embedding", 10, nPlanes = 4)
+          "vec_id", "vec_id", "embedding", 10)
           .select("query_id", "rank", "neighbor_id")
           .orderBy("query_id", "rank")
       }),

@@ -98,6 +98,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(multiRecall > 0.5, s"multi-probe recall=$multiRecall")
   }
 
+  test("LSH auto-sizing: planes grow with the corpus; recall holds") {
+    // floor(log2 n) − 2, floored at 4: candidate volume ≈ (p+1)/2^p stays
+    // sublinear as the corpus grows (2000 → 8 planes ≈ 3.5%, 1M → 17)
+    assert(Similarity.autoPlanes(1) == 4)
+    assert(Similarity.autoPlanes(500) == 6)
+    assert(Similarity.autoPlanes(2000) == 8)
+    assert(Similarity.autoPlanes(1000000) == 17)
+    assert(Similarity.autoPlanes(1L << 40) == 38)
+    // real-embeddings bound: the test corpus is isotropic Gaussian with NO
+    // planted structure, so rank-10 "neighbors" sit at ~70° where per-bit
+    // sign agreement is ~0.6 and ANY sublinear ANN has limited recall; the
+    // assertion is that banded recall far exceeds the ~6% random-candidate
+    // baseline (4 bands × 6 bits at n=500), i.e. the buckets carry signal
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val auto = Similarity.lshTopK(q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & auto).size.toDouble / brute.size
+    assert(auto.nonEmpty)
+    assert(recall > 0.15, s"auto-planes recall=$recall vs ~0.06 random baseline")
+  }
+
+  test("LSH auto-sizing: planted near-neighbors are recalled") {
+    // where locality actually exists (the ANN use case: near-duplicate
+    // embeddings at cosine ≈ 0.99), a planted neighbor only needs one of
+    // the four bands uncut — expected recall > 99% at any corpus size
+    val rnd = new scala.util.Random(42)
+    def vec(): Array[Float] = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val base = (0L until 500L).map(i => (i, vec()))
+    val planted = (0L until 5L).map { i =>
+      val v = base(i.toInt)._2
+      (1000L + i, v.map(x => x + 0.03f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = (base ++ planted).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    val got = Similarity.lshTopK(
+      queries, corpus, "vec_id", "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val found = (0L until 5L).count(i => got.contains((i, 1000L + i)))
+    assert(found >= 4, s"planted neighbors recalled: $found/5")
+  }
+
   test("IVF ANN recall vs brute force on real embeddings") {
     val emb = Tables.load(spark, TestSpark.sf, "embeddings")
     val q = emb.filter(col("vec_id") < 5)
@@ -111,6 +155,29 @@ class PipelineSpec extends AnyFunSuite {
     // probing half the cells should recover well above that fraction of
     // true neighbors (nearby vectors concentrate in nearby cells)
     assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("groupOverlap stop-shingle prune is output-identical") {
+    // "common stop shingle words here" appears in every group → its
+    // 3-grams are universal (the hottest join keys); s1↔s3 overlap ONLY
+    // via those universal shingles, exercising the add-back path where the
+    // pruned join has no row at all for a pair
+    val docs = Seq(
+      ("s1", 1L, "common stop shingle words here alpha beta gamma"),
+      ("s2", 2L, "common stop shingle words here delta epsilon zz"),
+      ("s3", 3L, "common stop shingle words here zeta eta theta"),
+      ("s1", 4L, "unique one text for source one entirely"),
+      ("s2", 5L, "unique one text for source one entirely almost")
+    ).toDF("source", "doc_id", "text")
+    def rows(p: Boolean) =
+      Dedup.groupOverlap(docs, "source", "text", n = 3, pruneUniversal = p)
+        .orderBy("grp_a", "grp_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSeq
+    val pruned = rows(true)
+    assert(pruned == rows(false))
+    assert(pruned.map(t => (t._1, t._2)).contains(("s1", "s3")),
+      "the universal-only pair must survive the prune")
   }
 
   test("salted aggregation equals plain groupBy") {
