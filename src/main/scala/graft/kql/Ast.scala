@@ -41,6 +41,14 @@ object Expr {
 
   final case class Field(path: FieldPath) extends Expr
 
+  /** A simple name that is BOTH a scalar `let` binding and potentially a
+    * column: Kusto resolves the innermost scope, so a column of that name
+    * in the tabular context wins over the let. The parser cannot see the
+    * schema, so the choice is deferred to compile time (`bound` is the
+    * let's expression, used only when no column resolves).
+    */
+  final case class LetRef(path: FieldPath, bound: Expr) extends Expr
+
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr

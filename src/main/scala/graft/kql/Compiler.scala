@@ -33,6 +33,24 @@ final class Compiler(
 
   import Expr._
 
+  /** Optional row-error accumulator (reference `filter.rs:36-45`): when
+    * set (the query server does, per session), every `try_*` lowering
+    * site that can null a row — casts, todynamic parses, division — is
+    * wrapped in [[graft.functions.ErrorCounted]] so silently-nulled rows
+    * are counted in `/metrics`. None (the default, and always for the
+    * gate/bench paths) compiles the unwrapped codegen-friendly form.
+    */
+  var errorCounter: Option[org.apache.spark.util.LongAccumulator] = None
+
+  private def counted(tryResult: Column, original: Column): Column =
+    errorCounter match {
+      case Some(acc) =>
+        import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+        column(graft.functions.ErrorCounted(
+          expression(tryResult), expression(original), acc))
+      case None => tryResult
+    }
+
   // ───────────────────────── type tracking ─────────────────────────
 
   /** Lightweight type lattice for compile-time decisions (string concat vs
@@ -125,6 +143,10 @@ final class Compiler(
     case TimespanLit(_) => KT.Span
     case DatetimeLit(_) => KT.Ts
     case Field(p) => fieldType(df, p)
+    // column wins over the let when both resolve (innermost scope)
+    case LetRef(p, bound) =>
+      if (df.columns.exists(_.equalsIgnoreCase(p.simpleName))) fieldType(df, p)
+      else infer(df, bound)
     case And(_, _) | Or(_, _) | Not(_) | Cmp(_, _, _) | In(_, _, _) |
          Between(_, _, _, _) | StrOp(_, _, _, _) | Exists(_) => KT.Bool
     case Neg(x) => infer(df, x)
@@ -329,6 +351,12 @@ final class Compiler(
     case TimespanLit(m) => lit(m)
     case DatetimeLit(m) => timestamp_micros(lit(m))
     case Field(p) => compileField(df, p)
+    // a name that is both a scalar let and (possibly) a column: the column
+    // takes precedence (Kusto innermost-scope resolution); the let's bound
+    // expression is compiled only when no column of that name exists
+    case LetRef(p, bound) =>
+      if (df.columns.exists(_.equalsIgnoreCase(p.simpleName))) compileField(df, p)
+      else compile(df, bound)
 
     case And(l, r) => compileBool(df, l) && compileBool(df, r)
     case Or(l, r) => compileBool(df, l) || compileBool(df, r)
@@ -362,8 +390,12 @@ final class Compiler(
       }
       op match {
         case "/" =>
-          // `/` always yields float; ÷0 is a row error ⇒ null ⇒ dropped
-          try_divide(lc.cast(DoubleType), rc.cast(DoubleType))
+          // `/` always yields float; ÷0 is a row error ⇒ null ⇒ dropped.
+          // The error witness is "both inputs were non-null": a null
+          // flowing IN is not a row error, ÷0 with live operands is.
+          counted(
+            try_divide(lc.cast(DoubleType), rc.cast(DoubleType)),
+            when(lc.isNotNull && rc.isNotNull, lit(1)))
         case "+" =>
           if (lt == KT.Str || rt == KT.Str) concat(lc.cast(StringType), rc.cast(StringType))
           else if (lt == KT.Ts && rt == KT.Span)
@@ -450,13 +482,14 @@ final class Compiler(
       val xc = compile(df, x)
       kind match {
         case "tostring" => xc.cast(StringType)
-        case "toint" | "tolong" => xc.try_cast(LongType)
-        case "toreal" | "todouble" | "todecimal" => xc.try_cast(DoubleType)
-        case "tobool" | "toboolean" => xc.try_cast(BooleanType)
+        case "toint" | "tolong" => counted(xc.try_cast(LongType), xc)
+        case "toreal" | "todouble" | "todecimal" =>
+          counted(xc.try_cast(DoubleType), xc)
+        case "tobool" | "toboolean" => counted(xc.try_cast(BooleanType), xc)
         // parse a JSON string into a variant: malformed input → null
         // (row-error-drop policy), and the result flows through the same
         // variant field-path/truthiness machinery as native variant columns
-        case "todynamic" => try_parse_json(xc.cast(StringType))
+        case "todynamic" => counted(try_parse_json(xc.cast(StringType)), xc)
       }
 
     case Exists(x) => compile(df, x).isNotNull
@@ -519,17 +552,27 @@ final class Compiler(
     // anchored binning: anchor + floor((x − anchor)/width)·width
     case BinAt(x, width, anchor) =>
       val xt = infer(df, x)
+      def tsBinAt(wMicros: Long): Column = {
+        val xm = unix_micros(compile(df, x).try_cast(TimestampType))
+        val am = unix_micros(compile(df, anchor).try_cast(TimestampType))
+        timestamp_micros(am + floor((xm - am).cast(DoubleType) / lit(wMicros.toDouble))
+          .cast(LongType) * lit(wMicros))
+      }
       (xt, width) match {
-        case (KT.Ts, TimespanLit(w)) =>
-          val xm = unix_micros(compile(df, x).try_cast(TimestampType))
-          val am = unix_micros(compile(df, anchor).try_cast(TimestampType))
-          timestamp_micros(am + floor((xm - am).cast(DoubleType) / lit(w.toDouble))
-            .cast(LongType) * lit(w))
-        case _ =>
+        case (KT.Ts, TimespanLit(w)) => tsBinAt(w)
+        // mirror bin(): an integer width on a datetime means seconds —
+        // falling into the numeric branch would silently try_cast the
+        // timestamp to double and change the result type out from under
+        // infer()'s KT.Ts
+        case (KT.Ts, IntLit(sec)) => tsBinAt(sec * 1000000L)
+        case (KT.Ts, _) => throw KqlParseException(
+          "bin_at() width on a datetime must be a timespan or integer-seconds literal", 0)
+        case (_, IntLit(_)) | (_, FloatLit(_)) | (_, TimespanLit(_)) =>
           val xc = compile(df, x).try_cast(DoubleType)
           val ac = compile(df, anchor).try_cast(DoubleType)
           val wc = compile(df, width).try_cast(DoubleType)
           ac + floor((xc - ac) / wc) * wc
+        case _ => throw KqlParseException("bin_at() width must be a literal", 0)
       }
 
     case DtFn(name, x) =>
@@ -720,6 +763,14 @@ final class Compiler(
     * leak their scan names into the enclosing pipeline's label). */
   private var pipelineSource: String = "unknown"
 
+  /** Hidden per-row provenance column maintained across chained unions so
+    * `union withsource=` labels each row's TRUE origin (a row that arrived
+    * via an earlier `union B` is labeled `B`, not the pipeline head). Kept
+    * only while compiling a union's branch; dropped when any other
+    * compile (top-level, join/let subquery) returns. */
+  private val UnionSrcCol = "__graft_union_src"
+  private var keepUnionSrc = false
+
   def compile(q: Query): DataFrame = {
     val saved = pipelineSource
     pipelineSource = sourceNameOf(q)
@@ -727,7 +778,9 @@ final class Compiler(
       compileStep(df, step)
     }
     pipelineSource = saved
-    out
+    if (!keepUnionSrc && out.columns.contains(UnionSrcCol))
+      out.drop(UnionSrcCol)
+    else out
   }
 
   /** Display name of a pipeline's source, from its AST head — what
@@ -787,7 +840,21 @@ final class Compiler(
   private var serialOrder: Option[Seq[SortKey]] = None
 
   private def compileStep(df: DataFrame, step: QueryStep): DataFrame = {
-    val out = compileStepInner(df, step)
+    // the hidden union-provenance column must never shape results or reach
+    // a sink: strip it before whole-row/output steps (distinct would split
+    // otherwise-equal rows by origin; write/tee would persist it; a join's
+    // output schema must not grow a phantom column). Row-preserving steps
+    // (filter/sort/limit/extend/…) let it flow so a later `union
+    // withsource=` still sees true per-row origins.
+    val in = step match {
+      case _: QueryStep.Distinct | _: QueryStep.Write | _: QueryStep.Tee |
+           _: QueryStep.Join =>
+        if (df != null && df.columns.contains(UnionSrcCol))
+          df.drop(UnionSrcCol)
+        else df
+      case _ => df
+    }
+    val out = compileStepInner(in, step)
     // a step that drops or REDEFINES a sort-key column breaks the frozen
     // order — clear it so window scalars fail loudly instead of silently
     // ordering by null/new values
@@ -818,8 +885,15 @@ final class Compiler(
       case QueryStep.Rename(pairs) =>
         if (invalidates(pairs.map(_._1) ++ pairs.map(_._2.simpleName), None))
           serialOrder = None
+      // Parse keeps row order, but a capture named after a sort-key column
+      // REDEFINES that key via withColumns — treat it like an Extend of the
+      // capture names so a following window fails loudly rather than
+      // ordering by the re-extracted values
+      case QueryStep.Parse(_, segs, _) =>
+        if (invalidates(segs.flatMap(_.capture).map(_._1), None))
+          serialOrder = None
       case _: QueryStep.Filter | _: QueryStep.Limit |
-           _: QueryStep.Search | _: QueryStep.Parse | _: QueryStep.Tee |
+           _: QueryStep.Search | _: QueryStep.Tee |
            QueryStep.Serialize => ()
       case _ => serialOrder = None
     }
@@ -1149,13 +1223,26 @@ final class Compiler(
     case QueryStep.Union(sub, ws) =>
       val leftName = pipelineSource
       val rightName = sourceNameOf(sub)
-      val right = compile(sub)
+      val right0 = {
+        val saved = keepUnionSrc
+        keepUnionSrc = true
+        try compile(sub) finally keepUnionSrc = saved
+      }
+      // per-row provenance: rows stamped by an EARLIER union in this
+      // pipeline (or inside the branch subquery) keep their true origin;
+      // unstamped rows all came from the named side. A projection between
+      // unions drops the hidden column, degrading those rows' label to
+      // the pipeline head — the best recoverable answer there.
+      val left =
+        if (df.columns.contains(UnionSrcCol)) df
+        else df.withColumn(UnionSrcCol, lit(leftName))
+      val right =
+        if (right0.columns.contains(UnionSrcCol)) right0
+        else right0.withColumn(UnionSrcCol, lit(rightName))
+      val merged = left.unionByName(right, allowMissingColumns = true)
       ws match {
-        case None => df.unionByName(right, allowMissingColumns = true)
-        case Some(colName) =>
-          df.withColumn(colName, lit(leftName))
-            .unionByName(right.withColumn(colName, lit(rightName)),
-              allowMissingColumns = true)
+        case None => merged
+        case Some(colName) => merged.withColumnRenamed(UnionSrcCol, colName)
       }
 
     case QueryStep.Join(kind, sub, keys, lookup) =>
@@ -1251,11 +1338,43 @@ final class Compiler(
     catalog.resolveSink(target).getOrElse(
       throw KqlParseException(s"unknown sink '$target'", 0))
 
+  /** Cross-type total-order key for a variant value, matching the
+    * reference's Null < Bool < numbers < Timestamp < Timespan < String <
+    * Array < Object order (`value/mod.rs:146-209`, enforced at runtime by
+    * `type_tracker.rs:6-47`): a (rank, num, ts, str) struct compared
+    * lexicographically — bools and numbers share the double `num` slot
+    * (separated by rank), timestamps carry exact epoch micros, strings and
+    * container JSON text the `str` slot. Spark-null and JSON-null variants
+    * collapse to a null struct so `nulls first|last` governs their
+    * placement (Value::Null is the minimum of the reference's order, which
+    * KQL's default `asc` + nulls-first reproduces). Residual deviation:
+    * arrays/objects order among themselves by canonical JSON text rather
+    * than element-wise recursion (SCALE.md deviation log).
+    */
+  private def variantOrderKey(c: Column): Column = {
+    val t = schema_of_variant(c)
+    val isNum = t.startsWith("DECIMAL") ||
+      t.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
+    val rank = when(t === "BOOLEAN", 1)
+      .when(isNum, 2)
+      .when(t.startsWith("TIMESTAMP"), 3)
+      .when(t === "STRING", 5) // rank 4 reserved: timespan (no variant form)
+      .when(t.startsWith("ARRAY"), 6)
+      .otherwise(7) // OBJECT
+    val num = when(t === "BOOLEAN", c.try_cast(BooleanType).cast(DoubleType))
+      .when(isNum, c.try_cast(DoubleType))
+    val ts = when(t.startsWith("TIMESTAMP"),
+      unix_micros(c.try_cast(TimestampType)))
+    val str = when(t === "STRING", c.try_cast(StringType))
+      .when(rank >= 6, c.cast(StringType)) // canonical JSON text
+    when(c.isNull || t === "VOID", lit(null))
+      .otherwise(struct(rank.as("rank"), num.as("num"), ts.as("ts"), str.as("str")))
+  }
+
   private def sortCol(df: DataFrame, k: SortKey): Column = {
     val c0 = compileField(df, k.field)
-    // variant sort keys order by their string form (documented deviation
-    // from miso's cross-type total order)
-    val c = if (fieldType(df, k.field) == KT.Var) c0.try_cast(StringType) else c0
+    // variant sort keys order under the reference's cross-type total order
+    val c = if (fieldType(df, k.field) == KT.Var) variantOrderKey(c0) else c0
     (k.order, k.nulls) match {
       case (SortOrder.Asc, NullsOrder.Last) => c.asc_nulls_last
       case (SortOrder.Asc, NullsOrder.First) => c.asc_nulls_first
@@ -1266,18 +1385,34 @@ final class Compiler(
 
   private def compileSummarize(
       df: DataFrame, aggs: Seq[AggField], by: Seq[ByField]): DataFrame = {
-    // Null group key drops the row (summarize.rs:151-153).
-    val keyed = by.foldLeft(df)((acc, b) => acc.filter(compile(df, b.expr).isNotNull))
-    val aggCols = aggs.map(a => aggColumn(df, a.agg).as(a.name))
-    // variant group keys group by their string form
-    def keyCol(b: ByField): Column = {
+    def isVar(b: ByField): Boolean = infer(df, b.expr) == KT.Var
+    // Null group key drops the row (summarize.rs:151-153). For variant
+    // keys the reference's Value::Null covers JSON null too, which Spark
+    // keeps as a non-null VOID variant — the order-key struct nulls both.
+    def eqKey(b: ByField): Column = {
       val c = compile(df, b.expr)
-      if (infer(df, b.expr) == KT.Var) c.try_cast(StringType) else c
+      if (isVar(b)) variantOrderKey(c) else c
     }
+    val keyed = by.foldLeft(df)((acc, b) => acc.filter(eqKey(b).isNotNull))
+    val aggCols = aggs.map(a => aggColumn(df, a.agg).as(a.name))
     if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
-    else keyed
-      .groupBy(by.map(b => keyCol(b).as(b.name)): _*)
-      .agg(aggCols.head, aggCols.tail: _*)
+    else if (!by.exists(isVar))
+      keyed.groupBy(by.map(b => eqKey(b).as(b.name)): _*)
+        .agg(aggCols.head, aggCols.tail: _*)
+    else {
+      // variant keys: group by the total-order key struct (value equality
+      // under the reference's cross-type order — a variant 1 and 1.0 are
+      // the same group, while "1" the string is not), but output the
+      // variant value itself via a representative pick; every value in a
+      // group is total-order-equal, so any representative is value-stable
+      val gb = by.map(b =>
+        if (isVar(b)) eqKey(b).as(s"__gk_${b.name}") else eqKey(b).as(b.name))
+      val reprs = by.filter(isVar)
+        .map(b => first(compile(df, b.expr)).as(b.name))
+      val agged = keyed.groupBy(gb: _*)
+        .agg((reprs ++ aggCols).head, (reprs ++ aggCols).tail: _*)
+      agged.select(by.map(b => col(b.name)) ++ aggs.map(a => col(a.name)): _*)
+    }
   }
 
   /** Lower one aggregation to its Spark Column (shared by summarize,

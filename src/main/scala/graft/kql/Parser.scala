@@ -37,9 +37,22 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def record(e: KqlParseException): Unit = { errors += toError(e); nErrors += 1 }
 
-  /** Scalar `let` bindings (`let x = 5;`), substituted into expressions at
-    * parse time. Query lets live in [[Parsed.lets]] instead. */
+  /** Scalar `let` bindings (`let x = 5;`). Bare references compile to a
+    * deferred [[Expr.LetRef]] (column-over-let precedence is decided
+    * against the schema at compile time); query lets live in
+    * [[Parsed.lets]] instead. */
   private var scalarLets = Map.empty[String, Expr]
+
+  /** Unwrap a literal-bound [[Expr.LetRef]] to its literal. Used in
+    * literal-required positions — function arguments (widths, offsets,
+    * delimiters, regex/extract patterns) and has/matches phrases — where a
+    * column reference could never be legal, so the let is unambiguous. */
+  private def delit(e: Expr): Expr = e match {
+    case LetRef(_, b @ (IntLit(_) | FloatLit(_) | StrLit(_) | BoolLit(_) |
+                        TimespanLit(_) | DatetimeLit(_) | NullLit)) => b
+    case LetRef(_, Neg(b @ (IntLit(_) | FloatLit(_)))) => Neg(b)
+    case x => x
+  }
 
   private def isIdent(t: Token, s: String): Boolean = t match {
     case Ident(w, _) => w.equalsIgnoreCase(s)
@@ -253,6 +266,7 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def defaultExprName(e: Expr): Option[String] = e match {
     case Field(f) => Some(f.render)
+    case LetRef(f, _) => Some(f.render)
     case Cast(_, inner) => defaultExprName(inner)
     case Bin(inner, _) => defaultExprName(inner)
     case _ => None
@@ -669,10 +683,12 @@ final class Parser(src: String, nowMicros: Long) {
         eatPunct(")")
         Between(l, lo, hi, negated)
       case "contains" | "startswith" | "endswith" | "has" | "has_cs" =>
-        StrOp(w, l, parseAdd(), negated)
+        // has/has_cs require a literal phrase: a let-bound literal is
+        // usable there (no column ref could be), so look through LetRef
+        StrOp(w, l, delit(parseAdd()), negated)
       case "matches" =>
         eatIdent("regex")
-        StrOp("matches_regex", l, parseAdd(), negated)
+        StrOp("matches_regex", l, delit(parseAdd()), negated)
       // any/all of a phrase list: desugars to a has disjunction/conjunction
       case w2 @ ("has_any" | "has_all") =>
         val items = parseExprList()
@@ -747,10 +763,13 @@ final class Parser(src: String, nowMicros: Long) {
           parseFuncCall()
         case _ =>
           val fp = parseFieldPath()
-          // scalar let bindings substitute at parse time (KQL lets shadow
-          // columns); only simple refs — `x.y` always means a field
+          // scalar let bindings: Kusto resolves the innermost scope, so a
+          // COLUMN of the same name in the tabular context takes
+          // precedence over the let. The parser has no schema, so emit a
+          // deferred LetRef and let the compiler pick; only simple refs —
+          // `x.y` always means a field
           if (fp.isSimple && scalarLets.contains(fp.simpleName))
-            scalarLets(fp.simpleName)
+            LetRef(fp, scalarLets(fp.simpleName))
           else Field(fp)
       }
     case t => throw KqlParseException("expected expression", t.pos)
@@ -785,7 +804,11 @@ final class Parser(src: String, nowMicros: Long) {
         var done = false
         while (!done) { out += parseExpr(); done = !tryPunct(",") }
       }
-      out.result()
+      // literal-bound lets unwrap inside function arguments so the many
+      // literal-required positions (widths, offsets, delimiters, regexes)
+      // keep accepting them; non-literal lets stay deferred (LetRef), so
+      // column-over-let precedence is preserved wherever it can matter
+      out.result().map(delit)
     }
     val e: Expr = name match {
       case "not" =>
@@ -938,6 +961,10 @@ final class Parser(src: String, nowMicros: Long) {
         WinFn("row_cumsum", a)
       case "countof" =>
         val a = args(); arity(a.length == 2, "countof() takes (source, search)")
+        // an empty search would divide 0/0 in the replace-length lowering
+        // and silently yield null; reject it where the user can see it
+        arity(!a(1).isInstanceOf[StrLit] || a(1).asInstanceOf[StrLit].v.nonEmpty,
+          "countof() search string must be non-empty")
         StrFn("countof", a)
       case f @ ("tohex" | "base64_encode_tostring" | "base64_decode_tostring") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")

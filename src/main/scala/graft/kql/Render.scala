@@ -17,6 +17,7 @@ object Render {
     case DatetimeLit(m) =>
       "datetime(" + java.time.Instant.ofEpochSecond(m / 1000000L, (m % 1000000L) * 1000L) + ")"
     case Field(p) => p.render
+    case LetRef(p, _) => p.render
     case And(l, r) => s"${paren(l)} and ${paren(r)}"
     case Or(l, r) => s"${paren(l)} or ${paren(r)}"
     case Not(x) => s"not(${expr(x)})"

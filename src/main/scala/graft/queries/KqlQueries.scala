@@ -174,6 +174,52 @@ object KqlQueries {
         |       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE) AS s
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin),
 
+    // cross-type total-order sort on a variant key (value/mod.rs:146-209):
+    // 7 branches build null/bool/int/float/string/array/object variants from
+    // event_id residues; rn = row_number() makes the ORDER gate-visible
+    // (the driver's comparator re-sorts rows before hashing, so without rn
+    // only membership would be checked). The oracle replays the
+    // (rank, num, str) key the engine's variantOrderKey struct encodes.
+    kq("kql_variant_sort",
+      """eventsv
+        | | where event_id < 400
+        | | extend m7 = event_id - bin(event_id, 7)
+        | | extend v = todynamic(case(
+        |     m7 == 0, 'null',
+        |     m7 == 1, iff(event_id - bin(event_id, 2) == 0, 'true', 'false'),
+        |     m7 == 2, tostring(event_id - bin(event_id, 13)),
+        |     m7 == 3, strcat(tostring(event_id - bin(event_id, 13)), '.5'),
+        |     m7 == 4, strcat('"w', tostring(event_id - bin(event_id, 5)), '"'),
+        |     m7 == 5, strcat('[', tostring(event_id - bin(event_id, 3)), ']'),
+        |     strcat('{"a":', tostring(event_id - bin(event_id, 3)), '}')))
+        | | sort by v asc, event_id asc
+        | | extend rn = row_number()
+        | | project rn, event_id, vs = tostring(v)""".stripMargin,
+      """WITH base AS (SELECT event_id, event_id % 7 AS m7, event_id % 13 AS m13,
+        |    event_id % 5 AS m5, event_id % 3 AS m3, event_id % 2 AS m2
+        |  FROM events WHERE event_id < 400),
+        |k AS (SELECT event_id,
+        |    CASE WHEN m7 = 1 THEN 1 WHEN m7 IN (2,3) THEN 2 WHEN m7 = 4 THEN 5
+        |         WHEN m7 = 5 THEN 6 WHEN m7 = 6 THEN 7 END AS rank,
+        |    CASE WHEN m7 = 1 THEN CASE WHEN m2 = 0 THEN 1.0 ELSE 0.0 END
+        |         WHEN m7 = 2 THEN CAST(m13 AS DOUBLE)
+        |         WHEN m7 = 3 THEN m13 + 0.5 END AS num,
+        |    CASE WHEN m7 = 4 THEN 'w' || m5
+        |         WHEN m7 = 5 THEN '[' || m3 || ']'
+        |         WHEN m7 = 6 THEN '{"a":' || m3 || '}' END AS str,
+        |    CASE WHEN m7 = 0 THEN NULL
+        |         WHEN m7 = 1 THEN CASE WHEN m2 = 0 THEN 'true' ELSE 'false' END
+        |         WHEN m7 = 2 THEN CAST(m13 AS VARCHAR)
+        |         WHEN m7 = 3 THEN m13 || '.5'
+        |         WHEN m7 = 4 THEN 'w' || m5
+        |         WHEN m7 = 5 THEN '[' || m3 || ']'
+        |         ELSE '{"a":' || m3 || '}' END AS vs
+        |  FROM base)
+        |SELECT CAST(row_number() OVER
+        |         (ORDER BY rank NULLS LAST, num, str, event_id) AS BIGINT) AS rn,
+        |       event_id, vs
+        |FROM k ORDER BY rn""".stripMargin),
+
     kq("kql_in_between",
       """orders
         | | where o_orderpriority in ('1-URGENT', '2-HIGH') and o_totalprice between (100000 .. 150000)

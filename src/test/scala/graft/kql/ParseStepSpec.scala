@@ -92,4 +92,26 @@ class ParseStepSpec extends AnyFunSuite {
       .as[String].head()
     assert(got == "line1\nline2")
   }
+
+  test("a capture named after a sort key invalidates the serialized order") {
+    // parse preserves row order, but a capture REDEFINES the column it is
+    // named after — a following window must fail loudly instead of
+    // silently ordering by the re-extracted values (ADVICE round-4)
+    val c = new Catalog(spark)
+    c.register("t", Seq((1L, "k=9;x"), (2L, "k=1;y")).toDF("id", "s"))
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, c,
+        """t | extend k = id | sort by k asc
+          | | parse s with "k=" k ";" rest
+          | | extend rn = row_number()""".stripMargin).collect()
+    }
+    assert(e.getMessage.contains("sort"))
+    // a capture NOT touching the sort keys keeps the serialization
+    val ok = Kql.run(spark, c,
+      """t | sort by id desc
+        | | parse s with "k=" kv ";" rest
+        | | extend rn = row_number() | project id, rn""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(ok == Seq((2L, 1L), (1L, 2L)))
+  }
 }

@@ -262,6 +262,49 @@ class ScalarFnSpec extends AnyFunSuite {
       Seq((1L, "alpha"), (2L, "alpha"), (3L, "beta")))
   }
 
+  test("chained union withsource labels each row's true origin") {
+    // a row that arrived via an EARLIER `union beta` must be labeled
+    // 'beta', not the pipeline head 'alpha' (ADVICE round-4 finding)
+    val c2 = new Catalog(spark)
+    c2.register("alpha", Seq(1L).toDF("v"))
+    c2.register("beta", Seq(2L).toDF("v"))
+    c2.register("gamma", Seq(3L).toDF("v"))
+    val rows = Kql.run(spark, c2,
+      "alpha | union (beta) | union withsource=origin (gamma) | sort by v asc")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(rows == Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma")))
+  }
+
+  test("plain chained unions leave no provenance column behind") {
+    val c2 = new Catalog(spark)
+    c2.register("alpha", Seq(1L).toDF("v"))
+    c2.register("beta", Seq(2L).toDF("v"))
+    val df = Kql.run(spark, c2, "alpha | union (beta)")
+    assert(df.columns.toSeq == Seq("v"))
+    // and distinct across branches is unaffected by hidden state
+    val c3 = new Catalog(spark)
+    c3.register("a1", Seq(7L).toDF("v"))
+    c3.register("a2", Seq(7L).toDF("v"))
+    assert(Kql.run(spark, c3, "a1 | union (a2) | distinct v").count() == 1L)
+  }
+
+  test("a column shadows a scalar let of the same name (innermost scope)") {
+    // Kusto resolves the innermost scope: after `extend x = …` the name x
+    // is the COLUMN, not the let binding (ADVICE round-4 finding)
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq((1L, 10.0), (2L, 2.0)).toDF("id", "y"))
+    val rows = Kql.run(spark, c2,
+      """let x = 5;
+        |u | extend x = y | where x > 3 | project id, x2 = x * 2
+        |  | sort by id asc""".stripMargin).collect()
+    // let-wins would compare 5 > 3 (keeps both rows) and emit x2 = 10
+    assert(rows.map(r => (r.getLong(0), r.getDouble(1))).toSeq == Seq((1L, 20.0)))
+    // where no column of that name exists, the let still applies
+    val r2 = Kql.run(spark, c2,
+      "let x = 5; u | where y > x | project id").collect()
+    assert(r2.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("scalar let bindings substitute into expressions") {
     val r = one(
       """let lo = 2; let cap = strcat('v', '!');

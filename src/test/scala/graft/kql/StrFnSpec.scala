@@ -132,4 +132,40 @@ class StrFnSpec extends AnyFunSuite {
     assert(r.getDouble(0) == 15.0)
     assert(r.getTimestamp(1) == Timestamp.valueOf("2024-03-15 10:30:00"))
   }
+
+  test("bin_at on a datetime: integer width means seconds, stays a timestamp") {
+    // mirror bin(): the generic numeric branch would silently try_cast the
+    // timestamp to double and return a double (ADVICE round-4 finding)
+    val c2 = new Catalog(spark)
+    import java.sql.Timestamp
+    c2.register("e", Seq((1L, Timestamp.valueOf("2024-03-15 10:37:00")))
+      .toDF("id", "ts"))
+    val r = Kql.run(spark, c2,
+      "e | project b = bin_at(ts, 3600, datetime(2024-03-15 00:30:00))")
+      .collect().head
+    assert(r.getTimestamp(0) == Timestamp.valueOf("2024-03-15 10:30:00"))
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, c2, "e | project b = bin_at(ts, id, datetime(2024-03-15 00:30:00))")
+        .collect()
+    }
+    assert(e.getMessage.contains("bin_at"))
+  }
+
+  test("countof rejects an empty search string at parse time") {
+    val e = intercept[KqlParseException] {
+      Kql.run(spark, cat, "t | project n = countof(s, '')").collect()
+    }
+    assert(e.getMessage.contains("non-empty"))
+  }
+
+  test("literal-bound scalar lets work in literal-required positions") {
+    val c2 = new Catalog(spark)
+    c2.register("u", Seq(("hello", 23.0)).toDF("s", "x"))
+    val r = Kql.run(spark, c2,
+      """let sub = 'l'; let w = 10.0; let a = 5.0;
+        |u | project n = countof(s, sub), b = bin_at(x, w, a)""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 2L)
+    assert(r.getDouble(1) == 15.0)
+  }
 }

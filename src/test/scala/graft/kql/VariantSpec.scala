@@ -58,14 +58,16 @@ class VariantSpec extends AnyFunSuite {
 
   test("summarize over variant paths: sum skips non-numeric values (→ 0.0)") {
     // all-non-numeric groups sum to 0.0, matching the reference's f64
-    // accumulator starting state (summarize.rs:580-587)
-    val got = run("dyn | summarize n=count(), s=sum(v.k) by t=v.tag | sort by t")
-      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    // accumulator starting state (summarize.rs:580-587); the group key
+    // column carries the variant VALUE (reference semantics), so render it
+    val got = run(
+      "dyn | summarize n=count(), s=sum(v.k) by t=v.tag | sort by t | project ts=tostring(t), s")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
     assert(got == Seq(("a", 10.0), ("b", 60.0), ("c", 0.0), ("d", 0.0), ("e", 0.0)))
   }
 
   test("variant group key groups by value") {
-    val got = run("dyn | summarize n=count() by t=v.tag | sort by t")
+    val got = run("dyn | summarize n=count() by t=v.tag | sort by t | project ts=tostring(t), n")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     assert(got == Seq(("a", 1L), ("b", 1L), ("c", 1L), ("d", 1L), ("e", 1L)))
   }
@@ -101,5 +103,61 @@ class VariantSpec extends AnyFunSuite {
       """{"k": 2}""", """{"k": 100}""", """{"k": 99}"""))
     val r = Kql.run(spark, c2, "mm | summarize mn=min(v.k), mx=max(v.k)").collect()(0)
     assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 100.0)
+  }
+
+  // ── sort_by_type ports (tests.rs:895-934): per-type ordering under the
+  //    reference's total order (value/mod.rs:146-209) ──
+
+  private def sortByType(rows: Seq[String]): Seq[String] = {
+    val c2 = new Catalog(spark)
+    c2.register("st", varTable(rows: _*))
+    Kql.run(spark, c2, "st | sort by v.x asc | project s = tostring(v.x)")
+      .collect().map(r => Option(r.getString(0)).getOrElse("∅")).toSeq
+  }
+
+  test("sort_by_type: bool (false < true)") {
+    assert(sortByType(Seq("""{"x": true}""", """{"x": false}""", """{"x": true}"""))
+      == Seq("false", "true", "true"))
+  }
+
+  test("sort_by_type: string") {
+    assert(sortByType(Seq("""{"x": "zebra"}""", """{"x": "apple"}""", """{"x": "banana"}"""))
+      == Seq("apple", "banana", "zebra"))
+  }
+
+  test("sort_by_type: float") {
+    assert(sortByType(Seq("""{"x": 3.14}""", """{"x": 1.41}""", """{"x": 2.72}"""))
+      == Seq("1.41", "2.72", "3.14"))
+  }
+
+  test("sort_by_type: array") {
+    assert(sortByType(Seq("""{"x": [3,2,1]}""", """{"x": [1]}""", """{"x": [2,1]}"""))
+      == Seq("[1]", "[2,1]", "[3,2,1]"))
+  }
+
+  test("sort_by_type: object") {
+    assert(sortByType(Seq("""{"x": {"z":1}}""", """{"x": {"a":1}}""", """{"x": {"m":1}}"""))
+      == Seq("""{"a":1}""", """{"m":1}""", """{"z":1}"""))
+  }
+
+  test("cross-type sort: Bool < numbers < String < Array < Object, nulls last") {
+    // numbers interleave across int/float ("10" would sort before "9"
+    // under the old stringly order); the default nulls placement is LAST
+    // (reference NullsOrder::default), overriding Null's position as the
+    // total order's minimum
+    val got = sortByType(Seq(
+      """{"x": {"a":1}}""", """{"x": "s"}""", """{"x": 10}""", """{"x": 9.5}""",
+      """{"x": true}""", """{"x": [1]}""", """{"x": null}""", """{"x": false}"""))
+    assert(got == Seq("false", "true", "9.5", "10", "s", "[1]", """{"a":1}""", "∅"))
+  }
+
+  test("cross-type group: int and float of equal value merge; string stays apart") {
+    val c2 = new Catalog(spark)
+    c2.register("gt", varTable(
+      """{"x": 1}""", """{"x": 1.0}""", """{"x": "1"}""", """{"x": 2}"""))
+    val got = Kql.run(spark, c2,
+      "gt | summarize n = count() by k = v.x | project n | sort by n desc")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 1L, 1L)) // {1, 1.0}, {"1"}, {2}
   }
 }
