@@ -54,6 +54,10 @@ final class QueryServer(
   // from executed-plan SQLMetrics; owned per server so tests don't
   // double-count across instances
   private val metrics = new StepMetricsListener
+  // row-error counter (reference filter.rs:36-45 / project.rs:57-61): rows
+  // silently nulled by try_* lowerings — casts, todynamic parses, ÷0 —
+  // counted via Compiler.errorCounter and exposed in /metrics
+  private val rowsNulled = spark.sparkContext.longAccumulator("graft_rows_nulled")
 
   def boundPort: Int = server.getAddress.getPort
 
@@ -63,7 +67,8 @@ final class QueryServer(
     server.createContext("/views", (ex: HttpExchange) => handle(ex, handleView))
     server.createContext("/connectors", (ex: HttpExchange) => handle(ex, handleConnector))
     server.createContext("/metrics", (ex: HttpExchange) =>
-      handle(ex, e => respond(e, 200, metrics.render)))
+      handle(ex, e => respond(e, 200,
+        metrics.render + s"graft_rows_nulled_total ${rowsNulled.value}\n")))
     server.createContext("/health", (ex: HttpExchange) =>
       handle(ex, e => respond(e, 200, "ok")))
     server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(4))
@@ -166,6 +171,7 @@ final class QueryServer(
   /** @return outcome for the status record: success | canceled | error */
   private def batchQuery(ex: HttpExchange, parsed: Parsed, groupId: String): String = {
     val compiler = new Compiler(spark, catalog, parsed.lets)
+    compiler.errorCounter = Some(rowsNulled)
     val df = compiler.compile(parsed.query)
     compiler.runWrites() // write/tee sinks flush on run, never on explain
     val out = openSse(ex)
@@ -228,6 +234,7 @@ final class QueryServer(
     val prefix = Query(steps.take(lastAgg + 1))
     val suffix = steps.drop(lastAgg + 1)
     val compiler = new Compiler(spark, catalog, parsed.lets, streamFirstScan = true)
+    compiler.errorCounter = Some(rowsNulled)
     val qn = s"graft_partial_${QueryServer.ids.incrementAndGet()}"
     val started =
       try {

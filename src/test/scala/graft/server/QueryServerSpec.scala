@@ -265,6 +265,32 @@ class QueryServerSpec extends AnyFunSuite {
     } finally srv.stop()
   }
 
+  test("rows nulled by try_* lowerings increment the /metrics error counter") {
+    // poisoned-row fixture: event_type strings are never numeric, so every
+    // toint(event_type) over a non-null input nulls — each one is a row
+    // error the reference counts in Prometheus (filter.rs:36-45)
+    val srv = QueryServer.start(spark, Catalog.forTestData(spark, graft.TestSpark.sf))
+    try {
+      def nulled(): Long = {
+        val body = client.send(
+          HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/metrics"))
+            .GET().build(),
+          HttpResponse.BodyHandlers.ofString()).body()
+        """graft_rows_nulled_total (\d+)""".r.findFirstMatchIn(body)
+          .map(_.group(1).toLong).getOrElse(-1L)
+      }
+      val before = nulled()
+      assert(before >= 0L, "counter must be exposed before any error")
+      val r = client.send(
+        HttpRequest.newBuilder(URI.create(s"http://localhost:${srv.boundPort}/query"))
+          .POST(HttpRequest.BodyPublishers.ofString(
+            "events | extend n = toint(event_type) | where isnull(n) | count")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(r.statusCode() == 200)
+      assert(nulled() > before, "poisoned rows must increment the counter")
+    } finally srv.stop()
+  }
+
   test("client disconnect cancels the query's Spark jobs") {
     val cat = Catalog.forTestData(spark, graft.TestSpark.sf)
     // a query that takes several seconds on 4 local cores: full scan of a
