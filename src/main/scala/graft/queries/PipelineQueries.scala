@@ -6,9 +6,13 @@ import graft.functions.{Dedup, Graph, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as checkable queries: dedup, similarity
   * search, text analysis, multimodal plumbing. Oracles where the same
-  * computation is expressible in DuckDB SQL; engine-hash-dependent ops
-  * (minhash/simhash/LSH) get rows-only checks here plus deterministic
-  * ScalaTest specs.
+  * computation is expressible in DuckDB SQL — including the
+  * engine-hash-dependent paths (minhash via a full XXH64-in-SQL port,
+  * simhash via its arithmetic mixer, sign-LSH ANN and cosine dedup via
+  * hashInt plane components with sequential-fold double arithmetic); the
+  * remaining rows-only checks are the genuinely non-replayable ones
+  * (IVF's float centroid means, libm-ln weighted sampling, the
+  * percentile_approx sketch), each pinned by a deterministic ScalaTest.
   */
 object PipelineQueries {
 
@@ -192,6 +196,127 @@ object PipelineQueries {
        |WHERE inter / (na + nb - inter) >= 0.4 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Shared SQL fragments for the sign-LSH oracles: mod-2^64 arithmetic
+    * (HUGEINT with the left multiplicand split at 2^32), `XXH64.hashInt`
+    * (the 4-byte specialization SignBits uses for plane components), and
+    * sequential left-fold double arithmetic — `list_reduce` folds run in
+    * array order, exactly the kernels' loop order, so every double is
+    * bit-identical cross-engine (IEEE ops in the same sequence).
+    */
+  private object SignLshSql {
+    val W = "18446744073709551616" // 2^64
+    val P1 = "11400714785074694791"
+    val P2 = "14029467366897019727"
+    val P3 = "1609587929392839161"
+    val P5 = "2870177450012600261"
+    def mul(a: String, b: String): String =
+      s"((($a) % 4294967296) * ($b) + ((($a) // 4294967296) * ($b) % 4294967296) * 4294967296) % $W"
+    def rotl(x: String, r: Int): String = {
+      val lo = java.math.BigInteger.ONE.shiftLeft(64 - r).toString
+      val sh = java.math.BigInteger.ONE.shiftLeft(r).toString
+      s"((($x) % $lo) * $sh + ($x) // $lo)"
+    }
+    /** CTE chain computing XXH64.hashInt(ivar, seedvar) into column `h`. */
+    def hashIntCtes(tag: String, ivar: String, seedvar: String, src: String): String =
+      s"""${tag}0 AS (SELECT *, (($seedvar) + $P5 + 4) % $W AS h FROM $src),
+         |${tag}1 AS (SELECT * REPLACE (xor(h, ${mul(ivar, P1)}) AS h) FROM ${tag}0),
+         |${tag}2 AS (SELECT * REPLACE ((${mul(rotl("h", 23), P2)} + $P3) % $W AS h) FROM ${tag}1),
+         |${tag}3 AS (SELECT * REPLACE (xor(h, h // 8589934592) AS h) FROM ${tag}2),
+         |${tag}4 AS (SELECT * REPLACE (${mul("h", P2)} AS h) FROM ${tag}3),
+         |${tag}5 AS (SELECT * REPLACE (xor(h, h // 536870912) AS h) FROM ${tag}4),
+         |${tag}6 AS (SELECT * REPLACE (${mul("h", P3)} AS h) FROM ${tag}5),
+         |${tag}7 AS (SELECT * REPLACE (xor(h, h // 4294967296) AS h) FROM ${tag}6)""".stripMargin
+    /** Plane-component table `planes(p, comps double[])`: comp(p,j) =
+      * floorMod(signed(hashInt(j, hashInt(p, 42))), 1e5)/1e5 − 0.5,
+      * matching [[graft.functions.SignBitsUtil]]. `nPlanesSql` may be an
+      * expression (e.g. a cfg scalar subquery). */
+    def planesCtes(nPlanesSql: String, dim: Int): String =
+      s"""grid AS (SELECT pp.p, jj.j FROM (SELECT unnest(range(0,$nPlanesSql)) AS p) pp
+         |         CROSS JOIN (SELECT unnest(range(0,$dim)) AS j) jj),
+         |${hashIntCtes("gp", "CAST(p AS HUGEINT)", "CAST(42 AS HUGEINT)", "grid")},
+         |gseed AS (SELECT p, j, h AS hp FROM gp7),
+         |${hashIntCtes("gj", "CAST(j AS HUGEINT)", "hp", "gseed")},
+         |compv AS (SELECT p, j,
+         |    CAST((((CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END) % 100000)
+         |          + 100000) % 100000 AS DOUBLE) / 100000.0 - 0.5 AS comp
+         |  FROM gj7),
+         |planes AS (SELECT p, list(comp ORDER BY j) AS comps FROM compv GROUP BY p)""".stripMargin
+    private def fold(body: String): String =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), $body), (a, x) -> a + x)"
+    /** Per-vector sign bits `bits(vec_id, embedding, bits int[])`. */
+    def bitsCtes(dim: Int): String = {
+      val s = fold(s"list_transform(range(1,${dim + 1}), " +
+        "j -> CAST(e.embedding[j] AS DOUBLE) * pl.comps[j])")
+      s"""vb AS (SELECT e.vec_id, e.embedding, pl.p,
+         |    CASE WHEN $s >= 0 THEN 1 ELSE 0 END AS bit
+         |  FROM embeddings e CROSS JOIN planes pl),
+         |bits AS (SELECT vec_id, embedding, list(bit ORDER BY p) AS bits
+         |         FROM vb GROUP BY vec_id, embedding)""".stripMargin
+    }
+    /** Exact [[graft.functions.CosineUtil]] mirror: three sequential folds
+      * (dot, |a|², |b|²) — per-accumulator order equals the kernel's
+      * single-pass loop, so the double is bit-identical. */
+    def cosine(a: String, b: String, dim: Int): String = {
+      val r = s"range(1,${dim + 1})"
+      val dot = fold(s"list_transform($r, j -> CAST($a[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))")
+      val na = fold(s"list_transform($r, j -> CAST($a[j] AS DOUBLE) * CAST($a[j] AS DOUBLE))")
+      val nb = fold(s"list_transform($r, j -> CAST($b[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))")
+      s"($dot) / (sqrt($na) * sqrt($nb))"
+    }
+  }
+
+  /** DuckDB mirror of the banded auto-sized [[Similarity.lshTopK]] path:
+    * band width recomputed in SQL from the corpus count (the same
+    * floor(log2 n) − 2, floored at 4, as [[Similarity.autoPlanes]]), sign
+    * bits from the hashInt plane components, candidates by per-band key
+    * equality, exact cosine ranking. Bit-exact vs the engine at all three
+    * SFs (n=500 → width 6, n=2000 → width 8).
+    */
+  private val annLshOracleSql: String = {
+    import SignLshSql._
+    s"""WITH cfg AS (SELECT greatest(4, CAST(floor(log2(count(*))) AS INT) - 2) AS w
+       |             FROM embeddings),
+       |${planesCtes("4*(SELECT w FROM cfg)", 64)},
+       |${bitsCtes(64)},
+       |bands AS (SELECT vec_id, b,
+       |    array_to_string(bits[(SELECT w FROM cfg)*b+1:(SELECT w FROM cfg)*b+(SELECT w FROM cfg)], '') AS key
+       |  FROM bits CROSS JOIN (SELECT unnest(range(0,4)) AS b) bb),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+       |qb AS (SELECT b.vec_id AS query_id, b.b, b.key FROM bands b WHERE b.vec_id < 5),
+       |cand AS (SELECT DISTINCT qb.query_id, c.vec_id AS neighbor_id
+       |         FROM qb JOIN bands c ON qb.b = c.b AND qb.key = c.key
+       |         WHERE qb.query_id != c.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.qv", "e.embedding", 64)} AS score
+       |  FROM cand JOIN q ON cand.query_id = q.query_id
+       |            JOIN embeddings e ON cand.neighbor_id = e.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB mirror of [[Similarity.cosineDupPairs]] (θ=0.35, 32 planes ×
+    * 4-row bands): same sign-bit machinery, pairs by per-band key
+    * equality, exact cosine threshold. Bit-exact at all three SFs.
+    */
+  private val cosineDupsOracleSql: String = {
+    import SignLshSql._
+    s"""WITH ${planesCtes("32", 64)},
+       |${bitsCtes(64)},
+       |bands AS (SELECT vec_id, b, array_to_string(bits[4*b+1:4*b+4], '') AS key
+       |          FROM bits CROSS JOIN (SELECT unnest(range(0,8)) AS b) bb),
+       |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+       |         FROM bands a JOIN bands b ON a.b = b.b AND a.key = b.key
+       |         WHERE a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, score FROM (
+       |  SELECT id_a, id_b, ${cosine("ea.embedding", "eb.embedding", 64)} AS score
+       |  FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+       |            JOIN embeddings eb ON id_b = eb.vec_id)
+       |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin
+  }
+
   val all: Seq[Q] = Seq(
 
     // ───── text analysis ─────
@@ -348,11 +473,11 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
-    // LSH-bucketed ANN: approximate (bucket-local) — rows-only; recall vs
-    // brute force asserted in PipelineSpec. Plane count auto-sized from
-    // the corpus (Similarity.autoPlanes), so the probed candidate fraction
-    // shrinks as the corpus grows instead of staying a fixed 5/16.
-    Q.noOracle("pl_ann_lsh")(
+    // LSH-bucketed ANN, auto-sized banded path — full cross-engine
+    // oracle: the hashInt plane components, sign bits, band keys, and
+    // cosine ranking are all replayed bit-exactly in DuckDB SQL
+    // (annLshOracleSql); recall additionally asserted in PipelineSpec
+    Q("pl_ann_lsh", annLshOracleSql)(
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         Similarity.lshTopK(
@@ -407,7 +532,7 @@ object PipelineQueries {
     // embedding near-dup pairs via banded sign-LSH + exact verify on
     // candidates — rows-only (approximate); recall vs pl_cosine_dups_exact
     // asserted in PipelineSpec on the overlapping window
-    Q.noOracle("pl_cosine_dups")(
+    Q("pl_cosine_dups", cosineDupsOracleSql)(
       (s, d) => Similarity.cosineDupPairs(
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.35, nPlanes = 32, rowsPerBand = 4)
