@@ -211,10 +211,18 @@ object Similarity {
     // one Lloyd refinement sweep: per-cell mean via (cell, dim) partial sums
     // — k × dim tiny rows collected, corpus scanned once
     val assigned0 = c.withColumn("__cell", nearestCell(col("__cv"), seeds))
+    // Per-cell means over EXACT 1e6-scaled longs (the Embeddings centroid
+    // pattern): a double-summed mean is order-sensitive, so the refined
+    // centroids would differ between partitionings of the same data — a
+    // retried stage could flip a boundary assignment. Integer sums are
+    // partition-invariant, and the single double division + float
+    // rounding is IEEE-identical everywhere (and replayable by the
+    // DuckDB oracle).
     val refined: Array[Array[Float]] = {
       val dim = seeds.head.length
       val sums = assigned0
-        .select(col("__cell"), posexplode(col("__cv")).as(Seq("__d", "__v")))
+        .select(col("__cell"),
+          posexplode(Embeddings.scaledVec(col("__cv"))).as(Seq("__d", "__v")))
         .groupBy("__cell", "__d")
         .agg(sum(col("__v")).as("s"), count(lit(1)).as("n"))
         .collect()
@@ -222,7 +230,8 @@ object Similarity {
       seeds.indices.map { cell =>
         sums.get(cell).map { rows =>
           val vec = new Array[Float](dim)
-          rows.foreach(r => vec(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat)
+          rows.foreach(r => vec(r.getInt(1)) =
+            (r.getLong(2).toDouble / (r.getLong(3) * Embeddings.Scale).toDouble).toFloat)
           vec
         }.getOrElse(seeds(cell))
       }.toArray

@@ -11,8 +11,8 @@ import graft.functions.{Dedup, Graph, Sampling, Similarity, TextAnalysis}
   * simhash via its arithmetic mixer, sign-LSH ANN and cosine dedup via
   * hashInt plane components with sequential-fold double arithmetic); the
   * remaining rows-only checks are the genuinely non-replayable ones
-  * (IVF's float centroid means, libm-ln weighted sampling, the
-  * percentile_approx sketch), each pinned by a deterministic ScalaTest.
+  * (libm-ln weighted sampling and the percentile_approx sketch), each
+  * pinned by a deterministic ScalaTest.
   */
 object PipelineQueries {
 
@@ -263,6 +263,85 @@ object PipelineQueries {
       val nb = fold(s"list_transform($r, j -> CAST($b[j] AS DOUBLE) * CAST($b[j] AS DOUBLE))")
       s"($dot) / (sqrt($na) * sqrt($nb))"
     }
+    val P4 = "9650029242287828579"
+    /** CTE chain computing XXH64.hashLong(lvar, seedvar) into column `h`
+      * (the 8-byte specialization Spark's `xxhash64` uses on a long). */
+    def hashLongCtes(tag: String, lvar: String, seedvar: String, src: String): String = {
+      val k1 = mul(rotl(mul(lvar, P2), 31), P1)
+      s"""${tag}0 AS (SELECT *, xor((($seedvar) + $P5 + 8) % $W, $k1) AS h FROM $src),
+         |${tag}1 AS (SELECT * REPLACE ((${mul(rotl("h", 27), P1)} + $P4) % $W AS h) FROM ${tag}0),
+         |${tag}2 AS (SELECT * REPLACE (xor(h, h // 8589934592) AS h) FROM ${tag}1),
+         |${tag}3 AS (SELECT * REPLACE (${mul("h", P2)} AS h) FROM ${tag}2),
+         |${tag}4 AS (SELECT * REPLACE (xor(h, h // 536870912) AS h) FROM ${tag}3),
+         |${tag}5 AS (SELECT * REPLACE (${mul("h", P3)} AS h) FROM ${tag}4),
+         |${tag}6 AS (SELECT * REPLACE (xor(h, h // 4294967296) AS h) FROM ${tag}5)""".stripMargin
+    }
+    /** [[graft.functions.NearestCellsUtil]] mirror for a float vector vs a
+      * double centroid list: the kernel computes the vector norm once and
+      * dot/centroid-norm per cell — three independent sequential folds,
+      * same per-accumulator order. */
+    def cosineVsCent(vcol: String, ccol: String, dim: Int): String = {
+      val r = s"range(1,${dim + 1})"
+      val dot = fold(s"list_transform($r, j -> CAST($vcol[j] AS DOUBLE) * $ccol[j])")
+      val nc = fold(s"list_transform($r, j -> $ccol[j] * $ccol[j])")
+      val nv = fold(s"list_transform($r, j -> CAST($vcol[j] AS DOUBLE) * CAST($vcol[j] AS DOUBLE))")
+      s"($dot) / (sqrt($nv) * sqrt($nc))"
+    }
+  }
+
+  /** DuckDB mirror of [[Similarity.ivfTopK]] (nCells=16, nProbe=4) — now
+    * replayable because the Lloyd sweep is exact: seed order from
+    * XXH64.hashLong(vec_id, 42) (signed compare), phase-A/B assignment via
+    * the NearestCells cosine with ties to the LARGER cell index, refined
+    * centroids from partition-invariant 1e6-scaled long sums with one
+    * double division rounded through float, empty cells keeping their
+    * seed. Bit-exact at all three SFs.
+    */
+  private val ivfOracleSql: String = {
+    import SignLshSql._
+    val dim = 64
+    s"""WITH ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
+       |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
+       |hord AS (SELECT vec_id, embedding,
+       |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS cell,
+       |          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |          FROM hord ORDER BY sh LIMIT 16),
+       |pa AS (SELECT e.vec_id, e.embedding, s.cell,
+       |    ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
+       |  FROM embeddings e CROSS JOIN seeds s),
+       |a0 AS (SELECT vec_id, embedding, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pa)
+       |  WHERE rn = 1),
+       |sums AS (SELECT cell, j,
+       |    SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM a0 CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS j) jj GROUP BY cell, j),
+       |ref0 AS (SELECT cell,
+       |    list(CAST(CAST(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE) ORDER BY j) AS cent
+       |  FROM sums GROUP BY cell),
+       |refined AS (SELECT s.cell, coalesce(r.cent, s.cent) AS cent
+       |            FROM seeds s LEFT JOIN ref0 r ON s.cell = r.cell),
+       |pb AS (SELECT e.vec_id, s.cell, ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
+       |  FROM embeddings e CROSS JOIN refined s),
+       |bcell AS (SELECT vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE rn = 1),
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT qc.query_id, b.vec_id AS neighbor_id
+       |         FROM qc JOIN bcell b ON qc.cell = b.cell
+       |         WHERE qc.query_id != b.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |    ${cosine("q.embedding", "e.embedding", dim)} AS score
+       |  FROM cand JOIN embeddings q ON cand.query_id = q.vec_id
+       |            JOIN embeddings e ON cand.neighbor_id = e.vec_id)
+       |SELECT query_id, rank, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
   /** DuckDB mirror of the banded auto-sized [[Similarity.lshTopK]] path:
@@ -488,8 +567,10 @@ object PipelineQueries {
       }),
 
     // IVF coarse-quantized ANN (deterministically seeded k-means cells) —
-    // approximate; recall vs brute force asserted in PipelineSpec
-    Q.noOracle("pl_ann_ivf")(
+    // full cross-engine oracle (ivfOracleSql): the exact-integer Lloyd
+    // sweep makes the whole path replayable; recall vs brute force
+    // additionally asserted in PipelineSpec
+    Q("pl_ann_ivf", ivfOracleSql)(
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         Similarity.ivfTopK(
