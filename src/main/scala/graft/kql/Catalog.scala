@@ -15,6 +15,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 final case class SinkSpec(path: String, primaryKey: Option[String])
 
+/** Per-field statistics (reference `miso-connectors/src/stats.rs`
+  * `FieldStats { distinct_count }`): the cardinality estimate that feeds
+  * the join lowering's broadcast decision — the Spark analog of the
+  * reference's DynamicFilter sizing.
+  */
+final case class FieldStats(distinctCount: Long)
+final case class TableStats(
+    rows: Long, fields: Map[String, FieldStats], computedAtMs: Long)
+
 final class Catalog(spark: SparkSession) {
   // concurrent maps: the HTTP server mutates views/sinks from its handler
   // threads while query threads read them
@@ -101,6 +110,48 @@ final class Catalog(spark: SparkSession) {
   def resolveSink(name: String): Option[SinkSpec] = sinks.get(name)
 
   def resolveTable(name: String): Option[DataFrame] = tables.get(name).map(_())
+
+  // field statistics, keyed by table name. The reference refetches stats
+  // on a background interval (stats.rs IntervalStatsCollector); embedded
+  // in a library the paradigm-correct form is on-demand compute with the
+  // result cached until explicitly recomputed — the server's
+  // GET /connectors/{id}/stats triggers it
+  private val statsMap = TrieMap[String, TableStats]()
+
+  /** One aggregate pass over the table: total rows plus
+    * `approx_count_distinct` per atomic column (HLL — mergeable map-side
+    * partials, one shuffle of k sketch rows, the only stats shape that
+    * works at 100 TB). Nested/variant/binary columns are skipped, like the
+    * reference's connectors which only report stats for indexed scalar
+    * fields.
+    */
+  def computeStats(name: String): Option[TableStats] =
+    resolveTable(name).map { df =>
+      import org.apache.spark.sql.functions.{approx_count_distinct, col, count, lit}
+      import org.apache.spark.sql.types._
+      val cols = df.schema.fields.filter(_.dataType match {
+        case _: ArrayType | _: MapType | _: StructType | BinaryType |
+             _: VariantType => false
+        case _ => true
+      })
+      val aggs = count(lit(1)).as("__rows") +:
+        cols.toSeq.map(f => approx_count_distinct(col(f.name)).as(f.name))
+      val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val ts = TableStats(
+        row.getLong(0),
+        cols.toSeq.zipWithIndex
+          .map { case (f, i) => f.name -> FieldStats(row.getLong(i + 1)) }
+          .toMap,
+        System.currentTimeMillis())
+      statsMap(name) = ts
+      ts
+    }
+
+  /** Cached stats only — never triggers a scan (the compiler consults this
+    * during plan building, where a blocking stats job would be a
+    * compile-time surprise).
+    */
+  def stats(name: String): Option[TableStats] = statsMap.get(name)
 
   /** Run a native (Spark SQL) query with every registered table exposed as
     * a temp view under its bare name — the analog of connector `raw_query`.

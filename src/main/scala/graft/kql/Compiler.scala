@@ -1518,10 +1518,58 @@ final class Compiler(
     * runtime. The reference's `hint.partitions=N` and dynamic `In` filters
     * are subsumed by shuffle partitioning and DPP/runtime filters.
     */
+  /** Upper bound on the distinct count of `field` in a subquery's output,
+    * from CACHED catalog stats — a conservative subset of the reference
+    * DynamicFilter's `calculate_max_distinct_count`
+    * (`dynamic_filter.rs:158-215`): usable only when the head is a plain
+    * scan of a stats-known table and no later step can redefine the field
+    * (filters/sorts only shrink cardinality; limits cap it; any
+    * project/extend/rename/summarize gives up).
+    */
+  private def maxDistinct(sub: Query, field: FieldPath): Option[Long] = {
+    sub.steps.headOption match {
+      case Some(QueryStep.Scan(src)) =>
+        var cap = Long.MaxValue
+        val analyzable = sub.steps.tail.forall {
+          case _: QueryStep.Filter | _: QueryStep.Sort |
+               _: QueryStep.Search | QueryStep.Serialize => true
+          case QueryStep.Limit(n) => cap = math.min(cap, n); true
+          case QueryStep.TopN(_, n) => cap = math.min(cap, n); true
+          case _ => false
+        }
+        if (!analyzable) None
+        else {
+          val fromStats = catalog.stats(src)
+            .flatMap(_.fields.get(field.simpleName))
+            .map(fs => math.min(fs.distinctCount, cap))
+          fromStats.orElse(if (cap != Long.MaxValue) Some(cap) else None)
+        }
+      case _ => None
+    }
+  }
+
   private def compileJoin(
       left: DataFrame, kind: JoinKind, sub: Query,
       keys: Seq[(FieldPath, FieldPath)], lookup: Boolean = false): DataFrame = {
-    val right = compile(sub)
+    val right0 = compile(sub)
+    // stats-driven broadcast (reference DynamicFilter,
+    // dynamic_filter.rs:30-115 with the 10000-distinct default from
+    // args.rs): when cached connector stats bound the build side's
+    // join-key cardinality, hint the broadcast explicitly — Spark's
+    // size-in-bytes heuristic misses small-cardinality inputs whose
+    // estimate is unavailable or inflated (views, filtered wide tables).
+    // The hint is advisory: Catalyst ignores it where the join kind
+    // cannot broadcast that side.
+    val rightSmall = keys.nonEmpty && keys.forall { case (_, rk) =>
+      maxDistinct(sub, rk).exists(_ <= Compiler.DynamicFilterMaxDistinct)
+    }
+    val broadcastable = kind match {
+      case JoinKind.Inner | JoinKind.Left | JoinKind.LeftSemi |
+           JoinKind.LeftAnti => true
+      case _ => false
+    }
+    val right =
+      if (rightSmall && broadcastable) broadcast(right0) else right0
     // key expressions compile through the schema-aware path BEFORE aliasing,
     // into temp columns: nested (`a.b`), array-indexed (`a.b[0]`), variant,
     // and missing fields all get their usual lowering (a missing key is
@@ -1716,4 +1764,12 @@ final class Compiler(
     }
     out.drop("__i" :: "__len" :: tmps: _*)
   }
+}
+
+object Compiler {
+  /** Join-key cardinality bound under which cached connector stats hint a
+    * broadcast (reference `dynamic_filter_max_distinct_values`, default
+    * 10000 in `src/args.rs`).
+    */
+  val DynamicFilterMaxDistinct: Long = 10000L
 }

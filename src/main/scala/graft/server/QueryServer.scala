@@ -359,6 +359,23 @@ final class QueryServer(
       respond(ex, 200, jsonList(catalog.tableNames))
       return
     }
+    // GET /connectors/{id}/stats — compute-and-cache field stats
+    // (reference fetch_stats, miso-connectors/src/stats.rs; on-demand
+    // here instead of the reference's background interval)
+    if (id.endsWith("/stats")) {
+      require(method == "GET", s"$method not supported on stats")
+      val table = id.stripSuffix("/stats")
+      catalog.computeStats(table) match {
+        case Some(st) =>
+          val fields = st.fields.toSeq.sortBy(_._1).map { case (f, fs) =>
+            s"""\"$f\":{"distinct_count":${fs.distinctCount}}"""
+          }.mkString("{", ",", "}")
+          respond(ex, 200,
+            s"""{"rows":${st.rows},"computed_at_ms":${st.computedAtMs},"fields":$fields}""")
+        case None => respond(ex, 404, s"no connector '$table'")
+      }
+      return
+    }
     method match {
       case "GET" =>
         catalog.tableDesc(id) match {

@@ -88,6 +88,14 @@ class QueryServerSpec extends AnyFunSuite {
     assert(get("/connectors/no_such_table").statusCode() == 404)
   }
 
+  test("connectors: GET /connectors/{id}/stats computes field stats") {
+    val r = get("/connectors/nation/stats")
+    assert(r.statusCode() == 200)
+    assert(r.body().contains("\"rows\":25"))
+    assert(r.body().contains("\"n_nationkey\":{\"distinct_count\":"))
+    assert(get("/connectors/no_such_table/stats").statusCode() == 404)
+  }
+
   test("connectors: file registration requires allowRaw, then round-trips") {
     // default server refuses path registration (same posture as raw())
     val refuse = post("/connectors/ext",
