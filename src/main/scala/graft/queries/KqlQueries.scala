@@ -687,6 +687,32 @@ object KqlQueries {
         | | sort by n_name asc""".stripMargin,
       """SELECT n_name, count(*) AS cnt FROM customer
         |LEFT JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY n_name""".stripMargin)
+        |GROUP BY 1 ORDER BY n_name""".stripMargin),
+
+    // registered views splice inline at scan (reference http_server views;
+    // previously ScalaTest-only — this gates the splice itself)
+    Q("kql_view",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 400000 ORDER BY o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val cat = Catalog.forTestData(s, dir)
+        cat.registerView("bigorders",
+          "orders | where o_totalprice > 400000")
+        Kql.run(s, cat,
+          "views.bigorders | project o_orderkey, o_totalprice | sort by o_orderkey asc")
+      }),
+
+    // raw() native pass-through (reference connector raw_query; gated
+    // server-side behind allowRaw, but first-class in the library API)
+    Q("kql_raw",
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_quantity > 45 GROUP BY 1 ORDER BY l_returnflag""".stripMargin)(
+      (s, dir) => {
+        val cat = Catalog.forTestData(s, dir)
+        Kql.run(s, cat,
+          """raw("SELECT l_returnflag, count(*) AS n FROM lineitem
+            |      WHERE l_quantity > 45 GROUP BY 1")
+            | | sort by l_returnflag asc""".stripMargin)
+      })
   )
 }
