@@ -175,9 +175,16 @@ object Dedup {
   def groupOverlap(
       df: DataFrame, groupCol: String, textCol: String, n: Int = 3,
       pruneUniversal: Boolean = true): DataFrame = {
+    // the vocabulary is consumed by five downstream plans (sizes, the
+    // universal-shingle frequency pass, both sides of the self-join, the
+    // prune's anti-join) — checkpoint so the shingle explode + distinct
+    // runs once, not five times (same rationale as minhashDupPairs: a
+    // lazy-returning function can never safely cache/unpersist, while
+    // checkpoint blocks release with the RDD)
     val sh = df
       .select(col(groupCol), explode(shingleSet(col(textCol), n)).as("s"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col(groupCol)).agg(count(lit(1)).as("sz"))
     // all candidate pairs (|groups|² rows, tiny) — needed because a pair
     // whose overlap is entirely universal shingles has no post-prune join
