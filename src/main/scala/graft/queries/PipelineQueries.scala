@@ -736,9 +736,26 @@ object PipelineQueries {
 
     // weight-proportional reproducible sampling (A-Res with hash-derived
     // uniforms): longer docs proportionally likelier, byte-reproducible.
-    // ln() has no exact cross-engine integer form → rows-only here;
-    // GraphSamplingSpec pins exact agreement with a JVM recomputation.
-    Q.noOracle("pl_sample_weighted")(
+    // The A-Res key ln(u)/w is the one transcendental in the engine — but
+    // the PROJECTED columns are all integer-exact, so the oracle only
+    // needs the per-stratum ORDERING to agree, and u itself is bit-exact
+    // cross-engine (pure IEEE ops on the mixSql integers). A Java-vs-
+    // DuckDB ln() disagreement is ≤ a few ulp (~1e-16 relative); the
+    // minimum relative gap between ANY two adjacent keys on the gate data
+    // is 4.7e-6 (sf0.001) / 5.5e-5 (sf0.01) / 3.9e-7 (sf0.1) — nine-plus
+    // orders of margin — so the rank-20 cut is identical in both engines.
+    // GraphSamplingSpec additionally pins exact agreement with a JVM
+    // recomputation, independent of any oracle.
+    Q("pl_sample_weighted", {
+      val u = s"((CAST(${Sampling.mixSql("doc_id")} AS DOUBLE) + 1.0) / ${Sampling.M}.0)"
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, n_chars, ln($u) / n_chars AS wkey
+         |  FROM documents WHERE n_chars > 0),
+         |r AS (SELECT *, row_number() OVER
+         |        (PARTITION BY lang ORDER BY wkey DESC, doc_id) AS rn FROM t)
+         |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20
+         |ORDER BY doc_id""".stripMargin
+    })(
       (s, d) => Sampling.weightedStratified(
         Tables.load(s, d, "documents"), "lang", "doc_id", "n_chars", k = 20)
         .select("doc_id", "lang", "n_chars")
@@ -810,9 +827,28 @@ object PipelineQueries {
     // scale path of pl_token_quantiles: a mergeable quantile sketch
     // (percentile_approx) instead of the global rank window — partial/final
     // aggregation, no per-group sort of the full data. Approximate by
-    // contract, so rows-only here; GraphSamplingSpec pins agreement with
-    // the exact ranks when the sketch budget exceeds the group size.
-    Q.noOracle("pl_token_quantiles_approx")(
+    // contract at scale, but DETERMINISTIC below the sketch budget: the
+    // GK summary's merge threshold is 2·count/accuracy, which stays < 1
+    // for count < accuracy/2 = 5000 (largest gate group: 2059 at sf0.1),
+    // so no two samples (g ≥ 1 each) ever merge — the summary holds every
+    // value with g=1, δ=0, and query(p) returns exactly the element at
+    // 1-indexed rank ceil(p·count) of the sorted values. The oracle
+    // replays that rank rule; it is valid only under the no-compression
+    // contract, which GraphSamplingSpec pins independently.
+    Q("pl_token_quantiles_approx",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT lang, n,
+        |        row_number() OVER (PARTITION BY lang ORDER BY n, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lang) AS cnt FROM t)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * cnt) AS BIGINT) THEN n END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * cnt) AS BIGINT) THEN n END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN n END) AS p99
+        |FROM r GROUP BY lang ORDER BY lang""".stripMargin)(
       (s, d) => Tables.load(s, d, "documents")
         .select(col("lang"), TextAnalysis.tokenCount(col("text")).cast("long").as("n"))
         .groupBy("lang")
