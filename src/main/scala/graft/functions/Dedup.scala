@@ -192,17 +192,32 @@ object Dedup {
     val pairs = sizes.select(col(groupCol).as("grp_a"), col("sz").as("sz_a"))
       .crossJoin(sizes.select(col(groupCol).as("grp_b"), col("sz").as("sz_b")))
       .filter(col("grp_a") < col("grp_b"))
-    val (joinSide, uCount) =
-      if (pruneUniversal) {
-        val ng = sh.select(count_distinct(col(groupCol)).as("ng"))
-        val universal = sh.groupBy(col("s")).agg(count(lit(1)).as("gcnt"))
-          .join(broadcast(ng), col("gcnt") === col("ng")).select("s")
-        (sh.join(broadcast(universal), Seq("s"), "left_anti"),
-          universal.agg(count(lit(1)).as("u")))
-      } else (sh, sh.limit(0).agg(count(lit(1)).as("u")))
-    val common = joinSide.as("a").join(joinSide.as("b"), "s")
-      .filter(col(s"a.$groupCol") < col(s"b.$groupCol"))
-      .groupBy(col(s"a.$groupCol").as("grp_a"), col(s"b.$groupCol").as("grp_b"))
+    // ONE shuffle on the shingle key: fold each shingle's groups into a
+    // sorted list, then expand intersection pairs MAP-SIDE from the list
+    // (fan-out per shingle bounded by |groups|², same bound the old
+    // self-join had per key — but without shuffling the vocabulary a
+    // second time for the b-side, and the universal-shingle prune becomes
+    // a size(gs) = ng filter on the grouped rows instead of an anti-join).
+    // Both consumers below share the identical groupBy subtree, so
+    // Catalyst's ReuseExchange runs the wide shuffle once.
+    val ng = sizes.agg(count(lit(1)).as("ng"))
+    val byShingle = sh.groupBy(col("s"))
+      .agg(sort_array(collect_list(col(groupCol))).as("gs"))
+      .crossJoin(broadcast(ng))
+    val (expandSide, uCount) =
+      if (pruneUniversal)
+        (byShingle.filter(size(col("gs")) < col("ng")),
+          byShingle.filter(size(col("gs")) === col("ng"))
+            .agg(count(lit(1)).as("u")))
+      else (byShingle, byShingle.limit(0).agg(count(lit(1)).as("u")))
+    // pairs (x, y) with x < y from the sorted list: for element i, pair it
+    // with every later element — all inside whole-stage codegen
+    val pairExpr = flatten(transform(col("gs"), (x, i) =>
+      transform(slice(col("gs"), i + lit(2), size(col("gs"))), y =>
+        struct(x.as("grp_a"), y.as("grp_b")))))
+    val common = expandSide
+      .select(explode(pairExpr).as("p"))
+      .groupBy(col("p.grp_a").as("grp_a"), col("p.grp_b").as("grp_b"))
       .agg(count(lit(1)).as("n_common0"))
     pairs
       .join(common, Seq("grp_a", "grp_b"), "left_outer")

@@ -23,6 +23,9 @@ object Graph {
     * truncates lineage so the plan does not double per round, and the
     * convergence probe is a single scalar aggregate (labels only ever
     * decrease, so an unchanged decimal sum ⇔ fixpoint — no extra join).
+    * The probe rides the checkpoint's own materialization job as an
+    * [[org.apache.spark.sql.Observation]] metric — ONE action per round,
+    * not a checkpoint job plus a separate probe scan over the labels.
     * Rounds needed = graph diameter; dup clusters are near-cliques, so
     * 2-3 rounds in practice. The driver loop is control flow only — no row
     * data ever reaches the driver.
@@ -36,22 +39,25 @@ object Graph {
     val sym = edges.select(col("src"), col("dst"))
       .union(edges.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint()
-    var labels = vertices
-      .select(col("id"), col("id").as("cluster_id"))
-      .localCheckpoint()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("cluster_id").cast("decimal(38,0)")))
-        .head().getDecimal(0)
-    var prevSum = labelSum(labels)
+    // decimal(38,0) keeps the probe exact far past a BIGINT overflow
+    // (1e12 vertices × 1e12 max label would wrap a 64-bit sum)
+    val probe = sum(col("cluster_id").cast("decimal(38,0)")).as("ls")
+    def checkpointWithSum(df: DataFrame, round: Int)
+        : (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(s"cc_probe_$round")
+      val out = df.observe(obs, probe).localCheckpoint()
+      (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+    }
+    var (labels, prevSum) = checkpointWithSum(
+      vertices.select(col("id"), col("id").as("cluster_id")), 0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val next = labels.unionByName(msgs)
-        .groupBy("id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint()
-      val nextSum = labelSum(next)
+      val (next, nextSum) = checkpointWithSum(
+        labels.unionByName(msgs)
+          .groupBy("id").agg(min("cluster_id").as("cluster_id")), i + 1)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
