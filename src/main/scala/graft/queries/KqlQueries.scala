@@ -713,6 +713,42 @@ object KqlQueries {
           """raw("SELECT l_returnflag, count(*) AS n FROM lineitem
             |      WHERE l_quantity > 45 GROUP BY 1")
             | | sort by l_returnflag asc""".stripMargin)
+      }),
+
+    // tee: side-write AND pass-through (reference pipeline.rs split sink).
+    // The gate reads the SINK back and hashes that against the oracle, so
+    // what is verified is the side-effect itself — the rows that reached
+    // parquet — not just the pass-through half. A fresh temp dir per call
+    // keeps the append-mode sink deterministic across repeated runs.
+    Q("kql_tee",
+      """SELECT event_id, user_id FROM events
+        |WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin)(
+      (s, dir) => {
+        val cat = Catalog.forTestData(s, dir)
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_gate_tee_").toString + "/out"
+        cat.registerSink("dest", sink)
+        Kql.run(s, cat,
+          """events | where event_type == 'purchase'
+            | | project event_id, user_id | tee dest | count""".stripMargin)
+        s.read.parquet(sink).orderBy("event_id")
+      }),
+
+    // write: terminal sink (reference pipeline.rs write step). Same
+    // read-the-sink-back shape as kql_tee — the gate hashes the persisted
+    // rows, closing the last "untested in gate" steps from SURVEY §2.1.
+    Q("kql_write",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 450000 ORDER BY o_orderkey""".stripMargin)(
+      (s, dir) => {
+        val cat = Catalog.forTestData(s, dir)
+        val sink = java.nio.file.Files
+          .createTempDirectory("graft_gate_write_").toString + "/out"
+        cat.registerSink("dest", sink)
+        Kql.run(s, cat,
+          """orders | where o_totalprice > 450000
+            | | project o_orderkey, o_totalprice | write dest""".stripMargin)
+        s.read.parquet(sink).orderBy("o_orderkey")
       })
   )
 }

@@ -64,6 +64,11 @@ object Sinks {
         val rows = java.util.Arrays.asList(df.collect(): _*)
         return spark.createDataFrame(rows, df.schema)
       } catch { case e: Throwable =>
+        // a swap by ANOTHER session/JVM leaves this session's shared
+        // FileStatusCache holding the pre-swap listing, and a bare retry
+        // would re-plan from that same stale cache forever — drop the
+        // cached listing before backing off
+        spark.catalog.refreshByPath(path)
         last = e; i += 1; Thread.sleep(backoffMs)
       }
     }
@@ -112,5 +117,11 @@ object Sinks {
       if (fs.exists(dir)) fs.rename(dir, old)
       fs.rename(tmp, dir)
       fs.delete(old, true)
+      // the swap happened through raw filesystem renames, which Spark's
+      // shared FileStatusCache cannot observe — without this, the NEXT
+      // read of `path` in this session (including the next upsert's own
+      // merge scan) can plan against the pre-swap file listing and fail
+      // mid-task with FILE_NOT_EXIST
+      spark.catalog.refreshByPath(path)
     }
 }
