@@ -47,11 +47,15 @@ object Sinks {
     pathLocks.getOrElseUpdate(path, new Object)
 
   /** Read a directory that an [[upsert]] may be swapping concurrently.
-    * Listing AND execution both race the swap (a lazily-read file can
-    * vanish between plan and task), so the whole read is materialized
-    * inside the retry loop and returned as an in-memory frame. Sized for
-    * the same control tables upsert itself is (query status, watermark
-    * registries) — not a data-scale read path.
+    * Same-JVM swaps are excluded outright by taking the writer's per-path
+    * lock around the read (the swap runs entirely under it, so a locked
+    * read never observes the dir-absent window). Swaps by ANOTHER JVM
+    * can't be locked against, so listing AND execution still race them
+    * (a lazily-read file can vanish between plan and task) — the whole
+    * read is therefore materialized inside a retry loop and returned as
+    * an in-memory frame. Sized for the same control tables upsert itself
+    * is (query status, watermark registries) — not a data-scale read
+    * path.
     */
   def readUpserted(
       spark: SparkSession, path: String,
@@ -60,14 +64,16 @@ object Sinks {
     var i = 0
     while (i < attempts) {
       try {
-        val df = spark.read.parquet(path)
-        val rows = java.util.Arrays.asList(df.collect(): _*)
-        return spark.createDataFrame(rows, df.schema)
+        return lockFor(path).synchronized {
+          val df = spark.read.parquet(path)
+          val rows = java.util.Arrays.asList(df.collect(): _*)
+          spark.createDataFrame(rows, df.schema)
+        }
       } catch { case e: Throwable =>
-        // a swap by ANOTHER session/JVM leaves this session's shared
-        // FileStatusCache holding the pre-swap listing, and a bare retry
-        // would re-plan from that same stale cache forever — drop the
-        // cached listing before backing off
+        // a cross-JVM swap leaves this session's shared FileStatusCache
+        // holding the pre-swap listing, and a bare retry would re-plan
+        // from that same stale cache forever — drop the cached listing
+        // before backing off
         spark.catalog.refreshByPath(path)
         last = e; i += 1; Thread.sleep(backoffMs)
       }
