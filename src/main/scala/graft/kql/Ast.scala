@@ -264,7 +264,11 @@ object QueryStep {
   /** project-keep: keep only the listed columns, in their original schema
     * order (KQL semantics — order comes from the table, not the list). */
   final case class ProjectKeep(fields: Seq[FieldPath]) extends QueryStep
-  final case class Expand(fields: Seq[FieldPath], kind: ExpandKind) extends QueryStep
+  /** `mv-expand [kind=bag|array] [with_itemindex=Col] f1, f2 …`.
+    * `with_itemindex` adds the 0-based element index per expanded row
+    * (null for rows that pass through unexpanded — no element, no index). */
+  final case class Expand(fields: Seq[FieldPath], kind: ExpandKind,
+      itemIndex: Option[String] = None) extends QueryStep
   /** `mv-apply x = arr on ( <steps> )` — run a subpipeline over each ROW's
     * expanded array elements (KQL's per-row subquery). Supported inner
     * steps: `where`, `extend`, `summarize` (no `by` — the implicit group
@@ -302,7 +306,13 @@ object QueryStep {
   final case class Join(
       kind: JoinKind, sub: Query,
       keys: Seq[(FieldPath, FieldPath)],
-      lookup: Boolean = false) extends QueryStep
+      lookup: Boolean = false,
+      /** `hint.strategy=broadcast|shuffle` — the user's physical-join
+        * choice, honored via Spark join hints (broadcast / shuffle_hash).
+        * Other Kusto hints (`hint.num_partitions`, `hint.shufflekey`) are
+        * accepted and ignored: Spark's shuffle partitioning and AQE skew
+        * handling supersede manual partition counts. */
+      strategy: Option[String] = None) extends QueryStep
   case object CountStep extends QueryStep
   /** `getschema` — one row per column: (ColumnName, ColumnOrdinal,
     * DataType, ColumnType), KQL's schema-introspection step. Computed from
@@ -340,6 +350,36 @@ object QueryStep {
     * inert) on an already-serialized prefix, rejected otherwise to keep
     * the window-function contract explicit. */
   case object Serialize extends QueryStep
+  /** `top-hitters N of col [by sumCol]` — most frequent values of `col`
+    * (or highest sum of `sumCol` per value). Kusto surface (beyond the
+    * reference's step set); Kusto computes it approximately, this engine
+    * exactly (partial-agg + TakeOrderedAndProject — see the compiler note
+    * on the sketch upgrade path). Ties break by value ascending so the
+    * result is deterministic; output columns follow Kusto's naming
+    * (`col`, `approximate_count_col` / `approximate_sum_sumCol`). */
+  final case class TopHitters(
+      n: Long, of: FieldPath, by: Option[FieldPath]) extends QueryStep
+  /** `sample-distinct N of col` — N distinct values of `col`. Kusto's is
+    * arbitrary/nondeterministic; this engine picks the N values with the
+    * smallest `xxhash64(value)` (ties by value) so the sample is
+    * REPRODUCIBLE across runs, partitionings, and engines — the same
+    * philosophy as [[graft.functions.Sampling]], and hash-uniform so it
+    * is still a fair sample of the distinct set. */
+  final case class SampleDistinct(n: Long, of: FieldPath) extends QueryStep
+  /** `evaluate bag_unpack(col [, 'prefix'])` — expand a dynamic property
+    * bag (variant) column into one top-level column per key, dropping the
+    * bag column; other columns pass through. The merged key/type schema
+    * comes from one `schema_of_variant_agg` pass (a scalar aggregate —
+    * the only driver-visible result is the schema string, never rows).
+    * Unpacked columns are appended in alphabetical key order (Kusto
+    * leaves the order unspecified). */
+  final case class BagUnpack(
+      col: FieldPath, prefix: Option[String]) extends QueryStep
+  /** `print [name =] expr [, …]` — single-row scalar source (Kusto's
+    * calculator statement). Unnamed columns get Kusto's `print_N`
+    * positional names. Compiles to a 1-row relation; expressions may not
+    * reference columns (there are none). */
+  final case class Print(cols: Seq[(Option[String], Expr)]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

@@ -210,8 +210,13 @@ final class Compiler(
     }
     case ArrFn(name, args) => name match {
       case "split" => if (args.length == 3) KT.Str else KT.Arr
-      case "array_length" | "indexof" => KT.Int
-      case _ => KT.Str // strcat_delim
+      case "array_length" | "indexof" | "array_index_of" => KT.Int
+      case "array_sort_asc" | "array_sort_desc" | "array_reverse" |
+          "array_concat" | "array_slice" | "set_union" | "set_intersect" |
+          "set_difference" | "pack_array" | "bag_keys" => KT.Arr
+      case "array_sum" => KT.Float
+      case "bag_pack" | "pack_all" => KT.Var
+      case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
       case "row_number" => KT.Int
@@ -701,6 +706,67 @@ final class Compiler(
           }
           array_join(
             transform(compile(df, args.head), e => e.cast(StringType)), delim)
+
+        // Kusto places nulls LAST in both sort directions; Spark's
+        // array_sort (asc) and sort_array(…, false) (desc) both do too —
+        // the asc form must NOT be sort_array(…, true), which is
+        // nulls-first
+        case "array_sort_asc" => array_sort(compile(df, args.head))
+        case "array_sort_desc" => sort_array(compile(df, args.head), asc = false)
+        case "array_reverse" => reverse(compile(df, args.head))
+        case "array_concat" => concat(args.map(a => compile(df, a)): _*)
+        // zero-based INCLUSIVE [start, end], negatives index from the end
+        // (-1 = last), out-of-range clamps — Kusto's slice contract
+        case "array_slice" =>
+          val arr = compile(df, args.head)
+          val n = size(arr)
+          def norm(a: Expr, lo: Boolean): Column = {
+            val i = compile(df, a).cast(IntegerType)
+            val fromEnd = n + i
+            if (lo) when(i < 0, greatest(fromEnd, lit(0))).otherwise(i)
+            else when(i < 0, fromEnd).otherwise(least(i, n - lit(1)))
+          }
+          val s0 = norm(args(1), lo = true)
+          val e0 = norm(args(2), lo = false)
+          slice(arr, s0 + lit(1), greatest(e0 - s0 + lit(1), lit(0)))
+        // 0-based first index of value, -1 when absent (array_position is
+        // 1-based with 0-absent, so the -1 shift needs no null handling)
+        case "array_index_of" =>
+          (array_position(compile(df, args.head), compile(df, args(1)))
+            - lit(1L)).cast(LongType)
+        // sequential left fold in element order — deterministic, and
+        // replayable by an oracle as the same IEEE operation sequence
+        case "array_sum" =>
+          aggregate(compile(df, args.head), lit(0.0),
+            (acc, x) => acc + x.cast(DoubleType))
+        // Kusto's set results have unspecified order; sorted here so the
+        // output is deterministic (same choice as make_set — SCALE.md)
+        case "set_union" =>
+          array_sort(array_distinct(
+            concat(compile(df, args.head), compile(df, args(1)))))
+        case "set_intersect" =>
+          array_sort(array_distinct(
+            array_intersect(compile(df, args.head), compile(df, args(1)))))
+        case "set_difference" =>
+          array_sort(array_except(compile(df, args.head), compile(df, args(1))))
+        case "pack_array" =>
+          array(args.map(a => compile(df, a)): _*)
+        // keys of a dynamic object, sorted (Kusto order is unspecified);
+        // non-object values → null (json_object_keys contract). The bag
+        // renders through its canonical JSON text — cheap for the
+        // control-plane-sized bags this targets
+        case "bag_keys" =>
+          array_sort(json_object_keys(compile(df, args.head).cast(StringType)))
+        // literal-keyed dynamic object; round-trips through the variant
+        // machinery so b.key paths and re-unpack work on the result
+        case "bag_pack" =>
+          val fields = args.grouped(2).flatMap { kv =>
+            Seq(lit(kv.head.asInstanceOf[StrLit].v), compile(df, kv(1)))
+          }.toSeq
+          parse_json(to_json(named_struct(fields: _*)))
+        // whole row → dynamic bag (every current column by name)
+        case "pack_all" =>
+          parse_json(to_json(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)))
       }
 
     // serialized window scalars: ordered by the preceding sort's keys.
@@ -792,6 +858,7 @@ final class Compiler(
     case Some(_: QueryStep.RawScan) => "raw"
     case Some(_: QueryStep.RangeScan) => "range"
     case Some(_: QueryStep.DataTable) => "datatable"
+    case Some(_: QueryStep.Print) => "print"
     case _ => "unknown"
   }
 
@@ -947,6 +1014,16 @@ final class Compiler(
         new java.util.ArrayList[org.apache.spark.sql.Row](
           scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
 
+    // single-row scalar source; expressions compile against the 1-row
+    // frame (no columns to reference — a column ref fails analysis, which
+    // is the right error for `print`)
+    case QueryStep.Print(cols) =>
+      val one = spark.range(1).toDF()
+      val named = cols.zipWithIndex.map { case ((alias, e), i) =>
+        compile(one, e).as(alias.getOrElse(s"print_$i"))
+      }
+      one.select(named: _*)
+
     // generated source: spark.range is a parallel, partitioned generator
     // (no driver materialization), so a billion-row grid is still a narrow
     // distributed scan. Inclusive upper bound, KQL-style.
@@ -1056,7 +1133,8 @@ final class Compiler(
       val keep = fields.map(_.render.toLowerCase).toSet
       df.select(df.columns.filter(c => keep.contains(c.toLowerCase)).map(col): _*)
 
-    case QueryStep.Expand(fields, kind) => compileExpand(df, fields, kind)
+    case QueryStep.Expand(fields, kind, itemIndex) =>
+      compileExpand(df, fields, kind, itemIndex)
 
     // mv-apply: per-row subquery over array elements. Shape: explode
     // (narrow) → inner steps on the exploded frame → either one row per
@@ -1120,6 +1198,70 @@ final class Compiler(
 
     case QueryStep.TopN(keys, n) =>
       df.orderBy(keys.map(k => sortCol(df, k)): _*).limit(n.toInt)
+
+    // exact top-hitters: map-side partial agg → shuffle on the value →
+    // final agg → TakeOrderedAndProject (bounded heaps, O(n) driver
+    // memory). Kusto's is CMS-approximate; exactness here is strictly
+    // stronger and the output keeps Kusto's `approximate_*` column names.
+    // At cardinalities where even the agg's shuffle is too wide, the
+    // documented sketch path is summarize dcount_approx/percentile-style
+    // pre-filtering — not silently swapped in here.
+    case QueryStep.TopHitters(n, of, by) =>
+      val keyName = of.flat
+      val key = compileField(df, of)
+      val (aggC, aggName) = by match {
+        case Some(b) =>
+          (sum(compileField(df, b).cast(DoubleType)),
+            s"approximate_sum_${b.flat}")
+        case None => (count(lit(1)), s"approximate_count_$keyName")
+      }
+      df.groupBy(key.as(keyName)).agg(aggC.as(aggName))
+        .orderBy(col(s"`$aggName`").desc, col(s"`$keyName`").asc)
+        .limit(n.toInt)
+
+    // reproducible distinct sample: the N smallest xxhash64 values of the
+    // distinct set — hash-uniform (fair), engine/partitioning-invariant,
+    // and one partial-aggregated distinct + TakeOrderedAndProject in the
+    // plan. Deviation from Kusto (whose pick is arbitrary) documented on
+    // the AST node.
+    case QueryStep.SampleDistinct(n, of) =>
+      val keyName = of.flat
+      df.select(compileField(df, of).as(keyName)).distinct()
+        .orderBy(xxhash64(col(s"`$keyName`")).asc, col(s"`$keyName`").asc)
+        .limit(n.toInt)
+
+    // bag_unpack: ONE scalar-aggregate pass merges every row's object
+    // schema (schema_of_variant_agg — only the schema string reaches the
+    // driver), then each key lowers to a typed variant_get projection.
+    // Container-typed keys stay variant so nested bags survive re-unpack.
+    case QueryStep.BagUnpack(path, prefix) =>
+      if (!path.isSimple)
+        throw KqlParseException(
+          s"bag_unpack expects a top-level dynamic column, got '${path.render}'", 0)
+      val v = compileField(df, path)
+      val ddl = df.agg(schema_of_variant_agg(v).as("s")).head().getString(0)
+      val keep = df.columns
+        .filterNot(_.equalsIgnoreCase(path.simpleName))
+        .map(c => col(s"`$c`"))
+      if (ddl == null || ddl == "VOID") df.select(keep.toSeq: _*)
+      else if (!ddl.startsWith("OBJECT<"))
+        throw KqlParseException(
+          s"bag_unpack: '${path.render}' holds non-object values " +
+            s"(merged schema: $ddl)", 0)
+      else {
+        val pre = prefix.getOrElse("")
+        val unpacked = splitTopLevel(ddl.stripPrefix("OBJECT<").stripSuffix(">"))
+          .map { kv =>
+            val i = kv.indexOf(':')
+            val (k, t) = (kv.take(i).trim, kv.drop(i + 1).trim)
+            val target =
+              if (t.startsWith("OBJECT") || t.startsWith("ARRAY") ||
+                t == "VARIANT") "variant"
+              else t
+            variant_get(v, s"$$['$k']", target).as(pre + k)
+          }
+        df.select((keep ++ unpacked).toSeq: _*)
+      }
 
     // hierarchical top-k: per level, aggregate (map-side partial → final),
     // keep the top n groups per parent via row_number over the AGGREGATED
@@ -1245,8 +1387,8 @@ final class Compiler(
         case Some(colName) => merged.withColumnRenamed(UnionSrcCol, colName)
       }
 
-    case QueryStep.Join(kind, sub, keys, lookup) =>
-      compileJoin(df, kind, sub, keys, lookup)
+    case QueryStep.Join(kind, sub, keys, lookup, strategy) =>
+      compileJoin(df, kind, sub, keys, lookup, strategy)
 
     case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
 
@@ -1337,6 +1479,26 @@ final class Compiler(
   private def resolveSinkSpec(target: String): SinkSpec =
     catalog.resolveSink(target).getOrElse(
       throw KqlParseException(s"unknown sink '$target'", 0))
+
+  /** Split an OBJECT<...> body on top-level commas only (types nest via
+    * `<...>` and `(...)` — DECIMAL(2,1), ARRAY<OBJECT<...>>). */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '<' | '(' => depth += 1
+        case '>' | ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    if (start < s.length) out += s.substring(start)
+    out.result()
+  }
 
   /** Cross-type total-order key for a variant value, matching the
     * reference's Null < Bool < numbers < Timestamp < Timespan < String <
@@ -1550,8 +1712,19 @@ final class Compiler(
 
   private def compileJoin(
       left: DataFrame, kind: JoinKind, sub: Query,
-      keys: Seq[(FieldPath, FieldPath)], lookup: Boolean = false): DataFrame = {
-    val right0 = compile(sub)
+      keys: Seq[(FieldPath, FieldPath)], lookup: Boolean = false,
+      strategy: Option[String] = None): DataFrame = {
+    // `hint.strategy=…` is the user's explicit physical choice and wins
+    // over the stats heuristic below: broadcast → Spark broadcast hint on
+    // the build side; shuffle → shuffle_hash hint, which also suppresses
+    // an auto-broadcast Catalyst would otherwise pick (the Kusto shuffle
+    // hint's purpose — a build side known to blow the driver/executor
+    // memory despite a small size ESTIMATE)
+    val right0 = strategy match {
+      case Some("broadcast") => broadcast(compile(sub))
+      case Some("shuffle") => compile(sub).hint("shuffle_hash")
+      case _ => compile(sub)
+    }
     // stats-driven broadcast (reference DynamicFilter,
     // dynamic_filter.rs:30-115 with the 10000-distinct default from
     // args.rs): when cached connector stats bound the build side's
@@ -1569,7 +1742,8 @@ final class Compiler(
       case _ => false
     }
     val right =
-      if (rightSmall && broadcastable) broadcast(right0) else right0
+      if (strategy.isEmpty && rightSmall && broadcastable) broadcast(right0)
+      else right0
     // key expressions compile through the schema-aware path BEFORE aliasing,
     // into temp columns: nested (`a.b`), array-indexed (`a.b[0]`), variant,
     // and missing fields all get their usual lowering (a missing key is
@@ -1727,7 +1901,8 @@ final class Compiler(
   }
 
   private def compileExpand(
-      df: DataFrame, fields: Seq[FieldPath], kind: ExpandKind): DataFrame = {
+      df: DataFrame, fields: Seq[FieldPath], kind: ExpandKind,
+      itemIndex: Option[String] = None): DataFrame = {
     require(fields.forall(_.parts.forall(_.arrIndices.isEmpty)),
       "mv-expand of array-indexed paths not supported")
     // For each requested field, its expansion array (expand.rs:98-131):
@@ -1761,6 +1936,13 @@ final class Compiler(
           .otherwise(sequence(lit(0), col("__len") - 1))))
     expandable.zip(tmps).foreach { case ((f, _), t) =>
       out = writeBack(out, f, get(col(t), col("__i")))
+    }
+    // with_itemindex: surface the element index; a pass-through row (all
+    // expansions null) carries no element, so its index is null
+    itemIndex.foreach { name =>
+      out = out.withColumn(name,
+        when(col("__len").isNull, lit(null).cast(LongType))
+          .otherwise(col("__i").cast(LongType)))
     }
     out.drop("__i" :: "__len" :: tmps: _*)
   }

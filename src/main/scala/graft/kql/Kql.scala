@@ -66,7 +66,9 @@ object Kql {
         s"project-rename ${ps.map { case (t, f) => s"$t = ${f.render}" }.mkString(", ")}"
       case QueryStep.ProjectAway(fs) => s"project-away ${fs.map(_.render).mkString(", ")}"
       case QueryStep.ProjectKeep(fs) => s"project-keep ${fs.map(_.render).mkString(", ")}"
-      case QueryStep.Expand(fs, k) => s"mv-expand kind=$k ${fs.map(_.render).mkString(", ")}"
+      case QueryStep.Expand(fs, k, ix) =>
+        s"mv-expand kind=$k" + ix.map(n => s" with_itemindex=$n").getOrElse("") +
+          s" ${fs.map(_.render).mkString(", ")}"
       case QueryStep.MvApply(n, src, sub) =>
         s"mv-apply $n = ${src.render} on (\n" +
           renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
@@ -82,12 +84,13 @@ object Kql {
       case QueryStep.Union(sub, ws) =>
         val w = ws.map(c => s"withsource=$c ").getOrElse("")
         s"union $w(\n${renderQuery(sub, indent + "  ")}\n$indent)"
-      case QueryStep.Join(k, sub, keys, lookup) =>
+      case QueryStep.Join(k, sub, keys, lookup, strategy) =>
         val cond = keys.map { case (lk, rk) =>
           s"$$left.${lk.render} == $$right.${rk.render}"
         }.mkString(", ")
         val step = if (lookup) "lookup" else "join"
-        s"$step kind=${k.toString.toLowerCase} (\n${renderQuery(sub, indent + "  ")}\n$indent) on $cond"
+        val hint = strategy.map(s => s"hint.strategy=$s ").getOrElse("")
+        s"$step kind=${k.toString.toLowerCase} $hint(\n${renderQuery(sub, indent + "  ")}\n$indent) on $cond"
       case QueryStep.CountStep => "count"
       case QueryStep.GetSchema => "getschema"
       case QueryStep.Write(t) => s"write $t"

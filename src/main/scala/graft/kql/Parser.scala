@@ -164,6 +164,28 @@ final class Parser(src: String, nowMicros: Long) {
       parseStepTail(steps)
       return Query(steps.result())
     }
+    // `print [name =] expr [, …]` single-row scalar source; a table
+    // actually NAMED print is still reachable (bare `print | …` or EOF
+    // scans it — Kusto's print always has at least one expression)
+    if (atIdent("print") && toks.lift(p + 1).exists {
+        case Punct("|", _) | _: Eof => false; case _ => true }) {
+      p += 1
+      val cols = Seq.newBuilder[(Option[String], Expr)]
+      var more = true
+      while (more) {
+        val alias = (peek, toks.lift(p + 1)) match {
+          case (Ident(a, _), Some(Punct("=", _)))
+              if !reservedWords(a.toLowerCase) => p += 2; Some(a)
+          case _ => None
+        }
+        cols += ((alias, parseExpr()))
+        more = tryPunct(",")
+      }
+      val steps = Seq.newBuilder[QueryStep]
+      steps += QueryStep.Print(cols.result())
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     val source = parseSourceRef()
     val steps = Seq.newBuilder[QueryStep]
     // `conn.coll.raw("…")` / `raw("…")`: native (Spark SQL) pass-through
@@ -224,8 +246,21 @@ final class Parser(src: String, nowMicros: Long) {
       case "sort" | "order"   => p += 1; eatIdent("by"); QueryStep.Sort(parseSortKeys())
       case "top"              => p += 1
         val n = parseIntLit(); eatIdent("by"); QueryStep.TopN(parseSortKeys(), n)
+      case "top-hitters"      => p += 1
+        val n = parseIntLit(); eatIdent("of"); val f = parseFieldPath()
+        val by = peek match {
+          case Ident(w, _) if w.equalsIgnoreCase("by") => p += 1; Some(parseFieldPath())
+          case _ => None
+        }
+        QueryStep.TopHitters(n, f, by)
+      case "sample-distinct"  => p += 1
+        val n = parseIntLit(); eatIdent("of")
+        QueryStep.SampleDistinct(n, parseFieldPath())
       case "summarize"        => p += 1; parseSummarize()
-      case "distinct"         => p += 1; QueryStep.Distinct(parseFieldList())
+      case "distinct"         => p += 1
+        // `distinct *` = all current columns (empty field list)
+        if (atPunct("*")) { p += 1; QueryStep.Distinct(Nil) }
+        else QueryStep.Distinct(parseFieldList())
       case "union"            => p += 1; parseUnion()
       case "join"             => p += 1; parseJoin()
       case "lookup"           => p += 1; parseJoin(lookup = true)
@@ -351,10 +386,23 @@ final class Parser(src: String, nowMicros: Long) {
     QueryStep.Parse(src, segs.result(), strict)
   }
 
-  /** `evaluate pivot(col, agg(...), v1, v2, …)` */
+  /** `evaluate pivot(col, agg(...), v1, v2, …)` or
+    * `evaluate bag_unpack(col [, 'prefix'])` */
   private def parseEvaluate(): QueryStep = {
     val plugin = identText().toLowerCase
-    if (plugin != "pivot") fail(s"unknown evaluate plugin '$plugin'")
+    if (plugin == "bag_unpack") {
+      eatPunct("(")
+      val f = parseFieldPath()
+      val prefix =
+        if (tryPunct(",")) peek match {
+          case StrTok(s, _) => p += 1; Some(s)
+          case _ => fail("bag_unpack prefix must be a string literal")
+        } else None
+      eatPunct(")")
+      return QueryStep.BagUnpack(f, prefix)
+    }
+    if (plugin != "pivot")
+      fail(s"unknown evaluate plugin '$plugin' (supported: pivot, bag_unpack)")
     eatPunct("(")
     val col = parseFieldPath()
     eatPunct(",")
@@ -393,15 +441,22 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def parseExpand(): QueryStep = {
     var kind: ExpandKind = ExpandKind.Bag
-    if (atIdent("kind")) {
-      p += 1; eatPunct("=")
-      kind = identText().toLowerCase match {
-        case "bag" => ExpandKind.Bag
-        case "array" => ExpandKind.Arr
-        case other => fail(s"unknown mv-expand kind '$other'")
-      }
+    var itemIndex: Option[String] = None
+    var opts = true
+    while (opts) {
+      if (atIdent("kind")) {
+        p += 1; eatPunct("=")
+        kind = identText().toLowerCase match {
+          case "bag" => ExpandKind.Bag
+          case "array" => ExpandKind.Arr
+          case other => fail(s"unknown mv-expand kind '$other'")
+        }
+      } else if (atIdent("with_itemindex")) {
+        p += 1; eatPunct("=")
+        itemIndex = Some(identText())
+      } else opts = false
     }
-    QueryStep.Expand(parseFieldList(), kind)
+    QueryStep.Expand(parseFieldList(), kind, itemIndex)
   }
 
   private def parseFieldList(): Seq[FieldPath] = {
@@ -465,6 +520,13 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parseSummarize(): QueryStep = {
+    // `summarize hint.shufflekey=k …` / `hint.num_partitions=N …` —
+    // accepted and ignored for compatibility: the Spark analogs (AQE skew
+    // handling, the salted-agg operator, conf'd shuffle partitioning)
+    // supersede Kusto's manual shuffle hints
+    while (atIdent("hint")) {
+      eatIdent("hint"); eatPunct("."); identText(); eatPunct("="); next()
+    }
     final case class RawAgg(agg: Aggregation, alias: Option[String])
     val aggs = Seq.newBuilder[RawAgg]
     var done = false
@@ -566,6 +628,7 @@ final class Parser(src: String, nowMicros: Long) {
     // leftouter/inner allowed, right key columns dropped, null-key left
     // rows survive unmatched (dimension-enrichment semantics)
     var kind: JoinKind = if (lookup) JoinKind.Left else JoinKind.Inner
+    var strategy: Option[String] = None
     while (atIdent("kind") || atIdent("hint")) {
       if (tryIdent("kind")) {
         eatPunct("=")
@@ -581,9 +644,22 @@ final class Parser(src: String, nowMicros: Long) {
           case other => fail(s"unknown join kind '$other'")
         }
       } else {
-        // hint.partitions=N — accepted and ignored: Spark's shuffle
-        // partitioning supersedes the reference's manual partition hint.
-        eatIdent("hint"); eatPunct("."); identText(); eatPunct("="); next()
+        eatIdent("hint"); eatPunct(".")
+        identText().toLowerCase match {
+          // hint.strategy=broadcast|shuffle — the user's physical-join
+          // choice, honored via Spark join hints
+          case "strategy" =>
+            eatPunct("=")
+            identText().toLowerCase match {
+              case s @ ("broadcast" | "shuffle") => strategy = Some(s)
+              case other => fail(
+                s"unknown join strategy '$other' (broadcast | shuffle)")
+            }
+          // hint.num_partitions / hint.shufflekey / … — accepted and
+          // ignored: Spark's shuffle partitioning and AQE skew handling
+          // supersede manual partition hints
+          case _ => eatPunct("="); next()
+        }
       }
     }
     eatPunct("(")
@@ -616,7 +692,7 @@ final class Parser(src: String, nowMicros: Long) {
     while (tryPunct(",")) keys += keyPair()
     if (lookup && kind != JoinKind.Left && kind != JoinKind.Inner)
       fail("lookup allows kind=leftouter (default) or kind=inner only")
-    QueryStep.Join(kind, sub, keys.result(), lookup)
+    QueryStep.Join(kind, sub, keys.result(), lookup, strategy)
   }
 
   // ───────────────────────── expressions ─────────────────────────
@@ -790,7 +866,11 @@ final class Parser(src: String, nowMicros: Long) {
     "row_number", "prev", "next", "row_cumsum",
     "countof", "extract_all", "bin_at", "tohex",
     "base64_encode_tostring", "base64_decode_tostring",
-    "todynamic", "parse_json")
+    "todynamic", "parse_json",
+    "array_sort_asc", "array_sort_desc", "array_reverse", "array_concat",
+    "array_slice", "array_index_of", "array_sum",
+    "set_union", "set_intersect", "set_difference",
+    "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
@@ -943,6 +1023,40 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a(1).isInstanceOf[StrLit],
           "strcat_array() delimiter must be a string literal")
         ArrFn("strcat_array", a)
+      case f @ ("array_sort_asc" | "array_sort_desc" | "array_reverse" |
+          "bag_keys") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        ArrFn(f, a)
+      case "array_sum" =>
+        val a = args(); arity(a.length == 1, "array_sum() takes 1 arg")
+        ArrFn("array_sum", a)
+      case "array_concat" =>
+        val a = args(); arity(a.length >= 2, "array_concat() takes 2+ arrays")
+        ArrFn("array_concat", a)
+      case "array_slice" =>
+        val a = args()
+        arity(a.length == 3, "array_slice() takes (array, start, end)")
+        ArrFn("array_slice", a)
+      case "array_index_of" =>
+        val a = args()
+        arity(a.length == 2, "array_index_of() takes (array, value)")
+        ArrFn("array_index_of", a)
+      case f @ ("set_union" | "set_intersect" | "set_difference") =>
+        val a = args(); arity(a.length == 2, s"$f() takes 2 arrays")
+        ArrFn(f, a)
+      case "pack_array" =>
+        val a = args(); arity(a.nonEmpty, "pack_array() takes 1+ elements")
+        ArrFn("pack_array", a)
+      case f @ ("bag_pack" | "pack") =>
+        val a = args()
+        arity(a.length >= 2 && a.length % 2 == 0,
+          s"$f() takes (key1, value1, key2, value2, …) pairs")
+        arity(a.grouped(2).forall(_.head.isInstanceOf[StrLit]),
+          s"$f() keys must be string literals")
+        ArrFn("bag_pack", a)
+      case "pack_all" =>
+        val a = args(); arity(a.isEmpty, "pack_all() takes no arguments")
+        ArrFn("pack_all", a)
       case "row_number" =>
         val a = args()
         arity(a.length <= 1, "row_number() takes an optional starting index")
@@ -1035,8 +1149,8 @@ object Parser {
   val stepKeywords: Seq[String] = Seq(
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
-    "summarize", "distinct", "union", "join", "count", "write", "tee",
-    "search", "parse")
+    "top-hitters", "sample-distinct", "summarize", "distinct", "union",
+    "join", "count", "write", "tee", "search", "parse")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

@@ -715,6 +715,127 @@ object KqlQueries {
             | | sort by l_returnflag asc""".stripMargin)
       }),
 
+    // exact top-hitters (Kusto surface; Kusto's own is CMS-approximate —
+    // ours is exact with Kusto's approximate_* column naming, so the
+    // DuckDB oracle can hash it bit-for-bit; integer cents keep the
+    // double sum order-insensitive-exact)
+    kq("kql_tophitters",
+      """events
+        | | extend cents = toint(bin(value * 100.0, 1.0))
+        | | top-hitters 5 of user_id by cents""".stripMargin,
+      """SELECT user_id,
+        |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS DOUBLE)
+        |    AS approximate_sum_cents
+        |FROM events GROUP BY user_id
+        |ORDER BY approximate_sum_cents DESC, user_id LIMIT 5""".stripMargin),
+
+    // reproducible sample-distinct: the engine picks the N smallest
+    // xxhash64(value) — the oracle replays Spark's XXH64.hashLong(v, 42)
+    // in HUGEINT mod-2^64 SQL (same machinery as the minhash/LSH oracles)
+    Q("kql_sample_distinct", {
+      import PipelineQueries.SignLshSql.{hashLongCtes, W}
+      s"""WITH ids AS (SELECT DISTINCT user_id, CAST(user_id AS HUGEINT) AS l
+         |             FROM events),
+         |${hashLongCtes("hx", "l", "CAST(42 AS HUGEINT)", "ids")},
+         |s AS (SELECT user_id,
+         |        CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh
+         |      FROM hx6)
+         |SELECT user_id FROM
+         |  (SELECT user_id FROM s ORDER BY sh, user_id LIMIT 10)
+         |ORDER BY user_id""".stripMargin
+    })((s, dir) => Kql.run(s, Catalog.forTestData(s, dir),
+      "events | sample-distinct 10 of user_id | sort by user_id asc")),
+
+    // bag_unpack over the variant (schemaless) events view: merged-schema
+    // inference + typed variant_get projection, gated through a grouped
+    // count on the unpacked key
+    kq("kql_bag_unpack",
+      """eventsv | evaluate bag_unpack(props, 'p_')
+        | | summarize n = count() by p_k
+        | | sort by p_k asc""".stripMargin,
+      """SELECT CAST(props->>'k' AS BIGINT) AS p_k, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY p_k""".stripMargin),
+
+    // round-5 array/set scalar batch: every array-valued result is
+    // projected through strcat_array so the gate-visible columns stay
+    // scalar (the driver's pandas comparator cannot sort array cells —
+    // the kql_agg_ext lesson). Integer elements keep array_sum exact.
+    kq("kql_arrayfns2",
+      """lineitem
+        | | extend q = toint(l_quantity)
+        | | extend a = pack_array(l_linenumber, q, 3), b = pack_array(q, 5)
+        | | project l_orderkey, l_linenumber,
+        |     srt = strcat_array(array_sort_asc(a), ','),
+        |     dsrt = strcat_array(array_sort_desc(a), ','),
+        |     rev = strcat_array(array_reverse(a), ','),
+        |     cat = strcat_array(array_concat(a, b), ','),
+        |     sl = strcat_array(array_slice(a, 1, 2), ','),
+        |     idx = array_index_of(a, 3),
+        |     asum = array_sum(a),
+        |     un = strcat_array(set_union(a, b), ','),
+        |     ix = strcat_array(set_intersect(a, b), ','),
+        |     dif = strcat_array(set_difference(a, b), ',')
+        | | sort by l_orderkey asc, l_linenumber asc | limit 2000""".stripMargin,
+      """WITH base AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         [l_linenumber, CAST(trunc(l_quantity) AS INTEGER), 3] AS a,
+        |         [CAST(trunc(l_quantity) AS INTEGER), 5] AS b
+        |  FROM lineitem)
+        |SELECT l_orderkey, l_linenumber,
+        |  array_to_string(list_sort(a, 'ASC', 'NULLS LAST'), ',') AS srt,
+        |  array_to_string(list_sort(a, 'DESC', 'NULLS LAST'), ',') AS dsrt,
+        |  array_to_string(list_reverse(a), ',') AS rev,
+        |  array_to_string(list_concat(a, b), ',') AS cat,
+        |  array_to_string(a[2:3], ',') AS sl,
+        |  CAST(list_position(a, 3) - 1 AS BIGINT) AS idx,
+        |  CAST(list_sum(a) AS DOUBLE) AS asum,
+        |  array_to_string(list_sort(list_distinct(list_concat(a, b)),
+        |    'ASC', 'NULLS LAST'), ',') AS un,
+        |  coalesce(array_to_string(list_sort(list_distinct(list_intersect(a, b)),
+        |    'ASC', 'NULLS LAST'), ','), '') AS ix,
+        |  coalesce(array_to_string(list_sort(list_distinct(
+        |    list_filter(a, x -> NOT list_contains(b, x))),
+        |    'ASC', 'NULLS LAST'), ','), '') AS dif
+        |FROM base
+        |ORDER BY l_orderkey, l_linenumber LIMIT 2000""".stripMargin),
+
+    // bag scalars: bag_keys over the schemaless events view, bag_pack
+    // round-tripped through variant field paths
+    kq("kql_bagfns",
+      """eventsv
+        | | extend b = bag_pack('id', event_id, 'kk', toint(props.k))
+        | | project event_id,
+        |     keys = strcat_array(bag_keys(props), ','),
+        |     bid = tolong(b.id), bk = tolong(b.kk)
+        | | sort by event_id asc | limit 2000""".stripMargin,
+      """SELECT event_id,
+        |  array_to_string(list_sort(json_keys(props), 'ASC', 'NULLS LAST'),
+        |    ',') AS keys,
+        |  event_id AS bid,
+        |  CAST(props->>'k' AS BIGINT) AS bk
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin),
+
+    // print: single-row scalar source (Kusto calculator statement)
+    kq("kql_print",
+      "print x = 1 + 2, s = strcat('a', 'b'), f = 10.0 / 4, b = 3 > 1",
+      "SELECT CAST(3 AS BIGINT) AS x, 'ab' AS s, CAST(2.5 AS DOUBLE) AS f, true AS b"),
+
+    // mv-expand with_itemindex: 0-based element index per expanded row
+    kq("kql_mvexpand_idx",
+      """lineitem
+        | | extend a = split(strcat(l_returnflag, ',', l_linestatus), ',')
+        | | mv-expand with_itemindex=ix a
+        | | summarize n = count() by e = tostring(a), ix
+        | | sort by e asc, ix asc""".stripMargin,
+      """SELECT e, ix, count(*) AS n FROM (
+        |  SELECT unnest(string_split(l_returnflag || ',' || l_linestatus,
+        |           ',')) AS e,
+        |         CAST(generate_subscripts(string_split(
+        |           l_returnflag || ',' || l_linestatus, ','), 1) - 1
+        |           AS BIGINT) AS ix
+        |  FROM lineitem)
+        |GROUP BY e, ix ORDER BY e, ix""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

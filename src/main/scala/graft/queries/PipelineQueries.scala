@@ -203,7 +203,7 @@ object PipelineQueries {
     * array order, exactly the kernels' loop order, so every double is
     * bit-identical cross-engine (IEEE ops in the same sequence).
     */
-  private object SignLshSql {
+  private[queries] object SignLshSql {
     val W = "18446744073709551616" // 2^64
     val P1 = "11400714785074694791"
     val P2 = "14029467366897019727"

@@ -409,7 +409,7 @@ object QueryServer {
     def inQuery(q: Query): Boolean = q.steps.exists { s =>
       p(s) || (s match {
         case QueryStep.Union(sub, _) => inQuery(sub)
-        case QueryStep.Join(_, sub, _, _) => inQuery(sub)
+        case QueryStep.Join(_, sub, _, _, _) => inQuery(sub)
         // mv-apply's inner pipeline can itself hold join/union subqueries
         // — the raw() gate and sink checks must see through it
         case QueryStep.MvApply(_, _, sub) => inQuery(Query(sub))

@@ -188,4 +188,27 @@ class PlanSpec extends AnyFunSuite {
     assert("SinglePartition".r.findAllIn(p).length <= 1,
       s"at most the totals prefix-sum may be single-partition:\n$p")
   }
+
+  // top-hitters must be a partial/final aggregate followed by a bounded
+  // top-N (TakeOrderedAndProject), never a global sort of the full
+  // aggregated frame
+  test("top-hitters plans as partial/final agg + TakeOrderedAndProject") {
+    val p = plan("kql_tophitters")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"top-hitters agg must split into partial + final:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-hitters limit must fuse into TakeOrderedAndProject:\n$p")
+    assert(!p.contains("rangepartitioning"),
+      s"top-hitters must not globally sort the aggregated frame:\n$p")
+  }
+
+  // sample-distinct = distinct (partial/final agg) + hash-rank top-N;
+  // the N-row pick must be a bounded heap, not a global sort
+  test("sample-distinct plans as distinct agg + TakeOrderedAndProject") {
+    val p = plan("kql_sample_distinct")
+    assert("HashAggregate".r.findAllIn(p).length >= 2,
+      s"distinct must split into partial + final aggregation:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"hash-rank pick must fuse into TakeOrderedAndProject:\n$p")
+  }
 }
