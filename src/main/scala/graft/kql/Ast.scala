@@ -380,10 +380,34 @@ object QueryStep {
     * positional names. Compiles to a 1-row relation; expressions may not
     * reference columns (there are none). */
   final case class Print(cols: Seq[(Option[String], Expr)]) extends QueryStep
+  /** `partition by Col ( step | step … )` — run the sub-pipeline over each
+    * distinct value of `Col` independently and union the per-key results.
+    * Kusto materializes/spreads subtables per key; here every per-key step
+    * lowers to a key-partitioned window or aggregate over ONE hash shuffle
+    * on the key, so the whole operator distributes across executors — in
+    * particular the serialized window scalars (`row_number`/`prev`/`next`/
+    * `row_cumsum`), which outside a partition require a single total
+    * order. `hint.strategy=…` is accepted and ignored (the lowering is
+    * always the distributed shuffle shape; Kusto's native/legacy
+    * 64-partition limits don't apply). */
+  final case class Partition(by: FieldPath, sub: Seq[QueryStep]) extends QueryStep
+  /** `make-series [name =] agg [default = lit] [, …] on axis
+    * [from lo to hi] step dt [by keys]` — fixed-step gap-filled series:
+    * one row per group, the axis projected as an array of bin starts
+    * (anchored at `from`, Kusto's bin_at semantics) and each aggregate as
+    * an equally-shaped array with missing bins filled by its default
+    * (default default 0, Kusto's). Omitted bounds derive from the data's
+    * GLOBAL axis [min, max] (Kusto's make-series range default). */
+  final case class MakeSeries(
+      aggs: Seq[(AggField, Expr)], axis: FieldPath,
+      lo: Option[Expr], hi: Option[Expr], step: Expr,
+      by: Seq[ByField]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */
 final case class Query(steps: Seq[QueryStep])
 
 /** A full parse result: let-bindings (macro-expanded at compile) + main query. */
-final case class Parsed(lets: Map[String, Query], query: Query)
+final case class Parsed(
+    lets: Map[String, Query], query: Query,
+    materialized: Set[String] = Set.empty)

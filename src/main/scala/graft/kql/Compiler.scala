@@ -29,7 +29,8 @@ final class Compiler(
     spark: SparkSession,
     catalog: Catalog,
     lets: Map[String, Query],
-    streamFirstScan: Boolean = false) {
+    streamFirstScan: Boolean = false,
+    materializedLets: Set[String] = Set.empty) {
 
   import Expr._
 
@@ -770,16 +771,23 @@ final class Compiler(
       }
 
     // serialized window scalars: ordered by the preceding sort's keys.
-    // The window is intentionally UNPARTITIONED — KQL's serialize model is
-    // a single total order, which is inherently one partition. That is the
-    // right tool for post-aggregation frames and bounded results; for
-    // data-scale sequences use summarize/rolling/session operators, which
-    // partition (SCALE.md documents the boundary).
+    // Outside `partition by` the window is intentionally UNPARTITIONED —
+    // KQL's serialize model is a single total order, which is inherently
+    // one partition. That is the right tool for post-aggregation frames
+    // and bounded results; for data-scale sequences wrap the window in
+    // `partition by key (…)`, which distributes the same scalars per key
+    // (SCALE.md documents the boundary).
     case WinFn(name, args) =>
       import org.apache.spark.sql.expressions.Window
       val keys = serialOrder.getOrElse(throw KqlParseException(
         s"$name() requires a serialized input — add a 'sort by' first", 0))
-      val w = Window.orderBy(keys.map(k => sortCol(df, k)): _*)
+      // inside `partition by` the frame is per-key and distributed; outside
+      // it is the single total order the serialize contract demands
+      val w = partitionKey match {
+        case Some(pk) => Window.partitionBy(compileField(df, pk))
+          .orderBy(keys.map(k => sortCol(df, k)): _*)
+        case None => Window.orderBy(keys.map(k => sortCol(df, k)): _*)
+      }
       name match {
         case "row_number" =>
           val base = row_number().over(w).cast(LongType)
@@ -876,10 +884,36 @@ final class Compiler(
   // later and stay batch, so joins lower to Spark's stream-static join.
   private var pendingStreamScan = streamFirstScan
 
+  /** Compiled-and-persisted query lets (`let x = materialize(…);`) — one
+    * entry per materialized let, created on first reference. Returning the
+    * SAME DataFrame for every reference makes Spark's cache manager serve
+    * all of them from one InMemoryRelation: the subquery computes once per
+    * query instead of once per reference. MEMORY_AND_DISK (Kusto caps
+    * materialize size; here memory pressure spills/evicts instead of
+    * failing). Lazy — nothing runs at compile/explain time; the first
+    * action populates the cache. [[releaseMaterialized]] frees the blocks
+    * once the query's results are fully consumed. */
+  private val materializedCache =
+    scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** Unpersist every materialized let of this compilation (blocking=false).
+    * Call after the query's action completes; results already computed are
+    * unaffected. */
+  def releaseMaterialized(): Unit =
+    materializedCache.values.foreach(_.unpersist(false))
+
   private def resolveScan(source: String): DataFrame = {
     val wantStream = pendingStreamScan
     pendingStreamScan = false
-    lets.get(source).map { q => pendingStreamScan = wantStream; compile(q) }
+    lets.get(source).map { q =>
+      pendingStreamScan = wantStream
+      // a materialized let persists on first reference; streaming scans
+      // bypass the cache (persist is a batch-only concept)
+      if (materializedLets.contains(source) && !wantStream)
+        materializedCache.getOrElseUpdate(source, compile(q)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else compile(q)
+    }
       .orElse(catalog.resolveView(source).map { q =>
         pendingStreamScan = wantStream; compile(q)
       })
@@ -905,6 +939,12 @@ final class Compiler(
     * other step destroys it). Window scalars (`row_number`/`prev`/`next`/
     * `row_cumsum`) order over these keys. */
   private var serialOrder: Option[Seq[SortKey]] = None
+
+  /** Set while compiling a `partition by` sub-pipeline: every
+    * order-sensitive step keys its window/aggregate by this field instead
+    * of requiring (or producing) a single global order, so the whole
+    * sub-pipeline distributes over one hash shuffle on the key. */
+  private var partitionKey: Option[FieldPath] = None
 
   private def compileStep(df: DataFrame, step: QueryStep): DataFrame = {
     // the hidden union-provenance column must never shape results or reach
@@ -1192,12 +1232,34 @@ final class Compiler(
         else origCols ++ Seq(name) ++ extended
       cur.select(outCols.map(c => col(s"`$c`")): _*)
 
-    case QueryStep.Limit(n) => df.limit(n.toInt)
+    case QueryStep.Limit(n) => partitionKey match {
+      case Some(pk) =>
+        // per-key take: deterministic only over an ordered prefix, so the
+        // serialize contract is enforced the same way the window scalars
+        // enforce it (Kusto's unordered take is arbitrary — reject it)
+        val keys = serialOrder.getOrElse(throw KqlParseException(
+          "take inside 'partition by' requires a preceding 'sort by' — " +
+            "the per-key row choice must be deterministic", 0))
+        perKeyHead(df, pk, keys, n)
+      case None => df.limit(n.toInt)
+    }
 
-    case QueryStep.Sort(keys) => df.orderBy(keys.map(k => sortCol(df, k)): _*)
+    case QueryStep.Sort(keys) => partitionKey match {
+      // per-key order: co-locate each key's rows and sort within the
+      // shuffle partition. The window/take steps that follow need exactly
+      // this distribution (hash by key, sort by key+order), so Catalyst
+      // reuses the exchange instead of adding a global range sort.
+      case Some(pk) =>
+        val pcol = compileField(df, pk)
+        df.repartition(pcol)
+          .sortWithinPartitions(pcol +: keys.map(k => sortCol(df, k)): _*)
+      case None => df.orderBy(keys.map(k => sortCol(df, k)): _*)
+    }
 
-    case QueryStep.TopN(keys, n) =>
-      df.orderBy(keys.map(k => sortCol(df, k)): _*).limit(n.toInt)
+    case QueryStep.TopN(keys, n) => partitionKey match {
+      case Some(pk) => perKeyHead(df, pk, keys, n)
+      case None => df.orderBy(keys.map(k => sortCol(df, k)): _*).limit(n.toInt)
+    }
 
     // exact top-hitters: map-side partial agg → shuffle on the value →
     // final agg → TakeOrderedAndProject (bounded heaps, O(n) driver
@@ -1301,7 +1363,19 @@ final class Compiler(
       val ordered = levels.flatMap(l => Seq(l.of.flat, l.agg.name))
       acc.select(ordered.map(col): _*)
 
-    case QueryStep.Summarize(aggs, by) => compileSummarize(df, aggs, by)
+    case QueryStep.Summarize(aggs, by) =>
+      val by2 = partitionKey match {
+        // inside `partition by` the key is an implicit group key (Kusto
+        // runs the summarize per subtable; grouping by the key is the
+        // shuffle-once equivalent)
+        case Some(pk) if !by.exists(_.name.equalsIgnoreCase(pk.flat)) =>
+          ByField(Field(pk), pk.flat) +: by
+        case _ => by
+      }
+      compileSummarize(df, aggs, by2)
+
+    case QueryStep.MakeSeries(aggs, axis, lo, hi, step, by) =>
+      compileMakeSeries(df, aggs, axis, lo, hi, step, by)
 
     // pivot: one aggregated column per listed value, grouped by every
     // OTHER column (KQL pivot plugin). Lowers to RelationalGroupedDataset
@@ -1359,8 +1433,16 @@ final class Compiler(
       rows.toDF("ColumnName", "ColumnOrdinal", "DataType", "ColumnType")
 
     case QueryStep.Distinct(fields) =>
-      if (fields.isEmpty) df.distinct()
-      else df.select(fields.map(f => compileField(df, f).as(f.flat)): _*).distinct()
+      // inside `partition by`, distinct is per key: the key joins the
+      // distinct tuple (and stays in the output — row multiplicity then
+      // matches Kusto's per-subtable union exactly)
+      val fields2 = partitionKey match {
+        case Some(pk) if fields.nonEmpty &&
+            !fields.exists(_.flat.equalsIgnoreCase(pk.flat)) => pk +: fields
+        case _ => fields
+      }
+      if (fields2.isEmpty) df.distinct()
+      else df.select(fields2.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
     case QueryStep.Union(sub, ws) =>
       val leftName = pipelineSource
@@ -1390,7 +1472,13 @@ final class Compiler(
     case QueryStep.Join(kind, sub, keys, lookup, strategy) =>
       compileJoin(df, kind, sub, keys, lookup, strategy)
 
-    case QueryStep.CountStep => df.agg(count(lit(1)).as("Count"))
+    case QueryStep.Partition(by, sub) => compilePartition(df, by, sub)
+
+    case QueryStep.CountStep => partitionKey match {
+      case Some(pk) =>
+        df.groupBy(compileField(df, pk).as(pk.flat)).agg(count(lit(1)).as("Count"))
+      case None => df.agg(count(lit(1)).as("Count"))
+    }
 
     case QueryStep.Write(target) =>
       // terminal sink: consume into the sink, emit nothing downstream.
@@ -1577,6 +1665,113 @@ final class Compiler(
     }
   }
 
+  /** `make-series` lowering — fully distributed, two hash aggregations and
+    * zero joins: (1) group by (keys, bin index) with Catalyst partial/final
+    * combine; (2) group by keys, folding each series into a bin-index map;
+    * then one projection expands the map through `transform(sequence(…))`
+    * into the gap-filled array (missing bins → the agg's default). Bins
+    * anchor at `from` (Kusto bin_at semantics) and the range is
+    * end-EXCLUSIVE ([start, end), Kusto's); omitted bounds derive from the
+    * GLOBAL axis min/max, epoch-aligned like bin() — carried as columns
+    * from a broadcast 1-row aggregate, so the plan stays lazy (no driver
+    * collect). Series length is (hi−lo)/step — user-bounded by the query,
+    * the same shape Kusto returns. */
+  private def compileMakeSeries(
+      df: DataFrame, aggs: Seq[(AggField, Expr)], axis: FieldPath,
+      loE: Option[Expr], hiE: Option[Expr], stepE: Expr,
+      by: Seq[ByField]): DataFrame = {
+    val isTs = fieldType(df, axis) == KT.Ts
+    // step in working units: long micros on a datetime axis (ints are
+    // seconds, matching bin()), double on a numeric axis
+    val stepU: Double = stepE match {
+      case TimespanLit(m) if isTs => m.toDouble
+      case IntLit(v) if isTs => v.toDouble * 1000000.0
+      case IntLit(v) => v.toDouble
+      case FloatLit(v) if !isTs => v
+      case _ => throw KqlParseException(
+        "make-series step must be a literal (timespan on a datetime axis, " +
+          "number on a numeric one)", 0)
+    }
+    if (stepU <= 0) throw KqlParseException("make-series step must be positive", 0)
+    def boundU(e: Expr, which: String): Double = e match {
+      case DatetimeLit(m) if isTs => m.toDouble
+      case IntLit(v) if isTs => v.toDouble * 1000000.0
+      case IntLit(v) => v.toDouble
+      case FloatLit(v) if !isTs => v
+      case Neg(inner) => -boundU(inner, which)
+      case _ => throw KqlParseException(
+        s"make-series $which bound must be a literal", 0)
+    }
+    // axis value in working units. The datetime path stays in LONG micros
+    // end-to-end (floor via pmod) — double division at exact bin
+    // boundaries can land 1 ulp low and misbin; numeric axes work in
+    // double like the rest of the engine.
+    val axisU: Column =
+      if (isTs) unix_micros(compileField(df, axis))
+      else compileField(df, axis).cast(DoubleType)
+    val stepL = stepU.toLong
+    // epoch-aligned floor-to-bin (exact for longs, pmod handles negatives).
+    // Column./ is double division; the quotient of two exactly-representable
+    // longs (< 2^53, i.e. micros through ~2255) is itself exact, and the
+    // cast restores the long type the downstream sequence/map keys need.
+    def alignL(c: Column): Column = c - pmod(c, lit(stepL))
+    def floorDivL(c: Column): Column = (alignL(c) / lit(stepL)).cast(LongType)
+    val (withBounds, loC, nC) = (loE, hiE) match {
+      case (Some(l), Some(h)) =>
+        val loV = boundU(l, "from")
+        val hiV = boundU(h, "to")
+        val n = math.ceil((hiV - loV) / stepU).toLong.max(0L)
+        if (n == 0) throw KqlParseException("make-series range is empty", 0)
+        (df, if (isTs) lit(loV.toLong) else lit(loV), lit(n))
+      case (None, None) =>
+        // derived bounds: epoch-aligned bin of the global [min, max] —
+        // one broadcast 1-row cross join, no driver action
+        val b = df.agg(
+          min(axisU).as("__ms_min"), max(axisU).as("__ms_max"))
+        val j = df.crossJoin(broadcast(b))
+        if (isTs)
+          (j, alignL(col("__ms_min")),
+            floorDivL(col("__ms_max")) - floorDivL(col("__ms_min")) + 1L)
+        else
+          (j, floor(col("__ms_min") / stepU) * stepU,
+            (floor(col("__ms_max") / stepU) - floor(col("__ms_min") / stepU))
+              .cast(LongType) + 1L)
+      case _ => throw KqlParseException(
+        "make-series needs both 'from' and 'to' (or neither)", 0)
+    }
+    val idx =
+      if (isTs) floorDivL(axisU - loC)
+      else floor((axisU - loC) / stepU).cast(LongType)
+    // null group keys drop the row, like summarize
+    val keyed = by.foldLeft(
+      withBounds.filter(axisU.isNotNull && idx >= 0 && idx < nC))(
+      (acc, b) => acc.filter(compile(acc, b.expr).isNotNull))
+    val keyCols = by.map(b => compile(keyed, b.expr).as(b.name))
+    val lvl1 = keyed.groupBy(
+      (keyCols :+ idx.as("__ms_idx") :+ loC.as("__ms_lo") :+ nC.as("__ms_n")): _*)
+      .agg(aggColumn(keyed, aggs.head._1.agg).as(aggs.head._1.name),
+        aggs.tail.map(a => aggColumn(keyed, a._1.agg).as(a._1.name)): _*)
+    val mapCols = aggs.map { case (a, _) =>
+      map_from_entries(collect_list(struct(col("__ms_idx"), col(a.name))))
+        .as(s"__ms_m_${a.name}")
+    }
+    val carry = Seq(first(col("__ms_lo")).as("__ms_lo"),
+      first(col("__ms_n")).as("__ms_n"))
+    val lvl2 = lvl1.groupBy(by.map(b => col(b.name)): _*)
+      .agg((mapCols ++ carry).head, (mapCols ++ carry).tail: _*)
+    val ks = sequence(lit(0L), col("__ms_n") - 1L)
+    val axisArr =
+      if (isTs) transform(ks, k => timestamp_micros(col("__ms_lo") + k * stepL))
+      else transform(ks, k => col("__ms_lo") + k.cast(DoubleType) * stepU)
+    val aggArrs = aggs.map { case (a, dflt) =>
+      transform(ks, k =>
+        coalesce(element_at(col(s"__ms_m_${a.name}"), k),
+          compile(lvl2, dflt))).as(a.name)
+    }
+    lvl2.select(
+      (by.map(b => col(b.name)) ++ aggArrs :+ axisArr.as(axis.flat)): _*)
+  }
+
   /** Lower one aggregation to its Spark Column (shared by summarize,
     * top-nested, and pivot). */
   private def aggColumn(df: DataFrame, agg: Aggregation): Column = {
@@ -1708,6 +1903,55 @@ final class Compiler(
         }
       case _ => None
     }
+  }
+
+  /** First `n` rows of each key's subtable in `keys` order — the per-key
+    * form of take/top: a key-partitioned row_number filter (one hash
+    * shuffle, no global sort, no single-partition stage). */
+  private def perKeyHead(
+      df: DataFrame, pk: FieldPath, keys: Seq[SortKey], n: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(compileField(df, pk))
+      .orderBy(keys.map(k => sortCol(df, k)): _*)
+    val rk = "__graft_prk"
+    df.withColumn(rk, row_number().over(w))
+      .filter(col(rk) <= n.toInt).drop(rk)
+  }
+
+  /** `partition by` lowering (Kusto's partition operator): no per-key loop
+    * and no materialized per-key subtables — the sub-pipeline compiles
+    * with [[partitionKey]] set, which turns every order-sensitive step
+    * into its key-partitioned form: window scalars partition by the key,
+    * summarize/count gain the key as implicit group key, take/top become
+    * per-key row_number filters, sort becomes repartition +
+    * sortWithinPartitions. ONE hash shuffle on the key serves the whole
+    * sub-pipeline (Catalyst reuses the exchange across the window steps);
+    * row-wise steps stay narrow. Steps whose semantics escape the per-key
+    * scope (joins, unions, sinks, nested partitions, whole-table
+    * operators) are rejected loudly — apply them after the partition
+    * step. */
+  private def compilePartition(
+      df: DataFrame, by: FieldPath, sub: Seq[QueryStep]): DataFrame = {
+    if (by.isSimple && !df.columns.exists(_.equalsIgnoreCase(by.simpleName)))
+      throw KqlParseException(
+        s"partition column '${by.render}' not found in the input", 0)
+    val savedKey = partitionKey
+    val savedOrder = serialOrder
+    partitionKey = Some(by)
+    serialOrder = None
+    try sub.foldLeft(df) { (cur, s) =>
+      s match {
+        case _: QueryStep.Join | _: QueryStep.Union |
+             _: QueryStep.Partition | _: QueryStep.Write |
+             _: QueryStep.Tee | _: QueryStep.Pivot |
+             _: QueryStep.TopNested | _: QueryStep.TopHitters |
+             _: QueryStep.SampleDistinct | QueryStep.GetSchema =>
+          throw KqlParseException(
+            "step not supported inside 'partition by' — apply it after the " +
+              "partition step", 0)
+        case _ => compileStep(cur, s)
+      }
+    } finally { partitionKey = savedKey; serialOrder = savedOrder }
   }
 
   private def compileJoin(

@@ -17,7 +17,8 @@ object Kql {
 
   def run(spark: SparkSession, catalog: Catalog, kql: String): DataFrame = {
     val parsed = parse(kql)
-    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val compiler = new Compiler(spark, catalog, parsed.lets,
+      materializedLets = parsed.materialized)
     val df = compiler.compile(parsed.query)
     compiler.runWrites() // write/tee sinks flush on run, never on explain
     df
@@ -25,7 +26,8 @@ object Kql {
 
   def run(spark: SparkSession, catalog: Catalog, kql: String, nowMicros: Long): DataFrame = {
     val parsed = parse(kql, nowMicros)
-    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val compiler = new Compiler(spark, catalog, parsed.lets,
+      materializedLets = parsed.materialized)
     val df = compiler.compile(parsed.query)
     compiler.runWrites()
     df
@@ -37,7 +39,8 @@ object Kql {
   def explain(spark: SparkSession, catalog: Catalog, kql: String): String = {
     val parsed = parse(kql)
     val steps = renderSteps(parsed)
-    val df = new Compiler(spark, catalog, parsed.lets).compile(parsed.query)
+    val df = new Compiler(spark, catalog, parsed.lets,
+      materializedLets = parsed.materialized).compile(parsed.query)
     steps + "\n--- spark optimized plan ---\n" +
       df.queryExecution.optimizedPlan.toString
   }
@@ -112,8 +115,38 @@ object Kql {
         s"evaluate pivot(${c.render}, ${Render.agg(agg.agg)}, " +
           s"${vs.map(Render.expr).mkString(", ")})"
       case QueryStep.Serialize => "serialize"
+      case QueryStep.TopHitters(n, of, by) =>
+        s"top-hitters $n of ${of.render}" +
+          by.map(b => s" by ${b.render}").getOrElse("")
+      case QueryStep.SampleDistinct(n, of) =>
+        s"sample-distinct $n of ${of.render}"
+      case QueryStep.BagUnpack(c, pfx) =>
+        s"evaluate bag_unpack(${c.render}" +
+          pfx.map(p => s", ${Render.expr(Expr.StrLit(p))}").getOrElse("") + ")"
+      case QueryStep.Print(cols) =>
+        "print " + cols.map { case (n, e) =>
+          n.map(_ + " = ").getOrElse("") + Render.expr(e)
+        }.mkString(", ")
+      case QueryStep.Partition(by, sub) =>
+        s"partition by ${by.render} (\n" +
+          renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
+      case QueryStep.MakeSeries(aggs, axis, lo, hi, step, by) =>
+        val aggTxt = aggs.map { case (a, d) =>
+          s"${a.name} = ${Render.agg(a.agg)} default = ${Render.expr(d)}"
+        }.mkString(", ")
+        val range = (lo, hi) match {
+          case (Some(l), Some(h)) =>
+            s" from ${Render.expr(l)} to ${Render.expr(h)}"
+          case _ => ""
+        }
+        val byTxt = if (by.isEmpty) "" else
+          s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
+        s"make-series $aggTxt on ${axis.render}$range step ${Render.expr(step)}$byTxt"
     }
-    (parsed.lets.map { case (n, q) => s"let $n = (\n${renderQuery(q, "  ")}\n);" } ++
+    (parsed.lets.map { case (n, q) =>
+      val open = if (parsed.materialized(n)) "materialize(" else "("
+      s"let $n = $open\n${renderQuery(q, "  ")}\n);"
+    } ++
       Seq(renderQuery(parsed.query, ""))).mkString("\n")
   }
 }

@@ -81,11 +81,14 @@ final class Parser(src: String, nowMicros: Long) {
 
   def parse(): Parsed = {
     var lets = Map.empty[String, Query]
+    var mats = Set.empty[String]
     while (atIdent("let")) {
       p += 1
       val name = identText()
       eatPunct("=")
       // `let x = (query);` binds a subquery (reference semantics);
+      // `let x = materialize(query);` additionally caches the compiled
+      // subquery so N references compute it once (Kusto materialize);
       // `let x = <expr>;` binds a SCALAR, substituted at parse time
       // (real-KQL surface; write scalar lets without outer parens)
       if (atPunct("(")) {
@@ -94,6 +97,14 @@ final class Parser(src: String, nowMicros: Long) {
         eatPunct(")")
         eatPunct(";")
         lets += name -> q
+      } else if (atIdent("materialize")) {
+        p += 1
+        eatPunct("(")
+        val q = parsePipeline()
+        eatPunct(")")
+        eatPunct(";")
+        lets += name -> q
+        mats += name
       } else {
         val e = parseExpr()
         eatPunct(";")
@@ -109,7 +120,7 @@ final class Parser(src: String, nowMicros: Long) {
     val errs = errors.result()
     if (errs.nonEmpty)
       throw KqlParseException(errs.head.msg, errs.head.pos, errs)
-    Parsed(lets, q)
+    Parsed(lets, q, mats)
   }
 
   private def parsePipeline(): Query = {
@@ -257,6 +268,7 @@ final class Parser(src: String, nowMicros: Long) {
         val n = parseIntLit(); eatIdent("of")
         QueryStep.SampleDistinct(n, parseFieldPath())
       case "summarize"        => p += 1; parseSummarize()
+      case "make-series"      => p += 1; parseMakeSeries()
       case "distinct"         => p += 1
         // `distinct *` = all current columns (empty field list)
         if (atPunct("*")) { p += 1; QueryStep.Distinct(Nil) }
@@ -273,6 +285,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "parse-where"      => p += 1; parseParse(strict = true)
       case "evaluate"         => p += 1; parseEvaluate()
       case "serialize"        => p += 1; QueryStep.Serialize
+      case "partition"        => p += 1; parsePartition()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -421,6 +434,23 @@ final class Parser(src: String, nowMicros: Long) {
       AggField(agg, alias.getOrElse(Aggregation.defaultName(agg))), vs)
   }
 
+  /** `partition [hint.…=…] by Col ( step | step … )` — hints are accepted
+    * and discarded: the compiler's lowering is always the distributed
+    * shuffle shape, so Kusto's strategy/partition-count knobs are inert. */
+  private def parsePartition(): QueryStep = {
+    while (atIdent("hint")) {
+      eatIdent("hint"); eatPunct("."); identText(); eatPunct("="); next()
+    }
+    eatIdent("by")
+    val f = parseFieldPath()
+    eatPunct("(")
+    val steps = Seq.newBuilder[QueryStep]
+    steps += parseStep()
+    while (tryPunct("|")) steps += parseStep()
+    eatPunct(")")
+    QueryStep.Partition(f, steps.result())
+  }
+
   /** `mv-apply [x =] arrField on ( step | step … )` — the inner pipeline
     * has no source of its own (it runs over the row's expanded elements). */
   private def parseMvApply(): QueryStep = {
@@ -567,6 +597,65 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     QueryStep.Summarize(named, by)
+  }
+
+  /** `make-series n = count() default = 0 on ts from lo to hi step 1h by k`
+    * — aggs parse like summarize's (each with an optional per-agg
+    * `default =` literal), the rest is the axis clause. */
+  private def parseMakeSeries(): QueryStep = {
+    final case class RawAgg(agg: Aggregation, alias: Option[String], dflt: Expr)
+    val raw = Seq.newBuilder[RawAgg]
+    var done = false
+    while (!done) {
+      val alias = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) => p += 2; Some(a)
+        case _ => None
+      }
+      val agg = parseAggCall()
+      val dflt = if (tryIdent("default")) { eatPunct("="); parseExpr() }
+      else Expr.IntLit(0)
+      raw += RawAgg(agg, alias, dflt)
+      done = !tryPunct(",")
+    }
+    eatIdent("on")
+    val axis = parseFieldPath()
+    val (lo, hi) = if (tryIdent("from")) {
+      val l = parseExpr(); eatIdent("to"); val h = parseExpr()
+      (Some(l), Some(h))
+    } else (None, None)
+    eatIdent("step")
+    val st = parseExpr()
+    var by = Seq.empty[ByField]
+    if (tryIdent("by")) {
+      final case class RawBy(e: Expr, alias: Option[String])
+      val bys = Seq.newBuilder[RawBy]
+      var bdone = false
+      while (!bdone) {
+        val alias = (peek, toks.lift(p + 1)) match {
+          case (Ident(a, _), Some(Punct("=", _))) if !reservedWords(a.toLowerCase) =>
+            p += 2; Some(a)
+          case _ => None
+        }
+        bys += RawBy(parseExpr(), alias)
+        bdone = !tryPunct(",")
+      }
+      by = nameFields(bys.result().map(r => (r.e, r.alias)))
+        .map { case (e, n) => ByField(e, n) }
+    }
+    val named = {
+      val used = scala.collection.mutable.Set[String](
+        (by.map(_.name) :+ axis.flat): _*)
+      def unique(base: String): String = {
+        var cand = base; var i = 1
+        while (used.contains(cand)) { cand = s"$base$i"; i += 1 }
+        used += cand; cand
+      }
+      raw.result().map { ra =>
+        (AggField(ra.agg,
+          unique(ra.alias.getOrElse(Aggregation.defaultName(ra.agg)))), ra.dflt)
+      }
+    }
+    QueryStep.MakeSeries(named, axis, lo, hi, st, by)
   }
 
   private def parseAggCall(): Aggregation = {
@@ -1150,7 +1239,7 @@ object Parser {
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
     "top-hitters", "sample-distinct", "summarize", "distinct", "union",
-    "join", "count", "write", "tee", "search", "parse")
+    "join", "count", "write", "tee", "search", "parse", "partition")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

@@ -836,6 +836,96 @@ object KqlQueries {
         |  FROM lineitem)
         |GROUP BY e, ix ORDER BY e, ix""".stripMargin),
 
+    // partition by: the serialized window scalars distributed per key —
+    // one hash shuffle on user_id serves the sort, the three windows, and
+    // the per-key take (PlanSpec/PartitionSpec pin the no-SinglePartition
+    // shape). prev's -1 default fills only out-of-bounds rows; event_id is
+    // non-null in the fixture so lag+coalesce mirrors it exactly.
+    kq("kql_partition",
+      """events
+        | | partition by user_id (sort by ts asc, event_id asc
+        |     | extend rk = row_number(), pv = prev(event_id, 1, -1),
+        |              cum = row_cumsum(toint(bin(value * 100.0, 1.0)))
+        |     | take 3)
+        | | project user_id, event_id, rk, pv, cum
+        | | sort by user_id asc, rk asc""".stripMargin,
+      """SELECT user_id, event_id, rk, pv, cum FROM (
+        |  SELECT user_id, event_id,
+        |    CAST(row_number() OVER w AS BIGINT) AS rk,
+        |    coalesce(lag(event_id) OVER w, -1) AS pv,
+        |    CAST(sum(CAST(floor(value * 100.0) AS BIGINT))
+        |         OVER (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS cum
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE rk <= 3 ORDER BY user_id, rk""".stripMargin),
+
+    // partition by + top: per-key top-N without a global sort; ties broken
+    // by event_id so both engines rank identically
+    kq("kql_partition_top",
+      """events
+        | | where event_type == 'purchase'
+        | | partition by user_id (top 2 by value desc, event_id asc)
+        | | extend cents = toint(bin(value * 100.0, 1.0))
+        | | project user_id, event_id, cents
+        | | sort by user_id asc, event_id asc""".stripMargin,
+      """SELECT user_id, event_id,
+        |  CAST(floor(value * 100.0) AS BIGINT) AS cents
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY value DESC, event_id) AS rk
+        |  FROM events WHERE event_type = 'purchase')
+        |WHERE rk <= 2 ORDER BY user_id, event_id""".stripMargin),
+
+    // make-series: gap-filled fixed-step series per group (arrays), the
+    // series projected through strcat_array so the gate-visible columns
+    // stay scalar. 2024-01-01 is day-aligned, so anchored bins equal epoch
+    // day bins on both sides; counts/mins are long arrays (string-exact).
+    kq("kql_makeseries",
+      """events
+        | | make-series n = count(), m = min(user_id) on ts
+        |     from datetime(2024-01-01) to datetime(2024-01-31) step 1d
+        |     by event_type
+        | | project event_type, ns = strcat_array(n, ','),
+        |           ms = strcat_array(m, ',')
+        | | sort by event_type asc""".stripMargin,
+      """WITH counts AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         count(*) AS n, min(user_id) AS m
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, d
+        |  FROM (SELECT DISTINCT event_type FROM counts),
+        |       (SELECT unnest(range(19723, 19753)) AS d)),
+        |filled AS (
+        |  SELECT g.event_type, g.d, coalesce(c.n, 0) AS n,
+        |         coalesce(c.m, 0) AS m
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.d = c.d)
+        |SELECT event_type,
+        |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY d) AS ns,
+        |  string_agg(CAST(m AS VARCHAR), ',' ORDER BY d) AS ms
+        |FROM filled GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // materialize: the let compiles once and persists; both union branches
+    // read the same InMemoryRelation (MaterializeSpec pins the plan).
+    // Results are semantics-identical to a plain let — that is the point —
+    // so the oracle is the straightforward doubled-rows SQL.
+    kq("kql_materialize",
+      """let m = materialize(events | where event_type != 'error'
+        |                    | summarize n = count() by event_type);
+        |m | union (m) | summarize s = sum(n) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """WITH m AS (
+        |  SELECT event_type, count(*) AS n FROM events
+        |  WHERE event_type <> 'error' GROUP BY 1)
+        |SELECT event_type, CAST(sum(n) AS DOUBLE) AS s
+        |FROM (SELECT * FROM m UNION ALL SELECT * FROM m)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

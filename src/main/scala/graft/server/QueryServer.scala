@@ -170,7 +170,8 @@ final class QueryServer(
 
   /** @return outcome for the status record: success | canceled | error */
   private def batchQuery(ex: HttpExchange, parsed: Parsed, groupId: String): String = {
-    val compiler = new Compiler(spark, catalog, parsed.lets)
+    val compiler = new Compiler(spark, catalog, parsed.lets,
+      materializedLets = parsed.materialized)
     compiler.errorCounter = Some(rowsNulled)
     val df = compiler.compile(parsed.query)
     compiler.runWrites() // write/tee sinks flush on run, never on explain
@@ -216,7 +217,12 @@ final class QueryServer(
           outcome = "error"
           try lock.synchronized(sseError(out, e)) catch { case _: IOException => () }
         } else outcome = "canceled"
-    } finally alive.set(false)
+    } finally {
+      alive.set(false)
+      // materialized-let cache blocks are per-query scratch — free them
+      // once the result stream is done (results already sent are computed)
+      compiler.releaseMaterialized()
+    }
     outcome
   }
 
@@ -413,6 +419,7 @@ object QueryServer {
         // mv-apply's inner pipeline can itself hold join/union subqueries
         // — the raw() gate and sink checks must see through it
         case QueryStep.MvApply(_, _, sub) => inQuery(Query(sub))
+        case QueryStep.Partition(_, sub) => inQuery(Query(sub))
         case _ => false
       })
     }
