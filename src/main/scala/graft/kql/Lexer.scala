@@ -97,7 +97,7 @@ object Lexer {
       } else {
         val two = if (i + 1 < n) src.substring(i, i + 2) else ""
         if (multiCharPunct.contains(two)) { out += Punct(two, i); i += 2 }
-        else if ("|,()[].=!<>+-*/$;:~".indexOf(c) >= 0) { out += Punct(c.toString, i); i += 1 }
+        else if ("|,()[].=!<>+-*/$;:~{}%".indexOf(c) >= 0) { out += Punct(c.toString, i); i += 1 }
         else throw KqlParseException(s"unexpected character '$c'", i)
       }
     }

@@ -43,6 +43,23 @@ final class Parser(src: String, nowMicros: Long) {
     * [[Parsed.lets]] instead. */
   private var scalarLets = Map.empty[String, Expr]
 
+  /** Function `let` bindings (`let f = (a: long) { a * 2 };`) — scalar
+    * lambdas, expanded at each call site by RE-PARSING the body's token
+    * range with [[paramEnv]] bound to the (already-parsed) argument
+    * expressions. Params therefore shadow columns and lets (innermost
+    * scope, Kusto's rule), with no tree-rewrite machinery. Value =
+    * (param names, body token start, body token end). Scalar-valued only;
+    * tabular parameters are out of scope (views/lets cover that shape). */
+  private var funcLets = Map.empty[String, (Seq[String], Int, Int)]
+
+  /** In-scope function-let parameters during a body (re-)parse: a simple
+    * reference to a param name resolves to the bound expression directly. */
+  private var paramEnv = Map.empty[String, Expr]
+
+  /** Expansion-depth guard: mutually/self-recursive function lets would
+    * re-parse forever; Kusto rejects recursive functions too. */
+  private var funcDepth = 0
+
   /** Unwrap a literal-bound [[Expr.LetRef]] to its literal. Used in
     * literal-required positions — function arguments (widths, offsets,
     * delimiters, regex/extract patterns) and has/matches phrases — where a
@@ -91,7 +108,43 @@ final class Parser(src: String, nowMicros: Long) {
       // subquery so N references compute it once (Kusto materialize);
       // `let x = <expr>;` binds a SCALAR, substituted at parse time
       // (real-KQL surface; write scalar lets without outer parens)
-      if (atPunct("(")) {
+      // `let f = (a: long, …) { expr };` — a FUNCTION let: "(" followed by
+      // `ident :` (or an immediate `) {`) can't be a query pipeline
+      val isFuncLet = atPunct("(") && {
+        (toks.lift(p + 1), toks.lift(p + 2)) match {
+          case (Some(Punct(")", _)), Some(Punct("{", _))) => true
+          case (Some(Ident(_, _)), Some(Punct(":", _))) => true
+          case _ => false
+        }
+      }
+      if (isFuncLet) {
+        p += 1
+        val params = Seq.newBuilder[String]
+        if (!atPunct(")")) {
+          var done = false
+          while (!done) {
+            val pn = identText()
+            eatPunct(":")
+            identText() // declared type: arity is enforced, types are doc
+            params += pn
+            done = !tryPunct(",")
+          }
+        }
+        eatPunct(")")
+        eatPunct("{")
+        val ps = params.result()
+        // validation parse: params bound to themselves so the body parses
+        // in isolation; call sites re-parse this exact token range
+        val bodyStart = p
+        val savedEnv = paramEnv
+        paramEnv = paramEnv ++ ps.map(n =>
+          n -> Expr.Field(FieldPath(Seq(FieldAccess(n)))))
+        try parseExpr() finally paramEnv = savedEnv
+        val bodyEnd = p
+        eatPunct("}")
+        eatPunct(";")
+        funcLets += name -> ((ps, bodyStart, bodyEnd))
+      } else if (atPunct("(")) {
         p += 1
         val q = parsePipeline()
         eatPunct(")")
@@ -926,14 +979,18 @@ final class Parser(src: String, nowMicros: Long) {
         case _ if toks.lift(p + 1).exists(t => t.isInstanceOf[Punct] &&
             t.asInstanceOf[Punct].s == "(") && funcWords(w.toLowerCase) =>
           parseFuncCall()
+        case _ if toks.lift(p + 1).exists(t => t.isInstanceOf[Punct] &&
+            t.asInstanceOf[Punct].s == "(") && funcLets.contains(w) =>
+          parseFuncLetCall()
         case _ =>
           val fp = parseFieldPath()
-          // scalar let bindings: Kusto resolves the innermost scope, so a
-          // COLUMN of the same name in the tabular context takes
-          // precedence over the let. The parser has no schema, so emit a
-          // deferred LetRef and let the compiler pick; only simple refs —
-          // `x.y` always means a field
-          if (fp.isSimple && scalarLets.contains(fp.simpleName))
+          // function-let PARAMETERS shadow everything (innermost scope —
+          // they only exist during a body re-parse); scalar lets defer to
+          // the compiler's column-over-let precedence via LetRef. Only
+          // simple refs — `x.y` always means a field
+          if (fp.isSimple && paramEnv.contains(fp.simpleName))
+            paramEnv(fp.simpleName)
+          else if (fp.isSimple && scalarLets.contains(fp.simpleName))
             LetRef(fp, scalarLets(fp.simpleName))
           else Field(fp)
       }
@@ -963,6 +1020,38 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def arity(cond: Boolean, msg: String): Unit =
     if (!cond) fail(msg)
+
+  /** Expand a function-let call: parse the arguments in the CALLER's
+    * scope, then re-parse the stored body token range with the params
+    * bound to those argument expressions. The result is an ordinary Expr
+    * tree — downstream (compiler, pushdown, render) never sees functions. */
+  private def parseFuncLetCall(): Expr = {
+    val name = identText()
+    val (params, bodyStart, bodyEnd) = funcLets(name)
+    eatPunct("(")
+    val args = Seq.newBuilder[Expr]
+    if (!atPunct(")")) {
+      var done = false
+      while (!done) { args += parseExpr(); done = !tryPunct(",") }
+    }
+    eatPunct(")")
+    val a = args.result()
+    arity(a.length == params.length,
+      s"$name() takes ${params.length} argument(s), got ${a.length}")
+    if (funcDepth >= 32)
+      fail(s"function let '$name' expands too deep — recursion is not supported")
+    val savedP = p
+    val savedEnv = paramEnv
+    p = bodyStart
+    paramEnv = paramEnv ++ params.zip(a)
+    funcDepth += 1
+    val e = try parseExpr()
+    finally { paramEnv = savedEnv; funcDepth -= 1 }
+    if (p != bodyEnd)
+      fail(s"function let '$name' body did not re-parse to the same extent")
+    p = savedP
+    e
+  }
 
   private def parseFuncCall(): Expr = {
     val name = identText().toLowerCase

@@ -926,6 +926,27 @@ object KqlQueries {
         |FROM (SELECT * FROM m UNION ALL SELECT * FROM m)
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // function lets: parse-time macro expansion — the oracle replicates
+    // the EXPANDED arithmetic in the same IEEE operation order, so the
+    // composed-call column hashes bit-exact
+    kq("kql_funclet",
+      """let cents = (x: real) { toint(bin(x * 100.0, 1.0)) };
+        |let taxed = (x: real, r: real) { cents(x * (1.0 + r)) };
+        |let isbig = (x: real) { x >= 50.0 };
+        |events
+        | | where event_type == 'purchase' and isbig(value)
+        | | extend c = cents(value), t = taxed(value, 0.1)
+        | | summarize s = sum(c), st = sum(t), n = count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type,
+        |  CAST(sum(CAST(floor(value * 100.0) AS BIGINT)) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(floor((value * (1.0 + 0.1)) * 100.0) AS BIGINT))
+        |       AS DOUBLE) AS st,
+        |  count(*) AS n
+        |FROM events
+        |WHERE event_type = 'purchase' AND value >= 50.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached
