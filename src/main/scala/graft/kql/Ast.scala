@@ -402,6 +402,16 @@ object QueryStep {
       aggs: Seq[(AggField, Expr)], axis: FieldPath,
       lo: Option[Expr], hi: Option[Expr], step: Expr,
       by: Seq[ByField]) extends QueryStep
+  /** `scan [with_match_id=m] with (step s1: cond; step s2: cond; …)` —
+    * ordered sequence matching (Kusto's scan, restricted single-active-
+    * match semantics, precisely defined in the compiler scaladoc): rows
+    * advance a step machine in serialized order, matched rows are emitted
+    * with a `step` column and a 1-based match id. `declare` variables are
+    * intentionally unsupported — `row_cumsum` after the scan covers the
+    * running-sum use they exist for. */
+  final case class ScanMatch(
+      matchIdCol: Option[String],
+      steps: Seq[(String, Expr)]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

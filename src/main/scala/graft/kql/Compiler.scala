@@ -1,6 +1,6 @@
 package graft.kql
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.functions.KqlFunctions
@@ -1474,6 +1474,8 @@ final class Compiler(
 
     case QueryStep.Partition(by, sub) => compilePartition(df, by, sub)
 
+    case QueryStep.ScanMatch(matchId, steps) => compileScan(df, matchId, steps)
+
     case QueryStep.CountStep => partitionKey match {
       case Some(pk) =>
         df.groupBy(compileField(df, pk).as(pk.flat)).agg(count(lit(1)).as("Count"))
@@ -1916,6 +1918,79 @@ final class Compiler(
     val rk = "__graft_prk"
     df.withColumn(rk, row_number().over(w))
       .filter(col(rk) <= n.toInt).drop(rk)
+  }
+
+  /** `scan` lowering — ordered sequence matching with RESTRICTED
+    * single-active-match semantics (the common funnel shape; Kusto's full
+    * operator tracks every concurrent partial match):
+    *
+    *   - inactive + row satisfies step 1 → a match STARTS (match id
+    *     increments, 1-based); a 1-step scan completes immediately
+    *   - active at step k: row satisfying step k+1 ADVANCES (reaching the
+    *     last step completes the match and resets); else row satisfying
+    *     step k re-matches it (steps absorb repeats); else the row is
+    *     SKIPPED and the match stays where it is
+    *   - only matched rows are emitted, tagged (`step`, match id); a
+    *     match that never completes still emitted its rows (Kusto too)
+    *
+    * Spark-first split: every step condition is pre-evaluated as a
+    * codegen'd boolean COLUMN (Tungsten does the per-row work); only the
+    * inherently-sequential boolean state machine runs imperatively, per
+    * key group, via flatMapSortedGroups — the minimal mapPartitions-class
+    * scope. Serialized input is required (same contract as the window
+    * scalars); inside `partition by` the machine runs per key and the
+    * whole operator distributes over the key shuffle. */
+  private def compileScan(
+      df: DataFrame, matchIdName: Option[String],
+      steps: Seq[(String, Expr)]): DataFrame = {
+    val keys = serialOrder.getOrElse(throw KqlParseException(
+      "scan requires a serialized input — add a 'sort by' first (wrap in " +
+        "'partition by key (…)' for data-scale sequences)", 0))
+    val baseW = df.columns.length
+    val condCols = steps.zipWithIndex.map { case ((_, cond), i) =>
+      compileBool(df, cond).as(s"__scan_c$i")
+    }
+    // group key: the enclosing partition key, or one global group (the
+    // serialized contract) — stringified so one encoder fits every type
+    val keyCol = partitionKey
+      .map(p => compileField(df, p)).getOrElse(lit(0L))
+      .cast(StringType).as("__scan_k")
+    val prepared = df.select(
+      (df.columns.map(c => col(s"`$c`")) ++ condCols :+ keyCol): _*)
+    val outSchema = org.apache.spark.sql.types.StructType(
+      df.schema.fields :+
+        org.apache.spark.sql.types.StructField("step", StringType) :+
+        org.apache.spark.sql.types.StructField(
+          matchIdName.getOrElse("match_id"), LongType))
+    val stepNames = steps.map(_._1)
+    val nSteps = steps.length
+    val sortCols = keys.map(k => sortCol(prepared, k))
+    import spark.implicits._
+    prepared
+      .groupByKey(r => Option(r.getString(r.length - 1)).getOrElse(""))
+      .flatMapSortedGroups(sortCols: _*) { (_, rows) =>
+        var active = false
+        var stepIdx = 0
+        var mid = 0L
+        rows.flatMap { r =>
+          def c(i: Int): Boolean = !r.isNullAt(baseW + i) && r.getBoolean(baseW + i)
+          val emit: Option[Int] =
+            if (!active) {
+              if (c(0)) {
+                mid += 1; stepIdx = 0
+                active = nSteps > 1 // 1-step machines complete immediately
+                Some(0)
+              } else None
+            } else if (stepIdx + 1 < nSteps && c(stepIdx + 1)) {
+              stepIdx += 1
+              if (stepIdx == nSteps - 1) active = false // completed
+              Some(stepIdx)
+            } else if (c(stepIdx)) Some(stepIdx)
+            else None
+          emit.map(si =>
+            Row.fromSeq(r.toSeq.take(baseW) ++ Seq(stepNames(si), mid)))
+        }
+      }(org.apache.spark.sql.Encoders.row(outSchema))
   }
 
   /** `partition by` lowering (Kusto's partition operator): no per-key loop

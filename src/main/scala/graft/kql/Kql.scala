@@ -142,6 +142,11 @@ object Kql {
         val byTxt = if (by.isEmpty) "" else
           s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
         s"make-series $aggTxt on ${axis.render}$range step ${Render.expr(step)}$byTxt"
+      case QueryStep.ScanMatch(mid, steps) =>
+        val m = mid.map(n => s"with_match_id=$n ").getOrElse("")
+        s"scan ${m}with (" +
+          steps.map { case (n, c) => s"step $n: ${Render.expr(c)}" }
+            .mkString("; ") + ")"
     }
     (parsed.lets.map { case (n, q) =>
       val open = if (parsed.materialized(n)) "materialize(" else "("

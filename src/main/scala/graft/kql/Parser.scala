@@ -339,6 +339,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "evaluate"         => p += 1; parseEvaluate()
       case "serialize"        => p += 1; QueryStep.Serialize
       case "partition"        => p += 1; parsePartition()
+      case "scan"             => p += 1; parseScanMatch()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -502,6 +503,37 @@ final class Parser(src: String, nowMicros: Long) {
     while (tryPunct("|")) steps += parseStep()
     eatPunct(")")
     QueryStep.Partition(f, steps.result())
+  }
+
+  /** `scan [with_match_id=m] with (step s1: cond; …)` — steps are
+    * `step <name>: <condition>` separated by semicolons (trailing `;`
+    * optional). Kusto's `declare (…)` clause is rejected with a pointer
+    * to the supported alternative. */
+  private def parseScanMatch(): QueryStep = {
+    var matchId: Option[String] = None
+    while (atIdent("with_match_id")) {
+      p += 1; eatPunct("="); matchId = Some(identText())
+    }
+    if (atIdent("declare"))
+      fail("scan declare(...) is not supported — run the scan, then " +
+        "compute running values with row_cumsum over the match output")
+    eatIdent("with")
+    eatPunct("(")
+    val steps = Seq.newBuilder[(String, Expr)]
+    var done = false
+    while (!done) {
+      eatIdent("step")
+      val n = identText()
+      eatPunct(":")
+      steps += ((n, parseExpr()))
+      done = if (tryPunct(";")) atPunct(")") else true
+    }
+    eatPunct(")")
+    val ss = steps.result()
+    arity(ss.nonEmpty, "scan needs at least one step")
+    arity(ss.map(_._1).distinct.length == ss.length,
+      "scan step names must be distinct")
+    QueryStep.ScanMatch(matchId, ss)
   }
 
   /** `mv-apply [x =] arrField on ( step | step … )` — the inner pipeline

@@ -947,6 +947,43 @@ object KqlQueries {
         |WHERE event_type = 'purchase' AND value >= 50.0
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // scan: per-user view→purchase sequence matching inside partition by
+    // (distributed per-key state machine). For DISJOINT step conditions
+    // the single-active-match semantics reduce to lag() algebra: a view
+    // whose previous relevant row is not a view STARTS a match, a purchase
+    // whose previous relevant row is a view COMPLETES it, and the match id
+    // is the running count of starts — which is what the oracle replays.
+    kq("kql_scan",
+      """events
+        | | partition by user_id (sort by ts asc, event_id asc
+        |     | scan with (step s1: event_type == 'view';
+        |                  step s2: event_type == 'purchase'))
+        | | summarize n = count(), s = sum(match_id) by step
+        | | sort by step asc""".stripMargin,
+      """WITH rel AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_t
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |marked AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'view'
+        |              AND (prev_t IS NULL OR prev_t <> 'view')
+        |         THEN 1 ELSE 0 END AS starts,
+        |    CASE WHEN event_type = 'purchase' AND prev_t = 'view'
+        |         THEN 1 ELSE 0 END AS completes
+        |  FROM rel),
+        |numbered AS (
+        |  SELECT *, sum(starts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid
+        |  FROM marked)
+        |SELECT CASE WHEN event_type = 'view' THEN 's1' ELSE 's2' END AS step,
+        |  count(*) AS n, CAST(sum(mid) AS DOUBLE) AS s
+        |FROM numbered
+        |WHERE event_type = 'view' OR completes = 1
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

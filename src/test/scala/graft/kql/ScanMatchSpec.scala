@@ -1,0 +1,113 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** `scan` — ordered sequence matching (restricted single-active-match
+  * semantics, see the compiler scaladoc): step conditions are codegen'd
+  * boolean columns; only the boolean state machine is imperative, per key
+  * group. Serialized input required; distributes inside `partition by`.
+  */
+class ScanMatchSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    // one user's ordered event tape: v=view c=click p=purchase
+    c.register("tape", Seq(
+      (1L, "c"), (2L, "v"), (3L, "v"), (4L, "c"), (5L, "p"),
+      (6L, "p"), (7L, "v"), (8L, "p"), (9L, "c")
+    ).toDF("i", "e"))
+    c.register("multi", Seq(
+      ("u1", 1L, "v"), ("u1", 2L, "p"),
+      ("u2", 1L, "p"), ("u2", 2L, "v"), ("u2", 3L, "v"), ("u2", 4L, "p")
+    ).toDF("u", "i", "e"))
+    c
+  }
+
+  private def run(kql: String) = Kql.run(spark, cat, kql)
+
+  test("two-step funnel: starts, repeats, completion, restart") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan with (step s1: e == 'v'; step s2: e == 'p')
+        | | project i, step, match_id""".stripMargin)
+    // i=1 c: inactive, no match. i=2 v: start m1. i=3 v: repeat s1.
+    // i=4 c: skipped (match stays active). i=5 p: completes m1.
+    // i=6 p: inactive, no. i=7 v: start m2. i=8 p: completes m2. i=9 c: no.
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((2L, "s1", 1L), (3L, "s1", 1L), (5L, "s2", 1L),
+        (7L, "s1", 2L), (8L, "s2", 2L)))
+  }
+
+  test("one-step scan tags every satisfying row as its own match") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan with_match_id=m with (step only: e == 'p')
+        | | project i, step, m""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((5L, "only", 1L), (6L, "only", 2L), (8L, "only", 3L)))
+  }
+
+  test("incomplete trailing match still emits its rows") {
+    val df = run(
+      """tape | where i >= 7 | sort by i asc
+        | | scan with (step s1: e == 'v'; step s2: e == 'x')
+        | | project i, step, match_id""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((7L, "s1")))
+  }
+
+  test("three steps advance one at a time") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan with (step a: e == 'c'; step b: e == 'v'; step c: e == 'p')
+        | | project i, step, match_id""".stripMargin)
+    // i=1 c start m1(a); i=2 v → b; i=3 v repeat b; i=4 c? step c cond is
+    // 'p' no, step b cond 'v' no → skip; i=5 p completes m1(c);
+    // i=6 p inactive no; i=7 v no (a needs 'c'); i=8 p no; i=9 c start m2(a)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "b", 1L), (5L, "c", 1L),
+        (9L, "a", 2L)))
+  }
+
+  test("scan inside partition by runs per key, distributed") {
+    val df = run(
+      """multi | partition by u (sort by i asc
+        |     | scan with (step s1: e == 'v'; step s2: e == 'p'))
+        | | sort by u asc, i asc | project u, i, step, match_id""".stripMargin)
+    assert(df.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSeq ==
+      Seq(("u1", 1L, "s1", 1L), ("u1", 2L, "s2", 1L),
+        ("u2", 2L, "s1", 1L), ("u2", 3L, "s1", 1L), ("u2", 4L, "s2", 1L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("scan without a sort is rejected; declare is rejected with guidance") {
+    val e = intercept[KqlParseException](run(
+      "tape | scan with (step s: e == 'v')"))
+    assert(e.getMessage.contains("serialized"))
+    val e2 = intercept[KqlParseException](run(
+      "tape | sort by i asc | scan declare (x: long = 0) with (step s: e == 'v')"))
+    assert(e2.getMessage.contains("row_cumsum"))
+  }
+
+  test("row_cumsum after scan covers the declare use-case") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan with (step s1: e == 'v'; step s2: e == 'p')
+        | | sort by i asc
+        | | extend seen = row_cumsum(1)
+        | | project i, seen""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (8L, 5L)))
+  }
+
+  test("explain renders scan") {
+    val txt = Kql.renderSteps(Kql.parse(
+      "tape | sort by i asc | scan with_match_id=m with (step a: e == 'v'; step b: e == 'p')"))
+    assert(txt.contains("scan with_match_id=m with (step a:"))
+  }
+}
