@@ -760,8 +760,14 @@ object KqlQueries {
     // projected through strcat_array so the gate-visible columns stay
     // scalar (the driver's pandas comparator cannot sort array cells —
     // the kql_agg_ext lesson). Integer elements keep array_sum exact.
+    // the top-2000 selection runs FIRST (TakeOrderedAndProject over the
+    // narrow base columns), and the ten array expressions evaluate on the
+    // 2000 survivors only — computing them under the sort cost 3.4 s of
+    // per-row array work on the full table for rows the limit then threw
+    // away (~0.3 s this way)
     kq("kql_arrayfns2",
       """lineitem
+        | | top 2000 by l_orderkey asc, l_linenumber asc
         | | extend q = toint(l_quantity)
         | | extend a = pack_array(l_linenumber, q, 3), b = pack_array(q, 5)
         | | project l_orderkey, l_linenumber,
@@ -775,12 +781,13 @@ object KqlQueries {
         |     un = strcat_array(set_union(a, b), ','),
         |     ix = strcat_array(set_intersect(a, b), ','),
         |     dif = strcat_array(set_difference(a, b), ',')
-        | | sort by l_orderkey asc, l_linenumber asc | limit 2000""".stripMargin,
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
       """WITH base AS (
         |  SELECT l_orderkey, l_linenumber,
         |         [l_linenumber, CAST(trunc(l_quantity) AS INTEGER), 3] AS a,
         |         [CAST(trunc(l_quantity) AS INTEGER), 5] AS b
-        |  FROM lineitem)
+        |  FROM (SELECT * FROM lineitem
+        |        ORDER BY l_orderkey, l_linenumber LIMIT 2000))
         |SELECT l_orderkey, l_linenumber,
         |  array_to_string(list_sort(a, 'ASC', 'NULLS LAST'), ',') AS srt,
         |  array_to_string(list_sort(a, 'DESC', 'NULLS LAST'), ',') AS dsrt,
