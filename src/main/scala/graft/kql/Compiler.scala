@@ -216,6 +216,9 @@ final class Compiler(
           "array_concat" | "array_slice" | "set_union" | "set_intersect" |
           "set_difference" | "pack_array" | "bag_keys" => KT.Arr
       case "array_sum" => KT.Float
+      case "series_add" | "series_subtract" | "series_multiply" |
+          "series_divide" | "series_abs" | "series_fir" => KT.Arr
+      case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
       case "bag_pack" | "pack_all" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
@@ -740,6 +743,58 @@ final class Compiler(
         case "array_sum" =>
           aggregate(compile(df, args.head), lit(0.0),
             (acc, x) => acc + x.cast(DoubleType))
+        // series elementwise arithmetic (Kusto series_add/…): zip_with in
+        // Kusto's shorter-series semantics — the result has the SHORTER
+        // length would drop data, so Kusto pads with null; zip_with pads
+        // the shorter side with null and null arithmetic yields null,
+        // which matches. Divide works in double (KQL '/' rule); the
+        // others keep the zipped element types.
+        case "series_add" =>
+          zip_with(compile(df, args.head), compile(df, args(1)), (x, y) => x + y)
+        case "series_subtract" =>
+          zip_with(compile(df, args.head), compile(df, args(1)), (x, y) => x - y)
+        case "series_multiply" =>
+          zip_with(compile(df, args.head), compile(df, args(1)), (x, y) => x * y)
+        case "series_divide" =>
+          zip_with(compile(df, args.head), compile(df, args(1)),
+            (x, y) => x.cast(DoubleType) / y.cast(DoubleType))
+        case "series_abs" =>
+          transform(compile(df, args.head), e => abs(e))
+        // scalar reducers over a series; sum/avg in double (KQL sum rule),
+        // min/max keep the element type
+        case "series_sum" =>
+          aggregate(compile(df, args.head), lit(0.0),
+            (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0)))
+        case "series_avg" =>
+          aggregate(compile(df, args.head), lit(0.0),
+            (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0))) /
+            size(compile(df, args.head)).cast(DoubleType)
+        case "series_min" => array_min(compile(df, args.head))
+        case "series_max" => array_max(compile(df, args.head))
+        // FIR filter (Kusto series_fir): y[i] = Σ_j w[j]·x[i−j] over the
+        // TRAILING window, PARTIAL at the series head (only the weights
+        // that overlap the series contribute; normalize then divides by
+        // the sum of the weights actually used, so a normalized moving
+        // average stays an average of the available points — the edge
+        // behavior a smoothing pipeline wants). Pure codegen'd array
+        // lambdas; doubles throughout (Kusto series are f64).
+        case "series_fir" =>
+          val x = compile(df, args.head)
+          val w = compile(df, args(1))
+          val normalize = args.lift(2) match {
+            case Some(BoolLit(b)) => b
+            case _ => false
+          }
+          transform(x, (_, i) => {
+            val used = sequence(lit(0), least(i, size(w) - 1))
+            val num = aggregate(used, lit(0.0), (acc, j) =>
+              acc + element_at(w, j + 1).cast(DoubleType) *
+                element_at(x, i - j + 1).cast(DoubleType))
+            if (!normalize) num
+            else num / aggregate(used, lit(0.0), (acc, j) =>
+              acc + element_at(w, j + 1).cast(DoubleType))
+          })
+
         // Kusto's set results have unspecified order; sorted here so the
         // output is deterministic (same choice as make_set — SCALE.md)
         case "set_union" =>

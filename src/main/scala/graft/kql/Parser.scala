@@ -1047,6 +1047,9 @@ final class Parser(src: String, nowMicros: Long) {
     "todynamic", "parse_json",
     "array_sort_asc", "array_sort_desc", "array_reverse", "array_concat",
     "array_slice", "array_index_of", "array_sum",
+    "series_add", "series_subtract", "series_multiply", "series_divide",
+    "series_abs", "series_sum", "series_min", "series_max", "series_avg",
+    "series_fir",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -1240,6 +1243,21 @@ final class Parser(src: String, nowMicros: Long) {
       case "array_sum" =>
         val a = args(); arity(a.length == 1, "array_sum() takes 1 arg")
         ArrFn("array_sum", a)
+      case f @ ("series_add" | "series_subtract" | "series_multiply" |
+          "series_divide") =>
+        val a = args(); arity(a.length == 2, s"$f() takes 2 series")
+        ArrFn(f, a)
+      case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
+          "series_avg") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 series")
+        ArrFn(f, a)
+      case "series_fir" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "series_fir() takes (series, weights [, normalize])")
+        arity(a.length < 3 || a(2).isInstanceOf[BoolLit],
+          "series_fir() normalize must be a bool literal")
+        ArrFn("series_fir", a)
       case "array_concat" =>
         val a = args(); arity(a.length >= 2, "array_concat() takes 2+ arrays")
         ArrFn("array_concat", a)

@@ -991,6 +991,46 @@ object KqlQueries {
         |WHERE event_type = 'view' OR completes = 1
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // series scalar family over make-series output: FIR trailing sums,
+    // reducers, elementwise arithmetic — integer-valued doubles, so the
+    // string projections format identically in both engines
+    kq("kql_seriesfns",
+      """events
+        | | make-series n = count() on ts
+        |     from datetime(2024-01-01) to datetime(2024-01-31) step 1d
+        |     by event_type
+        | | extend f = series_fir(n, pack_array(1, 1, 1)),
+        |          tot = series_sum(n), mx = series_max(n),
+        |          dbl = series_add(n, n)
+        | | project event_type, fs = strcat_array(f, ','), tot, mx,
+        |           ds = strcat_array(dbl, ',')
+        | | sort by event_type asc""".stripMargin,
+      """WITH counts AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, d
+        |  FROM (SELECT DISTINCT event_type FROM counts),
+        |       (SELECT unnest(range(19723, 19753)) AS d)),
+        |filled AS (
+        |  SELECT g.event_type, g.d, coalesce(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.d = c.d),
+        |ser AS (
+        |  SELECT event_type, list(n ORDER BY d) AS narr
+        |  FROM filled GROUP BY 1)
+        |SELECT event_type,
+        |  array_to_string([CAST(list_sum(list_slice(narr, greatest(i - 2, 1), i))
+        |    AS DOUBLE) FOR i IN range(1, len(narr) + 1)], ',') AS fs,
+        |  CAST(list_sum(narr) AS DOUBLE) AS tot,
+        |  list_max(narr) AS mx,
+        |  array_to_string(list_transform(narr, x -> x * 2), ',') AS ds
+        |FROM ser ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached
