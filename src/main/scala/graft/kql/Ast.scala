@@ -412,6 +412,13 @@ object QueryStep {
   final case class ScanMatch(
       matchIdCol: Option[String],
       steps: Seq[(String, Expr)]) extends QueryStep
+  /** `invoke f(args…)` — a TABULAR function let applied to the pipeline:
+    * `let f = (T: table, x: long) { T | where v > x };` declares it, and
+    * the parser splices the body's steps (table param dropped, scalar
+    * params substituted) at the invoke site. `name` is kept for the
+    * explain renderer only — the compiler folds `steps` like any inline
+    * prefix. */
+  final case class Invoke(name: String, steps: Seq[QueryStep]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

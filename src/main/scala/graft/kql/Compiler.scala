@@ -766,9 +766,12 @@ final class Compiler(
           aggregate(compile(df, args.head), lit(0.0),
             (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0)))
         case "series_avg" =>
-          aggregate(compile(df, args.head), lit(0.0),
-            (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0))) /
-            size(compile(df, args.head)).cast(DoubleType)
+          // empty series → null, not 0/0 = NaN
+          val arr = compile(df, args.head)
+          when(size(arr) > 0,
+            aggregate(arr, lit(0.0),
+              (acc, x) => acc + coalesce(x.cast(DoubleType), lit(0.0))) /
+              size(arr).cast(DoubleType))
         case "series_min" => array_min(compile(df, args.head))
         case "series_max" => array_max(compile(df, args.head))
         // FIR filter (Kusto series_fir): y[i] = Σ_j w[j]·x[i−j] over the
@@ -1057,6 +1060,9 @@ final class Compiler(
       case _: QueryStep.Filter | _: QueryStep.Limit |
            _: QueryStep.Search | _: QueryStep.Tee |
            QueryStep.Serialize => ()
+      // invoke folds its sub-steps through compileStep, so serialOrder
+      // already reflects the spliced pipeline — leave it untouched
+      case _: QueryStep.Invoke => ()
       case _ => serialOrder = None
     }
     out
@@ -1531,6 +1537,10 @@ final class Compiler(
 
     case QueryStep.ScanMatch(matchId, steps) => compileScan(df, matchId, steps)
 
+    // invoke: the parser already substituted params and dropped the
+    // table-param head — fold the spliced steps like an inline prefix
+    case QueryStep.Invoke(_, sub) => sub.foldLeft(df)(compileStep)
+
     case QueryStep.CountStep => partitionKey match {
       case Some(pk) =>
         df.groupBy(compileField(df, pk).as(pk.flat)).agg(count(lit(1)).as("Count"))
@@ -1765,6 +1775,10 @@ final class Compiler(
     // double like the rest of the engine.
     val axisU: Column =
       if (isTs) unix_micros(compileField(df, axis))
+      else if (fieldType(df, axis) == KT.Var)
+        // variant axis: non-numeric values null out (row-drop policy),
+        // never ANSI-error
+        compileField(df, axis).try_cast(DoubleType)
       else compileField(df, axis).cast(DoubleType)
     val stepL = stepU.toLong
     // epoch-aligned floor-to-bin (exact for longs, pmod handles negatives).
@@ -2001,6 +2015,12 @@ final class Compiler(
     val keys = serialOrder.getOrElse(throw KqlParseException(
       "scan requires a serialized input — add a 'sort by' first (wrap in " +
         "'partition by key (…)' for data-scale sequences)", 0))
+    val midName = matchIdName.getOrElse("match_id")
+    for (clash <- Seq("step", midName).find(n =>
+      df.columns.exists(_.equalsIgnoreCase(n))))
+      throw KqlParseException(
+        s"scan output column '$clash' collides with an input column — " +
+          "project it away or rename it first", 0)
     val baseW = df.columns.length
     val condCols = steps.zipWithIndex.map { case ((_, cond), i) =>
       compileBool(df, cond).as(s"__scan_c$i")

@@ -147,6 +147,8 @@ object Kql {
         s"scan ${m}with (" +
           steps.map { case (n, c) => s"step $n: ${Render.expr(c)}" }
             .mkString("; ") + ")"
+      case QueryStep.Invoke(n, sub) =>
+        s"invoke $n (\n" + renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
     }
     (parsed.lets.map { case (n, q) =>
       val open = if (parsed.materialized(n)) "materialize(" else "("

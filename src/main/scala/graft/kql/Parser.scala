@@ -52,6 +52,13 @@ final class Parser(src: String, nowMicros: Long) {
     * tabular parameters are out of scope (views/lets cover that shape). */
   private var funcLets = Map.empty[String, (Seq[String], Int, Int)]
 
+  /** TABULAR function lets (`let f = (T: table, x: long) { T | … };`) —
+    * the first param is the input table; the body is a PIPELINE headed by
+    * a scan of that param. `invoke f(args)` re-parses the body range with
+    * the scalar params bound and splices the steps after the current
+    * pipeline. Value = (table param, scalar params, body start, body end). */
+  private var funcTabLets = Map.empty[String, (String, Seq[String], Int, Int)]
+
   /** In-scope function-let parameters during a body (re-)parse: a simple
     * reference to a param name resolves to the bound expression directly. */
   private var paramEnv = Map.empty[String, Expr]
@@ -119,31 +126,53 @@ final class Parser(src: String, nowMicros: Long) {
       }
       if (isFuncLet) {
         p += 1
-        val params = Seq.newBuilder[String]
+        val params = Seq.newBuilder[(String, String)]
         if (!atPunct(")")) {
           var done = false
           while (!done) {
             val pn = identText()
             eatPunct(":")
-            identText() // declared type: arity is enforced, types are doc
-            params += pn
+            // scalar types are doc (arity is what's enforced); `table`
+            // marks the tabular input param
+            params += ((pn, identText().toLowerCase))
             done = !tryPunct(",")
           }
         }
         eatPunct(")")
         eatPunct("{")
         val ps = params.result()
-        // validation parse: params bound to themselves so the body parses
-        // in isolation; call sites re-parse this exact token range
-        val bodyStart = p
         val savedEnv = paramEnv
-        paramEnv = paramEnv ++ ps.map(n =>
-          n -> Expr.Field(FieldPath(Seq(FieldAccess(n)))))
-        try parseExpr() finally paramEnv = savedEnv
-        val bodyEnd = p
-        eatPunct("}")
-        eatPunct(";")
-        funcLets += name -> ((ps, bodyStart, bodyEnd))
+        if (ps.headOption.exists(_._2 == "table")) {
+          // TABULAR function: body is a pipeline headed by the table param
+          arity(ps.count(_._2 == "table") == 1,
+            "a tabular function takes exactly one table parameter")
+          val scalars = ps.tail.map(_._1)
+          arity(ps.tail.forall(_._2 != "table"),
+            "the table parameter must come first")
+          val bodyStart = p
+          paramEnv = paramEnv ++ scalars.map(n =>
+            n -> Expr.Field(FieldPath(Seq(FieldAccess(n)))))
+          val q = try parsePipeline() finally paramEnv = savedEnv
+          arity(q.steps.headOption.contains(QueryStep.Scan(ps.head._1)),
+            s"a tabular function body must start from its table " +
+              s"parameter '${ps.head._1}'")
+          val bodyEnd = p
+          eatPunct("}")
+          eatPunct(";")
+          funcTabLets += name -> ((ps.head._1, scalars, bodyStart, bodyEnd))
+        } else {
+          // scalar function: validation parse with params bound to
+          // themselves; call sites re-parse this exact token range
+          val names = ps.map(_._1)
+          val bodyStart = p
+          paramEnv = paramEnv ++ names.map(n =>
+            n -> Expr.Field(FieldPath(Seq(FieldAccess(n)))))
+          try parseExpr() finally paramEnv = savedEnv
+          val bodyEnd = p
+          eatPunct("}")
+          eatPunct(";")
+          funcLets += name -> ((names, bodyStart, bodyEnd))
+        }
       } else if (atPunct("(")) {
         p += 1
         val q = parsePipeline()
@@ -340,6 +369,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "serialize"        => p += 1; QueryStep.Serialize
       case "partition"        => p += 1; parsePartition()
       case "scan"             => p += 1; parseScanMatch()
+      case "invoke"           => p += 1; parseInvoke()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -503,6 +533,40 @@ final class Parser(src: String, nowMicros: Long) {
     while (tryPunct("|")) steps += parseStep()
     eatPunct(")")
     QueryStep.Partition(f, steps.result())
+  }
+
+  /** `invoke f(args…)` — splice a tabular function let's body into the
+    * pipeline: re-parse the stored body range with the scalar params
+    * bound, drop the table-param scan head, and emit the remaining steps
+    * as one [[QueryStep.Invoke]] group. */
+  private def parseInvoke(): QueryStep = {
+    val name = identText()
+    val (_, scalars, bodyStart, bodyEnd) = funcTabLets.getOrElse(name,
+      fail(s"unknown tabular function '$name' — declare it with " +
+        s"let $name = (T: table, …) { … }; first"))
+    eatPunct("(")
+    val args = Seq.newBuilder[Expr]
+    if (!atPunct(")")) {
+      var done = false
+      while (!done) { args += parseExpr(); done = !tryPunct(",") }
+    }
+    eatPunct(")")
+    val a = args.result()
+    arity(a.length == scalars.length,
+      s"$name() takes ${scalars.length} argument(s), got ${a.length}")
+    if (funcDepth >= 32)
+      fail(s"tabular function '$name' expands too deep — recursion is not supported")
+    val savedP = p
+    val savedEnv = paramEnv
+    p = bodyStart
+    paramEnv = paramEnv ++ scalars.zip(a)
+    funcDepth += 1
+    val q = try parsePipeline()
+    finally { paramEnv = savedEnv; funcDepth -= 1 }
+    if (p != bodyEnd)
+      fail(s"tabular function '$name' body did not re-parse to the same extent")
+    p = savedP
+    QueryStep.Invoke(name, q.steps.tail)
   }
 
   /** `scan [with_match_id=m] with (step s1: cond; …)` — steps are

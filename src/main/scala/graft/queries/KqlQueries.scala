@@ -1031,6 +1031,18 @@ object KqlQueries {
         |  array_to_string(list_transform(narr, x -> x * 2), ',') AS ds
         |FROM ser ORDER BY 1""".stripMargin),
 
+    // invoke: tabular function let spliced at the call site with a scalar
+    // arg — the oracle is the hand-inlined equivalent
+    kq("kql_invoke",
+      """let hourly = (T: table, et: string) {
+        |  T | where event_type == et
+        |    | summarize n = count() by h = hourofday(ts)
+        |};
+        |events | invoke hourly('click') | sort by h asc""".stripMargin,
+      """SELECT count(*) AS n, CAST(hour(ts) AS BIGINT) AS h
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 2 ORDER BY 2""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

@@ -420,6 +420,7 @@ object QueryServer {
         // — the raw() gate and sink checks must see through it
         case QueryStep.MvApply(_, _, sub) => inQuery(Query(sub))
         case QueryStep.Partition(_, sub) => inQuery(Query(sub))
+        case QueryStep.Invoke(_, sub) => inQuery(Query(sub))
         case _ => false
       })
     }

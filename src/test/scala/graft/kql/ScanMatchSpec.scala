@@ -105,6 +105,17 @@ class ScanMatchSpec extends AnyFunSuite {
       Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (8L, 5L)))
   }
 
+  test("output column collisions are rejected up front") {
+    val e = intercept[KqlParseException](run(
+      """tape | extend step = 1 | sort by i asc
+        | | scan with (step s: e == 'v')""".stripMargin))
+    assert(e.getMessage.contains("collides"))
+    val e2 = intercept[KqlParseException](run(
+      """tape | extend m = 1 | sort by i asc
+        | | scan with_match_id=m with (step s: e == 'v')""".stripMargin))
+    assert(e2.getMessage.contains("collides"))
+  }
+
   test("explain renders scan") {
     val txt = Kql.renderSteps(Kql.parse(
       "tape | sort by i asc | scan with_match_id=m with (step a: e == 'v'; step b: e == 'p')"))

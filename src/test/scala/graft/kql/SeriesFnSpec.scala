@@ -77,6 +77,13 @@ class SeriesFnSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 6.0)
   }
 
+  test("series_avg of an empty series is null, not NaN") {
+    val r = Kql.run(spark, cat,
+      "t | extend a = array_slice(pack_array(1, 2), 5, 6) | project r = series_avg(a)")
+      .collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("arity errors") {
     intercept[KqlParseException](one("series_add(a)"))
     intercept[KqlParseException](one("series_fir(a)"))
