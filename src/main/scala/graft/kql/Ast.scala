@@ -177,6 +177,22 @@ object Aggregation {
     * rows where the predicate is truthy. sumif of no matching rows is 0.0
     * (KQL/reference sum convention); the others yield null. */
   final case class AggIf(kind: String, f: FieldPath, pred: Expr) extends Aggregation
+  /** Kusto take_any(col) — "an arbitrary value per group"; made
+    * DETERMINISTIC here (the minimum, same policy as make_set's sort):
+    * arbitrary-but-stable beats arbitrary under shuffles and re-runs. */
+  final case class TakeAny(f: FieldPath) extends Aggregation
+  /** binary_all_and / binary_all_or / binary_all_xor — bitwise aggregate
+    * over long values; op ∈ and|or|xor. */
+  final case class BinaryAll(op: String, f: FieldPath) extends Aggregation
+  /** hll(col) — mergeable HLL sketch state (binary), the pre-aggregated
+    * rollup primitive; hll_merge(col) unions stored sketches. Estimate
+    * with the dcount_hll() scalar. */
+  final case class Hll(f: FieldPath) extends Aggregation
+  final case class HllMerge(f: FieldPath) extends Aggregation
+  /** percentiles(f, p1, p2, …) — marker expanded by the SUMMARIZE parser
+    * into one [[Percentile]] per p (Kusto's multi-column form); reaching
+    * the compiler unexpanded is a parse-context error. */
+  final case class Percentiles(f: FieldPath, ps: Seq[Double]) extends Aggregation
 
   /** Default output names (reference parser.rs:290-301). */
   def defaultName(a: Aggregation): String = a match {
@@ -198,6 +214,11 @@ object Aggregation {
     case Stdev(f)     => s"stdev_${f.flat}"
     case Variance(f)  => s"variance_${f.flat}"
     case AggIf(k, f, _) => s"${k}_${f.flat}"
+    case TakeAny(f)     => s"any_${f.flat}"
+    case BinaryAll(op, f) => s"binary_all_${op}_${f.flat}"
+    case Hll(f)         => s"hll_${f.flat}"
+    case HllMerge(f)    => s"hll_merge_${f.flat}"
+    case Percentiles(f, _) => s"percentiles_${f.flat}"
   }
 }
 

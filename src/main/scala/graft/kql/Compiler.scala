@@ -219,6 +219,7 @@ final class Compiler(
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
+      case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
@@ -774,6 +775,8 @@ final class Compiler(
               size(arr).cast(DoubleType))
         case "series_min" => array_min(compile(df, args.head))
         case "series_max" => array_max(compile(df, args.head))
+        // estimate a stored/merged HLL sketch (see Aggregation.Hll)
+        case "dcount_hll" => hll_sketch_estimate(compile(df, args.head))
         // FIR filter (Kusto series_fir): y[i] = Σ_j w[j]·x[i−j] over the
         // TRAILING window, PARTIAL at the series head (only the weights
         // that overlap the series contribute; normalize then divides by
@@ -1464,6 +1467,11 @@ final class Compiler(
         case Aggregation.AggIf(_, f, pred) => f +: fieldRefs(pred)
         case Aggregation.Countif(e) => fieldRefs(e)
         case Aggregation.Count => Nil
+        case Aggregation.TakeAny(f) => Seq(f)
+        case Aggregation.BinaryAll(_, f) => Seq(f)
+        case Aggregation.Hll(f) => Seq(f)
+        case Aggregation.HllMerge(f) => Seq(f)
+        case Aggregation.Percentiles(f, _) => Seq(f)
       }).map(_.flat)
       val groupCols = df.columns.filter(c =>
         !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))
@@ -1896,6 +1904,26 @@ final class Compiler(
         // and re-runs). collect_list drops nulls, matching KQL's make_list.
         case Aggregation.MakeList(f) => array_sort(collect_list(ordered(f)))
         case Aggregation.MakeSet(f) => array_sort(collect_set(ordered(f)))
+        // Kusto's take_any is arbitrary; the minimum is arbitrary-but-
+        // STABLE under shuffles/re-runs (same policy as make_set's sort)
+        case Aggregation.TakeAny(f) => min(minmax(f))
+        case Aggregation.BinaryAll(op, f) =>
+          val c = compileField(df, f)
+          val v = if (fieldType(df, f) == KT.Var) c.try_cast(LongType)
+          else c.cast(LongType)
+          op match {
+            case "and" => bit_and(v)
+            case "or" => bit_or(v)
+            case "xor" => bit_xor(v)
+          }
+        // mergeable HLL sketch state (binary) — the pre-aggregated rollup
+        // primitive: hll() per fine-grained group, store, then hll_merge()
+        // across groups and dcount_hll() to estimate; partial/final
+        // aggregation both map-side combinable
+        case Aggregation.Hll(f) => hll_sketch_agg(ordered(f))
+        case Aggregation.HllMerge(f) => hll_union_agg(compileField(df, f))
+        case Aggregation.Percentiles(_, _) => throw KqlParseException(
+          "percentiles() is summarize-only — use percentile(f, p) here", 0)
         // arg extremes: lexicographic struct max/min gives a total rule —
         // extreme key first, then extreme return value on key ties (KQL
         // leaves ties unspecified; totality keeps re-runs identical). Rows

@@ -741,8 +741,23 @@ final class Parser(src: String, nowMicros: Long) {
         while (used.contains(cand)) { cand = s"$base$i"; i += 1 }
         used += cand; cand
       }
-      aggs.result().map { ra =>
-        AggField(ra.agg, unique(ra.alias.getOrElse(Aggregation.defaultName(ra.agg))))
+      aggs.result().flatMap { ra =>
+        ra.agg match {
+          // percentiles(f, p1, p2, …) expands to one column per p —
+          // Kusto's percentile_f_pN naming, or alias_pN with an alias
+          case Aggregation.Percentiles(f, ps) =>
+            ps.map { p =>
+              val pTxt = if (p == p.floor) p.toLong.toString
+              else p.toString.replace('.', '_')
+              val base = ra.alias match {
+                case Some(a) => s"${a}_$pTxt"
+                case None => Aggregation.defaultName(Aggregation.Percentile(f, p))
+              }
+              AggField(Aggregation.Percentile(f, p), unique(base))
+            }
+          case a =>
+            Seq(AggField(a, unique(ra.alias.getOrElse(Aggregation.defaultName(a)))))
+        }
       }
     }
     QueryStep.Summarize(named, by)
@@ -842,6 +857,26 @@ final class Parser(src: String, nowMicros: Long) {
       case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif") =>
         val f = parseFieldPath(); eatPunct(",")
         Aggregation.AggIf(k, f, parseExpr())
+      case "take_any" => Aggregation.TakeAny(parseFieldPath())
+      case k @ ("binary_all_and" | "binary_all_or" | "binary_all_xor") =>
+        Aggregation.BinaryAll(k.stripPrefix("binary_all_"), parseFieldPath())
+      case "hll" => Aggregation.Hll(parseFieldPath())
+      case "hll_merge" => Aggregation.HllMerge(parseFieldPath())
+      case "percentiles" =>
+        val f = parseFieldPath()
+        val ps = Seq.newBuilder[Double]
+        while (tryPunct(",")) {
+          val v = peek match {
+            case IntTok(v, _) => next(); v.toDouble
+            case FloatTok(v, _) => next(); v
+            case t => throw KqlParseException("percentiles expects numeric ps", t.pos)
+          }
+          arity(v >= 0 && v <= 100, "percentile p must be in [0, 100]")
+          ps += v
+        }
+        val pl = ps.result()
+        arity(pl.nonEmpty, "percentiles() needs at least one p")
+        Aggregation.Percentiles(f, pl)
       case other => fail(s"unknown aggregation '$other'")
     }
     eatPunct(")")
@@ -1113,7 +1148,7 @@ final class Parser(src: String, nowMicros: Long) {
     "array_slice", "array_index_of", "array_sum",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
-    "series_fir",
+    "series_fir", "dcount_hll",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -1315,6 +1350,9 @@ final class Parser(src: String, nowMicros: Long) {
           "series_avg") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
         ArrFn(f, a)
+      case "dcount_hll" =>
+        val a = args(); arity(a.length == 1, "dcount_hll() takes 1 sketch")
+        ArrFn("dcount_hll", a)
       case "series_fir" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

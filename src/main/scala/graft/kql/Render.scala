@@ -95,5 +95,12 @@ object Render {
     case Aggregation.Stdev(f) => s"stdev(${f.render})"
     case Aggregation.Variance(f) => s"variance(${f.render})"
     case Aggregation.AggIf(k, f, p) => s"$k(${f.render}, ${expr(p)})"
+    case Aggregation.TakeAny(f) => s"take_any(${f.render})"
+    case Aggregation.BinaryAll(op, f) => s"binary_all_$op(${f.render})"
+    case Aggregation.Hll(f) => s"hll(${f.render})"
+    case Aggregation.HllMerge(f) => s"hll_merge(${f.render})"
+    case Aggregation.Percentiles(f, ps) =>
+      s"percentiles(${f.render}, ${ps.map(p =>
+        if (p == p.floor) p.toLong.toString else p.toString).mkString(", ")})"
   }
 }

@@ -1043,6 +1043,28 @@ object KqlQueries {
         |FROM events WHERE event_type = 'click'
         |GROUP BY 2 ORDER BY 2""".stripMargin),
 
+    // aggregation batch 2: take_any (deterministic minimum, so min() IS
+    // the oracle), binary_all_* bit folds, and the HLL sketch family at a
+    // cardinality where DataSketches stays in exact list mode (≤5 distinct
+    // event types per user, far below the ~512-coupon promotion) — the
+    // estimate equals DuckDB's exact distinct count, so the sketch path
+    // itself is hash-gated
+    kq("kql_agg_ext2",
+      """events
+        | | extend cents = toint(bin(value * 100.0, 1.0))
+        | | summarize a = take_any(event_type), ba = binary_all_and(cents),
+        |             bo = binary_all_or(cents), bx = binary_all_xor(cents),
+        |             s = hll(event_type)
+        |     by user_id
+        | | project user_id, a, ba, bo, bx, d = dcount_hll(s)
+        | | sort by user_id asc""".stripMargin,
+      """SELECT user_id, min(event_type) AS a,
+        |  bit_and(CAST(floor(value * 100.0) AS BIGINT)) AS ba,
+        |  bit_or(CAST(floor(value * 100.0) AS BIGINT)) AS bo,
+        |  bit_xor(CAST(floor(value * 100.0) AS BIGINT)) AS bx,
+        |  count(DISTINCT event_type) AS d
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached
