@@ -440,6 +440,10 @@ object QueryStep {
     * explain renderer only — the compiler folds `steps` like any inline
     * prefix. */
   final case class Invoke(name: String, steps: Seq[QueryStep]) extends QueryStep
+  /** `render timechart [with (…)]` — a client-side visualization
+    * directive, accepted and ignored (rows pass through untouched) so
+    * dashboard-tail queries run as-is. The kind is kept for explain. */
+  final case class RenderHint(kind: String) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

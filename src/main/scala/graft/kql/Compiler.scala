@@ -1066,6 +1066,7 @@ final class Compiler(
       // invoke folds its sub-steps through compileStep, so serialOrder
       // already reflects the spliced pipeline — leave it untouched
       case _: QueryStep.Invoke => ()
+      case _: QueryStep.RenderHint => () // no-op, order-preserving
       case _ => serialOrder = None
     }
     out
@@ -1548,6 +1549,9 @@ final class Compiler(
     // invoke: the parser already substituted params and dropped the
     // table-param head — fold the spliced steps like an inline prefix
     case QueryStep.Invoke(_, sub) => sub.foldLeft(df)(compileStep)
+
+    // render is a client-side visualization directive — rows pass through
+    case QueryStep.RenderHint(_) => df
 
     case QueryStep.CountStep => partitionKey match {
       case Some(pk) =>

@@ -149,6 +149,7 @@ object Kql {
             .mkString("; ") + ")"
       case QueryStep.Invoke(n, sub) =>
         s"invoke $n (\n" + renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
+      case QueryStep.RenderHint(kind) => s"render $kind"
     }
     (parsed.lets.map { case (n, q) =>
       val open = if (parsed.materialized(n)) "materialize(" else "("

@@ -106,6 +106,15 @@ final class Parser(src: String, nowMicros: Long) {
   def parse(): Parsed = {
     var lets = Map.empty[String, Query]
     var mats = Set.empty[String]
+    // `set option [= value];` client/session options (notruncation,
+    // truncationmaxsize, query_timeout, …) — accepted and discarded: the
+    // engine's truncation/timeout behavior is governed by Spark confs
+    while (atIdent("set")) {
+      p += 1
+      identText()
+      if (tryPunct("=")) next()
+      eatPunct(";")
+    }
     while (atIdent("let")) {
       p += 1
       val name = identText()
@@ -370,6 +379,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "partition"        => p += 1; parsePartition()
       case "scan"             => p += 1; parseScanMatch()
       case "invoke"           => p += 1; parseInvoke()
+      case "render"           => p += 1; parseRender()
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -533,6 +543,27 @@ final class Parser(src: String, nowMicros: Long) {
     while (tryPunct("|")) steps += parseStep()
     eatPunct(")")
     QueryStep.Partition(f, steps.result())
+  }
+
+  /** `render <kind> [with (prop = value, …)]` — visualization directive,
+    * tolerated as a row-preserving no-op (the `with` clause is consumed
+    * and discarded). */
+  private def parseRender(): QueryStep = {
+    val kind = identText()
+    if (atIdent("with")) {
+      p += 1
+      eatPunct("(")
+      var depth = 1
+      while (depth > 0) {
+        peek match {
+          case Punct("(", _) => depth += 1; p += 1
+          case Punct(")", _) => depth -= 1; p += 1
+          case Eof(_) => fail("unterminated render with(…) clause")
+          case _ => p += 1
+        }
+      }
+    }
+    QueryStep.RenderHint(kind)
   }
 
   /** `invoke f(args…)` — splice a tabular function let's body into the

@@ -1065,6 +1065,18 @@ object KqlQueries {
         |  count(DISTINCT event_type) AS d
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // set statements and render directives are tolerated no-ops — the
+    // gate proves a dashboard-tail query runs unchanged
+    kq("kql_render_set",
+      """set notruncation;
+        |set truncationmaxsize = 1000000;
+        |events | where event_type == 'error'
+        | | summarize n = count() by event_type
+        | | sort by event_type asc
+        | | render timechart with (title = 'errors')""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE event_type = 'error' GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

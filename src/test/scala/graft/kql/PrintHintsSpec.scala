@@ -116,4 +116,30 @@ class PrintHintsSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("unknown join strategy"))
   }
+
+  // ───────── render / set no-ops ─────────
+
+  test("render is a row-preserving no-op, with and without properties") {
+    val base = run("t | summarize n = count() by id | sort by id asc")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val rendered = run(
+      "t | summarize n = count() by id | sort by id asc | render timechart")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rendered == base)
+    val withProps = run(
+      """t | summarize n = count() by id | sort by id asc
+        | | render columnchart with (title = 'x', ysplit = axes)""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(withProps == base)
+    assert(Kql.renderSteps(Kql.parse("t | render barchart"))
+      .contains("render barchart"))
+  }
+
+  test("set statements are accepted and discarded") {
+    val df = run(
+      """set notruncation;
+        |set truncationmaxsize = 1000000;
+        |t | count""".stripMargin)
+    assert(df.collect().head.getLong(0) == 4L)
+  }
 }
