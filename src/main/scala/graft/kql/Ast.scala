@@ -105,6 +105,10 @@ object Expr {
     * difference, not elapsed-time division. period ∈ year month day hour
     * minute second. */
   final case class DtDiff(period: String, a: Expr, b: Expr) extends Expr
+  /** datetime_add(period, n, ts) — calendar-aware for year/month
+    * (add_months semantics: day-of-month clamps), exact micros arithmetic
+    * for day/hour/minute/second. */
+  final case class DtAdd(period: String, n: Expr, ts: Expr) extends Expr
   /** Null/empty scalars (real-KQL): isnull isnotnull isempty isnotempty
     * take one arg; coalesce takes 2+. KQL's isempty treats null and the
     * empty string alike, and coalesce likewise skips empty *strings*, not

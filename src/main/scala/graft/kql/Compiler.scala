@@ -199,6 +199,7 @@ final class Compiler(
       case _ => KT.Int
     }
     case DtDiff(_, _, _) => KT.Int
+    case DtAdd(_, _, _) => KT.Ts
     case NullFn(name, args) =>
       if (name == "coalesce") infer(df, args.head) else KT.Bool
     case MathFn(name, args) => name match {
@@ -538,6 +539,18 @@ final class Compiler(
         case "replace_string" =>
           replace(cs.head.cast(StringType),
             cs(1).cast(StringType), cs(2).cast(StringType))
+        // Kusto format patterns map almost 1:1 onto Java's date patterns;
+        // the differing pieces translate (f/F fraction → S, tt → a).
+        // Supported subset: y M d H h m s f F t plus separators.
+        case "format_datetime" =>
+          val kustoPat = args(1) match {
+            case StrLit(s) => s
+            case _ => throw KqlParseException(
+              "format_datetime() format must be a string literal", 0)
+          }
+          val javaPat = kustoPat
+            .replace("tt", "a").replace("F", "S").replace("f", "S")
+          date_format(cs.head.try_cast(TimestampType), javaPat)
         // non-overlapping occurrence count: length difference over the
         // search length (exact integer division by construction)
         case "countof" =>
@@ -610,6 +623,31 @@ final class Compiler(
 
     // period-boundary crossing count (KQL datetime_diff): truncate both
     // sides to the period, then difference — never elapsed-time division
+    case DtAdd(period, n, ts) =>
+      val tsc = compile(df, ts).try_cast(TimestampType)
+      val nc = compile(df, n).cast(IntegerType)
+      // add_months works on DATEs (midnight) — carry the time-of-day
+      // micros across the calendar shift explicitly
+      def calendarShift(months: Column): Column = {
+        val tod = unix_micros(tsc) - unix_micros(date_trunc("DAY", tsc))
+        timestamp_micros(
+          unix_micros(add_months(tsc, months).cast(TimestampType)) + tod)
+      }
+      period match {
+        // calendar-aware: Kusto clamps day-of-month like add_months
+        case "year" => calendarShift(nc * 12)
+        case "month" => calendarShift(nc)
+        case other =>
+          val micros = other match {
+            case "day" => 86400000000L
+            case "hour" => 3600000000L
+            case "minute" => 60000000L
+            case _ => 1000000L
+          }
+          timestamp_micros(
+            unix_micros(tsc) + compile(df, n).cast(LongType) * micros)
+      }
+
     case DtDiff(period, a, b) =>
       val ac = compile(df, a).try_cast(TimestampType)
       val bc = compile(df, b).try_cast(TimestampType)

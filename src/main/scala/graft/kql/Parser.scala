@@ -1040,6 +1040,7 @@ final class Parser(src: String, nowMicros: Long) {
 
   private val predWords = Set(
     "in", "between", "contains", "startswith", "endswith", "has", "has_cs",
+    "contains_cs", "startswith_cs", "endswith_cs",
     "matches", "has_any", "has_all")
 
   private def parsePredTail(l: Expr, negated: Boolean): Expr = {
@@ -1066,6 +1067,11 @@ final class Parser(src: String, nowMicros: Long) {
         // has/has_cs require a literal phrase: a let-bound literal is
         // usable there (no column ref could be), so look through LetRef
         StrOp(w, l, delit(parseAdd()), negated)
+      // explicit case-sensitive aliases: the base forms already follow the
+      // reference's case-sensitive semantics, so these are spelled-out
+      // synonyms (documented deviation from Azure KQL's ci base forms)
+      case "contains_cs" | "startswith_cs" | "endswith_cs" =>
+        StrOp(w.stripSuffix("_cs"), l, delit(parseAdd()), negated)
       case "matches" =>
         eatIdent("regex")
         StrOp("matches_regex", l, delit(parseAdd()), negated)
@@ -1167,7 +1173,7 @@ final class Parser(src: String, nowMicros: Long) {
     "strlen", "tolower", "toupper", "trim", "substring", "replace_string",
     "startofday", "startofhour", "hourofday", "dayofmonth", "monthofyear",
     "startofweek", "startofmonth", "startofyear", "endofday", "dayofweek",
-    "weekofyear", "datetime_diff",
+    "weekofyear", "datetime_diff", "datetime_add", "format_datetime",
     "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
@@ -1326,6 +1332,23 @@ final class Parser(src: String, nowMicros: Long) {
             "datetime_diff period must be one of 'year' 'month' 'day' " +
               "'hour' 'minute' 'second'")
         }
+      case "datetime_add" =>
+        val a = args()
+        arity(a.length == 3, "datetime_add() takes (period, n, dt)")
+        a.head match {
+          case StrLit(p) if Set("year", "month", "day", "hour", "minute",
+              "second").contains(p.toLowerCase) =>
+            DtAdd(p.toLowerCase, a(1), a(2))
+          case _ => fail(
+            "datetime_add period must be one of 'year' 'month' 'day' " +
+              "'hour' 'minute' 'second'")
+        }
+      case "format_datetime" =>
+        val a = args()
+        arity(a.length == 2, "format_datetime() takes (dt, format)")
+        arity(a(1).isInstanceOf[StrLit],
+          "format_datetime() format must be a string literal")
+        StrFn("format_datetime", a)
       case f @ ("isnull" | "isnotnull" | "isempty" | "isnotempty") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         NullFn(f, a)

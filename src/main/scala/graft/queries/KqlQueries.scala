@@ -1077,6 +1077,25 @@ object KqlQueries {
       """SELECT event_type, count(*) AS n FROM events
         |WHERE event_type = 'error' GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // datetime_add (calendar clamp + time-of-day carry mirrors DuckDB's
+    // INTERVAL month addition), format_datetime, and a contains_cs filter
+    // (case-sensitive LIKE on the oracle side)
+    kq("kql_dtadd_fmt",
+      """events
+        | | where event_type contains_cs 'chase'
+        | | extend nxt = datetime_add('month', 1, ts),
+        |          d2 = datetime_add('hour', -5, ts),
+        |          fmt = format_datetime(ts, 'yyyy-MM-dd HH:mm:ss')
+        | | summarize n = count(), mn = min(nxt), mf = min(fmt),
+        |             m2 = max(d2) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n,
+        |  min(ts + INTERVAL 1 MONTH) AS mn,
+        |  min(strftime(ts, '%Y-%m-%d %H:%M:%S')) AS mf,
+        |  max(ts - INTERVAL 5 HOUR) AS m2
+        |FROM events WHERE event_type LIKE '%chase%'
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached
