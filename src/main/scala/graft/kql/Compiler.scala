@@ -829,7 +829,7 @@ final class Compiler(
             case Some(BoolLit(b)) => b
             case _ => false
           }
-          transform(x, (_, i) => {
+          val fir = transform(x, (_, i) => {
             val used = sequence(lit(0), least(i, size(w) - 1))
             val num = aggregate(used, lit(0.0), (acc, j) =>
               acc + element_at(w, j + 1).cast(DoubleType) *
@@ -838,6 +838,10 @@ final class Compiler(
             else num / aggregate(used, lit(0.0), (acc, j) =>
               acc + element_at(w, j + 1).cast(DoubleType))
           })
+          // empty weights → null result; unguarded, sequence(0, -1) would
+          // generate a DESCENDING [0, -1] and crash on element_at(w, 0).
+          // CaseWhen evaluates the branch lazily, so the guard is real.
+          when(size(w) > 0, fir)
 
         // Kusto's set results have unspecified order; sorted here so the
         // output is deterministic (same choice as make_set — SCALE.md)
@@ -1470,10 +1474,18 @@ final class Compiler(
       val by2 = partitionKey match {
         // inside `partition by` the key is an implicit group key (Kusto
         // runs the summarize per subtable; grouping by the key is the
-        // shuffle-once equivalent)
-        case Some(pk) if !by.exists(_.name.equalsIgnoreCase(pk.flat)) =>
-          ByField(Field(pk), pk.flat) +: by
-        case _ => by
+        // shuffle-once equivalent). Suppress it only when a by-field IS
+        // the key expression — a different expression merely named like
+        // the key would silently break the per-subtable contract, so that
+        // collision errors instead.
+        case Some(pk) =>
+          if (by.exists(_.expr == Field(pk))) by
+          else if (by.exists(_.name.equalsIgnoreCase(pk.flat)))
+            throw KqlParseException(
+              s"'${pk.flat}' is the partition key — a summarize alias " +
+                "inside 'partition by' cannot redefine it", 0)
+          else ByField(Field(pk), pk.flat) +: by
+        case None => by
       }
       compileSummarize(df, aggs, by2)
 
@@ -1860,6 +1872,13 @@ final class Compiler(
       case _ => throw KqlParseException(
         "make-series needs both 'from' and 'to' (or neither)", 0)
     }
+    // variant group keys would need summarize's order-key/representative
+    // machinery across BOTH aggregation levels — reject with the actionable
+    // alternative rather than letting Spark throw NOT_ORDERABLE
+    for (b <- by if infer(df, b.expr) == KT.Var)
+      throw KqlParseException(
+        s"make-series by a dynamic key ('${b.name}') is not supported — " +
+          "tostring() it first", 0)
     val idx =
       if (isTs) floorDivL(axisU - loC)
       else floor((axisU - loC) / stepU).cast(LongType)
@@ -1880,6 +1899,10 @@ final class Compiler(
       first(col("__ms_n")).as("__ms_n"))
     val lvl2 = lvl1.groupBy(by.map(b => col(b.name)): _*)
       .agg((mapCols ++ carry).head, (mapCols ++ carry).tail: _*)
+      // with no by-keys a global agg over EMPTY input still emits one row
+      // (null lo/n) — drop it so empty input yields an empty result, the
+      // same contract as the grouped case (groups with no rows vanish)
+      .filter(col("__ms_n").isNotNull)
     val ks = sequence(lit(0L), col("__ms_n") - 1L)
     val axisArr =
       if (isTs) transform(ks, k => timestamp_micros(col("__ms_lo") + k * stepL))
@@ -1947,8 +1970,13 @@ final class Compiler(
         case Aggregation.MakeList(f) => array_sort(collect_list(ordered(f)))
         case Aggregation.MakeSet(f) => array_sort(collect_set(ordered(f)))
         // Kusto's take_any is arbitrary; the minimum is arbitrary-but-
-        // STABLE under shuffles/re-runs (same policy as make_set's sort)
-        case Aggregation.TakeAny(f) => min(minmax(f))
+        // STABLE under shuffles/re-runs (same policy as make_set's sort).
+        // Variant values pick via the cross-type order key so the VALUE is
+        // preserved (minmax's numeric narrowing would null non-numerics).
+        case Aggregation.TakeAny(f) =>
+          val c = compileField(df, f)
+          if (fieldType(df, f) == KT.Var) min_by(c, variantOrderKey(c))
+          else min(minmax(f))
         case Aggregation.BinaryAll(op, f) =>
           val c = compileField(df, f)
           val v = if (fieldType(df, f) == KT.Var) c.try_cast(LongType)
@@ -1961,8 +1989,13 @@ final class Compiler(
         // mergeable HLL sketch state (binary) — the pre-aggregated rollup
         // primitive: hll() per fine-grained group, store, then hll_merge()
         // across groups and dcount_hll() to estimate; partial/final
-        // aggregation both map-side combinable
-        case Aggregation.Hll(f) => hll_sketch_agg(ordered(f))
+        // aggregation both map-side combinable. hll_sketch_agg accepts
+        // only int/long/string/binary — other types hash via their string
+        // form (injective for double/bool/timestamp renderings).
+        case Aggregation.Hll(f) => fieldType(df, f) match {
+          case KT.Int | KT.Str => hll_sketch_agg(compileField(df, f))
+          case _ => hll_sketch_agg(ordered(f).cast(StringType))
+        }
         case Aggregation.HllMerge(f) => hll_union_agg(compileField(df, f))
         case Aggregation.Percentiles(_, _) => throw KqlParseException(
           "percentiles() is summarize-only — use percentile(f, p) here", 0)
@@ -2096,10 +2129,17 @@ final class Compiler(
       compileBool(df, cond).as(s"__scan_c$i")
     }
     // group key: the enclosing partition key, or one global group (the
-    // serialized contract) — stringified so one encoder fits every type
+    // serialized contract) — stringified so one encoder fits every type,
+    // with a v/n discriminator so a null key stays distinct from an
+    // empty-string key (every other per-key step keeps null as its own
+    // group; scan must match)
     val keyCol = partitionKey
-      .map(p => compileField(df, p)).getOrElse(lit(0L))
-      .cast(StringType).as("__scan_k")
+      .map { p =>
+        val c = compileField(df, p)
+        when(c.isNull, lit("n")).otherwise(concat(lit("v"), c.cast(StringType)))
+      }
+      .getOrElse(lit("g"))
+      .as("__scan_k")
     val prepared = df.select(
       (df.columns.map(c => col(s"`$c`")) ++ condCols :+ keyCol): _*)
     val outSchema = org.apache.spark.sql.types.StructType(
@@ -2159,19 +2199,23 @@ final class Compiler(
     val savedOrder = serialOrder
     partitionKey = Some(by)
     serialOrder = None
-    try sub.foldLeft(df) { (cur, s) =>
-      s match {
-        case _: QueryStep.Join | _: QueryStep.Union |
-             _: QueryStep.Partition | _: QueryStep.Write |
-             _: QueryStep.Tee | _: QueryStep.Pivot |
-             _: QueryStep.TopNested | _: QueryStep.TopHitters |
-             _: QueryStep.SampleDistinct | QueryStep.GetSchema =>
-          throw KqlParseException(
-            "step not supported inside 'partition by' — apply it after the " +
-              "partition step", 0)
-        case _ => compileStep(cur, s)
-      }
-    } finally { partitionKey = savedKey; serialOrder = savedOrder }
+    // the guard recurses through invoke splices — a tabular function let
+    // must not smuggle a join/union/sink into the per-key scope
+    def guard(s: QueryStep): Unit = s match {
+      case _: QueryStep.Join | _: QueryStep.Union |
+           _: QueryStep.Partition | _: QueryStep.Write |
+           _: QueryStep.Tee | _: QueryStep.Pivot |
+           _: QueryStep.TopNested | _: QueryStep.TopHitters |
+           _: QueryStep.SampleDistinct | QueryStep.GetSchema =>
+        throw KqlParseException(
+          "step not supported inside 'partition by' — apply it after the " +
+            "partition step", 0)
+      case QueryStep.Invoke(_, sub2) => sub2.foreach(guard)
+      case _ => ()
+    }
+    sub.foreach(guard)
+    try sub.foldLeft(df)(compileStep)
+    finally { partitionKey = savedKey; serialOrder = savedOrder }
   }
 
   private def compileJoin(

@@ -15,6 +15,13 @@ object Kql {
 
   def parse(kql: String, nowMicros: Long): Parsed = Parser.parse(kql, nowMicros)
 
+  /** Compile and return the query's DataFrame. NOTE: a `materialize()`
+    * let persists lazily and the cache entry lives until the session ends
+    * (the returned frame is lazy, so run() cannot release it) — a
+    * long-running host that executes many distinct materialize queries
+    * should compile via [[Compiler]] directly and call
+    * `releaseMaterialized()` after consuming results, as QueryServer
+    * does. MEMORY_AND_DISK storage evicts under pressure either way. */
   def run(spark: SparkSession, catalog: Catalog, kql: String): DataFrame = {
     val parsed = parse(kql)
     val compiler = new Compiler(spark, catalog, parsed.lets,
@@ -39,10 +46,14 @@ object Kql {
   def explain(spark: SparkSession, catalog: Catalog, kql: String): String = {
     val parsed = parse(kql)
     val steps = renderSteps(parsed)
-    val df = new Compiler(spark, catalog, parsed.lets,
-      materializedLets = parsed.materialized).compile(parsed.query)
-    steps + "\n--- spark optimized plan ---\n" +
-      df.queryExecution.optimizedPlan.toString
+    val compiler = new Compiler(spark, catalog, parsed.lets,
+      materializedLets = parsed.materialized)
+    val df = compiler.compile(parsed.query)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // the plan string is captured — release the materialize() cache
+    // entries immediately so repeated /explain calls can't pin storage
+    compiler.releaseMaterialized()
+    steps + "\n--- spark optimized plan ---\n" + plan
   }
 
   def renderSteps(parsed: Parsed): String = {

@@ -70,6 +70,25 @@ class AggExtSpec extends AnyFunSuite {
     assert(df.collect().head.getLong(1) == 4L)
   }
 
+  test("hll on double/timestamp columns works via the string form") {
+    val c2 = new Catalog(spark)
+    c2.register("dd", Seq(("g", 1.5), ("g", 2.5), ("g", 1.5)).toDF("k", "x"))
+    val df = Kql.run(spark, c2,
+      "dd | summarize s = hll(x) by k | project k, d = dcount_hll(s)")
+    assert(df.collect().head.getLong(1) == 2L)
+  }
+
+  test("take_any on a variant column preserves the value") {
+    val c2 = new Catalog(spark)
+    c2.register("vv", Seq(("g", """{"a":"str"}"""), ("g", """{"a":"str"}"""))
+      .toDF("k", "js"))
+    val df = Kql.run(spark, c2,
+      """vv | extend d = todynamic(js)
+        | | summarize a = take_any(d.a) by k
+        | | project k, s = tostring(a)""".stripMargin)
+    assert(df.collect().head.getString(1) == "str")
+  }
+
   test("percentiles outside summarize is a clear error") {
     val e = intercept[KqlParseException](run(
       "t | evaluate pivot(k, percentiles(v, 50), 'a')"))

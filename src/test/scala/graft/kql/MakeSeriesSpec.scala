@@ -113,6 +113,25 @@ class MakeSeriesSpec extends AnyFunSuite {
       .getMessage.toLowerCase.contains("to"))
   }
 
+  test("empty input yields an empty result, grouped or not") {
+    assert(run(
+      """ev | where k == 'nope' | make-series n = count() on t
+        |      from datetime(2024-01-01) to datetime(2024-01-02) step 1h""".stripMargin)
+      .count() == 0)
+    assert(run(
+      "ev | where k == 'nope' | make-series n = count() on t step 1h by k")
+      .count() == 0)
+  }
+
+  test("dynamic group keys are rejected with guidance") {
+    val c2 = new Catalog(spark)
+    c2.register("j", Seq(("""{"a":1}""", ts("2024-01-01 00:00:00")))
+      .toDF("js", "t"))
+    val e = intercept[KqlParseException](Kql.run(spark, c2,
+      "j | extend d = todynamic(js) | make-series n = count() on t step 1h by d"))
+    assert(e.getMessage.contains("tostring"))
+  }
+
   test("plan: two hash aggregations, no join, no SinglePartition") {
     val df = run(
       """ev | make-series n = count() on t

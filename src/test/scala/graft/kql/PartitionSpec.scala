@@ -132,6 +132,27 @@ class PartitionSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("partition"))
   }
 
+  test("an invoke cannot smuggle a join into the partition") {
+    val e = intercept[KqlParseException](run(
+      """let f = (T: table) { T | join kind=inner (dim) on k };
+        |t | partition by k (invoke f())""".stripMargin))
+    assert(e.getMessage.contains("partition"))
+    // row-wise invoke bodies are fine
+    val df = run(
+      """let f = (T: table) { T | where v >= 10 };
+        |t | partition by k (invoke f() | count) | sort by k asc""".stripMargin)
+    assert(df.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 3L), ("c", 1L)))
+  }
+
+  test("a summarize alias shadowing the partition key errors loudly") {
+    val e = intercept[KqlParseException](run(
+      "t | partition by k (summarize n = count() by k = seq)"))
+    assert(e.getMessage.contains("partition key"))
+    // the bare key as an explicit group expression stays legal
+    assert(run("t | partition by k (summarize n = count() by k)").count() == 3)
+  }
+
   test("unknown partition column fails at compile") {
     val e = intercept[KqlParseException](run("t | partition by nope (count)"))
     assert(e.getMessage.contains("not found"))

@@ -105,6 +105,22 @@ class ScanMatchSpec extends AnyFunSuite {
       Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (8L, 5L)))
   }
 
+  test("a null partition key is its own group, distinct from empty string") {
+    val c2 = new Catalog(spark)
+    import TestSpark.spark.implicits._
+    c2.register("nk", Seq(
+      (Option("u"), 1L, "v"), (Option("u"), 2L, "p"),
+      (Option(""), 1L, "v"), (None: Option[String], 1L, "p")
+    ).toDF("u", "i", "e"))
+    val df = Kql.run(TestSpark.spark, c2,
+      """nk | partition by u (sort by i asc
+        |     | scan with (step s1: e == 'v'; step s2: e == 'p'))""".stripMargin)
+    // null-key group has only a 'p' → no match; '' group matched s1 only;
+    // a merged machine would have let ''-group's view complete null's p
+    val got = df.collect().map(r => (Option(r.getString(0)), r.getString(3))).toSet
+    assert(got == Set((Some("u"), "s1"), (Some("u"), "s2"), (Some(""), "s1")))
+  }
+
   test("output column collisions are rejected up front") {
     val e = intercept[KqlParseException](run(
       """tape | extend step = 1 | sort by i asc

@@ -77,6 +77,13 @@ class SeriesFnSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 6.0)
   }
 
+  test("series_fir with empty weights is null, not a crash") {
+    val r = Kql.run(spark, cat,
+      """t | extend a = pack_array(1, 2), w = array_slice(pack_array(1), 5, 6)
+        | | project r = series_fir(a, w)""".stripMargin).collect().head
+    assert(r.isNullAt(0))
+  }
+
   test("series_avg of an empty series is null, not NaN") {
     val r = Kql.run(spark, cat,
       "t | extend a = array_slice(pack_array(1, 2), 5, 6) | project r = series_avg(a)")
