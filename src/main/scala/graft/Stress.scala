@@ -135,6 +135,32 @@ object Stress {
           |   top-nested 3 of user_id by n2 = count()
           |""".stripMargin)
     }
+    // round-5 second wave: per-key windows, sequence matching, and series
+    // at ~100k keys — one hash shuffle each, no SinglePartition stage
+    time("kql_partition_windows", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events)
+      graft.kql.Kql.run(spark, cat,
+        """ev | partition by user_id (sort by ts asc, event_id asc
+          |     | extend rk = row_number(),
+          |              cum = row_cumsum(toint(bin(value, 1.0)))
+          |     | take 5)""".stripMargin)
+    }
+    time("kql_scan_funnel", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("etype",
+        concat(lit("t"), pmod(col("event_id"), lit(3)).cast("string"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev | partition by user_id (sort by ts asc, event_id asc
+          |     | scan with (step s1: etype == 't0'; step s2: etype == 't1'))
+          |""".stripMargin)
+    }
+    time("kql_make_series", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events)
+      graft.kql.Kql.run(spark, cat,
+        "ev | make-series c = count() on ts step 1d by user_id")
+    }
     spark.stop()
   }
 }
