@@ -221,7 +221,7 @@ final class Compiler(
           "series_divide" | "series_abs" | "series_fir" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
       case "dcount_hll" => KT.Int
-      case "bag_pack" | "pack_all" => KT.Var
+      case "bag_pack" | "pack_all" | "series_stats_dynamic" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
@@ -815,6 +815,24 @@ final class Compiler(
         case "series_max" => array_max(compile(df, args.head))
         // estimate a stored/merged HLL sketch (see Aggregation.Hll)
         case "dcount_hll" => hll_sketch_estimate(compile(df, args.head))
+        // Kusto series_stats_dynamic subset: {min, min_idx, max, max_idx,
+        // avg, sum, len} as a dynamic bag (stdev omitted — accumulation-
+        // order-dependent; avg is one IEEE division of exact operands).
+        // Indices are 0-based first-occurrence, Kusto's convention.
+        case "series_stats_dynamic" =>
+          val ad = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val mn = array_min(ad)
+          val mx = array_max(ad)
+          val s = aggregate(ad, lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0)))
+          val ln = size(ad)
+          parse_json(to_json(named_struct(
+            lit("min"), mn,
+            lit("min_idx"), (array_position(ad, mn) - 1).cast(LongType),
+            lit("max"), mx,
+            lit("max_idx"), (array_position(ad, mx) - 1).cast(LongType),
+            lit("avg"), when(ln > 0, s / ln.cast(DoubleType)),
+            lit("sum"), s,
+            lit("len"), ln.cast(LongType))))
         // FIR filter (Kusto series_fir): y[i] = Σ_j w[j]·x[i−j] over the
         // TRAILING window, PARTIAL at the series head (only the weights
         // that overlap the series contribute; normalize then divides by

@@ -1185,7 +1185,7 @@ final class Parser(src: String, nowMicros: Long) {
     "array_slice", "array_index_of", "array_sum",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
-    "series_fir", "dcount_hll",
+    "series_fir", "dcount_hll", "series_stats_dynamic",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -1401,7 +1401,7 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args(); arity(a.length == 2, s"$f() takes 2 series")
         ArrFn(f, a)
       case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
-          "series_avg") =>
+          "series_avg" | "series_stats_dynamic") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
         ArrFn(f, a)
       case "dcount_hll" =>

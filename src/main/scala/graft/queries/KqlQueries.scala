@@ -1096,6 +1096,46 @@ object KqlQueries {
         |FROM events WHERE event_type LIKE '%chase%'
         |GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // series_stats_dynamic over make-series output: every projected field
+    // is either integer-exact or one IEEE division of exact operands, so
+    // the bag roundtrip hash-matches
+    kq("kql_series_stats",
+      """events
+        | | make-series n = count() on ts
+        |     from datetime(2024-01-01) to datetime(2024-01-31) step 1d
+        |     by event_type
+        | | extend st = series_stats_dynamic(n)
+        | | project event_type, mn = toreal(st.min), mx = toreal(st.max),
+        |           av = toreal(st.avg), sm = toreal(st.sum),
+        |           mni = tolong(st.min_idx), ln = tolong(st.len)
+        | | sort by event_type asc""".stripMargin,
+      """WITH counts AS (
+        |  SELECT event_type,
+        |         CAST(floor(epoch(ts) / 86400) AS BIGINT) AS d,
+        |         count(*) AS n
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-31'
+        |  GROUP BY 1, 2),
+        |grid AS (
+        |  SELECT event_type, d
+        |  FROM (SELECT DISTINCT event_type FROM counts),
+        |       (SELECT unnest(range(19723, 19753)) AS d)),
+        |filled AS (
+        |  SELECT g.event_type, g.d, coalesce(c.n, 0) AS n
+        |  FROM grid g LEFT JOIN counts c
+        |    ON g.event_type = c.event_type AND g.d = c.d),
+        |ser AS (
+        |  SELECT event_type, list(n ORDER BY d) AS narr
+        |  FROM filled GROUP BY 1)
+        |SELECT event_type,
+        |  CAST(list_min(narr) AS DOUBLE) AS mn,
+        |  CAST(list_max(narr) AS DOUBLE) AS mx,
+        |  CAST(list_sum(narr) AS DOUBLE) / CAST(len(narr) AS DOUBLE) AS av,
+        |  CAST(list_sum(narr) AS DOUBLE) AS sm,
+        |  CAST(list_position(narr, list_min(narr)) - 1 AS BIGINT) AS mni,
+        |  CAST(len(narr) AS BIGINT) AS ln
+        |FROM ser ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached

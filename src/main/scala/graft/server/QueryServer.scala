@@ -462,7 +462,10 @@ object QueryServer {
         case _: QueryStep.Filter | _: QueryStep.Project | _: QueryStep.Extend |
              _: QueryStep.Rename | _: QueryStep.ProjectAway |
              _: QueryStep.ProjectKeep | _: QueryStep.Sort | _: QueryStep.TopN |
-             _: QueryStep.Limit | _: QueryStep.Distinct => true
+             _: QueryStep.Limit | _: QueryStep.Distinct |
+             // render is a row-preserving no-op — a dashboard's
+             // `summarize … | render timechart` tail must stay eligible
+             _: QueryStep.RenderHint => true
         case _ => false
       } &&
       !anyStep(parsed) {

@@ -91,6 +91,20 @@ class SeriesFnSpec extends AnyFunSuite {
     assert(r.isNullAt(0))
   }
 
+  test("series_stats_dynamic bag fields") {
+    val r = Kql.run(spark, cat,
+      """t | extend a = pack_array(4, 1, 7, 1)
+        | | extend st = series_stats_dynamic(a)
+        | | project mn = toreal(st.min), mni = tolong(st.min_idx),
+        |           mx = toreal(st.max), mxi = tolong(st.max_idx),
+        |           av = toreal(st.avg), sm = toreal(st.sum),
+        |           ln = tolong(st.len)""".stripMargin).collect().head
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 1L) // first occurrence
+    assert(r.getDouble(2) == 7.0 && r.getLong(3) == 2L)
+    assert(r.getDouble(4) == 3.25 && r.getDouble(5) == 13.0)
+    assert(r.getLong(6) == 4L)
+  }
+
   test("arity errors") {
     intercept[KqlParseException](one("series_add(a)"))
     intercept[KqlParseException](one("series_fir(a)"))
