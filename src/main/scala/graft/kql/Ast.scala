@@ -129,6 +129,11 @@ object Expr {
     * `sort`/`top` step whose keys then define the window order (KQL's
     * serialize-then-window model); the compiler rejects them otherwise. */
   final case class WinFn(name: String, args: Seq[Expr]) extends Expr
+  /** toscalar(subquery) — first column of the first row, evaluated
+    * EAGERLY when the outer query compiles (Kusto's semantics; explain
+    * included). One bounded single-value driver fetch per distinct
+    * subquery, memoized within a compilation. */
+  final case class ToScalar(q: Query) extends Expr
 }
 
 sealed trait SortOrder

@@ -228,6 +228,13 @@ final class Compiler(
       case "row_number" => KT.Int
       case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
     }
+    case ToScalar(q) => toScalarValue(q) match {
+      case _: java.lang.Long | _: java.lang.Integer => KT.Int
+      case _: java.lang.Double => KT.Float
+      case _: java.lang.Boolean => KT.Bool
+      case _: java.sql.Timestamp | _: java.time.Instant => KT.Ts
+      case _ => KT.Str
+    }
   }
 
   // ───────────────────────── expression lowering ─────────────────────────
@@ -623,6 +630,8 @@ final class Compiler(
 
     // period-boundary crossing count (KQL datetime_diff): truncate both
     // sides to the period, then difference — never elapsed-time division
+    case ToScalar(q) => lit(toScalarValue(q))
+
     case DtAdd(period, n, ts) =>
       val tsc = compile(df, ts).try_cast(TimestampType)
       val nc = compile(df, n).cast(IntegerType)
@@ -1016,6 +1025,17 @@ final class Compiler(
     * once the query's results are fully consumed. */
   private val materializedCache =
     scala.collection.mutable.Map.empty[String, DataFrame]
+
+  /** toscalar() results, memoized per subquery within this compilation —
+    * one bounded single-value fetch each (Kusto evaluates toscalar
+    * eagerly, so the job running at compile/explain time is the
+    * documented semantics, not an accident). */
+  private val toScalarVals =
+    scala.collection.mutable.Map.empty[Query, Any]
+
+  private def toScalarValue(q: Query): Any =
+    toScalarVals.getOrElseUpdate(q,
+      compile(q).limit(1).collect().headOption.map(_.get(0)).orNull)
 
   /** Unpersist every materialized let of this compilation (blocking=false).
     * Call after the query's action completes; results already computed are

@@ -1167,6 +1167,7 @@ final class Parser(src: String, nowMicros: Long) {
 
   private val funcWords = Set(
     "not", "case", "iff", "iif", "extract", "bin", "floor", "exists", "now",
+    "toscalar",
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
     "todouble", "todecimal", "tobool", "toboolean",
     "tokencount", "simhash", "fingerprint", "langid",
@@ -1227,6 +1228,12 @@ final class Parser(src: String, nowMicros: Long) {
   private def parseFuncCall(): Expr = {
     val name = identText().toLowerCase
     eatPunct("(")
+    // toscalar takes a TABULAR argument — a pipeline, not an expression
+    if (name == "toscalar") {
+      val q = parsePipeline()
+      eatPunct(")")
+      return ToScalar(q)
+    }
     def args(): Seq[Expr] = {
       val out = Seq.newBuilder[Expr]
       if (!atPunct(")")) {

@@ -49,6 +49,7 @@ object Render {
     case DtFn(name, x) => s"$name(${expr(x)})"
     case DtDiff(p, a, b) => s"datetime_diff('$p', ${expr(a)}, ${expr(b)})"
     case DtAdd(p, n, t) => s"datetime_add('$p', ${expr(n)}, ${expr(t)})"
+    case ToScalar(_) => "toscalar(<subquery>)"
     case NullFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case MathFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case ArrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"

@@ -1136,6 +1136,20 @@ object KqlQueries {
         |  CAST(len(narr) AS BIGINT) AS ln
         |FROM ser ORDER BY 1""".stripMargin),
 
+    // toscalar: eager scalar subquery folded into the outer filter —
+    // max() is order-independent-exact, so the threshold (and therefore
+    // the row set) is bit-identical to DuckDB's correlated scalar
+    kq("kql_toscalar",
+      """events
+        | | where value > toscalar(events | where event_type == 'purchase'
+        |                          | summarize m = max(value)) / 2.0
+        | | summarize n = count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE value > (SELECT max(value) FROM events
+        |               WHERE event_type = 'purchase') / 2.0
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // tee: side-write AND pass-through (reference pipeline.rs split sink).
     // The gate reads the SINK back and hashes that against the oracle, so
     // what is verified is the side-effect itself — the rows that reached
