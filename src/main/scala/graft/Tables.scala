@@ -17,20 +17,43 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) — Spark has no nanosecond
-      // timestamp type, so read it as raw long nanos and floor to micros
-      // (the test data has no sub-microsecond components; DuckDB does the
-      // same nanos→micros conversion when reading).
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across test-data generations. The reference is
+      // schemaless by construction (`miso-workflow-types/src/value/mod.rs:20`,
+      // per-row type discovery) and shrugs off such encoding drift; our
+      // equivalent armor is to branch on what the file ACTUALLY decodes to,
+      // never on which conf we happened to set. nanosAsLong only affects
+      // TIMESTAMP(NANOS) columns, so setting it is harmless for micros data.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      // integer division: `/` would promote to double, and epoch nanos
-      // (~1.7e18) exceed double's 2^53 exact range — truncation after a
-      // down-rounded division would shave 1µs off a fraction of rows
-      df.withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(df)
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+  }
+
+  /** Normalize the `ts` column to session-TZ TimestampType (micros)
+    * regardless of the parquet physical encoding it was decoded from:
+    *   - LongType    → nanosAsLong fired on a TIMESTAMP(NANOS) file: floor
+    *                   to micros with integer division (`/` would promote to
+    *                   double, and epoch nanos ~1.7e18 exceed double's 2^53
+    *                   exact range — a down-rounded division then truncation
+    *                   would shave 1µs off a fraction of rows).
+    *   - TIMESTAMP_NTZ → TIMESTAMP(MICROS, isAdjustedToUTC=false): cast to
+    *                   TimestampType; with spark.sql.session.timeZone=UTC
+    *                   (set by every entry point) this is an identity on the
+    *                   stored micros, matching how DuckDB reads the file.
+    *   - TimestampType → already what downstream `unix_micros` math expects.
+    */
+  private def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    df.schema.find(_.name == "ts").map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
     }
   }
 
@@ -67,12 +90,10 @@ object Tables {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
-      spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      normalizeTs(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", maxFilesPerTrigger)
+          .parquet(s"$sfDir/$name.parquet"))
     } else {
       val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
       spark.readStream.schema(schema)
