@@ -2465,6 +2465,24 @@ final class Compiler(
     }
     if (expandable.isEmpty) return df
 
+    // Single-field fast path: no zip to coordinate, so posexplode_outer
+    // does the whole job in one Generate — no index `sequence` array, no
+    // per-output-row `get(arr, i)`. Semantics line up exactly with the
+    // zip path: empty arrays emit nothing (pre-filter), a null expansion
+    // passes the row through once with a null element and null index
+    // (posexplode_outer emits one (null, null) row for a null array).
+    if (expandable.lengthCompare(1) == 0) {
+      val (f, e) = expandable.head
+      val base = df.withColumn("__exp_0", e)
+        .filter(size(col("__exp_0")).isNull || size(col("__exp_0")) > 0)
+        .select(col("*"), posexplode_outer(col("__exp_0")).as(Seq("__i", "__e")))
+      var out = writeBack(base, f, col("__e"))
+      itemIndex.foreach { name =>
+        out = out.withColumn(name, col("__i").cast(LongType))
+      }
+      return out.drop("__i", "__e", "__exp_0")
+    }
+
     var out = df
     val tmps = expandable.indices.map(i => s"__exp_$i").toList
     expandable.zip(tmps).foreach { case ((_, e), t) => out = out.withColumn(t, e) }
