@@ -2130,26 +2130,42 @@ final class Compiler(
       .filter(col(rk) <= n.toInt).drop(rk)
   }
 
-  /** `scan` lowering — ordered sequence matching with RESTRICTED
-    * single-active-match semantics (the common funnel shape; Kusto's full
-    * operator tracks every concurrent partial match):
+  /** `scan` lowering — ordered sequence matching with Kusto's PER-STEP
+    * state model: each step holds at most one active sequence, so up to
+    * `nSteps` partial matches are in flight concurrently. Per record,
+    * steps are evaluated in REVERSE order (so one record advances a
+    * sequence at most one step, as Kusto documents):
     *
-    *   - inactive + row satisfies step 1 → a match STARTS (match id
-    *     increments, 1-based); a 1-step scan completes immediately
-    *   - active at step k: row satisfying step k+1 ADVANCES (reaching the
-    *     last step completes the match and resets); else row satisfying
-    *     step k re-matches it (steps absorb repeats); else the row is
-    *     SKIPPED and the match stays where it is
+    *   - record satisfies step k (k > 1): if step k-1 holds a sequence,
+    *     it is PROMOTED to step k — replacing ("overwriting", in Kusto's
+    *     wording) any sequence already parked at step k, and leaving
+    *     step k-1 empty for a fresh sequence to start behind it; else if
+    *     step k itself holds a sequence, the record is absorbed into it
+    *     (steps absorb repeats); else the record does nothing at k
+    *   - record satisfies step 1: starts a new sequence if step 1 is
+    *     empty (match id increments, 1-based in first-start order), else
+    *     absorbs into the sequence already at step 1 — sequences never
+    *     fork
+    *   - a sequence promoted into the LAST step completes and is removed;
+    *     a 1-step scan completes every starting record immediately
     *   - only matched rows are emitted, tagged (`step`, match id); a
     *     match that never completes still emitted its rows (Kusto too)
     *
+    * Documented deviations (README): `declare` state variables are not
+    * supported (rejected with row_cumsum guidance), and a record acts on
+    * at most ONE step — the highest step whose condition it satisfies
+    * with an applicable state — where Kusto can match one record into
+    * several steps' sequences when conditions overlap.
+    *
     * Spark-first split: every step condition is pre-evaluated as a
     * codegen'd boolean COLUMN (Tungsten does the per-row work); only the
-    * inherently-sequential boolean state machine runs imperatively, per
-    * key group, via flatMapSortedGroups — the minimal mapPartitions-class
-    * scope. Serialized input is required (same contract as the window
-    * scalars); inside `partition by` the machine runs per key and the
-    * whole operator distributes over the key shuffle. */
+    * inherently-sequential state machine — whose entire per-key state is
+    * one Long per step (the resident match id, 0 = empty) — runs
+    * imperatively, per key group, via flatMapSortedGroups — the minimal
+    * mapPartitions-class scope. Serialized input is required (same
+    * contract as the window scalars); inside `partition by` the machine
+    * runs per key and the whole operator distributes over the key
+    * shuffle. */
   private def compileScan(
       df: DataFrame, matchIdName: Option[String],
       steps: Seq[(String, Expr)]): DataFrame = {
@@ -2192,26 +2208,39 @@ final class Compiler(
     prepared
       .groupByKey(r => Option(r.getString(r.length - 1)).getOrElse(""))
       .flatMapSortedGroups(sortCols: _*) { (_, rows) =>
-        var active = false
-        var stepIdx = 0
-        var mid = 0L
+        // state(k) = match id of the sequence parked at step k, 0 = empty
+        val state = new Array[Long](nSteps)
+        var nextMid = 0L
         rows.flatMap { r =>
           def c(i: Int): Boolean = !r.isNullAt(baseW + i) && r.getBoolean(baseW + i)
-          val emit: Option[Int] =
-            if (!active) {
-              if (c(0)) {
-                mid += 1; stepIdx = 0
-                active = nSteps > 1 // 1-step machines complete immediately
-                Some(0)
-              } else None
-            } else if (stepIdx + 1 < nSteps && c(stepIdx + 1)) {
-              stepIdx += 1
-              if (stepIdx == nSteps - 1) active = false // completed
-              Some(stepIdx)
-            } else if (c(stepIdx)) Some(stepIdx)
-            else None
-          emit.map(si =>
-            Row.fromSeq(r.toSeq.take(baseW) ++ Seq(stepNames(si), mid)))
+          // reverse-order step walk; first applicable action wins
+          var emitStep = -1
+          var emitMid = 0L
+          var k = nSteps - 1
+          while (k >= 0 && emitStep < 0) {
+            if (c(k)) {
+              if (k == 0) {
+                if (state(0) == 0L) {
+                  nextMid += 1
+                  // 1-step machines complete (and clear) immediately
+                  if (nSteps > 1) state(0) = nextMid
+                  emitStep = 0; emitMid = nextMid
+                } else { emitStep = 0; emitMid = state(0) } // absorb
+              } else if (state(k - 1) != 0L) {
+                // promote, overwriting any sequence already at step k
+                emitMid = state(k - 1)
+                state(k - 1) = 0L
+                state(k) = if (k == nSteps - 1) 0L else emitMid // complete
+                emitStep = k
+              } else if (state(k) != 0L) {
+                emitStep = k; emitMid = state(k) // absorb at k
+              }
+            }
+            k -= 1
+          }
+          if (emitStep < 0) None
+          else Some(Row.fromSeq(
+            r.toSeq.take(baseW) ++ Seq(stepNames(emitStep), emitMid)))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -3,10 +3,11 @@ package graft.kql
 import org.scalatest.funsuite.AnyFunSuite
 import graft.TestSpark
 
-/** `scan` — ordered sequence matching (restricted single-active-match
-  * semantics, see the compiler scaladoc): step conditions are codegen'd
-  * boolean columns; only the boolean state machine is imperative, per key
-  * group. Serialized input required; distributes inside `partition by`.
+/** `scan` — ordered sequence matching with Kusto's per-step state model
+  * (one active sequence per step, promotions in reverse step order — see
+  * the compiler scaladoc): step conditions are codegen'd boolean columns;
+  * only the state machine is imperative, per key group. Serialized input
+  * required; distributes inside `partition by`.
   */
 class ScanMatchSpec extends AnyFunSuite {
   import TestSpark.spark
@@ -59,17 +60,51 @@ class ScanMatchSpec extends AnyFunSuite {
       Seq((7L, "s1")))
   }
 
-  test("three steps advance one at a time") {
+  test("three steps advance one at a time, with concurrent partial matches") {
     val df = run(
       """tape | sort by i asc
         | | scan with (step a: e == 'c'; step b: e == 'v'; step c: e == 'p')
         | | project i, step, match_id""".stripMargin)
-    // i=1 c start m1(a); i=2 v → b; i=3 v repeat b; i=4 c? step c cond is
-    // 'p' no, step b cond 'v' no → skip; i=5 p completes m1(c);
-    // i=6 p inactive no; i=7 v no (a needs 'c'); i=8 p no; i=9 c start m2(a)
+    // tape: c v v c p p v p c. i=1 c starts m1(a); i=2 v promotes m1 to b;
+    // i=3 v absorbs at b; i=4 c starts m2(a) — CONCURRENT with m1 at b
+    // (the single-active-match machine used to skip this row); i=5 p
+    // promotes m1 to c → completes; i=6 p: b empty, nothing; i=7 v
+    // promotes m2 to b; i=8 p promotes m2 to c → completes; i=9 c starts m3.
     assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
-      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "b", 1L), (5L, "c", 1L),
-        (9L, "a", 2L)))
+      Seq((1L, "a", 1L), (2L, "b", 1L), (3L, "b", 1L), (4L, "a", 2L),
+        (5L, "c", 1L), (7L, "b", 2L), (8L, "c", 2L), (9L, "a", 3L)))
+  }
+
+  test("Kusto's documented overlap shape: a new sequence starts while one is in flight") {
+    // the canonical case the single-active-match restriction got wrong:
+    // steps x→y→z over tape x y x z — the second x must begin match 2
+    // while match 1 waits at step y, and z completes match 1 only
+    val c2 = new Catalog(spark)
+    c2.register("ov", Seq(
+      (1L, "x"), (2L, "y"), (3L, "x"), (4L, "z")
+    ).toDF("i", "e"))
+    val df = Kql.run(spark, c2,
+      """ov | sort by i asc
+        | | scan with (step sx: e == 'x'; step sy: e == 'y'; step sz: e == 'z')
+        | | project i, step, match_id""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "sx", 1L), (2L, "sy", 1L), (3L, "sx", 2L), (4L, "sz", 1L)))
+  }
+
+  test("promotion overwrites a sequence already parked at the target step") {
+    // a b a b c: m2's promotion to step b evicts m1 (Kusto: the state of
+    // the target step is overwritten); c then completes m2, not m1
+    val c2 = new Catalog(spark)
+    c2.register("ev", Seq(
+      (1L, "a"), (2L, "b"), (3L, "a"), (4L, "b"), (5L, "c")
+    ).toDF("i", "e"))
+    val df = Kql.run(spark, c2,
+      """ev | sort by i asc
+        | | scan with (step sa: e == 'a'; step sb: e == 'b'; step sc: e == 'c')
+        | | project i, step, match_id""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq ==
+      Seq((1L, "sa", 1L), (2L, "sb", 1L), (3L, "sa", 2L), (4L, "sb", 2L),
+        (5L, "sc", 2L)))
   }
 
   test("scan inside partition by runs per key, distributed") {
