@@ -1758,34 +1758,19 @@ final class Compiler(
   /** Cross-type total-order key for a variant value, matching the
     * reference's Null < Bool < numbers < Timestamp < Timespan < String <
     * Array < Object order (`value/mod.rs:146-209`, enforced at runtime by
-    * `type_tracker.rs:6-47`): a (rank, num, ts, str) struct compared
-    * lexicographically — bools and numbers share the double `num` slot
-    * (separated by rank), timestamps carry exact epoch micros, strings and
-    * container JSON text the `str` slot. Spark-null and JSON-null variants
-    * collapse to a null struct so `nulls first|last` governs their
-    * placement (Value::Null is the minimum of the reference's order, which
-    * KQL's default `asc` + nulls-first reproduces). Residual deviation:
-    * arrays/objects order among themselves by canonical JSON text rather
-    * than element-wise recursion (SCALE.md deviation log).
+    * `type_tracker.rs:6-47`) — including RECURSIVE element-wise order for
+    * arrays (`Vec<Value>::cmp`) and key-sorted tuple order for objects
+    * (`BTreeMap::cmp`): [[graft.functions.VariantSortKey]] walks the
+    * variant binary once per row and emits an order-preserving byte key
+    * (unsigned lexicographic compare ≡ the reference's `Value::cmp`).
+    * Spark-null and top-level JSON-null variants yield SQL NULL so
+    * `nulls first|last` governs their placement (Value::Null is the
+    * minimum of the reference's order, which KQL's default `asc` +
+    * nulls-first reproduces) and null group keys drop.
     */
   private def variantOrderKey(c: Column): Column = {
-    val t = schema_of_variant(c)
-    val isNum = t.startsWith("DECIMAL") ||
-      t.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT")
-    val rank = when(t === "BOOLEAN", 1)
-      .when(isNum, 2)
-      .when(t.startsWith("TIMESTAMP"), 3)
-      .when(t === "STRING", 5) // rank 4 reserved: timespan (no variant form)
-      .when(t.startsWith("ARRAY"), 6)
-      .otherwise(7) // OBJECT
-    val num = when(t === "BOOLEAN", c.try_cast(BooleanType).cast(DoubleType))
-      .when(isNum, c.try_cast(DoubleType))
-    val ts = when(t.startsWith("TIMESTAMP"),
-      unix_micros(c.try_cast(TimestampType)))
-    val str = when(t === "STRING", c.try_cast(StringType))
-      .when(rank >= 6, c.cast(StringType)) // canonical JSON text
-    when(c.isNull || t === "VOID", lit(null))
-      .otherwise(struct(rank.as("rank"), num.as("num"), ts.as("ts"), str.as("str")))
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    column(graft.functions.VariantSortKey(expression(c)))
   }
 
   private def sortCol(df: DataFrame, k: SortKey): Column = {

@@ -151,6 +151,41 @@ class VariantSpec extends AnyFunSuite {
     assert(got == Seq("false", "true", "9.5", "10", "s", "[1]", """{"a":1}""", "∅"))
   }
 
+  test("arrays order element-wise recursively, not by JSON text") {
+    // JSON text would put "[10]" before "[2]" and "[2,0]" before "[2]";
+    // the reference's Vec<Value>::cmp orders [2] < [2,0] < [10] < [[1]]
+    // (numbers before arrays at the element level too)
+    assert(sortByType(Seq(
+      """{"x": [10]}""", """{"x": [2]}""", """{"x": [[1]]}""", """{"x": [2,0]}"""))
+      == Seq("[2]", "[2,0]", "[10]", "[[1]]"))
+  }
+
+  test("objects order by key-sorted (key, value) tuples, not by JSON text") {
+    // text order: {"a":10} < {"a":2}; BTreeMap order compares the values:
+    // {"a":2} < {"a":10} < {"a":10,"b":1} < {"b":0} (key "a" < key "b")
+    assert(sortByType(Seq(
+      """{"x": {"b":0}}""", """{"x": {"a":10}}""", """{"x": {"a":2}}""",
+      """{"x": {"a":10,"b":1}}"""))
+      == Seq("""{"a":2}""", """{"a":10}""", """{"a":10,"b":1}""", """{"b":0}"""))
+  }
+
+  test("nested JSON null is the order minimum inside containers") {
+    // [null] < [false] < [0] — Value::Null sorts below every other element
+    assert(sortByType(Seq(
+      """{"x": [0]}""", """{"x": [null]}""", """{"x": [false]}"""))
+      == Seq("[null]", "[false]", "[0]"))
+  }
+
+  test("element-wise-equal arrays group together across int/float spellings") {
+    val c2 = new Catalog(spark)
+    c2.register("ga", varTable(
+      """{"x": [1, 2]}""", """{"x": [1.0, 2.0]}""", """{"x": [1, 3]}"""))
+    val got = Kql.run(spark, c2,
+      "ga | summarize n = count() by k = v.x | project n | sort by n desc")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(2L, 1L)) // {[1,2], [1.0,2.0]} merge; [1,3] apart
+  }
+
   test("cross-type group: int and float of equal value merge; string stays apart") {
     val c2 = new Catalog(spark)
     c2.register("gt", varTable(
