@@ -188,14 +188,16 @@ final class Compiler(
       case _ => KT.Int // tokencount / simhash / fingerprint
     }
     case StrFn(name, _) => name match {
-      case "strlen" | "countof" => KT.Int
+      case "strlen" | "countof" | "hash" | "parse_ipv4" => KT.Int
+      case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "extract_all" => KT.Arr
       case _ => KT.Str
     }
     case BinAt(x, _, _) => infer(df, x)
     case DtFn(name, _) => name match {
       case "startofday" | "startofhour" | "startofweek" | "startofmonth" |
-           "startofyear" | "endofday" => KT.Ts
+           "startofyear" | "endofday" | "startofquarter" | "endofweek" |
+           "endofmonth" | "endofyear" => KT.Ts
       case _ => KT.Int
     }
     case DtDiff(_, _, _) => KT.Int
@@ -565,6 +567,74 @@ final class Compiler(
           val sub = cs(1).cast(StringType)
           ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
             .cast(LongType)
+        case "reverse" => reverse(cs.head.cast(StringType))
+        // strrep: value repeated n times, optionally delimited — lowered
+        // through array_repeat + array_join so the multiplier can be any
+        // expression (functions.repeat only takes a literal count); the
+        // delimiter, like other separator args in this surface, is a
+        // string literal
+        case "strrep" =>
+          val delim = args.lift(2) match {
+            case None => ""
+            case Some(StrLit(d)) => d
+            case Some(_) => throw KqlParseException(
+              "strrep() delimiter must be a string literal", 0)
+          }
+          array_join(
+            array_repeat(cs.head.cast(StringType),
+              cs(1).try_cast(IntegerType)), delim)
+        // Kusto trim family: remove ONE anchored match of the regex from
+        // the start/end (callers quantify with + themselves, as Kusto's
+        // own examples do); the same RE2-compatible pattern runs in DuckDB
+        case "trim_re" =>
+          val re = args.head.asInstanceOf[StrLit].v
+          regexp_replace(
+            regexp_replace(cs(1).cast(StringType),
+              lit(s"^(?:$re)"), lit("")),
+            lit(s"(?:$re)$$"), lit(""))
+        case "trim_start" =>
+          val re = args.head.asInstanceOf[StrLit].v
+          regexp_replace(cs(1).cast(StringType), lit(s"^(?:$re)"), lit(""))
+        case "trim_end" =>
+          val re = args.head.asInstanceOf[StrLit].v
+          regexp_replace(cs(1).cast(StringType), lit(s"(?:$re)$$"), lit(""))
+        // ---- IPv4 scalars (log-analytics staples; all arithmetic/split
+        // lowerings so the DuckDB oracle replays them exactly) ----
+        case "parse_ipv4" => parseIpv4(cs.head.cast(StringType))
+        case "format_ipv4" =>
+          // accepts a numeric ip or a dotted string (Kusto does both)
+          val ipL = coalesce(cs.head.try_cast(LongType),
+            parseIpv4(cs.head.cast(StringType)))
+          when(ipL.isNotNull && ipL >= 0L && ipL <= 4294967295L,
+            concat_ws(".",
+              shiftright(ipL, 24).bitwiseAND(lit(255L)),
+              shiftright(ipL, 16).bitwiseAND(lit(255L)),
+              shiftright(ipL, 8).bitwiseAND(lit(255L)),
+              ipL.bitwiseAND(lit(255L))))
+        case "ipv4_is_in_range" =>
+          val ipL = parseIpv4(cs.head.cast(StringType))
+          val range = org.apache.spark.sql.functions.split(
+            cs(1).cast(StringType), "/", 2)
+          val baseL = parseIpv4(try_element_at(range, lit(1)))
+          val bits = coalesce(
+            try_element_at(range, lit(2)).try_cast(LongType), lit(32L))
+          // variable-width prefix compare via exact double division —
+          // shiftright() only takes a literal count; ipv4 magnitudes
+          // (≤ 2^32) divided by powers of two stay exact in doubles
+          val scale = pow(lit(2.0), (lit(32L) - bits).cast(DoubleType))
+          when(ipL.isNotNull && baseL.isNotNull && bits.between(0L, 32L),
+            floor(ipL.cast(DoubleType) / scale) ===
+              floor(baseL.cast(DoubleType) / scale))
+        case "ipv4_is_private" =>
+          val ipL = parseIpv4(cs.head.cast(StringType))
+          when(ipL.isNotNull,
+            shiftright(ipL, 24) === 10L ||                      // 10/8
+              shiftright(ipL, 20) === lit(172L * 16 + 1L) ||    // 172.16/12
+              shiftright(ipL, 16) === lit(192L * 256 + 168L))   // 192.168/16
+        // Kusto hash(): xxhash64, optionally reduced modulo m (non-negative)
+        case "hash" =>
+          val h = xxhash64(cs.head)
+          if (cs.length == 2) pmod(h, cs(1).try_cast(LongType)) else h
         case "tohex" => lower(hex(cs.head.try_cast(LongType)))
         case "base64_encode_tostring" => base64(cs.head.cast(BinaryType))
         case "base64_decode_tostring" => unbase64(cs.head.cast(StringType))
@@ -581,6 +651,26 @@ final class Compiler(
 
     // anchored binning: anchor + floor((x − anchor)/width)·width
     case BinAt(x, width, anchor) =>
+      compileBinAt(df, x, width, anchor)
+
+    case e => compileRest(df, e)
+  }
+
+  /** Dotted-quad IPv4 → long, null on anything malformed: exactly four
+    * dot-separated decimal fields, each 0-255 (try_cast nulls non-digits;
+    * `1.2.3.4.5` fails the size check). Pure split + arithmetic so the
+    * DuckDB oracle replays it verbatim.
+    */
+  private def parseIpv4(c: Column): Column = {
+    val p = split(c, "\\.")
+    val nums = (1 to 4).map(i => try_element_at(p, lit(i)).try_cast(LongType))
+    val valid = size(p) === 4 &&
+      nums.map(n => n.isNotNull && n.between(0L, 255L)).reduce(_ && _)
+    when(valid,
+      nums(0) * 16777216L + nums(1) * 65536L + nums(2) * 256L + nums(3))
+  }
+
+  private def compileBinAt(df: DataFrame, x: Expr, width: Expr, anchor: Expr): Column = {
       val xt = infer(df, x)
       def tsBinAt(wMicros: Long): Column = {
         val xm = unix_micros(compile(df, x).try_cast(TimestampType))
@@ -604,7 +694,12 @@ final class Compiler(
           ac + floor((xc - ac) / wc) * wc
         case _ => throw KqlParseException("bin_at() width must be a literal", 0)
       }
+  }
 
+  // continuation of compile()'s expression dispatch (split so a single
+  // method stays within the JVM's 64 KB bytecode limit as the scalar
+  // surface grows)
+  private def compileRest(df: DataFrame, e: Expr): Column = e match {
     case DtFn(name, x) =>
       val xc = compile(df, x).try_cast(TimestampType)
       name match {
@@ -626,6 +721,24 @@ final class Compiler(
         case "monthofyear" => month(xc).cast(LongType)
         case "dayofweek" => (dayofweek(xc) - lit(1)).cast(LongType)
         case "weekofyear" => weekofyear(xc).cast(LongType)
+        case "getyear" => year(xc).cast(LongType)
+        case "getmonth" => month(xc).cast(LongType)
+        case "dayofyear" => dayofyear(xc).cast(LongType)
+        case "startofquarter" => date_trunc("quarter", xc)
+        // endof*: first tick of the NEXT period minus one microsecond
+        // (this engine's precision; the reference/KQL tick is 100 ns).
+        // add_months lands anywhere inside the next period, so the trunc
+        // is clamp-safe (Jan 31 + 1 month → Feb 28 is still February)
+        case "endofweek" =>
+          timestamp_micros(unix_micros(
+            date_sub(to_date(xc), dayofweek(xc) - lit(1)).cast(TimestampType)) +
+            lit(7L * 86400000000L - 1L))
+        case "endofmonth" =>
+          timestamp_micros(unix_micros(date_trunc("month",
+            add_months(xc, 1).cast(TimestampType))) - lit(1L))
+        case "endofyear" =>
+          timestamp_micros(unix_micros(date_trunc("year",
+            add_months(xc, 12).cast(TimestampType))) - lit(1L))
       }
 
     // period-boundary crossing count (KQL datetime_diff): truncate both

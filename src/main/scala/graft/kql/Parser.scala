@@ -1184,6 +1184,11 @@ final class Parser(src: String, nowMicros: Long) {
     "todynamic", "parse_json",
     "array_sort_asc", "array_sort_desc", "array_reverse", "array_concat",
     "array_slice", "array_index_of", "array_sum",
+    "getyear", "getmonth", "dayofyear", "startofquarter", "endofweek",
+    "endofmonth", "endofyear",
+    "reverse", "strrep", "trim_start", "trim_end",
+    "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
+    "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
     "series_fir", "dcount_hll", "series_stats_dynamic",
@@ -1311,9 +1316,40 @@ final class Parser(src: String, nowMicros: Long) {
       case f @ ("tokencount" | "simhash" | "fingerprint" | "langid") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         TextFn(f, a.head)
-      case f @ ("strlen" | "tolower" | "toupper" | "trim") =>
+      case f @ ("strlen" | "tolower" | "toupper" | "reverse") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      // Kusto trim family: (regex_literal, source) removes one anchored
+      // match; plain trim(source) (whitespace) kept as a convenience alias
+      case "trim" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "trim() takes (source) or (regex_literal, source)")
+        if (a.length == 2) {
+          arity(a.head.isInstanceOf[StrLit], "trim() regex must be a literal")
+          StrFn("trim_re", a)
+        } else StrFn("trim", a)
+      case f @ ("trim_start" | "trim_end") =>
+        val a = args()
+        arity(a.length == 2, s"$f() takes (regex_literal, source)")
+        arity(a.head.isInstanceOf[StrLit], s"$f() regex must be a literal")
+        StrFn(f, a)
+      case "strrep" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "strrep() takes (value, multiplier[, delimiter])")
+        StrFn("strrep", a)
+      case f @ ("parse_ipv4" | "ipv4_is_private" | "format_ipv4") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
+      case "ipv4_is_in_range" =>
+        val a = args()
+        arity(a.length == 2, "ipv4_is_in_range() takes (ip, range)")
+        StrFn("ipv4_is_in_range", a)
+      case "hash" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2, "hash() takes (value[, mod])")
+        StrFn("hash", a)
       case "substring" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,
@@ -1325,7 +1361,9 @@ final class Parser(src: String, nowMicros: Long) {
         StrFn("replace_string", a)
       case f @ ("startofday" | "startofhour" | "hourofday" | "dayofmonth" |
                 "monthofyear" | "startofweek" | "startofmonth" |
-                "startofyear" | "endofday" | "dayofweek" | "weekofyear") =>
+                "startofyear" | "endofday" | "dayofweek" | "weekofyear" |
+                "getyear" | "getmonth" | "dayofyear" | "startofquarter" |
+                "endofweek" | "endofmonth" | "endofyear") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         DtFn(f, a.head)
       case "datetime_diff" =>

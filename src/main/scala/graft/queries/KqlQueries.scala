@@ -1184,6 +1184,123 @@ object KqlQueries {
           """orders | where o_totalprice > 450000
             | | project o_orderkey, o_totalprice | write dest""".stripMargin)
         s.read.parquet(sink).orderBy("o_orderkey")
-      })
+      }),
+
+    // round-6 datetime batch 3: component getters + quarter/period ends
+    // (endof* = next-period start − 1 µs, clamp-safe month adds)
+    kq("kql_dtfns3",
+      """events
+        | | where event_id < 2000
+        | | project event_id,
+        |     y = getyear(ts), mo = getmonth(ts), doy = dayofyear(ts),
+        |     sq = startofquarter(ts), ew = endofweek(ts),
+        |     em = endofmonth(ts), ey = endofyear(ts)
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CAST(year(ts) AS BIGINT) AS y, CAST(month(ts) AS BIGINT) AS mo,
+        |  CAST(dayofyear(ts) AS BIGINT) AS doy,
+        |  CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS sq,
+        |  date_trunc('day', ts) - to_days(CAST(dayofweek(ts) AS INT))
+        |    + INTERVAL 7 DAY - INTERVAL 1 MICROSECOND AS ew,
+        |  date_trunc('month', ts + INTERVAL 1 MONTH)
+        |    - INTERVAL 1 MICROSECOND AS em,
+        |  date_trunc('year', ts + INTERVAL 12 MONTH)
+        |    - INTERVAL 1 MICROSECOND AS ey
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin),
+
+    // round-6 string batch 3: reverse, strrep, and the Kusto regex trim
+    // family (one anchored match per side; same RE2 pattern both engines)
+    kq("kql_strfns3",
+      """documents
+        | | project doc_id,
+        |     r = reverse(substring(text, 0, 12)),
+        |     rep = strrep(lang, 3, '-'),
+        |     t1 = trim('[ae]', source),
+        |     t2 = trim_start('[A-Z]+', substring(text, 0, 8)),
+        |     t3 = trim_end('[0-9]+', strcat(lang, tostring(doc_id)))
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  reverse(substr(text, 1, 12)) AS r,
+        |  lang || '-' || lang || '-' || lang AS rep,
+        |  regexp_replace(regexp_replace(source, '^(?:[ae])', ''),
+        |                 '(?:[ae])$', '') AS t1,
+        |  regexp_replace(substr(text, 1, 8), '^(?:[A-Z]+)', '') AS t2,
+        |  regexp_replace(lang || CAST(doc_id AS VARCHAR),
+        |                 '(?:[0-9]+)$', '') AS t3
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // round-6 IPv4 batch: parse/format/range/private over synthesized
+    // addresses (split + arithmetic lowerings replayed verbatim in SQL;
+    // h ∈ 8..15 lands inside 10.8.0.0/13, h ∈ 0..1 are malformed)
+    kq("kql_ipfns",
+      """events
+        | | where event_id < 3000
+        | | extend m = event_id - bin(event_id, 256),
+        |          h = event_id - bin(event_id, 16)
+        | | extend ip = case(h == 0, strcat('300.1.2.', tostring(m)),
+        |                    h == 1, 'not-an-ip',
+        |                    strcat('10.', tostring(h), '.', tostring(m), '.25'))
+        | | extend ipl = parse_ipv4(ip)
+        | | extend fmt = format_ipv4(ipl),
+        |          inr = ipv4_is_in_range(ip, '10.8.0.0/13'),
+        |          priv = ipv4_is_private(ip)
+        | | summarize n = count(), valid = countif(isnotnull(ipl)),
+        |     s = sum(ipl), nin = countif(inr), npriv = countif(priv),
+        |     anyfmt = min(fmt)
+        |     by h
+        | | sort by h asc""".stripMargin,
+      """WITH base AS (
+        |  SELECT event_id, event_id % 256 AS m, event_id % 16 AS h
+        |  FROM events WHERE event_id < 3000),
+        |w AS (
+        |  SELECT h,
+        |    CASE WHEN h = 0 THEN '300.1.2.' || m
+        |         WHEN h = 1 THEN 'not-an-ip'
+        |         ELSE '10.' || h || '.' || m || '.25' END AS ip
+        |  FROM base),
+        |p AS (
+        |  SELECT h, ip,
+        |    CASE WHEN len(string_split(ip, '.')) = 4
+        |          AND TRY_CAST(string_split(ip, '.')[1] AS BIGINT) BETWEEN 0 AND 255
+        |          AND TRY_CAST(string_split(ip, '.')[2] AS BIGINT) BETWEEN 0 AND 255
+        |          AND TRY_CAST(string_split(ip, '.')[3] AS BIGINT) BETWEEN 0 AND 255
+        |          AND TRY_CAST(string_split(ip, '.')[4] AS BIGINT) BETWEEN 0 AND 255
+        |      THEN TRY_CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+        |         + TRY_CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+        |         + TRY_CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+        |         + TRY_CAST(string_split(ip, '.')[4] AS BIGINT) END AS ipl
+        |  FROM w)
+        |SELECT h, count(*) AS n, count(ipl) AS valid,
+        |  COALESCE(CAST(sum(ipl) AS DOUBLE), 0.0) AS s,
+        |  count(CASE WHEN floor(CAST(ipl AS DOUBLE) / 524288.0)
+        |             = floor(168296448.0 / 524288.0) THEN 1 END) AS nin,
+        |  count(CASE WHEN floor(ipl / 16777216) = 10
+        |              OR floor(ipl / 1048576) = 2753
+        |              OR floor(ipl / 65536) = 49320 THEN 1 END) AS npriv,
+        |  min(CASE WHEN ipl IS NOT NULL THEN
+        |    CAST(CAST(floor(ipl / 16777216) % 256 AS BIGINT) AS VARCHAR) || '.' ||
+        |    CAST(CAST(floor(ipl / 65536) % 256 AS BIGINT) AS VARCHAR) || '.' ||
+        |    CAST(CAST(floor(ipl / 256) % 256 AS BIGINT) AS VARCHAR) || '.' ||
+        |    CAST(CAST(ipl % 256 AS BIGINT) AS VARCHAR) END) AS anyfmt
+        |FROM p GROUP BY h ORDER BY h""".stripMargin),
+
+    // round-6 hash(): Kusto's xxhash64 surface — the oracle replays
+    // Spark's XXH64.hashLong(v, 42) in HUGEINT mod-2^64 SQL (the same
+    // machinery as the minhash/sample-distinct oracles)
+    Q("kql_hash", {
+      import PipelineQueries.SignLshSql.{hashLongCtes, W}
+      s"""WITH ids AS (SELECT event_id, CAST(event_id AS HUGEINT) AS l
+         |             FROM events WHERE event_id < 500),
+         |${hashLongCtes("hx", "l", "CAST(42 AS HUGEINT)", "ids")},
+         |s AS (SELECT event_id,
+         |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh
+         |  FROM hx6)
+         |SELECT event_id, CAST(sh AS BIGINT) AS h,
+         |  CAST(((sh % 7) + 7) % 7 AS BIGINT) AS hm
+         |FROM s ORDER BY event_id""".stripMargin
+    })((s, dir) => Kql.run(s, Catalog.forTestData(s, dir),
+      """events | where event_id < 500
+        | | extend h = hash(event_id), hm = hash(event_id, 7)
+        | | project event_id, h, hm | sort by event_id asc""".stripMargin))
   )
 }

@@ -1,0 +1,112 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-6 scalar batches: IPv4 family, hash(), datetime batch 3
+  * (getters + period ends), string batch 3 (reverse/strrep/regex trims).
+  */
+class Round6FnSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("t1", Seq(Tuple1(1L)).toDF("one"))
+    c
+  }
+
+  private def scalar(expr: String): Any =
+    Kql.run(spark, cat, s"t1 | project r = $expr").collect()(0).get(0)
+
+  test("parse_ipv4: dotted quad, malformed forms null") {
+    assert(scalar("parse_ipv4('192.168.1.1')") == 3232235777L)
+    assert(scalar("parse_ipv4('0.0.0.0')") == 0L)
+    assert(scalar("parse_ipv4('255.255.255.255')") == 4294967295L)
+    assert(scalar("parse_ipv4('256.1.1.1')") == null)   // octet > 255
+    assert(scalar("parse_ipv4('1.2.3')") == null)       // 3 fields
+    assert(scalar("parse_ipv4('1.2.3.4.5')") == null)   // 5 fields
+    assert(scalar("parse_ipv4('a.b.c.d')") == null)
+    assert(scalar("parse_ipv4('')") == null)
+  }
+
+  test("format_ipv4 round-trips longs and dotted strings") {
+    assert(scalar("format_ipv4(3232235777)") == "192.168.1.1")
+    assert(scalar("format_ipv4('10.1.2.3')") == "10.1.2.3")
+    assert(scalar("format_ipv4(4294967296)") == null) // > 32 bits
+    assert(scalar("format_ipv4(-1)") == null)
+  }
+
+  test("ipv4_is_in_range: prefix math, default /32, invalid → null") {
+    assert(scalar("ipv4_is_in_range('10.8.1.2', '10.8.0.0/13')") == true)
+    assert(scalar("ipv4_is_in_range('10.15.255.255', '10.8.0.0/13')") == true)
+    assert(scalar("ipv4_is_in_range('10.16.0.0', '10.8.0.0/13')") == false)
+    assert(scalar("ipv4_is_in_range('1.2.3.4', '1.2.3.4')") == true)   // /32
+    assert(scalar("ipv4_is_in_range('1.2.3.5', '1.2.3.4')") == false)
+    assert(scalar("ipv4_is_in_range('1.2.3.4', '0.0.0.0/0')") == true) // /0
+    assert(scalar("ipv4_is_in_range('bad', '10.0.0.0/8')") == null)
+    assert(scalar("ipv4_is_in_range('1.2.3.4', '10.0.0.0/33')") == null)
+  }
+
+  test("ipv4_is_private: RFC1918 blocks") {
+    assert(scalar("ipv4_is_private('10.200.3.4')") == true)
+    assert(scalar("ipv4_is_private('172.16.0.1')") == true)
+    assert(scalar("ipv4_is_private('172.31.255.255')") == true)
+    assert(scalar("ipv4_is_private('172.32.0.1')") == false)
+    assert(scalar("ipv4_is_private('192.168.0.1')") == true)
+    assert(scalar("ipv4_is_private('192.169.0.1')") == false)
+    assert(scalar("ipv4_is_private('8.8.8.8')") == false)
+    assert(scalar("ipv4_is_private('nope')") == null)
+  }
+
+  test("hash(): xxhash64 with optional non-negative mod") {
+    import org.apache.spark.sql.functions.{lit, xxhash64}
+    val expect = spark.range(1).select(xxhash64(lit(7L))).collect()(0).getLong(0)
+    assert(scalar("hash(tolong(7))") == expect)
+    val m = scalar("hash(tolong(7), 5)").asInstanceOf[Long]
+    assert(m == ((expect % 5) + 5) % 5 && m >= 0)
+    // strings hash too (engine-side only; the gate oracles the long path)
+    assert(scalar("hash('abc')").isInstanceOf[Long])
+  }
+
+  test("datetime getters: getyear/getmonth/dayofyear") {
+    assert(scalar("getyear(datetime(2024-02-29 10:00:00))") == 2024L)
+    assert(scalar("getmonth(datetime(2024-02-29 10:00:00))") == 2L)
+    assert(scalar("dayofyear(datetime(2024-02-29 10:00:00))") == 60L)
+    assert(scalar("dayofyear(datetime(2023-12-31 23:59:59))") == 365L)
+  }
+
+  test("startofquarter / endofmonth / endofyear / endofweek") {
+    def ts(e: String): String = String.valueOf(scalar(s"tostring($e)"))
+    assert(ts("startofquarter(datetime(2024-05-15 12:00:00))")
+      .startsWith("2024-04-01 00:00:00"))
+    // endofmonth of Jan 31 is Jan 31's own last tick — the add_months
+    // clamp (Jan 31 + 1mo → Feb 29) must not skip into March
+    assert(ts("endofmonth(datetime(2024-01-31 05:00:00))")
+      .startsWith("2024-01-31 23:59:59"))
+    assert(ts("endofmonth(datetime(2024-02-10 05:00:00))")
+      .startsWith("2024-02-29 23:59:59"))
+    assert(ts("endofyear(datetime(2024-12-31 00:00:01))")
+      .startsWith("2024-12-31 23:59:59"))
+    // 2024-05-15 is a Wednesday; KQL weeks end Saturday
+    assert(ts("endofweek(datetime(2024-05-15 12:00:00))")
+      .startsWith("2024-05-18 23:59:59"))
+  }
+
+  test("reverse and strrep") {
+    assert(scalar("reverse('abc')") == "cba")
+    assert(scalar("strrep('ab', 3)") == "ababab")
+    assert(scalar("strrep('ab', 3, '-')") == "ab-ab-ab")
+    assert(scalar("strrep('ab', 1, '-')") == "ab")
+    assert(scalar("strrep('ab', 0)") == "")
+  }
+
+  test("regex trim family removes one anchored match per side") {
+    assert(scalar("trim('[^\\\\w]+', '-- hi $')") == "hi")
+    assert(scalar("trim_start('[A-Z]+', 'ABCdefABC')") == "defABC")
+    assert(scalar("trim_end('[0-9]+', 'v1x23')") == "v1x")
+    // no match → unchanged; plain 1-arg trim stays whitespace trim
+    assert(scalar("trim_start('[0-9]+', 'abc')") == "abc")
+    assert(scalar("trim('  pad  ')") == "pad")
+  }
+}
