@@ -453,6 +453,18 @@ object QueryStep {
     * directive, accepted and ignored (rows pass through untouched) so
     * dashboard-tail queries run as-is. The kind is kept for explain. */
   final case class RenderHint(kind: String) extends QueryStep
+  /** Kusto `find in (T1, T2, …) where pred [project …]` — cross-table
+    * predicate search: tables union by name (a column missing from one
+    * table reads as null there, Kusto's rule), `source_` tags the origin.
+    * Output = `source_` + the columns the predicate references in
+    * first-reference order, or the explicit project list. Documented
+    * deviation: no `pack_` remainder column. */
+  final case class Find(tables: Seq[String], pred: Expr,
+      project: Seq[(Expr, String)]) extends QueryStep
+  /** Kusto `as name` — binds the pipeline prefix to `name` for later
+    * reference in the same query (join/union subqueries); rows pass
+    * through unchanged. */
+  final case class AsBind(name: String) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

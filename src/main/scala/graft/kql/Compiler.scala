@@ -1159,6 +1159,7 @@ final class Compiler(
   private def resolveScan(source: String): DataFrame = {
     val wantStream = pendingStreamScan
     pendingStreamScan = false
+    if (!wantStream && asBound.contains(source)) return asBound(source)
     lets.get(source).map { q =>
       pendingStreamScan = wantStream
       // a materialized let persists on first reference; streaming scans
@@ -1265,8 +1266,56 @@ final class Compiler(
     out
   }
 
+  /** Pipeline prefixes bound by `as name` — resolved like query lets at
+    * later scans within the same compile (join/union subqueries). */
+  private val asBound = scala.collection.mutable.Map[String, DataFrame]()
+
   private def compileStepInner(df: DataFrame, step: QueryStep): DataFrame = step match {
     case QueryStep.Scan(source) => resolveScan(source)
+
+    case QueryStep.AsBind(name) =>
+      asBound(name) = df
+      df
+
+    // find: union the tables by name (missing columns null-fill — the
+    // Kusto rule for heterogeneous schemas), tag `source_`, filter, and
+    // keep the referenced (or projected) columns. One narrow pass per
+    // table + a bag union: no shuffle beyond what the predicate needs.
+    case QueryStep.Find(tables, pred, project) =>
+      val referenced = {
+        val seen = scala.collection.mutable.LinkedHashSet[String]()
+        def walkAny(x: Any): Unit = x match {
+          case c: Expr => walk(c)
+          case s: Iterable[_] => s.foreach(walkAny)
+          case (a, b) => walkAny(a); walkAny(b)
+          case _ => ()
+        }
+        def walk(e: Expr): Unit = e match {
+          case Field(fp) => seen += fp.parts.head.name
+          case LetRef(fp, b) =>
+            if (fp.isSimple) walk(b) else seen += fp.parts.head.name
+          case p: Product => p.productIterator.foreach(walkAny)
+          case _ => ()
+        }
+        walk(pred)
+        project.foreach { case (e, _) => walk(e) }
+        seen.toSeq
+      }
+      val parts = tables.map { t =>
+        val src = resolveScan(t)
+        val present = referenced.filter(c =>
+          src.columns.exists(_.equalsIgnoreCase(c)))
+        src.select(lit(t).as("source_") +: present.map(c => col(s"`$c`")): _*)
+      }
+      val known = parts.flatMap(_.columns).distinct
+      for (c <- referenced if !known.exists(_.equalsIgnoreCase(c)))
+        throw KqlParseException(
+          s"find: column '$c' exists in none of (${tables.mkString(", ")})", 0)
+      val unioned = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+      val filtered = unioned.filter(compileBool(unioned, pred))
+      if (project.isEmpty) filtered
+      else filtered.select(col("source_") +:
+        project.map { case (e, n) => compile(filtered, e).as(n) }: _*)
 
     case QueryStep.RawScan(sql) => catalog.rawQuery(sql)
 

@@ -288,6 +288,28 @@ final class Parser(src: String, nowMicros: Long) {
       parseStepTail(steps)
       return Query(steps.result())
     }
+    // `find in (T1, T2) where pred [project …]` cross-table search (only
+    // when 'in' follows, so a table named `find` still scans)
+    if (atIdent("find") && toks.lift(p + 1).exists {
+        case Ident(w, _) => w.equalsIgnoreCase("in"); case _ => false }) {
+      p += 1
+      eatIdent("in"); eatPunct("(")
+      val tabs = Seq.newBuilder[String]
+      var more = true
+      while (more) { tabs += parseSourceRef(); more = tryPunct(",") }
+      eatPunct(")")
+      eatIdent("where")
+      val pred = parseExpr()
+      val proj =
+        if (atIdent("project")) { p += 1; parseProjFields() }
+        else Seq.empty[(Expr, String)]
+      val tabSeq = tabs.result()
+      arity(tabSeq.nonEmpty, "find needs at least one table")
+      val steps = Seq.newBuilder[QueryStep]
+      steps += QueryStep.Find(tabSeq, pred, proj)
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     val source = parseSourceRef()
     val steps = Seq.newBuilder[QueryStep]
     // `conn.coll.raw("…")` / `raw("…")`: native (Spark SQL) pass-through
@@ -380,6 +402,15 @@ final class Parser(src: String, nowMicros: Long) {
       case "scan"             => p += 1; parseScanMatch()
       case "invoke"           => p += 1; parseInvoke()
       case "render"           => p += 1; parseRender()
+      case "as"               => p += 1
+        // tolerate Kusto's `hint.materialized=true|false` prefix (the
+        // binding is a plan splice either way — accepted and ignored,
+        // like the other physical hints AQE supersedes)
+        if (atIdent("hint")) {
+          p += 1; eatPunct("."); eatIdent("materialized"); eatPunct("=")
+          identText()
+        }
+        QueryStep.AsBind(identText())
       case other => fail(s"unknown step '$other'", Parser.stepKeywords)
     }
     case t => fail("expected a step name after '|'", Parser.stepKeywords)
@@ -1579,7 +1610,7 @@ object Parser {
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
     "top-hitters", "sample-distinct", "summarize", "distinct", "union",
-    "join", "count", "write", "tee", "search", "parse", "partition")
+    "join", "count", "write", "tee", "search", "parse", "partition", "as")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

@@ -1284,6 +1284,32 @@ object KqlQueries {
         |    CAST(CAST(ipl % 256 AS BIGINT) AS VARCHAR) END) AS anyfmt
         |FROM p GROUP BY h ORDER BY h""".stripMargin),
 
+    // round-6 find: cross-table predicate search — union by name with
+    // null-fill for table-specific columns, source_ provenance
+    kq("kql_find",
+      """find in (events, orders) where value > 300 or o_totalprice > 450000
+        | | summarize n = count(), sv = sum(value), so = sum(o_totalprice)
+        |     by source_
+        | | sort by source_ asc""".stripMargin,
+      """WITH u AS (
+        |  SELECT 'events' AS source_, value,
+        |         CAST(NULL AS DOUBLE) AS o_totalprice FROM events
+        |  UNION ALL
+        |  SELECT 'orders', NULL, o_totalprice FROM orders)
+        |SELECT source_, count(*) AS n,
+        |  COALESCE(CAST(sum(value) AS DOUBLE), 0.0) AS sv,
+        |  COALESCE(CAST(sum(o_totalprice) AS DOUBLE), 0.0) AS so
+        |FROM u WHERE value > 300 OR o_totalprice > 450000
+        |GROUP BY source_ ORDER BY source_""".stripMargin),
+
+    // round-6 as: the named prefix is compiled once per reference site
+    // like a query let; the self-join proves the binding resolves
+    kq("kql_as",
+      """orders | where o_totalprice > 400000 | as big
+        | | join kind=inner (big) on $left.o_orderkey == $right.o_orderkey
+        | | summarize n = count()""".stripMargin,
+      """SELECT count(*) AS n FROM orders WHERE o_totalprice > 400000"""),
+
     // round-6 hash(): Kusto's xxhash64 surface — the oracle replays
     // Spark's XXH64.hashLong(v, 42) in HUGEINT mod-2^64 SQL (the same
     // machinery as the minhash/sample-distinct oracles)
