@@ -217,7 +217,9 @@ final class Compiler(
       case "array_length" | "indexof" | "array_index_of" => KT.Int
       case "array_sort_asc" | "array_sort_desc" | "array_reverse" |
           "array_concat" | "array_slice" | "set_union" | "set_intersect" |
-          "set_difference" | "pack_array" | "bag_keys" => KT.Arr
+          "set_difference" | "pack_array" | "bag_keys" |
+          "array_shift_left" | "array_shift_right" |
+          "array_rotate_left" | "array_rotate_right" | "array_iff" => KT.Arr
       case "array_sum" => KT.Float
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" => KT.Arr
@@ -899,6 +901,46 @@ final class Compiler(
         case "array_index_of" =>
           (array_position(compile(df, args.head), compile(df, args(1)))
             - lit(1L)).cast(LongType)
+        // shifts: out[i] = arr[i + n] where in range, else fill (default
+        // null); a negative count shifts the other way. Pure transform-
+        // with-index lambdas — codegen'd, no UDF, no explode
+        case "array_shift_left" | "array_shift_right" =>
+          val arr = compile(df, args.head)
+          val sgn = if (name == "array_shift_left") 1 else -1
+          val n = (compile(df, args(1)).try_cast(LongType) * lit(sgn))
+            .cast(IntegerType)
+          val fill = args.lift(2).map(a => compile(df, a))
+            .getOrElse(lit(null))
+          val sz = size(arr)
+          transform(arr, (_, i) => {
+            val idx = i + n
+            when(idx >= 0 && idx < sz, get(arr, idx)).otherwise(fill)
+          })
+        // rotations: circular shift via pmod-wrapped index
+        case "array_rotate_left" | "array_rotate_right" =>
+          val arr = compile(df, args.head)
+          val sgn = if (name == "array_rotate_left") 1 else -1
+          val n = (compile(df, args(1)).try_cast(LongType) * lit(sgn))
+            .cast(IntegerType)
+          val sz = size(arr)
+          transform(arr, (_, i) => get(arr, pmod(i + n, sz)))
+        // element-wise conditional: scalars broadcast, short arrays pad
+        // with null (get() is null out of bounds), non-bool cond → null
+        case "array_iff" =>
+          val cond = compile(df, args.head)
+          def pick(a: Expr, i: Column): Column = infer(df, a) match {
+            case KT.Arr => get(compile(df, a), i)
+            case KT.Var => get(compile(df, a).try_cast(
+              org.apache.spark.sql.types.ArrayType(
+                org.apache.spark.sql.types.VariantType)), i)
+            case _ => compile(df, a)
+          }
+          transform(cond, (c, i) => {
+            val cb = c.try_cast(BooleanType)
+            when(cb.isNull, lit(null))
+              .when(cb, pick(args(1), i))
+              .otherwise(pick(args(2), i))
+          })
         // sequential left fold in element order — deterministic, and
         // replayable by an oracle as the same IEEE operation sequence
         case "array_sum" =>

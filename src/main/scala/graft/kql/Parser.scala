@@ -1217,6 +1217,8 @@ final class Parser(src: String, nowMicros: Long) {
     "array_slice", "array_index_of", "array_sum",
     "getyear", "getmonth", "dayofyear", "startofquarter", "endofweek",
     "endofmonth", "endofyear",
+    "array_shift_left", "array_shift_right", "array_rotate_left",
+    "array_rotate_right", "array_iff",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1497,6 +1499,20 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 3, "array_slice() takes (array, start, end)")
         ArrFn("array_slice", a)
+      case f @ ("array_shift_left" | "array_shift_right") =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          s"$f() takes (array, shift_count[, fill_value])")
+        ArrFn(f, a)
+      case f @ ("array_rotate_left" | "array_rotate_right") =>
+        val a = args()
+        arity(a.length == 2, s"$f() takes (array, rotate_count)")
+        ArrFn(f, a)
+      case "array_iff" =>
+        val a = args()
+        arity(a.length == 3,
+          "array_iff() takes (condition_array, when_true, when_false)")
+        ArrFn("array_iff", a)
       case "array_index_of" =>
         val a = args()
         arity(a.length == 2, "array_index_of() takes (array, value)")

@@ -1284,6 +1284,31 @@ object KqlQueries {
         |    CAST(CAST(ipl % 256 AS BIGINT) AS VARCHAR) END) AS anyfmt
         |FROM p GROUP BY h ORDER BY h""".stripMargin),
 
+    // round-6 array batch 3: shifts, rotations, element-wise iff over a
+    // fixed 4-element array — every output scalarized through
+    // strcat_array, elements kept non-null via explicit fills so the
+    // join text is engine-agnostic
+    kq("kql_arrayfns3",
+      """events
+        | | where event_id < 500
+        | | extend a = pack_array(event_id, event_id + 1, event_id + 2, event_id + 3)
+        | | project event_id,
+        |     sl = strcat_array(array_shift_left(a, 1, -1), ','),
+        |     sr = strcat_array(array_shift_right(a, 2, -1), ','),
+        |     rl = strcat_array(array_rotate_left(a, 1), ','),
+        |     rr = strcat_array(array_rotate_right(a, 1), ','),
+        |     ci = strcat_array(
+        |       array_iff(pack_array(true, false, true, false),
+        |                 a, array_rotate_left(a, 2)), ',')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  (event_id+1) || ',' || (event_id+2) || ',' || (event_id+3) || ',-1' AS sl,
+        |  '-1,-1,' || event_id || ',' || (event_id+1) AS sr,
+        |  (event_id+1) || ',' || (event_id+2) || ',' || (event_id+3) || ',' || event_id AS rl,
+        |  (event_id+3) || ',' || event_id || ',' || (event_id+1) || ',' || (event_id+2) AS rr,
+        |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
+
     // round-6 find: cross-table predicate search — union by name with
     // null-fill for table-specific columns, source_ provenance
     kq("kql_find",

@@ -101,6 +101,43 @@ class Round6FnSpec extends AnyFunSuite {
     assert(scalar("strrep('ab', 0)") == "")
   }
 
+  test("array shifts: fill defaults to null, negative counts reverse direction") {
+    def arr(e: String): Seq[Any] =
+      Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
+    assert(arr("array_shift_left(pack_array(1, 2, 3, 4), 1)") ==
+      Seq(2L, 3L, 4L, null))
+    assert(arr("array_shift_left(pack_array(1, 2, 3, 4), -1, 9)") ==
+      Seq(9L, 1L, 2L, 3L))
+    assert(arr("array_shift_right(pack_array(1, 2, 3, 4), 2, 0)") ==
+      Seq(0L, 0L, 1L, 2L))
+    assert(arr("array_shift_left(pack_array(1, 2), 5)") == Seq(null, null))
+  }
+
+  test("array rotations wrap circularly, negative counts reverse") {
+    def arr(e: String): Seq[Any] =
+      Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
+    assert(arr("array_rotate_left(pack_array(1, 2, 3, 4), 1)") ==
+      Seq(2L, 3L, 4L, 1L))
+    assert(arr("array_rotate_right(pack_array(1, 2, 3, 4), 1)") ==
+      Seq(4L, 1L, 2L, 3L))
+    assert(arr("array_rotate_left(pack_array(1, 2, 3), 5)") ==
+      Seq(3L, 1L, 2L))
+    assert(arr("array_rotate_left(pack_array(1, 2, 3), -1)") ==
+      Seq(3L, 1L, 2L))
+  }
+
+  test("array_iff: element-wise pick, scalar broadcast, short-array null pad") {
+    def arr(e: String): Seq[Any] =
+      Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
+    assert(arr("array_iff(pack_array(true, false, true), pack_array(1, 2, 3), pack_array(7, 8, 9))") ==
+      Seq(1L, 8L, 3L))
+    // scalar branches broadcast per element
+    assert(arr("array_iff(pack_array(true, false), 5, 6)") == Seq(5L, 6L))
+    // when_true shorter than cond: out-of-bounds picks null
+    assert(arr("array_iff(pack_array(true, true, false), pack_array(1), pack_array(7, 8, 9))") ==
+      Seq(1L, null, 9L))
+  }
+
   test("regex trim family removes one anchored match per side") {
     assert(scalar("trim('[^\\\\w]+', '-- hi $')") == "hi")
     assert(scalar("trim_start('[A-Z]+', 'ABCdefABC')") == "defABC")
