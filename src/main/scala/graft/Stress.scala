@@ -161,6 +161,36 @@ object Stress {
       graft.kql.Kql.run(spark, cat,
         "ev | make-series c = count() on ts step 1d by user_id")
     }
+    // round-6: the per-step scan machine with a 3-step pattern — the
+    // shape where concurrent partial matches actually arise (a new
+    // sequence starts at s1 while another waits at s2); state is 3 longs
+    // per key, work is one boolean-column pass + the per-key walk
+    time("kql_scan_3step", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("etype",
+        concat(lit("t"), pmod(col("event_id"), lit(5)).cast("string"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev | partition by user_id (sort by ts asc, event_id asc
+          |     | scan with (step s1: etype == 't0'; step s2: etype == 't1';
+          |                  step s3: etype == 't2'))""".stripMargin)
+    }
+    // round-6: variant group keys at scale — one VariantSortKey binary
+    // encoding per row (recursive walk, no JSON re-serialization), then
+    // an ordinary hash aggregate on the byte key
+    time("variant_group_key", n) {
+      val cat = new graft.kql.Catalog(spark)
+      val m = pmod(col("event_id"), lit(4L))
+      val u = pmod(col("user_id"), lit(1000L)).cast("string")
+      val payload = when(m === 0, u)
+        .when(m === 1, concat(lit("\""), u, lit("\"")))
+        .when(m === 2, concat(lit("["), u, lit(",2]")))
+        .otherwise(concat(lit("{\"a\":"), u, lit("}")))
+      cat.register("ev", events.withColumn("p", payload))
+      graft.kql.Kql.run(spark, cat,
+        """ev | extend v = todynamic(p)
+          | | summarize n = count() by k = v
+          | | top 100 by n desc""".stripMargin)
+    }
     spark.stop()
   }
 }
