@@ -210,11 +210,17 @@ final class Compiler(
         case KT.Span  => KT.Span
         case _        => KT.Int
       }
+      // variadic extrema follow their arguments: all-integral stays long
+      case "min_of" | "max_of" =>
+        if (args.forall(a => infer(df, a) == KT.Int)) KT.Int
+        else infer(df, args.head)
       case _ => KT.Float
     }
     case ArrFn(name, args) => name match {
       case "split" => if (args.length == 3) KT.Str else KT.Arr
       case "array_length" | "indexof" | "array_index_of" => KT.Int
+      case "repeat" | "zip" | "range_arr" => KT.Arr
+      case "set_has_element" | "bag_has_key" => KT.Bool
       case "array_sort_asc" | "array_sort_desc" | "array_reverse" |
           "array_concat" | "array_slice" | "set_union" | "set_intersect" |
           "set_difference" | "pack_array" | "bag_keys" |
@@ -802,6 +808,19 @@ final class Compiler(
         case "isnotnull" => cs.head.isNotNull
         case "isempty" => empty(0)
         case "isnotempty" => !empty(0)
+        // float-class predicates: null input → false (Kusto), so the
+        // three partition {nan, ±inf, finite} ∪ {null/non-numeric}
+        case "isnan" =>
+          coalesce(isnan(cs.head.try_cast(DoubleType)), lit(false))
+        case "isinf" =>
+          val v = cs.head.try_cast(DoubleType)
+          coalesce(v === lit(Double.PositiveInfinity) ||
+            v === lit(Double.NegativeInfinity), lit(false))
+        case "isfinite" =>
+          val v = cs.head.try_cast(DoubleType)
+          v.isNotNull && !isnan(v) &&
+            v =!= lit(Double.PositiveInfinity) &&
+            v =!= lit(Double.NegativeInfinity)
         // KQL coalesce skips empty strings as well as nulls
         case "coalesce" =>
           val guarded = args.indices.map { i =>
@@ -825,6 +844,14 @@ final class Compiler(
           case _ => throw KqlParseException(
             "round() precision must be an integer literal", 0)
         }
+        // variadic extrema: nulls ignored (least/greatest skip nulls,
+        // Kusto's rule); all-integral arguments stay long
+        case "min_of" | "max_of" =>
+          val allInt = args.forall(a => infer(df, a) == KT.Int)
+          val cs = args.map(a =>
+            if (allInt) compile(df, a).try_cast(LongType)
+            else compile(df, a).try_cast(DoubleType))
+          if (name == "min_of") least(cs: _*) else greatest(cs: _*)
         case "exp" => exp(d(0))
         case "log" => log(d(0)) // natural log, KQL convention
         case "log10" => log10(d(0))
@@ -1043,6 +1070,32 @@ final class Compiler(
         // control-plane-sized bags this targets
         case "bag_keys" =>
           array_sort(json_object_keys(compile(df, args.head).cast(StringType)))
+        case "bag_has_key" =>
+          array_contains(
+            json_object_keys(compile(df, args.head).cast(StringType)),
+            compile(df, args(1)).cast(StringType))
+        case "set_has_element" =>
+          array_contains(compile(df, args.head), compile(df, args(1)))
+        case "repeat" =>
+          array_repeat(compile(df, args.head),
+            compile(df, args(1)).try_cast(IntegerType))
+        // zip: element-wise grouping to the LONGEST argument, shorter
+        // arrays null-pad (Kusto's rule); elements come out as arrays,
+        // not structs, matching Kusto's array-of-arrays shape
+        case "zip" =>
+          val arrs = args.map(a => compile(df, a))
+          val mx = greatest(arrs.map(a => coalesce(size(a), lit(0))): _*)
+          // indices 0..mx-1 without sequence(0, -1) (which would DESCEND
+          // for empty inputs): sequence(0, mx) then slice off the tail
+          val idx = slice(sequence(lit(0), mx), lit(1), mx)
+          transform(idx, i => array(arrs.map(a => get(a, i)): _*))
+        // scalar range(): inclusive stop, like Kusto (and unlike the
+        // exclusive make-series grid); integral-only surface
+        case "range_arr" =>
+          val step = args.lift(2).map(a => compile(df, a).try_cast(LongType))
+            .getOrElse(lit(1L))
+          sequence(compile(df, args.head).try_cast(LongType),
+            compile(df, args(1)).try_cast(LongType), step)
         // literal-keyed dynamic object; round-trips through the variant
         // machinery so b.key paths and re-unpack work on the result
         case "bag_pack" =>

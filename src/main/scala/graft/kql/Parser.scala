@@ -1219,6 +1219,8 @@ final class Parser(src: String, nowMicros: Long) {
     "endofmonth", "endofyear",
     "array_shift_left", "array_shift_right", "array_rotate_left",
     "array_rotate_right", "array_iff",
+    "min_of", "max_of", "isnan", "isinf", "isfinite",
+    "repeat", "zip", "range", "set_has_element", "bag_has_key",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1513,6 +1515,31 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3,
           "array_iff() takes (condition_array, when_true, when_false)")
         ArrFn("array_iff", a)
+      case f @ ("min_of" | "max_of") =>
+        val a = args(); arity(a.length >= 2, s"$f() takes 2+ args")
+        MathFn(f, a)
+      case f @ ("isnan" | "isinf" | "isfinite") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        NullFn(f, a)
+      case "repeat" =>
+        val a = args(); arity(a.length == 2, "repeat() takes (value, count)")
+        ArrFn("repeat", a)
+      case "zip" =>
+        val a = args(); arity(a.length >= 2, "zip() takes 2+ arrays")
+        ArrFn("zip", a)
+      case "range" => // scalar range(start, stop[, step]) — inclusive stop
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "range() takes (start, stop[, step])")
+        ArrFn("range_arr", a)
+      case "set_has_element" =>
+        val a = args()
+        arity(a.length == 2, "set_has_element() takes (array, value)")
+        ArrFn("set_has_element", a)
+      case "bag_has_key" =>
+        val a = args()
+        arity(a.length == 2, "bag_has_key() takes (bag, key)")
+        ArrFn("bag_has_key", a)
       case "array_index_of" =>
         val a = args()
         arity(a.length == 2, "array_index_of() takes (array, value)")

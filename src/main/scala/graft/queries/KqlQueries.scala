@@ -1309,6 +1309,43 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 misc scalars: variadic extrema, repeat/zip/scalar-range,
+    // set/bag membership — zip exercised through mv-expand so the
+    // array-of-arrays shape flattens to oracle-friendly scalars
+    kq("kql_miscfns",
+      """events
+        | | where event_id < 500
+        | | extend a = pack_array(event_id, event_id + 2),
+        |          b = pack_array(event_id + 1)
+        | | extend z = zip(a, b)
+        | | mv-expand z
+        | | project event_id,
+        |     mn = min_of(value, 50.0), mx = max_of(event_id, 100),
+        |     rng = strcat_array(range(event_id, event_id + 4, 2), ','),
+        |     rep = strcat_array(repeat(event_id, 2), ','),
+        |     she = set_has_element(a, event_id + 2),
+        |     shf = set_has_element(b, event_id),
+        |     bh = bag_has_key(props, 'k'),
+        |     zs = strcat_array(z, ',')
+        | | sort by event_id asc, zs asc""".stripMargin,
+      """WITH e AS (SELECT event_id, value, props FROM events
+        |           WHERE event_id < 500),
+        |r AS (
+        |  SELECT event_id, value, props,
+        |    event_id || ',' || (event_id + 1) AS zs FROM e
+        |  UNION ALL
+        |  SELECT event_id, value, props,
+        |    CAST(event_id + 2 AS VARCHAR) AS zs FROM e)
+        |SELECT event_id,
+        |  LEAST(value, 50.0) AS mn,
+        |  GREATEST(event_id, 100) AS mx,
+        |  event_id || ',' || (event_id + 2) || ',' || (event_id + 4) AS rng,
+        |  event_id || ',' || event_id AS rep,
+        |  TRUE AS she, FALSE AS shf,
+        |  list_contains(json_keys(props), 'k') AS bh,
+        |  zs
+        |FROM r ORDER BY event_id, zs""".stripMargin),
+
     // round-6 find: cross-table predicate search — union by name with
     // null-fill for table-specific columns, source_ provenance
     kq("kql_find",

@@ -138,6 +138,43 @@ class Round6FnSpec extends AnyFunSuite {
       Seq(1L, null, 9L))
   }
 
+  test("min_of/max_of: variadic extrema, nulls ignored, integral stays long") {
+    assert(scalar("min_of(3, 1, 2)") == 1L)
+    assert(scalar("max_of(3, 1, 2)") == 3L)
+    assert(scalar("min_of(3.5, 1)") == 1.0)
+    assert(scalar("min_of(toint('x'), 5)") == 5L) // null ignored
+  }
+
+  test("isnan / isinf / isfinite partition the double line") {
+    // NaN via pow(-1, 0.5) — log(-1) is null in this engine (error-drop)
+    assert(scalar("isnan(pow(-1.0, 0.5))") == true)
+    assert(scalar("isnan(1.5)") == false)
+    assert(scalar("isinf(1.0 / 0)") == false) // our ÷0 is null, not inf
+    assert(scalar("isinf(exp(1000.0))") == true)
+    assert(scalar("isfinite(2.5)") == true)
+    assert(scalar("isfinite(pow(-1.0, 0.5))") == false)
+    assert(scalar("isfinite(toint('x'))") == false) // null → not finite
+    assert(scalar("isnan(toint('x'))") == false)
+  }
+
+  test("repeat / zip / scalar range / set_has_element / bag_has_key") {
+    def arr(e: String): Seq[Any] =
+      Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
+    assert(arr("repeat(7, 3)") == Seq(7L, 7L, 7L))
+    assert(arr("repeat('x', 0)") == Seq())
+    assert(arr("range(2, 8, 3)") == Seq(2L, 5L, 8L)) // inclusive stop
+    assert(arr("range(1, 3)") == Seq(1L, 2L, 3L))
+    assert(arr("zip(pack_array(1, 2), pack_array(7, 8))") ==
+      Seq(Seq(1L, 7L), Seq(2L, 8L)))
+    // shorter array null-pads to the longest
+    assert(arr("zip(pack_array(1, 2, 3), pack_array(7))") ==
+      Seq(Seq(1L, 7L), Seq(2L, null), Seq(3L, null)))
+    assert(scalar("set_has_element(pack_array(1, 2, 3), 2)") == true)
+    assert(scalar("set_has_element(pack_array(1, 2, 3), 9)") == false)
+    assert(scalar("bag_has_key(bag_pack('a', 1, 'b', 2), 'b')") == true)
+    assert(scalar("bag_has_key(bag_pack('a', 1), 'z')") == false)
+  }
+
   test("regex trim family removes one anchored match per side") {
     assert(scalar("trim('[^\\\\w]+', '-- hi $')") == "hi")
     assert(scalar("trim_start('[A-Z]+', 'ABCdefABC')") == "defABC")
