@@ -40,25 +40,32 @@ object Tables {
     batchCache.getOrElseUpdate((spark, s"$sfDir/$name"),
       doLoad(spark, sfDir, name))
 
+  /** The timestamp columns each table is KNOWN to carry — the columns the
+    * encoding-drift normalization below applies to. A long column not in
+    * this list is a genuine long and is never touched.
+    */
+  private val tsColumns: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"),
+    "orders" -> Seq("o_orderdate"),
+    "lineitem" -> Seq("l_shipdate"))
+
   private def doLoad(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    if (name == "events") {
-      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
-      // TIMESTAMP(MICROS) across test-data generations. The reference is
-      // schemaless by construction (`miso-workflow-types/src/value/mod.rs:20`,
-      // per-row type discovery) and shrugs off such encoding drift; our
-      // equivalent armor is to branch on what the file ACTUALLY decodes to,
-      // never on which conf we happened to set. nanosAsLong only affects
-      // TIMESTAMP(NANOS) columns, so setting it is harmless for micros data.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val df = spark.read.parquet(s"$sfDir/$name.parquet")
-      normalizeTs(df)
-    } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
-    }
+    // Timestamp columns have shipped as parquet TIMESTAMP(NANOS) and
+    // TIMESTAMP(MICROS) across test-data generations (events.ts broke a
+    // whole round this way). The reference is schemaless by construction
+    // (`miso-workflow-types/src/value/mod.rs:20`, per-row type discovery)
+    // and shrugs off such encoding drift; our equivalent armor is to
+    // branch on what the file ACTUALLY decodes to, never on which conf we
+    // happened to set. nanosAsLong only affects TIMESTAMP(NANOS) columns,
+    // so setting it is harmless for micros data.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    normalizeTs(spark.read.parquet(s"$sfDir/$name.parquet"),
+      tsColumns.getOrElse(name, Nil))
   }
 
-  /** Normalize the `ts` column to session-TZ TimestampType (micros)
-    * regardless of the parquet physical encoding it was decoded from:
+  /** Normalize each known timestamp column to session-TZ TimestampType
+    * (micros) regardless of the parquet physical encoding it was decoded
+    * from:
     *   - LongType    → nanosAsLong fired on a TIMESTAMP(NANOS) file: floor
     *                   to micros with integer division (`/` would promote to
     *                   double, and epoch nanos ~1.7e18 exceed double's 2^53
@@ -70,15 +77,17 @@ object Tables {
     *                   stored micros, matching how DuckDB reads the file.
     *   - TimestampType → already what downstream `unix_micros` math expects.
     */
-  private def normalizeTs(df: DataFrame): DataFrame = {
+  private def normalizeTs(df: DataFrame, cols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
-    df.schema.find(_.name == "ts").map(_.dataType) match {
-      case Some(LongType) =>
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case Some(TimestampNTZType) =>
-        df.withColumn("ts", col("ts").cast(TimestampType))
-      case _ => df
+    cols.foldLeft(df) { (acc, c) =>
+      acc.schema.find(_.name == c).map(_.dataType) match {
+        case Some(LongType) =>
+          acc.withColumn(c, timestamp_micros(expr(s"`$c` div 1000")))
+        case Some(TimestampNTZType) =>
+          acc.withColumn(c, col(s"`$c`").cast(TimestampType))
+        case _ => acc
+      }
     }
   }
 
@@ -118,18 +127,12 @@ object Tables {
   private def doLoadStream(
       spark: SparkSession, sfDir: String, name: String,
       maxFilesPerTrigger: Int): DataFrame = {
-    if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
-      normalizeTs(
-        spark.readStream.schema(schema)
-          .option("maxFilesPerTrigger", maxFilesPerTrigger)
-          .parquet(s"$sfDir/$name.parquet"))
-    } else {
-      val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sfDir/$name.parquet").schema
+    normalizeTs(
       spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", maxFilesPerTrigger)
-        .parquet(s"$sfDir/$name.parquet")
-    }
+        .parquet(s"$sfDir/$name.parquet"),
+      tsColumns.getOrElse(name, Nil))
   }
 }

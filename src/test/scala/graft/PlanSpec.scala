@@ -211,4 +211,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"),
       s"hash-rank pick must fuse into TakeOrderedAndProject:\n$p")
   }
+
+  test("find pushes its predicate through the union into every scan") {
+    // at 100 TB a find over N tables must stay N narrow filtered scans —
+    // the post-union filter has to split and reach each parquet reader
+    val p = plan("kql_find")
+    assert("PushedFilters: \\[.*(IsNotNull|GreaterThan)".r
+      .findAllIn(p).length >= 2,
+      s"find's predicate must push into both table scans:\n$p")
+    // narrow reads: neither scan should drag unreferenced wide columns
+    assert(!p.contains("o_orderpriority") && !p.contains("event_type"),
+      s"find must prune to the referenced columns:\n$p")
+  }
 }

@@ -78,4 +78,16 @@ class TablesSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.count() > 0)
   }
+
+  test("every known timestamp column normalizes; genuine longs stay long") {
+    for ((t, c) <- Seq("orders" -> "o_orderdate", "lineitem" -> "l_shipdate",
+        "events" -> "ts")) {
+      withClue(s"$t.$c: ") {
+        assert(Tables.load(spark, sf, t).schema(c).dataType === TimestampType)
+      }
+    }
+    // a real long column in a table with a ts column is never touched
+    assert(Tables.load(spark, sf, "orders").schema("o_orderkey").dataType
+      === org.apache.spark.sql.types.LongType)
+  }
 }
