@@ -177,6 +177,13 @@ object Aggregation {
     * under repartitioning. */
   final case class ArgMax(f: FieldPath, ret: FieldPath) extends Aggregation
   final case class ArgMin(f: FieldPath, ret: FieldPath) extends Aggregation
+  /** Multi-return / star forms: `arg_max(f, r1, r2, …)` and
+    * `arg_max(f, *)` (rets empty = every input column except the group
+    * keys). The whole winning row travels as ONE struct through the
+    * aggregate (same total tie rule as [[ArgMax]]) and expands to columns
+    * named after the returns post-aggregation — Kusto's output shape. */
+  final case class ArgExtremeRows(isMax: Boolean, f: FieldPath,
+      rets: Seq[FieldPath]) extends Aggregation
   /** `stdev(f)` / `variance(f)` — sample standard deviation / variance
     * (n−1 denominator, KQL convention); empty/single-row groups → null. */
   final case class Stdev(f: FieldPath) extends Aggregation
@@ -220,6 +227,8 @@ object Aggregation {
     case MakeSet(f)   => s"set_${f.flat}"
     case ArgMax(f, _) => s"max_${f.flat}"
     case ArgMin(f, _) => s"min_${f.flat}"
+    case ArgExtremeRows(isMax, f, _) =>
+      s"${if (isMax) "max" else "min"}_${f.flat}"
     case Stdev(f)     => s"stdev_${f.flat}"
     case Variance(f)  => s"variance_${f.flat}"
     case AggIf(k, f, _) => s"${k}_${f.flat}"

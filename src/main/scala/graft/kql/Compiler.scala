@@ -1810,6 +1810,7 @@ final class Compiler(
         case Aggregation.Variance(f) => Seq(f)
         case Aggregation.ArgMax(f, r) => Seq(f, r)
         case Aggregation.ArgMin(f, r) => Seq(f, r)
+        case Aggregation.ArgExtremeRows(_, f, rets) => f +: rets
         case Aggregation.AggIf(_, f, pred) => f +: fieldRefs(pred)
         case Aggregation.Countif(e) => fieldRefs(e)
         case Aggregation.Count => Nil
@@ -2043,7 +2044,42 @@ final class Compiler(
   }
 
   private def compileSummarize(
-      df: DataFrame, aggs: Seq[AggField], by: Seq[ByField]): DataFrame = {
+      df: DataFrame, aggs0: Seq[AggField], by: Seq[ByField]): DataFrame = {
+    // resolve `arg_max(f, *)` to every input column except the group keys
+    // (Kusto's output shape: by keys once, then the winning row's columns),
+    // and reject output-name collisions up front
+    val aggs = aggs0.map { a =>
+      a.agg match {
+        case Aggregation.ArgExtremeRows(isMax, f, Nil) =>
+          val keyNames = by.map(_.name.toLowerCase).toSet
+          val rets = df.columns.toSeq
+            .filterNot(c => keyNames.contains(c.toLowerCase))
+            .map(c => FieldPath(Seq(FieldAccess(c))))
+          a.copy(agg = Aggregation.ArgExtremeRows(isMax, f, rets))
+        case _ => a
+      }
+    }
+    locally {
+      val out = by.map(_.name) ++ aggs.flatMap(a => a.agg match {
+        case Aggregation.ArgExtremeRows(_, _, rets) => rets.map(_.flat)
+        case _ => Seq(a.name)
+      })
+      val dup = out.groupBy(_.toLowerCase).collectFirst {
+        case (_, vs) if vs.length > 1 => vs.head }
+      dup.foreach(d => throw KqlParseException(
+        s"summarize output column '$d' appears more than once — " +
+          "project the inputs apart first", 0))
+    }
+    val hasMulti = aggs.exists(_.agg.isInstanceOf[Aggregation.ArgExtremeRows])
+    def expand(base: DataFrame): DataFrame =
+      if (!hasMulti) base
+      else base.select(by.map(b => col(s"`${b.name}`")) ++ aggs.flatMap { a =>
+        a.agg match {
+          case Aggregation.ArgExtremeRows(_, _, rets) =>
+            rets.map(r => col(s"`${a.name}`.`${r.flat}`").as(r.flat))
+          case _ => Seq(col(s"`${a.name}`"))
+        }
+      }: _*)
     def isVar(b: ByField): Boolean = infer(df, b.expr) == KT.Var
     // Null group key drops the row (summarize.rs:151-153). For variant
     // keys the reference's Value::Null covers JSON null too, which Spark
@@ -2054,10 +2090,10 @@ final class Compiler(
     }
     val keyed = by.foldLeft(df)((acc, b) => acc.filter(eqKey(b).isNotNull))
     val aggCols = aggs.map(a => aggColumn(df, a.agg).as(a.name))
-    if (by.isEmpty) keyed.agg(aggCols.head, aggCols.tail: _*)
+    if (by.isEmpty) expand(keyed.agg(aggCols.head, aggCols.tail: _*))
     else if (!by.exists(isVar))
-      keyed.groupBy(by.map(b => eqKey(b).as(b.name)): _*)
-        .agg(aggCols.head, aggCols.tail: _*)
+      expand(keyed.groupBy(by.map(b => eqKey(b).as(b.name)): _*)
+        .agg(aggCols.head, aggCols.tail: _*))
     else {
       // variant keys: group by the total-order key struct (value equality
       // under the reference's cross-type order — a variant 1 and 1.0 are
@@ -2070,7 +2106,8 @@ final class Compiler(
         .map(b => first(compile(df, b.expr)).as(b.name))
       val agged = keyed.groupBy(gb: _*)
         .agg((reprs ++ aggCols).head, (reprs ++ aggCols).tail: _*)
-      agged.select(by.map(b => col(b.name)) ++ aggs.map(a => col(a.name)): _*)
+      expand(
+        agged.select(by.map(b => col(b.name)) ++ aggs.map(a => col(a.name)): _*))
     }
   }
 
@@ -2291,6 +2328,17 @@ final class Compiler(
           val k = minmax(f)
           min(when(k.isNotNull, struct(k.as("_k"), ordered(ret).as("_v"))))
             .getField("_v")
+        // multi-return form: the winning row's fields ride in ONE struct
+        // through the same lexicographic extreme (key first, then returns
+        // in listed order — a total tie rule); expansion to named columns
+        // happens in compileSummarize, which also resolves `*`
+        case Aggregation.ArgExtremeRows(isMax, f, rets) =>
+          if (rets.isEmpty) throw KqlParseException(
+            "arg_max/arg_min(…, *) is summarize-only", 0)
+          val k = minmax(f)
+          val payload = struct(rets.map(r => ordered(r).as(r.flat)): _*)
+          val s = when(k.isNotNull, struct(k.as("_k"), payload.as("_v")))
+          (if (isMax) max(s) else min(s)).getField("_v")
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))

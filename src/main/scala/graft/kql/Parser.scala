@@ -908,12 +908,23 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.Percentile(f, p)
       case "make_list" => Aggregation.MakeList(parseFieldPath())
       case "make_set" => Aggregation.MakeSet(parseFieldPath())
-      case "arg_max" =>
+      case k @ ("arg_max" | "arg_min") =>
+        val isMax = k == "arg_max"
         val f = parseFieldPath(); eatPunct(",")
-        Aggregation.ArgMax(f, parseFieldPath())
-      case "arg_min" =>
-        val f = parseFieldPath(); eatPunct(",")
-        Aggregation.ArgMin(f, parseFieldPath())
+        if (atPunct("*")) {
+          p += 1
+          Aggregation.ArgExtremeRows(isMax, f, Nil)
+        } else {
+          val rets = Seq.newBuilder[FieldPath]
+          rets += parseFieldPath()
+          while (tryPunct(",")) rets += parseFieldPath()
+          rets.result() match {
+            case Seq(one) =>
+              if (isMax) Aggregation.ArgMax(f, one)
+              else Aggregation.ArgMin(f, one)
+            case many => Aggregation.ArgExtremeRows(isMax, f, many)
+          }
+        }
       case "stdev" => Aggregation.Stdev(parseFieldPath())
       case "variance" => Aggregation.Variance(parseFieldPath())
       case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif") =>

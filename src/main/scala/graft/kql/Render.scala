@@ -94,6 +94,10 @@ object Render {
     case Aggregation.MakeSet(f) => s"make_set(${f.render})"
     case Aggregation.ArgMax(f, r) => s"arg_max(${f.render}, ${r.render})"
     case Aggregation.ArgMin(f, r) => s"arg_min(${f.render}, ${r.render})"
+    case Aggregation.ArgExtremeRows(isMax, f, rets) =>
+      val fn = if (isMax) "arg_max" else "arg_min"
+      val rs = if (rets.isEmpty) "*" else rets.map(_.render).mkString(", ")
+      s"$fn(${f.render}, $rs)"
     case Aggregation.Stdev(f) => s"stdev(${f.render})"
     case Aggregation.Variance(f) => s"variance(${f.render})"
     case Aggregation.AggIf(k, f, p) => s"$k(${f.render}, ${expr(p)})"

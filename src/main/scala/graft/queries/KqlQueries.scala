@@ -1309,6 +1309,21 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 arg_max(f, *): the whole winning row per group — one struct
+    // through the aggregate, expanded to Kusto's output shape. The oracle
+    // replays the total tie rule (key desc, then every return desc in
+    // column order) with a window rank
+    kq("kql_argmax_star",
+      """events
+        | | summarize arg_max(value, *) by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, event_id, ts, user_id, value, props FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id DESC, ts DESC,
+        |             user_id DESC, props DESC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin),
+
     // round-6 misc scalars: variadic extrema, repeat/zip/scalar-range,
     // set/bag membership — zip exercised through mv-expand so the
     // array-of-arrays shape flattens to oracle-friendly scalars

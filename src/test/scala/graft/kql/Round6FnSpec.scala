@@ -175,6 +175,38 @@ class Round6FnSpec extends AnyFunSuite {
     assert(scalar("bag_has_key(bag_pack('a', 1), 'z')") == false)
   }
 
+  test("arg_max multi-return and star expand the winning row") {
+    val q = """datatable (k: string, a: long, b: long, c: string)
+      [ 'x', 1, 10, 'p', 'x', 5, 20, 'q', 'y', 3, 30, 'r' ]"""
+    val multi = Kql.run(spark, cat,
+      s"$q | summarize arg_max(a, b, c) by k | sort by k asc")
+    assert(multi.columns.toSeq == Seq("k", "b", "c"))
+    assert(multi.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      Seq(("x", 20L, "q"), ("y", 30L, "r")))
+    val star = Kql.run(spark, cat,
+      s"$q | summarize arg_min(a, *) by k | sort by k asc")
+    assert(star.columns.toSeq == Seq("k", "a", "b", "c"))
+    assert(star.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).toSeq ==
+      Seq(("x", 1L, 10L, "p"), ("y", 3L, 30L, "r")))
+    // single-return form is untouched (named output, total tie rule)
+    val one = Kql.run(spark, cat,
+      s"$q | summarize m = arg_max(a, c) by k | sort by k asc")
+    assert(one.columns.toSeq == Seq("k", "m"))
+  }
+
+  test("arg_max output collisions and non-summarize star are rejected") {
+    val q = "datatable (k: string, a: long, b: long) [ 'x', 1, 2 ]"
+    // a star expansion re-emitting the group key collides
+    val e = intercept[KqlParseException](Kql.run(spark, cat,
+      s"$q | summarize arg_max(a, b, b) by k"))
+    assert(e.getMessage.contains("more than once"))
+    val e2 = intercept[KqlParseException](Kql.run(spark, cat,
+      s"$q | make-series m = arg_max(a, *) on a step 1"))
+    assert(e2.getMessage.contains("summarize-only"))
+  }
+
   test("regex trim family removes one anchored match per side") {
     assert(scalar("trim('[^\\\\w]+', '-- hi $')") == "hi")
     assert(scalar("trim_start('[A-Z]+', 'ABCdefABC')") == "defABC")
