@@ -1090,12 +1090,20 @@ final class Compiler(
           val idx = slice(sequence(lit(0), mx), lit(1), mx)
           transform(idx, i => array(arrs.map(a => get(a, i)): _*))
         // scalar range(): inclusive stop, like Kusto (and unlike the
-        // exclusive make-series grid); integral-only surface
+        // exclusive make-series grid); integral-only surface. The guard
+        // matters: Spark's sequence() THROWS on a zero step or a
+        // direction-mismatched step — row-error policy demands null, not
+        // a dead 10-hour job (when() evaluates the branch lazily per row)
         case "range_arr" =>
+          val lo = compile(df, args.head).try_cast(LongType)
+          val hi = compile(df, args(1)).try_cast(LongType)
           val step = args.lift(2).map(a => compile(df, a).try_cast(LongType))
             .getOrElse(lit(1L))
-          sequence(compile(df, args.head).try_cast(LongType),
-            compile(df, args(1)).try_cast(LongType), step)
+          when((step > 0L && lo <= hi) || (step < 0L && lo >= hi),
+            sequence(lo, hi, step))
+            .when(lo.isNotNull && hi.isNotNull &&
+              step.isNotNull && step =!= 0L,
+              array().cast(org.apache.spark.sql.types.ArrayType(LongType)))
         // literal-keyed dynamic object; round-trips through the variant
         // machinery so b.key paths and re-unpack work on the result
         case "bag_pack" =>

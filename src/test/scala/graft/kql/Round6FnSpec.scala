@@ -162,8 +162,15 @@ class Round6FnSpec extends AnyFunSuite {
       Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
     assert(arr("repeat(7, 3)") == Seq(7L, 7L, 7L))
     assert(arr("repeat('x', 0)") == Seq())
+    assert(arr("repeat('x', -2)") == Seq()) // negative count → empty, no throw
+    assert(scalar("strrep('ab', -1)") == "")
     assert(arr("range(2, 8, 3)") == Seq(2L, 5L, 8L)) // inclusive stop
     assert(arr("range(1, 3)") == Seq(1L, 2L, 3L))
+    assert(arr("range(3, 1, -1)") == Seq(3L, 2L, 1L)) // descending
+    // direction mismatch → empty (never a thrown job); zero step → null
+    assert(arr("range(5, 1, 1)") == Seq())
+    assert(scalar("range(1, 5, 0)") == null)
+    assert(scalar("range(toint('x'), 5)") == null)
     assert(arr("zip(pack_array(1, 2), pack_array(7, 8))") ==
       Seq(Seq(1L, 7L), Seq(2L, 8L)))
     // shorter array null-pads to the longest
