@@ -1,0 +1,62 @@
+package graft.functions
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.databind.node.ObjectNode
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Shallow merge of a group's property bags for the `make_bag` aggregate:
+  * input is the group's bag JSON texts ALREADY SORTED (the aggregate wraps
+  * `sort_array(collect_list(...))`), so "first bag wins on key collision"
+  * is a deterministic rule — arbitrary-but-stable under repartitioning and
+  * re-runs, the same policy as take_any/make_set (Kusto leaves the winner
+  * unspecified). Non-object and malformed elements are skipped (Kusto
+  * ignores non-bag values); no bags at all → an empty bag `{}`. Output is
+  * canonical key-sorted JSON, which the caller re-parses to a variant.
+  */
+object MergeBagsUtil {
+  private val mapper = new ObjectMapper()
+
+  def merge(arr: ArrayData): UTF8String = {
+    val out = new java.util.TreeMap[String, com.fasterxml.jackson.databind.JsonNode]()
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        try {
+          mapper.readTree(arr.getUTF8String(i).toString) match {
+            case o: ObjectNode =>
+              val it = o.fields()
+              while (it.hasNext) {
+                val e = it.next()
+                out.putIfAbsent(e.getKey, e.getValue) // first (sorted) wins
+              }
+            case _ => () // non-object: skipped
+          }
+        } catch { case _: Exception => () } // malformed: skipped
+      }
+      i += 1
+    }
+    val node = mapper.createObjectNode()
+    out.forEach((k, v) => node.set[com.fasterxml.jackson.databind.JsonNode](k, v))
+    UTF8String.fromString(mapper.writeValueAsString(node))
+  }
+}
+
+/** Catalyst expression: array of bag JSON texts → merged canonical JSON. */
+case class MergeJsonBags(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(input: Any): Any =
+    MergeBagsUtil.merge(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MergeBagsUtil.merge($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MergeJsonBags =
+    copy(child = newChild)
+}

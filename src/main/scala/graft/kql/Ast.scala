@@ -200,6 +200,12 @@ object Aggregation {
   /** binary_all_and / binary_all_or / binary_all_xor — bitwise aggregate
     * over long values; op ∈ and|or|xor. */
   final case class BinaryAll(op: String, f: FieldPath) extends Aggregation
+  /** make_bag(f) / make_bag_if(f, pred) — shallow merge of the group's
+    * property bags into one. Kusto leaves the collision winner arbitrary;
+    * ours is deterministic: bags merge in canonical JSON-text sort order,
+    * first bag wins each key (stable under repartitioning, like
+    * take_any/make_set). Empty group → `{}`. */
+  final case class MakeBag(f: FieldPath, pred: Option[Expr]) extends Aggregation
   /** hll(col) — mergeable HLL sketch state (binary), the pre-aggregated
     * rollup primitive; hll_merge(col) unions stored sketches. Estimate
     * with the dcount_hll() scalar. */
@@ -225,6 +231,7 @@ object Aggregation {
       s"percentile_${f.flat}_$ps"
     case MakeList(f)  => s"list_${f.flat}"
     case MakeSet(f)   => s"set_${f.flat}"
+    case MakeBag(f, _) => s"bag_${f.flat}"
     case ArgMax(f, _) => s"max_${f.flat}"
     case ArgMin(f, _) => s"min_${f.flat}"
     case ArgExtremeRows(isMax, f, _) =>

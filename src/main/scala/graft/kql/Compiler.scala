@@ -1819,6 +1819,8 @@ final class Compiler(
         case Aggregation.ArgMax(f, r) => Seq(f, r)
         case Aggregation.ArgMin(f, r) => Seq(f, r)
         case Aggregation.ArgExtremeRows(_, f, rets) => f +: rets
+        case Aggregation.MakeBag(f, pred) =>
+          f +: pred.toSeq.flatMap(fieldRefs)
         case Aggregation.AggIf(_, f, pred) => f +: fieldRefs(pred)
         case Aggregation.Countif(e) => fieldRefs(e)
         case Aggregation.Count => Nil
@@ -2347,6 +2349,20 @@ final class Compiler(
           val payload = struct(rets.map(r => ordered(r).as(r.flat)): _*)
           val s = when(k.isNotNull, struct(k.as("_k"), payload.as("_v")))
           (if (isMax) max(s) else min(s)).getField("_v")
+        // make_bag: bag JSON texts → sorted list → one native shallow
+        // merge per group (first sorted bag wins each key — deterministic
+        // where Kusto is arbitrary); result re-parses to a variant so
+        // field paths and bag_* scalars compose
+        case Aggregation.MakeBag(f, pred) => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val bagTxt = compileField(df, f).cast(StringType)
+          val kept = pred match {
+            case Some(p) => when(compileBool(df, p), bagTxt)
+            case None => bagTxt
+          }
+          try_parse_json(column(graft.functions.MergeJsonBags(
+            expression(sort_array(collect_list(kept))))))
+        }
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))

@@ -908,6 +908,10 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.Percentile(f, p)
       case "make_list" => Aggregation.MakeList(parseFieldPath())
       case "make_set" => Aggregation.MakeSet(parseFieldPath())
+      case "make_bag" => Aggregation.MakeBag(parseFieldPath(), None)
+      case "make_bag_if" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.MakeBag(f, Some(parseExpr()))
       case k @ ("arg_max" | "arg_min") =>
         val isMax = k == "arg_max"
         val f = parseFieldPath(); eatPunct(",")

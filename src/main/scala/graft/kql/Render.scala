@@ -94,6 +94,9 @@ object Render {
     case Aggregation.MakeSet(f) => s"make_set(${f.render})"
     case Aggregation.ArgMax(f, r) => s"arg_max(${f.render}, ${r.render})"
     case Aggregation.ArgMin(f, r) => s"arg_min(${f.render}, ${r.render})"
+    case Aggregation.MakeBag(f, None) => s"make_bag(${f.render})"
+    case Aggregation.MakeBag(f, Some(p)) =>
+      s"make_bag_if(${f.render}, ${expr(p)})"
     case Aggregation.ArgExtremeRows(isMax, f, rets) =>
       val fn = if (isMax) "arg_max" else "arg_min"
       val rs = if (rets.isEmpty) "*" else rets.map(_.render).mkString(", ")

@@ -1309,6 +1309,40 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 make_bag / make_bag_if: shallow bag merge per group with the
+    // deterministic first-sorted-bag-wins rule — the oracle replays it
+    // with json_each + arg_min on the bag text
+    kq("kql_makebag",
+      """events
+        | | where event_id < 600
+        | | extend m = event_id - bin(event_id, 3)
+        | | extend b = todynamic(strcat('{"',
+        |     case(m == 0, 'a', m == 1, 'b', 'c'),
+        |     '":', tostring(event_id - bin(event_id, 97)), '}'))
+        | | summarize mb = make_bag(b), mbi = make_bag_if(b, m != 2)
+        |     by u = event_id - bin(event_id, 7)
+        | | project u, s1 = tostring(mb), s2 = tostring(mbi)
+        | | sort by u asc""".stripMargin,
+      """WITH base AS (
+        |  SELECT event_id, event_id % 3 AS m, event_id % 7 AS u,
+        |         event_id % 97 AS v FROM events WHERE event_id < 600),
+        |kv AS (SELECT u, m, bag,
+        |    CASE WHEN m = 0 THEN 'a' WHEN m = 1 THEN 'b' ELSE 'c' END AS k,
+        |    CAST(v AS VARCHAR) AS val
+        |  FROM (SELECT u, m, v,
+        |    '{"' || CASE WHEN m = 0 THEN 'a' WHEN m = 1 THEN 'b'
+        |            ELSE 'c' END || '":' || v || '}' AS bag FROM base) w2),
+        |win  AS (SELECT u, k, arg_min(val, bag) AS val
+        |         FROM kv GROUP BY u, k),
+        |winf AS (SELECT u, k, arg_min(val, bag) AS val
+        |         FROM kv WHERE m != 2 GROUP BY u, k),
+        |a1 AS (SELECT u, '{' || string_agg('"' || k || '":' || val,
+        |         ',' ORDER BY k) || '}' AS s1 FROM win GROUP BY u),
+        |a2 AS (SELECT u, '{' || string_agg('"' || k || '":' || val,
+        |         ',' ORDER BY k) || '}' AS s2 FROM winf GROUP BY u)
+        |SELECT a1.u, a1.s1, COALESCE(a2.s2, '{}') AS s2
+        |FROM a1 LEFT JOIN a2 ON a1.u = a2.u ORDER BY a1.u""".stripMargin),
+
     // round-6 arg_max(f, *): the whole winning row per group — one struct
     // through the aggregate, expanded to Kusto's output shape. The oracle
     // replays the total tie rule (key desc, then every return desc in

@@ -203,6 +203,41 @@ class Round6FnSpec extends AnyFunSuite {
     assert(one.columns.toSeq == Seq("k", "m"))
   }
 
+  test("make_bag merges bags shallowly with a deterministic winner") {
+    val q = """datatable (g: long, j: string) [
+      1, '{"a": 5, "b": 1}', 1, '{"a": 40, "c": 2}', 1, '[9]',
+      2, '{"z": 0}' ]"""
+    val df = Kql.run(spark, cat,
+      s"""$q | extend b = todynamic(j)
+         | | summarize m = make_bag(b) by g
+         | | project g, ms = tostring(m) | sort by g asc""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // key 'a' collides: '{"a":40,…' < '{"a":5,…' in text order → 40 wins;
+    // the non-object [9] is skipped; keys come out sorted
+    assert(got == Seq((1L, """{"a":40,"b":1,"c":2}"""), (2L, """{"z":0}""")))
+  }
+
+  test("make_bag_if filters; all-filtered group yields an empty bag") {
+    val q = """datatable (g: long, j: string) [
+      1, '{"a": 1}', 1, '{"b": 2}', 2, '{"c": 3}' ]"""
+    val df = Kql.run(spark, cat,
+      s"""$q | extend b = todynamic(j)
+         | | summarize m = make_bag_if(b, g == 1) by g
+         | | project g, ms = tostring(m) | sort by g asc""".stripMargin)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((1L, """{"a":1,"b":2}"""), (2L, "{}")))
+  }
+
+  test("make_bag output composes with field paths and bag_keys") {
+    val q = """datatable (g: long, j: string) [ 1, '{"a": 7}' ]"""
+    val df = Kql.run(spark, cat,
+      s"""$q | extend b = todynamic(j)
+         | | summarize m = make_bag(b) by g
+         | | project v = tolong(m.a), ks = strcat_array(bag_keys(m), ',')""".stripMargin)
+    val r = df.collect()(0)
+    assert(r.getLong(0) == 7L && r.getString(1) == "a")
+  }
+
   test("arg_max output collisions and non-summarize star are rejected") {
     val q = "datatable (k: string, a: long, b: long) [ 'x', 1, 2 ]"
     // a star expansion re-emitting the group key collides
