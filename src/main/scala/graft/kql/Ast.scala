@@ -134,6 +134,11 @@ object Expr {
     * included). One bounded single-value driver fetch per distinct
     * subquery, memoized within a compilation. */
   final case class ToScalar(q: Query) extends Expr
+  /** `column_ifexists(name, default)` — the column when the input schema
+    * has it (case-insensitive), else the default expression. Resolution
+    * is per compile site, so the same query text survives schema drift —
+    * Kusto's tool for heterogeneous tables. */
+  final case class ColumnIfExists(name: String, dflt: Expr) extends Expr
 }
 
 sealed trait SortOrder

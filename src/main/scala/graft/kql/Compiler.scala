@@ -187,8 +187,13 @@ final class Compiler(
       case "langid" => KT.Str
       case _ => KT.Int // tokencount / simhash / fingerprint
     }
+    case ColumnIfExists(n, d) =>
+      if (df.columns.exists(_.equalsIgnoreCase(n)))
+        fieldType(df, FieldPath(Seq(FieldAccess(n))))
+      else infer(df, d)
     case StrFn(name, _) => name match {
-      case "strlen" | "countof" | "hash" | "parse_ipv4" => KT.Int
+      case "strlen" | "countof" | "hash" | "parse_ipv4" |
+           "parse_version" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "extract_all" => KT.Arr
       case _ => KT.Str
@@ -522,6 +527,12 @@ final class Compiler(
 
     case Exists(x) => compile(df, x).isNotNull
 
+    case ColumnIfExists(n, d) =>
+      df.columns.find(_.equalsIgnoreCase(n)) match {
+        case Some(actual) => col(s"`$actual`")
+        case None => compile(df, d)
+      }
+
     case StrCat(args) => concat(args.map(a => compile(df, a).cast(StringType)): _*)
 
     // text-pipeline scalars (beyond the reference's closed function set):
@@ -643,6 +654,24 @@ final class Compiler(
         case "hash" =>
           val h = xxhash64(cs.head)
           if (cs.length == 2) pmod(h, cs(1).try_cast(LongType)) else h
+        // parse_version: up to four dot-separated numeric parts packed
+        // into one comparable long (part·10^12 + 10^8 + 10^4 + 1; missing
+        // parts are 0) — parts cap at 9999 (Kusto's decimal packing
+        // allows 8 digits; a narrower cap that fits a long, documented).
+        // Same split+arithmetic shape as parse_ipv4, oracle-replayable
+        case "parse_version" =>
+          val p = split(cs.head.cast(StringType), "\\.")
+          def part(i: Int): Column =
+            try_element_at(p, lit(i)).try_cast(LongType)
+          def ok(i: Int): Column =
+            (size(p) < i) || (part(i).isNotNull && part(i).between(0L, 9999L))
+          val valid = size(p).between(1, 4) &&
+            ok(1) && ok(2) && ok(3) && ok(4)
+          when(valid,
+            coalesce(part(1), lit(0L)) * 1000000000000L +
+              coalesce(part(2), lit(0L)) * 100000000L +
+              coalesce(part(3), lit(0L)) * 10000L +
+              coalesce(part(4), lit(0L)))
         case "tohex" => lower(hex(cs.head.try_cast(LongType)))
         case "base64_encode_tostring" => base64(cs.head.cast(BinaryType))
         case "base64_decode_tostring" => unbase64(cs.head.cast(StringType))

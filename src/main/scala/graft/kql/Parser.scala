@@ -1236,6 +1236,7 @@ final class Parser(src: String, nowMicros: Long) {
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
     "repeat", "zip", "range", "set_has_element", "bag_has_key",
+    "parse_version", "column_ifexists",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1400,6 +1401,21 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 1 || a.length == 2, "hash() takes (value[, mod])")
         StrFn("hash", a)
+      case "parse_version" =>
+        val a = args(); arity(a.length == 1, "parse_version() takes 1 arg")
+        StrFn("parse_version", a)
+      case "column_ifexists" =>
+        val a = args()
+        arity(a.length == 2,
+          "column_ifexists() takes (column_name, default)")
+        val nm = a.head match {
+          case StrLit(s) => s
+          case Field(fp) if fp.isSimple => fp.simpleName
+          case LetRef(fp, _) if fp.isSimple => fp.simpleName
+          case _ => fail(
+            "column_ifexists() column name must be an identifier or string literal")
+        }
+        ColumnIfExists(nm, a(1))
       case "substring" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

@@ -55,6 +55,7 @@ object Render {
     case ArrFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case WinFn(name, args) => s"$name(${args.map(expr).mkString(", ")})"
     case BinAt(x, w, a) => s"bin_at(${expr(x)}, ${expr(w)}, ${expr(a)})"
+    case ColumnIfExists(n, d) => s"column_ifexists($n, ${expr(d)})"
   }
 
   private def paren(e: Expr): String = e match {

@@ -1309,6 +1309,25 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 parse_version + column_ifexists: version packing arithmetic
+    // replayed in SQL; column_ifexists resolves `value` (present) and
+    // falls back for a column no table has
+    kq("kql_verfns",
+      """events
+        | | where event_id < 300
+        | | extend ver = strcat(tostring(event_id - bin(event_id, 4)), '.',
+        |     tostring(event_id - bin(event_id, 11)),
+        |     iff(event_id - bin(event_id, 2) == 0, '.7', ''))
+        | | project event_id, pv = parse_version(ver),
+        |     c1 = column_ifexists('value', -1.0),
+        |     c2 = column_ifexists('nosuch', 'dflt')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  (event_id % 4) * 1000000000000 + (event_id % 11) * 100000000
+        |    + CASE WHEN event_id % 2 = 0 THEN 7 * 10000 ELSE 0 END AS pv,
+        |  value AS c1, 'dflt' AS c2
+        |FROM events WHERE event_id < 300 ORDER BY event_id""".stripMargin),
+
     // round-6 make_bag / make_bag_if: shallow bag merge per group with the
     // deterministic first-sorted-bag-wins rule — the oracle replays it
     // with json_each + arg_min on the bag text

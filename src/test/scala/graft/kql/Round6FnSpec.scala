@@ -203,6 +203,27 @@ class Round6FnSpec extends AnyFunSuite {
     assert(one.columns.toSeq == Seq("k", "m"))
   }
 
+  test("parse_version packs up to four parts into a comparable long") {
+    assert(scalar("parse_version('1.2.3.4')") == 1000200030004L)
+    assert(scalar("parse_version('1.2')") == 1000200000000L) // missing → 0
+    assert(scalar("parse_version('10')") == 10000000000000L)
+    // ordering: 1.10.0 > 1.9.3
+    assert(scalar("parse_version('1.10.0') > parse_version('1.9.3')") == true)
+    assert(scalar("parse_version('1.2.3.4.5')") == null) // five parts
+    assert(scalar("parse_version('1.x')") == null)
+    assert(scalar("parse_version('')") == null)
+    assert(scalar("parse_version('1.10000')") == null) // part > 9999
+  }
+
+  test("column_ifexists resolves against the schema, else the default") {
+    assert(scalar("column_ifexists(one, -5)") == 1L)     // t1 has `one`
+    assert(scalar("column_ifexists('one', -5)") == 1L)   // string form
+    assert(scalar("column_ifexists(nosuch, -5)") == -5L)
+    assert(scalar("column_ifexists('nosuch', 'd')") == "d")
+    // composes inside expressions
+    assert(scalar("column_ifexists(nosuch, 2) + column_ifexists(one, 0)") == 3L)
+  }
+
   test("make_bag merges bags shallowly with a deterministic winner") {
     val q = """datatable (g: long, j: string) [
       1, '{"a": 5, "b": 1}', 1, '{"a": 40, "c": 2}', 1, '[9]',
