@@ -474,6 +474,11 @@ object QueryStep {
     * directive, accepted and ignored (rows pass through untouched) so
     * dashboard-tail queries run as-is. The kind is kept for explain. */
   final case class RenderHint(kind: String) extends QueryStep
+  /** `evaluate narrow()` — transposes each row into (Row, Column, Value)
+    * triples, every value rendered as a string: the interactive
+    * wide-row-exploration plugin. Requires a serialized input (the Row
+    * index needs a total order), like the window scalars. */
+  case object Narrow extends QueryStep
   /** Kusto `find in (T1, T2, …) where pred [project …]` — cross-table
     * predicate search: tables union by name (a column missing from one
     * table reads as null there, Kusto's rule), `source_` tags the origin.

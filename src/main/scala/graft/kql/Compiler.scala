@@ -1409,6 +1409,27 @@ final class Compiler(
       asBound(name) = df
       df
 
+    // narrow: one (Row, Column, Value) triple per cell, values rendered
+    // as strings. Serialized contract like the window scalars — the Row
+    // index is a total order, so this is a single-partition window by
+    // design (narrow is an interactive small-result explorer; a
+    // data-scale transpose is mv-expand territory)
+    case QueryStep.Narrow =>
+      import org.apache.spark.sql.expressions.Window
+      val keys = serialOrder.getOrElse(throw KqlParseException(
+        "narrow() requires a serialized input — add a 'sort by' first", 0))
+      for (clash <- Seq("Row", "Column", "Value").find(n =>
+        df.columns.exists(_.equalsIgnoreCase(n))))
+        throw KqlParseException(
+          s"narrow() output column '$clash' collides with an input column", 0)
+      val w = Window.orderBy(keys.map(k => sortCol(df, k)): _*)
+      val cells = array(df.columns.map(c =>
+        struct(lit(c).as("c"), col(s"`$c`").cast(StringType).as("v"))): _*)
+      df.withColumn("__nrow", row_number().over(w).cast(LongType) - lit(1L))
+        .select(col("__nrow").as("Row"), explode(cells).as("__cell"))
+        .select(col("Row"), col("__cell.c").as("Column"),
+          col("__cell.v").as("Value"))
+
     // find: union the tables by name (missing columns null-fill — the
     // Kusto rule for heterogeneous schemas), tag `source_`, filter, and
     // keep the referenced (or projected) columns. One narrow pass per

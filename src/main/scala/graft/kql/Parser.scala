@@ -539,8 +539,13 @@ final class Parser(src: String, nowMicros: Long) {
       eatPunct(")")
       return QueryStep.BagUnpack(f, prefix)
     }
+    if (plugin == "narrow") {
+      eatPunct("("); eatPunct(")")
+      return QueryStep.Narrow
+    }
     if (plugin != "pivot")
-      fail(s"unknown evaluate plugin '$plugin' (supported: pivot, bag_unpack)")
+      fail(s"unknown evaluate plugin '$plugin' " +
+        "(supported: pivot, bag_unpack, narrow)")
     eatPunct("(")
     val col = parseFieldPath()
     eatPunct(",")

@@ -1309,6 +1309,27 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 evaluate narrow(): wide-row transposition to
+    // (Row, Column, Value) string triples over a serialized prefix
+    kq("kql_narrow",
+      """events
+        | | where event_id < 10
+        | | project event_id, event_type, user_id
+        | | sort by event_id asc
+        | | evaluate narrow()
+        | | sort by Row asc, Column asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, event_type, user_id,
+        |         row_number() OVER (ORDER BY event_id) - 1 AS r
+        |  FROM events WHERE event_id < 10)
+        |SELECT r AS "Row", c AS "Column", v AS "Value" FROM (
+        |  SELECT r, 'event_id' AS c, CAST(event_id AS VARCHAR) AS v FROM e
+        |  UNION ALL
+        |  SELECT r, 'event_type', event_type FROM e
+        |  UNION ALL
+        |  SELECT r, 'user_id', CAST(user_id AS VARCHAR) FROM e) t
+        |ORDER BY "Row", "Column"""".stripMargin),
+
     // round-6 parse_version + column_ifexists: version packing arithmetic
     // replayed in SQL; column_ifexists resolves `value` (present) and
     // falls back for a column no table has

@@ -259,6 +259,20 @@ class Round6FnSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "a")
   }
 
+  test("evaluate narrow() transposes rows into (Row, Column, Value)") {
+    val q = """datatable (a: long, s: string) [ 1, 'x', 2, 'y' ]"""
+    val df = Kql.run(spark, cat,
+      s"$q | sort by a asc | evaluate narrow() | sort by Row asc, Column asc")
+    assert(df.columns.toSeq == Seq("Row", "Column", "Value"))
+    assert(df.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getString(2))).toSeq ==
+      Seq((0L, "a", "1"), (0L, "s", "x"), (1L, "a", "2"), (1L, "s", "y")))
+    // unserialized input is rejected loudly
+    val e = intercept[KqlParseException](Kql.run(spark, cat,
+      s"$q | evaluate narrow()"))
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("arg_max output collisions and non-summarize star are rejected") {
     val q = "datatable (k: string, a: long, b: long) [ 'x', 1, 2 ]"
     // a star expansion re-emitting the group key collides
