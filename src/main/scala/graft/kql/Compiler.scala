@@ -196,6 +196,7 @@ final class Compiler(
            "parse_version" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "extract_all" => KT.Arr
+      case "parse_url" => KT.Var
       case _ => KT.Str
     }
     case BinAt(x, _, _) => infer(df, x)
@@ -654,6 +655,38 @@ final class Compiler(
         case "hash" =>
           val h = xxhash64(cs.head)
           if (cs.length == 2) pmod(h, cs(1).try_cast(LongType)) else h
+        // parse_url: component bag with Kusto's key names (missing parts
+        // are empty strings, Kusto's shape; query parameters nest as
+        // their own bag). Composed from Spark's codegen'd parse_url parts
+        // and re-parsed to a variant so field paths / bag_* compose
+        case "parse_url" =>
+          val u = cs.head.cast(StringType)
+          def piece(p: String): Column =
+            coalesce(parse_url(u, lit(p)), lit(""))
+          val userinfo = parse_url(u, lit("USERINFO"))
+          val user = coalesce(substring_index(userinfo, ":", 1), lit(""))
+          val pass = coalesce(
+            when(userinfo.contains(":"),
+              substring_index(userinfo, ":", -1)), lit(""))
+          val query = piece("QUERY")
+          val qmap = when(length(query) > 0,
+            str_to_map(query, lit("&"), lit("=")))
+            .otherwise(map())
+          // Spark's parse_url has no PORT part — a trailing :digits on
+          // the authority is the port (the userinfo's ':' can't match,
+          // the pattern is end-anchored and numeric)
+          val port = coalesce(
+            regexp_extract(parse_url(u, lit("AUTHORITY")),
+              ":(\\d+)$", 1), lit(""))
+          try_parse_json(to_json(struct(
+            piece("PROTOCOL").as("Scheme"),
+            piece("HOST").as("Host"),
+            port.as("Port"),
+            piece("PATH").as("Path"),
+            user.as("Username"),
+            pass.as("Password"),
+            qmap.as("Query Parameters"),
+            piece("REF").as("Fragment"))))
         // parse_version: up to four dot-separated numeric parts packed
         // into one comparable long (part·10^12 + 10^8 + 10^4 + 1; missing
         // parts are 0) — parts cap at 9999 (Kusto's decimal packing

@@ -1241,7 +1241,7 @@ final class Parser(src: String, nowMicros: Long) {
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
     "repeat", "zip", "range", "set_has_element", "bag_has_key",
-    "parse_version", "column_ifexists",
+    "parse_version", "column_ifexists", "parse_url",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1409,6 +1409,9 @@ final class Parser(src: String, nowMicros: Long) {
       case "parse_version" =>
         val a = args(); arity(a.length == 1, "parse_version() takes 1 arg")
         StrFn("parse_version", a)
+      case "parse_url" =>
+        val a = args(); arity(a.length == 1, "parse_url() takes 1 arg")
+        StrFn("parse_url", a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,

@@ -1309,6 +1309,31 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 parse_url: component bag over synthesized URLs — the
+    // oracle rebuilds the canonical (key-sorted) JSON text directly from
+    // the same components
+    kq("kql_parseurl",
+      """events
+        | | where event_id < 400
+        | | extend h = event_id - bin(event_id, 5),
+        |          m = event_id - bin(event_id, 3),
+        |          k = event_id - bin(event_id, 13)
+        | | extend url = strcat('https://usr', tostring(h), ':pw@www.ex',
+        |     tostring(h), '.com', iff(m == 0, ':8080', ''), '/p/',
+        |     tostring(m), '?a=', tostring(k), '&b=2#f', tostring(h))
+        | | project event_id, pu = tostring(parse_url(url))
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  '{"Fragment":"f' || h || '","Host":"www.ex' || h ||
+        |  '.com","Password":"pw","Path":"/p/' || m || '","Port":"' ||
+        |  CASE WHEN m = 0 THEN '8080' ELSE '' END ||
+        |  '","Query Parameters":{"a":"' || k ||
+        |  '","b":"2"},"Scheme":"https","Username":"usr' || h || '"}' AS pu
+        |FROM (SELECT event_id, event_id % 5 AS h, event_id % 3 AS m,
+        |             event_id % 13 AS k
+        |      FROM events WHERE event_id < 400) t
+        |ORDER BY event_id""".stripMargin),
+
     // round-6 evaluate narrow(): wide-row transposition to
     // (Row, Column, Value) string triples over a serialized prefix
     kq("kql_narrow",

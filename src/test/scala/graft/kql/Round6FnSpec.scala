@@ -259,6 +259,30 @@ class Round6FnSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "a")
   }
 
+  test("parse_url decomposes into Kusto's component bag") {
+    val s = String.valueOf(scalar(
+      "tostring(parse_url('https://u:pw@www.ex.com:8080/a/b?x=1&y=2#frag'))"))
+    assert(s ==
+      """{"Fragment":"frag","Host":"www.ex.com","Password":"pw",""" +
+      """"Path":"/a/b","Port":"8080",""" +
+      """"Query Parameters":{"x":"1","y":"2"},""" +
+      """"Scheme":"https","Username":"u"}""")
+    // missing components are empty strings; no query → empty bag
+    val s2 = String.valueOf(scalar(
+      "tostring(parse_url('http://h.io/p'))"))
+    assert(s2 ==
+      """{"Fragment":"","Host":"h.io","Password":"","Path":"/p",""" +
+      """"Port":"","Query Parameters":{},"Scheme":"http","Username":""}""")
+    // the result is a real variant: field paths and bag_keys compose
+    val comp = Kql.run(spark, cat,
+      """t1 | extend b = parse_url('https://h/p?k=7')
+        | | project sch = tostring(b.Scheme),
+        |     ks = strcat_array(bag_keys(b), '|')""".stripMargin).collect()(0)
+    assert(comp.getString(0) == "https")
+    assert(comp.getString(1) ==
+      "Fragment|Host|Password|Path|Port|Query Parameters|Scheme|Username")
+  }
+
   test("evaluate narrow() transposes rows into (Row, Column, Value)") {
     val q = """datatable (a: long, s: string) [ 1, 'x', 2, 'y' ]"""
     val df = Kql.run(spark, cat,
