@@ -234,7 +234,9 @@ final class Compiler(
           "array_rotate_left" | "array_rotate_right" | "array_iff" => KT.Arr
       case "array_sum" => KT.Float
       case "series_add" | "series_subtract" | "series_multiply" |
-          "series_divide" | "series_abs" | "series_fir" => KT.Arr
+          "series_divide" | "series_abs" | "series_fir" |
+          "series_fill_const" | "series_fill_forward" |
+          "series_fill_backward" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" => KT.Var
@@ -1052,6 +1054,26 @@ final class Compiler(
             (x, y) => x.cast(DoubleType) / y.cast(DoubleType))
         case "series_abs" =>
           transform(compile(df, args.head), e => abs(e))
+        // series fills: nulls replaced by a constant / the nearest
+        // non-null neighbor. Forward/backward look up the neighbor with
+        // a slice+filter per element — O(bins²) HOF evaluation, fine by
+        // construction (a series is one make-series row's bins, not the
+        // corpus); coalesce keeps the lookup lazy for non-null elements
+        case "series_fill_const" =>
+          val cv = compile(df, args(1))
+          transform(compile(df, args.head), e => coalesce(e, cv))
+        case "series_fill_forward" =>
+          val arr = compile(df, args.head)
+          transform(arr, (e, i) => coalesce(e,
+            try_element_at(
+              filter(slice(arr, lit(1), i + 1), x => x.isNotNull),
+              lit(-1))))
+        case "series_fill_backward" =>
+          val arr = compile(df, args.head)
+          transform(arr, (e, i) => coalesce(e,
+            try_element_at(
+              filter(slice(arr, i + 1, size(arr) - i), x => x.isNotNull),
+              lit(1))))
         // scalar reducers over a series; sum/avg in double (KQL sum rule),
         // min/max keep the element type
         case "series_sum" =>

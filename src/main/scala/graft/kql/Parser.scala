@@ -1248,6 +1248,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
     "series_fir", "dcount_hll", "series_stats_dynamic",
+    "series_fill_const", "series_fill_forward", "series_fill_backward",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -1520,9 +1521,15 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args(); arity(a.length == 2, s"$f() takes 2 series")
         ArrFn(f, a)
       case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
-          "series_avg" | "series_stats_dynamic") =>
+          "series_avg" | "series_stats_dynamic" | "series_fill_forward" |
+          "series_fill_backward") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
         ArrFn(f, a)
+      case "series_fill_const" =>
+        val a = args()
+        arity(a.length == 2,
+          "series_fill_const() takes (series, fill_value)")
+        ArrFn("series_fill_const", a)
       case "dcount_hll" =>
         val a = args(); arity(a.length == 1, "dcount_hll() takes 1 sketch")
         ArrFn("dcount_hll", a)

@@ -1309,6 +1309,37 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 series fills: one null injected at position m∈{0,1,2} (or
+    // none) — the oracle enumerates the per-position fill outcomes
+    kq("kql_seriesfill",
+      """events
+        | | where event_id < 500
+        | | extend m = event_id - bin(event_id, 6)
+        | | extend a = pack_array(iff(m == 0, tolong(''), event_id),
+        |                         iff(m == 1, tolong(''), event_id + 1),
+        |                         iff(m == 2, tolong(''), event_id + 2))
+        | | project event_id,
+        |     ff = strcat_array(series_fill_const(series_fill_forward(a), -9), ','),
+        |     bf = strcat_array(series_fill_const(series_fill_backward(a), -9), ','),
+        |     cf = strcat_array(series_fill_const(a, 0), ',')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CASE m WHEN 0 THEN '-9,' || (e+1) || ',' || (e+2)
+        |         WHEN 1 THEN e || ',' || e || ',' || (e+2)
+        |         WHEN 2 THEN e || ',' || (e+1) || ',' || (e+1)
+        |         ELSE e || ',' || (e+1) || ',' || (e+2) END AS ff,
+        |  CASE m WHEN 0 THEN (e+1) || ',' || (e+1) || ',' || (e+2)
+        |         WHEN 1 THEN e || ',' || (e+2) || ',' || (e+2)
+        |         WHEN 2 THEN e || ',' || (e+1) || ',-9'
+        |         ELSE e || ',' || (e+1) || ',' || (e+2) END AS bf,
+        |  CASE m WHEN 0 THEN '0,' || (e+1) || ',' || (e+2)
+        |         WHEN 1 THEN e || ',0,' || (e+2)
+        |         WHEN 2 THEN e || ',' || (e+1) || ',0'
+        |         ELSE e || ',' || (e+1) || ',' || (e+2) END AS cf
+        |FROM (SELECT event_id, event_id AS e, event_id % 6 AS m
+        |      FROM events WHERE event_id < 500) t
+        |ORDER BY event_id""".stripMargin),
+
     // round-6 parse_url: component bag over synthesized URLs — the
     // oracle rebuilds the canonical (key-sorted) JSON text directly from
     // the same components

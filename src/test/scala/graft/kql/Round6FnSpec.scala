@@ -259,6 +259,23 @@ class Round6FnSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "a")
   }
 
+  test("series fills: const, forward, backward") {
+    def arr(e: String): Seq[Any] =
+      Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
+    val s = "pack_array(tolong(''), 1, tolong(''), tolong(''), 4, tolong(''))"
+    assert(arr(s"series_fill_const($s, -1)") ==
+      Seq(-1L, 1L, -1L, -1L, 4L, -1L))
+    // forward: leading nulls stay (nothing before); runs carry the last
+    assert(arr(s"series_fill_forward($s)") ==
+      Seq(null, 1L, 1L, 1L, 4L, 4L))
+    // backward: trailing nulls stay; runs take the next
+    assert(arr(s"series_fill_backward($s)") ==
+      Seq(1L, 1L, 4L, 4L, 4L, null))
+    // composition closes every gap deterministically
+    assert(arr(s"series_fill_const(series_fill_forward($s), -1)") ==
+      Seq(-1L, 1L, 1L, 1L, 4L, 4L))
+  }
+
   test("parse_url decomposes into Kusto's component bag") {
     val s = String.valueOf(scalar(
       "tostring(parse_url('https://u:pw@www.ex.com:8080/a/b?x=1&y=2#frag'))"))
