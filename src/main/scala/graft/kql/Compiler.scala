@@ -180,6 +180,8 @@ final class Compiler(
       case "toint" | "tolong" => KT.Int
       case "toreal" | "todouble" | "todecimal" => KT.Float
       case "tobool" | "toboolean" => KT.Bool
+      case "todatetime" => KT.Ts
+      case "totimespan" => KT.Span
       case "todynamic" => KT.Var
     }
     case StrCat(_) => KT.Str
@@ -522,7 +524,36 @@ final class Compiler(
         case "toreal" | "todouble" | "todecimal" =>
           counted(xc.try_cast(DoubleType), xc)
         case "tobool" | "toboolean" => counted(xc.try_cast(BooleanType), xc)
-        // parse a JSON string into a variant: malformed input → null
+        case "todatetime" => counted(xc.try_cast(TimestampType), xc)
+        // totimespan: Kusto timespan text → long micros (this engine's
+        // timespan carrier). Accepted forms, all regex-arithmetic so the
+        // oracle replays them: "[d.]hh:mm:ss[.fff]" and "<n><unit>" with
+        // unit ∈ d h m s ms (the literal suffixes); a plain numeric means
+        // DAYS (Kusto's rule). Malformed → null (row-error policy)
+        case "totimespan" =>
+          val s0 = trim(xc.cast(StringType))
+          def re(g: Int): Column =
+            regexp_extract(s0, "^(?:(\\d+)\\.)?(\\d+):(\\d+):(\\d+(?:\\.\\d+)?)$", g)
+          val clock =
+            when(s0.rlike("^(?:\\d+\\.)?\\d+:\\d+:\\d+(?:\\.\\d+)?$"),
+              (coalesce(re(1).try_cast(LongType), lit(0L)) * 86400000000L) +
+                re(2).try_cast(LongType) * 3600000000L +
+                re(3).try_cast(LongType) * 60000000L +
+                (re(4).try_cast(DoubleType) * 1e6).cast(LongType))
+          val unitVal = regexp_extract(s0, "^(\\d+(?:\\.\\d+)?)(d|h|m|s|ms)$", 1)
+            .try_cast(DoubleType)
+          val unit = regexp_extract(s0, "^(\\d+(?:\\.\\d+)?)(d|h|m|s|ms)$", 2)
+          val unitMicros = when(unit === "d", 86400000000L)
+            .when(unit === "h", 3600000000L).when(unit === "m", 60000000L)
+            .when(unit === "s", 1000000L).when(unit === "ms", 1000L)
+          val suffixed = when(unitMicros.isNotNull && unitVal.isNotNull,
+            (unitVal * unitMicros).cast(LongType))
+          val plainDays = (s0.try_cast(DoubleType) * 86400000000L)
+            .cast(LongType)
+          // a value that is ALREADY a timespan passes through; numeric
+          // input (and numeric text) means days, Kusto's rule
+          if (infer(df, x) == KT.Span) xc
+          else counted(coalesce(clock, suffixed, plainDays), xc)
         // (row-error-drop policy), and the result flows through the same
         // variant field-path/truthiness machinery as native variant columns
         case "todynamic" => counted(try_parse_json(xc.cast(StringType)), xc)

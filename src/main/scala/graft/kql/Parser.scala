@@ -1221,6 +1221,7 @@ final class Parser(src: String, nowMicros: Long) {
     "toscalar",
     "ago", "datetime", "strcat", "tostring", "toint", "tolong", "toreal",
     "todouble", "todecimal", "tobool", "toboolean",
+    "todatetime", "totimespan",
     "tokencount", "simhash", "fingerprint", "langid",
     "strlen", "tolower", "toupper", "trim", "substring", "replace_string",
     "startofday", "startofhour", "hourofday", "dayofmonth", "monthofyear",
@@ -1643,6 +1644,9 @@ final class Parser(src: String, nowMicros: Long) {
         BinAt(a(0), a(1), a(2))
       case c @ ("tostring" | "toint" | "tolong" | "toreal" | "todouble" |
                 "todecimal" | "tobool" | "toboolean") =>
+        val a = args(); arity(a.length == 1, s"$c() takes 1 arg")
+        Cast(c, a.head)
+      case c @ ("todatetime" | "totimespan") =>
         val a = args(); arity(a.length == 1, s"$c() takes 1 arg")
         Cast(c, a.head)
       case c @ ("todynamic" | "parse_json") =>

@@ -1309,6 +1309,28 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 todatetime/totimespan casts: datetime text parse and the
+    // clock-form timespan, verified through timespan division
+    kq("kql_tscasts",
+      """events
+        | | where event_id < 400
+        | | extend m = event_id - bin(event_id, 4),
+        |          dd = event_id - bin(event_id, 9)
+        | | project event_id,
+        |     d = todatetime(strcat('2024-0', tostring(m + 1), '-1',
+        |           tostring(dd), ' 0', tostring(m), ':15:00')),
+        |     sp = totimespan(strcat(tostring(m), ':30:00')) / 1m,
+        |     bad = todatetime('never')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CAST('2024-0' || (m + 1) || '-1' || dd || ' 0' || m || ':15:00'
+        |       AS TIMESTAMP) AS d,
+        |  CAST(m * 60 + 30 AS DOUBLE) AS sp,
+        |  CAST(NULL AS TIMESTAMP) AS bad
+        |FROM (SELECT event_id, event_id % 4 AS m, event_id % 9 AS dd
+        |      FROM events WHERE event_id < 400) t
+        |ORDER BY event_id""".stripMargin),
+
     // round-6 series fills: one null injected at position m∈{0,1,2} (or
     // none) — the oracle enumerates the per-position fill outcomes
     kq("kql_seriesfill",

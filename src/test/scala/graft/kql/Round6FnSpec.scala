@@ -259,6 +259,27 @@ class Round6FnSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "a")
   }
 
+  test("todatetime and totimespan casts") {
+    assert(String.valueOf(scalar(
+      "tostring(todatetime('2024-02-29 10:30:00'))"))
+      .startsWith("2024-02-29 10:30:00"))
+    assert(scalar("todatetime('not a date')") == null)
+    // timespan text forms → micros-backed timespan; render via division
+    assert(scalar("totimespan('01:30:00') / 1m") == 90.0)
+    assert(scalar("totimespan('1.02:00:00') / 1h") == 26.0)
+    assert(scalar("totimespan('00:00:01.5') / 1ms") == 1500.0)
+    assert(scalar("totimespan('90m') / 1h") == 1.5)
+    assert(scalar("totimespan('2d') / 1d") == 2.0)
+    assert(scalar("totimespan('1.5') / 1d") == 1.5) // plain numeric = days
+    assert(scalar("totimespan('junk')") == null)
+    // an existing timespan passes through unchanged
+    assert(scalar("totimespan(1h) / 1m") == 60.0)
+    // the result composes with datetime arithmetic
+    assert(String.valueOf(scalar(
+      "tostring(todatetime('2024-01-01') + totimespan('1.00:00:00'))"))
+      .startsWith("2024-01-02 00:00:00"))
+  }
+
   test("series fills: const, forward, backward") {
     def arr(e: String): Seq[Any] =
       Kql.run(spark, cat, s"t1 | project r = $e").collect()(0).getSeq[Any](0)
