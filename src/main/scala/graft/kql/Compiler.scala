@@ -245,7 +245,7 @@ final class Compiler(
       case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
-      case "row_number" => KT.Int
+      case "row_number" | "row_rank_dense" | "row_rank_min" => KT.Int
       case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
     }
     case ToScalar(q) => toScalarValue(q) match {
@@ -1276,6 +1276,21 @@ final class Compiler(
         case "row_cumsum" =>
           sum(compile(df, args.head))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        // run-based ranks over the SERIALIZED order (Kusto: the input is
+        // expected sorted by the term; the functions rank equal-value
+        // RUNS): dense = 1 + count of value changes so far; min = the
+        // row number where the current run started
+        case "row_rank_dense" | "row_rank_min" =>
+          val c = compile(df, args.head)
+          val changed = when(lag(c, 1).over(w).isNull ||
+            lag(c, 1).over(w) =!= c, 1L).otherwise(0L)
+          val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          if (name == "row_rank_dense")
+            sum(changed).over(frame).cast(LongType)
+          else {
+            val rn = row_number().over(w).cast(LongType)
+            max(when(changed === 1L, rn)).over(frame).cast(LongType)
+          }
       }
   }
 

@@ -1231,6 +1231,7 @@ final class Parser(src: String, nowMicros: Long) {
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
+    "row_rank_dense", "row_rank_min",
     "countof", "extract_all", "bin_at", "tohex",
     "base64_encode_tostring", "base64_decode_tostring",
     "todynamic", "parse_json",
@@ -1623,6 +1624,9 @@ final class Parser(src: String, nowMicros: Long) {
       case "row_cumsum" =>
         val a = args(); arity(a.length == 1, "row_cumsum() takes 1 arg")
         WinFn("row_cumsum", a)
+      case f @ ("row_rank_dense" | "row_rank_min") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 term")
+        WinFn(f, a)
       case "countof" =>
         val a = args(); arity(a.length == 2, "countof() takes (source, search)")
         // an empty search would divide 0/0 in the replace-length lowering

@@ -1309,6 +1309,30 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 run-based serialized ranks — the oracle replays the same
+    // change-counting windows over the identical total order
+    kq("kql_rowrank",
+      """events
+        | | where event_id < 2000
+        | | sort by event_type asc, event_id asc
+        | | extend d = row_rank_dense(event_type), m = row_rank_min(event_type)
+        | | project event_id, event_type, d, m
+        | | sort by event_id asc""".stripMargin,
+      """WITH s AS (
+        |  SELECT event_id, event_type,
+        |    row_number() OVER (ORDER BY event_type, event_id) AS rn,
+        |    CASE WHEN lag(event_type) OVER (ORDER BY event_type, event_id)
+        |           IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS ch
+        |  FROM events WHERE event_id < 2000),
+        |r AS (SELECT event_id, event_type,
+        |    SUM(ch) OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS d,
+        |    MAX(CASE WHEN ch = 1 THEN rn END)
+        |      OVER (ORDER BY rn ROWS UNBOUNDED PRECEDING) AS m
+        |  FROM s)
+        |SELECT event_id, event_type, CAST(d AS BIGINT) AS d,
+        |       CAST(m AS BIGINT) AS m
+        |FROM r ORDER BY event_id""".stripMargin),
+
     // round-6 todatetime/totimespan casts: datetime text parse and the
     // clock-form timespan, verified through timespan division
     kq("kql_tscasts",

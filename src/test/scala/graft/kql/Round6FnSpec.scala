@@ -259,6 +259,24 @@ class Round6FnSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L && r.getString(1) == "a")
   }
 
+  test("row_rank_dense / row_rank_min rank equal-value runs") {
+    val q = """datatable (i: long, t: string)
+      [ 1, 'a', 2, 'a', 3, 'b', 4, 'b', 5, 'b', 6, 'a' ]"""
+    val df = Kql.run(spark, cat,
+      s"""$q | sort by i asc
+         | | extend d = row_rank_dense(t), m = row_rank_min(t)
+         | | project i, d, m""".stripMargin)
+    val got = df.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // runs: a a | b b b | a — a NEW run restarts the rank even for a
+    // previously seen value (run semantics, Kusto's serialized model)
+    assert(got == Seq((1L, 1L, 1L), (2L, 1L, 1L), (3L, 2L, 3L),
+      (4L, 2L, 3L), (5L, 2L, 3L), (6L, 3L, 6L)))
+    val e = intercept[KqlParseException](Kql.run(spark, cat,
+      s"$q | extend d = row_rank_dense(t)"))
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("todatetime and totimespan casts") {
     assert(String.valueOf(scalar(
       "tostring(todatetime('2024-02-29 10:30:00'))"))
