@@ -195,7 +195,7 @@ final class Compiler(
       else infer(df, d)
     case StrFn(name, _) => name match {
       case "strlen" | "countof" | "hash" | "parse_ipv4" |
-           "parse_version" => KT.Int
+           "parse_version" | "strcmp" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "extract_all" => KT.Arr
       case "parse_url" => KT.Var
@@ -621,6 +621,18 @@ final class Compiler(
           ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
             .cast(LongType)
         case "reverse" => reverse(cs.head.cast(StringType))
+        // Kusto translate(searchList, replacementList, source): per-char
+        // mapping; a shorter replacement list DELETES the extra chars
+        // (Spark's translate already implements exactly that)
+        case "translate" =>
+          val from = args.head.asInstanceOf[StrLit].v
+          val to = args(1).asInstanceOf[StrLit].v
+          translate(cs(2).cast(StringType), from, to)
+        // strcmp: -1 / 0 / 1 by ordinal comparison, Kusto's C-style shape
+        case "strcmp" =>
+          val (a, b) = (cs.head.cast(StringType), cs(1).cast(StringType))
+          when(a < b, -1L).when(a > b, 1L)
+            .when(a === b, 0L) // null operands fall through to null
         // strrep: value repeated n times, optionally delimited — lowered
         // through array_repeat + array_join so the multiplier can be any
         // expression (functions.repeat only takes a literal count); the

@@ -1243,7 +1243,7 @@ final class Parser(src: String, nowMicros: Long) {
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
     "repeat", "zip", "range", "set_has_element", "bag_has_key",
-    "parse_version", "column_ifexists", "parse_url",
+    "parse_version", "column_ifexists", "parse_url", "translate", "strcmp",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1415,6 +1415,16 @@ final class Parser(src: String, nowMicros: Long) {
       case "parse_url" =>
         val a = args(); arity(a.length == 1, "parse_url() takes 1 arg")
         StrFn("parse_url", a)
+      case "translate" =>
+        val a = args()
+        arity(a.length == 3,
+          "translate() takes (search_list, replacement_list, source)")
+        arity(a.take(2).forall(_.isInstanceOf[StrLit]),
+          "translate() search/replacement lists must be string literals")
+        StrFn("translate", a)
+      case "strcmp" =>
+        val a = args(); arity(a.length == 2, "strcmp() takes (s1, s2)")
+        StrFn("strcmp", a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,

@@ -1217,7 +1217,9 @@ object KqlQueries {
         |     rep = strrep(lang, 3, '-'),
         |     t1 = trim('[ae]', source),
         |     t2 = trim_start('[A-Z]+', substring(text, 0, 8)),
-        |     t3 = trim_end('[0-9]+', strcat(lang, tostring(doc_id)))
+        |     t3 = trim_end('[0-9]+', strcat(lang, tostring(doc_id))),
+        |     tr = translate('aeiou', 'AEIOU', source),
+        |     sc = strcmp(lang, source)
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
         |  reverse(substr(text, 1, 12)) AS r,
@@ -1226,7 +1228,10 @@ object KqlQueries {
         |                 '(?:[ae])$', '') AS t1,
         |  regexp_replace(substr(text, 1, 8), '^(?:[A-Z]+)', '') AS t2,
         |  regexp_replace(lang || CAST(doc_id AS VARCHAR),
-        |                 '(?:[0-9]+)$', '') AS t3
+        |                 '(?:[0-9]+)$', '') AS t3,
+        |  translate(source, 'aeiou', 'AEIOU') AS tr,
+        |  CAST(CASE WHEN lang < source THEN -1 WHEN lang > source THEN 1
+        |            ELSE 0 END AS BIGINT) AS sc
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // round-6 IPv4 batch: parse/format/range/private over synthesized

@@ -364,6 +364,20 @@ class Round6FnSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("summarize-only"))
   }
 
+  test("translate maps characters; short replacement lists delete") {
+    assert(scalar("translate('ab', 'xy', 'abcba')") == "xycyx")
+    assert(scalar("translate('abc', 'x', 'aabbcc')") == "xx") // b, c deleted
+    assert(scalar("translate('a', 'x', '')") == "")
+  }
+
+  test("strcmp returns -1/0/1 with null pass-through") {
+    assert(scalar("strcmp('a', 'b')") == -1L)
+    assert(scalar("strcmp('b', 'a')") == 1L)
+    assert(scalar("strcmp('a', 'a')") == 0L)
+    assert(scalar("strcmp('abc', 'abd')") == -1L)
+    assert(scalar("strcmp(tostring(toint('x')), 'a')") == null)
+  }
+
   test("regex trim family removes one anchored match per side") {
     assert(scalar("trim('[^\\\\w]+', '-- hi $')") == "hi")
     assert(scalar("trim_start('[A-Z]+', 'ABCdefABC')") == "defABC")
