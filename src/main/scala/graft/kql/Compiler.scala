@@ -633,6 +633,35 @@ final class Compiler(
           val (a, b) = (cs.head.cast(StringType), cs(1).cast(StringType))
           when(a < b, -1L).when(a > b, 1L)
             .when(a === b, 0L) // null operands fall through to null
+        // gettype: runtime type name, Kusto's vocabulary. Static columns
+        // answer at compile time (a literal — no per-row work); variants
+        // dispatch on the per-row variant schema; SQL null → "null"
+        case "gettype" =>
+          val c = cs.head
+          infer(df, args.head) match {
+            case KT.Var =>
+              val t = schema_of_variant(c)
+              when(c.isNull || t === "VOID", lit("null"))
+                .when(t === "BOOLEAN", "bool")
+                .when(t.isin("BIGINT", "INT", "SMALLINT", "TINYINT"), "long")
+                .when(t.startsWith("DECIMAL") ||
+                  t.isin("DOUBLE", "FLOAT"), "real")
+                .when(t.startsWith("TIMESTAMP"), "datetime")
+                .when(t === "STRING", "string")
+                .when(t.startsWith("ARRAY"), "array")
+                .otherwise("dictionary")
+            case kt =>
+              val name = kt match {
+                case KT.Int => "long"
+                case KT.Float => "real"
+                case KT.Bool => "bool"
+                case KT.Ts => "datetime"
+                case KT.Span => "timespan"
+                case KT.Arr => "array"
+                case _ => "string"
+              }
+              when(c.isNull, lit("null")).otherwise(lit(name))
+          }
         // strrep: value repeated n times, optionally delimited — lowered
         // through array_repeat + array_join so the multiplier can be any
         // expression (functions.repeat only takes a literal count); the

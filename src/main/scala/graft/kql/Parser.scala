@@ -1244,6 +1244,7 @@ final class Parser(src: String, nowMicros: Long) {
     "min_of", "max_of", "isnan", "isinf", "isfinite",
     "repeat", "zip", "range", "set_has_element", "bag_has_key",
     "parse_version", "column_ifexists", "parse_url", "translate", "strcmp",
+    "gettype",
     "reverse", "strrep", "trim_start", "trim_end",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
@@ -1425,6 +1426,9 @@ final class Parser(src: String, nowMicros: Long) {
       case "strcmp" =>
         val a = args(); arity(a.length == 2, "strcmp() takes (s1, s2)")
         StrFn("strcmp", a)
+      case "gettype" =>
+        val a = args(); arity(a.length == 1, "gettype() takes 1 arg")
+        StrFn("gettype", a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,

@@ -1314,6 +1314,25 @@ object KqlQueries {
         |  event_id || ',' || (event_id+3) || ',' || (event_id+2) || ',' || (event_id+1) AS ci
         |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
 
+    // round-6 gettype over a mixed variant column: per-row runtime type
+    // dispatch, grouped — the oracle maps the construction classes
+    kq("kql_gettype",
+      """eventsv
+        | | where event_id < 400
+        | | extend m7 = event_id - bin(event_id, 7)
+        | | extend v = todynamic(case(m7 == 0, 'null', m7 == 1, 'true',
+        |     m7 == 2, tostring(event_id), m7 == 3, '1.5', m7 == 4, '"w"',
+        |     m7 == 5, '[1]', '{"a":1}'))
+        | | summarize n = count() by t = gettype(v)
+        | | sort by t asc""".stripMargin,
+      """SELECT CASE event_id % 7
+        |    WHEN 0 THEN 'null' WHEN 1 THEN 'bool' WHEN 2 THEN 'long'
+        |    WHEN 3 THEN 'real' WHEN 4 THEN 'string' WHEN 5 THEN 'array'
+        |    ELSE 'dictionary' END AS t,
+        |  count(*) AS n
+        |FROM events WHERE event_id < 400
+        |GROUP BY 1 ORDER BY t""".stripMargin),
+
     // round-6 run-based serialized ranks — the oracle replays the same
     // change-counting windows over the identical total order
     kq("kql_rowrank",

@@ -364,6 +364,24 @@ class Round6FnSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("summarize-only"))
   }
 
+  test("gettype names types at runtime, per variant row") {
+    assert(scalar("gettype(1)") == "long")
+    assert(scalar("gettype(1.5)") == "real")
+    assert(scalar("gettype('s')") == "string")
+    assert(scalar("gettype(true)") == "bool")
+    assert(scalar("gettype(1h)") == "timespan")
+    assert(scalar("gettype(datetime(2024-01-01))") == "datetime")
+    assert(scalar("gettype(pack_array(1))") == "array")
+    assert(scalar("gettype(toint('x'))") == "null")
+    // variant rows dispatch individually
+    assert(scalar("gettype(todynamic('{\"a\":1}'))") == "dictionary")
+    assert(scalar("gettype(todynamic('[1,2]'))") == "array")
+    assert(scalar("gettype(todynamic('3'))") == "long")
+    assert(scalar("gettype(todynamic('3.5'))") == "real")
+    assert(scalar("gettype(todynamic('\"t\"'))") == "string")
+    assert(scalar("gettype(todynamic('null'))") == "null")
+  }
+
   test("translate maps characters; short replacement lists delete") {
     assert(scalar("translate('ab', 'xy', 'abcba')") == "xycyx")
     assert(scalar("translate('abc', 'x', 'aabbcc')") == "xx") // b, c deleted
