@@ -140,6 +140,61 @@ class ScanMatchSpec extends AnyFunSuite {
       Seq((2L, 1L), (3L, 2L), (5L, 3L), (7L, 4L), (8L, 5L)))
   }
 
+  test("per-step machine agrees with an independent simulation on random tapes") {
+    // differential check: the documented algorithm re-implemented
+    // directly over in-memory tapes vs the compiled operator, across
+    // seeds × alphabet sizes × step counts
+    def simulate(tape: Seq[String], conds: Seq[String]): Seq[(Int, String, Long)] = {
+      val n = conds.length
+      val state = Array.fill(n)(0L)
+      var nextMid = 0L
+      val out = Seq.newBuilder[(Int, String, Long)]
+      tape.zipWithIndex.foreach { case (e, i) =>
+        var k = n - 1
+        var acted = false
+        while (k >= 0 && !acted) {
+          if (e == conds(k)) {
+            if (k == 0) {
+              if (state(0) == 0L) {
+                nextMid += 1
+                if (n > 1) state(0) = nextMid
+                out += ((i, s"s0", nextMid)); acted = true
+              } else { out += ((i, "s0", state(0))); acted = true }
+            } else if (state(k - 1) != 0L) {
+              val mid = state(k - 1)
+              state(k - 1) = 0L
+              state(k) = if (k == n - 1) 0L else mid
+              out += ((i, s"s$k", mid)); acted = true
+            } else if (state(k) != 0L) {
+              out += ((i, s"s$k", state(k))); acted = true
+            }
+          }
+          k -= 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 8) {
+      val alpha = 2 + rnd.nextInt(3)        // 2..4 symbols
+      val nSteps = 2 + rnd.nextInt(3)       // 2..4 steps
+      val tape = Seq.fill(40)(s"e${rnd.nextInt(alpha)}")
+      val conds = (0 until nSteps).map(i => s"e${i % alpha}")
+      val c2 = new Catalog(spark)
+      import TestSpark.spark.implicits._
+      c2.register("rt", tape.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .toDF("i", "e"))
+      val stepsKql = conds.zipWithIndex
+        .map { case (c, i) => s"step s$i: e == '$c'" }.mkString("; ")
+      val got = Kql.run(TestSpark.spark, c2,
+        s"rt | sort by i asc | scan with ($stepsKql) | project i, step, match_id")
+        .collect().map(r => (r.getLong(0).toInt, r.getString(1), r.getLong(2)))
+        .toSeq
+      val want = simulate(tape, conds)
+      assert(got == want, s"trial $trial: tape=$tape conds=$conds")
+    }
+  }
+
   test("a null partition key is its own group, distinct from empty string") {
     val c2 = new Catalog(spark)
     import TestSpark.spark.implicits._
