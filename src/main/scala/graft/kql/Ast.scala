@@ -193,6 +193,13 @@ object Aggregation {
     * (n−1 denominator, KQL convention); empty/single-row groups → null. */
   final case class Stdev(f: FieldPath) extends Aggregation
   final case class Variance(f: FieldPath) extends Aggregation
+  /** Population (n denominator) forms: `stdevp(f)` / `variancep(f)`. */
+  final case class StdevP(f: FieldPath) extends Aggregation
+  final case class VarianceP(f: FieldPath) extends Aggregation
+  /** `covariance(a, b)` / `covariancep(a, b)` — sample / population
+    * covariance over pairwise non-null rows. */
+  final case class Covariance(pop: Boolean, a: FieldPath, b: FieldPath)
+      extends Aggregation
   /** Conditional aggregate family (real-KQL): `sumif/avgif/minif/maxif
     * (f, predicate)` and `dcountif(f, predicate)` — aggregate only the
     * rows where the predicate is truthy. sumif of no matching rows is 0.0
@@ -243,6 +250,10 @@ object Aggregation {
       s"${if (isMax) "max" else "min"}_${f.flat}"
     case Stdev(f)     => s"stdev_${f.flat}"
     case Variance(f)  => s"variance_${f.flat}"
+    case StdevP(f)    => s"stdevp_${f.flat}"
+    case VarianceP(f) => s"variancep_${f.flat}"
+    case Covariance(pop, a, b) =>
+      s"covariance${if (pop) "p" else ""}_${a.flat}_${b.flat}"
     case AggIf(k, f, _) => s"${k}_${f.flat}"
     case TakeAny(f)     => s"any_${f.flat}"
     case BinaryAll(op, f) => s"binary_all_${op}_${f.flat}"

@@ -218,6 +218,12 @@ final class Compiler(
         case KT.Span  => KT.Span
         case _        => KT.Int
       }
+      // ceiling keeps the argument's numeric class (Kusto: ceiling(1.1)
+      // is 2.0 real, ceiling of a long is the long itself)
+      case "ceiling" => infer(df, args.head) match {
+        case KT.Float => KT.Float
+        case _        => KT.Int
+      }
       // variadic extrema follow their arguments: all-integral stays long
       case "min_of" | "max_of" =>
         if (args.forall(a => infer(df, a) == KT.Int)) KT.Int
@@ -995,6 +1001,29 @@ final class Compiler(
         case "sqrt" => sqrt(d(0))
         case "pow" => pow(d(0), d(1))
         case "sign" => signum(d(0))
+        // trig family — all codegen'd builtins over doubles. Cross-engine
+        // float caveat: java.lang.Math and C libm agree to the last ulp on
+        // almost all inputs but are not both correctly rounded, so oracle
+        // queries guard transcendental outputs with round(_, 6).
+        case "sin" => sin(d(0))
+        case "cos" => cos(d(0))
+        case "tan" => tan(d(0))
+        case "asin" => asin(d(0))
+        case "acos" => acos(d(0))
+        case "atan" => atan(d(0))
+        case "atan2" => atan2(d(0), d(1))
+        case "cot" => lit(1.0) / tan(d(0))
+        case "degrees" => degrees(d(0))
+        case "radians" => radians(d(0))
+        case "exp2" => pow(lit(2.0), d(0))
+        case "exp10" => pow(lit(10.0), d(0))
+        case "pi" => lit(math.Pi)
+        case "ceiling" => infer(df, args.head) match {
+          // ceil(double) yields a long in Spark; cast back to keep the
+          // Kusto real-in→real-out contract
+          case KT.Float => ceil(d(0)).cast(DoubleType)
+          case _ => compile(df, args.head).try_cast(LongType)
+        }
       }
 
     case ArrFn(name, args) =>
@@ -2008,6 +2037,9 @@ final class Compiler(
         case Aggregation.MakeSet(f) => Seq(f)
         case Aggregation.Stdev(f) => Seq(f)
         case Aggregation.Variance(f) => Seq(f)
+        case Aggregation.StdevP(f) => Seq(f)
+        case Aggregation.VarianceP(f) => Seq(f)
+        case Aggregation.Covariance(_, a, b) => Seq(a, b)
         case Aggregation.ArgMax(f, r) => Seq(f, r)
         case Aggregation.ArgMin(f, r) => Seq(f, r)
         case Aggregation.ArgExtremeRows(_, f, rets) => f +: rets
@@ -2558,6 +2590,13 @@ final class Compiler(
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))
+        // population (n) forms; covariance pairs drop rows where either
+        // side is null (Spark and DuckDB covar_* agree on that rule)
+        case Aggregation.StdevP(f) => stddev_pop(numeric(f))
+        case Aggregation.VarianceP(f) => var_pop(numeric(f))
+        case Aggregation.Covariance(pop, a, b) =>
+          if (pop) covar_pop(numeric(a), numeric(b))
+          else covar_samp(numeric(a), numeric(b))
         // conditional family: aggregate only predicate-truthy rows (the
         // when() leaves non-matching rows null, which every aggregate
         // skips). sumif keeps the reference's empty-sum→0.0 convention;

@@ -936,6 +936,11 @@ final class Parser(src: String, nowMicros: Long) {
         }
       case "stdev" => Aggregation.Stdev(parseFieldPath())
       case "variance" => Aggregation.Variance(parseFieldPath())
+      case "stdevp" => Aggregation.StdevP(parseFieldPath())
+      case "variancep" => Aggregation.VarianceP(parseFieldPath())
+      case k @ ("covariance" | "covariancep") =>
+        val a = parseFieldPath(); eatPunct(",")
+        Aggregation.Covariance(k.endsWith("p"), a, parseFieldPath())
       case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif") =>
         val f = parseFieldPath(); eatPunct(",")
         Aggregation.AggIf(k, f, parseExpr())
@@ -1229,6 +1234,8 @@ final class Parser(src: String, nowMicros: Long) {
     "weekofyear", "datetime_diff", "datetime_add", "format_datetime",
     "isnull", "isnotnull", "isempty", "isnotempty", "coalesce",
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
+    "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "cot",
+    "degrees", "radians", "ceiling", "exp2", "exp10", "pi",
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
     "row_rank_dense", "row_rank_min",
@@ -1502,6 +1509,16 @@ final class Parser(src: String, nowMicros: Long) {
       case "pow" =>
         val a = args(); arity(a.length == 2, "pow() takes (base, exponent)")
         MathFn("pow", a)
+      case f @ ("sin" | "cos" | "tan" | "asin" | "acos" | "atan" | "cot" |
+          "degrees" | "radians" | "ceiling" | "exp2" | "exp10") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        MathFn(f, a)
+      case "atan2" =>
+        val a = args(); arity(a.length == 2, "atan2() takes (y, x)")
+        MathFn("atan2", a)
+      case "pi" =>
+        val a = args(); arity(a.isEmpty, "pi() takes no args")
+        MathFn("pi", a)
       case "split" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

@@ -104,6 +104,10 @@ object Render {
       s"$fn(${f.render}, $rs)"
     case Aggregation.Stdev(f) => s"stdev(${f.render})"
     case Aggregation.Variance(f) => s"variance(${f.render})"
+    case Aggregation.StdevP(f) => s"stdevp(${f.render})"
+    case Aggregation.VarianceP(f) => s"variancep(${f.render})"
+    case Aggregation.Covariance(pop, a, b) =>
+      s"covariance${if (pop) "p" else ""}(${a.render}, ${b.render})"
     case Aggregation.AggIf(k, f, p) => s"$k(${f.render}, ${expr(p)})"
     case Aggregation.TakeAny(f) => s"take_any(${f.render})"
     case Aggregation.BinaryAll(op, f) => s"binary_all_$op(${f.render})"

@@ -1604,6 +1604,64 @@ object KqlQueries {
     })((s, dir) => Kql.run(s, Catalog.forTestData(s, dir),
       """events | where event_id < 500
         | | extend h = hash(event_id), hm = hash(event_id, 7)
-        | | project event_id, h, hm | sort by event_id asc""".stripMargin))
+        | | project event_id, h, hm | sort by event_id asc""".stripMargin)),
+
+    // round-6 trig/math batch. Transcendental outputs are floored at a
+    // fixed scale: java.lang.Math and C libm are each ≤1 ulp but not both
+    // correctly rounded, so raw doubles can't hash across engines (same
+    // rule as the stdev gate above). pi/degrees/radians/atan2/cot ride
+    // the same guard. ceiling is exact and compares raw.
+    kq("kql_mathfns2",
+      """lineitem
+        | | where l_orderkey < 2000
+        | | extend x = l_discount * 10.0, q = l_quantity
+        | | project l_orderkey, l_linenumber,
+        |     si = toint(bin(sin(x) * 100000.0, 1.0)),
+        |     co = toint(bin(cos(x) * 100000.0, 1.0)),
+        |     ta = toint(bin(tan(x) * 100000.0, 1.0)),
+        |     at = toint(bin(atan(x) * 100000.0, 1.0)),
+        |     a2 = toint(bin(atan2(x, 2.0) * 100000.0, 1.0)),
+        |     dg = toint(bin(degrees(x) * 100000.0, 1.0)),
+        |     rd = toint(bin(radians(q) * 100000.0, 1.0)),
+        |     e2 = toint(bin(exp2(x) * 1000.0, 1.0)),
+        |     ce = ceiling(l_extendedprice / 100.0),
+        |     cl = ceiling(l_orderkey),
+        |     p = toint(bin(pi() * 100000.0, 1.0))
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(sin(l_discount * 10.0) * 100000) AS BIGINT) AS si,
+        |  CAST(floor(cos(l_discount * 10.0) * 100000) AS BIGINT) AS co,
+        |  CAST(floor(tan(l_discount * 10.0) * 100000) AS BIGINT) AS ta,
+        |  CAST(floor(atan(l_discount * 10.0) * 100000) AS BIGINT) AS at,
+        |  CAST(floor(atan2(l_discount * 10.0, 2.0) * 100000) AS BIGINT) AS a2,
+        |  CAST(floor(degrees(l_discount * 10.0) * 100000) AS BIGINT) AS dg,
+        |  CAST(floor(radians(l_quantity) * 100000) AS BIGINT) AS rd,
+        |  CAST(floor(pow(2.0, l_discount * 10.0) * 1000) AS BIGINT) AS e2,
+        |  ceil(l_extendedprice / 100.0) AS ce,
+        |  CAST(ceil(l_orderkey) AS BIGINT) AS cl,
+        |  CAST(floor(pi() * 100000) AS BIGINT) AS p
+        |FROM lineitem WHERE l_orderkey < 2000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // round-6 moment aggregates: population stdev/variance and sample/
+    // population covariance, floored at fixed scale (accumulation-order
+    // float drift, same rule as kql_agg_ext)
+    kq("kql_agg_moments",
+      """lineitem
+        | | summarize sp = stdevp(l_quantity), vp = variancep(l_quantity),
+        |             cv = covariance(l_quantity, l_extendedprice),
+        |             cp = covariancep(l_quantity, l_extendedprice)
+        |     by l_returnflag
+        | | project l_returnflag,
+        |     spi = toint(bin(sp * 1000.0, 1.0)),
+        |     vpi = toint(bin(vp * 1000.0, 1.0)),
+        |     cvi = toint(bin(cv, 1.0)), cpi = toint(bin(cp, 1.0))
+        | | sort by l_returnflag asc""".stripMargin,
+      """SELECT l_returnflag,
+        |  CAST(floor(stddev_pop(l_quantity) * 1000) AS BIGINT) AS spi,
+        |  CAST(floor(var_pop(l_quantity) * 1000) AS BIGINT) AS vpi,
+        |  CAST(floor(covar_samp(l_quantity, l_extendedprice)) AS BIGINT) AS cvi,
+        |  CAST(floor(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cpi
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
   )
 }

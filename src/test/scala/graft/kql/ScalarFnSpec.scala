@@ -84,6 +84,70 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(r.getDouble(4) == 0.0)
   }
 
+  test("trig family matches the JVM values") {
+    val r = one(
+      """t | where id == 2
+        | | project a = sin(1.0), b = cos(1.0), c = tan(1.0),
+        |           d = asin(0.5), e = acos(0.5), f = atan(1.0),
+        |           g = atan2(1.0, 2.0), h = cot(1.0)""".stripMargin)
+    assert(r.getDouble(0) == math.sin(1.0))
+    assert(r.getDouble(1) == math.cos(1.0))
+    assert(r.getDouble(2) == math.tan(1.0))
+    assert(r.getDouble(3) == math.asin(0.5))
+    assert(r.getDouble(4) == math.acos(0.5))
+    assert(r.getDouble(5) == math.atan(1.0))
+    assert(r.getDouble(6) == math.atan2(1.0, 2.0))
+    assert(r.getDouble(7) == 1.0 / math.tan(1.0))
+  }
+
+  test("degrees/radians/pi/exp2/exp10 round-trip") {
+    val r = one(
+      """t | where id == 2
+        | | project a = degrees(pi()), b = radians(180.0),
+        |           c = exp2(10.0), d = exp10(3.0)""".stripMargin)
+    assert(r.getDouble(0) == 180.0)
+    assert(r.getDouble(1) == math.Pi)
+    assert(r.getDouble(2) == 1024.0)
+    assert(r.getDouble(3) == 1000.0)
+  }
+
+  test("ceiling keeps the argument's numeric class") {
+    val r = one(
+      """t | where id == 2
+        | | project a = ceiling(1.1), b = ceiling(0.0 - 1.1), c = ceiling(id)""".stripMargin)
+    assert(r.getDouble(0) == 2.0)
+    assert(r.getDouble(1) == -1.0)
+    assert(r.getLong(2) == 2L) // long in → long out, no float detour
+  }
+
+  test("asin out of domain is NaN, not an error") {
+    val r = one("t | where id == 2 | project a = asin(2.0)")
+    assert(r.getDouble(0).isNaN)
+  }
+
+  // ── moment aggregates ──
+
+  test("stdevp/variancep use the n denominator") {
+    val r = one(
+      """t | summarize vp = variancep(x), sp = stdevp(x), v = variance(x)""")
+    val xs = Seq(4.0, 16.0, 25.0)
+    val mean = xs.sum / 3
+    val pop = xs.map(v => (v - mean) * (v - mean)).sum / 3
+    assert(math.abs(r.getDouble(0) - pop) < 1e-9)
+    assert(math.abs(r.getDouble(1) - math.sqrt(pop)) < 1e-9)
+    assert(math.abs(r.getDouble(2) - pop * 3 / 2) < 1e-9)
+  }
+
+  test("covariance/covariancep over pairwise rows") {
+    val r = one(
+      """t | summarize cv = covariance(id, x), cp = covariancep(id, x)""")
+    val ids = Seq(1.0, 2.0, 3.0); val xs = Seq(4.0, 16.0, 25.0)
+    val mi = ids.sum / 3; val mx = xs.sum / 3
+    val cross = ids.zip(xs).map { case (a, b) => (a - mi) * (b - mx) }.sum
+    assert(math.abs(r.getDouble(0) - cross / 2) < 1e-9)
+    assert(math.abs(r.getDouble(1) - cross / 3) < 1e-9)
+  }
+
   // ── array/string ──
 
   test("split keeps interior and trailing empties; literal delimiter") {
