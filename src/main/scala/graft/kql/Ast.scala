@@ -428,6 +428,37 @@ object QueryStep {
     * philosophy as [[graft.functions.Sampling]], and hash-uniform so it
     * is still a fair sample of the distinct set. */
   final case class SampleDistinct(n: Long, of: FieldPath) extends QueryStep
+  /** `sample N` — N rows. Kusto's pick is arbitrary/nondeterministic;
+    * this engine keeps the N rows with the smallest `xxhash64` of the
+    * full row (ties by the hash are identical rows, so the output
+    * multiset is deterministic) — reproducible across runs,
+    * partitionings, and engines, same philosophy as [[SampleDistinct]]. */
+  final case class Sample(n: Long) extends QueryStep
+  /** `project-reorder spec [asc|desc], …` — move the matched columns to
+    * the front in spec order; wildcards (`prefix*`) expand in schema
+    * order, or sorted by name when `asc`/`desc` is given. Unmatched
+    * columns keep their relative order after the matched ones (Kusto's
+    * rule). */
+  final case class Reorder(specs: Seq[(String, Option[Boolean])])
+      extends QueryStep
+  /** `parse-kv expr as (key: type, …) with (pair_delimiter=…,
+    * kv_delimiter=…[, quote=…])` — extract the named keys from a
+    * delimited key=value string into typed columns. A missing key or a
+    * failed typed parse yields null (the missing≡null model). The
+    * first occurrence of a key wins (str_to_map keeps the LAST in Spark,
+    * so the compile dedups via the map-from-entries path). Quoted values
+    * have the quote stripped. */
+  final case class ParseKv(src: Expr, keys: Seq[(String, String)],
+      pairDelim: String, kvDelim: String, quote: Option[String])
+      extends QueryStep
+  /** `reduce by col [with (…)]` — cluster strings by pattern. Kusto's
+    * clustering heuristic is unspecified; this engine derives the
+    * pattern DETERMINISTICALLY by collapsing every maximal run of
+    * digits to `*`, then summarizes `Count = count()`,
+    * `Representative = min(value)` per pattern — the same output shape
+    * with a documented, engine-replayable rule. `with (threshold=…,
+    * characters=…)` options are accepted and ignored. */
+  final case class ReduceBy(f: Expr) extends QueryStep
   /** `evaluate bag_unpack(col [, 'prefix'])` — expand a dynamic property
     * bag (variant) column into one top-level column per key, dropping the
     * bag column; other columns pass through. The merged key/type schema

@@ -170,6 +170,8 @@ final class Compiler(
           if (lt == KT.Span || rt == KT.Span) KT.Span
           else if (lt == KT.Float || rt == KT.Float) KT.Float
           else KT.Int
+        case "%" =>
+          if (lt == KT.Float || rt == KT.Float) KT.Float else KT.Int
       }
     case Case(branches, default) =>
       branches.headOption.map(b => infer(df, b._2)).getOrElse(infer(df, default))
@@ -195,9 +197,10 @@ final class Compiler(
       else infer(df, d)
     case StrFn(name, _) => name match {
       case "strlen" | "countof" | "hash" | "parse_ipv4" |
-           "parse_version" | "strcmp" => KT.Int
+           "parse_version" | "strcmp" | "indexof_regex" |
+           "string_size" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
-      case "extract_all" => KT.Arr
+      case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" => KT.Var
       case _ => KT.Str
     }
@@ -454,6 +457,11 @@ final class Compiler(
             try_subtract(unix_micros(lc), unix_micros(rc))
           else try_subtract(lc, rc)
         case "*" => try_multiply(lc, rc)
+        case "%" =>
+          // C-style sign (follows the dividend) — Kusto's rule and
+          // Spark's; mod-by-0 is a row error ⇒ null, counted like ÷0
+          counted(try_mod(lc, rc),
+            when(lc.isNotNull && rc.isNotNull, lit(1)))
       }
 
     case In(x, items, negated) =>
@@ -627,6 +635,38 @@ final class Compiler(
           ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
             .cast(LongType)
         case "reverse" => reverse(cs.head.cast(StringType))
+        // 0-based first-match position, -1 when absent (regexp_instr is
+        // 1-based with 0-for-no-match)
+        case "indexof_regex" =>
+          (regexp_instr(cs.head.cast(StringType),
+            lit(args(1).asInstanceOf[StrLit].v)) - lit(1)).cast(LongType)
+        // byte length (UTF-8), vs strlen's character count
+        case "string_size" =>
+          octet_length(cs.head.cast(StringType)).cast(LongType)
+        // escape every regex metacharacter so the result matches the
+        // input literally when embedded in a pattern
+        case "regex_quote" =>
+          regexp_replace(cs.head.cast(StringType),
+            lit("""([\\.\[\]{}()*+?^$|\-/])"""), lit("""\\$1"""))
+        // one CSV record → array of fields: split on commas outside
+        // double quotes, then strip wrapping quotes and unescape "".
+        // Single-record contract (no embedded newlines), like a row of
+        // a well-formed csv file; documented deviation from Kusto's
+        // multi-record form.
+        case "parse_csv" =>
+          val fields = split(cs.head.cast(StringType),
+            """,(?=(?:[^"]*"[^"]*")*[^"]*$)""", -1)
+          transform(fields, f => {
+            val unq = regexp_replace(f, lit("^\"(.*)\"$"), lit("$1"))
+            regexp_replace(unq, lit("\"\""), lit("\""))
+          })
+        // form-encoding (space → '+', URLEncoder rules); the _component
+        // variant percent-encodes spaces instead, the encodeURIComponent
+        // shape DuckDB's url_encode also produces
+        case "url_encode" => url_encode(cs.head.cast(StringType))
+        case "url_encode_component" =>
+          replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))
+        case "url_decode" => url_decode(cs.head.cast(StringType))
         // Kusto translate(searchList, replacementList, source): per-char
         // mapping; a shorter replacement list DELETES the extra chars
         // (Spark's translate already implements exactly that)
@@ -1557,8 +1597,11 @@ final class Compiler(
       case QueryStep.Parse(_, segs, _) =>
         if (invalidates(segs.flatMap(_.capture).map(_._1), None))
           serialOrder = None
+      case QueryStep.ParseKv(_, keys, _, _, _) =>
+        if (invalidates(keys.map(_._1), None)) serialOrder = None
       case _: QueryStep.Filter | _: QueryStep.Limit |
            _: QueryStep.Search | _: QueryStep.Tee |
+           _: QueryStep.Reorder | // column shuffle only, rows untouched
            QueryStep.Serialize => ()
       // invoke folds its sub-steps through compileStep, so serialOrder
       // already reflects the spliced pipeline — leave it untouched
@@ -1922,6 +1965,85 @@ final class Compiler(
       df.select(compileField(df, of).as(keyName)).distinct()
         .orderBy(xxhash64(col(s"`$keyName`")).asc, col(s"`$keyName`").asc)
         .limit(n.toInt)
+
+    // reproducible row sample: the N rows with the smallest full-row
+    // xxhash64 (Ast note — Kusto's pick is arbitrary; ours is hash-
+    // uniform and partitioning-invariant). One TakeOrderedAndProject,
+    // never a global sort.
+    case QueryStep.Sample(n) =>
+      df.orderBy(
+        xxhash64(df.columns.map(c => col(s"`$c`")).toSeq: _*).asc)
+        .limit(n.toInt)
+
+    case QueryStep.Reorder(specs) =>
+      val cols = df.columns.toSeq
+      val used = scala.collection.mutable.LinkedHashSet[String]()
+      specs.foreach { case (pat, order) =>
+        if (!pat.contains("*")) {
+          val m = cols.find(_.equalsIgnoreCase(pat)).getOrElse(
+            throw KqlParseException(
+              s"project-reorder: column '$pat' not found", 0))
+          used += m
+        } else {
+          val rx = ("(?i)^" + pat.split("\\*", -1)
+            .map(java.util.regex.Pattern.quote).mkString(".*") + "$").r
+          val m = cols.filter(c => rx.matches(c))
+          val ordered = order match {
+            case Some(true)  => m.sortBy(_.toLowerCase)
+            case Some(false) => m.sortBy(_.toLowerCase)(Ordering.String.reverse)
+            case None        => m
+          }
+          ordered.foreach(used += _)
+        }
+      }
+      val rest = cols.filterNot(used.contains)
+      df.select((used.toSeq ++ rest).map(c => col(s"`$c`")): _*)
+
+    case QueryStep.ParseKv(src, keys, pairD, kvD, quote) =>
+      val s0 = compile(df, src).cast(StringType)
+      // entries split on the pair delimiter; each is trimmed so
+      // "k1=a; k2=b" styles work with a plain '; ' or ';' delimiter
+      val entries = split(
+        s0, java.util.regex.Pattern.quote(pairD), -1)
+      def valueOf(key: String, typ: String): Column = {
+        val prefix = key + kvD
+        // first occurrence wins (Kusto's rule)
+        val hit = try_element_at(
+          filter(entries, e => trim(e).startsWith(lit(prefix))), lit(1))
+        val raw = trim(hit).substr(
+          lit(prefix.length + 1), length(trim(hit)) - lit(prefix.length))
+        val unquoted = quote match {
+          case Some(q) =>
+            val ql = q.length
+            when(raw.startsWith(q) && raw.endsWith(q) &&
+              length(raw) >= lit(2 * ql),
+              raw.substr(lit(ql + 1), length(raw) - lit(2 * ql)))
+              .otherwise(raw)
+          case None => raw
+        }
+        typ match {
+          case "string" => unquoted
+          case "long" | "int" => unquoted.try_cast(LongType)
+          case "real" | "double" => unquoted.try_cast(DoubleType)
+          case "datetime" => unquoted.try_cast(TimestampType)
+          case "bool" | "boolean" => unquoted.try_cast(BooleanType)
+        }
+      }
+      df.withColumns(
+        keys.map { case (k, t) => k -> valueOf(k, t) }.toMap)
+
+    // reduce by: deterministic pattern clustering — every maximal digit
+    // run collapses to '*', then one hash aggregation (Kusto's output
+    // shape: Pattern, Count, Representative; its heuristic is
+    // unspecified, ours is documented and engine-replayable)
+    case QueryStep.ReduceBy(e) =>
+      val v = compile(df, e).cast(StringType)
+      df.select(
+        regexp_replace(v, lit("[0-9]+"), lit("*")).as("Pattern"),
+        v.as("__reduce_v"))
+        .groupBy(col("Pattern"))
+        .agg(count(lit(1)).as("Count"),
+          min(col("`__reduce_v`")).as("Representative"))
 
     // bag_unpack: ONE scalar-aggregate pass merges every row's object
     // schema (schema_of_variant_agg — only the schema string reaches the
@@ -2818,7 +2940,8 @@ final class Compiler(
            _: QueryStep.Partition | _: QueryStep.Write |
            _: QueryStep.Tee | _: QueryStep.Pivot |
            _: QueryStep.TopNested | _: QueryStep.TopHitters |
-           _: QueryStep.SampleDistinct | QueryStep.GetSchema =>
+           _: QueryStep.SampleDistinct | _: QueryStep.Sample |
+           _: QueryStep.ReduceBy | QueryStep.GetSchema =>
         throw KqlParseException(
           "step not supported inside 'partition by' — apply it after the " +
             "partition step", 0)

@@ -131,6 +131,18 @@ object Kql {
           by.map(b => s" by ${b.render}").getOrElse("")
       case QueryStep.SampleDistinct(n, of) =>
         s"sample-distinct $n of ${of.render}"
+      case QueryStep.Sample(n) => s"sample $n"
+      case QueryStep.Reorder(specs) =>
+        s"project-reorder ${specs.map { case (pat, o) =>
+          pat + o.map(a => if (a) " asc" else " desc").getOrElse("")
+        }.mkString(", ")}"
+      case QueryStep.ParseKv(src, keys, pd, kd, q) =>
+        s"parse-kv ${Render.expr(src)} as (" +
+          keys.map { case (k, t) => s"$k: $t" }.mkString(", ") +
+          s") with (pair_delimiter=${Render.expr(Expr.StrLit(pd))}, " +
+          s"kv_delimiter=${Render.expr(Expr.StrLit(kd))}" +
+          q.map(v => s", quote=${Render.expr(Expr.StrLit(v))}").getOrElse("") + ")"
+      case QueryStep.ReduceBy(e) => s"reduce by ${Render.expr(e)}"
       case QueryStep.BagUnpack(c, pfx) =>
         s"evaluate bag_unpack(${c.render}" +
           pfx.map(p => s", ${Render.expr(Expr.StrLit(p))}").getOrElse("") + ")"

@@ -108,7 +108,8 @@ object Lexer {
   private val hyphenKeywords =
     Set("mv-expand", "project-rename", "project-away", "project-keep",
       "top-nested", "parse-where", "mv-apply", "top-hitters",
-      "sample-distinct", "make-series")
+      "sample-distinct", "make-series", "project-reorder", "parse-kv",
+      "granny-asc", "granny-desc")
 
   /** Escaped string literal — the reference's full escape set
     * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),

@@ -380,6 +380,10 @@ final class Parser(src: String, nowMicros: Long) {
       case "sample-distinct"  => p += 1
         val n = parseIntLit(); eatIdent("of")
         QueryStep.SampleDistinct(n, parseFieldPath())
+      case "sample"           => p += 1; QueryStep.Sample(parseIntLit())
+      case "project-reorder"  => p += 1; parseReorder()
+      case "parse-kv"         => p += 1; parseParseKv()
+      case "reduce"           => p += 1; eatIdent("by"); parseReduceBy()
       case "summarize"        => p += 1; parseSummarize()
       case "make-series"      => p += 1; parseMakeSeries()
       case "distinct"         => p += 1
@@ -600,6 +604,110 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     QueryStep.RenderHint(kind)
+  }
+
+  /** `project-reorder spec [asc|desc|granny-asc|granny-desc], …` —
+    * specs are names or wildcard patterns (`*`, `pre*`, `*suf`); the
+    * granny-* orders are accepted as plain asc/desc (numeric-aware
+    * collation is a documented deviation). */
+  private def parseReorder(): QueryStep = {
+    val specs = Seq.newBuilder[(String, Option[Boolean])]
+    var done = false
+    while (!done) {
+      val pat = new StringBuilder
+      if (atPunct("*")) { p += 1; pat += '*' }
+      peek match {
+        case Ident(w, _) if !reservedWords(w.toLowerCase) &&
+            !Set("asc", "desc", "granny-asc", "granny-desc")(w.toLowerCase) =>
+          p += 1; pat ++= w
+          if (atPunct("*")) { p += 1; pat += '*' }
+        case _ => ()
+      }
+      arity(pat.nonEmpty, "project-reorder expects a column name or pattern")
+      val order = peek match {
+        case Ident(o, _) if o.equalsIgnoreCase("asc") ||
+            o.equalsIgnoreCase("granny-asc") => p += 1; Some(true)
+        case Ident(o, _) if o.equalsIgnoreCase("desc") ||
+            o.equalsIgnoreCase("granny-desc") => p += 1; Some(false)
+        case _ => None
+      }
+      specs += ((pat.toString, order))
+      done = !tryPunct(",")
+    }
+    QueryStep.Reorder(specs.result())
+  }
+
+  private val parseKvTypes = Set(
+    "string", "long", "int", "real", "double", "datetime", "bool", "boolean")
+
+  /** `parse-kv expr as (key: type, …) with (pair_delimiter='…',
+    * kv_delimiter='…'[, quote='…'])`. */
+  private def parseParseKv(): QueryStep = {
+    val src = parseExpr()
+    eatIdent("as")
+    eatPunct("(")
+    val keys = Seq.newBuilder[(String, String)]
+    var done = false
+    while (!done) {
+      val k = peek match {
+        case Ident(w, _) => p += 1; w
+        case StrTok(s, _) => p += 1; s
+        case t => throw KqlParseException("parse-kv expects a key name", t.pos)
+      }
+      eatPunct(":")
+      val t = identText().toLowerCase
+      arity(parseKvTypes.contains(t), s"parse-kv: unsupported type '$t'")
+      keys += ((k, t))
+      done = !tryPunct(",")
+    }
+    eatPunct(")")
+    var pairD = ","
+    var kvD = "="
+    var quote: Option[String] = None
+    if (atIdent("with")) {
+      p += 1; eatPunct("(")
+      var wdone = atPunct(")")
+      while (!wdone) {
+        val opt = identText().toLowerCase
+        eatPunct("=")
+        val v = peek match {
+          case StrTok(s, _) => p += 1; s
+          case t => throw KqlParseException(
+            s"parse-kv option '$opt' expects a string literal", t.pos)
+        }
+        opt match {
+          case "pair_delimiter" => pairD = v
+          case "kv_delimiter" => kvD = v
+          case "quote" => quote = Some(v)
+          case other => fail(s"parse-kv: unknown option '$other'")
+        }
+        wdone = !tryPunct(",")
+      }
+      eatPunct(")")
+    }
+    arity(pairD.nonEmpty && kvD.nonEmpty,
+      "parse-kv delimiters must be non-empty")
+    QueryStep.ParseKv(src, keys.result(), pairD, kvD, quote)
+  }
+
+  /** `reduce by expr [with (threshold=…, characters=…)]` — the with
+    * options steer Kusto's (unspecified) clustering heuristic; ours is
+    * deterministic, so they parse and discard. */
+  private def parseReduceBy(): QueryStep = {
+    val e = parseExpr()
+    if (atIdent("with")) {
+      p += 1; eatPunct("(")
+      var depth = 1
+      while (depth > 0) {
+        peek match {
+          case Punct("(", _) => depth += 1; p += 1
+          case Punct(")", _) => depth -= 1; p += 1
+          case Eof(_) => fail("unterminated reduce with(…) clause")
+          case _ => p += 1
+        }
+      }
+    }
+    QueryStep.ReduceBy(e)
   }
 
   /** `invoke f(args…)` — splice a tabular function let's body into the
@@ -1173,6 +1281,7 @@ final class Parser(src: String, nowMicros: Long) {
     while (loop) {
       if (atPunct("*")) { p += 1; l = Arith("*", l, parseUnary()) }
       else if (atPunct("/")) { p += 1; l = Arith("/", l, parseUnary()) }
+      else if (atPunct("%")) { p += 1; l = Arith("%", l, parseUnary()) }
       else loop = false
     }
     l
@@ -1253,6 +1362,8 @@ final class Parser(src: String, nowMicros: Long) {
     "parse_version", "column_ifexists", "parse_url", "translate", "strcmp",
     "gettype",
     "reverse", "strrep", "trim_start", "trim_end",
+    "indexof_regex", "string_size", "regex_quote", "parse_csv",
+    "url_encode", "url_encode_component", "url_decode",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
@@ -1406,6 +1517,16 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 2 || a.length == 3,
           "strrep() takes (value, multiplier[, delimiter])")
         StrFn("strrep", a)
+      case "indexof_regex" =>
+        val a = args()
+        arity(a.length == 2, "indexof_regex() takes (source, regex)")
+        arity(a(1).isInstanceOf[StrLit],
+          "indexof_regex() regex must be a literal")
+        StrFn("indexof_regex", a)
+      case f @ ("string_size" | "regex_quote" | "parse_csv" |
+          "url_encode" | "url_encode_component" | "url_decode") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
       case f @ ("parse_ipv4" | "ipv4_is_private" | "format_ipv4") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)

@@ -1643,6 +1643,106 @@ object KqlQueries {
         |FROM lineitem WHERE l_orderkey < 2000
         |ORDER BY l_orderkey, l_linenumber""".stripMargin),
 
+    // round-6 string batch 4 on real data: byte-length vs char-length,
+    // regex first-match index (oracled as length-of-prefix-before-match),
+    // metachar escaping (both engines: global regexp_replace with a
+    // backref), csv re-join
+    kq("kql_strfns4",
+      """documents
+        | | extend t = substring(text, 0, 40)
+        | | project doc_id,
+        |     bs = string_size(t),
+        |     cs = strlen(t),
+        |     ir = indexof_regex(t, '[0-9]+'),
+        |     rq = regex_quote(substring(t, 0, 12)),
+        |     pc = strcat_array(parse_csv(strcat(lang, ',', source)), '|')
+        | | sort by doc_id asc""".stripMargin,
+      """WITH b AS (SELECT doc_id, substr(text, 1, 40) AS t, lang, source
+        |           FROM documents)
+        |SELECT doc_id,
+        |  CAST(strlen(t) AS BIGINT) AS bs,
+        |  CAST(length(t) AS BIGINT) AS cs,
+        |  CAST(CASE WHEN regexp_matches(t, '[0-9]')
+        |       THEN length(regexp_replace(t, '(?s)[0-9].*$', ''))
+        |       ELSE -1 END AS BIGINT) AS ir,
+        |  regexp_replace(substr(t, 1, 12),
+        |    '([\\.\[\]{}()*+?^$|\-/])', '\\\1', 'g') AS rq,
+        |  lang || '|' || source AS pc
+        |FROM b ORDER BY doc_id""".stripMargin),
+
+    // round-6 url/csv scalars: DuckDB 1.0 has no url_encode/decode, so
+    // the oracle pins the expected constants as SQL literals (still an
+    // ANSI-SQL cross-check of the same result shape)
+    kq("kql_urlfns",
+      """print e = url_encode('a b&c/d?x=1'),
+        |      c = url_encode_component('a b&c'),
+        |      d = url_decode('a%20b%26c'),
+        |      r = url_decode(url_encode('k=v& w')),
+        |      q = strcat_array(parse_csv('a,"b,c",d'), '|')""".stripMargin,
+      """SELECT 'a+b%26c%2Fd%3Fx%3D1' AS e, 'a%20b%26c' AS c,
+        |       'a b&c' AS d, 'k=v& w' AS r, 'a|b,c|d' AS q""".stripMargin),
+
+    // round-6 sample step: reproducible pick = smallest xxhash64 of the
+    // (single-column) row; the oracle replays Spark's XXH64.hashLong in
+    // HUGEINT SQL and takes the same 200
+    Q("kql_sample", {
+      import PipelineQueries.SignLshSql.{hashLongCtes, W}
+      s"""WITH ids AS (SELECT event_id, CAST(event_id AS HUGEINT) AS l
+         |             FROM events),
+         |${hashLongCtes("hx", "l", "CAST(42 AS HUGEINT)", "ids")},
+         |s AS (SELECT event_id,
+         |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh
+         |  FROM hx6),
+         |pick AS (SELECT event_id FROM s ORDER BY sh, event_id LIMIT 200)
+         |SELECT event_id FROM pick ORDER BY event_id""".stripMargin
+    })((s, dir) => Kql.run(s, Catalog.forTestData(s, dir),
+      "events | project event_id | sample 200 | sort by event_id asc")),
+
+    // round-6 project-reorder: the driver hash is column-order-blind, so
+    // the gate proves execution + row integrity; the spec pins ordering
+    kq("kql_reorder",
+      """lineitem
+        | | where l_orderkey < 200
+        | | project l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        | | project-reorder l_q*, * asc
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """SELECT l_quantity, l_extendedprice, l_linenumber, l_orderkey
+        |FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // round-6 parse-kv: round-trip a composed k=v string back into typed
+    // columns (first-wins, typed casts); the oracle recomputes directly
+    kq("kql_parsekv",
+      """lineitem
+        | | where l_orderkey < 500
+        | | extend s = strcat('qty=', tostring(toint(l_quantity)),
+        |                     '; flag=', l_returnflag,
+        |                     '; price=', tostring(l_extendedprice))
+        | | parse-kv s as (qty: long, flag: string, price: real)
+        |   with (pair_delimiter=';', kv_delimiter='=')
+        | | project l_orderkey, l_linenumber, qty, flag, price
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(trunc(l_quantity) AS BIGINT) AS qty,
+        |  l_returnflag AS flag, l_extendedprice AS price
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // round-6 reduce by: deterministic digit-run→'*' patterns, one hash
+    // aggregation; both engines apply the same regexp_replace rule
+    kq("kql_reduce",
+      """events
+        | | extend m = strcat(event_type, ' code', tostring(event_id % 50),
+        |                     ' u', tostring(user_id % 7))
+        | | reduce by m
+        | | sort by Pattern asc""".stripMargin,
+      """WITH b AS (SELECT event_type || ' code' ||
+        |    CAST(event_id % 50 AS VARCHAR) || ' u' ||
+        |    CAST(user_id % 7 AS VARCHAR) AS m FROM events)
+        |SELECT regexp_replace(m, '[0-9]+', '*', 'g') AS Pattern,
+        |       count(*) AS Count, min(m) AS Representative
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)

@@ -404,4 +404,38 @@ class Round6FnSpec extends AnyFunSuite {
     assert(scalar("trim_start('[0-9]+', 'abc')") == "abc")
     assert(scalar("trim('  pad  ')") == "pad")
   }
+
+  test("indexof_regex: 0-based first match, -1 absent") {
+    assert(scalar("indexof_regex('abcde', 'c.')") == 2L)
+    assert(scalar("indexof_regex('abcde', '[0-9]+')") == -1L)
+    assert(scalar("indexof_regex('a1b22', '[0-9]{2}')") == 3L)
+  }
+
+  test("string_size is bytes, strlen is characters") {
+    assert(scalar("string_size('abc')") == 3L)
+    assert(scalar("string_size('héllo')") == 6L) // é is 2 bytes in UTF-8
+    assert(scalar("strlen('héllo')") == 5L)
+  }
+
+  test("regex_quote escapes metacharacters to a literal matcher") {
+    assert(scalar("regex_quote('a.b*c')") == "a\\.b\\*c")
+    assert(scalar("regex_quote('x(1)[2]{3}')") == "x\\(1\\)\\[2\\]\\{3\\}")
+    assert(scalar("regex_quote('plain')") == "plain")
+    assert(scalar("regex_quote('a\\\\b')") == "a\\\\b")
+  }
+
+  test("parse_csv splits one record, honoring quotes") {
+    assert(scalar("strcat_array(parse_csv('a,b,c'), '|')") == "a|b|c")
+    assert(scalar("strcat_array(parse_csv('a,\"b,c\",d'), '|')") == "a|b,c|d")
+    assert(scalar("strcat_array(parse_csv('a,\"say \"\"hi\"\"\",z'), '|')")
+      == "a|say \"hi\"|z")
+    assert(scalar("array_length(parse_csv('x,,y'))") == 3L)
+  }
+
+  test("url_encode family: form vs component spaces, decode round-trip") {
+    assert(scalar("url_encode('a b&c')") == "a+b%26c")
+    assert(scalar("url_encode_component('a b&c')") == "a%20b%26c")
+    assert(scalar("url_decode('a+b%26c')") == "a b&c")
+    assert(scalar("url_decode(url_encode('x=1&y=2 z'))") == "x=1&y=2 z")
+  }
 }

@@ -125,6 +125,18 @@ class ScalarFnSpec extends AnyFunSuite {
     assert(r.getDouble(0).isNaN)
   }
 
+  test("% modulo: C-style dividend sign, int stays int, mod-0 is null") {
+    val r = one(
+      """t | where id == 1
+        | | project a = 7 % 3, b = (0 - 7) % 3, c = 7.5 % 2,
+        |           d = 7 % 0, e = id % 2""".stripMargin)
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == -1L) // sign follows the dividend
+    assert(r.getDouble(2) == 1.5)
+    assert(r.isNullAt(3)) // row error ⇒ null
+    assert(r.getLong(4) == 1L)
+  }
+
   // ── moment aggregates ──
 
   test("stdevp/variancep use the n denominator") {
