@@ -191,6 +191,50 @@ object Stress {
           | | summarize n = count() by k = v
           | | top 100 by n desc""".stripMargin)
     }
+    // round-6 second wave: the new steps at corpus scale. tdigest is the
+    // mergeable-rollup shape (sketch per 100k users, merge to one);
+    // reduce/parse-kv are map-side passes + one hash agg; sample is a
+    // TakeOrderedAndProject; fork shares the parent subtree across
+    // branches.
+    time("kql_tdigest_rollup", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events)
+      graft.kql.Kql.run(spark, cat,
+        """ev | summarize td = tdigest(value) by user_id
+          | | summarize m = merge_tdigest(td)
+          | | project p50 = percentile_tdigest(m, 50),
+          |           p99 = percentile_tdigest(m, 99)""".stripMargin)
+    }
+    time("kql_reduce_by", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("docs", docs)
+      graft.kql.Kql.run(spark, cat,
+        "docs | reduce by text | top 100 by Count desc")
+    }
+    time("kql_parse_kv", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("s",
+        concat(lit("u="), col("user_id"), lit("; v="), col("value"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev | parse-kv s as (u: long, v: real)
+          |   with (pair_delimiter=';', kv_delimiter='=')
+          | | summarize su = sum(u), sv = sum(v)""".stripMargin)
+    }
+    time("kql_sample", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events)
+      graft.kql.Kql.run(spark, cat, "ev | sample 1000")
+    }
+    time("kql_fork_facet", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("etype",
+        concat(lit("t"), pmod(col("event_id"), lit(7)).cast("string"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev | fork a = (facet by etype)
+          |       b = (summarize n = count() by etype
+          |            | project facet_column = 'x',
+          |                      value = etype, count_ = n)""".stripMargin)
+    }
     spark.stop()
   }
 }

@@ -176,6 +176,13 @@ object Aggregation {
     * engine. */
   final case class MakeList(f: FieldPath) extends Aggregation
   final case class MakeSet(f: FieldPath) extends Aggregation
+  /** Conditional forms: collect only predicate-truthy rows. */
+  final case class MakeListIf(f: FieldPath, pred: Expr) extends Aggregation
+  final case class MakeSetIf(f: FieldPath, pred: Expr) extends Aggregation
+  /** `make_list_with_nulls(f)` — like make_list but null inputs survive
+    * as null elements (collected through a one-field struct wrapper so
+    * collect_list can't drop them; sorted nulls-last like make_list). */
+  final case class MakeListNulls(f: FieldPath) extends Aggregation
   /** `arg_max(f, ret)` / `arg_min(f, ret)` — value of `ret` on the row
     * where `f` is extreme. Ties break by the larger (resp. smaller) `ret`
     * — KQL leaves ties unspecified; a total rule keeps results stable
@@ -193,6 +200,11 @@ object Aggregation {
     * (n−1 denominator, KQL convention); empty/single-row groups → null. */
   final case class Stdev(f: FieldPath) extends Aggregation
   final case class Variance(f: FieldPath) extends Aggregation
+  /** `tdigest(f)` / `merge_tdigest(f)` — mergeable percentile sketches,
+    * the rank analog of the hll family: sketch per rollup group, merge
+    * across groups, estimate with `percentile_tdigest()`. */
+  final case class TDigestA(f: FieldPath) extends Aggregation
+  final case class TDigestMerge(f: FieldPath) extends Aggregation
   /** Population (n denominator) forms: `stdevp(f)` / `variancep(f)`. */
   final case class StdevP(f: FieldPath) extends Aggregation
   final case class VarianceP(f: FieldPath) extends Aggregation
@@ -243,6 +255,9 @@ object Aggregation {
       s"percentile_${f.flat}_$ps"
     case MakeList(f)  => s"list_${f.flat}"
     case MakeSet(f)   => s"set_${f.flat}"
+    case MakeListIf(f, _) => s"list_${f.flat}"
+    case MakeSetIf(f, _)  => s"set_${f.flat}"
+    case MakeListNulls(f) => s"list_${f.flat}"
     case MakeBag(f, _) => s"bag_${f.flat}"
     case ArgMax(f, _) => s"max_${f.flat}"
     case ArgMin(f, _) => s"min_${f.flat}"
@@ -250,6 +265,8 @@ object Aggregation {
       s"${if (isMax) "max" else "min"}_${f.flat}"
     case Stdev(f)     => s"stdev_${f.flat}"
     case Variance(f)  => s"variance_${f.flat}"
+    case TDigestA(f)     => s"tdigest_${f.flat}"
+    case TDigestMerge(f) => s"merge_tdigest_${f.flat}"
     case StdevP(f)    => s"stdevp_${f.flat}"
     case VarianceP(f) => s"variancep_${f.flat}"
     case Covariance(pop, a, b) =>
@@ -451,6 +468,23 @@ object QueryStep {
   final case class ParseKv(src: Expr, keys: Seq[(String, String)],
       pairDelim: String, kvDelim: String, quote: Option[String])
       extends QueryStep
+  /** `fork [name =] (steps…) [name =] (steps…)` — Kusto runs each
+    * branch's steps against the shared parent and returns one table per
+    * branch; the single-table contract STACKS them instead: bag union by
+    * name (missing columns null-filled) with a `fork_table` provenance
+    * column carrying the branch name (`fork_N` when unnamed) — the same
+    * re-expression as [[Facet]]. Branches share the compiled parent plan
+    * subtree, so the source scans once per branch at most and Spark's
+    * exchange/subquery reuse collapses the common prefix. */
+  final case class Fork(branches: Seq[(String, Seq[QueryStep])])
+      extends QueryStep
+  /** `facet by c1, c2, …` — per-column value distributions. Kusto
+    * returns one table per column; this engine's single-table contract
+    * STACKS them instead: `(facet_column, value, count_)` rows, one
+    * group per (column, distinct value) — same information, one result.
+    * Kusto's `with (subquery)` rest-table clause is rejected with a
+    * pointer at running the subquery separately. */
+  final case class Facet(cols: Seq[FieldPath]) extends QueryStep
   /** `reduce by col [with (…)]` — cluster strings by pattern. Kusto's
     * clustering heuristic is unspecified; this engine derives the
     * pattern DETERMINISTICALLY by collapsing every maximal run of

@@ -196,7 +196,7 @@ final class Compiler(
         fieldType(df, FieldPath(Seq(FieldAccess(n))))
       else infer(df, d)
     case StrFn(name, _) => name match {
-      case "strlen" | "countof" | "hash" | "parse_ipv4" |
+      case "strlen" | "countof" | "countof_re" | "hash" | "parse_ipv4" |
            "parse_version" | "strcmp" | "indexof_regex" |
            "string_size" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
@@ -227,6 +227,9 @@ final class Compiler(
         case KT.Float => KT.Float
         case _        => KT.Int
       }
+      case "binary_and" | "binary_or" | "binary_xor" | "binary_not" |
+          "binary_shift_left" | "binary_shift_right" |
+          "bitset_count_ones" => KT.Int
       // variadic extrema follow their arguments: all-integral stays long
       case "min_of" | "max_of" =>
         if (args.forall(a => infer(df, a) == KT.Int)) KT.Int
@@ -242,12 +245,13 @@ final class Compiler(
           "array_concat" | "array_slice" | "set_union" | "set_intersect" |
           "set_difference" | "pack_array" | "bag_keys" |
           "array_shift_left" | "array_shift_right" |
-          "array_rotate_left" | "array_rotate_right" | "array_iff" => KT.Arr
-      case "array_sum" => KT.Float
+          "array_rotate_left" | "array_rotate_right" | "array_iff" |
+          "array_split" => KT.Arr
+      case "array_sum" | "percentile_tdigest" => KT.Float
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" |
           "series_fill_const" | "series_fill_forward" |
-          "series_fill_backward" => KT.Arr
+          "series_fill_backward" | "series_outliers" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" => KT.Var
@@ -634,6 +638,11 @@ final class Compiler(
           val sub = cs(1).cast(StringType)
           ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
             .cast(LongType)
+        // regex kind: non-overlapping match count (regexp_count's rule,
+        // same as the literal form's)
+        case "countof_re" =>
+          regexp_count(cs.head.cast(StringType),
+            lit(args(1).asInstanceOf[StrLit].v)).cast(LongType)
         case "reverse" => reverse(cs.head.cast(StringType))
         // 0-based first-match position, -1 when absent (regexp_instr is
         // 1-based with 0-for-no-match)
@@ -663,6 +672,24 @@ final class Compiler(
         // form-encoding (space → '+', URLEncoder rules); the _component
         // variant percent-encodes spaces instead, the encodeURIComponent
         // shape DuckDB's url_encode also produces
+        // power-of-1024 unit selection (Bytes…EB), fixed precision via
+        // format_string — Kusto's rendering ("1 KB", default precision 0)
+        case "format_bytes" =>
+          val v = cs.head.try_cast(DoubleType)
+          val p = args.lift(1) match {
+            case Some(IntLit(x)) => x.toInt
+            case _ => 0
+          }
+          val units = Seq("Bytes", "KB", "MB", "GB", "TB", "PB", "EB")
+          // ascending fold so the LARGEST matching unit ends up as the
+          // outermost when()
+          (1 to 6).foldLeft[Column](
+            format_string(s"%.${p}f Bytes", v)) { (acc, i) =>
+            val scale = math.pow(1024.0, i)
+            when(abs(v) >= lit(scale),
+              format_string(s"%.${p}f ${units(i)}", v / lit(scale)))
+              .otherwise(acc)
+          }
         case "url_encode" => url_encode(cs.head.cast(StringType))
         case "url_encode_component" =>
           replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))
@@ -1058,6 +1085,29 @@ final class Compiler(
         case "exp2" => pow(lit(2.0), d(0))
         case "exp10" => pow(lit(10.0), d(0))
         case "pi" => lit(math.Pi)
+        // bitwise family over longs; shift counts use Java's mod-64 wrap
+        // (documented — Kusto leaves ≥64-bit shifts unspecified)
+        case "binary_and" | "binary_or" | "binary_xor" |
+            "binary_shift_left" | "binary_shift_right" =>
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+          val a = compile(df, args.head).try_cast(LongType)
+          val b = compile(df, args(1)).try_cast(LongType)
+          name match {
+            case "binary_and" => a.bitwiseAND(b)
+            case "binary_or" => a.bitwiseOR(b)
+            case "binary_xor" => a.bitwiseXOR(b)
+            case "binary_shift_left" =>
+              column(ShiftLeft(expression(a),
+                expression(b.cast(IntegerType))))
+            case "binary_shift_right" =>
+              column(ShiftRight(expression(a),
+                expression(b.cast(IntegerType))))
+          }
+        case "binary_not" =>
+          bitwise_not(compile(df, args.head).try_cast(LongType))
+        case "bitset_count_ones" =>
+          bit_count(compile(df, args.head).try_cast(LongType)).cast(LongType)
         case "ceiling" => infer(df, args.head) match {
           // ceil(double) yields a long in Spark; cast back to keep the
           // Kusto real-in→real-out contract
@@ -1084,6 +1134,36 @@ final class Compiler(
           else arr
         case "indexof" => // 0-based; -1 when absent (instr is 1-based/0)
           (instr(s(0), s(1)) - lit(1)).cast(LongType)
+        // split at 0-based indices (negative = from the end, clamped):
+        // bounds = [0, …normalized…, n]; slice k = [b_k, b_{k+1}).
+        // A single index and an index array both work (Kusto's forms).
+        case "array_split" =>
+          val arr = compile(df, args.head)
+          val n = size(arr)
+          val rawIx = infer(df, args(1)) match {
+            case KT.Arr => compile(df, args(1))
+            case _ => array(compile(df, args(1)))
+          }
+          val norm = transform(rawIx, i => {
+            val ii = i.cast(IntegerType)
+            greatest(lit(0), least(n, when(ii < 0, n + ii).otherwise(ii)))
+          })
+          val bounds = concat(array(lit(0)), norm, array(n))
+          transform(sequence(lit(0), size(norm)), k => {
+            val lo = try_element_at(bounds, k + lit(1))
+            val hi = try_element_at(bounds, k + lit(2))
+            slice(arr, lo + lit(1), greatest(lit(0), hi - lo))
+          })
+        case "percentile_tdigest" =>
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val p = args(1) match {
+            case IntLit(v) => v.toDouble
+            case FloatLit(v) => v
+            case _ => throw KqlParseException(
+              "percentile_tdigest() percentile must be a numeric literal", 0)
+          }
+          column(graft.functions.PercentileTDigest(
+            expression(compile(df, args.head)), p))
         case "array_length" => size(compile(df, args.head)).cast(LongType)
         // null args are skipped entirely (concat_ws semantics — DuckDB's
         // concat_ws agrees, so both engines render the same string)
@@ -1195,6 +1275,28 @@ final class Compiler(
             (x, y) => x.cast(DoubleType) / y.cast(DoubleType))
         case "series_abs" =>
           transform(compile(df, args.head), e => abs(e))
+        // Tukey-fence anomaly scores, with a DOCUMENTED deterministic
+        // rule (Kusto's exact scoring formula is unpublished): exact
+        // rank-rule quartiles ceil(p·n) over the non-null sorted copy,
+        // score = (x − median)/IQR when x is outside
+        // [q1 − 1.5·IQR, q3 + 1.5·IQR], else 0; null elements stay null;
+        // degenerate IQR = 0 scores everything 0. O(bins·log bins) per
+        // series — bins per make-series row, never the corpus.
+        case "series_outliers" =>
+          val arr = transform(compile(df, args.head),
+            e => e.cast(DoubleType))
+          val nn = array_sort(filter(arr, e => e.isNotNull))
+          val n = size(nn)
+          def q(p: Double): Column =
+            try_element_at(nn, ceil(n * lit(p)).cast(IntegerType))
+          val q1 = q(0.25); val q3 = q(0.75); val med = q(0.5)
+          val iqr = q3 - q1
+          transform(arr, x =>
+            when(x.isNull, lit(null).cast(DoubleType))
+              .when(iqr === lit(0.0), lit(0.0))
+              .when(x > q3 + lit(1.5) * iqr, (x - med) / iqr)
+              .when(x < q1 - lit(1.5) * iqr, (x - med) / iqr)
+              .otherwise(lit(0.0)))
         // series fills: nulls replaced by a constant / the nearest
         // non-null neighbor. Forward/backward look up the neighbor with
         // a slice+filter per element — O(bins²) HOF evaluation, fine by
@@ -2032,6 +2134,31 @@ final class Compiler(
       df.withColumns(
         keys.map { case (k, t) => k -> valueOf(k, t) }.toMap)
 
+    // fork: branches compile against the shared parent, stack by name
+    // with fork_table provenance (Ast note). Each branch restores the
+    // parent's serialized-order state so a window inside one branch
+    // doesn't leak into the next.
+    case QueryStep.Fork(branches) =>
+      val savedOrder = serialOrder
+      val outs = branches.map { case (nm, steps) =>
+        serialOrder = savedOrder
+        steps.foldLeft(df)(compileStep).withColumn("fork_table", lit(nm))
+      }
+      serialOrder = None
+      outs.reduce(_.unionByName(_, allowMissingColumns = true))
+
+    // facet: one hash agg per column, stacked with provenance (Ast note —
+    // Kusto's N result tables re-expressed in the single-table contract).
+    // Each branch prunes to its one column before the shuffle, so N
+    // facets cost N narrow column scans, not N full-row passes.
+    case QueryStep.Facet(cols) =>
+      cols.map { f =>
+        df.groupBy(compileField(df, f).cast(StringType).as("value"))
+          .agg(count(lit(1)).as("count_"))
+          .select(lit(f.render).as("facet_column"),
+            col("value"), col("count_"))
+      }.reduce(_ unionAll _)
+
     // reduce by: deterministic pattern clustering — every maximal digit
     // run collapses to '*', then one hash aggregation (Kusto's output
     // shape: Pattern, Count, Representative; its heuristic is
@@ -2157,11 +2284,16 @@ final class Compiler(
         case Aggregation.Percentile(f, _) => Seq(f)
         case Aggregation.MakeList(f) => Seq(f)
         case Aggregation.MakeSet(f) => Seq(f)
+        case Aggregation.MakeListIf(f, pred) => f +: fieldRefs(pred)
+        case Aggregation.MakeSetIf(f, pred) => f +: fieldRefs(pred)
+        case Aggregation.MakeListNulls(f) => Seq(f)
         case Aggregation.Stdev(f) => Seq(f)
         case Aggregation.Variance(f) => Seq(f)
         case Aggregation.StdevP(f) => Seq(f)
         case Aggregation.VarianceP(f) => Seq(f)
         case Aggregation.Covariance(_, a, b) => Seq(a, b)
+        case Aggregation.TDigestA(f) => Seq(f)
+        case Aggregation.TDigestMerge(f) => Seq(f)
         case Aggregation.ArgMax(f, r) => Seq(f, r)
         case Aggregation.ArgMin(f, r) => Seq(f, r)
         case Aggregation.ArgExtremeRows(_, f, rets) => f +: rets
@@ -2642,6 +2774,16 @@ final class Compiler(
         // and re-runs). collect_list drops nulls, matching KQL's make_list.
         case Aggregation.MakeList(f) => array_sort(collect_list(ordered(f)))
         case Aggregation.MakeSet(f) => array_sort(collect_set(ordered(f)))
+        case Aggregation.MakeListIf(f, pred) =>
+          array_sort(collect_list(when(compileBool(df, pred), ordered(f))))
+        case Aggregation.MakeSetIf(f, pred) =>
+          array_sort(collect_set(when(compileBool(df, pred), ordered(f))))
+        // nulls survive via a one-field struct wrapper (collect_list
+        // drops bare nulls, never structs); array_sort puts them last
+        case Aggregation.MakeListNulls(f) =>
+          transform(
+            array_sort(collect_list(struct(ordered(f).as("v")))),
+            s => s.getField("v"))
         // Kusto's take_any is arbitrary; the minimum is arbitrary-but-
         // STABLE under shuffles/re-runs (same policy as make_set's sort).
         // Variant values pick via the cross-type order key so the VALUE is
@@ -2709,6 +2851,18 @@ final class Compiler(
           try_parse_json(column(graft.functions.MergeJsonBags(
             expression(sort_array(collect_list(kept))))))
         }
+        // mergeable percentile sketches (the rank analog of hll/hll_merge)
+        case Aggregation.TDigestA(f) => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TDigestAgg(
+            expression(numeric(f)), isMerge = false).toAggregateExpression())
+        }
+        case Aggregation.TDigestMerge(f) => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TDigestAgg(
+            expression(compileField(df, f)), isMerge = true)
+            .toAggregateExpression())
+        }
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))
@@ -2733,6 +2887,12 @@ final class Compiler(
             case "dcountif" =>
               count_distinct(when(p, ordered(f))) + coalesce(
                 max(when(p.and(ordered(f).isNull), 1L).otherwise(0L)), lit(0L))
+            // take_any's arbitrary-but-stable minimum, over matching rows
+            case "take_anyif" =>
+              if (fieldType(df, f) == KT.Var) {
+                val c = when(p, compileField(df, f))
+                min_by(c, variantOrderKey(c))
+              } else min(when(p, minmax(f)))
           }
     }
   }
@@ -2941,7 +3101,8 @@ final class Compiler(
            _: QueryStep.Tee | _: QueryStep.Pivot |
            _: QueryStep.TopNested | _: QueryStep.TopHitters |
            _: QueryStep.SampleDistinct | _: QueryStep.Sample |
-           _: QueryStep.ReduceBy | QueryStep.GetSchema =>
+           _: QueryStep.ReduceBy | _: QueryStep.Facet |
+           _: QueryStep.Fork | QueryStep.GetSchema =>
         throw KqlParseException(
           "step not supported inside 'partition by' — apply it after the " +
             "partition step", 0)

@@ -143,6 +143,12 @@ object Kql {
           s"kv_delimiter=${Render.expr(Expr.StrLit(kd))}" +
           q.map(v => s", quote=${Render.expr(Expr.StrLit(v))}").getOrElse("") + ")"
       case QueryStep.ReduceBy(e) => s"reduce by ${Render.expr(e)}"
+      case QueryStep.Facet(cols) =>
+        s"facet by ${cols.map(_.render).mkString(", ")}"
+      case QueryStep.Fork(branches) =>
+        "fork " + branches.map { case (nm, steps) =>
+          s"$nm = (\n${renderQuery(Query(steps), indent + "  ")}\n$indent)"
+        }.mkString(" ")
       case QueryStep.BagUnpack(c, pfx) =>
         s"evaluate bag_unpack(${c.render}" +
           pfx.map(p => s", ${Render.expr(Expr.StrLit(p))}").getOrElse("") + ")"

@@ -384,6 +384,14 @@ final class Parser(src: String, nowMicros: Long) {
       case "project-reorder"  => p += 1; parseReorder()
       case "parse-kv"         => p += 1; parseParseKv()
       case "reduce"           => p += 1; eatIdent("by"); parseReduceBy()
+      case "fork"             => p += 1; parseFork()
+      case "facet"            => p += 1; eatIdent("by")
+        val fs = parseFieldList()
+        if (atIdent("with"))
+          fail("facet with (subquery) is not supported — run the " +
+            "subquery as its own pipeline; facet by returns the stacked " +
+            "(facet_column, value, count_) distribution")
+        QueryStep.Facet(fs)
       case "summarize"        => p += 1; parseSummarize()
       case "make-series"      => p += 1; parseMakeSeries()
       case "distinct"         => p += 1
@@ -604,6 +612,40 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     QueryStep.RenderHint(kind)
+  }
+
+  /** `fork [name =] (steps…) …` — at least one parenthesized branch;
+    * branch steps may lead with a `|`. Unnamed branches get `fork_N`. */
+  private def parseFork(): QueryStep = {
+    val branches = Seq.newBuilder[(String, Seq[QueryStep])]
+    var i = 0
+    var more = true
+    while (more) {
+      val nm = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _)))
+            if !reservedWords(a.toLowerCase) =>
+          p += 2; a
+        case _ => s"fork_$i"
+      }
+      eatPunct("(")
+      tryPunct("|") // tolerate a leading pipe inside the branch
+      val steps = Seq.newBuilder[QueryStep]
+      steps += parseStep()
+      while (tryPunct("|")) steps += parseStep()
+      eatPunct(")")
+      branches += ((nm, steps.result()))
+      i += 1
+      more = atPunct("(") || ((peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) =>
+          !reservedWords(a.toLowerCase) &&
+            toks.lift(p + 2).exists {
+              case Punct("(", _) => true; case _ => false }
+        case _ => false
+      })
+    }
+    val out = branches.result()
+    arity(out.nonEmpty, "fork needs at least one (branch)")
+    QueryStep.Fork(out)
   }
 
   /** `project-reorder spec [asc|desc|granny-asc|granny-desc], …` —
@@ -1021,6 +1063,14 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.Percentile(f, p)
       case "make_list" => Aggregation.MakeList(parseFieldPath())
       case "make_set" => Aggregation.MakeSet(parseFieldPath())
+      case "make_list_if" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.MakeListIf(f, parseExpr())
+      case "make_set_if" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.MakeSetIf(f, parseExpr())
+      case "make_list_with_nulls" =>
+        Aggregation.MakeListNulls(parseFieldPath())
       case "make_bag" => Aggregation.MakeBag(parseFieldPath(), None)
       case "make_bag_if" =>
         val f = parseFieldPath(); eatPunct(",")
@@ -1044,12 +1094,16 @@ final class Parser(src: String, nowMicros: Long) {
         }
       case "stdev" => Aggregation.Stdev(parseFieldPath())
       case "variance" => Aggregation.Variance(parseFieldPath())
+      case "tdigest" => Aggregation.TDigestA(parseFieldPath())
+      case "merge_tdigest" | "tdigest_merge" =>
+        Aggregation.TDigestMerge(parseFieldPath())
       case "stdevp" => Aggregation.StdevP(parseFieldPath())
       case "variancep" => Aggregation.VarianceP(parseFieldPath())
       case k @ ("covariance" | "covariancep") =>
         val a = parseFieldPath(); eatPunct(",")
         Aggregation.Covariance(k.endsWith("p"), a, parseFieldPath())
-      case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif") =>
+      case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif" |
+          "take_anyif") =>
         val f = parseFieldPath(); eatPunct(",")
         Aggregation.AggIf(k, f, parseExpr())
       case "take_any" => Aggregation.TakeAny(parseFieldPath())
@@ -1345,6 +1399,8 @@ final class Parser(src: String, nowMicros: Long) {
     "abs", "round", "exp", "log", "log10", "log2", "sqrt", "pow", "sign",
     "sin", "cos", "tan", "asin", "acos", "atan", "atan2", "cot",
     "degrees", "radians", "ceiling", "exp2", "exp10", "pi",
+    "binary_and", "binary_or", "binary_xor", "binary_not",
+    "binary_shift_left", "binary_shift_right", "bitset_count_ones",
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
     "row_rank_dense", "row_rank_min",
@@ -1370,6 +1426,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
     "series_fir", "dcount_hll", "series_stats_dynamic",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
+    "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -1637,6 +1694,13 @@ final class Parser(src: String, nowMicros: Long) {
       case "atan2" =>
         val a = args(); arity(a.length == 2, "atan2() takes (y, x)")
         MathFn("atan2", a)
+      case f @ ("binary_and" | "binary_or" | "binary_xor" |
+          "binary_shift_left" | "binary_shift_right") =>
+        val a = args(); arity(a.length == 2, s"$f() takes 2 args")
+        MathFn(f, a)
+      case f @ ("binary_not" | "bitset_count_ones") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        MathFn(f, a)
       case "pi" =>
         val a = args(); arity(a.isEmpty, "pi() takes no args")
         MathFn("pi", a)
@@ -1676,7 +1740,7 @@ final class Parser(src: String, nowMicros: Long) {
         ArrFn(f, a)
       case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
           "series_avg" | "series_stats_dynamic" | "series_fill_forward" |
-          "series_fill_backward") =>
+          "series_fill_backward" | "series_outliers") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
         ArrFn(f, a)
       case "series_fill_const" =>
@@ -1724,6 +1788,23 @@ final class Parser(src: String, nowMicros: Long) {
       case "repeat" =>
         val a = args(); arity(a.length == 2, "repeat() takes (value, count)")
         ArrFn("repeat", a)
+      case "percentile_tdigest" =>
+        val a = args()
+        arity(a.length == 2, "percentile_tdigest() takes (tdigest, percentile)")
+        arity(a(1).isInstanceOf[IntLit] || a(1).isInstanceOf[FloatLit],
+          "percentile_tdigest() percentile must be a numeric literal")
+        ArrFn("percentile_tdigest", a)
+      case "array_split" =>
+        val a = args()
+        arity(a.length == 2, "array_split() takes (array, index|indices)")
+        ArrFn("array_split", a)
+      case "format_bytes" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "format_bytes() takes (size[, precision])")
+        arity(a.length == 1 || a(1).isInstanceOf[IntLit],
+          "format_bytes() precision must be an integer literal")
+        StrFn("format_bytes", a)
       case "zip" =>
         val a = args(); arity(a.length >= 2, "zip() takes 2+ arrays")
         ArrFn("zip", a)
@@ -1780,12 +1861,22 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args(); arity(a.length == 1, s"$f() takes 1 term")
         WinFn(f, a)
       case "countof" =>
-        val a = args(); arity(a.length == 2, "countof() takes (source, search)")
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "countof() takes (source, search[, kind])")
         // an empty search would divide 0/0 in the replace-length lowering
         // and silently yield null; reject it where the user can see it
         arity(!a(1).isInstanceOf[StrLit] || a(1).asInstanceOf[StrLit].v.nonEmpty,
           "countof() search string must be non-empty")
-        StrFn("countof", a)
+        val kind = if (a.length == 3) a(2) match {
+          case StrLit(k) if k == "normal" || k == "regex" => k
+          case _ => fail("countof() kind must be 'normal' or 'regex'")
+        } else "normal"
+        if (kind == "regex") {
+          arity(a(1).isInstanceOf[StrLit],
+            "countof() regex search must be a literal")
+          StrFn("countof_re", a.take(2))
+        } else StrFn("countof", a.take(2))
       case f @ ("tohex" | "base64_encode_tostring" | "base64_decode_tostring") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)

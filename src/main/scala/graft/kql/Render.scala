@@ -93,6 +93,12 @@ object Render {
       s"percentile(${f.render}, $ps)"
     case Aggregation.MakeList(f) => s"make_list(${f.render})"
     case Aggregation.MakeSet(f) => s"make_set(${f.render})"
+    case Aggregation.MakeListIf(f, p) =>
+      s"make_list_if(${f.render}, ${expr(p)})"
+    case Aggregation.MakeSetIf(f, p) =>
+      s"make_set_if(${f.render}, ${expr(p)})"
+    case Aggregation.MakeListNulls(f) =>
+      s"make_list_with_nulls(${f.render})"
     case Aggregation.ArgMax(f, r) => s"arg_max(${f.render}, ${r.render})"
     case Aggregation.ArgMin(f, r) => s"arg_min(${f.render}, ${r.render})"
     case Aggregation.MakeBag(f, None) => s"make_bag(${f.render})"
@@ -104,6 +110,8 @@ object Render {
       s"$fn(${f.render}, $rs)"
     case Aggregation.Stdev(f) => s"stdev(${f.render})"
     case Aggregation.Variance(f) => s"variance(${f.render})"
+    case Aggregation.TDigestA(f) => s"tdigest(${f.render})"
+    case Aggregation.TDigestMerge(f) => s"merge_tdigest(${f.render})"
     case Aggregation.StdevP(f) => s"stdevp(${f.render})"
     case Aggregation.VarianceP(f) => s"variancep(${f.render})"
     case Aggregation.Covariance(pop, a, b) =>

@@ -1743,6 +1743,183 @@ object KqlQueries {
         |       count(*) AS Count, min(m) AS Representative
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // round-6 tdigest family: sketch per group, estimate per group. Below
+    // the compression threshold the GK sketch answers the exact rank rule
+    // ceil(p·n), which the oracle replays (same contract as
+    // pl_token_quantiles_approx; pinned by TDigestSpec)
+    kq("kql_tdigest",
+      """events
+        | | where event_id < 5000
+        | | summarize td = tdigest(value) by event_type
+        | | project event_type, p50 = percentile_tdigest(td, 50),
+        |           p95 = percentile_tdigest(td, 95)
+        | | sort by event_type asc""".stripMargin,
+      """WITH t AS (SELECT event_type, value FROM events
+        |           WHERE event_id < 5000),
+        |r AS (SELECT event_type, value,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS cnt FROM t)
+        |SELECT event_type,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.95 * cnt) AS BIGINT) THEN value END) AS p95
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // round-6 tdigest merge: per-group sketches merged into one, then
+    // estimated — the 100 TB pre-aggregation path (store kilobyte
+    // sketches per rollup, merge on demand, never re-scan)
+    kq("kql_tdigest_merge",
+      """events
+        | | where event_id < 5000
+        | | summarize td = tdigest(value) by event_type
+        | | summarize m = merge_tdigest(td)
+        | | project p50 = percentile_tdigest(m, 50),
+        |           p90 = percentile_tdigest(m, 90),
+        |           p99 = percentile_tdigest(m, 99)""".stripMargin,
+      """WITH t AS (SELECT value FROM events WHERE event_id < 5000),
+        |r AS (SELECT value, row_number() OVER (ORDER BY value) AS rn,
+        |        count(*) OVER () AS cnt FROM t)
+        |SELECT
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * cnt) AS BIGINT) THEN value END) AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.90 * cnt) AS BIGINT) THEN value END) AS p90,
+        |  max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN value END) AS p99
+        |FROM r""".stripMargin),
+
+    // round-6 bitwise scalars + countof regex + take_anyif: DuckDB's
+    // &, |, xor(), ~, <<, >> (arithmetic), bit_count and
+    // len(regexp_extract_all) replay the same rules
+    kq("kql_binfns",
+      """lineitem
+        | | where l_orderkey < 1000
+        | | extend q = toint(l_quantity), k = l_orderkey
+        | | project k, l_linenumber,
+        |     ba = binary_and(k, q), bo = binary_or(k, q),
+        |     bx = binary_xor(k, q), bn = binary_not(q),
+        |     sl = binary_shift_left(q, 3), sr = binary_shift_right(k, 2),
+        |     c1 = bitset_count_ones(k),
+        |     cr = countof(strcat(l_returnflag, l_linestatus, l_returnflag),
+        |                  '[AF]+', 'regex')
+        | | sort by k asc, l_linenumber asc""".stripMargin,
+      """SELECT l_orderkey AS k, l_linenumber,
+        |  l_orderkey & CAST(trunc(l_quantity) AS BIGINT) AS ba,
+        |  l_orderkey | CAST(trunc(l_quantity) AS BIGINT) AS bo,
+        |  xor(l_orderkey, CAST(trunc(l_quantity) AS BIGINT)) AS bx,
+        |  ~CAST(trunc(l_quantity) AS BIGINT) AS bn,
+        |  CAST(trunc(l_quantity) AS BIGINT) << 3 AS sl,
+        |  l_orderkey >> 2 AS sr,
+        |  CAST(bit_count(l_orderkey) AS BIGINT) AS c1,
+        |  CAST(len(regexp_extract_all(
+        |    l_returnflag || l_linestatus || l_returnflag, '[AF]+'))
+        |    AS BIGINT) AS cr
+        |FROM lineitem WHERE l_orderkey < 1000
+        |ORDER BY k, l_linenumber""".stripMargin),
+
+    // round-6 take_anyif: the arbitrary-but-stable minimum of matching
+    // rows (null when none match), replayed as min(CASE WHEN …)
+    kq("kql_take_anyif",
+      """orders
+        | | summarize big = take_anyif(o_orderpriority, o_totalprice > 300000),
+        |             none = take_anyif(o_orderpriority, o_totalprice < 0)
+        |     by o_orderstatus
+        | | sort by o_orderstatus asc""".stripMargin,
+      """SELECT o_orderstatus,
+        |  min(CASE WHEN o_totalprice > 300000 THEN o_orderpriority END) AS big,
+        |  min(CASE WHEN o_totalprice < 0 THEN o_orderpriority END) AS none
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // round-6 series_outliers: documented Tukey rule (exact rank-rule
+    // quartiles, (x−med)/IQR outside the 1.5 fences) replayed on a fixed
+    // 3-element series; scores floored at fixed scale (float division)
+    kq("kql_series_outliers",
+      """lineitem
+        | | where l_orderkey < 1000
+        | | extend s = series_outliers(pack_array(
+        |     l_quantity, l_extendedprice / 1000.0, l_discount * 10.0))
+        | | project l_orderkey, l_linenumber,
+        |     s0 = toint(bin(array_sum(series_abs(s)) * 1000.0, 1.0))
+        | | sort by l_orderkey asc, l_linenumber asc""".stripMargin,
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    list_sort([l_quantity, l_extendedprice / 1000.0,
+        |               l_discount * 10.0]) AS s,
+        |    [l_quantity, l_extendedprice / 1000.0,
+        |     l_discount * 10.0] AS raw
+        |  FROM lineitem WHERE l_orderkey < 1000),
+        |q AS (SELECT l_orderkey, l_linenumber, raw,
+        |        s[1] AS q1, s[2] AS med, s[3] AS q3, s[3] - s[1] AS iqr
+        |      FROM b),
+        |sc AS (SELECT l_orderkey, l_linenumber,
+        |  list_sum(list_transform(raw, x -> CASE
+        |    WHEN iqr = 0 THEN 0.0
+        |    WHEN x > q3 + 1.5 * iqr THEN abs((x - med) / iqr)
+        |    WHEN x < q1 - 1.5 * iqr THEN abs((x - med) / iqr)
+        |    ELSE 0.0 END)) AS total
+        |  FROM q)
+        |SELECT l_orderkey, l_linenumber,
+        |  CAST(floor(total * 1000.0) AS BIGINT) AS s0
+        |FROM sc ORDER BY l_orderkey, l_linenumber""".stripMargin),
+
+    // round-6 facet: Kusto's N per-column tables stacked as
+    // (facet_column, value, count_) in the single-table contract
+    kq("kql_facet",
+      """events
+        | | facet by event_type, user_id
+        | | sort by facet_column asc, value asc""".stripMargin,
+      """SELECT 'event_type' AS facet_column,
+        |       CAST(event_type AS VARCHAR) AS value, count(*) AS count_
+        |FROM events GROUP BY 2
+        |UNION ALL
+        |SELECT 'user_id', CAST(user_id AS VARCHAR), count(*)
+        |FROM events GROUP BY 2
+        |ORDER BY facet_column, value""".stripMargin),
+
+    // round-6 fork: Kusto's per-branch result tables stacked by name
+    // with fork_table provenance (single-table contract, like facet)
+    kq("kql_fork",
+      """events
+        | | fork errs = (where event_type == 'error'
+        |                 | summarize n = count(), sv = sum(value))
+        |        clicks = (where event_type == 'click'
+        |                 | summarize n = count(), sv = sum(value))
+        | | sort by fork_table asc""".stripMargin,
+      """SELECT count(*) AS n, sum(value) AS sv, 'errs' AS fork_table
+        |FROM events WHERE event_type = 'error'
+        |UNION ALL
+        |SELECT count(*), sum(value), 'clicks'
+        |FROM events WHERE event_type = 'click'
+        |ORDER BY fork_table""".stripMargin),
+
+    // round-6 conditional collectors: only matching rows enter the
+    // sorted list/set (gate-visible as joined strings — the comparator
+    // can't hash array cells)
+    kq("kql_makelist_if",
+      """orders
+        | | summarize l = make_list_if(o_orderpriority, o_totalprice > 400000),
+        |             s = make_set_if(o_orderpriority, o_totalprice > 400000)
+        |     by o_orderstatus
+        | | project o_orderstatus, ls = strcat_array(l, ','),
+        |           ss = strcat_array(s, ',')
+        | | sort by o_orderstatus asc""".stripMargin,
+      """SELECT o_orderstatus,
+        |  array_to_string(list_sort(list(o_orderpriority)
+        |    FILTER (o_totalprice > 400000)), ',') AS ls,
+        |  array_to_string(list_sort(list_distinct(list(o_orderpriority)
+        |    FILTER (o_totalprice > 400000))), ',') AS ss
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // round-6 array_split + format_bytes: literal-oracle print (DuckDB
+    // has no equivalents; the constants pin the documented semantics)
+    kq("kql_split_bytes",
+      """print arr = array_split(pack_array(1, 2, 3, 4, 5), 2),
+        |      arr2 = array_split(pack_array(1, 2, 3, 4), -1)
+        | | project a = strcat_array(arr[0], ','),
+        |           b = strcat_array(arr[1], ','),
+        |           c = strcat_array(arr2[1], ','),
+        |           f1 = format_bytes(1024), f2 = format_bytes(1537, 1),
+        |           f3 = format_bytes(1073741824), f4 = format_bytes(17)""".stripMargin,
+      """SELECT '1,2' AS a, '3,4,5' AS b, '4' AS c,
+        |       '1 KB' AS f1, '1.5 KB' AS f2, '1 GB' AS f3,
+        |       '17 Bytes' AS f4""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)

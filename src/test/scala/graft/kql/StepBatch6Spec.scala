@@ -128,6 +128,161 @@ class StepBatch6Spec extends AnyFunSuite {
     assert(run("logs | reduce by msg with (threshold=0.5)").count() == 2)
   }
 
+  // ── facet ──
+
+  test("facet by stacks per-column distributions") {
+    val r = run(
+      """kv | extend parity = iff(id % 2 == 0, 'even', 'odd')
+        | | facet by parity
+        | | sort by value asc""".stripMargin).collect()
+    assert(r.map(x => (x.getString(0), x.getString(1), x.getLong(2))).toSeq
+      == Seq(("parity", "even", 2L), ("parity", "odd", 2L)))
+  }
+
+  test("facet by several columns unions the distributions") {
+    val df = run("t | facet by name, id")
+    assert(df.count() == 12) // 6 names + 6 ids
+    assert(df.columns.toSeq == Seq("facet_column", "value", "count_"))
+  }
+
+  test("facet with-subquery is rejected with guidance") {
+    val e = intercept[KqlParseException] {
+      run("t | facet by name with (t | count)")
+    }
+    assert(e.getMessage.contains("facet with"))
+  }
+
+  // ── binary scalars / countof regex / take_anyif / series_outliers ──
+
+  test("binary scalar family") {
+    val r = run(
+      """t | where id == 1
+        | | project a = binary_and(12, 10), o = binary_or(12, 10),
+        |           x = binary_xor(12, 10), n = binary_not(0),
+        |           sl = binary_shift_left(1, 10),
+        |           sr = binary_shift_right(0 - 8, 1),
+        |           c = bitset_count_ones(255)""".stripMargin).collect().head
+    assert(r.getLong(0) == 8L)
+    assert(r.getLong(1) == 14L)
+    assert(r.getLong(2) == 6L)
+    assert(r.getLong(3) == -1L)
+    assert(r.getLong(4) == 1024L)
+    assert(r.getLong(5) == -4L) // arithmetic shift keeps the sign
+    assert(r.getLong(6) == 8L)
+  }
+
+  test("countof kind=regex counts non-overlapping matches") {
+    val r = run(
+      """t | where id == 1
+        | | project a = countof('a1b22c333', '[0-9]+', 'regex'),
+        |           b = countof('aaa', 'aa'),
+        |           c = countof('abc', '[x]+', 'regex')""".stripMargin)
+      .collect().head
+    assert(r.getLong(0) == 3L)
+    assert(r.getLong(1) == 1L) // literal form unchanged: non-overlapping
+    assert(r.getLong(2) == 0L)
+  }
+
+  test("take_anyif picks the stable minimum of matching rows") {
+    val r = run(
+      "t | summarize a = take_anyif(name, id > 3), n = take_anyif(name, id > 99)")
+      .collect().head
+    assert(r.getString(0) == "d")
+    assert(r.isNullAt(1)) // no matching rows
+  }
+
+  test("series_outliers scores Tukey-fence outliers, zero inside") {
+    val r = run(
+      """t | where id == 1
+        | | project s = series_outliers(pack_array(
+        |     10.0, 11.0, 10.5, 10.2, 11.1, 10.8, 100.0, 10.4))""".stripMargin)
+      .collect().head.getSeq[Double](0)
+    assert(r(6) > 1.0)          // the spike scores high
+    assert(r.take(6).forall(_ == 0.0))
+    assert(r(7) == 0.0)
+  }
+
+  // ── fork ──
+
+  test("fork stacks branch results with provenance") {
+    val r = run(
+      """t | fork high = (where val >= 40.0 | summarize n = count())
+        |          low = (where val < 40.0 | summarize n = count())
+        | | sort by fork_table asc""".stripMargin).collect()
+    assert(r.map(x => (x.getString(1), x.getLong(0))).toSeq ==
+      Seq(("high", 3L), ("low", 3L)))
+  }
+
+  test("fork branches bag-union by name; unnamed branches get fork_N") {
+    val df = run(
+      """t | fork (project id) (project name | extend extra = 1)""".stripMargin)
+    assert(df.columns.toSet == Set("id", "fork_table", "name", "extra"))
+    val r = df.collect()
+    assert(r.count(_.getString(df.columns.indexOf("fork_table")) == "fork_0") == 6)
+    assert(r.count(_.getString(df.columns.indexOf("fork_table")) == "fork_1") == 6)
+    // fork_0 rows have null name/extra (missing-column null fill)
+    assert(r.filter(_.getString(df.columns.indexOf("fork_table")) == "fork_0")
+      .forall(_.isNullAt(df.columns.indexOf("name"))))
+  }
+
+  test("fork branches may lead with a pipe") {
+    val df = run("t | fork ( | where id > 3 | count ) ( | count )")
+    assert(df.count() == 2)
+  }
+
+  // ── make_list variants / array_split / format_bytes ──
+
+  test("make_list_if and make_set_if collect only matching rows") {
+    val r = run(
+      """t | summarize l = make_list_if(name, id > 4),
+        |             s = make_set_if(name, id > 4)
+        | | project l = strcat_array(l, ','), s = strcat_array(s, ',')""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "e,f")
+    assert(r.getString(1) == "e,f")
+  }
+
+  test("make_list_with_nulls keeps null elements") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("n", Seq(Some("a"), None, Some("b")).toDF("v"))
+    val r = Kql.run(spark, c2,
+      "n | summarize l = make_list_with_nulls(v)").collect().head
+    val l = r.getSeq[String](0)
+    assert(l.length == 3)
+    assert(l.count(_ == null) == 1)
+    val plain = Kql.run(spark, c2,
+      "n | summarize l = make_list(v)").collect().head.getSeq[String](0)
+    assert(plain.length == 2) // make_list drops nulls
+  }
+
+  test("array_split at single and multiple indices, negative from end") {
+    def get(expr: String): Seq[Seq[Long]] =
+      run(s"t | where id == 1 | project r = $expr")
+        .collect().head.getSeq[Seq[Long]](0)
+    assert(get("array_split(pack_array(1, 2, 3, 4, 5), 2)") ==
+      Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
+    assert(get("array_split(pack_array(1, 2, 3, 4, 5), pack_array(1, 3))") ==
+      Seq(Seq(1L), Seq(2L, 3L), Seq(4L, 5L)))
+    assert(get("array_split(pack_array(1, 2, 3, 4, 5), -2)") ==
+      Seq(Seq(1L, 2L, 3L), Seq(4L, 5L)))
+    assert(get("array_split(pack_array(1, 2), 9)") ==
+      Seq(Seq(1L, 2L), Seq())) // clamped
+  }
+
+  test("format_bytes picks power-of-1024 units") {
+    val r = run(
+      """t | where id == 1
+        | | project a = format_bytes(1024), b = format_bytes(0),
+        |           c = format_bytes(1537, 1), d = format_bytes(1073741824),
+        |           e = format_bytes(500)""".stripMargin).collect().head
+    assert(r.getString(0) == "1 KB")
+    assert(r.getString(1) == "0 Bytes")
+    assert(r.getString(2) == "1.5 KB")
+    assert(r.getString(3) == "1 GB")
+    assert(r.getString(4) == "500 Bytes")
+  }
+
   test("sample and reduce are rejected inside partition by") {
     assertThrows[KqlParseException] {
       run("t | partition by name ( sample 1 )")
