@@ -200,6 +200,7 @@ final class Compiler(
            "parse_version" | "strcmp" | "indexof_regex" |
            "string_size" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
+      case "datetime_utc_to_local" | "datetime_local_to_utc" => KT.Ts
       case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" => KT.Var
       case _ => KT.Str
@@ -208,7 +209,7 @@ final class Compiler(
     case DtFn(name, _) => name match {
       case "startofday" | "startofhour" | "startofweek" | "startofmonth" |
            "startofyear" | "endofday" | "startofquarter" | "endofweek" |
-           "endofmonth" | "endofyear" => KT.Ts
+           "endofmonth" | "endofyear" | "endofquarter" => KT.Ts
       case _ => KT.Int
     }
     case DtDiff(_, _, _) => KT.Int
@@ -254,11 +255,13 @@ final class Compiler(
           "series_fill_backward" | "series_outliers" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
       case "dcount_hll" => KT.Int
-      case "bag_pack" | "pack_all" | "series_stats_dynamic" => KT.Var
+      case "bag_pack" | "pack_all" | "series_stats_dynamic" |
+          "bag_merge" | "bag_remove_keys" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
       case "row_number" | "row_rank_dense" | "row_rank_min" => KT.Int
+      case "row_window_session" => KT.Ts
       case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
     }
     case ToScalar(q) => toScalarValue(q) match {
@@ -602,6 +605,14 @@ final class Compiler(
       }
 
     case StrFn(name, args) =>
+      def validatedZone(e: Expr): String = e match {
+        case StrLit(z) =>
+          try { java.time.ZoneId.of(z); z }
+          catch { case _: Exception =>
+            throw KqlParseException(s"unknown timezone '$z'", 0) }
+        case _ =>
+          throw KqlParseException("timezone must be a string literal", 0)
+      }
       val cs = args.map(a => compile(df, a))
       name match {
         case "strlen" => length(cs.head.cast(StringType)).cast(LongType)
@@ -690,6 +701,15 @@ final class Compiler(
               format_string(s"%.${p}f ${units(i)}", v / lit(scale)))
               .otherwise(acc)
           }
+        // wall-clock shifts between UTC and a named zone (session TZ is
+        // UTC, so the stored instant reads as UTC wall time); the zone is
+        // a literal, validated at compile
+        case "datetime_utc_to_local" =>
+          from_utc_timestamp(cs.head.try_cast(TimestampType),
+            validatedZone(args(1)))
+        case "datetime_local_to_utc" =>
+          to_utc_timestamp(cs.head.try_cast(TimestampType),
+            validatedZone(args(1)))
         case "url_encode" => url_encode(cs.head.cast(StringType))
         case "url_encode_component" =>
           replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))
@@ -956,6 +976,23 @@ final class Compiler(
         case "endofyear" =>
           timestamp_micros(unix_micros(date_trunc("year",
             add_months(xc, 12).cast(TimestampType))) - lit(1L))
+        case "endofquarter" =>
+          timestamp_micros(unix_micros(date_trunc("quarter",
+            add_months(xc, 3).cast(TimestampType))) - lit(1L))
+        // datetime_part: Kusto's part vocabulary onto extract
+        case p if p.startsWith("part_") => (p.stripPrefix("part_") match {
+          case "year" => year(xc)
+          case "quarter" => quarter(xc)
+          case "month" => month(xc)
+          case "week_of_year" => weekofyear(xc)
+          case "day" => dayofmonth(xc)
+          case "dayofyear" => dayofyear(xc)
+          case "hour" => hour(xc)
+          case "minute" => minute(xc)
+          case "second" => second(xc)
+          case "millisecond" => (unix_micros(xc) % 1000000L) / 1000L
+          case "microsecond" => unix_micros(xc) % 1000000L
+        }).cast(LongType)
       }
 
     // period-boundary crossing count (KQL datetime_diff): truncate both
@@ -1134,6 +1171,24 @@ final class Compiler(
           else arr
         case "indexof" => // 0-based; -1 when absent (instr is 1-based/0)
           (instr(s(0), s(1)) - lit(1)).cast(LongType)
+        // shallow bag merge in ARGUMENT order (leftmost bag wins each
+        // key, Kusto's rule) through the make_bag merge kernel; output
+        // re-parses to variant so field paths compose
+        case "bag_merge" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          try_parse_json(column(graft.functions.MergeJsonBags(
+            expression(array(args.map(a =>
+              compile(df, a).cast(StringType)): _*)))))
+        }
+        // top-level key removal (nested JSONPath forms are a documented
+        // narrowing); non-object input → null
+        case "bag_remove_keys" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          try_parse_json(column(graft.functions.BagRemoveKeys(
+            expression(compile(df, args.head).cast(StringType)),
+            expression(transform(compile(df, args(1)),
+              k => k.cast(StringType))))))
+        }
         // split at 0-based indices (negative = from the end, clamped):
         // bounds = [0, …normalized…, n]; slice k = [b_k, b_{k+1}).
         // A single index and an index array both work (Kusto's forms).
@@ -1503,6 +1558,43 @@ final class Compiler(
             val rn = row_number().over(w).cast(LongType)
             max(when(changed === 1L, rn)).over(frame).cast(LongType)
           }
+        // greedy session start — a custom declarative window aggregate
+        // (two-long running state inside the window exec, no state
+        // machine; see graft.functions.RowWindowSession)
+        case "row_window_session" =>
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          import org.apache.spark.sql.catalyst.expressions.{Literal => CatLit,
+            UnspecifiedFrame, WindowExpression, WindowSpecDefinition,
+            SortOrder => CatSortOrder}
+          def micros(e: Expr): Long = e match {
+            case TimespanLit(m) => m
+            case IntLit(v) => v
+            case _ => throw KqlParseException(
+              "row_window_session durations must be timespan literals", 0)
+          }
+          val tsc = unix_micros(compile(df, args.head).try_cast(TimestampType))
+          // the window spec is built directly with UnspecifiedFrame so the
+          // function's own ROW frame applies (Column.over would pin the
+          // default RANGE frame, which the analyzer rejects)
+          val spec = WindowSpecDefinition(
+            partitionKey.toSeq.map(pk => expression(compileField(df, pk))),
+            keys.map { k =>
+              import org.apache.spark.sql.catalyst.expressions.{
+                Ascending, Descending, NullsFirst, NullsLast}
+              val c0 = compileField(df, k.field)
+              val c = if (fieldType(df, k.field) == KT.Var)
+                variantOrderKey(c0) else c0
+              CatSortOrder(expression(c),
+                if (k.order == SortOrder.Asc) Ascending else Descending,
+                if (k.nulls == NullsOrder.First) NullsFirst else NullsLast,
+                Seq.empty)
+            },
+            UnspecifiedFrame)
+          timestamp_micros(column(WindowExpression(
+            graft.functions.RowWindowSession(
+              expression(tsc), CatLit(micros(args(1))),
+              CatLit(micros(args(2)))),
+            spec)))
       }
   }
 

@@ -1403,14 +1403,16 @@ final class Parser(src: String, nowMicros: Long) {
     "binary_shift_left", "binary_shift_right", "bitset_count_ones",
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
-    "row_rank_dense", "row_rank_min",
+    "row_rank_dense", "row_rank_min", "row_window_session",
     "countof", "extract_all", "bin_at", "tohex",
     "base64_encode_tostring", "base64_decode_tostring",
     "todynamic", "parse_json",
     "array_sort_asc", "array_sort_desc", "array_reverse", "array_concat",
     "array_slice", "array_index_of", "array_sum",
     "getyear", "getmonth", "dayofyear", "startofquarter", "endofweek",
-    "endofmonth", "endofyear",
+    "endofmonth", "endofyear", "endofquarter", "datetime_part",
+    "datetime_utc_to_local", "datetime_local_to_utc",
+    "bag_merge", "bag_remove_keys",
     "array_shift_left", "array_shift_right", "array_rotate_left",
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
@@ -1639,9 +1641,26 @@ final class Parser(src: String, nowMicros: Long) {
                 "monthofyear" | "startofweek" | "startofmonth" |
                 "startofyear" | "endofday" | "dayofweek" | "weekofyear" |
                 "getyear" | "getmonth" | "dayofyear" | "startofquarter" |
-                "endofweek" | "endofmonth" | "endofyear") =>
+                "endofweek" | "endofmonth" | "endofyear" | "endofquarter") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         DtFn(f, a.head)
+      case "datetime_part" =>
+        val a = args()
+        arity(a.length == 2, "datetime_part() takes (part_literal, datetime)")
+        val part = a.head match {
+          case StrLit(s) => s.toLowerCase
+          case _ => fail("datetime_part() part must be a string literal")
+        }
+        arity(Set("year", "quarter", "month", "week_of_year", "day",
+          "dayofyear", "hour", "minute", "second", "millisecond",
+          "microsecond")(part), s"datetime_part: unknown part '$part'")
+        DtFn(s"part_$part", a(1))
+      case f @ ("datetime_utc_to_local" | "datetime_local_to_utc") =>
+        val a = args()
+        arity(a.length == 2, s"$f() takes (datetime, timezone_literal)")
+        arity(a(1).isInstanceOf[StrLit],
+          s"$f() timezone must be a string literal")
+        StrFn(f, a)
       case "datetime_diff" =>
         val a = args()
         arity(a.length == 3, "datetime_diff() takes (period, dt1, dt2)")
@@ -1731,6 +1750,13 @@ final class Parser(src: String, nowMicros: Long) {
           "bag_keys") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         ArrFn(f, a)
+      case "bag_merge" =>
+        val a = args(); arity(a.length >= 2, "bag_merge() takes 2+ bags")
+        ArrFn("bag_merge", a)
+      case "bag_remove_keys" =>
+        val a = args()
+        arity(a.length == 2, "bag_remove_keys() takes (bag, keys_array)")
+        ArrFn("bag_remove_keys", a)
       case "array_sum" =>
         val a = args(); arity(a.length == 1, "array_sum() takes 1 arg")
         ArrFn("array_sum", a)
@@ -1860,6 +1886,14 @@ final class Parser(src: String, nowMicros: Long) {
       case f @ ("row_rank_dense" | "row_rank_min") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 term")
         WinFn(f, a)
+      case "row_window_session" =>
+        val a = args()
+        arity(a.length == 3,
+          "row_window_session() takes (ts, maxDuration, idleTimeout)")
+        arity(a.tail.forall(x => x.isInstanceOf[TimespanLit] ||
+          x.isInstanceOf[IntLit]),
+          "row_window_session() durations must be timespan literals")
+        WinFn("row_window_session", a)
       case "countof" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

@@ -1920,6 +1920,70 @@ object KqlQueries {
         |       '1 KB' AS f1, '1.5 KB' AS f2, '1 GB' AS f3,
         |       '17 Bytes' AS f4""".stripMargin),
 
+    // round-6 datetime batch 4: endofquarter, datetime_part, and the
+    // UTC↔zone wall-clock shifts (DuckDB's timezone() replays both
+    // directions; Tokyo has no DST so the round-trip is identity)
+    kq("kql_dtfns4",
+      """events
+        | | where event_id < 2000
+        | | project event_id,
+        |     eq = endofquarter(ts),
+        |     q = datetime_part('quarter', ts),
+        |     mi = datetime_part('minute', ts),
+        |     ms = datetime_part('millisecond', ts),
+        |     wy = datetime_part('week_of_year', ts),
+        |     lc = datetime_utc_to_local(ts, 'America/New_York'),
+        |     rt = datetime_local_to_utc(
+        |            datetime_utc_to_local(ts, 'Asia/Tokyo'), 'Asia/Tokyo')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  date_trunc('quarter', ts + INTERVAL 3 MONTH)
+        |    - INTERVAL 1 MICROSECOND AS eq,
+        |  CAST(datepart('quarter', ts) AS BIGINT) AS q,
+        |  CAST(datepart('minute', ts) AS BIGINT) AS mi,
+        |  CAST((epoch_us(ts) % 1000000) // 1000 AS BIGINT) AS ms,
+        |  CAST(weekofyear(ts) AS BIGINT) AS wy,
+        |  CAST(timezone('America/New_York', CAST(ts AS TIMESTAMPTZ))
+        |    AS TIMESTAMP) AS lc,
+        |  ts AS rt
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin),
+
+    // round-6 bag scalars #2: leftmost-wins shallow merge and top-level
+    // key removal, pinned by literal oracle (canonical key-sorted text)
+    kq("kql_bagfns2",
+      """print m = tostring(bag_merge(todynamic('{"a":1,"b":2}'),
+        |                             todynamic('{"b":9,"c":3}'))),
+        |      r = tostring(bag_remove_keys(todynamic('{"x":1,"y":2,"z":3}'),
+        |                                   pack_array('y', 'nope')))""".stripMargin,
+      """SELECT '{"a":1,"b":2,"c":3}' AS m, '{"x":1,"z":3}' AS r"""),
+
+    // round-6 row_window_session (gap mode): with maxDuration ≫ data
+    // span only the idle rule fires, which classic gap-cumsum SQL
+    // replays; the greedy maxDuration restart (not SQL-expressible
+    // without recursion) is WindowFnSpec-pinned
+    kq("kql_rowsession",
+      """events
+        | | where user_id < 30
+        | | partition by user_id (sort by ts asc, event_id asc
+        |     | extend s = row_window_session(ts, 365d, 30m))
+        | | summarize n = count() by user_id, s
+        | | sort by user_id asc, s asc""".stripMargin,
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id < 30
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |g AS (SELECT user_id, ts,
+        |        sum(brk) OVER (PARTITION BY user_id
+        |                       ORDER BY ts, event_id) AS sid
+        |      FROM o),
+        |m AS (SELECT user_id, sid, min(ts) AS s, count(*) AS n
+        |      FROM g GROUP BY 1, 2)
+        |SELECT user_id, s, n FROM m ORDER BY user_id, s""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)

@@ -432,6 +432,51 @@ class Round6FnSpec extends AnyFunSuite {
     assert(scalar("array_length(parse_csv('x,,y'))") == 3L)
   }
 
+  test("endofquarter and datetime_part") {
+    assert(scalar("tostring(endofquarter(datetime(2024-02-15)))")
+      .toString.startsWith("2024-03-31 23:59:59"))
+    assert(scalar("datetime_part('quarter', datetime(2024-05-01))") == 2L)
+    assert(scalar("datetime_part('minute', datetime(2024-05-01 10:42:17))") == 42L)
+    assert(scalar("datetime_part('millisecond', datetime(2024-05-01 00:00:00.123))") == 123L)
+    assert(scalar("datetime_part('week_of_year', datetime(2024-01-08))") == 2L)
+  }
+
+  test("datetime_utc_to_local / local_to_utc round-trip") {
+    // 2024-01-15 12:00 UTC is 07:00 in New York (EST, UTC-5)
+    assert(scalar(
+      "tostring(datetime_utc_to_local(datetime(2024-01-15 12:00:00), 'America/New_York'))")
+      .toString.startsWith("2024-01-15 07:00:00"))
+    assert(scalar(
+      """tostring(datetime_local_to_utc(
+        |  datetime_utc_to_local(datetime(2024-07-04 03:30:00), 'Asia/Tokyo'),
+        |  'Asia/Tokyo'))""".stripMargin)
+      .toString.startsWith("2024-07-04 03:30:00"))
+    assertThrows[KqlParseException] {
+      scalar("datetime_utc_to_local(now(), 'Not/AZone')")
+    }
+  }
+
+  test("bag_merge: leftmost bag wins each key") {
+    assert(scalar(
+      """tostring(bag_merge(todynamic('{"a":1,"b":2}'),
+        |                   todynamic('{"b":99,"c":3}')))""".stripMargin)
+      == """{"a":1,"b":2,"c":3}""")
+    // non-bag args are skipped
+    assert(scalar(
+      """tostring(bag_merge(todynamic('{"a":1}'), todynamic('[1,2]')))""")
+      == """{"a":1}""")
+  }
+
+  test("bag_remove_keys drops top-level keys; non-object is null") {
+    assert(scalar(
+      """tostring(bag_remove_keys(todynamic('{"a":1,"b":2,"c":3}'),
+        |                         pack_array('b', 'zz')))""".stripMargin)
+      == """{"a":1,"c":3}""")
+    assert(scalar(
+      """tostring(bag_remove_keys(todynamic('[1,2]'), pack_array('a')))""")
+      == null)
+  }
+
   test("url_encode family: form vs component spaces, decode round-trip") {
     assert(scalar("url_encode('a b&c')") == "a+b%26c")
     assert(scalar("url_encode_component('a b&c')") == "a%20b%26c")

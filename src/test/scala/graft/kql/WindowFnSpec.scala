@@ -114,4 +114,69 @@ class WindowFnSpec extends AnyFunSuite {
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       Seq((4L, 1L), (3L, 2L), (2L, 3L), (1L, 4L)))
   }
+
+  test("row_window_session: idle gap starts a new session") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("ev", Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00")),
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:20:00")), // > 10m gap
+      (4L, java.sql.Timestamp.valueOf("2024-01-01 00:21:00"))
+    ).toDF("id", "at"))
+    val rows = Kql.run(spark, c2,
+      """ev | sort by at asc
+        | | extend s = row_window_session(at, 1h, 10m)
+        | | project id, s | sort by id asc""".stripMargin).collect()
+    assert(rows(0).getTimestamp(1) == rows(1).getTimestamp(1))
+    assert(rows(2).getTimestamp(1) == rows(3).getTimestamp(1))
+    assert(rows(0).getTimestamp(1) != rows(2).getTimestamp(1))
+    assert(rows(2).getTimestamp(1).toString.startsWith("2024-01-01 00:20:00"))
+  }
+
+  test("row_window_session: maxDuration restarts greedily at the breaking row") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    // rows every 4 minutes, idle 10m never trips; maxDuration 10m does:
+    // 00:00, 00:04, 00:08 in session 1 (08 ≤ 10m); 00:12 is 12m past the
+    // session start → NEW session anchored at 00:12 (not 00:10), then
+    // 00:16, 00:20 ride it, 00:24 is 12m past 00:12 → third session
+    c2.register("ev", (0 to 6).map(i =>
+      (i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i * 4}%02d:00")))
+      .toDF("id", "at"))
+    val rows = Kql.run(spark, c2,
+      """ev | sort by at asc
+        | | extend s = row_window_session(at, 10m, 1h)
+        | | project id, s | sort by id asc""".stripMargin).collect()
+    val starts = rows.map(_.getTimestamp(1).toString.substring(0, 19))
+    assert(starts.toSeq == Seq(
+      "2024-01-01 00:00:00", "2024-01-01 00:00:00", "2024-01-01 00:00:00",
+      "2024-01-01 00:12:00", "2024-01-01 00:12:00", "2024-01-01 00:12:00",
+      "2024-01-01 00:24:00"))
+  }
+
+  test("row_window_session distributes under partition by") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("ev", Seq(
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("u1", java.sql.Timestamp.valueOf("2024-01-01 00:30:00")),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      ("u2", java.sql.Timestamp.valueOf("2024-01-01 00:05:00"))
+    ).toDF("u", "at"))
+    val rows = Kql.run(spark, c2,
+      """ev | partition by u (sort by at asc
+        |     | extend s = row_window_session(at, 8h, 10m))
+        | | summarize n = dcount(s) by u | sort by u asc""".stripMargin)
+      .collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("u1", 2L), ("u2", 1L))) // u1's 30m gap splits; u2 stays one
+  }
+
+  test("row_window_session requires a serialized input") {
+    assertThrows[KqlParseException] {
+      Kql.run(spark, cat,
+        "t | extend s = row_window_session(now(), 1h, 10m)")
+    }
+  }
 }
