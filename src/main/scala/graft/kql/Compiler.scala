@@ -202,7 +202,8 @@ final class Compiler(
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "datetime_utc_to_local" | "datetime_local_to_utc" => KT.Ts
       case "extract_all" | "parse_csv" => KT.Arr
-      case "parse_url" => KT.Var
+      case "parse_url" | "extract_json" | "parse_path" => KT.Var
+      case "has_any_index" => KT.Int
       case _ => KT.Str
     }
     case BinAt(x, _, _) => infer(df, x)
@@ -710,6 +711,70 @@ final class Compiler(
         case "datetime_local_to_utc" =>
           to_utc_timestamp(cs.head.try_cast(TimestampType),
             validatedZone(args(1)))
+        // compression codec family (round-trip contract, Ast note on
+        // cross-build byte variance)
+        case "gzip_compress_to_base64_string" |
+            "gzip_decompress_from_base64_string" |
+            "zlib_compress_to_base64_string" |
+            "zlib_decompress_from_base64_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val op = name match {
+            case "gzip_compress_to_base64_string" => "gzip_c"
+            case "gzip_decompress_from_base64_string" => "gzip_d"
+            case "zlib_compress_to_base64_string" => "zlib_c"
+            case _ => "zlib_d"
+          }
+          column(graft.functions.CodecExpr(
+            expression(cs.head.cast(StringType)), op))
+        }
+        // JSONPath extraction to a variant (Kusto's dynamic):
+        // get_json_object returns the matched element's JSON text
+        case "extract_json" =>
+          try_parse_json(get_json_object(
+            cs(1).cast(StringType), args.head.asInstanceOf[StrLit].v))
+        // file-path decomposition into Kusto's component bag; both / and \
+        // separate, drive/UNC/rooted prefixes become RootPath, the
+        // Windows alternate data stream (file.txt:ads) splits off the
+        // filename
+        case "parse_path" =>
+          val p0 = cs.head.cast(StringType)
+          val norm = replace(p0, lit("\\"), lit("/"))
+          val fileFull = regexp_extract(norm, "([^/]*)$", 1)
+          val ads = regexp_extract(fileFull, "^[^:]*:(.*)$", 1)
+          val file = regexp_extract(fileFull, "^([^:]*)", 1)
+          val dirPath = when(norm.contains("/"),
+            regexp_extract(norm, "^(.*)/[^/]*$", 1)).otherwise(lit(""))
+          val dirName = regexp_extract(dirPath, "([^/]*)$", 1)
+          val ext = when(file.rlike("\\.[^.]+$"),
+            regexp_extract(file, "\\.([^.]+)$", 1)).otherwise(lit(""))
+          val root = when(p0.rlike("^[A-Za-z]:"),
+            regexp_extract(p0, "^([A-Za-z]:)", 1))
+            .when(p0.startsWith("\\\\"),
+              regexp_extract(replace(p0, lit("\\"), lit("/")),
+                "^(//[^/]+/[^/]+)", 1))
+            .when(p0.startsWith("/"), lit("/"))
+            .otherwise(lit(""))
+          try_parse_json(to_json(struct(
+            ads.as("AlternateDataStreamName"),
+            dirName.as("DirectoryName"),
+            dirPath.as("DirectoryPath"),
+            ext.as("Extension"),
+            file.as("Filename"),
+            root.as("RootPath"))))
+        // 0-based index of the first values[] element the source `has`
+        // (term semantics, same kernel as the has predicate); -1 when none
+        case "has_any_index" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val src = cs.head.cast(StringType)
+          val vals = cs(1)
+          val hits = filter(
+            transform(vals, (v, i) =>
+              when(column(graft.functions.HasPhrase(
+                expression(src), expression(v.cast(StringType)),
+                caseSensitive = false)), i.cast(LongType))),
+            x => x.isNotNull)
+          coalesce(array_min(hits), lit(-1L))
+        }
         case "url_encode" => url_encode(cs.head.cast(StringType))
         case "url_encode_component" =>
           replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))

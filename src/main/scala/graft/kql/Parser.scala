@@ -1413,6 +1413,9 @@ final class Parser(src: String, nowMicros: Long) {
     "endofmonth", "endofyear", "endofquarter", "datetime_part",
     "datetime_utc_to_local", "datetime_local_to_utc",
     "bag_merge", "bag_remove_keys",
+    "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
+    "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
+    "extract_json", "parse_path", "has_any_index",
     "array_shift_left", "array_shift_right", "array_rotate_left",
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
@@ -1583,9 +1586,23 @@ final class Parser(src: String, nowMicros: Long) {
           "indexof_regex() regex must be a literal")
         StrFn("indexof_regex", a)
       case f @ ("string_size" | "regex_quote" | "parse_csv" |
-          "url_encode" | "url_encode_component" | "url_decode") =>
+          "url_encode" | "url_encode_component" | "url_decode" |
+          "gzip_compress_to_base64_string" |
+          "gzip_decompress_from_base64_string" |
+          "zlib_compress_to_base64_string" |
+          "zlib_decompress_from_base64_string" | "parse_path") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      case "extract_json" =>
+        val a = args()
+        arity(a.length == 2, "extract_json() takes (jsonPath, source)")
+        arity(a.head.isInstanceOf[StrLit],
+          "extract_json() path must be a string literal")
+        StrFn("extract_json", a)
+      case "has_any_index" =>
+        val a = args()
+        arity(a.length == 2, "has_any_index() takes (source, values)")
+        StrFn("has_any_index", a)
       case f @ ("parse_ipv4" | "ipv4_is_private" | "format_ipv4") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)

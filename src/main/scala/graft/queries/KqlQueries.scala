@@ -1984,6 +1984,55 @@ object KqlQueries {
         |      FROM g GROUP BY 1, 2)
         |SELECT user_id, s, n FROM m ORDER BY user_id, s""".stripMargin),
 
+    // round-6 codec + extract_json: codecs pin decompression of a fixed
+    // CPython vector + a round-trip (compressed bytes are NOT canonical
+    // across zlib builds — the decompress side is the contract);
+    // extract_json pulls from the events props JSON with a DuckDB
+    // json_extract replay
+    kq("kql_codecs",
+      """print z = zlib_decompress_from_base64_string('eJzLSM3JyQcABiwCFQ=='),
+        |      g = gzip_decompress_from_base64_string(
+        |            'H4sIAAAAAAACA8tIzcnJBwCGphA2BQAAAA=='),
+        |      rt = zlib_decompress_from_base64_string(
+        |             zlib_compress_to_base64_string('round trip ok')),
+        |      rg = gzip_decompress_from_base64_string(
+        |             gzip_compress_to_base64_string('gz too'))""".stripMargin,
+      """SELECT 'hello' AS z, 'hello' AS g, 'round trip ok' AS rt,
+        |       'gz too' AS rg""".stripMargin),
+
+    kq("kql_extract_json",
+      """events
+        | | where event_id < 3000
+        | | extend k = toint(extract_json('$.k', props))
+        | | project event_id, k
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+        |FROM events WHERE event_id < 3000
+        |ORDER BY event_id""".stripMargin),
+
+    // round-6 parse_path + has_any_index: path decomposition pinned by
+    // literal oracle; has_any_index replays the has word-boundary regex
+    // as a CASE chain over the fixed term list
+    kq("kql_pathfns",
+      """print p = parse_path('/data/sets/train/shard-0042.parquet')
+        | | project dir = tostring(p.DirectoryPath),
+        |           nm = tostring(p.Filename), ex = tostring(p.Extension),
+        |           dn = tostring(p.DirectoryName), rp = tostring(p.RootPath)""".stripMargin,
+      """SELECT '/data/sets/train' AS dir, 'shard-0042.parquet' AS nm,
+        |       'parquet' AS ex, 'train' AS dn, '/' AS rp""".stripMargin),
+
+    kq("kql_has_any_index",
+      """documents
+        | | extend i = has_any_index(text, pack_array('spark', 'table', 'query'))
+        | | project doc_id, i
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, CAST(CASE
+        |  WHEN regexp_matches(text, '(?i)(^|[^A-Za-z0-9])spark([^A-Za-z0-9]|$)') THEN 0
+        |  WHEN regexp_matches(text, '(?i)(^|[^A-Za-z0-9])table([^A-Za-z0-9]|$)') THEN 1
+        |  WHEN regexp_matches(text, '(?i)(^|[^A-Za-z0-9])query([^A-Za-z0-9]|$)') THEN 2
+        |  ELSE -1 END AS BIGINT) AS i
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)

@@ -223,4 +223,50 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("o_orderpriority") && !p.contains("event_type"),
       s"find must prune to the referenced columns:\n$p")
   }
+
+  // round-6 session-2 pins
+
+  test("sample plans as a bounded heap, not a global sort") {
+    val p = plan("kql_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"sample's hash-rank pick must fuse into TakeOrderedAndProject:\n$p")
+  }
+
+  test("reduce by is one partial/final aggregation") {
+    val p = plan("kql_reduce")
+    // min(string) carries a string buffer, so Spark picks SortAggregate —
+    // what matters is the partial/final split (map-side combine)
+    assert("(Hash|Sort)Aggregate".r.findAllIn(p).length >= 2,
+      s"reduce by must split into partial + final aggregation:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+      s"reduce by must shuffle exactly once (the pattern key):\n$p")
+  }
+
+  test("tdigest aggregates split into partial + final (mergeable sketches)") {
+    val p = plan("kql_tdigest")
+    // TypedImperativeAggregate plans as ObjectHashAggregate; partial on
+    // the scan side + final after the key exchange = map-side combine,
+    // the property that makes per-rollup sketches work at 100 TB
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2,
+      s"tdigest must plan as partial+final ObjectHashAggregate:\n$p")
+  }
+
+  test("parse-kv stays a projection — no shuffle, no UDF") {
+    val p = plan("kql_parsekv")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"parse-kv must lower to native expressions:\n$p")
+    // only the final presentation sort may exchange; the extraction
+    // itself adds no aggregation
+    assert(!p.contains("HashAggregate"),
+      s"parse-kv must not aggregate:\n$p")
+  }
+
+  test("row_window_session distributes as one per-key window pass") {
+    val p = plan("kql_rowsession")
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      s"row_window_session must plan inside the window exec:\n$p")
+    assert(!p.contains("SinglePartition") ||
+      !p.split("\n").exists(l => l.contains("Window") && l.contains("SinglePartition")),
+      s"under partition by the window must be per-key, not single-partition:\n$p")
+  }
 }

@@ -477,6 +477,62 @@ class Round6FnSpec extends AnyFunSuite {
       == null)
   }
 
+  test("codec scalars: round-trips and fixed decompress vectors") {
+    assert(scalar(
+      "gzip_decompress_from_base64_string(gzip_compress_to_base64_string('hello world'))")
+      == "hello world")
+    assert(scalar(
+      "zlib_decompress_from_base64_string(zlib_compress_to_base64_string('héllo €'))")
+      == "héllo €")
+    // fixed vectors produced by CPython's zlib/gzip — decompression is
+    // the cross-implementation contract
+    assert(scalar(
+      "zlib_decompress_from_base64_string('eJzLSM3JyQcABiwCFQ==')") == "hello")
+    assert(scalar(
+      "gzip_decompress_from_base64_string('H4sIAAAAAAACA8tIzcnJBwCGphA2BQAAAA==')")
+      == "hello")
+    // corrupt input is a row error ⇒ null
+    assert(scalar("zlib_decompress_from_base64_string('not-base64!!')") == null)
+    assert(scalar("gzip_decompress_from_base64_string('aGVsbG8=')") == null)
+  }
+
+  test("extract_json pulls typed variants by JSONPath") {
+    assert(scalar(
+      """toint(extract_json('$.a.b', '{"a":{"b":7}}'))""") == 7L)
+    assert(scalar(
+      """tostring(extract_json('$.xs[1]', '{"xs":[10,20,30]}'))""") == "20")
+    assert(scalar("""extract_json('$.nope', '{"a":1}')""") == null)
+  }
+
+  test("parse_path decomposes unix and windows paths") {
+    // field access composes through an extend (path access binds to
+    // field paths, not call results)
+    def part(path: String, field: String): Any =
+      Kql.run(spark, cat,
+        s"t1 | extend p = parse_path('$path') | project r = tostring(p.$field)")
+        .collect()(0).get(0)
+    assert(part("/home/user/data/file.tar.gz", "Filename") == "file.tar.gz")
+    assert(part("/home/user/data/file.tar.gz", "Extension") == "gz")
+    assert(part("/home/user/data/file.tar.gz", "DirectoryPath") == "/home/user/data")
+    assert(part("/home/user/data/file.tar.gz", "DirectoryName") == "data")
+    assert(part("/home/user/data/file.tar.gz", "RootPath") == "/")
+    assert(part("C:\\\\Users\\\\x\\\\doc.txt", "RootPath") == "C:")
+    assert(part("C:\\\\Users\\\\x\\\\doc.txt:hidden", "AlternateDataStreamName") == "hidden")
+    assert(part("C:\\\\Users\\\\x\\\\doc.txt:hidden", "Filename") == "doc.txt")
+  }
+
+  test("has_any_index: first term hit wins, -1 when absent") {
+    assert(scalar(
+      "has_any_index('the quick brown fox', pack_array('zz', 'brown', 'quick'))")
+      == 1L)
+    assert(scalar(
+      "has_any_index('the quick brown fox', pack_array('nope', 'nada'))")
+      == -1L)
+    // term semantics: substrings inside words do NOT match
+    assert(scalar(
+      "has_any_index('the quick brown fox', pack_array('row'))") == -1L)
+  }
+
   test("url_encode family: form vs component spaces, decode round-trip") {
     assert(scalar("url_encode('a b&c')") == "a+b%26c")
     assert(scalar("url_encode_component('a b&c')") == "a%20b%26c")
