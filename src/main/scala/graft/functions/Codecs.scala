@@ -61,10 +61,15 @@ object CodecsUtil {
       inf.setInput(Base64.getDecoder.decode(s.toString))
       val buf = new Array[Byte](8192)
       val bos = new ByteArrayOutputStream()
-      while (!inf.finished()) {
+      var done = inf.finished()
+      while (!done) {
         val n = inf.inflate(buf)
-        if (n == 0 && inf.needsInput()) throw new RuntimeException("truncated")
-        bos.write(buf, 0, n)
+        if (n > 0) bos.write(buf, 0, n)
+        // check finished BEFORE the truncation test: an empty payload
+        // finishes on an inflate that wrote 0 bytes with input drained
+        if (inf.finished()) done = true
+        else if (n == 0 && inf.needsInput())
+          throw new RuntimeException("truncated")
       }
       inf.end()
       UTF8String.fromBytes(bos.toByteArray)

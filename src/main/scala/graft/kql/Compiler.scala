@@ -202,7 +202,8 @@ final class Compiler(
       case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
       case "datetime_utc_to_local" | "datetime_local_to_utc" => KT.Ts
       case "extract_all" | "parse_csv" => KT.Arr
-      case "parse_url" | "extract_json" | "parse_path" => KT.Var
+      case "parse_url" | "extract_json" | "parse_path" |
+           "geo_geohash_to_central_point" => KT.Var
       case "has_any_index" => KT.Int
       case _ => KT.Str
     }
@@ -232,6 +233,7 @@ final class Compiler(
       case "binary_and" | "binary_or" | "binary_xor" | "binary_not" |
           "binary_shift_left" | "binary_shift_right" |
           "bitset_count_ones" => KT.Int
+      case "geo_point_in_circle" => KT.Bool
       // variadic extrema follow their arguments: all-integral stays long
       case "min_of" | "max_of" =>
         if (args.forall(a => infer(df, a) == KT.Int)) KT.Int
@@ -775,6 +777,23 @@ final class Compiler(
             x => x.isNotNull)
           coalesce(array_min(hits), lit(-1L))
         }
+        // geohash codec (kernel — Geo.scala); default precision 5 like
+        // Kusto's geo_geohash
+        case "geo_geohash" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val prec = args.lift(2) match {
+            case Some(IntLit(p)) => p.toInt
+            case _ => 5
+          }
+          column(graft.functions.GeoHashEncode(
+            expression(cs.head.try_cast(DoubleType)),
+            expression(cs(1).try_cast(DoubleType)), prec))
+        }
+        case "geo_geohash_to_central_point" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          try_parse_json(column(graft.functions.GeoHashCenter(
+            expression(cs.head.cast(StringType)))))
+        }
         case "url_encode" => url_encode(cs.head.cast(StringType))
         case "url_encode_component" =>
           replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))
@@ -1187,6 +1206,26 @@ final class Compiler(
         case "exp2" => pow(lit(2.0), d(0))
         case "exp10" => pow(lit(10.0), d(0))
         case "pi" => lit(math.Pi)
+        // spherical haversine, R = 6371 km — a documented deviation from
+        // Kusto's WGS84 geodesic (S2), which differs by < 0.5%; chosen
+        // because the formula is replayable bit-for-bit in any SQL engine
+        case "geo_distance_2points" | "geo_point_in_circle" =>
+          def rad(i: Int) = radians(d(i))
+          def haversine(lon1: Column, lat1: Column,
+              lon2: Column, lat2: Column): Column = {
+            val dLat = lat2 - lat1
+            val dLon = lon2 - lon1
+            val a = pow(sin(dLat / 2), 2.0) +
+              cos(lat1) * cos(lat2) * pow(sin(dLon / 2), 2.0)
+            lit(2.0 * 6371000.0) * asin(sqrt(a))
+          }
+          val dist = haversine(rad(0), rad(1), rad(2), rad(3))
+          val valid = (0 to 3).map(d(_)).zipWithIndex.map { case (c, i) =>
+            if (i % 2 == 0) abs(c) <= lit(180.0) else abs(c) <= lit(90.0)
+          }.reduce(_ && _)
+          val guarded = when(valid, dist)
+          if (name == "geo_distance_2points") guarded
+          else guarded <= d(4)
         // bitwise family over longs; shift counts use Java's mod-64 wrap
         // (documented — Kusto leaves ≥64-bit shifts unspecified)
         case "binary_and" | "binary_or" | "binary_xor" |

@@ -1416,6 +1416,8 @@ final class Parser(src: String, nowMicros: Long) {
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "extract_json", "parse_path", "has_any_index",
+    "geo_distance_2points", "geo_point_in_circle", "geo_geohash",
+    "geo_geohash_to_central_point",
     "array_shift_left", "array_shift_right", "array_rotate_left",
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
@@ -1603,6 +1605,27 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 2, "has_any_index() takes (source, values)")
         StrFn("has_any_index", a)
+      case "geo_distance_2points" =>
+        val a = args()
+        arity(a.length == 4,
+          "geo_distance_2points() takes (lon1, lat1, lon2, lat2)")
+        MathFn("geo_distance_2points", a)
+      case "geo_point_in_circle" =>
+        val a = args()
+        arity(a.length == 5,
+          "geo_point_in_circle() takes (lon, lat, c_lon, c_lat, radius)")
+        MathFn("geo_point_in_circle", a)
+      case "geo_geohash" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "geo_geohash() takes (lon, lat[, precision])")
+        arity(a.lift(2).forall(_.isInstanceOf[IntLit]),
+          "geo_geohash() precision must be an int literal")
+        StrFn("geo_geohash", a)
+      case "geo_geohash_to_central_point" =>
+        val a = args()
+        arity(a.length == 1, "geo_geohash_to_central_point() takes 1 arg")
+        StrFn("geo_geohash_to_central_point", a)
       case f @ ("parse_ipv4" | "ipv4_is_private" | "format_ipv4") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)

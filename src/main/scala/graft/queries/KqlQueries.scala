@@ -2033,6 +2033,46 @@ object KqlQueries {
         |  ELSE -1 END AS BIGINT) AS i
         |FROM documents ORDER BY doc_id""".stripMargin),
 
+    // round-6 geo scalars: spherical haversine (documented R=6371 km
+    // rule, replayed formula-for-formula in DuckDB; distances floored
+    // to meters for the trig-ulp guard) + the geohash codec pinned by
+    // literal oracle
+    kq("kql_geofns",
+      """events
+        | | where event_id < 2000
+        | | extend lon = value % 360.0 - 180.0, lat = value % 180.0 - 90.0,
+        |          lon2 = (value * 1.7) % 360.0 - 180.0,
+        |          lat2 = (value * 0.3) % 180.0 - 90.0
+        | | project event_id,
+        |     d = toint(bin(geo_distance_2points(lon, lat, lon2, lat2), 1.0)),
+        |     inc = geo_point_in_circle(lon, lat, lon2, lat2, 1000000.0)
+        | | sort by event_id asc""".stripMargin,
+      """WITH b AS (SELECT event_id,
+        |    value % 360.0 - 180.0 AS lon, value % 180.0 - 90.0 AS lat,
+        |    (value * 1.7) % 360.0 - 180.0 AS lon2,
+        |    (value * 0.3) % 180.0 - 90.0 AS lat2
+        |  FROM events WHERE event_id < 2000),
+        |r AS (SELECT event_id, radians(lon) AS l1, radians(lat) AS p1,
+        |        radians(lon2) AS l2, radians(lat2) AS p2 FROM b),
+        |dd AS (SELECT event_id, 2.0 * 6371000.0 * asin(sqrt(
+        |         pow(sin((p2 - p1) / 2), 2) +
+        |         cos(p1) * cos(p2) * pow(sin((l2 - l1) / 2), 2))) AS dist
+        |       FROM r)
+        |SELECT event_id, CAST(floor(dist) AS BIGINT) AS d,
+        |       dist <= 1000000.0 AS inc
+        |FROM dd ORDER BY event_id""".stripMargin),
+
+    kq("kql_geohash",
+      """print h = geo_geohash(10.40744, 57.64911, 11),
+        |      h5 = geo_geohash(-5.6, 42.6),
+        |      c = geo_geohash_to_central_point('ezs42')
+        | | project h, h5,
+        |     clat = toint(bin(toreal(c.lat) * 10000.0, 1.0)),
+        |     clon = toint(bin(toreal(c.lon) * 10000.0, 1.0))""".stripMargin,
+      """SELECT 'u4pruydqqvj' AS h, 'ezs42' AS h5,
+        |       CAST(426049 AS BIGINT) AS clat,
+        |       CAST(-56031 AS BIGINT) AS clon""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)
