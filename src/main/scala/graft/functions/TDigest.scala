@@ -104,6 +104,9 @@ case class PercentileTDigest(child: Expression, p: Double)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = DoubleType
+  // an EMPTY sketch (zero rows aggregated) estimates null even though
+  // the sketch bytes themselves are non-null
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val digest = TDigest.deserialize(input.asInstanceOf[Array[Byte]])

@@ -199,7 +199,9 @@ final class Compiler(
       case "strlen" | "countof" | "countof_re" | "hash" | "parse_ipv4" |
            "parse_version" | "strcmp" | "indexof_regex" |
            "string_size" => KT.Int
-      case "ipv4_is_in_range" | "ipv4_is_private" => KT.Bool
+      case "ipv4_is_in_range" | "ipv4_is_private" |
+           "ipv6_is_match" | "ipv6_is_in_range" => KT.Bool
+      case "ipv6_compare" => KT.Int
       case "datetime_utc_to_local" | "datetime_local_to_utc" => KT.Ts
       case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
@@ -794,6 +796,66 @@ final class Compiler(
           try_parse_json(column(graft.functions.GeoHashCenter(
             expression(cs.head.cast(StringType)))))
         }
+        // IPv6 family — strict textual kernel (Ipv6.scala), canonical
+        // full-form output; IPv4 literals accepted as ::ffff-mapped
+        case "parse_ipv6" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.Ipv6Canonical(
+            expression(cs.head.cast(StringType))))
+        }
+        case "ipv6_compare" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.Ipv6Cmp(
+            expression(cs.head.cast(StringType)),
+            expression(cs(1).cast(StringType)), prefix = -1))
+        }
+        case "ipv6_is_match" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val prefix = args.lift(2) match {
+            case Some(IntLit(p)) => p.toInt
+            case _ => 128
+          }
+          column(graft.functions.Ipv6Cmp(
+            expression(cs.head.cast(StringType)),
+            expression(cs(1).cast(StringType)), prefix))
+        }
+        case "ipv6_is_in_range" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.Ipv6InRange(
+            expression(cs.head.cast(StringType)),
+            expression(cs(1).cast(StringType))))
+        }
+        // timespan rendering from a compile-time pattern: runs of
+        // d/h/m/s are zero-padded component fields, f-runs are fraction
+        // digits, anything else passes through literally; negative spans
+        // get a leading '-'
+        case "format_timespan" =>
+          val fmt = args(1).asInstanceOf[StrLit].v
+          val sp = cs.head.try_cast(LongType)
+          val a = abs(sp)
+          // Column./ is double division — floor back to longs for the
+          // component fields
+          def pad(c: Column, n: Int): Column =
+            lpad(floor(c).cast(LongType).cast(StringType), n, "0")
+          val parts = scala.collection.mutable.ArrayBuffer[Column]()
+          parts += when(sp < 0, lit("-")).otherwise(lit(""))
+          var i = 0
+          while (i < fmt.length) {
+            val c = fmt.charAt(i)
+            var j = i
+            while (j < fmt.length && fmt.charAt(j) == c) j += 1
+            val n = j - i
+            parts += (c match {
+              case 'd' => pad(a / 86400000000L, n)
+              case 'h' | 'H' => pad((a / 3600000000L) % 24, n)
+              case 'm' => pad((a / 60000000L) % 60, n)
+              case 's' => pad((a / 1000000L) % 60, n)
+              case 'f' => substring(pad(a % 1000000L, 6), 1, math.min(n, 6))
+              case _ => lit(fmt.substring(i, j))
+            })
+            i = j
+          }
+          concat(parts.toSeq: _*)
         case "url_encode" => url_encode(cs.head.cast(StringType))
         case "url_encode_component" =>
           replace(url_encode(cs.head.cast(StringType)), lit("+"), lit("%20"))

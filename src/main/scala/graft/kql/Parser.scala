@@ -1418,6 +1418,8 @@ final class Parser(src: String, nowMicros: Long) {
     "extract_json", "parse_path", "has_any_index",
     "geo_distance_2points", "geo_point_in_circle", "geo_geohash",
     "geo_geohash_to_central_point",
+    "parse_ipv6", "ipv6_compare", "ipv6_is_match", "ipv6_is_in_range",
+    "format_timespan",
     "array_shift_left", "array_shift_right", "array_rotate_left",
     "array_rotate_right", "array_iff",
     "min_of", "max_of", "isnan", "isinf", "isfinite",
@@ -1626,6 +1628,25 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 1, "geo_geohash_to_central_point() takes 1 arg")
         StrFn("geo_geohash_to_central_point", a)
+      case "parse_ipv6" =>
+        val a = args(); arity(a.length == 1, "parse_ipv6() takes 1 arg")
+        StrFn("parse_ipv6", a)
+      case f @ ("ipv6_compare" | "ipv6_is_in_range") =>
+        val a = args(); arity(a.length == 2, s"$f() takes 2 args")
+        StrFn(f, a)
+      case "ipv6_is_match" =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          "ipv6_is_match() takes (ip1, ip2[, prefix])")
+        arity(a.lift(2).forall(_.isInstanceOf[IntLit]),
+          "ipv6_is_match() prefix must be an int literal")
+        StrFn("ipv6_is_match", a)
+      case "format_timespan" =>
+        val a = args()
+        arity(a.length == 2, "format_timespan() takes (timespan, format)")
+        arity(a(1).isInstanceOf[StrLit],
+          "format_timespan() format must be a string literal")
+        StrFn("format_timespan", a)
       case f @ ("parse_ipv4" | "ipv4_is_private" | "format_ipv4") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)

@@ -2073,6 +2073,45 @@ object KqlQueries {
         |       CAST(426049 AS BIGINT) AS clat,
         |       CAST(-56031 AS BIGINT) AS clon""".stripMargin),
 
+    // round-6 IPv6 family: addresses synthesized from event ids, so the
+    // oracle replays canonical text / compare / match / range directly
+    // from the underlying integers
+    kq("kql_ipv6",
+      """events
+        | | where event_id < 2000
+        | | extend x = event_id % 97, y = (event_id * 7) % 97
+        | | extend ax = strcat('2001:db8::', tohex(x)),
+        |          ay = strcat('2001:db8::', tohex(y))
+        | | project event_id,
+        |     c = ipv6_compare(ax, ay),
+        |     m = ipv6_is_match(ax, ay),
+        |     r = ipv6_is_in_range(ax, '2001:db8::/64'),
+        |     p = parse_ipv6(ax)
+        | | sort by event_id asc""".stripMargin,
+      """WITH b AS (SELECT event_id, event_id % 97 AS x,
+        |    (event_id * 7) % 97 AS y
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id,
+        |  CAST(CASE WHEN x < y THEN -1 WHEN x > y THEN 1 ELSE 0 END
+        |    AS BIGINT) AS c,
+        |  x = y AS m,
+        |  TRUE AS r,
+        |  '2001:0db8:0000:0000:0000:0000:0000:' ||
+        |    lower(lpad(hex(x), 4, '0')) AS p
+        |FROM b ORDER BY event_id""".stripMargin),
+
+    // round-6 format_timespan: time-of-day spans rendered hh:mm:ss,
+    // replayed by strftime on the source timestamp
+    kq("kql_fmt_timespan",
+      """events
+        | | where event_id < 2000
+        | | project event_id,
+        |     f = format_timespan(ts - startofday(ts), 'hh:mm:ss')
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id, strftime(ts, '%H:%M:%S') AS f
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin),
+
     // round-6 moment aggregates: population stdev/variance and sample/
     // population covariance, floored at fixed scale (accumulation-order
     // float drift, same rule as kql_agg_ext)

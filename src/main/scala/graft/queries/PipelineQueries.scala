@@ -1346,5 +1346,56 @@ object PipelineQueries {
         .toDF()
         .select("media_id", "sample_idx", "offset_ms")
         .orderBy("media_id", "sample_idx"))
+  ,
+
+    // ───── embedding quantization (round-6) ─────
+    // int8 scalar quantization of the embedding column — the vector-
+    // compression pass a 100 TB embedding store runs before ANN
+    // serving (4× smaller, map-side only, no shuffle). Per row:
+    // scale = max|x|, q_i = round(x_i/scale·127) ∈ [-127,127]. The
+    // gate compares INTEGER-EXACT outputs only (quantized codes and
+    // micro-unit reconstruction errors): both engines do the identical
+    // IEEE double ops in the same order, so the rounded ints match
+    // bit-for-bit where a float hash never would.
+    Q("pl_embed_quantize",
+      """WITH e AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS scale FROM e),
+        |q AS (SELECT vec_id, v, scale,
+        |        list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+        |          ELSE CAST(round(x / scale * 127) AS BIGINT) END) AS qs
+        |      FROM s),
+        |r AS (SELECT vec_id, len(v) AS n,
+        |        list_sum(qs) AS qsum,
+        |        list_max(qs) AS qmax,
+        |        list_sum(list_transform(range(1, len(v) + 1), i ->
+        |          abs(CAST(round(v[i] * 1000000) AS BIGINT) -
+        |              CAST(round(qs[i] * scale / 127 * 1000000) AS BIGINT))))
+        |          AS esum
+        |      FROM q)
+        |SELECT vec_id, CAST(n AS BIGINT) AS n, CAST(qsum AS BIGINT) AS qsum,
+        |       CAST(qmax AS BIGINT) AS qmax, CAST(esum AS BIGINT) AS esum
+        |FROM r ORDER BY vec_id""".stripMargin)(
+      (s, d) => {
+        val emb = graft.Tables.load(s, d, "embeddings")
+        val v = transform(col("embedding"), x => x.cast("double"))
+        val scale = array_max(transform(v, x => abs(x)))
+        val qs = transform(v, x =>
+          when(scale === 0.0, 0L)
+            .otherwise(round(x / scale * 127).cast("long")))
+        emb.select(col("vec_id"), v.as("v"), scale.as("scale"), qs.as("qs"))
+          .select(col("vec_id"),
+            size(col("v")).cast("long").as("n"),
+            aggregate(col("qs"), lit(0L), (a, x) => a + x).as("qsum"),
+            array_max(col("qs")).as("qmax"),
+            aggregate(
+              zip_with(col("v"), col("qs"), (x, q) =>
+                abs(round(x * 1000000).cast("long") -
+                  round(q * col("scale") / 127 * 1000000).cast("long"))),
+              lit(0L), (a, x) => a + x).as("esum"))
+          .orderBy("vec_id")
+      })
   )
 }

@@ -533,6 +533,45 @@ class Round6FnSpec extends AnyFunSuite {
       "has_any_index('the quick brown fox', pack_array('row'))") == -1L)
   }
 
+  test("parse_ipv6 canonicalizes compressed and embedded-IPv4 forms") {
+    assert(scalar("parse_ipv6('::1')") ==
+      "0000:0000:0000:0000:0000:0000:0000:0001")
+    assert(scalar("parse_ipv6('2001:db8::8a2e:370:7334')") ==
+      "2001:0db8:0000:0000:0000:8a2e:0370:7334")
+    assert(scalar("parse_ipv6('::ffff:192.168.1.1')") ==
+      "0000:0000:0000:0000:0000:ffff:c0a8:0101")
+    assert(scalar("parse_ipv6('192.168.1.1')") ==
+      "0000:0000:0000:0000:0000:ffff:c0a8:0101") // v4 → mapped
+    assert(scalar("parse_ipv6('1::2::3')") == null)  // two ::
+    assert(scalar("parse_ipv6('abcde::')") == null)  // 5-digit group
+    assert(scalar("parse_ipv6('1:2:3')") == null)    // too few groups
+  }
+
+  test("ipv6_compare / ipv6_is_match / ipv6_is_in_range") {
+    assert(scalar("ipv6_compare('::1', '0:0:0:0:0:0:0:1')") == 0L)
+    assert(scalar("ipv6_compare('::1', '::2')") == -1L)
+    assert(scalar("ipv6_compare('ffff::', '::ffff')") == 1L)
+    assert(scalar(
+      "ipv6_is_match('2001:db8::1', '2001:db8::ff', 112)") == true)
+    assert(scalar(
+      "ipv6_is_match('2001:db8::1', '2001:db9::1', 32)") == false)
+    assert(scalar("ipv6_is_match('::1', '::1')") == true) // default /128
+    assert(scalar(
+      "ipv6_is_in_range('2001:db8::42', '2001:db8::/32')") == true)
+    assert(scalar(
+      "ipv6_is_in_range('2001:db9::42', '2001:db8::/32')") == false)
+    assert(scalar("ipv6_is_in_range('x', '::/0')") == null)
+  }
+
+  test("format_timespan renders component patterns") {
+    // 1d 02:03:04.5 = 93784500000 micros
+    assert(scalar("format_timespan(1d + 2h + 3m + 4s + 500ms, 'd.hh:mm:ss.fff')")
+      == "1.02:03:04.500")
+    assert(scalar("format_timespan(90s, 'mm:ss')") == "01:30")
+    assert(scalar("format_timespan(0s - 90s, 'mm:ss')") == "-01:30")
+    assert(scalar("format_timespan(25h, 'd h')") == "1 1")
+  }
+
   test("url_encode family: form vs component spaces, decode round-trip") {
     assert(scalar("url_encode('a b&c')") == "a+b%26c")
     assert(scalar("url_encode_component('a b&c')") == "a%20b%26c")
