@@ -202,7 +202,12 @@ final class Compiler(
       case "ipv4_is_in_range" | "ipv4_is_private" |
            "ipv6_is_match" | "ipv6_is_in_range" => KT.Bool
       case "ipv6_compare" => KT.Int
-      case "datetime_utc_to_local" | "datetime_local_to_utc" => KT.Ts
+      case "datetime_utc_to_local" | "datetime_local_to_utc" |
+           "make_datetime" | "unixtime_seconds_todatetime" |
+           "unixtime_milliseconds_todatetime" |
+           "unixtime_microseconds_todatetime" |
+           "unixtime_nanoseconds_todatetime" => KT.Ts
+      case "make_timespan" => KT.Span
       case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
            "geo_geohash_to_central_point" => KT.Var
@@ -715,6 +720,46 @@ final class Compiler(
         case "datetime_local_to_utc" =>
           to_utc_timestamp(cs.head.try_cast(TimestampType),
             validatedZone(args(1)))
+        // calendar constructor: out-of-range components → null (the try_
+        // builder — Kusto likewise nulls invalid dates). Session TZ is
+        // UTC, so _ltz lands on the same instant DuckDB's make_timestamp
+        // produces. Fractional seconds ride the DECIMAL(16,6) seconds arg
+        case "make_datetime" =>
+          val h = if (cs.length > 3) cs(3).try_cast(IntegerType) else lit(0)
+          val mi = if (cs.length > 4) cs(4).try_cast(IntegerType) else lit(0)
+          val s = if (cs.length > 5) cs(5).try_cast(DecimalType(16, 6))
+                  else lit(java.math.BigDecimal.ZERO).cast(DecimalType(16, 6))
+          try_make_timestamp_ltz(
+            cs(0).try_cast(IntegerType), cs(1).try_cast(IntegerType),
+            cs(2).try_cast(IntegerType), h, mi, s)
+        // timespan constructor → long micros (this engine's span carrier);
+        // all components may be fractional reals, like Kusto's
+        case "make_timespan" =>
+          val parts: Seq[(Column, Long)] = cs.length match {
+            case 2 => Seq(cs(0) -> 3600000000L, cs(1) -> 60000000L)
+            case 3 => Seq(cs(0) -> 3600000000L, cs(1) -> 60000000L,
+              cs(2) -> 1000000L)
+            case _ => Seq(cs(0) -> 86400000000L, cs(1) -> 3600000000L,
+              cs(2) -> 60000000L, cs(3) -> 1000000L)
+          }
+          parts.map { case (c, u) =>
+            (c.try_cast(DoubleType) * lit(u.toDouble)).cast(LongType)
+          }.reduce(_ + _)
+        // epoch converters. seconds/millis accept fractional input
+        // (round to this engine's µs tick); micros/nanos are exact
+        // integer arithmetic — nanos uses integral `div`, double division
+        // would lose µs ULPs at epoch-nano magnitudes (~1.7e18 > 2^53)
+        case "unixtime_seconds_todatetime" =>
+          timestamp_micros(
+            round(cs.head.try_cast(DoubleType) * lit(1e6)).cast(LongType))
+        case "unixtime_milliseconds_todatetime" =>
+          timestamp_micros(
+            round(cs.head.try_cast(DoubleType) * lit(1e3)).cast(LongType))
+        case "unixtime_microseconds_todatetime" =>
+          timestamp_micros(cs.head.try_cast(LongType))
+        case "unixtime_nanoseconds_todatetime" =>
+          timestamp_micros(
+            call_function("div", cs.head.try_cast(LongType), lit(1000L)))
         // compression codec family (round-trip contract, Ast note on
         // cross-build byte variance)
         case "gzip_compress_to_base64_string" |

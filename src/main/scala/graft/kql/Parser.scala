@@ -1426,6 +1426,9 @@ final class Parser(src: String, nowMicros: Long) {
     "repeat", "zip", "range", "set_has_element", "bag_has_key",
     "parse_version", "column_ifexists", "parse_url", "translate", "strcmp",
     "gettype",
+    "make_datetime", "make_timespan", "unixtime_seconds_todatetime",
+    "unixtime_milliseconds_todatetime", "unixtime_microseconds_todatetime",
+    "unixtime_nanoseconds_todatetime",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -1674,6 +1677,25 @@ final class Parser(src: String, nowMicros: Long) {
       case "strcmp" =>
         val a = args(); arity(a.length == 2, "strcmp() takes (s1, s2)")
         StrFn("strcmp", a)
+      // calendar constructor: (y, m, d [, hour [, minute [, second]]]);
+      // Kusto's second accepts a fractional real
+      case "make_datetime" =>
+        val a = args()
+        arity(a.length >= 3 && a.length <= 6,
+          "make_datetime() takes (year, month, day[, hour[, minute[, second]]])")
+        StrFn("make_datetime", a)
+      // timespan constructor: (h, m) | (h, m, s) | (d, h, m, s)
+      case "make_timespan" =>
+        val a = args()
+        arity(a.length >= 2 && a.length <= 4,
+          "make_timespan() takes (hour, minute[, second]) or (day, hour, minute, second)")
+        StrFn("make_timespan", a)
+      case f @ ("unixtime_seconds_todatetime" |
+                "unixtime_milliseconds_todatetime" |
+                "unixtime_microseconds_todatetime" |
+                "unixtime_nanoseconds_todatetime") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
       case "gettype" =>
         val a = args(); arity(a.length == 1, "gettype() takes 1 arg")
         StrFn("gettype", a)

@@ -1949,6 +1949,32 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 datetime batch 5: calendar/timespan constructors + the four
+    // epoch converters. Fractions picked binary-exact (.25/.5) so Spark's
+    // truncating double→long cast and DuckDB's rounding cast agree
+    kq("kql_dtfns5",
+      """events
+        | | where event_id < 2000
+        | | project event_id,
+        |     md = make_datetime(2021, 3, event_id % 27 + 1, 6, 45, 30.25),
+        |     mt = make_timespan(1, 2, event_id % 60, 30.5),
+        |     us = unixtime_seconds_todatetime(1600000000 + event_id),
+        |     um = unixtime_milliseconds_todatetime(1600000000000 + event_id),
+        |     uu = unixtime_microseconds_todatetime(1600000000000000 + event_id),
+        |     un = unixtime_nanoseconds_todatetime(1600000000000000000 + event_id)
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  make_timestamp(2021, 3, CAST(event_id % 27 + 1 AS INT),
+        |                 6, 45, 30.25) AS md,
+        |  CAST(86400000000 + 7200000000 + (event_id % 60) * 60000000
+        |       + 30500000 AS BIGINT) AS mt,
+        |  make_timestamp((1600000000 + event_id) * 1000000) AS us,
+        |  make_timestamp((1600000000000 + event_id) * 1000) AS um,
+        |  make_timestamp(1600000000000000 + event_id) AS uu,
+        |  make_timestamp((1600000000000000000 + event_id) // 1000) AS un
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin),
+
     // round-6 bag scalars #2: leftmost-wins shallow merge and top-level
     // key removal, pinned by literal oracle (canonical key-sorted text)
     kq("kql_bagfns2",

@@ -1,0 +1,69 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** Round-6 scalar batch 7: datetime/timespan constructors and the epoch
+  * converter family.
+  */
+class ScalarBatch7Spec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("t1", Seq(Tuple1(1L)).toDF("one"))
+    c
+  }
+
+  private def scalar(expr: String): Any =
+    Kql.run(spark, cat, s"t1 | project r = $expr").collect()(0).get(0)
+
+  private def micros(expr: String): Long = scalar(expr) match {
+    case t: java.sql.Timestamp =>
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => fail(s"expected timestamp, got $other")
+  }
+
+  test("make_datetime: 3/5/6-arg forms, fractional seconds") {
+    assert(micros("make_datetime(1970, 1, 1)") == 0L)
+    assert(micros("make_datetime(1970, 1, 2, 3, 4)") ==
+      86400000000L + 3L * 3600000000L + 4L * 60000000L)
+    assert(micros("make_datetime(1970, 1, 1, 0, 0, 1.5)") == 1500000L)
+    assert(micros("make_datetime(2021, 3, 14, 6, 45, 30.25)") ==
+      micros("datetime(2021-03-14T06:45:30.25Z)"))
+  }
+
+  test("make_datetime: invalid calendar components → null") {
+    assert(scalar("make_datetime(2021, 13, 1)") == null)
+    assert(scalar("make_datetime(2021, 2, 30)") == null)
+    assert(scalar("make_datetime(2021, 0, 1)") == null)
+  }
+
+  test("make_timespan: 2/3/4-arg forms → long micros") {
+    assert(scalar("make_timespan(1, 30)") == 5400000000L)
+    assert(scalar("make_timespan(0, 0, 1.5)") == 1500000L)
+    assert(scalar("make_timespan(1, 2, 3, 4.5)") ==
+      86400000000L + 2L * 3600000000L + 3L * 60000000L + 4500000L)
+  }
+
+  test("unixtime converters: all four granularities agree") {
+    val want = 1600000000000000L // 2020-09-13T12:26:40Z in micros
+    assert(micros("unixtime_seconds_todatetime(1600000000)") == want)
+    assert(micros("unixtime_milliseconds_todatetime(1600000000000)") == want)
+    assert(micros("unixtime_microseconds_todatetime(1600000000000000)") == want)
+    assert(micros("unixtime_nanoseconds_todatetime(1600000000000000000)") == want)
+  }
+
+  test("unixtime converters: fractional seconds/millis round to micros") {
+    assert(micros("unixtime_seconds_todatetime(1.5)") == 1500000L)
+    assert(micros("unixtime_milliseconds_todatetime(1.25)") == 1250L)
+  }
+
+  test("unixtime converters: non-numeric input nulls out") {
+    assert(scalar("unixtime_seconds_todatetime(tostring('x'))") == null)
+    assert(scalar("unixtime_nanoseconds_todatetime(tostring('x'))") == null)
+  }
+}
