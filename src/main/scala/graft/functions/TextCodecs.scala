@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Kusto's string⇄array codec scalars:
+  * `unicode_codepoints_from_string` / `unicode_codepoints_to_string` and
+  * `base64_decode_toarray` / `base64_encode_fromarray`.
+  *
+  * Codepoints are true Unicode scalar values (astral chars are ONE
+  * codepoint, not a surrogate pair — `String.codePoints()`); byte arrays
+  * carry unsigned values 0–255 as longs (the engine's dynamic int).
+  * Invalid input (codepoint out of range / surrogate half, malformed
+  * base64) is a row error ⇒ null, the engine's error policy.
+  */
+object TextCodecsUtil {
+  def codePoints(s: UTF8String): ArrayData = {
+    if (s == null) return null
+    val it = s.toString.codePoints().iterator()
+    val buf = scala.collection.mutable.ArrayBuffer[Any]()
+    while (it.hasNext) buf += it.next().toLong
+    new GenericArrayData(buf.toArray)
+  }
+
+  def fromCodePoints(a: ArrayData): UTF8String = {
+    if (a == null) return null
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < a.numElements()) {
+      if (a.isNullAt(i)) return null
+      val cp = a.getLong(i)
+      // reject out-of-range and lone surrogates (not scalar values)
+      if (cp < 0 || cp > 0x10FFFF || (cp >= 0xD800 && cp <= 0xDFFF)) return null
+      sb.appendCodePoint(cp.toInt)
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
+  def base64ToArray(s: UTF8String): ArrayData = {
+    if (s == null) return null
+    try {
+      val bytes = java.util.Base64.getDecoder.decode(s.toString)
+      val out = new Array[Any](bytes.length)
+      var i = 0
+      while (i < bytes.length) { out(i) = (bytes(i) & 0xFF).toLong; i += 1 }
+      new GenericArrayData(out)
+    } catch { case _: IllegalArgumentException => null }
+  }
+
+  def arrayToBase64(a: ArrayData): UTF8String = {
+    if (a == null) return null
+    val bytes = new Array[Byte](a.numElements())
+    var i = 0
+    while (i < bytes.length) {
+      if (a.isNullAt(i)) return null
+      val v = a.getLong(i)
+      if (v < 0 || v > 255) return null // not a byte value
+      bytes(i) = v.toByte
+      i += 1
+    }
+    UTF8String.fromString(java.util.Base64.getEncoder.encodeToString(bytes))
+  }
+}
+
+/** Catalyst expression for the four codecs — `op` picks the static helper;
+  * codegen is a direct static call like the other kernels. */
+case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression {
+  override def dataType: DataType = op match {
+    case "cp_from" | "b64_to_arr" => ArrayType(LongType)
+    case _ => StringType
+  }
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = op match {
+    case "cp_from" => TextCodecsUtil.codePoints(input.asInstanceOf[UTF8String])
+    case "cp_to" => TextCodecsUtil.fromCodePoints(input.asInstanceOf[ArrayData])
+    case "b64_to_arr" => TextCodecsUtil.base64ToArray(input.asInstanceOf[UTF8String])
+    case "b64_from_arr" => TextCodecsUtil.arrayToBase64(input.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = op match {
+      case "cp_from" => "codePoints"
+      case "cp_to" => "fromCodePoints"
+      case "b64_to_arr" => "base64ToArray"
+      case "b64_from_arr" => "arrayToBase64"
+    }
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TextCodecsUtil.$m($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TextCodecExpr =
+    copy(child = newChild)
+
+  override def prettyName: String = op
+}

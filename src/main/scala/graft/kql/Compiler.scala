@@ -208,6 +208,9 @@ final class Compiler(
            "unixtime_microseconds_todatetime" |
            "unixtime_nanoseconds_todatetime" => KT.Ts
       case "make_timespan" => KT.Span
+      case "isascii" => KT.Bool
+      case "unicode_codepoints_from_string" |
+           "base64_decode_toarray" => KT.Arr
       case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
            "geo_geohash_to_central_point" => KT.Var
@@ -760,6 +763,63 @@ final class Compiler(
         case "unixtime_nanoseconds_todatetime" =>
           timestamp_micros(
             call_function("div", cs.head.try_cast(LongType), lit(1000L)))
+        // cryptographic digest family (lowercase hex, Kusto's rendering)
+        case "hash_sha256" => sha2(cs.head.cast(StringType), 256)
+        case "hash_sha1" => sha1(cs.head.cast(StringType))
+        case "hash_md5" => md5(cs.head.cast(StringType))
+        // GUID normalization: accept braced/parenthesized/dashed/bare hex
+        // forms, emit canonical lowercase 8-4-4-4-12; anything else →
+        // null. Pure regex+substr lowering, oracle-replayable
+        case "toguid" =>
+          val t = lower(trim(cs.head.cast(StringType)))
+          val inner = regexp_replace(t, lit("^[\\{\\(]|[\\)\\}]$"), lit(""))
+          val hex = replace(inner, lit("-"), lit(""))
+          val canon = when(
+            hex.rlike("^[0-9a-f]{32}$") &&
+              (inner.rlike("^[0-9a-f]{32}$") ||
+                inner.rlike("^[0-9a-f]{8}(-[0-9a-f]{4}){3}-[0-9a-f]{12}$")),
+            concat_ws("-",
+              substring(hex, 1, 8), substring(hex, 9, 4),
+              substring(hex, 13, 4), substring(hex, 17, 4),
+              substring(hex, 21, 12)))
+          canon
+        // ASCII iff the UTF-8 byte length equals the char length (any
+        // codepoint > 127 encodes multi-byte)
+        case "isascii" =>
+          val s0 = cs.head.cast(StringType)
+          octet_length(s0) === length(s0)
+        case "unicode_codepoints_from_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), "cp_from"))
+        }
+        case "unicode_codepoints_to_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          // flatten the variadic form: each arg is a codepoint or an
+          // array of codepoints; singles wrap to 1-element arrays
+          val arrs = args.zip(cs).map { case (a, c) =>
+            infer(df, a) match {
+              case KT.Arr => c.try_cast(ArrayType(LongType))
+              case KT.Var => transform(
+                c.try_cast(ArrayType(VariantType)),
+                e => e.try_cast(LongType))
+              case _ => array(c.try_cast(LongType))
+            }
+          }
+          val flat = if (arrs.length == 1) arrs.head
+                     else flatten(array(arrs: _*))
+          column(graft.functions.TextCodecExpr(expression(flat), "cp_to"))
+        }
+        case "base64_decode_toarray" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), "b64_to_arr"))
+        }
+        case "base64_encode_fromarray" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.try_cast(ArrayType(LongType))), "b64_from_arr"))
+        }
         // compression codec family (round-trip contract, Ast note on
         // cross-build byte variance)
         case "gzip_compress_to_base64_string" |

@@ -1429,6 +1429,9 @@ final class Parser(src: String, nowMicros: Long) {
     "make_datetime", "make_timespan", "unixtime_seconds_todatetime",
     "unixtime_milliseconds_todatetime", "unixtime_microseconds_todatetime",
     "unixtime_nanoseconds_todatetime",
+    "hash_sha256", "hash_sha1", "hash_md5", "toguid", "isascii",
+    "unicode_codepoints_from_string", "unicode_codepoints_to_string",
+    "base64_decode_toarray", "base64_encode_fromarray",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -1696,6 +1699,16 @@ final class Parser(src: String, nowMicros: Long) {
                 "unixtime_nanoseconds_todatetime") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      case f @ ("hash_sha256" | "hash_sha1" | "hash_md5" | "toguid" |
+                "isascii" | "unicode_codepoints_from_string" |
+                "base64_decode_toarray" | "base64_encode_fromarray") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
+      // variadic like Kusto: each arg is a codepoint or an array of them
+      case "unicode_codepoints_to_string" =>
+        val a = args()
+        arity(a.nonEmpty, "unicode_codepoints_to_string() takes 1+ args")
+        StrFn("unicode_codepoints_to_string", a)
       case "gettype" =>
         val a = args(); arity(a.length == 1, "gettype() takes 1 arg")
         StrFn("gettype", a)

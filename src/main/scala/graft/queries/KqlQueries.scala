@@ -1975,6 +1975,47 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 digest/guid/codepoint batch over documents: sha256/md5
+    // replay exactly in DuckDB; toguid normalizes both a braced literal
+    // and a 32-hex md5; codepoints decompose via regex '.' + unicode()
+    kq("kql_hashfns",
+      """documents
+        | | where doc_id < 500
+        | | project doc_id,
+        |     h256 = hash_sha256(source),
+        |     hmd5 = hash_md5(strcat(lang, source)),
+        |     g1 = toguid('{AB7E3356-2ECF-47A0-94F4-4B51C9F712E5}'),
+        |     g2 = toguid(hash_md5(source)),
+        |     a7 = isascii(substring(text, 0, 40)),
+        |     cps = unicode_codepoints_from_string(substring(source, 0, 6)),
+        |     rt = unicode_codepoints_to_string(
+        |            unicode_codepoints_from_string(lang))
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  sha256(source) AS h256,
+        |  md5(lang || source) AS hmd5,
+        |  'ab7e3356-2ecf-47a0-94f4-4b51c9f712e5' AS g1,
+        |  substr(md5(source), 1, 8) || '-' || substr(md5(source), 9, 4)
+        |    || '-' || substr(md5(source), 13, 4) || '-'
+        |    || substr(md5(source), 17, 4) || '-'
+        |    || substr(md5(source), 21, 12) AS g2,
+        |  strlen(substr(text, 1, 40)) = length(substr(text, 1, 40)) AS a7,
+        |  list_transform(regexp_extract_all(substr(source, 1, 6), '.'),
+        |                 x -> CAST(unicode(x) AS BIGINT)) AS cps,
+        |  lang AS rt
+        |FROM documents WHERE doc_id < 500
+        |ORDER BY doc_id""".stripMargin),
+
+    // sha1 (no DuckDB twin) + the base64⇄byte-array pair, literal-pinned
+    kq("kql_b64arr",
+      """print s1 = hash_sha1('graft'),
+        |      arr = base64_decode_toarray('AQID'),
+        |      rt = base64_encode_fromarray(base64_decode_toarray('Z3JhZnQ=')),
+        |      bad = base64_decode_toarray('!!notbase64!!')""".stripMargin,
+      """SELECT '9c298007ec968fa5b8de22a5356f4bd8a865daf2' AS s1,
+        |  [1, 2, 3]::BIGINT[] AS arr, 'Z3JhZnQ=' AS rt,
+        |  CAST(NULL AS BIGINT[]) AS bad""".stripMargin),
+
     // round-6 bag scalars #2: leftmost-wins shallow merge and top-level
     // key removal, pinned by literal oracle (canonical key-sorted text)
     kq("kql_bagfns2",

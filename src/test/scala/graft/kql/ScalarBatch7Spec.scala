@@ -66,4 +66,58 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(scalar("unixtime_seconds_todatetime(tostring('x'))") == null)
     assert(scalar("unixtime_nanoseconds_todatetime(tostring('x'))") == null)
   }
+
+  test("hash digests: known vectors, lowercase hex") {
+    assert(scalar("hash_sha256('abc')") ==
+      "ba7816bf8f01cfea414140de5dae2223b00361a396177a9cb410ff61f20015ad")
+    assert(scalar("hash_sha1('abc')") ==
+      "a9993e364706816aba3e25717850c26c9cd0d89d")
+    assert(scalar("hash_md5('abc')") == "900150983cd24fb0d6963f7d28e17f72")
+  }
+
+  test("toguid: accepted forms normalize, junk nulls") {
+    val want = "ab7e3356-2ecf-47a0-94f4-4b51c9f712e5"
+    assert(scalar("toguid('{AB7E3356-2ECF-47A0-94F4-4B51C9F712E5}')") == want)
+    assert(scalar("toguid('(ab7e3356-2ecf-47a0-94f4-4b51c9f712e5)')") == want)
+    assert(scalar("toguid('ab7e33562ecf47a094f44b51c9f712e5')") == want)
+    assert(scalar("toguid('AB7E3356-2ECF-47A0-94F4-4B51C9F712E5')") == want)
+    assert(scalar("toguid('ab7e3356-2ecf47a0-94f4-4b51c9f712e5')") == null)
+    assert(scalar("toguid('zz7e3356-2ecf-47a0-94f4-4b51c9f712e5')") == null)
+    assert(scalar("toguid('notaguid')") == null)
+  }
+
+  test("isascii: multi-byte chars flip it") {
+    assert(scalar("isascii('plain ascii 123!')") == true)
+    assert(scalar("isascii('')") == true)
+    assert(scalar("isascii('café')") == false)
+  }
+
+  test("codepoints: astral chars are ONE codepoint, round-trip") {
+    assert(scalar("unicode_codepoints_from_string('ab')") ==
+      Seq(97L, 98L))
+    // U+1D11E musical G clef — a surrogate pair in UTF-16
+    assert(scalar("unicode_codepoints_from_string('a𝄞b')") ==
+      Seq(97L, 119070L, 98L))
+    assert(scalar("unicode_codepoints_to_string(97, 98)") == "ab")
+    assert(scalar(
+      "unicode_codepoints_to_string(pack_array(104, 105))") == "hi")
+    assert(scalar("unicode_codepoints_to_string(119070)") == "𝄞")
+    // mixed variadic: scalars and arrays interleave
+    assert(scalar(
+      "unicode_codepoints_to_string(104, pack_array(105, 33))") == "hi!")
+    // invalid scalar values null out
+    assert(scalar("unicode_codepoints_to_string(1114112)") == null)
+    assert(scalar("unicode_codepoints_to_string(55296)") == null) // D800
+  }
+
+  test("base64 byte arrays: decode, round-trip, malformed → null") {
+    assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
+    assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
+    assert(scalar(
+      "base64_encode_fromarray(base64_decode_toarray('Z3JhZnQ='))") ==
+      "Z3JhZnQ=")
+    assert(scalar("base64_decode_toarray('!!bad!!')") == null)
+    assert(scalar("base64_encode_fromarray(pack_array(256))") == null)
+    assert(scalar("base64_encode_fromarray(pack_array(-1))") == null)
+  }
 }
