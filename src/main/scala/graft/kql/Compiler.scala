@@ -265,8 +265,16 @@ final class Compiler(
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" |
           "series_fill_const" | "series_fill_forward" |
-          "series_fill_backward" | "series_outliers" => KT.Arr
-      case "series_sum" | "series_min" | "series_max" | "series_avg" => KT.Float
+          "series_fill_backward" | "series_outliers" |
+          "series_exp" | "series_log" | "series_sign" | "series_floor" |
+          "series_ceiling" | "series_pow" | "series_greater" |
+          "series_less" | "series_greater_equals" | "series_less_equals" |
+          "series_equals" | "series_not_equals" => KT.Arr
+      case "series_sum" | "series_min" | "series_max" | "series_avg" |
+          "series_dot_product" | "series_magnitude" |
+          "series_cosine_similarity" |
+          "series_pearson_correlation" => KT.Float
+      case "series_fit_line_dynamic" => KT.Var
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" |
           "bag_merge" | "bag_remove_keys" => KT.Var
@@ -1149,6 +1157,32 @@ final class Compiler(
     * `1.2.3.4.5` fails the size check). Pure split + arithmetic so the
     * DuckDB oracle replays it verbatim.
     */
+  /** Binary series op with Kusto's scalar broadcast: array×array zips
+    * (shorter side null-padded), array×scalar maps the scalar over every
+    * element. The scalar side is whichever arg does NOT infer as an
+    * array/variant. */
+  private def seriesBinary(
+      df: DataFrame, args: Seq[Expr],
+      op: (Column, Column) => Column): Column = {
+    def isArr(a: Expr): Boolean = infer(df, a) match {
+      case KT.Arr | KT.Var => true
+      case _ => false
+    }
+    val (a0, a1) = (compile(df, args.head), compile(df, args(1)))
+    (isArr(args.head), isArr(args(1))) match {
+      case (true, false) => transform(a0, x => op(x, a1))
+      case (false, true) => transform(a1, x => op(a0, x))
+      case _ => zip_with(a0, a1, op)
+    }
+  }
+
+  /** Σ aᵢ·bᵢ in doubles; null elements / length mismatch poison the fold
+    * to null (row-error policy; Kusto errors instead). */
+  private def seriesDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
   private def parseIpv4(c: Column): Column = {
     val p = split(c, "\\.")
     val nums = (1 to 4).map(i => try_element_at(p, lit(i)).try_cast(LongType))
@@ -1601,6 +1635,89 @@ final class Compiler(
             (x, y) => x.cast(DoubleType) / y.cast(DoubleType))
         case "series_abs" =>
           transform(compile(df, args.head), e => abs(e))
+        // elementwise transcendental/rounding family (double out; null
+        // elements stay null — Spark's math fns propagate nulls)
+        case "series_exp" =>
+          transform(compile(df, args.head), e => exp(e.cast(DoubleType)))
+        case "series_log" =>
+          transform(compile(df, args.head), e => log(e.cast(DoubleType)))
+        case "series_sign" =>
+          transform(compile(df, args.head), e => signum(e.cast(DoubleType)))
+        // Spark's floor/ceil return BIGINT — cast back, the series stays real
+        case "series_floor" =>
+          transform(compile(df, args.head),
+            e => floor(e.cast(DoubleType)).cast(DoubleType))
+        case "series_ceiling" =>
+          transform(compile(df, args.head),
+            e => ceil(e.cast(DoubleType)).cast(DoubleType))
+        // binary elementwise with Kusto's scalar broadcast: a non-array
+        // second operand applies to every element. Array×array zips with
+        // null-pad (same shorter-series rule as series_add)
+        case "series_pow" =>
+          seriesBinary(df, args, (x, y) =>
+            pow(x.cast(DoubleType), y.cast(DoubleType)))
+        case "series_greater" => seriesBinary(df, args, (x, y) => x > y)
+        case "series_less" => seriesBinary(df, args, (x, y) => x < y)
+        case "series_greater_equals" =>
+          seriesBinary(df, args, (x, y) => x >= y)
+        case "series_less_equals" => seriesBinary(df, args, (x, y) => x <= y)
+        case "series_equals" => seriesBinary(df, args, (x, y) => x === y)
+        case "series_not_equals" => seriesBinary(df, args, (x, y) => x =!= y)
+        // reductions. Kusto ERRORS on length mismatch / null elements;
+        // our row-error policy nulls instead: zip_with pads the shorter
+        // side with null, null arithmetic poisons the fold, and the
+        // whole result degrades to null (documented deviation)
+        case "series_dot_product" =>
+          seriesDot(compile(df, args.head), compile(df, args(1)))
+        case "series_magnitude" =>
+          val a = compile(df, args.head)
+          sqrt(seriesDot(a, a))
+        case "series_cosine_similarity" =>
+          val a = compile(df, args.head)
+          val b = compile(df, args(1))
+          val den = sqrt(seriesDot(a, a)) * sqrt(seriesDot(b, b))
+          when(den =!= 0.0, seriesDot(a, b) / den)
+        case "series_pearson_correlation" =>
+          val a = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val b = transform(compile(df, args(1)), e => e.cast(DoubleType))
+          val n = size(a).cast(DoubleType)
+          def s(arr: Column): Column =
+            aggregate(arr, lit(0.0), (acc, x) => acc + x)
+          val sx = s(a); val sy = s(b)
+          val sxx = s(transform(a, x => x * x))
+          val syy = s(transform(b, x => x * x))
+          val sxy = s(zip_with(a, b, (x, y) => x * y))
+          val den = sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)
+          when(size(a) === size(b) && den =!= 0.0,
+            (n * sxy - sx * sy) / den)
+        // least-squares line over x = 0..n−1 as a bag (Kusto's
+        // series_fit_line_dynamic shape): slope, interception, rsquare,
+        // variance (population, of the input), rvariance (population, of
+        // the residuals), line_fit (the fitted values). n < 2 or any
+        // null element → null
+        case "series_fit_line_dynamic" =>
+          val y = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val n = size(y).cast(DoubleType)
+          def s(arr: Column): Column =
+            aggregate(arr, lit(0.0), (acc, x) => acc + x)
+          val idx = transform(y, (_, i) => i.cast(DoubleType))
+          val sy = s(y)
+          val sxy = s(zip_with(idx, y, (x, v) => x * v))
+          val sx = (n - 1.0) * n / 2.0
+          val sxx = (n - 1.0) * n * (lit(2.0) * n - 1.0) / 6.0
+          val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+          val icept = (sy - slope * sx) / n
+          val fit = transform(idx, x => icept + slope * x)
+          val meanY = sy / n
+          val variance = s(transform(y, v => (v - meanY) * (v - meanY))) / n
+          val rvariance = s(zip_with(y, fit,
+            (v, f) => (v - f) * (v - f))) / n
+          val rsquare = when(variance =!= 0.0, lit(1.0) - rvariance / variance)
+          when(size(y) >= 2,
+            try_parse_json(to_json(struct(
+              rsquare.as("rsquare"), slope.as("slope"),
+              variance.as("variance"), rvariance.as("rvariance"),
+              icept.as("interception"), fit.as("line_fit")))))
         // Tukey-fence anomaly scores, with a DOCUMENTED deterministic
         // rule (Kusto's exact scoring formula is unpublished): exact
         // rank-rule quartiles ceil(p·n) over the non-null sorted copy,

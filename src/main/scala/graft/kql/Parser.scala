@@ -1440,6 +1440,12 @@ final class Parser(src: String, nowMicros: Long) {
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
     "series_fir", "dcount_hll", "series_stats_dynamic",
+    "series_exp", "series_log", "series_sign", "series_floor",
+    "series_ceiling", "series_pow", "series_greater", "series_less",
+    "series_greater_equals", "series_less_equals", "series_equals",
+    "series_not_equals", "series_dot_product", "series_magnitude",
+    "series_cosine_similarity", "series_pearson_correlation",
+    "series_fit_line_dynamic",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
     "set_union", "set_intersect", "set_difference",
@@ -1862,8 +1868,17 @@ final class Parser(src: String, nowMicros: Long) {
         ArrFn(f, a)
       case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
           "series_avg" | "series_stats_dynamic" | "series_fill_forward" |
-          "series_fill_backward" | "series_outliers") =>
+          "series_fill_backward" | "series_outliers" |
+          "series_exp" | "series_log" | "series_sign" | "series_floor" |
+          "series_ceiling" | "series_magnitude" |
+          "series_fit_line_dynamic") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
+        ArrFn(f, a)
+      case f @ ("series_pow" | "series_greater" | "series_less" |
+          "series_greater_equals" | "series_less_equals" |
+          "series_equals" | "series_not_equals" | "series_dot_product" |
+          "series_cosine_similarity" | "series_pearson_correlation") =>
+        val a = args(); arity(a.length == 2, s"$f() takes 2 args")
         ArrFn(f, a)
       case "series_fill_const" =>
         val a = args()

@@ -1975,6 +1975,63 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 series batch 2: elementwise math/comparisons (scalar
+    // broadcast), vector reductions, and the least-squares line. Inputs
+    // are integer-valued doubles so every sum/product is exact and the
+    // only roundings (IEEE sqrt, final divisions) are deterministic in
+    // both engines; exp/log are spec-pinned instead (libm ULP variance)
+    kq("kql_seriesfns2",
+      """documents
+        | | where doc_id < 300
+        | | extend a = pack_array(doc_id % 7, doc_id % 5 + 1, 4),
+        |          b = pack_array(2, doc_id % 3 + 1, 6)
+        | | extend fl = series_fit_line_dynamic(a)
+        | | project doc_id,
+        |     sf = series_floor(pack_array(1.5, -1.5)),
+        |     sc = series_ceiling(pack_array(1.5, -1.5)),
+        |     sp = series_pow(a, 2),
+        |     sg = series_greater(a, 3),
+        |     se = series_equals(a, b),
+        |     dp = series_dot_product(a, b),
+        |     mg = series_magnitude(a),
+        |     cs = series_cosine_similarity(a, b),
+        |     pc = series_pearson_correlation(a, b),
+        |     sl = todouble(fl.slope),
+        |     ic = todouble(fl.interception)
+        | | sort by doc_id asc""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    [CAST(doc_id % 7 AS DOUBLE), CAST(doc_id % 5 + 1 AS DOUBLE),
+        |     4.0] AS af,
+        |    [2.0, CAST(doc_id % 3 + 1 AS DOUBLE), 6.0] AS bf,
+        |    [doc_id % 7, doc_id % 5 + 1, 4] AS a,
+        |    [2, doc_id % 3 + 1, 6] AS b
+        |  FROM documents WHERE doc_id < 300),
+        |r AS (
+        |  SELECT *,
+        |    list_sum(list_transform([1,2,3], i -> af[i] * bf[i])) AS dab,
+        |    list_sum(list_transform([1,2,3], i -> af[i] * af[i])) AS daa,
+        |    list_sum(list_transform([1,2,3], i -> bf[i] * bf[i])) AS dbb,
+        |    list_sum(af) AS sx, list_sum(bf) AS sy
+        |  FROM d)
+        |SELECT doc_id,
+        |  [1.0, -2.0]::DOUBLE[] AS sf,
+        |  [2.0, -1.0]::DOUBLE[] AS sc,
+        |  list_transform(af, x -> pow(x, 2)) AS sp,
+        |  list_transform(a, x -> x > 3) AS sg,
+        |  list_transform([1,2,3], i -> a[i] = b[i]) AS se,
+        |  dab AS dp,
+        |  sqrt(daa) AS mg,
+        |  CASE WHEN sqrt(daa) * sqrt(dbb) <> 0
+        |       THEN dab / (sqrt(daa) * sqrt(dbb)) END AS cs,
+        |  CASE WHEN sqrt(3 * daa - sx * sx) * sqrt(3 * dbb - sy * sy) <> 0
+        |       THEN (3 * dab - sx * sy) /
+        |            (sqrt(3 * daa - sx * sx) * sqrt(3 * dbb - sy * sy))
+        |  END AS pc,
+        |  (3 * (af[2] + 2 * af[3]) - 3 * sx) / 6.0 AS sl,
+        |  (sx - (3 * (af[2] + 2 * af[3]) - 3 * sx) / 6.0 * 3) / 3.0 AS ic
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // round-6 digest/guid/codepoint batch over documents: sha256/md5
     // replay exactly in DuckDB; toguid normalizes both a braced literal
     // and a 32-hex md5; codepoints decompose via regex '.' + unicode()

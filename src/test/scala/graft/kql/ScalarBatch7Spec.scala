@@ -110,6 +110,73 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(scalar("unicode_codepoints_to_string(55296)") == null) // D800
   }
 
+  test("series elementwise math: exp/log/sign (Spark uses StrictMath)") {
+    assert(scalar("series_exp(pack_array(0, 1))") ==
+      Seq(1.0, StrictMath.exp(1.0)))
+    assert(scalar("series_log(pack_array(1, 10))") ==
+      Seq(0.0, StrictMath.log(10.0)))
+    assert(scalar("series_sign(pack_array(-5, 0, 3))") ==
+      Seq(-1.0, 0.0, 1.0))
+    assert(scalar("series_floor(pack_array(1.5, -1.5))") == Seq(1.0, -2.0))
+    assert(scalar("series_ceiling(pack_array(1.5, -1.5))") == Seq(2.0, -1.0))
+  }
+
+  test("series binary ops: scalar broadcast both sides, zip on arrays") {
+    assert(scalar("series_pow(pack_array(2, 3), 2)") == Seq(4.0, 9.0))
+    assert(scalar("series_greater(pack_array(1, 5), 3)") ==
+      Seq(false, true))
+    assert(scalar("series_greater(3, pack_array(1, 5))") ==
+      Seq(true, false))
+    assert(scalar(
+      "series_equals(pack_array(1, 2), pack_array(1, 3))") ==
+      Seq(true, false))
+    // shorter side null-pads, comparisons against null stay null
+    assert(scalar(
+      "series_less(pack_array(1, 2), pack_array(9))") == Seq(true, null))
+  }
+
+  test("series reductions: dot/magnitude/cosine/pearson") {
+    assert(scalar(
+      "series_dot_product(pack_array(1, 2, 3), pack_array(4, 5, 6))") == 32.0)
+    assert(scalar("series_magnitude(pack_array(3, 4))") == 5.0)
+    assert(scalar(
+      "series_cosine_similarity(pack_array(1, 0), pack_array(0, 1))") == 0.0)
+    assert(scalar(
+      "series_cosine_similarity(pack_array(2, 0), pack_array(5, 0))") == 1.0)
+    // zero vector → null, not NaN
+    assert(scalar(
+      "series_cosine_similarity(pack_array(0, 0), pack_array(1, 2))") == null)
+    val pc = scalar(
+      "series_pearson_correlation(pack_array(1, 2, 3), pack_array(2, 4, 6))")
+    assert(math.abs(pc.asInstanceOf[Double] - 1.0) < 1e-12)
+    // constant series has zero variance → null
+    assert(scalar(
+      "series_pearson_correlation(pack_array(1, 1), pack_array(1, 2))") == null)
+    // length mismatch poisons the fold → null (documented deviation)
+    assert(scalar(
+      "series_dot_product(pack_array(1, 2), pack_array(1))") == null)
+  }
+
+  test("series_fit_line_dynamic: perfect line and flat line") {
+    // y = 2x + 1 over x = 0,1,2 → slope 2, interception 1, rsquare 1
+    val r = Kql.run(TestSpark.spark, cat,
+      """t1 | extend f = series_fit_line_dynamic(pack_array(1, 3, 5))
+        | | project s = todouble(f.slope), i = todouble(f.interception),
+        |     r2 = todouble(f.rsquare), rv = todouble(f.rvariance)""".stripMargin)
+      .collect()(0)
+    assert(r.getDouble(0) == 2.0 && r.getDouble(1) == 1.0)
+    assert(r.getDouble(2) == 1.0 && r.getDouble(3) == 0.0)
+    // flat input: variance 0 → rsquare null, slope 0
+    val f = Kql.run(TestSpark.spark, cat,
+      """t1 | extend f = series_fit_line_dynamic(pack_array(4, 4, 4))
+        | | project s = todouble(f.slope), r2 = f.rsquare""".stripMargin)
+      .collect()(0)
+    assert(f.getDouble(0) == 0.0 && f.isNullAt(1))
+    // fewer than 2 points → null bag
+    assert(scalar(
+      "tostring(series_fit_line_dynamic(pack_array(7)))") == null)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
