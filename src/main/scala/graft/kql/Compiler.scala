@@ -199,9 +199,9 @@ final class Compiler(
       case "strlen" | "countof" | "countof_re" | "hash" | "parse_ipv4" |
            "parse_version" | "strcmp" | "indexof_regex" |
            "string_size" => KT.Int
-      case "ipv4_is_in_range" | "ipv4_is_private" |
+      case "ipv4_is_in_range" | "ipv4_is_private" | "ipv4_is_match" |
            "ipv6_is_match" | "ipv6_is_in_range" => KT.Bool
-      case "ipv6_compare" => KT.Int
+      case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
            "unixtime_milliseconds_todatetime" |
@@ -261,7 +261,7 @@ final class Compiler(
           "array_shift_left" | "array_shift_right" |
           "array_rotate_left" | "array_rotate_right" | "array_iff" |
           "array_split" => KT.Arr
-      case "array_sum" | "percentile_tdigest" => KT.Float
+      case "array_sum" | "percentile_tdigest" | "jaccard_index" => KT.Float
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" |
           "series_fill_const" | "series_fill_forward" |
@@ -277,7 +277,7 @@ final class Compiler(
       case "series_fit_line_dynamic" => KT.Var
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" |
-          "bag_merge" | "bag_remove_keys" => KT.Var
+          "bag_merge" | "bag_remove_keys" | "bag_set_key" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
@@ -1077,6 +1077,69 @@ final class Compiler(
             shiftright(ipL, 24) === 10L ||                      // 10/8
               shiftright(ipL, 20) === lit(172L * 16 + 1L) ||    // 172.16/12
               shiftright(ipL, 16) === lit(192L * 256 + 168L))   // 192.168/16
+        // CIDR-aware compare/match: each ip string may carry its own
+        // /suffix; the effective prefix is the LEAST of both suffixes and
+        // the optional argument (Kusto's rule). Same exact-double prefix
+        // scaling as ipv4_is_in_range
+        case "ipv4_compare" | "ipv4_is_match" =>
+          def ipBits(c: Column): (Column, Column) = {
+            val parts = org.apache.spark.sql.functions.split(
+              c.cast(StringType), "/", 2)
+            (parseIpv4(try_element_at(parts, lit(1))),
+              coalesce(try_element_at(parts, lit(2)).try_cast(LongType),
+                lit(32L)))
+          }
+          val (ip1, b1) = ipBits(cs.head)
+          val (ip2, b2) = ipBits(cs(1))
+          val argBits = if (cs.length == 3) cs(2).try_cast(LongType)
+                        else lit(32L)
+          val eff = least(b1, b2, argBits)
+          val scale = pow(lit(2.0), (lit(32L) - eff).cast(DoubleType))
+          val m1 = floor(ip1.cast(DoubleType) / scale)
+          val m2 = floor(ip2.cast(DoubleType) / scale)
+          val ok = ip1.isNotNull && ip2.isNotNull && eff.between(0L, 32L)
+          if (name == "ipv4_is_match") when(ok, m1 === m2)
+          else when(ok,
+            when(m1 < m2, -1L).when(m1 > m2, 1L).otherwise(0L))
+        // suffix of "ip/suffix"; a bare valid ip is /32; junk → null
+        case "ipv4_netmask_suffix" =>
+          val parts = org.apache.spark.sql.functions.split(
+            cs.head.cast(StringType), "/", 2)
+          val base = parseIpv4(try_element_at(parts, lit(1)))
+          val bits = coalesce(
+            try_element_at(parts, lit(2)).try_cast(LongType), lit(32L))
+          when(base.isNotNull && bits.between(0L, 32L), bits)
+        // mask the address to the prefix and render "a.b.c.d/p"
+        case "format_ipv4_mask" =>
+          val ipL = coalesce(cs.head.try_cast(LongType),
+            parseIpv4(cs.head.cast(StringType)))
+          val bits = cs(1).try_cast(LongType)
+          val scale = pow(lit(2.0), (lit(32L) - bits).cast(DoubleType))
+          val masked = (floor(ipL.cast(DoubleType) / scale) * scale)
+            .cast(LongType)
+          when(ipL.isNotNull && ipL.between(0L, 4294967295L) &&
+              bits.between(0L, 32L),
+            concat(concat_ws(".",
+              shiftright(masked, 24).bitwiseAND(lit(255L)),
+              shiftright(masked, 16).bitwiseAND(lit(255L)),
+              shiftright(masked, 8).bitwiseAND(lit(255L)),
+              masked.bitwiseAND(lit(255L))),
+              lit("/"), bits.cast(StringType)))
+        // canonical JSON rendering of a dynamic (keys sorted recursively,
+        // array order kept); non-dynamic scalars render as JSON scalars
+        // (strings/timestamps quote via a 1-element to_json slice)
+        case "dynamic_to_json" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val jtxt = infer(df, args.head) match {
+            case KT.Var => cs.head.cast(StringType)
+            case KT.Arr => to_json(cs.head)
+            case KT.Str | KT.Ts =>
+              val q = to_json(array(cs.head))
+              q.substr(lit(2), length(q) - 2)
+            case _ => cs.head.cast(StringType)
+          }
+          column(graft.functions.CanonJson(expression(jtxt)))
+        }
         // Kusto hash(): xxhash64, optionally reduced modulo m (non-negative)
         case "hash" =>
           val h = xxhash64(cs.head)
@@ -1613,6 +1676,37 @@ final class Compiler(
               .when(cb, pick(args(1), i))
               .otherwise(pick(args(2), i))
           })
+        // |A∩B| / |A∪B| over distinct elements (array_intersect/union
+        // both dedup); empty∪empty → null, not NaN. Variant arrays
+        // compare via their string forms (documented narrowing)
+        case "jaccard_index" =>
+          def asSet(i: Int): Column = infer(df, args(i)) match {
+            case KT.Var => compile(df, args(i)).try_cast(ArrayType(StringType))
+            case _ => compile(df, args(i))
+          }
+          val a = asSet(0)
+          val b = asSet(1)
+          val inter = size(array_intersect(a, b)).cast(DoubleType)
+          val uni = size(array_union(a, b)).cast(DoubleType)
+          when(uni > 0, inter / uni)
+        // set/replace one top-level key; the VALUE may be any scalar or
+        // dynamic (null sets JSON null — the key lands, Kusto's shape)
+        case "bag_set_key" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val bag = compile(df, args.head).cast(StringType)
+          val key = compile(df, args(1)).cast(StringType)
+          val vc = compile(df, args(2))
+          val vjson = infer(df, args(2)) match {
+            case KT.Var => vc.cast(StringType)
+            case KT.Str | KT.Ts =>
+              val q = to_json(array(vc))
+              q.substr(lit(2), length(q) - 2)
+            case KT.Arr => to_json(vc)
+            case _ => vc.cast(StringType)
+          }
+          try_parse_json(column(graft.functions.BagSetKey(
+            expression(bag), expression(key), expression(vjson))))
+        }
         // sequential left fold in element order — deterministic, and
         // replayable by an oracle as the same IEEE operation sequence
         case "array_sum" =>

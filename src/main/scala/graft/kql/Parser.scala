@@ -1432,6 +1432,8 @@ final class Parser(src: String, nowMicros: Long) {
     "hash_sha256", "hash_sha1", "hash_md5", "toguid", "isascii",
     "unicode_codepoints_from_string", "unicode_codepoints_to_string",
     "base64_decode_toarray", "base64_encode_fromarray",
+    "ipv4_compare", "ipv4_is_match", "ipv4_netmask_suffix",
+    "format_ipv4_mask", "jaccard_index", "dynamic_to_json", "bag_set_key",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -1710,6 +1712,26 @@ final class Parser(src: String, nowMicros: Long) {
                 "base64_decode_toarray" | "base64_encode_fromarray") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      case f @ ("ipv4_compare" | "ipv4_is_match") =>
+        val a = args()
+        arity(a.length == 2 || a.length == 3,
+          s"$f() takes (ip1, ip2[, prefix])")
+        StrFn(f, a)
+      case f @ ("ipv4_netmask_suffix" | "dynamic_to_json") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
+      case "format_ipv4_mask" =>
+        val a = args()
+        arity(a.length == 2, "format_ipv4_mask() takes (ip, prefix)")
+        StrFn("format_ipv4_mask", a)
+      case "jaccard_index" =>
+        val a = args()
+        arity(a.length == 2, "jaccard_index() takes (set1, set2)")
+        ArrFn("jaccard_index", a)
+      case "bag_set_key" =>
+        val a = args()
+        arity(a.length == 3, "bag_set_key() takes (bag, key, value)")
+        ArrFn("bag_set_key", a)
       // variadic like Kusto: each arg is a codepoint or an array of them
       case "unicode_codepoints_to_string" =>
         val a = args()

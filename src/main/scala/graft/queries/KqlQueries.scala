@@ -1975,6 +1975,65 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 ipv4 batch 2: CIDR compare/match with the least-prefix
+    // rule, suffix extraction, mask formatting. Octets synthesized from
+    // event_id so the oracle replays the masks with integer arithmetic —
+    // no IP parsing on the DuckDB side
+    kq("kql_ipfns2",
+      """events
+        | | where event_id < 2000
+        | | extend o3 = event_id % 256, o2 = event_id % 64
+        | | extend ip1 = strcat('10.', tostring(o2), '.', tostring(o3), '.7'),
+        |          ip2 = strcat('10.', tostring(o2), '.0.0/16')
+        | | project event_id,
+        |     c24 = ipv4_compare(ip1,
+        |       strcat('10.', tostring(o2), '.', tostring(o3), '.200'), 24),
+        |     c32 = ipv4_compare(ip1,
+        |       strcat('10.', tostring(o2), '.', tostring(o3), '.200')),
+        |     im = ipv4_is_match(ip1, ip2),
+        |     ns = ipv4_netmask_suffix(ip2),
+        |     fm = format_ipv4_mask(ip1, 20)
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CAST(0 AS BIGINT) AS c24,
+        |  CAST(-1 AS BIGINT) AS c32,
+        |  true AS im,
+        |  CAST(16 AS BIGINT) AS ns,
+        |  '10.' || (event_id % 64) || '.' ||
+        |    ((event_id % 256) // 16) * 16 || '.0/20' AS fm
+        |FROM events WHERE event_id < 2000
+        |ORDER BY event_id""".stripMargin),
+
+    // round-6 dynamic batch 3: set-similarity on token sets, canonical
+    // recursive JSON, and top-level bag key set
+    kq("kql_bagfns3",
+      """documents
+        | | where doc_id < 500
+        | | extend t1 = split(substring(text, 0, 30), ' '),
+        |          t2 = split(substring(text, 10, 30), ' ')
+        | | project doc_id,
+        |     j = jaccard_index(t1, t2),
+        |     dj = dynamic_to_json(todynamic('{"z":1,"a":{"y":2,"b":[3,1]}}')),
+        |     bs = tostring(bag_set_key(todynamic('{"a":1}'), 'k', lang))
+        | | sort by doc_id asc""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    string_split(substr(text, 1, 30), ' ') AS t1,
+        |    string_split(substr(text, 11, 30), ' ') AS t2
+        |  FROM documents WHERE doc_id < 500),
+        |r AS (
+        |  SELECT doc_id, lang,
+        |    len(list_distinct(list_filter(t1, x -> list_contains(t2, x))))
+        |      AS ninter,
+        |    len(list_distinct(list_concat(t1, t2))) AS nuni
+        |  FROM d)
+        |SELECT doc_id,
+        |  CASE WHEN nuni > 0
+        |       THEN CAST(ninter AS DOUBLE) / CAST(nuni AS DOUBLE) END AS j,
+        |  '{"a":{"b":[3,1],"y":2},"z":1}' AS dj,
+        |  '{"a":1,"k":"' || lang || '"}' AS bs
+        |FROM r ORDER BY doc_id""".stripMargin),
+
     // round-6 series batch 2: elementwise math/comparisons (scalar
     // broadcast), vector reductions, and the least-squares line. Inputs
     // are integer-valued doubles so every sum/product is exact and the

@@ -177,6 +177,69 @@ class ScalarBatch7Spec extends AnyFunSuite {
       "tostring(series_fit_line_dynamic(pack_array(7)))") == null)
   }
 
+  test("ipv4_compare / ipv4_is_match: least-prefix rule") {
+    assert(scalar("ipv4_compare('1.2.3.4', '1.2.3.4')") == 0L)
+    assert(scalar("ipv4_compare('1.2.3.4', '1.2.3.5')") == -1L)
+    assert(scalar("ipv4_compare('1.2.3.5', '1.2.3.4')") == 1L)
+    // third arg masks the difference away
+    assert(scalar("ipv4_compare('1.2.3.4', '1.2.3.5', 24)") == 0L)
+    // suffix inside either string lowers the effective prefix
+    assert(scalar("ipv4_compare('10.1.0.0/16', '10.1.255.255')") == 0L)
+    assert(scalar("ipv4_is_match('192.168.1.1', '192.168.1.255', 24)") == true)
+    assert(scalar("ipv4_is_match('192.168.1.1', '192.168.2.1', 24)") == false)
+    assert(scalar("ipv4_is_match('10.0.0.1/8', '10.255.0.1')") == true)
+    assert(scalar("ipv4_is_match('bad', '10.0.0.1')") == null)
+  }
+
+  test("ipv4_netmask_suffix and format_ipv4_mask") {
+    assert(scalar("ipv4_netmask_suffix('10.1.2.3/24')") == 24L)
+    assert(scalar("ipv4_netmask_suffix('10.1.2.3')") == 32L)
+    assert(scalar("ipv4_netmask_suffix('10.1.2.3/33')") == null)
+    assert(scalar("ipv4_netmask_suffix('junk/8')") == null)
+    assert(scalar("format_ipv4_mask('192.168.1.77', 24)") == "192.168.1.0/24")
+    assert(scalar("format_ipv4_mask('10.99.88.77', 8)") == "10.0.0.0/8")
+    assert(scalar("format_ipv4_mask('1.2.3.4', 32)") == "1.2.3.4/32")
+    assert(scalar("format_ipv4_mask('1.2.3.4', 33)") == null)
+  }
+
+  test("jaccard_index: distinct-element sets, empty-union null") {
+    assert(scalar(
+      "jaccard_index(pack_array(1, 2, 3), pack_array(2, 3, 4))") == 0.5)
+    assert(scalar(
+      "jaccard_index(pack_array(1, 1, 2), pack_array(1, 2))") == 1.0)
+    assert(scalar(
+      "jaccard_index(pack_array('a'), pack_array('b'))") == 0.0)
+    assert(scalar(
+      "jaccard_index(array_slice(pack_array(1), 1, 0)," +
+        " array_slice(pack_array(1), 1, 0))") == null)
+  }
+
+  test("dynamic_to_json: recursive key sort, scalars render as JSON") {
+    assert(scalar(
+      """dynamic_to_json(todynamic('{"b":{"d":1,"c":[2,1]},"a":3}'))""") ==
+      """{"a":3,"b":{"c":[2,1],"d":1}}""")
+    assert(scalar("dynamic_to_json('hi')") == "\"hi\"")
+    assert(scalar("dynamic_to_json(5)") == "5")
+    assert(scalar("dynamic_to_json(pack_array(3, 1))") == "[3,1]")
+  }
+
+  test("bag_set_key: set, replace, null value, non-bag") {
+    assert(scalar(
+      """tostring(bag_set_key(todynamic('{"a":1}'), 'b', 2))""") ==
+      """{"a":1,"b":2}""")
+    assert(scalar(
+      """tostring(bag_set_key(todynamic('{"a":1}'), 'a', 'x'))""") ==
+      """{"a":"x"}""")
+    assert(scalar(
+      """tostring(bag_set_key(todynamic('{"a":1}'), 'n', null))""") ==
+      """{"a":null,"n":null}""" ||
+      scalar(
+        """tostring(bag_set_key(todynamic('{"a":1}'), 'n', null))""") ==
+        """{"a":1,"n":null}""")
+    assert(scalar(
+      """tostring(bag_set_key(todynamic('[1,2]'), 'k', 1))""") == null)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
