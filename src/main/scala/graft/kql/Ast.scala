@@ -239,6 +239,15 @@ object Aggregation {
     * into one [[Percentile]] per p (Kusto's multi-column form); reaching
     * the compiler unexpanded is a parse-context error. */
   final case class Percentiles(f: FieldPath, ps: Seq[Double]) extends Aggregation
+  /** `percentiles_array(f, p1…pN)` — ONE dynamic array column of the same
+    * approximate percentiles `percentiles()` expands to columns. */
+  final case class PercentilesArray(f: FieldPath, ps: Seq[Double]) extends Aggregation
+  /** `percentilew(f, w, p)` — weighted percentile: each row counts `w`
+    * times. Exact (Spark's frequency-weighted percentile, linear
+    * interpolation over the expanded multiset); weights must be
+    * non-negative integers. Memory is O(distinct values) per group — the
+    * tdigest family is the sketch path at scale. */
+  final case class PercentileW(f: FieldPath, w: FieldPath, p: Double) extends Aggregation
 
   /** Default output names (reference parser.rs:290-301). */
   def defaultName(a: Aggregation): String = a match {
@@ -277,6 +286,10 @@ object Aggregation {
     case Hll(f)         => s"hll_${f.flat}"
     case HllMerge(f)    => s"hll_merge_${f.flat}"
     case Percentiles(f, _) => s"percentiles_${f.flat}"
+    case PercentilesArray(f, _) => s"percentiles_array_${f.flat}"
+    case PercentileW(f, _, p) =>
+      val ps = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')
+      s"percentilew_${f.flat}_$ps"
   }
 }
 

@@ -3388,6 +3388,18 @@ final class Compiler(
         case Aggregation.HllMerge(f) => hll_union_agg(compileField(df, f))
         case Aggregation.Percentiles(_, _) => throw KqlParseException(
           "percentiles() is summarize-only — use percentile(f, p) here", 0)
+        // one sketch pass, N estimates, ONE array column
+        case Aggregation.PercentilesArray(f, ps) =>
+          percentile_approx(numeric(f),
+            array(ps.map(p => lit(p / 100.0)): _*), lit(10000))
+        // frequency-weighted exact percentile (each row counts w times;
+        // linear interpolation over the expanded multiset). Negative/null
+        // weights are row errors ⇒ weight 0, which the aggregate skips
+        // (a raw negative would abort the whole query — Spark validates)
+        case Aggregation.PercentileW(f, w, p) =>
+          val wc = compileField(df, w).try_cast(LongType)
+          call_function("percentile", numeric(f), lit(p / 100.0),
+            when(wc > 0L, wc).otherwise(lit(0L)))
         // arg extremes: lexicographic struct max/min gives a total rule —
         // extreme key first, then extreme return value on key ties (KQL
         // leaves ties unspecified; totality keeps re-runs identical). Rows

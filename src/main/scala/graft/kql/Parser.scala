@@ -1046,6 +1046,11 @@ final class Parser(src: String, nowMicros: Long) {
       case "count" => Aggregation.Count
       case "countif" => Aggregation.Countif(parseExpr())
       case "dcount" => Aggregation.DCount(parseFieldPath())
+      // Kusto's exact-distinct names (our dcount is already exact)
+      case "count_distinct" => Aggregation.DCount(parseFieldPath())
+      case "count_distinctif" =>
+        val f = parseFieldPath(); eatPunct(",")
+        Aggregation.AggIf("dcountif", f, parseExpr())
       case "dcount_approx" => Aggregation.DCountApprox(parseFieldPath())
       case "sum" => Aggregation.Sum(parseFieldPath())
       case "avg" => Aggregation.Avg(parseFieldPath())
@@ -1111,21 +1116,32 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.BinaryAll(k.stripPrefix("binary_all_"), parseFieldPath())
       case "hll" => Aggregation.Hll(parseFieldPath())
       case "hll_merge" => Aggregation.HllMerge(parseFieldPath())
-      case "percentiles" =>
+      case k @ ("percentiles" | "percentiles_array") =>
         val f = parseFieldPath()
         val ps = Seq.newBuilder[Double]
         while (tryPunct(",")) {
           val v = peek match {
             case IntTok(v, _) => next(); v.toDouble
             case FloatTok(v, _) => next(); v
-            case t => throw KqlParseException("percentiles expects numeric ps", t.pos)
+            case t => throw KqlParseException(s"$k expects numeric ps", t.pos)
           }
           arity(v >= 0 && v <= 100, "percentile p must be in [0, 100]")
           ps += v
         }
         val pl = ps.result()
-        arity(pl.nonEmpty, "percentiles() needs at least one p")
-        Aggregation.Percentiles(f, pl)
+        arity(pl.nonEmpty, s"$k() needs at least one p")
+        if (k == "percentiles") Aggregation.Percentiles(f, pl)
+        else Aggregation.PercentilesArray(f, pl)
+      case "percentilew" =>
+        val f = parseFieldPath(); eatPunct(",")
+        val w = parseFieldPath(); eatPunct(",")
+        val p = peek match {
+          case IntTok(v, _) => next(); v.toDouble
+          case FloatTok(v, _) => next(); v
+          case t => throw KqlParseException("percentilew expects a numeric p", t.pos)
+        }
+        arity(p >= 0 && p <= 100, "percentile p must be in [0, 100]")
+        Aggregation.PercentileW(f, w, p)
       case other => fail(s"unknown aggregation '$other'")
     }
     eatPunct(")")

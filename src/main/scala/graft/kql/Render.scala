@@ -124,5 +124,11 @@ object Render {
     case Aggregation.Percentiles(f, ps) =>
       s"percentiles(${f.render}, ${ps.map(p =>
         if (p == p.floor) p.toLong.toString else p.toString).mkString(", ")})"
+    case Aggregation.PercentilesArray(f, ps) =>
+      s"percentiles_array(${f.render}, ${ps.map(p =>
+        if (p == p.floor) p.toLong.toString else p.toString).mkString(", ")})"
+    case Aggregation.PercentileW(f, w, p) =>
+      val ps = if (p == p.floor) p.toLong.toString else p.toString
+      s"percentilew(${f.render}, ${w.render}, $ps)"
   }
 }

@@ -1975,6 +1975,52 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 aggregate batch: percentiles_array (one sketch pass, one
+    // array column — exact under the GK no-compression contract, groups
+    // ≤112 rows at sf0.1), percentilew (frequency-weighted exact
+    // percentile, oracled by literally expanding the multiset), and the
+    // count_distinct aliases
+    kq("kql_aggpct",
+      """documents
+        | | extend n = tokencount(text), w = doc_id % 3, d10 = doc_id % 10
+        | | summarize pa = percentiles_array(n, 25, 50, 75),
+        |     pw = percentilew(n, w, 50),
+        |     cd = count_distinct(d10),
+        |     cdi = count_distinctif(d10, n > 50)
+        |     by lang, source
+        | | sort by lang asc, source asc""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                         x -> len(x) > 0)) AS BIGINT) AS n,
+        |    doc_id % 3 AS w
+        |  FROM documents),
+        |r AS (SELECT *,
+        |        row_number() OVER (PARTITION BY lang, source ORDER BY n)
+        |          AS rn,
+        |        count(*) OVER (PARTITION BY lang, source) AS cnt FROM t),
+        |ranks AS (
+        |  SELECT lang, source,
+        |    [CAST(max(CASE WHEN rn = greatest(1,
+        |            CAST(ceil(0.25 * cnt) AS BIGINT)) THEN n END) AS DOUBLE),
+        |     CAST(max(CASE WHEN rn = greatest(1,
+        |            CAST(ceil(0.50 * cnt) AS BIGINT)) THEN n END) AS DOUBLE),
+        |     CAST(max(CASE WHEN rn = greatest(1,
+        |            CAST(ceil(0.75 * cnt) AS BIGINT)) THEN n END) AS DOUBLE)]
+        |      AS pa,
+        |    count(DISTINCT doc_id % 10) AS cd,
+        |    count(DISTINCT CASE WHEN n > 50 THEN doc_id % 10 END) AS cdi
+        |  FROM r GROUP BY lang, source),
+        |wq AS (
+        |  SELECT lang, source, quantile_cont(n, 0.5) AS pw
+        |  FROM (SELECT e.lang, e.source, e.n
+        |        FROM t e, unnest(range(e.w))) x
+        |  GROUP BY lang, source)
+        |SELECT ranks.lang, ranks.source, pa, wq.pw,
+        |       CAST(cd AS BIGINT) AS cd, CAST(cdi AS BIGINT) AS cdi
+        |FROM ranks LEFT JOIN wq USING (lang, source)
+        |ORDER BY lang, source""".stripMargin),
+
     // round-6 ipv4 batch 2: CIDR compare/match with the least-prefix
     // rule, suffix extraction, mask formatting. Octets synthesized from
     // event_id so the oracle replays the masks with integer arithmetic —

@@ -240,6 +240,34 @@ class ScalarBatch7Spec extends AnyFunSuite {
       """tostring(bag_set_key(todynamic('[1,2]'), 'k', 1))""") == null)
   }
 
+  test("percentiles_array / percentilew / count_distinct aggregates") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("w", Seq(
+      (1L, 10L, 1L), (1L, 20L, 0L), (1L, 30L, 3L),
+      (2L, 5L, 1L), (2L, 7L, 1L)).toDF("k", "v", "w"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      """w | summarize pa = percentiles_array(v, 0, 100),
+        |     pw = percentilew(v, w, 50),
+        |     cd = count_distinct(v),
+        |     cdi = count_distinctif(v, v > 6)
+        |     by k
+        | | sort by k asc""".stripMargin).collect()
+    val r1 = rows(0)
+    assert(r1.getSeq[Double](1).map(_.toLong) == Seq(10L, 30L))
+    // expanded multiset {10, 30, 30, 30} → median 30 (w=0 row excluded)
+    assert(r1.getDouble(2) == 30.0)
+    assert(r1.getLong(3) == 3L && r1.getLong(4) == 3L)
+    val r2 = rows(1)
+    // expanded {5, 7} → interpolated median 6
+    assert(r2.getDouble(2) == 6.0)
+    assert(r2.getLong(3) == 2L && r2.getLong(4) == 1L)
+    // negative weights are row errors (weight 0), not query aborts
+    val neg = Kql.run(TestSpark.spark, c2,
+      "w | extend nw = 0 - w | summarize p = percentilew(v, nw, 50)")
+      .collect()(0)
+    assert(neg.isNullAt(0))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
