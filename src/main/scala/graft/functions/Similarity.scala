@@ -196,11 +196,15 @@ object Similarity {
     *
     * @return same shape as [[bruteForceTopK]]
     */
-  def ivfTopK(
-      queries: DataFrame, corpus: DataFrame,
-      qidCol: String, idCol: String, vecCol: String,
-      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** The IVF coarse quantizer shared by [[ivfTopK]] and [[semDedup]]:
+    * deterministically seeded centroids (hash-ordered first nCells) with
+    * one Lloyd refinement sweep, and the corpus assigned to its nearest
+    * cell. Returns the assignment `(neighbor_id, __cv, __cell)` plus the
+    * refined centroid table (k × dim — broadcast-sized).
+    */
+  def ivfAssign(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int): (DataFrame, Array[Array[Float]]) = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     // seed centroids: deterministic sample (hash-ordered first nCells), then
     // one Lloyd refinement sweep — enough to spread the cells
@@ -236,8 +240,15 @@ object Similarity {
         }.getOrElse(seeds(cell))
       }.toArray
     }
-    val corpusCells = c
-      .withColumn("__cell", nearestCell(col("__cv"), refined))
+    (c.withColumn("__cell", nearestCell(col("__cv"), refined)), refined)
+  }
+
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String,
+      k: Int, nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpusCells, refined) = ivfAssign(corpus, idCol, vecCol, nCells)
     val q = broadcast(queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("__cells", nearestCells(col("__qv"), refined, nProbe)))
@@ -250,6 +261,37 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "neighbor_id", "score")
+  }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
+    * with the IVF coarse quantizer, then inside each cluster drop every
+    * vector that has a LOWER-id cluster-mate with cosine ≥ threshold —
+    * the deterministic stand-in for the paper's "keep one per ε-ball"
+    * (lowest id ≈ the kept exemplar; stable under repartitioning).
+    *
+    * Scale shape: the pairwise verify runs per CLUSTER, never across the
+    * corpus — Σ|cellᵢ|² work, the paper's own cost model (k grows with
+    * corpus size to keep cells bounded); the shuffle is one cell-keyed
+    * exchange of (id, vec) pairs, and the centroid table stays k × dim
+    * broadcast-sized.
+    *
+    * @return kept rows: (id, cell) — dropped ids are the near-duplicates
+    */
+  def semDedup(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16): DataFrame = {
+    val (assigned, _) = ivfAssign(corpus, idCol, vecCol, nCells)
+    val a = assigned.select(
+      col("neighbor_id").as("__ida"), col("__cv").as("__va"), col("__cell"))
+    val b = assigned.select(
+      col("neighbor_id").as("__idb"), col("__cv").as("__vb"), col("__cell"))
+    val drops = a.join(b, "__cell")
+      .filter(col("__ida") < col("__idb"))
+      .filter(cosine(col("__va"), col("__vb")) >= threshold)
+      .select(col("__idb")).distinct()
+    assigned.join(drops, assigned("neighbor_id") === drops("__idb"),
+        "left_anti")
+      .select(col("neighbor_id").as(idCol), col("__cell").as("cell"))
   }
 
   /** Indices of the `nProbe` nearest centroids (nearest first) for a

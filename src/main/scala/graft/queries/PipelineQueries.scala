@@ -297,10 +297,14 @@ object PipelineQueries {
     * double division rounded through float, empty cells keeping their
     * seed. Bit-exact at all three SFs.
     */
-  private val ivfOracleSql: String = {
+  /** Shared CTE chain of the IVF coarse quantizer (ids → bcell):
+    * deterministic hash-ordered seeds, ONE integer-exact Lloyd sweep,
+    * final nearest-cell assignment — the DuckDB replay of
+    * [[graft.functions.Similarity.ivfAssign]]. Compose after WITH;
+    * exposes `bcell(vec_id, cell)` (and `pb` for probe lists). */
+  private def ivfAssignCtes(dim: Int): String = {
     import SignLshSql._
-    val dim = 64
-    s"""WITH ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
+    s"""ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
        |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
        |hord AS (SELECT vec_id, embedding,
        |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
@@ -326,7 +330,32 @@ object PipelineQueries {
        |  FROM embeddings e CROSS JOIN refined s),
        |bcell AS (SELECT vec_id, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pb)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.semDedup]]: same assignment CTEs,
+    * then within-cell pairwise cosine — a vector drops when any lower-id
+    * cell-mate clears the threshold. */
+  private val semDedupOracleSql: String = {
+    import SignLshSql._
+    val dim = 64
+    s"""WITH ${ivfAssignCtes(dim)},
+       |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM bcell x JOIN bcell y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |scored AS (SELECT id_a, id_b,
+       |    ${cosine("a.embedding", "b.embedding", dim)} AS score
+       |  FROM pairs JOIN embeddings a ON pairs.id_a = a.vec_id
+       |             JOIN embeddings b ON pairs.id_b = b.vec_id),
+       |drops AS (SELECT DISTINCT id_b FROM scored WHERE score >= 0.3)
+       |SELECT b.vec_id, b.cell FROM bcell b
+       |WHERE b.vec_id NOT IN (SELECT id_b FROM drops)
+       |ORDER BY b.vec_id""".stripMargin
+  }
+
+  private val ivfOracleSql: String = {
+    import SignLshSql._
+    val dim = 64
+    s"""WITH ${ivfAssignCtes(dim)},
        |qc AS (SELECT vec_id AS query_id, cell FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pb)
        |  WHERE vec_id < 5 AND rn <= 4),
@@ -579,6 +608,17 @@ object PipelineQueries {
           .select("query_id", "rank", "neighbor_id")
           .orderBy("query_id", "rank")
       }),
+
+    // SemDeDup (arXiv:2303.09540): IVF-cluster the embedding corpus, keep
+    // the lowest-id exemplar inside each cosine ε-ball — pairwise verify
+    // runs per CLUSTER (Σ|cell|² work, the paper's cost model), one
+    // cell-keyed shuffle, centroids broadcast-sized. Bit-exact oracle via
+    // the shared integer-Lloyd assignment CTEs.
+    Q("pl_semdedup", semDedupOracleSql)(
+      (s, d) => Similarity.semDedup(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        threshold = 0.3, nCells = 16)
+        .orderBy("vec_id")),
 
     // exact near-dup pairs on a bounded window — DuckDB-oracled (ids only;
     // scores are engine-summation-order dependent)
