@@ -295,4 +295,35 @@ object TextAnalysis {
       .filter(col("rank") <= k)
       .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))
   }
+
+  /** Canonical URL for exact URL-level dedup (the CommonCrawl-style key):
+    * scheme and host lowercase; default ports stripped (`:80` http,
+    * `:443` https); fragment dropped; tracking params dropped
+    * (`utm_*`, `fbclid`, `gclid`, `msclkid`); remaining query params
+    * SORTED; trailing path slashes trimmed (empty path → `/`). A string
+    * with no `scheme://host` is not an absolute URL → null (row-error
+    * policy). Pure codegen'd regex/array lowering — map-side, replayable
+    * by any SQL engine.
+    */
+  def canonicalUrl(c: Column): Column = {
+    val u = trim(c)
+    val scheme = lower(regexp_extract(u, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_replace(u, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = when(scheme === "https", regexp_replace(hostport, lit(":443$"), lit("")))
+      .when(scheme === "http", regexp_replace(hostport, lit(":80$"), lit("")))
+      .otherwise(hostport)
+    val tail0 = regexp_replace(rest, "^[^/?#]*", "")
+    val path0 = regexp_replace(
+      regexp_extract(tail0, "^([^?#]*)", 1), lit("/+$"), lit(""))
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = regexp_extract(tail0, "^[^?#]*\\?([^#]*)", 1)
+    val params = filter(split(query, "&"), p =>
+      !p.rlike("^(utm_[^=]*|fbclid|gclid|msclkid)(=|$)") && p =!= "")
+    when(scheme =!= "" && host =!= "",
+      concat(scheme, lit("://"), host, path,
+        when(size(params) > 0,
+          concat(lit("?"), array_join(array_sort(params), "&")))
+          .otherwise(lit(""))))
+  }
 }

@@ -609,6 +609,34 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // URL-level exact dedup (the CommonCrawl dedup key): canonicalize —
+    // case, default ports, fragments, tracking params, param order,
+    // trailing slashes — then keep the lowest doc_id per canonical form.
+    // One hash shuffle; the oracle derives the expected canonical forms
+    // independently from the synthesis rule
+    Q("pl_dedup_url",
+      """SELECT canon, min(doc_id) AS keep, count(*) AS n FROM (
+        |  SELECT doc_id, CASE WHEN doc_id % 4 IN (0, 1)
+        |    THEN 'https://www.example' || (doc_id % 50) || '.com/a/b?a=1&b=2'
+        |    ELSE 'http://site' || (doc_id % 50) || '.org/' END AS canon
+        |  FROM documents) t
+        |GROUP BY canon ORDER BY canon""".stripMargin)(
+      (s, d) => {
+        val m4 = col("doc_id") % 4
+        val m50 = (col("doc_id") % 50).cast("string")
+        val url = when(m4 === 0, concat(lit("HTTPS://WWW.Example"), m50,
+            lit(".com:443/a/b/?utm_source=x&b=2&a=1#frag")))
+          .when(m4 === 1, concat(lit("https://www.example"), m50,
+            lit(".com/a/b?a=1&b=2")))
+          .when(m4 === 2, concat(lit("http://Site"), m50, lit(".org:80")))
+          .otherwise(concat(lit("http://site"), m50, lit(".org/?gclid=zzz")))
+        Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.canonicalUrl(url).as("canon"))
+          .groupBy("canon")
+          .agg(min("doc_id").as("keep"), count(lit(1)).as("n"))
+          .orderBy("canon")
+      }),
+
     // SemDeDup (arXiv:2303.09540): IVF-cluster the embedding corpus, keep
     // the lowest-id exemplar inside each cosine ε-ball — pairwise verify
     // runs per CLUSTER (Σ|cell|² work, the paper's cost model), one

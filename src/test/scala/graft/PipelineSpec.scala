@@ -420,4 +420,23 @@ class PipelineSpec extends AnyFunSuite {
       .select(max(greatest(col("width"), col("height")))).collect()(0).getInt(0)
     assert(resized <= 256)
   }
+
+  test("canonicalUrl: case, ports, fragments, tracking params, slashes") {
+    def canon(u: String): Any =
+      Seq(Tuple1(u)).toDF("u")
+        .select(TextAnalysis.canonicalUrl(col("u"))).collect()(0).get(0)
+    assert(canon("HTTPS://WWW.Example.COM:443/A/b/?utm_source=x&b=2&a=1#f") ==
+      "https://www.example.com/A/b?a=1&b=2")
+    assert(canon("http://Site.org:80") == "http://site.org/")
+    assert(canon("http://site.org/?gclid=z&fbclid=y&utm_campaign=c") ==
+      "http://site.org/")
+    // non-default port survives; path case survives; param ORDER canons
+    assert(canon("https://h.com:8443/x?b=2&a=1") ==
+      "https://h.com:8443/x?a=1&b=2")
+    // a valueless tracking key and an empty param both drop
+    assert(canon("http://h.com/p?utm_source&x=1&") == "http://h.com/p?x=1")
+    // not an absolute URL → null
+    assert(canon("relative/path/only") == null)
+    assert(canon("") == null)
+  }
 }
