@@ -1537,8 +1537,32 @@ final class Compiler(
               (compile(df, args(2)).try_cast(LongType) + lit(1L))
                 .cast(IntegerType))
           else arr
-        case "indexof" => // 0-based; -1 when absent (instr is 1-based/0)
+        case "indexof" if args.length == 2 =>
+          // 0-based; -1 when absent (instr is 1-based/0)
           (instr(s(0), s(1)) - lit(1)).cast(LongType)
+        // full Kusto form: search window [start, start+length), occurrence
+        // k. k-th position = length of the prefix before the k-th match
+        // (SUBSTRING_INDEX), valid only when the window holds ≥ k matches
+        case "indexof" =>
+          val src = s(0); val look = s(1)
+          val n = length(src).cast(LongType)
+          val st0 = compile(df, args(2)).try_cast(LongType)
+          // negative start counts from the end (Kusto), floored at 0
+          val st = when(st0 < 0L, greatest(n + st0, lit(0L))).otherwise(st0)
+          val lenRaw = args.lift(3).map(a => compile(df, a).try_cast(LongType))
+            .getOrElse(lit(-1L))
+          val wlen = when(lenRaw < 0L, n).otherwise(lenRaw)
+          val window = src.substr((st + 1L).cast(IntegerType),
+            wlen.cast(IntegerType))
+          val k = args.lift(4).map(_.asInstanceOf[IntLit].v.toInt).getOrElse(1)
+          val occ = (length(window) -
+            length(replace(window, look, lit("")))).cast(LongType) /
+            length(look).cast(LongType)
+          val idxInWin = length(call_function("substring_index",
+            window, look, lit(k))).cast(LongType)
+          when(length(look) === 0, st)
+            .when(occ >= k, st + idxInWin)
+            .otherwise(lit(-1L))
         // shallow bag merge in ARGUMENT order (leftmost bag wins each
         // key, Kusto's rule) through the make_bag merge kernel; output
         // re-parses to variant so field paths compose
@@ -1633,9 +1657,24 @@ final class Compiler(
           slice(arr, s0 + lit(1), greatest(e0 - s0 + lit(1), lit(0)))
         // 0-based first index of value, -1 when absent (array_position is
         // 1-based with 0-absent, so the -1 shift needs no null handling)
-        case "array_index_of" =>
+        case "array_index_of" if args.length == 2 =>
           (array_position(compile(df, args.head), compile(df, args(1)))
             - lit(1L)).cast(LongType)
+        // full Kusto form: matches restricted to [start, start+length),
+        // occurrence k picked from the filtered position list — pure
+        // transform/filter HOFs, codegen'd, no explode
+        case "array_index_of" =>
+          val arr = compile(df, args.head)
+          val v = compile(df, args(1))
+          val st = compile(df, args(2)).try_cast(LongType)
+          val lenRaw = args.lift(3).map(a => compile(df, a).try_cast(LongType))
+            .getOrElse(lit(-1L))
+          val k = args.lift(4).map(_.asInstanceOf[IntLit].v.toInt).getOrElse(1)
+          val pos = filter(
+            transform(arr, (x, i) => when(x === v, i.cast(LongType))),
+            e => e.isNotNull && e >= st &&
+              (lenRaw < 0L || e < st + lenRaw))
+          coalesce(try_element_at(pos, lit(k)), lit(-1L))
         // shifts: out[i] = arr[i + n] where in range, else fill (default
         // null); a negative count shifts the other way. Pure transform-
         // with-index lambdas — codegen'd, no UDF, no explode

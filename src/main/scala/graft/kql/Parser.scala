@@ -1871,7 +1871,12 @@ final class Parser(src: String, nowMicros: Long) {
           "split() delimiter must be a string literal")
         ArrFn("split", a)
       case "indexof" =>
-        val a = args(); arity(a.length == 2, "indexof() takes (source, lookup)")
+        val a = args()
+        arity(a.length >= 2 && a.length <= 5,
+          "indexof() takes (source, lookup[, start[, length[, occurrence]]])")
+        arity(a.length < 5 ||
+          a(4).isInstanceOf[IntLit] && a(4).asInstanceOf[IntLit].v >= 1,
+          "indexof() occurrence must be an integer literal >= 1")
         ArrFn("indexof", a)
       case "array_length" =>
         val a = args(); arity(a.length == 1, "array_length() takes 1 arg")
@@ -1998,7 +2003,11 @@ final class Parser(src: String, nowMicros: Long) {
         ArrFn("bag_has_key", a)
       case "array_index_of" =>
         val a = args()
-        arity(a.length == 2, "array_index_of() takes (array, value)")
+        arity(a.length >= 2 && a.length <= 5,
+          "array_index_of() takes (array, value[, start[, length[, occurrence]]])")
+        arity(a.length < 5 ||
+          a(4).isInstanceOf[IntLit] && a(4).asInstanceOf[IntLit].v >= 1,
+          "array_index_of() occurrence must be an integer literal >= 1")
         ArrFn("array_index_of", a)
       case f @ ("set_union" | "set_intersect" | "set_difference") =>
         val a = args(); arity(a.length == 2, s"$f() takes 2 arrays")

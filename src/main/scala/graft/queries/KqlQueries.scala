@@ -1975,6 +1975,55 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // round-6 index batch: Kusto's full indexof / array_index_of forms
+    // (start from either end, bounded window, k-th occurrence)
+    kq("kql_idxfns",
+      """documents
+        | | where doc_id < 400
+        | | extend t = substring(text, 0, 60)
+        | | extend a = split(t, ' ')
+        | | project doc_id,
+        |     i1 = indexof(t, 'a', 5),
+        |     i2 = indexof(t, 'a', 0, 20),
+        |     i3 = indexof(t, 'a', 0, -1, 2),
+        |     i4 = indexof(t, 'zz', 3),
+        |     i5 = indexof(t, 'a', -10),
+        |     ai1 = array_index_of(a, 'the', 1),
+        |     ai2 = array_index_of(a, 'the', 0, -1, 2),
+        |     ai3 = array_index_of(a, 'the', 2, 3)
+        | | sort by doc_id asc""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id, substr(text, 1, 60) AS t,
+        |         string_split(substr(text, 1, 60), ' ') AS a
+        |  FROM documents WHERE doc_id < 400),
+        |f AS (
+        |  SELECT doc_id, t, a,
+        |    strpos(substr(t, 6), 'a') AS p1,
+        |    strpos(substr(t, 1, 20), 'a') AS p2,
+        |    strpos(t, 'a') AS pa,
+        |    strpos(substr(t, 4), 'zz') AS p4,
+        |    greatest(len(t) - 10, 0) AS st5,
+        |    list_filter(list_transform(a, (x, i) ->
+        |      CASE WHEN x = 'the' THEN i - 1 END), x -> x IS NOT NULL)
+        |      AS thepos
+        |  FROM d)
+        |SELECT doc_id,
+        |  CAST(CASE WHEN p1 > 0 THEN 5 + p1 - 1 ELSE -1 END AS BIGINT) AS i1,
+        |  CAST(CASE WHEN p2 > 0 THEN p2 - 1 ELSE -1 END AS BIGINT) AS i2,
+        |  CAST(CASE WHEN pa > 0 AND strpos(substr(t, pa + 1), 'a') > 0
+        |       THEN pa + strpos(substr(t, pa + 1), 'a') - 1
+        |       ELSE -1 END AS BIGINT) AS i3,
+        |  CAST(CASE WHEN p4 > 0 THEN 3 + p4 - 1 ELSE -1 END AS BIGINT) AS i4,
+        |  CAST(CASE WHEN strpos(substr(t, st5 + 1), 'a') > 0
+        |       THEN st5 + strpos(substr(t, st5 + 1), 'a') - 1
+        |       ELSE -1 END AS BIGINT) AS i5,
+        |  CAST(coalesce([x FOR x IN thepos IF x >= 1][1], -1) AS BIGINT)
+        |    AS ai1,
+        |  CAST(coalesce(thepos[2], -1) AS BIGINT) AS ai2,
+        |  CAST(coalesce([x FOR x IN thepos IF x >= 2 AND x < 5][1], -1)
+        |    AS BIGINT) AS ai3
+        |FROM f ORDER BY doc_id""".stripMargin),
+
     // round-6 aggregate batch: percentiles_array (one sketch pass, one
     // array column — exact under the GK no-compression contract, groups
     // ≤112 rows at sf0.1), percentilew (frequency-weighted exact

@@ -268,6 +268,30 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(neg.isNullAt(0))
   }
 
+  test("indexof: start/length/occurrence forms") {
+    assert(scalar("indexof('abcabc', 'b')") == 1L)
+    assert(scalar("indexof('abcabc', 'b', 2)") == 4L)
+    assert(scalar("indexof('abcabc', 'b', 0, 1)") == -1L) // window too short
+    assert(scalar("indexof('abcabc', 'b', 0, 2)") == 1L)
+    assert(scalar("indexof('abcabc', 'b', 0, -1, 2)") == 4L)
+    assert(scalar("indexof('abcabc', 'b', 0, -1, 3)") == -1L)
+    // negative start counts from the end
+    assert(scalar("indexof('abcabc', 'b', -3)") == 4L)
+    assert(scalar("indexof('abcabc', 'zz', 1)") == -1L)
+    assert(scalar("indexof('abcabc', '', 3)") == 3L)
+    // multi-char lookup with occurrence
+    assert(scalar("indexof('xabxabxab', 'ab', 0, -1, 3)") == 7L)
+  }
+
+  test("array_index_of: start/length/occurrence forms") {
+    assert(scalar("array_index_of(pack_array(5, 6, 5, 6), 6)") == 1L)
+    assert(scalar("array_index_of(pack_array(5, 6, 5, 6), 6, 2)") == 3L)
+    assert(scalar("array_index_of(pack_array(5, 6, 5, 6), 6, 0, 1)") == -1L)
+    assert(scalar("array_index_of(pack_array(5, 6, 5, 6), 6, 0, -1, 2)") == 3L)
+    assert(scalar("array_index_of(pack_array(5, 6, 5, 6), 6, 0, -1, 3)") == -1L)
+    assert(scalar("array_index_of(pack_array('a', 'b'), 'c', 0)") == -1L)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
