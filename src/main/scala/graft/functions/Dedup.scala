@@ -114,6 +114,41 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Edit-distance near-dup pairs: MinHash-LSH banded candidates verified
+    * with exact Levenshtein ≤ maxDist (the fuzzy analog of
+    * [[minhashDupPairs]] for corpora where "near duplicate" means a few
+    * character edits — OCR noise, template fills, typo farms). Same
+    * bounded-shuffle shape: only (band, bucket, id) tuples enter the LSH
+    * shuffle and only candidate (id_a, id_b) pairs reach the O(len²)
+    * Levenshtein verify — never all pairs. Returns (id_a, id_b, dist)
+    * with id_a < id_b.
+    */
+  def editDistancePairs(
+      df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, n: Int = 3, k: Int = 64,
+      rowsPerBand: Int = 4): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(textCol).as("txt"))
+    val withSets = base
+      .select(col("id"), shingleSet(col("txt"), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .localCheckpoint()
+    val buckets = withSets
+      .select(col("id"), explode(lshBands(col("sig"), k, rowsPerBand)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"), Seq("band", "bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+      .distinct()
+    candidates
+      .join(base.select(col("id").as("id_a"), col("txt").as("t_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("txt").as("t_b")), "id_b")
+      .withColumn("dist", levenshtein(col("t_a"), col("t_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select("id_a", "id_b", "dist")
+  }
+
   /** 64-bit SimHash over tokens: bit i is the sign of Σ_tokens
     * (±1 depending on bit i of xxhash64(token)). Lowered to the native
     * single-pass [[graft.functions.SimHash64]] expression — map-side only,

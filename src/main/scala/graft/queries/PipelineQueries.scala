@@ -101,7 +101,29 @@ object PipelineQueries {
     *    where the engine compares xxhash64 of the rendered slice string —
     *    identical output unless two distinct slices collide in 64 bits.
     */
-  private val minhashOracleSql: String = {
+  private def minhashOracleSql: String = minhashOracle(
+    """jac AS (SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+      |    len(sa.s) AS na, len(sb.s) AS nb
+      |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+      |            JOIN shs sb ON cand.id_b = sb.doc_id)
+      |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard FROM jac
+      |WHERE inter / (na + nb - inter) >= 0.4 ORDER BY id_a, id_b""".stripMargin)
+
+  /** Same XXH64 band-candidate CTE chain, Levenshtein verify instead of
+    * Jaccard — the oracle of [[Dedup.editDistancePairs]]. */
+  private def editDupsOracleSql(maxDist: Int): String = minhashOracle(
+    s"""lev AS (SELECT id_a, id_b,
+       |    CAST(levenshtein(da.text, db.text) AS BIGINT) AS dist
+       |  FROM cand JOIN documents da ON cand.id_a = da.doc_id
+       |            JOIN documents db ON cand.id_b = db.doc_id)
+       |SELECT id_a, id_b, dist FROM lev
+       |WHERE dist <= $maxDist ORDER BY id_a, id_b""".stripMargin)
+
+  /** Full XXH64 + MinHash + banded-bucket candidate generation in DuckDB
+    * SQL (CTEs `docs` → `cand`), composed with a caller-supplied verify
+    * tail. */
+  private def minhashOracle(verifyTail: String): String = {
     val W = "18446744073709551616" // 2^64
     val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
     val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
@@ -187,13 +209,7 @@ object PipelineQueries {
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
        |         WHERE a.doc_id < b.doc_id),
-       |jac AS (SELECT id_a, id_b,
-       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
-       |    len(sa.s) AS na, len(sb.s) AS nb
-       |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
-       |            JOIN shs sb ON cand.id_b = sb.doc_id)
-       |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard FROM jac
-       |WHERE inter / (na + nb - inter) >= 0.4 ORDER BY id_a, id_b""".stripMargin
+       |$verifyTail""".stripMargin
   }
 
   /** Shared SQL fragments for the sign-LSH oracles: mod-2^64 arithmetic
@@ -608,6 +624,16 @@ object PipelineQueries {
           .select("query_id", "rank", "neighbor_id")
           .orderBy("query_id", "rank")
       }),
+
+    // fuzzy (edit-distance) near-dup: MinHash-LSH candidates verified
+    // with exact Levenshtein — the OCR-noise/typo-farm dedup shape. Same
+    // bounded shuffle as pl_minhash_dups (only band tuples and candidate
+    // pairs move); the oracle swaps the Jaccard tail of the shared XXH64
+    // band CTE chain for a levenshtein() verify
+    Q("pl_edit_dups", editDupsOracleSql(4))(
+      (s, d) => Dedup.editDistancePairs(
+        Tables.load(s, d, "documents"), "doc_id", "text", maxDist = 4)
+        .orderBy("id_a", "id_b")),
 
     // URL-level exact dedup (the CommonCrawl dedup key): canonicalize —
     // case, default ports, fragments, tracking params, param order,

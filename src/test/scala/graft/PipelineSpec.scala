@@ -421,6 +421,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(resized <= 256)
   }
 
+  test("editDistancePairs: planted typo-dup found with its exact distance") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far " +
+      "away into the deep green forest while birds sing loudly above"
+    val typo = base.replace("quick", "qiuck")
+    val other = "completely different content about database engines and " +
+      "distributed query processing with columnar storage formats here"
+    val docs = Seq((1L, base), (2L, typo), (3L, other))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists { case (a, b, _) => (a, b) == (1L, 2L) })
+    // one transposition = 2 single-char edits under Levenshtein
+    assert(pairs.collect { case (1L, 2L, d) => d }.head == 2L)
+    assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
+  }
+
   test("canonicalUrl: case, ports, fragments, tracking params, slashes") {
     def canon(u: String): Any =
       Seq(Tuple1(u)).toDF("u")
