@@ -344,6 +344,15 @@ object QueryStep {
     * Here the "native language" of the backing store is Spark SQL.
     */
   final case class RawScan(sql: String) extends QueryStep
+  /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
+    * ad-hoc file source with a declared schema (Kusto's operator; URIs
+    * here are local/cluster-visible paths — no network egress). Reads
+    * any path the process can see, so servers gate it with `allowRaw`
+    * exactly like `raw()`. Formats: csv (ignorefirstrecord → header),
+    * json (JSON-lines), parquet, txt (one string column per line). */
+  final case class ExternalData(
+      cols: Seq[(String, String)], uris: Seq[String],
+      options: Map[String, String]) extends QueryStep
   final case class Filter(e: Expr) extends QueryStep
   /** (expr, outputName) pairs; Project keeps only these, Extend adds them. */
   final case class Project(fields: Seq[(Expr, String)]) extends QueryStep

@@ -2167,6 +2167,7 @@ final class Compiler(
     case Some(_: QueryStep.RawScan) => "raw"
     case Some(_: QueryStep.RangeScan) => "range"
     case Some(_: QueryStep.DataTable) => "datatable"
+    case Some(_: QueryStep.ExternalData) => "externaldata"
     case Some(_: QueryStep.Print) => "print"
     case _ => "unknown"
   }
@@ -2456,6 +2457,54 @@ final class Compiler(
     // generated source: spark.range is a parallel, partitioned generator
     // (no driver materialization), so a billion-row grid is still a narrow
     // distributed scan. Inclusive upper bound, KQL-style.
+    // ad-hoc file source with a declared schema; any configured source
+    // parallelism (file splits) applies — this is spark.read under a
+    // KQL spelling. `dynamic` columns read as string then parse to
+    // variant so field paths compose
+    case QueryStep.ExternalData(cols, uris, options) =>
+      def sparkType(t: String): DataType = t match {
+        case "long" | "int" | "timespan" => LongType
+        case "real" | "double" => DoubleType
+        case "string" | "dynamic" => StringType
+        case "bool" | "boolean" => BooleanType
+        case "datetime" => TimestampType
+      }
+      val schema = StructType(cols.map { case (n, t) =>
+        StructField(n, sparkType(t), nullable = true) })
+      val fmt = options.getOrElse("format",
+        uris.headOption.map(_.toLowerCase) match {
+          case Some(u) if u.endsWith(".parquet") => "parquet"
+          case Some(u) if u.endsWith(".json") || u.endsWith(".jsonl") => "json"
+          case Some(u) if u.endsWith(".txt") => "txt"
+          case _ => "csv"
+        }).toLowerCase
+      val paths = uris.map(_.stripPrefix("file://"))
+      val raw = fmt match {
+        case "csv" =>
+          spark.read.schema(schema)
+            .option("header",
+              options.get("ignorefirstrecord").exists(_.toBoolean))
+            .csv(paths: _*)
+        case "json" | "multijson" =>
+          spark.read.schema(schema).json(paths: _*)
+        case "parquet" =>
+          // parquet carries its own schema; project + cast to the
+          // declared one so the contract matches the other formats
+          val df0 = spark.read.parquet(paths: _*)
+          df0.select(cols.map { case (n, t) =>
+            col(n).cast(sparkType(t)).as(n) }: _*)
+        case "txt" | "raw" =>
+          val one = spark.read.text(paths: _*)
+          one.select(col("value").cast(StringType).as(cols.head._1))
+        case other => throw KqlParseException(
+          s"externaldata format '$other' is not supported " +
+            "(csv, json, parquet, txt)", 0)
+      }
+      // re-type dynamic columns to variant
+      cols.foldLeft(raw) { case (acc, (n, t)) =>
+        if (t == "dynamic") acc.withColumn(n, try_parse_json(col(n))) else acc
+      }
+
     case QueryStep.RangeScan(name, lo, hi, step) =>
       def const(e: Expr, what: String): Long = e match {
         case IntLit(v) => v
@@ -2920,6 +2969,8 @@ final class Compiler(
         case Aggregation.Hll(f) => Seq(f)
         case Aggregation.HllMerge(f) => Seq(f)
         case Aggregation.Percentiles(f, _) => Seq(f)
+        case Aggregation.PercentilesArray(f, _) => Seq(f)
+        case Aggregation.PercentileW(f, w, _) => Seq(f, w)
       }).map(_.flat)
       val groupCols = df.columns.filter(c =>
         !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))

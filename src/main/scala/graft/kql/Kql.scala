@@ -67,6 +67,11 @@ object Kql {
       case QueryStep.DataTable(cols, vs) =>
         s"datatable (${cols.map { case (n, t) => s"$n: $t" }.mkString(", ")}) " +
           s"[${vs.map(Render.expr).mkString(", ")}]"
+      case QueryStep.ExternalData(cols, uris, opts) =>
+        s"externaldata (${cols.map { case (n, t) => s"$n: $t" }.mkString(", ")}) " +
+          s"[${uris.map(u => s"'$u'").mkString(", ")}]" +
+          (if (opts.isEmpty) "" else
+            s" with(${opts.map { case (k, v) => s"$k='$v'" }.mkString(", ")})")
       case QueryStep.TopNested(levels) =>
         levels.map(l =>
           s"top-nested ${l.n} of ${l.of.render} by ${l.agg.name} = ${Render.agg(l.agg.agg)}")

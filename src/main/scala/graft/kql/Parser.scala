@@ -266,6 +266,61 @@ final class Parser(src: String, nowMicros: Long) {
       parseStepTail(steps)
       return Query(steps.result())
     }
+    // `externaldata (a: long, …) ['uri', …] with(format='csv', …)` ad-hoc
+    // file source with declared schema (only when '(' follows, so a table
+    // named externaldata still scans)
+    if (atIdent("externaldata") && toks.lift(p + 1).exists {
+        case Punct("(", _) => true; case _ => false }) {
+      p += 1
+      eatPunct("(")
+      val cols = Seq.newBuilder[(String, String)]
+      var more = true
+      while (more) {
+        val n = identText()
+        eatPunct(":")
+        val t = identText().toLowerCase match {
+          case k @ ("long" | "int" | "real" | "double" | "string" | "bool" |
+                    "boolean" | "datetime" | "timespan" | "dynamic") => k
+          case other => fail(s"unknown externaldata column type '$other'")
+        }
+        cols += ((n, t))
+        more = tryPunct(",")
+      }
+      eatPunct(")")
+      eatPunct("[")
+      val uris = Seq.newBuilder[String]
+      var umore = true
+      while (umore) {
+        peek match {
+          case StrTok(u, _) => p += 1; uris += u
+          case t => fail("externaldata URIs must be string literals")
+        }
+        umore = tryPunct(",")
+      }
+      eatPunct("]")
+      var opts = Map.empty[String, String]
+      if (atIdent("with")) {
+        p += 1
+        eatPunct("(")
+        var omore = true
+        while (omore) {
+          val k = identText().toLowerCase
+          eatPunct("=")
+          val v = peek match {
+            case StrTok(s, _) => p += 1; s
+            case Ident(w, _) => p += 1; w
+            case t => fail("externaldata option value must be a literal")
+          }
+          opts += k -> v
+          omore = tryPunct(",")
+        }
+        eatPunct(")")
+      }
+      val steps = Seq.newBuilder[QueryStep]
+      steps += QueryStep.ExternalData(cols.result(), uris.result(), opts)
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     // `print [name =] expr [, …]` single-row scalar source; a table
     // actually NAMED print is still reachable (bare `print | …` or EOF
     // scans it — Kusto's print always has at least one expression)

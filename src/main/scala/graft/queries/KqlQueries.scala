@@ -715,6 +715,19 @@ object KqlQueries {
             | | sort by l_returnflag asc""".stripMargin)
       }),
 
+    // externaldata: ad-hoc file source with declared schema (Kusto's
+    // operator; local paths, no egress) — reads the same parquet the
+    // catalog serves, so the oracle is the plain table query
+    Q("kql_externaldata",
+      """SELECT doc_id, lang FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id""".stripMargin)(
+      (s, dir) => Kql.run(s, Catalog.forTestData(s, dir),
+        s"""externaldata (doc_id: long, lang: string)
+           |  ['file://$dir/documents.parquet'] with(format='parquet')
+           | | where doc_id < 100
+           | | project doc_id, lang
+           | | sort by doc_id asc""".stripMargin)),
+
     // exact top-hitters (Kusto surface; Kusto's own is CMS-approximate —
     // ours is exact with Kusto's approximate_* column naming, so the
     // DuckDB oracle can hash it bit-for-bit; integer cents keep the

@@ -119,9 +119,12 @@ final class QueryServer(
 
   private def checkRaw(parsed: Parsed): Unit =
     if (!allowRaw && QueryServer.anyStep(parsed) {
-      case _: QueryStep.RawScan => true; case _ => false
+      // externaldata reads arbitrary local paths — same trust class
+      case _: QueryStep.RawScan | _: QueryStep.ExternalData => true
+      case _ => false
     }) throw new IllegalArgumentException(
-      "raw() is disabled on this server (start with allowRaw=true to enable)")
+      "raw()/externaldata is disabled on this server " +
+        "(start with allowRaw=true to enable)")
 
   /** SSE stream of JSON rows: optional `event: partial` refining snapshots,
     * `data: {…}` per final row, `event: done` terminal (the reference's
