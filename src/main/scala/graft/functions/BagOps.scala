@@ -58,6 +58,107 @@ object BagOpsUtil {
   }
 }
 
+/** `parse_xml` — XML text → the engine's canonical JSON (which the
+  * caller re-parses to a variant). Kusto's mapping: attributes become
+  * `@name` keys, child elements become keys (repeated siblings collapse
+  * to an array, document order), mixed/attributed text lands under
+  * `#text`, attribute-and-child-free elements map to their text (empty
+  * ⇒ null). Keys sort per the engine's canonical-bag convention
+  * (documented deviation — Kusto preserves document order). The parser
+  * refuses DOCTYPE/external entities (no XXE, no file or network
+  * reads); malformed XML → null.
+  */
+object ParseXmlUtil {
+  private val mapper = new ObjectMapper()
+
+  private def factory(): javax.xml.parsers.DocumentBuilderFactory = {
+    val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+    f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+    f.setFeature("http://xml.org/sax/features/external-general-entities", false)
+    f.setFeature("http://xml.org/sax/features/external-parameter-entities", false)
+    f.setXIncludeAware(false)
+    f.setExpandEntityReferences(false)
+    f
+  }
+
+  private def elemToNode(e: org.w3c.dom.Element): JsonNode = {
+    val attrs = e.getAttributes
+    val kids = e.getChildNodes
+    val childElems = scala.collection.mutable.ArrayBuffer[org.w3c.dom.Element]()
+    val text = new java.lang.StringBuilder()
+    var i = 0
+    while (i < kids.getLength) {
+      kids.item(i) match {
+        case ce: org.w3c.dom.Element => childElems += ce
+        case t: org.w3c.dom.Text => text.append(t.getData)
+        case c: org.w3c.dom.CDATASection => text.append(c.getData)
+        case _ => ()
+      }
+      i += 1
+    }
+    val txt = text.toString.trim
+    if (attrs.getLength == 0 && childElems.isEmpty) {
+      if (txt.isEmpty) mapper.nullNode() else mapper.getNodeFactory.textNode(txt)
+    } else {
+      val o = mapper.createObjectNode()
+      var a = 0
+      while (a < attrs.getLength) {
+        val at = attrs.item(a).asInstanceOf[org.w3c.dom.Attr]
+        o.put("@" + at.getName, at.getValue)
+        a += 1
+      }
+      // repeated sibling names collapse to arrays in document order
+      val grouped = scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.ArrayBuffer[JsonNode]]()
+      childElems.foreach { ce =>
+        grouped.getOrElseUpdate(ce.getTagName,
+          scala.collection.mutable.ArrayBuffer[JsonNode]()) += elemToNode(ce)
+      }
+      grouped.foreach { case (name, vs) =>
+        if (vs.length == 1) o.set[JsonNode](name, vs.head)
+        else {
+          val arr = mapper.createArrayNode()
+          vs.foreach(arr.add)
+          o.set[JsonNode](name, arr)
+        }
+      }
+      if (txt.nonEmpty) o.put("#text", txt)
+      o
+    }
+  }
+
+  def parse(xml: UTF8String): UTF8String = {
+    if (xml == null) return null
+    try {
+      val doc = factory().newDocumentBuilder().parse(
+        new java.io.ByteArrayInputStream(
+          xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      val root = doc.getDocumentElement
+      val o = mapper.createObjectNode()
+      o.set[JsonNode](root.getTagName, elemToNode(root))
+      BagOpsUtil.canon(UTF8String.fromString(mapper.writeValueAsString(o)))
+    } catch { case _: Exception => null }
+  }
+}
+
+/** Catalyst expression for parse_xml. */
+case class ParseXml(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    ParseXmlUtil.parse(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ParseXmlUtil.parse($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): ParseXml =
+    copy(child = newChild)
+}
+
 /** Catalyst expression: JSON text → recursively key-sorted canonical
   * text; malformed → null. */
 case class CanonJson(child: Expression) extends UnaryExpression {

@@ -213,7 +213,7 @@ final class Compiler(
            "base64_decode_toarray" => KT.Arr
       case "extract_all" | "parse_csv" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
-           "geo_geohash_to_central_point" => KT.Var
+           "geo_geohash_to_central_point" | "parse_xml" => KT.Var
       case "has_any_index" => KT.Int
       case _ => KT.Str
     }
@@ -1125,6 +1125,14 @@ final class Compiler(
               shiftright(masked, 8).bitwiseAND(lit(255L)),
               masked.bitwiseAND(lit(255L))),
               lit("/"), bits.cast(StringType)))
+        // XML → variant through the DOM kernel (attributes as @keys,
+        // repeated siblings as arrays, #text for mixed content; DOCTYPE
+        // and external entities refused — no XXE)
+        case "parse_xml" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          try_parse_json(column(graft.functions.ParseXml(
+            expression(cs.head.cast(StringType)))))
+        }
         // canonical JSON rendering of a dynamic (keys sorted recursively,
         // array order kept); non-dynamic scalars render as JSON scalars
         // (strings/timestamps quote via a 1-element to_json slice)

@@ -1505,6 +1505,7 @@ final class Parser(src: String, nowMicros: Long) {
     "base64_decode_toarray", "base64_encode_fromarray",
     "ipv4_compare", "ipv4_is_match", "ipv4_netmask_suffix",
     "format_ipv4_mask", "jaccard_index", "dynamic_to_json", "bag_set_key",
+    "parse_xml",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -1788,7 +1789,7 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 2 || a.length == 3,
           s"$f() takes (ip1, ip2[, prefix])")
         StrFn(f, a)
-      case f @ ("ipv4_netmask_suffix" | "dynamic_to_json") =>
+      case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case "format_ipv4_mask" =>

@@ -1988,6 +1988,18 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // parse_xml: attributes → @keys, repeated siblings → arrays, mixed
+    // text → #text; canonical key-sorted output (documented deviation
+    // from Kusto's document order); literal-pinned
+    kq("kql_parse_xml",
+      """print a = tostring(parse_xml('<a><b>1</b><b>2</b></a>')),
+        |      b = tostring(parse_xml('<r id="7">hi<c x="y"/></r>')),
+        |      c = tostring(parse_xml('<e/>')),
+        |      d = tostring(parse_xml('busted <<'))""".stripMargin,
+      """SELECT '{"a":{"b":["1","2"]}}' AS a,
+        |  '{"r":{"#text":"hi","@id":"7","c":{"@x":"y"}}}' AS b,
+        |  '{"e":null}' AS c, CAST(NULL AS VARCHAR) AS d""".stripMargin),
+
     // round-6 index batch: Kusto's full indexof / array_index_of forms
     // (start from either end, bounded window, k-th occurrence)
     kq("kql_idxfns",

@@ -292,6 +292,24 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(scalar("array_index_of(pack_array('a', 'b'), 'c', 0)") == -1L)
   }
 
+  test("parse_xml: attrs, repeated siblings, mixed text, field paths") {
+    assert(scalar("tostring(parse_xml('<a><b>1</b><b>2</b></a>'))") ==
+      """{"a":{"b":["1","2"]}}""")
+    assert(scalar(
+      "tostring(parse_xml('<r id=\"7\">hi<c x=\"y\"/></r>'))") ==
+      """{"r":{"#text":"hi","@id":"7","c":{"@x":"y"}}}""")
+    assert(scalar("tostring(parse_xml('<e/>'))") == """{"e":null}""")
+    // field paths descend into the parsed variant (via extend, like Kusto)
+    val fp = Kql.run(TestSpark.spark, cat,
+      """t1 | extend x = parse_xml('<doc><n>41</n></doc>')
+        | | project r = toint(x.doc.n) + 1""".stripMargin).collect()(0)
+    assert(fp.getLong(0) == 42L)
+    assert(scalar("tostring(parse_xml('not xml <'))") == null)
+    // DOCTYPE refused — no XXE, no local file reads
+    assert(scalar("tostring(parse_xml('<!DOCTYPE foo [<!ENTITY x SYSTEM " +
+      "\"file:///etc/passwd\">]><a>&x;</a>'))") == null)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
