@@ -344,6 +344,15 @@ object QueryStep {
     * Here the "native language" of the backing store is Spark SQL.
     */
   final case class RawScan(sql: String) extends QueryStep
+  /** `evaluate basket(threshold)` — frequent attribute-combination
+    * segments (market-basket / Apriori family) over ALL current columns:
+    * every non-empty column subset of every row is a candidate segment;
+    * segments with ≥ threshold·N rows survive. Output: SegmentId, Count,
+    * Percent, then the columns (null = wildcard). Columns capped at 10
+    * (2^c row amplification; project first — Kusto's plugin takes the
+    * same advice). Genuine null values group per-mask, so a null-valued
+    * segment and its wildcard twin stay separate counts (documented). */
+  final case class Basket(threshold: Double) extends QueryStep
   /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
     * ad-hoc file source with a declared schema (Kusto's operator; URIs
     * here are local/cluster-visible paths — no network egress). Reads

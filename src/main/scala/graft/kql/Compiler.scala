@@ -2935,6 +2935,45 @@ final class Compiler(
     case QueryStep.MakeSeries(aggs, axis, lo, hi, step, by) =>
       compileMakeSeries(df, aggs, axis, lo, hi, step, by)
 
+    // basket: frequent attribute-combination segments. Each row expands
+    // to its 2^c − 1 non-empty column subsets (c ≤ 10, enforced) via one
+    // generated mask column; ONE hash aggregation counts every candidate
+    // segment — map-side partial combine collapses the amplification to
+    // the distinct-segment space, so the shuffle carries segments, not
+    // row-subsets. N comes from a broadcast 1-row aggregate (no eager
+    // count at compile). The whole lowering is a single exchange plus
+    // the tiny final ranking sort — the Apriori candidate lattice
+    // flattened into one pass, which beats k iterative joins at cluster
+    // scale for bounded c.
+    case QueryStep.Basket(threshold) =>
+      val cols = df.columns.toSeq
+      if (cols.size > 10) throw KqlParseException(
+        s"basket over ${cols.size} columns would expand 2^${cols.size} " +
+          "subsets per row — project to at most 10 columns first", 0)
+      val c = cols.size
+      val totals = broadcast(df.agg(count(lit(1)).as("__N")))
+      val masked = df.crossJoin(totals)
+        .withColumn("__mask",
+          explode(sequence(lit(1L), lit((1L << c) - 1L))))
+        .select(col("__mask") +: col("__N") +:
+          cols.zipWithIndex.map { case (cn, i) =>
+            when(shiftright(col("__mask"), i).bitwiseAND(lit(1L)) === 1L,
+              col(s"`$cn`")).as(cn)
+          }: _*)
+      val grouped = masked
+        .groupBy(col("__mask") +: cols.map(cn => col(s"`$cn`")): _*)
+        .agg(count(lit(1)).as("Count"), first(col("__N")).as("__N"))
+        .filter(col("Count") >= lit(threshold) * col("__N"))
+      val ord = col("Count").desc +: col("__mask").asc +:
+        cols.map(cn => col(s"`$cn`").asc)
+      grouped
+        .withColumn("SegmentId", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+          .cast(LongType))
+        .withColumn("Percent", lit(100.0) * col("Count") / col("__N"))
+        .select(col("SegmentId") +: col("Count") +: col("Percent") +:
+          cols.map(cn => col(s"`$cn`")): _*)
+
     // pivot: one aggregated column per listed value, grouped by every
     // OTHER column (KQL pivot plugin). Lowers to RelationalGroupedDataset
     // .pivot with explicit values — a single partial/final aggregation,

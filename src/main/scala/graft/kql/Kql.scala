@@ -184,6 +184,7 @@ object Kql {
       case QueryStep.Invoke(n, sub) =>
         s"invoke $n (\n" + renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
       case QueryStep.RenderHint(kind) => s"render $kind"
+      case QueryStep.Basket(th) => s"evaluate basket($th)"
     }
     (parsed.lets.map { case (n, q) =>
       val open = if (parsed.materialized(n)) "materialize(" else "("

@@ -610,9 +610,21 @@ final class Parser(src: String, nowMicros: Long) {
       eatPunct("("); eatPunct(")")
       return QueryStep.Narrow
     }
+    if (plugin == "basket") {
+      eatPunct("(")
+      val th = peek match {
+        case FloatTok(v, _) => p += 1; v
+        case IntTok(v, _) => p += 1; v.toDouble
+        case Punct(")", _) => 0.05 // Kusto's default threshold
+        case t => fail("basket threshold must be a numeric literal")
+      }
+      eatPunct(")")
+      arity(th > 0 && th <= 1, "basket threshold must be in (0, 1]")
+      return QueryStep.Basket(th)
+    }
     if (plugin != "pivot")
       fail(s"unknown evaluate plugin '$plugin' " +
-        "(supported: pivot, bag_unpack, narrow)")
+        "(supported: pivot, bag_unpack, narrow, basket)")
     eatPunct("(")
     val col = parseFieldPath()
     eatPunct(",")

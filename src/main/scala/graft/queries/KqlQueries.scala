@@ -1988,6 +1988,30 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // evaluate basket: frequent attribute-combination segments over the
+    // projected columns — one masked expansion + one hash aggregation;
+    // oracle replays the same mask lattice with integer bit tests
+    kq("kql_basket",
+      """documents
+        | | project lang, source, lb = bin(n_chars, 100)
+        | | evaluate basket(0.02)""".stripMargin,
+      """WITH t AS (
+        |  SELECT lang, source, (n_chars // 100) * 100 AS lb FROM documents),
+        |n AS (SELECT count(*) AS N FROM t),
+        |e AS (SELECT mask,
+        |        CASE WHEN mask % 2 = 1 THEN lang END AS lang,
+        |        CASE WHEN (mask // 2) % 2 = 1 THEN source END AS source,
+        |        CASE WHEN (mask // 4) % 2 = 1 THEN lb END AS lb
+        |      FROM t CROSS JOIN (SELECT unnest(range(1, 8)) AS mask) m),
+        |g AS (SELECT mask, lang, source, lb, count(*) AS cnt
+        |      FROM e GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT * FROM g, n WHERE cnt >= 0.02 * N)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY cnt DESC, mask, lang NULLS FIRST, source NULLS FIRST,
+        |             lb NULLS FIRST) AS BIGINT) AS SegmentId,
+        |  cnt AS Count, 100.0 * cnt / N AS Percent, lang, source, lb
+        |FROM f ORDER BY SegmentId""".stripMargin),
+
     // parse_xml: attributes → @keys, repeated siblings → arrays, mixed
     // text → #text; canonical key-sorted output (documented deviation
     // from Kusto's document order); literal-pinned

@@ -310,6 +310,30 @@ class ScalarBatch7Spec extends AnyFunSuite {
       "\"file:///etc/passwd\">]><a>&x;</a>'))") == null)
   }
 
+  test("evaluate basket: masks, thresholds, wildcards, column cap") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("b", Seq(
+      ("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"), ("y", "p"), ("y", "p"))
+      .toDF("a", "b"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      "b | evaluate basket(0.5)").collect()
+    // N=6, threshold 3: b=p (5), a=x (3), a=y (3), a=y&b=p (3)
+    val segs = rows.map(r => (Option(r.get(3)), Option(r.get(4)),
+      r.getLong(1))).toSet
+    assert(segs == Set(
+      (None, Some("p"), 5L), (Some("x"), None, 3L),
+      (Some("y"), None, 3L), (Some("y"), Some("p"), 3L)))
+    // SegmentId ranks by count desc first
+    assert(rows.head.getLong(1) == 5L && rows.head.getLong(0) == 1L)
+    // Percent replays as 100·cnt/N
+    assert(rows.head.getDouble(2) == 100.0 * 5 / 6)
+    // column cap guards the 2^c expansion
+    val wide = (1 to 11).map(i => s"c$i = $i").mkString(", ")
+    val e = intercept[KqlParseException](Kql.run(TestSpark.spark, c2,
+      s"b | extend $wide | evaluate basket(0.5)"))
+    assert(e.getMessage.contains("project"))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
