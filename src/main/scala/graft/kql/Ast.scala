@@ -322,8 +322,15 @@ final case class ParseSeg(literal: Option[String], capture: Option[(String, Stri
 /** One level of a `top-nested` step: keep the top `n` values of `of` ranked
   * by `agg` (descending), within each combination of the previous levels'
   * keys. Ties break by the smaller key value — KQL leaves ties unspecified;
-  * a total rule keeps results stable under repartitioning. */
-final case class TopNestedLevel(n: Long, of: FieldPath, agg: AggField)
+  * a total rule keeps results stable under repartitioning.
+  *
+  * `others`: Kusto's `with others = "label"` — the excluded keys collapse
+  * into one labeled bucket per parent, re-AGGREGATED FROM RAW ROWS (so
+  * non-algebraic aggregates like dcount stay exact), and deeper levels
+  * nest inside the bucket like any other key. The key column widens to
+  * string to carry the label. */
+final case class TopNestedLevel(n: Long, of: FieldPath, agg: AggField,
+    others: Option[String] = None)
 
 sealed trait QueryStep
 object QueryStep {

@@ -2883,31 +2883,64 @@ final class Compiler(
     // at every depth. Ties break by the smaller key (total rule).
     case QueryStep.TopNested(levels) =>
       import org.apache.spark.sql.expressions.Window
+      // `cur` = base rows with each completed level's key MATERIALIZED as
+      // a flat column — remapped to the `with others` label where one is
+      // declared, so every level (and every DEEPER level nesting inside
+      // the others bucket) re-aggregates from raw rows: non-algebraic
+      // aggregates like dcount stay exact in the bucket, where combining
+      // the excluded groups' results could not be
+      var cur = df
       var acc: DataFrame = null
-      // (output column name, original field path) per completed level —
-      // grouping always re-derives keys from the BASE frame's paths, so
-      // nested keys (a.b) survive into deeper levels
-      var parents = Seq.empty[(String, FieldPath)]
+      var parents = Seq.empty[String]
       levels.foreach { lvl =>
         val keyName = lvl.of.flat
-        val parentNames = parents.map(_._1)
-        val grouped = compileSummarize(
-          df, Seq(lvl.agg),
-          (parents :+ (keyName, lvl.of)).map {
-            case (n2, f) => ByField(Field(f), n2)
-          })
+        val rawKey = compileField(cur, lvl.of)
+        // the label rides in the key column — it widens to string
+        cur = cur.withColumn(keyName,
+          if (lvl.others.isDefined) rawKey.cast(StringType) else rawKey)
+        def groupLevel(): DataFrame = compileSummarize(
+          cur, Seq(lvl.agg),
+          (parents :+ keyName).map(n2 => ByField(Field(FieldPath.simple(n2)), n2)))
+        val grouped = groupLevel()
+        // joining the PRIOR acc both scopes this level to surviving parent
+        // combinations and carries the earlier levels' aggregate columns
         val scoped =
           if (acc == null) grouped
-          else grouped.join(broadcast(acc), parentNames, "inner")
+          else grouped.join(broadcast(acc), parents, "inner")
         val w =
-          (if (parentNames.isEmpty) Window.partitionBy()
-           else Window.partitionBy(parentNames.map(col): _*))
+          (if (parents.isEmpty) Window.partitionBy()
+           else Window.partitionBy(parents.map(col): _*))
             .orderBy(col(lvl.agg.name).desc, col(keyName).asc)
-        acc = scoped
+        val kept = scoped
           .withColumn("__rk", row_number().over(w))
           .filter(col("__rk") <= lit(lvl.n))
           .drop("__rk")
-        parents = parents :+ (keyName, lvl.of)
+        acc = lvl.others match {
+          case None => kept
+          case Some(label) =>
+            // remap excluded keys to the label on the RAW frame, scope to
+            // surviving parents, and re-aggregate the whole level: ≤ n+1
+            // groups per parent come back, top keys byte-identical, the
+            // bucket exact
+            val accPrev = acc
+            val keptKeys = kept
+              .select((parents :+ keyName).map(col): _*)
+              .withColumn("__keep", lit(1))
+            cur = cur
+              .join(broadcast(keptKeys), parents :+ keyName, "left")
+              .withColumn(keyName,
+                when(col("__keep").isNotNull, col(keyName))
+                  .otherwise(lit(label)))
+              .drop("__keep")
+            if (parents.nonEmpty)
+              cur = cur.join(
+                broadcast(kept.select(parents.map(col): _*).distinct()),
+                parents, "semi")
+            val regrouped = groupLevel()
+            if (accPrev == null) regrouped
+            else regrouped.join(broadcast(accPrev), parents, "inner")
+        }
+        parents = parents :+ keyName
       }
       // column order: k1, agg1, k2, agg2, …
       val ordered = levels.flatMap(l => Seq(l.of.flat, l.agg.name))

@@ -968,6 +968,15 @@ final class Parser(src: String, nowMicros: Long) {
       eatIdent("of")
       val of = parseFieldPath()
       used += of.flat
+      // `with others = <literal>` — excluded keys bucket under the label
+      val others = if (atIdent("with")) {
+        p += 1; eatIdent("others"); eatPunct("=")
+        peek match {
+          case StrTok(s, _) => p += 1; Some(s)
+          case IntTok(v, _) => p += 1; Some(v.toString)
+          case t => fail("with others = takes a literal label")
+        }
+      } else None
       eatIdent("by")
       val alias = (peek, toks.lift(p + 1)) match {
         case (Ident(a, _), Some(Punct("=", _))) => p += 2; Some(a)
@@ -975,7 +984,8 @@ final class Parser(src: String, nowMicros: Long) {
       }
       val agg = parseAggCall()
       TopNestedLevel(n, of,
-        AggField(agg, unique(alias.getOrElse(Aggregation.defaultName(agg)))))
+        AggField(agg, unique(alias.getOrElse(Aggregation.defaultName(agg)))),
+        others)
     }
     levels += level()
     while (tryPunct(",")) { eatIdent("top-nested"); levels += level() }

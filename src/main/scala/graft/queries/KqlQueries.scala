@@ -452,6 +452,36 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // with others: excluded keys bucket under the label per parent,
+    // re-aggregated from raw rows, deeper levels nesting inside the
+    // bucket — dcount stays exact where combining group results couldn't
+    kq("kql_topnested_others",
+      """events
+        | | top-nested 2 of event_type with others = 'OTHER' by n1 = count(),
+        |   top-nested 2 of user_id by d2 = dcount(value)
+        | | sort by event_type asc, user_id asc""".stripMargin,
+      """WITH l1 AS (
+        |  SELECT event_type, count(*) AS n1,
+        |         row_number() OVER (ORDER BY count(*) DESC, event_type ASC)
+        |           AS rk
+        |  FROM events GROUP BY 1),
+        |k1 AS (SELECT event_type FROM l1 WHERE rk <= 2),
+        |r AS (
+        |  SELECT CASE WHEN event_type IN (SELECT event_type FROM k1)
+        |              THEN event_type ELSE 'OTHER' END AS event_type,
+        |         user_id, value
+        |  FROM events),
+        |g1 AS (SELECT event_type, count(*) AS n1 FROM r GROUP BY 1),
+        |l2 AS (
+        |  SELECT event_type, user_id, count(DISTINCT value) AS d2,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY count(DISTINCT value) DESC, user_id ASC)
+        |           AS rk
+        |  FROM r GROUP BY 1, 2)
+        |SELECT l2.event_type, g1.n1, l2.user_id, CAST(l2.d2 AS BIGINT) AS d2
+        |FROM l2 JOIN g1 USING (event_type) WHERE l2.rk <= 2
+        |ORDER BY event_type, user_id""".stripMargin),
+
     // generated source: inclusive grid through a distributed spark.range
     // (sum stays exact — integer values in doubles are order-insensitive)
     kq("kql_range",

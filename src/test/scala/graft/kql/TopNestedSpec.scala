@@ -82,4 +82,38 @@ class TopNestedSpec extends AnyFunSuite {
         | | sort by x asc""".stripMargin)
     assert(df.count() == 5)
   }
+
+  test("with others: excluded keys bucket under the label, exact count") {
+    val rows = Kql.run(spark, cat,
+      """t | top-nested 2 of k with others = 'REST' by n = count()
+        | | sort by k asc""".stripMargin).collect()
+    // top-2: a=4, b=3; others bucket = c(2) + d(1) = 3 rows
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("REST", 3L), ("a", 4L), ("b", 3L)))
+  }
+
+  test("with others: deeper levels nest inside the bucket; dcount exact") {
+    val rows = Kql.run(spark, cat,
+      """t | top-nested 1 of k with others = 'REST' by n = count(),
+        |     top-nested 1 of sub by d = dcount(v)
+        | | sort by k asc, sub asc""".stripMargin).collect()
+    val m = rows.map(r => ((r.getString(0), r.getString(2)),
+      (r.getLong(1), r.getLong(3)))).toMap
+    // top-1 outer = a (4 rows); REST = b+c+d (6 rows). Inside REST the
+    // top sub by distinct v: b has y{3,4} x{7}, c has z{8,9}, d x{6} →
+    // sub y d=2, z d=2, x d=2 — tie breaks to the smaller key 'x'...
+    // dcount over REST's x = {7, 6} = 2
+    assert(m.contains(("a", "x")) && m(("a", "x")) == (4L, 2L))
+    assert(rows.exists(r => r.getString(0) == "REST" && r.getLong(3) == 2L))
+  }
+
+  test("with others on a numeric key widens the key column to string") {
+    val c2 = new Catalog(spark)
+    c2.register("nums", Seq(1L, 1L, 1L, 2L, 2L, 3L).toDF("k"))
+    val rows = Kql.run(spark, c2,
+      """nums | top-nested 1 of k with others = 'rest' by n = count()
+        | | sort by k asc""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("1", 3L), ("rest", 3L)))
+  }
 }
