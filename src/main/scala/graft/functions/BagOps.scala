@@ -141,6 +141,154 @@ object ParseXmlUtil {
   }
 }
 
+/** `buildschema` — the minimal schema a dynamic column's values all fit.
+  * Per-row [[SchemaOf]] renders a value's shape (objects → key maps,
+  * arrays → `{"\`indexer\`": element-schema}`, scalars → "long"/"real"/
+  * "string"/"bool"/"null"), and the aggregate merges the group's distinct
+  * shapes ([[SchemaMerge]]): objects union their keys recursively,
+  * conflicting shapes become a SORTED array of alternatives, and "null"
+  * drops when any other alternative exists. Deterministic (canonical
+  * key-sorted text, sorted alternative lists) — Kusto's output for the
+  * same data, modulo its unspecified ordering.
+  */
+object BuildSchemaUtil {
+  private val mapper = new ObjectMapper()
+
+  private def typeNode(n: JsonNode): JsonNode = {
+    if (n.isObject) {
+      val o = n.asInstanceOf[ObjectNode]
+      val sorted = new java.util.TreeMap[String, JsonNode]()
+      val it = o.fields()
+      while (it.hasNext) { val e = it.next(); sorted.put(e.getKey, typeNode(e.getValue)) }
+      val out = mapper.createObjectNode()
+      sorted.forEach((k, v) => out.set[JsonNode](k, v))
+      out
+    } else if (n.isArray) {
+      val elems = new java.util.ArrayList[JsonNode]()
+      val it = n.elements()
+      while (it.hasNext) elems.add(typeNode(it.next()))
+      val inner =
+        if (elems.isEmpty) mapper.getNodeFactory.textNode("null")
+        else {
+          var acc = elems.get(0)
+          var i = 1
+          while (i < elems.size()) { acc = mergeNode(acc, elems.get(i)); i += 1 }
+          acc
+        }
+      val out = mapper.createObjectNode()
+      out.set[JsonNode]("`indexer`", inner)
+      out
+    } else if (n.isTextual) mapper.getNodeFactory.textNode("string")
+    else if (n.isIntegralNumber) mapper.getNodeFactory.textNode("long")
+    else if (n.isNumber) mapper.getNodeFactory.textNode("real")
+    else if (n.isBoolean) mapper.getNodeFactory.textNode("bool")
+    else mapper.getNodeFactory.textNode("null")
+  }
+
+  private def mergeNode(a: JsonNode, b: JsonNode): JsonNode = {
+    if (a == b) return a
+    // an array schema is an object keyed "`indexer`" — merging one with a
+    // genuine object schema must yield ALTERNATIVES, not a key union
+    def isArraySchema(n: JsonNode): Boolean =
+      n.isObject && n.has("`indexer`")
+    if (a.isObject && b.isObject &&
+        isArraySchema(a) == isArraySchema(b)) {
+      val keys = new java.util.TreeSet[String]()
+      a.fieldNames().forEachRemaining(k => keys.add(k))
+      b.fieldNames().forEachRemaining(k => keys.add(k))
+      val out = mapper.createObjectNode()
+      keys.forEach { k =>
+        (Option(a.get(k)), Option(b.get(k))) match {
+          case (Some(x), Some(y)) => out.set[JsonNode](k, mergeNode(x, y))
+          case (Some(x), None) => out.set[JsonNode](k, x)
+          case (None, Some(y)) => out.set[JsonNode](k, y)
+          case _ => ()
+        }
+      }
+      out
+    } else {
+      // union of alternatives: flatten, dedup, drop "null" beside others,
+      // sort by canonical text for determinism
+      def flat(n: JsonNode): Seq[JsonNode] =
+        if (n.isArray) {
+          val b = Seq.newBuilder[JsonNode]
+          n.elements().forEachRemaining(e => b += e)
+          b.result()
+        } else Seq(n)
+      val alts0 = (flat(a) ++ flat(b)).distinct
+      val alts1 =
+        if (alts0.length > 1)
+          alts0.filterNot(x => x.isTextual && x.asText == "null")
+        else alts0
+      val alts = alts1.sortBy(_.toString)
+      if (alts.length == 1) alts.head
+      else {
+        val arr = mapper.createArrayNode()
+        alts.foreach(arr.add)
+        arr
+      }
+    }
+  }
+
+  def schemaOf(json: UTF8String): UTF8String = {
+    if (json == null) return null
+    try UTF8String.fromString(
+      mapper.writeValueAsString(typeNode(mapper.readTree(json.toString))))
+    catch { case _: Exception =>
+      // not valid JSON — a bare string value's schema
+      UTF8String.fromString("\"string\"")
+    }
+  }
+
+  def merge(arr: org.apache.spark.sql.catalyst.util.ArrayData): UTF8String = {
+    if (arr == null) return null
+    var acc: JsonNode = null
+    var i = 0
+    while (i < arr.numElements()) {
+      if (!arr.isNullAt(i)) {
+        try {
+          val n = mapper.readTree(arr.getUTF8String(i).toString)
+          acc = if (acc == null) n else mergeNode(acc, n)
+        } catch { case _: Exception => () }
+      }
+      i += 1
+    }
+    if (acc == null) UTF8String.fromString("\"null\"")
+    else UTF8String.fromString(mapper.writeValueAsString(acc))
+  }
+}
+
+/** Per-row schema rendering for buildschema. */
+case class SchemaOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    BuildSchemaUtil.schemaOf(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BuildSchemaUtil.schemaOf($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SchemaOf =
+    copy(child = newChild)
+}
+
+/** Merge of a group's collected schema texts for buildschema. */
+case class SchemaMerge(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    BuildSchemaUtil.merge(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.BuildSchemaUtil.merge($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): SchemaMerge =
+    copy(child = newChild)
+}
+
 /** Catalyst expression for parse_xml. */
 case class ParseXml(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

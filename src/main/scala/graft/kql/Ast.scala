@@ -239,6 +239,10 @@ object Aggregation {
     * into one [[Percentile]] per p (Kusto's multi-column form); reaching
     * the compiler unexpanded is a parse-context error. */
   final case class Percentiles(f: FieldPath, ps: Seq[Double]) extends Aggregation
+  /** `buildschema(f)` — minimal merged schema of a dynamic column (per-row
+    * shape kernel + distinct-set merge; see
+    * [[graft.functions.BuildSchemaUtil]]). */
+  final case class BuildSchema(f: FieldPath) extends Aggregation
   /** `percentiles_array(f, p1…pN)` — ONE dynamic array column of the same
     * approximate percentiles `percentiles()` expands to columns. */
   final case class PercentilesArray(f: FieldPath, ps: Seq[Double]) extends Aggregation
@@ -286,6 +290,7 @@ object Aggregation {
     case Hll(f)         => s"hll_${f.flat}"
     case HllMerge(f)    => s"hll_merge_${f.flat}"
     case Percentiles(f, _) => s"percentiles_${f.flat}"
+    case BuildSchema(f) => s"schema_${f.flat}"
     case PercentilesArray(f, _) => s"percentiles_array_${f.flat}"
     case PercentileW(f, _, p) =>
       val ps = if (p == p.floor) p.toLong.toString else p.toString.replace('.', '_')

@@ -3051,6 +3051,7 @@ final class Compiler(
         case Aggregation.Percentiles(f, _) => Seq(f)
         case Aggregation.PercentilesArray(f, _) => Seq(f)
         case Aggregation.PercentileW(f, w, _) => Seq(f, w)
+        case Aggregation.BuildSchema(f) => Seq(f)
       }).map(_.flat)
       val groupCols = df.columns.filter(c =>
         !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))
@@ -3558,6 +3559,16 @@ final class Compiler(
         case Aggregation.HllMerge(f) => hll_union_agg(compileField(df, f))
         case Aggregation.Percentiles(_, _) => throw KqlParseException(
           "percentiles() is summarize-only — use percentile(f, p) here", 0)
+        // minimal merged schema of a dynamic column: per-row shape
+        // kernel → distinct shape set (tiny — shapes, not values) →
+        // one merge per group; result re-parses to a variant
+        case Aggregation.BuildSchema(f) => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val shape = column(graft.functions.SchemaOf(
+            expression(compileField(df, f).cast(StringType))))
+          try_parse_json(column(graft.functions.SchemaMerge(
+            expression(sort_array(collect_set(shape))))))
+        }
         // one sketch pass, N estimates, ONE array column
         case Aggregation.PercentilesArray(f, ps) =>
           percentile_approx(numeric(f),
@@ -3640,6 +3651,8 @@ final class Compiler(
             case "avgif" => avg(when(p, numeric(f)))
             case "minif" => min(when(p, minmax(f)))
             case "maxif" => max(when(p, minmax(f)))
+            case "stdevif" => stddev_samp(when(p, numeric(f)))
+            case "varianceif" => var_samp(when(p, numeric(f)))
             case "dcountif" =>
               count_distinct(when(p, ordered(f))) + coalesce(
                 max(when(p.and(ordered(f).isNull), 1L).otherwise(0L)), lit(0L))

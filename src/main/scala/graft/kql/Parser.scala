@@ -1153,6 +1153,7 @@ final class Parser(src: String, nowMicros: Long) {
         Aggregation.MakeSetIf(f, parseExpr())
       case "make_list_with_nulls" =>
         Aggregation.MakeListNulls(parseFieldPath())
+      case "buildschema" => Aggregation.BuildSchema(parseFieldPath())
       case "make_bag" => Aggregation.MakeBag(parseFieldPath(), None)
       case "make_bag_if" =>
         val f = parseFieldPath(); eatPunct(",")
@@ -1185,7 +1186,7 @@ final class Parser(src: String, nowMicros: Long) {
         val a = parseFieldPath(); eatPunct(",")
         Aggregation.Covariance(k.endsWith("p"), a, parseFieldPath())
       case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif" |
-          "take_anyif") =>
+          "take_anyif" | "stdevif" | "varianceif") =>
         val f = parseFieldPath(); eatPunct(",")
         Aggregation.AggIf(k, f, parseExpr())
       case "take_any" => Aggregation.TakeAny(parseFieldPath())

@@ -124,6 +124,7 @@ object Render {
     case Aggregation.Percentiles(f, ps) =>
       s"percentiles(${f.render}, ${ps.map(p =>
         if (p == p.floor) p.toLong.toString else p.toString).mkString(", ")})"
+    case Aggregation.BuildSchema(f) => s"buildschema(${f.render})"
     case Aggregation.PercentilesArray(f, ps) =>
       s"percentiles_array(${f.render}, ${ps.map(p =>
         if (p == p.floor) p.toLong.toString else p.toString).mkString(", ")})"

@@ -452,6 +452,32 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // buildschema + conditional moments: props is homogeneous {"k": long}
+    // so its merged schema is a literal; the constructed column mixes an
+    // object and an array shape → sorted alternatives. stdevif/varianceif
+    // floor at 1e-3 (cross-engine summation order, same rule as stdev)
+    kq("kql_aggschema",
+      """events
+        | | extend p = todynamic(props),
+        |     d = todynamic(iff(value > 15,
+        |           strcat('{"a":', tostring(event_id), '}'), '[1, "x"]'))
+        | | summarize sch = buildschema(p), sch2 = buildschema(d),
+        |     sd = stdevif(value, value > 10),
+        |     va = varianceif(value, value > 10)
+        |     by event_type
+        | | project event_type, s1 = tostring(sch), s2 = tostring(sch2),
+        |     sdi = toint(bin(sd * 1000.0, 1.0)),
+        |     vai = toint(bin(va * 1000.0, 1.0))
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type,
+        |  '{"k":"long"}' AS s1,
+        |  '[{"`indexer`":["long","string"]},{"a":"long"}]' AS s2,
+        |  CAST(floor(stddev_samp(CASE WHEN value > 10 THEN value END)
+        |    * 1000) AS BIGINT) AS sdi,
+        |  CAST(floor(var_samp(CASE WHEN value > 10 THEN value END)
+        |    * 1000) AS BIGINT) AS vai
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+
     // with others: excluded keys bucket under the label per parent,
     // re-aggregated from raw rows, deeper levels nesting inside the
     // bucket — dcount stays exact where combining group results couldn't

@@ -334,6 +334,42 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(e.getMessage.contains("project"))
   }
 
+  test("buildschema: objects union keys, conflicts become alternatives") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("js", Seq(
+      """{"a": 1, "b": "x"}""",
+      """{"a": 2.5, "c": [1, 2]}""",
+      """{"a": null}""").toDF("j"))
+    val r = Kql.run(TestSpark.spark, c2,
+      """js | extend d = todynamic(j)
+        | | summarize s0 = buildschema(d)
+        | | project s = tostring(s0)""".stripMargin)
+      .collect()(0).getString(0)
+    assert(r ==
+      """{"a":["long","real"],"b":"string","c":{"`indexer`":"long"}}""")
+    // an object shape and an array shape are ALTERNATIVES, not a key union
+    val c3 = new Catalog(TestSpark.spark)
+    c3.register("js2", Seq("""{"a": 1}""", """[1, "x"]""").toDF("j"))
+    val r2 = Kql.run(TestSpark.spark, c3,
+      """js2 | extend d = todynamic(j) | summarize s0 = buildschema(d)
+        | | project s = tostring(s0)""".stripMargin).collect()(0).getString(0)
+    assert(r2 == """[{"`indexer`":["long","string"]},{"a":"long"}]""")
+  }
+
+  test("stdevif / varianceif: conditional spread aggregates") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("sv", Seq(
+      (1L, 2.0), (1L, 4.0), (1L, 100.0), (2L, 9.0)).toDF("k", "v"))
+    val r = Kql.run(TestSpark.spark, c2,
+      """sv | summarize s = stdevif(v, v < 50), va = varianceif(v, v < 50)
+        |    by k | sort by k asc""".stripMargin).collect()
+    // k=1 matching {2,4}: sample stdev = sqrt(2), variance 2
+    assert(math.abs(r(0).getDouble(1) - math.sqrt(2.0)) < 1e-12)
+    assert(r(0).getDouble(2) == 2.0)
+    // k=2 has one matching row → sample forms are null
+    assert(r(1).isNullAt(1) && r(1).isNullAt(2))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
