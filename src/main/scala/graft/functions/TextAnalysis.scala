@@ -296,6 +296,73 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("score"), col("rank"))
   }
 
+  /** CCNet-style language-model quality scoring: an add-one-smoothed
+    * bigram LM is fit on the corpus itself and every document is scored
+    * by its average token log-probability, then bucketed into per-group
+    * deciles (decile 0 = most LM-like — the head CCNet keeps, 9 = the
+    * tail it drops).
+    *
+    * Determinism at scale: per-bigram log-probs round to INTEGER
+    * nano-scaled longs before summing, so the per-document total is an
+    * exact integer — invariant to partitioning/summation order (a raw
+    * double sum would drift between runs once the bigram join scatters a
+    * document's terms across partitions). Identical texts therefore get
+    * byte-identical scores, and the decile rank breaks residual ties by
+    * id.
+    *
+    * Shuffle shape: one explode (narrow) → two count aggregations (the
+    * model, cardinality = distinct bigrams/unigrams, not rows) → one
+    * bigram-keyed join → one per-doc aggregation → a per-group rank.
+    * The model tables stay in the join (no driver collect); at 100 TB
+    * the unigram side is broadcast-sized and AQE picks that up.
+    *
+    * @return (id, group, nb bigrams, scaled score sum, decile)
+    */
+  def lmQuality(
+      docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    val toks = docs.select(
+      col(idCol).as("id"), col(groupCol).as("grp"),
+      tokens(col(textCol)).as("__t"))
+    val bigrams = toks
+      .select(col("id"), col("grp"),
+        explode(zip_with(col("__t"),
+          slice(col("__t"), lit(2), size(col("__t"))),
+          (a, b) => concat_ws(" ", a, b))).as("bg"))
+      // tokens are whitespace-split, so ' ' cannot occur inside one: the
+      // space-joined pair is an unambiguous key, and the zip_with tail
+      // (last token paired with null — concat_ws drops the null, so no
+      // space) filters away; 1-token docs drop out (documented)
+      .filter(col("bg").contains(" "))
+    val c12 = bigrams.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val c1 = bigrams
+      .select(substring_index(col("bg"), " ", 1).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val v = toks.select(explode(col("__t")).as("w"))
+      .agg(count_distinct(col("w")).as("V"))
+    val scored = bigrams
+      .join(c12, "bg")
+      .withColumn("w1", substring_index(col("bg"), " ", 1))
+      .join(c1, "w1")
+      .crossJoin(broadcast(v))
+      // add-one smoothing; ln of an exact rational, nano-scaled and
+      // rounded to a long so the document sum is order-exact
+      .withColumn("li",
+        round(log((col("c12") + 1).cast("double") /
+          (col("c1") + col("V")).cast("double")) * lit(1e9)).cast("long"))
+      .groupBy("id", "grp")
+      .agg(count(lit(1)).as("nb"), sum(col("li")).as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("grp")
+      .orderBy((col("s").cast("double") / col("nb")).desc, col("id").asc)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("grp")
+    scored
+      .withColumn("decile",
+        (((row_number().over(w) - 1) * 10) / count(lit(1)).over(cnt))
+          .cast("long"))
+      .select(col("id"), col("grp"), col("nb"), col("s"), col("decile"))
+  }
+
   /** Canonical URL for exact URL-level dedup (the CommonCrawl-style key):
     * scheme and host lowercase; default ports stripped (`:80` http,
     * `:443` https); fragment dropped; tracking params dropped

@@ -625,6 +625,52 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // CCNet-style LM quality deciles: add-one bigram LM fit on the
+    // corpus, documents ranked by average token log-prob per language.
+    // Per-bigram log-probs round to integer nano-units BEFORE summing, so
+    // each document's total is partition-order-exact and identical texts
+    // tie byte-identically (ranks then break by id); the raw sum s stays
+    // out of the gate (a 1-ULP libm difference may flip a single rounding
+    // step) while the deciles are stable under it
+    Q("pl_lm_quality",
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents),
+        |bgs AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS bg
+        |  FROM t),
+        |c12 AS (SELECT bg, count(*) AS c12 FROM bgs GROUP BY bg),
+        |c1 AS (SELECT string_split(bg, ' ')[1] AS w1, count(*) AS c1
+        |       FROM bgs GROUP BY 1),
+        |vv AS (SELECT count(DISTINCT w) AS V
+        |       FROM (SELECT unnest(toks) AS w FROM t)),
+        |li AS (
+        |  SELECT doc_id, lang,
+        |    CAST(round(ln(CAST(c12.c12 + 1 AS DOUBLE) /
+        |                  CAST(c1.c1 + vv.V AS DOUBLE)) * 1e9) AS BIGINT)
+        |      AS li
+        |  FROM bgs JOIN c12 USING (bg)
+        |           JOIN c1 ON string_split(bgs.bg, ' ')[1] = c1.w1
+        |           CROSS JOIN vv),
+        |sc AS (SELECT doc_id, lang, count(*) AS nb, sum(li) AS s
+        |       FROM li GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY CAST(s AS DOUBLE) / nb DESC, doc_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS cnt
+        |  FROM sc)
+        |SELECT doc_id AS id, lang AS grp, nb,
+        |       CAST((rn - 1) * 10 // cnt AS BIGINT) AS decile
+        |FROM rk ORDER BY id""".stripMargin)(
+      (s, d) => TextAnalysis.lmQuality(
+        Tables.load(s, d, "documents"), "doc_id", "text", "lang")
+        .select("id", "grp", "nb", "decile")
+        .orderBy("id")),
+
     // fuzzy (edit-distance) near-dup: MinHash-LSH candidates verified
     // with exact Levenshtein — the OCR-noise/typo-farm dedup shape. Same
     // bounded shuffle as pl_minhash_dups (only band tuples and candidate

@@ -141,7 +141,7 @@ class QueryServerSpec extends AnyFunSuite {
   test("raw() is refused unless the server allows it") {
     val r = post("/query", """events.raw("SELECT 1 AS x") | count""")
     assert(r.statusCode() == 400)
-    assert(r.body().contains("raw() is disabled"))
+    assert(r.body().contains("raw()/externaldata is disabled"))
     val open = QueryServer.start(spark, Catalog.forTestData(spark, graft.TestSpark.sf),
       allowRaw = true)
     try {
