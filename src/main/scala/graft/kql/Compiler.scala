@@ -561,6 +561,25 @@ final class Compiler(
     case Cast(kind, x) =>
       val xc = compile(df, x)
       kind match {
+        // timespans render in Kusto's clock shape ([d.]hh:mm:ss with a
+        // 7-digit fraction when sub-second), not as their micros carrier
+        case "tostring" if infer(df, x) == KT.Span =>
+          val sp = xc.try_cast(LongType)
+          val a = abs(sp)
+          def pad2(c: Column): Column =
+            lpad(c.cast(LongType).cast(StringType), 2, "0")
+          val days = (a / lit(86400000000L)).cast(LongType)
+          val frac = a % 1000000L
+          when(sp.isNotNull, concat(
+            when(sp < 0, lit("-")).otherwise(lit("")),
+            when(days > 0, concat(days.cast(StringType), lit(".")))
+              .otherwise(lit("")),
+            pad2((a / 3600000000L).cast(LongType) % 24), lit(":"),
+            pad2((a / 60000000L).cast(LongType) % 60), lit(":"),
+            pad2((a / 1000000L).cast(LongType) % 60),
+            when(frac > 0,
+              concat(lit("."), lpad(frac.cast(StringType), 6, "0"), lit("0")))
+              .otherwise(lit(""))))
         case "tostring" => xc.cast(StringType)
         case "toint" | "tolong" => counted(xc.try_cast(LongType), xc)
         case "toreal" | "todouble" | "todecimal" =>
@@ -2070,8 +2089,20 @@ final class Compiler(
             case None => v
           }
         case "row_cumsum" =>
-          sum(compile(df, args.head))
-            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val term = compile(df, args.head)
+          val total = sum(term).over(frame)
+          args.lift(1) match {
+            case None => total
+            // restart: a truthy flag starts a new segment AT that row —
+            // subtract the running total as of just before the latest
+            // restart (carried forward by last(ignoreNulls))
+            case Some(r) =>
+              val base = last(
+                when(compileBool(df, r), total - term), ignoreNulls = true)
+                .over(frame)
+              total - coalesce(base, lit(0L))
+          }
         // run-based ranks over the SERIALIZED order (Kusto: the input is
         // expected sorted by the term; the functions rank equal-value
         // RUNS): dense = 1 + count of value changes so far; min = the

@@ -2118,7 +2118,9 @@ final class Parser(src: String, nowMicros: Long) {
           s"$f() offset must be an int literal")
         WinFn(f, a)
       case "row_cumsum" =>
-        val a = args(); arity(a.length == 1, "row_cumsum() takes 1 arg")
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "row_cumsum() takes (term[, restart])")
         WinFn("row_cumsum", a)
       case f @ ("row_rank_dense" | "row_rank_min") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 term")

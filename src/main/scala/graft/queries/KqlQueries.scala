@@ -452,6 +452,30 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // row_cumsum restart segments + Kusto clock-shape timespan rendering
+    kq("kql_span_cumsum",
+      """events
+        | | where event_id < 1500
+        | | sort by event_id asc
+        | | extend cs = row_cumsum(toint(bin(value * 100.0, 1.0)),
+        |                          event_id % 200 == 0)
+        | | project event_id, cs,
+        |     t1 = tostring(make_timespan(1, 2, 3, 4.5)),
+        |     t2 = tostring(make_timespan(-1, 0)),
+        |     t3 = tostring(totimespan('2.03:04:05'))
+        | | sort by event_id asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT event_id, CAST(floor(value * 100) AS BIGINT) AS v,
+        |         CASE WHEN event_id % 200 = 0 THEN 1 ELSE 0 END AS r
+        |  FROM events WHERE event_id < 1500),
+        |s AS (SELECT *, sum(r) OVER (ORDER BY event_id) AS seg FROM e)
+        |SELECT event_id,
+        |  CAST(sum(v) OVER (PARTITION BY seg ORDER BY event_id) AS BIGINT)
+        |    AS cs,
+        |  '1.02:03:04.5000000' AS t1, '-01:00:00' AS t2,
+        |  '2.03:04:05' AS t3
+        |FROM s ORDER BY event_id""".stripMargin),
+
     // buildschema + conditional moments: props is homogeneous {"k": long}
     // so its merged schema is a literal; the constructed column mixes an
     // object and an array shape → sorted alternatives. stdevif/varianceif

@@ -370,6 +370,27 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(r(1).isNullAt(1) && r(1).isNullAt(2))
   }
 
+  test("tostring renders timespans in clock shape") {
+    assert(scalar("tostring(make_timespan(1, 2, 3, 4.5))") ==
+      "1.02:03:04.5000000")
+    assert(scalar("tostring(make_timespan(1, 2))") == "01:02:00")
+    assert(scalar("tostring(make_timespan(0, 0, 0.25))") == "00:00:00.2500000")
+    assert(scalar("tostring(make_timespan(-1, 0))") == "-01:00:00")
+    assert(scalar("tostring(totimespan('2.03:04:05'))") == "2.03:04:05")
+  }
+
+  test("row_cumsum restart: truthy flag starts a new segment at that row") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("rc", Seq(
+      (1L, 10L, false), (2L, 20L, false), (3L, 5L, true),
+      (4L, 7L, false), (5L, 1L, true)).toDF("i", "v", "r"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      """rc | sort by i asc | extend cs = row_cumsum(v, r)
+        | | project i, cs""".stripMargin).collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 12L), (5L, 1L)))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
