@@ -356,6 +356,20 @@ object QueryStep {
     * Here the "native language" of the backing store is Spark SQL.
     */
   final case class RawScan(sql: String) extends QueryStep
+  /** `evaluate sequence_detect(timeline, step_window, max_duration,
+    * flag1, …, flagN, key)` — ordered event-sequence detection per key.
+    * DECLARATIVE semantics (the Spark-first shape — a cascaded as-of
+    * chain, not a sequential machine): every flagN event anchors a
+    * candidate and binds each earlier step to its NEAREST preceding
+    * occurrence (latest flag_{i} at-or-before flag_{i+1}'s time); the
+    * candidate survives when every inter-step gap ≤ step_window and the
+    * whole span ≤ max_duration. Overlapping sequences all report
+    * (documented — Kusto's exact overlap rule is unpublished). One key
+    * column (compose multi-keys with strcat — documented narrowing).
+    * Output: key, one datetime column per flag, duration (micros). */
+  final case class SequenceDetect(
+      timeline: FieldPath, stepWindowMicros: Long, maxDurMicros: Long,
+      flags: Seq[FieldPath], key: FieldPath) extends QueryStep
   /** `evaluate basket(threshold)` — frequent attribute-combination
     * segments (market-basket / Apriori family) over ALL current columns:
     * every non-empty column subset of every row is a candidate segment;

@@ -3038,6 +3038,53 @@ final class Compiler(
         .select(col("SegmentId") +: col("Count") +: col("Percent") +:
           cols.map(cn => col(s"`$cn`")): _*)
 
+    // sequence_detect: cascaded as-of chain — each step binds to the
+    // NEAREST preceding prefix per key (one key-shuffled linear as-of
+    // pass per step, never a quadratic candidate join), constraints
+    // prune progressively. Prefixes collapse per (key, anchor-ts) before
+    // each as-of (its determinism precondition): latest earlier steps
+    // win lexicographically.
+    case QueryStep.SequenceDetect(tl, win, dur, flags, key) =>
+      val names = flags.map(_.flat)
+      if (names.distinct.length != names.length) throw KqlParseException(
+        "sequence_detect step flags must be distinct columns", 0)
+      val keyName = key.flat
+      def stepDf(i: Int): DataFrame = df
+        .filter(compileBool(df, Field(flags(i))))
+        .select(compileField(df, key).as("__k"),
+          compileField(df, tl).try_cast(TimestampType).as("__ts"))
+        .filter(col("__ts").isNotNull)
+      var acc = stepDf(0).select(col("__k"), col("__ts").as(names.head))
+      for (i <- 1 until names.length) {
+        val prevName = names(i - 1)
+        val earlier = names.take(i - 1)
+        // collapse prefixes that share (key, anchor-ts): keep the
+        // lexicographically latest earlier timestamps
+        val collapsed =
+          if (earlier.isEmpty) acc.distinct()
+          else acc.groupBy(col("__k"), col(prevName))
+            .agg(max(struct(earlier.map(col): _*)).as("__e"))
+            .select(col("__k") +: col(prevName) +:
+              earlier.map(n => col(s"__e.$n").as(n)): _*)
+        val right = collapsed.withColumn("__ts", col(prevName))
+          .drop(prevName)
+        val joined = graft.functions.AsOf.join(
+          stepDf(i), right, "__k", "__ts", earlier, prefix = "__asof_")
+        acc = joined
+          .withColumn(prevName, col("__asof___ts"))
+          .filter(col(prevName).isNotNull)
+          .filter(unix_micros(col("__ts")) - unix_micros(col(prevName))
+            <= lit(win))
+          .select(col("__k") +:
+            earlier.map(n => col(s"__asof_$n").as(n)) :+
+            col(prevName) :+ col("__ts").as(names(i)): _*)
+          .filter(unix_micros(col(names(i))) - unix_micros(col(names.head))
+            <= lit(dur))
+      }
+      acc.select(col("__k").as(keyName) +: names.map(col) :+
+        (unix_micros(col(names.last)) - unix_micros(col(names.head)))
+          .as("duration"): _*)
+
     // pivot: one aggregated column per listed value, grouped by every
     // OTHER column (KQL pivot plugin). Lowers to RelationalGroupedDataset
     // .pivot with explicit values — a single partial/final aggregation,

@@ -610,6 +610,25 @@ final class Parser(src: String, nowMicros: Long) {
       eatPunct("("); eatPunct(")")
       return QueryStep.Narrow
     }
+    if (plugin == "sequence_detect") {
+      eatPunct("(")
+      val tl = parseFieldPath()
+      eatPunct(",")
+      def span(what: String): Long = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case t => fail(s"sequence_detect $what must be a timespan literal")
+      }
+      val win = span("step window"); eatPunct(",")
+      val dur = span("max duration"); eatPunct(",")
+      val cols = Seq.newBuilder[FieldPath]
+      var more = true
+      while (more) { cols += parseFieldPath(); more = tryPunct(",") }
+      eatPunct(")")
+      val cs = cols.result()
+      arity(cs.length >= 3,
+        "sequence_detect() needs at least two step flags and one key")
+      return QueryStep.SequenceDetect(tl, win, dur, cs.dropRight(1), cs.last)
+    }
     if (plugin == "basket") {
       eatPunct("(")
       val th = peek match {

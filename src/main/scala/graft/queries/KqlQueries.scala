@@ -452,6 +452,40 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // sequence_detect: view → click → purchase funnels per user, bound
+    // to nearest predecessors — the DuckDB ASOF JOIN chain is the exact
+    // oracle of the cascaded as-of lowering (inclusive >=, same collapse)
+    kq("kql_seqdetect",
+      """events
+        | | extend v = event_type == 'view', c = event_type == 'click',
+        |          p = event_type == 'purchase'
+        | | evaluate sequence_detect(ts, 1d, 2d, v, c, p, user_id)
+        | | sort by user_id asc, p asc, c asc, v asc""".stripMargin,
+      """WITH vv AS (SELECT user_id, ts AS vt FROM events
+        |            WHERE event_type = 'view'),
+        |cc AS (SELECT user_id, ts AS ct FROM events
+        |       WHERE event_type = 'click'),
+        |pp AS (SELECT user_id, ts AS pt FROM events
+        |       WHERE event_type = 'purchase'),
+        |s2 AS (
+        |  SELECT cc.user_id, vv.vt, cc.ct
+        |  FROM cc ASOF LEFT JOIN (SELECT DISTINCT user_id, vt FROM vv) vv
+        |    ON cc.user_id = vv.user_id AND cc.ct >= vv.vt
+        |  WHERE vv.vt IS NOT NULL
+        |    AND epoch_us(cc.ct) - epoch_us(vv.vt) <= 86400000000
+        |    AND epoch_us(cc.ct) - epoch_us(vv.vt) <= 172800000000),
+        |s2c AS (SELECT user_id, ct, max(vt) AS vt FROM s2 GROUP BY 1, 2),
+        |s3 AS (
+        |  SELECT pp.user_id, s.vt, s.ct, pp.pt
+        |  FROM pp ASOF LEFT JOIN s2c s
+        |    ON pp.user_id = s.user_id AND pp.pt >= s.ct
+        |  WHERE s.ct IS NOT NULL
+        |    AND epoch_us(pp.pt) - epoch_us(s.ct) <= 86400000000
+        |    AND epoch_us(pp.pt) - epoch_us(s.vt) <= 172800000000)
+        |SELECT user_id, vt AS v, ct AS c, pt AS p,
+        |       epoch_us(pt) - epoch_us(vt) AS duration
+        |FROM s3 ORDER BY user_id, p, c, v""".stripMargin),
+
     // row_cumsum restart segments + Kusto clock-shape timespan rendering
     kq("kql_span_cumsum",
       """events
