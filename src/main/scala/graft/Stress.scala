@@ -235,6 +235,59 @@ object Stress {
           |            | project facet_column = 'x',
           |                      value = etype, count_ = n)""".stripMargin)
     }
+    // round-6 third wave. basket expands each row 2^3−1 subsets into ONE
+    // hash agg (map-side combine collapses to the distinct-segment
+    // space); sequence_detect is two linear as-of passes; lm_quality is
+    // the bigram join + integer-exact per-doc sums; edit-dups adds a
+    // Levenshtein verify on the LSH candidate set; semdedup is the
+    // cell-keyed pairwise prune over synthetic embeddings
+    time("kql_basket", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events
+        .withColumn("etype",
+          concat(lit("t"), pmod(col("event_id"), lit(7)).cast("string")))
+        .select(col("etype"),
+          pmod(col("user_id"), lit(20L)).as("ubucket"),
+          pmod(col("event_id"), lit(5L)).as("m5")))
+      graft.kql.Kql.run(spark, cat, "ev | evaluate basket(0.01)")
+    }
+    time("kql_sequence_detect", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events.withColumn("etype",
+        concat(lit("t"), pmod(col("event_id"), lit(3)).cast("string"))))
+      graft.kql.Kql.run(spark, cat,
+        """ev | extend a = etype == 't0', b = etype == 't1', c = etype == 't2'
+          | | evaluate sequence_detect(ts, 1h, 2h, a, b, c, user_id)
+          |""".stripMargin)
+    }
+    time("lm_quality", n / 4) { // bigram join + rank: run at n/4
+      graft.functions.TextAnalysis.lmQuality(
+        docs.filter(col("doc_id") < n / 4)
+          .withColumn("grp", pmod(col("doc_id"), lit(8L))),
+        "doc_id", "text", "grp")
+    }
+    time("edit_dups", n / 10) { // candidate-pair op: run at n/10
+      graft.functions.Dedup.editDistancePairs(
+        docs.filter(col("doc_id") < n / 10), "doc_id", "text", maxDist = 20)
+    }
+    time("semdedup", math.min(n, 200000L)) { // k×dim centroid sweep + prune
+      val m = math.min(n, 200000L)
+      val emb = spark.range(m).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      graft.functions.Similarity.semDedup(
+        emb, "vec_id", "embedding", threshold = 0.95, nCells = 64)
+    }
+    time("url_canon_dedup", n) {
+      val url = concat(lit("HTTPS://Site"),
+        pmod(col("doc_id"), lit(100000L)).cast("string"),
+        lit(".com:443/p/?utm_source=x&b=2&a=1#f"))
+      docs.select(col("doc_id"),
+        graft.functions.TextAnalysis.canonicalUrl(url).as("canon"))
+        .groupBy("canon").agg(count(lit(1)).as("n"), min("doc_id").as("keep"))
+    }
     spark.stop()
   }
 }
