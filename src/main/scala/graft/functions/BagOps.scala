@@ -258,6 +258,58 @@ object BuildSchemaUtil {
   }
 }
 
+/** `treepath` — every path expression into a dynamic value, Kusto's
+  * `['a']['b']` rendering: object keys append `['key']`, arrays descend
+  * into their elements WITHOUT an index (element paths merge — Kusto's
+  * shape), intermediate and leaf paths all enumerate. Output is sorted
+  * and distinct (deterministic; Kusto leaves order unspecified).
+  * Non-object/array input → empty array; malformed → null. */
+object TreePathUtil {
+  private val mapper = new ObjectMapper()
+
+  def paths(json: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    if (json == null) return null
+    try {
+      val out = new java.util.TreeSet[String]()
+      def walk(n: JsonNode, prefix: String): Unit = {
+        if (n.isObject) {
+          val it = n.fields()
+          while (it.hasNext) {
+            val e = it.next()
+            val p = prefix + "['" + e.getKey + "']"
+            out.add(p)
+            walk(e.getValue, p)
+          }
+        } else if (n.isArray) {
+          val it = n.elements()
+          while (it.hasNext) walk(it.next(), prefix)
+        }
+      }
+      walk(mapper.readTree(json.toString), "")
+      val arr = new Array[Any](out.size())
+      var i = 0
+      out.forEach { p => arr(i) = UTF8String.fromString(p); i += 1 }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+    } catch { case _: Exception => null }
+  }
+}
+
+/** Catalyst expression for treepath. */
+case class TreePath(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType)
+  override def nullable: Boolean = true
+  override def nullSafeEval(input: Any): Any =
+    TreePathUtil.paths(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.TreePathUtil.paths($c);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+  override protected def withNewChildInternal(newChild: Expression): TreePath =
+    copy(child = newChild)
+}
+
 /** Per-row schema rendering for buildschema. */
 case class SchemaOf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType

@@ -211,7 +211,8 @@ final class Compiler(
       case "isascii" => KT.Bool
       case "unicode_codepoints_from_string" |
            "base64_decode_toarray" => KT.Arr
-      case "extract_all" | "parse_csv" => KT.Arr
+      case "extract_all" | "parse_csv" | "extract_groups" |
+           "treepath" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
            "geo_geohash_to_central_point" | "parse_xml" => KT.Var
       case "has_any_index" => KT.Int
@@ -1144,6 +1145,11 @@ final class Compiler(
               shiftright(masked, 8).bitwiseAND(lit(255L)),
               masked.bitwiseAND(lit(255L))),
               lit("/"), bits.cast(StringType)))
+        case "treepath" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TreePath(
+            expression(cs.head.cast(StringType))))
+        }
         // XML → variant through the DOM kernel (attributes as @keys,
         // repeated siblings as arrays, #text for mixed content; DOCTYPE
         // and external entities refused — no XXE)
@@ -1233,6 +1239,18 @@ final class Compiler(
             if (java.util.regex.Pattern.compile(re).matcher("").groupCount() > 0) 1
             else 0
           regexp_extract_all(cs(1).cast(StringType), lit(re), lit(g))
+        // all capture groups of the FIRST match as one array; group count
+        // comes from the compiled pattern. No match → null (Kusto's
+        // dynamic null); a matched-but-unparticipating optional group
+        // yields "" like extract
+        case "extract_groups" =>
+          val re = args.head.asInstanceOf[StrLit].v
+          val n = java.util.regex.Pattern.compile(re).matcher("").groupCount()
+          if (n == 0) throw KqlParseException(
+            "extract_groups() regex has no capture groups", 0)
+          val src = cs(1).cast(StringType)
+          when(src.rlike(re),
+            array((1 to n).map(i => regexp_extract(src, re, i)): _*))
       }
 
     // anchored binning: anchor + floor((x − anchor)/width)·width

@@ -1517,7 +1517,7 @@ final class Parser(src: String, nowMicros: Long) {
     "split", "indexof", "array_length", "strcat_delim", "strcat_array",
     "row_number", "prev", "next", "row_cumsum",
     "row_rank_dense", "row_rank_min", "row_window_session",
-    "countof", "extract_all", "bin_at", "tohex",
+    "countof", "extract_all", "extract_groups", "bin_at", "tohex",
     "base64_encode_tostring", "base64_decode_tostring",
     "todynamic", "parse_json",
     "array_sort_asc", "array_sort_desc", "array_reverse", "array_concat",
@@ -1547,7 +1547,7 @@ final class Parser(src: String, nowMicros: Long) {
     "base64_decode_toarray", "base64_encode_fromarray",
     "ipv4_compare", "ipv4_is_match", "ipv4_netmask_suffix",
     "format_ipv4_mask", "jaccard_index", "dynamic_to_json", "bag_set_key",
-    "parse_xml",
+    "parse_xml", "treepath",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -1635,11 +1635,48 @@ final class Parser(src: String, nowMicros: Long) {
           "case() takes cond,val pairs + default")
         Case(a.dropRight(1).grouped(2).map(g => (g(0), g(1))).toSeq, a.last)
       case "extract" =>
-        val a = args(); arity(a.length == 3, "extract() takes 3 args")
-        (a(0), a(1)) match {
+        // 4-arg Kusto form: a trailing typeof(T) casts the capture
+        val a0 = Seq.newBuilder[Expr]
+        if (!atPunct(")")) {
+          var done = false
+          while (!done) {
+            if (atIdent("typeof")) {
+              p += 1; eatPunct("(")
+              val t = identText().toLowerCase
+              eatPunct(")")
+              a0 += StrLit("typeof:" + t)
+            } else a0 += parseExpr()
+            done = !tryPunct(",")
+          }
+        }
+        val a = a0.result().map(delit)
+        arity(a.length == 3 || a.length == 4,
+          "extract() takes (regex, group, source[, typeof(T)])")
+        val base = (a(0), a(1)) match {
           case (StrLit(re), IntLit(g)) => Extract(re, g.toInt, a(2))
           case _ => fail("extract(regex_literal, group_literal, expr)")
         }
+        a.lift(3) match {
+          case None => base
+          case Some(StrLit(t)) if t.startsWith("typeof:") =>
+            val kind = t.stripPrefix("typeof:") match {
+              case "int" | "long" => "tolong"
+              case "real" | "double" | "decimal" => "toreal"
+              case "bool" | "boolean" => "tobool"
+              case "datetime" => "todatetime"
+              case "timespan" => "totimespan"
+              case "string" => "tostring"
+              case other => fail(s"extract() unsupported typeof($other)")
+            }
+            Cast(kind, base)
+          case _ => fail("extract() 4th arg must be typeof(T)")
+        }
+      case "extract_groups" =>
+        val a = args()
+        arity(a.length == 2, "extract_groups() takes (regex_literal, source)")
+        arity(a.head.isInstanceOf[StrLit],
+          "extract_groups() regex must be a literal")
+        StrFn("extract_groups", a)
       case "bin" | "floor" =>
         val a = args(); arity(a.length == 2, "bin() takes 2 args"); Bin(a(0), a(1))
       case "exists" =>
@@ -1831,7 +1868,8 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 2 || a.length == 3,
           s"$f() takes (ip1, ip2[, prefix])")
         StrFn(f, a)
-      case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml") =>
+      case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml" |
+                "treepath") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case "format_ipv4_mask" =>
@@ -1880,8 +1918,33 @@ final class Parser(src: String, nowMicros: Long) {
                 "startofyear" | "endofday" | "dayofweek" | "weekofyear" |
                 "getyear" | "getmonth" | "dayofyear" | "startofquarter" |
                 "endofweek" | "endofmonth" | "endofyear" | "endofquarter") =>
-        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
-        DtFn(f, a.head)
+        val a = args()
+        val periodOffsets = Map(
+          "startofday" -> "day", "startofweek" -> "week",
+          "startofmonth" -> "month", "startofquarter" -> "quarter",
+          "startofyear" -> "year", "endofday" -> "day",
+          "endofweek" -> "week", "endofmonth" -> "month",
+          "endofquarter" -> "quarter", "endofyear" -> "year",
+          "startofhour" -> "hour")
+        if (a.length == 2 && periodOffsets.contains(f)) {
+          // Kusto's offset arg: startofday(ts, -1) = start of the
+          // PREVIOUS day — desugar by shifting the input by n periods
+          // (calendar-aware via datetime_add; weeks are 7 exact days)
+          val n = a(1) match {
+            case IntLit(v) => v
+            case Neg(IntLit(v)) => -v
+            case _ => fail(s"$f() offset must be an integer literal")
+          }
+          val shifted = periodOffsets(f) match {
+            case "week" => DtAdd("day", IntLit(7 * n), a.head)
+            case "quarter" => DtAdd("month", IntLit(3 * n), a.head)
+            case p => DtAdd(p, IntLit(n), a.head)
+          }
+          DtFn(f, shifted)
+        } else {
+          arity(a.length == 1, s"$f() takes 1 arg")
+          DtFn(f, a.head)
+        }
       case "datetime_part" =>
         val a = args()
         arity(a.length == 2, "datetime_part() takes (part_literal, datetime)")

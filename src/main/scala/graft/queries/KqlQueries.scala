@@ -452,6 +452,29 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // period offsets, typed extract, extract_groups, treepath
+    kq("kql_extras1",
+      """events
+        | | where event_id < 1200
+        | | project event_id,
+        |     pd = startofday(ts, -1),
+        |     nm = startofmonth(ts, 1),
+        |     ed = endofday(ts, -1),
+        |     ex = extract('"k": ([0-9]+)', 1, props, typeof(long)),
+        |     eg = extract_groups('"(k)": ([0-9]+)', props),
+        |     tp = treepath(todynamic(props))
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  date_trunc('day', ts) - INTERVAL 1 DAY AS pd,
+        |  CAST(date_trunc('month', ts + INTERVAL 1 MONTH) AS TIMESTAMP)
+        |    AS nm,
+        |  date_trunc('day', ts) - INTERVAL 1 MICROSECOND AS ed,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS ex,
+        |  ['k', regexp_extract(props, '"(k)": ([0-9]+)', 2)] AS eg,
+        |  ['[''k'']'] AS tp
+        |FROM events WHERE event_id < 1200
+        |ORDER BY event_id""".stripMargin),
+
     // sequence_detect: view → click → purchase funnels per user, bound
     // to nearest predecessors — the DuckDB ASOF JOIN chain is the exact
     // oracle of the cascaded as-of lowering (inclusive >=, same collapse)

@@ -391,6 +391,41 @@ class ScalarBatch7Spec extends AnyFunSuite {
       Seq((1L, 10L), (2L, 30L), (3L, 5L), (4L, 12L), (5L, 1L)))
   }
 
+  test("startof/endof period offsets shift calendar-aware") {
+    assert(scalar("startofday(datetime(2024-03-15T10:30:00Z), -1)") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-03-14T00:00:00Z")))
+    assert(scalar("startofmonth(datetime(2024-03-15), 1)") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-04-01T00:00:00Z")))
+    // Jan 31 + 1 month clamps inside February; the month START is stable
+    assert(scalar("startofmonth(datetime(2024-01-31), 1)") ==
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-02-01T00:00:00Z")))
+    assert(scalar("endofday(datetime(2024-03-15), -1)") ==
+      java.sql.Timestamp.from(
+        java.time.Instant.parse("2024-03-14T23:59:59.999999Z")))
+    assert(scalar("startofweek(datetime(2024-03-15), 1)") == // Fri → next Sun
+      java.sql.Timestamp.from(java.time.Instant.parse("2024-03-17T00:00:00Z")))
+  }
+
+  test("extract 4-arg typeof and extract_groups") {
+    assert(scalar("extract('v=([0-9]+)', 1, 'a v=42 b', typeof(long))") == 42L)
+    assert(scalar("extract('v=([0-9.]+)', 1, 'v=1.5', typeof(real))") == 1.5)
+    assert(scalar(
+      "extract_groups('([a-z]+)=([0-9]+)', 'x foo=17 y')") ==
+      Seq("foo", "17"))
+    assert(scalar("extract_groups('([a-z]+)=([0-9]+)', 'nope')") == null)
+    val e = intercept[KqlParseException](
+      scalar("extract_groups('nogroups', 'x')"))
+    assert(e.getMessage.contains("capture"))
+  }
+
+  test("treepath enumerates object paths, arrays merge elementwise") {
+    assert(scalar(
+      """treepath(todynamic('{"a":{"b":1,"c":[{"d":2},{"e":3}]},"f":4}'))""") ==
+      Seq("['a']", "['a']['b']", "['a']['c']", "['a']['c']['d']",
+        "['a']['c']['e']", "['f']"))
+    assert(scalar("treepath(todynamic('5'))") == Seq())
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
