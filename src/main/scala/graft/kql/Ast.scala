@@ -472,8 +472,15 @@ object QueryStep {
     * `parse-where`); the pattern finds its first occurrence anywhere in
     * the source (unanchored), captures are non-greedy except the last.
     */
+  /** `kind`: "simple" quotes literal segments; "regex" treats them as raw
+    * regex fragments (with optional `flags=` i/m/s/U prepended as an
+    * inline group); "relaxed" behaves like simple — our simple mode
+    * already nulls just the failing typed capture rather than the whole
+    * match, which IS Kusto's relaxed rule (documented deviation: Kusto's
+    * strict-simple fails the whole pattern on a cast miss). */
   final case class Parse(
-      src: FieldPath, segs: Seq[ParseSeg], strict: Boolean = false) extends QueryStep
+      src: FieldPath, segs: Seq[ParseSeg], strict: Boolean = false,
+      kind: String = "simple", flags: String = "") extends QueryStep
   /** `evaluate pivot(col, agg(...), v1, v2, …)` — rotate the values of
     * `col` into one aggregated output column per listed value, grouped by
     * every other column (KQL pivot plugin semantics). Values are required

@@ -2367,7 +2367,7 @@ final class Compiler(
       // REDEFINES that key via withColumns — treat it like an Extend of the
       // capture names so a following window fails loudly rather than
       // ordering by the re-extracted values
-      case QueryStep.Parse(_, segs, _) =>
+      case QueryStep.Parse(_, segs, _, _, _) =>
         if (invalidates(segs.flatMap(_.capture).map(_._1), None))
           serialOrder = None
       case QueryStep.ParseKv(_, keys, _, _, _) =>
@@ -2599,14 +2599,19 @@ final class Compiler(
     // capture columns materialize in ONE withColumns against the original
     // frame: a capture named after the source column must not replace the
     // source out from under the later captures.
-    case QueryStep.Parse(srcPath, segs, strict) =>
+    case QueryStep.Parse(srcPath, segs, strict, kind, flags) =>
       val src = compileField(df, srcPath).cast(StringType)
       val captures = segs.collect { case ParseSeg(_, Some(c)) => c }
       var seen = 0
       val nCaps = captures.length
-      val regex = "(?s)" + segs.map {
+      // regex kind keeps literal segments as raw regex fragments and
+      // prepends the inline flag group; capture groups stay (.*?)/(.*)
+      val flagPrefix =
+        if (kind == "regex" && flags.nonEmpty) s"(?$flags)" else ""
+      val regex = "(?s)" + flagPrefix + segs.map {
         case ParseSeg(Some(litSeg), _) =>
-          java.util.regex.Pattern.quote(litSeg)
+          if (kind == "regex") litSeg
+          else java.util.regex.Pattern.quote(litSeg)
         case ParseSeg(_, Some(_)) =>
           seen += 1
           if (seen == nCaps) "(.*)" else "(.*?)"

@@ -119,7 +119,7 @@ object Kql {
         // the explain output re-parseable
         s"search ${if (cs) "kind=case_sensitive " else ""}" +
           Render.expr(Expr.StrLit(term))
-      case QueryStep.Parse(src, segs, strict) =>
+      case QueryStep.Parse(src, segs, strict, _, _) =>
         val body = segs.map {
           case ParseSeg(Some(l), _) => Render.expr(Expr.StrLit(l))
           case ParseSeg(_, Some((n, "string"))) => n

@@ -562,6 +562,23 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parseParse(strict: Boolean = false): QueryStep = {
+    // `parse [kind=simple|regex|relaxed] [flags=imsU]`
+    var kind = "simple"
+    var flags = ""
+    while (atIdent("kind") || atIdent("flags")) {
+      val which = identText().toLowerCase
+      eatPunct("=")
+      val v = identText()
+      which match {
+        case "kind" => v.toLowerCase match {
+          case k @ ("simple" | "regex" | "relaxed") => kind = k
+          case other => fail(s"unknown parse kind '$other'")
+        }
+        case _ =>
+          arity(v.matches("[imsU]+"), "parse flags must be from [imsU]")
+          flags = v
+      }
+    }
     val src = parseFieldPath()
     eatIdent("with")
     val segs = Seq.newBuilder[ParseSeg]
@@ -588,7 +605,7 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     arity(nCaptures >= 1, "parse needs at least one capture column")
-    QueryStep.Parse(src, segs.result(), strict)
+    QueryStep.Parse(src, segs.result(), strict, kind, flags)
   }
 
   /** `evaluate pivot(col, agg(...), v1, v2, …)` or

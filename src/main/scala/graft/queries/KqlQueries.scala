@@ -452,6 +452,19 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // parse kind=regex over the props JSON text (raw fragments, typed
+    // capture); same RE2-compatible pattern replays in DuckDB
+    kq("kql_parse_regex",
+      """events
+        | | where event_id < 1500
+        | | parse kind=regex props with '\\{"k": ' k: long '\\}'
+        | | project event_id, k
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '\{"k": (.*?)\}', 1) AS BIGINT) AS k
+        |FROM events WHERE event_id < 1500
+        |ORDER BY event_id""".stripMargin),
+
     // period offsets, typed extract, extract_groups, treepath
     kq("kql_extras1",
       """events

@@ -426,6 +426,27 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(scalar("treepath(todynamic('5'))") == Seq())
   }
 
+  test("parse kind=regex: raw regex fragments and flags") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("lg", Seq(
+      "ERROR [svc1] code=17", "WARN  [svc2] code=3", "error [svc3] code=9")
+      .toDF("line"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      """lg | parse kind=regex line with '\\w+\\s+\\[' svc '\\] code=' c: long
+        | | project svc, c | sort by svc asc""".stripMargin).collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("svc1", 17L), ("svc2", 3L), ("svc3", 9L)))
+    // flags=i case-insensitive literal regex
+    val ci = Kql.run(TestSpark.spark, c2,
+      """lg | parse-where kind=regex flags=i line with 'error \\[' svc '\\].*'
+        | | project svc""".stripMargin).collect()
+    assert(ci.map(_.getString(0)).toSeq.sorted == Seq("svc1", "svc3"))
+    // kind=relaxed accepted (same lowering as simple)
+    assert(Kql.run(TestSpark.spark, c2,
+      "lg | parse kind=relaxed line with 'code=' c: long | project c")
+      .collect().length == 3)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
