@@ -427,11 +427,16 @@ object QueryStep {
   final case class TopN(keys: Seq[SortKey], n: Long) extends QueryStep
   final case class Summarize(aggs: Seq[AggField], by: Seq[ByField]) extends QueryStep
   final case class Distinct(fields: Seq[FieldPath]) extends QueryStep
-  /** `union [withsource=Col] (subquery)` — bag union; `withsource` adds a
-    * column naming the scan each row came from (KQL surface; the name of
-    * a raw scan is "raw", of a range source "range"). */
+  /** `union [withsource=Col] [isfuzzy=true] (subquery)` — bag union;
+    * `withsource` adds a column naming the scan each row came from (KQL
+    * surface; the name of a raw scan is "raw", of a range source
+    * "range"). `isfuzzy` tolerates an unresolvable branch source: the
+    * branch is skipped with the left side passing through (Kusto's
+    * fuzzy-union contract for partially-available tables). Multi-source
+    * `union T1, T2, …` desugars at parse into nested Union steps. */
   final case class Union(
-      sub: Query, withSource: Option[String] = None) extends QueryStep
+      sub: Query, withSource: Option[String] = None,
+      fuzzy: Boolean = false) extends QueryStep
   /** Equi join on one or more key pairs. The reference allows exactly one
     * (`parser.rs:1122-1163`); multi-key conditions (`on $left.a ==
     * $right.a, $left.b == $right.b`) are real-KQL surface beyond it. A

@@ -3194,13 +3194,32 @@ final class Compiler(
       if (fields2.isEmpty) df.distinct()
       else df.select(fields2.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
-    case QueryStep.Union(sub, ws) =>
+    case QueryStep.Union(sub, ws, fuzzy) =>
       val leftName = pipelineSource
       val rightName = sourceNameOf(sub)
-      val right0 = {
+      val right0try = {
         val saved = keepUnionSrc
         keepUnionSrc = true
-        try compile(sub) finally keepUnionSrc = saved
+        try Right(compile(sub))
+        catch {
+          // isfuzzy: an unresolvable branch SOURCE is tolerated — the
+          // left side passes through (Kusto's fuzzy-union contract for
+          // partially-available tables). Only resolution errors qualify;
+          // a genuinely broken branch query still fails
+          case e: KqlParseException if fuzzy => Left(e)
+        }
+        finally keepUnionSrc = saved
+      }
+      val right0 = right0try match {
+        case Left(_) =>
+          return ws match {
+            case None => df
+            case Some(colName) =>
+              if (df.columns.contains(UnionSrcCol))
+                df.withColumnRenamed(UnionSrcCol, colName)
+              else df.withColumn(colName, lit(leftName))
+          }
+        case Right(r) => r
       }
       // per-row provenance: rows stamped by an EARLIER union in this
       // pipeline (or inside the branch subquery) keep their true origin;

@@ -100,8 +100,9 @@ object Kql {
             s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
           else "")
       case QueryStep.Distinct(fs) => s"distinct ${fs.map(_.render).mkString(", ")}"
-      case QueryStep.Union(sub, ws) =>
-        val w = ws.map(c => s"withsource=$c ").getOrElse("")
+      case QueryStep.Union(sub, ws, fuzzy) =>
+        val w = ws.map(c => s"withsource=$c ").getOrElse("") +
+          (if (fuzzy) "isfuzzy=true " else "")
         s"union $w(\n${renderQuery(sub, indent + "  ")}\n$indent)"
       case QueryStep.Join(k, sub, keys, lookup, strategy) =>
         val cond = keys.map { case (lk, rk) =>

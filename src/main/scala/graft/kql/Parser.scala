@@ -321,6 +321,34 @@ final class Parser(src: String, nowMicros: Long) {
       parseStepTail(steps)
       return Query(steps.result())
     }
+    // `union [mods] S1, S2, … | steps` as a pipeline HEAD (Kusto's
+    // source-operator form): the first source becomes the head, the rest
+    // fold in as union steps; withsource lands on the last union (per-row
+    // provenance carries through the hidden source column), and a
+    // single-source head with withsource degrades to a constant label
+    if (atIdent("union") && toks.lift(p + 1).exists {
+        case Punct("|", _) | _: Eof => false; case _ => true }) {
+      p += 1
+      val (ws, fuzzy, srcs) = parseUnionParts()
+      val steps = Seq.newBuilder[QueryStep]
+      steps ++= srcs.head.steps
+      if (srcs.length == 1) {
+        ws.foreach { c =>
+          val label = srcs.head.steps.headOption match {
+            case Some(QueryStep.Scan(s)) => s
+            case _ => "union"
+          }
+          steps += QueryStep.Extend(Seq((StrLit(label): Expr, c)))
+        }
+      } else {
+        srcs.tail.zipWithIndex.foreach { case (q, i) =>
+          val wsHere = if (i == srcs.length - 2) ws else None
+          steps += QueryStep.Union(q, wsHere, fuzzy)
+        }
+      }
+      parseStepTail(steps)
+      return Query(steps.result())
+    }
     // `print [name =] expr [, …]` single-row scalar source; a table
     // actually NAMED print is still reachable (bare `print | …` or EOF
     // scans it — Kusto's print always has at least one expression)
@@ -1262,17 +1290,41 @@ final class Parser(src: String, nowMicros: Long) {
     agg
   }
 
-  private def parseUnion(): QueryStep = {
-    val ws =
-      if (atIdent("withsource")) { p += 1; eatPunct("="); Some(identText()) }
-      else None
-    if (tryPunct("(")) {
-      val q = parsePipeline()
-      eatPunct(")")
-      QueryStep.Union(q, ws)
-    } else {
-      QueryStep.Union(Query(Seq(QueryStep.Scan(parseSourceRef()))), ws)
+  /** Shared head of `union`: modifiers + comma-separated sources. */
+  private def parseUnionParts(): (Option[String], Boolean, Seq[Query]) = {
+    var ws: Option[String] = None
+    var fuzzy = false
+    var mods = true
+    while (mods) {
+      if (atIdent("withsource")) { p += 1; eatPunct("="); ws = Some(identText()) }
+      else if (atIdent("isfuzzy")) {
+        p += 1; eatPunct("=")
+        fuzzy = identText().equalsIgnoreCase("true")
+      } else if (atIdent("kind") && toks.lift(p + 1).exists {
+          case Punct("=", _) => true; case _ => false }) {
+        // kind=outer is our bag-union default; kind=inner (column
+        // intersection) accepted and treated the same — allowMissingColumns
+        // already fills, a documented widening
+        p += 1; eatPunct("="); identText()
+      } else mods = false
     }
+    def one(): Query =
+      if (tryPunct("(")) { val q = parsePipeline(); eatPunct(")"); q }
+      else Query(Seq(QueryStep.Scan(parseSourceRef())))
+    val srcs = Seq.newBuilder[Query]
+    srcs += one()
+    while (tryPunct(",")) srcs += one()
+    (ws, fuzzy, srcs.result())
+  }
+
+  private def parseUnion(): QueryStep = {
+    // `union T1, T2, …` — trailing sources fold into the branch pipeline
+    // as nested unions, preserving per-row provenance for withsource
+    val (ws, fuzzy, srcs) = parseUnionParts()
+    val combined = srcs.tail.foldLeft(srcs.head) { (acc, q) =>
+      Query(acc.steps :+ (QueryStep.Union(q, None, fuzzy): QueryStep))
+    }
+    QueryStep.Union(combined, ws, fuzzy)
   }
 
   private def parseJoin(lookup: Boolean = false): QueryStep = {

@@ -452,6 +452,16 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // head-form multi-source union with isfuzzy: the missing branch is
+    // skipped, the two real tables union with per-row provenance
+    kq("kql_union_multi",
+      """union withsource=Src isfuzzy=true nation, region, no_such_table
+        | | summarize n = count() by Src
+        | | sort by Src asc""".stripMargin,
+      """SELECT 'nation' AS Src, count(*) AS n FROM nation
+        |UNION ALL SELECT 'region', count(*) FROM region
+        |ORDER BY Src""".stripMargin),
+
     // parse kind=regex over the props JSON text (raw fragments, typed
     // capture); same RE2-compatible pattern replays in DuckDB
     kq("kql_parse_regex",

@@ -447,6 +447,31 @@ class ScalarBatch7Spec extends AnyFunSuite {
       .collect().length == 3)
   }
 
+  test("union: multi-source, head form, isfuzzy, withsource labels") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("ta", Seq(1L, 2L).toDF("x"))
+    c2.register("tb", Seq(3L).toDF("x"))
+    c2.register("tc", Seq(4L).toDF("x"))
+    def q(s: String) = Kql.run(TestSpark.spark, c2, s).collect()
+    // step form with a comma list
+    assert(q("ta | union tb, tc | summarize n = count()")(0).getLong(0) == 4L)
+    // head form
+    assert(q("union ta, tb, tc | summarize n = count()")(0).getLong(0) == 4L)
+    // withsource provenance in the head form
+    val rows = q("union withsource=Src ta, tb | sort by x asc")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSeq ==
+      Seq((1L, "ta"), (2L, "ta"), (3L, "tb")))
+    // single-source head with withsource → constant label
+    assert(q("union withsource=Src ta | sort by x asc")(0).getString(1) == "ta")
+    // isfuzzy tolerates a missing table; without it the query fails
+    assert(q("union isfuzzy=true ta, no_such | summarize n = count()")(0)
+      .getLong(0) == 2L)
+    intercept[KqlParseException](q("union ta, no_such | count"))
+    // kind=inner accepted (treated as the bag union, documented)
+    assert(q("union kind=inner ta, tb | summarize n = count()")(0)
+      .getLong(0) == 3L)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
