@@ -1525,7 +1525,13 @@ object PipelineQueries {
         val qs = transform(v, x =>
           when(scale === 0.0, 0L)
             .otherwise(round(x / scale * 127).cast("long")))
+        // materialization barrier: without it CollapseProject inlines the
+        // nested HOF chain (v → scale → qs) into every downstream
+        // reference, and the exploded expression tree spends seconds in
+        // codegen compilation alone (same lesson as the minhash
+        // signature barrier)
         emb.select(col("vec_id"), v.as("v"), scale.as("scale"), qs.as("qs"))
+          .localCheckpoint()
           .select(col("vec_id"),
             size(col("v")).cast("long").as("n"),
             aggregate(col("qs"), lit(0L), (a, x) => a + x).as("qsum"),
