@@ -404,7 +404,8 @@ object QueryStep {
     * `with_itemindex` adds the 0-based element index per expanded row
     * (null for rows that pass through unexpanded — no element, no index). */
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind,
-      itemIndex: Option[String] = None) extends QueryStep
+      itemIndex: Option[String] = None,
+      casts: Seq[Option[String]] = Nil) extends QueryStep
   /** `mv-apply x = arr on ( <steps> )` — run a subpipeline over each ROW's
     * expanded array elements (KQL's per-row subquery). Supported inner
     * steps: `where`, `extend`, `summarize` (no `by` — the implicit group
@@ -414,7 +415,8 @@ object QueryStep {
     * per source row (original columns + aggregates). Rows whose array is
     * null/empty produce nothing, like mv-apply. */
   final case class MvApply(
-      name: String, src: FieldPath, sub: Seq[QueryStep]) extends QueryStep
+      name: String, src: FieldPath, sub: Seq[QueryStep],
+      castKind: Option[String] = None) extends QueryStep
   final case class Limit(n: Long) extends QueryStep
   /** `top-nested N1 of k1 by agg1, top-nested N2 of k2 by agg2, …` —
     * hierarchical top-k (real-KQL surface beyond the reference): level 1

@@ -2673,8 +2673,22 @@ final class Compiler(
       val keep = fields.map(_.render.toLowerCase).toSet
       df.select(df.columns.filter(c => keep.contains(c.toLowerCase)).map(col): _*)
 
-    case QueryStep.Expand(fields, kind, itemIndex) =>
-      compileExpand(df, fields, kind, itemIndex)
+    case QueryStep.Expand(fields, kind, itemIndex, casts) =>
+      val out = compileExpand(df, fields, kind, itemIndex)
+      // `to typeof(T)`: cast the EXPANDED element column (simple paths
+      // only — parser-enforced); try_cast keeps the row-error policy
+      fields.zipAll(casts, null, None).foldLeft(out) {
+        case (acc, (f, Some(t))) =>
+          val sparkT = t match {
+            case "long" | "int" => LongType
+            case "real" | "double" => DoubleType
+            case "bool" | "boolean" => BooleanType
+            case "datetime" => TimestampType
+            case _ => StringType
+          }
+          acc.withColumn(f.flat, col(s"`${f.flat}`").try_cast(sparkT))
+        case (acc, _) => acc
+      }
 
     // mv-apply: per-row subquery over array elements. Shape: explode
     // (narrow) → inner steps on the exploded frame → either one row per
@@ -2683,14 +2697,32 @@ final class Compiler(
     // first() (constant within a row's group, so deterministic). The row
     // id is evaluated on a single plan branch (no self-join), which keeps
     // monotonically_increasing_id safe here.
-    case QueryStep.MvApply(name, src, sub) =>
+    case QueryStep.MvApply(name, src, sub, castKind) =>
       val rid = "__mvapply_rid"
       // bare form (`mv-apply arr on …`) replaces the array column with the
       // element, so it must not also be carried as an "original"
       val origCols = df.columns.toSeq.filterNot(_.equalsIgnoreCase(name))
+      val srcArr = dataTypeAt(df, src) match {
+        // schemaless: variant arrays explode per element (a per-row
+        // non-array variant casts to null → the row emits nothing, like
+        // a null array)
+        case _: VariantType =>
+          compileField(df, src).try_cast(ArrayType(VariantType))
+        case _ => compileField(df, src)
+      }
       var cur = df
         .withColumn(rid, monotonically_increasing_id())
-        .withColumn(name, explode(compileField(df, src)))
+        .withColumn(name, explode(srcArr))
+      castKind.foreach { t =>
+        val sparkT = t match {
+          case "long" | "int" => LongType
+          case "real" | "double" => DoubleType
+          case "bool" | "boolean" => BooleanType
+          case "datetime" => TimestampType
+          case _ => StringType
+        }
+        cur = cur.withColumn(name, col(s"`$name`").try_cast(sparkT))
+      }
       var aggNames = Seq.empty[String]
       var extended = Seq.empty[String]
       var i = 0
@@ -4201,12 +4233,22 @@ final class Compiler(
     // For each requested field, its expansion array (expand.rs:98-131):
     // arrays expand as themselves, objects per kind; anything else —
     // scalar, missing, null — is not expandable and passes through.
-    val expandable: Seq[(FieldPath, Column)] = fields.flatMap { f =>
+    // (field, expansion, isVariant): variants carry the per-ROW
+    // expandability flag — their write-back keeps the original value on
+    // null expansions (type-compatible only for variants, where element
+    // and source types coincide)
+    val expandable: Seq[(FieldPath, Column, Boolean)] = fields.flatMap { f =>
       val c = compileField(df, f)
       dataTypeAt(df, f) match {
-        case _: ArrayType => Some(f -> c)
-        case mt: MapType => Some(f -> mapExpansion(c, mt.valueType, kind))
-        case st: StructType => Some(f -> structExpansion(c, st, kind))
+        case _: ArrayType => Some((f, c, false))
+        case mt: MapType => Some((f, mapExpansion(c, mt.valueType, kind), false))
+        case st: StructType => Some((f, structExpansion(c, st, kind), false))
+        // schemaless: a variant holding a JSON array expands per element;
+        // a per-row non-array variant yields a null expansion and passes
+        // through unchanged — the reference's per-ROW expandability on
+        // dynamic data (variant OBJECT enumeration is a documented
+        // narrowing: pass-through)
+        case _: VariantType => Some((f, c.try_cast(ArrayType(VariantType)), true))
         case _ => None
       }
     }
@@ -4219,11 +4261,17 @@ final class Compiler(
     // passes the row through once with a null element and null index
     // (posexplode_outer emits one (null, null) row for a null array).
     if (expandable.lengthCompare(1) == 0) {
-      val (f, e) = expandable.head
+      val (f, e, isVar) = expandable.head
       val base = df.withColumn("__exp_0", e)
         .filter(size(col("__exp_0")).isNull || size(col("__exp_0")) > 0)
         .select(col("*"), posexplode_outer(col("__exp_0")).as(Seq("__i", "__e")))
-      var out = writeBack(base, f, col("__e"))
+      // variant null expansion = not expandable for THIS row — keep the
+      // original value (non-array variants pass through unchanged)
+      val elem =
+        if (isVar) when(col("__exp_0").isNull, compileField(base, f))
+          .otherwise(col("__e"))
+        else col("__e")
+      var out = writeBack(base, f, elem)
       itemIndex.foreach { name =>
         out = out.withColumn(name, col("__i").cast(LongType))
       }
@@ -4232,7 +4280,7 @@ final class Compiler(
 
     var out = df
     val tmps = expandable.indices.map(i => s"__exp_$i").toList
-    expandable.zip(tmps).foreach { case ((_, e), t) => out = out.withColumn(t, e) }
+    expandable.zip(tmps).foreach { case ((_, e, _), t) => out = out.withColumn(t, e) }
     // reference OutputIter zip semantics (expand.rs:38-68), per row: expand
     // to the longest non-null expansion, padding shorter (and null) fields
     // with null; a row where EVERY expansion is null passes through once;
@@ -4245,8 +4293,12 @@ final class Compiler(
       .withColumn("__i", explode_outer(
         when(col("__len").isNull, array(lit(0)))
           .otherwise(sequence(lit(0), col("__len") - 1))))
-    expandable.zip(tmps).foreach { case ((f, _), t) =>
-      out = writeBack(out, f, get(col(t), col("__i")))
+    expandable.zip(tmps).foreach { case ((f, _, isVar), t) =>
+      val elem =
+        if (isVar) when(col(t).isNull, compileField(out, f))
+          .otherwise(get(col(t), col("__i")))
+        else get(col(t), col("__i"))
+      out = writeBack(out, f, elem)
     }
     // with_itemindex: surface the element index; a pass-through row (all
     // expansions null) carries no element, so its index is null

@@ -950,6 +950,17 @@ final class Parser(src: String, nowMicros: Long) {
 
   /** `mv-apply [x =] arrField on ( step | step … )` — the inner pipeline
     * has no source of its own (it runs over the row's expanded elements). */
+  private def parseTypeof(): String = {
+    eatIdent("typeof"); eatPunct("(")
+    val t = identText().toLowerCase match {
+      case k @ ("string" | "long" | "int" | "real" | "double" | "bool" |
+                "boolean" | "datetime" | "dynamic") => k
+      case other => fail(s"unsupported typeof($other)")
+    }
+    eatPunct(")")
+    t
+  }
+
   private def parseMvApply(): QueryStep = {
     val (name, src) = (peek, toks.lift(p + 1)) match {
       case (Ident(a, _), Some(Punct("=", _))) =>
@@ -957,13 +968,14 @@ final class Parser(src: String, nowMicros: Long) {
       case _ =>
         val f = parseFieldPath(); (f.flat, f)
     }
+    val cast = if (atIdent("to")) { p += 1; Some(parseTypeof()) } else None
     eatIdent("on")
     eatPunct("(")
     val steps = Seq.newBuilder[QueryStep]
     steps += parseStep()
     while (tryPunct("|")) steps += parseStep()
     eatPunct(")")
-    QueryStep.MvApply(name, src, steps.result())
+    QueryStep.MvApply(name, src, steps.result(), cast)
   }
 
   private def parseExpand(): QueryStep = {
@@ -983,7 +995,19 @@ final class Parser(src: String, nowMicros: Long) {
         itemIndex = Some(identText())
       } else opts = false
     }
-    QueryStep.Expand(parseFieldList(), kind, itemIndex)
+    // per-field `to typeof(T)` casts the expanded element
+    val fs = Seq.newBuilder[FieldPath]
+    val casts = Seq.newBuilder[Option[String]]
+    var more = true
+    while (more) {
+      val f = parseFieldPath()
+      val c = if (atIdent("to")) { p += 1; Some(parseTypeof()) } else None
+      arity(c.isEmpty || f.isSimple,
+        "mv-expand 'to typeof' needs a simple column")
+      fs += f; casts += c
+      more = tryPunct(",")
+    }
+    QueryStep.Expand(fs.result(), kind, itemIndex, casts.result())
   }
 
   private def parseFieldList(): Seq[FieldPath] = {

@@ -452,6 +452,22 @@ object KqlQueries {
         |FROM l2 JOIN k1 USING (event_type) WHERE l2.rk <= 2
         |ORDER BY event_type, user_id""".stripMargin),
 
+    // schemaless mv-expand: a variant JSON array explodes per element,
+    // `to typeof(long)` types them (non-numeric elements → null)
+    kq("kql_mvexpand_variant",
+      """documents
+        | | where doc_id < 300
+        | | extend a = todynamic(strcat('[', tostring(doc_id % 5),
+        |     ', "x", ', tostring(doc_id % 3), ']'))
+        | | mv-expand with_itemindex=ix a to typeof(long)
+        | | project doc_id, ix, a
+        | | sort by doc_id asc, ix asc""".stripMargin,
+      """SELECT doc_id, ix, a FROM (
+        |  SELECT doc_id, unnest([0, 1, 2]::BIGINT[]) AS ix,
+        |         unnest([doc_id % 5, NULL, doc_id % 3]) AS a
+        |  FROM documents WHERE doc_id < 300) t
+        |ORDER BY doc_id, ix""".stripMargin),
+
     // head-form multi-source union with isfuzzy: the missing branch is
     // skipped, the two real tables union with per-row provenance
     kq("kql_union_multi",

@@ -472,6 +472,25 @@ class ScalarBatch7Spec extends AnyFunSuite {
       .getLong(0) == 3L)
   }
 
+  test("mv-expand / mv-apply 'to typeof' casts expanded elements") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("tj", Seq("""["1", "2", "x"]""").toDF("j"))
+    // mv-expand: string elements cast to long; bad ones null (row kept)
+    val rows = Kql.run(TestSpark.spark, c2,
+      """tj | extend a = todynamic(j)
+        | | mv-expand a to typeof(long)
+        | | project a""".stripMargin).collect()
+    assert(rows.map(r => if (r.isNullAt(0)) null else r.getLong(0)).toSeq ==
+      Seq(1L, 2L, null))
+    // mv-apply: typed element feeds arithmetic in the subquery
+    val s = Kql.run(TestSpark.spark, c2,
+      """tj | extend a = todynamic(j)
+        | | mv-apply e = a to typeof(long) on (
+        |     where isnotnull(e) | summarize s = sum(e))
+        | | project s""".stripMargin).collect()(0).getDouble(0)
+    assert(s == 3.0)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
