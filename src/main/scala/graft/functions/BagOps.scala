@@ -130,7 +130,11 @@ object ParseXmlUtil {
   def parse(xml: UTF8String): UTF8String = {
     if (xml == null) return null
     try {
-      val doc = factory().newDocumentBuilder().parse(
+      val builder = factory().newDocumentBuilder()
+      // default handler prints "[Fatal Error]" to stderr for malformed
+      // input — row errors are a normal occurrence, keep logs quiet
+      builder.setErrorHandler(new org.xml.sax.helpers.DefaultHandler())
+      val doc = builder.parse(
         new java.io.ByteArrayInputStream(
           xml.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
       val root = doc.getDocumentElement
