@@ -363,6 +363,44 @@ object TextAnalysis {
       .select(col("id"), col("grp"), col("nb"), col("s"), col("decile"))
   }
 
+  /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
+    * starting every `chunkTokens − overlapTokens` (the stride), so each
+    * chunk shares `overlapTokens` with its predecessor. Chunk count =
+    * ceil(max(n − overlap, 1) / stride) — the final window always reaches
+    * the document end, no sub-overlap tail chunks. Empty documents emit
+    * nothing.
+    *
+    * Pure HOF lowering (transform over a sequence + one explode) — the
+    * chunking itself is map-side and shuffle-free; embedding each chunk
+    * downstream is where the compute goes at scale.
+    *
+    * @return (id, chunk_ix, chunk_text, chunk_tokens)
+    */
+  def chunk(
+      docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, overlapTokens: Int): DataFrame = {
+    require(chunkTokens > overlapTokens && overlapTokens >= 0,
+      "chunkTokens must exceed overlapTokens")
+    val stride = chunkTokens - overlapTokens
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = ceil(
+      greatest(n - overlapTokens, lit(1)).cast("double") / stride)
+      .cast("int")
+    docs
+      .filter(n > 0)
+      .select(col(idCol).as("id"), toks.as("__t"), nChunks.as("__nc"))
+      .select(col("id"), explode(transform(
+        sequence(lit(0), col("__nc") - 1),
+        i => struct(
+          i.cast("long").as("chunk_ix"),
+          slice(col("__t"), i * stride + 1, lit(chunkTokens)).as("__w"))))
+        .as("__c"))
+      .select(col("id"), col("__c.chunk_ix").as("chunk_ix"),
+        array_join(col("__c.__w"), " ").as("chunk_text"),
+        size(col("__c.__w")).cast("long").as("chunk_tokens"))
+  }
+
   /** Canonical URL for exact URL-level dedup (the CommonCrawl-style key):
     * scheme and host lowercase; default ports stripped (`:80` http,
     * `:443` https); fragment dropped; tracking params dropped

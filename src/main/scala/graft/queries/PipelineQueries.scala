@@ -625,6 +625,31 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // RAG-style overlapping token chunks (chunk 40, overlap 8, stride
+    // 32): pure HOF lowering, map-side; the oracle replays the window
+    // arithmetic with list slices
+    Q("pl_chunk",
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0)
+        |      AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, CAST(ceil(CAST(greatest(len(toks) - 8, 1)
+        |      AS DOUBLE) / 32) AS BIGINT))) AS chunk_ix
+        |  FROM t WHERE len(toks) > 0)
+        |SELECT doc_id AS id, chunk_ix,
+        |  array_to_string(toks[chunk_ix * 32 + 1 : chunk_ix * 32 + 40], ' ')
+        |    AS chunk_text,
+        |  CAST(len(toks[chunk_ix * 32 + 1 : chunk_ix * 32 + 40]) AS BIGINT)
+        |    AS chunk_tokens
+        |FROM c ORDER BY id, chunk_ix""".stripMargin)(
+      (s, d) => TextAnalysis.chunk(
+        Tables.load(s, d, "documents"), "doc_id", "text",
+        chunkTokens = 40, overlapTokens = 8)
+        .orderBy("id", "chunk_ix")),
+
     // CCNet-style LM quality deciles: add-one bigram LM fit on the
     // corpus, documents ranked by average token log-prob per language.
     // Per-bigram log-probs round to integer nano-units BEFORE summing, so

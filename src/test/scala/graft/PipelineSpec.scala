@@ -437,6 +437,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => b == 3L || a == 3L })
   }
 
+  test("chunk: overlap arithmetic, tail coverage, empty docs drop") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 tokens
+      (2L, "a b c"),                                  // shorter than a chunk
+      (3L, "")                                        // empty → drops
+    ).toDF("doc_id", "text")
+    val rows = TextAnalysis.chunk(docs, "doc_id", "text",
+      chunkTokens = 5, overlapTokens = 2)
+      .orderBy("id", "chunk_ix").collect()
+    val byDoc = rows.groupBy(_.getLong(0))
+    // n=10, stride 3 → ceil(8/3)=3 chunks: [w1..w5], [w4..w8], [w7..w10]
+    val d1 = byDoc(1L).map(r => (r.getLong(1), r.getString(2)))
+    assert(d1.toSeq == Seq(
+      (0L, "w1 w2 w3 w4 w5"), (1L, "w4 w5 w6 w7 w8"), (2L, "w7 w8 w9 w10")))
+    // the last chunk reaches the end and reports its true token count
+    assert(byDoc(1L).last.getLong(3) == 4L)
+    assert(byDoc(2L).map(_.getString(2)).toSeq == Seq("a b c"))
+    assert(!byDoc.contains(3L))
+  }
+
   test("canonicalUrl: case, ports, fragments, tracking params, slashes") {
     def canon(u: String): Any =
       Seq(Tuple1(u)).toDF("u")
