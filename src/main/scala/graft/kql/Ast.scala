@@ -379,6 +379,14 @@ object QueryStep {
     * same advice). Genuine null values group per-mask, so a null-valued
     * segment and its wildcard twin stay separate counts (documented). */
   final case class Basket(threshold: Double) extends QueryStep
+  /** `evaluate autocluster([threshold[, ratio]])` — the basket lattice
+    * with dominance pruning: a segment drops when a STRICTLY more
+    * specific frequent segment explains ≥ ratio (default 0.9) of its
+    * rows. Kusto's plugin algorithm is unpublished; this is our
+    * documented deterministic rule for the same "small informative
+    * segment set" intent. */
+  final case class AutoCluster(
+      threshold: Double, ratio: Double) extends QueryStep
   /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
     * ad-hoc file source with a declared schema (Kusto's operator; URIs
     * here are local/cluster-visible paths — no network egress). Reads

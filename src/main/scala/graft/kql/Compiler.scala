@@ -1265,6 +1265,47 @@ final class Compiler(
     * `1.2.3.4.5` fails the size check). Pure split + arithmetic so the
     * DuckDB oracle replays it verbatim.
     */
+  /** Shared basket core: every non-empty column subset of every row as a
+    * masked candidate segment, counted in ONE hash aggregation with the
+    * threshold·N filter from a broadcast 1-row total. Returns the
+    * surviving segments `(__mask, cols…, Count, __N)` plus the column
+    * list. */
+  private def basketSegments(
+      df: DataFrame, threshold: Double): (DataFrame, Seq[String]) = {
+    val cols = df.columns.toSeq
+    if (cols.size > 10) throw KqlParseException(
+      s"basket over ${cols.size} columns would expand 2^${cols.size} " +
+        "subsets per row — project to at most 10 columns first", 0)
+    val c = cols.size
+    val totals = broadcast(df.agg(count(lit(1)).as("__N")))
+    val masked = df.crossJoin(totals)
+      .withColumn("__mask",
+        explode(sequence(lit(1L), lit((1L << c) - 1L))))
+      .select(col("__mask") +: col("__N") +:
+        cols.zipWithIndex.map { case (cn, i) =>
+          when(shiftright(col("__mask"), i).bitwiseAND(lit(1L)) === 1L,
+            col(s"`$cn`")).as(cn)
+        }: _*)
+    val grouped = masked
+      .groupBy(col("__mask") +: cols.map(cn => col(s"`$cn`")): _*)
+      .agg(count(lit(1)).as("Count"), first(col("__N")).as("__N"))
+      .filter(col("Count") >= lit(threshold) * col("__N"))
+    (grouped, cols)
+  }
+
+  /** Rank the segments and shape Kusto's SegmentId/Count/Percent output. */
+  private def basketOutput(grouped: DataFrame, cols: Seq[String]): DataFrame = {
+    val ord = col("Count").desc +: col("__mask").asc +:
+      cols.map(cn => col(s"`$cn`").asc)
+    grouped
+      .withColumn("SegmentId", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+        .cast(LongType))
+      .withColumn("Percent", lit(100.0) * col("Count") / col("__N"))
+      .select(col("SegmentId") +: col("Count") +: col("Percent") +:
+        cols.map(cn => col(s"`$cn`")): _*)
+  }
+
   /** Binary series op with Kusto's scalar broadcast: array×array zips
     * (shorter side null-padded), array×scalar maps the scalar over every
     * element. The scalar side is whichever arg does NOT infer as an
@@ -3065,33 +3106,39 @@ final class Compiler(
     // flattened into one pass, which beats k iterative joins at cluster
     // scale for bounded c.
     case QueryStep.Basket(threshold) =>
-      val cols = df.columns.toSeq
-      if (cols.size > 10) throw KqlParseException(
-        s"basket over ${cols.size} columns would expand 2^${cols.size} " +
-          "subsets per row — project to at most 10 columns first", 0)
-      val c = cols.size
-      val totals = broadcast(df.agg(count(lit(1)).as("__N")))
-      val masked = df.crossJoin(totals)
-        .withColumn("__mask",
-          explode(sequence(lit(1L), lit((1L << c) - 1L))))
-        .select(col("__mask") +: col("__N") +:
-          cols.zipWithIndex.map { case (cn, i) =>
-            when(shiftright(col("__mask"), i).bitwiseAND(lit(1L)) === 1L,
-              col(s"`$cn`")).as(cn)
-          }: _*)
-      val grouped = masked
-        .groupBy(col("__mask") +: cols.map(cn => col(s"`$cn`")): _*)
-        .agg(count(lit(1)).as("Count"), first(col("__N")).as("__N"))
-        .filter(col("Count") >= lit(threshold) * col("__N"))
-      val ord = col("Count").desc +: col("__mask").asc +:
-        cols.map(cn => col(s"`$cn`").asc)
-      grouped
-        .withColumn("SegmentId", row_number().over(
-          org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
-          .cast(LongType))
-        .withColumn("Percent", lit(100.0) * col("Count") / col("__N"))
-        .select(col("SegmentId") +: col("Count") +: col("Percent") +:
-          cols.map(cn => col(s"`$cn`")): _*)
+      val (grouped, cols) = basketSegments(df, threshold)
+      basketOutput(grouped, cols)
+
+    // autocluster = the basket lattice + dominance pruning: a segment is
+    // redundant when a STRICTLY more specific frequent segment explains
+    // ≥ ratio of its rows — what survives is the small informative set
+    // Kusto's plugin aims for (its exact algorithm is unpublished; this
+    // rule is documented, deterministic semantics). The prune is a
+    // broadcast self-join over the already-small segment set
+    case QueryStep.AutoCluster(threshold, ratio) =>
+      val (grouped, cols) = basketSegments(df, threshold)
+      val sSide = grouped.select(
+        col("__mask").as("__sm") +: col("Count").as("__sc") +:
+          col("__N") +: cols.map(cn => col(s"`$cn`").as(s"__s_$cn")): _*)
+      val tSide = broadcast(grouped.select(
+        col("__mask").as("__tm") +: col("Count").as("__tc") +:
+          cols.map(cn => col(s"`$cn`").as(s"__t_$cn")): _*))
+      // T strictly more specific than S, agreeing on every S attribute
+      // (per-mask bits distinguish a genuine null value from a wildcard)
+      val agree = cols.zipWithIndex.map { case (cn, i) =>
+        val sBit = shiftright(col("__sm"), i).bitwiseAND(lit(1L)) === 1L
+        val tBit = shiftright(col("__tm"), i).bitwiseAND(lit(1L)) === 1L
+        !sBit || (tBit && col(s"`__s_$cn`") <=> col(s"`__t_$cn`"))
+      }.reduce(_ && _)
+      val kept0 = sSide.join(tSide,
+        col("__tm").bitwiseAND(col("__sm")) === col("__sm") &&
+          col("__tm") =!= col("__sm") && agree &&
+          col("__tc") >= lit(ratio) * col("__sc"),
+        "left_anti")
+      val kept = kept0.select(
+        col("__sm").as("__mask") +: col("__sc").as("Count") +:
+          col("__N") +: cols.map(cn => col(s"`__s_$cn`").as(cn)): _*)
+      basketOutput(kept, cols)
 
     // sequence_detect: cascaded as-of chain — each step binds to the
     // NEAREST preceding prefix per key (one key-shuffled linear as-of

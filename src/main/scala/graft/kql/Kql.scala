@@ -186,6 +186,7 @@ object Kql {
         s"invoke $n (\n" + renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
       case QueryStep.RenderHint(kind) => s"render $kind"
       case QueryStep.Basket(th) => s"evaluate basket($th)"
+      case QueryStep.AutoCluster(th, r) => s"evaluate autocluster($th, $r)"
       case QueryStep.SequenceDetect(tl, w, d, fs, k) =>
         s"evaluate sequence_detect(${tl.render}, ${w}us, ${d}us, " +
           s"${fs.map(_.render).mkString(", ")}, ${k.render})"

@@ -674,6 +674,20 @@ final class Parser(src: String, nowMicros: Long) {
         "sequence_detect() needs at least two step flags and one key")
       return QueryStep.SequenceDetect(tl, win, dur, cs.dropRight(1), cs.last)
     }
+    if (plugin == "autocluster") {
+      eatPunct("(")
+      def num(dflt: Double): Double = peek match {
+        case FloatTok(v, _) => p += 1; v
+        case IntTok(v, _) => p += 1; v.toDouble
+        case _ => dflt
+      }
+      val th = num(0.05)
+      val ratio = if (tryPunct(",")) num(0.9) else 0.9
+      eatPunct(")")
+      arity(th > 0 && th <= 1, "autocluster threshold must be in (0, 1]")
+      arity(ratio > 0 && ratio <= 1, "autocluster ratio must be in (0, 1]")
+      return QueryStep.AutoCluster(th, ratio)
+    }
     if (plugin == "basket") {
       eatPunct("(")
       val th = peek match {

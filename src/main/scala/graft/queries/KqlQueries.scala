@@ -2164,6 +2164,40 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // autocluster: the basket lattice with dominance pruning — a segment
+    // drops when a strictly more specific frequent segment explains
+    // ≥50% of its rows; the oracle replays the prune with NOT EXISTS
+    kq("kql_autocluster",
+      """documents
+        | | project lang, source, lb = bin(n_chars, 100)
+        | | evaluate autocluster(0.02, 0.5)""".stripMargin,
+      """WITH t AS (
+        |  SELECT lang, source, (n_chars // 100) * 100 AS lb FROM documents),
+        |n AS (SELECT count(*) AS N FROM t),
+        |e AS (SELECT mask,
+        |        CASE WHEN mask % 2 = 1 THEN lang END AS lang,
+        |        CASE WHEN (mask // 2) % 2 = 1 THEN source END AS source,
+        |        CASE WHEN (mask // 4) % 2 = 1 THEN lb END AS lb
+        |      FROM t CROSS JOIN (SELECT unnest(range(1, 8)) AS mask) m),
+        |g AS (SELECT mask, lang, source, lb, count(*) AS cnt
+        |      FROM e GROUP BY 1, 2, 3, 4),
+        |f AS (SELECT g.* FROM g, n WHERE cnt >= 0.02 * N),
+        |pr AS (
+        |  SELECT s.* FROM f s
+        |  WHERE NOT EXISTS (SELECT 1 FROM f t
+        |    WHERE (t.mask & s.mask) = s.mask AND t.mask <> s.mask
+        |      AND (s.mask % 2 = 0 OR t.lang IS NOT DISTINCT FROM s.lang)
+        |      AND ((s.mask // 2) % 2 = 0
+        |           OR t.source IS NOT DISTINCT FROM s.source)
+        |      AND ((s.mask // 4) % 2 = 0 OR t.lb IS NOT DISTINCT FROM s.lb)
+        |      AND t.cnt >= 0.5 * s.cnt))
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY cnt DESC, mask, lang NULLS FIRST, source NULLS FIRST,
+        |             lb NULLS FIRST) AS BIGINT) AS SegmentId,
+        |  cnt AS Count, 100.0 * cnt / (SELECT N FROM n) AS Percent,
+        |  lang, source, lb
+        |FROM pr ORDER BY SegmentId""".stripMargin),
+
     // evaluate basket: frequent attribute-combination segments over the
     // projected columns — one masked expansion + one hash aggregation;
     // oracle replays the same mask lattice with integer bit tests

@@ -491,6 +491,20 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(s == 3.0)
   }
 
+  test("evaluate autocluster: dominated segments drop") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("b2", Seq(
+      ("x", "p"), ("x", "p"), ("x", "q"), ("y", "p"), ("y", "p"), ("y", "p"))
+      .toDF("a", "b"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      "b2 | evaluate autocluster(0.5, 0.9)").collect()
+    val segs = rows.map(r => (Option(r.get(3)), Option(r.get(4)))).toSet
+    // basket at 0.5 gives b=p(5), a=x(3), a=y(3), a=y&b=p(3); the
+    // (a=y,b=p) segment explains 100% of a=y → a=y drops; the rest stay
+    assert(segs == Set(
+      (None, Some("p")), (Some("x"), None), (Some("y"), Some("p"))))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
