@@ -387,6 +387,15 @@ object QueryStep {
     * segment set" intent. */
   final case class AutoCluster(
       threshold: Double, ratio: Double) extends QueryStep
+  /** `evaluate diffpatterns(threshold, splitColumn, valueA, valueB)` —
+    * segment-frequency comparison between the two row subsets selected
+    * by the split column: the basket lattice is mined on each side
+    * (threshold against that side's row count), segments full-outer
+    * merge on identity, and output ranks by |PercentA − PercentB|
+    * descending. The split column leaves the segment attribute set. */
+  final case class DiffPatterns(
+      threshold: Double, split: FieldPath,
+      valueA: Expr, valueB: Expr) extends QueryStep
   /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
     * ad-hoc file source with a declared schema (Kusto's operator; URIs
     * here are local/cluster-visible paths — no network egress). Reads

@@ -3140,6 +3140,51 @@ final class Compiler(
           col("__N") +: cols.map(cn => col(s"`__s_$cn`").as(cn)): _*)
       basketOutput(kept, cols)
 
+    // diffpatterns: the basket lattice mined on each side of the split,
+    // merged full-outer on segment identity, ranked by |ΔPercent| — two
+    // masked-expansion hash aggs + one broadcast-sized merge join
+    case QueryStep.DiffPatterns(threshold, split, va, vb) =>
+      val splitCol = compileField(df, split)
+      val sideA = df.filter(splitCol === compile(df, va))
+        .drop(split.flat)
+      val sideB = df.filter(splitCol === compile(df, vb))
+        .drop(split.flat)
+      val (ga, cols) = basketSegments(sideA, threshold)
+      val (gb, _) = basketSegments(sideB, threshold)
+      val a = ga.select(col("__mask") +: col("Count").as("CountA") +:
+        col("__N").as("__NA") +: cols.map(cn => col(s"`$cn`")): _*)
+      val b = gb.select(col("__mask").as("__mb") +:
+        col("Count").as("CountB") +: col("__N").as("__NB") +:
+        cols.map(cn => col(s"`$cn`").as(s"__b_$cn")): _*)
+      val cond = (col("__mask") <=> col("__mb")) &&
+        cols.map(cn => col(s"`$cn`") <=> col(s"`__b_$cn`")).reduce(_ && _)
+      val merged = a.join(b, cond, "full_outer")
+        .select(Seq(
+          coalesce(col("__mask"), col("__mb")).as("__mask"),
+          coalesce(col("CountA"), lit(0L)).as("CountA"),
+          coalesce(col("CountB"), lit(0L)).as("CountB")) ++
+          cols.map(cn =>
+            coalesce(col(s"`$cn`"), col(s"`__b_$cn`")).as(cn)): _*)
+      // side totals from broadcast 1-row aggregates (a side may have no
+      // surviving segments, so its __N can be absent from the merge)
+      val na = broadcast(sideA.agg(count(lit(1)).as("__TA")))
+      val nb = broadcast(sideB.agg(count(lit(1)).as("__TB")))
+      val scored = merged.crossJoin(na).crossJoin(nb)
+        .withColumn("PercentA",
+          lit(100.0) * col("CountA") / greatest(col("__TA"), lit(1L)))
+        .withColumn("PercentB",
+          lit(100.0) * col("CountB") / greatest(col("__TB"), lit(1L)))
+        .withColumn("PercentDiffAB", abs(col("PercentA") - col("PercentB")))
+      val ord = col("PercentDiffAB").desc +: col("__mask").asc +:
+        cols.map(cn => col(s"`$cn`").asc)
+      scored
+        .withColumn("SegmentId", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(ord: _*))
+          .cast(LongType))
+        .select(col("SegmentId") +: col("CountA") +: col("CountB") +:
+          col("PercentA") +: col("PercentB") +: col("PercentDiffAB") +:
+          cols.map(cn => col(s"`$cn`")): _*)
+
     // sequence_detect: cascaded as-of chain — each step binds to the
     // NEAREST preceding prefix per key (one key-shuffled linear as-of
     // pass per step, never a quadratic candidate join), constraints

@@ -187,6 +187,9 @@ object Kql {
       case QueryStep.RenderHint(kind) => s"render $kind"
       case QueryStep.Basket(th) => s"evaluate basket($th)"
       case QueryStep.AutoCluster(th, r) => s"evaluate autocluster($th, $r)"
+      case QueryStep.DiffPatterns(th, sp, va, vb) =>
+        s"evaluate diffpatterns($th, ${sp.render}, " +
+          s"${Render.expr(va)}, ${Render.expr(vb)})"
       case QueryStep.SequenceDetect(tl, w, d, fs, k) =>
         s"evaluate sequence_detect(${tl.render}, ${w}us, ${d}us, " +
           s"${fs.map(_.render).mkString(", ")}, ${k.render})"

@@ -674,6 +674,27 @@ final class Parser(src: String, nowMicros: Long) {
         "sequence_detect() needs at least two step flags and one key")
       return QueryStep.SequenceDetect(tl, win, dur, cs.dropRight(1), cs.last)
     }
+    if (plugin == "diffpatterns") {
+      eatPunct("(")
+      val th = peek match {
+        case FloatTok(v, _) => p += 1; v
+        case IntTok(v, _) => p += 1; v.toDouble
+        case t => fail("diffpatterns threshold must be a numeric literal")
+      }
+      eatPunct(",")
+      val split = parseFieldPath()
+      eatPunct(",")
+      val va = delit(parseExpr())
+      eatPunct(",")
+      val vb = delit(parseExpr())
+      eatPunct(")")
+      arity(th > 0 && th <= 1, "diffpatterns threshold must be in (0, 1]")
+      arity(va.isInstanceOf[StrLit] || va.isInstanceOf[IntLit] ||
+        va.isInstanceOf[BoolLit], "diffpatterns values must be literals")
+      arity(vb.isInstanceOf[StrLit] || vb.isInstanceOf[IntLit] ||
+        vb.isInstanceOf[BoolLit], "diffpatterns values must be literals")
+      return QueryStep.DiffPatterns(th, split, va, vb)
+    }
     if (plugin == "autocluster") {
       eatPunct("(")
       def num(dflt: Double): Double = peek match {

@@ -2164,6 +2164,50 @@ object KqlQueries {
         |FROM events WHERE event_id < 2000
         |ORDER BY event_id""".stripMargin),
 
+    // diffpatterns: per-side basket lattices (en vs de) merged on
+    // segment identity, ranked by |ΔPercent|
+    kq("kql_diffpatterns",
+      """documents
+        | | project lang, source, lb = bin(n_chars, 200)
+        | | evaluate diffpatterns(0.02, lang, 'en', 'de')""".stripMargin,
+      """WITH t AS (
+        |  SELECT lang, source, (n_chars // 200) * 200 AS lb FROM documents
+        |  WHERE lang IN ('en', 'de')),
+        |e AS (SELECT lang, mask,
+        |        CASE WHEN mask % 2 = 1 THEN source END AS source,
+        |        CASE WHEN (mask // 2) % 2 = 1 THEN lb END AS lb
+        |      FROM t CROSS JOIN (SELECT unnest(range(1, 4)) AS mask) m),
+        |na AS (SELECT count(*) AS TA FROM t WHERE lang = 'en'),
+        |nb AS (SELECT count(*) AS TB FROM t WHERE lang = 'de'),
+        |ga AS (SELECT mask, source, lb, count(*) AS ca FROM e, na
+        |       WHERE lang = 'en' GROUP BY 1, 2, 3
+        |       HAVING count(*) >= 0.02 * any_value(TA)),
+        |gb AS (SELECT mask, source, lb, count(*) AS cb FROM e, nb
+        |       WHERE lang = 'de' GROUP BY 1, 2, 3
+        |       HAVING count(*) >= 0.02 * any_value(TB)),
+        |mg AS (
+        |  SELECT coalesce(ga.mask, gb.mask) AS mask,
+        |    coalesce(ga.ca, 0) AS CountA, coalesce(gb.cb, 0) AS CountB,
+        |    coalesce(ga.source, gb.source) AS source,
+        |    coalesce(ga.lb, gb.lb) AS lb
+        |  FROM ga FULL JOIN gb
+        |    ON ga.mask IS NOT DISTINCT FROM gb.mask
+        |   AND ga.source IS NOT DISTINCT FROM gb.source
+        |   AND ga.lb IS NOT DISTINCT FROM gb.lb),
+        |sc AS (
+        |  SELECT mask, CountA, CountB, source, lb,
+        |    100.0 * CountA / TA AS PercentA,
+        |    100.0 * CountB / TB AS PercentB
+        |  FROM mg, na, nb)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY abs(PercentA - PercentB) DESC, mask,
+        |             source NULLS FIRST, lb NULLS FIRST) AS BIGINT)
+        |    AS SegmentId,
+        |  CAST(CountA AS BIGINT) AS CountA, CAST(CountB AS BIGINT) AS CountB,
+        |  PercentA, PercentB, abs(PercentA - PercentB) AS PercentDiffAB,
+        |  source, lb
+        |FROM sc ORDER BY SegmentId""".stripMargin),
+
     // autocluster: the basket lattice with dominance pruning — a segment
     // drops when a strictly more specific frequent segment explains
     // ≥50% of its rows; the oracle replays the prune with NOT EXISTS

@@ -505,6 +505,24 @@ class ScalarBatch7Spec extends AnyFunSuite {
       (None, Some("p")), (Some("x"), None), (Some("y"), Some("p"))))
   }
 
+  test("evaluate diffpatterns: per-side lattices, delta ranking") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("dp", Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "y"),
+      ("B", "x"), ("B", "y"), ("B", "y"), ("B", "y"))
+      .toDF("side", "v"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      "dp | evaluate diffpatterns(0.25, side, 'A', 'B')").collect()
+    // v=x: A 3/4=75%, B 1/4=25% → diff 50; v=y: 25% vs 75% → diff 50
+    val m = rows.map(r => (r.getString(6),
+      (r.getLong(1), r.getLong(2), r.getDouble(5)))).toMap
+    assert(m("x") == (3L, 1L, 50.0) && m("y") == (1L, 3L, 50.0))
+    // delta ties break by mask then value — x ranks before y
+    assert(rows.head.getString(6) == "x" && rows.head.getLong(0) == 1L)
+    // the split column leaves the attribute set entirely
+    assert(!rows.head.schema.fieldNames.contains("side"))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
