@@ -208,7 +208,7 @@ final class Compiler(
            "unixtime_microseconds_todatetime" |
            "unixtime_nanoseconds_todatetime" => KT.Ts
       case "make_timespan" => KT.Span
-      case "isascii" => KT.Bool
+      case "isascii" | "has_ipv4" => KT.Bool
       case "unicode_codepoints_from_string" |
            "base64_decode_toarray" => KT.Arr
       case "extract_all" | "parse_csv" | "extract_groups" |
@@ -1145,6 +1145,24 @@ final class Compiler(
               shiftright(masked, 8).bitwiseAND(lit(255L)),
               masked.bitwiseAND(lit(255L))),
               lit("/"), bits.cast(StringType)))
+        // Kusto replace_regex: every match rewritten; the same
+        // RE2-compatible pattern runs in any oracle engine ($1-style
+        // group refs pass through — both engines accept them)
+        case "replace_regex" =>
+          regexp_replace(cs.head.cast(StringType),
+            lit(args(1).asInstanceOf[StrLit].v),
+            lit(args(2).asInstanceOf[StrLit].v))
+        // has_ipv4: some whitespace/punct-delimited token is a STRICT
+        // dotted quad (octets 0-255). Token-split + per-token anchored
+        // regex — no lookaround, so the identical pattern replays in
+        // RE2-based engines
+        case "has_ipv4" =>
+          val octet = "(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+          val re = s"^$octet\\.$octet\\.$octet\\.$octet$$"
+          exists(
+            org.apache.spark.sql.functions.split(
+              cs.head.cast(StringType), "[\\s,;:\\[\\]()\"']+"),
+            t => t.rlike(re))
         case "treepath" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.TreePath(

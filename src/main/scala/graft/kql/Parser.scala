@@ -1675,7 +1675,7 @@ final class Parser(src: String, nowMicros: Long) {
     "base64_decode_toarray", "base64_encode_fromarray",
     "ipv4_compare", "ipv4_is_match", "ipv4_netmask_suffix",
     "format_ipv4_mask", "jaccard_index", "dynamic_to_json", "bag_set_key",
-    "parse_xml", "treepath",
+    "parse_xml", "treepath", "replace_regex", "has_ipv4",
     "reverse", "strrep", "trim_start", "trim_end",
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
@@ -2020,6 +2020,16 @@ final class Parser(src: String, nowMicros: Long) {
       case "gettype" =>
         val a = args(); arity(a.length == 1, "gettype() takes 1 arg")
         StrFn("gettype", a)
+      case "replace_regex" =>
+        val a = args()
+        arity(a.length == 3,
+          "replace_regex() takes (source, regex_literal, rewrite_literal)")
+        arity(a(1).isInstanceOf[StrLit] && a(2).isInstanceOf[StrLit],
+          "replace_regex() pattern and rewrite must be string literals")
+        StrFn("replace_regex", a)
+      case "has_ipv4" =>
+        val a = args(); arity(a.length == 1, "has_ipv4() takes 1 arg")
+        StrFn("has_ipv4", a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,

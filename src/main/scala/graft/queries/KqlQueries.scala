@@ -491,6 +491,32 @@ object KqlQueries {
         |FROM events WHERE event_id < 1500
         |ORDER BY event_id""".stripMargin),
 
+    // replace_regex (all matches, $1 group refs) + has_ipv4 (strict
+    // octet validation on separator-delimited tokens, no lookaround —
+    // the identical pattern replays in RE2)
+    kq("kql_extras2",
+      """events
+        | | where event_id < 1500
+        | | extend s = strcat('addr 10.', tostring(event_id % 256), '.0.',
+        |                     tostring(event_id % 300))
+        | | project event_id,
+        |     rr = replace_regex(props, '[0-9]+', '#'),
+        |     rg = replace_regex(props, '"k": ([0-9]+)', 'k:$1'),
+        |     h1 = has_ipv4(s),
+        |     h2 = has_ipv4(replace_string(s, 'addr ', 'addr='))
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  regexp_replace(props, '[0-9]+', '#', 'g') AS rr,
+        |  regexp_replace(props, '"k": ([0-9]+)', 'k:\1', 'g') AS rg,
+        |  len(list_filter(string_split_regex(
+        |    'addr 10.' || (event_id % 256) || '.0.' || (event_id % 300),
+        |    '[\s,;:\[\]()"'']+'), t -> regexp_matches(t,
+        |    '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$')))
+        |    > 0 AS h1,
+        |  false AS h2
+        |FROM events WHERE event_id < 1500
+        |ORDER BY event_id""".stripMargin),
+
     // period offsets, typed extract, extract_groups, treepath
     kq("kql_extras1",
       """events

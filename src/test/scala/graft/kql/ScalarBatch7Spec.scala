@@ -523,6 +523,17 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(!rows.head.schema.fieldNames.contains("side"))
   }
 
+  test("replace_regex and has_ipv4") {
+    assert(scalar("replace_regex('ab12cd34', '[0-9]+', '#')") == "ab#cd#")
+    assert(scalar(
+      "replace_regex('k=1;k=2', 'k=([0-9])', 'v:$1')") == "v:1;v:2")
+    assert(scalar("has_ipv4('src 192.168.1.1 dst')") == true)
+    assert(scalar("has_ipv4('at [10.0.0.255]:8080')") == true)
+    assert(scalar("has_ipv4('version 256.1.1.1 invalid')") == false)
+    assert(scalar("has_ipv4('1.2.3.4.5 is not an ip')") == false)
+    assert(scalar("has_ipv4('no addresses here')") == false)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
