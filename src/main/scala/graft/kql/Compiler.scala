@@ -244,7 +244,7 @@ final class Compiler(
       case "binary_and" | "binary_or" | "binary_xor" | "binary_not" |
           "binary_shift_left" | "binary_shift_right" |
           "bitset_count_ones" => KT.Int
-      case "geo_point_in_circle" => KT.Bool
+      case "geo_point_in_circle" | "geo_point_in_polygon" => KT.Bool
       // variadic extrema follow their arguments: all-integral stays long
       case "min_of" | "max_of" =>
         if (args.forall(a => infer(df, a) == KT.Int)) KT.Int
@@ -1324,6 +1324,35 @@ final class Compiler(
         cols.map(cn => col(s"`$cn`")): _*)
   }
 
+  /** GeoJSON Polygon rings (exterior + holes) as closed vertex lists —
+    * parsed once at compile from the literal. */
+  private def parsePolygonRings(geojson: String): Seq[Seq[(Double, Double)]] = {
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = mapper.readTree(geojson)
+      val coords = root.get("coordinates")
+      if (coords == null || !coords.isArray || coords.isEmpty)
+        throw KqlParseException(
+          "geo_point_in_polygon() polygon needs GeoJSON coordinates", 0)
+      val rings = Seq.newBuilder[Seq[(Double, Double)]]
+      coords.forEach { ring =>
+        val vs = Seq.newBuilder[(Double, Double)]
+        ring.forEach(pt => vs += ((pt.get(0).asDouble(), pt.get(1).asDouble())))
+        val v = vs.result()
+        // GeoJSON closes rings (last = first); close unclosed ones
+        rings += (if (v.nonEmpty && v.head != v.last) v :+ v.head else v)
+      }
+      val out = rings.result()
+      if (out.exists(_.length < 4)) throw KqlParseException(
+        "geo_point_in_polygon() rings need at least 3 distinct vertices", 0)
+      out
+    } catch {
+      case e: KqlParseException => throw e
+      case _: Exception => throw KqlParseException(
+        "geo_point_in_polygon() polygon is not valid GeoJSON", 0)
+    }
+  }
+
   /** Binary series op with Kusto's scalar broadcast: array×array zips
     * (shorter side null-padded), array×scalar maps the scalar over every
     * element. The scalar side is whichever arg does NOT infer as an
@@ -1594,6 +1623,27 @@ final class Compiler(
           val guarded = when(valid, dist)
           if (name == "geo_distance_2points") guarded
           else guarded <= d(4)
+        // even-odd ray casting over a LITERAL GeoJSON polygon: the ring
+        // edges unroll to a codegen'd crossing-count fold (planar
+        // lon/lat edges — Kusto's spherical edge interpolation deviates
+        // by < 0.5% at city scale, documented like the haversine choice);
+        // holes fall out of the even-odd rule over ALL rings. The same
+        // literal-constant arithmetic replays bit-for-bit in SQL
+        case "geo_point_in_polygon" =>
+          val rings = args(2) match {
+            case StrLit(gj) => parsePolygonRings(gj)
+            case _ => throw KqlParseException(
+              "geo_point_in_polygon() polygon must be a literal", 0)
+          }
+          val x = d(0); val y = d(1)
+          val crossings = rings.flatMap { ring =>
+            ring.zip(ring.tail).map { case ((xi, yi), (xj, yj)) =>
+              when((lit(yi) > y) =!= (lit(yj) > y) &&
+                x < lit(xj - xi) * (y - lit(yi)) / lit(yj - yi) + lit(xi),
+                1L).otherwise(0L)
+            }
+          }.reduce(_ + _)
+          when(abs(x) <= 180.0 && abs(y) <= 90.0, crossings % 2 === 1L)
         // bitwise family over longs; shift counts use Java's mod-64 wrap
         // (documented — Kusto leaves ≥64-bit shifts unspecified)
         case "binary_and" | "binary_or" | "binary_xor" |

@@ -1657,7 +1657,8 @@ final class Parser(src: String, nowMicros: Long) {
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "extract_json", "parse_path", "has_any_index",
-    "geo_distance_2points", "geo_point_in_circle", "geo_geohash",
+    "geo_distance_2points", "geo_point_in_circle", "geo_point_in_polygon",
+    "geo_geohash",
     "geo_geohash_to_central_point",
     "parse_ipv6", "ipv6_compare", "ipv6_is_match", "ipv6_is_in_range",
     "format_timespan",
@@ -1910,6 +1911,14 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 5,
           "geo_point_in_circle() takes (lon, lat, c_lon, c_lat, radius)")
         MathFn("geo_point_in_circle", a)
+      case "geo_point_in_polygon" =>
+        val a = args()
+        arity(a.length == 3,
+          "geo_point_in_polygon() takes (lon, lat, polygon_literal)")
+        arity(a(2).isInstanceOf[StrLit],
+          "geo_point_in_polygon() polygon must be a string literal " +
+            "(GeoJSON)")
+        MathFn("geo_point_in_polygon", a)
       case "geo_geohash" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

@@ -491,6 +491,35 @@ object KqlQueries {
         |FROM events WHERE event_id < 1500
         |ORDER BY event_id""".stripMargin),
 
+    // geo_point_in_polygon: even-odd ray casting over a literal GeoJSON
+    // square with a triangular hole; .5-offset latitudes dodge edge/
+    // vertex degeneracies and the same unrolled edge arithmetic replays
+    // in SQL (horizontal edges contribute 0 in both engines — their
+    // first conjunct is false before the zero-denominator division)
+    kq("kql_geo_polygon",
+      """events
+        | | where event_id < 2000
+        | | extend x = todouble(event_id % 13) - 1.0,
+        |          y = todouble(event_id % 12) - 0.5
+        | | project event_id, inp = geo_point_in_polygon(x, y,
+        |     '{"type":"Polygon","coordinates":[[[0,0],[10,0],[10,10],[0,10],[0,0]],[[4,4],[6,4],[5,6],[4,4]]]}')
+        | | sort by event_id asc""".stripMargin,
+      """WITH p AS (
+        |  SELECT event_id,
+        |    CAST(event_id % 13 AS DOUBLE) - 1.0 AS x,
+        |    CAST(event_id % 12 AS DOUBLE) - 0.5 AS y
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id, (
+        |  CASE WHEN (0 > y) <> (0 > y) AND x < (10) * (y - 0) / (0) + 0 THEN 1 ELSE 0 END +
+        |  CASE WHEN (0 > y) <> (10 > y) AND x < (0) * (y - 0) / (10) + 10 THEN 1 ELSE 0 END +
+        |  CASE WHEN (10 > y) <> (10 > y) AND x < (-10) * (y - 10) / (0) + 10 THEN 1 ELSE 0 END +
+        |  CASE WHEN (10 > y) <> (0 > y) AND x < (0) * (y - 10) / (-10) + 0 THEN 1 ELSE 0 END +
+        |  CASE WHEN (4 > y) <> (4 > y) AND x < (2) * (y - 4) / (0) + 4 THEN 1 ELSE 0 END +
+        |  CASE WHEN (4 > y) <> (6 > y) AND x < (-1) * (y - 4) / (2) + 6 THEN 1 ELSE 0 END +
+        |  CASE WHEN (6 > y) <> (4 > y) AND x < (-1) * (y - 6) / (-2) + 5 THEN 1 ELSE 0 END
+        |  ) % 2 = 1 AS inp
+        |FROM p ORDER BY event_id""".stripMargin),
+
     // replace_regex (all matches, $1 group refs) + has_ipv4 (strict
     // octet validation on separator-delimited tokens, no lookaround —
     // the identical pattern replays in RE2)

@@ -534,6 +534,23 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(scalar("has_ipv4('no addresses here')") == false)
   }
 
+  test("geo_point_in_polygon: interior, exterior, hole, invalid coords") {
+    val poly = """'{"type":"Polygon","coordinates":""" +
+      """[[[0,0],[10,0],[10,10],[0,10],[0,0]],""" +
+      """[[4,4],[6,4],[5,6],[4,4]]]}'"""
+    def in(x: Double, y: Double): Any =
+      scalar(s"geo_point_in_polygon($x, $y, $poly)")
+    assert(in(2.0, 2.5) == true)    // interior
+    assert(in(-1.0, 5.5) == false)  // west of the square
+    assert(in(11.0, 5.5) == false)  // east
+    assert(in(5.0, 4.5) == false)   // inside the hole
+    assert(in(5.0, 7.5) == true)    // above the hole, inside the square
+    assert(in(200.0, 5.0) == null)  // invalid longitude
+    val e = intercept[KqlParseException](
+      scalar("geo_point_in_polygon(1.0, 1.0, 'not geojson')"))
+    assert(e.getMessage.contains("GeoJSON"))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
