@@ -3348,13 +3348,30 @@ final class Compiler(
       }).map(_.flat)
       val groupCols = df.columns.filter(c =>
         !c.equalsIgnoreCase(pivotName) && !aggSrc.exists(_.equalsIgnoreCase(c)))
-      val vals = values.map {
-        case StrLit(s) => s: Any
-        case IntLit(v) => v: Any
-        case FloatLit(v) => v: Any
-        case BoolLit(v) => v: Any
-        case _ => throw KqlParseException("pivot values must be literals", 0)
-      }
+      val vals =
+        if (values.nonEmpty) values.map {
+          case StrLit(s) => s: Any
+          case IntLit(v) => v: Any
+          case FloatLit(v) => v: Any
+          case BoolLit(v) => v: Any
+          case _ => throw KqlParseException("pivot values must be literals", 0)
+        } else {
+          // auto-schema form: ONE bounded eager distinct scan at compile
+          // (toscalar's documented eagerness) — sorted so the output
+          // column order is deterministic; a wide key set must be listed
+          // explicitly, the static-schema contract at scale
+          val distinctVals = df
+            .select(compileField(df, colPath).as("__pv"))
+            .filter(col("__pv").isNotNull)
+            .distinct().orderBy(col("__pv")).limit(101)
+            .collect().map(_.get(0)).toSeq
+          if (distinctVals.length > 100) throw KqlParseException(
+            "pivot() auto-schema supports at most 100 distinct values — " +
+              "list the values explicitly", 0)
+          if (distinctVals.isEmpty) throw KqlParseException(
+            "pivot() found no values to pivot on", 0)
+          distinctVals
+        }
       df.groupBy(groupCols.map(c => col(s"`$c`")): _*)
         .pivot(compileField(df, colPath), vals)
         .agg(aggColumn(df, agg.agg))

@@ -735,11 +735,11 @@ final class Parser(src: String, nowMicros: Long) {
     val values = Seq.newBuilder[Expr]
     while (tryPunct(",")) values += parseExpr()
     eatPunct(")")
-    val vs = values.result()
-    arity(vs.nonEmpty,
-      "pivot() requires explicit value literals (static output schema)")
+    // empty values = Kusto's auto-schema form; the compiler runs a
+    // bounded eager distinct scan (like toscalar's documented eagerness)
     QueryStep.Pivot(col,
-      AggField(agg, alias.getOrElse(Aggregation.defaultName(agg))), vs)
+      AggField(agg, alias.getOrElse(Aggregation.defaultName(agg))),
+      values.result())
   }
 
   /** `partition [hint.…=…] by Col ( step | step … )` — hints are accepted

@@ -491,6 +491,18 @@ object KqlQueries {
         |FROM events WHERE event_id < 1500
         |ORDER BY event_id""".stripMargin),
 
+    // pivot auto-schema: values discovered by one bounded eager distinct
+    // scan, sorted for deterministic column order; empty cells stay null
+    kq("kql_pivot_auto",
+      """lineitem
+        | | project l_returnflag, l_linestatus, l_quantity
+        | | evaluate pivot(l_linestatus, sum(l_quantity))
+        | | sort by l_returnflag asc""".stripMargin,
+      """SELECT l_returnflag,
+        |  sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F,
+        |  sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // geo_point_in_polygon: even-odd ray casting over a literal GeoJSON
     // square with a triangular hole; .5-offset latitudes dodge edge/
     // vertex degeneracies and the same unrolled edge arithmetic replays

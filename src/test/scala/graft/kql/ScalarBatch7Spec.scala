@@ -551,6 +551,22 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(e.getMessage.contains("GeoJSON"))
   }
 
+  test("pivot auto-schema: distinct values discovered and sorted") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("pv", Seq(
+      ("k1", "b", 1L), ("k1", "a", 2L), ("k2", "a", 3L), ("k2", "c", 4L))
+      .toDF("k", "p", "v"))
+    val df = Kql.run(TestSpark.spark, c2,
+      "pv | evaluate pivot(p, sum(v)) | sort by k asc")
+    // columns come out in sorted value order
+    assert(df.columns.toSeq == Seq("k", "a", "b", "c"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(1) == 2.0 && rows(0).getDouble(2) == 1.0 &&
+      rows(0).isNullAt(3))
+    assert(rows(1).getDouble(1) == 3.0 && rows(1).isNullAt(2) &&
+      rows(1).getDouble(3) == 4.0)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
