@@ -478,6 +478,11 @@ object QueryStep {
     * DataType, ColumnType), KQL's schema-introspection step. Computed from
     * the compile-time schema; never touches data. */
   case object GetSchema extends QueryStep
+  /** `consume [decodeblocks=true]` — execute and swallow: the result is a
+    * single stats row {Count: n} (Kusto emits an empty result and side
+    * stats; a visible count row is our documented shape — a lazy engine
+    * must force SOMETHING for consume to mean anything). */
+  case object Consume extends QueryStep
   /** `write sink` — terminal: consume the stream into a sink, emit nothing
     * (reference: `miso-workflow/src/write.rs:19-105`). */
   final case class Write(target: String) extends QueryStep

@@ -3461,6 +3461,11 @@ final class Compiler(
     // render is a client-side visualization directive — rows pass through
     case QueryStep.RenderHint(_) => df
 
+    // consume: force the pipeline, emit one stats row — Kusto swallows
+    // results and reports side statistics; the count row is our
+    // documented equivalent (a lazy engine has nothing else to show)
+    case QueryStep.Consume => df.agg(count(lit(1)).as("Count"))
+
     case QueryStep.CountStep => partitionKey match {
       case Some(pk) =>
         df.groupBy(compileField(df, pk).as(pk.flat)).agg(count(lit(1)).as("Count"))

@@ -112,6 +112,7 @@ object Kql {
         val hint = strategy.map(s => s"hint.strategy=$s ").getOrElse("")
         s"$step kind=${k.toString.toLowerCase} $hint(\n${renderQuery(sub, indent + "  ")}\n$indent) on $cond"
       case QueryStep.CountStep => "count"
+      case QueryStep.Consume => "consume"
       case QueryStep.GetSchema => "getschema"
       case QueryStep.Write(t) => s"write $t"
       case QueryStep.Tee(t) => s"tee $t"

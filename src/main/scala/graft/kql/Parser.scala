@@ -486,6 +486,10 @@ final class Parser(src: String, nowMicros: Long) {
       case "lookup"           => p += 1; parseJoin(lookup = true)
       case "count"            => p += 1; QueryStep.CountStep
       case "getschema"        => p += 1; QueryStep.GetSchema
+      case "consume"          => p += 1
+        // tolerate Kusto's decodeblocks=true knob
+        if (atIdent("decodeblocks")) { p += 1; eatPunct("="); identText() }
+        QueryStep.Consume
       case "write"            => p += 1; QueryStep.Write(parseSourceRef())
       case "tee"              => p += 1; QueryStep.Tee(parseSourceRef())
       case "search"           => p += 1; parseSearch()

@@ -567,6 +567,16 @@ class ScalarBatch7Spec extends AnyFunSuite {
       rows(1).getDouble(3) == 4.0)
   }
 
+  test("consume executes and reports one stats row") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("cc", Seq(1L, 2L, 3L).toDF("x"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      "cc | where x > 1 | consume").collect()
+    assert(rows.length == 1 && rows(0).getLong(0) == 2L)
+    assert(Kql.run(TestSpark.spark, c2,
+      "cc | consume decodeblocks=true").collect()(0).getLong(0) == 3L)
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
