@@ -146,11 +146,15 @@ object SortOrder { case object Asc extends SortOrder; case object Desc extends S
 sealed trait NullsOrder
 object NullsOrder { case object First extends NullsOrder; case object Last extends NullsOrder }
 
-/** Reference defaults: asc + nulls last (`miso-workflow-types/src/sort.rs:7-22`). */
+/** Reference defaults: asc + nulls last (`miso-workflow-types/src/sort.rs:7-22`).
+  * `expr` carries a non-field sort key (real-KQL `sort by strlen(x)`);
+  * such keys clear the serialized-window order — window scalars need
+  * named keys. `field` is then a display placeholder. */
 final case class SortKey(
     field: FieldPath,
     order: SortOrder = SortOrder.Asc,
-    nulls: NullsOrder = NullsOrder.Last)
+    nulls: NullsOrder = NullsOrder.Last,
+    expr: Option[Expr] = None)
 
 sealed trait Aggregation
 object Aggregation {

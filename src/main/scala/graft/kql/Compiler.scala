@@ -2453,8 +2453,12 @@ final class Compiler(
         kept.exists(k => !keys.subsetOf(k.map(_.toLowerCase).toSet))
     }
     step match {
-      case QueryStep.Sort(keys) => serialOrder = Some(keys)
-      case QueryStep.TopN(keys, _) => serialOrder = Some(keys)
+      // expression keys have no stable column to re-read — they cannot
+      // anchor the serialized-window order
+      case QueryStep.Sort(keys) =>
+        serialOrder = if (keys.forall(_.expr.isEmpty)) Some(keys) else None
+      case QueryStep.TopN(keys, _) =>
+        serialOrder = if (keys.forall(_.expr.isEmpty)) Some(keys) else None
       case QueryStep.Extend(fields) =>
         if (invalidates(fields.map(_._2), None)) serialOrder = None
       case QueryStep.Project(fields) =>
@@ -3599,9 +3603,17 @@ final class Compiler(
   }
 
   private def sortCol(df: DataFrame, k: SortKey): Column = {
-    val c0 = compileField(df, k.field)
-    // variant sort keys order under the reference's cross-type total order
-    val c = if (fieldType(df, k.field) == KT.Var) variantOrderKey(c0) else c0
+    val c = k.expr match {
+      // expression key: compile directly (variants order via the total-
+      // order key like field keys do)
+      case Some(e) =>
+        val c0 = compile(df, e)
+        if (infer(df, e) == KT.Var) variantOrderKey(c0) else c0
+      case None =>
+        val c0 = compileField(df, k.field)
+        // variant sort keys order under the reference's cross-type total order
+        if (fieldType(df, k.field) == KT.Var) variantOrderKey(c0) else c0
+    }
     (k.order, k.nulls) match {
       case (SortOrder.Asc, NullsOrder.Last) => c.asc_nulls_last
       case (SortOrder.Asc, NullsOrder.First) => c.asc_nulls_first

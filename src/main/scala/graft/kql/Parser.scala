@@ -1063,9 +1063,18 @@ final class Parser(src: String, nowMicros: Long) {
 
   private def parseSortKeys(): Seq[SortKey] = {
     val out = Seq.newBuilder[SortKey]
+    var n = 0
     var done = false
     while (!done) {
-      val f = parseFieldPath()
+      // real-KQL allows arbitrary expressions as sort keys; plain field
+      // refs stay field keys (they feed the serialized-window machinery)
+      val (f, eOpt) = delit(parseExpr()) match {
+        case Field(fp) => (fp, None)
+        case LetRef(fp, _) => (fp, None)
+        case e =>
+          n += 1
+          (FieldPath.simple(s"__sortexpr_$n"), Some(e))
+      }
       var order: SortOrder = SortOrder.Asc
       var nulls: NullsOrder = NullsOrder.Last
       if (tryIdent("asc")) order = SortOrder.Asc
@@ -1075,7 +1084,7 @@ final class Parser(src: String, nowMicros: Long) {
         else if (tryIdent("last")) nulls = NullsOrder.Last
         else fail("expected 'first' or 'last' after 'nulls'")
       }
-      out += SortKey(f, order, nulls)
+      out += SortKey(f, order, nulls, eOpt)
       done = !tryPunct(",")
     }
     out.result()

@@ -76,7 +76,7 @@ object Render {
   def sortKey(k: SortKey): String = {
     val ord = k.order match { case SortOrder.Asc => "asc"; case SortOrder.Desc => "desc" }
     val n = k.nulls match { case NullsOrder.First => " nulls first"; case NullsOrder.Last => "" }
-    s"${k.field.render} $ord$n"
+    s"${k.expr.map(expr).getOrElse(k.field.render)} $ord$n"
   }
 
   def agg(a: Aggregation): String = a match {

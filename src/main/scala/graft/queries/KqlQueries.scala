@@ -491,6 +491,15 @@ object KqlQueries {
         |FROM events WHERE event_id < 1500
         |ORDER BY event_id""".stripMargin),
 
+    // expression sort keys (real-KQL surface): order by computed values,
+    // lowered into the same TakeOrderedAndProject shape as field keys
+    kq("kql_sort_expr",
+      """documents
+        | | top 100 by strlen(text) desc, doc_id asc
+        | | project doc_id, n = strlen(text)""".stripMargin,
+      """SELECT doc_id, CAST(length(text) AS BIGINT) AS n
+        |FROM documents ORDER BY length(text) DESC, doc_id LIMIT 100""".stripMargin),
+
     // pivot auto-schema: values discovered by one bounded eager distinct
     // scan, sorted for deterministic column order; empty cells stay null
     kq("kql_pivot_auto",

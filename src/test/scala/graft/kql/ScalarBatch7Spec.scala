@@ -577,6 +577,21 @@ class ScalarBatch7Spec extends AnyFunSuite {
       "cc | consume decodeblocks=true").collect()(0).getLong(0) == 3L)
   }
 
+  test("sort/top by expressions") {
+    val c2 = new Catalog(TestSpark.spark)
+    c2.register("se", Seq("bb", "a", "dddd", "ccc").toDF("s"))
+    val rows = Kql.run(TestSpark.spark, c2,
+      "se | sort by strlen(s) desc | project s").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("dddd", "ccc", "bb", "a"))
+    val top = Kql.run(TestSpark.spark, c2,
+      "se | top 2 by strlen(s) desc, s asc | project s").collect()
+    assert(top.map(_.getString(0)).toSeq == Seq("dddd", "ccc"))
+    // an expression key cannot anchor serialized windows
+    val e = intercept[KqlParseException](Kql.run(TestSpark.spark, c2,
+      "se | sort by strlen(s) | extend r = row_number()"))
+    assert(e.getMessage.contains("serialized"))
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
