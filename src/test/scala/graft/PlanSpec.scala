@@ -269,4 +269,61 @@ class PlanSpec extends AnyFunSuite {
       !p.split("\n").exists(l => l.contains("Window") && l.contains("SinglePartition")),
       s"under partition by the window must be per-key, not single-partition:\n$p")
   }
+
+  // ───── round-6 session-3 scale pins ─────
+
+  test("basket counts segments in hash aggregations, never a cross join") {
+    val p = plan("kql_basket")
+    assert(p.contains("HashAggregate"),
+      s"basket must count via hash aggregation:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"basket's only cross join is the broadcast 1-row total:\n$p")
+    // the candidate count happens on a hash-partitioned exchange, not by
+    // funneling the expansion into one task
+    val aggExchanges = p.split("\n").filter(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(aggExchanges.nonEmpty,
+      s"segment counting must hash-partition:\n$p")
+  }
+
+  test("sequence_detect plans as-of passes, never a nested-loop join") {
+    val p = plan("kql_seqdetect")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"the as-of chain must never plan a quadratic join:\n$p")
+  }
+
+  test("lm_quality joins the model tables without a cartesian product") {
+    val p = plan("pl_lm_quality")
+    assert(!p.contains("CartesianProduct"),
+      s"bigram/model joins must be keyed:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      s"model counts must partial/final aggregate:\n$p")
+  }
+
+  test("semdedup prunes within cells via a keyed join") {
+    val p = plan("pl_semdedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"the pairwise prune must stay cell-keyed:\n$p")
+  }
+
+  test("edit-distance dedup verifies candidates, never all pairs") {
+    val p = plan("pl_edit_dups")
+    assert(!p.contains("CartesianProduct"),
+      s"Levenshtein must run on LSH candidates only:\n$p")
+    assert(p.contains("levenshtein"),
+      s"the verify must be the codegen'd levenshtein:\n$p")
+  }
+
+  test("chunking is map-side: no exchange before the chunk explode") {
+    val p = plan("pl_chunk")
+    val generateAt = p.linesIterator.indexWhere(_.contains("Generate"))
+    val exchangeAt = p.linesIterator.indexWhere(_.contains("Exchange"))
+    // plan prints top-down: any exchange must be ABOVE the explode (the
+    // final orderBy), never below it feeding the chunker
+    assert(generateAt >= 0, s"chunk must explode windows:\n$p")
+    assert(exchangeAt == -1 || exchangeAt < generateAt,
+      s"chunking itself must not shuffle:\n$p")
+  }
 }
