@@ -66,6 +66,45 @@ object TextCodecsUtil {
   }
 }
 
+/** Kusto's plain `countof`: OVERLAPPING occurrence count (countof('aaa',
+  * 'aa') = 2) — a per-position scan no replace-length trick expresses.
+  * Empty search is rejected at parse time; null operands → null. */
+object CountOfUtil {
+  def overlapping(s: UTF8String, sub: UTF8String): Long = {
+    if (s == null || sub == null) return -1L // callers null-guard; sentinel
+    val str = s.toString
+    val needle = sub.toString
+    var i = 0
+    var n = 0L
+    while (i >= 0) {
+      i = str.indexOf(needle, i)
+      if (i >= 0) { n += 1; i += 1 }
+    }
+    n
+  }
+}
+
+/** Catalyst expression for overlapping countof. */
+case class CountOfOverlap(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    CountOfUtil.overlapping(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev,
+      (l, r) => s"graft.functions.CountOfUtil.overlapping($l, $r)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CountOfOverlap =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Catalyst expression for the four codecs — `op` picks the static helper;
   * codegen is a direct static call like the other kernels. */
 case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression {

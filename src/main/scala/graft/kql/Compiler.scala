@@ -683,13 +683,16 @@ final class Compiler(
           val javaPat = kustoPat
             .replace("tt", "a").replace("F", "S").replace("f", "S")
           date_format(cs.head.try_cast(TimestampType), javaPat)
-        // non-overlapping occurrence count: length difference over the
-        // search length (exact integer division by construction)
-        case "countof" =>
-          val s0 = cs.head.cast(StringType)
-          val sub = cs(1).cast(StringType)
-          ((length(s0) - length(replace(s0, sub, lit("")))) / length(sub))
-            .cast(LongType)
+        // OVERLAPPING occurrence count (Kusto's plain-kind rule:
+        // countof('aaa','aa') = 2) through the per-position kernel — the
+        // former replace-length lowering counted non-overlapping and was
+        // a documented deviation, now closed
+        case "countof" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.CountOfOverlap(
+            expression(cs.head.cast(StringType)),
+            expression(cs(1).cast(StringType))))
+        }
         // regex kind: non-overlapping match count (regexp_count's rule,
         // same as the literal form's)
         case "countof_re" =>

@@ -869,14 +869,19 @@ object KqlQueries {
     kq("kql_strfns2",
       """documents
         | | where text matches regex 'table.*table'
-        | | extend c = countof(text, 'the'), hx = tohex(doc_id),
+        | | extend c = countof(text, 'the'),
+        |          c2 = countof(strcat(lang, lang, lang), strcat(lang, lang)),
+        |          hx = tohex(doc_id),
         |          rt = base64_decode_tostring(base64_encode_tostring(source)),
         |          words = array_length(extract_all('[a-z]+', text)),
         |          nb = bin_at(n_chars, 50, 10)
-        | | project doc_id, c, hx, rt, words, nb
+        | | project doc_id, c, c2, hx, rt, words, nb
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
         |  CAST((len(text) - len(replace(text, 'the', ''))) / 3 AS BIGINT) AS c,
+        |  CAST(len(list_filter(range(1, 2 * len(lang) + 2),
+        |    i -> (lang || lang || lang)[i : i + 2 * len(lang) - 1]
+        |         = lang || lang)) AS BIGINT) AS c2,
         |  lower(to_hex(doc_id)) AS hx,
         |  decode(from_base64(to_base64(encode(source)))) AS rt,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS words,

@@ -179,7 +179,7 @@ class StepBatch6Spec extends AnyFunSuite {
         |           c = countof('abc', '[x]+', 'regex')""".stripMargin)
       .collect().head
     assert(r.getLong(0) == 3L)
-    assert(r.getLong(1) == 1L) // literal form unchanged: non-overlapping
+    assert(r.getLong(1) == 2L) // literal form counts OVERLAPPING (Kusto)
     assert(r.getLong(2) == 0L)
   }
 

@@ -78,7 +78,7 @@ class StrFnSpec extends AnyFunSuite {
     assert(n == 1L) // only the empty string row
   }
 
-  test("countof counts non-overlapping occurrences") {
+  test("countof counts OVERLAPPING occurrences (Kusto's plain kind)") {
     val r = Kql.run(spark, cat,
       """t | where id == 1
         | | project a = countof(s, 'l'), b = countof(s, 'lo'), c = countof(s, 'zz')""".stripMargin)
