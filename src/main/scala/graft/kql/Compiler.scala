@@ -1248,7 +1248,16 @@ final class Compiler(
               coalesce(part(2), lit(0L)) * 100000000L +
               coalesce(part(3), lit(0L)) * 10000L +
               coalesce(part(4), lit(0L)))
-        case "tohex" => lower(hex(cs.head.try_cast(LongType)))
+        // optional minDigits zero-pads — a MINIMUM, never truncation
+        // (lpad alone would cut longer values down to the width)
+        case "tohex" =>
+          val h = lower(hex(cs.head.try_cast(LongType)))
+          args.lift(1) match {
+            case Some(IntLit(w)) =>
+              when(length(h) >= w.toInt, h)
+                .otherwise(lpad(h, math.max(w.toInt, 1), "0"))
+            case _ => h
+          }
         case "base64_encode_tostring" => base64(cs.head.cast(BinaryType))
         case "base64_decode_tostring" => unbase64(cs.head.cast(StringType))
           .cast(StringType)

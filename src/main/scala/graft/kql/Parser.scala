@@ -2392,7 +2392,14 @@ final class Parser(src: String, nowMicros: Long) {
             "countof() regex search must be a literal")
           StrFn("countof_re", a.take(2))
         } else StrFn("countof", a.take(2))
-      case f @ ("tohex" | "base64_encode_tostring" | "base64_decode_tostring") =>
+      case "tohex" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "tohex() takes (value[, minDigits])")
+        arity(a.length < 2 || a(1).isInstanceOf[IntLit],
+          "tohex() minDigits must be an integer literal")
+        StrFn("tohex", a)
+      case f @ ("base64_encode_tostring" | "base64_decode_tostring") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case "extract_all" =>

@@ -872,10 +872,11 @@ object KqlQueries {
         | | extend c = countof(text, 'the'),
         |          c2 = countof(strcat(lang, lang, lang), strcat(lang, lang)),
         |          hx = tohex(doc_id),
+        |          hx4 = tohex(doc_id, 6),
         |          rt = base64_decode_tostring(base64_encode_tostring(source)),
         |          words = array_length(extract_all('[a-z]+', text)),
         |          nb = bin_at(n_chars, 50, 10)
-        | | project doc_id, c, c2, hx, rt, words, nb
+        | | project doc_id, c, c2, hx, hx4, rt, words, nb
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
         |  CAST((len(text) - len(replace(text, 'the', ''))) / 3 AS BIGINT) AS c,
@@ -883,6 +884,9 @@ object KqlQueries {
         |    i -> (lang || lang || lang)[i : i + 2 * len(lang) - 1]
         |         = lang || lang)) AS BIGINT) AS c2,
         |  lower(to_hex(doc_id)) AS hx,
+        |  lpad(lower(to_hex(doc_id)),
+        |       CAST(greatest(len(lower(to_hex(doc_id))), 6) AS INT),
+        |       '0') AS hx4,
         |  decode(from_base64(to_base64(encode(source)))) AS rt,
         |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS words,
         |  10 + floor((n_chars - 10) / 50.0) * 50 AS nb

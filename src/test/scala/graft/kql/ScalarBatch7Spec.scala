@@ -592,6 +592,13 @@ class ScalarBatch7Spec extends AnyFunSuite {
     assert(e.getMessage.contains("serialized"))
   }
 
+  test("tohex minDigits pads but never truncates") {
+    assert(scalar("tohex(255, 4)") == "00ff")
+    assert(scalar("tohex(255)") == "ff")
+    assert(scalar("tohex(65535, 2)") == "ffff") // wider than the minimum
+    assert(scalar("tohex(0, 3)") == "000")
+  }
+
   test("base64 byte arrays: decode, round-trip, malformed → null") {
     assert(scalar("base64_decode_toarray('AQID')") == Seq(1L, 2L, 3L))
     assert(scalar("base64_encode_fromarray(pack_array(1, 2, 3))") == "AQID")
