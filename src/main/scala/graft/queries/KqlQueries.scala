@@ -576,8 +576,8 @@ object KqlQueries {
         |     nm = startofmonth(ts, 1),
         |     ed = endofday(ts, -1),
         |     ex = extract('"k": ([0-9]+)', 1, props, typeof(long)),
-        |     eg = extract_groups('"(k)": ([0-9]+)', props),
-        |     tp = treepath(todynamic(props))
+        |     eg = strcat_array(extract_groups('"(k)": ([0-9]+)', props), ','),
+        |     tp = strcat_array(treepath(todynamic(props)), '|')
         | | sort by event_id asc""".stripMargin,
       """SELECT event_id,
         |  date_trunc('day', ts) - INTERVAL 1 DAY AS pd,
@@ -585,8 +585,8 @@ object KqlQueries {
         |    AS nm,
         |  date_trunc('day', ts) - INTERVAL 1 MICROSECOND AS ed,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS ex,
-        |  ['k', regexp_extract(props, '"(k)": ([0-9]+)', 2)] AS eg,
-        |  ['[''k'']'] AS tp
+        |  'k,' || regexp_extract(props, '"(k)": ([0-9]+)', 2) AS eg,
+        |  '[''k'']' AS tp
         |FROM events WHERE event_id < 1200
         |ORDER BY event_id""".stripMargin),
 
@@ -2425,6 +2425,7 @@ object KqlQueries {
         |     cd = count_distinct(d10),
         |     cdi = count_distinctif(d10, n > 50)
         |     by lang, source
+        | | extend pa = strcat_array(pa, ',')
         | | sort by lang asc, source asc""".stripMargin,
       """WITH t AS (
         |  SELECT doc_id, lang, source,
@@ -2453,7 +2454,8 @@ object KqlQueries {
         |  FROM (SELECT e.lang, e.source, e.n
         |        FROM t e, unnest(range(e.w))) x
         |  GROUP BY lang, source)
-        |SELECT ranks.lang, ranks.source, pa, wq.pw,
+        |SELECT ranks.lang, ranks.source, array_to_string(pa, ',') AS pa,
+        |       wq.pw,
         |       CAST(cd AS BIGINT) AS cd, CAST(cdi AS BIGINT) AS cdi
         |FROM ranks LEFT JOIN wq USING (lang, source)
         |ORDER BY lang, source""".stripMargin),
@@ -2529,11 +2531,11 @@ object KqlQueries {
         |          b = pack_array(2, doc_id % 3 + 1, 6)
         | | extend fl = series_fit_line_dynamic(a)
         | | project doc_id,
-        |     sf = series_floor(pack_array(1.5, -1.5)),
-        |     sc = series_ceiling(pack_array(1.5, -1.5)),
-        |     sp = series_pow(a, 2),
-        |     sg = series_greater(a, 3),
-        |     se = series_equals(a, b),
+        |     sf = strcat_array(series_floor(pack_array(1.5, -1.5)), ','),
+        |     sc = strcat_array(series_ceiling(pack_array(1.5, -1.5)), ','),
+        |     sp = strcat_array(series_pow(a, 2), ','),
+        |     sg = strcat_array(series_greater(a, 3), ','),
+        |     se = strcat_array(series_equals(a, b), ','),
         |     dp = series_dot_product(a, b),
         |     mg = series_magnitude(a),
         |     cs = series_cosine_similarity(a, b),
@@ -2557,11 +2559,12 @@ object KqlQueries {
         |    list_sum(af) AS sx, list_sum(bf) AS sy
         |  FROM d)
         |SELECT doc_id,
-        |  [1.0, -2.0]::DOUBLE[] AS sf,
-        |  [2.0, -1.0]::DOUBLE[] AS sc,
-        |  list_transform(af, x -> pow(x, 2)) AS sp,
-        |  list_transform(a, x -> x > 3) AS sg,
-        |  list_transform([1,2,3], i -> a[i] = b[i]) AS se,
+        |  '1.0,-2.0' AS sf,
+        |  '2.0,-1.0' AS sc,
+        |  array_to_string(list_transform(af, x -> pow(x, 2)), ',') AS sp,
+        |  array_to_string(list_transform(a, x -> x > 3), ',') AS sg,
+        |  array_to_string(list_transform([1,2,3], i -> a[i] = b[i]), ',')
+        |    AS se,
         |  dab AS dp,
         |  sqrt(daa) AS mg,
         |  CASE WHEN sqrt(daa) * sqrt(dbb) <> 0
@@ -2586,7 +2589,9 @@ object KqlQueries {
         |     g1 = toguid('{AB7E3356-2ECF-47A0-94F4-4B51C9F712E5}'),
         |     g2 = toguid(hash_md5(source)),
         |     a7 = isascii(substring(text, 0, 40)),
-        |     cps = unicode_codepoints_from_string(substring(source, 0, 6)),
+        |     cps = strcat_array(
+        |             unicode_codepoints_from_string(substring(source, 0, 6)),
+        |             ','),
         |     rt = unicode_codepoints_to_string(
         |            unicode_codepoints_from_string(lang))
         | | sort by doc_id asc""".stripMargin,
@@ -2599,8 +2604,9 @@ object KqlQueries {
         |    || substr(md5(source), 17, 4) || '-'
         |    || substr(md5(source), 21, 12) AS g2,
         |  strlen(substr(text, 1, 40)) = length(substr(text, 1, 40)) AS a7,
-        |  list_transform(regexp_extract_all(substr(source, 1, 6), '.'),
-        |                 x -> CAST(unicode(x) AS BIGINT)) AS cps,
+        |  array_to_string(
+        |    list_transform(regexp_extract_all(substr(source, 1, 6), '.'),
+        |                   x -> CAST(unicode(x) AS BIGINT)), ',') AS cps,
         |  lang AS rt
         |FROM documents WHERE doc_id < 500
         |ORDER BY doc_id""".stripMargin),
@@ -2608,12 +2614,12 @@ object KqlQueries {
     // sha1 (no DuckDB twin) + the base64⇄byte-array pair, literal-pinned
     kq("kql_b64arr",
       """print s1 = hash_sha1('graft'),
-        |      arr = base64_decode_toarray('AQID'),
+        |      arr = strcat_array(base64_decode_toarray('AQID'), ','),
         |      rt = base64_encode_fromarray(base64_decode_toarray('Z3JhZnQ=')),
-        |      bad = base64_decode_toarray('!!notbase64!!')""".stripMargin,
+        |      bad = strcat_array(base64_decode_toarray('!!notbase64!!'), ',')""".stripMargin,
       """SELECT '9c298007ec968fa5b8de22a5356f4bd8a865daf2' AS s1,
-        |  [1, 2, 3]::BIGINT[] AS arr, 'Z3JhZnQ=' AS rt,
-        |  CAST(NULL AS BIGINT[]) AS bad""".stripMargin),
+        |  '1,2,3' AS arr, 'Z3JhZnQ=' AS rt,
+        |  CAST(NULL AS VARCHAR) AS bad""".stripMargin),
 
     // round-6 bag scalars #2: leftmost-wins shallow merge and top-level
     // key removal, pinned by literal oracle (canonical key-sorted text)
