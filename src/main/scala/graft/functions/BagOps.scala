@@ -224,7 +224,18 @@ object BuildSchemaUtil {
         if (alts0.length > 1)
           alts0.filterNot(x => x.isTextual && x.asText == "null")
         else alts0
-      val alts = alts1.sortBy(_.toString)
+      // pairwise-compatible alternatives still merge structurally:
+      // object-with-object (and array-with-array) union their keys even
+      // when a scalar shape sits beside them — {"a"},{"b"},"string" is
+      // [{a,b},"string"], not [{a},{b},"string"]
+      val merged = scala.collection.mutable.ArrayBuffer[JsonNode]()
+      alts1.foreach { n =>
+        val idx = merged.indexWhere(m => m.isObject && n.isObject &&
+          isArraySchema(m) == isArraySchema(n))
+        if (idx >= 0) merged(idx) = mergeNode(merged(idx), n)
+        else merged += n
+      }
+      val alts = merged.toSeq.sortBy(_.toString)
       if (alts.length == 1) alts.head
       else {
         val arr = mapper.createArrayNode()

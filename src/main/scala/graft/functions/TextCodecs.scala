@@ -74,9 +74,13 @@ object CountOfUtil {
     if (s == null || sub == null) return -1L // callers null-guard; sentinel
     val str = s.toString
     val needle = sub.toString
+    // indexOf("", i) clamps to str.length instead of returning -1, so an
+    // empty needle (a computed expression, not a literal — the parser
+    // rejects those) would loop forever. Kusto: countof(x, '') == 0.
+    if (needle.isEmpty) return 0L
     var i = 0
     var n = 0L
-    while (i >= 0) {
+    while (i >= 0 && i <= str.length - needle.length) {
       i = str.indexOf(needle, i)
       if (i >= 0) { n += 1; i += 1 }
     }

@@ -1995,7 +1995,14 @@ final class Compiler(
         // the residuals), line_fit (the fitted values). n < 2 or any
         // null element → null
         case "series_fit_line_dynamic" =>
-          val y = transform(compile(df, args.head), e => e.cast(DoubleType))
+          // a variant (todynamic / make-series default) array must become
+          // a typed array before the lambda walk
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => compile(df, args.head)
+          }
+          val y = transform(yIn, e => e.cast(DoubleType))
           val n = size(y).cast(DoubleType)
           def s(arr: Column): Column =
             aggregate(arr, lit(0.0), (acc, x) => acc + x)
@@ -2012,7 +2019,11 @@ final class Compiler(
           val rvariance = s(zip_with(y, fit,
             (v, f) => (v - f) * (v - f))) / n
           val rsquare = when(variance =!= 0.0, lit(1.0) - rvariance / variance)
-          when(size(y) >= 2,
+          // the null-element gate must be explicit: a null y poisons
+          // slope/variance to null, and to_json would then DROP those
+          // struct fields, leaving a partial bag instead of the
+          // documented whole-result null
+          when(size(y) >= 2 && size(filter(y, e => e.isNull)) === 0,
             try_parse_json(to_json(struct(
               rsquare.as("rsquare"), slope.as("slope"),
               variance.as("variance"), rvariance.as("rvariance"),
@@ -2411,7 +2422,7 @@ final class Compiler(
       })
       .orElse(if (wantStream) catalog.resolveStream(source) else None)
       .orElse(catalog.resolveTable(source))
-      .getOrElse(throw KqlParseException(s"unknown source '$source'", 0))
+      .getOrElse(throw new UnknownSourceException(source))
   }
 
   /** KQL type name for a Spark type — the `ColumnType` column of
@@ -2803,6 +2814,10 @@ final class Compiler(
       // `to typeof(T)`: cast the EXPANDED element column (simple paths
       // only — parser-enforced); try_cast keeps the row-error policy
       fields.zipAll(casts, null, None).foldLeft(out) {
+        // typeof(dynamic) is a no-op: the expanded element already IS a
+        // variant — casting it to its JSON string would break subsequent
+        // field paths on the element
+        case (acc, (_, Some("dynamic"))) => acc
         case (acc, (f, Some(t))) =>
           val sparkT = t match {
             case "long" | "int" => LongType
@@ -2838,7 +2853,7 @@ final class Compiler(
       var cur = df
         .withColumn(rid, monotonically_increasing_id())
         .withColumn(name, explode(srcArr))
-      castKind.foreach { t =>
+      castKind.filter(_ != "dynamic").foreach { t => // typeof(dynamic): no-op
         val sparkT = t match {
           case "long" | "int" => LongType
           case "real" | "double" => DoubleType
@@ -3431,7 +3446,7 @@ final class Compiler(
           // left side passes through (Kusto's fuzzy-union contract for
           // partially-available tables). Only resolution errors qualify;
           // a genuinely broken branch query still fails
-          case e: KqlParseException if fuzzy => Left(e)
+          case e: UnknownSourceException if fuzzy => Left(e)
         }
         finally keepUnionSrc = saved
       }

@@ -32,11 +32,19 @@ final case class ParseError(
 /** Parse failure carrying every diagnostic the parser recovered past —
   * the single-error constructor form stays for compiler-side errors.
   */
-final case class KqlParseException(
+case class KqlParseException(
     msg: String, pos: Int, errors: Seq[ParseError] = Nil)
   extends RuntimeException(
     if (errors.isEmpty) s"$msg (at offset $pos)"
     else errors.map(_.render).mkString("; "))
+
+/** Source-resolution failure (unknown table/let/view). Distinguished from
+  * the general parse/semantic error class because Kusto's fuzzy-union
+  * contract tolerates ONLY unresolvable branch sources — a genuinely
+  * broken branch query (bad column, bad aggregate, …) must still fail
+  * rather than silently dropping the branch's data. */
+final class UnknownSourceException(val source: String)
+  extends KqlParseException(s"unknown source '$source'", 0, Nil)
 
 object Lexer {
   import Token._
