@@ -187,6 +187,13 @@ object Catalog {
     // native dynamic-JSON model) — field paths descend via try_variant_get
     c.register("eventsv", graft.Tables.load(spark, sfDir, "events")
       .withColumn("props", parse_json(col("props"))))
+    // a genuinely FOREIGN store: customer seeded into embedded Derby and
+    // read back through the graft-sqlstore V2 connector, so scans of this
+    // name negotiate filter/column/limit/topn/aggregate pushdown with a
+    // remote SQL engine (miso's federation identity). Lazy: the register
+    // thunk seeds Derby only when a query actually resolves the name.
+    c.register("derby.customer",
+      graft.sources.v2.DerbyTestStore.readBack(spark, sfDir, "customer"))
     c
   }
 }

@@ -2803,6 +2803,36 @@ object KqlQueries {
         |  CAST(floor(var_pop(l_quantity) * 1000) AS BIGINT) AS vpi,
         |  CAST(floor(covar_samp(l_quantity, l_extendedprice)) AS BIGINT) AS cvi,
         |  CAST(floor(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cpi
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // round-7 federation: derby.customer is the parquet customer table
+    // seeded into EMBEDDED APACHE DERBY and scanned back through the
+    // graft-sqlstore DataSource V2 connector — the where and the whole
+    // summarize leave the Spark plan and execute inside the foreign store
+    // (V2PushdownSpec pins PushedFilters/PushedAggregates and the no-
+    // HashAggregate residual plan); the oracle replays on the parquet
+    // original, so a pushdown translation bug breaks the hash
+    kq("kql_v2_pushdown",
+      """derby.customer
+        | | where c_acctbal > 1000.0 and c_mktsegment != 'MACHINERY'
+        | | summarize n = count(), mn = min(c_acctbal), mx = max(c_acctbal)
+        |     by c_mktsegment
+        | | sort by c_mktsegment asc""".stripMargin,
+      """SELECT c_mktsegment, count(*) AS n, min(c_acctbal) AS mn,
+        |       max(c_acctbal) AS mx
+        |FROM customer
+        |WHERE c_acctbal > 1000.0 AND c_mktsegment <> 'MACHINERY'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // round-7 federation #2: top-n pushes as ORDER BY … FETCH FIRST into
+    // Derby (single-split scan), deterministic via the key tie-break
+    kq("kql_v2_topn",
+      """derby.customer
+        | | where c_mktsegment == 'BUILDING'
+        | | top 5 by c_acctbal desc, c_custkey asc
+        | | project c_custkey, c_acctbal""".stripMargin,
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin)
   )
 }

@@ -326,4 +326,24 @@ class PlanSpec extends AnyFunSuite {
     assert(exchangeAt == -1 || exchangeAt < generateAt,
       s"chunking itself must not shuffle:\n$p")
   }
+
+  test("federated gate query executes inside the foreign store") {
+    // the whole where+summarize of kql_v2_pushdown must leave the Spark
+    // plan: pushed filter, pushed aggregate, NO HashAggregate residual
+    // (the per-connector expected-plan contract of the reference's
+    // tests/common/test_cases.rs:30-50)
+    val p = plan("kql_v2_pushdown")
+    assert(p.contains("PushedFilters: [") && p.contains("c_acctbal"),
+      s"filter must push into Derby:\n$p")
+    assert(p.contains("CAST(COUNT(*) AS BIGINT)"),
+      s"aggregate must push into Derby:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"complete pushdown must leave no Spark aggregate:\n$p")
+
+    // top-n: ORDER BY + FETCH FIRST inside the store, so Spark plans no
+    // global sort — only the pushed-scan + project remains
+    val t = plan("kql_v2_topn")
+    assert(t.contains("PushedTopN: [") && t.contains("c_acctbal"),
+      s"top-n must push into Derby:\n$t")
+  }
 }
