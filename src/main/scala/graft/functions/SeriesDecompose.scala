@@ -1,0 +1,238 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Seasonal/trend/residual decomposition of a numeric series, plus period
+  * detection and anomaly scoring — the Kusto `series_decompose` /
+  * `series_decompose_anomalies` / `series_periods_detect` surface.
+  *
+  * Azure's exact algorithms are unpublished, so (repo precedent:
+  * `series_outliers`' Tukey kernel) each step is a DOCUMENTED
+  * deterministic rule an oracle can replay:
+  *
+  *  - period detection: sample autocorrelation of the mean-centered
+  *    series, `acf(L) = Σ(y_i−μ)(y_{i+L}−μ) / Σ(y_i−μ)²`, candidate lags
+  *    `[max(2,minP), min(maxP, n/2)]`, ranked by score (ties → smaller
+  *    lag) with harmonic suppression (a lag that is an integer multiple
+  *    of an already-chosen lag is skipped); scores clamp to [0,1]
+  *  - seasonal component: per-phase MEDIAN (mean-of-central-order-stats)
+  *    of the values sharing `i mod period`, centered by subtracting the
+  *    mean seasonal value so the trend keeps the series level; period
+  *    ≤ 1 (or > n/2, or auto-detect score < 0.6) ⇒ no seasonal
+  *  - trend over the deseasonalized series: 'avg' (constant mean),
+  *    'linefit' (least squares over x = 0..n−1), or 'none'
+  *  - residual = y − seasonal − trend; baseline = seasonal + trend
+  *  - anomaly scoring on the residual: the `series_outliers` rank rule —
+  *    q(p) = sorted[ceil(p·n)], score = (r−median)/IQR when r is outside
+  *    [q1 − t·IQR, q3 + t·IQR] else 0, flag = sign(score); IQR = 0 ⇒ all
+  *    zero
+  *
+  * Null/NaN elements or n < 4 null the whole result (the
+  * `series_fit_line_dynamic` contract — decompose needs a filled series;
+  * run `series_fill_*` first).
+  */
+object SeriesDecomposeUtil {
+
+  private def toDoubles(arr: ArrayData): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i)
+      if (v.isNaN || v.isInfinite) return null
+      out(i) = v
+      i += 1
+    }
+    out
+  }
+
+  private def median(xs: Array[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
+  /** q(p) = sorted[ceil(p·n)] (1-based rank rule, as series_outliers). */
+  private def rankQ(sorted: Array[Double], p: Double): Double =
+    sorted(math.max(1, math.ceil(p * sorted.length).toInt) - 1)
+
+  def detectPeriods(
+      y: Array[Double], minP: Int, maxP: Int,
+      k: Int): (Array[Double], Array[Double]) = {
+    val n = y.length
+    val mu = y.sum / n
+    var den = 0.0
+    var i = 0
+    while (i < n) { val d = y(i) - mu; den += d * d; i += 1 }
+    if (den == 0.0) return (Array.empty, Array.empty)
+    val lo = math.max(2, minP)
+    val hi = math.min(maxP, n / 2)
+    val scored = (lo to hi).map { lag =>
+      var num = 0.0
+      var j = 0
+      while (j + lag < n) { num += (y(j) - mu) * (y(j + lag) - mu); j += 1 }
+      (lag, math.min(1.0, math.max(0.0, num / den)))
+    }.filter(_._2 > 0.0).sortBy { case (lag, s) => (-s, lag) }
+    val periods = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    scored.foreach { case (lag, s) =>
+      if (periods.size < k &&
+          !periods.exists { case (p, _) => lag % p == 0 })
+        periods += ((lag, s))
+    }
+    (periods.map(_._1.toDouble).toArray, periods.map(_._2).toArray)
+  }
+
+  /** (baseline, seasonal, trend, residual), or null per the null contract.
+    * period: > 1 fixed; -1 auto-detect (top ACF period if score ≥ 0.6);
+    * 0/1 none. trendKind: "avg" | "linefit" | "none".
+    */
+  def decompose(arr: ArrayData, period0: Int, trendKind: String)
+      : (Array[Double], Array[Double], Array[Double], Array[Double]) = {
+    val y = toDoubles(arr)
+    if (y == null || y.length < 4) return null
+    val n = y.length
+    val period = period0 match {
+      case -1 =>
+        val (ps, ss) = detectPeriods(y, 2, n / 2, 1)
+        if (ps.nonEmpty && ss(0) >= 0.6) ps(0).toInt else 0
+      case p if p > 1 && p <= n / 2 => p
+      case _ => 0
+    }
+    val seasonal = new Array[Double](n)
+    if (period > 1) {
+      val phase = Array.tabulate(period)(ph =>
+        median((ph until n by period).map(y).toArray))
+      val phaseMean = phase.sum / period
+      var i = 0
+      while (i < n) { seasonal(i) = phase(i % period) - phaseMean; i += 1 }
+    }
+    val de = Array.tabulate(n)(i => y(i) - seasonal(i))
+    val trend = new Array[Double](n)
+    trendKind match {
+      case "avg" =>
+        val m = de.sum / n
+        java.util.Arrays.fill(trend, m)
+      case "linefit" =>
+        val sx = (n - 1).toDouble * n / 2.0
+        val sxx = (n - 1).toDouble * n * (2.0 * n - 1.0) / 6.0
+        var sy = 0.0
+        var sxy = 0.0
+        var i = 0
+        while (i < n) { sy += de(i); sxy += i * de(i); i += 1 }
+        val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        val icept = (sy - slope * sx) / n
+        i = 0
+        while (i < n) { trend(i) = icept + slope * i; i += 1 }
+      case _ => () // "none": zeros
+    }
+    val baseline = Array.tabulate(n)(i => seasonal(i) + trend(i))
+    val residual = Array.tabulate(n)(i => y(i) - baseline(i))
+    (baseline, seasonal, trend, residual)
+  }
+
+  /** (flags −1/0/+1, scores, baseline), or null. */
+  def anomalies(arr: ArrayData, threshold: Double, period0: Int,
+      trendKind: String): (Array[Long], Array[Double], Array[Double]) = {
+    val d = decompose(arr, period0, trendKind)
+    if (d == null) return null
+    val (baseline, _, _, residual) = d
+    val n = residual.length
+    val sorted = residual.sorted
+    val q1 = rankQ(sorted, 0.25)
+    val q3 = rankQ(sorted, 0.75)
+    val med = rankQ(sorted, 0.5)
+    val iqr = q3 - q1
+    val flags = new Array[Long](n)
+    val scores = new Array[Double](n)
+    if (iqr != 0.0) {
+      var i = 0
+      while (i < n) {
+        val r = residual(i)
+        if (r > q3 + threshold * iqr) {
+          flags(i) = 1L; scores(i) = (r - med) / iqr
+        } else if (r < q1 - threshold * iqr) {
+          flags(i) = -1L; scores(i) = (r - med) / iqr
+        }
+        i += 1
+      }
+    }
+    (flags, scores, baseline)
+  }
+}
+
+/** `series_decompose(series, period, trend)` →
+  * struct<baseline, seasonal, trend, residual> (each array<double>).
+  */
+case class SeriesDecomposeExpr(
+    child: Expression, period: Int, trendKind: String)
+    extends UnaryExpression with CodegenFallback {
+  private val arr = ArrayType(DoubleType)
+  override def dataType: DataType = StructType(Seq(
+    StructField("baseline", arr), StructField("seasonal", arr),
+    StructField("trend", arr), StructField("residual", arr)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = SeriesDecomposeUtil.decompose(
+      input.asInstanceOf[ArrayData], period, trendKind)
+    if (d == null) null
+    else InternalRow(new GenericArrayData(d._1), new GenericArrayData(d._2),
+      new GenericArrayData(d._3), new GenericArrayData(d._4))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `series_decompose_anomalies(series, threshold, period, trend)` →
+  * struct<ad_flag array<long>, ad_score array<double>, baseline>.
+  */
+case class SeriesAnomaliesExpr(
+    child: Expression, threshold: Double, period: Int, trendKind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ad_flag", ArrayType(LongType)),
+    StructField("ad_score", ArrayType(DoubleType)),
+    StructField("baseline", ArrayType(DoubleType))))
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = SeriesDecomposeUtil.anomalies(
+      input.asInstanceOf[ArrayData], threshold, period, trendKind)
+    if (d == null) null
+    else InternalRow(new GenericArrayData(d._1), new GenericArrayData(d._2),
+      new GenericArrayData(d._3))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `series_periods_detect(series, min, max, k)` →
+  * struct<periods array<double>, scores array<double>>.
+  */
+case class SeriesPeriodsExpr(
+    child: Expression, minP: Int, maxP: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("periods", ArrayType(DoubleType)),
+    StructField("scores", ArrayType(DoubleType))))
+
+  override def nullSafeEval(input: Any): Any = {
+    val y = input.asInstanceOf[ArrayData]
+    var i = 0
+    val n = y.numElements()
+    val xs = new Array[Double](n)
+    while (i < n) {
+      if (y.isNullAt(i)) return null
+      xs(i) = y.getDouble(i)
+      i += 1
+    }
+    if (n < 4) return null
+    val (ps, ss) = SeriesDecomposeUtil.detectPeriods(xs, minP, maxP, k)
+    InternalRow(new GenericArrayData(ps), new GenericArrayData(ss))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}

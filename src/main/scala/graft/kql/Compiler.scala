@@ -275,7 +275,8 @@ final class Compiler(
           "series_dot_product" | "series_magnitude" |
           "series_cosine_similarity" |
           "series_pearson_correlation" => KT.Float
-      case "series_fit_line_dynamic" => KT.Var
+      case "series_fit_line_dynamic" | "series_decompose" |
+          "series_decompose_anomalies" | "series_periods_detect" => KT.Var
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" |
           "bag_merge" | "bag_remove_keys" | "bag_set_key" => KT.Var
@@ -2028,6 +2029,56 @@ final class Compiler(
               rsquare.as("rsquare"), slope.as("slope"),
               variance.as("variance"), rvariance.as("rvariance"),
               icept.as("interception"), fit.as("line_fit")))))
+        // seasonal decomposition family (Kusto series_decompose /
+        // series_decompose_anomalies / series_periods_detect), native
+        // per-row kernels with DOCUMENTED deterministic rules — ACF
+        // period detection, per-phase-median seasonal, avg/linefit
+        // trend, series_outliers-rule anomaly scoring (SeriesDecompose
+        // .scala). Results are bags (the series_fit_line_dynamic shape).
+        case "series_decompose" | "series_decompose_anomalies" |
+            "series_periods_detect" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          def iLit(e: Expr, what: String): Int = e match {
+            case IntLit(v) => v.toInt
+            case FloatLit(v) => v.toInt
+            case Neg(IntLit(v)) => (-v).toInt
+            case _ => throw KqlParseException(
+              s"$what must be an integer literal", 0)
+          }
+          def dLit(e: Expr, what: String): Double = e match {
+            case IntLit(v) => v.toDouble
+            case FloatLit(v) => v
+            case _ => throw KqlParseException(
+              s"$what must be a numeric literal", 0)
+          }
+          def tLit(e: Expr): String = e match {
+            case StrLit(v @ ("avg" | "linefit" | "none")) => v
+            case _ => throw KqlParseException(
+              "trend must be 'avg', 'linefit' or 'none'", 0)
+          }
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          val kernel = name match {
+            case "series_decompose" =>
+              graft.functions.SeriesDecomposeExpr(expression(yIn),
+                args.lift(1).map(iLit(_, "period")).getOrElse(-1),
+                args.lift(2).map(tLit).getOrElse("avg"))
+            case "series_decompose_anomalies" =>
+              graft.functions.SeriesAnomaliesExpr(expression(yIn),
+                args.lift(1).map(dLit(_, "threshold")).getOrElse(1.5),
+                args.lift(2).map(iLit(_, "period")).getOrElse(-1),
+                args.lift(3).map(tLit).getOrElse("linefit"))
+            case _ =>
+              graft.functions.SeriesPeriodsExpr(expression(yIn),
+                iLit(args(1), "min_period"), iLit(args(2), "max_period"),
+                iLit(args(3), "num_periods"))
+          }
+          try_parse_json(to_json(column(kernel)))
+        }
         // Tukey-fence anomaly scores, with a DOCUMENTED deterministic
         // rule (Kusto's exact scoring formula is unpublished): exact
         // rank-rule quartiles ceil(p·n) over the non-null sorted copy,

@@ -1704,6 +1704,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_not_equals", "series_dot_product", "series_magnitude",
     "series_cosine_similarity", "series_pearson_correlation",
     "series_fit_line_dynamic",
+    "series_decompose", "series_decompose_anomalies", "series_periods_detect",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
     "set_union", "set_intersect", "set_difference",
@@ -2244,6 +2245,22 @@ final class Parser(src: String, nowMicros: Long) {
           "series_cosine_similarity" | "series_pearson_correlation") =>
         val a = args(); arity(a.length == 2, s"$f() takes 2 args")
         ArrFn(f, a)
+      case "series_decompose" =>
+        val a = args()
+        arity(a.length >= 1 && a.length <= 3,
+          "series_decompose() takes (series[, period[, trend]])")
+        ArrFn("series_decompose", a)
+      case "series_decompose_anomalies" =>
+        val a = args()
+        arity(a.length >= 1 && a.length <= 4,
+          "series_decompose_anomalies() takes " +
+            "(series[, threshold[, period[, trend]]])")
+        ArrFn("series_decompose_anomalies", a)
+      case "series_periods_detect" =>
+        val a = args()
+        arity(a.length == 4,
+          "series_periods_detect() takes (series, min_period, max_period, num_periods)")
+        ArrFn("series_periods_detect", a)
       case "series_fill_const" =>
         val a = args()
         arity(a.length == 2,

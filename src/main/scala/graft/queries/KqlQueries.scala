@@ -2805,6 +2805,41 @@ object KqlQueries {
         |  CAST(floor(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cpi
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // round-7 series_decompose family: per-row periodic series built from
+    // doc_id so every component is analytically exact — phase medians,
+    // avg trend, ACF period score (24/32 = 0.75), and the injected-spike
+    // anomaly score ((55.5−a)/2.5: identical IEEE operands both engines).
+    // Scalar extraction via toreal/tolong (the kql_series_stats pattern)
+    kq("kql_series_decompose",
+      """documents
+        | | where doc_id < 300
+        | | extend a = doc_id % 5
+        | | extend s = pack_array(a, a + 4, a, a + 4, a, a + 4, a, a + 4)
+        | | extend s2 = pack_array(a + 1, a + 2, a + 3, a + 2,
+        |                          a + 2, a + 3, a + 4, a + 3,
+        |                          a + 3, a + 4, 60, a + 4,
+        |                          a + 4, a + 5, a + 6, a + 5)
+        | | extend d = series_decompose(s, 2, 'avg'),
+        |          pd = series_periods_detect(s, 2, 4, 1),
+        |          an = series_decompose_anomalies(s2, 1.5, 4, 'none')
+        | | project doc_id,
+        |     b0 = toreal(d.baseline[0]), b1 = toreal(d.baseline[1]),
+        |     t0 = toreal(d.trend[0]), se0 = toreal(d.seasonal[0]),
+        |     r0 = toreal(d.residual[0]),
+        |     p1 = toreal(pd.periods[0]), s1 = toreal(pd.scores[0]),
+        |     f10 = tolong(an.ad_flag[10]), f0 = tolong(an.ad_flag[0]),
+        |     s10 = toreal(an.ad_score[10])
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 AS DOUBLE) AS b0,
+        |  CAST(doc_id % 5 + 4 AS DOUBLE) AS b1,
+        |  CAST(doc_id % 5 + 2 AS DOUBLE) AS t0,
+        |  CAST(-2.0 AS DOUBLE) AS se0, CAST(0.0 AS DOUBLE) AS r0,
+        |  CAST(2.0 AS DOUBLE) AS p1, CAST(0.75 AS DOUBLE) AS s1,
+        |  CAST(1 AS BIGINT) AS f10, CAST(0 AS BIGINT) AS f0,
+        |  (55.5 - (doc_id % 5)) / 2.5 AS s10
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole

@@ -1,0 +1,124 @@
+package graft.kql
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.functions.SeriesDecomposeUtil
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+
+/** Differential + identity pins for the series_decompose family. */
+class SeriesDecomposeSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    c.register("t", Seq((1L, 2L)).toDF("id", "x"))
+    c
+  }
+  private def run(kql: String) = Kql.run(spark, cat, kql)
+
+  private def arr(xs: Double*) = new GenericArrayData(xs.toArray)
+
+  test("kernel: periodic series decomposes exactly (period given)") {
+    // y = [0,4,0,4,...]: phase medians [0,4], centered seasonal [-2,2],
+    // deseasonalized constant 2 → avg trend 2, residual all zero
+    val y = arr(0, 4, 0, 4, 0, 4, 0, 4)
+    val (baseline, seasonal, trend, residual) =
+      SeriesDecomposeUtil.decompose(y, 2, "avg")
+    assert(seasonal.toSeq == Seq(-2.0, 2.0, -2.0, 2.0, -2.0, 2.0, -2.0, 2.0))
+    assert(trend.toSeq.forall(_ == 2.0))
+    assert(residual.toSeq.forall(_ == 0.0))
+    assert(baseline.toSeq == Seq(0.0, 4.0, 0.0, 4.0, 0.0, 4.0, 0.0, 4.0))
+  }
+
+  test("kernel: baseline + residual reconstructs the series (identity)") {
+    val ys = Array(3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0)
+    for (trend <- Seq("avg", "linefit", "none"); p <- Seq(-1, 0, 2, 3)) {
+      val d = SeriesDecomposeUtil.decompose(arr(ys: _*), p, trend)
+      assert(d != null)
+      val (baseline, seasonal, tr, residual) = d
+      ys.indices.foreach { i =>
+        assert(math.abs(baseline(i) + residual(i) - ys(i)) < 1e-9,
+          s"trend=$trend p=$p i=$i")
+        assert(math.abs(seasonal(i) + tr(i) - baseline(i)) < 1e-9)
+      }
+    }
+  }
+
+  test("kernel: linefit trend recovers a pure line") {
+    val y = arr((0 until 12).map(i => 2.0 * i + 5.0): _*)
+    val (_, seasonal, trend, residual) =
+      SeriesDecomposeUtil.decompose(y, 0, "linefit")
+    assert(seasonal.forall(_ == 0.0))
+    (0 until 12).foreach(i => assert(math.abs(trend(i) - (2.0 * i + 5.0)) < 1e-9))
+    assert(residual.forall(r => math.abs(r) < 1e-9))
+  }
+
+  test("kernel: period auto-detection finds the true period") {
+    val y = arr((0 until 21).map(i => Seq(0.0, 3.0, 6.0)(i % 3)): _*)
+    val (ps, ss) = SeriesDecomposeUtil.detectPeriods(
+      Array.tabulate(21)(i => Seq(0.0, 3.0, 6.0)(i % 3)), 2, 10, 3)
+    assert(ps.headOption.contains(3.0), ps.toSeq)
+    assert(ss.head > 0.6)
+    // harmonics of 3 (6, 9) are suppressed, anticorrelated lags filtered
+    assert(!ps.tail.exists(p => p % 3 == 0), ps.toSeq)
+    // and decompose(-1) uses it
+    val (_, seasonal, _, _) = SeriesDecomposeUtil.decompose(y, -1, "avg")
+    assert(seasonal.distinct.sorted.toSeq == Seq(-3.0, 0.0, 3.0))
+  }
+
+  test("kernel: anomaly flags fire on an injected spike only") {
+    val base = Array.tabulate(24)(i => Seq(1.0, 2.0, 3.0, 2.0)(i % 4) +
+      (i % 7) * 0.01) // slight jitter so the residual IQR is nonzero
+    base(13) += 50.0 // spike
+    val (flags, scores, baseline) = SeriesDecomposeUtil.anomalies(
+      arr(base: _*), 1.5, 4, "linefit")
+    assert(flags(13) == 1L)
+    assert(scores(13) > 1.5)
+    assert(flags.count(_ != 0L) <= 3, flags.toSeq) // spike dominates
+    assert(baseline.length == 24)
+  }
+
+  test("kernel: null element / short series null out") {
+    assert(SeriesDecomposeUtil.decompose(
+      new GenericArrayData(Array[Any](1.0, null, 3.0, 4.0)), 0, "avg") == null)
+    assert(SeriesDecomposeUtil.decompose(arr(1, 2, 3), 0, "avg") == null)
+  }
+
+  test("kql: decompose bag fields extract and reconstruct") {
+    val r = run(
+      """t | extend s = pack_array(0, 4, 0, 4, 0, 4, 0, 4)
+        | | extend d = series_decompose(s, 2, 'avg')
+        | | project b0 = toreal(d.baseline[0]), b1 = toreal(d.baseline[1]),
+        |     r0 = toreal(d.residual[0]), t0 = toreal(d.trend[0]),
+        |     se1 = toreal(d.seasonal[1])""".stripMargin).collect().head
+    assert(r.getDouble(0) == 0.0 && r.getDouble(1) == 4.0)
+    assert(r.getDouble(2) == 0.0)
+    assert(r.getDouble(3) == 2.0)
+    assert(r.getDouble(4) == 2.0)
+  }
+
+  test("kql: periods_detect on an exactly periodic series") {
+    val r = run(
+      """print pd = series_periods_detect(
+        |    pack_array(0, 3, 6, 0, 3, 6, 0, 3, 6, 0, 3, 6, 0, 3, 6, 0, 3, 6),
+        |    2, 8, 2)
+        | | project p1 = toreal(pd.periods[0]), s1 = toreal(pd.scores[0]),
+        |     p2 = toreal(pd.periods[1])""".stripMargin).collect().head
+    assert(r.getDouble(0) == 3.0)
+    assert(r.getDouble(1) == 90.0 / 108.0)
+    assert(r.isNullAt(2)) // harmonics suppressed, negatives filtered
+  }
+
+  test("kql: anomalies flags round-trip") {
+    val r = run(
+      """t | extend s = pack_array(1, 2, 3, 2, 2, 3, 4, 3, 3, 4, 60, 4,
+        |                          4, 5, 6, 5)
+        | | extend a = series_decompose_anomalies(s, 1.5, 4, 'none')
+        | | project f10 = tolong(a.ad_flag[10]), f0 = tolong(a.ad_flag[0]),
+        |     s10 = toreal(a.ad_score[10])""".stripMargin).collect().head
+    assert(r.getLong(0) == 1L)
+    assert(r.getLong(1) == 0L)
+    assert(r.getDouble(2) > 1.5)
+  }
+}
