@@ -3988,8 +3988,12 @@ final class Compiler(
         // one merge per group; result re-parses to a variant
         case Aggregation.BuildSchema(f) => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-          val shape = column(graft.functions.SchemaOf(
-            expression(compileField(df, f).cast(StringType))))
+          // variant input: walk the binary encoding directly (no JSON
+          // serialize + reparse per row — round-7 kql_aggschema audit)
+          val src = compileField(df, f)
+          val shapeIn =
+            if (fieldType(df, f) == KT.Var) src else src.cast(StringType)
+          val shape = column(graft.functions.SchemaOf(expression(shapeIn)))
           try_parse_json(column(graft.functions.SchemaMerge(
             expression(sort_array(collect_set(shape))))))
         }
