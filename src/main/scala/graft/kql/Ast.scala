@@ -664,6 +664,33 @@ object QueryStep {
     * reference in the same query (join/union subqueries); rows pass
     * through unchanged. */
   final case class AsBind(name: String) extends QueryStep
+
+  /** A graph-match pattern node: `(a)` / `()` (anonymous). */
+  final case class GraphNode(name: Option[String])
+  /** A graph-match pattern edge: `-[e]->` (dir 1), `<-[e]-` (dir -1),
+    * `-[e]-` (dir 0 = either), `-->`/`<--`/`--` anonymous shorthands;
+    * `-[e*1..3]->` variable length (minHops..maxHops).
+    */
+  final case class GraphEdge(
+      name: Option[String], direction: Int, minHops: Int, maxHops: Int)
+  /** Kusto `make-graph src --> dst [with NodesTable on id]` — turns the
+    * pipeline (an edge list) into a graph context for a following
+    * `graph-match`. Identical parallel edges collapse to one (they are
+    * indistinguishable; gives the uniqueness constraint a replayable
+    * row identity). Without `with`, nodes are the distinct endpoints
+    * exposed as the single property `id` (ref has no graph surface —
+    * this is the real-KQL step a miso user would miss next).
+    */
+  final case class MakeGraph(src: FieldPath, dst: FieldPath,
+      nodes: Option[(String, FieldPath)]) extends QueryStep
+  /** Kusto `graph-match [cycles=...] (a)-[e]->(b) [where pred]
+    * project …` — pattern matching over the make-graph context. Each hop
+    * compiles to one shuffle equi-join on node ids (the Spark-native
+    * plan; bounded pattern length, never transitive closure).
+    */
+  final case class GraphMatch(cycles: String, nodes: Seq[GraphNode],
+      edges: Seq[GraphEdge], where: Option[Expr],
+      project: Seq[(Expr, String)]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

@@ -2386,6 +2386,11 @@ final class Compiler(
   private val UnionSrcCol = "__graft_union_src"
   private var keepUnionSrc = false
 
+  /** Graph context produced by make-graph, consumed by the next
+    * graph-match: (edges with __gsrc/__gdst/__geid, nodes, node-id col).
+    */
+  private var pendingGraph: Option[(DataFrame, DataFrame, String)] = None
+
   def compile(q: Query): DataFrame = {
     val saved = pipelineSource
     pipelineSource = sourceNameOf(q)
@@ -2588,6 +2593,123 @@ final class Compiler(
     // index is a total order, so this is a single-partition window by
     // design (narrow is an interactive small-result explorer; a
     // data-scale transpose is mv-expand territory)
+    // make-graph: the pipeline is an edge list; capture the graph context
+    // for the graph-match that follows. Identical parallel edges collapse
+    // to one (indistinguishable rows — gives the uniqueness constraint a
+    // replayable row identity); __geid is the edge's content hash.
+    // Without `with`, nodes are the distinct endpoints, property `id`.
+    case QueryStep.MakeGraph(src, dst, nodesOpt) =>
+      val edges = df.distinct()
+      val orig = edges.columns
+      val edges2 = edges
+        .withColumn("__gsrc", compileField(edges, src))
+        .withColumn("__gdst", compileField(edges, dst))
+        .withColumn("__geid", xxhash64(orig.map(c => col(s"`$c`")): _*))
+      val (nodesDf, idCol) = nodesOpt match {
+        case Some((t, idf)) =>
+          (compile(Query(Seq(QueryStep.Scan(t)))), idf.flat)
+        case None =>
+          (edges2.select(col("__gsrc").as("id"))
+            .union(edges2.select(col("__gdst").as("id")))
+            .distinct(), "id")
+      }
+      pendingGraph = Some((edges2, nodesDf, idCol))
+      // a make-graph not followed by a graph operator yields the edges
+      edges
+
+    // graph-match: each hop is ONE shuffle equi-join on node ids; a
+    // variable-length edge is a bounded union of fixed-length chains
+    // (1..5 hops — never transitive closure, the plan stays static).
+    // Pattern variables surface as STRUCT columns (node/edge row) or an
+    // ARRAY of edge structs for variable length, so where/project use
+    // the ordinary nested-field machinery (a.name, e.weight,
+    // array_length(e)). At 100 TB: joins key on node ids (AQE picks
+    // broadcast for small node dims), unique-edge checks are per-row
+    // array expressions — no extra shuffle.
+    case QueryStep.GraphMatch(cycles, gNodes, gEdges, gWhere, gProj) =>
+      val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
+        "graph-match requires a preceding make-graph", 0))
+      pendingGraph = None
+      val nodeNames = gNodes.zipWithIndex.map {
+        case (n, i) => n.name.getOrElse(s"__gn$i") }
+      val edgeNames = gEdges.zipWithIndex.map {
+        case (e, i) => e.name.getOrElse(s"__ge$i") }
+      val eOrig = edf.columns.filterNot(_.startsWith("__g"))
+      def nodeFrame(v: String): DataFrame = ndf.select(
+        col(s"`$idCol`").as(s"__id_$v"),
+        struct(ndf.columns.map(c => col(s"`$c`")): _*).as(v))
+      // one oriented hop: from/to per direction; dir 0 admits both
+      def hop(v: String, dir: Int): DataFrame = {
+        def o(f: String, t: String) = edf.select(
+          col(f).as(s"__from_$v"), col(t).as(s"__to_$v"),
+          col("__geid").as(s"__hopeid_$v"),
+          struct(eOrig.map(c => col(s"`$c`")): _*).as(s"__hop_$v"))
+        dir match {
+          case 1 => o("__gsrc", "__gdst")
+          case -1 => o("__gdst", "__gsrc")
+          case _ => o("__gsrc", "__gdst").union(o("__gdst", "__gsrc"))
+        }
+      }
+      // edge var frame: __from/__to endpoints, the var column (struct, or
+      // array of structs for variable length), __eids (always array — one
+      // uniform uniqueness representation), __nids (interior node ids)
+      def edgeFrame(v: String, e: QueryStep.GraphEdge): DataFrame = {
+        if (e.minHops == 1 && e.maxHops == 1) {
+          val h = hop(v, e.direction)
+          h.select(col(s"__from_$v"), col(s"__to_$v"),
+            col(s"__hop_$v").as(v),
+            array(col(s"__hopeid_$v")).as(s"__eids_$v"),
+            array().cast("array<string>").as(s"__nids_$v"))
+        } else {
+          val variants = (e.minHops to e.maxHops).map { h =>
+            val hops = (0 until h).map(j => hop(s"${v}_$j", e.direction))
+            val joined = hops.reduceLeft[DataFrame] { case (acc, nxt) =>
+              // acc's last hop index = count of joins so far; track via
+              // columns: join on previous __to == next __from
+              val prevTo = acc.columns.filter(_.startsWith(s"__to_${v}_"))
+                .maxBy(c => c.drop(s"__to_${v}_".length).toInt)
+              acc.join(nxt, col(prevTo) ===
+                nxt.col(nxt.columns.find(_.startsWith("__from_")).get))
+            }
+            val structs = (0 until h).map(j => col(s"__hop_${v}_$j"))
+            val eids = (0 until h).map(j => col(s"__hopeid_${v}_$j"))
+            val interior = (0 until h - 1).map(j => col(s"__to_${v}_$j"))
+            joined.select(col(s"__from_${v}_0").as(s"__from_$v"),
+              col(s"__to_${v}_${h - 1}").as(s"__to_$v"),
+              array(structs: _*).as(v),
+              array(eids: _*).as(s"__eids_$v"),
+              (if (interior.isEmpty) array().cast("array<string>")
+               else array(interior: _*).cast("array<string>"))
+                .as(s"__nids_$v"))
+          }
+          variants.reduce(_ unionByName _)
+        }
+      }
+      var cur = nodeFrame(nodeNames.head)
+      gEdges.indices.foreach { i =>
+        val ev = edgeNames(i)
+        val ef = edgeFrame(ev, gEdges(i))
+        cur = cur
+          .join(ef, col(s"__id_${nodeNames(i)}") === col(s"__from_$ev"))
+          .join(nodeFrame(nodeNames(i + 1)),
+            col(s"__to_$ev") === col(s"__id_${nodeNames(i + 1)}"))
+      }
+      if (gEdges.nonEmpty) {
+        // unique_edges (Kusto default): no edge instance repeats in a
+        // path; cycles=none additionally forbids repeated nodes
+        val allEids = concat(edgeNames.map(v => col(s"__eids_$v")): _*)
+        cur = cur.filter(size(array_distinct(allEids)) === size(allEids))
+        if (cycles == "none") {
+          // ids compare via their string forms (uniform across id types)
+          val allNids = concat(
+            array(nodeNames.map(v => col(s"__id_$v")): _*).cast("array<string>") +:
+              edgeNames.map(v => col(s"__nids_$v")): _*)
+          cur = cur.filter(size(array_distinct(allNids)) === size(allNids))
+        }
+      }
+      val filtered = gWhere.fold(cur)(w => cur.filter(compileBool(cur, w)))
+      compileStepInner(filtered, QueryStep.Project(gProj))
+
     case QueryStep.Narrow =>
       import org.apache.spark.sql.expressions.Window
       val keys = serialOrder.getOrElse(throw KqlParseException(

@@ -117,7 +117,7 @@ object Lexer {
     Set("mv-expand", "project-rename", "project-away", "project-keep",
       "top-nested", "parse-where", "mv-apply", "top-hitters",
       "sample-distinct", "make-series", "project-reorder", "parse-kv",
-      "granny-asc", "granny-desc")
+      "granny-asc", "granny-desc", "make-graph", "graph-match")
 
   /** Escaped string literal — the reference's full escape set
     * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),

@@ -501,6 +501,8 @@ final class Parser(src: String, nowMicros: Long) {
       case "scan"             => p += 1; parseScanMatch()
       case "invoke"           => p += 1; parseInvoke()
       case "render"           => p += 1; parseRender()
+      case "make-graph"       => p += 1; parseMakeGraph()
+      case "graph-match"      => p += 1; parseGraphMatch()
       case "as"               => p += 1
         // tolerate Kusto's `hint.materialized=true|false` prefix (the
         // binding is a plan splice either way — accepted and ignored,
@@ -782,6 +784,85 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
     QueryStep.RenderHint(kind)
+  }
+
+  /** `make-graph src --> dst [with NodesTable on id]`. */
+  private def parseMakeGraph(): QueryStep = {
+    val src = parseFieldPath()
+    eatPunct("-"); eatPunct("-"); eatPunct(">")
+    val dst = parseFieldPath()
+    val nodes = if (atIdent("with")) {
+      p += 1
+      val t = parseSourceRef()
+      eatIdent("on")
+      Some((t, parseFieldPath()))
+    } else None
+    QueryStep.MakeGraph(src, dst, nodes)
+  }
+
+  /** `graph-match [cycles=none|unique_edges] (a)-[e]->(b)…
+    * [where pred] project fields` — edges: `-[e]->`, `<-[e]-`, `-[e]-`
+    * (either direction), shorthands `-->`/`<--`/`--`, variable length
+    * `-[e*1..3]->` (hop range 1..5).
+    */
+  private def parseGraphMatch(): QueryStep = {
+    var cycles = "unique_edges"
+    if (atIdent("cycles")) {
+      p += 1; eatPunct("=")
+      cycles = identText().toLowerCase match {
+        case c @ ("none" | "unique_edges") => c
+        case o => fail(s"cycles must be none or unique_edges, got '$o'")
+      }
+    }
+    def parseNode(): QueryStep.GraphNode = {
+      eatPunct("(")
+      val n = if (atPunct(")")) None else Some(identText())
+      eatPunct(")")
+      QueryStep.GraphNode(n)
+    }
+    def parseEdge(): QueryStep.GraphEdge = {
+      val back = atPunct("<")
+      if (back) p += 1
+      eatPunct("-")
+      var name: Option[String] = None
+      var minH = 1
+      var maxH = 1
+      if (atPunct("[")) {
+        p += 1
+        if (!atPunct("]")) {
+          name = Some(identText())
+          if (atPunct("*")) {
+            p += 1
+            minH = parseIntLit().toInt
+            eatPunct("..")
+            maxH = parseIntLit().toInt
+            arity(minH >= 1 && maxH >= minH && maxH <= 5,
+              "variable-length hop range must satisfy 1 <= min <= max <= 5")
+          }
+        }
+        eatPunct("]")
+        eatPunct("-")
+      } else eatPunct("-") // shorthand --> / <-- / --
+      val fwd = atPunct(">")
+      if (fwd) { arity(!back, "edge cannot be both <- and ->"); p += 1 }
+      QueryStep.GraphEdge(name, if (back) -1 else if (fwd) 1 else 0,
+        minH, maxH)
+    }
+    val nodes = Seq.newBuilder[QueryStep.GraphNode]
+    val edges = Seq.newBuilder[QueryStep.GraphEdge]
+    nodes += parseNode()
+    while (atPunct("-") || atPunct("<")) {
+      edges += parseEdge()
+      nodes += parseNode()
+    }
+    val where = if (atIdent("where")) { p += 1; Some(parseExpr()) } else None
+    eatIdent("project")
+    val proj = parseProjFields()
+    val ns = nodes.result()
+    val named = ns.flatMap(_.name) ++ edges.result().flatMap(_.name)
+    arity(named.distinct.length == named.length,
+      "graph-match variable names must be distinct")
+    QueryStep.GraphMatch(cycles, ns, edges.result(), where, proj)
   }
 
   /** `fork [name =] (steps…) …` — at least one parenthesized branch;
@@ -2489,7 +2570,8 @@ object Parser {
     "where", "project", "extend", "project-rename", "project-away",
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
     "top-hitters", "sample-distinct", "summarize", "distinct", "union",
-    "join", "count", "write", "tee", "search", "parse", "partition", "as")
+    "join", "count", "write", "tee", "search", "parse", "partition", "as",
+    "make-graph", "graph-match")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

@@ -2840,6 +2840,58 @@ object KqlQueries {
         |  (55.5 - (doc_id % 5)) / 2.5 AS s10
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
+    // round-7 graph operators: make-graph + graph-match. Each hop is one
+    // shuffle equi-join on node ids (GraphMatchSpec pins semantics); the
+    // DuckDB oracle replays the joins with the unique-edges constraint as
+    // a row-inequality (edge identity = the distinct projected row,
+    // matching make-graph's parallel-edge collapse)
+    kq("kql_graph_match",
+      """events
+        | | where event_id < 3000
+        | | project s = user_id % 40, d = (user_id + event_id) % 40,
+        |     w = tolong(bin(value * 10.0, 1.0))
+        | | make-graph s --> d
+        | | graph-match (a)-[e1]->(b)-[e2]->(c)
+        |     where e1.w > 30 and e2.w > 30
+        |     project aid = tolong(a.id), w1 = e1.w, w2 = e2.w
+        | | extend tw = w1 + w2
+        | | summarize n = count(), sw = sum(tw) by aid
+        | | sort by aid asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 40 AS s, (user_id + event_id) % 40 AS d,
+        |         CAST(floor(value * 10) AS BIGINT) AS w
+        |  FROM events WHERE event_id < 3000),
+        |m AS (
+        |  SELECT e1.s AS aid, e1.w AS w1, e2.w AS w2
+        |  FROM e e1 JOIN e e2 ON e1.d = e2.s
+        |  WHERE e1.w > 30 AND e2.w > 30
+        |    AND NOT (e1.s = e2.s AND e1.d = e2.d AND e1.w = e2.w))
+        |SELECT aid, count(*) AS n, CAST(sum(w1 + w2) AS DOUBLE) AS sw
+        |FROM m GROUP BY aid ORDER BY aid""".stripMargin),
+
+    kq("kql_graph_varlen",
+      """events
+        | | where event_id < 1500
+        | | project s = user_id % 25, d = (user_id * 7 + event_id) % 25
+        | | make-graph s --> d
+        | | graph-match (a)-[e*1..2]->(b)
+        |     where a.id == 3
+        |     project bid = tolong(b.id), hops = array_length(e)
+        | | summarize n = count() by bid, hops
+        | | sort by bid asc, hops asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 25 AS s,
+        |         (user_id * 7 + event_id) % 25 AS d
+        |  FROM events WHERE event_id < 1500),
+        |h1 AS (SELECT d AS bid, CAST(1 AS BIGINT) AS hops
+        |       FROM e WHERE s = 3),
+        |h2 AS (SELECT e2.d AS bid, CAST(2 AS BIGINT) AS hops
+        |       FROM e e1 JOIN e e2 ON e1.d = e2.s
+        |       WHERE e1.s = 3 AND NOT (e1.s = e2.s AND e1.d = e2.d)),
+        |u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2)
+        |SELECT bid, hops, count(*) AS n FROM u
+        |GROUP BY bid, hops ORDER BY bid, hops""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole
