@@ -665,6 +665,28 @@ object QueryStep {
     * through unchanged. */
   final case class AsBind(name: String) extends QueryStep
 
+  /** Kusto `evaluate activity_engagement(id, ts, inner, outer)` — sliding
+    * DAU/MAU-style engagement: per inner-aligned bin t, the distinct ids
+    * active in (t, t+inner] over the distinct ids active in the outer
+    * window of the last outer/inner bins, as `activity_ratio`. Bins with
+    * no activity anywhere in their outer window are absent (documented).
+    */
+  final case class ActivityEngagement(id: FieldPath, ts: FieldPath,
+      innerMicros: Long, outerMicros: Long) extends QueryStep
+  /** Kusto `evaluate sliding_window_counts(id, ts, start, end, lookback,
+    * bin)` — per bin in [start, end]: row count + distinct-id count over
+    * the lookback window ending at that bin.
+    */
+  final case class SlidingWindowCounts(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, lookbackMicros: Long,
+      binMicros: Long) extends QueryStep
+  /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
+    * context rows: keeps rows within `before` rows before or `after`
+    * rows after any row satisfying the condition.
+    */
+  final case class RowsNear(cond: Expr, before: Long, after: Long)
+      extends QueryStep
+
   /** A graph-match pattern node: `(a)` / `()` (anonymous). */
   final case class GraphNode(name: Option[String])
   /** A graph-match pattern edge: `-[e]->` (dir 1), `<-[e]-` (dir -1),

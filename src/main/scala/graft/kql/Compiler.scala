@@ -2710,6 +2710,60 @@ final class Compiler(
       val filtered = gWhere.fold(cur)(w => cur.filter(compileBool(cur, w)))
       compileStepInner(filtered, QueryStep.Project(gProj))
 
+    // sliding engagement: each activity row contributes to the outer/inner
+    // windows ending at each of the next outer/inner bins — one explode
+    // (bounded fan-out = outer/inner) + one keyed dcount aggregation, the
+    // standard distributed shape for sliding distinct counts. The bin
+    // range is clipped to observed activity via a broadcast 1-row max
+    // (the make-series bounds idiom).
+    case QueryStep.ActivityEngagement(idf, tsf, inner, outer) =>
+      val idc = compileField(df, idf)
+      val tb = floor(unix_micros(compileField(df, tsf).cast(TimestampType))
+        / inner).cast(LongType) * inner
+      val ex = df.select(idc.as("__id"), tb.as("__tb"))
+        .withColumn("__t", explode(sequence(col("__tb"),
+          col("__tb") + lit(outer - inner), lit(inner))))
+      val mx = df.agg(max(tb).as("__mx"))
+      ex.join(broadcast(mx), col("__t") <= col("__mx"))
+        .groupBy(col("__t"))
+        .agg(
+          count_distinct(when(col("__t") === col("__tb"), col("__id")))
+            .as("dcount_activities_inner"),
+          count_distinct(col("__id")).as("dcount_activities_outer"))
+        .select(timestamp_micros(col("__t")).as(tsf.flat),
+          col("dcount_activities_inner"), col("dcount_activities_outer"),
+          (col("dcount_activities_inner").cast(DoubleType) /
+            col("dcount_activities_outer")).as("activity_ratio"))
+
+    // same explode-to-contributing-bins shape; bins clipped to [start,end]
+    case QueryStep.SlidingWindowCounts(idf, tsf, start, end, look, binUs) =>
+      val idc = compileField(df, idf)
+      val tb = floor(unix_micros(compileField(df, tsf).cast(TimestampType))
+        / binUs).cast(LongType) * binUs
+      df.select(idc.as("__id"), tb.as("__tb"))
+        .withColumn("__t", explode(sequence(col("__tb"),
+          col("__tb") + lit(look - binUs), lit(binUs))))
+        .filter(col("__t") >= lit(start) && col("__t") <= lit(end))
+        .groupBy(col("__t"))
+        .agg(count(lit(1)).as("Count"),
+          count_distinct(col("__id")).as("Dcount"))
+        .select(timestamp_micros(col("__t")).as(tsf.flat),
+          col("Count"), col("Dcount"))
+
+    // serialized context rows: one global window pass (rows_near is a
+    // serialized operator by contract, same single-partition shape as
+    // narrow — context windows over a total row order)
+    case QueryStep.RowsNear(cond, before, after) =>
+      import org.apache.spark.sql.expressions.Window
+      val keys = serialOrder.getOrElse(throw KqlParseException(
+        "rows_near requires a serialized input — add a 'sort by' first", 0))
+      // row i survives iff a condition row exists in [i-after, i+before]
+      val w = Window.orderBy(keys.map(k => sortCol(df, k)): _*)
+        .rowsBetween(-after, before)
+      val flag = compileBool(df, cond).cast("int")
+      df.withColumn("__rn_keep", max(flag).over(w))
+        .filter(col("__rn_keep") === 1).drop("__rn_keep")
+
     case QueryStep.Narrow =>
       import org.apache.spark.sql.expressions.Window
       val keys = serialOrder.getOrElse(throw KqlParseException(

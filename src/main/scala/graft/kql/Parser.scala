@@ -680,6 +680,53 @@ final class Parser(src: String, nowMicros: Long) {
         "sequence_detect() needs at least two step flags and one key")
       return QueryStep.SequenceDetect(tl, win, dur, cs.dropRight(1), cs.last)
     }
+    if (plugin == "activity_engagement") {
+      eatPunct("(")
+      val id = parseFieldPath(); eatPunct(",")
+      val ts = parseFieldPath(); eatPunct(",")
+      def span(what: String): Long = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail(s"activity_engagement $what must be a timespan literal")
+      }
+      val inner = span("inner window"); eatPunct(",")
+      val outer = span("outer window")
+      eatPunct(")")
+      arity(inner > 0 && outer >= inner && outer % inner == 0,
+        "outer window must be a positive multiple of the inner window")
+      return QueryStep.ActivityEngagement(id, ts, inner, outer)
+    }
+    if (plugin == "sliding_window_counts") {
+      eatPunct("(")
+      val id = parseFieldPath(); eatPunct(",")
+      val ts = parseFieldPath(); eatPunct(",")
+      def dt(what: String): Long = delit(parseExpr()) match {
+        case DatetimeLit(v) => v
+        case _ => fail(s"sliding_window_counts $what must be a datetime literal")
+      }
+      def span(what: String): Long = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail(s"sliding_window_counts $what must be a timespan literal")
+      }
+      val start = dt("start"); eatPunct(",")
+      val end = dt("end"); eatPunct(",")
+      val lookback = span("lookback"); eatPunct(",")
+      val bin = span("bin")
+      eatPunct(")")
+      arity(bin > 0 && lookback >= bin && lookback % bin == 0,
+        "lookback must be a positive multiple of the bin")
+      arity(end >= start, "end must be >= start")
+      return QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
+    }
+    if (plugin == "rows_near") {
+      eatPunct("(")
+      val cond = parseExpr()
+      eatPunct(",")
+      val before = parseIntLit()
+      val after = if (tryPunct(",")) parseIntLit() else before
+      eatPunct(")")
+      arity(before >= 0 && after >= 0, "rows_near counts must be >= 0")
+      return QueryStep.RowsNear(cond, before, after)
+    }
     if (plugin == "diffpatterns") {
       eatPunct("(")
       val th = peek match {

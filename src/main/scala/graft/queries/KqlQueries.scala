@@ -2840,6 +2840,70 @@ object KqlQueries {
         |  (55.5 - (doc_id % 5)) / 2.5 AS s10
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
+    // round-7 activity analytics: sliding DAU/WAU engagement and sliding
+    // window counts — one bounded explode (outer/inner bins per row) +
+    // one keyed dcount agg; the oracle replays the identical construction
+    kq("kql_activity_eng",
+      """events
+        | | evaluate activity_engagement(user_id, ts, 1d, 7d)
+        | | project ts, di = dcount_activities_inner,
+        |     dd = dcount_activities_outer, r = activity_ratio
+        | | sort by ts asc""".stripMargin,
+      """WITH b AS (
+        |  SELECT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS tb
+        |  FROM events),
+        |x AS (
+        |  SELECT id, tb,
+        |    unnest(range(tb, tb + 7 * 86400000000, 86400000000)) AS t
+        |  FROM b),
+        |mx AS (SELECT max(tb) AS m FROM b)
+        |SELECT make_timestamp(t) AS ts,
+        |  count(DISTINCT CASE WHEN tb = t THEN id END) AS di,
+        |  count(DISTINCT id) AS dd,
+        |  CAST(count(DISTINCT CASE WHEN tb = t THEN id END) AS DOUBLE) /
+        |    count(DISTINCT id) AS r
+        |FROM x, mx WHERE t <= m
+        |GROUP BY t ORDER BY ts""".stripMargin),
+
+    kq("kql_sliding_counts",
+      """events
+        | | evaluate sliding_window_counts(user_id, ts,
+        |     datetime(2024-01-08), datetime(2024-01-28), 7d, 1d)
+        | | project ts, c = Count, d = Dcount
+        | | sort by ts asc""".stripMargin,
+      """WITH b AS (
+        |  SELECT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS tb
+        |  FROM events),
+        |x AS (
+        |  SELECT id,
+        |    unnest(range(tb, tb + 7 * 86400000000, 86400000000)) AS t
+        |  FROM b)
+        |SELECT make_timestamp(t) AS ts, count(*) AS c,
+        |       count(DISTINCT id) AS d
+        |FROM x
+        |WHERE t >= epoch_us(TIMESTAMP '2024-01-08')
+        |  AND t <= epoch_us(TIMESTAMP '2024-01-28')
+        |GROUP BY t ORDER BY ts""".stripMargin),
+
+    // serialized context rows (ripgrep -B2 -A1, in KQL form)
+    kq("kql_rows_near",
+      """events
+        | | where event_id < 2000
+        | | sort by event_id asc
+        | | evaluate rows_near(event_type == 'error', 2, 1)
+        | | project event_id, event_type
+        | | sort by event_id asc""".stripMargin,
+      """WITH o AS (
+        |  SELECT event_id, event_type,
+        |    max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY event_id
+        |            ROWS BETWEEN 1 PRECEDING AND 2 FOLLOWING) AS k
+        |  FROM events WHERE event_id < 2000)
+        |SELECT event_id, event_type FROM o WHERE k = 1
+        |ORDER BY event_id""".stripMargin),
+
     // round-7 graph operators: make-graph + graph-match. Each hop is one
     // shuffle equi-join on node ids (GraphMatchSpec pins semantics); the
     // DuckDB oracle replays the joins with the unique-edges constraint as

@@ -1,0 +1,70 @@
+package graft.kql
+
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+
+/** activity_engagement / sliding_window_counts / rows_near semantics on a
+  * hand-computable timeline (the gate rows carry the DuckDB oracles; these
+  * pin the window edges and the serialized-input contract).
+  */
+class ActivityPluginSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private def ts(day: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+
+  private lazy val cat = {
+    val c = new Catalog(spark)
+    // user 1 active days 1,2,3; user 2 active day 2; user 3 active day 4
+    c.register("acts", Seq(
+      (1L, ts(1)), (1L, ts(2)), (1L, ts(3)), (2L, ts(2)), (3L, ts(4)))
+      .toDF("uid", "t"))
+    c.register("rows", Seq(
+      (1L, "a"), (2L, "x"), (3L, "a"), (4L, "a"), (5L, "a"), (6L, "a"),
+      (7L, "x"), (8L, "a")).toDF("i", "v"))
+    c
+  }
+  private def run(kql: String) = Kql.run(spark, cat, kql)
+
+  test("activity_engagement: inner=1d outer=2d window edges") {
+    val r = run(
+      """acts | evaluate activity_engagement(uid, t, 1d, 2d)
+        | | project t, di = dcount_activities_inner,
+        |     dd = dcount_activities_outer
+        | | sort by t asc""".stripMargin).collect()
+    // day1: inner {1} outer {1}; day2: inner {1,2} outer {1,2};
+    // day3: inner {1} outer {1,2}; day4: inner {3} outer {1,3}
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 1L), (2L, 2L), (1L, 2L), (1L, 2L)))
+  }
+
+  test("sliding_window_counts: clipped to [start, end], counts rows") {
+    val r = run(
+      """acts | evaluate sliding_window_counts(uid, t,
+        |     datetime(2024-01-02), datetime(2024-01-03), 2d, 1d)
+        | | project t, c = Count, d = Dcount
+        | | sort by t asc""".stripMargin).collect()
+    // day2 window {d1,d2}: rows 3 (u1×2, u2), dcount 2
+    // day3 window {d2,d3}: rows 3 (u1×2, u2), dcount 2
+    assert(r.map(x => (x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((3L, 2L), (3L, 2L)))
+  }
+
+  test("rows_near keeps context rows around matches, asymmetric") {
+    val r = run(
+      """rows | sort by i asc
+        | | evaluate rows_near(v == 'x', 1, 2)
+        | | project i | sort by i asc""".stripMargin).collect()
+    // matches at 2 and 7: keep [1..4] and [6..8] (1 before, 2 after)
+    assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L))
+  }
+
+  test("rows_near requires a serialized input") {
+    val e = intercept[KqlParseException] {
+      run("rows | evaluate rows_near(v == 'x', 1)")
+    }
+    assert(e.getMessage.contains("serialized"))
+  }
+}
