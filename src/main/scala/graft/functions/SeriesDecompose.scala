@@ -165,6 +165,90 @@ object SeriesDecomposeUtil {
   }
 }
 
+/** Two-segment least-squares fit (Kusto `series_fit_2lines_dynamic`):
+  * the split index k minimizing total residual sum of squares over OLS
+  * lines fit to [0,k) and [k,n) (each side ≥ 2 points; ties → smallest
+  * k; x is the global element index). O(n²) over one series' bins.
+  */
+object SeriesFit2LinesUtil {
+  /** (rsquare, splitIdx, variance, rvariance, lineFit, (lSlope, lIcept),
+    * (rSlope, rIcept)), or null for n < 4 / null / non-finite elements.
+    */
+  def fit(arr: ArrayData): (Double, Int, Double, Double, Array[Double],
+      (Double, Double), (Double, Double)) = {
+    val n = arr.numElements()
+    if (n < 4) return null
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i)
+      if (v.isNaN || v.isInfinite) return null
+      y(i) = v
+      i += 1
+    }
+    // OLS over x = lo..hi (global indices); returns (slope, icept, rss)
+    def ols(lo: Int, hi: Int): (Double, Double, Double) = {
+      val m = hi - lo
+      var sx = 0.0; var sy = 0.0; var sxx = 0.0; var sxy = 0.0
+      var j = lo
+      while (j < hi) {
+        sx += j; sy += y(j); sxx += j.toDouble * j; sxy += j * y(j)
+        j += 1
+      }
+      val slope = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+      val icept = (sy - slope * sx) / m
+      var rss = 0.0
+      j = lo
+      while (j < hi) {
+        val r = y(j) - (icept + slope * j); rss += r * r; j += 1
+      }
+      (slope, icept, rss)
+    }
+    var best = -1
+    var bestRss = Double.MaxValue
+    var k = 2
+    while (k <= n - 2) {
+      val rss = ols(0, k)._3 + ols(k, n)._3
+      if (rss < bestRss - 1e-12) { bestRss = rss; best = k }
+      k += 1
+    }
+    val (ls, li, _) = ols(0, best)
+    val (rs, ri, _) = ols(best, n)
+    val fitArr = Array.tabulate(n)(j =>
+      if (j < best) li + ls * j else ri + rs * j)
+    val mean = y.sum / n
+    val variance = y.map(v => (v - mean) * (v - mean)).sum / n
+    val rvariance = bestRss / n
+    val rsquare = if (variance != 0.0) 1.0 - rvariance / variance else 1.0
+    (rsquare, best, variance, rvariance, fitArr, (ls, li), (rs, ri))
+  }
+}
+
+/** `series_fit_2lines_dynamic(series)` → struct with rsquare, split_idx,
+  * variance, rvariance, line_fit, left/right {slope, interception}.
+  */
+case class SeriesFit2LinesExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  private val seg = StructType(Seq(
+    StructField("slope", DoubleType), StructField("interception", DoubleType)))
+  override def dataType: DataType = StructType(Seq(
+    StructField("rsquare", DoubleType), StructField("split_idx", LongType),
+    StructField("variance", DoubleType), StructField("rvariance", DoubleType),
+    StructField("line_fit", ArrayType(DoubleType)),
+    StructField("left", seg), StructField("right", seg)))
+
+  override def nullSafeEval(input: Any): Any = {
+    val r = SeriesFit2LinesUtil.fit(input.asInstanceOf[ArrayData])
+    if (r == null) null
+    else InternalRow(r._1, r._2.toLong, r._3, r._4,
+      new GenericArrayData(r._5), InternalRow(r._6._1, r._6._2),
+      InternalRow(r._7._1, r._7._2))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `series_decompose(series, period, trend)` →
   * struct<baseline, seasonal, trend, residual> (each array<double>).
   */

@@ -687,6 +687,16 @@ object QueryStep {
   final case class RowsNear(cond: Expr, before: Long, after: Long)
       extends QueryStep
 
+  /** Kusto `evaluate ipv4_lookup(LookupTable, srcCol, netCol
+    * [, return_unmatched])` — joins each row to the lookup rows whose
+    * IPv4 network (CIDR or plain address) contains the source IP; on
+    * multiple matches only the longest prefix survives (ties keep all).
+    * Documented narrowing: no extra equi-keys. Lookup columns must not
+    * collide with the input's.
+    */
+  final case class Ipv4Lookup(table: String, src: FieldPath, net: FieldPath,
+      returnUnmatched: Boolean) extends QueryStep
+
   /** A graph-match pattern node: `(a)` / `()` (anonymous). */
   final case class GraphNode(name: Option[String])
   /** A graph-match pattern edge: `-[e]->` (dir 1), `<-[e]-` (dir -1),

@@ -275,7 +275,8 @@ final class Compiler(
           "series_dot_product" | "series_magnitude" |
           "series_cosine_similarity" |
           "series_pearson_correlation" => KT.Float
-      case "series_fit_line_dynamic" | "series_decompose" |
+      case "series_fit_line_dynamic" | "series_fit_2lines_dynamic" |
+          "series_decompose" |
           "series_decompose_anomalies" | "series_periods_detect" => KT.Var
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" |
@@ -2029,6 +2030,19 @@ final class Compiler(
               rsquare.as("rsquare"), slope.as("slope"),
               variance.as("variance"), rvariance.as("rvariance"),
               icept.as("interception"), fit.as("line_fit")))))
+        // two-segment least-squares changepoint fit: native kernel, bag
+        // result (the fit-line shape); split minimizes total RSS
+        case "series_fit_2lines_dynamic" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          try_parse_json(to_json(column(
+            graft.functions.SeriesFit2LinesExpr(expression(yIn)))))
+        }
         // seasonal decomposition family (Kusto series_decompose /
         // series_decompose_anomalies / series_periods_detect), native
         // per-row kernels with DOCUMENTED deterministic rules — ACF
@@ -2709,6 +2723,45 @@ final class Compiler(
       }
       val filtered = gWhere.fold(cur)(w => cur.filter(compileBool(cur, w)))
       compileStepInner(filtered, QueryStep.Project(gProj))
+
+    // CIDR containment join: the lookup is a broadcast dim (small by
+    // nature — network tables), the containment predicate is a range on
+    // the numeric IP (BroadcastNestedLoop over a tiny build side), and
+    // longest-prefix selection is a per-input-row window max — no extra
+    // shuffle beyond the per-row group. monotonically_increasing_id is
+    // assigned on a single plan branch before the join (the MvApply rule).
+    case QueryStep.Ipv4Lookup(table, srcF, netF, returnUnmatched) =>
+      val lookup0 = compile(Query(Seq(QueryStep.Scan(table))))
+      val collide = lookup0.columns.map(_.toLowerCase).toSet
+        .intersect(df.columns.map(_.toLowerCase).toSet)
+      if (collide.nonEmpty) throw KqlParseException(
+        s"ipv4_lookup: lookup columns collide with the input: " +
+          collide.mkString(", "), 0)
+      val netC = compileField(lookup0, netF).cast(StringType)
+      val ipPart = when(netC.contains("/"), substring_index(netC, "/", 1))
+        .otherwise(netC)
+      val pfx = when(netC.contains("/"),
+        substring_index(netC, "/", -1).try_cast(IntegerType))
+        .otherwise(lit(32))
+      val base = parseIpv4(ipPart)
+      val width = pow(lit(2.0), lit(32) - pfx).cast(LongType)
+      val lo = floor(base / width).cast(LongType) * width
+      val lookup = lookup0
+        .withColumn("__lk_lo", lo)
+        .withColumn("__lk_hi", lo + width - 1L)
+        .withColumn("__lk_pfx", pfx)
+        .filter(col("__lk_lo").isNotNull && col("__lk_pfx").between(0, 32))
+      val rid = "__lk_rid"
+      val left = df.withColumn(rid, monotonically_increasing_id())
+        .withColumn("__lk_src",
+          parseIpv4(compileField(df, srcF).cast(StringType)))
+      val joined = left.join(broadcast(lookup),
+        col("__lk_src").between(col("__lk_lo"), col("__lk_hi")),
+        if (returnUnmatched) "left_outer" else "inner")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(rid))
+      joined.withColumn("__lk_best", max(col("__lk_pfx")).over(w))
+        .filter(col("__lk_pfx").isNull || col("__lk_pfx") === col("__lk_best"))
+        .drop(rid, "__lk_src", "__lk_lo", "__lk_hi", "__lk_pfx", "__lk_best")
 
     // sliding engagement: each activity row contributes to the outer/inner
     // windows ending at each of the next outer/inner bins — one explode

@@ -196,6 +196,16 @@ final class Parser(src: String, nowMicros: Long) {
         eatPunct(";")
         lets += name -> q
         mats += name
+      } else if (atIdent("datatable") ||
+          (atIdent("range") && toks.lift(p + 2).exists {
+            case Ident(w, _) => w.equalsIgnoreCase("from")
+            case _ => false
+          })) {
+        // generated sources (inline literal table / range) bind as query
+        // lets without requiring the outer parens
+        val q = parsePipeline()
+        eatPunct(";")
+        lets += name -> q
       } else {
         val e = parseExpr()
         eatPunct(";")
@@ -679,6 +689,27 @@ final class Parser(src: String, nowMicros: Long) {
       arity(cs.length >= 3,
         "sequence_detect() needs at least two step flags and one key")
       return QueryStep.SequenceDetect(tl, win, dur, cs.dropRight(1), cs.last)
+    }
+    if (plugin == "ipv4_lookup") {
+      eatPunct("(")
+      val table = parseSourceRef()
+      eatPunct(",")
+      val src = parseFieldPath()
+      eatPunct(",")
+      val net = parseFieldPath()
+      val unmatched = if (tryPunct(",")) peek match {
+        case Ident("return_unmatched", _) => p += 1
+          if (atPunct("=")) { p += 1 }
+          peek match {
+            case Ident(b, _) if b == "true" || b == "false" => p += 1
+              b == "true"
+            case _ => true // bare return_unmatched flag
+          }
+        case Ident(b, _) if b == "true" || b == "false" => p += 1; b == "true"
+        case _ => fail("ipv4_lookup: expected return_unmatched flag")
+      } else false
+      eatPunct(")")
+      return QueryStep.Ipv4Lookup(table, src, net, unmatched)
     }
     if (plugin == "activity_engagement") {
       eatPunct("(")
@@ -1831,7 +1862,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_greater_equals", "series_less_equals", "series_equals",
     "series_not_equals", "series_dot_product", "series_magnitude",
     "series_cosine_similarity", "series_pearson_correlation",
-    "series_fit_line_dynamic",
+    "series_fit_line_dynamic", "series_fit_2lines_dynamic",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
@@ -2364,7 +2395,7 @@ final class Parser(src: String, nowMicros: Long) {
           "series_fill_backward" | "series_outliers" |
           "series_exp" | "series_log" | "series_sign" | "series_floor" |
           "series_ceiling" | "series_magnitude" |
-          "series_fit_line_dynamic") =>
+          "series_fit_line_dynamic" | "series_fit_2lines_dynamic") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 series")
         ArrFn(f, a)
       case f @ ("series_pow" | "series_greater" | "series_less" |

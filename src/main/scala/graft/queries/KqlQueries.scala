@@ -2840,6 +2840,49 @@ object KqlQueries {
         |  (55.5 - (doc_id % 5)) / 2.5 AS s10
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
+    // round-7 ipv4_lookup: CIDR containment join with longest-prefix
+    // selection; octets synthesized so the oracle replays the prefix
+    // logic with modular arithmetic (same rule as kql_ipfns2)
+    kq("kql_ipv4_lookup",
+      """let nets = datatable(net: string, tag: string) [
+        |  '10.0.0.0/8', 'wide', '10.4.0.0/16', 'mid',
+        |  '10.4.2.0/24', 'narrow'];
+        |events
+        | | where event_id < 2000
+        | | extend ip = strcat('10.', tostring(user_id % 8), '.',
+        |     tostring(event_id % 4), '.9')
+        | | evaluate ipv4_lookup(nets, ip, net)
+        | | summarize n = count() by tag
+        | | sort by tag asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT user_id % 8 AS o2, event_id % 4 AS o3
+        |  FROM events WHERE event_id < 2000)
+        |SELECT CASE WHEN o2 = 4 AND o3 = 2 THEN 'narrow'
+        |            WHEN o2 = 4 THEN 'mid' ELSE 'wide' END AS tag,
+        |       count(*) AS n
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // round-7 two-segment changepoint fit: per-row series with an exact
+    // two-line shape, so every OLS quantity is integer-exact (the
+    // kql_seriesfns2 rule) and the oracle is closed-form
+    kq("kql_fit2lines",
+      """documents
+        | | where doc_id < 300
+        | | extend a = doc_id % 3
+        | | extend f = series_fit_2lines_dynamic(pack_array(
+        |     a, a + 1, a + 2, a + 3, a + 10, a + 8, a + 6, a + 4))
+        | | project doc_id, k = tolong(f.split_idx),
+        |     rs = toreal(f.rsquare), rv = toreal(f.rvariance),
+        |     ls = toreal(f.left.slope), li = toreal(f.left.interception),
+        |     rsl = toreal(f.right.slope), ri = toreal(f.right.interception)
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, CAST(4 AS BIGINT) AS k,
+        |  CAST(1.0 AS DOUBLE) AS rs, CAST(0.0 AS DOUBLE) AS rv,
+        |  CAST(1.0 AS DOUBLE) AS ls, CAST(doc_id % 3 AS DOUBLE) AS li,
+        |  CAST(-2.0 AS DOUBLE) AS rsl,
+        |  CAST(doc_id % 3 + 18 AS DOUBLE) AS ri
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-7 activity analytics: sliding DAU/WAU engagement and sliding
     // window counts — one bounded explode (outer/inner bins per row) +
     // one keyed dcount agg; the oracle replays the identical construction
