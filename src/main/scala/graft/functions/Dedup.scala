@@ -300,4 +300,43 @@ object Dedup {
   def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
+
+  /** Corpus-level exact LINE dedup (the C4/RefinedWeb boilerplate rule):
+    * across the whole corpus, only the FIRST occurrence — smallest
+    * (id, lineIdx) — of every distinct line survives; documents are
+    * reassembled preserving the surviving lines' order, and documents
+    * whose every line lost keep an empty string.
+    *
+    * 100 TB shape: one explode (bounded by lines-per-doc), ONE shuffle
+    * keyed by the line text (the window's partitionBy — a min-struct
+    * aggregation, partial map-side), one shuffle back on the doc id for
+    * reassembly. Never an all-pairs comparison; skewed popular lines
+    * (boilerplate headers) stay safe because min-of-struct is
+    * associative and combines before the exchange.
+    *
+    * @param lines array<string> column of the document's lines
+    * @return (idCol, text_clean, n_kept, n_lines)
+    */
+  def lineDedup(
+      df: DataFrame, idCol: String, lines: Column,
+      sep: String = "\n"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ex = df.select(col(idCol), posexplode(lines).as(Seq("__idx", "__line")))
+    val w = Window.partitionBy(col("__line"))
+    val kept = ex
+      .withColumn("__win", min(struct(col(idCol), col("__idx"))).over(w))
+      .filter(col("__win") === struct(col(idCol), col("__idx")))
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("__idx"), col("__line"))))
+        .as("__kept"))
+      .select(col(idCol),
+        concat_ws(sep, transform(col("__kept"), k => k("__line")))
+          .as("text_clean"),
+        size(col("__kept")).cast("long").as("n_kept"))
+    df.select(col(idCol), size(lines).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"), col("n_lines"))
+  }
 }

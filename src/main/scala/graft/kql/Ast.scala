@@ -680,6 +680,14 @@ object QueryStep {
   final case class SlidingWindowCounts(id: FieldPath, ts: FieldPath,
       startMicros: Long, endMicros: Long, lookbackMicros: Long,
       binMicros: Long) extends QueryStep
+  /** Kusto `evaluate activity_counts_metrics(id, ts, start, end, step)` —
+    * per step bin: activity count, distinct ids, distinct NEW ids (first
+    * appearance within [start,end] falls in this bin), and the cumulative
+    * distinct count through this bin (= running sum of new ids).
+    */
+  final case class ActivityCountsMetrics(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

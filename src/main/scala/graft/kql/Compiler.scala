@@ -2803,6 +2803,30 @@ final class Compiler(
         .select(timestamp_micros(col("__t")).as(tsf.flat),
           col("Count"), col("Dcount"))
 
+    // per-bin activity metrics: two keyed aggregations (per-bin
+    // count/dcount; per-id first bin → per-bin new-id count) joined on
+    // the bin, plus ONE tiny ordered window over the bin rows (bounded by
+    // the timeline length, not the data) for the cumulative distinct
+    case QueryStep.ActivityCountsMetrics(idf, tsf, start, end, step) =>
+      val idc = compileField(df, idf)
+      val tb = floor(unix_micros(compileField(df, tsf).cast(TimestampType))
+        / step).cast(LongType) * step
+      val acts = df.select(idc.as("__id"), tb.as("__t"))
+        .filter(col("__t") >= lit(start) && col("__t") <= lit(end))
+      val perBin = acts.groupBy(col("__t")).agg(
+        count(lit(1)).as("count"), count_distinct(col("__id")).as("dcount"))
+      val news = acts.groupBy(col("__id")).agg(min(col("__t")).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("new_dcount"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("__t"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perBin.join(news, Seq("__t"), "left_outer")
+        .withColumn("new_dcount", coalesce(col("new_dcount"), lit(0L)))
+        .withColumn("aggregated_dcount", sum(col("new_dcount")).over(w))
+        .select(timestamp_micros(col("__t")).as(tsf.flat),
+          col("count"), col("dcount"), col("new_dcount"),
+          col("aggregated_dcount"))
+
     // serialized context rows: one global window pass (rows_near is a
     // serialized operator by contract, same single-partition shape as
     // narrow — context windows over a total row order)

@@ -748,6 +748,25 @@ final class Parser(src: String, nowMicros: Long) {
       arity(end >= start, "end must be >= start")
       return QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
     }
+    if (plugin == "activity_counts_metrics") {
+      eatPunct("(")
+      val id = parseFieldPath(); eatPunct(",")
+      val ts = parseFieldPath(); eatPunct(",")
+      def dt(what: String): Long = delit(parseExpr()) match {
+        case DatetimeLit(v) => v
+        case _ => fail(s"activity_counts_metrics $what must be a datetime literal")
+      }
+      val start = dt("start"); eatPunct(",")
+      val end = dt("end"); eatPunct(",")
+      val step = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail("activity_counts_metrics step must be a timespan literal")
+      }
+      eatPunct(")")
+      arity(step > 0, "step must be positive")
+      arity(end >= start, "end must be >= start")
+      return QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
+    }
     if (plugin == "rows_near") {
       eatPunct("(")
       val cond = parseExpr()

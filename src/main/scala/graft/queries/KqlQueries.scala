@@ -2930,6 +2930,32 @@ object KqlQueries {
         |  AND t <= epoch_us(TIMESTAMP '2024-01-28')
         |GROUP BY t ORDER BY ts""".stripMargin),
 
+    kq("kql_activity_counts",
+      """events
+        | | evaluate activity_counts_metrics(user_id, ts,
+        |     datetime(2024-01-01), datetime(2024-01-31), 1d)
+        | | project ts, c = count, d = dcount, nd = new_dcount,
+        |     ad = aggregated_dcount
+        | | sort by ts asc""".stripMargin,
+      """WITH a AS (
+        |  SELECT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS t
+        |  FROM events
+        |  WHERE (epoch_us(ts) // 86400000000) * 86400000000
+        |          BETWEEN epoch_us(TIMESTAMP '2024-01-01')
+        |              AND epoch_us(TIMESTAMP '2024-01-31')),
+        |pb AS (SELECT t, count(*) AS c, count(DISTINCT id) AS d
+        |       FROM a GROUP BY t),
+        |fs AS (SELECT id, min(t) AS t FROM a GROUP BY id),
+        |nw AS (SELECT t, count(*) AS nd FROM fs GROUP BY t)
+        |SELECT make_timestamp(pb.t) AS ts, c, d,
+        |  coalesce(nd, 0) AS nd,
+        |  CAST(sum(coalesce(nd, 0)) OVER (ORDER BY pb.t
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS ad
+        |FROM pb LEFT JOIN nw ON pb.t = nw.t
+        |ORDER BY ts""".stripMargin),
+
     // serialized context rows (ripgrep -B2 -A1, in KQL form)
     kq("kql_rows_near",
       """events

@@ -528,6 +528,47 @@ object PipelineQueries {
       (s, d) => Dedup.exactDupGroups(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("text_hash")),
 
+    // corpus-level exact line dedup (the C4 rule): documents chunked into
+    // 2-token "lines" (the small vocab makes cross-document repeats
+    // plentiful), first occurrence by (doc_id, idx) wins, docs reassemble
+    // in line order. The oracle replays the identical chunking + the
+    // row_number-over-(line ORDER BY doc_id, idx) winner rule.
+    Q("pl_line_dedup",
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |lines AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(t[(i*2+1):(i*2+2)], ' ') AS line
+        |  FROM toks,
+        |    unnest(range(0, CAST(ceil(len(t) / 2.0) AS BIGINT))) AS u(i)),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY line
+        |             ORDER BY doc_id, idx) AS rn
+        |  FROM lines),
+        |rebuilt AS (
+        |  SELECT doc_id,
+        |    array_to_string(list(line ORDER BY idx), chr(10)) AS text_clean,
+        |    count(*) AS n_kept
+        |  FROM ranked WHERE rn = 1 GROUP BY doc_id),
+        |tot AS (SELECT doc_id,
+        |          CAST(ceil(len(t) / 2.0) AS BIGINT) AS n_lines
+        |        FROM toks)
+        |SELECT tot.doc_id, coalesce(text_clean, '') AS text_clean,
+        |       coalesce(n_kept, 0) AS n_kept, n_lines
+        |FROM tot LEFT JOIN rebuilt USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val toks = TextAnalysis.tokens(col("text"))
+        val lines = transform(
+          sequence(lit(0L), ceil(size(toks) / 2.0).cast("long") - 1L),
+          i => concat_ws(" ", slice(toks, (i * 2 + 1).cast("int"), lit(2))))
+        Dedup.lineDedup(docs.select(col("doc_id"), lines.as("__lines")),
+          "doc_id", col("__lines")).orderBy("doc_id")
+      }),
+
     // n-gram Jaccard near-dup (exact, restricted window so the O(n²) stays
     // bounded; the scalable path is pl_minhash_dups below)
     Q("pl_ngram_jaccard",

@@ -65,6 +65,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(groups == Set((2L, 1L), (1L, 3L)))
   }
 
+  test("line dedup keeps first occurrence corpus-wide, reassembles in order") {
+    val docs = Seq(
+      (1L, Seq("hello world", "unique one", "hello world")),
+      (2L, Seq("hello world", "unique two")),
+      (3L, Seq("hello world"))).toDF("doc_id", "lines")
+    val r = Dedup.lineDedup(docs, "doc_id", col("lines"), sep = "\n")
+      .orderBy("doc_id").collect()
+    // doc1 keeps its idx-0 "hello world" and "unique one"; the idx-2
+    // repeat loses to idx 0; docs 2/3 lose "hello world" to doc 1
+    assert(r.map(x => (x.getLong(0), x.getString(1), x.getLong(2),
+      x.getLong(3))).toSeq == Seq(
+      (1L, "hello world\nunique one", 2L, 3L),
+      (2L, "unique two", 1L, 2L),
+      (3L, "", 0L, 1L)))
+  }
+
   test("brute-force ANN returns true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

@@ -61,6 +61,20 @@ class ActivityPluginSpec extends AnyFunSuite {
     assert(r.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L, 6L, 7L, 8L))
   }
 
+  test("activity_counts_metrics: new vs returning ids, cumulative") {
+    val r = run(
+      """acts | evaluate activity_counts_metrics(uid, t,
+        |     datetime(2024-01-01), datetime(2024-01-05), 1d)
+        | | project t, c = count, d = dcount, nd = new_dcount,
+        |     ad = aggregated_dcount
+        | | sort by t asc""".stripMargin).collect()
+    // d1: u1 (new); d2: u1,u2 (u2 new); d3: u1; d4: u3 (new)
+    assert(r.map(x => (x.getLong(1), x.getLong(2), x.getLong(3),
+      x.getLong(4))).toSeq == Seq(
+      (1L, 1L, 1L, 1L), (2L, 2L, 1L, 2L), (1L, 1L, 0L, 2L),
+      (1L, 1L, 1L, 3L)))
+  }
+
   test("rows_near requires a serialized input") {
     val e = intercept[KqlParseException] {
       run("rows | evaluate rows_near(v == 'x', 1)")
