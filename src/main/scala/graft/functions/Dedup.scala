@@ -301,6 +301,27 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** Incremental (cross-snapshot) exact dedup: drop batch documents whose
+    * text already exists in the prior corpus INDEX (its text hashes — at
+    * 100 TB the index is hashes only, orders of magnitude smaller than
+    * the corpus), and dedup within the batch itself (first id wins). One
+    * hash-keyed window + one anti-join keyed on the hash; the index side
+    * broadcasts when small, AQE decides.
+    *
+    * @param corpusHashes one column `text_hash` (md5 hex of text)
+    */
+  def incrementalDedup(batch: DataFrame, corpusHashes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
+    val w = Window.partitionBy(col("__h"))
+    hashed.withColumn("__win", min(col(idCol)).over(w))
+      .filter(col("__win") === col(idCol))
+      .join(corpusHashes.select(col("text_hash").as("__h")).distinct(),
+        Seq("__h"), "left_anti")
+      .drop("__h", "__win")
+  }
+
   /** Corpus-level exact LINE dedup (the C4/RefinedWeb boilerplate rule):
     * across the whole corpus, only the FIRST occurrence — smallest
     * (id, lineIdx) — of every distinct line survives; documents are

@@ -51,11 +51,13 @@ object SeriesDecomposeUtil {
     out
   }
 
-  private def median(xs: Array[Double]): Double = {
+  /** Mean-of-central-order-stats median (shared with series_seasonal). */
+  def medianOf(xs: Array[Double]): Double = {
     val s = xs.sorted
     val n = s.length
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
+  private def median(xs: Array[Double]): Double = medianOf(xs)
 
   /** q(p) = sorted[ceil(p·n)] (1-based rank rule, as series_outliers). */
   private def rankQ(sorted: Array[Double], p: Double): Double =
@@ -163,6 +165,102 @@ object SeriesDecomposeUtil {
     }
     (flags, scores, baseline)
   }
+}
+
+/** `series_seasonal(series[, period])` — the per-phase MEDIAN repeated
+  * across the series (Kusto's seasonal component; NOT centered — that is
+  * `series_decompose`'s seasonal, which subtracts the phase mean so the
+  * trend keeps the level). period -1 auto-detects via the ACF rule.
+  */
+case class SeriesSeasonalExpr(child: Expression, period: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val v = arr.getDouble(i)
+      if (v.isNaN || v.isInfinite) return null
+      y(i) = v
+      i += 1
+    }
+    if (n < 4) return null
+    val p = period match {
+      case -1 =>
+        val (ps, ss) = SeriesDecomposeUtil.detectPeriods(y, 2, n / 2, 1)
+        if (ps.nonEmpty && ss(0) >= 0.6) ps(0).toInt else 0
+      case q if q > 1 && q <= n / 2 => q
+      case _ => 0
+    }
+    if (p <= 1) return new GenericArrayData(new Array[Double](n))
+    val phase = Array.tabulate(p)(ph =>
+      SeriesDecomposeUtil.medianOf((ph until n by p).map(y).toArray))
+    new GenericArrayData(Array.tabulate(n)(j => phase(j % p)))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `series_iir(x, b, a)` — infinite impulse response filter:
+  * y[n] = (Σ_k b[k]·x[n−k] − Σ_{k≥1} a[k]·y[n−k]) / a[0] (out-of-range
+  * x/y terms are 0 — Kusto's zero initial state). Null/NaN in any input,
+  * empty b, or a[0] == 0 → null.
+  */
+case class SeriesIirExpr(x: Expression, b: Expression, a: Expression)
+    extends Expression with CodegenFallback {
+  override def children: Seq[Expression] = Seq(x, b, a)
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+
+  private def doubles(v: Any): Array[Double] = {
+    if (v == null) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val out = new Array[Double](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      if (arr.isNullAt(i)) return null
+      val d = arr.getDouble(i)
+      if (d.isNaN || d.isInfinite) return null
+      out(i) = d
+      i += 1
+    }
+    out
+  }
+
+  override def eval(input: InternalRow): Any = {
+    val xs = doubles(x.eval(input))
+    val bs = doubles(b.eval(input))
+    val as = doubles(a.eval(input))
+    if (xs == null || bs == null || as == null) return null
+    if (bs.isEmpty || as.isEmpty || as(0) == 0.0) return null
+    val n = xs.length
+    val y = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0.0
+      var k = 0
+      while (k < bs.length) {
+        if (i - k >= 0) acc += bs(k) * xs(i - k)
+        k += 1
+      }
+      k = 1
+      while (k < as.length) {
+        if (i - k >= 0) acc -= as(k) * y(i - k)
+        k += 1
+      }
+      y(i) = acc / as(0)
+      i += 1
+    }
+    new GenericArrayData(y)
+  }
+
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): Expression =
+    copy(x = c(0), b = c(1), a = c(2))
 }
 
 /** Two-segment least-squares fit (Kusto `series_fit_2lines_dynamic`):

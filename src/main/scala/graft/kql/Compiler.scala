@@ -270,7 +270,8 @@ final class Compiler(
           "series_exp" | "series_log" | "series_sign" | "series_floor" |
           "series_ceiling" | "series_pow" | "series_greater" |
           "series_less" | "series_greater_equals" | "series_less_equals" |
-          "series_equals" | "series_not_equals" => KT.Arr
+          "series_equals" | "series_not_equals" |
+          "series_seasonal" | "series_iir" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" |
           "series_dot_product" | "series_magnitude" |
           "series_cosine_similarity" |
@@ -2030,6 +2031,34 @@ final class Compiler(
               rsquare.as("rsquare"), slope.as("slope"),
               variance.as("variance"), rvariance.as("rvariance"),
               icept.as("interception"), fit.as("line_fit")))))
+        // per-phase median seasonal component (typed array out) and the
+        // IIR filter — native kernels
+        case "series_seasonal" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val p = args.lift(1).map {
+            case IntLit(v) => v.toInt
+            case Neg(IntLit(v)) => (-v).toInt
+            case _ => throw KqlParseException(
+              "series_seasonal period must be an integer literal", 0)
+          }.getOrElse(-1)
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          column(graft.functions.SeriesSeasonalExpr(expression(yIn), p))
+        }
+        case "series_iir" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          def arrArg(e: Expr): Column = infer(df, e) match {
+            case KT.Var => compile(df, e).try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, e), x => x.cast(DoubleType))
+          }
+          column(graft.functions.SeriesIirExpr(
+            expression(arrArg(args(0))), expression(arrArg(args(1))),
+            expression(arrArg(args(2)))))
+        }
         // two-segment least-squares changepoint fit: native kernel, bag
         // result (the fit-line shape); split minimizes total RSS
         case "series_fit_2lines_dynamic" => {

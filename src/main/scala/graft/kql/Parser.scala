@@ -1882,6 +1882,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_not_equals", "series_dot_product", "series_magnitude",
     "series_cosine_similarity", "series_pearson_correlation",
     "series_fit_line_dynamic", "series_fit_2lines_dynamic",
+    "series_seasonal", "series_iir",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
@@ -2428,6 +2429,16 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length >= 1 && a.length <= 3,
           "series_decompose() takes (series[, period[, trend]])")
         ArrFn("series_decompose", a)
+      case "series_seasonal" =>
+        val a = args()
+        arity(a.length >= 1 && a.length <= 2,
+          "series_seasonal() takes (series[, period])")
+        ArrFn("series_seasonal", a)
+      case "series_iir" =>
+        val a = args()
+        arity(a.length == 3,
+          "series_iir() takes (series, numerators, denominators)")
+        ArrFn("series_iir", a)
       case "series_decompose_anomalies" =>
         val a = args()
         arity(a.length >= 1 && a.length <= 4,

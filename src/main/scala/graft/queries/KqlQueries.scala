@@ -2930,6 +2930,29 @@ object KqlQueries {
         |  AND t <= epoch_us(TIMESTAMP '2024-01-28')
         |GROUP BY t ORDER BY ts""".stripMargin),
 
+    // round-7 series batch 3: per-phase median seasonal (exact integer
+    // medians) and the IIR filter on a geometric case whose outputs are
+    // exact binary fractions (1, 1.5, 1.75, 1.875)
+    kq("kql_seriesfns3",
+      """documents
+        | | where doc_id < 300
+        | | extend a = doc_id % 4
+        | | extend s = pack_array(a, a + 2, a, a + 2, a, a + 2, a, a + 2)
+        | | project doc_id,
+        |     ss = strcat_array(series_seasonal(s, 2), ','),
+        |     ir = strcat_array(series_iir(pack_array(1, 1, 1, 1),
+        |            pack_array(1), pack_array(1, -0.5)), ',')
+        | | sort by doc_id asc""".stripMargin,
+      """WITH d AS (SELECT doc_id, doc_id % 4 AS a FROM documents
+        |           WHERE doc_id < 300)
+        |SELECT doc_id,
+        |  array_to_string([CAST(a AS DOUBLE), CAST(a + 2 AS DOUBLE),
+        |    CAST(a AS DOUBLE), CAST(a + 2 AS DOUBLE),
+        |    CAST(a AS DOUBLE), CAST(a + 2 AS DOUBLE),
+        |    CAST(a AS DOUBLE), CAST(a + 2 AS DOUBLE)], ',') AS ss,
+        |  '1.0,1.5,1.75,1.875' AS ir
+        |FROM d ORDER BY doc_id""".stripMargin),
+
     kq("kql_activity_counts",
       """events
         | | evaluate activity_counts_metrics(user_id, ts,

@@ -528,6 +528,27 @@ object PipelineQueries {
       (s, d) => Dedup.exactDupGroups(Tables.load(s, d, "documents"), "doc_id", "text")
         .orderBy("text_hash")),
 
+    // incremental dedup: a new batch (doc_id >= 250) deduped against the
+    // prior corpus's hash index (doc_id < 250) and within itself; the
+    // oracle compares texts directly (md5 equality ⇔ text equality)
+    Q("pl_incr_dedup",
+      """WITH corpus AS (SELECT DISTINCT text FROM documents
+        |                WHERE doc_id < 250),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        |f AS (SELECT doc_id, text, row_number() OVER (
+        |        PARTITION BY text ORDER BY doc_id) AS rn FROM b)
+        |SELECT doc_id FROM f
+        |WHERE rn = 1 AND text NOT IN (SELECT text FROM corpus)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val index = Dedup.exactDupGroups(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+          .select("text_hash")
+        Dedup.incrementalDedup(docs.filter(col("doc_id") >= 250), index,
+          "doc_id", "text").select("doc_id").orderBy("doc_id")
+      }),
+
     // corpus-level exact line dedup (the C4 rule): documents chunked into
     // 2-token "lines" (the small vocab makes cross-document repeats
     // plentiful), first occurrence by (doc_id, idx) wins, docs reassemble

@@ -110,6 +110,32 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.isNullAt(2)) // harmonics suppressed, negatives filtered
   }
 
+  test("series_seasonal: uncentered phase medians; -1 auto-detects") {
+    val r = run(
+      """print s = strcat_array(series_seasonal(
+        |    pack_array(1, 5, 1, 5, 1, 5), 2), ','),
+        |  auto = strcat_array(series_seasonal(
+        |    pack_array(1, 5, 1, 5, 1, 5, 1, 5)), ','),
+        |  none = strcat_array(series_seasonal(pack_array(1, 2, 3, 4), 0), ',')
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "1.0,5.0,1.0,5.0,1.0,5.0")
+    assert(r.getString(1) == "1.0,5.0,1.0,5.0,1.0,5.0,1.0,5.0")
+    assert(r.getString(2) == "0.0,0.0,0.0,0.0")
+  }
+
+  test("series_iir: feedback recursion and null contracts") {
+    val r = run(
+      """print y = strcat_array(series_iir(pack_array(1, 1, 1, 1),
+        |    pack_array(1), pack_array(1, -0.5)), ','),
+        |  fir = strcat_array(series_iir(pack_array(1, 2, 3),
+        |    pack_array(1, 1), pack_array(1)), ','),
+        |  bad = series_iir(pack_array(1, 2), pack_array(1), pack_array(0))
+        |""".stripMargin).collect().head
+    assert(r.getString(0) == "1.0,1.5,1.75,1.875")
+    assert(r.getString(1) == "1.0,3.0,5.0") // b=[1,1]: x[n]+x[n-1]
+    assert(r.isNullAt(2)) // a[0] == 0
+  }
+
   test("kql: anomalies flags round-trip") {
     val r = run(
       """t | extend s = pack_array(1, 2, 3, 2, 2, 3, 4, 3, 3, 4, 60, 4,
