@@ -327,6 +327,41 @@ class PlanSpec extends AnyFunSuite {
       s"chunking itself must not shuffle:\n$p")
   }
 
+  test("graph-match hops are equi-joins, never cartesian") {
+    for (q <- Seq("kql_graph_match", "kql_graph_varlen")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q: every hop must join on node ids:\n$p")
+    }
+  }
+
+  test("ipv4_lookup broadcasts the network dim; no shuffle for the range") {
+    val p = plan("kql_ipv4_lookup")
+    // the containment predicate is a range → BroadcastNestedLoop over the
+    // broadcast network table is the intended plan (tiny build side)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("activity plugins: bounded explode + keyed agg, 1-row broadcast max") {
+    val p = plan("kql_activity_eng")
+    assert(p.contains("Generate explode"), s"bin fan-out must be explode:\n$p")
+    // the only nested-loop is the broadcast 1-row bounds probe
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val q = plan("kql_sliding_counts")
+    assert(q.contains("Generate explode") && !q.contains("CartesianProduct"), q)
+  }
+
+  test("line dedup: window keyed by the line, no all-pairs") {
+    val p = plan("pl_line_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must never compare all pairs:\n$p")
+    assert(p.contains("Window"), s"winner pick must be the keyed window:\n$p")
+  }
+
   test("federated gate query executes inside the foreign store") {
     // the whole where+summarize of kql_v2_pushdown must leave the Spark
     // plan: pushed filter, pushed aggregate, NO HashAggregate residual
