@@ -688,6 +688,14 @@ object QueryStep {
   final case class ActivityCountsMetrics(id: FieldPath, ts: FieldPath,
       startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
 
+  /** Kusto `evaluate dcount_intersect(hll1, hll2[, …])` — estimates the
+    * cardinality of the cumulative intersections of the sketched sets via
+    * inclusion-exclusion over sketch unions: output `s0..s{k-1}` replace
+    * the sketch columns (s_i = |set0 ∩ … ∩ set_i|). Up to 4 sketches
+    * (2^k union terms).
+    */
+  final case class DcountIntersect(cols: Seq[FieldPath]) extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

@@ -2180,6 +2180,10 @@ final class Compiler(
         case "series_max" => array_max(compile(df, args.head))
         // estimate a stored/merged HLL sketch (see Aggregation.Hll)
         case "dcount_hll" => hll_sketch_estimate(compile(df, args.head))
+        // scalar union of sketch values (the aggregate hll_merge reduces
+        // a column; this merges within one row)
+        case "hll_merge" => args.map(a => compile(df, a))
+          .reduceLeft((x, y) => call_function("hll_union", x, y))
         // Kusto series_stats_dynamic subset: {min, min_idx, max, max_idx,
         // avg, sum, len} as a dynamic bag (stdev omitted — accumulation-
         // order-dependent; avg is one IEEE division of exact operands).
@@ -2831,6 +2835,32 @@ final class Compiler(
           count_distinct(col("__id")).as("Dcount"))
         .select(timestamp_micros(col("__t")).as(tsf.flat),
           col("Count"), col("Dcount"))
+
+    // cumulative intersection cardinalities over hll sketches: pure
+    // column math — inclusion-exclusion over hll_union chains (2^k
+    // terms, k ≤ 4); the sketches were already reduced by summarize, so
+    // this step is map-side per row
+    case QueryStep.DcountIntersect(cols) =>
+      val sketches = cols.map(f => compileField(df, f))
+      def unionOf(s: Seq[Column]): Column =
+        s.reduceLeft((a, b) => call_function("hll_union", a, b))
+      val sCols = cols.indices.map { i =>
+        val members = sketches.take(i + 1)
+        // Σ over non-empty subsets: (−1)^(|S|+1) · est(∪S)
+        val terms = (1 until (1 << (i + 1))).map { mask =>
+          val subset = members.zipWithIndex.collect {
+            case (c, j) if (mask & (1 << j)) != 0 => c
+          }
+          val sign = if (java.lang.Integer.bitCount(mask) % 2 == 1) 1 else -1
+          hll_sketch_estimate(unionOf(subset)).cast(DoubleType) * sign
+        }
+        greatest(round(terms.reduce(_ + _)).cast(LongType), lit(0L))
+          .as(s"s$i")
+      }
+      val keep = df.columns
+        .filterNot(c => cols.exists(_.flat.equalsIgnoreCase(c)))
+        .map(c => col(s"`$c`"))
+      df.select(keep ++ sCols: _*)
 
     // per-bin activity metrics: two keyed aggregations (per-bin
     // count/dcount; per-id first bin → per-bin new-id count) joined on

@@ -767,6 +767,17 @@ final class Parser(src: String, nowMicros: Long) {
       arity(end >= start, "end must be >= start")
       return QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
     }
+    if (plugin == "dcount_intersect") {
+      eatPunct("(")
+      val cols = Seq.newBuilder[FieldPath]
+      var more = true
+      while (more) { cols += parseFieldPath(); more = tryPunct(",") }
+      eatPunct(")")
+      val cs = cols.result()
+      arity(cs.length >= 2 && cs.length <= 4,
+        "dcount_intersect() takes 2 to 4 hll columns")
+      return QueryStep.DcountIntersect(cs)
+    }
     if (plugin == "rows_near") {
       eatPunct("(")
       val cond = parseExpr()
@@ -1875,7 +1886,7 @@ final class Parser(src: String, nowMicros: Long) {
     "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
-    "series_fir", "dcount_hll", "series_stats_dynamic",
+    "series_fir", "dcount_hll", "hll_merge", "series_stats_dynamic",
     "series_exp", "series_log", "series_sign", "series_floor",
     "series_ceiling", "series_pow", "series_greater", "series_less",
     "series_greater_equals", "series_less_equals", "series_equals",
@@ -2458,6 +2469,12 @@ final class Parser(src: String, nowMicros: Long) {
       case "dcount_hll" =>
         val a = args(); arity(a.length == 1, "dcount_hll() takes 1 sketch")
         ArrFn("dcount_hll", a)
+      // SCALAR hll_merge (the aggregate form lives in summarize): union
+      // of 2+ sketch values within one row
+      case "hll_merge" =>
+        val a = args()
+        arity(a.length >= 2, "scalar hll_merge() takes 2+ sketches")
+        ArrFn("hll_merge", a)
       case "series_fir" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,

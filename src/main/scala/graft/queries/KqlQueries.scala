@@ -2953,6 +2953,36 @@ object KqlQueries {
         |  '1.0,1.5,1.75,1.875' AS ir
         |FROM d ORDER BY doc_id""".stripMargin),
 
+    // round-7 dcount_intersect: per-day click/view audiences as hll
+    // sketches (user space capped at 100 so DataSketches stays in exact
+    // list mode — the kql_agg_ext2 rule — and the estimates ARE the
+    // exact distinct counts the oracle computes), intersected via
+    // inclusion-exclusion over scalar hll_merge unions
+    kq("kql_dcount_intersect",
+      """let a = (events | where event_type == 'click'
+        |  | extend u = user_id % 100
+        |  | summarize h1 = hll(u) by day = bin(ts, 1d));
+        |let b = (events | where event_type == 'view'
+        |  | extend u = user_id % 100
+        |  | summarize h2 = hll(u) by day = bin(ts, 1d));
+        |a | join kind=inner (b) on day
+        | | evaluate dcount_intersect(h1, h2)
+        | | sort by day asc""".stripMargin,
+      """WITH c AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+        |             user_id % 100 AS u
+        |           FROM events WHERE event_type = 'click'),
+        |v AS (SELECT DISTINCT date_trunc('day', ts) AS day,
+        |        user_id % 100 AS u
+        |      FROM events WHERE event_type = 'view'),
+        |s0 AS (SELECT day, count(*) AS s0 FROM c GROUP BY day),
+        |s1 AS (SELECT c.day, count(*) AS s1
+        |       FROM c JOIN v ON c.day = v.day AND c.u = v.u
+        |       GROUP BY c.day)
+        |SELECT CAST(s0.day AS TIMESTAMP) AS day, s0, coalesce(s1, 0) AS s1
+        |FROM s0 LEFT JOIN s1 ON s0.day = s1.day
+        |WHERE s0.day IN (SELECT day FROM v)
+        |ORDER BY day""".stripMargin),
+
     kq("kql_activity_counts",
       """events
         | | evaluate activity_counts_metrics(user_id, ts,

@@ -82,4 +82,36 @@ class DcountApproxSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("[0, 100]"))
   }
+
+  test("dcount_intersect: exact-mode sketches give exact intersections") {
+    import spark.implicits._
+    val c2 = new Catalog(spark)
+    // A = {1..10}, B = {6..15}, C = {8..12}: |A|=10, |A∩B|=5, |A∩B∩C|=3
+    c2.register("t", (Seq.tabulate(10)(i => (i + 1, "a")) ++
+      Seq.tabulate(10)(i => (i + 6, "b")) ++
+      Seq.tabulate(5)(i => (i + 8, "c"))).toDF("v", "g"))
+    val r = Kql.run(spark, c2,
+      """let a = (t | where g == 'a' | summarize h1 = hll(v) | extend k = 1);
+        |let b = (t | where g == 'b' | summarize h2 = hll(v) | extend k = 1);
+        |let c = (t | where g == 'c' | summarize h3 = hll(v) | extend k = 1);
+        |a | join kind=inner (b) on k | join kind=inner (c) on k
+        | | evaluate dcount_intersect(h1, h2, h3)""".stripMargin).collect()
+    val row = r.head
+    val si = (0 to 2).map(i => row.getLong(row.fieldIndex(s"s$i")))
+    assert(si == Seq(10L, 5L, 3L))
+  }
+
+  test("scalar hll_merge unions sketch values") {
+    import spark.implicits._
+    val c2 = new Catalog(spark)
+    c2.register("t", (1 to 10).map(i => (i, if (i <= 6) "a" else "b"))
+      .toDF("v", "g"))
+    val r = Kql.run(spark, c2,
+      """let a = (t | where g == 'a' | summarize h1 = hll(v) | extend k = 1);
+        |let b = (t | where g == 'b' | summarize h2 = hll(v) | extend k = 1);
+        |a | join kind=inner (b) on k
+        | | project d = dcount_hll(hll_merge(h1, h2))""".stripMargin)
+      .collect()
+    assert(r.head.getLong(0) == 10L)
+  }
 }
