@@ -256,6 +256,8 @@ final class Compiler(
       case "array_length" | "indexof" | "array_index_of" => KT.Int
       case "repeat" | "zip" | "range_arr" => KT.Arr
       case "set_has_element" | "bag_has_key" => KT.Bool
+      // multi-array co-sort returns a variant array-of-arrays
+      case "array_sort_asc" | "array_sort_desc" if args.length > 1 => KT.Var
       case "array_sort_asc" | "array_sort_desc" | "array_reverse" |
           "array_concat" | "array_slice" | "set_union" | "set_intersect" |
           "set_difference" | "pack_array" | "bag_keys" |
@@ -1799,13 +1801,44 @@ final class Compiler(
             case _ => throw KqlParseException(
               "strcat_array() delimiter must be a string literal", 0)
           }
-          array_join(
-            transform(compile(df, args.head), e => e.cast(StringType)), delim)
+          // a variant array (todynamic / bag fields) casts element-wise to
+          // strings first — transform cannot walk a bare VARIANT
+          val arrIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(StringType))
+            case _ => compile(df, args.head)
+          }
+          array_join(transform(arrIn, e => e.cast(StringType)), delim)
 
         // Kusto places nulls LAST in both sort directions; Spark's
         // array_sort (asc) and sort_array(…, false) (desc) both do too —
         // the asc form must NOT be sort_array(…, true), which is
         // nulls-first
+        case "array_sort_asc" | "array_sort_desc" if args.length > 1 =>
+          // co-sort: zip positions into structs (first array is the key;
+          // ties break by the paired values — deterministic), sort, and
+          // unzip into a variant array-of-arrays (Kusto's single-assign
+          // shape: result[i] is the i-th input, permuted). Length
+          // mismatch → null (Kusto's rule). element_at re-evaluates the
+          // paired arrays per position — bins-scale inputs by contract.
+          val arrs = args.map(a => infer(df, a) match {
+            case KT.Var => compile(df, a).try_cast(ArrayType(VariantType))
+            case _ => compile(df, a)
+          })
+          val zipped = transform(arrs.head, (x, i) =>
+            struct(x.alias("col1") +: arrs.tail.zipWithIndex.map {
+              case (b, j) => element_at(b, i + 1).alias(s"col${j + 2}")
+            }: _*))
+          val sorted =
+            if (name == "array_sort_asc") array_sort(zipped)
+            else sort_array(zipped, asc = false)
+          val outs = arrs.indices.map(j =>
+            to_json(transform(sorted, s => s.getField(s"col${j + 1}"))))
+          val ok = arrs.tail
+            .map(b => size(b) === size(arrs.head))
+            .foldLeft(lit(true))(_ && _)
+          when(ok, try_parse_json(
+            concat(lit("["), concat_ws(",", outs: _*), lit("]"))))
         case "array_sort_asc" => array_sort(compile(df, args.head))
         case "array_sort_desc" => sort_array(compile(df, args.head), asc = false)
         case "array_reverse" => reverse(compile(df, args.head))

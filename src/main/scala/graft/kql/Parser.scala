@@ -2403,8 +2403,11 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a(1).isInstanceOf[StrLit],
           "strcat_array() delimiter must be a string literal")
         ArrFn("strcat_array", a)
-      case f @ ("array_sort_asc" | "array_sort_desc" | "array_reverse" |
-          "bag_keys") =>
+      case f @ ("array_sort_asc" | "array_sort_desc") =>
+        // multi-array form co-sorts the extra arrays by the first one
+        val a = args(); arity(a.nonEmpty, s"$f() takes 1+ arrays")
+        ArrFn(f, a)
+      case f @ ("array_reverse" | "bag_keys") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         ArrFn(f, a)
       case "bag_merge" =>

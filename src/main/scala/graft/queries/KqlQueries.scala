@@ -2953,6 +2953,20 @@ object KqlQueries {
         |  '1.0,1.5,1.75,1.875' AS ir
         |FROM d ORDER BY doc_id""".stripMargin),
 
+    // round-7 multi-array co-sort: paired arrays permute by the first,
+    // literal-pinned (variant array-of-arrays output)
+    kq("kql_multisort",
+      """print s = array_sort_asc(pack_array(3, 1, 2),
+        |                         pack_array('c', 'a', 'b')),
+        |      sd = array_sort_desc(pack_array(1, 3, 2),
+        |                           pack_array(9, 7, 8))
+        | | project k0 = strcat_array(s[0], ','),
+        |     k1 = strcat_array(s[1], ','),
+        |     d0 = strcat_array(sd[0], ','),
+        |     d1 = strcat_array(sd[1], ',')""".stripMargin,
+      """SELECT '1,2,3' AS k0, 'a,b,c' AS k1,
+        |       '3,2,1' AS d0, '7,8,9' AS d1""".stripMargin),
+
     // round-7 dcount_intersect: per-day click/view audiences as hll
     // sketches (user space capped at 100 so DataSketches stays in exact
     // list mode — the kql_agg_ext2 rule — and the estimates ARE the

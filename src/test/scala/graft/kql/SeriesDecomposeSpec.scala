@@ -136,6 +136,30 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.isNullAt(2)) // a[0] == 0
   }
 
+  test("multi-array co-sort permutes paired arrays by the first") {
+    val r = run(
+      """print s = array_sort_asc(pack_array(3, 1, 2),
+        |                         pack_array('c', 'a', 'b')),
+        |      sd = array_sort_desc(pack_array(1, 3, 2),
+        |                           pack_array(9, 7, 8)),
+        |      bad = array_sort_asc(pack_array(1, 2), pack_array(9))
+        | | project k0 = strcat_array(s[0], ','),
+        |     k1 = strcat_array(s[1], ','),
+        |     d = strcat_array(sd[1], ','), bad""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "1,2,3")
+    assert(r.getString(1) == "a,b,c")
+    assert(r.getString(2) == "7,8,9")
+    assert(r.isNullAt(3)) // length mismatch → null
+  }
+
+  test("strcat_array accepts variant arrays") {
+    val r = run(
+      """print s = strcat_array(todynamic('[1, "x", true]'), '|')"""
+    ).collect().head
+    assert(r.getString(0) == "1|x|true")
+  }
+
   test("kql: anomalies flags round-trip") {
     val r = run(
       """t | extend s = pack_array(1, 2, 3, 2, 2, 3, 4, 3, 3, 4, 60, 4,
