@@ -205,6 +205,52 @@ case class SeriesSeasonalExpr(child: Expression, period: Int)
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
 }
 
+/** `series_fill_linear(series)` — interior null runs interpolate
+  * linearly between their non-null neighbors; leading/trailing nulls
+  * take the nearest non-null value (Kusto's edge rule); an all-null
+  * series passes through unchanged. NaN/∞ elements are treated as
+  * values, not gaps.
+  */
+case class SeriesFillLinearExpr(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType)
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val y = new Array[java.lang.Double](n)
+    var i = 0
+    while (i < n) {
+      y(i) = if (arr.isNullAt(i)) null else arr.getDouble(i)
+      i += 1
+    }
+    val known = (0 until n).filter(y(_) != null)
+    if (known.isEmpty)
+      return new GenericArrayData(y.map(_.asInstanceOf[Any]))
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) =
+        if (y(i) != null) y(i)
+        else {
+          val prev = known.takeWhile(_ < i).lastOption
+          val next = known.find(_ > i)
+          (prev, next) match {
+            case (Some(p), Some(q)) =>
+              y(p) + (y(q) - y(p)) * (i - p).toDouble / (q - p)
+            case (Some(p), None) => y(p)
+            case (None, Some(q)) => y(q)
+            case _ => 0.0 // unreachable: known nonempty
+          }
+        }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
 /** `series_iir(x, b, a)` — infinite impulse response filter:
   * y[n] = (Σ_k b[k]·x[n−k] − Σ_{k≥1} a[k]·y[n−k]) / a[0] (out-of-range
   * x/y terms are 0 — Kusto's zero initial state). Null/NaN in any input,

@@ -268,7 +268,7 @@ final class Compiler(
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" |
           "series_fill_const" | "series_fill_forward" |
-          "series_fill_backward" | "series_outliers" |
+          "series_fill_backward" | "series_fill_linear" | "series_outliers" |
           "series_exp" | "series_log" | "series_sign" | "series_floor" |
           "series_ceiling" | "series_pow" | "series_greater" |
           "series_less" | "series_greater_equals" | "series_less_equals" |
@@ -2197,6 +2197,18 @@ final class Compiler(
             try_element_at(
               filter(slice(arr, i + 1, size(arr) - i), x => x.isNotNull),
               lit(1))))
+        // linear interpolation of interior null runs (native kernel);
+        // edges take the nearest non-null, all-null passes through
+        case "series_fill_linear" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          column(graft.functions.SeriesFillLinearExpr(expression(yIn)))
+        }
         // scalar reducers over a series; sum/avg in double (KQL sum rule),
         // min/max keep the element type
         case "series_sum" =>

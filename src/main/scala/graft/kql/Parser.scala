@@ -1896,6 +1896,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_seasonal", "series_iir",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
+    "series_fill_linear",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
@@ -2426,7 +2427,7 @@ final class Parser(src: String, nowMicros: Long) {
         ArrFn(f, a)
       case f @ ("series_abs" | "series_sum" | "series_min" | "series_max" |
           "series_avg" | "series_stats_dynamic" | "series_fill_forward" |
-          "series_fill_backward" | "series_outliers" |
+          "series_fill_backward" | "series_fill_linear" | "series_outliers" |
           "series_exp" | "series_log" | "series_sign" | "series_floor" |
           "series_ceiling" | "series_magnitude" |
           "series_fit_line_dynamic" | "series_fit_2lines_dynamic") =>

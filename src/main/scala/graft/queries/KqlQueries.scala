@@ -2953,6 +2953,15 @@ object KqlQueries {
         |  '1.0,1.5,1.75,1.875' AS ir
         |FROM d ORDER BY doc_id""".stripMargin),
 
+    // round-7 series_fill_linear: exact-half interpolation, edge rule
+    kq("kql_fill_linear",
+      """print a = strcat_array(series_fill_linear(
+        |      todynamic('[1, null, null, 4]')), ','),
+        |  e = strcat_array(series_fill_linear(
+        |      todynamic('[null, 2, null, 6, null]')), ',')""".stripMargin,
+      """SELECT '1.0,2.0,3.0,4.0' AS a,
+        |       '2.0,2.0,4.0,6.0,6.0' AS e""".stripMargin),
+
     // round-7 multi-array co-sort: paired arrays permute by the first,
     // literal-pinned (variant array-of-arrays output)
     kq("kql_multisort",

@@ -160,6 +160,20 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.getString(0) == "1|x|true")
   }
 
+  test("series_fill_linear: interior interpolation, edge nearest") {
+    val r = run(
+      """print a = strcat_array(series_fill_linear(
+        |      todynamic('[1, null, null, 4]')), ','),
+        |  e = strcat_array(series_fill_linear(
+        |      todynamic('[null, 2, null, 6, null]')), ','),
+        |  alln = series_fill_linear(todynamic('[null, null]'))
+        | | project a, e, n0 = tostring(alln[0])""".stripMargin)
+      .collect().head
+    assert(r.getString(0) == "1.0,2.0,3.0,4.0")
+    assert(r.getString(1) == "2.0,2.0,4.0,6.0,6.0")
+    assert(r.isNullAt(2)) // all-null passes through (null elem)
+  }
+
   test("kql: anomalies flags round-trip") {
     val r = run(
       """t | extend s = pack_array(1, 2, 3, 2, 2, 3, 4, 3, 3, 4, 60, 4,
