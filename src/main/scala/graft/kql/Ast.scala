@@ -696,6 +696,15 @@ object QueryStep {
     */
   final case class DcountIntersect(cols: Seq[FieldPath]) extends QueryStep
 
+  /** Kusto `evaluate activity_metrics(id, ts, start, end, step)` — per
+    * step bin: distinct ids, distinct new ids, retention rate (ids also
+    * active in the previous bin / previous bin's distinct count) and
+    * churn rate (previous ids NOT active now / previous count); a bin
+    * with no previous activity reports rate 0.
+    */
+  final case class ActivityMetrics(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

@@ -2931,6 +2931,45 @@ final class Compiler(
           col("count"), col("dcount"), col("new_dcount"),
           col("aggregated_dcount"))
 
+    // retention/churn: distinct (id, bin) pairs, one self-join keyed on
+    // (id, bin−step) for the retained set, dcounts per bin, and rates as
+    // one IEEE division of exact integer counts — lost = prev − retained
+    // needs no extra join
+    case QueryStep.ActivityMetrics(idf, tsf, start, end, step) =>
+      val idc = compileField(df, idf)
+      val tb = floor(unix_micros(compileField(df, tsf).cast(TimestampType))
+        / step).cast(LongType) * step
+      val pairs = df.select(idc.as("__id"), tb.as("__t"))
+        .filter(col("__t") >= lit(start) && col("__t") <= lit(end))
+        .distinct()
+      val perBin = pairs.groupBy(col("__t"))
+        .agg(count(lit(1)).as("dcount_values"))
+      val news = pairs.groupBy(col("__id")).agg(min(col("__t")).as("__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("dcount_newvalues"))
+      val retained = pairs.alias("cur")
+        .join(pairs.select(col("__id"),
+          (col("__t") + lit(step)).as("__t")).alias("prv"),
+          Seq("__id", "__t"))
+        .groupBy(col("__t")).agg(count(lit(1)).as("__retained"))
+      val prevCount = perBin.select((col("__t") + lit(step)).as("__t"),
+        col("dcount_values").as("__prev_dcount"))
+      perBin
+        .join(news, Seq("__t"), "left_outer")
+        .join(retained, Seq("__t"), "left_outer")
+        .join(prevCount, Seq("__t"), "left_outer")
+        .select(timestamp_micros(col("__t")).as(tsf.flat),
+          col("dcount_values"),
+          coalesce(col("dcount_newvalues"), lit(0L)).as("dcount_newvalues"),
+          when(col("__prev_dcount").isNull, lit(0.0))
+            .otherwise(coalesce(col("__retained"), lit(0L))
+              .cast(DoubleType) / col("__prev_dcount"))
+            .as("retention_rate"),
+          when(col("__prev_dcount").isNull, lit(0.0))
+            .otherwise((col("__prev_dcount") -
+              coalesce(col("__retained"), lit(0L)))
+              .cast(DoubleType) / col("__prev_dcount"))
+            .as("churn_rate"))
+
     // serialized context rows: one global window pass (rows_near is a
     // serialized operator by contract, same single-partition shape as
     // narrow — context windows over a total row order)

@@ -748,7 +748,7 @@ final class Parser(src: String, nowMicros: Long) {
       arity(end >= start, "end must be >= start")
       return QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
     }
-    if (plugin == "activity_counts_metrics") {
+    if (plugin == "activity_counts_metrics" || plugin == "activity_metrics") {
       eatPunct("(")
       val id = parseFieldPath(); eatPunct(",")
       val ts = parseFieldPath(); eatPunct(",")
@@ -765,7 +765,9 @@ final class Parser(src: String, nowMicros: Long) {
       eatPunct(")")
       arity(step > 0, "step must be positive")
       arity(end >= start, "end must be >= start")
-      return QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
+      return if (plugin == "activity_metrics")
+        QueryStep.ActivityMetrics(id, ts, start, end, step)
+      else QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
     }
     if (plugin == "dcount_intersect") {
       eatPunct("(")

@@ -3006,6 +3006,38 @@ object KqlQueries {
         |WHERE s0.day IN (SELECT day FROM v)
         |ORDER BY day""".stripMargin),
 
+    kq("kql_activity_metrics",
+      """events
+        | | evaluate activity_metrics(user_id, ts,
+        |     datetime(2024-01-01), datetime(2024-01-31), 1d)
+        | | project ts, d = dcount_values, nd = dcount_newvalues,
+        |     rr = retention_rate, cr = churn_rate
+        | | sort by ts asc""".stripMargin,
+      """WITH p AS (
+        |  SELECT DISTINCT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS t
+        |  FROM events
+        |  WHERE (epoch_us(ts) // 86400000000) * 86400000000
+        |          BETWEEN epoch_us(TIMESTAMP '2024-01-01')
+        |              AND epoch_us(TIMESTAMP '2024-01-31')),
+        |pb AS (SELECT t, count(*) AS d FROM p GROUP BY t),
+        |fs AS (SELECT id, min(t) AS t FROM p GROUP BY id),
+        |nw AS (SELECT t, count(*) AS nd FROM fs GROUP BY t),
+        |ret AS (SELECT cur.t, count(*) AS r
+        |        FROM p cur JOIN p prv
+        |          ON cur.id = prv.id AND cur.t = prv.t + 86400000000
+        |        GROUP BY cur.t),
+        |pc AS (SELECT t + 86400000000 AS t, d AS pd FROM pb)
+        |SELECT make_timestamp(pb.t) AS ts, d, coalesce(nd, 0) AS nd,
+        |  CASE WHEN pd IS NULL THEN 0.0
+        |       ELSE CAST(coalesce(r, 0) AS DOUBLE) / pd END AS rr,
+        |  CASE WHEN pd IS NULL THEN 0.0
+        |       ELSE CAST(pd - coalesce(r, 0) AS DOUBLE) / pd END AS cr
+        |FROM pb LEFT JOIN nw ON pb.t = nw.t
+        |        LEFT JOIN ret ON pb.t = ret.t
+        |        LEFT JOIN pc ON pb.t = pc.t
+        |ORDER BY ts""".stripMargin),
+
     kq("kql_activity_counts",
       """events
         | | evaluate activity_counts_metrics(user_id, ts,

@@ -75,6 +75,21 @@ class ActivityPluginSpec extends AnyFunSuite {
       (1L, 1L, 1L, 3L)))
   }
 
+  test("activity_metrics: retention and churn against hand counts") {
+    val r = run(
+      """acts | evaluate activity_metrics(uid, t,
+        |     datetime(2024-01-01), datetime(2024-01-05), 1d)
+        | | project t, d = dcount_values, rr = retention_rate,
+        |     cr = churn_rate
+        | | sort by t asc""".stripMargin).collect()
+    // d1 {1}; d2 {1,2}: retained {1}/1 → 1.0, churn 0.0
+    // d3 {1}: retained {1}/2 → 0.5, churn 0.5
+    // d4 {3}: retained 0/1 → 0.0, churn 1.0
+    assert(r.map(x => (x.getLong(1), x.getDouble(2), x.getDouble(3)))
+      .toSeq == Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (1L, 0.5, 0.5),
+        (1L, 0.0, 1.0)))
+  }
+
   test("rows_near requires a serialized input") {
     val e = intercept[KqlParseException] {
       run("rows | evaluate rows_near(v == 'x', 1)")
