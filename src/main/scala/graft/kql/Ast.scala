@@ -705,6 +705,23 @@ object QueryStep {
   final case class ActivityMetrics(id: FieldPath, ts: FieldPath,
       startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
 
+  /** Kusto `evaluate funnel_sequence(id, ts, start, end, maxStepWindow,
+    * step, stateCol, s1, s2, …)` — restructured to ONE table (the fork/
+    * facet precedent; ADX returns three): rows are
+    * `(kind, ts, state, dcount)` where kind `count` gives per-step-bin
+    * distinct ids whose EARLIEST sequence match starts in the bin, and
+    * kinds `prev`/`next` give distinct-id counts of the state
+    * immediately before the first / after the last step of that earliest
+    * match (ties at one timestamp resolve to the lexicographically
+    * largest state — documented). Matching is the sequence_detect
+    * contract: nearest preceding steps, ≤ maxStepWindow between
+    * consecutive steps.
+    */
+  final case class FunnelSequence(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, maxWinMicros: Long,
+      stepMicros: Long, state: FieldPath, states: Seq[String])
+      extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

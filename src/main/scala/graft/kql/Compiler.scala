@@ -1396,6 +1396,44 @@ final class Compiler(
       zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 
+  /** The cascaded as-of sequence matcher shared by sequence_detect and
+    * funnel_sequence: stepDf(i) yields (__k, __ts) candidate rows for
+    * step i; the result carries one row per matched suffix with the step
+    * timestamps as `names` columns (plus __k). `win` bounds consecutive
+    * steps, `dur` the whole sequence.
+    */
+  private def sequenceChain(stepDf: Int => DataFrame, names: Seq[String],
+      win: Long, dur: Long): DataFrame = {
+    var acc = stepDf(0).select(col("__k"), col("__ts").as(names.head))
+    for (i <- 1 until names.length) {
+      val prevName = names(i - 1)
+      val earlier = names.take(i - 1)
+      // collapse prefixes that share (key, anchor-ts): keep the
+      // lexicographically latest earlier timestamps
+      val collapsed =
+        if (earlier.isEmpty) acc.distinct()
+        else acc.groupBy(col("__k"), col(prevName))
+          .agg(max(struct(earlier.map(col): _*)).as("__e"))
+          .select(col("__k") +: col(prevName) +:
+            earlier.map(n => col(s"__e.$n").as(n)): _*)
+      val right = collapsed.withColumn("__ts", col(prevName))
+        .drop(prevName)
+      val joined = graft.functions.AsOf.join(
+        stepDf(i), right, "__k", "__ts", earlier, prefix = "__asof_")
+      acc = joined
+        .withColumn(prevName, col("__asof___ts"))
+        .filter(col(prevName).isNotNull)
+        .filter(unix_micros(col("__ts")) - unix_micros(col(prevName))
+          <= lit(win))
+        .select(col("__k") +:
+          earlier.map(n => col(s"__asof_$n").as(n)) :+
+          col(prevName) :+ col("__ts").as(names(i)): _*)
+        .filter(unix_micros(col(names(i))) - unix_micros(col(names.head))
+          <= lit(dur))
+    }
+    acc
+  }
+
   private def parseIpv4(c: Column): Column = {
     val p = split(c, "\\.")
     val nums = (1 to 4).map(i => try_element_at(p, lit(i)).try_cast(LongType))
@@ -2931,6 +2969,56 @@ final class Compiler(
           col("count"), col("dcount"), col("new_dcount"),
           col("aggregated_dcount"))
 
+    // funnel over a state sequence: the sequence_detect chain finds
+    // matches (linear as-of passes), the earliest match per id reduces
+    // with one min-struct agg, and prev/next states attach with two more
+    // as-of passes (the reversed one via negated micros) — everything
+    // keyed on the id, no quadratic joins
+    case QueryStep.FunnelSequence(idf, tlf, start, end, maxWin, step,
+        stateF, states) =>
+      val ev = df.select(compileField(df, idf).as("__k"),
+        compileField(df, tlf).try_cast(TimestampType).as("__ts"),
+        compileField(df, stateF).cast(StringType).as("__st"))
+        .filter(col("__ts").isNotNull)
+      val names = states.indices.map(i => s"__s$i")
+      def stepDf(i: Int): DataFrame = ev
+        .filter(col("__st") === lit(states(i)))
+        .select(col("__k"), col("__ts"))
+      val matches = sequenceChain(stepDf, names, maxWin,
+        maxWin * (states.length - 1))
+        .filter(unix_micros(col(names.head)).between(start, end))
+      // the earliest match per id defines the funnel instance
+      val first = matches.groupBy(col("__k"))
+        .agg(min(struct(names.map(col): _*)).as("__m"))
+        .select(col("__k") +: names.map(n => col(s"__m.$n").as(n)): _*)
+      val counts = first
+        .groupBy((floor(unix_micros(col(names.head)) / step)
+          .cast(LongType) * step).as("__bin"))
+        .agg(count(lit(1)).as("dcount")) // one row per id already
+        .select(lit("count").as("kind"),
+          timestamp_micros(col("__bin")).as("ts"),
+          lit(null).cast(StringType).as("state"), col("dcount"))
+      // dedup concurrent events per (id, micros): largest state wins —
+      // the deterministic tie rule both engines replay
+      val evD = ev.select(col("__k"), unix_micros(col("__ts")).as("__us"),
+        col("__st")).groupBy(col("__k"), col("__us"))
+        .agg(max(col("__st")).as("__st"))
+      def stateCounts(kind: String, anchor: Column, neg: Boolean) = {
+        val l0 = first.withColumn("__us",
+          if (neg) -(unix_micros(anchor) + 1) else unix_micros(anchor) - 1)
+        val r0 = if (neg) evD.withColumn("__us", -col("__us")) else evD
+        graft.functions.AsOf.join(l0, r0, "__k", "__us", Seq("__st"),
+          prefix = "__fn_")
+          .filter(col("__fn___st").isNotNull)
+          .groupBy(col("__fn___st")).agg(count(lit(1)).as("dcount"))
+          .select(lit(kind).as("kind"),
+            lit(null).cast(TimestampType).as("ts"),
+            col("__fn___st").as("state"), col("dcount"))
+      }
+      val prev = stateCounts("prev", col(names.head), neg = false)
+      val nxt = stateCounts("next", col(names.last), neg = true)
+      counts.unionByName(prev).unionByName(nxt)
+
     // retention/churn: distinct (id, bin) pairs, one self-join keyed on
     // (id, bin−step) for the retained set, dcounts per bin, and rates as
     // one IEEE division of exact integer counts — lost = prev − retained
@@ -3736,7 +3824,8 @@ final class Compiler(
     // pass per step, never a quadratic candidate join), constraints
     // prune progressively. Prefixes collapse per (key, anchor-ts) before
     // each as-of (its determinism precondition): latest earlier steps
-    // win lexicographically.
+    // win lexicographically. The chain itself is shared with
+    // funnel_sequence (sequenceChain).
     case QueryStep.SequenceDetect(tl, win, dur, flags, key) =>
       val names = flags.map(_.flat)
       if (names.distinct.length != names.length) throw KqlParseException(
@@ -3747,33 +3836,7 @@ final class Compiler(
         .select(compileField(df, key).as("__k"),
           compileField(df, tl).try_cast(TimestampType).as("__ts"))
         .filter(col("__ts").isNotNull)
-      var acc = stepDf(0).select(col("__k"), col("__ts").as(names.head))
-      for (i <- 1 until names.length) {
-        val prevName = names(i - 1)
-        val earlier = names.take(i - 1)
-        // collapse prefixes that share (key, anchor-ts): keep the
-        // lexicographically latest earlier timestamps
-        val collapsed =
-          if (earlier.isEmpty) acc.distinct()
-          else acc.groupBy(col("__k"), col(prevName))
-            .agg(max(struct(earlier.map(col): _*)).as("__e"))
-            .select(col("__k") +: col(prevName) +:
-              earlier.map(n => col(s"__e.$n").as(n)): _*)
-        val right = collapsed.withColumn("__ts", col(prevName))
-          .drop(prevName)
-        val joined = graft.functions.AsOf.join(
-          stepDf(i), right, "__k", "__ts", earlier, prefix = "__asof_")
-        acc = joined
-          .withColumn(prevName, col("__asof___ts"))
-          .filter(col(prevName).isNotNull)
-          .filter(unix_micros(col("__ts")) - unix_micros(col(prevName))
-            <= lit(win))
-          .select(col("__k") +:
-            earlier.map(n => col(s"__asof_$n").as(n)) :+
-            col(prevName) :+ col("__ts").as(names(i)): _*)
-          .filter(unix_micros(col(names(i))) - unix_micros(col(names.head))
-            <= lit(dur))
-      }
+      val acc = sequenceChain(stepDf, names, win, dur)
       acc.select(col("__k").as(keyName) +: names.map(col) :+
         (unix_micros(col(names.last)) - unix_micros(col(names.head)))
           .as("duration"): _*)

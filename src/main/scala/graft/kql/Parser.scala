@@ -769,6 +769,35 @@ final class Parser(src: String, nowMicros: Long) {
         QueryStep.ActivityMetrics(id, ts, start, end, step)
       else QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
     }
+    if (plugin == "funnel_sequence") {
+      eatPunct("(")
+      val id = parseFieldPath(); eatPunct(",")
+      val ts = parseFieldPath(); eatPunct(",")
+      def dt(what: String): Long = delit(parseExpr()) match {
+        case DatetimeLit(v) => v
+        case _ => fail(s"funnel_sequence $what must be a datetime literal")
+      }
+      def span(what: String): Long = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail(s"funnel_sequence $what must be a timespan literal")
+      }
+      val start = dt("start"); eatPunct(",")
+      val end = dt("end"); eatPunct(",")
+      val maxWin = span("max step window"); eatPunct(",")
+      val step = span("step"); eatPunct(",")
+      val state = parseFieldPath()
+      val states = Seq.newBuilder[String]
+      while (tryPunct(",")) peek match {
+        case StrTok(s, _) => p += 1; states += s
+        case _ => fail("funnel_sequence states must be string literals")
+      }
+      eatPunct(")")
+      val ss = states.result()
+      arity(ss.length >= 2, "funnel_sequence needs at least 2 states")
+      arity(maxWin > 0 && step > 0, "windows must be positive")
+      return QueryStep.FunnelSequence(id, ts, start, end, maxWin, step,
+        state, ss)
+    }
     if (plugin == "dcount_intersect") {
       eatPunct("(")
       val cols = Seq.newBuilder[FieldPath]

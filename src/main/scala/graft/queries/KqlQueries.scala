@@ -3006,6 +3006,55 @@ object KqlQueries {
         |WHERE s0.day IN (SELECT day FROM v)
         |ORDER BY day""".stripMargin),
 
+    // round-7 funnel_sequence (single-table restructure of ADX's three):
+    // view→purchase funnels; the oracle replays the nearest-view ASOF,
+    // the earliest-match-per-id pick, the per-(id,µs) max-state tie rule,
+    // and the prev/next nearest-event lookups
+    kq("kql_funnel_seq",
+      """events
+        | | evaluate funnel_sequence(user_id, ts,
+        |     datetime(2024-01-01), datetime(2024-02-01), 1d, 1d,
+        |     event_type, 'view', 'purchase')
+        | | sort by kind asc, ts asc nulls first, state asc nulls first""".stripMargin,
+      """WITH e AS (SELECT user_id AS k, ts, event_type AS st FROM events),
+        |v AS (SELECT DISTINCT k, ts FROM e WHERE st = 'view'),
+        |p AS (SELECT k, ts FROM e WHERE st = 'purchase'),
+        |m0 AS (SELECT p.k, v.ts AS t0, p.ts AS t1
+        |       FROM p ASOF LEFT JOIN v ON p.k = v.k AND p.ts >= v.ts
+        |       WHERE v.ts IS NOT NULL
+        |         AND epoch_us(p.ts) - epoch_us(v.ts) <= 86400000000
+        |         AND epoch_us(v.ts)
+        |               BETWEEN epoch_us(TIMESTAMP '2024-01-01')
+        |                   AND epoch_us(TIMESTAMP '2024-02-01')),
+        |f AS (SELECT k, t0, t1 FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY k
+        |          ORDER BY t0, t1) AS rn FROM m0) z WHERE rn = 1),
+        |ed AS (SELECT k, epoch_us(ts) AS us, max(st) AS st
+        |       FROM e GROUP BY k, epoch_us(ts)),
+        |counts AS (SELECT 'count' AS kind,
+        |    make_timestamp((epoch_us(t0) // 86400000000) * 86400000000)
+        |      AS ts,
+        |    CAST(NULL AS VARCHAR) AS state, count(*) AS dcount
+        |  FROM f GROUP BY 2),
+        |prevt AS (SELECT 'prev' AS kind, CAST(NULL AS TIMESTAMP) AS ts,
+        |    st AS state, count(*) AS dcount
+        |  FROM (SELECT f.k, ed.st, row_number() OVER (PARTITION BY f.k
+        |          ORDER BY ed.us DESC) AS rn
+        |        FROM f JOIN ed ON f.k = ed.k
+        |          AND ed.us <= epoch_us(f.t0) - 1) x
+        |  WHERE rn = 1 GROUP BY st),
+        |nextt AS (SELECT 'next' AS kind, CAST(NULL AS TIMESTAMP) AS ts,
+        |    st AS state, count(*) AS dcount
+        |  FROM (SELECT f.k, ed.st, row_number() OVER (PARTITION BY f.k
+        |          ORDER BY ed.us ASC) AS rn
+        |        FROM f JOIN ed ON f.k = ed.k
+        |          AND ed.us >= epoch_us(f.t1) + 1) x
+        |  WHERE rn = 1 GROUP BY st)
+        |SELECT * FROM counts
+        |UNION ALL SELECT * FROM prevt
+        |UNION ALL SELECT * FROM nextt
+        |ORDER BY kind, ts NULLS FIRST, state NULLS FIRST""".stripMargin),
+
     kq("kql_activity_metrics",
       """events
         | | evaluate activity_metrics(user_id, ts,
