@@ -722,6 +722,15 @@ object QueryStep {
       stepMicros: Long, state: FieldPath, states: Seq[String])
       extends QueryStep
 
+  /** Kusto `evaluate new_activity_metrics(id, ts, start, end, step)` —
+    * the cohort retention matrix: for each cohort (ids first seen in bin
+    * c) and each activity bin t ≥ c, the distinct ids of cohort c active
+    * in t, the cohort size, and their ratio. Bins with no activity from
+    * the cohort are absent (documented).
+    */
+  final case class NewActivityMetrics(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

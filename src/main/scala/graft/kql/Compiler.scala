@@ -2969,6 +2969,29 @@ final class Compiler(
           col("count"), col("dcount"), col("new_dcount"),
           col("aggregated_dcount"))
 
+    // cohort retention matrix: first-seen bin per id (one agg) joins back
+    // to the distinct (id, bin) pairs — cohort × activity-bin cells come
+    // from one keyed groupBy; cohort sizes join in keyed on the cohort
+    case QueryStep.NewActivityMetrics(idf, tsf, start, end, step) =>
+      val idc = compileField(df, idf)
+      val tb = floor(unix_micros(compileField(df, tsf).cast(TimestampType))
+        / step).cast(LongType) * step
+      val pairs = df.select(idc.as("__id"), tb.as("__t"))
+        .filter(col("__t") >= lit(start) && col("__t") <= lit(end))
+        .distinct()
+      val firstSeen = pairs.groupBy(col("__id")).agg(min(col("__t")).as("__c"))
+      val cohortSize = firstSeen.groupBy(col("__c"))
+        .agg(count(lit(1)).as("cohort_size"))
+      pairs.join(firstSeen, Seq("__id"))
+        .groupBy(col("__c"), col("__t"))
+        .agg(count(lit(1)).as("dcount_values"))
+        .join(cohortSize, Seq("__c"))
+        .select(timestamp_micros(col("__c")).as("from_" + tsf.flat),
+          timestamp_micros(col("__t")).as(tsf.flat),
+          col("dcount_values"), col("cohort_size"),
+          (col("dcount_values").cast(DoubleType) / col("cohort_size"))
+            .as("retention_rate"))
+
     // funnel over a state sequence: the sequence_detect chain finds
     // matches (linear as-of passes), the earliest match per id reduces
     // with one min-struct agg, and prev/next states attach with two more

@@ -748,7 +748,8 @@ final class Parser(src: String, nowMicros: Long) {
       arity(end >= start, "end must be >= start")
       return QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
     }
-    if (plugin == "activity_counts_metrics" || plugin == "activity_metrics") {
+    if (plugin == "activity_counts_metrics" || plugin == "activity_metrics" ||
+        plugin == "new_activity_metrics") {
       eatPunct("(")
       val id = parseFieldPath(); eatPunct(",")
       val ts = parseFieldPath(); eatPunct(",")
@@ -765,9 +766,13 @@ final class Parser(src: String, nowMicros: Long) {
       eatPunct(")")
       arity(step > 0, "step must be positive")
       arity(end >= start, "end must be >= start")
-      return if (plugin == "activity_metrics")
-        QueryStep.ActivityMetrics(id, ts, start, end, step)
-      else QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
+      return plugin match {
+        case "activity_metrics" =>
+          QueryStep.ActivityMetrics(id, ts, start, end, step)
+        case "new_activity_metrics" =>
+          QueryStep.NewActivityMetrics(id, ts, start, end, step)
+        case _ => QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
+      }
     }
     if (plugin == "funnel_sequence") {
       eatPunct("(")

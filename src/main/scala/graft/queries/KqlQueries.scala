@@ -3055,6 +3055,29 @@ object KqlQueries {
         |UNION ALL SELECT * FROM nextt
         |ORDER BY kind, ts NULLS FIRST, state NULLS FIRST""".stripMargin),
 
+    kq("kql_new_activity",
+      """events
+        | | evaluate new_activity_metrics(user_id, ts,
+        |     datetime(2024-01-01), datetime(2024-01-15), 1d)
+        | | project c = from_ts, ts, d = dcount_values,
+        |     cs = cohort_size, rr = retention_rate
+        | | sort by c asc, ts asc""".stripMargin,
+      """WITH p AS (
+        |  SELECT DISTINCT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS t
+        |  FROM events
+        |  WHERE (epoch_us(ts) // 86400000000) * 86400000000
+        |          BETWEEN epoch_us(TIMESTAMP '2024-01-01')
+        |              AND epoch_us(TIMESTAMP '2024-01-15')),
+        |fs AS (SELECT id, min(t) AS c FROM p GROUP BY id),
+        |cs AS (SELECT c, count(*) AS n FROM fs GROUP BY c),
+        |m AS (SELECT fs.c, p.t, count(*) AS d
+        |      FROM p JOIN fs ON p.id = fs.id GROUP BY fs.c, p.t)
+        |SELECT make_timestamp(m.c) AS c, make_timestamp(m.t) AS ts,
+        |  d, n AS cs, CAST(d AS DOUBLE) / n AS rr
+        |FROM m JOIN cs ON m.c = cs.c
+        |ORDER BY c, ts""".stripMargin),
+
     kq("kql_activity_metrics",
       """events
         | | evaluate activity_metrics(user_id, ts,

@@ -90,6 +90,23 @@ class ActivityPluginSpec extends AnyFunSuite {
         (1L, 0.0, 1.0)))
   }
 
+  test("new_activity_metrics: cohort retention matrix") {
+    val r = run(
+      """acts | evaluate new_activity_metrics(uid, t,
+        |     datetime(2024-01-01), datetime(2024-01-05), 1d)
+        | | project c = from_t, ts = t, d = dcount_values,
+        |     cs = cohort_size, rr = retention_rate
+        | | sort by c asc, ts asc""".stripMargin).collect()
+    // cohort d1 = {1}: active d1,d2,d3 → (1,1,1.0) ×3
+    // cohort d2 = {2}: active d2 → (1,1,1.0)
+    // cohort d4 = {3}: active d4 → (1,1,1.0)
+    assert(r.length == 5)
+    assert(r.forall(x => x.getLong(2) == 1L && x.getLong(3) == 1L &&
+      x.getDouble(4) == 1.0))
+    // and cohort labels: 3 cells for d1's cohort
+    assert(r.count(_.get(0).toString.startsWith("2024-01-01")) == 3)
+  }
+
   test("rows_near requires a serialized input") {
     val e = intercept[KqlParseException] {
       run("rows | evaluate rows_near(v == 'x', 1)")
