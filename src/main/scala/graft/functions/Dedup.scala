@@ -328,12 +328,13 @@ object Dedup {
     * reassembled preserving the surviving lines' order, and documents
     * whose every line lost keep an empty string.
     *
-    * 100 TB shape: one explode (bounded by lines-per-doc), ONE shuffle
-    * keyed by the line text (the window's partitionBy — a min-struct
-    * aggregation, partial map-side), one shuffle back on the doc id for
-    * reassembly. Never an all-pairs comparison; skewed popular lines
-    * (boilerplate headers) stay safe because min-of-struct is
-    * associative and combines before the exchange.
+    * 100 TB shape: one explode (bounded by lines-per-doc), ONE partial/
+    * final min-struct aggregation keyed by the line text — the winner
+    * (id, idx) IS the kept occurrence, so no filter-back join or window
+    * is needed and the exchange carries only DISTINCT lines (map-side
+    * combine absorbs popular boilerplate lines — skew-safe by
+    * associativity) — then one shuffle on the doc id for reassembly.
+    * Never an all-pairs comparison.
     *
     * @param lines array<string> column of the document's lines
     * @return (idCol, text_clean, n_kept, n_lines)
@@ -341,12 +342,11 @@ object Dedup {
   def lineDedup(
       df: DataFrame, idCol: String, lines: Column,
       sep: String = "\n"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ex = df.select(col(idCol), posexplode(lines).as(Seq("__idx", "__line")))
-    val w = Window.partitionBy(col("__line"))
-    val kept = ex
-      .withColumn("__win", min(struct(col(idCol), col("__idx"))).over(w))
-      .filter(col("__win") === struct(col(idCol), col("__idx")))
+    val kept = ex.groupBy(col("__line"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__w"))
+      .select(col(s"__w.$idCol").as(idCol),
+        col("__w.__idx").as("__idx"), col("__line"))
     val rebuilt = kept.groupBy(col(idCol))
       .agg(array_sort(collect_list(struct(col("__idx"), col("__line"))))
         .as("__kept"))

@@ -582,11 +582,17 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin)(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
-        val toks = TextAnalysis.tokens(col("text"))
+        // materialize the token array FIRST: chunking references it once
+        // per chunk, and an inlined tokenize would re-run O(chunks) times
+        // per document (the shinglesColumnForm O(n²) trap — this exact
+        // shape was measured at 9 s before the barrier, 0.4 s after)
+        val tokd = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("__toks"))
+        val toks = col("__toks")
         val lines = transform(
           sequence(lit(0L), ceil(size(toks) / 2.0).cast("long") - 1L),
           i => concat_ws(" ", slice(toks, (i * 2 + 1).cast("int"), lit(2))))
-        Dedup.lineDedup(docs.select(col("doc_id"), lines.as("__lines")),
+        Dedup.lineDedup(tokd.select(col("doc_id"), lines.as("__lines")),
           "doc_id", col("__lines")).orderBy("doc_id")
       }),
 

@@ -354,12 +354,14 @@ class PlanSpec extends AnyFunSuite {
     assert(q.contains("Generate explode") && !q.contains("CartesianProduct"), q)
   }
 
-  test("line dedup: window keyed by the line, no all-pairs") {
+  test("line dedup: partial min-struct agg keyed by the line, no all-pairs") {
     val p = plan("pl_line_dedup")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       s"line dedup must never compare all pairs:\n$p")
-    assert(p.contains("Window"), s"winner pick must be the keyed window:\n$p")
+    // winner pick = partial/final aggregation (map-side combine absorbs
+    // popular boilerplate lines BEFORE the exchange — the skew defense)
+    assert(p.contains("partial_min"), s"winner pick must partial-combine:\n$p")
   }
 
   test("federated gate query executes inside the foreign store") {
