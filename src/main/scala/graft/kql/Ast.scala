@@ -731,6 +731,17 @@ object QueryStep {
   final case class NewActivityMetrics(id: FieldPath, ts: FieldPath,
       startMicros: Long, endMicros: Long, stepMicros: Long) extends QueryStep
 
+  /** Kusto `evaluate rolling_percentile(value, p, index, binSize,
+    * window[, dims…])` — per index bin and dims: the EXACT rank-rule
+    * percentile (q(p) = sorted[ceil(p·n/100)], the series_outliers rule)
+    * of the values in the rolling window of the last `window` bins.
+    * Exact by collect (oracle-replayable); swap percentile_approx for
+    * the sketch path at corpus scale.
+    */
+  final case class RollingPercentile(value: FieldPath, p: Double,
+      index: FieldPath, binMicros: Long, window: Int,
+      dims: Seq[FieldPath]) extends QueryStep
+
   /** Kusto `evaluate rows_near(cond, before[, after])` — serialized
     * context rows: keeps rows within `before` rows before or `after`
     * rows after any row satisfying the condition.

@@ -283,7 +283,7 @@ final class Compiler(
           "series_decompose_anomalies" | "series_periods_detect" => KT.Var
       case "dcount_hll" => KT.Int
       case "bag_pack" | "pack_all" | "series_stats_dynamic" |
-          "bag_merge" | "bag_remove_keys" | "bag_set_key" => KT.Var
+          "bag_merge" | "bag_remove_keys" | "bag_set_key" | "bag_zip" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
     case WinFn(name, args) => name match {
@@ -1781,6 +1781,37 @@ final class Compiler(
             expression(array(args.map(a =>
               compile(df, a).cast(StringType)): _*)))))
         }
+        // bag from parallel key/value arrays (Kusto bag_zip): null keys
+        // drop, DUPLICATE keys keep the LAST occurrence, length mismatch
+        // → null. Built as JSON text (to_json quotes/escapes the keys
+        // and serializes each value in its own type), re-parsed to a
+        // variant. O(n²) HOF dedup — bags are small by construction.
+        case "bag_zip" => {
+          def arr(e: Expr): Column = infer(df, e) match {
+            case KT.Var => compile(df, e).try_cast(ArrayType(VariantType))
+            case _ => compile(df, e)
+          }
+          val ks = transform(arr(args.head), k => k.cast(StringType))
+          val vs = arr(args(1))
+          val zipped = transform(ks, (k, i) =>
+            struct(k.alias("col1"), element_at(vs, i + 1).alias("col2")))
+          val nonNull = filter(zipped, e => e.getField("col1").isNotNull)
+          val rev = reverse(nonNull)
+          val deduped = filter(rev, (e, i) =>
+            !exists(slice(rev, lit(1), i),
+              x => x.getField("col1") === e.getField("col1")))
+          // to_json only serializes complex types: wrap scalars in a
+          // 1-element array and strip the brackets
+          def jsonOf(c: Column): Column = {
+            val j = to_json(array(c))
+            j.substr(lit(2), length(j) - 2)
+          }
+          val entries = transform(reverse(deduped), e =>
+            concat(jsonOf(e.getField("col1")), lit(":"),
+              jsonOf(e.getField("col2"))))
+          when(size(ks) === size(vs), try_parse_json(
+            concat(lit("{"), array_join(entries, ","), lit("}"))))
+        }
         // top-level key removal (nested JSONPath forms are a documented
         // narrowing); non-object input → null
         case "bag_remove_keys" => {
@@ -2968,6 +2999,30 @@ final class Compiler(
         .select(timestamp_micros(col("__t")).as(tsf.flat),
           col("count"), col("dcount"), col("new_dcount"),
           col("aggregated_dcount"))
+
+    // rolling percentile: the bounded explode-to-contributing-bins shape
+    // (fan-out = window bins) + one keyed agg; exact rank-rule percentile
+    // over the collected window (documented; the sketch path at corpus
+    // scale is percentile_approx on the same plan)
+    case QueryStep.RollingPercentile(vf, pv, idxf, binUs, win, dims) =>
+      val vc = compileField(df, vf).cast(DoubleType)
+      val tb = floor(unix_micros(compileField(df, idxf).cast(TimestampType))
+        / binUs).cast(LongType) * binUs
+      val dimCols = dims.map(d => compileField(df, d).as(d.flat))
+      val ex = df.select(vc.as("__v") +: tb.as("__tb") +: dimCols: _*)
+        .withColumn("__t", explode(sequence(col("__tb"),
+          col("__tb") + lit((win - 1).toLong * binUs), lit(binUs))))
+      val mx = df.agg(max(tb).as("__mx"))
+      val grouped = ex.join(broadcast(mx), col("__t") <= col("__mx"))
+        .groupBy(col("__t") +: dims.map(d => col(d.flat)): _*)
+        .agg(sort_array(collect_list(col("__v"))).as("__vs"))
+      grouped.select(
+        timestamp_micros(col("__t")).as(idxf.flat) +:
+          dims.map(d => col(d.flat)) :+
+          try_element_at(col("__vs"),
+            greatest(lit(1), ceil(size(col("__vs")) * lit(pv / 100.0))
+              .cast(IntegerType)))
+            .as(s"rolling_percentile_${vf.flat}"): _*)
 
     // cohort retention matrix: first-seen bin per id (one agg) joins back
     // to the distinct (id, bin) pairs — cohort × activity-bin cells come

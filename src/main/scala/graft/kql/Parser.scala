@@ -774,6 +774,30 @@ final class Parser(src: String, nowMicros: Long) {
         case _ => QueryStep.ActivityCountsMetrics(id, ts, start, end, step)
       }
     }
+    if (plugin == "rolling_percentile") {
+      eatPunct("(")
+      val value = parseFieldPath(); eatPunct(",")
+      val pv = peek match {
+        case IntTok(v, _) => p += 1; v.toDouble
+        case FloatTok(v, _) => p += 1; v
+        case _ => fail("rolling_percentile percentile must be numeric")
+      }
+      eatPunct(",")
+      val index = parseFieldPath(); eatPunct(",")
+      val bin = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail("rolling_percentile bin size must be a timespan literal")
+      }
+      eatPunct(",")
+      val win = parseIntLit().toInt
+      val dims = Seq.newBuilder[FieldPath]
+      while (tryPunct(",")) dims += parseFieldPath()
+      eatPunct(")")
+      arity(pv >= 0 && pv <= 100, "percentile must be in [0, 100]")
+      arity(win >= 1, "window must be >= 1 bins")
+      return QueryStep.RollingPercentile(value, pv, index, bin, win,
+        dims.result())
+    }
     if (plugin == "funnel_sequence") {
       eatPunct("(")
       val id = parseFieldPath(); eatPunct(",")
@@ -1891,7 +1915,7 @@ final class Parser(src: String, nowMicros: Long) {
     "getyear", "getmonth", "dayofyear", "startofquarter", "endofweek",
     "endofmonth", "endofyear", "endofquarter", "datetime_part",
     "datetime_utc_to_local", "datetime_local_to_utc",
-    "bag_merge", "bag_remove_keys",
+    "bag_merge", "bag_remove_keys", "bag_zip",
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "extract_json", "parse_path", "has_any_index",
@@ -2450,6 +2474,10 @@ final class Parser(src: String, nowMicros: Long) {
       case "bag_merge" =>
         val a = args(); arity(a.length >= 2, "bag_merge() takes 2+ bags")
         ArrFn("bag_merge", a)
+      case "bag_zip" =>
+        val a = args()
+        arity(a.length == 2, "bag_zip() takes (keys, values)")
+        ArrFn("bag_zip", a)
       case "bag_remove_keys" =>
         val a = args()
         arity(a.length == 2, "bag_remove_keys() takes (bag, keys_array)")

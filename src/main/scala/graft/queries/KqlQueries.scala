@@ -3055,6 +3055,38 @@ object KqlQueries {
         |UNION ALL SELECT * FROM nextt
         |ORDER BY kind, ts NULLS FIRST, state NULLS FIRST""".stripMargin),
 
+    // round-7 bag_zip: bag from parallel arrays — null keys drop,
+    // duplicate keys keep the LAST occurrence, length mismatch → null;
+    // canonical text via dynamic_to_json (key-sorted)
+    kq("kql_bagzip",
+      """print b = dynamic_to_json(bag_zip(
+        |      pack_array('b', 'a', 'b'), todynamic('[1, "x", 3]'))),
+        |  bad = bag_zip(pack_array('k'), pack_array(1, 2))
+        | | project b, isbad = isnull(bad)""".stripMargin,
+      """SELECT '{"a":"x","b":3}' AS b, true AS isbad"""),
+
+    // round-7 rolling_percentile: exact rank-rule percentile over a
+    // 3-bin rolling window; both engines pick an actual sample, so the
+    // doubles hash bit-for-bit
+    kq("kql_rolling_pct",
+      """events
+        | | evaluate rolling_percentile(value, 50, ts, 1d, 3, event_type)
+        | | project ts, event_type, p = rolling_percentile_value
+        | | sort by ts asc, event_type asc""".stripMargin,
+      """WITH b AS (
+        |  SELECT value AS v, event_type AS et,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS tb
+        |  FROM events),
+        |x AS (SELECT v, et,
+        |        unnest(range(tb, tb + 3 * 86400000000, 86400000000)) AS t
+        |      FROM b),
+        |mx AS (SELECT max(tb) AS m FROM b),
+        |g AS (SELECT t, et, list(v ORDER BY v) AS vs
+        |      FROM x, mx WHERE t <= m GROUP BY t, et)
+        |SELECT make_timestamp(t) AS ts, et AS event_type,
+        |  vs[greatest(1, CAST(ceil(len(vs) * 0.5) AS BIGINT))] AS p
+        |FROM g ORDER BY ts, et""".stripMargin),
+
     kq("kql_new_activity",
       """events
         | | evaluate new_activity_metrics(user_id, ts,
