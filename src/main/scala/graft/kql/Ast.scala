@@ -680,6 +680,14 @@ object QueryStep {
   final case class SlidingWindowCounts(id: FieldPath, ts: FieldPath,
       startMicros: Long, endMicros: Long, lookbackMicros: Long,
       binMicros: Long) extends QueryStep
+  /** Kusto `evaluate session_count(id, ts, start, end, bin, lookback)` —
+    * per bin: the count of active sessions, where an id's session is
+    * active in a bin iff the id appears within the lookback window
+    * ending at that bin (the ADX definition — a sliding distinct count).
+    */
+  final case class SessionCount(id: FieldPath, ts: FieldPath,
+      startMicros: Long, endMicros: Long, binMicros: Long,
+      lookbackMicros: Long) extends QueryStep
   /** Kusto `evaluate activity_counts_metrics(id, ts, start, end, step)` —
     * per step bin: activity count, distinct ids, distinct NEW ids (first
     * appearance within [start,end] falls in this bin), and the cumulative

@@ -2935,6 +2935,15 @@ final class Compiler(
           (col("dcount_activities_inner").cast(DoubleType) /
             col("dcount_activities_outer")).as("activity_ratio"))
 
+    // session_count = the sliding distinct-id count (ADX's definition:
+    // a session is active in a bin iff the id appears in the lookback
+    // window ending there) — the SlidingWindowCounts lowering, Kusto's
+    // output column name
+    case QueryStep.SessionCount(idf, tsf, start, end, binUs, look) =>
+      compileStepInner(df, QueryStep.SlidingWindowCounts(
+        idf, tsf, start, end, look, binUs))
+        .withColumnRenamed("Dcount", "count_sessions").drop("Count")
+
     // same explode-to-contributing-bins shape; bins clipped to [start,end]
     case QueryStep.SlidingWindowCounts(idf, tsf, start, end, look, binUs) =>
       val idc = compileField(df, idf)

@@ -726,7 +726,7 @@ final class Parser(src: String, nowMicros: Long) {
         "outer window must be a positive multiple of the inner window")
       return QueryStep.ActivityEngagement(id, ts, inner, outer)
     }
-    if (plugin == "sliding_window_counts") {
+    if (plugin == "sliding_window_counts" || plugin == "session_count") {
       eatPunct("(")
       val id = parseFieldPath(); eatPunct(",")
       val ts = parseFieldPath(); eatPunct(",")
@@ -740,13 +740,19 @@ final class Parser(src: String, nowMicros: Long) {
       }
       val start = dt("start"); eatPunct(",")
       val end = dt("end"); eatPunct(",")
-      val lookback = span("lookback"); eatPunct(",")
-      val bin = span("bin")
+      // session_count takes (…, Bin, LookBack); sliding_window_counts
+      // takes (…, LookBack, Bin) — Kusto's argument orders
+      val a5 = span("window"); eatPunct(",")
+      val a6 = span("window")
+      val (lookback, bin) =
+        if (plugin == "session_count") (a6, a5) else (a5, a6)
       eatPunct(")")
       arity(bin > 0 && lookback >= bin && lookback % bin == 0,
         "lookback must be a positive multiple of the bin")
       arity(end >= start, "end must be >= start")
-      return QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
+      return if (plugin == "session_count")
+        QueryStep.SessionCount(id, ts, start, end, bin, lookback)
+      else QueryStep.SlidingWindowCounts(id, ts, start, end, lookback, bin)
     }
     if (plugin == "activity_counts_metrics" || plugin == "activity_metrics" ||
         plugin == "new_activity_metrics") {

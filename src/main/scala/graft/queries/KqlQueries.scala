@@ -3168,6 +3168,26 @@ object KqlQueries {
         |FROM pb LEFT JOIN nw ON pb.t = nw.t
         |ORDER BY ts""".stripMargin),
 
+    kq("kql_session_count",
+      """events
+        | | evaluate session_count(user_id, ts,
+        |     datetime(2024-01-08), datetime(2024-01-28), 1d, 7d)
+        | | project ts, s = count_sessions
+        | | sort by ts asc""".stripMargin,
+      """WITH b AS (
+        |  SELECT user_id AS id,
+        |    (epoch_us(ts) // 86400000000) * 86400000000 AS tb
+        |  FROM events),
+        |x AS (
+        |  SELECT id,
+        |    unnest(range(tb, tb + 7 * 86400000000, 86400000000)) AS t
+        |  FROM b)
+        |SELECT make_timestamp(t) AS ts, count(DISTINCT id) AS s
+        |FROM x
+        |WHERE t >= epoch_us(TIMESTAMP '2024-01-08')
+        |  AND t <= epoch_us(TIMESTAMP '2024-01-28')
+        |GROUP BY t ORDER BY ts""".stripMargin),
+
     // serialized context rows (ripgrep -B2 -A1, in KQL form)
     kq("kql_rows_near",
       """events

@@ -107,6 +107,16 @@ class ActivityPluginSpec extends AnyFunSuite {
     assert(r.count(_.get(0).toString.startsWith("2024-01-01")) == 3)
   }
 
+  test("session_count: sliding active-session count, (bin, lookback) order") {
+    val r = run(
+      """acts | evaluate session_count(uid, t,
+        |     datetime(2024-01-02), datetime(2024-01-03), 1d, 2d)
+        | | project t, s = count_sessions | sort by t asc""".stripMargin)
+      .collect()
+    // lookback 2d: d2 window {d1,d2} → {1,2}; d3 window {d2,d3} → {1,2}
+    assert(r.map(_.getLong(1)).toSeq == Seq(2L, 2L))
+  }
+
   test("rows_near requires a serialized input") {
     val e = intercept[KqlParseException] {
       run("rows | evaluate rows_near(v == 'x', 1)")
