@@ -175,6 +175,8 @@ object SeriesDecomposeUtil {
 case class SeriesSeasonalExpr(child: Expression, period: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(DoubleType)
+  // null contract fires even for non-nullable children (n<4, NaN element)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
@@ -381,6 +383,7 @@ case class SeriesFit2LinesExpr(child: Expression)
     StructField("variance", DoubleType), StructField("rvariance", DoubleType),
     StructField("line_fit", ArrayType(DoubleType)),
     StructField("left", seg), StructField("right", seg)))
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val r = SeriesFit2LinesUtil.fit(input.asInstanceOf[ArrayData])
@@ -403,6 +406,7 @@ case class SeriesDecomposeExpr(
   override def dataType: DataType = StructType(Seq(
     StructField("baseline", arr), StructField("seasonal", arr),
     StructField("trend", arr), StructField("residual", arr)))
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val d = SeriesDecomposeUtil.decompose(
@@ -425,6 +429,7 @@ case class SeriesAnomaliesExpr(
     StructField("ad_flag", ArrayType(LongType)),
     StructField("ad_score", ArrayType(DoubleType)),
     StructField("baseline", ArrayType(DoubleType))))
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val d = SeriesDecomposeUtil.anomalies(
@@ -446,6 +451,7 @@ case class SeriesPeriodsExpr(
   override def dataType: DataType = StructType(Seq(
     StructField("periods", ArrayType(DoubleType)),
     StructField("scores", ArrayType(DoubleType))))
+  override def nullable: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val y = input.asInstanceOf[ArrayData]

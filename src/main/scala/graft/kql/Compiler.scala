@@ -1890,19 +1890,36 @@ final class Compiler(
           // shape: result[i] is the i-th input, permuted). Length
           // mismatch → null (Kusto's rule). element_at re-evaluates the
           // paired arrays per position — bins-scale inputs by contract.
-          val arrs = args.map(a => infer(df, a) match {
-            case KT.Var => compile(df, a).try_cast(ArrayType(VariantType))
-            case _ => compile(df, a)
+          // Spark cannot order VARIANT, so dynamic arrays sort via the
+          // cross-type total-order byte key (VariantSortKey) and carry
+          // their value as JSON text in the struct payload.
+          val varFlags = args.map(a => infer(df, a) == KT.Var)
+          val arrs = args.zip(varFlags).map { case (a, v) =>
+            if (v) compile(df, a).try_cast(ArrayType(VariantType))
+            else compile(df, a)
+          }
+          def orderKeyOf(e: Column, v: Boolean): Column = {
+            import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+            if (v) column(graft.functions.VariantSortKey(expression(e))) else e
+          }
+          val zipped = transform(arrs.head, (x, i) => {
+            val elems = x +: arrs.tail.map(b => element_at(b, i + 1))
+            val keys = elems.zip(varFlags).zipWithIndex.map {
+              case ((e, v), j) => orderKeyOf(e, v).alias(s"k${j + 1}") }
+            val payloads = elems.zip(varFlags).zipWithIndex.map {
+              case ((e, v), j) =>
+                (if (v) to_json(e) else e).alias(s"p${j + 1}") }
+            struct(keys ++ payloads: _*)
           })
-          val zipped = transform(arrs.head, (x, i) =>
-            struct(x.alias("col1") +: arrs.tail.zipWithIndex.map {
-              case (b, j) => element_at(b, i + 1).alias(s"col${j + 2}")
-            }: _*))
           val sorted =
             if (name == "array_sort_asc") array_sort(zipped)
             else sort_array(zipped, asc = false)
-          val outs = arrs.indices.map(j =>
-            to_json(transform(sorted, s => s.getField(s"col${j + 1}"))))
+          val outs = arrs.indices.map { j =>
+            val vals = transform(sorted, s => s.getField(s"p${j + 1}"))
+            if (varFlags(j)) // payload is per-element JSON text already
+              concat(lit("["), array_join(vals, ",", "null"), lit("]"))
+            else to_json(vals)
+          }
           val ok = arrs.tail
             .map(b => size(b) === size(arrs.head))
             .foldLeft(lit(true))(_ && _)
@@ -2847,13 +2864,19 @@ final class Compiler(
         }
       }
       var cur = nodeFrame(nodeNames.head)
+      val boundNodes = scala.collection.mutable.Set(nodeNames.head)
       gEdges.indices.foreach { i =>
         val ev = edgeNames(i)
         val ef = edgeFrame(ev, gEdges(i))
-        cur = cur
-          .join(ef, col(s"__id_${nodeNames(i)}") === col(s"__from_$ev"))
-          .join(nodeFrame(nodeNames(i + 1)),
-            col(s"__to_$ev") === col(s"__id_${nodeNames(i + 1)}"))
+        val nv = nodeNames(i + 1)
+        cur = cur.join(ef, col(s"__id_${nodeNames(i)}") === col(s"__from_$ev"))
+        if (boundNodes.add(nv))
+          cur = cur.join(nodeFrame(nv), col(s"__to_$ev") === col(s"__id_$nv"))
+        else
+          // repeated node variable: same-node constraint (cyclic
+          // pattern) — an equality filter against the first binding,
+          // no second join and no duplicate struct column
+          cur = cur.filter(col(s"__to_$ev") === col(s"__id_$nv"))
       }
       if (gEdges.nonEmpty) {
         // unique_edges (Kusto default): no edge instance repeats in a

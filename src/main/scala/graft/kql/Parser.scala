@@ -1033,10 +1033,17 @@ final class Parser(src: String, nowMicros: Long) {
     eatIdent("project")
     val proj = parseProjFields()
     val ns = nodes.result()
-    val named = ns.flatMap(_.name) ++ edges.result().flatMap(_.name)
-    arity(named.distinct.length == named.length,
-      "graph-match variable names must be distinct")
-    QueryStep.GraphMatch(cycles, ns, edges.result(), where, proj)
+    val es = edges.result()
+    // edge variables must be distinct (each names one edge instance);
+    // a REPEATED NODE variable is legal — it is a same-node constraint
+    // (cyclic pattern like (a)-[e1]->(b)-[e2]->(a)), lowered as an id
+    // equality against the first occurrence
+    val edgeNamed = es.flatMap(_.name)
+    arity(edgeNamed.distinct.length == edgeNamed.length,
+      "graph-match edge variable names must be distinct")
+    arity(ns.flatMap(_.name).toSet.intersect(edgeNamed.toSet).isEmpty,
+      "graph-match node and edge variables must not share names")
+    QueryStep.GraphMatch(cycles, ns, es, where, proj)
   }
 
   /** `fork [name =] (steps…) …` — at least one parenthesized branch;

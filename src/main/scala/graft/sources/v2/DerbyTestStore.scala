@@ -40,8 +40,11 @@ object DerbyTestStore {
   /** JDBC url of a Derby database holding `table` seeded from
     * `sfDir/table.parquet`; idempotent per JVM.
     */
+  // Lookup and seeding both sit inside the lock: TrieMap.getOrElseUpdate
+  // does not run the thunk atomically, so two first-access racers would
+  // both seed and the loser would hit CREATE TABLE on an existing db.
   def url(spark: SparkSession, sfDir: String, table: String): String =
-    dbs.getOrElseUpdate(s"$sfDir/$table", synchronized {
+    synchronized(dbs.getOrElseUpdate(s"$sfDir/$table", {
       val dbPath = root.resolve(
         sfDir.replaceAll("[^A-Za-z0-9.]", "_") + "_" + table)
       val u = s"jdbc:derby:$dbPath;create=true"
@@ -87,7 +90,7 @@ object DerbyTestStore {
         } finally ins.close()
       }
       u
-    })
+    }))
 
   /** The seeded table read back through the V2 connector. */
   def readBack(spark: SparkSession, sfDir: String, table: String,

@@ -129,4 +129,35 @@ class GraphMatchSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("make-graph"))
   }
+
+  test("repeated node variable = same-node constraint (cyclic pattern)") {
+    // ADVICE r7: (a)-[e1]->(b)-[e2]->(a) used to be a parse error.
+    // 2-hop cycles in the graph: 1->3->1 (via e(1,3),e(3,1)) and
+    // 3->1->3 — 1->2 has no return edge, so exactly those two.
+    val r = run(
+      """edges | make-graph s --> d
+        | | graph-match (a)-[e1]->(b)-[e2]->(a)
+        |     project x = tolong(a.id), y = tolong(b.id)
+        | | sort by x asc""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 3L), (3L, 1L)))
+    // the repeated variable binds once: projecting a.* works and the
+    // where clause sees a single `a`
+    val w = run(
+      """edges | make-graph s --> d with nodes on nid
+        | | graph-match (a)-[e1]->(b)-[e2]->(a)
+        |     where a.label == 'a1'
+        |     project l = a.label, m = b.label""".stripMargin).collect()
+    assert(w.map(x => (x.getString(0), x.getString(1))).toSeq ==
+      Seq(("a1", "c3")))
+  }
+
+  test("edge variable names must still be distinct") {
+    val e = intercept[KqlParseException] {
+      run("""edges | make-graph s --> d
+            | | graph-match (a)-[e]->(b)-[e]->(c) project x = a.id"""
+        .stripMargin)
+    }
+    assert(e.getMessage.contains("edge variable"))
+  }
 }

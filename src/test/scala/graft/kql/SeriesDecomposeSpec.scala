@@ -153,6 +153,37 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.isNullAt(3)) // length mismatch → null
   }
 
+  test("multi-array co-sort accepts dynamic (variant) arrays") {
+    // ADVICE r7: a KT.Var first array used to cast to array<variant> and
+    // hit DATATYPE_MISMATCH.INVALID_ORDERING_TYPE; it now sorts via the
+    // cross-type total-order byte key
+    val r = run(
+      """print s = array_sort_asc(todynamic('[3, 1, 2]'),
+        |                         pack_array('c', 'a', 'b')),
+        |      p = array_sort_desc(pack_array(2, 1, 3),
+        |                          todynamic('["x", "y", "z"]'))
+        | | project k0 = strcat_array(s[0], ','),
+        |     k1 = strcat_array(s[1], ','),
+        |     d1 = strcat_array(p[1], ',')""".stripMargin).collect().head
+    assert(r.getString(0) == "1,2,3")
+    assert(r.getString(1) == "a,b,c")
+    assert(r.getString(2) == "z,x,y") // desc by first: 3,2,1 → z,x,y
+  }
+
+  test("null contract returns null (not NPE) for non-nullable children") {
+    // ADVICE r7 (high): nullSafeEval returning null without nullable=true
+    // crashed codegen'd consumers when the child was a pack_array literal
+    val r = run(
+      """print d = series_decompose(pack_array(1, 2, 3)),
+        |  s = series_seasonal(pack_array(1, 2, 3)),
+        |  f = series_fit_2lines_dynamic(pack_array(1, 2, 3)),
+        |  a = series_decompose_anomalies(pack_array(1, 2, 3)),
+        |  p = series_periods_detect(pack_array(1, 2, 3), 2, 8, 1)
+        | | project dn = isnull(d), sn = isnull(s), fn = isnull(f),
+        |     an = isnull(a), pn = isnull(p)""".stripMargin).collect().head
+    (0 until 5).foreach(i => assert(r.getBoolean(i), s"col $i"))
+  }
+
   test("strcat_array accepts variant arrays") {
     val r = run(
       """print s = strcat_array(todynamic('[1, "x", true]'), '|')"""
