@@ -339,6 +339,78 @@ object Dedup {
     * @param lines array<string> column of the document's lines
     * @return (idCol, text_clean, n_kept, n_lines)
     */
+  /** Exact SUBSTRING dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", arXiv:2107.06499 — the ExactSubstr
+    * mode): any ≥k-token substring that occurs more than once across the
+    * corpus keeps only its FIRST occurrence (smallest (id, pos)); every
+    * other occurrence's tokens are removed from their documents.
+    *
+    * The paper builds a corpus-wide suffix array; the distributed
+    * equivalent here is a sorted k-shingle index — a duplicated run of
+    * length L ≥ k is exactly a maximal chain of ≥ L−k+1 duplicated
+    * k-shingles, so marking every non-winner shingle occurrence and
+    * merging overlapping/adjacent [pos, pos+k) spans per document
+    * removes the same token ranges, and consecutive losing shingles
+    * coalesce into one span per duplicated run.
+    *
+    * 100 TB shape: ONE shuffle keyed on the shingle text (the winner is
+    * `min(struct(id, pos))` — associative, so map-side combine absorbs
+    * ubiquitous boilerplate shingles; identifying losers needs every
+    * occurrence co-located with its winner, which is a per-key LINEAR
+    * window pass, never all-pairs), then one doc-keyed shuffle whose
+    * payload is only the losing span starts (bounded by tokens-per-doc).
+    * Span merging and text rebuild are per-row array folds.
+    *
+    * @param toks array<string> token column
+    * @param k    minimum duplicated run length in tokens
+    * @return (idCol, n_tokens, n_spans, n_removed, text_dedup)
+    */
+  def substringDedup(df: DataFrame, idCol: String, toks: Column, k: Int,
+      sep: String = " "): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), toks.as("__toks"))
+    val n = size(col("__toks"))
+    val shingles = when(n >= k,
+      transform(sequence(lit(0), n - k),
+        i => concat_ws(sep, slice(col("__toks"), i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val ex = base.select(col(idCol),
+      posexplode(shingles).as(Seq("__pos", "__sh")))
+    val w = Window.partitionBy(col("__sh"))
+    val losers = ex
+      .withColumn("__w",
+        min(struct(col(idCol).as("id"), col("__pos").cast("long").as("p")))
+          .over(w))
+      .filter(!(col("__w.id") === col(idCol) && col("__w.p") === col("__pos")))
+      .select(col(idCol), col("__pos").cast("long").as("__pos"))
+    val emptySpans = array().cast("array<struct<st:bigint,en:bigint>>")
+    // fold sorted span starts into merged islands: a start s <= last.en
+    // extends the island (spans are all length k, starts sorted, so the
+    // new end is s + k); s > last.en opens a new one
+    val spansDf = losers.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+      .select(col(idCol), aggregate(col("__starts"), emptySpans, (acc, s) =>
+        when(size(acc) === 0 || s > element_at(acc, -1)("en"),
+          concat(acc, array(struct(s.as("st"), (s + k).as("en")))))
+          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(element_at(acc, -1)("st").as("st"),
+              (s + k).as("en"))))))
+        .as("__spans"))
+    val idxed = transform(col("__toks"),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val kept = filter(idxed, x => !exists(col("__spans"),
+      sp => sp("st") <= x("i") && x("i") < sp("en")))
+    base.join(spansDf, Seq(idCol), "left_outer")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__spans"), emptySpans).as("__spans"))
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        aggregate(col("__spans"), lit(0L),
+          (a, sp) => a + sp("en") - sp("st")).as("n_removed"),
+        concat_ws(sep, transform(kept, x => x("t"))).as("text_dedup"))
+  }
+
   def lineDedup(
       df: DataFrame, idCol: String, lines: Column,
       sep: String = "\n"): DataFrame = {

@@ -441,6 +441,13 @@ object PipelineQueries {
        |WHERE score >= 0.35 ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** 12 tokens of planted boilerplate for pl_substring_dedup — made-up
+    * words disjoint from the documents vocabulary, shared between the
+    * Spark plant and its SQL oracle so both build the identical corpus.
+    */
+  private val substrBoiler = Seq("lorem", "boiler", "token", "alpha",
+    "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota")
+
   val all: Seq[Q] = Seq(
 
     // ───── text analysis ─────
@@ -547,6 +554,85 @@ object PipelineQueries {
           .select("text_hash")
         Dedup.incrementalDedup(docs.filter(col("doc_id") >= 250), index,
           "doc_id", "text").select("doc_id").orderBy("doc_id")
+      }),
+
+    // exact substring dedup (Lee et al. 2022 ExactSubstr, arXiv:2107.06499):
+    // repeated ≥k-token substrings keep only their first occurrence.
+    // Duplication is PLANTED deterministically so the fixture provably
+    // exercises every path: docs ≡0 (mod 5) append a fixed 12-token
+    // boilerplate, docs ≡3 (mod 7) prepend it (cross-doc duplication,
+    // winner = smallest (doc_id, pos)), docs ≡4 (mod 11) append their own
+    // first 15 tokens (intra-doc duplication). k=10 < 12 and < 15 so both
+    // plants produce losing shingle chains that merge into single spans.
+    // The oracle replays the same plant, the row_number winner rule, the
+    // gaps-and-islands span merge (break when pos > prev_max + k), and
+    // the uncovered-token rebuild.
+    Q("pl_substring_dedup", {
+      val bl = substrBoiler.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS t0
+         |  FROM documents),
+         |corpus AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN list_concat(t0, $bl)
+         |         WHEN doc_id % 7 = 3 THEN list_concat($bl, t0)
+         |         WHEN doc_id % 11 = 4 AND len(t0) >= 15
+         |           THEN list_concat(t0, t0[1:15])
+         |         ELSE t0 END AS t
+         |  FROM base),
+         |sh AS (
+         |  SELECT doc_id, i - 1 AS pos, array_to_string(t[i:i+9], ' ') AS s
+         |  FROM corpus, unnest(range(1, len(t) - 8)) AS u(i)
+         |  WHERE len(t) >= 10),
+         |ranked AS (
+         |  SELECT doc_id, pos,
+         |    row_number() OVER (PARTITION BY s ORDER BY doc_id, pos) AS rn
+         |  FROM sh),
+         |losers AS (SELECT doc_id, pos FROM ranked WHERE rn > 1),
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id
+         |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+         |           AND 1 PRECEDING), -1000000) + 10
+         |         THEN 1 ELSE 0 END AS b
+         |  FROM losers),
+         |isl AS (SELECT doc_id, pos,
+         |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+         |        FROM brk),
+         |spans AS (SELECT doc_id, gid, min(pos) AS st, max(pos) + 10 AS en
+         |          FROM isl GROUP BY doc_id, gid),
+         |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |               CAST(sum(en - st) AS BIGINT) AS n_removed
+         |        FROM spans GROUP BY doc_id),
+         |tokpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+         |           FROM corpus, unnest(range(1, len(t) + 1)) AS u(i)),
+         |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+         |         FROM tokpos tp LEFT JOIN spans sp
+         |           ON tp.doc_id = sp.doc_id AND tp.p >= sp.st AND tp.p < sp.en
+         |         WHERE sp.st IS NULL),
+         |reb AS (SELECT doc_id,
+         |          array_to_string(list(tok ORDER BY p), ' ') AS text_dedup
+         |        FROM kept GROUP BY doc_id)
+         |SELECT c.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+         |  coalesce(n_spans, 0) AS n_spans,
+         |  coalesce(n_removed, 0) AS n_removed,
+         |  coalesce(text_dedup, '') AS text_dedup
+         |FROM corpus c LEFT JOIN agg USING (doc_id) LEFT JOIN reb USING (doc_id)
+         |ORDER BY c.doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val tokd = docs.select(col("doc_id"),
+          TextAnalysis.tokens(col("text")).as("__t0"))
+        val b = array(substrBoiler.map(lit): _*)
+        val t = when(col("doc_id") % 5 === 0, concat(col("__t0"), b))
+          .when(col("doc_id") % 7 === 3, concat(b, col("__t0")))
+          .when(col("doc_id") % 11 === 4 && size(col("__t0")) >= 15,
+            concat(col("__t0"), slice(col("__t0"), 1, 15)))
+          .otherwise(col("__t0"))
+        Dedup.substringDedup(tokd.select(col("doc_id"), t.as("__t")),
+          "doc_id", col("__t"), 10).orderBy("doc_id")
       }),
 
     // corpus-level exact line dedup (the C4 rule): documents chunked into

@@ -81,6 +81,26 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "", 0L, 1L)))
   }
 
+  test("substring dedup removes repeated >=k-token runs, keeps first") {
+    // k=3. doc1 wins everything (smallest id). doc2's "a b c d" is the
+    // 2-shingle chain {a b c, b c d} at starts 1,2 → one merged span
+    // [1,5). doc3 repeats "a b c" twice (cross-doc loser both times) →
+    // two disjoint spans [0,3) and [4,7). doc4 is shorter than k.
+    val docs = Seq(
+      (1L, Seq("a", "b", "c", "d", "e", "f")),
+      (2L, Seq("x", "a", "b", "c", "d", "y")),
+      (3L, Seq("a", "b", "c", "z", "a", "b", "c")),
+      (4L, Seq("p", "q"))).toDF("doc_id", "toks")
+    val r = Dedup.substringDedup(docs, "doc_id", col("toks"), 3)
+      .orderBy("doc_id").collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+      x.getLong(3), x.getString(4))).toSeq == Seq(
+      (1L, 6L, 0L, 0L, "a b c d e f"),
+      (2L, 6L, 1L, 4L, "x y"),
+      (3L, 7L, 2L, 6L, "z"),
+      (4L, 2L, 0L, 0L, "p q")))
+  }
+
   test("brute-force ANN returns true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
