@@ -315,6 +315,14 @@ object JoinKind {
   // right only): existence joins, the blocklist/allowlist primitives of a
   // curation pipeline — emit one side filtered by key presence/absence in
   // the other, never widening the row
+  // real ADX's default join kind (the reference defaults plain `join` to
+  // inner — join.rs:10-11 — and we keep that parity for the bare form;
+  // the keyword is accepted explicitly): the left side is deduplicated
+  // on the join keys before an inner join, so each left key contributes
+  // ONE row's matches. ADX picks the surviving left row arbitrarily; we
+  // pick deterministically (min under the left row's orderable columns)
+  // — deviation documented in SCALE.md
+  case object InnerUnique extends JoinKind
   case object LeftSemi extends JoinKind
   case object LeftAnti extends JoinKind
   case object RightSemi extends JoinKind

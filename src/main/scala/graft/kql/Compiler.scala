@@ -4907,8 +4907,8 @@ final class Compiler(
       maxDistinct(sub, rk).exists(_ <= Compiler.DynamicFilterMaxDistinct)
     }
     val broadcastable = kind match {
-      case JoinKind.Inner | JoinKind.Left | JoinKind.LeftSemi |
-           JoinKind.LeftAnti => true
+      case JoinKind.Inner | JoinKind.InnerUnique | JoinKind.Left |
+           JoinKind.LeftSemi | JoinKind.LeftAnti => true
       case _ => false
     }
     val right =
@@ -4924,10 +4924,30 @@ final class Compiler(
     // lookup keeps null-key left rows (they survive unmatched, like any
     // other key without a dimension row) — the plain === condition below
     // already guarantees nulls never MATCH
-    val l = keys.zipWithIndex.foldLeft(left) { case (d, ((lk, _), i)) =>
+    val lPre = keys.zipWithIndex.foldLeft(left) { case (d, ((lk, _), i)) =>
       val keyed = d.withColumn(s"__lkey$i", compileField(left, lk))
       if (lookup) keyed else keyed.filter(col(s"__lkey$i").isNotNull)
-    }.alias("__l")
+    }
+    // innerunique: ONE left row per key value joins (ADX's default kind).
+    // ADX's pick is arbitrary; ours is deterministic — row_number over
+    // the left row's orderable columns (partition-invariant, so results
+    // are stable across runs and replayable by the oracle). One window
+    // shuffle on the same keys the join shuffles on (exchange reuse).
+    val lDedup =
+      if (kind != JoinKind.InnerUnique) lPre
+      else {
+        import org.apache.spark.sql.expressions.Window
+        val keyCols = keys.indices.map(i => col(s"__lkey$i"))
+        val ord = left.schema.fields.filter(f =>
+          org.apache.spark.sql.catalyst.expressions.RowOrdering
+            .isOrderable(f.dataType))
+          .map(f => col(s"`${f.name}`")).toSeq
+        val w = Window.partitionBy(keyCols: _*)
+          .orderBy((if (ord.isEmpty) Seq(lit(1)) else ord): _*)
+        lPre.withColumn("__iu_rn", row_number().over(w))
+          .filter(col("__iu_rn") === 1).drop("__iu_rn")
+      }
+    val l = lDedup.alias("__l")
     val r = keys.zipWithIndex.foldLeft(right) { case (d, ((_, rk), i)) =>
       val keyed = d.withColumn(s"__rkey$i", compileField(right, rk))
       if (lookup) keyed else keyed.filter(col(s"__rkey$i").isNotNull)
@@ -4955,7 +4975,7 @@ final class Compiler(
     }
 
     val sparkKind = kind match {
-      case JoinKind.Inner => "inner"
+      case JoinKind.Inner | JoinKind.InnerUnique => "inner"
       case JoinKind.Outer => "full_outer"
       case JoinKind.Left => "left"
       case JoinKind.Right => "right"

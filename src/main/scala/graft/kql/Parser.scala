@@ -1672,6 +1672,7 @@ final class Parser(src: String, nowMicros: Long) {
         eatPunct("=")
         kind = identText().toLowerCase match {
           case "inner" => JoinKind.Inner
+          case "innerunique" => JoinKind.InnerUnique
           case "outer" | "fullouter" => JoinKind.Outer
           case "left" | "leftouter" => JoinKind.Left
           case "right" | "rightouter" => JoinKind.Right

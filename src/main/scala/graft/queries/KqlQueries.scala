@@ -863,6 +863,27 @@ object KqlQueries {
         |  ON a.user_id = b.user_id AND a.event_type = b.event_type
         |GROUP BY 1 ORDER BY a.event_type""".stripMargin),
 
+    // round-8 join kind=innerunique (real ADX's default kind; our bare
+    // `join` stays inner for reference parity): one left row per key —
+    // the deterministic pick is row_number over the left row's columns
+    // in schema order, which the oracle replays verbatim
+    kq("kql_join_innerunique",
+      """events
+        | | project user_id, event_id, value
+        | | join kind=innerunique (events
+        |     | summarize total = count() by user_id) on user_id
+        | | sort by user_id asc""".stripMargin,
+      """WITH l AS (
+        |  SELECT user_id, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY user_id, event_id, value) AS rn
+        |  FROM events),
+        |r AS (SELECT user_id, count(*) AS total FROM events
+        |      GROUP BY user_id)
+        |SELECT l.user_id, event_id, value, total
+        |FROM l JOIN r USING (user_id) WHERE rn = 1
+        |ORDER BY l.user_id""".stripMargin),
+
     // string scalar surface #2: countof / tohex / base64 round-trip /
     // extract_all / matches regex — all exact string results, plus an
     // anchored bin over doc length

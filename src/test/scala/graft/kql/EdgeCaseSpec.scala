@@ -34,6 +34,30 @@ class EdgeCaseSpec extends AnyFunSuite {
   private def run(kql: String): DataFrame = Kql.run(spark, cat, kql)
   private def count(kql: String): Long = run(kql).count()
 
+  // round-8: kind=innerunique dedups the LEFT side on the key before the
+  // inner join — each left key contributes one row's matches (ADX's
+  // default kind; our deterministic pick = min over left columns)
+  test("join kind=innerunique keeps one left row per key") {
+    val c2 = new Catalog(spark)
+    c2.register("iu.l", logs(
+      """{"id": 1, "v": "a"}""", """{"id": 1, "v": "b"}""",
+      """{"id": 2, "v": "c"}"""))
+    c2.register("iu.r", logs(
+      """{"id": 1, "w": "x"}""", """{"id": 1, "w": "y"}""",
+      """{"id": 2, "w": "z"}"""))
+    val r = Kql.run(spark, c2,
+      """iu.l | join kind=innerunique (iu.r) on id
+        | | sort by id asc, w asc""".stripMargin).collect()
+    // left id=1 dedups to the min row (1,"a"); it matches BOTH right
+    // rows; plain inner would give 5 rows, innerunique gives 3
+    assert(r.map(x => (x.getLong(x.fieldIndex("id")),
+      x.getString(x.fieldIndex("v")), x.getString(x.fieldIndex("w"))))
+      .toSeq == Seq((1L, "a", "x"), (1L, "a", "y"), (2L, "c", "z")))
+    val inner = Kql.run(spark, c2,
+      "iu.l | join kind=inner (iu.r) on id").count()
+    assert(inner == 5L) // bare inner unchanged (reference parity)
+  }
+
   // null_in_and_operator / null_in_or_operator (tests.rs)
   test("null logic in and/or follows drop-row semantics") {
     // null > 0 AND true → null → dropped; only x=1,1,2 rows pass
