@@ -1664,7 +1664,48 @@ object PipelineQueries {
         graft.multimodal.Multimodal.mediaFromDocuments(s, d), everyMs = 5000L)
         .toDF()
         .select("media_id", "sample_idx", "offset_ms")
-        .orderBy("media_id", "sample_idx"))
+        .orderBy("media_id", "sample_idx")),
+
+    // REAL image decode (javax.imageio, round 8): fixtures are a
+    // deterministic (id,x,y)→RGB ramp ENCODED through the JDK PNG
+    // writer, then DECODED back by the operator under test. PNG is
+    // lossless, so the oracle replays the generating function in SQL —
+    // a decode defect (channel order, row stride, color model) breaks
+    // the integer channel sums.
+    Q("pl_multimodal_decode",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |                     8 + (doc_id * 3) % 16 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, unnest(range(0, w)) AS ux(x),
+        |                  unnest(range(0, h)) AS uy(y))
+        |SELECT doc_id AS media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum((doc_id * 7 + 3 * x + 5 * y) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id * 11 + 2 * x + 7 * y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id * 13 + x + 4 * y) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.syntheticPngs(s, d))
+        .toDF().orderBy("media_id")),
+
+    // REAL audio decode (javax.sound.sampled, round 8): WAV/PCM16
+    // fixtures from sample(i) = ((id·31+17·i) mod 65536) − 32768; WAV is
+    // lossless so the oracle sums the generating function
+    Q("pl_multimodal_audio",
+      """WITH clip AS (SELECT doc_id, 200 + doc_id % 100 AS n
+        |              FROM documents),
+        |samp AS (SELECT doc_id, n,
+        |           ((doc_id * 31 + 17 * i) % 65536) - 32768 AS s
+        |         FROM clip, unnest(range(0, n)) AS u(i))
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_amp,
+        |  CAST(max(s) AS BIGINT) AS max_amp
+        |FROM samp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.syntheticWavs(s, d))
+        .toDF().orderBy("media_id"))
   ,
 
     // ───── embedding quantization (round-6) ─────

@@ -101,6 +101,25 @@ class PipelineSpec extends AnyFunSuite {
       (4L, 2L, 0L, 0L, "p q")))
   }
 
+  test("imageio decode: JPEG payloads decode with correct dimensions") {
+    // the gates pin the lossless PNG path bit-exactly; this covers the
+    // other JDK codec — JPEG is lossy, so assert structure (dims, pixel
+    // count) and that channel sums land near the encoded ramp
+    import graft.multimodal.Multimodal
+    val img = new java.awt.image.BufferedImage(
+      16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 16)
+      img.setRGB(x, y, ((x * 16) << 16) | ((y * 20) << 8) | 128)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", bos)
+    val media = Seq(Multimodal.MediaRow(
+      7L, "image", bos.toByteArray, 16, 12, 0L)).toDS()
+    val r = Multimodal.decodeImageStats(media).collect().head
+    assert((r.width, r.height, r.n_pixels) == (16, 12, 192L))
+    val exact = (for (y <- 0 until 12; x <- 0 until 16) yield x * 16L).sum
+    assert(math.abs(r.sum_r - exact) < 192 * 16) // lossy but close
+  }
+
   test("brute-force ANN returns true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
