@@ -2896,10 +2896,13 @@ final class Compiler(
 
     // CIDR containment join: the lookup is a broadcast dim (small by
     // nature — network tables), the containment predicate is a range on
-    // the numeric IP (BroadcastNestedLoop over a tiny build side), and
-    // longest-prefix selection is a per-input-row window max — no extra
-    // shuffle beyond the per-row group. monotonically_increasing_id is
-    // assigned on a single plan branch before the join (the MvApply rule).
+    // the numeric IP (BroadcastNestedLoop over a tiny build side).
+    // Longest-prefix selection is MAP-SIDE: the lookup's (lo, hi, pfx)
+    // ranges aggregate into ONE broadcast row, each input row computes
+    // its best matching prefix with a per-row array filter/max, and
+    // `pfx = best` joins as part of the containment condition — no
+    // per-row-id window, no post-join shuffle at all (the r7 form
+    // re-shuffled the full joined output on monotonically_increasing_id).
     case QueryStep.Ipv4Lookup(table, srcF, netF, returnUnmatched) =>
       val lookup0 = compile(Query(Seq(QueryStep.Scan(table))))
       val collide = lookup0.columns.map(_.toLowerCase).toSet
@@ -2921,17 +2924,23 @@ final class Compiler(
         .withColumn("__lk_hi", lo + width - 1L)
         .withColumn("__lk_pfx", pfx)
         .filter(col("__lk_lo").isNotNull && col("__lk_pfx").between(0, 32))
-      val rid = "__lk_rid"
-      val left = df.withColumn(rid, monotonically_increasing_id())
+      val ranges = lookup.agg(collect_list(
+        struct(col("__lk_lo").as("lo"), col("__lk_hi").as("hi"),
+          col("__lk_pfx").as("pfx"))).as("__lk_ranges"))
+      val left = df
         .withColumn("__lk_src",
           parseIpv4(compileField(df, srcF).cast(StringType)))
-      val joined = left.join(broadcast(lookup),
-        col("__lk_src").between(col("__lk_lo"), col("__lk_hi")),
+        .crossJoin(broadcast(ranges)) // ONE aggregated row
+        .withColumn("__lk_best", array_max(transform(
+          filter(col("__lk_ranges"), r =>
+            col("__lk_src").between(r("lo"), r("hi"))),
+          r => r("pfx"))))
+        .drop("__lk_ranges")
+      left.join(broadcast(lookup),
+        col("__lk_src").between(col("__lk_lo"), col("__lk_hi")) &&
+          col("__lk_pfx") === col("__lk_best"),
         if (returnUnmatched) "left_outer" else "inner")
-      val w = org.apache.spark.sql.expressions.Window.partitionBy(col(rid))
-      joined.withColumn("__lk_best", max(col("__lk_pfx")).over(w))
-        .filter(col("__lk_pfx").isNull || col("__lk_pfx") === col("__lk_best"))
-        .drop(rid, "__lk_src", "__lk_lo", "__lk_hi", "__lk_pfx", "__lk_best")
+        .drop("__lk_src", "__lk_lo", "__lk_hi", "__lk_pfx", "__lk_best")
 
     // sliding engagement: each activity row contributes to the outer/inner
     // windows ending at each of the next outer/inner bins — one explode

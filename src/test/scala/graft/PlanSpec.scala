@@ -342,6 +342,12 @@ class PlanSpec extends AnyFunSuite {
     // broadcast network table is the intended plan (tiny build side)
     assert(p.contains("BroadcastNestedLoopJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
+    // longest-prefix is a map-side expression over the 1-row aggregated
+    // ranges array — the r7 monotonically_increasing_id window shuffled
+    // the FULL joined output on a per-row key; pin its absence
+    assert(!p.contains("monotonically_increasing_id"), p)
+    assert(!p.toLowerCase.contains("window"),
+      s"longest-prefix pick must not window over the joined output:\n$p")
   }
 
   test("activity plugins: bounded explode + keyed agg, 1-row broadcast max") {
