@@ -64,6 +64,17 @@ object Bench {
       var best = Double.MaxValue
       var worst = 0.0
       var err: Option[String] = None
+      // one UNTIMED warmup execution per query: the first run pays that
+      // query's codegen/plan-compile/first-touch costs, which otherwise
+      // land in the timed min/max and poison round-over-round deltas
+      // (r7: kql_mvexpand_idx spread 1.45–4.99 s — pure warmup). A
+      // warmup failure is the query's failure; timed repeats are skipped.
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          err = Some(Option(e.getMessage).getOrElse(e.getClass.getName)
+            .trim.replace("\n", " ").take(300))
+      }
       var i = 0
       while (i < repeats && err.isEmpty) {
         val t0 = System.nanoTime()

@@ -280,6 +280,52 @@ object Stress {
       graft.functions.Similarity.semDedup(
         emb, "vec_id", "embedding", threshold = 0.95, nCells = 64)
     }
+    // round-8: the r7 heavyweights at stress scale (the gate evidence is
+    // sf0.1-only). Fan-outs are FIXED BY CONSTRUCTION so the expected
+    // rows-shuffled is computable, and a time super-linear in n would
+    // expose a shape defect:
+    //  - graph var-length: avg out-degree 2 (n edges over n/2 nodes) ⇒
+    //    trails ≈ n·(1+2+4) = 7n rows through the hop joins, linear at
+    //    fixed degree
+    //  - activity_engagement 1d/7d: explode fan-out = outer/inner = 7
+    //    rows per activity bin, then one keyed dcount
+    //  - line dedup: 20 2-token lines per 40-token doc ⇒ 20× explode,
+    //    min-struct partial agg keyed by line, doc-keyed rebuild
+    time("graph_varlen", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("edges", spark.range(n).toDF("eid")
+        .withColumn("s", pmod(xxhash64(col("eid")), lit(n / 2)))
+        .withColumn("d", pmod(xxhash64(col("eid"), lit(1)), lit(n / 2))))
+      graft.kql.Kql.run(spark, cat,
+        """edges | make-graph s --> d
+          | | graph-match (a)-[p*1..3]->(b)
+          |     project x = tolong(a.id), hops = array_length(p)
+          | | summarize n = count() by hops""".stripMargin)
+    }
+    time("activity_engagement", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("ev", events)
+      graft.kql.Kql.run(spark, cat,
+        """ev | evaluate activity_engagement(user_id, ts, 1d, 7d)
+          |""".stripMargin)
+    }
+    time("line_dedup", n / 4) {
+      val quarter = docs.filter(col("doc_id") < n / 4)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("__toks"))
+      val lines = transform(
+        sequence(lit(0L), ceil(size(col("__toks")) / 2.0).cast("long") - 1L),
+        i => concat_ws(" ", slice(col("__toks"), (i * 2 + 1).cast("int"), lit(2))))
+      graft.functions.Dedup.lineDedup(
+        quarter.select(col("doc_id"), lines.as("__lines")),
+        "doc_id", col("__lines"))
+    }
+    time("substring_dedup", n / 4) {
+      val quarter = docs.filter(col("doc_id") < n / 4)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("__t"))
+      graft.functions.Dedup.substringDedup(quarter, "doc_id", col("__t"), 10)
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

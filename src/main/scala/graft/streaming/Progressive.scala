@@ -64,6 +64,42 @@ object Progressive {
     * state-pruning guarantee requires `append`/`update` output mode —
     * complete mode ignores watermarks by design.
     */
+  /** Streaming form of the `session_count` / `activity_engagement`
+    * sliding distinct count (round 8): each event contributes to every
+    * bin in the lookback window STARTING at its own bin — the batch
+    * lowering's bounded explode (fan-out = lookbackBins, never
+    * data-dependent) — then `(id, bin)` dedup within the watermark and a
+    * per-bin count. In `update` output mode each micro-batch emits only
+    * the bins whose distinct count refined — exactly the reference's
+    * partial_stream experience for the activity analytics — while the
+    * watermark prunes both the dedup and aggregation state (the
+    * unbounded-key caveat `complete` mode has does not apply).
+    *
+    * The exact-distinct trick: streaming `count_distinct` is unsupported,
+    * but dedup-then-count over the SAME event-time column is, and is
+    * exactly equivalent.
+    */
+  def slidingEngagement(
+      stream: DataFrame,
+      idCol: String,
+      tsCol: String,
+      binSeconds: Long,
+      lookbackBins: Int,
+      watermark: String): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val tb = (floor(unix_micros(col(tsCol).cast("timestamp")) / binUs)
+      .cast("long") * binUs)
+    stream
+      .select(col(idCol).as("__id"), tb.as("__tb"))
+      .withColumn("__t", explode(sequence(col("__tb"),
+        col("__tb") + lit((lookbackBins - 1).toLong * binUs), lit(binUs))))
+      .select(col("__id"), timestamp_micros(col("__t")).as("bin"))
+      .withWatermark("bin", watermark)
+      .dropDuplicates("__id", "bin")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("count_sessions"))
+  }
+
   def binnedCounts(
       stream: DataFrame,
       tsCol: String,

@@ -45,6 +45,58 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding engagement refines per-bin distinct counts under watermark") {
+    // round-8 streaming parity for session_count/activity_engagement:
+    // 1-minute bins, 2-bin lookback. Batch semantics (kql_session_count):
+    // an id contributes to its own bin and the next one.
+    val dir = Files.createTempDirectory("graft_stream_eng").toString
+    val batch1 = Seq(
+      (1L, "2024-01-01 00:00:30"), (2L, "2024-01-01 00:01:10"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = Progressive.aggregateStream(
+      spark, dir, batch1.schema,
+      df => Progressive.slidingEngagement(
+        df, "user_id", "ts", binSeconds = 60L, lookbackBins = 2,
+        watermark = "10 minutes"),
+      queryName = "prog_eng", debounceMs = 100L, outputMode = "update")
+    try {
+      q.processAllAvailable()
+      // update-mode memory sink appends refinements; counts only grow,
+      // so the max per bin IS the latest snapshot
+      def snapshot(): Map[String, Long] = spark.table("prog_eng").collect()
+        .groupBy(_.getTimestamp(0).toString)
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
+      // u1 → bins 00:00,00:01; u2 → 00:01,00:02
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 1L,
+        "2024-01-01 00:01:00.0" -> 2L,
+        "2024-01-01 00:02:00.0" -> 1L))
+
+      // a later micro-batch REFINES bins 00:01/00:02 (u3 lands in 00:01)
+      Seq((3L, "2024-01-01 00:01:20")).toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 1L,
+        "2024-01-01 00:01:00.0" -> 3L,
+        "2024-01-01 00:02:00.0" -> 2L))
+
+      // the duplicate-id path: u1 again in 00:00 must NOT refine anything
+      Seq((1L, "2024-01-01 00:00:45")).toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 1L,
+        "2024-01-01 00:01:00.0" -> 3L,
+        "2024-01-01 00:02:00.0" -> 2L))
+    } finally q.stop()
+  }
+
   test("extended aggregates run on the streaming (partial) path") {
     val dir = Files.createTempDirectory("graft_stream_ext").toString
     val data = Seq(("a", 1.0), ("a", 4.0), ("b", 9.0)).toDF("k", "v")
