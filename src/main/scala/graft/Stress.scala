@@ -46,7 +46,14 @@ object Stress {
     * wall-clock noise is one-sided — the minimum is the true cost. */
   private val repeats = sys.env.getOrElse("SPARK_GRAFT_STRESS_REPEATS", "2").toInt
 
+  /** Optional comma-separated op filter (SPARK_GRAFT_STRESS_ONLY) so a
+    * scaling sweep (same op at several N) doesn't pay for the full suite.
+    */
+  private val only: Option[Set[String]] =
+    sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").map(_.trim).toSet)
+
   private def time(name: String, n: Long)(df: => DataFrame): Unit = {
+    if (only.exists(!_.contains(name))) return
     var best = Double.MaxValue
     var i = 0
     while (i < repeats) {
