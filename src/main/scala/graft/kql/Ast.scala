@@ -801,6 +801,15 @@ object QueryStep {
   final case class GraphMatch(cycles: String, nodes: Seq[GraphNode],
       edges: Seq[GraphEdge], where: Option[Expr],
       project: Seq[(Expr, String)]) extends QueryStep
+  /** Kusto `graph-shortest-paths [output=any|all] (a)-[e*1..k]->(b)
+    * [where pred] project …` — shortest (by hop count) paths between
+    * endpoint pairs among the paths satisfying the constraints.
+    * output=all keeps every minimal-length path per (a, b) pair; any
+    * (the ADX default) keeps one, picked deterministically.
+    */
+  final case class GraphShortestPaths(output: String, nodes: Seq[GraphNode],
+      edge: GraphEdge, where: Option[Expr],
+      project: Seq[(Expr, String)]) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

@@ -2805,94 +2805,36 @@ final class Compiler(
     // broadcast for small node dims), unique-edge checks are per-row
     // array expressions — no extra shuffle.
     case QueryStep.GraphMatch(cycles, gNodes, gEdges, gWhere, gProj) =>
-      val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
-        "graph-match requires a preceding make-graph", 0))
-      pendingGraph = None
-      val nodeNames = gNodes.zipWithIndex.map {
-        case (n, i) => n.name.getOrElse(s"__gn$i") }
-      val edgeNames = gEdges.zipWithIndex.map {
-        case (e, i) => e.name.getOrElse(s"__ge$i") }
-      val eOrig = edf.columns.filterNot(_.startsWith("__g"))
-      def nodeFrame(v: String): DataFrame = ndf.select(
-        col(s"`$idCol`").as(s"__id_$v"),
-        struct(ndf.columns.map(c => col(s"`$c`")): _*).as(v))
-      // one oriented hop: from/to per direction; dir 0 admits both
-      def hop(v: String, dir: Int): DataFrame = {
-        def o(f: String, t: String) = edf.select(
-          col(f).as(s"__from_$v"), col(t).as(s"__to_$v"),
-          col("__geid").as(s"__hopeid_$v"),
-          struct(eOrig.map(c => col(s"`$c`")): _*).as(s"__hop_$v"))
-        dir match {
-          case 1 => o("__gsrc", "__gdst")
-          case -1 => o("__gdst", "__gsrc")
-          case _ => o("__gsrc", "__gdst").union(o("__gdst", "__gsrc"))
-        }
-      }
-      // edge var frame: __from/__to endpoints, the var column (struct, or
-      // array of structs for variable length), __eids (always array — one
-      // uniform uniqueness representation), __nids (interior node ids)
-      def edgeFrame(v: String, e: QueryStep.GraphEdge): DataFrame = {
-        if (e.minHops == 1 && e.maxHops == 1) {
-          val h = hop(v, e.direction)
-          h.select(col(s"__from_$v"), col(s"__to_$v"),
-            col(s"__hop_$v").as(v),
-            array(col(s"__hopeid_$v")).as(s"__eids_$v"),
-            array().cast("array<string>").as(s"__nids_$v"))
-        } else {
-          val variants = (e.minHops to e.maxHops).map { h =>
-            val hops = (0 until h).map(j => hop(s"${v}_$j", e.direction))
-            val joined = hops.reduceLeft[DataFrame] { case (acc, nxt) =>
-              // acc's last hop index = count of joins so far; track via
-              // columns: join on previous __to == next __from
-              val prevTo = acc.columns.filter(_.startsWith(s"__to_${v}_"))
-                .maxBy(c => c.drop(s"__to_${v}_".length).toInt)
-              acc.join(nxt, col(prevTo) ===
-                nxt.col(nxt.columns.find(_.startsWith("__from_")).get))
-            }
-            val structs = (0 until h).map(j => col(s"__hop_${v}_$j"))
-            val eids = (0 until h).map(j => col(s"__hopeid_${v}_$j"))
-            val interior = (0 until h - 1).map(j => col(s"__to_${v}_$j"))
-            joined.select(col(s"__from_${v}_0").as(s"__from_$v"),
-              col(s"__to_${v}_${h - 1}").as(s"__to_$v"),
-              array(structs: _*).as(v),
-              array(eids: _*).as(s"__eids_$v"),
-              (if (interior.isEmpty) array().cast("array<string>")
-               else array(interior: _*).cast("array<string>"))
-                .as(s"__nids_$v"))
-          }
-          variants.reduce(_ unionByName _)
-        }
-      }
-      var cur = nodeFrame(nodeNames.head)
-      val boundNodes = scala.collection.mutable.Set(nodeNames.head)
-      gEdges.indices.foreach { i =>
-        val ev = edgeNames(i)
-        val ef = edgeFrame(ev, gEdges(i))
-        val nv = nodeNames(i + 1)
-        cur = cur.join(ef, col(s"__id_${nodeNames(i)}") === col(s"__from_$ev"))
-        if (boundNodes.add(nv))
-          cur = cur.join(nodeFrame(nv), col(s"__to_$ev") === col(s"__id_$nv"))
-        else
-          // repeated node variable: same-node constraint (cyclic
-          // pattern) — an equality filter against the first binding,
-          // no second join and no duplicate struct column
-          cur = cur.filter(col(s"__to_$ev") === col(s"__id_$nv"))
-      }
-      if (gEdges.nonEmpty) {
-        // unique_edges (Kusto default): no edge instance repeats in a
-        // path; cycles=none additionally forbids repeated nodes
-        val allEids = concat(edgeNames.map(v => col(s"__eids_$v")): _*)
-        cur = cur.filter(size(array_distinct(allEids)) === size(allEids))
-        if (cycles == "none") {
-          // ids compare via their string forms (uniform across id types)
-          val allNids = concat(
-            array(nodeNames.map(v => col(s"__id_$v")): _*).cast("array<string>") +:
-              edgeNames.map(v => col(s"__nids_$v")): _*)
-          cur = cur.filter(size(array_distinct(allNids)) === size(allNids))
-        }
-      }
+      val (cur, _, _) = buildGraphPattern(cycles, gNodes, gEdges)
       val filtered = gWhere.fold(cur)(w => cur.filter(compileBool(cur, w)))
       compileStepInner(filtered, QueryStep.Project(gProj))
+
+    // graph-shortest-paths: shortest (by hop count) paths per (a, b)
+    // endpoint pair among the constraint-satisfying paths. Reuses the
+    // bounded var-length union (a shortest walk never repeats a node,
+    // so trails up to maxHops contain every shortest path within the
+    // bound); selection is ONE window keyed on the endpoint ids —
+    // output=all keeps every minimal path, output=any (ADX default)
+    // picks one deterministically (min by hops, then edge-id array —
+    // run-stable and oracle-replayable).
+    case QueryStep.GraphShortestPaths(output, gNodes, gEdge, gWhere, gProj) =>
+      val (cur, nodeNames, edgeNames) =
+        buildGraphPattern("unique_edges", gNodes, Seq(gEdge))
+      val filtered = gWhere.fold(cur)(w => cur.filter(compileBool(cur, w)))
+      val ev = edgeNames.head
+      val hops = size(col(s"__eids_$ev"))
+      val byPair = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(s"__id_${nodeNames.head}"),
+          col(s"__id_${nodeNames.last}"))
+      val shortest =
+        if (output == "all")
+          filtered.withColumn("__sp_min", min(hops).over(byPair))
+            .filter(hops === col("__sp_min")).drop("__sp_min")
+        else
+          filtered.withColumn("__sp_rn", row_number().over(
+              byPair.orderBy(hops, col(s"__eids_$ev"))))
+            .filter(col("__sp_rn") === 1).drop("__sp_rn")
+      compileStepInner(shortest, QueryStep.Project(gProj))
 
     // CIDR containment join: the lookup is a broadcast dim (small by
     // nature — network tables), the containment predicate is a range on
@@ -4238,6 +4180,105 @@ final class Compiler(
     }
     if (start < s.length) out += s.substring(start)
     out.result()
+  }
+
+
+  /** Assemble the graph-pattern frame (shared by graph-match and
+    * graph-shortest-paths): per-hop equi-joins on node ids, bounded
+    * var-length unions, uniqueness filters. Returns the matched frame
+    * plus the positional node/edge variable names.
+    */
+  private def buildGraphPattern(
+      cycles: String, gNodes: Seq[QueryStep.GraphNode],
+      gEdges: Seq[QueryStep.GraphEdge])
+      : (DataFrame, Seq[String], Seq[String]) = {
+    val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
+      "graph-match requires a preceding make-graph", 0))
+    pendingGraph = None
+    val nodeNames = gNodes.zipWithIndex.map {
+      case (n, i) => n.name.getOrElse(s"__gn$i") }
+    val edgeNames = gEdges.zipWithIndex.map {
+      case (e, i) => e.name.getOrElse(s"__ge$i") }
+    val eOrig = edf.columns.filterNot(_.startsWith("__g"))
+    def nodeFrame(v: String): DataFrame = ndf.select(
+      col(s"`$idCol`").as(s"__id_$v"),
+      struct(ndf.columns.map(c => col(s"`$c`")): _*).as(v))
+    // one oriented hop: from/to per direction; dir 0 admits both
+    def hop(v: String, dir: Int): DataFrame = {
+      def o(f: String, t: String) = edf.select(
+        col(f).as(s"__from_$v"), col(t).as(s"__to_$v"),
+        col("__geid").as(s"__hopeid_$v"),
+        struct(eOrig.map(c => col(s"`$c`")): _*).as(s"__hop_$v"))
+      dir match {
+        case 1 => o("__gsrc", "__gdst")
+        case -1 => o("__gdst", "__gsrc")
+        case _ => o("__gsrc", "__gdst").union(o("__gdst", "__gsrc"))
+      }
+    }
+    // edge var frame: __from/__to endpoints, the var column (struct, or
+    // array of structs for variable length), __eids (always array — one
+    // uniform uniqueness representation), __nids (interior node ids)
+    def edgeFrame(v: String, e: QueryStep.GraphEdge): DataFrame = {
+      if (e.minHops == 1 && e.maxHops == 1) {
+        val h = hop(v, e.direction)
+        h.select(col(s"__from_$v"), col(s"__to_$v"),
+          col(s"__hop_$v").as(v),
+          array(col(s"__hopeid_$v")).as(s"__eids_$v"),
+          array().cast("array<string>").as(s"__nids_$v"))
+      } else {
+        val variants = (e.minHops to e.maxHops).map { h =>
+          val hops = (0 until h).map(j => hop(s"${v}_$j", e.direction))
+          val joined = hops.reduceLeft[DataFrame] { case (acc, nxt) =>
+            // acc's last hop index = count of joins so far; track via
+            // columns: join on previous __to == next __from
+            val prevTo = acc.columns.filter(_.startsWith(s"__to_${v}_"))
+              .maxBy(c => c.drop(s"__to_${v}_".length).toInt)
+            acc.join(nxt, col(prevTo) ===
+              nxt.col(nxt.columns.find(_.startsWith("__from_")).get))
+          }
+          val structs = (0 until h).map(j => col(s"__hop_${v}_$j"))
+          val eids = (0 until h).map(j => col(s"__hopeid_${v}_$j"))
+          val interior = (0 until h - 1).map(j => col(s"__to_${v}_$j"))
+          joined.select(col(s"__from_${v}_0").as(s"__from_$v"),
+            col(s"__to_${v}_${h - 1}").as(s"__to_$v"),
+            array(structs: _*).as(v),
+            array(eids: _*).as(s"__eids_$v"),
+            (if (interior.isEmpty) array().cast("array<string>")
+             else array(interior: _*).cast("array<string>"))
+              .as(s"__nids_$v"))
+        }
+        variants.reduce(_ unionByName _)
+      }
+    }
+    var cur = nodeFrame(nodeNames.head)
+    val boundNodes = scala.collection.mutable.Set(nodeNames.head)
+    gEdges.indices.foreach { i =>
+      val ev = edgeNames(i)
+      val ef = edgeFrame(ev, gEdges(i))
+      val nv = nodeNames(i + 1)
+      cur = cur.join(ef, col(s"__id_${nodeNames(i)}") === col(s"__from_$ev"))
+      if (boundNodes.add(nv))
+        cur = cur.join(nodeFrame(nv), col(s"__to_$ev") === col(s"__id_$nv"))
+      else
+        // repeated node variable: same-node constraint (cyclic
+        // pattern) — an equality filter against the first binding,
+        // no second join and no duplicate struct column
+        cur = cur.filter(col(s"__to_$ev") === col(s"__id_$nv"))
+    }
+    if (gEdges.nonEmpty) {
+      // unique_edges (Kusto default): no edge instance repeats in a
+      // path; cycles=none additionally forbids repeated nodes
+      val allEids = concat(edgeNames.map(v => col(s"__eids_$v")): _*)
+      cur = cur.filter(size(array_distinct(allEids)) === size(allEids))
+      if (cycles == "none") {
+        // ids compare via their string forms (uniform across id types)
+        val allNids = concat(
+          array(nodeNames.map(v => col(s"__id_$v")): _*).cast("array<string>") +:
+            edgeNames.map(v => col(s"__nids_$v")): _*)
+        cur = cur.filter(size(array_distinct(allNids)) === size(allNids))
+      }
+    }
+    (cur, nodeNames, edgeNames)
   }
 
   /** Cross-type total-order key for a variant value, matching the

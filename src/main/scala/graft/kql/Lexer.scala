@@ -96,10 +96,25 @@ object Lexer {
         // known hyphen keyword.
         var word = src.substring(start, i)
         if (i < n && src.charAt(i) == '-' && i + 1 < n && src.charAt(i + 1).isLetter) {
-          var j = i + 1
-          while (j < n && (src.charAt(j).isLetterOrDigit || src.charAt(j) == '_')) j += 1
-          val candidate = word + "-" + src.substring(i + 1, j)
-          if (hyphenKeywords(candidate)) { word = candidate; i = j }
+          // scan ahead across '-seg' pieces and commit to the LONGEST
+          // known hyphen keyword (graph-shortest-paths has two hyphens);
+          // committing only on full matches keeps `a-b` subtraction safe
+          var j = i
+          var cand = word
+          var commitWord = word
+          var commitI = i
+          var segs = 0
+          while (segs < 3 && j < n && src.charAt(j) == '-' &&
+              j + 1 < n && src.charAt(j + 1).isLetter) {
+            var k = j + 1
+            while (k < n && (src.charAt(k).isLetterOrDigit || src.charAt(k) == '_')) k += 1
+            cand = cand + "-" + src.substring(j + 1, k)
+            j = k
+            if (hyphenKeywords(cand)) { commitWord = cand; commitI = j }
+            segs += 1
+          }
+          word = commitWord
+          i = commitI
         }
         out += Ident(word, start)
       } else {
@@ -117,7 +132,8 @@ object Lexer {
     Set("mv-expand", "project-rename", "project-away", "project-keep",
       "top-nested", "parse-where", "mv-apply", "top-hitters",
       "sample-distinct", "make-series", "project-reorder", "parse-kv",
-      "granny-asc", "granny-desc", "make-graph", "graph-match")
+      "granny-asc", "granny-desc", "make-graph", "graph-match",
+      "graph-shortest-paths")
 
   /** Escaped string literal — the reference's full escape set
     * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),

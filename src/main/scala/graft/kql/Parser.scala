@@ -513,6 +513,7 @@ final class Parser(src: String, nowMicros: Long) {
       case "render"           => p += 1; parseRender()
       case "make-graph"       => p += 1; parseMakeGraph()
       case "graph-match"      => p += 1; parseGraphMatch()
+      case "graph-shortest-paths" => p += 1; parseGraphShortestPaths()
       case "as"               => p += 1
         // tolerate Kusto's `hint.materialized=true|false` prefix (the
         // binding is a plan splice either way — accepted and ignored,
@@ -988,6 +989,32 @@ final class Parser(src: String, nowMicros: Long) {
         case o => fail(s"cycles must be none or unique_edges, got '$o'")
       }
     }
+    val (ns, es, where, proj) = parseGraphPattern()
+    QueryStep.GraphMatch(cycles, ns, es, where, proj)
+  }
+
+  /** `graph-shortest-paths [output=any|all] (a)-[e*1..k]->(b)
+    * [where pred] project fields` — ADX's shortest-path operator;
+    * exactly one source-edge-target pattern.
+    */
+  private def parseGraphShortestPaths(): QueryStep = {
+    var output = "any"
+    if (atIdent("output")) {
+      p += 1; eatPunct("=")
+      output = identText().toLowerCase match {
+        case o @ ("any" | "all") => o
+        case o => fail(s"output must be any or all, got '$o'")
+      }
+    }
+    val (ns, es, where, proj) = parseGraphPattern()
+    arity(ns.length == 2 && es.length == 1,
+      "graph-shortest-paths takes exactly one (source)-[edge]->(target) pattern")
+    QueryStep.GraphShortestPaths(output, ns, es.head, where, proj)
+  }
+
+  /** Shared graph pattern tail: `(a)-[e]->(b)… [where pred] project …`. */
+  private def parseGraphPattern(): (Seq[QueryStep.GraphNode],
+      Seq[QueryStep.GraphEdge], Option[Expr], Seq[(Expr, String)]) = {
     def parseNode(): QueryStep.GraphNode = {
       eatPunct("(")
       val n = if (atPunct(")")) None else Some(identText())
@@ -1043,7 +1070,7 @@ final class Parser(src: String, nowMicros: Long) {
       "graph-match edge variable names must be distinct")
     arity(ns.flatMap(_.name).toSet.intersect(edgeNamed.toSet).isEmpty,
       "graph-match node and edge variables must not share names")
-    QueryStep.GraphMatch(cycles, ns, es, where, proj)
+    (ns, es, where, proj)
   }
 
   /** `fork [name =] (steps…) …` — at least one parenthesized branch;
@@ -2778,7 +2805,7 @@ object Parser {
     "project-keep", "mv-expand", "limit", "take", "sort", "order", "top",
     "top-hitters", "sample-distinct", "summarize", "distinct", "union",
     "join", "count", "write", "tee", "search", "parse", "partition", "as",
-    "make-graph", "graph-match")
+    "make-graph", "graph-match", "graph-shortest-paths")
 
   def parse(src: String): Parsed = parse(src, System.currentTimeMillis() * 1000L)
   def parse(src: String, nowMicros: Long): Parsed =

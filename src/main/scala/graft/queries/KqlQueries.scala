@@ -3278,6 +3278,34 @@ object KqlQueries {
         |SELECT bid, hops, count(*) AS n FROM u
         |GROUP BY bid, hops ORDER BY bid, hops""".stripMargin),
 
+    // round-8 graph-shortest-paths: min-hop paths per endpoint pair;
+    // output=all keeps every minimal path, so the oracle counts the
+    // paths achieving min(hops) per target over the same 1/2-hop unions
+    kq("kql_graph_spath",
+      """events
+        | | where event_id < 1500
+        | | project s = user_id % 25, d = (user_id * 7 + event_id) % 25
+        | | make-graph s --> d
+        | | graph-shortest-paths output=all (a)-[e*1..2]->(b)
+        |     where a.id == 3
+        |     project bid = tolong(b.id), hops = array_length(e)
+        | | summarize n = count() by bid, hops
+        | | sort by bid asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 25 AS s,
+        |         (user_id * 7 + event_id) % 25 AS d
+        |  FROM events WHERE event_id < 1500),
+        |h1 AS (SELECT d AS bid, CAST(1 AS BIGINT) AS hops
+        |       FROM e WHERE s = 3),
+        |h2 AS (SELECT e2.d AS bid, CAST(2 AS BIGINT) AS hops
+        |       FROM e e1 JOIN e e2 ON e1.d = e2.s
+        |       WHERE e1.s = 3 AND NOT (e1.s = e2.s AND e1.d = e2.d)),
+        |u AS (SELECT * FROM h1 UNION ALL SELECT * FROM h2),
+        |m AS (SELECT bid, min(hops) AS mh FROM u GROUP BY bid)
+        |SELECT u.bid, u.hops, count(*) AS n
+        |FROM u JOIN m ON u.bid = m.bid AND u.hops = m.mh
+        |GROUP BY u.bid, u.hops ORDER BY u.bid""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole

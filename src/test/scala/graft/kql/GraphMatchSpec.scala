@@ -152,6 +152,39 @@ class GraphMatchSpec extends AnyFunSuite {
       Seq(("a1", "c3")))
   }
 
+  test("graph-shortest-paths: min-hop path per endpoint pair") {
+    // from node 1: (1,2) direct, (1,3) direct beats 1->2->3, (1,4) two
+    // hops via 2, (1,1) the 2-hop cycle 1->3->1 beats the 3-hop one
+    val r = run(
+      """edges | make-graph s --> d
+        | | graph-shortest-paths (a)-[e*1..3]->(b)
+        |     where a.id == 1
+        |     project y = tolong(b.id), hops = array_length(e)
+        | | sort by y asc""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 2L), (2L, 1L), (3L, 1L), (4L, 2L)))
+  }
+
+  test("graph-shortest-paths: output=all keeps every minimal path") {
+    val c2 = new Catalog(spark)
+    c2.register("e2", Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("s", "d"))
+    val all = Kql.run(spark, c2,
+      """e2 | make-graph s --> d
+        | | graph-shortest-paths output=all (a)-[e*1..3]->(b)
+        |     where a.id == 1 and b.id == 4
+        |     project mid = tolong(e[0].d)
+        | | sort by mid asc""".stripMargin).collect()
+    // two distinct 2-hop paths 1->2->4 and 1->3->4, both minimal
+    assert(all.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    val any = Kql.run(spark, c2,
+      """e2 | make-graph s --> d
+        | | graph-shortest-paths output=any (a)-[e*1..3]->(b)
+        |     where a.id == 1 and b.id == 4
+        |     project mid = tolong(e[0].d)""".stripMargin).collect()
+    assert(any.length == 1) // deterministic single pick
+  }
+
   test("edge variable names must still be distinct") {
     val e = intercept[KqlParseException] {
       run("""edges | make-graph s --> d
