@@ -810,6 +810,19 @@ object QueryStep {
   final case class GraphShortestPaths(output: String, nodes: Seq[GraphNode],
       edge: GraphEdge, where: Option[Expr],
       project: Seq[(Expr, String)]) extends QueryStep
+  /** Kusto `graph-to-table nodes [with_node_id=n]` /
+    * `graph-to-table edges [with_source_id=s] [with_target_id=t]` —
+    * exports the graph context back to tabular form. */
+  final case class GraphToTable(what: String, nodeId: Option[String],
+      sourceId: Option[String], targetId: Option[String]) extends QueryStep
+  /** Kusto `graph-mark-components [kind=weak] [with_component_id=name]` —
+    * weak connected components over the graph context; the node table
+    * gains the component column (the component's MIN node id — a
+    * deterministic representative where ADX's is arbitrary) and the
+    * graph context stays set for a following graph operator.
+    * kind=strong (SCC) is rejected at parse time — documented narrowing.
+    */
+  final case class GraphMarkComponents(componentCol: String) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

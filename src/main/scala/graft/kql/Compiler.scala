@@ -2836,6 +2836,43 @@ final class Compiler(
             .filter(col("__sp_rn") === 1).drop("__sp_rn")
       compileStepInner(shortest, QueryStep.Project(gProj))
 
+    // graph-to-table: export the graph context back to tabular form —
+    // the node or edge frame as-is (internal __g columns hidden), with
+    // the id/endpoint columns optionally surfaced under given names
+    case QueryStep.GraphToTable(what, nodeId, srcId, dstId) =>
+      val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
+        "graph-to-table requires a preceding graph operator", 0))
+      pendingGraph = None
+      if (what == "nodes")
+        nodeId.fold(ndf)(nm => ndf.withColumn(nm, col(s"`$idCol`")))
+      else {
+        val orig = edf.columns.filterNot(_.startsWith("__g"))
+          .map(c => col(s"`$c`")).toSeq
+        val extra = srcId.map(nm => col("__gsrc").as(nm)).toSeq ++
+          dstId.map(nm => col("__gdst").as(nm)).toSeq
+        edf.select(orig ++ extra: _*)
+      }
+
+    // graph-mark-components (weak): the existing hash-to-min label
+    // propagation (Graph.connectedComponents — per round one edge⋈label
+    // shuffle + partial-aggregated min, Observation-probed fixpoint, no
+    // driver data) over the graph context's node ids. The component id
+    // is the component's MIN node id — deterministic where ADX's
+    // representative is arbitrary (deviation noted in the Ast). The
+    // graph context stays set so graph-to-table / graph-match can follow.
+    case QueryStep.GraphMarkComponents(compCol) =>
+      val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
+        "graph-mark-components requires a preceding make-graph", 0))
+      val comps = graft.functions.Graph.connectedComponents(
+        ndf.select(col(s"`$idCol`").as("id")).distinct(),
+        edf.select(col("__gsrc").as("src"), col("__gdst").as("dst")))
+      val out = ndf.join(
+        comps.select(col("id").as("__cc_id"), col("cluster_id").as(compCol)),
+        col(s"`$idCol`") === col("__cc_id"), "left_outer")
+        .drop("__cc_id")
+      pendingGraph = Some((edf, out, idCol))
+      out
+
     // CIDR containment join: the lookup is a broadcast dim (small by
     // nature — network tables), the containment predicate is a range on
     // the numeric IP (BroadcastNestedLoop over a tiny build side).

@@ -133,7 +133,7 @@ object Lexer {
       "top-nested", "parse-where", "mv-apply", "top-hitters",
       "sample-distinct", "make-series", "project-reorder", "parse-kv",
       "granny-asc", "granny-desc", "make-graph", "graph-match",
-      "graph-shortest-paths")
+      "graph-shortest-paths", "graph-to-table", "graph-mark-components")
 
   /** Escaped string literal — the reference's full escape set
     * (`lexer.rs:290-340`): simple escapes, octal (1-3 digits, byte-range),

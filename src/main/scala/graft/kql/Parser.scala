@@ -514,6 +514,8 @@ final class Parser(src: String, nowMicros: Long) {
       case "make-graph"       => p += 1; parseMakeGraph()
       case "graph-match"      => p += 1; parseGraphMatch()
       case "graph-shortest-paths" => p += 1; parseGraphShortestPaths()
+      case "graph-to-table"   => p += 1; parseGraphToTable()
+      case "graph-mark-components" => p += 1; parseGraphMarkComponents()
       case "as"               => p += 1
         // tolerate Kusto's `hint.materialized=true|false` prefix (the
         // binding is a plan splice either way — accepted and ignored,
@@ -1010,6 +1012,50 @@ final class Parser(src: String, nowMicros: Long) {
     arity(ns.length == 2 && es.length == 1,
       "graph-shortest-paths takes exactly one (source)-[edge]->(target) pattern")
     QueryStep.GraphShortestPaths(output, ns, es.head, where, proj)
+  }
+
+  /** `graph-to-table nodes|edges [with_node_id=… | with_source_id=…
+    * with_target_id=…]`. */
+  private def parseGraphToTable(): QueryStep = {
+    val what = identText().toLowerCase
+    arity(what == "nodes" || what == "edges",
+      "graph-to-table takes nodes or edges")
+    var nodeId: Option[String] = None
+    var srcId: Option[String] = None
+    var dstId: Option[String] = None
+    while (atIdent("with_node_id") || atIdent("with_source_id") ||
+        atIdent("with_target_id")) {
+      val k = identText().toLowerCase
+      eatPunct("=")
+      val v = identText()
+      k match {
+        case "with_node_id" =>
+          arity(what == "nodes", "with_node_id applies to nodes")
+          nodeId = Some(v)
+        case "with_source_id" =>
+          arity(what == "edges", "with_source_id applies to edges")
+          srcId = Some(v)
+        case _ =>
+          arity(what == "edges", "with_target_id applies to edges")
+          dstId = Some(v)
+      }
+    }
+    QueryStep.GraphToTable(what, nodeId, srcId, dstId)
+  }
+
+  /** `graph-mark-components [kind=weak] [with_component_id=name]`. */
+  private def parseGraphMarkComponents(): QueryStep = {
+    if (atIdent("kind")) {
+      p += 1; eatPunct("=")
+      identText().toLowerCase match {
+        case "weak" => ()
+        case o => fail(
+          s"graph-mark-components supports kind=weak only (got '$o')")
+      }
+    }
+    var name = "ComponentId"
+    if (atIdent("with_component_id")) { p += 1; eatPunct("="); name = identText() }
+    QueryStep.GraphMarkComponents(name)
   }
 
   /** Shared graph pattern tail: `(a)-[e]->(b)… [where pred] project …`. */

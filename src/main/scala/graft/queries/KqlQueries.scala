@@ -3306,6 +3306,50 @@ object KqlQueries {
         |FROM u JOIN m ON u.bid = m.bid AND u.hops = m.mh
         |GROUP BY u.bid, u.hops ORDER BY u.bid""".stripMargin),
 
+    // round-8 graph-to-table: edge export with surfaced endpoint ids
+    // (make-graph dedups identical edge rows — the oracle's DISTINCT)
+    kq("kql_graph_totable",
+      """events
+        | | where event_id < 1000
+        | | project s = user_id % 25, d = (user_id * 7 + event_id) % 25,
+        |           w = value
+        | | make-graph s --> d
+        | | graph-to-table edges with_source_id=src_id with_target_id=dst_id
+        | | summarize n = count(), mw = min(w) by src_id
+        | | sort by src_id asc""".stripMargin,
+      """WITH e AS (
+        |  SELECT DISTINCT user_id % 25 AS s,
+        |         (user_id * 7 + event_id) % 25 AS d, value AS w
+        |  FROM events WHERE event_id < 1000)
+        |SELECT s AS src_id, count(*) AS n, min(w) AS mw
+        |FROM e GROUP BY s ORDER BY s""".stripMargin),
+
+    // round-8 graph-mark-components: three disconnected 8-node blocks by
+    // construction; component id = MIN node id (our deterministic
+    // representative), which the oracle computes as min over the
+    // recursive undirected reachability closure
+    kq("kql_graph_comp",
+      """events
+        | | where event_id < 300
+        | | project s = user_id % 8 + (event_id % 3) * 10,
+        |           d = (user_id * 7 + event_id) % 8 + (event_id % 3) * 10
+        | | make-graph s --> d
+        | | graph-mark-components
+        | | project id = tolong(id), ComponentId = tolong(ComponentId)
+        | | sort by id asc""".stripMargin,
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id % 8 + (event_id % 3) * 10 AS s,
+        |         (user_id * 7 + event_id) % 8 + (event_id % 3) * 10 AS d
+        |  FROM events WHERE event_id < 300),
+        |und AS (SELECT s AS a, d AS b FROM e UNION SELECT d, s FROM e),
+        |n AS (SELECT a AS id FROM und UNION SELECT b FROM und),
+        |reach(a, b) AS (
+        |  SELECT id AS a, id AS b FROM n
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS id, min(b) AS ComponentId
+        |FROM reach GROUP BY a ORDER BY a""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole

@@ -185,6 +185,49 @@ class GraphMatchSpec extends AnyFunSuite {
     assert(any.length == 1) // deterministic single pick
   }
 
+  test("graph-to-table exports nodes and edges with surfaced ids") {
+    val nodes = run(
+      """edges | make-graph s --> d with nodes on nid
+        | | graph-to-table nodes with_node_id=node_key
+        | | project nid, label, node_key
+        | | sort by nid asc""".stripMargin).collect()
+    assert(nodes.map(x => (x.getLong(0), x.getString(1), x.getLong(2)))
+      .toSeq == Seq((1L, "a1", 1L), (2L, "b2", 2L), (3L, "c3", 3L),
+        (4L, "d4", 4L)))
+    val e = run(
+      """edges | make-graph s --> d
+        | | graph-to-table edges with_source_id=src_id with_target_id=dst_id
+        | | project src_id, dst_id, w
+        | | sort by src_id asc, dst_id asc""".stripMargin).collect()
+    assert(e.map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (1L, 3L, 9L), (2L, 3L, 3L), (2L, 4L, 5L),
+        (3L, 1L, 1L)))
+  }
+
+  test("graph-mark-components labels weak components with the min node id") {
+    val c2 = new Catalog(spark)
+    // two components {1,2,3} (direction ignored for weak) and {7,8},
+    // plus isolated explicit node 9
+    c2.register("e2", Seq((1L, 2L), (3L, 2L), (7L, 8L)).toDF("s", "d"))
+    c2.register("n2", Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("nid"))
+    val r = Kql.run(spark, c2,
+      """e2 | make-graph s --> d with n2 on nid
+        | | graph-mark-components with_component_id=cc
+        | | project nid, cc
+        | | sort by nid asc""".stripMargin).collect()
+    assert(r.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L), (9L, 9L)))
+    // the graph context survives: components then export
+    val chained = Kql.run(spark, c2,
+      """e2 | make-graph s --> d
+        | | graph-mark-components
+        | | graph-to-table nodes
+        | | summarize n = count() by ComponentId
+        | | sort by ComponentId asc""".stripMargin).collect()
+    assert(chained.map(x => (x.getLong(0), x.getLong(1))).toSeq ==
+      Seq((1L, 3L), (7L, 2L)))
+  }
+
   test("edge variable names must still be distinct") {
     val e = intercept[KqlParseException] {
       run("""edges | make-graph s --> d
