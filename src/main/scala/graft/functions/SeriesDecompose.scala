@@ -137,6 +137,61 @@ object SeriesDecomposeUtil {
     (baseline, seasonal, trend, residual)
   }
 
+  /** Forecast (Kusto `series_decompose_forecast`): the LAST `points`
+    * elements are excluded from training — their values are IGNORED
+    * entirely (they are typically null/zero slots from a make-series
+    * over an extended range) — and the result is the baseline over all
+    * n slots: the training head's seasonal+trend, with the tail
+    * extrapolated (seasonal phase repeats; avg trend stays constant;
+    * linefit extends the fitted line at index i; none → 0). Null when
+    * the training head is shorter than 4 or contains null/NaN.
+    */
+  def forecast(arr: ArrayData, points: Int, period0: Int,
+      trendKind: String): Array[Double] = {
+    val n = arr.numElements()
+    val m = n - points
+    if (points < 0 || m < 4) return null
+    val y = new Array[Double](m)
+    var j = 0
+    while (j < m) {
+      if (arr.isNullAt(j)) return null
+      val v = arr.getDouble(j)
+      if (v.isNaN || v.isInfinite) return null
+      y(j) = v
+      j += 1
+    }
+    val period = period0 match {
+      case -1 =>
+        val (ps, ss) = detectPeriods(y, 2, m / 2, 1)
+        if (ps.nonEmpty && ss(0) >= 0.6) ps(0).toInt else 0
+      case p if p > 1 && p <= m / 2 => p
+      case _ => 0
+    }
+    val phase =
+      if (period > 1) {
+        val ph = Array.tabulate(period)(k =>
+          median((k until m by period).map(y).toArray))
+        val mean = ph.sum / period
+        ph.map(_ - mean)
+      } else Array.empty[Double]
+    def seas(i: Int): Double = if (period > 1) phase(i % period) else 0.0
+    val de = Array.tabulate(m)(i => y(i) - seas(i))
+    val (slope, icept) = trendKind match {
+      case "avg" => (0.0, de.sum / m)
+      case "linefit" =>
+        val sx = (m - 1).toDouble * m / 2.0
+        val sxx = (m - 1).toDouble * m * (2.0 * m - 1.0) / 6.0
+        var sy = 0.0
+        var sxy = 0.0
+        var i = 0
+        while (i < m) { sy += de(i); sxy += i * de(i); i += 1 }
+        val sl = (m * sxy - sx * sy) / (m * sxx - sx * sx)
+        (sl, (sy - sl * sx) / m)
+      case _ => (0.0, 0.0)
+    }
+    Array.tabulate(n)(i => seas(i) + icept + slope * i)
+  }
+
   /** (flags −1/0/+1, scores, baseline), or null. */
   def anomalies(arr: ArrayData, threshold: Double, period0: Int,
       trendKind: String): (Array[Long], Array[Double], Array[Double]) = {
@@ -414,6 +469,24 @@ case class SeriesDecomposeExpr(
     if (d == null) null
     else InternalRow(new GenericArrayData(d._1), new GenericArrayData(d._2),
       new GenericArrayData(d._3), new GenericArrayData(d._4))
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+}
+
+/** `series_decompose_forecast(series, points, period, trend)` →
+  * array<double> baseline over all slots, tail extrapolated.
+  */
+case class SeriesForecastExpr(
+    child: Expression, points: Int, period: Int, trendKind: String)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(DoubleType)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val f = SeriesDecomposeUtil.forecast(
+      input.asInstanceOf[ArrayData], points, period, trendKind)
+    if (f == null) null else new GenericArrayData(f)
   }
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)

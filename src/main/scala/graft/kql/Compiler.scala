@@ -200,7 +200,8 @@ final class Compiler(
            "parse_version" | "strcmp" | "indexof_regex" |
            "string_size" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" | "ipv4_is_match" |
-           "ipv6_is_match" | "ipv6_is_in_range" => KT.Bool
+           "ipv6_is_match" | "ipv6_is_in_range" | "ipv4_is_in_any_range" |
+           "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
@@ -273,7 +274,8 @@ final class Compiler(
           "series_ceiling" | "series_pow" | "series_greater" |
           "series_less" | "series_greater_equals" | "series_less_equals" |
           "series_equals" | "series_not_equals" |
-          "series_seasonal" | "series_iir" => KT.Arr
+          "series_seasonal" | "series_iir" |
+          "series_decompose_forecast" => KT.Arr
       case "series_sum" | "series_min" | "series_max" | "series_avg" |
           "series_dot_product" | "series_magnitude" |
           "series_cosine_similarity" |
@@ -1099,6 +1101,66 @@ final class Compiler(
           when(ipL.isNotNull && baseL.isNotNull && bits.between(0L, 32L),
             floor(ipL.cast(DoubleType) / scale) ===
               floor(baseL.cast(DoubleType) / scale))
+        // OR-fold of ipv4_is_in_range over the trailing range args
+        // (ranges may be CIDR or bare ips); any unparseable arg → null,
+        // Kusto's rule
+        case "ipv4_is_in_any_range" =>
+          val ipL = parseIpv4(cs.head.cast(StringType))
+          val checks = cs.tail.map { c =>
+            val range = org.apache.spark.sql.functions.split(
+              c.cast(StringType), "/", 2)
+            val baseL = parseIpv4(try_element_at(range, lit(1)))
+            val bits = coalesce(
+              try_element_at(range, lit(2)).try_cast(LongType), lit(32L))
+            val scale = pow(lit(2.0), (lit(32L) - bits).cast(DoubleType))
+            (baseL.isNotNull && bits.between(0L, 32L),
+              floor(ipL.cast(DoubleType) / scale) ===
+                floor(baseL.cast(DoubleType) / scale))
+          }
+          when(ipL.isNotNull && checks.map(_._1).reduce(_ && _),
+            checks.map(_._2).reduce(_ || _))
+        // text-scan ipv4 family: the needle counts only as a PROPERLY
+        // DELIMITED term — not adjacent to a digit or dot on either side
+        // (so 12.0.0.1 inside 112.0.0.1 does not match). has_ipv4
+        // requires the full term equal the (valid) ip; the prefix form
+        // anchors the term start only. Same regex runs in DuckDB.
+        // (the 1-arg has_ipv4(source) convenience form — "contains ANY
+        // valid ipv4 token" — is handled further down)
+        case "has_ipv4" | "has_any_ipv4" if cs.length >= 2 =>
+          val src = cs.head.cast(StringType)
+          val hits = cs.tail.map { c =>
+            val esc = regexp_replace(c.cast(StringType),
+              lit("\\."), lit("\\\\."))
+            parseIpv4(c.cast(StringType)).isNotNull &&
+              rlike(src, concat(lit("(^|[^0-9.])"), esc,
+                lit("($|[^0-9.])")))
+          }
+          hits.reduce(_ || _)
+        case "has_ipv4_prefix" =>
+          val src = cs.head.cast(StringType)
+          val esc = regexp_replace(cs(1).cast(StringType),
+            lit("\\."), lit("\\\\."))
+          cs(1).cast(StringType) =!= "" &&
+            rlike(src, concat(lit("(^|[^0-9.])"), esc))
+        // sequential multi-replace: rewrites(i) substitutes lookups(i)
+        // left to right (later pairs see earlier results — Kusto's
+        // documented order); length mismatch → null, null/empty lookups
+        // skip
+        case "replace_strings" =>
+          def strArr(i: Int): Column = infer(df, args(i)) match {
+            case KT.Var => cs(i).try_cast(ArrayType(StringType))
+            case _ => cs(i)
+          }
+          val looks = strArr(1)
+          val rews = strArr(2)
+          val folded = aggregate(
+            zip_with(looks, rews, (a, b) =>
+              struct(a.as("s"), b.as("r"))),
+            cs.head.cast(StringType),
+            (acc, p) => when(
+              p("s").isNull || p("s") === "" || p("r").isNull, acc)
+              .otherwise(replace(acc, p("s"), p("r"))))
+          when(size(looks) === size(rews), folded)
         case "ipv4_is_private" =>
           val ipL = parseIpv4(cs.head.cast(StringType))
           when(ipL.isNotNull,
@@ -2197,6 +2259,34 @@ final class Compiler(
         // period detection, per-phase-median seasonal, avg/linefit
         // trend, series_outliers-rule anomaly scoring (SeriesDecompose
         // .scala). Results are bags (the series_fit_line_dynamic shape).
+        // forecast: train on all but the last `points` slots (their
+        // values are ignored — typically the null/zero future slots of
+        // an extended make-series), output the full extrapolated
+        // baseline as a plain array<double>
+        case "series_decompose_forecast" =>
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          def iLitF(e: Expr, what: String): Int = e match {
+            case IntLit(v) => v.toInt
+            case Neg(IntLit(v)) => (-v).toInt
+            case _ => throw KqlParseException(
+              s"$what must be an integer literal", 0)
+          }
+          val trendK = args.lift(3).map {
+            case StrLit(v @ ("avg" | "linefit" | "none")) => v
+            case _ => throw KqlParseException(
+              "trend must be 'avg', 'linefit' or 'none'", 0)
+          }.getOrElse("linefit")
+          val yF = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          column(graft.functions.SeriesForecastExpr(expression(yF),
+            iLitF(args(1), "points"),
+            args.lift(2).map(iLitF(_, "seasonality")).getOrElse(-1),
+            trendK))
+
         case "series_decompose" | "series_decompose_anomalies" |
             "series_periods_detect" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}

@@ -2030,6 +2030,8 @@ final class Parser(src: String, nowMicros: Long) {
     "indexof_regex", "string_size", "regex_quote", "parse_csv",
     "url_encode", "url_encode_component", "url_decode",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
+    "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
+    "replace_strings",
     "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
@@ -2042,6 +2044,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_fit_line_dynamic", "series_fit_2lines_dynamic",
     "series_seasonal", "series_iir",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
+    "series_decompose_forecast",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "series_fill_linear",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
@@ -2389,8 +2392,30 @@ final class Parser(src: String, nowMicros: Long) {
           "replace_regex() pattern and rewrite must be string literals")
         StrFn("replace_regex", a)
       case "has_ipv4" =>
-        val a = args(); arity(a.length == 1, "has_ipv4() takes 1 arg")
+        // 1-arg convenience form ("contains ANY valid ipv4 token") or
+        // ADX's 2-arg (source, ip) delimited-term check
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "has_ipv4() takes (source[, ip])")
         StrFn("has_ipv4", a)
+      case "has_any_ipv4" =>
+        val a = args()
+        arity(a.length >= 2, "has_any_ipv4() takes (source, ip, ...)")
+        StrFn("has_any_ipv4", a)
+      case "has_ipv4_prefix" =>
+        val a = args()
+        arity(a.length == 2, "has_ipv4_prefix() takes (source, prefix)")
+        StrFn("has_ipv4_prefix", a)
+      case "ipv4_is_in_any_range" =>
+        val a = args()
+        arity(a.length >= 2,
+          "ipv4_is_in_any_range() takes (ip, range, ...)")
+        StrFn("ipv4_is_in_any_range", a)
+      case "replace_strings" =>
+        val a = args()
+        arity(a.length == 3,
+          "replace_strings() takes (text, lookups, rewrites)")
+        StrFn("replace_strings", a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,
@@ -2605,6 +2630,12 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3,
           "series_iir() takes (series, numerators, denominators)")
         ArrFn("series_iir", a)
+      case "series_decompose_forecast" =>
+        val a = args()
+        arity(a.length >= 2 && a.length <= 4,
+          "series_decompose_forecast() takes " +
+            "(series, points[, seasonality[, trend]])")
+        ArrFn("series_decompose_forecast", a)
       case "series_decompose_anomalies" =>
         val a = args()
         arity(a.length >= 1 && a.length <= 4,

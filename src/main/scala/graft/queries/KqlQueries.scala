@@ -3350,6 +3350,72 @@ object KqlQueries {
         |SELECT a AS id, min(b) AS ComponentId
         |FROM reach GROUP BY a ORDER BY a""".stripMargin),
 
+    // round-8 ipv4 text-scan + multi-range + sequential multi-replace:
+    // "properly delimited" = not adjacent to a digit or dot (so
+    // 0.20.30.x inside 10.20.30.x does NOT match); the identical
+    // lookaround-free regex replays in DuckDB's RE2
+    kq("kql_ipfns3",
+      """documents
+        | | where doc_id < 200
+        | | extend t = strcat('a=1.2.3.4 b=10.20.30.',
+        |                     tostring(doc_id % 50), ' end')
+        | | project doc_id,
+        |     h1 = has_ipv4(t, '1.2.3.4'),
+        |     h3 = has_ipv4(t, strcat('10.20.30.', tostring(doc_id % 50))),
+        |     h4 = has_ipv4(t, strcat('0.20.30.', tostring(doc_id % 50))),
+        |     ha = has_any_ipv4(t, '8.8.8.8',
+        |                       strcat(tostring(doc_id % 3), '.2.3.4')),
+        |     hp = has_ipv4_prefix(t, '10.20.'),
+        |     hp2 = has_ipv4_prefix(t, '0.20.'),
+        |     anyr = ipv4_is_in_any_range(
+        |       strcat('10.20.30.', tostring(doc_id % 50)),
+        |       '10.20.30.0/27', '192.168.0.0/16'),
+        |     rs = replace_strings(t, pack_array('a=', 'b='),
+        |                          pack_array('x:', 'y:'))
+        | | sort by doc_id asc""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    'a=1.2.3.4 b=10.20.30.' || CAST(doc_id % 50 AS VARCHAR)
+        |      || ' end' AS t
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  regexp_matches(t, '(^|[^0-9.])1\.2\.3\.4($|[^0-9.])') AS h1,
+        |  regexp_matches(t, '(^|[^0-9.])10\.20\.30\.'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9.])') AS h3,
+        |  regexp_matches(t, '(^|[^0-9.])0\.20\.30\.'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9.])') AS h4,
+        |  (doc_id % 3 = 1) AS ha,
+        |  regexp_matches(t, '(^|[^0-9.])10\.20\.') AS hp,
+        |  regexp_matches(t, '(^|[^0-9.])0\.20\.') AS hp2,
+        |  (doc_id % 50 < 32) AS anyr,
+        |  replace(replace(t, 'a=', 'x:'), 'b=', 'y:') AS rs
+        |FROM d ORDER BY doc_id""".stripMargin),
+
+    // round-8 series_decompose_forecast: the last `points` slots are
+    // ignored for training and get the extrapolated baseline. Closed
+    // forms: exact period-2 series under avg trend forecasts its
+    // repeating phases; a pure line under linefit extends exactly
+    kq("kql_forecast",
+      """documents
+        | | where doc_id < 300
+        | | extend a = doc_id % 5
+        | | extend s = pack_array(a, a + 4, a, a + 4, a, a + 4, a, a + 4,
+        |                         0, 0, 0, 0)
+        | | extend l = pack_array(a, a + 2, a + 4, a + 6, a + 8, a + 10,
+        |                         a + 12, a + 14, 0, 0)
+        | | extend f = series_decompose_forecast(s, 4, 2, 'avg'),
+        |          g = series_decompose_forecast(l, 2, 0, 'linefit')
+        | | project doc_id, f0 = toreal(f[0]), f8 = toreal(f[8]),
+        |     f9 = toreal(f[9]), g8 = toreal(g[8]), g9 = toreal(g[9])
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 AS DOUBLE) AS f0,
+        |  CAST(doc_id % 5 AS DOUBLE) AS f8,
+        |  CAST(doc_id % 5 + 4 AS DOUBLE) AS f9,
+        |  CAST(doc_id % 5 + 16 AS DOUBLE) AS g8,
+        |  CAST(doc_id % 5 + 18 AS DOUBLE) AS g9
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole

@@ -37,6 +37,36 @@ class Round6FnSpec extends AnyFunSuite {
     assert(scalar("format_ipv4(-1)") == null)
   }
 
+  test("round-8: ipv4_is_in_any_range, has_ipv4 family, replace_strings") {
+    assert(scalar(
+      "ipv4_is_in_any_range('10.8.1.2', '192.168.0.0/16', '10.8.0.0/13')")
+      == true)
+    assert(scalar(
+      "ipv4_is_in_any_range('10.16.0.0', '192.168.0.0/16', '10.8.0.0/13')")
+      == false)
+    assert(scalar(
+      "ipv4_is_in_any_range('10.8.1.2', 'junk', '10.8.0.0/13')") == null)
+    // delimited-term rule: digits/dots on either side disqualify
+    assert(scalar("has_ipv4('src=1.2.3.4 end', '1.2.3.4')") == true)
+    assert(scalar("has_ipv4('x=11.2.3.4', '1.2.3.4')") == false)
+    assert(scalar("has_ipv4('x=1.2.3.45', '1.2.3.4')") == false)
+    assert(scalar("has_ipv4('x=1.2.3.4.5', '1.2.3.4')") == false)
+    assert(scalar("has_ipv4('ip 999.2.3.4 here', '999.2.3.4')") == false)
+    assert(scalar(
+      "has_any_ipv4('a 8.8.8.8 b', '1.1.1.1', '8.8.8.8')") == true)
+    assert(scalar(
+      "has_any_ipv4('a 8.8.8.8 b', '1.1.1.1', '9.9.9.9')") == false)
+    assert(scalar("has_ipv4_prefix('src=10.20.30.40', '10.20.')") == true)
+    assert(scalar("has_ipv4_prefix('src=110.20.30.40', '10.20.')") == false)
+    // sequential left-to-right; later pairs see earlier rewrites
+    assert(scalar(
+      "replace_strings('A_B_C', pack_array('A', 'X_B'), " +
+        "pack_array('X', 'Y'))") == "Y_C")
+    assert(scalar(
+      "replace_strings('abc', pack_array('a', 'b'), pack_array('x'))")
+      == null) // length mismatch
+  }
+
   test("ipv4_is_in_range: prefix math, default /32, invalid → null") {
     assert(scalar("ipv4_is_in_range('10.8.1.2', '10.8.0.0/13')") == true)
     assert(scalar("ipv4_is_in_range('10.15.255.255', '10.8.0.0/13')") == true)

@@ -184,6 +184,23 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     (0 until 5).foreach(i => assert(r.getBoolean(i), s"col $i"))
   }
 
+  test("series_decompose_forecast ignores tail values, extends baseline") {
+    val r = run(
+      """print f = series_decompose_forecast(
+        |        pack_array(1, 5, 1, 5, 1, 5, 1, 5, 99, 99), 2, 2, 'avg'),
+        |  g = series_decompose_forecast(
+        |        pack_array(2, 4, 6, 8, 10, 12, 0, 0), 2, 0, 'linefit'),
+        |  bad = series_decompose_forecast(pack_array(1, 2, 3, 0), 2)
+        | | project fs = strcat_array(f, ','), g6 = toreal(g[6]),
+        |     g7 = toreal(g[7]), bn = isnull(bad)""".stripMargin)
+      .collect().head
+    // tail 99s are ignored (training = the 8-slot period-2 head); the
+    // forecast repeats the phases
+    assert(r.getString(0) == "1.0,5.0,1.0,5.0,1.0,5.0,1.0,5.0,1.0,5.0")
+    assert(r.getDouble(1) == 14.0 && r.getDouble(2) == 16.0)
+    assert(r.getBoolean(3)) // train head of 2 < 4 → null
+  }
+
   test("strcat_array accepts variant arrays") {
     val r = run(
       """print s = strcat_array(todynamic('[1, "x", true]'), '|')"""
