@@ -51,6 +51,23 @@ object TextCodecsUtil {
     } catch { case _: IllegalArgumentException => null }
   }
 
+  /** IDNA/punycode domain codecs (Kusto `punycode_domain_from_string` /
+    * `punycode_domain_to_string`), via the JDK's `java.net.IDN`
+    * (RFC 3490). Per-label processing is IDN's own; undecodable input is
+    * a row error ⇒ null.
+    */
+  def punycodeDecode(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    try UTF8String.fromString(java.net.IDN.toUnicode(s.toString))
+    catch { case _: IllegalArgumentException => null }
+  }
+
+  def punycodeEncode(s: UTF8String): UTF8String = {
+    if (s == null) return null
+    try UTF8String.fromString(java.net.IDN.toASCII(s.toString))
+    catch { case _: IllegalArgumentException => null }
+  }
+
   def arrayToBase64(a: ArrayData): UTF8String = {
     if (a == null) return null
     val bytes = new Array[Byte](a.numElements())
@@ -123,6 +140,8 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
     case "cp_to" => TextCodecsUtil.fromCodePoints(input.asInstanceOf[ArrayData])
     case "b64_to_arr" => TextCodecsUtil.base64ToArray(input.asInstanceOf[UTF8String])
     case "b64_from_arr" => TextCodecsUtil.arrayToBase64(input.asInstanceOf[ArrayData])
+    case "puny_from" => TextCodecsUtil.punycodeDecode(input.asInstanceOf[UTF8String])
+    case "puny_to" => TextCodecsUtil.punycodeEncode(input.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -131,6 +150,8 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
       case "cp_to" => "fromCodePoints"
       case "b64_to_arr" => "base64ToArray"
       case "b64_from_arr" => "arrayToBase64"
+      case "puny_from" => "punycodeDecode"
+      case "puny_to" => "punycodeEncode"
     }
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.TextCodecsUtil.$m($c);

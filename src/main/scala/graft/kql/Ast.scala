@@ -434,7 +434,8 @@ object QueryStep {
     * (null for rows that pass through unexpanded — no element, no index). */
   final case class Expand(fields: Seq[FieldPath], kind: ExpandKind,
       itemIndex: Option[String] = None,
-      casts: Seq[Option[String]] = Nil) extends QueryStep
+      casts: Seq[Option[String]] = Nil,
+      limit: Option[Long] = None) extends QueryStep
   /** `mv-apply x = arr on ( <steps> )` — run a subpipeline over each ROW's
     * expanded array elements (KQL's per-row subquery). Supported inner
     * steps: `where`, `extend`, `summarize` (no `by` — the implicit group

@@ -848,6 +848,16 @@ final class Compiler(
                      else flatten(array(arrs: _*))
           column(graft.functions.TextCodecExpr(expression(flat), "cp_to"))
         }
+        case "punycode_domain_from_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), "puny_from"))
+        }
+        case "punycode_domain_to_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), "puny_to"))
+        }
         case "base64_decode_toarray" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.TextCodecExpr(
@@ -3532,8 +3542,21 @@ final class Compiler(
       val keep = fields.map(_.render.toLowerCase).toSet
       df.select(df.columns.filter(c => keep.contains(c.toLowerCase)).map(col): _*)
 
-    case QueryStep.Expand(fields, kind, itemIndex, casts) =>
-      val out = compileExpand(df, fields, kind, itemIndex)
+    case QueryStep.Expand(fields, kind, itemIndex, casts, limitOpt) =>
+      // `limit N` rides the item index (forced internal when the user
+      // didn't ask for one): keep element index < N plus the null-index
+      // pass-through rows — a map-side filter, the fan-out cap a 100 TB
+      // expand wants anyway
+      val needIdx = itemIndex.orElse(limitOpt.map(_ => "__mvlimit_idx"))
+      val expanded = compileExpand(df, fields, kind, needIdx)
+      val out = limitOpt match {
+        case Some(n) =>
+          val idx = needIdx.get
+          val lim = expanded.filter(
+            col(s"`$idx`").isNull || col(s"`$idx`") < lit(n))
+          if (itemIndex.isEmpty) lim.drop(idx) else lim
+        case None => expanded
+      }
       // `to typeof(T)`: cast the EXPANDED element column (simple paths
       // only — parser-enforced); try_cast keeps the row-error policy
       fields.zipAll(casts, null, None).foldLeft(out) {

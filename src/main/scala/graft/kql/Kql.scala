@@ -85,9 +85,10 @@ object Kql {
         s"project-rename ${ps.map { case (t, f) => s"$t = ${f.render}" }.mkString(", ")}"
       case QueryStep.ProjectAway(fs) => s"project-away ${fs.map(_.render).mkString(", ")}"
       case QueryStep.ProjectKeep(fs) => s"project-keep ${fs.map(_.render).mkString(", ")}"
-      case QueryStep.Expand(fs, k, ix, _) =>
+      case QueryStep.Expand(fs, k, ix, _, lim) =>
         s"mv-expand kind=$k" + ix.map(n => s" with_itemindex=$n").getOrElse("") +
-          s" ${fs.map(_.render).mkString(", ")}"
+          s" ${fs.map(_.render).mkString(", ")}" +
+          lim.map(n => s" limit $n").getOrElse("")
       case QueryStep.MvApply(n, src, sub, _) =>
         s"mv-apply $n = ${src.render} on (\n" +
           renderQuery(Query(sub), indent + "  ") + s"\n$indent)"

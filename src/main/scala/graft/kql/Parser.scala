@@ -1381,7 +1381,10 @@ final class Parser(src: String, nowMicros: Long) {
       fs += f; casts += c
       more = tryPunct(",")
     }
-    QueryStep.Expand(fs.result(), kind, itemIndex, casts.result())
+    // `limit N` caps the expanded rows PER INPUT ROW (Kusto's RowLimit)
+    val limit = if (atIdent("limit")) { p += 1; Some(parseIntLit()) }
+                else None
+    QueryStep.Expand(fs.result(), kind, itemIndex, casts.result(), limit)
   }
 
   private def parseFieldList(): Seq[FieldPath] = {
@@ -2031,7 +2034,8 @@ final class Parser(src: String, nowMicros: Long) {
     "url_encode", "url_encode_component", "url_decode",
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
-    "replace_strings",
+    "replace_strings", "punycode_domain_from_string",
+    "punycode_domain_to_string",
     "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
@@ -2352,7 +2356,9 @@ final class Parser(src: String, nowMicros: Long) {
         StrFn(f, a)
       case f @ ("hash_sha256" | "hash_sha1" | "hash_md5" | "toguid" |
                 "isascii" | "unicode_codepoints_from_string" |
-                "base64_decode_toarray" | "base64_encode_fromarray") =>
+                "base64_decode_toarray" | "base64_encode_fromarray" |
+                "punycode_domain_from_string" |
+                "punycode_domain_to_string") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case f @ ("ipv4_compare" | "ipv4_is_match") =>

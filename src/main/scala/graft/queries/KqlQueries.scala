@@ -3416,6 +3416,33 @@ object KqlQueries {
         |  CAST(doc_id % 5 + 18 AS DOUBLE) AS g9
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
+    // round-8 mv-expand limit: caps expanded rows PER INPUT ROW (the
+    // Kusto RowLimit); with_itemindex interplay covered in ExpandZipSpec
+    kq("kql_mvexpand_limit",
+      """documents
+        | | where doc_id < 100
+        | | project doc_id, toks = split(text, ' ')
+        | | mv-expand toks limit 3
+        | | summarize n = count() by doc_id
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  least(3, len(string_split(text, ' '))) AS n
+        |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin),
+
+    // round-8 punycode (java.net.IDN, RFC 3490): literal-pinned — DuckDB
+    // has no IDN, so the oracle states the expected mappings
+    kq("kql_punycode",
+      """print u = punycode_domain_from_string('xn--fiqs8s.example'),
+        |      a = punycode_domain_to_string('münchen.de'),
+        |      rt = punycode_domain_from_string(
+        |             punycode_domain_to_string('münchen.de')),
+        |      plain = punycode_domain_to_string('plain.example.com')
+        |""".stripMargin,
+      """SELECT '中国.example' AS u,
+        |       'xn--mnchen-3ya.de' AS a,
+        |       'münchen.de' AS rt,
+        |       'plain.example.com' AS plain""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole

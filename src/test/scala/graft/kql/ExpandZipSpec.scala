@@ -28,6 +28,26 @@ class ExpandZipSpec extends AnyFunSuite {
     Kql.run(spark, c, kql)
   }
 
+  // round-8 `limit N`: caps expanded rows per input row; pass-through
+  // rows (no elements → null index) survive; user item index keeps
+  // reporting the element index
+  test("mv-expand limit caps rows per input row") {
+    val d = logs(
+      """{"id": 1, "a": [10, 20, 30, 40]}""",
+      """{"id": 2, "a": [7]}""",
+      """{"id": 3, "a": null}""")
+    val got = runOn(d,
+      """test.c | mv-expand with_itemindex=ix a limit 2
+        | | project id, ix, a | sort by id asc, ix asc""".stripMargin)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2))))
+    assert(got.toSeq == Seq(
+      (1L, Some(0L), Some(10L)), (1L, Some(1L), Some(20L)),
+      (2L, Some(0L), Some(7L)), (3L, None, None)))
+    // without a user index the internal one is dropped again
+    val cols = runOn(d, "test.c | mv-expand a limit 2").columns.toSeq
+    assert(cols.sorted == Seq("a", "id"))
+  }
+
   // expand_zip (tests.rs:1486): shorter array pads with null
   test("multi-field zip pads the shorter array with null") {
     val d = logs("""{"a": 1, "b": ["x", "y"], "c": [5, 4, 3]}""")
