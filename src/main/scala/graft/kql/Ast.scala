@@ -408,6 +408,15 @@ object QueryStep {
   final case class DiffPatterns(
       threshold: Double, split: FieldPath,
       valueA: Expr, valueB: Expr) extends QueryStep
+  /** `evaluate diffpatterns_text(threshold, textColumn, splitColumn,
+    * valueA, valueB)` — the diffpatterns lattice over the text's first
+    * FOUR whitespace tokens as positional attributes; output `Pattern`
+    * renders wildcard and absent positions as `*`. ADX's exact
+    * algorithm is unpublished, so this documented basket-lattice rule
+    * is the replayable analog (the house convention — see
+    * series_decompose). */
+  final case class DiffPatternsText(threshold: Double, text: FieldPath,
+      split: FieldPath, valueA: Expr, valueB: Expr) extends QueryStep
   /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
     * ad-hoc file source with a declared schema (Kusto's operator; URIs
     * here are local/cluster-visible paths — no network egress). Reads

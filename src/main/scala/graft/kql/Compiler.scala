@@ -3985,6 +3985,24 @@ final class Compiler(
           col("__N") +: cols.map(cn => col(s"`__s_$cn`").as(cn)): _*)
       basketOutput(kept, cols)
 
+    // diffpatterns_text: the same lattice over the text's first 4
+    // whitespace tokens as positional attributes; Pattern renders
+    // wildcard AND absent positions as '*' (dropping the positional
+    // columns after ranking — SegmentId order is decided before the
+    // conflation, so it stays deterministic)
+    case QueryStep.DiffPatternsText(threshold, textF, split, va, vb) =>
+      val k = 4
+      val toksDpt = org.apache.spark.sql.functions.split(
+        compileField(df, textF).cast(StringType), "\\s+")
+      val base = df.select(
+        compileField(df, split).as(split.flat) +:
+          (1 to k).map(i => try_element_at(toksDpt, lit(i)).as(s"__dpt$i")): _*)
+      val dp = compileStepInner(base,
+        QueryStep.DiffPatterns(threshold, split, va, vb))
+      dp.withColumn("Pattern", concat_ws(" ",
+          (1 to k).map(i => coalesce(col(s"__dpt$i"), lit("*"))): _*))
+        .drop((1 to k).map(i => s"__dpt$i"): _*)
+
     // diffpatterns: the basket lattice mined on each side of the split,
     // merged full-outer on segment identity, ranked by |ΔPercent| — two
     // masked-expansion hash aggs + one broadcast-sized merge join

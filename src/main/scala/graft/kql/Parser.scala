@@ -857,6 +857,28 @@ final class Parser(src: String, nowMicros: Long) {
       arity(before >= 0 && after >= 0, "rows_near counts must be >= 0")
       return QueryStep.RowsNear(cond, before, after)
     }
+    if (plugin == "diffpatterns_text") {
+      eatPunct("(")
+      val th = peek match {
+        case FloatTok(v, _) => p += 1; v
+        case IntTok(v, _) => p += 1; v.toDouble
+        case t => fail("diffpatterns_text threshold must be a numeric literal")
+      }
+      eatPunct(",")
+      val text = parseFieldPath()
+      eatPunct(",")
+      val split = parseFieldPath()
+      eatPunct(",")
+      val va = delit(parseExpr())
+      eatPunct(",")
+      val vb = delit(parseExpr())
+      eatPunct(")")
+      arity(th > 0 && th <= 1,
+        "diffpatterns_text threshold must be in (0, 1]")
+      arity(va.isInstanceOf[StrLit] && vb.isInstanceOf[StrLit],
+        "diffpatterns_text split values must be string literals")
+      return QueryStep.DiffPatternsText(th, text, split, va, vb)
+    }
     if (plugin == "diffpatterns") {
       eatPunct("(")
       val th = peek match {

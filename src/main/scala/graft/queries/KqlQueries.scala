@@ -2314,6 +2314,59 @@ object KqlQueries {
         |  source, lb
         |FROM sc ORDER BY SegmentId""".stripMargin),
 
+    // round-8 diffpatterns_text: the diffpatterns lattice over the
+    // text's first 4 whitespace tokens as positional attributes
+    // (documented rule — ADX's algorithm is unpublished); Pattern
+    // renders wildcard/absent positions as '*'
+    kq("kql_diffpatterns_text",
+      """documents
+        | | evaluate diffpatterns_text(0.03, text, lang, 'en', 'de')
+        | | sort by SegmentId asc""".stripMargin,
+      """WITH raw AS (
+        |  SELECT lang, string_split_regex(text, '\s+') AS tk
+        |  FROM documents WHERE lang IN ('en', 'de')),
+        |t AS (SELECT lang, tk[1] AS t1, tk[2] AS t2,
+        |             tk[3] AS t3, tk[4] AS t4 FROM raw),
+        |e AS (SELECT lang, mask,
+        |        CASE WHEN mask % 2 = 1 THEN t1 END AS t1,
+        |        CASE WHEN (mask // 2) % 2 = 1 THEN t2 END AS t2,
+        |        CASE WHEN (mask // 4) % 2 = 1 THEN t3 END AS t3,
+        |        CASE WHEN (mask // 8) % 2 = 1 THEN t4 END AS t4
+        |      FROM t CROSS JOIN (SELECT unnest(range(1, 16)) AS mask) m),
+        |na AS (SELECT count(*) AS TA FROM t WHERE lang = 'en'),
+        |nb AS (SELECT count(*) AS TB FROM t WHERE lang = 'de'),
+        |ga AS (SELECT mask, t1, t2, t3, t4, count(*) AS ca FROM e, na
+        |       WHERE lang = 'en' GROUP BY 1, 2, 3, 4, 5
+        |       HAVING count(*) >= 0.03 * any_value(TA)),
+        |gb AS (SELECT mask, t1, t2, t3, t4, count(*) AS cb FROM e, nb
+        |       WHERE lang = 'de' GROUP BY 1, 2, 3, 4, 5
+        |       HAVING count(*) >= 0.03 * any_value(TB)),
+        |mg AS (
+        |  SELECT coalesce(ga.mask, gb.mask) AS mask,
+        |    coalesce(ga.ca, 0) AS CountA, coalesce(gb.cb, 0) AS CountB,
+        |    coalesce(ga.t1, gb.t1) AS t1, coalesce(ga.t2, gb.t2) AS t2,
+        |    coalesce(ga.t3, gb.t3) AS t3, coalesce(ga.t4, gb.t4) AS t4
+        |  FROM ga FULL JOIN gb
+        |    ON ga.mask IS NOT DISTINCT FROM gb.mask
+        |   AND ga.t1 IS NOT DISTINCT FROM gb.t1
+        |   AND ga.t2 IS NOT DISTINCT FROM gb.t2
+        |   AND ga.t3 IS NOT DISTINCT FROM gb.t3
+        |   AND ga.t4 IS NOT DISTINCT FROM gb.t4),
+        |sc AS (SELECT mask, CountA, CountB, t1, t2, t3, t4,
+        |    100.0 * CountA / TA AS PercentA,
+        |    100.0 * CountB / TB AS PercentB
+        |  FROM mg, na, nb)
+        |SELECT CAST(row_number() OVER (
+        |    ORDER BY abs(PercentA - PercentB) DESC, mask,
+        |      t1 NULLS FIRST, t2 NULLS FIRST, t3 NULLS FIRST,
+        |      t4 NULLS FIRST) AS BIGINT) AS SegmentId,
+        |  CAST(CountA AS BIGINT) AS CountA,
+        |  CAST(CountB AS BIGINT) AS CountB,
+        |  PercentA, PercentB, abs(PercentA - PercentB) AS PercentDiffAB,
+        |  coalesce(t1, '*') || ' ' || coalesce(t2, '*') || ' ' ||
+        |  coalesce(t3, '*') || ' ' || coalesce(t4, '*') AS Pattern
+        |FROM sc ORDER BY SegmentId""".stripMargin),
+
     // autocluster: the basket lattice with dominance pruning — a segment
     // drops when a strictly more specific frequent segment explains
     // ≥50% of its rows; the oracle replays the prune with NOT EXISTS
