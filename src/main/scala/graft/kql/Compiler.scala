@@ -203,6 +203,7 @@ final class Compiler(
            "ipv6_is_match" | "ipv6_is_in_range" | "ipv4_is_in_any_range" |
            "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
+      case f if f.startsWith("convert_") => KT.Float
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
            "unixtime_milliseconds_todatetime" |
@@ -1171,6 +1172,26 @@ final class Compiler(
               p("s").isNull || p("s") === "" || p("r").isNull, acc)
               .otherwise(replace(acc, p("s"), p("r"))))
           when(size(looks) === size(rews), folded)
+        // convert_* family: value·f(from)/f(to) with parse-validated
+        // literal units — a constant-folded multiply (UnitConvert tables);
+        // temperature is affine via Kelvin
+        case f if f.startsWith("convert_") =>
+          val cat = f.stripPrefix("convert_")
+          val v = cs.head.cast(DoubleType)
+          val from = args(1).asInstanceOf[StrLit].v
+          val to = args(2).asInstanceOf[StrLit].v
+          if (cat == "temperature") {
+            val (s1, b1, _) = graft.functions.UnitConvert.toKelvin(from)
+            val k = (v + lit(b1)) * lit(s1)
+            to match {
+              case "Kelvin" => k
+              case "DegreeCelsius" => k - lit(273.15)
+              case _ => k * lit(9.0 / 5.0) - lit(459.67)
+            }
+          } else {
+            val m = graft.functions.UnitConvert.factors(cat)
+            v * lit(m(from)) / lit(m(to))
+          }
         case "ipv4_is_private" =>
           val ipL = parseIpv4(cs.head.cast(StringType))
           when(ipL.isNotNull,

@@ -2058,6 +2058,9 @@ final class Parser(src: String, nowMicros: Long) {
     "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
     "replace_strings", "punycode_domain_from_string",
     "punycode_domain_to_string",
+    "convert_length", "convert_mass", "convert_speed", "convert_volume",
+    "convert_energy", "convert_angle", "convert_force",
+    "convert_temperature",
     "hash",
     "series_add", "series_subtract", "series_multiply", "series_divide",
     "series_abs", "series_sum", "series_min", "series_max", "series_avg",
@@ -2444,6 +2447,23 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3,
           "replace_strings() takes (text, lookups, rewrites)")
         StrFn("replace_strings", a)
+      case f @ ("convert_length" | "convert_mass" | "convert_speed" |
+                "convert_volume" | "convert_energy" | "convert_angle" |
+                "convert_force" | "convert_temperature") =>
+        val a = args()
+        arity(a.length == 3, s"$f() takes (value, from, to)")
+        val cat = f.stripPrefix("convert_")
+        val units =
+          if (cat == "temperature")
+            graft.functions.UnitConvert.temperatureUnits
+          else graft.functions.UnitConvert.factors(cat).keySet
+        Seq(a(1), a(2)).foreach {
+          case StrLit(u) => arity(units.contains(u),
+            s"$f(): unknown unit '$u' (known: " +
+              units.toSeq.sorted.mkString(", ") + ")")
+          case _ => fail(s"$f() units must be string literals")
+        }
+        StrFn(f, a)
       case "column_ifexists" =>
         val a = args()
         arity(a.length == 2,

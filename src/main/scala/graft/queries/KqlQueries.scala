@@ -3496,6 +3496,36 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 convert_* family: value·f(from)/f(to) with the SAME
+    // literal factors and op order on both engines (bit-exact doubles)
+    kq("kql_convert",
+      """documents
+        | | where doc_id < 300
+        | | project doc_id,
+        |    km = convert_length(toreal(n_chars), 'Meter', 'Kilometer'),
+        |    ft = convert_length(toreal(n_chars), 'Foot', 'Meter'),
+        |    lb = convert_mass(toreal(n_chars), 'Pound', 'Kilogram'),
+        |    kmh = convert_speed(toreal(n_chars), 'MeterPerSecond',
+        |                        'KilometerPerHour'),
+        |    f2c = convert_temperature(toreal(n_chars),
+        |                              'DegreeFahrenheit', 'DegreeCelsius'),
+        |    c2k = convert_temperature(toreal(n_chars),
+        |                              'DegreeCelsius', 'Kelvin'),
+        |    deg = convert_angle(toreal(n_chars), 'Degree', 'Radian'),
+        |    kwh = convert_energy(toreal(n_chars), 'KilowattHour', 'Joule')
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  (CAST(n_chars AS DOUBLE) * 1.0) / 1000.0 AS km,
+        |  (CAST(n_chars AS DOUBLE) * 0.3048) / 1.0 AS ft,
+        |  (CAST(n_chars AS DOUBLE) * 0.45359237) / 1.0 AS lb,
+        |  (CAST(n_chars AS DOUBLE) * 1.0) / (1.0 / 3.6) AS kmh,
+        |  ((CAST(n_chars AS DOUBLE) + 459.67) * (5.0 / 9.0)) - 273.15
+        |    AS f2c,
+        |  (CAST(n_chars AS DOUBLE) + 273.15) * 1.0 AS c2k,
+        |  (CAST(n_chars AS DOUBLE) * (pi() / 180.0)) / 1.0 AS deg,
+        |  (CAST(n_chars AS DOUBLE) * 3600000.0) / 1.0 AS kwh
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-7 federation: derby.customer is the parquet customer table
     // seeded into EMBEDDED APACHE DERBY and scanned back through the
     // graft-sqlstore DataSource V2 connector — the where and the whole
