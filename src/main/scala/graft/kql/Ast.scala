@@ -417,6 +417,16 @@ object QueryStep {
     * series_decompose). */
   final case class DiffPatternsText(threshold: Double, text: FieldPath,
       split: FieldPath, valueA: Expr, valueB: Expr) extends QueryStep
+  /** `evaluate funnel_sequence_completion(id, ts, start, end, bin,
+    * state, (s1, s2, …), (w1, w2, …))` — ADX's third funnel plugin.
+    * Documented rule (the greedy chain): per id, t1 = FIRST occurrence
+    * of s1 within [start, end]; t_{j+1} = first occurrence of s_{j+1}
+    * strictly after t_j (windows do not steer chain construction — they
+    * only gate counting). Prefix j counts in bin(t1) when
+    * t_j − t1 ≤ w_j. Output: (ts bin, state, period, dcount). */
+  final case class FunnelCompletion(id: FieldPath, tl: FieldPath,
+      start: Long, end: Long, step: Long, state: FieldPath,
+      states: Seq[String], windows: Seq[Long]) extends QueryStep
   /** `externaldata (a: long, …) ['uri', …] with(format='csv', …)` —
     * ad-hoc file source with a declared schema (Kusto's operator; URIs
     * here are local/cluster-visible paths — no network egress). Reads

@@ -3193,6 +3193,46 @@ final class Compiler(
     // with one min-struct agg, and prev/next states attach with two more
     // as-of passes (the reversed one via negated micros) — everything
     // keyed on the id, no quadratic joins
+    // funnel_sequence_completion: greedy chain (first s1 in window, then
+    // first next-state strictly after the previous step — windows gate
+    // COUNTING only, per the Ast rule), one keyed join + min-aggregate
+    // per step (k ≤ chain length, linear per key at 100 TB), prefix
+    // counts unioned per bin of the sequence start
+    case QueryStep.FunnelCompletion(idf, tlf, start, end, step, stateF,
+        states, windows) =>
+      val ev = df.select(compileField(df, idf).as("__k"),
+        unix_micros(compileField(df, tlf).try_cast(TimestampType))
+          .as("__us"),
+        compileField(df, stateF).cast(StringType).as("__st"))
+        .filter(col("__us").isNotNull)
+      var acc = ev
+        .filter(col("__st") === lit(states.head) &&
+          col("__us").between(start, end))
+        .groupBy(col("__k")).agg(min(col("__us")).as("__t0"))
+      val stages = scala.collection.mutable.ArrayBuffer[DataFrame](acc)
+      for (j <- 1 until states.length) {
+        val stepEv = ev.filter(col("__st") === lit(states(j)))
+          .select(col("__k"), col("__us"))
+        val prevCols = (0 until j).map(i => col(s"__t$i"))
+        acc = acc.join(stepEv, Seq("__k"))
+          .filter(col("__us") > col(s"__t${j - 1}"))
+          .groupBy(col("__k") +: prevCols: _*)
+          .agg(min(col("__us")).as(s"__t$j"))
+        stages += acc
+      }
+      val rows = states.indices.map { j =>
+        stages(j)
+          .filter(col(s"__t$j") - col("__t0") <= lit(windows(j)))
+          .groupBy((floor(col("__t0") / step).cast(LongType) * lit(step))
+            .as("__bin"))
+          .agg(count(lit(1)).as("dcount"))
+          .select(timestamp_micros(col("__bin")).as(tlf.flat),
+            lit(states(j)).as(stateF.flat),
+            lit(windows(j)).as("period"),
+            col("dcount"))
+      }
+      rows.reduce(_ unionByName _)
+
     case QueryStep.FunnelSequence(idf, tlf, start, end, maxWin, step,
         stateF, states) =>
       val ev = df.select(compileField(df, idf).as("__k"),

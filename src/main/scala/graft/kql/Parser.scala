@@ -807,6 +807,48 @@ final class Parser(src: String, nowMicros: Long) {
       return QueryStep.RollingPercentile(value, pv, index, bin, win,
         dims.result())
     }
+    if (plugin == "funnel_sequence_completion") {
+      eatPunct("(")
+      val id = parseFieldPath(); eatPunct(",")
+      val ts = parseFieldPath(); eatPunct(",")
+      def dt(what: String): Long = delit(parseExpr()) match {
+        case DatetimeLit(v) => v
+        case _ => fail(
+          s"funnel_sequence_completion $what must be a datetime literal")
+      }
+      def span(what: String): Long = peek match {
+        case TimespanTok(v, _) => p += 1; v
+        case _ => fail(
+          s"funnel_sequence_completion $what must be a timespan literal")
+      }
+      val start = dt("start"); eatPunct(",")
+      val end = dt("end"); eatPunct(",")
+      val step = span("bin"); eatPunct(",")
+      val state = parseFieldPath(); eatPunct(",")
+      eatPunct("(")
+      val states = Seq.newBuilder[String]
+      var more = true
+      while (more) {
+        peek match {
+          case StrTok(s, _) => p += 1; states += s
+          case _ => fail("sequence states must be string literals")
+        }
+        more = tryPunct(",")
+      }
+      eatPunct(")"); eatPunct(","); eatPunct("(")
+      val wins = Seq.newBuilder[Long]
+      more = true
+      while (more) { wins += span("window"); more = tryPunct(",") }
+      eatPunct(")"); eatPunct(")")
+      val ss = states.result()
+      val ws = wins.result()
+      arity(ss.length >= 2, "the sequence needs at least 2 states")
+      arity(ws.length == ss.length,
+        "one window per sequence state is required")
+      arity(step > 0 && ws.forall(_ > 0), "windows must be positive")
+      return QueryStep.FunnelCompletion(id, ts, start, end, step, state,
+        ss, ws)
+    }
     if (plugin == "funnel_sequence") {
       eatPunct("(")
       val id = parseFieldPath(); eatPunct(",")

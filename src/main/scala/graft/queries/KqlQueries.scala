@@ -3496,6 +3496,47 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 funnel_sequence_completion (the third ADX funnel plugin):
+    // greedy chains (first view in window, first click after it, first
+    // purchase after that); windows gate counting only. The oracle
+    // replays the greedy min-joins stage by stage.
+    kq("kql_funnel_completion",
+      """events
+        | | evaluate funnel_sequence_completion(user_id, ts,
+        |     datetime(2024-01-01), datetime(2024-02-01), 1d,
+        |     event_type, ('view', 'click', 'purchase'), (1h, 4h, 12h))
+        | | sort by ts asc, event_type asc""".stripMargin,
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS us,
+        |             event_type AS st FROM events),
+        |s0 AS (SELECT k, min(us) AS t0 FROM e
+        |       WHERE st = 'view'
+        |         AND us BETWEEN epoch_us(TIMESTAMP '2024-01-01')
+        |                    AND epoch_us(TIMESTAMP '2024-02-01')
+        |       GROUP BY k),
+        |s1 AS (SELECT e.k, s0.t0 AS t0, min(e.us) AS t1
+        |       FROM e JOIN s0 ON e.k = s0.k
+        |       WHERE e.st = 'click' AND e.us > s0.t0
+        |       GROUP BY e.k, s0.t0),
+        |s2 AS (SELECT e.k, s1.t0 AS t0, s1.t1 AS t1, min(e.us) AS t2
+        |       FROM e JOIN s1 ON e.k = s1.k
+        |       WHERE e.st = 'purchase' AND e.us > s1.t1
+        |       GROUP BY e.k, s1.t0, s1.t1),
+        |r0 AS (SELECT (t0 // 86400000000) * 86400000000 AS b,
+        |         count(*) AS dcount FROM s0 GROUP BY b),
+        |r1 AS (SELECT (t0 // 86400000000) * 86400000000 AS b,
+        |         count(*) AS dcount FROM s1
+        |       WHERE t1 - t0 <= 14400000000 GROUP BY b),
+        |r2 AS (SELECT (t0 // 86400000000) * 86400000000 AS b,
+        |         count(*) AS dcount FROM s2
+        |       WHERE t2 - t0 <= 43200000000 GROUP BY b)
+        |SELECT make_timestamp(b) AS ts, 'view' AS event_type,
+        |       CAST(3600000000 AS BIGINT) AS period, dcount FROM r0
+        |UNION ALL
+        |SELECT make_timestamp(b), 'click', 14400000000, dcount FROM r1
+        |UNION ALL
+        |SELECT make_timestamp(b), 'purchase', 43200000000, dcount FROM r2
+        |ORDER BY ts, event_type""".stripMargin),
+
     // round-8 convert_* family: value·f(from)/f(to) with the SAME
     // literal factors and op order on both engines (bit-exact doubles)
     kq("kql_convert",
