@@ -439,8 +439,45 @@ final class Parser(src: String, nowMicros: Long) {
       }
     }
 
-  /** `conn.collection` / bare name / view ref. */
+  /** `conn.collection` / bare name / view ref — plus ADX scoping sugar:
+    * `table('T')`, `database('D').T`, `database('D').table('T')`, and
+    * `cluster('C').database('D').T`. The cluster scope is accepted and
+    * DISCARDED (single-cluster engine); the database scope maps onto the
+    * dotted conn.collection form the catalog already uses.
+    */
   private def parseSourceRef(): String = {
+    def fnArg(what: String): String = {
+      eatPunct("(")
+      val s = next() match {
+        case StrTok(v, _) => v
+        case t => throw KqlParseException(
+          s"$what() takes a string literal", t.pos)
+      }
+      eatPunct(")")
+      s
+    }
+    def callAhead(name: String): Boolean =
+      atIdent(name) && toks.lift(p + 1).exists {
+        case Punct("(", _) => true
+        case _ => false
+      }
+    if (callAhead("cluster")) {
+      p += 1; fnArg("cluster"); eatPunct(".")
+    }
+    if (callAhead("database")) {
+      p += 1
+      val db = fnArg("database")
+      eatPunct(".")
+      val t =
+        if (callAhead("table")) { p += 1; fnArg("table") }
+        else {
+          val sb = new StringBuilder(identText())
+          while (atPunct(".")) { p += 1; sb += '.'; sb ++= identText() }
+          sb.toString
+        }
+      return s"$db.$t"
+    }
+    if (callAhead("table")) { p += 1; return fnArg("table") }
     val sb = new StringBuilder(identText())
     while (atPunct(".")) { p += 1; sb += '.'; sb ++= identText() }
     sb.toString

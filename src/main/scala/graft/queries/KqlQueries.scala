@@ -3496,6 +3496,15 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 scoping sugar: table('T') resolves like a bare ref;
+    // cluster()/database() covered in EdgeCaseSpec
+    kq("kql_scoping",
+      """table('events')
+        | | summarize n = count() by event_type
+        | | sort by event_type asc""".stripMargin,
+      """SELECT event_type, count(*) AS n FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // round-8 funnel_sequence_completion (the third ADX funnel plugin):
     // greedy chains (first view in window, first click after it, first
     // purchase after that); windows gate counting only. The oracle

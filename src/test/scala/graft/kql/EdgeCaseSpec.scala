@@ -34,6 +34,29 @@ class EdgeCaseSpec extends AnyFunSuite {
   private def run(kql: String): DataFrame = Kql.run(spark, cat, kql)
   private def count(kql: String): Long = run(kql).count()
 
+  // round-8 ADX scoping sugar: table('T') / database('D').T /
+  // cluster('C').database('D').T — cluster scope discarded, database
+  // scope maps to the dotted conn.collection form
+  test("table()/database()/cluster() scoping sugar resolves sources") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("plaintab", Seq(1L, 2L).toDF("x"))
+    c2.register("db1.t", Seq(1L, 2L, 3L).toDF("x"))
+    assert(Kql.run(spark, c2, "table('plaintab') | count")
+      .collect()(0).getLong(0) == 2L)
+    assert(Kql.run(spark, c2, "database('db1').t | count")
+      .collect()(0).getLong(0) == 3L)
+    assert(Kql.run(spark, c2, "database('db1').table('t') | count")
+      .collect()(0).getLong(0) == 3L)
+    assert(Kql.run(spark, c2,
+      "cluster('ignored').database('db1').t | count")
+      .collect()(0).getLong(0) == 3L)
+    // the sugar works in subquery position too
+    assert(Kql.run(spark, c2,
+      "plaintab | join kind=inner (table('plaintab')) on x | count")
+      .collect()(0).getLong(0) == 2L)
+  }
+
   // round-8: kind=innerunique dedups the LEFT side on the key before the
   // inner join — each left key contributes one row's matches (ADX's
   // default kind; our deterministic pick = min over left columns)
