@@ -654,16 +654,30 @@ object QueryStep {
       aggs: Seq[(AggField, Expr)], axis: FieldPath,
       lo: Option[Expr], hi: Option[Expr], step: Expr,
       by: Seq[ByField]) extends QueryStep
-  /** `scan [with_match_id=m] with (step s1: cond; step s2: cond; …)` —
-    * ordered sequence matching (Kusto's scan, restricted single-active-
-    * match semantics, precisely defined in the compiler scaladoc): rows
-    * advance a step machine in serialized order, matched rows are emitted
-    * with a `step` column and a 1-based match id. `declare` variables are
-    * intentionally unsupported — `row_cumsum` after the scan covers the
-    * running-sum use they exist for. */
+  /** One declared scan variable (`declare (name: long = 0)`);
+    * typ ∈ long | real, default is a numeric literal. */
+  final case class ScanVar(name: String, typ: String, default: Double)
+  /** One per-step assignment (`=> v = v + e`). op ∈ set|add|sub|mul|
+    * min|max; `expr` is variable-free (parser-enforced — the supported
+    * assignment grammar is `v = e`, `v = v ± e`, `v = v * e`,
+    * `v = min_of(v, e)`, `v = max_of(v, e)` with var-free e, which
+    * covers the cumulative-sum/count/extrema uses scan variables exist
+    * for; a fully general RHS would need a per-row expression
+    * interpreter the engine deliberately doesn't have). */
+  final case class ScanAssign(varName: String, op: String, expr: Expr)
+  /** `scan [with_match_id=m] [declare (v: long = 0, …)]
+    * with (step s1: cond [=> v = v + e, …]; …)` — ordered sequence
+    * matching (Kusto's scan, restricted single-active-match semantics,
+    * precisely defined in the compiler scaladoc): rows advance a step
+    * machine in serialized order, matched rows are emitted with a
+    * `step` column and a 1-based match id. Declared variables live PER
+    * SEQUENCE INSTANCE (reset to defaults when a new sequence starts,
+    * ADX's rule); step conditions stay variable-free (narrowing). */
   final case class ScanMatch(
       matchIdCol: Option[String],
-      steps: Seq[(String, Expr)]) extends QueryStep
+      steps: Seq[(String, Expr)],
+      declares: Seq[ScanVar] = Nil,
+      assigns: Seq[Seq[ScanAssign]] = Nil) extends QueryStep
   /** `invoke f(args…)` — a TABULAR function let applied to the pipeline:
     * `let f = (T: table, x: long) { T | where v > x };` declares it, and
     * the parser splices the body's steps (table param dropped, scalar

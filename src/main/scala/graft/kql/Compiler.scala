@@ -4283,7 +4283,8 @@ final class Compiler(
 
     case QueryStep.Partition(by, sub) => compilePartition(df, by, sub)
 
-    case QueryStep.ScanMatch(matchId, steps) => compileScan(df, matchId, steps)
+    case QueryStep.ScanMatch(matchId, steps, declares, assigns) =>
+      compileScan(df, matchId, steps, declares, assigns)
 
     // invoke: the parser already substituted params and dropped the
     // table-param head — fold the spliced steps like an inline prefix
@@ -5040,12 +5041,14 @@ final class Compiler(
     * shuffle. */
   private def compileScan(
       df: DataFrame, matchIdName: Option[String],
-      steps: Seq[(String, Expr)]): DataFrame = {
+      steps: Seq[(String, Expr)],
+      declares: Seq[QueryStep.ScanVar] = Nil,
+      assigns: Seq[Seq[QueryStep.ScanAssign]] = Nil): DataFrame = {
     val keys = serialOrder.getOrElse(throw KqlParseException(
       "scan requires a serialized input — add a 'sort by' first (wrap in " +
         "'partition by key (…)' for data-scale sequences)", 0))
     val midName = matchIdName.getOrElse("match_id")
-    for (clash <- Seq("step", midName).find(n =>
+    for (clash <- (Seq("step", midName) ++ declares.map(_.name)).find(n =>
       df.columns.exists(_.equalsIgnoreCase(n))))
       throw KqlParseException(
         s"scan output column '$clash' collides with an input column — " +
@@ -5054,6 +5057,31 @@ final class Compiler(
     val condCols = steps.zipWithIndex.map { case ((_, cond), i) =>
       compileBool(df, cond).as(s"__scan_c$i")
     }
+    // declared-variable machinery: assignment RHS expressions are
+    // VARIABLE-FREE (parser-enforced), so they precompile to ordinary
+    // columns typed per the target variable; the fold applies the
+    // restricted operator (set/add/sub/mul/min/max) to per-SEQUENCE
+    // state, reset to defaults when a sequence starts (ADX's rule)
+    val varIdx = declares.map(_.name).zipWithIndex.toMap
+    val varLong = declares.map(_.typ == "long").toArray
+    val defaults: Array[Any] = declares.map(v =>
+      // force Any per branch — a bare if/else would numerically WIDEN
+      // the Long branch to Double before boxing
+      if (v.typ == "long") (v.default.toLong: Any)
+      else (v.default: Any)).toArray
+    val stepAssigns: Seq[Seq[QueryStep.ScanAssign]] =
+      if (assigns.isEmpty) steps.map(_ => Nil) else assigns
+    val assignCols = stepAssigns.zipWithIndex.flatMap { case (as, i) =>
+      as.zipWithIndex.map { case (a, j) =>
+        val c0 = compile(df, a.expr)
+        (if (varLong(varIdx(a.varName))) c0.try_cast(LongType)
+         else c0.try_cast(DoubleType)).as(s"__scan_a${i}_$j")
+      }
+    }
+    // flat position of step i's j-th assignment value column
+    val assignBase = baseW + steps.length
+    val assignOffset: Array[Int] =
+      stepAssigns.scanLeft(0)(_ + _.length).toArray
     // group key: the enclosing partition key, or one global group (the
     // serialized contract) — stringified so one encoder fits every type,
     // with a v/n discriminator so a null key stays distinct from an
@@ -5067,14 +5095,18 @@ final class Compiler(
       .getOrElse(lit("g"))
       .as("__scan_k")
     val prepared = df.select(
-      (df.columns.map(c => col(s"`$c`")) ++ condCols :+ keyCol): _*)
+      (df.columns.map(c => col(s"`$c`")) ++ condCols ++ assignCols
+        :+ keyCol): _*)
     val outSchema = org.apache.spark.sql.types.StructType(
-      df.schema.fields :+
+      (df.schema.fields :+
         org.apache.spark.sql.types.StructField("step", StringType) :+
         org.apache.spark.sql.types.StructField(
-          matchIdName.getOrElse("match_id"), LongType))
+          matchIdName.getOrElse("match_id"), LongType)) ++
+        declares.map(v => org.apache.spark.sql.types.StructField(
+          v.name, if (v.typ == "long") LongType else DoubleType)))
     val stepNames = steps.map(_._1)
     val nSteps = steps.length
+    val nVars = declares.length
     val sortCols = keys.map(k => sortCol(prepared, k))
     import spark.implicits._
     prepared
@@ -5083,36 +5115,97 @@ final class Compiler(
         // state(k) = match id of the sequence parked at step k, 0 = empty
         val state = new Array[Long](nSteps)
         var nextMid = 0L
+        // per-active-sequence variable values, keyed by match id
+        val seqVars = scala.collection.mutable.LongMap[Array[Any]]()
         rows.flatMap { r =>
           def c(i: Int): Boolean = !r.isNullAt(baseW + i) && r.getBoolean(baseW + i)
+          def applyAssigns(stepIdx: Int, vars: Array[Any]): Unit = {
+            val as = stepAssigns(stepIdx)
+            var j = 0
+            while (j < as.length) {
+              val pos = assignBase + assignOffset(stepIdx) + j
+              val vi = varIdx(as(j).varName)
+              if (!r.isNullAt(pos)) { // null RHS skips (row-error policy)
+                if (varLong(vi)) {
+                  val e = r.getLong(pos)
+                  val cur = vars(vi).asInstanceOf[Long]
+                  vars(vi) = as(j).op match {
+                    case "set" => e
+                    case "add" => cur + e
+                    case "sub" => cur - e
+                    case "mul" => cur * e
+                    case "min" => math.min(cur, e)
+                    case _ => math.max(cur, e)
+                  }
+                } else {
+                  val e = r.getDouble(pos)
+                  val cur = vars(vi).asInstanceOf[Double]
+                  vars(vi) = as(j).op match {
+                    case "set" => e
+                    case "add" => cur + e
+                    case "sub" => cur - e
+                    case "mul" => cur * e
+                    case "min" => math.min(cur, e)
+                    case _ => math.max(cur, e)
+                  }
+                }
+              }
+              j += 1
+            }
+          }
           // reverse-order step walk; first applicable action wins
           var emitStep = -1
           var emitMid = 0L
+          var emitVars: Array[Any] = null
           var k = nSteps - 1
           while (k >= 0 && emitStep < 0) {
             if (c(k)) {
               if (k == 0) {
                 if (state(0) == 0L) {
                   nextMid += 1
+                  val vars = defaults.clone()
+                  applyAssigns(0, vars)
                   // 1-step machines complete (and clear) immediately
-                  if (nSteps > 1) state(0) = nextMid
-                  emitStep = 0; emitMid = nextMid
-                } else { emitStep = 0; emitMid = state(0) } // absorb
+                  if (nSteps > 1) { state(0) = nextMid; seqVars(nextMid) = vars }
+                  emitStep = 0; emitMid = nextMid; emitVars = vars
+                } else { // absorb at 0
+                  emitStep = 0; emitMid = state(0)
+                  val vars = seqVars.getOrElse(emitMid, defaults.clone())
+                  applyAssigns(0, vars)
+                  seqVars(emitMid) = vars
+                  emitVars = vars
+                }
               } else if (state(k - 1) != 0L) {
                 // promote, overwriting any sequence already at step k
                 emitMid = state(k - 1)
+                if (state(k) != 0L && state(k) != emitMid)
+                  seqVars.remove(state(k)) // overwritten sequence's state
                 state(k - 1) = 0L
-                state(k) = if (k == nSteps - 1) 0L else emitMid // complete
+                val vars = seqVars.getOrElse(emitMid, defaults.clone())
+                applyAssigns(k, vars)
+                if (k == nSteps - 1) { // complete
+                  state(k) = 0L
+                  seqVars.remove(emitMid)
+                } else {
+                  state(k) = emitMid
+                  seqVars(emitMid) = vars
+                }
                 emitStep = k
-              } else if (state(k) != 0L) {
-                emitStep = k; emitMid = state(k) // absorb at k
+                emitVars = vars
+              } else if (state(k) != 0L) { // absorb at k
+                emitStep = k; emitMid = state(k)
+                val vars = seqVars.getOrElse(emitMid, defaults.clone())
+                applyAssigns(k, vars)
+                seqVars(emitMid) = vars
+                emitVars = vars
               }
             }
             k -= 1
           }
           if (emitStep < 0) None
           else Some(Row.fromSeq(
-            r.toSeq.take(baseW) ++ Seq(stepNames(emitStep), emitMid)))
+            r.toSeq.take(baseW) ++ Seq(stepNames(emitStep), emitMid) ++
+              (if (nVars == 0) Nil else emitVars.toSeq)))
         }
       }(org.apache.spark.sql.Encoders.row(outSchema))
   }

@@ -179,11 +179,19 @@ object Kql {
         val byTxt = if (by.isEmpty) "" else
           s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
         s"make-series $aggTxt on ${axis.render}$range step ${Render.expr(step)}$byTxt"
-      case QueryStep.ScanMatch(mid, steps) =>
+      case QueryStep.ScanMatch(mid, steps, declares, assigns) =>
         val m = mid.map(n => s"with_match_id=$n ").getOrElse("")
-        s"scan ${m}with (" +
-          steps.map { case (n, c) => s"step $n: ${Render.expr(c)}" }
-            .mkString("; ") + ")"
+        val d = if (declares.isEmpty) "" else
+          declares.map(v => s"${v.name}: ${v.typ} = ${v.default}")
+            .mkString("declare (", ", ", ") ")
+        val stepTxt = steps.zipWithIndex.map { case ((n, c), i) =>
+          val as = assigns.lift(i).getOrElse(Nil)
+          val aTxt = if (as.isEmpty) "" else as.map(a =>
+            s"${a.varName} ${a.op} ${Render.expr(a.expr)}")
+            .mkString(" => ", ", ", "")
+          s"step $n: ${Render.expr(c)}$aTxt"
+        }
+        s"scan $m${d}with (" + stepTxt.mkString("; ") + ")"
       case QueryStep.Invoke(n, sub) =>
         s"invoke $n (\n" + renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
       case QueryStep.RenderHint(kind) => s"render $kind"

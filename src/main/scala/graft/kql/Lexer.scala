@@ -49,7 +49,8 @@ final class UnknownSourceException(val source: String)
 object Lexer {
   import Token._
 
-  private val multiCharPunct = Seq("==", "!=", "<=", ">=", "..", "=~", "!~")
+  private val multiCharPunct =
+    Seq("==", "!=", "<=", ">=", "..", "=~", "!~", "=>")
 
   def lex(src: String): Vector[Token] = {
     val out = Vector.newBuilder[Token]

@@ -1396,23 +1396,109 @@ final class Parser(src: String, nowMicros: Long) {
     * `step <name>: <condition>` separated by semicolons (trailing `;`
     * optional). Kusto's `declare (…)` clause is rejected with a pointer
     * to the supported alternative. */
+  /** Does the expression reference any of `vars` as a simple field?
+    * (Generic product walk over the Expr ADT.) */
+  private def refsVar(e: Any, vars: Set[String]): Boolean = e match {
+    case Field(fp) => fp.isSimple && vars.contains(fp.simpleName)
+    case s: Seq[_] => s.exists(refsVar(_, vars))
+    case o: Option[_] => o.exists(refsVar(_, vars))
+    case p: Product => p.productIterator.exists(refsVar(_, vars))
+    case _ => false
+  }
+
   private def parseScanMatch(): QueryStep = {
     var matchId: Option[String] = None
     while (atIdent("with_match_id")) {
       p += 1; eatPunct("="); matchId = Some(identText())
     }
-    if (atIdent("declare"))
-      fail("scan declare(...) is not supported — run the scan, then " +
-        "compute running values with row_cumsum over the match output")
+    var declares = Seq.empty[QueryStep.ScanVar]
+    if (atIdent("declare")) {
+      p += 1
+      eatPunct("(")
+      val b = Seq.newBuilder[QueryStep.ScanVar]
+      var more = true
+      while (more) {
+        val n = identText()
+        eatPunct(":")
+        val t = identText().toLowerCase match {
+          case "long" | "int" => "long"
+          case "real" | "double" => "real"
+          case o => fail(
+            s"scan declare supports long and real variables (got '$o')")
+        }
+        eatPunct("=")
+        val d = delit(parseExpr()) match {
+          case IntLit(v) => v.toDouble
+          case FloatLit(v) => v
+          case Neg(IntLit(v)) => -v.toDouble
+          case Neg(FloatLit(v)) => -v
+          case _ => fail("scan variable default must be a numeric literal")
+        }
+        b += QueryStep.ScanVar(n, t, d)
+        more = tryPunct(",")
+      }
+      eatPunct(")")
+      declares = b.result()
+      arity(declares.map(_.name).distinct.length == declares.length,
+        "scan variable names must be distinct")
+    }
+    val varNames = declares.map(_.name).toSet
     eatIdent("with")
     eatPunct("(")
     val steps = Seq.newBuilder[(String, Expr)]
+    val assigns = Seq.newBuilder[Seq[QueryStep.ScanAssign]]
     var done = false
     while (!done) {
       eatIdent("step")
       val n = identText()
       eatPunct(":")
-      steps += ((n, parseExpr()))
+      val cond = parseExpr()
+      arity(!refsVar(cond, varNames),
+        "scan step conditions must not reference declared variables " +
+          "(documented narrowing)")
+      steps += ((n, cond))
+      // `=> v = <rhs>, …` — the restricted assignment grammar (Ast note)
+      val as = Seq.newBuilder[QueryStep.ScanAssign]
+      if (tryPunct("=>")) {
+        var moreA = true
+        while (moreA) {
+          val v = identText()
+          arity(varNames.contains(v), s"'$v' is not a declared scan variable")
+          eatPunct("=")
+          val rhs = parseExpr()
+          def varField(e: Expr): Boolean = e match {
+            case Field(fp) => fp.isSimple && fp.simpleName == v
+            case _ => false
+          }
+          val assign = rhs match {
+            case Arith("+", l, r) if varField(l) && !refsVar(r, varNames) =>
+              QueryStep.ScanAssign(v, "add", r)
+            case Arith("+", l, r) if varField(r) && !refsVar(l, varNames) =>
+              QueryStep.ScanAssign(v, "add", l)
+            case Arith("-", l, r) if varField(l) && !refsVar(r, varNames) =>
+              QueryStep.ScanAssign(v, "sub", r)
+            case Arith("*", l, r) if varField(l) && !refsVar(r, varNames) =>
+              QueryStep.ScanAssign(v, "mul", r)
+            case Arith("*", l, r) if varField(r) && !refsVar(l, varNames) =>
+              QueryStep.ScanAssign(v, "mul", l)
+            case MathFn("min_of", Seq(l, r)) if varField(l) &&
+                !refsVar(r, varNames) =>
+              QueryStep.ScanAssign(v, "min", r)
+            case MathFn("max_of", Seq(l, r)) if varField(l) &&
+                !refsVar(r, varNames) =>
+              QueryStep.ScanAssign(v, "max", r)
+            case e if !refsVar(e, varNames) =>
+              QueryStep.ScanAssign(v, "set", e)
+            case _ => fail(
+              s"unsupported scan assignment for '$v' — supported: " +
+                "v = e, v = v + e, v = v - e, v = v * e, " +
+                "v = min_of(v, e), v = max_of(v, e) with variable-free e")
+          }
+          as += assign
+          moreA = tryPunct(",")
+        }
+      }
+      assigns += as.result()
       done = if (tryPunct(";")) atPunct(")") else true
     }
     eatPunct(")")
@@ -1420,7 +1506,7 @@ final class Parser(src: String, nowMicros: Long) {
     arity(ss.nonEmpty, "scan needs at least one step")
     arity(ss.map(_._1).distinct.length == ss.length,
       "scan step names must be distinct")
-    QueryStep.ScanMatch(matchId, ss)
+    QueryStep.ScanMatch(matchId, ss, declares, assigns.result())
   }
 
   /** `mv-apply [x =] arrField on ( step | step … )` — the inner pipeline

@@ -3496,6 +3496,49 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 scan declare: per-SEQUENCE variables with restricted
+    // assignments. The oracle replays the 2-step machine (the kql_scan
+    // lag/cumsum replay) and the counter as row_number within each
+    // (user, sequence) over the matched rows — exactly cnt = cnt + 1
+    // with per-sequence reset
+    kq("kql_scan_declare",
+      """events
+        | | partition by user_id (sort by ts asc, event_id asc
+        |     | scan declare (cnt: long = 0) with (
+        |         step s1: event_type == 'view' => cnt = cnt + 1;
+        |         step s2: event_type == 'purchase' => cnt = cnt + 1))
+        | | summarize nrows = count(), cmax = max(cnt), csum = sum(cnt)
+        |     by step
+        | | sort by step asc""".stripMargin,
+      """WITH rel AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev_t
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |marked AS (
+        |  SELECT *,
+        |    CASE WHEN event_type = 'view'
+        |              AND (prev_t IS NULL OR prev_t <> 'view')
+        |         THEN 1 ELSE 0 END AS starts,
+        |    CASE WHEN event_type = 'purchase' AND prev_t = 'view'
+        |         THEN 1 ELSE 0 END AS completes
+        |  FROM rel),
+        |numbered AS (
+        |  SELECT *, sum(starts) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mid
+        |  FROM marked),
+        |matched AS (SELECT * FROM numbered
+        |            WHERE event_type = 'view' OR completes = 1),
+        |wc AS (SELECT *, row_number() OVER (
+        |         PARTITION BY user_id, mid ORDER BY ts, event_id) AS cnt
+        |       FROM matched)
+        |SELECT CASE WHEN event_type = 'view' THEN 's1' ELSE 's2' END
+        |    AS step,
+        |  count(*) AS nrows, CAST(max(cnt) AS BIGINT) AS cmax,
+        |  CAST(sum(cnt) AS DOUBLE) AS csum
+        |FROM wc GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // round-8 scoping sugar: table('T') resolves like a bare ref;
     // cluster()/database() covered in EdgeCaseSpec
     kq("kql_scoping",

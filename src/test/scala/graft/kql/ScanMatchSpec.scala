@@ -29,6 +29,52 @@ class ScanMatchSpec extends AnyFunSuite {
 
   private def run(kql: String) = Kql.run(spark, cat, kql)
 
+  test("declare: per-sequence variables accumulate and reset") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan declare (cnt: long = 0, tot: long = 0) with (
+        |     step s1: e == 'v' => cnt = cnt + 1, tot = tot + i;
+        |     step s2: e == 'p' => cnt = cnt + 1, tot = tot + i)
+        | | project i, step, match_id, cnt, tot""".stripMargin)
+    // m1: views at 2,3 then purchase at 5 — cnt/tot accumulate; m2
+    // starts at 7 with RESET variables (per-sequence state, ADX's rule)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4))).toSeq == Seq(
+      (2L, "s1", 1L, 1L, 2L), (3L, "s1", 1L, 2L, 5L),
+      (5L, "s2", 1L, 3L, 10L),
+      (7L, "s1", 2L, 1L, 7L), (8L, "s2", 2L, 2L, 15L)))
+  }
+
+  test("declare: real max_of and plain set assignments") {
+    val df = run(
+      """tape | sort by i asc
+        | | scan declare (mx: real = 0.0, last: long = 0) with (
+        |     step s1: e == 'v' => mx = max_of(mx, todouble(i)), last = i;
+        |     step s2: e == 'p' => last = i)
+        | | project i, step, mx, last""".stripMargin)
+    assert(df.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getDouble(2), r.getLong(3))).toSeq == Seq(
+      (2L, "s1", 2.0, 2L), (3L, "s1", 3.0, 3L), (5L, "s2", 3.0, 5L),
+      (7L, "s1", 7.0, 7L), (8L, "s2", 7.0, 8L)))
+  }
+
+  test("declare: rejected shapes error clearly") {
+    val e1 = intercept[KqlParseException](run(
+      """tape | sort by i asc
+        | | scan declare (v: long = 0) with (step s1: v > 0)""".stripMargin))
+    assert(e1.getMessage.contains("must not reference declared"))
+    val e2 = intercept[KqlParseException](run(
+      """tape | sort by i asc
+        | | scan declare (v: long = 0) with (
+        |     step s1: e == 'v' => v = v * v)""".stripMargin))
+    assert(e2.getMessage.contains("unsupported scan assignment"))
+    val e3 = intercept[KqlParseException](run(
+      """tape | sort by i asc
+        | | scan declare (v: string = 'x') with (step s1: e == 'v')"""
+        .stripMargin))
+    assert(e3.getMessage.contains("long and real"))
+  }
+
   test("two-step funnel: starts, repeats, completion, restart") {
     val df = run(
       """tape | sort by i asc
@@ -120,13 +166,16 @@ class ScanMatchSpec extends AnyFunSuite {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
-  test("scan without a sort is rejected; declare is rejected with guidance") {
+  test("scan without a sort is rejected") {
     val e = intercept[KqlParseException](run(
       "tape | scan with (step s: e == 'v')"))
     assert(e.getMessage.contains("serialized"))
-    val e2 = intercept[KqlParseException](run(
-      "tape | sort by i asc | scan declare (x: long = 0) with (step s: e == 'v')"))
-    assert(e2.getMessage.contains("row_cumsum"))
+    // declare with no assignments: variables stay at their defaults
+    val df = run(
+      """tape | sort by i asc
+        | | scan declare (x: long = 7) with (step s: e == 'v')
+        | | project i, x""".stripMargin)
+    assert(df.collect().forall(_.getLong(1) == 7L))
   }
 
   test("row_cumsum after scan covers the declare use-case") {
