@@ -280,7 +280,9 @@ final class Compiler(
       case "series_sum" | "series_min" | "series_max" | "series_avg" |
           "series_dot_product" | "series_magnitude" |
           "series_cosine_similarity" |
-          "series_pearson_correlation" => KT.Float
+          "series_pearson_correlation" |
+          "geo_line_length" | "geo_polygon_perimeter" |
+          "geo_polygon_area" => KT.Float
       case "series_fit_line_dynamic" | "series_fit_2lines_dynamic" |
           "series_decompose" |
           "series_decompose_anomalies" | "series_periods_detect" => KT.Var
@@ -1976,6 +1978,63 @@ final class Compiler(
         // array_sort (asc) and sort_array(…, false) (desc) both do too —
         // the asc form must NOT be sort_array(…, true), which is
         // nulls-first
+        // spherical line/ring metrics over GeoJSON coordinates — the
+        // same haversine/R as geo_distance_2points; polygon area is the
+        // spherical shoelace Σ(λ2−λ1)(2+sinφ1+sinφ2)·R²/2 (holes
+        // subtract). Both formulas replay in SQL; oracle outputs are
+        // binned to absorb libm last-ulp divergence (the trig-family
+        // convention). Input: the coordinates array itself, or a GeoJSON
+        // bag (its $.coordinates is taken). Rings follow GeoJSON's
+        // closed-ring convention (first point repeated last).
+        case "geo_line_length" | "geo_polygon_perimeter" |
+            "geo_polygon_area" =>
+          val c0 = compile(df, args.head)
+          val lineT = ArrayType(ArrayType(DoubleType))
+          val polyT = ArrayType(ArrayType(ArrayType(DoubleType)))
+          def geoBase(t: org.apache.spark.sql.types.DataType): Column =
+            infer(df, args.head) match {
+              case KT.Var => coalesce(
+                try_variant_get(c0, "$.coordinates", "variant"), c0)
+                .try_cast(t)
+              case _ => c0.try_cast(t)
+            }
+          def lngOf(r: Column, i: Column) = element_at(element_at(r, i), 1)
+          def latOf(r: Column, i: Column) = element_at(element_at(r, i), 2)
+          def hv(lo1: Column, la1: Column, lo2: Column, la2: Column) = {
+            val p1 = radians(la1)
+            val p2 = radians(la2)
+            val a = pow(sin((p2 - p1) / 2), 2.0) + cos(p1) * cos(p2) *
+              pow(sin((radians(lo2) - radians(lo1)) / 2), 2.0)
+            lit(2.0 * 6371000.0) * asin(sqrt(a))
+          }
+          def ringLen(r: Column): Column =
+            when(size(r) >= 2, aggregate(sequence(lit(2), size(r)),
+              lit(0.0), (acc, i) => acc + hv(lngOf(r, i - 1),
+                latOf(r, i - 1), lngOf(r, i), latOf(r, i))))
+              .otherwise(lit(0.0))
+          def ringArea(r: Column): Column =
+            abs(when(size(r) >= 3, aggregate(sequence(lit(2), size(r)),
+              lit(0.0), (acc, i) =>
+                acc + (radians(lngOf(r, i)) - radians(lngOf(r, i - 1))) *
+                  (lit(2.0) + sin(radians(latOf(r, i - 1))) +
+                    sin(radians(latOf(r, i))))))
+              .otherwise(lit(0.0))) * lit(6371000.0 * 6371000.0 / 2.0)
+          name match {
+            case "geo_line_length" => ringLen(geoBase(lineT))
+            case "geo_polygon_perimeter" =>
+              aggregate(geoBase(polyT), lit(0.0),
+                (acc, r) => acc + ringLen(r))
+            case _ =>
+              val poly = geoBase(polyT)
+              val outer = ringArea(element_at(poly, 1))
+              val holes = when(size(poly) > 1,
+                aggregate(slice(poly, lit(2),
+                  greatest(size(poly) - 1, lit(0))),
+                  lit(0.0), (acc, r) => acc + ringArea(r)))
+                .otherwise(lit(0.0))
+              greatest(outer - holes, lit(0.0))
+          }
+
         case "array_sort_asc" | "array_sort_desc" if args.length > 1 =>
           // co-sort: zip positions into structs (first array is the key;
           // ties break by the paired values — deterministic), sort, and

@@ -2197,7 +2197,8 @@ final class Parser(src: String, nowMicros: Long) {
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "extract_json", "parse_path", "has_any_index",
     "geo_distance_2points", "geo_point_in_circle", "geo_point_in_polygon",
-    "geo_geohash",
+    "geo_geohash", "geo_line_length", "geo_polygon_perimeter",
+    "geo_polygon_area",
     "geo_geohash_to_central_point",
     "parse_ipv6", "ipv6_compare", "ipv6_is_match", "ipv6_is_in_range",
     "format_timespan",
@@ -2460,6 +2461,10 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 5,
           "geo_point_in_circle() takes (lon, lat, c_lon, c_lat, radius)")
         MathFn("geo_point_in_circle", a)
+      case f @ ("geo_line_length" | "geo_polygon_perimeter" |
+                "geo_polygon_area") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        ArrFn(f, a)
       case "geo_point_in_polygon" =>
         val a = args()
         arity(a.length == 3,

@@ -2808,6 +2808,61 @@ object KqlQueries {
         |       dist <= 1000000.0 AS inc
         |FROM dd ORDER BY event_id""".stripMargin),
 
+    // round-8 spherical line/ring metrics: haversine segment sums and
+    // the spherical shoelace area, outputs binned (the trig-family
+    // libm-ulp convention); the triangle ring is closed GeoJSON-style
+    kq("kql_geometrics",
+      """events
+        | | where event_id < 1500
+        | | extend lon = value % 360.0 - 180.0, lat = value % 180.0 - 90.0,
+        |          lon2 = (value * 1.7) % 360.0 - 180.0,
+        |          lat2 = (value * 0.3) % 180.0 - 90.0
+        | | extend ln = pack_array(pack_array(lon, lat),
+        |                          pack_array(lon2, lat2)),
+        |          tri = pack_array(pack_array(
+        |            pack_array(lon, lat), pack_array(lon2, lat),
+        |            pack_array(lon, lat2), pack_array(lon, lat)))
+        | | project event_id,
+        |     l = toint(bin(geo_line_length(ln), 1.0)),
+        |     per = toint(bin(geo_polygon_perimeter(tri), 1.0)),
+        |     ar = toint(bin(geo_polygon_area(tri) / 1000000.0, 1.0))
+        | | sort by event_id asc""".stripMargin,
+      """WITH b AS (SELECT event_id,
+        |    value % 360.0 - 180.0 AS lon, value % 180.0 - 90.0 AS lat,
+        |    (value * 1.7) % 360.0 - 180.0 AS lon2,
+        |    (value * 0.3) % 180.0 - 90.0 AS lat2
+        |  FROM events WHERE event_id < 1500),
+        |m AS (SELECT event_id,
+        |    2.0 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(lat2) - radians(lat)) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(lat2)) *
+        |      pow(sin((radians(lon2) - radians(lon)) / 2), 2))) AS seg,
+        |    2.0 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(lat) - radians(lat)) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(lat)) *
+        |      pow(sin((radians(lon2) - radians(lon)) / 2), 2))) AS e1,
+        |    2.0 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(lat2) - radians(lat)) / 2), 2) +
+        |      cos(radians(lat)) * cos(radians(lat2)) *
+        |      pow(sin((radians(lon) - radians(lon2)) / 2), 2))) AS e2,
+        |    2.0 * 6371000.0 * asin(sqrt(
+        |      pow(sin((radians(lat) - radians(lat2)) / 2), 2) +
+        |      cos(radians(lat2)) * cos(radians(lat)) *
+        |      pow(sin((radians(lon) - radians(lon)) / 2), 2))) AS e3,
+        |    abs((radians(lon2) - radians(lon)) *
+        |          (2 + sin(radians(lat)) + sin(radians(lat))) +
+        |        (radians(lon) - radians(lon2)) *
+        |          (2 + sin(radians(lat)) + sin(radians(lat2))) +
+        |        (radians(lon) - radians(lon)) *
+        |          (2 + sin(radians(lat2)) + sin(radians(lat))))
+        |      * (6371000.0 * 6371000.0 / 2.0) AS area
+        |  FROM b)
+        |SELECT event_id,
+        |  CAST(floor(seg) AS BIGINT) AS l,
+        |  CAST(floor(e1 + e2 + e3) AS BIGINT) AS per,
+        |  CAST(floor(area / 1000000.0) AS BIGINT) AS ar
+        |FROM m ORDER BY event_id""".stripMargin),
+
     kq("kql_geohash",
       """print h = geo_geohash(10.40744, 57.64911, 11),
         |      h5 = geo_geohash(-5.6, 42.6),
