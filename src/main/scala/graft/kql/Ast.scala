@@ -58,6 +58,10 @@ object Expr {
   /** op ∈ + - * / ; `/` always yields double (interpreter/mod.rs:70-103). */
   final case class Arith(op: String, l: Expr, r: Expr) extends Expr
   final case class Neg(e: Expr) extends Expr
+  /** The i-th field of a STRUCT-valued expression — produced only by the
+    * multi-assign projection form `(n1, n2, …) = f(…)` (ADX's tuple
+    * functions: series_stats, series_fit_line, series_fit_2lines). */
+  final case class TupleGet(e: Expr, idx: Int) extends Expr
 
   final case class In(e: Expr, items: Seq[Expr], negated: Boolean) extends Expr
   final case class Between(e: Expr, lo: Expr, hi: Expr, negated: Boolean) extends Expr

@@ -296,6 +296,12 @@ final class Compiler(
       case "row_window_session" => KT.Ts
       case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
     }
+    case TupleGet(e, i) =>
+      df.select(compile(df, e)).schema.head.dataType match {
+        case s: org.apache.spark.sql.types.StructType if i < s.length =>
+          ktOf(s(i).dataType)
+        case _ => KT.Str
+      }
     case ToScalar(q) => toScalarValue(q) match {
       case _: java.lang.Long | _: java.lang.Integer => KT.Int
       case _: java.lang.Double => KT.Float
@@ -1628,6 +1634,17 @@ final class Compiler(
 
     // period-boundary crossing count (KQL datetime_diff): truncate both
     // sides to the period, then difference — never elapsed-time division
+    case TupleGet(e, i) =>
+      val c = compile(df, e)
+      df.select(c).schema.head.dataType match {
+        case s: org.apache.spark.sql.types.StructType if i < s.length =>
+          c.getField(s(i).name)
+        case other => throw KqlParseException(
+          s"multi-assign (…) = f(…) needs a struct-valued tuple function " +
+            s"(series_stats, series_fit_line, series_fit_2lines — got " +
+            s"${other.simpleString}); the _dynamic forms return bags for " +
+            "single-column use", 0)
+      }
     case ToScalar(q) => lit(toScalarValue(q))
 
     case DtAdd(period, n, ts) =>
@@ -2268,7 +2285,43 @@ final class Compiler(
         // variance (population, of the input), rvariance (population, of
         // the residuals), line_fit (the fitted values). n < 2 or any
         // null element → null
-        case "series_fit_line_dynamic" =>
+        // tuple forms (struct-valued, consumed via multi-assign): the
+        // same kernels as their _dynamic twins, fields in ADX's
+        // positional order
+        case "series_stats" =>
+          val ad = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val mn = array_min(ad)
+          val mx = array_max(ad)
+          val n = size(ad)
+          val s1 = aggregate(ad, lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0)))
+          val s2 = aggregate(ad, lit(0.0),
+            (acc, x) => acc + coalesce(x * x, lit(0.0)))
+          val nd = n.cast(DoubleType)
+          val avg0 = when(n > 0, s1 / nd)
+          // sample variance (n−1); degenerate n <= 1 → 0.0
+          val variance = when(n > 1,
+            (s2 - s1 * s1 / nd) / (nd - 1.0)).otherwise(lit(0.0))
+          struct(
+            mn.as("min"),
+            (array_position(ad, mn) - 1).cast(LongType).as("min_idx"),
+            mx.as("max"),
+            (array_position(ad, mx) - 1).cast(LongType).as("max_idx"),
+            avg0.as("avg"),
+            sqrt(greatest(variance, lit(0.0))).as("stdev"),
+            variance.as("variance"))
+        case "series_fit_2lines" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val yIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, args.head),
+              e => e.cast(DoubleType))
+          }
+          // kernel struct order: rsquare, split_idx, variance, rvariance,
+          // line_fit, left, right — the first five ARE ADX's tuple order
+          column(graft.functions.SeriesFit2LinesExpr(expression(yIn)))
+        }
+        case "series_fit_line" | "series_fit_line_dynamic" =>
           // a variant (todynamic / make-series default) array must become
           // a typed array before the lambda walk
           val yIn = infer(df, args.head) match {
@@ -2297,11 +2350,13 @@ final class Compiler(
           // slope/variance to null, and to_json would then DROP those
           // struct fields, leaving a partial bag instead of the
           // documented whole-result null
-          when(size(y) >= 2 && size(filter(y, e => e.isNull)) === 0,
-            try_parse_json(to_json(struct(
-              rsquare.as("rsquare"), slope.as("slope"),
-              variance.as("variance"), rvariance.as("rvariance"),
-              icept.as("interception"), fit.as("line_fit")))))
+          val okFit = size(y) >= 2 && size(filter(y, e => e.isNull)) === 0
+          val fitStruct = struct(
+            rsquare.as("rsquare"), slope.as("slope"),
+            variance.as("variance"), rvariance.as("rvariance"),
+            icept.as("interception"), fit.as("line_fit"))
+          if (name == "series_fit_line") when(okFit, fitStruct) // tuple form
+          else when(okFit, try_parse_json(to_json(fitStruct)))
         // per-phase median seasonal component (typed array out) and the
         // IIR filter — native kernels
         case "series_seasonal" => {

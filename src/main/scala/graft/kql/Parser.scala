@@ -571,18 +571,56 @@ final class Parser(src: String, nowMicros: Long) {
     * (`parser.rs:303-348`): explicit alias > field-ish default name >
     * `Column1`, `Column2`, … with `{base}{n}` dedup.
     */
+  /** Lookahead for the multi-assign form `(n1, n2, …) =` (≥2 names, the
+    * `=` not `==`); consumes through the `=` and returns the names. */
+  private def tryMultiAssign(): Option[Seq[String]] = {
+    if (!atPunct("(")) return None
+    var q = p + 1
+    val names = Seq.newBuilder[String]
+    var expectIdent = true
+    var ok = true
+    var closed = false
+    while (!closed && ok) {
+      toks.lift(q) match {
+        case Some(Ident(w, _)) if expectIdent =>
+          names += w; expectIdent = false; q += 1
+        case Some(Punct(",", _)) if !expectIdent => expectIdent = true; q += 1
+        case Some(Punct(")", _)) if !expectIdent => closed = true; q += 1
+        case _ => ok = false
+      }
+    }
+    if (!ok) return None
+    (toks.lift(q), toks.lift(q + 1)) match {
+      case (Some(Punct("=", _)), next) if !next.exists {
+          case Punct("=", _) => true; case _ => false } =>
+        val out = names.result()
+        if (out.length >= 2) { p = q + 1; Some(out) } else None
+      case _ => None
+    }
+  }
+
   private def parseProjFields(): Seq[(Expr, String)] = {
     final case class Raw(e: Expr, alias: Option[String])
     val raw = Seq.newBuilder[Raw]
     var done = false
     while (!done) {
-      // alias = expr  (lookahead: ident '=' not '==')
-      val alias = (peek, toks.lift(p + 1)) match {
-        case (Ident(a, _), Some(Punct("=", _))) if !reservedWords(a.toLowerCase) =>
-          p += 2; Some(a)
-        case _ => None
+      // multi-assign: (n1, n2, …) = f(…) — each name binds the i-th
+      // field of the struct-valued result (ADX's tuple functions)
+      tryMultiAssign() match {
+        case Some(names) =>
+          val e = parseExpr()
+          names.zipWithIndex.foreach { case (n, i) =>
+            raw += Raw(TupleGet(e, i), Some(n)) }
+        case None =>
+          // alias = expr  (lookahead: ident '=' not '==')
+          val alias = (peek, toks.lift(p + 1)) match {
+            case (Ident(a, _), Some(Punct("=", _)))
+                if !reservedWords(a.toLowerCase) =>
+              p += 2; Some(a)
+            case _ => None
+          }
+          raw += Raw(parseExpr(), alias)
       }
-      raw += Raw(parseExpr(), alias)
       done = !tryPunct(",")
     }
     nameFields(raw.result().map(r => (r.e, r.alias)))
@@ -2239,7 +2277,8 @@ final class Parser(src: String, nowMicros: Long) {
     "series_fit_line_dynamic", "series_fit_2lines_dynamic",
     "series_seasonal", "series_iir",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
-    "series_decompose_forecast",
+    "series_decompose_forecast", "series_stats", "series_fit_line",
+    "series_fit_2lines",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "series_fill_linear",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
@@ -2848,6 +2887,11 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3,
           "series_iir() takes (series, numerators, denominators)")
         ArrFn("series_iir", a)
+      case f @ ("series_stats" | "series_fit_line" | "series_fit_2lines") =>
+        // ADX's tuple forms — struct-valued, consumed via multi-assign
+        // `(a, b, …) = f(s)` (the _dynamic bag forms exist separately)
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        ArrFn(f, a)
       case "series_decompose_forecast" =>
         val a = args()
         arity(a.length >= 2 && a.length <= 4,

@@ -8,6 +8,7 @@ object Render {
   import Expr._
 
   def expr(e: Expr): String = e match {
+    case TupleGet(inner, i) => s"${expr(inner)}[tuple $i]"
     case IntLit(v) => v.toString
     case FloatLit(v) => v.toString
     case BoolLit(v) => v.toString

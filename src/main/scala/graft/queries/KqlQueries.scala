@@ -3551,6 +3551,31 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 multi-assign tuple functions: (a, b, …) = series_stats /
+    // series_fit_line bind struct fields positionally. Closed forms: the
+    // sample variance of a+{0,2,4,6} is exactly 20/3 (every intermediate
+    // is an exact integer double), and the line fit of an exact line is
+    // exact
+    kq("kql_tuple_fns",
+      """documents
+        | | where doc_id < 300
+        | | extend a = doc_id % 5
+        | | extend s = pack_array(a, a + 2, a + 4, a + 6)
+        | | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(s),
+        |          (rsq, slope, v1, rv, icept, lf) = series_fit_line(s)
+        | | project doc_id, mn, mni, mx, mxi, av, vr,
+        |     rsq, slope, icept, l2 = toreal(lf[2])
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  CAST(doc_id % 5 AS DOUBLE) AS mn, CAST(0 AS BIGINT) AS mni,
+        |  CAST(doc_id % 5 + 6 AS DOUBLE) AS mx, CAST(3 AS BIGINT) AS mxi,
+        |  CAST(doc_id % 5 + 3 AS DOUBLE) AS av,
+        |  20.0 / 3.0 AS vr,
+        |  CAST(1.0 AS DOUBLE) AS rsq, CAST(2.0 AS DOUBLE) AS slope,
+        |  CAST(doc_id % 5 AS DOUBLE) AS icept,
+        |  CAST(doc_id % 5 + 4 AS DOUBLE) AS l2
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-8 scan declare: per-SEQUENCE variables with restricted
     // assignments. The oracle replays the 2-step machine (the kql_scan
     // lag/cumsum replay) and the counter as row_number within each

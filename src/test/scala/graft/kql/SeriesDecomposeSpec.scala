@@ -201,6 +201,26 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.getBoolean(3)) // train head of 2 < 4 → null
   }
 
+  test("multi-assign tuple functions bind struct fields positionally") {
+    val r = run(
+      """print s = pack_array(1, 9, 5, 13)
+        | | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(s),
+        |          (rsq, sl, v1, rv, ic, lf) = series_fit_2lines(s)
+        | | project mn, mni, mx, mxi, av, sl""".stripMargin)
+      .collect().head
+    assert(r.getDouble(0) == 1.0 && r.getLong(1) == 0L)
+    assert(r.getDouble(2) == 13.0 && r.getLong(3) == 3L)
+    assert(r.getDouble(4) == 7.0)
+    assert(r.getLong(5) >= 0L) // split_idx (2lines field #2) is a long
+  }
+
+  test("multi-assign on a non-struct expression errors clearly") {
+    val e = intercept[Exception](run(
+      "print x = 1 | extend (a, b) = strcat('u', 'v') | project a"
+    ).collect())
+    assert(e.getMessage.contains("struct-valued"))
+  }
+
   test("strcat_array accepts variant arrays") {
     val r = run(
       """print s = strcat_array(todynamic('[1, "x", true]'), '|')"""
