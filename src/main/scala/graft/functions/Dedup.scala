@@ -322,6 +322,54 @@ object Dedup {
       .drop("__h", "__win")
   }
 
+  /** Bloom-prefiltered incremental dedup — OUTPUT-IDENTICAL to
+    * [[incrementalDedup]], with the 100 TB shuffle profile: the corpus
+    * index aggregates into ONE Bloom filter row (`bloom_filter_agg`,
+    * Spark's runtime-filter machinery), every batch row probes it
+    * map-side (`might_contain` over a broadcast), and only the
+    * maybe-duplicate fraction enters the exact anti-join. Bloom filters
+    * have no false negatives, so the might-not-contain branch is
+    * definitely new and skips the join entirely; false positives are
+    * re-checked exactly — correctness never depends on the filter.
+    *
+    * @param expectedItems sizing for the filter (items in the index)
+    */
+  def incrementalDedupBloom(batch: DataFrame, corpusHashes: DataFrame,
+      idCol: String, textCol: String,
+      expectedItems: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val index = corpusHashes.select(col("text_hash").as("__h")).distinct()
+    // BloomFilterAggregate/BloomFilterMightContain are Spark's
+    // runtime-filter expressions (not in the SQL registry) — built
+    // directly, exactly how InjectRuntimeFilter uses them
+    val bloom = index.agg(column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate
+        .BloomFilterAggregate(expression(xxhash64(col("__h"))),
+          Literal(expectedItems), Literal(expectedItems * 8))
+        .toAggregateExpression()).as("__bf"))
+    // might_contain requires a CONSTANT filter — materialize the one-row
+    // aggregate eagerly (a documented bounded collect, the toscalar
+    // precedent: one binary value sized to the index, the same artifact
+    // Spark's InjectRuntimeFilter ships via scalar subquery)
+    val bfBytes = bloom.collect()(0).getAs[Array[Byte]](0)
+    val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
+    val w = Window.partitionBy(col("__h"))
+    val inBatch = hashed.withColumn("__win", min(col(idCol)).over(w))
+      .filter(col("__win") === col(idCol))
+      .withColumn("__maybe", column(
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          Literal(bfBytes,
+            org.apache.spark.sql.types.BinaryType),
+          expression(xxhash64(col("__h"))))))
+    val definitelyNew = inBatch.filter(!col("__maybe"))
+    val verified = inBatch.filter(col("__maybe"))
+      .join(index, Seq("__h"), "left_anti")
+    definitelyNew.unionByName(verified)
+      .drop("__h", "__win", "__maybe")
+  }
+
   /** Corpus-level exact LINE dedup (the C4/RefinedWeb boilerplate rule):
     * across the whole corpus, only the FIRST occurrence — smallest
     * (id, lineIdx) — of every distinct line survives; documents are

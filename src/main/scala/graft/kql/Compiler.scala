@@ -1635,6 +1635,9 @@ final class Compiler(
     // period-boundary crossing count (KQL datetime_diff): truncate both
     // sides to the period, then difference — never elapsed-time division
     case TupleGet(e, i) =>
+      // the struct expression recurs once per assigned name; whole-stage
+      // codegen's subexpression elimination collapses the copies, so the
+      // kernel evaluates once per row
       val c = compile(df, e)
       df.select(c).schema.head.dataType match {
         case s: org.apache.spark.sql.types.StructType if i < s.length =>

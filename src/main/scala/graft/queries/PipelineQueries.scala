@@ -556,6 +556,30 @@ object PipelineQueries {
           "doc_id", "text").select("doc_id").orderBy("doc_id")
       }),
 
+    // Bloom-prefiltered incremental dedup: OUTPUT-IDENTICAL to
+    // pl_incr_dedup (same oracle) — the filter only routes rows between
+    // the skip-the-join branch and the exact re-check, so correctness
+    // never depends on the false-positive pattern; the plan gains the
+    // bloom_filter_agg/might_contain prefilter (PlanSpec pins it)
+    Q("pl_incr_bloom",
+      """WITH corpus AS (SELECT DISTINCT text FROM documents
+        |                WHERE doc_id < 250),
+        |b AS (SELECT doc_id, text FROM documents WHERE doc_id >= 250),
+        |f AS (SELECT doc_id, text, row_number() OVER (
+        |        PARTITION BY text ORDER BY doc_id) AS rn FROM b)
+        |SELECT doc_id FROM f
+        |WHERE rn = 1 AND text NOT IN (SELECT text FROM corpus)
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val index = Dedup.exactDupGroups(
+          docs.filter(col("doc_id") < 250), "doc_id", "text")
+          .select("text_hash")
+        Dedup.incrementalDedupBloom(docs.filter(col("doc_id") >= 250),
+          index, "doc_id", "text", expectedItems = 1000L)
+          .select("doc_id").orderBy("doc_id")
+      }),
+
     // exact substring dedup (Lee et al. 2022 ExactSubstr, arXiv:2107.06499):
     // repeated ≥k-token substrings keep only their first occurrence.
     // Duplication is PLANTED deterministically so the fixture provably

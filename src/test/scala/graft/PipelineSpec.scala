@@ -81,6 +81,20 @@ class PipelineSpec extends AnyFunSuite {
       (3L, "", 0L, 1L)))
   }
 
+  test("bloom incremental dedup is output-identical to the exact form") {
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val index = Dedup.exactDupGroups(
+      docs.filter(col("doc_id") < 250), "doc_id", "text").select("text_hash")
+    val batch = docs.filter(col("doc_id") >= 250)
+    val exact = Dedup.incrementalDedup(batch, index, "doc_id", "text")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // tiny filter → high FP rate → the exact re-check branch does real work
+    val bloom = Dedup.incrementalDedupBloom(batch, index, "doc_id", "text",
+      expectedItems = 16L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+  }
+
   test("substring dedup removes repeated >=k-token runs, keeps first") {
     // k=3. doc1 wins everything (smallest id). doc2's "a b c d" is the
     // 2-shingle chain {a b c, b c d} at starts 1,2 → one merged span

@@ -360,6 +360,14 @@ class PlanSpec extends AnyFunSuite {
     assert(q.contains("Generate explode") && !q.contains("CartesianProduct"), q)
   }
 
+  test("bloom incremental dedup: might_contain prefilter feeds the anti-join") {
+    val p = plan("pl_incr_bloom")
+    assert(p.contains("might_contain"),
+      s"the bloom probe must appear in the plan:\n$p")
+    // the exact anti-join still runs (on the maybe branch only)
+    assert(p.toLowerCase.contains("leftanti"), p)
+  }
+
   test("line dedup: partial min-struct agg keyed by the line, no all-pairs") {
     val p = plan("pl_line_dedup")
     assert(!p.contains("CartesianProduct") &&
