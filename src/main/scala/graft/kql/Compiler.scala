@@ -204,6 +204,7 @@ final class Compiler(
            "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case f if f.startsWith("convert_") => KT.Float
+      case "parse_user_agent" => KT.Var
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
            "unixtime_milliseconds_todatetime" |
@@ -857,6 +858,54 @@ final class Compiler(
                      else flatten(array(arrs: _*))
           column(graft.functions.TextCodecExpr(expression(flat), "cp_to"))
         }
+        // parse_user_agent (documented subset of ADX's uap-core tables —
+        // the full regex corpus is a moving database; these are the
+        // stable headline families, first match wins, all RE2-safe so
+        // the oracle replays them):
+        //   browser: Edg/ → Edge, OPR/|Opera → Opera, Chrome/ → Chrome,
+        //     Firefox/ → Firefox, Version/+Safari → Safari,
+        //     MSIE|Trident → IE, else Other; MajorVersion extracted
+        //   os: Windows NT → Windows, Android → Android, iPhone|iPad →
+        //     iOS, Mac OS X → macOS, Linux → Linux, else Other
+        case "parse_user_agent" =>
+          val ua = cs.head.cast(StringType)
+          val kind = args.lift(1) match {
+            case Some(StrLit(k @ ("browser" | "os"))) => k
+            case None => "browser"
+            case _ => throw KqlParseException(
+              "parse_user_agent() kind must be 'browser' or 'os'", 0)
+          }
+          def ver(marker: String): Column =
+            regexp_extract(ua, marker + "([0-9]+)", 1)
+          if (kind == "browser") {
+            val fam = when(ua.contains("Edg/"), "Edge")
+              .when(ua.contains("OPR/") || ua.contains("Opera"), "Opera")
+              .when(ua.contains("Chrome/"), "Chrome")
+              .when(ua.contains("Firefox/"), "Firefox")
+              .when(ua.contains("Version/") && ua.contains("Safari"),
+                "Safari")
+              .when(ua.contains("MSIE") || ua.contains("Trident/"), "IE")
+              .otherwise("Other")
+            val major = when(ua.contains("Edg/"), ver("Edg/"))
+              .when(ua.contains("OPR/"), ver("OPR/"))
+              .when(ua.contains("Chrome/"), ver("Chrome/"))
+              .when(ua.contains("Firefox/"), ver("Firefox/"))
+              .when(ua.contains("Version/") && ua.contains("Safari"),
+                ver("Version/"))
+              .when(ua.contains("MSIE"), ver("MSIE "))
+              .otherwise(lit(""))
+            try_parse_json(to_json(struct(struct(
+              fam.as("Family"), major.as("MajorVersion")).as("Browser"))))
+          } else {
+            val fam = when(ua.contains("Windows NT"), "Windows")
+              .when(ua.contains("Android"), "Android")
+              .when(ua.contains("iPhone") || ua.contains("iPad"), "iOS")
+              .when(ua.contains("Mac OS X"), "macOS")
+              .when(ua.contains("Linux"), "Linux")
+              .otherwise("Other")
+            try_parse_json(to_json(struct(struct(
+              fam.as("Family")).as("OperatingSystem"))))
+          }
         case "punycode_domain_from_string" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.TextCodecExpr(

@@ -2261,7 +2261,7 @@ final class Parser(src: String, nowMicros: Long) {
     "parse_ipv4", "format_ipv4", "ipv4_is_in_range", "ipv4_is_private",
     "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
     "replace_strings", "punycode_domain_from_string",
-    "punycode_domain_to_string",
+    "punycode_domain_to_string", "parse_user_agent",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2656,6 +2656,11 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 3,
           "replace_strings() takes (text, lookups, rewrites)")
         StrFn("replace_strings", a)
+      case "parse_user_agent" =>
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          "parse_user_agent() takes (ua[, 'browser'|'os'])")
+        StrFn("parse_user_agent", a)
       case f @ ("convert_length" | "convert_mass" | "convert_speed" |
                 "convert_volume" | "convert_energy" | "convert_angle" |
                 "convert_force" | "convert_temperature") =>

@@ -3551,6 +3551,37 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 parse_user_agent (documented headline-family subset of
+    // ADX's uap-core tables — first match wins, RE2-safe): six real UA
+    // shapes cycle through the corpus, families/versions literal-pinned
+    kq("kql_parse_ua",
+      """events
+        | | where event_id < 600
+        | | extend ua = case(
+        |     event_id % 6 == 0, 'Mozilla/5.0 (Windows NT 10.0; Win64; x64) AppleWebKit/537.36 (KHTML, like Gecko) Chrome/120.0.0.0 Safari/537.36',
+        |     event_id % 6 == 1, 'Mozilla/5.0 (Windows NT 10.0) AppleWebKit/537.36 Chrome/119.0.0.0 Safari/537.36 Edg/119.0.2151.97',
+        |     event_id % 6 == 2, 'Mozilla/5.0 (Macintosh; Intel Mac OS X 10_15_7) AppleWebKit/605.1.15 (KHTML, like Gecko) Version/17.1 Safari/605.1.15',
+        |     event_id % 6 == 3, 'Mozilla/5.0 (X11; Linux x86_64; rv:109.0) Gecko/20100101 Firefox/118.0',
+        |     event_id % 6 == 4, 'Mozilla/5.0 (iPhone; CPU iPhone OS 17_0 like Mac OS X) AppleWebKit/605.1.15 Version/17.0 Mobile/15E148 Safari/604.1',
+        |     'Mozilla/5.0 (compatible; MSIE 9.0; Windows NT 6.1; Trident/5.0)')
+        | | extend b = parse_user_agent(ua, 'browser'),
+        |          o = parse_user_agent(ua, 'os')
+        | | project event_id, fam = tostring(b.Browser.Family),
+        |     ver = tostring(b.Browser.MajorVersion),
+        |     osf = tostring(o.OperatingSystem.Family)
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CASE event_id % 6 WHEN 0 THEN 'Chrome' WHEN 1 THEN 'Edge'
+        |    WHEN 2 THEN 'Safari' WHEN 3 THEN 'Firefox'
+        |    WHEN 4 THEN 'Safari' ELSE 'IE' END AS fam,
+        |  CASE event_id % 6 WHEN 0 THEN '120' WHEN 1 THEN '119'
+        |    WHEN 2 THEN '17' WHEN 3 THEN '118'
+        |    WHEN 4 THEN '17' ELSE '9' END AS ver,
+        |  CASE event_id % 6 WHEN 0 THEN 'Windows' WHEN 1 THEN 'Windows'
+        |    WHEN 2 THEN 'macOS' WHEN 3 THEN 'Linux'
+        |    WHEN 4 THEN 'iOS' ELSE 'Windows' END AS osf
+        |FROM events WHERE event_id < 600 ORDER BY event_id""".stripMargin),
+
     // round-8 multi-assign tuple functions: (a, b, …) = series_stats /
     // series_fit_line bind struct fields positionally. Closed forms: the
     // sample variance of a+{0,2,4,6} is exactly 20/3 (every intermediate
