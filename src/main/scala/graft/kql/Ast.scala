@@ -469,7 +469,12 @@ object QueryStep {
     * null/empty produce nothing, like mv-apply. */
   final case class MvApply(
       name: String, src: FieldPath, sub: Seq[QueryStep],
-      castKind: Option[String] = None) extends QueryStep
+      castKind: Option[String] = None,
+      // additional `name = arr [to typeof(T)]` specs (ADX's multi-column
+      // mv-apply): elements zip positionally, shorter arrays pad null —
+      // the mv-expand multi-field rule
+      extraSpecs: Seq[(String, FieldPath, Option[String])] = Nil)
+      extends QueryStep
   final case class Limit(n: Long) extends QueryStep
   /** `top-nested N1 of k1 by agg1, top-nested N2 of k2 by agg2, …` —
     * hierarchical top-k (real-KQL surface beyond the reference): level 1

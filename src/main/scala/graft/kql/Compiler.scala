@@ -3810,32 +3810,64 @@ final class Compiler(
     // first() (constant within a row's group, so deterministic). The row
     // id is evaluated on a single plan branch (no self-join), which keeps
     // monotonically_increasing_id safe here.
-    case QueryStep.MvApply(name, src, sub, castKind) =>
+    case QueryStep.MvApply(name, src, sub, castKind, extraSpecs) =>
       val rid = "__mvapply_rid"
+      val specs = (name, src, castKind) +: extraSpecs
+      val specNames = specs.map(_._1)
       // bare form (`mv-apply arr on …`) replaces the array column with the
       // element, so it must not also be carried as an "original"
-      val origCols = df.columns.toSeq.filterNot(_.equalsIgnoreCase(name))
-      val srcArr = dataTypeAt(df, src) match {
-        // schemaless: variant arrays explode per element (a per-row
-        // non-array variant casts to null → the row emits nothing, like
-        // a null array)
-        case _: VariantType =>
-          compileField(df, src).try_cast(ArrayType(VariantType))
-        case _ => compileField(df, src)
-      }
-      var cur = df
-        .withColumn(rid, monotonically_increasing_id())
-        .withColumn(name, explode(srcArr))
-      castKind.filter(_ != "dynamic").foreach { t => // typeof(dynamic): no-op
-        val sparkT = t match {
-          case "long" | "int" => LongType
-          case "real" | "double" => DoubleType
-          case "bool" | "boolean" => BooleanType
-          case "datetime" => TimestampType
-          case _ => StringType
+      val origCols = df.columns.toSeq
+        .filterNot(c => specNames.exists(_.equalsIgnoreCase(c)))
+      def mvArrOf(frame: DataFrame, f: FieldPath): Column =
+        dataTypeAt(df, f) match {
+          // schemaless: variant arrays explode per element (a per-row
+          // non-array variant casts to null → the row emits nothing, like
+          // a null array)
+          case _: VariantType =>
+            compileField(frame, f).try_cast(ArrayType(VariantType))
+          case _ => compileField(frame, f)
         }
-        cur = cur.withColumn(name, col(s"`$name`").try_cast(sparkT))
-      }
+      def mvCast(c: Column, k: Option[String]): Column =
+        k.filter(_ != "dynamic").fold(c) { t => // typeof(dynamic): no-op
+          val sparkT = t match {
+            case "long" | "int" => LongType
+            case "real" | "double" => DoubleType
+            case "bool" | "boolean" => BooleanType
+            case "datetime" => TimestampType
+            case _ => StringType
+          }
+          c.try_cast(sparkT)
+        }
+      var cur =
+        if (extraSpecs.isEmpty) {
+          val c0 = df
+            .withColumn(rid, monotonically_increasing_id())
+            .withColumn(name, explode(mvArrOf(df, src)))
+          if (castKind.exists(_ != "dynamic"))
+            c0.withColumn(name, mvCast(col(s"`$name`"), castKind))
+          else c0
+        } else {
+          // multi-column zip (ADX mv-apply a = x, b = y on …): positions
+          // 0..max(sizes)−1, shorter arrays pad null (the mv-expand
+          // multi-field rule); all-null/empty rows emit nothing. Element
+          // expressions evaluate against the PRE-overwrite frame, so a
+          // spec may reuse another spec's name without self-reference.
+          val sizes = specs.map(s => coalesce(size(mvArrOf(df, s._2)), lit(0)))
+          val maxN = sizes.reduce((a, b) => greatest(a, b))
+          val exploded = df
+            .withColumn(rid, monotonically_increasing_id())
+            .withColumn("__mvidx",
+              explode(when(maxN >= 1, sequence(lit(0), maxN - 1))))
+          exploded.select(
+            (exploded.columns.toSeq
+              .filterNot(c => c == "__mvidx" ||
+                specNames.exists(_.equalsIgnoreCase(c)))
+              .map(c => col(s"`$c`")) ++
+              specs.map { case (nm, sf, ck) =>
+                mvCast(try_element_at(mvArrOf(exploded, sf),
+                  col("__mvidx") + 1), ck).as(nm)
+              }): _*)
+        }
       var aggNames = Seq.empty[String]
       var extended = Seq.empty[String]
       var i = 0
@@ -3874,7 +3906,7 @@ final class Compiler(
       }
       val outCols =
         if (aggNames.nonEmpty) origCols ++ aggNames
-        else origCols ++ Seq(name) ++ extended
+        else origCols ++ specNames ++ extended
       cur.select(outCols.map(c => col(s"`$c`")): _*)
 
     case QueryStep.Limit(n) => partitionKey match {

@@ -89,7 +89,7 @@ object Kql {
         s"mv-expand kind=$k" + ix.map(n => s" with_itemindex=$n").getOrElse("") +
           s" ${fs.map(_.render).mkString(", ")}" +
           lim.map(n => s" limit $n").getOrElse("")
-      case QueryStep.MvApply(n, src, sub, _) =>
+      case QueryStep.MvApply(n, src, sub, _, _) =>
         s"mv-apply $n = ${src.render} on (\n" +
           renderQuery(Query(sub), indent + "  ") + s"\n$indent)"
       case QueryStep.Limit(n) => s"limit $n"

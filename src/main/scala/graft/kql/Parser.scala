@@ -1561,20 +1561,31 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   private def parseMvApply(): QueryStep = {
-    val (name, src) = (peek, toks.lift(p + 1)) match {
-      case (Ident(a, _), Some(Punct("=", _))) =>
-        p += 2; (a, parseFieldPath())
-      case _ =>
-        val f = parseFieldPath(); (f.flat, f)
+    def oneSpec(): (String, FieldPath, Option[String]) = {
+      val (name, src) = (peek, toks.lift(p + 1)) match {
+        case (Ident(a, _), Some(Punct("=", _))) =>
+          p += 2; (a, parseFieldPath())
+        case _ =>
+          val f = parseFieldPath(); (f.flat, f)
+      }
+      val cast = if (atIdent("to")) { p += 1; Some(parseTypeof()) } else None
+      (name, src, cast)
     }
-    val cast = if (atIdent("to")) { p += 1; Some(parseTypeof()) } else None
+    val first = oneSpec()
+    val extras = Seq.newBuilder[(String, FieldPath, Option[String])]
+    while (tryPunct(",")) extras += oneSpec()
+    val extraSpecs = extras.result()
+    val allNames = first._1 +: extraSpecs.map(_._1)
+    arity(allNames.map(_.toLowerCase).distinct.length == allNames.length,
+      "mv-apply element names must be distinct")
     eatIdent("on")
     eatPunct("(")
     val steps = Seq.newBuilder[QueryStep]
     steps += parseStep()
     while (tryPunct("|")) steps += parseStep()
     eatPunct(")")
-    QueryStep.MvApply(name, src, steps.result(), cast)
+    QueryStep.MvApply(first._1, first._2, steps.result(), first._3,
+      extraSpecs)
   }
 
   private def parseExpand(): QueryStep = {

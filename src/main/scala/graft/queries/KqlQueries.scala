@@ -3551,6 +3551,24 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 multi-column mv-apply: arrays zip positionally (shorter
+    // pads null — the mv-expand rule), subquery filters/aggregates per
+    // source row
+    kq("kql_mvapply2",
+      """events
+        | | where event_id < 500
+        | | extend xs = pack_array(value, value * 2.0, value * 3.0),
+        |          ys = pack_array(event_id, event_id + 1)
+        | | mv-apply a = xs, b = ys on (
+        |     where a >= value * 2.0
+        |     | summarize n = count(), mb = max(b))
+        | | project event_id, n, mb
+        | | sort by event_id asc""".stripMargin,
+      """SELECT event_id,
+        |  CAST(CASE WHEN value = 0 THEN 3 ELSE 2 END AS BIGINT) AS n,
+        |  event_id + 1 AS mb
+        |FROM events WHERE event_id < 500 ORDER BY event_id""".stripMargin),
+
     // round-8 parse_user_agent (documented headline-family subset of
     // ADX's uap-core tables — first match wins, RE2-safe): six real UA
     // shapes cycle through the corpus, families/versions literal-pinned

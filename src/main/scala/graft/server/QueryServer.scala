@@ -421,7 +421,7 @@ object QueryServer {
         case QueryStep.Join(_, sub, _, _, _) => inQuery(sub)
         // mv-apply's inner pipeline can itself hold join/union subqueries
         // — the raw() gate and sink checks must see through it
-        case QueryStep.MvApply(_, _, sub, _) => inQuery(Query(sub))
+        case QueryStep.MvApply(_, _, sub, _, _) => inQuery(Query(sub))
         case QueryStep.Partition(_, sub) => inQuery(Query(sub))
         case QueryStep.Invoke(_, sub) => inQuery(Query(sub))
         case _ => false

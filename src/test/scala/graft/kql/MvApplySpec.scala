@@ -18,6 +18,25 @@ class MvApplySpec extends AnyFunSuite {
     c
   }
 
+  test("multi-column mv-apply zips arrays, pads the shorter with null") {
+    val c2 = new Catalog(spark)
+    c2.register("z", Seq(
+      (1L, Seq(1L, 2L, 3L), Seq("p", "q")),
+      (2L, Seq.empty[Long], Seq.empty[String])
+    ).toDF("id", "xs", "ys"))
+    val rows = Kql.run(spark, c2,
+      """z | mv-apply a = xs, b = ys on (where a > 1)
+        |  | project id, a, b | sort by a asc""".stripMargin).collect()
+    // zip: (1,p),(2,q),(3,null); a>1 keeps (2,q),(3,null); id=2 empty → gone
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), Option(r.getString(2))))
+      .toSeq == Seq((1L, 2L, Some("q")), (1L, 3L, None)))
+    val agg = Kql.run(spark, c2,
+      """z | mv-apply a = xs, b = ys on (summarize s = sum(a), n = count())
+        |  | project id, s, n""".stripMargin).collect()
+    assert(agg.map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSeq ==
+      Seq((1L, 6.0, 3L)))
+  }
+
   test("where + summarize aggregates per source row") {
     val rows = Kql.run(spark, cat,
       """t | mv-apply x = xs on (where x >= 3 | summarize n = count(), s = sum(x), d = dcount(x))
