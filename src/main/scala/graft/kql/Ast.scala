@@ -496,7 +496,11 @@ object QueryStep {
     * `union T1, T2, …` desugars at parse into nested Union steps. */
   final case class Union(
       sub: Query, withSource: Option[String] = None,
-      fuzzy: Boolean = false) extends QueryStep
+      fuzzy: Boolean = false,
+      // kind=inner: the output keeps only columns COMMON to both sides
+      // (Kusto's column-intersection union); default outer = bag union
+      // with null fill
+      inner: Boolean = false) extends QueryStep
   /** Equi join on one or more key pairs. The reference allows exactly one
     * (`parser.rs:1122-1163`); multi-key conditions (`on $left.a ==
     * $right.a, $left.b == $right.b`) are real-KQL surface beyond it. A

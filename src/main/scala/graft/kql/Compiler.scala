@@ -4432,7 +4432,7 @@ final class Compiler(
       if (fields2.isEmpty) df.distinct()
       else df.select(fields2.map(f => compileField(df, f).as(f.flat)): _*).distinct()
 
-    case QueryStep.Union(sub, ws, fuzzy) =>
+    case QueryStep.Union(sub, ws, fuzzy, inner) =>
       val leftName = pipelineSource
       val rightName = sourceNameOf(sub)
       val right0try = {
@@ -4470,7 +4470,16 @@ final class Compiler(
       val right =
         if (right0.columns.contains(UnionSrcCol)) right0
         else right0.withColumn(UnionSrcCol, lit(rightName))
-      val merged = left.unionByName(right, allowMissingColumns = true)
+      // kind=inner: only columns common to both sides survive (applied
+      // pairwise, so the multi-source desugaring accumulates the
+      // intersection over all sides); provenance rides along
+      val merged =
+        if (inner) {
+          val common = left.columns.filter(c =>
+            right.columns.exists(_.equalsIgnoreCase(c)))
+          left.select(common.map(c => col(s"`$c`")): _*)
+            .unionByName(right.select(common.map(c => col(s"`$c`")): _*))
+        } else left.unionByName(right, allowMissingColumns = true)
       ws match {
         case None => merged
         case Some(colName) => merged.withColumnRenamed(UnionSrcCol, colName)

@@ -101,7 +101,7 @@ object Kql {
             s" by ${by.map(b => s"${b.name} = ${Render.expr(b.expr)}").mkString(", ")}"
           else "")
       case QueryStep.Distinct(fs) => s"distinct ${fs.map(_.render).mkString(", ")}"
-      case QueryStep.Union(sub, ws, fuzzy) =>
+      case QueryStep.Union(sub, ws, fuzzy, _) =>
         val w = ws.map(c => s"withsource=$c ").getOrElse("") +
           (if (fuzzy) "isfuzzy=true " else "")
         s"union $w(\n${renderQuery(sub, indent + "  ")}\n$indent)"

@@ -339,7 +339,7 @@ final class Parser(src: String, nowMicros: Long) {
     if (atIdent("union") && toks.lift(p + 1).exists {
         case Punct("|", _) | _: Eof => false; case _ => true }) {
       p += 1
-      val (ws, fuzzy, srcs) = parseUnionParts()
+      val (ws, fuzzy, inner, srcs) = parseUnionParts()
       val steps = Seq.newBuilder[QueryStep]
       steps ++= srcs.head.steps
       if (srcs.length == 1) {
@@ -353,7 +353,7 @@ final class Parser(src: String, nowMicros: Long) {
       } else {
         srcs.tail.zipWithIndex.foreach { case (q, i) =>
           val wsHere = if (i == srcs.length - 2) ws else None
-          steps += QueryStep.Union(q, wsHere, fuzzy)
+          steps += QueryStep.Union(q, wsHere, fuzzy, inner)
         }
       }
       parseStepTail(steps)
@@ -1937,9 +1937,10 @@ final class Parser(src: String, nowMicros: Long) {
   }
 
   /** Shared head of `union`: modifiers + comma-separated sources. */
-  private def parseUnionParts(): (Option[String], Boolean, Seq[Query]) = {
+  private def parseUnionParts(): (Option[String], Boolean, Boolean, Seq[Query]) = {
     var ws: Option[String] = None
     var fuzzy = false
+    var inner = false
     var mods = true
     while (mods) {
       if (atIdent("withsource")) { p += 1; eatPunct("="); ws = Some(identText()) }
@@ -1948,10 +1949,14 @@ final class Parser(src: String, nowMicros: Long) {
         fuzzy = identText().equalsIgnoreCase("true")
       } else if (atIdent("kind") && toks.lift(p + 1).exists {
           case Punct("=", _) => true; case _ => false }) {
-        // kind=outer is our bag-union default; kind=inner (column
-        // intersection) accepted and treated the same — allowMissingColumns
-        // already fills, a documented widening
-        p += 1; eatPunct("="); identText()
+        // kind=outer (default): bag union with null fill;
+        // kind=inner: only columns common to all sides survive
+        p += 1; eatPunct("=")
+        identText().toLowerCase match {
+          case "inner" => inner = true
+          case "outer" => ()
+          case o => fail(s"union kind must be inner or outer, got '$o'")
+        }
       } else mods = false
     }
     def one(): Query =
@@ -1960,17 +1965,17 @@ final class Parser(src: String, nowMicros: Long) {
     val srcs = Seq.newBuilder[Query]
     srcs += one()
     while (tryPunct(",")) srcs += one()
-    (ws, fuzzy, srcs.result())
+    (ws, fuzzy, inner, srcs.result())
   }
 
   private def parseUnion(): QueryStep = {
     // `union T1, T2, …` — trailing sources fold into the branch pipeline
     // as nested unions, preserving per-row provenance for withsource
-    val (ws, fuzzy, srcs) = parseUnionParts()
+    val (ws, fuzzy, inner, srcs) = parseUnionParts()
     val combined = srcs.tail.foldLeft(srcs.head) { (acc, q) =>
-      Query(acc.steps :+ (QueryStep.Union(q, None, fuzzy): QueryStep))
+      Query(acc.steps :+ (QueryStep.Union(q, None, fuzzy, inner): QueryStep))
     }
-    QueryStep.Union(combined, ws, fuzzy)
+    QueryStep.Union(combined, ws, fuzzy, inner)
   }
 
   private def parseJoin(lookup: Boolean = false): QueryStep = {

@@ -3551,6 +3551,21 @@ object KqlQueries {
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
 
+    // round-8 union kind=inner: the column INTERSECTION survives (the
+    // previous accept-and-widen behavior is now real semantics)
+    kq("kql_union_inner",
+      """union kind=inner (events | project user_id, event_id),
+        |                 (events | where event_id < 100
+        |                  | project user_id, value)
+        | | summarize n = count() by user_id
+        | | sort by user_id asc""".stripMargin,
+      """WITH u AS (
+        |  SELECT user_id FROM events
+        |  UNION ALL
+        |  SELECT user_id FROM events WHERE event_id < 100)
+        |SELECT user_id, count(*) AS n FROM u
+        |GROUP BY user_id ORDER BY user_id""".stripMargin),
+
     // round-8 multi-column mv-apply: arrays zip positionally (shorter
     // pads null — the mv-expand rule), subquery filters/aggregates per
     // source row

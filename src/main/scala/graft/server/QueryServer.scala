@@ -417,7 +417,7 @@ object QueryServer {
   def anyStep(parsed: Parsed)(p: QueryStep => Boolean): Boolean = {
     def inQuery(q: Query): Boolean = q.steps.exists { s =>
       p(s) || (s match {
-        case QueryStep.Union(sub, _, _) => inQuery(sub)
+        case QueryStep.Union(sub, _, _, _) => inQuery(sub)
         case QueryStep.Join(_, sub, _, _, _) => inQuery(sub)
         // mv-apply's inner pipeline can itself hold join/union subqueries
         // — the raw() gate and sink checks must see through it

@@ -57,6 +57,26 @@ class EdgeCaseSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 2L)
   }
 
+  // round-8: union kind=inner keeps only columns common to ALL sides
+  test("union kind=inner intersects columns; outer null-fills") {
+    val c2 = new Catalog(spark)
+    import spark.implicits._
+    c2.register("u1", Seq((1L, "a")).toDF("x", "s"))
+    c2.register("u2", Seq((2L, 3.5)).toDF("x", "d"))
+    c2.register("u3", Seq((3L, true)).toDF("x", "b"))
+    val innerDf = Kql.run(spark, c2,
+      "union kind=inner u1, u2, u3 | sort by x asc")
+    assert(innerDf.columns.toSeq == Seq("x"))
+    assert(innerDf.collect().map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    val outer = Kql.run(spark, c2, "union u1, u2 | sort by x asc")
+    assert(outer.columns.toSet == Set("x", "s", "d"))
+    // withsource still rides along under inner
+    val ws = Kql.run(spark, c2,
+      "union kind=inner withsource=src u1, u2 | sort by x asc")
+    assert(ws.columns.toSet == Set("x", "src"))
+    assert(ws.collect().map(_.getString(1)).toSeq == Seq("u1", "u2"))
+  }
+
   // round-8: kind=innerunique dedups the LEFT side on the key before the
   // inner join — each left key contributes one row's matches (ADX's
   // default kind; our deterministic pick = min over left columns)
