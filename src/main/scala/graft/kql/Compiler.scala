@@ -298,7 +298,7 @@ final class Compiler(
       case _ => infer(df, args.head) // prev/next/row_cumsum follow their arg
     }
     case TupleGet(e, i) =>
-      df.select(compile(df, e)).schema.head.dataType match {
+      tupleStructType(df, e) match {
         case s: org.apache.spark.sql.types.StructType if i < s.length =>
           ktOf(s(i).dataType)
         case _ => KT.Str
@@ -1688,7 +1688,7 @@ final class Compiler(
       // codegen's subexpression elimination collapses the copies, so the
       // kernel evaluates once per row
       val c = compile(df, e)
-      df.select(c).schema.head.dataType match {
+      tupleStructType(df, e) match {
         case s: org.apache.spark.sql.types.StructType if i < s.length =>
           c.getField(s(i).name)
         case other => throw KqlParseException(
@@ -2855,6 +2855,17 @@ final class Compiler(
     * graph-match: (edges with __gsrc/__gdst/__geid, nodes, node-id col).
     */
   private var pendingGraph: Option[(DataFrame, DataFrame, String)] = None
+
+  /** TupleGet's struct-schema probe runs a full analysis of the
+    * upstream plan; a multi-assign re-probes the SAME (frame, expr) once
+    * per bound name, so the result is memoized per compiler instance
+    * (frames compare by identity — each step produces a fresh one). */
+  private val tupleTypeCache =
+    scala.collection.mutable.HashMap.empty[(Int, Expr), DataType]
+  private def tupleStructType(df: DataFrame, e: Expr): DataType =
+    tupleTypeCache.getOrElseUpdate(
+      (System.identityHashCode(df), e),
+      df.select(compile(df, e)).schema.head.dataType)
 
   def compile(q: Query): DataFrame = {
     val saved = pipelineSource

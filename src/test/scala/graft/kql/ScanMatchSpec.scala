@@ -244,6 +244,81 @@ class ScanMatchSpec extends AnyFunSuite {
     }
   }
 
+  test("declare accumulators agree with an independent simulation") {
+    // differential check of the per-sequence variable model on random
+    // tapes: cnt = cnt + 1 (every matched row) and tot = tot + i, with
+    // per-sequence reset — simulated directly with a mid → state map
+    def simulate(tape: Seq[String], conds: Seq[String])
+        : Seq[(Int, String, Long, Long, Long)] = {
+      val n = conds.length
+      val state = Array.fill(n)(0L)
+      var nextMid = 0L
+      val vars = scala.collection.mutable.Map[Long, (Long, Long)]()
+      val out = Seq.newBuilder[(Int, String, Long, Long, Long)]
+      tape.zipWithIndex.foreach { case (e, i) =>
+        def bump(mid: Long): (Long, Long) = {
+          val (c, t) = vars.getOrElse(mid, (0L, 0L))
+          val nv = (c + 1, t + i)
+          vars(mid) = nv
+          nv
+        }
+        var k = n - 1
+        var acted = false
+        while (k >= 0 && !acted) {
+          if (e == conds(k)) {
+            if (k == 0) {
+              if (state(0) == 0L) {
+                nextMid += 1
+                vars.remove(nextMid)
+                val v = bump(nextMid)
+                if (n > 1) state(0) = nextMid else vars.remove(nextMid)
+                out += ((i, "s0", nextMid, v._1, v._2)); acted = true
+              } else {
+                val v = bump(state(0))
+                out += ((i, "s0", state(0), v._1, v._2)); acted = true
+              }
+            } else if (state(k - 1) != 0L) {
+              val mid = state(k - 1)
+              if (state(k) != 0L && state(k) != mid) vars.remove(state(k))
+              state(k - 1) = 0L
+              val v = bump(mid)
+              if (k == n - 1) { state(k) = 0L; vars.remove(mid) }
+              else state(k) = mid
+              out += ((i, s"s$k", mid, v._1, v._2)); acted = true
+            } else if (state(k) != 0L) {
+              val v = bump(state(k))
+              out += ((i, s"s$k", state(k), v._1, v._2)); acted = true
+            }
+          }
+          k -= 1
+        }
+      }
+      out.result()
+    }
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 6) {
+      val alpha = 2 + rnd.nextInt(3)
+      val nSteps = 2 + rnd.nextInt(3)
+      val tape = Seq.fill(40)(s"e${rnd.nextInt(alpha)}")
+      val conds = (0 until nSteps).map(i => s"e${i % alpha}")
+      val c2 = new Catalog(spark)
+      import TestSpark.spark.implicits._
+      c2.register("rt", tape.zipWithIndex.map { case (e, i) => (i.toLong, e) }
+        .toDF("i", "e"))
+      val stepsKql = conds.zipWithIndex
+        .map { case (c, i) => s"step s$i: e == '$c' => cnt = cnt + 1, tot = tot + i" }
+        .mkString("; ")
+      val got = Kql.run(TestSpark.spark, c2,
+        s"""rt | sort by i asc
+           | | scan declare (cnt: long = 0, tot: long = 0) with ($stepsKql)
+           | | project i, step, match_id, cnt, tot""".stripMargin)
+        .collect().map(r => (r.getLong(0).toInt, r.getString(1),
+          r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+      val want = simulate(tape, conds)
+      assert(got == want, s"trial $trial: tape=$tape conds=$conds")
+    }
+  }
+
   test("a null partition key is its own group, distinct from empty string") {
     val c2 = new Catalog(spark)
     import TestSpark.spark.implicits._
