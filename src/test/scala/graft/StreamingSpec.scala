@@ -242,6 +242,50 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel emits conversions across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.{Conversion, FunnelEvent, StreamingFunnel}
+    implicit val sqlCtx = spark.sqlContext
+    def ev(uid: Long, s: String, t: String) =
+      FunnelEvent(uid, java.sql.Timestamp.valueOf(s), t)
+    val input = MemoryStream[FunnelEvent]
+    val conv = StreamingFunnel.conversions(
+      input.toDS(), "view", "purchase", windowSeconds = 3600L)
+    val q = conv.writeStream.outputMode("append")
+      .format("memory").queryName("stream_funnel").start()
+    try {
+      // batch 1: u1 views (pending), u2 purchases with no view (nothing)
+      input.addData(
+        ev(1L, "2024-01-01 00:00:00", "view"),
+        ev(1L, "2024-01-01 00:05:00", "view"), // earliest start kept
+        ev(2L, "2024-01-01 00:00:00", "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("stream_funnel").count() == 0)
+      // batch 2: u1 converts (state crossed the batch boundary); a later
+      // purchase finds no pending start
+      input.addData(
+        ev(1L, "2024-01-01 00:30:00", "purchase"),
+        ev(1L, "2024-01-01 00:40:00", "purchase"))
+      q.processAllAvailable()
+      val got = spark.table("stream_funnel").as[Conversion].collect().toSeq
+      assert(got == Seq(Conversion(1L,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1800L)))
+      // batch 3: an out-of-window second only CLEARS the expired start
+      input.addData(
+        ev(3L, "2024-01-01 00:00:00", "view"),
+        ev(3L, "2024-01-01 02:00:00", "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("stream_funnel").count() == 1)
+      // the cleared state lets a fresh pair convert
+      input.addData(
+        ev(3L, "2024-01-01 03:00:00", "view"),
+        ev(3L, "2024-01-01 03:10:00", "purchase"))
+      q.processAllAvailable()
+      assert(spark.table("stream_funnel").count() == 2)
+    } finally q.stop()
+  }
+
   test("kql summarize compiles against a streaming source (update mode)") {
     val dir = Files.createTempDirectory("graft_stream3").toString
     val data = Seq(("x", 1.0), ("y", 2.0), ("x", 3.0)).toDF("k", "v")
