@@ -1618,8 +1618,12 @@ final class Parser(src: String, nowMicros: Long) {
       more = tryPunct(",")
     }
     // `limit N` caps the expanded rows PER INPUT ROW (Kusto's RowLimit)
-    val limit = if (atIdent("limit")) { p += 1; Some(parseIntLit()) }
-                else None
+    val limit = if (atIdent("limit")) {
+      p += 1
+      val n = parseIntLit()
+      arity(n >= 1, "mv-expand limit must be >= 1")
+      Some(n)
+    } else None
     QueryStep.Expand(fs.result(), kind, itemIndex, casts.result(), limit)
   }
 

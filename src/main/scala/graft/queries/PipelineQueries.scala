@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Dedup, Graph, Sampling, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Graph, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as checkable queries: dedup, similarity
   * search, text analysis, multimodal plumbing. Oracles where the same
@@ -447,6 +447,72 @@ object PipelineQueries {
     */
   private val substrBoiler = Seq("lorem", "boiler", "token", "alpha",
     "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta", "iota")
+
+  /** DuckDB mirror of [[graft.functions.Bpe.train]], generated by
+    * unrolling the `n` iterations: each one is a pair-count CTE + a
+    * 1-row best CTE + the positional leftmost-greedy merge replay (the
+    * same cand/island/head/absorbed window pipeline the Spark side runs,
+    * restated in DuckDB window SQL). The data-dependent best pair of
+    * iteration k reaches iteration k+1 as scalar subqueries.
+    */
+  private def bpeOracleSql(n: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH words AS (
+      |  SELECT w AS wid, CAST(count(*) AS BIGINT) AS wt FROM (
+      |    SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+      |                              x -> len(x) > 0)) AS w
+      |    FROM documents) GROUP BY w),
+      |syms0 AS (
+      |  SELECT wid, wt, i - 1 AS pos,
+      |    CASE WHEN i <= len(wid) THEN wid[i:i] ELSE '</w>' END AS sym
+      |  FROM words, unnest(range(1, len(wid) + 2)) AS u(i)),
+      |""".stripMargin
+    for (k <- 1 to n) {
+      val p = s"syms${k - 1}"
+      sb ++= s"""pairs$k AS (
+        |  SELECT sym AS a, nxt AS b, CAST(sum(wt) AS BIGINT) AS c FROM (
+        |    SELECT wid, wt, sym,
+        |      lead(sym) OVER (PARTITION BY wid ORDER BY pos) AS nxt
+        |    FROM $p)
+        |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |best$k AS (SELECT a, b, c FROM pairs$k ORDER BY c DESC, a, b LIMIT 1),
+        |""".stripMargin
+      if (k < n) sb ++= s"""m${k}a AS (
+        |  SELECT wid, wt, pos, sym,
+        |    (sym = (SELECT a FROM best$k) AND coalesce(
+        |       lead(sym) OVER (PARTITION BY wid ORDER BY pos)
+        |         = (SELECT b FROM best$k), false)) AS cand
+        |  FROM $p),
+        |m${k}b AS (
+        |  SELECT *, sum(CASE WHEN cand THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY wid ORDER BY pos
+        |            ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM m${k}a),
+        |m${k}c AS (
+        |  SELECT *, CASE WHEN cand THEN pos - cum END AS island FROM m${k}b),
+        |m${k}d AS (
+        |  SELECT *, cand AND (cum - min(CASE WHEN cand THEN cum END)
+        |      OVER (PARTITION BY wid, island) + 1) % 2 = 1 AS head
+        |  FROM m${k}c),
+        |m${k}e AS (
+        |  SELECT *, coalesce(
+        |      lag(head) OVER (PARTITION BY wid ORDER BY pos), false)
+        |    AS absorbed
+        |  FROM m${k}d),
+        |syms$k AS (
+        |  SELECT wid, wt,
+        |    row_number() OVER (PARTITION BY wid ORDER BY pos) - 1 AS pos,
+        |    CASE WHEN head THEN (SELECT a || b FROM best$k) ELSE sym END
+        |      AS sym
+        |  FROM m${k}e WHERE NOT absorbed),
+        |""".stripMargin
+    }
+    val ctes = sb.result().stripSuffix(",\n") + "\n"
+    ctes + (1 to n).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS iteration, a, b, a || b AS merged, c
+         |FROM best$k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY iteration")
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -1786,6 +1852,21 @@ object PipelineQueries {
                   round(q * col("scale") / 127 * 1000000).cast("long"))),
               lit(0L), (a, x) => a + x).as("esum"))
           .orderBy("vec_id")
+      }),
+
+    // distributed BPE vocabulary training (Sennrich et al. 2016) — 6
+    // merges learned from the documents word-frequency dictionary; the
+    // oracle unrolls the same 6 iterations (pair count → 1-row best →
+    // positional leftmost-greedy merge replay) in DuckDB window SQL, so
+    // the merge TABLE itself — pairs, merged symbols, and weighted
+    // counts — is compared exactly.
+    Q("pl_bpe_train", bpeOracleSql(6))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val words = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wt"))
+        Bpe.train(s, words, "word", "word", "wt", 6).orderBy("iteration")
       })
   )
 }

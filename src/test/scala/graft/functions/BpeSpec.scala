@@ -1,0 +1,102 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+import scala.collection.mutable
+import scala.util.Random
+
+/** Differential tests for the distributed BPE trainer: the positional
+  * leftmost-greedy merge rule must agree with the textbook sequential
+  * algorithm (Sennrich et al. 2016) on every input, including the a == b
+  * run case where leftmost-greedy is non-trivial ("aaaa" → "aa","aa").
+  */
+class BpeSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  /** Textbook sequential BPE training over a word-frequency dictionary. */
+  private def seqTrain(words: Seq[(String, Long)], n: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var dict: Seq[(Seq[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString) :+ "</w>", c) }
+    val out = mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    var k = 1
+    var done = false
+    while (k <= n && !done) {
+      val counts = mutable.Map.empty[(String, String), Long]
+      dict.foreach { case (syms, c) =>
+        syms.iterator.zip(syms.iterator.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + c
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), c) =
+          counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((k, a, b, a + b, c))
+        dict = dict.map { case (syms, cnt) =>
+          val m = mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              m += a + b; i += 2
+            } else { m += syms(i); i += 1 }
+          }
+          (m.toSeq, cnt)
+        }
+        k += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private def distTrain(words: Seq[(String, Long)], n: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    val df = words.toDF("word", "wt")
+    Bpe.train(spark, df, "word", "word", "wt", n)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+  }
+
+  test("matches sequential BPE on the classic Sennrich dictionary") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val expect = seqTrain(words, 8)
+    assert(distTrain(words, 8) == expect)
+    // sanity: the famous first merges of this dictionary
+    assert(expect.head._2 == "e" && expect.head._3 == "s" &&
+      expect.head._5 == 9L)
+  }
+
+  test("a == b runs: leftmost-greedy pairs odd-offset heads") {
+    val words = Seq(("aaaa", 3L), ("aaa", 2L), ("aaaaa", 1L), ("baab", 4L))
+    assert(distTrain(words, 6) == seqTrain(words, 6))
+  }
+
+  test("differential: random binary-alphabet words force run merges") {
+    val rnd = new Random(42)
+    val words = Seq.tabulate(30) { i =>
+      val len = 1 + rnd.nextInt(9)
+      (Seq.fill(len)(if (rnd.nextBoolean()) "a" else "b").mkString,
+        1L + rnd.nextInt(5))
+    }.distinct.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+    assert(distTrain(words, 10) == seqTrain(words, 10))
+  }
+
+  test("stops early when no pairs remain") {
+    val words = Seq(("a", 2L)) // single char + </w>: one pair, then none
+    val got = distTrain(words, 5)
+    assert(got == Seq((1, "a", "</w>", "a</w>", 2L)))
+  }
+
+  test("encodeWord replays the learned merges (round-trip)") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L))
+    val merges = distTrain(words, 8).map(m => (m._2, m._3))
+    // encoding a training word with all merges applied must reproduce the
+    // final symbol sequence the trainer left it with
+    val enc = Bpe.encodeWord("newest", merges)
+    assert(enc.mkString(" ").replace(" ", "") == "newest</w>")
+    assert(enc.length < "newest".length + 1, "merges must have applied")
+  }
+}
