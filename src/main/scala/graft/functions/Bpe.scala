@@ -77,7 +77,15 @@ object Bpe {
   /** Learn `nMerges` merges; returns (iteration, a, b, merged, c) where
     * `c` is the frequency-weighted pair count that won the iteration. */
   def train(spark: SparkSession, words: DataFrame, widCol: String,
-      wordCol: String, weightCol: String, nMerges: Int): DataFrame = {
+      wordCol: String, weightCol: String, nMerges: Int): DataFrame =
+    trainWithSymbols(spark, words, widCol, wordCol, weightCol, nMerges)._1
+
+  /** [[train]] plus the final (wid, wt, pos, sym) symbol table after all
+    * learned merges applied — the trained tokenization of the vocabulary
+    * itself (the encode half of BPE for every word the corpus contains). */
+  def trainWithSymbols(spark: SparkSession, words: DataFrame, widCol: String,
+      wordCol: String, weightCol: String, nMerges: Int)
+      : (DataFrame, DataFrame) = {
     var syms =
       initialSymbols(words, widCol, wordCol, weightCol).localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
@@ -101,7 +109,7 @@ object Bpe {
         k += 1
       }
     }
-    spark.createDataFrame(
+    val mergesDf = spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq, 1),
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("iteration",
@@ -114,7 +122,19 @@ object Bpe {
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("c",
           org.apache.spark.sql.types.LongType))))
+    (mergesDf, syms)
   }
+
+  /** Collapse a symbol table back to one row per word:
+    * (word, encoded, n_subwords) with subwords space-joined in position
+    * order — the gate-comparable form of the trained tokenization. */
+  def encodeTable(syms: DataFrame): DataFrame =
+    syms.groupBy(col("wid").as("word"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("sym")))),
+          x => x("sym"))).as("encoded"),
+        count(lit(1)).as("n_subwords"))
 
   /** Tokenize a symbol sequence with a learned merge table — replays the
     * merges in order over each word (the inference half of BPE). Used by

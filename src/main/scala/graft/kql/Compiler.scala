@@ -1693,7 +1693,8 @@ final class Compiler(
           c.getField(s(i).name)
         case other => throw KqlParseException(
           s"multi-assign (…) = f(…) needs a struct-valued tuple function " +
-            s"(series_stats, series_fit_line, series_fit_2lines — got " +
+            s"(series_stats, series_fit_line, series_fit_2lines, " +
+            s"series_fft, series_ifft — got " +
             s"${other.simpleString}); the _dynamic forms return bags for " +
             "single-column use", 0)
       }
@@ -2426,6 +2427,19 @@ final class Compiler(
               e => e.cast(DoubleType))
           }
           column(graft.functions.SeriesSeasonalExpr(expression(yIn), p))
+        }
+        case "series_fft" | "series_ifft" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          def arr(e0: Expr): Column = infer(df, e0) match {
+            case KT.Var => compile(df, e0).try_cast(ArrayType(DoubleType))
+            case _ => transform(compile(df, e0), e => e.cast(DoubleType))
+          }
+          val reC = arr(args.head)
+          // 1-arg form: imaginary part defaults to all-zeros (ADX)
+          val imC = if (args.length == 2) arr(args(1))
+                    else transform(reC, _ => lit(0.0))
+          column(graft.functions.SeriesFftExpr(
+            expression(reC), expression(imC), name == "series_ifft"))
         }
         case "series_iir" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}

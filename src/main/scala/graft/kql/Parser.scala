@@ -2298,7 +2298,7 @@ final class Parser(src: String, nowMicros: Long) {
     "series_seasonal", "series_iir",
     "series_decompose", "series_decompose_anomalies", "series_periods_detect",
     "series_decompose_forecast", "series_stats", "series_fit_line",
-    "series_fit_2lines",
+    "series_fit_2lines", "series_fft", "series_ifft",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "series_fill_linear",
     "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
@@ -2916,6 +2916,12 @@ final class Parser(src: String, nowMicros: Long) {
         // ADX's tuple forms — struct-valued, consumed via multi-assign
         // `(a, b, …) = f(s)` (the _dynamic bag forms exist separately)
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        ArrFn(f, a)
+      case f @ ("series_fft" | "series_ifft") =>
+        // tuple forms: `(re, im) = series_fft(x_real[, x_imaginary])`
+        val a = args()
+        arity(a.length == 1 || a.length == 2,
+          s"$f() takes (x_real[, x_imaginary])")
         ArrFn(f, a)
       case "series_decompose_forecast" =>
         val a = args()

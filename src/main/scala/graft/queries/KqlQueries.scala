@@ -3791,6 +3791,71 @@ object KqlQueries {
         | | project c_custkey, c_acctbal""".stripMargin,
       """SELECT c_custkey, c_acctbal FROM customer
         |WHERE c_mktsegment = 'BUILDING'
-        |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin)
+        |ORDER BY c_acctbal DESC, c_custkey LIMIT 5""".stripMargin),
+
+    // round-8 series_fft / series_ifft (tuple forms): N=8 DFT over
+    // integer-valued series. The oracle unrolls the same DFT with the
+    // JVM-computed twiddle factors inlined as SQL double literals and the
+    // identical left-associated sum order, so the raw doubles hash-compare
+    // bit-exactly (no rounding needed — the pl_embed_quantize playbook,
+    // one step stronger).
+    kq("kql_series_fft", fftGateKql, fftGateOracle)
   )
+
+  // ── series_fft gate fixture: shared between the KQL text and the
+  //    oracle generator so both engines transform the same series ──
+  private def fftN = 8
+  private def fftReKql = Seq("a", "a + 3", "7 - a", "2 * a",
+    "(a * a) % 5", "1", "0", "a % 3")
+  private def fftImKql = Seq("a % 2", "1", "0", "a", "2", "a + 1", "3",
+    "a % 4")
+  private def fftReSql = Seq("a", "(a + 3)", "(7 - a)", "(2 * a)",
+    "((a * a) % 5)", "1", "0", "(a % 3)")
+  private def fftImSql = Seq("(a % 2)", "1", "0", "a", "2", "(a + 1)", "3",
+    "(a % 4)")
+  private def fftZeroSql = Seq.fill(fftN)("0")
+
+  private def fftGateKql: String = {
+    val proj = (0 until fftN).flatMap(k => Seq(
+      s"r$k = toreal(fr[$k])", s"i$k = toreal(fi[$k])",
+      s"vr$k = toreal(gr[$k])", s"vi$k = toreal(gi[$k])")).mkString(", ")
+    s"""documents
+       | | where doc_id < 300
+       | | extend a = doc_id % 5
+       | | extend s = pack_array(${fftReKql.mkString(", ")}),
+       |          t = pack_array(${fftImKql.mkString(", ")})
+       | | extend (fr, fi) = series_fft(s)
+       | | extend (gr, gi) = series_ifft(s, t)
+       | | project doc_id, $proj
+       | | sort by doc_id asc""".stripMargin
+  }
+
+  private def fftGateOracle: String = {
+    def dlit(v: Double): String = v.toString // shortest round-trip form
+    // one output component: 0.0 + (t0) + (t1) + … [/ N for inverse] —
+    // the exact accumulation order of SeriesFftExpr.eval
+    def comp(re: Seq[String], im: Seq[String], k: Int, inv: Boolean,
+        imagPart: Boolean): String = {
+      val terms = (0 until fftN).map { j =>
+        val (c, s) = graft.functions.SeriesFftExpr.twiddle(fftN, k, j, inv)
+        val xr = s"CAST(${re(j)} AS DOUBLE)"
+        val xi = s"CAST(${im(j)} AS DOUBLE)"
+        if (imagPart) s"($xr * ${dlit(s)} + $xi * ${dlit(c)})"
+        else s"($xr * ${dlit(c)} - $xi * ${dlit(s)})"
+      }
+      val acc = terms.mkString("0.0 + ", " + ", "")
+      if (inv) s"($acc) / ${fftN.toDouble}" else acc
+    }
+    val cols = (0 until fftN).flatMap(k => Seq(
+      s"${comp(fftReSql, fftZeroSql, k, inv = false, imagPart = false)} AS r$k",
+      s"${comp(fftReSql, fftZeroSql, k, inv = false, imagPart = true)} AS i$k",
+      s"${comp(fftReSql, fftImSql, k, inv = true, imagPart = false)} AS vr$k",
+      s"${comp(fftReSql, fftImSql, k, inv = true, imagPart = true)} AS vi$k"))
+      .mkString(",\n  ")
+    s"""WITH b AS (SELECT doc_id, doc_id % 5 AS a FROM documents
+       |           WHERE doc_id < 300)
+       |SELECT doc_id,
+       |  $cols
+       |FROM b ORDER BY doc_id""".stripMargin
+  }
 }

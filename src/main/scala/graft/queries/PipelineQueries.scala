@@ -455,7 +455,22 @@ object PipelineQueries {
     * restated in DuckDB window SQL). The data-dependent best pair of
     * iteration k reaches iteration k+1 as scalar subqueries.
     */
-  private def bpeOracleSql(n: Int): String = {
+  private def bpeOracleSql(n: Int): String =
+    bpeCtes(n, withFinalSyms = false) + (1 to n).map { k =>
+      s"""SELECT CAST($k AS INTEGER) AS iteration, a, b, a || b AS merged, c
+         |FROM best$k""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY iteration")
+
+  /** The encode half: the same unrolled training replay, but the compared
+    * output is the FINAL symbol table collapsed to one row per word —
+    * the trained tokenization of the whole vocabulary. */
+  private def bpeEncodeOracleSql(n: Int): String =
+    bpeCtes(n, withFinalSyms = true) +
+      s"""SELECT wid AS word, string_agg(sym, ' ' ORDER BY pos) AS encoded,
+         |  CAST(count(*) AS BIGINT) AS n_subwords
+         |FROM syms$n GROUP BY wid ORDER BY word""".stripMargin
+
+  private def bpeCtes(n: Int, withFinalSyms: Boolean): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH words AS (
       |  SELECT w AS wid, CAST(count(*) AS BIGINT) AS wt FROM (
@@ -477,7 +492,7 @@ object PipelineQueries {
         |  WHERE nxt IS NOT NULL GROUP BY 1, 2),
         |best$k AS (SELECT a, b, c FROM pairs$k ORDER BY c DESC, a, b LIMIT 1),
         |""".stripMargin
-      if (k < n) sb ++= s"""m${k}a AS (
+      if (k < n || withFinalSyms) sb ++= s"""m${k}a AS (
         |  SELECT wid, wt, pos, sym,
         |    (sym = (SELECT a FROM best$k) AND coalesce(
         |       lead(sym) OVER (PARTITION BY wid ORDER BY pos)
@@ -507,11 +522,7 @@ object PipelineQueries {
         |  FROM m${k}e WHERE NOT absorbed),
         |""".stripMargin
     }
-    val ctes = sb.result().stripSuffix(",\n") + "\n"
-    ctes + (1 to n).map { k =>
-      s"""SELECT CAST($k AS INTEGER) AS iteration, a, b, a || b AS merged, c
-         |FROM best$k""".stripMargin
-    }.mkString("", "\nUNION ALL\n", "\nORDER BY iteration")
+    sb.result().stripSuffix(",\n") + "\n"
   }
 
   val all: Seq[Q] = Seq(
@@ -1867,6 +1878,21 @@ object PipelineQueries {
           .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
           .groupBy("word").agg(count(lit(1)).as("wt"))
         Bpe.train(s, words, "word", "word", "wt", 6).orderBy("iteration")
+      }),
+
+    // the encode half of BPE: the trained tokenization of every vocabulary
+    // word (final symbol table after the 6 learned merges), compared
+    // word-by-word — proves the merge APPLICATION, not just the learned
+    // table, agrees between engines.
+    Q("pl_bpe_encode", bpeEncodeOracleSql(6))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val words = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wt"))
+        val (_, syms) =
+          Bpe.trainWithSymbols(s, words, "word", "word", "wt", 6)
+        Bpe.encodeTable(syms).orderBy("word")
       })
   )
 }

@@ -89,6 +89,24 @@ class BpeSpec extends AnyFunSuite {
     assert(got == Seq((1, "a", "</w>", "a</w>", 2L)))
   }
 
+  test("encodeTable matches sequential merge application per word") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("aaaa", 2L))
+    val (mergesDf, syms) =
+      Bpe.trainWithSymbols(spark, words.toDF("word", "wt"),
+        "word", "word", "wt", 6)
+    val merges = mergesDf.orderBy("iteration").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.encodeTable(syms).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    words.foreach { case (w, _) =>
+      val exp = Bpe.encodeWord(w, merges)
+      assert(got.contains(w))
+      assert(got(w)._1 == exp.mkString(" "), s"word $w")
+      assert(got(w)._2 == exp.length.toLong, s"word $w count")
+    }
+  }
+
   test("encodeWord replays the learned merges (round-trip)") {
     val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
       ("widest", 3L))
