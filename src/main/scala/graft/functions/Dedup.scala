@@ -304,18 +304,21 @@ object Dedup {
   /** Incremental (cross-snapshot) exact dedup: drop batch documents whose
     * text already exists in the prior corpus INDEX (its text hashes — at
     * 100 TB the index is hashes only, orders of magnitude smaller than
-    * the corpus), and dedup within the batch itself (first id wins). One
-    * hash-keyed window + one anti-join keyed on the hash; the index side
-    * broadcasts when small, AQE decides.
+    * the corpus), and dedup within the batch itself (first id wins). The
+    * within-batch winner is a hash-keyed partial/final min AGGREGATE
+    * joined back (map-side combine + AQE skew-split on the join; a
+    * window would co-locate every copy of a boilerplate hash in one
+    * partition with neither), plus one anti-join keyed on the hash; the
+    * index side broadcasts when small, AQE decides.
     *
     * @param corpusHashes one column `text_hash` (md5 hex of text)
     */
   def incrementalDedup(batch: DataFrame, corpusHashes: DataFrame,
       idCol: String, textCol: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
-    val w = Window.partitionBy(col("__h"))
-    hashed.withColumn("__win", min(col(idCol)).over(w))
+    val winners = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__win"))
+    hashed.join(winners, Seq("__h"))
       .filter(col("__win") === col(idCol))
       .join(corpusHashes.select(col("text_hash").as("__h")).distinct(),
         Seq("__h"), "left_anti")
@@ -337,7 +340,6 @@ object Dedup {
   def incrementalDedupBloom(batch: DataFrame, corpusHashes: DataFrame,
       idCol: String, textCol: String,
       expectedItems: Long = 1000000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     import org.apache.spark.sql.catalyst.expressions.Literal
     val index = corpusHashes.select(col("text_hash").as("__h")).distinct()
@@ -355,9 +357,16 @@ object Dedup {
     // Spark's InjectRuntimeFilter ships via scalar subquery)
     val bfBytes = bloom.collect()(0).getAs[Array[Byte]](0)
     val hashed = batch.withColumn("__h", md5(col(textCol).cast("binary")))
-    val w = Window.partitionBy(col("__h"))
-    val inBatch = hashed.withColumn("__win", min(col(idCol)).over(w))
+    val winners = hashed.groupBy(col("__h"))
+      .agg(min(col(idCol)).as("__win"))
+    val deduped = hashed.join(winners, Seq("__h"))
       .filter(col("__win") === col(idCol))
+    // BloomFilterAggregate over ZERO rows evaluates to NULL (an empty
+    // index on the bootstrap first run); NULL would make might_contain
+    // NULL and both branches below drop every row. An empty index means
+    // every in-batch winner is definitely new — return them directly.
+    if (bfBytes == null) return deduped.drop("__h", "__win")
+    val inBatch = deduped
       .withColumn("__maybe", column(
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           Literal(bfBytes,
@@ -401,13 +410,15 @@ object Dedup {
     * removes the same token ranges, and consecutive losing shingles
     * coalesce into one span per duplicated run.
     *
-    * 100 TB shape: ONE shuffle keyed on the shingle text (the winner is
-    * `min(struct(id, pos))` — associative, so map-side combine absorbs
-    * ubiquitous boilerplate shingles; identifying losers needs every
-    * occurrence co-located with its winner, which is a per-key LINEAR
-    * window pass, never all-pairs), then one doc-keyed shuffle whose
-    * payload is only the losing span starts (bounded by tokens-per-doc).
-    * Span merging and text rebuild are per-row array folds.
+    * 100 TB shape: winners are a shingle-keyed partial/final
+    * `min(struct(id, pos))` AGGREGATE — associative, so map-side combine
+    * absorbs ubiquitous boilerplate shingles before any shuffle (web
+    * boilerplate k-grams are the canonical skew key) — then an equi-join
+    * of occurrences back onto the 1-row-per-shingle winners table, which
+    * AQE can skew-split (a window over the shingle could not: window ≠
+    * join, no partial agg, no skew handling). Then one doc-keyed shuffle
+    * whose payload is only the losing span starts (bounded by
+    * tokens-per-doc). Span merging and text rebuild are per-row folds.
     *
     * @param toks array<string> token column
     * @param k    minimum duplicated run length in tokens
@@ -415,7 +426,6 @@ object Dedup {
     */
   def substringDedup(df: DataFrame, idCol: String, toks: Column, k: Int,
       sep: String = " "): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val base = df.select(col(idCol), toks.as("__toks"))
     val n = size(col("__toks"))
     val shingles = when(n >= k,
@@ -424,11 +434,10 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
     val ex = base.select(col(idCol),
       posexplode(shingles).as(Seq("__pos", "__sh")))
-    val w = Window.partitionBy(col("__sh"))
-    val losers = ex
-      .withColumn("__w",
-        min(struct(col(idCol).as("id"), col("__pos").cast("long").as("p")))
-          .over(w))
+    val winners = ex.groupBy(col("__sh"))
+      .agg(min(struct(col(idCol).as("id"), col("__pos").cast("long").as("p")))
+        .as("__w"))
+    val losers = ex.join(winners, Seq("__sh"))
       .filter(!(col("__w.id") === col(idCol) && col("__w.p") === col("__pos")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"))
     val emptySpans = array().cast("array<struct<st:bigint,en:bigint>>")

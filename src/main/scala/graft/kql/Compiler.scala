@@ -1188,28 +1188,33 @@ final class Compiler(
           when(ipL.isNotNull && checks.map(_._1).reduce(_ && _),
             checks.map(_._2).reduce(_ || _))
         // text-scan ipv4 family: the needle counts only as a PROPERLY
-        // DELIMITED term — not adjacent to a digit or dot on either side
-        // (so 12.0.0.1 inside 112.0.0.1 does not match). has_ipv4
-        // requires the full term equal the (valid) ip; the prefix form
-        // anchors the term start only. Same regex runs in DuckDB.
-        // (the 1-arg has_ipv4(source) convenience form — "contains ANY
-        // valid ipv4 token" — is handled further down)
+        // DELIMITED term — adjacent chars must be non-alphanumeric and
+        // not a dot (so 12.0.0.1 inside 112.0.0.1 or abc1.2.3.4 does
+        // not match — ADX requires non-alphanumeric delimiters).
+        // has_ipv4 requires the full term equal the (valid) ip; the
+        // prefix form anchors the term start only. Same regex runs in
+        // DuckDB. (the 1-arg has_ipv4(source) convenience form —
+        // "contains ANY valid ipv4 token" — is handled further down)
         case "has_ipv4" | "has_any_ipv4" if cs.length >= 2 =>
           val src = cs.head.cast(StringType)
           val hits = cs.tail.map { c =>
             val esc = regexp_replace(c.cast(StringType),
               lit("\\."), lit("\\\\."))
             parseIpv4(c.cast(StringType)).isNotNull &&
-              rlike(src, concat(lit("(^|[^0-9.])"), esc,
-                lit("($|[^0-9.])")))
+              rlike(src, concat(lit("(^|[^0-9A-Za-z.])"), esc,
+                lit("($|[^0-9A-Za-z.])")))
           }
           hits.reduce(_ || _)
         case "has_ipv4_prefix" =>
           val src = cs.head.cast(StringType)
-          val esc = regexp_replace(cs(1).cast(StringType),
-            lit("\\."), lit("\\\\."))
-          cs(1).cast(StringType) =!= "" &&
-            rlike(src, concat(lit("(^|[^0-9.])"), esc))
+          val pfx = cs(1).cast(StringType)
+          // the prefix is only legal as digits+dots (a textual ipv4
+          // prefix); gating on that BOTH mirrors ADX (invalid prefix →
+          // false, never an error) and makes the dot-escape a complete
+          // regex-quote — no other metacharacter can survive the gate
+          val esc = regexp_replace(pfx, lit("\\."), lit("\\\\."))
+          pfx =!= "" && pfx.rlike("^[0-9.]+$") &&
+            rlike(src, concat(lit("(^|[^0-9A-Za-z.])"), esc))
         // sequential multi-replace: rewrites(i) substitutes lookups(i)
         // left to right (later pairs see earlier results — Kusto's
         // documented order); length mismatch → null, null/empty lookups
@@ -2342,7 +2347,12 @@ final class Compiler(
         // same kernels as their _dynamic twins, fields in ADX's
         // positional order
         case "series_stats" =>
-          val ad = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val sIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => compile(df, args.head)
+          }
+          val ad = transform(sIn, e => e.cast(DoubleType))
           val mn = array_min(ad)
           val mx = array_max(ad)
           val n = size(ad)
@@ -2354,14 +2364,20 @@ final class Compiler(
           // sample variance (n−1); degenerate n <= 1 → 0.0
           val variance = when(n > 1,
             (s2 - s1 * s1 / nd) / (nd - 1.0)).otherwise(lit(0.0))
-          struct(
+          // a null element poisons the whole tuple (ADX default
+          // ignore_nonfinite=false) — without the gate min/max would
+          // skip nulls while the sums coalesced them to 0, mixing two
+          // different answers in one struct (the series_fit_line okFit
+          // pattern)
+          val noNulls = !exists(ad, e => e.isNull)
+          when(noNulls, struct(
             mn.as("min"),
             (array_position(ad, mn) - 1).cast(LongType).as("min_idx"),
             mx.as("max"),
             (array_position(ad, mx) - 1).cast(LongType).as("max_idx"),
             avg0.as("avg"),
             sqrt(greatest(variance, lit(0.0))).as("stdev"),
-            variance.as("variance"))
+            variance.as("variance")))
         case "series_fit_2lines" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           val yIn = infer(df, args.head) match {
@@ -2621,7 +2637,12 @@ final class Compiler(
         // order-dependent; avg is one IEEE division of exact operands).
         // Indices are 0-based first-occurrence, Kusto's convention.
         case "series_stats_dynamic" =>
-          val ad = transform(compile(df, args.head), e => e.cast(DoubleType))
+          val sIn = infer(df, args.head) match {
+            case KT.Var => compile(df, args.head)
+              .try_cast(ArrayType(DoubleType))
+            case _ => compile(df, args.head)
+          }
+          val ad = transform(sIn, e => e.cast(DoubleType))
           val mn = array_min(ad)
           val mx = array_max(ad)
           val s = aggregate(ad, lit(0.0), (acc, x) => acc + coalesce(x, lit(0.0)))
@@ -2874,11 +2895,21 @@ final class Compiler(
     * upstream plan; a multi-assign re-probes the SAME (frame, expr) once
     * per bound name, so the result is memoized per compiler instance
     * (frames compare by identity — each step produces a fresh one). */
+  private final class FrameKey(val df: DataFrame) {
+    // reference identity, not identityHashCode alone — hash codes can
+    // collide across live frames, which would silently reuse the wrong
+    // struct schema
+    override def hashCode: Int = System.identityHashCode(df)
+    override def equals(o: Any): Boolean = o match {
+      case k: FrameKey => k.df eq df
+      case _ => false
+    }
+  }
   private val tupleTypeCache =
-    scala.collection.mutable.HashMap.empty[(Int, Expr), DataType]
+    scala.collection.mutable.HashMap.empty[(FrameKey, Expr), DataType]
   private def tupleStructType(df: DataFrame, e: Expr): DataType =
     tupleTypeCache.getOrElseUpdate(
-      (System.identityHashCode(df), e),
+      (new FrameKey(df), e),
       df.select(compile(df, e)).schema.head.dataType)
 
   def compile(q: Query): DataFrame = {

@@ -3459,9 +3459,10 @@ object KqlQueries {
         |FROM reach GROUP BY a ORDER BY a""".stripMargin),
 
     // round-8 ipv4 text-scan + multi-range + sequential multi-replace:
-    // "properly delimited" = not adjacent to a digit or dot (so
-    // 0.20.30.x inside 10.20.30.x does NOT match); the identical
-    // lookaround-free regex replays in DuckDB's RE2
+    // "properly delimited" = adjacent chars non-alphanumeric and not a
+    // dot (so 0.20.30.x inside 10.20.30.x does NOT match, nor does
+    // abc1.2.3.4); the identical lookaround-free regex replays in
+    // DuckDB's RE2
     kq("kql_ipfns3",
       """documents
         | | where doc_id < 200
@@ -3487,14 +3488,14 @@ object KqlQueries {
         |      || ' end' AS t
         |  FROM documents WHERE doc_id < 200)
         |SELECT doc_id,
-        |  regexp_matches(t, '(^|[^0-9.])1\.2\.3\.4($|[^0-9.])') AS h1,
-        |  regexp_matches(t, '(^|[^0-9.])10\.20\.30\.'
-        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9.])') AS h3,
-        |  regexp_matches(t, '(^|[^0-9.])0\.20\.30\.'
-        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9.])') AS h4,
+        |  regexp_matches(t, '(^|[^0-9A-Za-z.])1\.2\.3\.4($|[^0-9A-Za-z.])') AS h1,
+        |  regexp_matches(t, '(^|[^0-9A-Za-z.])10\.20\.30\.'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9A-Za-z.])') AS h3,
+        |  regexp_matches(t, '(^|[^0-9A-Za-z.])0\.20\.30\.'
+        |    || CAST(doc_id % 50 AS VARCHAR) || '($|[^0-9A-Za-z.])') AS h4,
         |  (doc_id % 3 = 1) AS ha,
-        |  regexp_matches(t, '(^|[^0-9.])10\.20\.') AS hp,
-        |  regexp_matches(t, '(^|[^0-9.])0\.20\.') AS hp2,
+        |  regexp_matches(t, '(^|[^0-9A-Za-z.])10\.20\.') AS hp,
+        |  regexp_matches(t, '(^|[^0-9A-Za-z.])0\.20\.') AS hp2,
         |  (doc_id % 50 < 32) AS anyr,
         |  replace(replace(t, 'a=', 'x:'), 'b=', 'y:') AS rs
         |FROM d ORDER BY doc_id""".stripMargin),

@@ -93,6 +93,15 @@ class PipelineSpec extends AnyFunSuite {
       expectedItems = 16L)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bloom == exact)
+    // bootstrap first run: EMPTY index → BloomFilterAggregate yields
+    // NULL; every in-batch winner must survive (output-identical to the
+    // exact form, which anti-joins against nothing)
+    val emptyIndex = index.filter(lit(false))
+    val exactBoot = Dedup.incrementalDedup(batch, emptyIndex,
+      "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    val bloomBoot = Dedup.incrementalDedupBloom(batch, emptyIndex,
+      "doc_id", "text").select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloomBoot == exactBoot && bloomBoot.nonEmpty)
   }
 
   test("substring dedup removes repeated >=k-token runs, keeps first") {

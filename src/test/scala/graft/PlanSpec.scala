@@ -368,6 +368,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftanti"), p)
   }
 
+  test("substring dedup: winner is a partial-combine agg, never a window") {
+    val p = plan("pl_substring_dedup")
+    // boilerplate shingles are THE skew key of web text: the winner must
+    // be a partial/final min-struct aggregate (map-side combine) joined
+    // back — a Window.partitionBy(shingle) would co-locate every copy in
+    // one partition with neither combine nor AQE skew-split
+    assert(p.contains("partial_min"),
+      s"shingle winner must partial-combine before its exchange:\n$p")
+    assert(!p.contains("Window"),
+      s"no window pass may remain on the shingle key:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("incremental dedup: within-batch winner partial-combines too") {
+    val p = plan("pl_incr_dedup")
+    assert(p.contains("partial_min") && !p.contains("Window"),
+      s"within-batch first-wins must be agg+join-back, not a window:\n$p")
+  }
+
   test("line dedup: partial min-struct agg keyed by the line, no all-pairs") {
     val p = plan("pl_line_dedup")
     assert(!p.contains("CartesianProduct") &&

@@ -58,6 +58,14 @@ class Round6FnSpec extends AnyFunSuite {
       "has_any_ipv4('a 8.8.8.8 b', '1.1.1.1', '9.9.9.9')") == false)
     assert(scalar("has_ipv4_prefix('src=10.20.30.40', '10.20.')") == true)
     assert(scalar("has_ipv4_prefix('src=110.20.30.40', '10.20.')") == false)
+    // ADX delimiters are NON-ALPHANUMERIC: letters disqualify too
+    assert(scalar("has_ipv4('abc1.2.3.4def', '1.2.3.4')") == false)
+    assert(scalar("has_ipv4('abc 1.2.3.4 def', '1.2.3.4')") == true)
+    assert(scalar("has_ipv4_prefix('x10.20.30.40', '10.20.')") == false)
+    // a prefix with regex metacharacters is an invalid ipv4 prefix →
+    // false, never a regex compile error
+    assert(scalar("has_ipv4_prefix('src=10.20.30.40', '10.(')") == false)
+    assert(scalar("has_ipv4_prefix('a[+b', '[+')") == false)
     // sequential left-to-right; later pairs see earlier rewrites
     assert(scalar(
       "replace_strings('A_B_C', pack_array('A', 'X_B'), " +

@@ -214,6 +214,18 @@ class SeriesDecomposeSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 0L) // split_idx (2lines field #2) is a long
   }
 
+  test("series_stats: a null element nulls the whole tuple") {
+    // ADX default ignore_nonfinite=false — a null-bearing series yields
+    // null stats, not a mix of null-skipping min/max with 0-coalesced
+    // sums
+    val r = run(
+      """print s = todynamic('[1, null, 5]')
+        | | extend (mn, mni, mx, mxi, av, sd, vr) = series_stats(s)
+        | | project n1 = isnull(mn), n2 = isnull(av), n3 = isnull(vr)"""
+        .stripMargin).collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2))
+  }
+
   test("multi-assign on a non-struct expression errors clearly") {
     val e = intercept[Exception](run(
       "print x = 1 | extend (a, b) = strcat('u', 'v') | project a"
