@@ -159,6 +159,50 @@ object Dedup {
     column(graft.functions.SimHash64(expression(toks)))
   }
 
+  /** Near-duplicate pairs over ANY 64-bit perceptual/similarity hash
+    * (SimHash text fingerprints, dHash image fingerprints) by banded
+    * Hamming LSH: split the 64 bits into `nBands` equal bands, bucket-join
+    * on (band, band-bits), and verify candidates with the exact popcount
+    * of the XOR. Returns (id_a, id_b, hamming) with id_a < id_b.
+    *
+    * EXACT, not approximate, when `maxDist < nBands`: a pair within
+    * Hamming distance d < nBands leaves at least one band untouched
+    * (pigeonhole), so banding recalls every true pair and the verify
+    * filter makes the output identical to the all-pairs answer — which is
+    * what lets a SQL oracle check this operator bit-for-bit.
+    *
+    * 100 TB shape: only (band, bucket, id, hash) tuples — ≤ 32 bytes ×
+    * nBands per item — enter the LSH shuffle; the XOR verify runs on
+    * candidates only, never all pairs. Popular buckets (near-identical
+    * crops of a viral image) are an equi-join AQE can skew-split.
+    */
+  def hammingDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64: $nBands")
+    require(maxDist < nBands,
+      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    val bandArr = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("__h"), b * bandBits)
+          .bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    val buckets = hashes
+      .select(col(idCol).as("id"), col(hashCol).as("__h"))
+      .select(col("id"), col("__h"), explode(bandArr).as("bb"))
+      .select(col("id"), col("__h"), col("bb.band"), col("bb.bucket"))
+    buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.__h").as("__ha"),
+        col("b.id").as("id_b"), col("b.__h").as("__hb"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("long"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Benchmark-contamination score: for every corpus document, the
     * fraction of its distinct word n-gram shingles that also appear
     * anywhere in a benchmark corpus — the standard decontamination check

@@ -1806,7 +1806,46 @@ object PipelineQueries {
         |FROM samp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)(
       (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
         graft.multimodal.Multimodal.syntheticWavs(s, d))
-        .toDF().orderBy("media_id"))
+        .toDF().orderBy("media_id")),
+
+    // image NEAR-DUP dedup (round 9): dHash over REAL decoded pixels →
+    // banded Hamming LSH → exact popcount verify. Fixtures group in
+    // fours sharing a 9×8 cell pattern with one brightened cell per
+    // variant (each grid cell a uniform 2×2 block at 18×16, so cell
+    // means equal the generating values). maxDist=6 < nBands=8 makes
+    // banding EXACT (pigeonhole recall), so the oracle's all-pairs
+    // replay of the cell function produces the identical pair set —
+    // never materialized by the operator itself, which only shuffles
+    // (band, bucket) tuples.
+    Q("pl_image_dedup",
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+        |cells AS (
+        |  SELECT doc_id, cx, cy,
+        |    ((((doc_id // 4 + 1) * (cx + 3) * (cy + 5) * 2654435761)
+        |      % 97) % 2) * 150 + 40
+        |    + CASE WHEN doc_id % 4 > 0 AND cx = doc_id % 4
+        |                AND cy = ((doc_id % 4) * 3) % 8
+        |           THEN 50 ELSE 0 END AS g
+        |  FROM ids, unnest(range(0, 9)) AS ux(cx),
+        |            unnest(range(0, 8)) AS uy(cy)),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy * 8 + a.cx AS i,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |  FROM cells a JOIN cells b
+        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |dists AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
+        |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS hamming
+        |FROM dists WHERE d <= 6 ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.hammingDupPairs(
+        graft.multimodal.Multimodal.dhash64(
+          graft.multimodal.Multimodal.syntheticNearDupPngs(s, d))
+          .toDF(), "media_id", "dhash", maxDist = 6, nBands = 8)
+        .orderBy("id_a", "id_b"))
   ,
 
     // ───── embedding quantization (round-6) ─────

@@ -143,6 +143,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.sum_r - exact) < 192 * 16) // lossy but close
   }
 
+  test("image near-dup: dHash + banded Hamming LSH equals all-pairs") {
+    import graft.multimodal.Multimodal
+    val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 80)
+    val hashes = Multimodal.dhash64(media).toDF().localCheckpoint()
+    val banded = Dedup.hammingDupPairs(hashes, "media_id", "dhash",
+      maxDist = 6, nBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // maxDist < nBands ⇒ pigeonhole recall is total: banding must equal
+    // the brute-force all-pairs answer exactly
+    val hs = hashes.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (ia, ha) <- hs; (ib, hb) <- hs if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 6
+    } yield (ia, ib, d.toLong)).toSet
+    assert(banded == brute && banded.nonEmpty)
+    // same-group variants (one brightened cell each) must be near dups
+    assert(banded.contains {
+      val d = hs.toMap
+      (0L, 1L, java.lang.Long.bitCount(d(0L) ^ d(1L)).toLong)
+    })
+  }
+
+  test("dHash pools cell means integer-exactly (uniform 2x2 blocks)") {
+    import graft.multimodal.Multimodal
+    // replay the generating function: at 18x16 every 9x8 grid cell is a
+    // uniform 2x2 block, so the decoded-pixel dHash must equal the hash
+    // computed straight from the cell values
+    val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 12)
+    val got = Multimodal.dhash64(media).collect()
+      .map(h => h.media_id -> h.dhash).toMap
+    for (id <- 0L until 12L) {
+      val g = id / 4; val v = id % 4
+      def cell(cx: Long, cy: Long): Long = {
+        var gr = ((((g + 1) * (cx + 3) * (cy + 5) * 2654435761L) % 97) % 2) *
+          150 + 40
+        if (v > 0 && cx == v && cy == (v * 3) % 8) gr += 50
+        gr
+      }
+      var expect = 0L
+      for (cy <- 0L until 8L; cx <- 0L until 8L)
+        if (cell(cx + 1, cy) > cell(cx, cy)) expect |= 1L << (cy * 8 + cx)
+      assert(got(id) == expect, s"id $id")
+    }
+  }
+
   test("brute-force ANN returns true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),

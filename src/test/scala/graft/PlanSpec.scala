@@ -368,6 +368,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftanti"), p)
   }
 
+  test("image near-dup: banded bucket equi-join, never all pairs") {
+    val p = plan("pl_image_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"Hamming LSH must bucket-join, never compare all pairs:\n$p")
+    // candidate generation is the (band, bucket) self-equi-join
+    assert(p.toLowerCase.contains("band"), p)
+  }
+
   test("substring dedup: winner is a partial-combine agg, never a window") {
     val p = plan("pl_substring_dedup")
     // boilerplate shingles are THE skew key of web text: the winner must
