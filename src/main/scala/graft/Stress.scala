@@ -52,13 +52,20 @@ object Stress {
   private val only: Option[Set[String]] =
     sys.env.get("SPARK_GRAFT_STRESS_ONLY").map(_.split(",").map(_.trim).toSet)
 
-  private def time(name: String, n: Long)(df: => DataFrame): Unit = {
+  private def time(name: String, n: Long)(df: => DataFrame): Unit =
+    timeBody(name, n) {
+      df.write.format("noop").mode("overwrite").save()
+    }
+
+  /** For imperative drivers (the BPE training loop) that are not a single
+    * DataFrame write. */
+  private def timeBody(name: String, n: Long)(body: => Unit): Unit = {
     if (only.exists(!_.contains(name))) return
     var best = Double.MaxValue
     var i = 0
     while (i < repeats) {
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      body
       best = math.min(best, (System.nanoTime() - t0) / 1e9)
       i += 1
     }
@@ -332,6 +339,88 @@ object Stress {
         .select(col("doc_id"),
           graft.functions.TextAnalysis.tokens(col("text")).as("__t"))
       graft.functions.Dedup.substringDedup(quarter, "doc_id", col("__t"), 10)
+    }
+    // round-9 stress rows.
+    //  - substring_dedup_skew: EVERY doc opens with the same 14-token
+    //    boilerplate banner, planting shingle keys repeated n/4 times —
+    //    the exact hot-key shape the r9 agg+join-back winner rewrite
+    //    targets (a window would funnel all copies into one partition;
+    //    the partial min-struct agg combines them map-side)
+    time("substring_dedup_skew", n / 4) {
+      val banner = concat_ws(" ",
+        (0 until 14).map(i => lit(s"boiler$i")): _*)
+      val quarter = docs.filter(col("doc_id") < n / 4)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokens(
+            concat(banner, lit(" "), col("text"))).as("__t"))
+      graft.functions.Dedup.substringDedup(quarter, "doc_id", col("__t"), 10)
+    }
+    //  - graph_spath: min-hop shortest paths over the same n-edge graph
+    //    as graph_varlen (bounded trail union + min-hop window, never a
+    //    transitive closure)
+    time("graph_spath", n) {
+      val cat = new graft.kql.Catalog(spark)
+      cat.register("edges", spark.range(n).toDF("eid")
+        .withColumn("s", pmod(xxhash64(col("eid")), lit(n / 2)))
+        .withColumn("d", pmod(xxhash64(col("eid"), lit(1)), lit(n / 2))))
+      graft.kql.Kql.run(spark, cat,
+        """edges | make-graph s --> d
+          | | graph-shortest-paths (a)-[p*1..3]->(b)
+          |     where a.id < 100 and b.id < 1000
+          |     project x = tolong(a.id), y = tolong(b.id),
+          |             hops = array_length(p)
+          | | summarize n = count() by hops""".stripMargin)
+    }
+    //  - bpe_train: FIXED vocab (the 5000-word synth vocabulary; corpus
+    //    size only feeds the word-count agg), nMerges=200. The batch=8
+    //    variant is the sweep-batched path — same data scale, ~8× fewer
+    //    sequential Spark jobs
+    lazy val bpeWords = docs.filter(col("doc_id") < n / 4)
+      .select(explode(graft.functions.TextAnalysis.tokens(col("text")))
+        .as("word"))
+      .groupBy("word").agg(count(lit(1)).cast("long").as("wt"))
+      .localCheckpoint()
+    timeBody("bpe_train_b1", n / 4) {
+      graft.functions.Bpe.train(spark, bpeWords, "word", "word", "wt",
+        nMerges = 200, batch = 1).count()
+    }
+    timeBody("bpe_train_b8", n / 4) {
+      graft.functions.Bpe.train(spark, bpeWords, "word", "word", "wt",
+        nMerges = 200, batch = 8).count()
+    }
+    //  - multimodal_decode: real PNG encode+decode round-trips at 10× the
+    //    gate fixture count (5000 vs 500); narrow, shuffle-free — time
+    //    should scale with the image count and nothing else
+    time("multimodal_decode", 5000L) {
+      import spark.implicits._
+      val media = spark.range(5000L).toDF("doc_id")
+        .select(col("doc_id"),
+          (lit(8) + pmod(col("doc_id"), lit(16))).cast("int"),
+          (lit(8) + pmod(col("doc_id") * 3, lit(16))).cast("int"))
+        .as[(Long, Int, Int)]
+        .mapPartitions { rows =>
+          rows.map { case (id, w, h) =>
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rr = ((id * 7 + 3L * x + 5L * y) % 256).toInt
+                val gg = ((id * 11 + 2L * x + 7L * y) % 256).toInt
+                val bb = ((id * 13 + x + 4L * y) % 256).toInt
+                img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(img, "png", bos)
+            graft.multimodal.Multimodal.MediaRow(
+              id, "image", bos.toByteArray, w, h, 0L)
+          }
+        }
+      graft.multimodal.Multimodal.decodeImageStats(media).toDF()
     }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),

@@ -47,16 +47,60 @@ object Bpe {
       posexplode(concat(chars, array(lit("</w>")))).as(Seq("pos", "sym")))
   }
 
+  /** Checkpoint the symbol table hash-partitioned by wid and sorted by
+    * (wid, pos), with AQE disabled for the materializing run: AQE's
+    * runtime partition coalescing makes the physical partitioning
+    * unknowable at checkpoint time, so the LogicalRDD would drop it and
+    * every window in the training loop would re-exchange + re-sort. With
+    * AQE off for just this materialization the checkpoint PRESERVES
+    * partitioning and ordering, and all downstream window passes (compiled
+    * with AQE back on) run exchange-free and sort-free — BpeSpec pins it.
+    */
+  def checkpointByWid(df: DataFrame): DataFrame =
+    checkpointPreserving(df.repartition(col("wid"))
+      .sortWithinPartitions(col("wid"), col("pos")))
+
+  /** [[checkpointByWid]] without the repartition — for the loop's merge
+    * output, whose wid partitioning is already inherited from its input;
+    * a repartition here would itself add the exchange we are avoiding. */
+  def checkpointPreserving(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val key = "spark.sql.adaptive.enabled"
+    val prev = spark.conf.get(key, "true")
+    spark.conf.set(key, "false")
+    try df.localCheckpoint()
+    finally spark.conf.set(key, prev)
+  }
+
   /** One merge-application pass for the (a, b) pair — the positional
     * leftmost-greedy rule described above. */
-  def applyMerge(syms: DataFrame, a: String, b: String): DataFrame = {
+  def applyMerge(syms: DataFrame, a: String, b: String): DataFrame =
+    applyMerges(syms, Seq((a, b)))
+
+  /** Merge-application pass for a SWEEP of symbol-disjoint pairs. Pairs
+    * sharing no symbol cannot chain into each other (two candidate starts
+    * at adjacent positions share the middle symbol, so by disjointness
+    * they are the same a == b pair), which means the per-island odd-offset
+    * rule — exact leftmost-greedy for a single pair — stays exact for the
+    * whole sweep, and the B applications commute: one window pass applies
+    * them all. */
+  def applyMerges(syms: DataFrame, pairs: Seq[(String, String)]): DataFrame = {
+    require(pairs.nonEmpty)
+    val used = scala.collection.mutable.HashSet.empty[String]
+    pairs.foreach { case (a, b) =>
+      require(!used(a) && !used(b),
+        s"sweep pairs must be symbol-disjoint: ($a, $b)")
+      used += a; used += b
+    }
     val w = Window.partitionBy(col("wid")).orderBy(col("pos"))
     val cum = Window.partitionBy(col("wid")).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val isCand = pairs.map { case (a, b) =>
+      col("sym") === lit(a) && coalesce(col("__nxt") === lit(b), lit(false))
+    }.reduce(_ || _)
     val t1 = syms
       .withColumn("__nxt", lead(col("sym"), 1).over(w))
-      .withColumn("__cand",
-        col("sym") === lit(a) && coalesce(col("__nxt") === lit(b), lit(false)))
+      .withColumn("__cand", isCand)
       .withColumn("__cum",
         sum(when(col("__cand"), 1L).otherwise(0L)).over(cum))
       .withColumn("__island", when(col("__cand"), col("pos") - col("__cum")))
@@ -71,42 +115,83 @@ object Bpe {
       .filter(!col("__absorbed"))
       .select(col("wid"), col("wt"),
         (row_number().over(w) - 1).as("pos"),
-        when(col("__head"), lit(a + b)).otherwise(col("sym")).as("sym"))
+        when(col("__head"), concat(col("sym"), col("__nxt")))
+          .otherwise(col("sym")).as("sym"))
   }
 
   /** Learn `nMerges` merges; returns (iteration, a, b, merged, c) where
     * `c` is the frequency-weighted pair count that won the iteration. */
   def train(spark: SparkSession, words: DataFrame, widCol: String,
-      wordCol: String, weightCol: String, nMerges: Int): DataFrame =
-    trainWithSymbols(spark, words, widCol, wordCol, weightCol, nMerges)._1
+      wordCol: String, weightCol: String, nMerges: Int,
+      batch: Int = 1): DataFrame =
+    trainWithSymbols(spark, words, widCol, wordCol, weightCol, nMerges,
+      batch)._1
 
   /** [[train]] plus the final (wid, wt, pos, sym) symbol table after all
     * learned merges applied — the trained tokenization of the vocabulary
-    * itself (the encode half of BPE for every word the corpus contains). */
+    * itself (the encode half of BPE for every word the corpus contains).
+    *
+    * `batch = B > 1` opts into SWEEP batching: each sweep collects the
+    * top pair-count rows once and greedily takes up to B symbol-disjoint
+    * pairs (count desc, then lexicographic — deterministic), applying
+    * them in ONE window pass. Disjointness keeps every taken pair's count
+    * exact for the sweep's table and makes the applications commute, so
+    * the job count drops ~B× at real vocab sizes (a 32k-merge run stops
+    * being 32k sequential Spark jobs — the wall-clock, not data-scale,
+    * bottleneck). The standard approximation (fastBPE/tokenizers do the
+    * same): a symbol CREATED mid-sweep cannot win until the next sweep,
+    * so the merge order can deviate from strict sequential BPE. B = 1 is
+    * the exact sequential algorithm and the gate-pinned default.
+    *
+    * The per-iteration symbol table is checkpointed PRE-PARTITIONED by
+    * wid and sorted by (wid, pos), which the checkpoint preserves — every
+    * window pass in the loop then runs exchange-free and sort-free; the
+    * only per-sweep shuffle is the pair-count aggregate (BpeSpec pins
+    * this).
+    */
   def trainWithSymbols(spark: SparkSession, words: DataFrame, widCol: String,
-      wordCol: String, weightCol: String, nMerges: Int)
+      wordCol: String, weightCol: String, nMerges: Int, batch: Int = 1)
       : (DataFrame, DataFrame) = {
+    require(batch >= 1, s"batch must be >= 1: $batch")
     var syms =
-      initialSymbols(words, widCol, wordCol, weightCol).localCheckpoint()
+      checkpointByWid(initialSymbols(words, widCol, wordCol, weightCol))
     val merges = scala.collection.mutable.ArrayBuffer.empty[Row]
     var k = 1
     var done = false
     while (k <= nMerges && !done) {
+      val want = math.min(batch, nMerges - k + 1)
       val w = Window.partitionBy(col("wid")).orderBy(col("pos"))
-      val best = syms
+      // bounded collect: enough head rows to usually fill the sweep (each
+      // taken pair can disqualify overlapping neighbors); a short sweep
+      // just continues next iteration, so the bound is safe, not magic
+      val topK = syms
         .withColumn("__nxt", lead(col("sym"), 1).over(w))
         .filter(col("__nxt").isNotNull)
         .groupBy(col("sym").as("a"), col("__nxt").as("b"))
         .agg(sum(col("wt")).as("c"))
         .orderBy(col("c").desc, col("a").asc, col("b").asc)
-        .limit(1).collect() // ONE row per iteration — bounded by design
-      if (best.isEmpty) done = true
+        .limit(if (want == 1) 1 else want * 4 + 16)
+        .collect()
+      if (topK.isEmpty) done = true
       else {
-        val (a, b, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Row(k, a, b, a + b, c)
-        syms = applyMerge(syms, a, b).localCheckpoint()
-        k += 1
+        val usedSyms = scala.collection.mutable.HashSet.empty[String]
+        val sweep = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var i = 0
+        while (i < topK.length && sweep.length < want) {
+          val (a, b, c) =
+            (topK(i).getString(0), topK(i).getString(1), topK(i).getLong(2))
+          if (!usedSyms(a) && !usedSyms(b)) {
+            sweep += ((a, b, c))
+            usedSyms += a; usedSyms += b
+          }
+          i += 1
+        }
+        sweep.foreach { case (a, b, c) =>
+          merges += Row(k, a, b, a + b, c)
+          k += 1
+        }
+        syms = checkpointPreserving(
+          applyMerges(syms, sweep.toSeq.map(p => (p._1, p._2))))
       }
     }
     val mergesDf = spark.createDataFrame(

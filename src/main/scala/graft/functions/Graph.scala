@@ -73,4 +73,115 @@ object Graph {
           "component diameter exceeds maxIter; raise it")
     labels
   }
+
+  /** STRONGLY connected components by forward/backward reachability class
+    * refinement (the label-propagation form of FW-BW / Orzan coloring).
+    *
+    * Every node starts in one class. Each outer round, WITHIN each current
+    * class: F(u) = min id of an in-class node that reaches u along forward
+    * edges, B(u) = the same along reversed edges (two directed min-label
+    * propagations, each the [[connectedComponents]] inner loop with
+    * one-directional messages); the class then splits by the (F, B) pair,
+    * each fragment relabeled with its min node id. Correctness: an SCC
+    * never splits (all its members share every in-class ancestor and
+    * descendant set, so F and B are uniform on it), and a class whose
+    * (F, B) pairs are uniform IS an SCC (F(b)=f forces f →* b, B(f)=b
+    * forces f →* b and minimality forces f = b = the class min m, so
+    * every u has m →* u and u →* m). Classes only ever split, so the
+    * fixpoint is exactly the SCC partition.
+    *
+    * 100 TB shape: per inner iteration one edge⋈label shuffle + one
+    * partial-aggregated min, identical to [[connectedComponents]]; the
+    * class restriction is an equi-filter on the joined row (no extra
+    * shuffle); the split is one groupBy((comp, F, B)).min + a join back.
+    * No row data reaches the driver — convergence rides Observation
+    * scalar probes on the checkpoint jobs. Outer rounds needed are
+    * typically few (each round fully separates chains via the B labels);
+    * non-convergence fails loudly, the [[connectedComponents]] precedent.
+    *
+    * @param vertices one column `id` (bigint)
+    * @param edges    columns `src`, `dst` (DIRECTED src → dst)
+    * @return (id, cluster_id) — cluster_id = min vertex id of the SCC
+    */
+  def stronglyConnectedComponents(
+      vertices: DataFrame, edges: DataFrame, maxOuter: Int = 12,
+      maxInner: Int = 25): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val probe = sum(col("comp").cast("decimal(38,0)")).as("cs")
+    def checkpointWithSum(df: DataFrame, tag: String)
+        : (DataFrame, java.math.BigDecimal) = {
+      val obs = org.apache.spark.sql.Observation(s"scc_$tag")
+      val out = df.observe(obs, probe).localCheckpoint()
+      (out, obs.get("cs").asInstanceOf[java.math.BigDecimal])
+    }
+    // directed min-label propagation of `comp`-class-restricted
+    // reachability: lbl(u) starts at u's id; messages flow src → dst only
+    // along edges whose endpoints share the current class
+    def propagate(cls: DataFrame, reversed: Boolean): DataFrame = {
+      val dir = if (reversed)
+        e.select(col("dst").as("src"), col("src").as("dst")) else e
+      val inClass = dir
+        .join(cls.select(col("id").as("src"), col("comp").as("__sc")), "src")
+        .join(cls.select(col("id").as("dst"), col("comp").as("__dc")), "dst")
+        .filter(col("__sc") === col("__dc"))
+        .select(col("src"), col("dst")).localCheckpoint()
+      val lprobe = sum(col("lbl").cast("decimal(38,0)")).as("ls")
+      def ckpt(df: DataFrame, tag: String)
+          : (DataFrame, java.math.BigDecimal) = {
+        val obs = org.apache.spark.sql.Observation(s"sccp_$tag")
+        val out = df.observe(obs, lprobe).localCheckpoint()
+        (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+      }
+      var (labels, prev) = ckpt(
+        cls.select(col("id"), col("id").as("lbl")), s"init_$reversed")
+      var conv = false
+      var i = 0
+      while (!conv && i < maxInner) {
+        val msgs = inClass.join(labels, inClass("src") === labels("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        val (next, ns) = ckpt(
+          labels.unionByName(msgs)
+            .groupBy("id").agg(min("lbl").as("lbl")), s"${i}_$reversed")
+        conv = ns.compareTo(prev) == 0
+        prev = ns
+        labels = next
+        i += 1
+      }
+      if (!conv) throw new IllegalStateException(
+        s"SCC inner propagation did not converge in $maxInner rounds")
+      labels
+    }
+    // initial single class labeled by the global min id (a broadcast
+    // 1-row aggregate), so every labeling in the loop is a min-of-class
+    // labeling: per-node comp is then non-decreasing (classes only
+    // shrink), making the unchanged-sum probe ⇔ fixpoint exact
+    val verts = vertices.select(col("id")).distinct()
+    var (cls, prevSum) = checkpointWithSum(
+      verts.crossJoin(broadcast(verts.agg(min(col("id")).as("comp")))),
+      "init")
+    var converged = false
+    var r = 0
+    while (!converged && r < maxOuter) {
+      val f = propagate(cls, reversed = false)
+        .select(col("id"), col("lbl").as("__f"))
+      val b = propagate(cls, reversed = true)
+        .select(col("id"), col("lbl").as("__b"))
+      val tagged = cls.join(f, "id").join(b, "id")
+      val split = tagged
+        .groupBy(col("comp"), col("__f"), col("__b"))
+        .agg(min(col("id")).as("__newcomp"))
+      val (next, nextSum) = checkpointWithSum(
+        tagged.join(split, Seq("comp", "__f", "__b"))
+          .select(col("id"), col("__newcomp").as("comp")), s"r$r")
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
+      cls = next
+      r += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"stronglyConnectedComponents did not converge in $maxOuter " +
+          "rounds — pathological condensation chain; raise maxOuter")
+    cls.select(col("id"), col("comp").as("cluster_id"))
+  }
 }

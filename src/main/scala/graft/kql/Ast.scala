@@ -862,14 +862,16 @@ object QueryStep {
     * exports the graph context back to tabular form. */
   final case class GraphToTable(what: String, nodeId: Option[String],
       sourceId: Option[String], targetId: Option[String]) extends QueryStep
-  /** Kusto `graph-mark-components [kind=weak] [with_component_id=name]` —
-    * weak connected components over the graph context; the node table
-    * gains the component column (the component's MIN node id — a
-    * deterministic representative where ADX's is arbitrary) and the
-    * graph context stays set for a following graph operator.
-    * kind=strong (SCC) is rejected at parse time — documented narrowing.
+  /** Kusto `graph-mark-components [kind=weak|strong]
+    * [with_component_id=name]` — connected components over the graph
+    * context; the node table gains the component column (the component's
+    * MIN node id — a deterministic representative where ADX's is
+    * arbitrary) and the graph context stays set for a following graph
+    * operator. kind=strong computes strongly connected components
+    * (forward/backward class refinement, round 9).
     */
-  final case class GraphMarkComponents(componentCol: String) extends QueryStep
+  final case class GraphMarkComponents(componentCol: String,
+      strong: Boolean = false) extends QueryStep
 }
 
 /** A parsed pipe query: first step is a Scan (or a let-reference). */

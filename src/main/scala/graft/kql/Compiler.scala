@@ -3203,12 +3203,14 @@ final class Compiler(
     // is the component's MIN node id — deterministic where ADX's
     // representative is arbitrary (deviation noted in the Ast). The
     // graph context stays set so graph-to-table / graph-match can follow.
-    case QueryStep.GraphMarkComponents(compCol) =>
+    case QueryStep.GraphMarkComponents(compCol, strong) =>
       val (edf, ndf, idCol) = pendingGraph.getOrElse(throw KqlParseException(
         "graph-mark-components requires a preceding make-graph", 0))
-      val comps = graft.functions.Graph.connectedComponents(
-        ndf.select(col(s"`$idCol`").as("id")).distinct(),
-        edf.select(col("__gsrc").as("src"), col("__gdst").as("dst")))
+      val vs = ndf.select(col(s"`$idCol`").as("id")).distinct()
+      val es = edf.select(col("__gsrc").as("src"), col("__gdst").as("dst"))
+      val comps =
+        if (strong) graft.functions.Graph.stronglyConnectedComponents(vs, es)
+        else graft.functions.Graph.connectedComponents(vs, es)
       val out = ndf.join(
         comps.select(col("id").as("__cc_id"), col("cluster_id").as(compCol)),
         col(s"`$idCol`") === col("__cc_id"), "left_outer")

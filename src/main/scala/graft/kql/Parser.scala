@@ -1182,19 +1182,21 @@ final class Parser(src: String, nowMicros: Long) {
     QueryStep.GraphToTable(what, nodeId, srcId, dstId)
   }
 
-  /** `graph-mark-components [kind=weak] [with_component_id=name]`. */
+  /** `graph-mark-components [kind=weak|strong] [with_component_id=name]`. */
   private def parseGraphMarkComponents(): QueryStep = {
+    var strong = false
     if (atIdent("kind")) {
       p += 1; eatPunct("=")
       identText().toLowerCase match {
         case "weak" => ()
+        case "strong" => strong = true
         case o => fail(
-          s"graph-mark-components supports kind=weak only (got '$o')")
+          s"graph-mark-components supports kind=weak|strong (got '$o')")
       }
     }
     var name = "ComponentId"
     if (atIdent("with_component_id")) { p += 1; eatPunct("="); name = identText() }
-    QueryStep.GraphMarkComponents(name)
+    QueryStep.GraphMarkComponents(name, strong)
   }
 
   /** Shared graph pattern tail: `(a)-[e]->(b)… [where pred] project …`. */

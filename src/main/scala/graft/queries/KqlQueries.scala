@@ -3458,6 +3458,33 @@ object KqlQueries {
         |SELECT a AS id, min(b) AS ComponentId
         |FROM reach GROUP BY a ORDER BY a""".stripMargin),
 
+    // round-9 graph-mark-components kind=strong: SCC by forward/backward
+    // class refinement (Graph.stronglyConnectedComponents); the oracle
+    // computes mutual reachability from the recursive closure — u and v
+    // share a component iff each reaches the other, representative = min
+    // id. Self-reach rows (id, id) make singletons label themselves.
+    kq("kql_graph_scomp",
+      """events
+        | | where event_id < 300
+        | | project s = user_id % 8 + (event_id % 3) * 10,
+        |           d = (user_id * 7 + event_id) % 8 + (event_id % 3) * 10
+        | | make-graph s --> d
+        | | graph-mark-components kind=strong
+        | | project id = tolong(id), ComponentId = tolong(ComponentId)
+        | | sort by id asc""".stripMargin,
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT user_id % 8 + (event_id % 3) * 10 AS s,
+        |         (user_id * 7 + event_id) % 8 + (event_id % 3) * 10 AS d
+        |  FROM events WHERE event_id < 300),
+        |n AS (SELECT s AS id FROM e UNION SELECT d FROM e),
+        |reach(a, b) AS (
+        |  SELECT id AS a, id AS b FROM n
+        |  UNION
+        |  SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s)
+        |SELECT f.a AS id, min(f.b) AS ComponentId
+        |FROM reach f JOIN reach r2 ON f.a = r2.b AND f.b = r2.a
+        |GROUP BY f.a ORDER BY f.a""".stripMargin),
+
     // round-8 ipv4 text-scan + multi-range + sequential multi-replace:
     // "properly delimited" = adjacent chars non-alphanumeric and not a
     // dot (so 0.20.30.x inside 10.20.30.x does NOT match, nor does

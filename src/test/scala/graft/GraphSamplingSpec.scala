@@ -37,6 +37,47 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(got.sameElements(Array(0L)))
   }
 
+  test("stronglyConnectedComponents: cycles, DAG links, singletons") {
+    // SCCs: {1,2,3} (3-cycle), {4,5} (2-cycle) reached from 3 by a DAG
+    // edge, {6} and {7} singletons linked 6→7 — the counterexample shape
+    // where one-shot (F, B) pair labeling over-merges (u, v sharing min
+    // ancestor AND min descendant without a cycle) is covered below
+    val vertices = (1L to 7L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L),
+      (3L, 4L), (4L, 5L), (5L, 4L),
+      (6L, 7L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 7L))
+  }
+
+  test("SCC refinement splits same-(F,B) non-cycles (diamond)") {
+    // m→u→d, m→v→d with ids 0,2,3,1: u and v share F=0 and B=1 yet are
+    // NOT strongly connected — the class-restricted second round must
+    // split them (the one-shot pair labeling would not)
+    val vertices = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val edges = Seq((0L, 2L), (0L, 3L), (2L, 1L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("SCC on a directed cycle chain converges (condensation path)") {
+    // cycles {0,1} {2,3} {4,5} ... linked in a chain of DAG edges — the
+    // condensation is a path; every SCC must still come out whole
+    val k = 6
+    val vertices = (0 until 2 * k).map(_.toLong).toDF("id")
+    val cyc = (0 until k).flatMap { i =>
+      Seq((2L * i, 2L * i + 1), (2L * i + 1, 2L * i)) }
+    val links = (0 until k - 1).map(i => (2L * i + 1, 2L * i + 2))
+    val edges = (cyc ++ links).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0 until 2 * k).map(i => i.toLong -> (i / 2 * 2).toLong).toMap)
+  }
+
   test("connectedComponents fails loudly when maxIter truncates") {
     // a 6-node path has diameter 5: maxIter=2 cannot converge, and a
     // silent return would hand dedup multiple "canonical" ids per cluster

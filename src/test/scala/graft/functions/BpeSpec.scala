@@ -107,6 +107,78 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("batch=1 explicitly equals the exact sequential algorithm") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("aaaa", 2L))
+    val df = words.toDF("word", "wt")
+    val got = Bpe.train(spark, df, "word", "word", "wt", 8, batch = 1)
+      .orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(got == seqTrain(words, 8))
+  }
+
+  test("batch sweeps: disjoint pairs, exact counts, consistent table") {
+    val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
+      ("widest", 3L), ("banana", 4L), ("aaaa", 2L))
+    val df = words.toDF("word", "wt")
+    val (mergesDf, syms) =
+      Bpe.trainWithSymbols(spark, df, "word", "word", "wt", 12, batch = 4)
+    val merges = mergesDf.orderBy("iteration").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(4)))
+    assert(merges.nonEmpty && merges.map(_._1).toSeq == (1 to merges.length))
+    // within-sweep disjointness: replaying the merge list SEQUENTIALLY
+    // through encodeWord must reproduce the trainer's final symbol table
+    // exactly (disjoint pairs commute, so sweep == sequence)
+    val got = Bpe.encodeTable(syms).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    words.foreach { case (w, _) =>
+      val exp = Bpe.encodeWord(w, merges.map(m => (m._2, m._3)).toSeq)
+      assert(got(w) == exp.mkString(" "), s"word $w")
+    }
+    // the first sweep's top pair must equal the exact algorithm's first
+    // merge, with the identical count (sweep counts are exact)
+    val exact = seqTrain(words, 1).head
+    assert((merges.head._2, merges.head._3, merges.head._4) ==
+      (exact._2, exact._3, exact._5))
+  }
+
+  test("plan pins: loop windows run exchange-free off the wid partitioning") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq(("newest", 6L), ("widest", 3L)).toDF("word", "wt")
+    val syms = Bpe.checkpointByWid(Bpe.initialSymbols(df, "word", "word", "wt"))
+    // merge application: every window requires wid clustering, which the
+    // checkpoint preserves — NO exchange in the whole pass
+    val applied = Bpe.applyMerges(syms, Seq(("e", "s")))
+    val ap = applied.queryExecution.executedPlan.toString
+    assert(!ap.contains("Exchange"),
+      s"merge application must reuse the checkpointed wid partitioning:\n$ap")
+    // pair counting: exactly ONE shuffle — the partial/final pair-count
+    // aggregate; the lead() window rides the same wid partitioning
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("wid")).orderBy(col("pos"))
+    val counts = syms
+      .withColumn("__nxt", org.apache.spark.sql.functions.lead(col("sym"), 1).over(w))
+      .filter(col("__nxt").isNotNull)
+      .groupBy(col("sym"), col("__nxt"))
+      .agg(org.apache.spark.sql.functions.sum(col("wt")))
+    val cp = counts.queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(cp).length == 1,
+      s"pair counting must shuffle exactly once (the pair agg):\n$cp")
+    // the NEXT iteration reads checkpointPreserving(applyMerges(...)):
+    // the merge output inherits the wid partitioning, so iteration 2's
+    // windows must also plan exchange-free (pos renumbering does lose
+    // the ordering — a local re-sort is fine, a shuffle is not)
+    // fresh frame (not `applied`, whose QueryExecution the assertion
+    // above already forced under AQE) — matching the real loop, where
+    // the merge output goes straight into the checkpoint
+    val next = Bpe.checkpointPreserving(Bpe.applyMerges(syms, Seq(("e", "s"))))
+    val ap2 = Bpe.applyMerges(next, Seq(("t", "</w>")))
+      .queryExecution.executedPlan.toString
+    assert(!ap2.contains("Exchange"),
+      s"iteration 2 must reuse the preserved wid partitioning:\n$ap2")
+  }
+
   test("encodeWord replays the learned merges (round-trip)") {
     val words = Seq(("low", 5L), ("lower", 2L), ("newest", 6L),
       ("widest", 3L))
