@@ -1808,6 +1808,38 @@ object PipelineQueries {
         graft.multimodal.Multimodal.syntheticWavs(s, d))
         .toDF().orderBy("media_id")),
 
+    // REAL video frame decode (round 9): payloads are concatenated
+    // frames — the MJPEG container rule (an MJPEG stream is just
+    // concatenated JPEGs; splitFrames scans SOI…EOI / PNG…IEND). The
+    // gate fixture concatenates LOSSLESS PNG frames of a per-frame ramp,
+    // so the oracle replays the generating function per (frame, x, y);
+    // the true-JPEG split path is spec-covered with lossy tolerance
+    // (PipelineSpec). Inter-frame codecs (H.264 &c.) stay out of scope —
+    // no JDK decoder.
+    Q("pl_multimodal_video",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 8 AS w,
+        |                     8 + (doc_id * 3) % 8 AS h,
+        |                     2 + doc_id % 3 AS nf
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, f, x, y
+        |       FROM dims, unnest(range(0, nf)) AS uf(f),
+        |            unnest(range(0, w)) AS ux(x),
+        |            unnest(range(0, h)) AS uy(y))
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum((doc_id * 7 + 19 * f + 3 * x + 5 * y) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(sum((doc_id * 11 + 23 * f + 2 * x + 7 * y) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum((doc_id * 13 + 29 * f + x + 4 * y) % 256) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, f""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeFrameStats(
+        graft.multimodal.Multimodal.syntheticFrameVideos(s, d))
+        .toDF().orderBy("media_id", "frame_idx")),
+
     // image NEAR-DUP dedup (round 9): dHash over REAL decoded pixels →
     // banded Hamming LSH → exact popcount verify. Fixtures group in
     // fours sharing a 9×8 cell pattern with one brightened cell per

@@ -143,6 +143,64 @@ class PipelineSpec extends AnyFunSuite {
     assert(math.abs(r.sum_r - exact) < 192 * 16) // lossy but close
   }
 
+  test("mjpeg split: true JPEG frame stream decodes per-frame") {
+    import graft.multimodal.Multimodal
+    // a REAL MJPEG payload: three JPEG-encoded ramp frames concatenated;
+    // splitFrames must find the SOI…EOI boundaries and decode each (JPEG
+    // is lossy, so assert structure exactly and channel sums near the
+    // encoded ramp — the r8 JPEG-decode precedent)
+    val bos = new java.io.ByteArrayOutputStream()
+    val exact = Array.ofDim[Long](3)
+    for (f <- 0 until 3) {
+      val img = new java.awt.image.BufferedImage(
+        16, 12, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 12; x <- 0 until 16) {
+        img.setRGB(x, y, ((x * 16) << 16) | ((y * 20) << 8) | (f * 60))
+        exact(f) += x * 16L
+      }
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+    }
+    val media = Seq(Multimodal.MediaRow(
+      9L, "video", bos.toByteArray, 16, 12, 120L)).toDS()
+    val r = Multimodal.decodeFrameStats(media)
+      .orderBy("frame_idx").collect()
+    assert(r.length == 3)
+    r.zipWithIndex.foreach { case (fr, i) =>
+      assert((fr.frame_idx, fr.width, fr.height, fr.n_pixels) ==
+        (i, 16, 12, 192L))
+      assert(math.abs(fr.sum_r - exact(i)) < 192 * 16, s"frame $i lossy drift")
+    }
+  }
+
+  test("splitFrames handles mixed and mid-stream payloads") {
+    import graft.multimodal.Multimodal
+    def png(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    def jpg(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", b)
+      b.toByteArray
+    }
+    // junk prefix (an AVI-ish header) + png + jpeg + png
+    val junk = Array[Byte](0x52, 0x49, 0x46, 0x46, 0x00, 0x11, 0x22)
+    val payload = junk ++ png(0x112233) ++ jpg(0x445566) ++ png(0x778899)
+    val frames = Multimodal.splitFrames(payload)
+    assert(frames.length == 3)
+    frames.foreach { fb =>
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb)) != null)
+    }
+  }
+
   test("image near-dup: dHash + banded Hamming LSH equals all-pairs") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 80)
