@@ -44,7 +44,10 @@ object PipelineQueries {
     * 64 bit-majorities are generated `sum(CASE …)` columns. Docs with no
     * tokens keep simhash 0 via the left join.
     */
-  private val simhashOracleSql: String = {
+  /** The simhash-computing CTE chain over an arbitrary `src(doc_id, text)`
+    * CTE — shared by [[simhashOracleSql]] and the r9 `pl_simhash_dups`
+    * pairs oracle. Produces CTEs `tok` … `v(doc_id, simhash)`. */
+  private def simhashCtes(src: String): String = {
     val W = "18446744073709551616" // 2^64
     val C = java.lang.Long.toUnsignedString(graft.functions.SimHashUtil.C)
     val downMix = s"(h + h // 8589934592) % $W" // h += h >>> 33
@@ -61,10 +64,10 @@ object PipelineQueries {
         else java.math.BigInteger.ONE.shiftLeft(b).toString
       s"CASE WHEN 2 * o$b > n THEN CAST($w AS BIGINT) ELSE CAST(0 AS BIGINT) END"
     }.mkString(" +\n    ")
-    s"""WITH tok AS (
+    s"""tok AS (
        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
        |                                    x -> len(x) > 0)) AS t
-       |  FROM documents),
+       |  FROM $src),
        |h0 AS (SELECT doc_id, list_reduce(
        |    list_prepend(CAST(0 AS HUGEINT),
        |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
@@ -79,11 +82,34 @@ object PipelineQueries {
        |  FROM h5 GROUP BY doc_id),
        |v AS (SELECT doc_id,
        |    $value AS simhash
-       |  FROM bits)
+       |  FROM bits)""".stripMargin
+  }
+
+  private val simhashOracleSql: String =
+    s"""WITH ${simhashCtes("documents")}
        |SELECT d.doc_id, coalesce(v.simhash, CAST(0 AS BIGINT)) AS simhash
        |FROM documents d LEFT JOIN v ON d.doc_id = v.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
+
+  /** Pairs oracle for the r9 `pl_simhash_dups` gate: the same simhash
+    * CTEs over the documents ∪ one-token-appended variants source, then
+    * an ALL-PAIRS popcount — the bounded exact twin the banded operator
+    * must equal, by the pigeonhole recall argument (maxDist 7 < 8 bands).
+    */
+  private val simhashDupsOracleSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id < 400
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text || ' graftmarker'
+       |  FROM documents WHERE doc_id < 400),
+       |${simhashCtes("src")},
+       |hs AS (SELECT s.doc_id, coalesce(v.simhash, CAST(0 AS BIGINT)) AS sh
+       |       FROM src s LEFT JOIN v ON s.doc_id = v.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+       |FROM hs a JOIN hs b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sh, b.sh)) <= 7
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** DuckDB mirror of [[Dedup.minhashDupPairs]] (n=3, k=64, r=4, θ=0.4):
     * a full XXH64 implementation in HUGEINT mod-2^64 SQL — stripe lanes
@@ -829,6 +855,27 @@ object PipelineQueries {
         .select(col("doc_id"),
           Dedup.simhash(TextAnalysis.tokens(col("text"))).as("simhash"))
         .orderBy("doc_id")),
+
+    // SimHash NEAR-DUP pairs (round 9): the generic banded Hamming LSH
+    // (Dedup.hammingDupPairs, shared with pl_image_dedup) over text
+    // simhashes — near pairs are planted as one-token-appended variants
+    // of each doc. maxDist 7 < nBands 8 ⇒ banding is EXACT, so the
+    // oracle's all-pairs popcount over the DuckDB-replayed simhashes is
+    // the identical answer (never materialized by the operator).
+    Q("pl_simhash_dups", simhashDupsOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+          .filter(col("doc_id") < 400).select("doc_id", "text")
+        val variants = docs.select(
+          (col("doc_id") + 10000).as("doc_id"),
+          concat(col("text"), lit(" graftmarker")).as("text"))
+        val hashes = docs.unionByName(variants)
+          .select(col("doc_id"),
+            Dedup.simhash(TextAnalysis.tokens(col("text"))).as("sh"))
+        Dedup.hammingDupPairs(hashes, "doc_id", "sh",
+          maxDist = 7, nBands = 8)
+          .orderBy("id_a", "id_b")
+      }),
 
     // ───── similarity search ─────
 

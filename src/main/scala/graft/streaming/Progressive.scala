@@ -100,6 +100,38 @@ object Progressive {
       .agg(count(lit(1)).as("count_sessions"))
   }
 
+  /** Streaming form of `activity_counts`'s `new_dcount` series (round 9):
+    * per bin, the number of ids seen for the FIRST time — global
+    * first-seen dedup on the id (`dropDuplicates` keyed on the id alone,
+    * its state watermark-pruned via the event-time column) feeding a
+    * per-bin count, refining in `update` mode like [[slidingEngagement]]
+    * (per-bin dcount itself is `slidingEngagement(lookbackBins = 1)`).
+    *
+    * Bounded-state semantics, stated honestly: an id silent for longer
+    * than the watermark has its dedup state dropped, so a comeback after
+    * that horizon counts as new again — the unavoidable trade of the
+    * batch plugin's full-history `new_dcount` for bounded streaming
+    * state. First-seen attribution is by arrival order (equals event
+    * order for in-order streams).
+    */
+  def newUsersPerBin(
+      stream: DataFrame,
+      idCol: String,
+      tsCol: String,
+      binSeconds: Long,
+      watermark: String): DataFrame = {
+    val binUs = binSeconds * 1000000L
+    val tb = timestamp_micros(
+      floor(unix_micros(col(tsCol).cast("timestamp")) / binUs)
+        .cast("long") * binUs)
+    stream
+      .select(col(idCol).as("__id"), tb.as("bin"))
+      .withWatermark("bin", watermark)
+      .dropDuplicates("__id")
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("new_users"))
+  }
+
   def binnedCounts(
       stream: DataFrame,
       tsCol: String,

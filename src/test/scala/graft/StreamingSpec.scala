@@ -97,6 +97,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("new-users-per-bin counts first appearances only (activity_counts)") {
+    // round-9 streaming parity for activity_counts' new_dcount: 1-minute
+    // bins; an id counts in the bin of its FIRST arrival and never again
+    // (within the watermark horizon)
+    val dir = Files.createTempDirectory("graft_stream_new").toString
+    val batch1 = Seq(
+      (1L, "2024-01-01 00:00:30"), (2L, "2024-01-01 00:00:40"),
+      (1L, "2024-01-01 00:01:10"))
+      .toDF("user_id", "ts")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    batch1.coalesce(1).write.mode("append").parquet(dir)
+
+    val q = Progressive.aggregateStream(
+      spark, dir, batch1.schema,
+      df => Progressive.newUsersPerBin(
+        df, "user_id", "ts", binSeconds = 60L, watermark = "10 minutes"),
+      queryName = "prog_new", debounceMs = 100L, outputMode = "update")
+    try {
+      q.processAllAvailable()
+      def snapshot(): Map[String, Long] = spark.table("prog_new").collect()
+        .groupBy(_.getTimestamp(0).toString)
+        .map { case (k, rs) => k -> rs.map(_.getLong(1)).max }
+      // u1 and u2 are new in 00:00; u1's 00:01 event is NOT new
+      assert(snapshot() == Map("2024-01-01 00:00:00.0" -> 2L))
+
+      // refinement: u3 first appears in 00:00 (late but inside the
+      // watermark) and u4 in 00:01; u2 reappears — not new
+      Seq((3L, "2024-01-01 00:00:50"), (4L, "2024-01-01 00:01:30"),
+        (2L, "2024-01-01 00:01:40"))
+        .toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 3L,
+        "2024-01-01 00:01:00.0" -> 1L))
+    } finally q.stop()
+  }
+
   test("extended aggregates run on the streaming (partial) path") {
     val dir = Files.createTempDirectory("graft_stream_ext").toString
     val data = Seq(("a", 1.0), ("a", 4.0), ("b", 9.0)).toDF("k", "v")
