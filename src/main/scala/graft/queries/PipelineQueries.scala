@@ -1855,6 +1855,47 @@ object PipelineQueries {
         graft.multimodal.Multimodal.syntheticWavs(s, d))
         .toDF().orderBy("media_id")),
 
+    // REAL image resize (round 9): decode → integer box-filter 2×
+    // downscale (each output pixel = floor-mean of its 2×2 block, per
+    // channel, computed with explicit integer arithmetic — not AWT
+    // interpolation) → PNG re-encode → decode again for stats. The
+    // oracle replays the whole chain on the ramp generating function:
+    // each source value wraps mod 256 BEFORE the block sum, trailing
+    // odd rows/cols drop (floor dims) — any deviation in kernel, wrap
+    // order, or edge handling breaks the hash.
+    Q("pl_multimodal_resize",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 16 AS w,
+        |                     8 + (doc_id * 3) % 16 AS h
+        |              FROM documents),
+        |opx AS (SELECT doc_id, w // 2 AS ow, h // 2 AS oh, ox, oy
+        |        FROM dims, unnest(range(0, w // 2)) AS ux(ox),
+        |             unnest(range(0, h // 2)) AS uy(oy)),
+        |vals AS (SELECT doc_id, ow, oh,
+        |  ((doc_id*7 + 3*(2*ox) + 5*(2*oy)) % 256
+        |   + (doc_id*7 + 3*(2*ox+1) + 5*(2*oy)) % 256
+        |   + (doc_id*7 + 3*(2*ox) + 5*(2*oy+1)) % 256
+        |   + (doc_id*7 + 3*(2*ox+1) + 5*(2*oy+1)) % 256) // 4 AS r,
+        |  ((doc_id*11 + 2*(2*ox) + 7*(2*oy)) % 256
+        |   + (doc_id*11 + 2*(2*ox+1) + 7*(2*oy)) % 256
+        |   + (doc_id*11 + 2*(2*ox) + 7*(2*oy+1)) % 256
+        |   + (doc_id*11 + 2*(2*ox+1) + 7*(2*oy+1)) % 256) // 4 AS g,
+        |  ((doc_id*13 + (2*ox) + 4*(2*oy)) % 256
+        |   + (doc_id*13 + (2*ox+1) + 4*(2*oy)) % 256
+        |   + (doc_id*13 + (2*ox) + 4*(2*oy+1)) % 256
+        |   + (doc_id*13 + (2*ox+1) + 4*(2*oy+1)) % 256) // 4 AS b
+        |  FROM opx)
+        |SELECT doc_id AS media_id, CAST(ow AS INTEGER) AS width,
+        |  CAST(oh AS INTEGER) AS height, CAST(ow * oh AS BIGINT) AS n_pixels,
+        |  CAST(sum(r) AS BIGINT) AS sum_r,
+        |  CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM vals GROUP BY doc_id, ow, oh
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeImageStats(
+        graft.multimodal.Multimodal.resizeImages(
+          graft.multimodal.Multimodal.syntheticPngs(s, d), 2))
+        .toDF().orderBy("media_id")),
+
     // REAL video frame decode (round 9): payloads are concatenated
     // frames — the MJPEG container rule (an MJPEG stream is just
     // concatenated JPEGs; splitFrames scans SOI…EOI / PNG…IEND). The
@@ -1886,6 +1927,42 @@ object PipelineQueries {
       (s, d) => graft.multimodal.Multimodal.decodeFrameStats(
         graft.multimodal.Multimodal.syntheticFrameVideos(s, d))
         .toDF().orderBy("media_id", "frame_idx")),
+
+    // audio NEAR-DUP dedup (round 9): 64-bit energy-profile fingerprint
+    // over REAL decoded WAV/PCM (65-window pooling, consecutive-window
+    // energy comparisons — the dHash analog), pairs via the shared
+    // banded Hamming LSH. maxDist 7 < 8 bands ⇒ exact, so the oracle's
+    // all-pairs bit compare over the replayed generating function is the
+    // identical answer. Variants perturb one window (+1000 mod 2^16).
+    Q("pl_audio_dedup",
+      """WITH src AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v
+        |             FROM documents WHERE doc_id < 240),
+        |samp AS (SELECT doc_id, g, v, 200 + g % 100 AS n, i
+        |         FROM src, unnest(range(0, 200 + g % 100)) AS u(i)),
+        |val AS (SELECT doc_id, i * 65 // n AS w,
+        |  ((((g + 1) * ((i * 65 // n) + 3) * 2654435761) % 97) % 2) * 15000
+        |  + CASE WHEN v > 0 AND (i * 65 // n) = (v * 13) % 65
+        |         THEN 8000 ELSE 0 END
+        |  + (g * 31 + 17 * i) % 1000 AS a
+        |  FROM samp),
+        |win AS (SELECT doc_id, w, sum(a) AS s, count(*) AS c
+        |        FROM val GROUP BY doc_id, w),
+        |bits AS (SELECT a.doc_id, a.w AS i,
+        |           CASE WHEN b.s * a.c > a.s * b.c THEN 1 ELSE 0 END AS bit
+        |         FROM win a JOIN win b
+        |           ON a.doc_id = b.doc_id AND b.w = a.w + 1
+        |         WHERE a.w < 64),
+        |d AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
+        |      FROM bits x JOIN bits y ON x.i = y.i AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming
+        |FROM d WHERE hd <= 7 ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.hammingDupPairs(
+        graft.multimodal.Multimodal.audioFingerprint64(
+          graft.multimodal.Multimodal.syntheticNearDupWavs(s, d)),
+        "media_id", "afp", maxDist = 7, nBands = 8)
+        .orderBy("id_a", "id_b")),
 
     // image NEAR-DUP dedup (round 9): dHash over REAL decoded pixels →
     // banded Hamming LSH → exact popcount verify. Fixtures group in
