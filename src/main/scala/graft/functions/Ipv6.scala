@@ -96,6 +96,30 @@ object Ipv6Util {
     UTF8String.fromString(sb.toString)
   }
 
+  /** Canonical full form of the address masked to `prefix` bits (Kusto
+    * `parse_ipv6_mask`); null on malformed input or prefix ∉ [1, 128]. */
+  def canonicalMask(s: UTF8String, prefix: Long): UTF8String = {
+    if (s == null || prefix < 1 || prefix > 128) return null
+    val b = parse(s.toString)
+    if (b == null) return null
+    var bits = prefix.toInt
+    var i = 0
+    while (i < 16) {
+      if (bits <= 0) b(i) = 0
+      else if (bits < 8) b(i) = (b(i) & (0xff << (8 - bits))).toByte
+      bits -= 8
+      i += 1
+    }
+    val sb = new java.lang.StringBuilder(39)
+    i = 0
+    while (i < 8) {
+      if (i > 0) sb.append(':')
+      sb.append(f"${((b(2 * i) & 0xff) << 8) | (b(2 * i + 1) & 0xff)}%04x")
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
+
   /** -1 / 0 / 1 by 128-bit unsigned compare; null on malformed input. */
   def compare(a: UTF8String, b: UTF8String): java.lang.Long = {
     if (a == null || b == null) return null
@@ -228,4 +252,28 @@ case class Ipv6Canonical(child: Expression)
     copy(child = newChild)
 
   override def prettyName: String = "parse_ipv6"
+}
+
+/** Kusto `parse_ipv6_mask(ip, prefix)` — canonical full form of the
+  * prefix-masked address; malformed input or prefix ∉ [1,128] → null. */
+case class Ipv6CanonicalMask(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(ip: Any, prefix: Any): Any =
+    Ipv6Util.canonicalMask(ip.asInstanceOf[UTF8String],
+      prefix.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, p) => s"""
+      ${ev.value} = graft.functions.Ipv6Util.canonicalMask($a, $p);
+      if (${ev.value} == null) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Ipv6CanonicalMask =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "parse_ipv6_mask"
 }

@@ -906,6 +906,20 @@ final class Compiler(
             try_parse_json(to_json(struct(struct(
               fam.as("Family")).as("OperatingSystem"))))
           }
+        case "zlib_compress_to_base64_string" |
+            "zlib_decompress_from_base64_string" |
+            "gzip_compress_to_base64_string" |
+            "gzip_decompress_from_base64_string" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val op = name match {
+            case "zlib_compress_to_base64_string" => "zlib_comp"
+            case "zlib_decompress_from_base64_string" => "zlib_decomp"
+            case "gzip_compress_to_base64_string" => "gzip_comp"
+            case _ => "gzip_decomp"
+          }
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), op))
+        }
         case "punycode_domain_from_string" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.TextCodecExpr(
@@ -1284,6 +1298,15 @@ final class Compiler(
           if (name == "ipv4_is_match") when(ok, m1 === m2)
           else when(ok,
             when(m1 < m2, -1L).when(m1 > m2, 1L).otherwise(0L))
+        // parse_ipv6_mask (round 9): canonical full form of the address
+        // masked to `prefix` bits — the missing sibling of the existing
+        // ipv6 family (Ipv6.scala kernel)
+        case "parse_ipv6_mask" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.Ipv6CanonicalMask(
+            expression(cs.head.cast(StringType)),
+            expression(cs(1).cast(LongType))))
+        }
         // suffix of "ip/suffix"; a bare valid ip is /32; junk → null
         case "ipv4_netmask_suffix" =>
           val parts = org.apache.spark.sql.functions.split(

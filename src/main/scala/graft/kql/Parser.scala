@@ -2284,6 +2284,9 @@ final class Parser(src: String, nowMicros: Long) {
     "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
     "replace_strings", "punycode_domain_from_string",
     "punycode_domain_to_string", "parse_user_agent",
+    "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
+    "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
+    "parse_ipv6_mask",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2614,7 +2617,11 @@ final class Parser(src: String, nowMicros: Long) {
                 "isascii" | "unicode_codepoints_from_string" |
                 "base64_decode_toarray" | "base64_encode_fromarray" |
                 "punycode_domain_from_string" |
-                "punycode_domain_to_string") =>
+                "punycode_domain_to_string" |
+                "zlib_compress_to_base64_string" |
+                "zlib_decompress_from_base64_string" |
+                "gzip_compress_to_base64_string" |
+                "gzip_decompress_from_base64_string") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case f @ ("ipv4_compare" | "ipv4_is_match") =>
@@ -2622,6 +2629,10 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.length == 2 || a.length == 3,
           s"$f() takes (ip1, ip2[, prefix])")
         StrFn(f, a)
+      case "parse_ipv6_mask" =>
+        val a = args()
+        arity(a.length == 2, "parse_ipv6_mask() takes (ip, prefix)")
+        StrFn("parse_ipv6_mask", a)
       case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml" |
                 "treepath") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")

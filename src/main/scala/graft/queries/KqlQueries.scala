@@ -2887,7 +2887,10 @@ object KqlQueries {
         |     c = ipv6_compare(ax, ay),
         |     m = ipv6_is_match(ax, ay),
         |     r = ipv6_is_in_range(ax, '2001:db8::/64'),
-        |     p = parse_ipv6(ax)
+        |     p = parse_ipv6(ax),
+        |     pm64 = parse_ipv6_mask(ax, 64),
+        |     pm126 = parse_ipv6_mask(ax, 126),
+        |     pmbad = parse_ipv6_mask(ax, 129)
         | | sort by event_id asc""".stripMargin,
       """WITH b AS (SELECT event_id, event_id % 97 AS x,
         |    (event_id * 7) % 97 AS y
@@ -2898,7 +2901,11 @@ object KqlQueries {
         |  x = y AS m,
         |  TRUE AS r,
         |  '2001:0db8:0000:0000:0000:0000:0000:' ||
-        |    lower(lpad(hex(x), 4, '0')) AS p
+        |    lower(lpad(hex(x), 4, '0')) AS p,
+        |  '2001:0db8:0000:0000:0000:0000:0000:0000' AS pm64,
+        |  '2001:0db8:0000:0000:0000:0000:0000:' ||
+        |    lower(lpad(hex(x // 4 * 4), 4, '0')) AS pm126,
+        |  CAST(NULL AS VARCHAR) AS pmbad
         |FROM b ORDER BY event_id""".stripMargin),
 
     // round-6 format_timespan: time-of-day spans rendered hh:mm:ss,
@@ -3578,6 +3585,32 @@ object KqlQueries {
         |       'xn--mnchen-3ya.de' AS a,
         |       'münchen.de' AS rt,
         |       'plain.example.com' AS plain""".stripMargin),
+
+    // round-9 zlib/gzip codecs (java.util.zip, RFC 1950/1952):
+    // compressed BYTES are implementation-specific, so the gate checks
+    // (a) round-trips over real corpus text, (b) decompression of
+    // python-zlib/python-gzip FOREIGN vectors (cross-implementation
+    // stream compat), (c) invalid input → empty string (ADX behavior)
+    kq("kql_zipfns",
+      """documents
+        | | where doc_id < 200
+        | | extend zrt = zlib_decompress_from_base64_string(
+        |                  zlib_compress_to_base64_string(text)),
+        |          grt = gzip_decompress_from_base64_string(
+        |                  gzip_compress_to_base64_string(text))
+        | | project doc_id,
+        |     z_ok = zrt == text, g_ok = grt == text,
+        |     pyz = zlib_decompress_from_base64_string(
+        |       'eJxLL0pMK1FILsovLtbNzC3ISc1NzStJLMnMz1MoS00uyS9SMDQyNjE1M7ewNAAAei0PUg=='),
+        |     pyg = gzip_decompress_from_base64_string(
+        |       'H4sIAAAAAAAC/0svSkwrUUguyi8u1s3MLchJzU3NK0ksyczPUyhLTS7JL1IwNDI2MTUzt7A0AADSTyRSLAAAAA=='),
+        |     bad = gzip_decompress_from_base64_string('bm90IGd6aXA=')
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id, true AS z_ok, true AS g_ok,
+        |  'graft cross-implementation vector 1234567890' AS pyz,
+        |  'graft cross-implementation vector 1234567890' AS pyg,
+        |  '' AS bad
+        |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
 
     // round-8 union kind=inner: the column INTERSECTION survives (the
     // previous accept-and-widen behavior is now real semantics)
