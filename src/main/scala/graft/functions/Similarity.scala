@@ -263,6 +263,134 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
+  /** Product quantization (Jégou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search"): split the `dim`-dimensional space into
+    * `m` subspaces, learn a `ksub`-entry codebook per subspace
+    * (deterministically seeded — the same hash-ordered rows as
+    * [[ivfAssign]] — plus one Lloyd sweep), and store each vector as m
+    * byte codes: a 32× compression of a float corpus, THE memory layout
+    * for billion-vector ANN serving.
+    *
+    * Everything is integer-exact for cross-engine comparability:
+    * assignments minimize the scaled-integer squared L2 (Σ of squared
+    * differences of 1e6-scaled longs — partition-invariant, no float
+    * accumulation order), codebook means are exact integer sums with one
+    * IEEE double division per component (the [[ivfAssign]] pattern), and
+    * ADC scores are scaled-integer inner products.
+    *
+    * 100 TB shape: codebooks are m × ksub × (dim/m) floats — broadcast
+    * literals; encoding is one narrow map pass; the only collected data
+    * is the m × ksub × (dim/m) refinement sums (bounded, the
+    * IVF-centroid precedent).
+    *
+    * @return (encoded corpus (id, __codes array<int>), codebooks(m)(ksub))
+    */
+  /** HALF_UP long scaling of a centroid component — matches both Spark's
+    * `round()` and DuckDB's `round()` (away from zero), where
+    * `math.round` (floor(x+0.5)) would differ on negative .5 ties. */
+  private def scaleLong(v: Float): Long =
+    java.math.BigDecimal.valueOf(v.toDouble * Embeddings.Scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+  def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): (DataFrame, Array[Array[Array[Float]]]) = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val seedRows = c.orderBy(xxhash64(col("neighbor_id"))).limit(ksub)
+      .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
+    require(seedRows.length == ksub, s"corpus smaller than ksub=$ksub")
+    val dim = seedRows.head.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m")
+    val sub = dim / m
+    def sliceBook(rows: Array[Array[Float]]): Array[Array[Array[Float]]] =
+      Array.tabulate(m)(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)))
+    val books0 = sliceBook(seedRows)
+
+    // scaled-integer squared L2 between the vec's mi-th subvector and a
+    // literal centroid — a fixed Σ of long squares, no accumulation order
+    def l2s(vec: Column, mi: Int, cent: Array[Float]): Column =
+      cent.zipWithIndex.map { case (cv, j) =>
+        val d = round(element_at(vec, mi * sub + j + 1).cast("double") *
+            Embeddings.Scale).cast("long") -
+          lit(scaleLong(cv))
+        d * d
+      }.reduce(_ + _)
+    def codeCol(vec: Column, mi: Int,
+        book: Array[Array[Array[Float]]]): Column =
+      array_min(array(book(mi).zipWithIndex.map { case (cent, ci) =>
+        struct(l2s(vec, mi, cent).as("d"), lit(ci).as("c"))
+      }: _*))("c")
+    def codesCol(book: Array[Array[Array[Float]]]): Column =
+      array((0 until m).map(mi => codeCol(col("__cv"), mi, book)): _*)
+
+    // one Lloyd sweep: exact integer (subspace, code, dim) sums over ONE
+    // corpus pass; m × ksub × sub bounded rows collect
+    val assigned0 = c.withColumn("__codes", codesCol(books0))
+    val sums = assigned0
+      .select(col("__codes"),
+        posexplode(Embeddings.scaledVec(col("__cv"))).as(Seq("__d", "__v")))
+      .withColumn("__mi", (col("__d") / sub).cast("int"))
+      .withColumn("__code", element_at(col("__codes"), col("__mi") + 1))
+      .groupBy("__mi", "__code", "__d")
+      .agg(sum(col("__v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(r => (r.getInt(0), r.getInt(1)))
+    val refined: Array[Array[Array[Float]]] =
+      Array.tabulate(m) { mi =>
+        Array.tabulate(ksub) { ci =>
+          sums.get((mi, ci)).map { rows =>
+            val cent = books0(mi)(ci).clone()
+            rows.foreach { r =>
+              cent(r.getInt(2) - mi * sub) =
+                (r.getLong(3).toDouble /
+                  (r.getLong(4) * Embeddings.Scale).toDouble).toFloat
+            }
+            cent
+          }.getOrElse(books0(mi)(ci))
+        }
+      }
+    (c.withColumn("__codes", codesCol(refined)).drop("__cv"), refined)
+  }
+
+  /** PQ top-k by asymmetric distance computation (ADC): each query
+    * precomputes its m × ksub table of scaled-integer inner products
+    * against the codebooks (query side is broadcast-small), and every
+    * corpus CODE vector scores as the Σ of m integer table lookups —
+    * the corpus floats are never touched again. Returns
+    * (query_id, rank, neighbor_id, score_scaled) ranked by the exact
+    * integer ADC score (descending inner product).
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String, k: Int,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
+    val sub = books(0)(0).length
+    def ipScaled(vec: Column, mi: Int, cent: Array[Float]): Column =
+      cent.zipWithIndex.map { case (cv, j) =>
+        round(element_at(vec, mi * sub + j + 1).cast("double") *
+            Embeddings.Scale).cast("long") *
+          lit(scaleLong(cv))
+      }.reduce(_ + _)
+    val table = array((0 until m).map { mi =>
+      array(books(mi).map(cent => ipScaled(col("__qv"), mi, cent)): _*)
+    }: _*)
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("__tab", table)
+      .drop("__qv"))
+    val score = (0 until m).map { mi =>
+      element_at(element_at(col("__tab"), mi + 1),
+        element_at(col("__codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("neighbor_id"))
+    codes.join(q, col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_scaled", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score_scaled")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
     * with the IVF coarse quantizer, then inside each cluster drop every
     * vector that has a LOWER-id cluster-mate with cosine ≥ threshold —

@@ -246,6 +246,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PQ ANN: codes reconstruct ranks with usable recall vs brute force") {
+    val emb = Tables.load(spark, TestSpark.sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 5)
+    val exact = Similarity.bruteForceTopK(
+      q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.pqTopK(
+      q, emb, "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & pq).size.toDouble / exact.size
+    // ADC over 8x16 codebooks is lossy by design; demand real signal,
+    // not coincidence (random overlap at n=500 would be ~2%)
+    assert(recall >= 0.3, s"PQ recall vs brute force too low: $recall")
+    // the encoded corpus is codes only: m small ints per vector
+    val (codes, books) = Similarity.pqEncode(emb, "vec_id", "embedding")
+    assert(books.length == 8 && books.forall(_.length == 16))
+    val row = codes.limit(1).collect().head
+    assert(row.getSeq[Int](1).length == 8)
+  }
+
   test("brute-force ANN returns true nearest neighbors") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
