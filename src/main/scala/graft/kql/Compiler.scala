@@ -204,7 +204,8 @@ final class Compiler(
            "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case f if f.startsWith("convert_") => KT.Float
-      case "parse_user_agent" => KT.Var
+      case "erf" | "erfc" | "gamma" | "loggamma" => KT.Float
+      case "parse_user_agent" | "parse_urlquery" => KT.Var
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
            "unixtime_milliseconds_todatetime" |
@@ -1298,6 +1299,23 @@ final class Compiler(
           if (name == "ipv4_is_match") when(ok, m1 === m2)
           else when(ok,
             when(m1 < m2, -1L).when(m1 > m2, 1L).otherwise(0L))
+        // special functions (round 9): erf/erfc via Maclaurin + Lentz
+        // continued fraction, gamma/loggamma via Lanczos g=7 — native
+        // codegen'd kernels (functions.MathFnsUtil), poles/NaN → null
+        case "erf" | "erfc" | "gamma" | "loggamma" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.MathFnExpr(
+            expression(cs.head.cast(DoubleType)), name))
+        }
+        // parse_urlquery (round 9): "k1=v1&k2=v2" (optional leading '?')
+        // → {"Query Parameters": {k: url-decoded v}} — Kusto's bag shape
+        case "parse_urlquery" => {
+          val qs = regexp_replace(cs.head.cast(StringType), "^\\?", "")
+          val m = transform_values(
+            str_to_map(qs, lit("&"), lit("=")),
+            (_, v) => url_decode(v))
+          try_parse_json(to_json(struct(m.as("Query Parameters"))))
+        }
         // parse_ipv6_mask (round 9): canonical full form of the address
         // masked to `prefix` bits — the missing sibling of the existing
         // ipv6 family (Ipv6.scala kernel)

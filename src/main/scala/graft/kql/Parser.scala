@@ -2287,6 +2287,7 @@ final class Parser(src: String, nowMicros: Long) {
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "parse_ipv6_mask",
+    "erf", "erfc", "gamma", "loggamma", "parse_urlquery",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2633,6 +2634,9 @@ final class Parser(src: String, nowMicros: Long) {
         val a = args()
         arity(a.length == 2, "parse_ipv6_mask() takes (ip, prefix)")
         StrFn("parse_ipv6_mask", a)
+      case f @ ("erf" | "erfc" | "gamma" | "loggamma" | "parse_urlquery") =>
+        val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
+        StrFn(f, a)
       case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml" |
                 "treepath") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")

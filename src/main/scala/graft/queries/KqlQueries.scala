@@ -3612,6 +3612,38 @@ object KqlQueries {
         |  '' AS bad
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
 
+    // round-9 special functions: gamma/loggamma check against DuckDB's
+    // libm (Lanczos vs tgamma agree far beyond the rounded precision on
+    // this domain); erf/erfc have no DuckDB twin, so fixed inputs pin
+    // against published libm constants. parse_urlquery roundtrips a
+    // constructed query string (url-decoded values) as Kusto's bag.
+    kq("kql_specialfns",
+      """documents
+        | | where doc_id < 400
+        | | extend x = 0.5 + toreal(doc_id % 80) / 10.0
+        | | extend ex = case(doc_id % 4 == 0, 0.3, doc_id % 4 == 1, 0.5,
+        |                    doc_id % 4 == 2, 1.0, 2.5)
+        | | extend qp = parse_urlquery(strcat('?a=', tostring(doc_id % 7),
+        |                 '&name=x%20', tostring(doc_id % 3)))
+        | | project doc_id,
+        |     g = round(gamma(x), 6),
+        |     lg = round(loggamma(x), 9),
+        |     ef = round(erf(ex), 12),
+        |     ec = round(erfc(2.5), 12),
+        |     nm = tostring(qp)
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  round(gamma(0.5 + CAST(doc_id % 80 AS DOUBLE) / 10.0), 6) AS g,
+        |  round(lgamma(0.5 + CAST(doc_id % 80 AS DOUBLE) / 10.0), 9) AS lg,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 0.328626759459
+        |                  WHEN 1 THEN 0.520499877813
+        |                  WHEN 2 THEN 0.84270079295
+        |                  ELSE 0.999593047983 END AS DOUBLE) AS ef,
+        |  CAST(0.000406952017 AS DOUBLE) AS ec,
+        |  '{"Query Parameters":{"a":"' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    '","name":"x ' || CAST(doc_id % 3 AS VARCHAR) || '"}}' AS nm
+        |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin),
+
     // round-8 union kind=inner: the column INTERSECTION survives (the
     // previous accept-and-widen behavior is now real semantics)
     kq("kql_union_inner",
