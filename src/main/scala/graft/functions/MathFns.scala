@@ -102,6 +102,72 @@ object MathFnsUtil {
     math.sqrt(2.0 * math.Pi) * math.pow(t, z + 0.5) * math.exp(-t) * a
   }
 
+  /** Regularized incomplete beta I_x(a, b) — continued fraction (NR
+    * `betacf`, modified Lentz) with the symmetry flip for convergence.
+    * Powers the Student-t tail and thus `welch_test`. */
+  def ibetaReg(x: Double, a: Double, b: Double): Double = {
+    if (x.isNaN || a.isNaN || b.isNaN || a <= 0 || b <= 0) return Double.NaN
+    if (x <= 0) return 0.0
+    if (x >= 1) return 1.0
+    // NR ibeta: one shared front factor, direct or flipped CF — no
+    // recursion (a mutual flip could never terminate)
+    val front = math.exp(
+      loggamma(a + b) - loggamma(a) - loggamma(b) +
+        a * math.log(x) + b * math.log(1.0 - x))
+    if (x < (a + 1.0) / (a + b + 2.0)) front * betacf(x, a, b) / a
+    else 1.0 - front * betacf(1.0 - x, b, a) / b
+  }
+
+  private def betacf(x: Double, a: Double, b: Double): Double = {
+    val tiny = 1e-300
+    val qab = a + b
+    val qap = a + 1.0
+    val qam = a - 1.0
+    var c = 1.0
+    var d = 1.0 - qab * x / qap
+    if (math.abs(d) < tiny) d = tiny
+    d = 1.0 / d
+    var h = d
+    var m = 1
+    var delta = 0.0
+    do {
+      val m2 = 2 * m
+      var aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      h *= d * c
+      aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+      d = 1.0 + aa * d
+      if (math.abs(d) < tiny) d = tiny
+      c = 1.0 + aa / c
+      if (math.abs(c) < tiny) c = tiny
+      d = 1.0 / d
+      delta = d * c
+      h *= delta
+      m += 1
+    } while (math.abs(delta - 1.0) > 1e-15 && m < 300)
+    h
+  }
+
+  /** Two-sided Welch's t-test p-value from summary statistics (Kusto
+    * `welch_test`): t = (m1−m2)/√(v1/n1+v2/n2), Welch–Satterthwaite df,
+    * p = I_{df/(df+t²)}(df/2, ½). Degenerate input (n < 2, v < 0, zero
+    * pooled variance) → NaN → null. */
+  def welchTest(m1: Double, v1: Double, n1: Double,
+      m2: Double, v2: Double, n2: Double): Double = {
+    if (n1 < 2 || n2 < 2 || v1 < 0 || v2 < 0) return Double.NaN
+    val u1 = v1 / n1
+    val u2 = v2 / n2
+    val s = u1 + u2
+    if (s <= 0) return Double.NaN
+    val t = (m1 - m2) / math.sqrt(s)
+    val df = s * s / (u1 * u1 / (n1 - 1.0) + u2 * u2 / (n2 - 1.0))
+    ibetaReg(df / (df + t * t), df / 2.0, 0.5)
+  }
+
   def loggamma(x: Double): Double = {
     if (x.isNaN || x <= 0.0 && x == math.floor(x)) return Double.NaN
     if (x < 0.5)
@@ -117,6 +183,34 @@ object MathFnsUtil {
     val t = z + LanczosG + 0.5
     0.5 * math.log(2.0 * math.Pi) + (z + 0.5) * math.log(t) - t + math.log(a)
   }
+}
+
+/** Regularized incomplete beta as a ternary expression — `welch_test`
+  * lowers its t/df arithmetic in Column space (codegen'd) and calls this
+  * for the Student-t tail. */
+case class IBetaRegExpr(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(x: Any, a: Any, b: Any): Any = {
+    val r = MathFnsUtil.ibetaReg(x.asInstanceOf[Double],
+      a.asInstanceOf[Double], b.asInstanceOf[Double])
+    if (r.isNaN) null else r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, a, b) => s"""
+      ${ev.value} = graft.functions.MathFnsUtil.ibetaReg($x, $a, $b);
+      if (Double.isNaN(${ev.value})) { ${ev.isNull} = true; }
+    """)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): IBetaRegExpr =
+    copy(first = f, second = s, third = t)
+
+  override def prettyName: String = "ibeta_reg"
 }
 
 /** Catalyst expression for the special functions — `op` picks the static

@@ -204,7 +204,7 @@ final class Compiler(
            "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case f if f.startsWith("convert_") => KT.Float
-      case "erf" | "erfc" | "gamma" | "loggamma" => KT.Float
+      case "erf" | "erfc" | "gamma" | "loggamma" | "welch_test" => KT.Float
       case "parse_user_agent" | "parse_urlquery" => KT.Var
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
@@ -1306,6 +1306,24 @@ final class Compiler(
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.MathFnExpr(
             expression(cs.head.cast(DoubleType)), name))
+        }
+        // welch_test (round 9): t and Welch–Satterthwaite df in Column
+        // space (codegen'd arithmetic), Student-t tail via the ibeta_reg
+        // kernel — two-sided p-value; degenerate inputs → null
+        case "welch_test" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          val Seq(m1, v1, n1, m2, v2, n2) =
+            cs.take(6).map(_.cast(DoubleType))
+          val u1 = v1 / n1
+          val u2 = v2 / n2
+          val s = u1 + u2
+          val t = (m1 - m2) / sqrt(s)
+          val dfr = (s * s) /
+            (u1 * u1 / (n1 - lit(1.0)) + u2 * u2 / (n2 - lit(1.0)))
+          val ok = n1 >= 2 && n2 >= 2 && v1 >= 0 && v2 >= 0 && s > 0
+          when(ok, column(graft.functions.IBetaRegExpr(
+            expression(dfr / (dfr + t * t)),
+            expression(dfr / lit(2.0)), expression(lit(0.5)))))
         }
         // parse_urlquery (round 9): "k1=v1&k2=v2" (optional leading '?')
         // → {"Query Parameters": {k: url-decoded v}} — Kusto's bag shape

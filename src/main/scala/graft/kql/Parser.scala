@@ -2287,7 +2287,7 @@ final class Parser(src: String, nowMicros: Long) {
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "parse_ipv6_mask",
-    "erf", "erfc", "gamma", "loggamma", "parse_urlquery",
+    "erf", "erfc", "gamma", "loggamma", "parse_urlquery", "welch_test",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2637,6 +2637,11 @@ final class Parser(src: String, nowMicros: Long) {
       case f @ ("erf" | "erfc" | "gamma" | "loggamma" | "parse_urlquery") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      case "welch_test" =>
+        val a = args()
+        arity(a.length == 6,
+          "welch_test() takes (mean1, variance1, count1, mean2, variance2, count2)")
+        StrFn("welch_test", a)
       case f @ ("ipv4_netmask_suffix" | "dynamic_to_json" | "parse_xml" |
                 "treepath") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")

@@ -3630,6 +3630,8 @@ object KqlQueries {
         |     lg = round(loggamma(x), 9),
         |     ef = round(erf(ex), 12),
         |     ec = round(erfc(2.5), 12),
+        |     wt = round(welch_test(toreal(doc_id % 10) / 2.0, 1.0, 2,
+        |                           0.0, 1.0, 2), 10),
         |     nm = tostring(qp)
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
@@ -3640,6 +3642,9 @@ object KqlQueries {
         |                  WHEN 2 THEN 0.84270079295
         |                  ELSE 0.999593047983 END AS DOUBLE) AS ef,
         |  CAST(0.000406952017 AS DOUBLE) AS ec,
+        |  round(1.0 - (CAST(doc_id % 10 AS DOUBLE) / 2.0) /
+        |    sqrt(2.0 + (CAST(doc_id % 10 AS DOUBLE) / 2.0) *
+        |               (CAST(doc_id % 10 AS DOUBLE) / 2.0)), 10) AS wt,
         |  '{"Query Parameters":{"a":"' || CAST(doc_id % 7 AS VARCHAR) ||
         |    '","name":"x ' || CAST(doc_id % 3 AS VARCHAR) || '"}}' AS nm
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin),

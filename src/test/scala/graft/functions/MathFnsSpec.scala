@@ -41,6 +41,24 @@ class MathFnsSpec extends AnyFunSuite {
     }
   }
 
+  test("welch_test matches closed-form Student-t tails (df = 1, 2)") {
+    // equal v/n with n = 2 on both sides forces Welch df = 2 exactly:
+    // two-sided p = 1 − t/√(2+t²)
+    for (t <- Seq(0.5, 1.0, 2.0, 3.7)) {
+      // v=1, n=2 each side ⇒ s = 1 ⇒ t = m1 − m2
+      val p = MathFnsUtil.welchTest(t, 1.0, 2, 0.0, 1.0, 2)
+      val expect = 1.0 - t / math.sqrt(2.0 + t * t)
+      assert(close(p, expect), s"df=2 t=$t: $p vs $expect")
+    }
+    // df = 1 (Cauchy): p = 1 − (2/π) arctan(t), via ibetaReg directly
+    for (t <- Seq(0.3, 1.0, 5.0)) {
+      val p = MathFnsUtil.ibetaReg(1.0 / (1.0 + t * t), 0.5, 0.5)
+      val expect = 1.0 - 2.0 / math.Pi * math.atan(t)
+      assert(close(p, expect), s"df=1 t=$t: $p vs $expect")
+    }
+    assert(MathFnsUtil.welchTest(1, 1, 1, 0, 1, 2).isNaN) // n1 < 2
+  }
+
   test("gamma/loggamma match libm to 1e-11 incl. reflection") {
     assert(close(MathFnsUtil.gamma(5.5), 52.34277778455352, 1e-11))
     assert(close(MathFnsUtil.gamma(0.3), 2.991568987687591, 1e-11))
