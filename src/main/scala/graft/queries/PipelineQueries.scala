@@ -394,6 +394,32 @@ object PipelineQueries {
        |ORDER BY b.vec_id""".stripMargin
   }
 
+  /** The dHash-replay CTE chain shared by `pl_image_dedup` and
+    * `pl_image_clusters`: cell values from the generating function,
+    * 64 comparison bits, all-pairs Hamming distances (`dists`). */
+  private val imageDedupCtes: String =
+    """ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      |cells AS (
+      |  SELECT doc_id, cx, cy,
+      |    ((((doc_id // 4 + 1) * (cx + 3) * (cy + 5) * 2654435761)
+      |      % 97) % 2) * 150 + 40
+      |    + CASE WHEN doc_id % 4 > 0 AND cx = doc_id % 4
+      |                AND cy = ((doc_id % 4) * 3) % 8
+      |           THEN 50 ELSE 0 END AS g
+      |  FROM ids, unnest(range(0, 9)) AS ux(cx),
+      |            unnest(range(0, 8)) AS uy(cy)),
+      |bits AS (
+      |  SELECT a.doc_id, a.cy * 8 + a.cx AS i,
+      |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+      |  FROM cells a JOIN cells b
+      |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+      |  WHERE a.cx < 8),
+      |dists AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
+      |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB replay of [[Similarity.pqTopK]] (m=8 subspaces × ksub=16
     * codes over dim 64): the same hash-ordered seeds as IVF, per-subspace
     * scaled-integer L2 assignment (ties → lowest code), one exact-integer
@@ -2070,34 +2096,45 @@ object PipelineQueries {
     // never materialized by the operator itself, which only shuffles
     // (band, bucket) tuples.
     Q("pl_image_dedup",
-      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
-        |cells AS (
-        |  SELECT doc_id, cx, cy,
-        |    ((((doc_id // 4 + 1) * (cx + 3) * (cy + 5) * 2654435761)
-        |      % 97) % 2) * 150 + 40
-        |    + CASE WHEN doc_id % 4 > 0 AND cx = doc_id % 4
-        |                AND cy = ((doc_id % 4) * 3) % 8
-        |           THEN 50 ELSE 0 END AS g
-        |  FROM ids, unnest(range(0, 9)) AS ux(cx),
-        |            unnest(range(0, 8)) AS uy(cy)),
-        |bits AS (
-        |  SELECT a.doc_id, a.cy * 8 + a.cx AS i,
-        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
-        |  FROM cells a JOIN cells b
-        |    ON a.doc_id = b.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
-        |  WHERE a.cx < 8),
-        |dists AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |         sum(CASE WHEN a.bit <> b.bit THEN 1 ELSE 0 END) AS d
-        |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
+      s"""WITH $imageDedupCtes
         |SELECT id_a, id_b, CAST(d AS BIGINT) AS hamming
         |FROM dists WHERE d <= 6 ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.hammingDupPairs(
         graft.multimodal.Multimodal.dhash64(
           graft.multimodal.Multimodal.syntheticNearDupPngs(s, d))
           .toDF(), "media_id", "dhash", maxDist = 6, nBands = 8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // image near-dup CLUSTERS (round 9): the full multimodal dedup
+    // composition a curation pipeline actually runs — decode → dHash →
+    // banded pairs → connected components → one canonical keeper (the
+    // min id) per near-dup cluster. Oracle: the shared dHash replay plus
+    // a recursive-CTE closure over the pair graph.
+    Q("pl_image_clusters",
+      s"""WITH RECURSIVE $imageDedupCtes,
+        |p AS (SELECT id_a, id_b FROM dists WHERE d <= 6),
+        |und AS (SELECT id_a AS a, id_b AS b FROM p
+        |        UNION SELECT id_b, id_a FROM p),
+        |reach(a, b) AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM ids
+        |  UNION
+        |  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a)
+        |SELECT a AS media_id, CAST(min(b) AS BIGINT) AS cluster_id,
+        |       a = min(b) AS is_keeper
+        |FROM reach GROUP BY a ORDER BY a""".stripMargin)(
+      (s, d) => {
+        val hashes = graft.multimodal.Multimodal.dhash64(
+          graft.multimodal.Multimodal.syntheticNearDupPngs(s, d))
+          .toDF().localCheckpoint()
+        val pairs = Dedup.hammingDupPairs(
+          hashes, "media_id", "dhash", maxDist = 6, nBands = 8)
+        graft.functions.Graph.connectedComponents(
+          hashes.select(col("media_id").as("id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .select(col("id").as("media_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("is_keeper"))
+          .orderBy("media_id")
+      })
   ,
 
     // ───── embedding quantization (round-6) ─────
