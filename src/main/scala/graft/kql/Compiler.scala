@@ -203,6 +203,7 @@ final class Compiler(
            "ipv6_is_match" | "ipv6_is_in_range" | "ipv4_is_in_any_range" |
            "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
+      case "around" | "assert" => KT.Bool
       case f if f.startsWith("convert_") => KT.Float
       case "erf" | "erfc" | "gamma" | "loggamma" | "welch_test" => KT.Float
       case "parse_user_agent" | "parse_urlquery" => KT.Var
@@ -289,7 +290,8 @@ final class Compiler(
           "series_decompose" |
           "series_decompose_anomalies" | "series_periods_detect" => KT.Var
       case "dcount_hll" => KT.Int
-      case "bag_pack" | "pack_all" | "series_stats_dynamic" |
+      case "bag_pack" | "pack_all" | "bag_pack_columns" |
+          "series_stats_dynamic" |
           "bag_merge" | "bag_remove_keys" | "bag_set_key" | "bag_zip" => KT.Var
       case _ => KT.Str // strcat_delim / strcat_array
     }
@@ -1307,6 +1309,24 @@ final class Compiler(
           column(graft.functions.MathFnExpr(
             expression(cs.head.cast(DoubleType)), name))
         }
+        // around (round 9): |value − center| ≤ delta, datetime-aware
+        // (timestamps compare in epoch micros against a timespan delta)
+        case "around" =>
+          if (infer(df, args.head) == KT.Ts) {
+            val v = unix_micros(cs.head.cast(TimestampType))
+            val c = unix_micros(cs(1).cast(TimestampType))
+            abs(v - c) <= cs(2).cast(LongType)
+          } else
+            abs(cs.head.cast(DoubleType) - cs(1).cast(DoubleType)) <=
+              cs(2).cast(DoubleType)
+        // assert (round 9): true when the condition holds, otherwise the
+        // QUERY fails with the message — ADX's contract (this is the one
+        // scalar where an error is the point, not a null)
+        case "assert" =>
+          when(cs.head.cast(BooleanType),
+            lit(true)).otherwise(
+            raise_error(concat(lit("assert() failed: "),
+              cs(1).cast(StringType))).cast(BooleanType))
         // welch_test (round 9): t and Welch–Satterthwaite df in Column
         // space (codegen'd arithmetic), Student-t tail via the ibeta_reg
         // kernel — two-sided p-value; degenerate inputs → null
@@ -2800,6 +2820,13 @@ final class Compiler(
           val fields = args.grouped(2).flatMap { kv =>
             Seq(lit(kv.head.asInstanceOf[StrLit].v), compile(df, kv(1)))
           }.toSeq
+          parse_json(to_json(named_struct(fields: _*)))
+        // selected columns → dynamic bag keyed by their names (round 9)
+        case "bag_pack_columns" =>
+          val fields = args.flatMap { a =>
+            val path = a.asInstanceOf[Expr.Field].path
+            Seq(lit(path.parts.map(_.name).mkString(".")), compile(df, a))
+          }
           parse_json(to_json(named_struct(fields: _*)))
         // whole row → dynamic bag (every current column by name)
         case "pack_all" =>

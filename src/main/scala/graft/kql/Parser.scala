@@ -2288,6 +2288,7 @@ final class Parser(src: String, nowMicros: Long) {
     "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "parse_ipv6_mask",
     "erf", "erfc", "gamma", "loggamma", "parse_urlquery", "welch_test",
+    "around", "assert", "array_iif", "bag_pack_columns",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2637,6 +2638,25 @@ final class Parser(src: String, nowMicros: Long) {
       case f @ ("erf" | "erfc" | "gamma" | "loggamma" | "parse_urlquery") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
+      case "around" =>
+        val a = args()
+        arity(a.length == 3, "around() takes (value, center, delta)")
+        StrFn("around", a)
+      case "assert" =>
+        val a = args()
+        arity(a.length == 2, "assert() takes (condition, message)")
+        StrFn("assert", a)
+      case "array_iif" => // documented alias of array_iff
+        val a = args()
+        arity(a.length == 3,
+          "array_iif() takes (condition_array, when_true, when_false)")
+        ArrFn("array_iff", a)
+      case "bag_pack_columns" =>
+        val a = args()
+        arity(a.length >= 1, "bag_pack_columns() takes 1+ columns")
+        arity(a.forall(_.isInstanceOf[Expr.Field]),
+          "bag_pack_columns() arguments must be column references")
+        ArrFn("bag_pack_columns", a)
       case "welch_test" =>
         val a = args()
         arity(a.length == 6,

@@ -3649,6 +3649,26 @@ object KqlQueries {
         |    '","name":"x ' || CAST(doc_id % 3 AS VARCHAR) || '"}}' AS nm
         |FROM documents WHERE doc_id < 400 ORDER BY doc_id""".stripMargin),
 
+    // round-9 convenience scalars: around (±delta window), array_iif
+    // (elementwise conditional — alias of array_iff), bag_pack_columns
+    // (bag keyed by column names), assert (true-or-query-error)
+    kq("kql_r9fns",
+      """documents
+        | | where doc_id < 300
+        | | extend ar = around(toreal(doc_id % 10), 5.0, 2.0),
+        |          ai = array_iif(pack_array(true, false, true),
+        |                 pack_array(1, 2, 3), pack_array(9, 8, 7)),
+        |          bp = bag_pack_columns(doc_id),
+        |          ok = assert(doc_id >= 0, 'doc_id must be non-negative')
+        | | project doc_id, ar, ai = strcat_array(ai, ','), bp = tostring(bp), ok
+        | | sort by doc_id asc""".stripMargin,
+      """SELECT doc_id,
+        |  abs(CAST(doc_id % 10 AS DOUBLE) - 5.0) <= 2.0 AS ar,
+        |  '1,8,3' AS ai,
+        |  '{"doc_id":' || CAST(doc_id AS VARCHAR) || '}' AS bp,
+        |  TRUE AS ok
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
+
     // round-8 union kind=inner: the column INTERSECTION survives (the
     // previous accept-and-widen behavior is now real semantics)
     kq("kql_union_inner",
