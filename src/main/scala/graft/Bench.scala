@@ -119,7 +119,13 @@ object Bench {
       Tables.load(spark, sfDir, "lineitem").limit(1).collect()
     } catch { case _: Throwable => () }
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "2").toInt
-    val result = run(spark, sfDir, SparkEntry.queries.toSeq.sortBy(_._1), repeats)
+    // optional comma-separated query filter for single-op timing sweeps
+    // (the Stress SPARK_GRAFT_STRESS_ONLY precedent); full runs unset it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val result = run(spark, sfDir, selected, repeats)
     val full = result.json(sfDir)
     // full per-query JSON as a file artifact (the stdout line exceeds the
     // driver's tail window), then the full line, then — LAST, so a tail

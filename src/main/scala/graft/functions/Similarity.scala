@@ -305,29 +305,44 @@ object Similarity {
       Array.tabulate(m)(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)))
     val books0 = sliceBook(seedRows)
 
-    // scaled-integer squared L2 between the vec's mi-th subvector and a
-    // literal centroid — a fixed Σ of long squares, no accumulation order
-    def l2s(vec: Column, mi: Int, cent: Array[Float]): Column =
-      cent.zipWithIndex.map { case (cv, j) =>
-        val d = round(element_at(vec, mi * sub + j + 1).cast("double") *
-            Embeddings.Scale).cast("long") -
-          lit(scaleLong(cv))
-        d * d
-      }.reduce(_ + _)
-    def codeCol(vec: Column, mi: Int,
-        book: Array[Array[Array[Float]]]): Column =
-      array_min(array(book(mi).zipWithIndex.map { case (cent, ci) =>
-        struct(l2s(vec, mi, cent).as("d"), lit(ci).as("c"))
-      }: _*))("c")
-    def codesCol(book: Array[Array[Array[Float]]]): Column =
-      array((0 until m).map(mi => codeCol(col("__cv"), mi, book)): _*)
+    // The codebook ships as ONE nested literal (m × ksub × sub scaled
+    // longs) walked by higher-order functions — a LITERAL-EXPANDED form
+    // (one sub-expression per centroid component, ~m·ksub·sub terms)
+    // makes Catalyst ANALYSIS itself the bottleneck (measured 13 s for
+    // this gate); the compact tree is constant-size regardless of
+    // codebook dimensions. Integer adds fold order-free.
+    def bookLit(book: Array[Array[Array[Float]]]): Column =
+      typedlit(book.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
+    // reads the PRE-MATERIALIZED "__sv" column — referencing the scaling
+    // transform inline would let Catalyst re-inline it into every one of
+    // the m·ksub·sub element_at accesses (the minhash-signature 16×
+    // recompute precedent, measured 12× here)
+    def codesCol(book: Array[Array[Array[Float]]]): Column = {
+      val cb = bookLit(book)
+      transform(sequence(lit(0), lit(m - 1)), mi => {
+        val cands = transform(sequence(lit(0), lit(ksub - 1)), ci => {
+          val cent = element_at(element_at(cb, mi.cast("int") + 1),
+            ci.cast("int") + 1)
+          val d = aggregate(sequence(lit(1), lit(sub)), lit(0L),
+            (acc, j) => {
+              val diff = element_at(col("__sv"), (mi * sub + j).cast("int")) -
+                element_at(cent, j.cast("int"))
+              acc + diff * diff
+            })
+          struct(d.as("d"), ci.cast("int").as("c"))
+        })
+        array_min(cands)("c")
+      })
+    }
+    val withSv = c.withColumn("__sv", Embeddings.scaledVec(col("__cv")))
+      .localCheckpoint()
 
     // one Lloyd sweep: exact integer (subspace, code, dim) sums over ONE
     // corpus pass; m × ksub × sub bounded rows collect
-    val assigned0 = c.withColumn("__codes", codesCol(books0))
+    val assigned0 = withSv.withColumn("__codes", codesCol(books0))
     val sums = assigned0
       .select(col("__codes"),
-        posexplode(Embeddings.scaledVec(col("__cv"))).as(Seq("__d", "__v")))
+        posexplode(col("__sv")).as(Seq("__d", "__v")))
       .withColumn("__mi", (col("__d") / sub).cast("int"))
       .withColumn("__code", element_at(col("__codes"), col("__mi") + 1))
       .groupBy("__mi", "__code", "__d")
@@ -348,7 +363,8 @@ object Similarity {
           }.getOrElse(books0(mi)(ci))
         }
       }
-    (c.withColumn("__codes", codesCol(refined)).drop("__cv"), refined)
+    (withSv.withColumn("__codes", codesCol(refined))
+      .drop("__cv", "__sv"), refined)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): each query
@@ -365,19 +381,23 @@ object Similarity {
     import org.apache.spark.sql.expressions.Window
     val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
     val sub = books(0)(0).length
-    def ipScaled(vec: Column, mi: Int, cent: Array[Float]): Column =
-      cent.zipWithIndex.map { case (cv, j) =>
-        round(element_at(vec, mi * sub + j + 1).cast("double") *
-            Embeddings.Scale).cast("long") *
-          lit(scaleLong(cv))
-      }.reduce(_ + _)
-    val table = array((0 until m).map { mi =>
-      array(books(mi).map(cent => ipScaled(col("__qv"), mi, cent)): _*)
-    }: _*)
+    // compact ADC table build (same literal-codebook + HOF shape as the
+    // encoder — see the analysis-cost note there)
+    val cb = typedlit(books.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
+    val table = transform(sequence(lit(0), lit(m - 1)), mi =>
+      transform(sequence(lit(0), lit(ksub - 1)), ci => {
+        val cent = element_at(element_at(cb, mi.cast("int") + 1),
+          ci.cast("int") + 1)
+        aggregate(sequence(lit(1), lit(sub)), lit(0L), (acc, j) =>
+          acc + element_at(col("__qsv"), (mi * sub + j).cast("int")) *
+            element_at(cent, j.cast("int")))
+      }))
     val q = broadcast(queries
-      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"))
+      .select(col(qidCol).as("query_id"),
+        Embeddings.scaledVec(col(vecCol)).as("__qsv"))
+      .localCheckpoint() // materialize __qsv before the HOF table walks it
       .withColumn("__tab", table)
-      .drop("__qv"))
+      .drop("__qsv"))
     val score = (0 until m).map { mi =>
       element_at(element_at(col("__tab"), mi + 1),
         element_at(col("__codes"), mi + 1) + 1)
