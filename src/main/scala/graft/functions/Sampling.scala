@@ -66,6 +66,39 @@ object Sampling {
     df.filter(mix(col(idCol)) < rate)
   }
 
+  /** Temperature-based domain resampling (the multilingual-pretraining
+    * standard, e.g. mBERT/XLM-R exponentiated smoothing): domain shares
+    * p_i rescale to p_i^(1/T), which flattens the mixture as T grows
+    * (T = 1 keeps natural proportions, T → ∞ approaches uniform). This is
+    * the downsample-only variant: every domain's keep-rate is
+    * (p_i^(1/T−1)) / max_j(p_j^(1/T−1)) ≤ 1, so the hottest domain under
+    * the rescaling keeps everything and the rest thin deterministically
+    * through [[mixture]]'s pushed-down hash filter.
+    *
+    * Shape: ONE count aggregate over the corpus (domains are a bounded
+    * collect — the IVF-centroid precedent), rates become literals in the
+    * CASE chain, and the sample itself is a map-side filter. Rates round
+    * to 9 decimals before scaling so the oracle's `pow` agrees despite
+    * last-ulp libm differences (margin ~1e6× the pow error).
+    */
+  def temperatureMixture(
+      df: DataFrame, domainCol: String, idCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val exps = counts.map { case (d, n) =>
+      d -> math.pow(n / total, 1.0 / temperature - 1.0)
+    }
+    val mx = exps.values.max
+    val rates = exps.map { case (d, e) =>
+      d -> BigDecimal(e / mx).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    mixture(df, domainCol, idCol, rates)
+  }
+
   /** Per-stratum quota sample: the `k` rows of each stratum with the
     * smallest mixed hash (ties broken by id — fully deterministic).
     * One shuffle on the stratum key; each stratum sorts locally and keeps

@@ -68,61 +68,6 @@ object TextCodecsUtil {
     catch { case _: IllegalArgumentException => null }
   }
 
-  /** Kusto zlib/gzip string codecs (`zlib_compress_to_base64_string` &c.)
-    * via `java.util.zip` — RFC 1950/1952 streams, so output interoperates
-    * with any zlib (a python-produced vector is decompressed in the spec
-    * and the gate). Compressed BYTES are implementation-specific (level,
-    * strategy), so only round-trips and decompression of foreign vectors
-    * are oracle-comparable — never the compressed text itself.
-    * Invalid/corrupt input ⇒ empty string, ADX's documented behavior.
-    */
-  def zlibCompress(s: UTF8String): UTF8String = {
-    if (s == null) return null
-    val d = new java.util.zip.Deflater()
-    d.setInput(s.getBytes)
-    d.finish()
-    val bos = new java.io.ByteArrayOutputStream()
-    val buf = new Array[Byte](4096)
-    while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
-    d.end()
-    UTF8String.fromString(
-      java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
-  }
-
-  def zlibDecompress(s: UTF8String): UTF8String = {
-    if (s == null) return null
-    try {
-      val bytes = java.util.Base64.getDecoder.decode(s.toString)
-      val in = new java.util.zip.InflaterInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = in.readAllBytes()
-      in.close()
-      UTF8String.fromBytes(out)
-    } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
-  }
-
-  def gzipCompress(s: UTF8String): UTF8String = {
-    if (s == null) return null
-    val bos = new java.io.ByteArrayOutputStream()
-    val gz = new java.util.zip.GZIPOutputStream(bos)
-    gz.write(s.getBytes)
-    gz.close()
-    UTF8String.fromString(
-      java.util.Base64.getEncoder.encodeToString(bos.toByteArray))
-  }
-
-  def gzipDecompress(s: UTF8String): UTF8String = {
-    if (s == null) return null
-    try {
-      val bytes = java.util.Base64.getDecoder.decode(s.toString)
-      val in = new java.util.zip.GZIPInputStream(
-        new java.io.ByteArrayInputStream(bytes))
-      val out = in.readAllBytes()
-      in.close()
-      UTF8String.fromBytes(out)
-    } catch { case _: Exception => UTF8String.EMPTY_UTF8 }
-  }
-
   def arrayToBase64(a: ArrayData): UTF8String = {
     if (a == null) return null
     val bytes = new Array[Byte](a.numElements())
@@ -197,10 +142,6 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
     case "b64_from_arr" => TextCodecsUtil.arrayToBase64(input.asInstanceOf[ArrayData])
     case "puny_from" => TextCodecsUtil.punycodeDecode(input.asInstanceOf[UTF8String])
     case "puny_to" => TextCodecsUtil.punycodeEncode(input.asInstanceOf[UTF8String])
-    case "zlib_comp" => TextCodecsUtil.zlibCompress(input.asInstanceOf[UTF8String])
-    case "zlib_decomp" => TextCodecsUtil.zlibDecompress(input.asInstanceOf[UTF8String])
-    case "gzip_comp" => TextCodecsUtil.gzipCompress(input.asInstanceOf[UTF8String])
-    case "gzip_decomp" => TextCodecsUtil.gzipDecompress(input.asInstanceOf[UTF8String])
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -211,10 +152,6 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
       case "b64_from_arr" => "arrayToBase64"
       case "puny_from" => "punycodeDecode"
       case "puny_to" => "punycodeEncode"
-      case "zlib_comp" => "zlibCompress"
-      case "zlib_decomp" => "zlibDecompress"
-      case "gzip_comp" => "gzipCompress"
-      case "gzip_decomp" => "gzipDecompress"
     }
     nullSafeCodeGen(ctx, ev, c => s"""
       ${ev.value} = graft.functions.TextCodecsUtil.$m($c);

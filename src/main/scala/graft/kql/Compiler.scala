@@ -909,20 +909,6 @@ final class Compiler(
             try_parse_json(to_json(struct(struct(
               fam.as("Family")).as("OperatingSystem"))))
           }
-        case "zlib_compress_to_base64_string" |
-            "zlib_decompress_from_base64_string" |
-            "gzip_compress_to_base64_string" |
-            "gzip_decompress_from_base64_string" => {
-          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
-          val op = name match {
-            case "zlib_compress_to_base64_string" => "zlib_comp"
-            case "zlib_decompress_from_base64_string" => "zlib_decomp"
-            case "gzip_compress_to_base64_string" => "gzip_comp"
-            case _ => "gzip_decomp"
-          }
-          column(graft.functions.TextCodecExpr(
-            expression(cs.head.cast(StringType)), op))
-        }
         case "punycode_domain_from_string" => {
           import org.apache.spark.sql.GraftColumnBridge.{column, expression}
           column(graft.functions.TextCodecExpr(

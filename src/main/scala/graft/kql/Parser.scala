@@ -2284,8 +2284,6 @@ final class Parser(src: String, nowMicros: Long) {
     "ipv4_is_in_any_range", "has_any_ipv4", "has_ipv4_prefix",
     "replace_strings", "punycode_domain_from_string",
     "punycode_domain_to_string", "parse_user_agent",
-    "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
-    "gzip_compress_to_base64_string", "gzip_decompress_from_base64_string",
     "parse_ipv6_mask",
     "erf", "erfc", "gamma", "loggamma", "parse_urlquery", "welch_test",
     "around", "assert", "array_iif", "bag_pack_columns",
@@ -2619,11 +2617,7 @@ final class Parser(src: String, nowMicros: Long) {
                 "isascii" | "unicode_codepoints_from_string" |
                 "base64_decode_toarray" | "base64_encode_fromarray" |
                 "punycode_domain_from_string" |
-                "punycode_domain_to_string" |
-                "zlib_compress_to_base64_string" |
-                "zlib_decompress_from_base64_string" |
-                "gzip_compress_to_base64_string" |
-                "gzip_decompress_from_base64_string") =>
+                "punycode_domain_to_string") =>
         val a = args(); arity(a.length == 1, s"$f() takes 1 arg")
         StrFn(f, a)
       case f @ ("ipv4_compare" | "ipv4_is_match") =>

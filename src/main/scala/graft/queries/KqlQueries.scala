@@ -3609,7 +3609,7 @@ object KqlQueries {
       """SELECT doc_id, true AS z_ok, true AS g_ok,
         |  'graft cross-implementation vector 1234567890' AS pyz,
         |  'graft cross-implementation vector 1234567890' AS pyg,
-        |  '' AS bad
+        |  CAST(NULL AS VARCHAR) AS bad
         |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin),
 
     // round-9 special functions: gamma/loggamma check against DuckDB's

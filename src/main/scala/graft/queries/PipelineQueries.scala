@@ -1323,6 +1323,30 @@ object PipelineQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // temperature-based domain resampling (round 9): shares → p^(1/T),
+    // downsample-only rates, same pushed-down hash filter. The oracle
+    // recomputes the rates from ITS OWN counts with pow + the identical
+    // 9-decimal rounding, so the decision thresholds match bit-for-bit.
+    Q("pl_temp_mixture", {
+      s"""WITH cnt AS (SELECT source AS d, count(*) AS n
+         |            FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt),
+         |e AS (SELECT d, pow(CAST(n AS DOUBLE) / (SELECT t FROM tot),
+         |                    1.0 / 3.0 - 1.0) AS ex FROM cnt),
+         |mx AS (SELECT max(ex) AS m FROM e),
+         |r AS (SELECT d,
+         |        CAST(trunc(round(ex / (SELECT m FROM mx), 9) *
+         |             ${Sampling.M}) AS BIGINT) AS thr FROM e)
+         |SELECT doc_id, source FROM documents doc JOIN r ON doc.source = r.d
+         |WHERE ${Sampling.mixSql("doc_id")} < thr
+         |ORDER BY doc_id""".stripMargin
+    })(
+      (s, d) => Sampling.temperatureMixture(
+        Tables.load(s, d, "documents"), "source", "doc_id",
+        temperature = 3.0)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
     // weight-proportional reproducible sampling (A-Res with hash-derived
     // uniforms): longer docs proportionally likelier, byte-reproducible.
     // The A-Res key ln(u)/w is the one transcendental in the engine — but

@@ -174,6 +174,37 @@ class GraphSamplingSpec extends AnyFunSuite {
       direct.collect().map(_.getLong(0)).toSet)
   }
 
+  test("temperatureMixture flattens domain shares as T grows") {
+    // skewed synthetic domains (the gate corpus is source-uniform, where
+    // temperature resampling is an identity): 90% "big", 10% "small"
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i < 900) "big" else "small"))
+      .toDF("doc_id", "source")
+    def shares(df: org.apache.spark.sql.DataFrame): Map[String, Double] = {
+      val c = df.groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val t = c.values.sum.toDouble
+      c.map { case (k, v) => k -> v / t }
+    }
+    val nat = shares(docs)
+    val t3 = shares(Sampling.temperatureMixture(docs, "source", "doc_id", 3.0))
+    // T = 1 keeps everything (all rates 1 → identity)
+    assert(Sampling.temperatureMixture(docs, "source", "doc_id", 1.0)
+      .count() == docs.count())
+    // downsample-only: the minority keeps everything, the majority thins,
+    // so the minority share strictly grows toward uniform
+    assert(t3("small") > nat("small"), s"small: ${nat("small")} -> ${t3("small")}")
+    assert(Sampling.temperatureMixture(docs, "source", "doc_id", 3.0)
+      .filter(col("source") === "small").count() == 100L)
+    // deterministic: same rows regardless of partitioning
+    val a = Sampling.temperatureMixture(docs, "source", "doc_id", 3.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureMixture(
+      docs.repartition(7), "source", "doc_id", 3.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
   test("redactPII scrubs emails and phone runs, leaves prose alone") {
     val got = Seq(
       "write to jane.doe+spam@corp.example.org today",

@@ -281,6 +281,62 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes clicks within the window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJoin
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingJoin.intervalJoin(
+      imps.toDS().toDF("ad_id", "ts"), clicks.toDS().toDF("ad_id", "ts"),
+      "ad_id", "ts", "ts", windowSeconds = 600L,
+      leftWatermark = "30 seconds", rightWatermark = "30 seconds")
+    val q = joined.writeStream.outputMode("append")
+      .format("memory").queryName("stream_attrib").start()
+    try {
+      // impressions arrive, then clicks: ad 1 clicked inside the window,
+      // ad 2 clicked too late (11 min), ad 3 never clicked
+      imps.addData((1L, t("2024-01-01 00:00:00")),
+        (2L, t("2024-01-01 00:00:00")), (3L, t("2024-01-01 00:00:00")))
+      clicks.addData((1L, t("2024-01-01 00:03:00")),
+        (2L, t("2024-01-01 00:11:00")))
+      q.processAllAvailable()
+      val got = spark.table("stream_attrib").collect()
+        .map(r => (r.getLong(0), r.getDouble(3))).toSet
+      assert(got == Set((1L, 180.0)))
+      // a second click on ad 1 still inside the window ALSO matches
+      // (intervalJoin is the raw pair stream; firstTouch dedups)
+      clicks.addData((1L, t("2024-01-01 00:08:00")))
+      q.processAllAvailable()
+      assert(spark.table("stream_attrib").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream first-touch keeps one click per impression") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.StreamingJoin
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val imps = MemoryStream[(Long, java.sql.Timestamp)]
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val ft = StreamingJoin.firstTouch(
+      imps.toDS().toDF("ad_id", "ts"), clicks.toDS().toDF("ad_id", "ts"),
+      "ad_id", "ts", "ts", windowSeconds = 600L,
+      leftWatermark = "30 seconds", rightWatermark = "30 seconds")
+    val q = ft.writeStream.outputMode("append")
+      .format("memory").queryName("stream_ft").start()
+    try {
+      imps.addData((7L, t("2024-01-01 00:00:00")))
+      clicks.addData((7L, t("2024-01-01 00:02:00")),
+        (7L, t("2024-01-01 00:09:00")))
+      q.processAllAvailable()
+      val got = spark.table("stream_ft").collect()
+        .map(r => (r.getLong(0), r.getDouble(3)))
+      assert(got.length == 1 && got.head._1 == 7L && got.head._2 == 120.0)
+    } finally q.stop()
+  }
+
   test("streaming funnel emits conversions across micro-batches") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import graft.streaming.{Conversion, FunnelEvent, StreamingFunnel}

@@ -24,12 +24,13 @@ class Round9FnSpec extends AnyFunSuite {
       "zlib_compress_to_base64_string('héllo wörld 🎉'))") == "héllo wörld 🎉")
     assert(scalar("gzip_decompress_from_base64_string(" +
       "gzip_compress_to_base64_string(''))") == "")
-    // invalid base64 AND valid-base64-but-not-a-stream both → empty
-    assert(scalar("zlib_decompress_from_base64_string('!!!')") == "")
-    assert(scalar("gzip_decompress_from_base64_string('bm90IGd6aXA=')") == "")
+    // invalid base64 AND valid-base64-but-not-a-stream both → null (the
+    // engine's row-error policy)
+    assert(scalar("zlib_decompress_from_base64_string('!!!')") == null)
+    assert(scalar("gzip_decompress_from_base64_string('bm90IGd6aXA=')") == null)
     // cross-codec confusion is invalid input, not a crash
     assert(scalar("zlib_decompress_from_base64_string(" +
-      "gzip_compress_to_base64_string('x'))") == "")
+      "gzip_compress_to_base64_string('x'))") == null)
   }
 
   test("parse_ipv6_mask: boundaries, ipv4-mapped, invalid prefix") {
