@@ -220,6 +220,10 @@ object Aggregation {
     * covariance over pairwise non-null rows. */
   final case class Covariance(pop: Boolean, a: FieldPath, b: FieldPath)
       extends Aggregation
+  /** `correlation(a, b)` — Pearson correlation over pairwise non-null
+    * rows (round 9). */
+  final case class Correlation(a: FieldPath, b: FieldPath)
+      extends Aggregation
   /** Conditional aggregate family (real-KQL): `sumif/avgif/minif/maxif
     * (f, predicate)` and `dcountif(f, predicate)` — aggregate only the
     * rows where the predicate is truthy. sumif of no matching rows is 0.0
@@ -292,6 +296,7 @@ object Aggregation {
     case VarianceP(f) => s"variancep_${f.flat}"
     case Covariance(pop, a, b) =>
       s"covariance${if (pop) "p" else ""}_${a.flat}_${b.flat}"
+    case Correlation(a, b) => s"correlation_${a.flat}_${b.flat}"
     case AggIf(k, f, _) => s"${k}_${f.flat}"
     case TakeAny(f)     => s"any_${f.flat}"
     case BinaryAll(op, f) => s"binary_all_${op}_${f.flat}"

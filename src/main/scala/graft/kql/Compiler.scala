@@ -4486,6 +4486,7 @@ final class Compiler(
         case Aggregation.StdevP(f) => Seq(f)
         case Aggregation.VarianceP(f) => Seq(f)
         case Aggregation.Covariance(_, a, b) => Seq(a, b)
+        case Aggregation.Correlation(a, b) => Seq(a, b)
         case Aggregation.TDigestA(f) => Seq(f)
         case Aggregation.TDigestMerge(f) => Seq(f)
         case Aggregation.ArgMax(f, r) => Seq(f, r)
@@ -5254,6 +5255,8 @@ final class Compiler(
         case Aggregation.Covariance(pop, a, b) =>
           if (pop) covar_pop(numeric(a), numeric(b))
           else covar_samp(numeric(a), numeric(b))
+        case Aggregation.Correlation(a, b) =>
+          corr(numeric(a), numeric(b))
         // conditional family: aggregate only predicate-truthy rows (the
         // when() leaves non-matching rows null, which every aggregate
         // skips). sumif keeps the reference's empty-sum→0.0 convention;

@@ -1901,10 +1901,15 @@ final class Parser(src: String, nowMicros: Long) {
       case k @ ("covariance" | "covariancep") =>
         val a = parseFieldPath(); eatPunct(",")
         Aggregation.Covariance(k.endsWith("p"), a, parseFieldPath())
+      case "correlation" =>
+        val a = parseFieldPath(); eatPunct(",")
+        Aggregation.Correlation(a, parseFieldPath())
       case k @ ("sumif" | "avgif" | "minif" | "maxif" | "dcountif" |
-          "take_anyif" | "stdevif" | "varianceif") =>
+          "take_anyif" | "anyif" | "stdevif" | "varianceif") =>
         val f = parseFieldPath(); eatPunct(",")
-        Aggregation.AggIf(k, f, parseExpr())
+        // anyif is ADX's documented alias of take_anyif
+        Aggregation.AggIf(if (k == "anyif") "take_anyif" else k, f,
+          parseExpr())
       case "take_any" => Aggregation.TakeAny(parseFieldPath())
       case k @ ("binary_all_and" | "binary_all_or" | "binary_all_xor") =>
         Aggregation.BinaryAll(k.stripPrefix("binary_all_"), parseFieldPath())

@@ -117,6 +117,8 @@ object Render {
     case Aggregation.VarianceP(f) => s"variancep(${f.render})"
     case Aggregation.Covariance(pop, a, b) =>
       s"covariance${if (pop) "p" else ""}(${a.render}, ${b.render})"
+    case Aggregation.Correlation(a, b) =>
+      s"correlation(${a.render}, ${b.render})"
     case Aggregation.AggIf(k, f, p) => s"$k(${f.render}, ${expr(p)})"
     case Aggregation.TakeAny(f) => s"take_any(${f.render})"
     case Aggregation.BinaryAll(op, f) => s"binary_all_$op(${f.render})"

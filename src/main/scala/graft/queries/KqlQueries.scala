@@ -2927,18 +2927,22 @@ object KqlQueries {
       """lineitem
         | | summarize sp = stdevp(l_quantity), vp = variancep(l_quantity),
         |             cv = covariance(l_quantity, l_extendedprice),
-        |             cp = covariancep(l_quantity, l_extendedprice)
+        |             cp = covariancep(l_quantity, l_extendedprice),
+        |             cr = correlation(l_quantity, l_extendedprice)
         |     by l_returnflag
         | | project l_returnflag,
         |     spi = toint(bin(sp * 1000.0, 1.0)),
         |     vpi = toint(bin(vp * 1000.0, 1.0)),
-        |     cvi = toint(bin(cv, 1.0)), cpi = toint(bin(cp, 1.0))
+        |     cvi = toint(bin(cv, 1.0)), cpi = toint(bin(cp, 1.0)),
+        |     cri = toint(bin(cr * 10000.0, 1.0))
         | | sort by l_returnflag asc""".stripMargin,
       """SELECT l_returnflag,
         |  CAST(floor(stddev_pop(l_quantity) * 1000) AS BIGINT) AS spi,
         |  CAST(floor(var_pop(l_quantity) * 1000) AS BIGINT) AS vpi,
         |  CAST(floor(covar_samp(l_quantity, l_extendedprice)) AS BIGINT) AS cvi,
-        |  CAST(floor(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cpi
+        |  CAST(floor(covar_pop(l_quantity, l_extendedprice)) AS BIGINT) AS cpi,
+        |  CAST(floor(corr(l_quantity, l_extendedprice) * 10000) AS BIGINT)
+        |    AS cri
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // round-7 series_decompose family: per-row periodic series built from
