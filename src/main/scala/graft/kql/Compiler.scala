@@ -290,6 +290,7 @@ final class Compiler(
           "series_decompose" |
           "series_decompose_anomalies" | "series_periods_detect" => KT.Var
       case "dcount_hll" => KT.Int
+      case "estimate_data_size" => KT.Int
       case "bag_pack" | "pack_all" | "bag_pack_columns" |
           "series_stats_dynamic" |
           "bag_merge" | "bag_remove_keys" | "bag_set_key" | "bag_zip" => KT.Var
@@ -2817,6 +2818,38 @@ final class Compiler(
         // whole row → dynamic bag (every current column by name)
         case "pack_all" =>
           parse_json(to_json(struct(df.columns.toSeq.map(c => col(s"`$c`")): _*)))
+        // estimated row payload bytes (round 9, Kusto estimate_data_size):
+        // fixed-width types by their width, strings/binary by length,
+        // containers/variants by serialized JSON length; null → 0. The
+        // per-type rule is OURS (documented) — ADX publishes the intent,
+        // not exact constants.
+        case "estimate_data_size" =>
+          import org.apache.spark.sql.types._
+          val names =
+            if (args.isEmpty) df.columns.toSeq
+            else args.map(_.asInstanceOf[Expr.Field].path.parts.head.name)
+          val schema = df.schema
+          val terms = names.map { n =>
+            val c = col(s"`$n`")
+            val sized = schema.find(_.name.equalsIgnoreCase(n))
+              .map(_.dataType) match {
+              case Some(LongType | DoubleType | TimestampType | DateType |
+                  _: DecimalType) => when(c.isNotNull, 8L).otherwise(0L)
+              case Some(IntegerType | FloatType) =>
+                when(c.isNotNull, 4L).otherwise(0L)
+              case Some(ShortType) => when(c.isNotNull, 2L).otherwise(0L)
+              case Some(ByteType | BooleanType) =>
+                when(c.isNotNull, 1L).otherwise(0L)
+              case Some(StringType) =>
+                coalesce(length(c).cast(LongType), lit(0L))
+              case Some(BinaryType) =>
+                coalesce(length(c).cast(LongType), lit(0L))
+              case _ =>
+                coalesce(length(to_json(c)).cast(LongType), lit(0L))
+            }
+            sized
+          }
+          terms.reduce(_ + _)
       }
 
     // serialized window scalars: ordered by the preceding sort's keys.

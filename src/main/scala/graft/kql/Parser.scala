@@ -2292,6 +2292,7 @@ final class Parser(src: String, nowMicros: Long) {
     "parse_ipv6_mask",
     "erf", "erfc", "gamma", "loggamma", "parse_urlquery", "welch_test",
     "around", "assert", "array_iif", "bag_pack_columns",
+    "estimate_data_size",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -3089,6 +3090,17 @@ final class Parser(src: String, nowMicros: Long) {
       case "pack_all" =>
         val a = args(); arity(a.isEmpty, "pack_all() takes no arguments")
         ArrFn("pack_all", a)
+      case "estimate_data_size" =>
+        // star form sizes EVERY current column; otherwise explicit refs
+        if (atPunct("*")) {
+          p += 1; eatPunct(")")
+          ArrFn("estimate_data_size", Nil)
+        } else {
+          val a = args()
+          arity(a.nonEmpty && a.forall(_.isInstanceOf[Expr.Field]),
+            "estimate_data_size() takes * or column references")
+          ArrFn("estimate_data_size", a)
+        }
       case "row_number" =>
         val a = args()
         arity(a.length <= 1, "row_number() takes an optional starting index")

@@ -3663,14 +3663,17 @@ object KqlQueries {
         |          ai = array_iif(pack_array(true, false, true),
         |                 pack_array(1, 2, 3), pack_array(9, 8, 7)),
         |          bp = bag_pack_columns(doc_id),
-        |          ok = assert(doc_id >= 0, 'doc_id must be non-negative')
-        | | project doc_id, ar, ai = strcat_array(ai, ','), bp = tostring(bp), ok
+        |          ok = assert(doc_id >= 0, 'doc_id must be non-negative'),
+        |          ds = estimate_data_size(doc_id, source)
+        | | project doc_id, ar, ai = strcat_array(ai, ','), bp = tostring(bp),
+        |           ok, ds
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
         |  abs(CAST(doc_id % 10 AS DOUBLE) - 5.0) <= 2.0 AS ar,
         |  '1,8,3' AS ai,
         |  '{"doc_id":' || CAST(doc_id AS VARCHAR) || '}' AS bp,
-        |  TRUE AS ok
+        |  TRUE AS ok,
+        |  CAST(8 + len(source) AS BIGINT) AS ds
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
     // round-8 union kind=inner: the column INTERSECTION survives (the
