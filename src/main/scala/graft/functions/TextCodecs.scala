@@ -68,6 +68,17 @@ object TextCodecsUtil {
     catch { case _: IllegalArgumentException => null }
   }
 
+  /** Kusto `to_utf8`: the string's UTF-8 bytes as a dynamic array of
+    * unsigned byte values (round 9). */
+  def utf8Bytes(s: UTF8String): ArrayData = {
+    if (s == null) return null
+    val bytes = s.getBytes
+    val out = new Array[Any](bytes.length)
+    var i = 0
+    while (i < bytes.length) { out(i) = (bytes(i) & 0xFF).toLong; i += 1 }
+    new GenericArrayData(out)
+  }
+
   def arrayToBase64(a: ArrayData): UTF8String = {
     if (a == null) return null
     val bytes = new Array[Byte](a.numElements())
@@ -130,7 +141,7 @@ case class CountOfOverlap(left: Expression, right: Expression)
   * codegen is a direct static call like the other kernels. */
 case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression {
   override def dataType: DataType = op match {
-    case "cp_from" | "b64_to_arr" => ArrayType(LongType)
+    case "cp_from" | "b64_to_arr" | "utf8_bytes" => ArrayType(LongType)
     case _ => StringType
   }
   override def nullable: Boolean = true
@@ -139,6 +150,7 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
     case "cp_from" => TextCodecsUtil.codePoints(input.asInstanceOf[UTF8String])
     case "cp_to" => TextCodecsUtil.fromCodePoints(input.asInstanceOf[ArrayData])
     case "b64_to_arr" => TextCodecsUtil.base64ToArray(input.asInstanceOf[UTF8String])
+    case "utf8_bytes" => TextCodecsUtil.utf8Bytes(input.asInstanceOf[UTF8String])
     case "b64_from_arr" => TextCodecsUtil.arrayToBase64(input.asInstanceOf[ArrayData])
     case "puny_from" => TextCodecsUtil.punycodeDecode(input.asInstanceOf[UTF8String])
     case "puny_to" => TextCodecsUtil.punycodeEncode(input.asInstanceOf[UTF8String])
@@ -149,6 +161,7 @@ case class TextCodecExpr(child: Expression, op: String) extends UnaryExpression 
       case "cp_from" => "codePoints"
       case "cp_to" => "fromCodePoints"
       case "b64_to_arr" => "base64ToArray"
+      case "utf8_bytes" => "utf8Bytes"
       case "b64_from_arr" => "arrayToBase64"
       case "puny_from" => "punycodeDecode"
       case "puny_to" => "punycodeEncode"

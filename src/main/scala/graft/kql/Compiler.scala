@@ -201,11 +201,14 @@ final class Compiler(
            "string_size" => KT.Int
       case "ipv4_is_in_range" | "ipv4_is_private" | "ipv4_is_match" |
            "ipv6_is_match" | "ipv6_is_in_range" | "ipv4_is_in_any_range" |
-           "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" => KT.Bool
+           "has_ipv4" | "has_any_ipv4" | "has_ipv4_prefix" |
+           "has_any_ipv4_prefix" => KT.Bool
       case "ipv6_compare" | "ipv4_compare" | "ipv4_netmask_suffix" => KT.Int
       case "around" | "assert" => KT.Bool
       case f if f.startsWith("convert_") => KT.Float
-      case "erf" | "erfc" | "gamma" | "loggamma" | "welch_test" => KT.Float
+      case "erf" | "erfc" | "gamma" | "loggamma" | "welch_test" |
+           "rand" => KT.Float
+      case "new_guid" => KT.Str
       case "parse_user_agent" | "parse_urlquery" => KT.Var
       case "datetime_utc_to_local" | "datetime_local_to_utc" |
            "make_datetime" | "unixtime_seconds_todatetime" |
@@ -215,7 +218,7 @@ final class Compiler(
       case "make_timespan" => KT.Span
       case "isascii" | "has_ipv4" => KT.Bool
       case "unicode_codepoints_from_string" |
-           "base64_decode_toarray" => KT.Arr
+           "base64_decode_toarray" | "to_utf8" => KT.Arr
       case "extract_all" | "parse_csv" | "extract_groups" |
            "treepath" => KT.Arr
       case "parse_url" | "extract_json" | "parse_path" |
@@ -1209,6 +1212,14 @@ final class Compiler(
                 lit("($|[^0-9A-Za-z.])")))
           }
           hits.reduce(_ || _)
+        case "has_any_ipv4_prefix" =>
+          val src = cs.head.cast(StringType)
+          cs.tail.map { p =>
+            val pfx = p.cast(StringType)
+            val esc = regexp_replace(pfx, lit("\\."), lit("\\\\."))
+            pfx =!= "" && pfx.rlike("^[0-9.]+$") &&
+              rlike(src, concat(lit("(^|[^0-9A-Za-z.])"), esc))
+          }.reduce(_ || _)
         case "has_ipv4_prefix" =>
           val src = cs.head.cast(StringType)
           val pfx = cs(1).cast(StringType)
@@ -1314,6 +1325,20 @@ final class Compiler(
             lit(true)).otherwise(
             raise_error(concat(lit("assert() failed: "),
               cs(1).cast(StringType))).cast(BooleanType))
+        // to_utf8 (round 9): UTF-8 bytes as a dynamic int array
+        case "to_utf8" => {
+          import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+          column(graft.functions.TextCodecExpr(
+            expression(cs.head.cast(StringType)), "utf8_bytes"))
+        }
+        // rand()/rand(n) and new_guid() (round 9): the engine's ONLY
+        // nondeterministic scalars — per-row uniform double / integer in
+        // [0, n) / v4 GUID. Deliberately never oracled (spec-covered);
+        // everything else in the engine stays replayable.
+        case "rand" =>
+          if (cs.isEmpty) rand()
+          else floor(rand() * cs.head.cast(DoubleType)).cast(LongType)
+        case "new_guid" => uuid()
         // welch_test (round 9): t and Welch–Satterthwaite df in Column
         // space (codegen'd arithmetic), Student-t tail via the ibeta_reg
         // kernel — two-sided p-value; degenerate inputs → null

@@ -2292,7 +2292,8 @@ final class Parser(src: String, nowMicros: Long) {
     "parse_ipv6_mask",
     "erf", "erfc", "gamma", "loggamma", "parse_urlquery", "welch_test",
     "around", "assert", "array_iif", "bag_pack_columns",
-    "estimate_data_size",
+    "estimate_data_size", "to_utf8", "has_any_ipv4_prefix", "rand",
+    "new_guid",
     "convert_length", "convert_mass", "convert_speed", "convert_volume",
     "convert_energy", "convert_angle", "convert_force",
     "convert_temperature",
@@ -2657,6 +2658,21 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a.forall(_.isInstanceOf[Expr.Field]),
           "bag_pack_columns() arguments must be column references")
         ArrFn("bag_pack_columns", a)
+      case "to_utf8" =>
+        val a = args(); arity(a.length == 1, "to_utf8() takes 1 arg")
+        StrFn("to_utf8", a)
+      case "has_any_ipv4_prefix" =>
+        val a = args()
+        arity(a.length >= 2,
+          "has_any_ipv4_prefix() takes (source, prefix1[, ...])")
+        StrFn("has_any_ipv4_prefix", a)
+      case "rand" =>
+        val a = args()
+        arity(a.length <= 1, "rand() takes 0 or 1 args")
+        StrFn("rand", a)
+      case "new_guid" =>
+        val a = args(); arity(a.isEmpty, "new_guid() takes no arguments")
+        StrFn("new_guid", a)
       case "welch_test" =>
         val a = args()
         arity(a.length == 6,

@@ -3664,16 +3664,23 @@ object KqlQueries {
         |                 pack_array(1, 2, 3), pack_array(9, 8, 7)),
         |          bp = bag_pack_columns(doc_id),
         |          ok = assert(doc_id >= 0, 'doc_id must be non-negative'),
-        |          ds = estimate_data_size(doc_id, source)
+        |          ds = estimate_data_size(doc_id, source),
+        |          u8 = to_utf8(substring(text, 0, 10)),
+        |          hp = has_any_ipv4_prefix(
+        |                 strcat('x=10.', tostring(doc_id % 4), '.30.40'),
+        |                 '10.0.', '10.1.')
         | | project doc_id, ar, ai = strcat_array(ai, ','), bp = tostring(bp),
-        |           ok, ds
+        |           ok, ds, u8 = strcat_array(u8, ','), hp
         | | sort by doc_id asc""".stripMargin,
       """SELECT doc_id,
         |  abs(CAST(doc_id % 10 AS DOUBLE) - 5.0) <= 2.0 AS ar,
         |  '1,8,3' AS ai,
         |  '{"doc_id":' || CAST(doc_id AS VARCHAR) || '}' AS bp,
         |  TRUE AS ok,
-        |  CAST(8 + len(source) AS BIGINT) AS ds
+        |  CAST(8 + len(source) AS BIGINT) AS ds,
+        |  list_aggr(list_transform(string_split(substr(text, 1, 10), ''),
+        |    c -> CAST(unicode(c) AS VARCHAR)), 'string_agg', ',') AS u8,
+        |  doc_id % 4 < 2 AS hp
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin),
 
     // round-8 union kind=inner: the column INTERSECTION survives (the

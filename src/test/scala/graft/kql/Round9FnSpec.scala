@@ -72,6 +72,29 @@ class Round9FnSpec extends AnyFunSuite {
     assert(e.getMessage.contains("math broke"))
   }
 
+  test("rand/new_guid: in-range, distinct per row (nondeterministic)") {
+    import org.apache.spark.sql.functions.col
+    val df = Kql.run(spark, cat,
+      "t1 | extend a = rand(), b = rand(100), g = new_guid() " +
+        "| project a, b, g")
+    val r = df.collect()(0)
+    val a = r.getDouble(0); val b = r.getLong(1); val g = r.getString(2)
+    assert(a >= 0.0 && a < 1.0)
+    assert(b >= 0L && b < 100L)
+    assert(g.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}"))
+    // two rows draw different guids
+    val c2 = new Catalog(spark)
+    c2.register("t2", spark.range(2).toDF("id"))
+    val gs = Kql.run(spark, c2, "t2 | extend g = new_guid() | project g")
+      .collect().map(_.getString(0)).toSet
+    assert(gs.size == 2)
+  }
+
+  test("to_utf8: multibyte chars expand to their UTF-8 bytes") {
+    assert(scalar("strcat_array(to_utf8('Aé'), ',')") == "65,195,169")
+    assert(scalar("strcat_array(to_utf8(''), ',')") == "")
+  }
+
   test("bag_pack_columns requires column refs") {
     val e = intercept[KqlParseException](
       scalar("bag_pack_columns(1 + 2)"))
