@@ -2262,7 +2262,8 @@ final class Parser(src: String, nowMicros: Long) {
     "zlib_compress_to_base64_string", "zlib_decompress_from_base64_string",
     "extract_json", "parse_path", "has_any_index",
     "geo_distance_2points", "geo_point_in_circle", "geo_point_in_polygon",
-    "geo_geohash", "geo_line_length", "geo_polygon_perimeter",
+    "geo_geohash", "geo_point_to_geohash", "geo_line_length",
+    "geo_polygon_perimeter",
     "geo_polygon_area",
     "geo_geohash_to_central_point",
     "parse_ipv6", "ipv6_compare", "ipv6_is_match", "ipv6_is_in_range",
@@ -2544,10 +2545,10 @@ final class Parser(src: String, nowMicros: Long) {
           "geo_point_in_polygon() polygon must be a string literal " +
             "(GeoJSON)")
         MathFn("geo_point_in_polygon", a)
-      case "geo_geohash" =>
+      case "geo_geohash" | "geo_point_to_geohash" =>
         val a = args()
         arity(a.length == 2 || a.length == 3,
-          "geo_geohash() takes (lon, lat[, precision])")
+          "geo_point_to_geohash() takes (lon, lat[, precision])")
         arity(a.lift(2).forall(_.isInstanceOf[IntLit]),
           "geo_geohash() precision must be an int literal")
         StrFn("geo_geohash", a)

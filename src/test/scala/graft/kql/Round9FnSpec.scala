@@ -95,6 +95,11 @@ class Round9FnSpec extends AnyFunSuite {
     assert(scalar("strcat_array(to_utf8(''), ',')") == "")
   }
 
+  test("geo_point_to_geohash is the ADX name for geo_geohash") {
+    assert(scalar("geo_point_to_geohash(-80.0, 25.0, 5)") ==
+      scalar("geo_geohash(-80.0, 25.0, 5)"))
+  }
+
   test("bag_pack_columns requires column refs") {
     val e = intercept[KqlParseException](
       scalar("bag_pack_columns(1 + 2)"))
