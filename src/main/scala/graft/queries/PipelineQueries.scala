@@ -420,76 +420,82 @@ object PipelineQueries {
       |  FROM bits a JOIN bits b ON a.i = b.i AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
-  /** DuckDB replay of [[Similarity.pqTopK]] (m=8 subspaces × ksub=16
-    * codes over dim 64): the same hash-ordered seeds as IVF, per-subspace
-    * scaled-integer L2 assignment (ties → lowest code), one exact-integer
-    * Lloyd sweep, re-encode, and the ADC score as a pure BIGINT sum of
-    * per-subspace scaled inner products — every arithmetic step integer
-    * or single-IEEE-division, so the rank column hash-matches.
+  /** The PQ codebook-learn + encode CTE chain (round 9), shared by the
+    * standalone `pl_ann_pq` oracle and the IVF-PQ composition: assumes
+    * `ids`/`hl*`/`hord` (the hash-ordered seed chain) are already
+    * defined; produces `pqbcode(vec_id, mi, code)` and
+    * `pqrsc(mi, code, cs)` — every arithmetic step integer or one IEEE
+    * division, so ADC ranks and scores hash-match.
     */
-  private val pqOracleSql: String = {
-    import SignLshSql._
+  private def pqCtes: String = {
     val m = 8; val ksub = 16; val sub = 8
     def l2(mi: String, svec: String, cvec: String): String =
       (1 to sub).map { j =>
         s"(($svec[$mi*$sub+$j]) - ($cvec[$mi*$sub+$j])) * " +
           s"(($svec[$mi*$sub+$j]) - ($cvec[$mi*$sub+$j]))"
       }.mkString(" + ")
-    def ip(mi: String, qvec: String, cvec: String): String =
-      (1 to sub).map { j =>
-        s"($qvec[$mi*$sub+$j]) * ($cvec[$j])"
-      }.mkString(" + ")
+    s"""pqseeds AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS ci,
+       |          embedding FROM hord ORDER BY sh LIMIT $ksub),
+       |pqsv AS (SELECT vec_id, list_transform(embedding,
+       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |       FROM embeddings),
+       |pqscents AS (SELECT ci, list_transform(embedding,
+       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+       |         embedding FROM pqseeds),
+       |pqmis AS (SELECT unnest(range(0, $m)) AS mi),
+       |pqpa0 AS (SELECT v.vec_id, pqmis.mi, c.ci,
+       |          ${l2("pqmis.mi", "v.s", "c.s")} AS d
+       |        FROM pqsv v CROSS JOIN pqscents c CROSS JOIN pqmis),
+       |pqa0 AS (SELECT vec_id, mi, ci AS code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d, ci) AS rn FROM pqpa0) WHERE rn = 1),
+       |pqsums AS (SELECT pqa0.mi, pqa0.code, j,
+       |          SUM(v.s[pqa0.mi*$sub+j]) AS sm, count(*) AS n
+       |        FROM pqa0 JOIN pqsv v USING (vec_id)
+       |        CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS j) jj
+       |        GROUP BY pqa0.mi, pqa0.code, j),
+       |pqref AS (SELECT mi, code, list(CAST(CAST(CAST(sm AS DOUBLE) /
+       |          CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE)
+       |          ORDER BY j) AS cent
+       |        FROM pqsums GROUP BY mi, code),
+       |pqseedsl AS (SELECT pqmis.mi, c.ci AS code,
+       |          list_transform(c.embedding[pqmis.mi*$sub+1 : pqmis.mi*$sub+$sub],
+       |            x -> CAST(x AS DOUBLE)) AS cent
+       |        FROM pqscents c CROSS JOIN pqmis),
+       |pqrefined AS (SELECT s.mi, s.code, coalesce(r.cent, s.cent) AS cent
+       |            FROM pqseedsl s LEFT JOIN pqref r
+       |              ON s.mi = r.mi AND s.code = r.code),
+       |pqrsc AS (SELECT mi, code, list_transform(cent,
+       |          x -> CAST(round(x * 1000000) AS BIGINT)) AS cs
+       |        FROM pqrefined),
+       |pqpb AS (SELECT v.vec_id, r.mi, r.code,
+       |         ${(1 to sub).map(j =>
+                  s"((v.s[r.mi*$sub+$j]) - (r.cs[$j])) * " +
+                    s"((v.s[r.mi*$sub+$j]) - (r.cs[$j]))").mkString(" + ")} AS d
+       |       FROM pqsv v CROSS JOIN pqrsc r),
+       |pqbcode AS (SELECT vec_id, mi, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d, code) AS rn FROM pqpb) WHERE rn = 1)"""
+      .stripMargin
+  }
+
+  private def pqIp(mi: String, qvec: String, cvec: String): String =
+    (1 to 8).map { j =>
+      s"($qvec[$mi*8+$j]) * ($cvec[$j])"
+    }.mkString(" + ")
+
+  private val pqOracleSql: String = {
+    import SignLshSql._
     s"""WITH ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
        |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
        |hord AS (SELECT vec_id, embedding,
        |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
-       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS ci,
-       |          embedding FROM hord ORDER BY sh LIMIT $ksub),
-       |sv AS (SELECT vec_id, list_transform(embedding,
-       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
-       |       FROM embeddings),
-       |scents AS (SELECT ci, list_transform(embedding,
-       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s,
-       |         embedding FROM seeds),
-       |mis AS (SELECT unnest(range(0, $m)) AS mi),
-       |pa0 AS (SELECT v.vec_id, mis.mi, c.ci,
-       |          ${l2("mis.mi", "v.s", "c.s")} AS d
-       |        FROM sv v CROSS JOIN scents c CROSS JOIN mis),
-       |a0 AS (SELECT vec_id, mi, ci AS code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
-       |      ORDER BY d, ci) AS rn FROM pa0) WHERE rn = 1),
-       |sums AS (SELECT a0.mi, a0.code, j,
-       |          SUM(v.s[a0.mi*$sub+j]) AS sm, count(*) AS n
-       |        FROM a0 JOIN sv v USING (vec_id)
-       |        CROSS JOIN (SELECT unnest(range(1, ${sub + 1})) AS j) jj
-       |        GROUP BY a0.mi, a0.code, j),
-       |ref AS (SELECT mi, code, list(CAST(CAST(CAST(sm AS DOUBLE) /
-       |          CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE)
-       |          ORDER BY j) AS cent
-       |        FROM sums GROUP BY mi, code),
-       |seedsl AS (SELECT mis.mi, c.ci AS code,
-       |          list_transform(c.embedding[mis.mi*$sub+1 : mis.mi*$sub+$sub],
-       |            x -> CAST(x AS DOUBLE)) AS cent
-       |        FROM scents c CROSS JOIN mis),
-       |refined AS (SELECT s.mi, s.code, coalesce(r.cent, s.cent) AS cent
-       |            FROM seedsl s LEFT JOIN ref r
-       |              ON s.mi = r.mi AND s.code = r.code),
-       |rsc AS (SELECT mi, code, list_transform(cent,
-       |          x -> CAST(round(x * 1000000) AS BIGINT)) AS cs
-       |        FROM refined),
-       |pb AS (SELECT v.vec_id, r.mi, r.code,
-       |         ${(1 to sub).map(j =>
-                  s"((v.s[r.mi*$sub+$j]) - (r.cs[$j])) * " +
-                    s"((v.s[r.mi*$sub+$j]) - (r.cs[$j]))").mkString(" + ")} AS d
-       |       FROM sv v CROSS JOIN rsc r),
-       |bcode AS (SELECT vec_id, mi, code FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
-       |      ORDER BY d, code) AS rn FROM pb) WHERE rn = 1),
+       |$pqCtes,
        |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |          SUM(${ip("b.mi", "q.s", "r.cs")}) AS score_scaled
-       |        FROM sv q
-       |        CROSS JOIN bcode b
-       |        JOIN rsc r ON b.mi = r.mi AND b.code = r.code
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM pqsv q
+       |        CROSS JOIN pqbcode b
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
        |        WHERE q.vec_id < 5 AND q.vec_id != b.vec_id
        |        GROUP BY 1, 2)
        |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
