@@ -411,6 +411,56 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score_scaled")
   }
 
+  /** IVF-PQ (the canonical billion-vector serving composition, Jégou
+    * 2011 §IV): the IVF coarse quantizer prunes the search to `nProbe`
+    * cells while the PQ codes stand in for the corpus floats — memory is
+    * m bytes + one cell id per vector, and a query touches ~nProbe/nCells
+    * of the codes with integer ADC lookups only. This is the
+    * non-residual IVFADC variant (codes quantize the vectors themselves,
+    * not the cell residuals — the standard memory-bound trade), so both
+    * proven components compose without a third codebook, and the whole
+    * chain keeps the hash-exact oracle.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (corpusCells, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
+    val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
+    val coded = corpusCells.select("neighbor_id", "__cell")
+      .join(codes, "neighbor_id")
+    val sub = books(0)(0).length
+    val cb = typedlit(books.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
+    val table = transform(sequence(lit(0), lit(m - 1)), mi =>
+      transform(sequence(lit(0), lit(ksub - 1)), ci => {
+        val cent = element_at(element_at(cb, mi.cast("int") + 1),
+          ci.cast("int") + 1)
+        aggregate(sequence(lit(1), lit(sub)), lit(0L), (acc, j) =>
+          acc + element_at(col("__qsv"), (mi * sub + j).cast("int")) *
+            element_at(cent, j.cast("int")))
+      }))
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        Embeddings.scaledVec(col(vecCol)).as("__qsv"))
+      .localCheckpoint()
+      .withColumn("__cells", nearestCells(col("__qv"), cents, nProbe))
+      .withColumn("__tab", table)
+      .drop("__qv", "__qsv"))
+    val score = (0 until m).map { mi =>
+      element_at(element_at(col("__tab"), mi + 1),
+        element_at(col("__codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("neighbor_id"))
+    coded.join(q, array_contains(col("__cells"), col("__cell")) &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_scaled", score)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "score_scaled")
+  }
+
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus
     * with the IVF coarse quantizer, then inside each cluster drop every
     * vector that has a LOWER-id cluster-mate with cosine ≥ threshold —

@@ -507,6 +507,36 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[Similarity.ivfPqTopK]]: the IVF assignment CTEs
+    * provide probe cells (`pb` rn ≤ nProbe) and corpus cells (`bcell`);
+    * the shared PQ CTEs ride the same `hord` seed chain; candidates =
+    * probed-cell members, scored by the integer ADC sum. */
+  private val ivfPqOracleSql: String = {
+    s"""WITH ${ivfAssignCtes(64)},
+       |$pqCtes,
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, b.vec_id AS neighbor_id
+       |         FROM qc JOIN bcell b ON qc.cell = b.cell
+       |         WHERE qc.query_id != b.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM cand
+       |        JOIN pqsv q ON cand.query_id = q.vec_id
+       |        JOIN pqbcode b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
+       |  SELECT query_id, neighbor_id, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     import SignLshSql._
     val dim = 64
@@ -1036,6 +1066,20 @@ object PipelineQueries {
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         Similarity.pqTopK(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    // IVF-PQ composed ANN (round 9): the canonical billion-vector
+    // serving layout — IVF cells prune the search, PQ codes replace the
+    // corpus floats, integer ADC scores the probed candidates. Both
+    // components are independently proven; the composition keeps the
+    // full hash-exact oracle (shared seed chain + shared PQ CTEs).
+    Q("pl_ann_ivfpq", ivfPqOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 5), emb,
           "vec_id", "vec_id", "embedding", 10)
           .orderBy("query_id", "rank")
