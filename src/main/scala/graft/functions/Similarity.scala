@@ -492,6 +492,39 @@ object Similarity {
       .select(col("neighbor_id").as(idCol), col("__cell").as("cell"))
   }
 
+  /** Incremental (cross-snapshot) SemDeDup: drop BATCH vectors that are
+    * near-duplicates (cosine ≥ threshold) of the existing CORPUS — the
+    * "dedupe the new crawl against what we already have" pass a
+    * continuously-growing 100 TB store runs on every ingest, where
+    * re-running full SemDeDup over corpus+batch would re-pay the corpus.
+    *
+    * Shape: the corpus is IVF-assigned ONCE (in practice the index is
+    * precomputed and stored — cells + centroids are the index); batch
+    * vectors probe their `nProbe` nearest cells and compare only against
+    * those cells' corpus members (never the whole corpus), then one
+    * anti-join drops the matched batch ids. Centroids derive from the
+    * CORPUS (the index's quantizer), so batch assignment never reshapes
+    * the index — the incremental contract.
+    *
+    * @return surviving batch rows: (id, probed cell)
+    */
+  def incrementalSemDedup(
+      batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val (assigned, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
+    val b = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
+      .withColumn("__cells", nearestCells(col("__bv"), cents, nProbe))
+    val c = assigned.select(
+      col("neighbor_id").as("__cid"), col("__cv"), col("__cell"))
+    val drops = b
+      .join(c, array_contains(col("__cells"), col("__cell")))
+      .filter(cosine(col("__bv"), col("__cv")) >= threshold)
+      .select(col("__bid")).distinct()
+    b.join(drops, Seq("__bid"), "left_anti")
+      .select(col("__bid").as(idCol),
+        element_at(col("__cells"), 1).as("cell"))
+  }
+
   /** Indices of the `nProbe` nearest centroids (nearest first) for a
     * vector, lowered to the native single-pass codegen'd
     * [[graft.functions.NearestCells]] kernel (centroids ride along as a

@@ -1085,6 +1085,47 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // incremental SemDeDup (round 9): drop NEW-batch vectors that
+    // near-duplicate the indexed corpus — batch probes its nProbe
+    // nearest corpus cells and compares only within them. Batch =
+    // planted variants of corpus vectors (identity every 7th → always
+    // dropped; reversed otherwise), fully replayable.
+    Q("pl_incr_semdedup", {
+      import SignLshSql._
+      s"""WITH ${ivfAssignCtes(64)},
+         |bat AS (SELECT vec_id + 10000 AS bid,
+         |        CASE WHEN vec_id % 7 = 0 THEN embedding
+         |             ELSE list_reverse(embedding) END AS bv
+         |        FROM embeddings WHERE vec_id < 200),
+         |bpb AS (SELECT bat.bid, s.cell,
+         |          ${cosineVsCent("bat.bv", "s.cent", 64)} AS score
+         |        FROM bat CROSS JOIN refined s),
+         |bcells AS (SELECT bid, cell, rn FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY bid
+         |      ORDER BY score DESC, cell DESC) AS rn FROM bpb)
+         |  WHERE rn <= 2),
+         |drops AS (SELECT DISTINCT b.bid
+         |          FROM bcells pc
+         |          JOIN bat b ON b.bid = pc.bid
+         |          JOIN bcell c ON pc.cell = c.cell
+         |          JOIN embeddings e ON c.vec_id = e.vec_id
+         |          WHERE ${cosine("b.bv", "e.embedding", 64)} >= 0.95)
+         |SELECT b.bid AS vec_id, CAST(pc.cell AS INTEGER) AS cell
+         |FROM bat b JOIN bcells pc ON b.bid = pc.bid AND pc.rn = 1
+         |WHERE b.bid NOT IN (SELECT bid FROM drops)
+         |ORDER BY vec_id""".stripMargin
+    })(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+        Similarity.incrementalSemDedup(
+          batch, emb, "vec_id", "embedding", threshold = 0.95)
+          .orderBy("vec_id")
+      }),
+
     // IVF coarse-quantized ANN (deterministically seeded k-means cells) —
     // full cross-engine oracle (ivfOracleSql): the exact-integer Lloyd
     // sweep makes the whole path replayable; recall vs brute force
