@@ -368,6 +368,16 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("leftanti"), p)
   }
 
+  test("IVF-PQ: cell-pruned broadcast probe, no cartesian, no window scan") {
+    val p = plan("pl_ann_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      s"IVF-PQ candidates must come from the cell join:\n$p")
+    // the query side is broadcast (5 rows of cells + ADC tables); the
+    // corpus side streams codes
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("image near-dup: banded bucket equi-join, never all pairs") {
     val p = plan("pl_image_dedup")
     assert(!p.contains("CartesianProduct") &&
