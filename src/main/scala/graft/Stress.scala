@@ -422,6 +422,38 @@ object Stress {
         }
       graft.multimodal.Multimodal.decodeImageStats(media).toDF()
     }
+    //  - ann_pq: PQ codebook learn + encode + 5-query ADC scan over
+    //    synthetic 32-dim embeddings at n/10 (the semdedup generator);
+    //    vocab-bounded collects only, so time tracks the two corpus
+    //    passes (assign + refine-encode)
+    time("ann_pq", n / 10) {
+      val m10 = n / 10
+      val emb = spark.range(m10).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      graft.functions.Similarity.pqTopK(
+        emb.filter(col("vec_id") < 5), emb,
+        "vec_id", "vec_id", "embedding", 10, m = 8, ksub = 16)
+    }
+    //  - graph_scomp: SCC over a DIRECTED random graph at n/10 edges —
+    //    iterative (outer refinement × directed label propagation), so
+    //    the cost is rounds × (join + agg); random directed graphs at
+    //    avg degree 2 have one giant SCC + small tails, keeping rounds
+    //    logarithmic
+    timeBody("graph_scomp", n / 10) {
+      val e10 = n / 10
+      val edges = spark.range(e10).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(e10 / 2)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(e10 / 2)))
+        .select("src", "dst")
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.functions.Graph.stronglyConnectedComponents(
+        verts, edges, maxOuter = 20, maxInner = 60)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

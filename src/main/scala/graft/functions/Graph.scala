@@ -36,16 +36,20 @@ object Graph {
     */
   def connectedComponents(
       vertices: DataFrame, edges: DataFrame, maxIter: Int = 25): DataFrame = {
-    val sym = edges.select(col("src"), col("dst"))
-      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint()
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    val sym = localCheckpointNoStats(
+      edges.select(col("src"), col("dst"))
+        .union(edges.select(col("dst").as("src"), col("src").as("dst"))))
     // decimal(38,0) keeps the probe exact far past a BIGINT overflow
     // (1e12 vertices × 1e12 max label would wrap a 64-bit sum)
     val probe = sum(col("cluster_id").cast("decimal(38,0)")).as("ls")
     def checkpointWithSum(df: DataFrame, round: Int)
         : (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation(s"cc_probe_$round")
-      val out = df.observe(obs, probe).localCheckpoint()
+      // stats-severing checkpoint: the loop body joins the previous
+      // checkpoint, so preserved origin stats would SQUARE per round
+      // (see GraftColumnBridge.localCheckpointNoStats)
+      val out = localCheckpointNoStats(df.observe(obs, probe))
       (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
     }
     var (labels, prevSum) = checkpointWithSum(
@@ -106,12 +110,14 @@ object Graph {
   def stronglyConnectedComponents(
       vertices: DataFrame, edges: DataFrame, maxOuter: Int = 12,
       maxInner: Int = 25): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    val e = localCheckpointNoStats(
+      edges.select(col("src"), col("dst")).distinct())
     val probe = sum(col("comp").cast("decimal(38,0)")).as("cs")
     def checkpointWithSum(df: DataFrame, tag: String)
         : (DataFrame, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation(s"scc_$tag")
-      val out = df.observe(obs, probe).localCheckpoint()
+      val out = localCheckpointNoStats(df.observe(obs, probe))
       (out, obs.get("cs").asInstanceOf[java.math.BigDecimal])
     }
     // directed min-label propagation of `comp`-class-restricted
@@ -120,16 +126,17 @@ object Graph {
     def propagate(cls: DataFrame, reversed: Boolean): DataFrame = {
       val dir = if (reversed)
         e.select(col("dst").as("src"), col("src").as("dst")) else e
-      val inClass = dir
+      val inClass0 = dir
         .join(cls.select(col("id").as("src"), col("comp").as("__sc")), "src")
         .join(cls.select(col("id").as("dst"), col("comp").as("__dc")), "dst")
         .filter(col("__sc") === col("__dc"))
-        .select(col("src"), col("dst")).localCheckpoint()
+        .select(col("src"), col("dst"))
+      val inClassCk = localCheckpointNoStats(inClass0)
       val lprobe = sum(col("lbl").cast("decimal(38,0)")).as("ls")
       def ckpt(df: DataFrame, tag: String)
           : (DataFrame, java.math.BigDecimal) = {
         val obs = org.apache.spark.sql.Observation(s"sccp_$tag")
-        val out = df.observe(obs, lprobe).localCheckpoint()
+        val out = localCheckpointNoStats(df.observe(obs, lprobe))
         (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
       }
       var (labels, prev) = ckpt(
@@ -137,7 +144,7 @@ object Graph {
       var conv = false
       var i = 0
       while (!conv && i < maxInner) {
-        val msgs = inClass.join(labels, inClass("src") === labels("id"))
+        val msgs = inClassCk.join(labels, inClassCk("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"))
         val (next, ns) = ckpt(
           labels.unionByName(msgs)

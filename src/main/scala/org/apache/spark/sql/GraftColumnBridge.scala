@@ -9,4 +9,23 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** `localCheckpoint` that SEVERS statistics lineage. Spark's checkpoint
+    * preserves the origin plan's estimated `Statistics` on the resulting
+    * `LogicalRDD` (SPARK-39748); in an iterative loop whose body JOINS
+    * the previous checkpoint (connected components, SCC label
+    * propagation), the size-in-bytes estimate then SQUARES every
+    * iteration — after ~20 rounds the driver grinds multi-million-digit
+    * `BigInt` multiplications inside `SizeInBytesOnlyStatsPlanVisitor`
+    * (observed: a 100k-edge SCC pinned one core for 30+ minutes in
+    * `BigInteger.multiplyToomCook3` before any real work). Materializing
+    * first and re-wrapping the checkpointed `InternalRow` RDD drops the
+    * origin stats, so each iteration's estimate starts from the default
+    * leaf size again.
+    */
+  def localCheckpointNoStats(df: Dataset[Row]): Dataset[Row] = {
+    val ck = df.localCheckpoint()
+    ck.sparkSession.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema)
+  }
 }
