@@ -50,10 +50,18 @@ object Similarity {
       .withColumn("score", cosine(col("__qv"), col("__cv")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("score").desc, col("neighbor_id"))
+    // Filter on the RAW int row_number so Catalyst's InferWindowGroupLimit
+    // fires: it rewrites rank<=k into a PARTIAL WindowGroupLimit before the
+    // query-keyed exchange — each corpus partition forwards only its local
+    // top-k per query, so the final per-query task sorts |partitions|·k
+    // rows instead of every candidate (the r9 single-task-per-query sort
+    // of the corpus). A cast on the rank before the filter breaks the
+    // rule's pattern match — cast to long only after filtering.
     scored
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Deterministic pseudo-random hyperplane component for plane p, dim j:
@@ -182,9 +190,11 @@ object Similarity {
     candidates
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** IVF (inverted-file) ANN: k-means-style coarse quantization with
@@ -258,9 +268,11 @@ object Similarity {
       .join(q, array_contains(col("__cells"), col("__cell")))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("score", cosine(col("__qv"), col("__cv")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
   }
 
   /** Product quantization (Jégou et al. 2011, "Product Quantization for
@@ -406,9 +418,11 @@ object Similarity {
       .orderBy(col("score_scaled").desc, col("neighbor_id"))
     codes.join(q, col("query_id") =!= col("neighbor_id"))
       .withColumn("score_scaled", score)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score_scaled")
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score_scaled"))
   }
 
   /** IVF-PQ (the canonical billion-vector serving composition, Jégou
@@ -456,9 +470,11 @@ object Similarity {
     coded.join(q, array_contains(col("__cells"), col("__cell")) &&
         col("query_id") =!= col("neighbor_id"))
       .withColumn("score_scaled", score)
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score_scaled")
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score_scaled"))
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the corpus

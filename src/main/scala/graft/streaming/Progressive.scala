@@ -102,10 +102,17 @@ object Progressive {
 
   /** Streaming form of `activity_counts`'s `new_dcount` series (round 9):
     * per bin, the number of ids seen for the FIRST time — global
-    * first-seen dedup on the id (`dropDuplicates` keyed on the id alone,
-    * its state watermark-pruned via the event-time column) feeding a
-    * per-bin count, refining in `update` mode like [[slidingEngagement]]
-    * (per-bin dcount itself is `slidingEngagement(lookbackBins = 1)`).
+    * first-seen dedup on the id (`dropDuplicatesWithinWatermark` keyed on
+    * the id alone) feeding a per-bin count, refining in `update` mode like
+    * [[slidingEngagement]] (per-bin dcount itself is
+    * `slidingEngagement(lookbackBins = 1)`).
+    *
+    * `dropDuplicatesWithinWatermark` is the load-bearing choice: plain
+    * `dropDuplicates("__id")` NEVER evicts — Spark prunes dedup state by
+    * watermark only when the event-time column is among the dedup keys —
+    * so id-only state would grow with every distinct id ever seen. The
+    * within-watermark form expires each id's entry once the watermark
+    * passes its last-seen event time, giving bounded O(active ids) state.
     *
     * Bounded-state semantics, stated honestly: an id silent for longer
     * than the watermark has its dedup state dropped, so a comeback after
@@ -127,7 +134,7 @@ object Progressive {
     stream
       .select(col(idCol).as("__id"), tb.as("bin"))
       .withWatermark("bin", watermark)
-      .dropDuplicates("__id")
+      .dropDuplicatesWithinWatermark("__id")
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("new_users"))
   }

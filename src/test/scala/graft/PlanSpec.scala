@@ -378,6 +378,24 @@ class PlanSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("ANN top-k is two-stage: partial WindowGroupLimit before the shuffle") {
+    // r9 flaw: the final top-k was row_number over partitionBy(query_id)
+    // alone — EVERY candidate of a query shuffled into one task (for plain
+    // PQ that is the whole corpus's codes per query; SCALE.md measured the
+    // 2.10× super-linear stress ratio). Filtering on the RAW int rank lets
+    // InferWindowGroupLimit plan a Partial WindowGroupLimit below the
+    // exchange: each corpus partition forwards only its local top-k per
+    // query, and the per-query task sorts |partitions|·k rows.
+    for (q <- Seq("pl_ann_brute", "pl_ann_lsh", "pl_ann_ivf", "pl_ann_pq",
+        "pl_ann_ivfpq")) {
+      val p = plan(q)
+      assert(p.contains("WindowGroupLimit"),
+        s"$q: rank<=k must plan a WindowGroupLimit:\n$p")
+      assert(p.contains("Partial"),
+        s"$q: the group limit must have a partial (pre-shuffle) stage:\n$p")
+    }
+  }
+
   test("image near-dup: banded bucket equi-join, never all pairs") {
     val p = plan("pl_image_dedup")
     assert(!p.contains("CartesianProduct") &&

@@ -133,6 +133,30 @@ class StreamingSpec extends AnyFunSuite {
       assert(snapshot() == Map(
         "2024-01-01 00:00:00.0" -> 3L,
         "2024-01-01 00:01:00.0" -> 1L))
+
+      // state eviction (the r9→r10 fix: dropDuplicatesWithinWatermark):
+      // u5 at 00:30 advances the watermark to 00:20 — past every earlier
+      // id's 10-minute horizon, so their dedup state is dropped
+      Seq((5L, "2024-01-01 00:30:00")).toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 3L,
+        "2024-01-01 00:01:00.0" -> 1L,
+        "2024-01-01 00:30:00.0" -> 1L))
+      // u1's comeback past the horizon counts as NEW again (bounded-state
+      // trade, as documented); u5's in-horizon repeat does NOT
+      Seq((1L, "2024-01-01 00:31:00"), (5L, "2024-01-01 00:31:10"))
+        .toDF("user_id", "ts")
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(snapshot() == Map(
+        "2024-01-01 00:00:00.0" -> 3L,
+        "2024-01-01 00:01:00.0" -> 1L,
+        "2024-01-01 00:30:00.0" -> 1L,
+        "2024-01-01 00:31:00.0" -> 1L))
     } finally q.stop()
   }
 
