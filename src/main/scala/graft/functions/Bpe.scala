@@ -60,16 +60,41 @@ object Bpe {
     checkpointPreserving(df.repartition(col("wid"))
       .sortWithinPartitions(col("wid"), col("pos")))
 
+  /** One AQE-disabled CLONE session per parent session (weakly keyed so a
+    * stopped session can be collected): the conf override lives only on
+    * the clone, so concurrently compiled queries on the parent session
+    * never observe AQE off — the r9 form toggled the parent's
+    * session-global conf around the materialization, a visible window for
+    * every other query on the session (and the restore raced concurrent
+    * readers even on the happy path).
+    */
+  private val noAqeSessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  private def noAqeSession(spark: SparkSession): SparkSession =
+    noAqeSessions.synchronized {
+      val cached = noAqeSessions.get(spark)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.adaptive.enabled", "false")
+        noAqeSessions.put(spark, s)
+        s
+      }
+    }
+
   /** [[checkpointByWid]] without the repartition — for the loop's merge
     * output, whose wid partitioning is already inherited from its input;
-    * a repartition here would itself add the exchange we are avoiding. */
+    * a repartition here would itself add the exchange we are avoiding.
+    * The AQE-off override is scoped to a cloned session (the plan is
+    * bound in, materialized, and bound back), never set on the caller's
+    * session.
+    */
   def checkpointPreserving(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.bindToSession
     val spark = df.sparkSession
-    val key = "spark.sql.adaptive.enabled"
-    val prev = spark.conf.get(key, "true")
-    spark.conf.set(key, "false")
-    try df.localCheckpoint()
-    finally spark.conf.set(key, prev)
+    val ck = bindToSession(df, noAqeSession(spark)).localCheckpoint()
+    bindToSession(ck, spark)
   }
 
   /** One merge-application pass for the (a, b) pair — the positional

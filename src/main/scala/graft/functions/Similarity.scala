@@ -346,7 +346,13 @@ object Similarity {
         array_min(cands)("c")
       })
     }
-    val withSv = c.withColumn("__sv", Embeddings.scaledVec(col("__cv")))
+    // checkpoint ONLY (id, __sv): the scaled-long column is what the
+    // m·ksub·sub element_at accesses walk (the checkpoint is the barrier
+    // that stops Catalyst re-inlining the scaling transform into each
+    // access — measured 12×); carrying __cv too would pin a second full
+    // copy of the corpus floats in executor storage for nothing
+    val withSv = c.select(col("neighbor_id"),
+        Embeddings.scaledVec(col("__cv")).as("__sv"))
       .localCheckpoint()
 
     // one Lloyd sweep: exact integer (subspace, code, dim) sums over ONE
@@ -376,7 +382,7 @@ object Similarity {
         }
       }
     (withSv.withColumn("__codes", codesCol(refined))
-      .drop("__cv", "__sv"), refined)
+      .drop("__sv"), refined)
   }
 
   /** PQ top-k by asymmetric distance computation (ADC): each query

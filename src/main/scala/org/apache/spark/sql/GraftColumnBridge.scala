@@ -28,4 +28,16 @@ object GraftColumnBridge {
     ck.sparkSession.asInstanceOf[classic.SparkSession]
       .internalCreateDataFrame(ck.queryExecution.toRdd, ck.schema)
   }
+
+  /** Re-bind a DataFrame's (analyzed) logical plan to another session
+    * sharing the same SparkContext — the scoped-conf pattern: clone a
+    * session (`spark.newSession()`), set the conf override there, bind the
+    * plan in, materialize, bind the result back. Nothing global mutates,
+    * so concurrent queries on the original session never observe the
+    * override (the round-9 `checkpointPreserving` AQE toggle leaked
+    * exactly that way).
+    */
+  def bindToSession(df: Dataset[Row], spark: SparkSession): Dataset[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession],
+      df.queryExecution.analyzed)
 }

@@ -201,6 +201,51 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("splitFrames is structural: end-marker bytes inside data don't split") {
+    import graft.multimodal.Multimodal
+    def enc(v: Int, fmt: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, fmt, b)
+      b.toByteArray
+    }
+    // PNG with an unknown-ancillary chunk (type gfTx — ancillary +
+    // private, safe for decoders to skip) whose DATA is the ASCII bytes
+    // "IEND" — inserted right after the IHDR chunk (8-byte sig + 25-byte
+    // IHDR). A byte-scan for "IEND" splits here; the chunk walk must not.
+    val p = enc(0x0a0b0c, "png")
+    def crc32(b: Array[Byte]): Int = {
+      val c = new java.util.zip.CRC32(); c.update(b); c.getValue.toInt
+    }
+    val textData = "IEND".getBytes("US-ASCII")
+    val chunkBody = "gfTx".getBytes("US-ASCII") ++ textData
+    val trap = java.nio.ByteBuffer.allocate(12 + textData.length)
+      .putInt(textData.length).put(chunkBody).putInt(crc32(chunkBody))
+      .array()
+    val pngTrap = p.slice(0, 33) ++ trap ++ p.slice(33, p.length)
+    // JPEG with an APP1 segment whose data contains a raw FF D9 (the EXIF
+    // thumbnail shape) — inserted right after SOI. A byte-scan for FF D9
+    // ends the frame inside the segment; the marker walk skips it by
+    // its declared length.
+    val j = enc(0x405060, "jpg")
+    val app1 = Array[Byte](0xff.toByte, 0xe1.toByte, 0x00, 0x06,
+      0xff.toByte, 0xd9.toByte, 0x01, 0x02)
+    val jpgTrap = j.slice(0, 2) ++ app1 ++ j.slice(2, j.length)
+    val payload = pngTrap ++ jpgTrap ++ enc(0x112233, "png")
+    val frames = Multimodal.splitFrames(payload)
+    assert(frames.length == 3,
+      s"expected 3 structural frames, got ${frames.length}")
+    assert(frames(0).length == pngTrap.length &&
+      frames(1).length == jpgTrap.length)
+    frames.foreach { fb =>
+      assert(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(fb)) != null,
+        "every structurally split frame must decode")
+    }
+  }
+
   test("image near-dup: dHash + banded Hamming LSH equals all-pairs") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 80)
