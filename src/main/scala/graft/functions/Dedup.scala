@@ -423,6 +423,72 @@ object Dedup {
       .drop("__h", "__win", "__maybe")
   }
 
+  /** Incremental (cross-snapshot) NEAR-dup dedup — the missing cell of
+    * the incremental matrix next to [[incrementalDedup]] (exact hash) and
+    * [[Similarity.incrementalSemDedup]] (embedding): drop BATCH documents
+    * whose n-gram Jaccard against ANY corpus document reaches `threshold`,
+    * discovered through the corpus's MinHash-LSH band index — the nightly
+    * "new crawl vs 100 TB corpus" pass.
+    *
+    * Shape: the corpus's (band, bucket, id) tuples ARE the index (in
+    * production precomputed and stored — signatures never recompute per
+    * ingest); the batch computes its own signatures map-side, probes the
+    * index with one (band, bucket) equi-join, and Jaccard-verifies the
+    * candidates only. Probe cost ∝ batch size × collision rate, never
+    * corpus size; only id/bucket tuples and candidate pairs shuffle,
+    * never shingle arrays (the [[minhashDupPairs]] discipline). Batch
+    * docs too short to shingle (< n tokens) cannot near-dup anything and
+    * survive.
+    *
+    * Same banding trade as [[minhashDupPairs]]: candidate recall is the
+    * LSH 1-(1-j^r)^b curve, so a sub-threshold-similarity pair missed by
+    * every band stays — the documented approximation of every production
+    * MinHash dedup (GPT-3/The Pile/RefinedWeb).
+    *
+    * @return surviving batch rows: (id)
+    */
+  def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    // the corpus index: signatures checkpointed once (the CollapseProject
+    // barrier of minhashDupPairs), band tuples derived from them
+    val corpusSets = corpus
+      .select(col(idCol).as("__cid"), shingleSet(col(textCol), n).as("__csh"))
+      .filter(size(col("__csh")) > 0)
+      .withColumn("__csig", minhashSignature(col("__csh"), k))
+      .localCheckpoint()
+    val corpusBuckets = corpusSets
+      .select(col("__cid"),
+        explode(lshBands(col("__csig"), k, rowsPerBand)).as("bb"))
+      .select(col("__cid"), col("bb.band"), col("bb.bucket"))
+    val batchSets = batch
+      .select(col(idCol).as("__bid"), shingleSet(col(textCol), n).as("__bsh"))
+      .localCheckpoint()
+    val batchBuckets = batchSets
+      .filter(size(col("__bsh")) > 0)
+      .withColumn("__bsig", minhashSignature(col("__bsh"), k))
+      .localCheckpoint()
+      .select(col("__bid"),
+        explode(lshBands(col("__bsig"), k, rowsPerBand)).as("bb"))
+      .select(col("__bid"), col("bb.band"), col("bb.bucket"))
+    val candidates = batchBuckets
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .select("__bid", "__cid").distinct()
+    val drops = candidates
+      .join(batchSets.select(col("__bid"), col("__bsh")), "__bid")
+      .join(corpusSets.select(col("__cid"), col("__csh")), "__cid")
+      .withColumn("__inter",
+        size(array_intersect(col("__bsh"), col("__csh"))).cast("double"))
+      .filter(col("__inter") /
+        (size(col("__bsh")) + size(col("__csh")) - col("__inter"))
+        >= threshold)
+      .select("__bid").distinct()
+    batchSets.select(col("__bid"))
+      .join(drops, Seq("__bid"), "left_anti")
+      .select(col("__bid").as(idCol))
+  }
+
   /** Corpus-level exact LINE dedup (the C4/RefinedWeb boilerplate rule):
     * across the whole corpus, only the FIRST occurrence — smallest
     * (id, lineIdx) — of every distinct line survives; documents are

@@ -99,6 +99,50 @@ object Sampling {
     mixture(df, domainCol, idCol, rates)
   }
 
+  /** Temperature resampling, UPSAMPLING form — the actual Pile/ROOTS
+    * mixture operation ([[temperatureMixture]] only thins): rates
+    * normalize by the MINIMUM rescaled share, so the most-common domain
+    * keeps exactly one copy and every rarer domain REPLICATES at
+    * r_i = p_i^(1/T−1) / min_j(p_j^(1/T−1)) ≥ 1. Each row emits
+    * ⌊r⌋ copies plus one more when `mix(id) < frac(r)·M` — the same
+    * deterministic Bernoulli as every sampler here, so the replicated
+    * corpus is a pure function of (id, domain shares): byte-reproducible
+    * across runs, partitionings, and engines.
+    *
+    * Shape: ONE count aggregate (bounded domain collect), rates as
+    * literals, then a map-side `explode(sequence(...))` — fan-out is the
+    * rate, no shuffle. Output = input columns + `copy` (0-based copy
+    * index; copy 0 is the original). Rates round to 9 decimals pre-scale
+    * so the oracle's `pow` agrees (the [[temperatureMixture]] margin
+    * argument).
+    */
+  def temperatureUpsample(
+      df: DataFrame, domainCol: String, idCol: String,
+      temperature: Double): DataFrame = {
+    require(temperature > 0, s"temperature must be positive: $temperature")
+    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    val exps = counts.map { case (dm, n) =>
+      dm -> math.pow(n / total, 1.0 / temperature - 1.0)
+    }
+    val mn = exps.values.min
+    val rates = exps.map { case (dm, e) =>
+      dm -> BigDecimal(e / mn).setScale(9, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val whole = rates.foldLeft(lit(1L)) { case (acc, (dm, r)) =>
+      when(col(domainCol) === dm, lit(math.floor(r).toLong)).otherwise(acc)
+    }
+    val fracThr = rates.foldLeft(lit(0L)) { case (acc, (dm, r)) =>
+      when(col(domainCol) === dm,
+        lit(((r - math.floor(r)) * M).toLong)).otherwise(acc)
+    }
+    val copies = whole +
+      when(mix(col(idCol)) < fracThr, lit(1L)).otherwise(lit(0L))
+    df.withColumn("copy", explode(sequence(lit(0L), copies - lit(1L))))
+  }
+
   /** Per-stratum quota sample: the `k` rows of each stratum with the
     * smallest mixed hash (ties broken by id — fully deterministic).
     * One shuffle on the stratum key; each stratum sorts locally and keeps

@@ -146,10 +146,32 @@ object PipelineQueries {
        |SELECT id_a, id_b, dist FROM lev
        |WHERE dist <= $maxDist ORDER BY id_a, id_b""".stripMargin)
 
+  /** The r10 incremental near-dup oracle: the same XXH64 signature/band
+    * replay, but candidates are batch (doc_id >= 250) probing corpus
+    * (doc_id < 250) band buckets, and the output is the SURVIVING batch
+    * ids (too-short-to-shingle batch docs survive by construction). */
+  private def incrMinhashOracleSql: String = minhashOracle(
+    """jac AS (SELECT id_a AS bid, id_b AS cid,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+      |    len(sa.s) AS na, len(sb.s) AS nb
+      |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+      |            JOIN shs sb ON cand.id_b = sb.doc_id),
+      |drops AS (SELECT DISTINCT bid FROM jac
+      |          WHERE inter / (na + nb - inter) >= 0.4)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM drops)
+      |ORDER BY doc_id""".stripMargin,
+    candSql =
+      """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+        |         WHERE a.doc_id >= 250 AND b.doc_id < 250)""".stripMargin)
+
   /** Full XXH64 + MinHash + banded-bucket candidate generation in DuckDB
     * SQL (CTEs `docs` → `cand`), composed with a caller-supplied verify
-    * tail. */
-  private def minhashOracle(verifyTail: String): String = {
+    * tail; `candSql` overrides the default all-pairs self-join candidate
+    * CTE (the incremental gate probes batch-vs-corpus instead). */
+  private def minhashOracle(verifyTail: String,
+      candSql: String = defaultMinhashCand): String = {
     val W = "18446744073709551616" // 2^64
     val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
     val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
@@ -232,11 +254,14 @@ object PipelineQueries {
        |sig AS (SELECT doc_id, list(mh ORDER BY seed) AS sig FROM sigs GROUP BY doc_id),
        |bands AS (SELECT doc_id, b, array_to_string(sig[4*b+1:4*b+4], ',') AS bucket
        |          FROM sig CROSS JOIN (SELECT unnest(range(0,16)) AS b)),
-       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
-       |         WHERE a.doc_id < b.doc_id),
+       |$candSql,
        |$verifyTail""".stripMargin
   }
+
+  private val defaultMinhashCand: String =
+    """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+      |         WHERE a.doc_id < b.doc_id)""".stripMargin
 
   /** Shared SQL fragments for the sign-LSH oracles: mod-2^64 arithmetic
     * (HUGEINT with the left multiplicand split at 2^32), `XXH64.hashInt`
@@ -935,6 +960,22 @@ object PipelineQueries {
           "doc_id", col("__lines")).orderBy("doc_id")
       }),
 
+    // incremental NEAR-dup dedup (round 10): the new batch (doc_id >= 250)
+    // probed against the corpus's (doc_id < 250) MinHash band index,
+    // Jaccard-verified on candidates only — the nightly crawl-vs-corpus
+    // pass. The oracle replays the identical XXH64 signature/band chain
+    // with batch-probes-corpus candidates, so the output (surviving batch
+    // ids, incl. too-short-to-shingle docs) is hash-exact.
+    Q("pl_incr_minhash", incrMinhashOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.incrementalMinhashDedup(
+          docs.filter(col("doc_id") >= 250),
+          docs.filter(col("doc_id") < 250),
+          "doc_id", "text", n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
+          .orderBy("doc_id")
+      }),
+
     // n-gram Jaccard near-dup (exact, restricted window so the O(n²) stays
     // bounded; the scalable path is pl_minhash_dups below)
     Q("pl_ngram_jaccard",
@@ -1420,6 +1461,36 @@ object PipelineQueries {
         temperature = 3.0)
         .select("doc_id", "source")
         .orderBy("doc_id")),
+
+    // temperature UPSAMPLING (round 10): the replication side of the
+    // mixture — rates normalized by the MIN rescaled share, each row
+    // emits floor(r) copies + a deterministic-Bernoulli extra. The oracle
+    // recomputes the per-domain rates from its own counts (pow + the
+    // identical 9-decimal rounding) and replays the replication count per
+    // row exactly, so the exploded output is hash-exact.
+    Q("pl_temp_upsample", {
+      s"""WITH cnt AS (SELECT lang AS d, count(*) AS n
+         |            FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS DOUBLE) AS t FROM cnt),
+         |e AS (SELECT d, pow(CAST(n AS DOUBLE) / (SELECT t FROM tot),
+         |                    1.0 / 2.0 - 1.0) AS ex FROM cnt),
+         |mn AS (SELECT min(ex) AS m FROM e),
+         |r AS (SELECT d, round(ex / (SELECT m FROM mn), 9) AS rate FROM e),
+         |c AS (SELECT doc_id, lang,
+         |        CAST(floor(rate) AS BIGINT) +
+         |        CASE WHEN ${Sampling.mixSql("doc_id")} <
+         |          CAST(trunc((rate - floor(rate)) * ${Sampling.M}) AS BIGINT)
+         |        THEN 1 ELSE 0 END AS copies
+         |      FROM documents JOIN r ON lang = r.d)
+         |SELECT doc_id, lang, CAST(u AS BIGINT) AS copy
+         |FROM c, unnest(range(0, copies)) AS t(u)
+         |ORDER BY doc_id, copy""".stripMargin
+    })(
+      (s, d) => Sampling.temperatureUpsample(
+        Tables.load(s, d, "documents"), "lang", "doc_id",
+        temperature = 2.0)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")),
 
     // weight-proportional reproducible sampling (A-Res with hash-derived
     // uniforms): longer docs proportionally likelier, byte-reproducible.
@@ -2232,7 +2303,50 @@ object PipelineQueries {
           .select(col("id").as("media_id"), col("cluster_id"),
             (col("id") === col("cluster_id")).as("is_keeper"))
           .orderBy("media_id")
-      })
+      }),
+
+    // frame-level VIDEO near-dup dedup (round 10): structural frame split
+    // → per-frame dHash → per-bit majority pool into one 64-bit clip
+    // fingerprint → banded Hamming LSH pairs. Fixtures: clip groups of 4
+    // sharing per-frame cell patterns, variants brighten one cell of one
+    // frame. Lossless PNG frames + integer-only pooling ⇒ the oracle
+    // replays the cell function, per-frame bits, and the majority pool
+    // exactly; maxDist 6 < 8 bands keeps banding pigeonhole-exact, so the
+    // all-pairs replay equals the banded operator's answer.
+    Q("pl_video_dedup",
+      """WITH src AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+        |                    2 + (doc_id // 4) % 3 AS nf
+        |             FROM documents WHERE doc_id < 240),
+        |cells AS (SELECT doc_id, nf, f, cx, cy,
+        |    ((((g + 1) * (cx + 3) * (cy + 5) * 2654435761)
+        |      % 97) % 2) * 150 + 40 + f
+        |    + CASE WHEN v > 0 AND cx = v AND cy = (v * 3) % 8
+        |           AND f = v % nf THEN 50 ELSE 0 END AS gray
+        |  FROM src, unnest(range(0, nf)) AS uf(f),
+        |       unnest(range(0, 9)) AS ux(cx),
+        |       unnest(range(0, 8)) AS uy(cy)),
+        |fbits AS (SELECT a.doc_id, a.nf, a.f, a.cy * 8 + a.cx AS i,
+        |            CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+        |          FROM cells a JOIN cells b
+        |            ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy
+        |           AND b.cx = a.cx + 1
+        |          WHERE a.cx < 8),
+        |pooled AS (SELECT doc_id, i,
+        |             CASE WHEN 2 * sum(bit) > max(nf) THEN 1 ELSE 0 END
+        |               AS bit
+        |           FROM fbits GROUP BY doc_id, i),
+        |d AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+        |        sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
+        |      FROM pooled x JOIN pooled y
+        |        ON x.i = y.i AND x.doc_id < y.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming
+        |FROM d WHERE hd <= 6 ORDER BY id_a, id_b""".stripMargin)(
+      (s, d) => Dedup.hammingDupPairs(
+        graft.multimodal.Multimodal.videoFingerprint64(
+          graft.multimodal.Multimodal.syntheticNearDupFrameVideos(s, d))
+          .toDF(), "media_id", "vhash", maxDist = 6, nBands = 8)
+        .orderBy("id_a", "id_b"))
   ,
 
     // ───── embedding quantization (round-6) ─────
