@@ -454,6 +454,19 @@ object Stress {
         verts, edges, maxOuter = 20, maxInner = 60)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-10 stress row: incremental MinHash near-dup with the corpus
+    // FIXED (90k docs — the stored index) and only the probing batch
+    // scaling with n (n/100 docs) — the incremental contract under test
+    // is "probe cost ∝ batch, never corpus", so the 2× ratio isolates
+    // the batch-side signature + probe + verify work
+    time("incr_minhash", n / 100) {
+      val corpusN = 90000L
+      val corpus = docs.filter(col("doc_id") < corpusN)
+      val batch = docs.filter(
+        col("doc_id") >= corpusN && col("doc_id") < corpusN + n / 100)
+      graft.functions.Dedup.incrementalMinhashDedup(
+        batch, corpus, "doc_id", "text")
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

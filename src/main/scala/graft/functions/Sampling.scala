@@ -143,6 +143,39 @@ object Sampling {
     df.withColumn("copy", explode(sequence(lit(0L), copies - lit(1L))))
   }
 
+  /** Explicit-rate resampling — the general mixture operator unifying
+    * [[mixture]] (rates ≤ 1) and [[temperatureUpsample]] (rates ≥ 1):
+    * each row of stratum s emits ⌊r_s⌋ copies plus one more when
+    * `mix(id) < frac(r_s)·M`. Rate 0.5 IS the [[mixture]] Bernoulli
+    * decision (⌊r⌋ = 0, same threshold test), rate 2.5 replicates 2–3×,
+    * so a single pass applies a target mixture spec ("2× books, 0.3×
+    * web") exactly — deterministic, map-side, fan-out = the rate.
+    * Output = input columns + `copy` (0-based; rows with 0 copies drop
+    * out of the explode).
+    */
+  def resample(
+      df: DataFrame, strataCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    require(rates.values.forall(_ >= 0) && defaultRate >= 0,
+      "rates must be non-negative")
+    def whole(r: Double) = math.floor(r).toLong
+    def fracThr(r: Double) = ((r - math.floor(r)) * M).toLong
+    val wholeCol = rates.foldLeft(lit(whole(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(whole(r))).otherwise(acc)
+    }
+    val thrCol = rates.foldLeft(lit(fracThr(defaultRate))) {
+      case (acc, (s, r)) =>
+        when(col(strataCol) === s, lit(fracThr(r))).otherwise(acc)
+    }
+    val copies = wholeCol +
+      when(mix(col(idCol)) < thrCol, lit(1L)).otherwise(lit(0L))
+    // sequence(0, -1) would DESCEND ([0, -1]) — zero-copy rows must hit
+    // explode as null so they drop out, never as a two-element array
+    df.withColumn("copy", explode(
+      when(copies > 0, sequence(lit(0L), copies - lit(1L)))))
+  }
+
   /** Per-stratum quota sample: the `k` rows of each stratum with the
     * smallest mixed hash (ties broken by id — fully deterministic).
     * One shuffle on the stratum key; each stratum sorts locally and keeps

@@ -146,6 +146,41 @@ object PipelineQueries {
        |SELECT id_a, id_b, dist FROM lev
        |WHERE dist <= $maxDist ORDER BY id_a, id_b""".stripMargin)
 
+  /** The video-fingerprint replay CTE chain shared by `pl_video_dedup`
+    * and `pl_video_clusters`: generating cell function → per-frame dHash
+    * bits → per-bit majority pool → all-pairs Hamming `dists(id_a, id_b,
+    * d)` (exact twin of the banded operator by the pigeonhole argument,
+    * maxDist 6 < 8 bands), plus `vids(doc_id)` for the cluster closure.
+    */
+  private val videoDedupCtes: String =
+    """vids AS (SELECT doc_id FROM documents WHERE doc_id < 240),
+      |vsrc AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
+      |                2 + (doc_id // 4) % 3 AS nf
+      |         FROM vids),
+      |vcells AS (SELECT doc_id, nf, f, cx, cy,
+      |    ((((g + 1) * (cx + 3) * (cy + 5) * 2654435761)
+      |      % 97) % 2) * 150 + 40 + f
+      |    + CASE WHEN v > 0 AND cx = v AND cy = (v * 3) % 8
+      |           AND f = v % nf THEN 50 ELSE 0 END AS gray
+      |  FROM vsrc, unnest(range(0, nf)) AS uf(f),
+      |       unnest(range(0, 9)) AS ux(cx),
+      |       unnest(range(0, 8)) AS uy(cy)),
+      |vfbits AS (SELECT a.doc_id, a.nf, a.f, a.cy * 8 + a.cx AS i,
+      |             CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
+      |           FROM vcells a JOIN vcells b
+      |             ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy
+      |            AND b.cx = a.cx + 1
+      |           WHERE a.cx < 8),
+      |vpooled AS (SELECT doc_id, i,
+      |              CASE WHEN 2 * sum(bit) > max(nf) THEN 1 ELSE 0 END
+      |                AS bit
+      |            FROM vfbits GROUP BY doc_id, i),
+      |vdists AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+      |             sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS d
+      |           FROM vpooled x JOIN vpooled y
+      |             ON x.i = y.i AND x.doc_id < y.doc_id
+      |           GROUP BY 1, 2)""".stripMargin
+
   /** The r10 incremental near-dup oracle: the same XXH64 signature/band
     * replay, but candidates are batch (doc_id >= 250) probing corpus
     * (doc_id < 250) band buckets, and the output is the SURVIVING batch
@@ -1492,6 +1527,33 @@ object PipelineQueries {
         .select("doc_id", "lang", "copy")
         .orderBy("doc_id", "copy")),
 
+    // explicit-rate resampling (round 10): one operator for the whole
+    // mixture spec — rates < 1 thin (the mixture Bernoulli decision),
+    // rates > 1 replicate (floor + deterministic-Bernoulli extra). The
+    // oracle replays the CASE chain and replication counts row-exactly.
+    Q("pl_resample_rates", {
+      def w(r: Double) = math.floor(r).toLong
+      def t(r: Double) = ((r - math.floor(r)) * Sampling.M).toLong
+      s"""WITH c AS (SELECT doc_id, lang,
+         |        CASE WHEN lang = 'fr' THEN ${w(2.5)}
+         |             WHEN lang = 'en' THEN ${w(0.4)}
+         |             ELSE ${w(1.0)} END +
+         |        CASE WHEN ${Sampling.mixSql("doc_id")} <
+         |          CASE WHEN lang = 'fr' THEN ${t(2.5)}
+         |               WHEN lang = 'en' THEN ${t(0.4)}
+         |               ELSE ${t(1.0)} END
+         |        THEN 1 ELSE 0 END AS copies
+         |      FROM documents)
+         |SELECT doc_id, lang, CAST(u AS BIGINT) AS copy
+         |FROM c, unnest(range(0, copies)) AS t(u)
+         |ORDER BY doc_id, copy""".stripMargin
+    })(
+      (s, d) => Sampling.resample(
+        Tables.load(s, d, "documents"), "lang", "doc_id",
+        rates = Map("fr" -> 2.5, "en" -> 0.4), defaultRate = 1.0)
+        .select("doc_id", "lang", "copy")
+        .orderBy("doc_id", "copy")),
+
     // weight-proportional reproducible sampling (A-Res with hash-derived
     // uniforms): longer docs proportionally likelier, byte-reproducible.
     // The A-Res key ln(u)/w is the one transcendental in the engine — but
@@ -2314,39 +2376,45 @@ object PipelineQueries {
     // exactly; maxDist 6 < 8 bands keeps banding pigeonhole-exact, so the
     // all-pairs replay equals the banded operator's answer.
     Q("pl_video_dedup",
-      """WITH src AS (SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS v,
-        |                    2 + (doc_id // 4) % 3 AS nf
-        |             FROM documents WHERE doc_id < 240),
-        |cells AS (SELECT doc_id, nf, f, cx, cy,
-        |    ((((g + 1) * (cx + 3) * (cy + 5) * 2654435761)
-        |      % 97) % 2) * 150 + 40 + f
-        |    + CASE WHEN v > 0 AND cx = v AND cy = (v * 3) % 8
-        |           AND f = v % nf THEN 50 ELSE 0 END AS gray
-        |  FROM src, unnest(range(0, nf)) AS uf(f),
-        |       unnest(range(0, 9)) AS ux(cx),
-        |       unnest(range(0, 8)) AS uy(cy)),
-        |fbits AS (SELECT a.doc_id, a.nf, a.f, a.cy * 8 + a.cx AS i,
-        |            CASE WHEN b.gray > a.gray THEN 1 ELSE 0 END AS bit
-        |          FROM cells a JOIN cells b
-        |            ON a.doc_id = b.doc_id AND a.f = b.f AND a.cy = b.cy
-        |           AND b.cx = a.cx + 1
-        |          WHERE a.cx < 8),
-        |pooled AS (SELECT doc_id, i,
-        |             CASE WHEN 2 * sum(bit) > max(nf) THEN 1 ELSE 0 END
-        |               AS bit
-        |           FROM fbits GROUP BY doc_id, i),
-        |d AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
-        |        sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS hd
-        |      FROM pooled x JOIN pooled y
-        |        ON x.i = y.i AND x.doc_id < y.doc_id
-        |      GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(hd AS BIGINT) AS hamming
-        |FROM d WHERE hd <= 6 ORDER BY id_a, id_b""".stripMargin)(
+      s"""WITH $videoDedupCtes
+        |SELECT id_a, id_b, CAST(d AS BIGINT) AS hamming
+        |FROM vdists WHERE d <= 6 ORDER BY id_a, id_b""".stripMargin)(
       (s, d) => Dedup.hammingDupPairs(
         graft.multimodal.Multimodal.videoFingerprint64(
           graft.multimodal.Multimodal.syntheticNearDupFrameVideos(s, d))
           .toDF(), "media_id", "vhash", maxDist = 6, nBands = 8)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // video near-dup CLUSTERS (round 10): the full video-dedup
+    // composition — fingerprint → banded pairs → connected components →
+    // one canonical keeper per clip cluster (the pl_image_clusters
+    // pattern at the video level). Oracle: the shared fingerprint replay
+    // plus a recursive-CTE closure over the pair graph.
+    Q("pl_video_clusters",
+      s"""WITH RECURSIVE $videoDedupCtes,
+        |vp AS (SELECT id_a, id_b FROM vdists WHERE d <= 6),
+        |vund AS (SELECT id_a AS a, id_b AS b FROM vp
+        |         UNION SELECT id_b, id_a FROM vp),
+        |vreach(a, b) AS (
+        |  SELECT doc_id AS a, doc_id AS b FROM vids
+        |  UNION
+        |  SELECT r.a, u.b FROM vreach r JOIN vund u ON r.b = u.a)
+        |SELECT a AS media_id, CAST(min(b) AS BIGINT) AS cluster_id,
+        |       a = min(b) AS is_keeper
+        |FROM vreach GROUP BY a ORDER BY a""".stripMargin)(
+      (s, d) => {
+        val hashes = graft.multimodal.Multimodal.videoFingerprint64(
+          graft.multimodal.Multimodal.syntheticNearDupFrameVideos(s, d))
+          .toDF().localCheckpoint()
+        val pairs = Dedup.hammingDupPairs(
+          hashes, "media_id", "vhash", maxDist = 6, nBands = 8)
+        graft.functions.Graph.connectedComponents(
+          hashes.select(col("media_id").as("id")),
+          pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+          .select(col("id").as("media_id"), col("cluster_id"),
+            (col("id") === col("cluster_id")).as("is_keeper"))
+          .orderBy("media_id")
+      })
   ,
 
     // ───── embedding quantization (round-6) ─────

@@ -405,6 +405,31 @@ class PlanSpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("band"), p)
   }
 
+  test("video near-dup: clip fingerprints pair through the banded LSH too") {
+    val p = plan("pl_video_dedup")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"video Hamming LSH must bucket-join, never compare all pairs:\n$p")
+    assert(p.toLowerCase.contains("band"), p)
+  }
+
+  test("incremental minhash: batch probes the corpus index, never all pairs") {
+    val p = plan("pl_incr_minhash")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"batch-vs-corpus candidates must come from the band equi-join:\n$p")
+    // the final keep is the anti-join against verified drops
+    assert(p.toLowerCase.contains("leftanti"), p)
+  }
+
+  test("temperature upsample: map-side explode fan-out, no window") {
+    val p = plan("pl_temp_upsample")
+    assert(p.contains("Generate explode"),
+      s"replication must be an explode over a rate literal:\n$p")
+    assert(!p.contains("Window"),
+      s"no per-row window may appear in the replication pass:\n$p")
+  }
+
   test("substring dedup: winner is a partial-combine agg, never a window") {
     val p = plan("pl_substring_dedup")
     // boilerplate shingles are THE skew key of web text: the winner must
