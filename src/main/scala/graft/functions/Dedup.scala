@@ -203,6 +203,53 @@ object Dedup {
       .select("id_a", "id_b", "hamming")
   }
 
+  /** Incremental (cross-snapshot) HAMMING near-dup dedup — the
+    * perceptual-hash analog of [[incrementalMinhashDedup]], completing
+    * the incremental matrix for every modality the Hamming family covers
+    * (image dHash, audio energy profiles, video clip fingerprints, text
+    * simhash): drop BATCH items whose 64-bit hash is within `maxDist` of
+    * ANY corpus hash, probing the corpus's banded index.
+    *
+    * Shape: the corpus's (band, bucket, id, hash) tuples are the stored
+    * index; the batch bands its own hashes map-side, probes with ONE
+    * (band, bucket) equi-join, popcount-verifies candidates only, and
+    * anti-joins the drops — probe cost ∝ batch, never corpus. Same
+    * pigeonhole argument as [[hammingDupPairs]]: maxDist < nBands makes
+    * the banding EXACT, so a SQL oracle replaying all cross pairs checks
+    * this bit-for-bit.
+    *
+    * @return surviving batch rows: (id, hash)
+    */
+  def incrementalHammingDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, hashCol: String,
+      maxDist: Int, nBands: Int = 8): DataFrame = {
+    require(64 % nBands == 0, s"nBands must divide 64: $nBands")
+    require(maxDist < nBands,
+      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
+    val bandBits = 64 / nBands
+    val mask = (1L << bandBits) - 1
+    def bandArr(h: Column) = array((0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(h, b * bandBits)
+          .bitwiseAND(lit(mask)).as("bucket"))
+    }: _*)
+    val corpusBuckets = corpus
+      .select(col(idCol).as("__cid"), col(hashCol).as("__ch"))
+      .select(col("__ch"), explode(bandArr(col("__ch"))).as("bb"))
+      .select(col("__ch"), col("bb.band"), col("bb.bucket"))
+    val b = batch.select(col(idCol).as("__bid"), col(hashCol).as("__bh"))
+    val batchBuckets = b
+      .select(col("__bid"), col("__bh"),
+        explode(bandArr(col("__bh"))).as("bb"))
+      .select(col("__bid"), col("__bh"), col("bb.band"), col("bb.bucket"))
+    val drops = batchBuckets
+      .join(corpusBuckets, Seq("band", "bucket"))
+      .filter(bit_count(col("__bh").bitwiseXOR(col("__ch"))) <= maxDist)
+      .select("__bid").distinct()
+    b.join(drops, Seq("__bid"), "left_anti")
+      .select(col("__bid").as(idCol), col("__bh").as(hashCol))
+  }
+
   /** Benchmark-contamination score: for every corpus document, the
     * fraction of its distinct word n-gram shingles that also appear
     * anywhere in a benchmark corpus — the standard decontamination check

@@ -2336,6 +2336,42 @@ object PipelineQueries {
           .toDF(), "media_id", "dhash", maxDist = 6, nBands = 8)
         .orderBy("id_a", "id_b")),
 
+    // incremental IMAGE near-dup dedup (round 10): new-batch images
+    // dropped when their dHash lands within maxDist of ANY corpus hash,
+    // probing the corpus's banded Hamming index — the image-dedup-at-
+    // ingest pass, completing the incremental matrix for the perceptual-
+    // hash modalities. Corpus = groups 0-29 complete plus the EVEN
+    // members of groups 30-39; batch = the ODD members of groups 30-59
+    // (disjoint ids): groups 30-39's odd members near-dup their even
+    // corpus mates and drop, groups 40-59's survive. maxDist 6 < 8 bands
+    // keeps the probe pigeonhole-exact, so the oracle replays all cross
+    // pairs from the shared dHash CTEs.
+    Q("pl_incr_image",
+      s"""WITH $imageDedupCtes,
+        |idrops AS (
+        |  SELECT CASE WHEN id_a >= 120 AND id_a % 2 = 1 THEN id_a
+        |              ELSE id_b END AS bid
+        |  FROM dists WHERE d <= 6 AND (
+        |    ((id_a >= 120 AND id_a % 2 = 1) AND
+        |     (id_b < 120 OR (id_b < 160 AND id_b % 2 = 0))) OR
+        |    ((id_b >= 120 AND id_b % 2 = 1) AND
+        |     (id_a < 120 OR (id_a < 160 AND id_a % 2 = 0)))))
+        |SELECT doc_id AS media_id FROM ids
+        |WHERE doc_id >= 120 AND doc_id % 2 = 1
+        |  AND doc_id NOT IN (SELECT bid FROM idrops)
+        |ORDER BY media_id""".stripMargin)(
+      (s, d) => {
+        val hashes = graft.multimodal.Multimodal.dhash64(
+          graft.multimodal.Multimodal.syntheticNearDupPngs(s, d))
+          .toDF().localCheckpoint()
+        Dedup.incrementalHammingDedup(
+          hashes.filter(col("media_id") >= 120 && col("media_id") % 2 === 1),
+          hashes.filter(col("media_id") < 120 ||
+            (col("media_id") < 160 && col("media_id") % 2 === 0)),
+          "media_id", "dhash", maxDist = 6, nBands = 8)
+          .select("media_id").orderBy("media_id")
+      }),
+
     // image near-dup CLUSTERS (round 9): the full multimodal dedup
     // composition a curation pipeline actually runs — decode → dHash →
     // banded pairs → connected components → one canonical keeper (the

@@ -205,6 +205,53 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("temperatureUpsample replicates the minority, keeps the majority once") {
+    val docs = (0L until 1000L)
+      .map(i => (i, if (i < 900) "big" else "small"))
+      .toDF("doc_id", "source")
+    val up = Sampling.temperatureUpsample(docs, "source", "doc_id", 3.0)
+    // majority rate normalizes to exactly 1 → one copy each, copy = 0
+    assert(up.filter(col("source") === "big").count() == 900L)
+    assert(up.filter(col("source") === "big" && col("copy") > 0).count() == 0L)
+    // minority rate = (0.1/0.9)^(1/3-1) ≈ 4.33 → 4–5 copies per row
+    val smallCopies = up.filter(col("source") === "small")
+      .groupBy("doc_id").count().collect().map(_.getLong(1))
+    assert(smallCopies.forall(c => c == 4L || c == 5L), smallCopies.toSeq.distinct)
+    // the total lands near rate × stratum size, and every row keeps copy 0
+    val total = smallCopies.sum
+    assert(total > 400 && total < 470, s"~433 expected: $total")
+    // T = 1: all rates 1 → exact identity fan-out
+    assert(Sampling.temperatureUpsample(docs, "source", "doc_id", 1.0)
+      .count() == 1000L)
+    // deterministic under repartitioning
+    val a = up.select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Sampling.temperatureUpsample(
+      docs.repartition(7), "source", "doc_id", 3.0)
+      .select("doc_id", "copy").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
+  test("resample handles rate 0, fractional, integer, and >1 rates exactly") {
+    val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
+    val got = Sampling.resample(df, "src", "doc_id",
+      rates = Map("s0" -> 0.0, "s1" -> 2.0, "s2" -> 0.5))
+    // rate 0 → sequence(0,-1) must NOT descend into phantom copies
+    assert(got.filter(col("src") === "s0").count() == 0L)
+    // integer rate 2 → exactly 2 copies per row, copies 0 and 1
+    assert(got.filter(col("src") === "s1").count() == 2000L)
+    assert(got.filter(col("src") === "s1").groupBy("doc_id").count()
+      .filter(col("count") =!= 2).count() == 0L)
+    // fractional 0.5 IS the mixture decision: identical row set
+    val kept = got.filter(col("src") === "s2")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mix = Sampling.mixture(df.filter(col("src") === "s2"),
+      "src", "doc_id", rates = Map("s2" -> 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == mix)
+  }
+
   test("redactPII scrubs emails and phone runs, leaves prose alone") {
     val got = Seq(
       "write to jane.doe+spam@corp.example.org today",
