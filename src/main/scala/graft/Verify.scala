@@ -19,9 +19,16 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        // per-query seconds to stderr: the r9 round was zeroed by GATE
+        // WALL TIME (not correctness), so the dump logs where its budget
+        // goes — a future slow query shows up here before it costs a round
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (dt > 5) System.err.println(f"[verify] $name slow: $dt%.1f s")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1915,6 +1915,90 @@ object PipelineQueries {
         .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
         .orderBy("doc_id")),
 
+    // Z-order layout clustering key (round 10): min/max-uniformized
+    // Morton interleave of (l_orderkey, l_partkey) — the lakehouse
+    // multi-dimension clustering primitive (Delta/Iceberg Z-ORDER); the
+    // write path range-partitions + sorts on this key so row-group
+    // min/max stats prune on BOTH columns (LayoutSpec proves the
+    // locality). All-integer, so the oracle recomputes its own min/max
+    // and replays the bit interleave exactly.
+    Q("pl_zorder", {
+      val bits = 16
+      val interleave = (for {
+        b <- 0 until bits
+        (u, i) <- Seq("uo", "up").zipWithIndex
+      } yield s"(($u // ${1L << b}) % 2) * ${1L << (2 * b + i)}")
+        .mkString(" + ")
+      s"""WITH r AS (SELECT min(l_orderkey) AS mno, max(l_orderkey) AS mxo,
+         |                  min(l_partkey) AS mnp, max(l_partkey) AS mxp
+         |           FROM lineitem),
+         |u AS (SELECT l_orderkey, l_linenumber, l_partkey,
+         |    ((l_orderkey - (SELECT mno FROM r)) * ${1L << bits})
+         |      // ((SELECT mxo FROM r) - (SELECT mno FROM r) + 1) AS uo,
+         |    ((l_partkey - (SELECT mnp FROM r)) * ${1L << bits})
+         |      // ((SELECT mxp FROM r) - (SELECT mnp FROM r) + 1) AS up
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber, l_partkey,
+         |  CAST($interleave AS BIGINT) AS zkey
+         |FROM u ORDER BY l_orderkey, l_linenumber""".stripMargin
+    })(
+      (s, d) => {
+        val li = Tables.load(s, d, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_partkey")
+        val (keyed, _) = graft.functions.Layout.zOrderKey(
+          li, Seq("l_orderkey", "l_partkey"), bits = 16)
+        keyed.select("l_orderkey", "l_linenumber", "l_partkey", "zkey")
+          .orderBy("l_orderkey", "l_linenumber")
+      }),
+
+    // tokenize → pack END-TO-END (round 10): the actual pretraining data
+    // path — train BPE merges on the corpus vocabulary, encode every
+    // document through the learned merge table (per-word subword counts
+    // joined back to the doc word stream), then pack the SUBWORD counts
+    // into 2048-token training sequences via the distributed prefix sum.
+    // Every component is independently gate-proven (pl_bpe_train/encode,
+    // pl_pack_sequences); this gate proves the COMPOSITION end to end
+    // against one oracle that replays the whole chain.
+    Q("pl_tokenize_pack", {
+      bpeCtes(6, withFinalSyms = true).stripSuffix("\n") + ",\n" +
+        """wl AS (SELECT wid AS word, CAST(len(syms) AS BIGINT) AS n_sub
+          |       FROM syms6),
+          |dt AS (SELECT doc_id,
+          |    unnest(list_filter(string_split_regex(text, '\s+'),
+          |                       x -> len(x) > 0)) AS word
+          |  FROM documents),
+          |pd AS (SELECT doc_id, CAST(sum(n_sub) AS BIGINT) AS n_tokens
+          |       FROM dt JOIN wl USING (word) GROUP BY doc_id),
+          |pc AS (SELECT doc_id, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id
+          |           ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT)
+          |      AS tok_offset
+          |  FROM pd)
+          |SELECT doc_id, n_tokens, tok_offset,
+          |  tok_offset // 2048 AS seq_first,
+          |  greatest(tok_offset, tok_offset + n_tokens - 1) // 2048
+          |    AS seq_last
+          |FROM pc ORDER BY doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val words = docs
+          .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("wt"))
+        val (_, syms) = Bpe.trainWithSymbols(s, words, "word", "word", "wt", 6)
+        val wordLens = Bpe.encodeTable(syms)
+          .select(col("word"), col("n_subwords"))
+        val perDoc = docs
+          .select(col("doc_id"),
+            explode(TextAnalysis.tokens(col("text"))).as("word"))
+          .join(wordLens, "word")
+          .groupBy("doc_id").agg(sum("n_subwords").as("n_tokens"))
+        graft.functions.Packing.packSequences(
+          perDoc, "doc_id", "n_tokens", budget = 2048L)
+          .select("doc_id", "n_tokens", "tok_offset", "seq_first", "seq_last")
+          .orderBy("doc_id")
+      }),
+
     // benchmark decontamination: distinct-3-gram overlap of every non-src1
     // document against the src1 "benchmark" shingle set (broadcast
     // map-side probe; only the per-doc count aggregation shuffles)

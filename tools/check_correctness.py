@@ -11,6 +11,7 @@ sorted by name, rows sorted by all columns, exact equality).
 import json
 import math
 import sys
+import time
 
 import duckdb
 
@@ -61,9 +62,15 @@ def main():
             n_weak += 1
             continue
         try:
+            t0 = time.time()
             exp = con.execute(oracle[name])
             erows = exp.fetchall()
             ecols = [d[0] for d in exp.description]
+            dt = time.time() - t0
+            if dt > 5:
+                # the r9 round was zeroed by oracle WALL TIME, not a wrong
+                # answer — surface the tail so budget creep is visible
+                print(f"SLOW-ORACLE {name}: {dt:.1f}s")
         except Exception as e:
             print(f"FAIL {name}: oracle errored: {e}")
             n_fail += 1
