@@ -213,6 +213,18 @@ object Aggregation {
     * across groups, estimate with `percentile_tdigest()`. */
   final case class TDigestA(f: FieldPath) extends Aggregation
   final case class TDigestMerge(f: FieldPath) extends Aggregation
+  /** `topk_approx(f, k)` / `topk_accum(f)` / `merge_topk(f)` — mergeable
+    * heavy-hitters sketches (the frequency analog of the hll/tdigest
+    * rollup families, lowered to Spark's DataSketches-backed
+    * approx_top_k/accumulate/combine aggregates): sketch per rollup
+    * group, combine across groups, estimate (item, count) pairs with the
+    * scalar `topk_estimate(state, k)`. Counts are EXACT whenever the
+    * sketch's tracked-item budget covers the true distinct count —
+    * which is what lets the gate oracle compare against a plain
+    * GROUP BY. */
+  final case class TopKApprox(f: FieldPath, k: Int) extends Aggregation
+  final case class TopKAccum(f: FieldPath) extends Aggregation
+  final case class TopKMerge(f: FieldPath) extends Aggregation
   /** Population (n denominator) forms: `stdevp(f)` / `variancep(f)`. */
   final case class StdevP(f: FieldPath) extends Aggregation
   final case class VarianceP(f: FieldPath) extends Aggregation
@@ -292,6 +304,9 @@ object Aggregation {
     case Variance(f)  => s"variance_${f.flat}"
     case TDigestA(f)     => s"tdigest_${f.flat}"
     case TDigestMerge(f) => s"merge_tdigest_${f.flat}"
+    case TopKApprox(f, _) => s"topk_approx_${f.flat}"
+    case TopKAccum(f)    => s"topk_accum_${f.flat}"
+    case TopKMerge(f)    => s"merge_topk_${f.flat}"
     case StdevP(f)    => s"stdevp_${f.flat}"
     case VarianceP(f) => s"variancep_${f.flat}"
     case Covariance(pop, a, b) =>

@@ -273,6 +273,7 @@ final class Compiler(
           "array_rotate_left" | "array_rotate_right" | "array_iff" |
           "array_split" => KT.Arr
       case "array_sum" | "percentile_tdigest" | "jaccard_index" => KT.Float
+      case "topk_estimate" => KT.Arr
       case "series_add" | "series_subtract" | "series_multiply" |
           "series_divide" | "series_abs" | "series_fir" |
           "series_fill_const" | "series_fill_forward" |
@@ -2112,6 +2113,16 @@ final class Compiler(
           }
           column(graft.functions.PercentileTDigest(
             expression(compile(df, args.head)), p))
+        // heavy-hitters readout: (item, count) structs from a combined
+        // topk_accum/merge_topk sketch state (arity checked at parse time)
+        case "topk_estimate" =>
+          val k = args(1) match {
+            case IntLit(v) => v.toInt
+            case _ => throw KqlParseException(
+              "topk_estimate() k must be an integer literal", 0)
+          }
+          call_function("approx_top_k_estimate",
+            compile(df, args.head), lit(k))
         case "array_length" => size(compile(df, args.head)).cast(LongType)
         // null args are skipped entirely (concat_ws semantics — DuckDB's
         // concat_ws agrees, so both engines render the same string)
@@ -4547,6 +4558,9 @@ final class Compiler(
         case Aggregation.Correlation(a, b) => Seq(a, b)
         case Aggregation.TDigestA(f) => Seq(f)
         case Aggregation.TDigestMerge(f) => Seq(f)
+        case Aggregation.TopKApprox(f, _) => Seq(f)
+        case Aggregation.TopKAccum(f) => Seq(f)
+        case Aggregation.TopKMerge(f) => Seq(f)
         case Aggregation.ArgMax(f, r) => Seq(f, r)
         case Aggregation.ArgMin(f, r) => Seq(f, r)
         case Aggregation.ArgExtremeRows(_, f, rets) => f +: rets
@@ -5303,6 +5317,16 @@ final class Compiler(
             expression(compileField(df, f)), isMerge = true)
             .toAggregateExpression())
         }
+        // mergeable heavy-hitters sketches (DataSketches frequent-items
+        // via Spark's approx_top_k family — the frequency analog of
+        // hll/tdigest): topk_approx = sketch+estimate in one level;
+        // accum/merge split it for rollups, topk_estimate() reads out
+        case Aggregation.TopKApprox(f, k) =>
+          call_function("approx_top_k", compileField(df, f), lit(k))
+        case Aggregation.TopKAccum(f) =>
+          call_function("approx_top_k_accumulate", compileField(df, f))
+        case Aggregation.TopKMerge(f) =>
+          call_function("approx_top_k_combine", compileField(df, f))
         // sample (n−1) forms, KQL convention; empty/singleton groups → null
         case Aggregation.Stdev(f) => stddev_samp(numeric(f))
         case Aggregation.Variance(f) => var_samp(numeric(f))

@@ -1896,6 +1896,18 @@ final class Parser(src: String, nowMicros: Long) {
       case "tdigest" => Aggregation.TDigestA(parseFieldPath())
       case "merge_tdigest" | "tdigest_merge" =>
         Aggregation.TDigestMerge(parseFieldPath())
+      case "topk_approx" =>
+        val f = parseFieldPath(); eatPunct(",")
+        val k = peek match {
+          case IntTok(v, _) => next(); v.toInt
+          case t => throw KqlParseException(
+            "topk_approx expects an integer k", t.pos)
+        }
+        arity(k > 0, "topk_approx k must be positive")
+        Aggregation.TopKApprox(f, k)
+      case "topk_accum" => Aggregation.TopKAccum(parseFieldPath())
+      case "merge_topk" | "topk_merge" =>
+        Aggregation.TopKMerge(parseFieldPath())
       case "stdevp" => Aggregation.StdevP(parseFieldPath())
       case "variancep" => Aggregation.VarianceP(parseFieldPath())
       case k @ ("covariance" | "covariancep") =>
@@ -2314,7 +2326,8 @@ final class Parser(src: String, nowMicros: Long) {
     "series_fit_2lines", "series_fft", "series_ifft",
     "series_fill_const", "series_fill_forward", "series_fill_backward",
     "series_fill_linear",
-    "percentile_tdigest", "series_outliers", "array_split", "format_bytes",
+    "percentile_tdigest", "topk_estimate", "series_outliers",
+    "array_split", "format_bytes",
     "set_union", "set_intersect", "set_difference",
     "pack_array", "bag_keys", "bag_pack", "pack", "pack_all")
 
@@ -3056,6 +3069,12 @@ final class Parser(src: String, nowMicros: Long) {
         arity(a(1).isInstanceOf[IntLit] || a(1).isInstanceOf[FloatLit],
           "percentile_tdigest() percentile must be a numeric literal")
         ArrFn("percentile_tdigest", a)
+      case "topk_estimate" =>
+        val a = args()
+        arity(a.length == 2, "topk_estimate() takes (state, k)")
+        arity(a(1).isInstanceOf[IntLit],
+          "topk_estimate() k must be an integer literal")
+        ArrFn("topk_estimate", a)
       case "array_split" =>
         val a = args()
         arity(a.length == 2, "array_split() takes (array, index|indices)")

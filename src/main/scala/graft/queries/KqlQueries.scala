@@ -2079,6 +2079,36 @@ object KqlQueries {
         |  max(CASE WHEN rn = CAST(ceil(0.99 * cnt) AS BIGINT) THEN value END) AS p99
         |FROM r""".stripMargin),
 
+    // round-10 heavy-hitters family: the frequency analog of the
+    // tdigest/hll rollup sketches (Spark's DataSketches approx_top_k).
+    // Counts are EXACT below the sketch's tracked-item budget (10k items
+    // by default, vs a handful of event types), so a plain GROUP BY
+    // oracle compares after a deterministic re-sort of the estimate.
+    kq("kql_topk_approx",
+      """events
+        | | summarize tk = topk_approx(event_type, 10)
+        | | mv-expand tk
+        | | project item = tostring(tk.item), cnt = tolong(tk.count)
+        | | sort by cnt desc, item asc""".stripMargin,
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin),
+
+    // accumulate per rollup group, combine across groups, estimate once —
+    // the mergeable pre-aggregation path (store kilobyte sketches per
+    // rollup, merge on demand, never re-scan), proving the combine step
+    // preserves exact counts below budget
+    kq("kql_topk_merge",
+      """events
+        | | extend g = user_id % 4
+        | | summarize s = topk_accum(event_type) by g
+        | | summarize m = merge_topk(s)
+        | | project tk = topk_estimate(m, 10)
+        | | mv-expand tk
+        | | project item = tostring(tk.item), cnt = tolong(tk.count)
+        | | sort by cnt desc, item asc""".stripMargin,
+      """SELECT event_type AS item, count(*) AS cnt FROM events
+        |GROUP BY 1 ORDER BY cnt DESC, item""".stripMargin),
+
     // round-6 bitwise scalars + countof regex + take_anyif: DuckDB's
     // &, |, xor(), ~, <<, >> (arithmetic), bit_count and
     // len(regexp_extract_all) replay the same rules
