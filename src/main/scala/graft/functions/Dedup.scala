@@ -597,19 +597,9 @@ object Dedup {
     val losers = ex.join(winners, Seq("__sh"))
       .filter(!(col("__w.id") === col(idCol) && col("__w.p") === col("__pos")))
       .select(col(idCol), col("__pos").cast("long").as("__pos"))
-    val emptySpans = array().cast("array<struct<st:bigint,en:bigint>>")
-    // fold sorted span starts into merged islands: a start s <= last.en
-    // extends the island (spans are all length k, starts sorted, so the
-    // new end is s + k); s > last.en opens a new one
     val spansDf = losers.groupBy(col(idCol))
       .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
-      .select(col(idCol), aggregate(col("__starts"), emptySpans, (acc, s) =>
-        when(size(acc) === 0 || s > element_at(acc, -1)("en"),
-          concat(acc, array(struct(s.as("st"), (s + k).as("en")))))
-          .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
-            array(struct(element_at(acc, -1)("st").as("st"),
-              (s + k).as("en"))))))
-        .as("__spans"))
+      .select(col(idCol), mergeSpans(col("__starts"), k).as("__spans"))
     val idxed = transform(col("__toks"),
       (t, i) => struct(t.as("t"), i.cast("long").as("i")))
     val kept = filter(idxed, x => !exists(col("__spans"),
@@ -623,6 +613,74 @@ object Dedup {
         aggregate(col("__spans"), lit(0L),
           (a, sp) => a + sp("en") - sp("st")).as("n_removed"),
         concat_ws(sep, transform(kept, x => x("t"))).as("text_dedup"))
+  }
+
+  private val emptySpans = array().cast("array<struct<st:bigint,en:bigint>>")
+
+  /** Fold SORTED k-length span starts into merged disjoint [st, en)
+    * islands: a start s <= last.en extends the island (spans are all
+    * length k and starts sorted, so the new end is s + k); s > last.en
+    * opens a new one. Shared by [[substringDedup]] and
+    * [[decontaminateSpans]]. */
+  private def mergeSpans(starts: Column, k: Int): Column =
+    aggregate(starts, emptySpans, (acc, s) =>
+      when(size(acc) === 0 || s > element_at(acc, -1)("en"),
+        concat(acc, array(struct(s.as("st"), (s + k).as("en")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(element_at(acc, -1)("st").as("st"),
+            (s + k).as("en"))))))
+
+  /** SPAN-level decontamination (the OLMo/Lee-style surgical variant of
+    * [[contaminationScore]]'s document flagging): REMOVE every ≥k-token
+    * run of a corpus document that appears verbatim anywhere in the
+    * benchmark suite, keeping the rest of the document — dropping whole
+    * documents for one quoted question throws away good tokens, and
+    * leaving the span leaks the benchmark. Matching is exact k-gram
+    * containment; every k-gram hit marks its k positions, and overlapping
+    * hits merge into maximal removal spans (so a 12-token quote with
+    * k = 8 removes exactly its 12 tokens).
+    *
+    * 100 TB shape: the benchmark side collapses to its distinct k-gram
+    * set — eval suites are tiny — and BROADCASTS, so hit detection is a
+    * map-side probe of the exploded corpus shingles; the only shuffles
+    * are the per-document hit-position aggregation and the join-back
+    * (both doc-keyed, partial map-side combine). The span merge is the
+    * same sorted fold as [[substringDedup]].
+    *
+    * @return (id, n_tokens, n_spans, n_removed, text_clean)
+    */
+  def decontaminateSpans(corpus: DataFrame, idCol: String, toks: Column,
+      benchmark: DataFrame, benchToks: Column, k: Int,
+      sep: String = " "): DataFrame = {
+    def kShingles(tcol: Column): Column = when(size(tcol) >= k,
+      transform(sequence(lit(0), size(tcol) - k),
+        i => concat_ws(sep, slice(tcol, i + 1, lit(k)))))
+      .otherwise(array().cast("array<string>"))
+    val base = corpus.select(col(idCol), toks.as("__toks"))
+    val n = size(col("__toks"))
+    val benchSh = benchmark
+      .select(explode(kShingles(benchToks)).as("__sh")).distinct()
+    val hits = base
+      .select(col(idCol), posexplode(kShingles(col("__toks")))
+        .as(Seq("__pos", "__sh")))
+      .join(broadcast(benchSh), Seq("__sh"), "left_semi")
+      .select(col(idCol), col("__pos").cast("long").as("__pos"))
+    val spansDf = hits.groupBy(col(idCol))
+      .agg(sort_array(collect_list(col("__pos"))).as("__starts"))
+      .select(col(idCol), mergeSpans(col("__starts"), k).as("__spans"))
+    val idxed = transform(col("__toks"),
+      (t, i) => struct(t.as("t"), i.cast("long").as("i")))
+    val kept = filter(idxed, x => !exists(col("__spans"),
+      sp => sp("st") <= x("i") && x("i") < sp("en")))
+    base.join(spansDf, Seq(idCol), "left_outer")
+      .select(col(idCol), col("__toks"),
+        coalesce(col("__spans"), emptySpans).as("__spans"))
+      .select(col(idCol),
+        n.cast("long").as("n_tokens"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        aggregate(col("__spans"), lit(0L),
+          (a, sp) => a + sp("en") - sp("st")).as("n_removed"),
+        concat_ws(sep, transform(kept, x => x("t"))).as("text_clean"))
   }
 
   def lineDedup(

@@ -948,6 +948,64 @@ object PipelineQueries {
           "doc_id", col("__t"), 10).orderBy("doc_id")
       }),
 
+    // SPAN-level decontamination (round 10): remove every >= 8-token run
+    // that appears verbatim in the benchmark (a 12-token snippet of every
+    // 10th doc), keeping the rest of the document — the surgical OLMo
+    // variant of pl_contamination's whole-doc flagging. The oracle
+    // replays shingling, the benchmark k-gram set, hit positions, and
+    // the window-based span merge exactly.
+    Q("pl_decontam_spans",
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |bt AS (SELECT t[6:17] AS b FROM toks WHERE doc_id % 10 = 0),
+        |bsh AS (SELECT DISTINCT array_to_string(b[i:i+7], ' ') AS s
+        |        FROM bt, unnest(range(1, len(b) - 6)) AS u(i)
+        |        WHERE len(b) >= 8),
+        |csh AS (SELECT doc_id, i - 1 AS pos,
+        |          array_to_string(t[i:i+7], ' ') AS s
+        |        FROM toks, unnest(range(1, len(t) - 6)) AS u(i)
+        |        WHERE len(t) >= 8),
+        |hits AS (SELECT doc_id, pos FROM csh
+        |         WHERE s IN (SELECT s FROM bsh)),
+        |brk AS (SELECT doc_id, pos,
+        |    CASE WHEN pos > coalesce(max(pos) OVER (PARTITION BY doc_id
+        |           ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING
+        |           AND 1 PRECEDING), -1000000) + 8
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM hits),
+        |isl AS (SELECT doc_id, pos,
+        |          sum(b) OVER (PARTITION BY doc_id ORDER BY pos) AS gid
+        |        FROM brk),
+        |spans AS (SELECT doc_id, gid, min(pos) AS st, max(pos) + 8 AS en
+        |          FROM isl GROUP BY doc_id, gid),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |               CAST(sum(en - st) AS BIGINT) AS n_removed
+        |        FROM spans GROUP BY doc_id),
+        |tokpos AS (SELECT doc_id, i - 1 AS p, t[i] AS tok
+        |           FROM toks, unnest(range(1, len(t) + 1)) AS u(i)),
+        |kept AS (SELECT tp.doc_id, tp.p, tp.tok
+        |         FROM tokpos tp LEFT JOIN spans sp
+        |           ON tp.doc_id = sp.doc_id AND tp.p >= sp.st AND tp.p < sp.en
+        |         WHERE sp.st IS NULL),
+        |reb AS (SELECT doc_id,
+        |          array_to_string(list(tok ORDER BY p), ' ') AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+        |  coalesce(n_spans, 0) AS n_spans,
+        |  coalesce(n_removed, 0) AS n_removed,
+        |  coalesce(text_clean, '') AS text_clean
+        |FROM toks c LEFT JOIN agg USING (doc_id) LEFT JOIN reb USING (doc_id)
+        |ORDER BY c.doc_id""".stripMargin)(
+      (s, d) => {
+        val tokd = Tables.load(s, d, "documents")
+          .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__t"))
+        val bench = tokd.filter(col("doc_id") % 10 === 0)
+          .select(slice(col("__t"), 6, 12).as("__bt"))
+        Dedup.decontaminateSpans(tokd, "doc_id", col("__t"),
+          bench, col("__bt"), k = 8).orderBy("doc_id")
+      }),
+
     // corpus-level exact line dedup (the C4 rule): documents chunked into
     // 2-token "lines" (the small vocab makes cross-document repeats
     // plentiful), first occurrence by (doc_id, idx) wins, docs reassemble

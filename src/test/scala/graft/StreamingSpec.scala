@@ -186,6 +186,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("heavy-hitters sketch aggregates run on the streaming path") {
+    // topk_approx is a mergeable ObjectHashAggregate (DataSketches
+    // frequent-items) — unlike exact dcount it stays partial-eligible
+    // and refines across micro-batches
+    val dir = Files.createTempDirectory("graft_stream_topk").toString
+    val b1 = Seq("a", "a", "b").toDF("k")
+    b1.coalesce(1).write.mode("append").parquet(dir)
+    val cat = new Catalog(spark)
+    cat.register("tk", spark.readStream.schema(b1.schema).parquet(dir))
+    val df = Kql.run(spark, cat,
+      "tk | summarize t = topk_approx(k, 5)")
+    assert(df.isStreaming)
+    val q = df.writeStream.outputMode("complete")
+      .format("memory").queryName("stream_topk").start()
+    try {
+      q.processAllAvailable()
+      def counts(): Map[String, Long] =
+        spark.table("stream_topk").collect().head.getSeq[
+          org.apache.spark.sql.Row](0)
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(counts() == Map("a" -> 2L, "b" -> 1L))
+      // the sketch REFINES: a second micro-batch merges into the counts
+      Seq("b", "c").toDF("k").coalesce(1).write.mode("append").parquet(dir)
+      q.processAllAvailable()
+      assert(counts() == Map("a" -> 2L, "b" -> 2L, "c" -> 1L))
+    } finally q.stop()
+    import graft.server.QueryServer
+    assert(QueryServer.partialEligible(Kql.parse(
+      "events | summarize t = topk_approx(event_type, 5)")))
+  }
+
   test("exact-distinct queries are NOT partial-eligible (streaming can't run them)") {
     import graft.server.QueryServer
     // dcount → fall back to batch final-only instead of crashing mid-stream
