@@ -101,14 +101,41 @@ object Tables {
     * joins and the nanos-ts legacy conversion rely on). PlanSpec pins the
     * `PushedAggregation: [COUNT(*)]` scan for q_count.
     */
+  private val v2Sessions =
+    new java.util.WeakHashMap[SparkSession, SparkSession]()
+
+  /** A cached clone session with the v2 parquet source enabled — the
+    * v1/v2 choice is read inside `DataFrameReader.load`, so creating the
+    * relation in the clone scopes the override; the r9 form flipped
+    * `useV1SourceList` on the CALLER's session around the read, a window
+    * in which a concurrent `load()` on another thread would silently take
+    * the v2 path and lose the nanos-ts legacy conversion. */
+  private def v2Session(spark: SparkSession): SparkSession =
+    v2Sessions.synchronized {
+      val cached = v2Sessions.get(spark)
+      if (cached != null) cached
+      else {
+        val s = spark.newSession()
+        s.conf.set("spark.sql.sources.useV1SourceList", "")
+        // the ParquetScanBuilder captures ITS creating session's conf, so
+        // the pushdown flag must be on here too (not just the executor
+        // session)
+        s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        v2Sessions.put(spark, s)
+        s
+      }
+    }
+
   def loadAgg(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     require(name != "events", "events needs the v1 nanos-ts load path")
+    // the pushdown conf is read at OPTIMIZATION time by the session that
+    // executes the query, so it must live on the caller's session — and
+    // permanently on is benign by construction: it is parquet-v2-specific
+    // and only the relation built here is a v2 parquet scan
     spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    val key = "spark.sql.sources.useV1SourceList"
-    val prev = spark.conf.get(key)
-    spark.conf.set(key, "")
-    try spark.read.parquet(s"$sfDir/$name.parquet")
-    finally spark.conf.set(key, prev)
+    import org.apache.spark.sql.GraftColumnBridge.bindToSession
+    bindToSession(
+      v2Session(spark).read.parquet(s"$sfDir/$name.parquet"), spark)
   }
 
   /** Streaming read of the same table, for the progressive partial-results
