@@ -467,6 +467,27 @@ object Stress {
       graft.functions.Dedup.incrementalMinhashDedup(
         batch, corpus, "doc_id", "text")
     }
+    // round-10: span decontamination — benchmark k-grams broadcast, hits
+    // are a map-side semi probe of the exploded corpus shingles; time
+    // should track the corpus linearly (benchmark fixed at 500 docs)
+    time("decontam_spans", n / 4) {
+      val quarter = docs.filter(col("doc_id") < n / 4)
+        .select(col("doc_id"),
+          graft.functions.TextAnalysis.tokens(col("text")).as("__t"))
+      val bench = docs.filter(col("doc_id") < 500)
+        .select(slice(
+          graft.functions.TextAnalysis.tokens(col("text")), 6, 12).as("__bt"))
+      graft.functions.Dedup.decontaminateSpans(
+        quarter, "doc_id", col("__t"), bench, col("__bt"), k = 8)
+    }
+    // round-10: z-order clustering key — one bounded min/max agg + a
+    // map-side interleave; linear by construction
+    time("zorder_key", n) {
+      val (keyed, _) = graft.functions.Layout.zOrderKey(
+        events.select("event_id", "user_id"),
+        Seq("event_id", "user_id"), bits = 16)
+      keyed
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

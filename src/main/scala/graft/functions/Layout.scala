@@ -82,6 +82,44 @@ object Layout {
     (df.withColumn("zkey", key), ranges)
   }
 
+  /** RANK-binned Z-order key — the skew-proof upgrade of [[zOrderKey]]:
+    * each clustering column is binned by its global RANK (exact, via the
+    * two-phase distributed prefix sum of `Packing.withGlobalOffset` —
+    * never a single-task global window), so a column where 90% of rows
+    * share one value still spreads across bit planes where min/max
+    * scaling would leave them constant. Cost: one range-partitioned sort
+    * pass PER clustering column (the price quantile binning pays
+    * anywhere); the bin is `rank · 2^bits div n` — all-integer,
+    * oracle-replayable. Ties order by the `idCols` tiebreak, so the key
+    * is a pure function of the data (partition-invariant).
+    */
+  def zOrderKeyRankBinned(df: DataFrame, cols: Seq[String],
+      idCols: Seq[String], bits: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    require(cols.nonEmpty && idCols.nonEmpty)
+    require(bits > 0 && bits * cols.size <= 62,
+      s"bits($bits) x cols(${cols.size}) must stay within a positive long")
+    val n = df.count()
+    require(n > 0, "empty input")
+    def intDiv(a: Column, b: Column): Column =
+      column(org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    var cur = df.withColumn("__one", lit(1L))
+    cols.zipWithIndex.foreach { case (c, i) =>
+      cur = Packing.withGlobalOffset(
+        cur.withColumn(s"__ok_$i",
+          struct(col(c) +: idCols.map(col): _*)),
+        s"__ok_$i", "__one", s"__pos_$i")
+        .withColumn(s"__bin_$i",
+          intDiv(col(s"__pos_$i") * lit(1L << bits), lit(n)))
+        .drop(s"__ok_$i", s"__pos_$i")
+    }
+    cur
+      .withColumn("zkey",
+        mortonKey(cols.indices.map(i => col(s"__bin_$i")), bits))
+      .drop("__one" +: cols.indices.map(i => s"__bin_$i"): _*)
+  }
+
   /** Cluster-and-write: range-partition on the Morton key (uniform by
     * construction → balanced files), sort within partitions, write
     * parquet. Each output file then covers a compact Z-curve segment, so

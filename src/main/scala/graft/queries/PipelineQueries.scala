@@ -2009,6 +2009,39 @@ object PipelineQueries {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // RANK-binned Z-order (round 10): the skew-proof variant — bins from
+    // each column's exact global rank (distributed prefix sum, never a
+    // single-task window), so heavy-hitter columns still spread across
+    // bit planes. Oracle replays the rank (row_number with the same
+    // tiebreak) and the integer bin + interleave exactly.
+    Q("pl_zorder_rank", {
+      val bits = 16
+      val interleave = (for {
+        b <- 0 until bits
+        (u, i) <- Seq("u0", "u1").zipWithIndex
+      } yield s"(($u // ${1L << b}) % 2) * ${1L << (2 * b + i)}")
+        .mkString(" + ")
+      s"""WITH nn AS (SELECT count(*) AS n FROM events),
+         |r0 AS (SELECT event_id,
+         |    row_number() OVER (ORDER BY user_id, event_id) - 1 AS p0
+         |  FROM events),
+         |r1 AS (SELECT event_id,
+         |    row_number() OVER (ORDER BY value, event_id) - 1 AS p1
+         |  FROM events),
+         |b AS (SELECT event_id,
+         |    (p0 * ${1L << bits}) // (SELECT n FROM nn) AS u0,
+         |    (p1 * ${1L << bits}) // (SELECT n FROM nn) AS u1
+         |  FROM r0 JOIN r1 USING (event_id))
+         |SELECT event_id, CAST($interleave AS BIGINT) AS zkey
+         |FROM b ORDER BY event_id""".stripMargin
+    })(
+      (s, d) => graft.functions.Layout.zOrderKeyRankBinned(
+        Tables.load(s, d, "events")
+          .select("event_id", "user_id", "value"),
+        cols = Seq("user_id", "value"), idCols = Seq("event_id"), bits = 16)
+        .select("event_id", "zkey")
+        .orderBy("event_id")),
+
     // tokenize → pack END-TO-END (round 10): the actual pretraining data
     // path — train BPE merges on the corpus vocabulary, encode every
     // document through the learned merge table (per-word subword counts
@@ -2348,6 +2381,28 @@ object PipelineQueries {
         |FROM samp GROUP BY doc_id, n ORDER BY doc_id""".stripMargin)(
       (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
         graft.multimodal.Multimodal.syntheticWavs(s, d))
+        .toDF().orderBy("media_id")),
+
+    // REAL audio decimation (round 10): decode → keep every 2nd sample →
+    // re-encode WAV at half rate → decode stats. Lossless PCM, so the
+    // oracle replays the generating function at even sample indices —
+    // the audio twin of the resize chain. (Plain decimation without an
+    // anti-alias filter — the documented narrowing; the kernel is the
+    // deterministic part a SQL oracle can check.)
+    Q("pl_audio_decimate",
+      """WITH clip AS (SELECT doc_id, 200 + doc_id % 100 AS n
+        |              FROM documents),
+        |samp AS (SELECT doc_id, (n + 1) // 2 AS n_dec,
+        |           ((doc_id * 31 + 17 * i) % 65536) - 32768 AS s
+        |         FROM clip, unnest(range(0, n)) AS u(i)
+        |         WHERE i % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(n_dec AS BIGINT) AS n_samples,
+        |  CAST(sum(s) AS BIGINT) AS sum_amp,
+        |  CAST(max(s) AS BIGINT) AS max_amp
+        |FROM samp GROUP BY doc_id, n_dec ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.decimateAudio(
+          graft.multimodal.Multimodal.syntheticWavs(s, d), 2))
         .toDF().orderBy("media_id")),
 
     // REAL image resize (round 9): decode → integer box-filter 2×
