@@ -2478,6 +2478,37 @@ object PipelineQueries {
         graft.multimodal.Multimodal.syntheticFrameVideos(s, d))
         .toDF().orderBy("media_id", "frame_idx")),
 
+    // REAL video frame decimation (round 10): structural split, every
+    // 2nd frame kept, bytes re-concatenated — the temporal-downsampling
+    // twin of pl_audio_decimate; per-frame decode stats of the decimated
+    // stream replay the generating function at even frame indices with
+    // renumbered frame ids.
+    Q("pl_video_decimate",
+      """WITH dims AS (SELECT doc_id, 8 + doc_id % 8 AS w,
+        |                     8 + (doc_id * 3) % 8 AS h,
+        |                     2 + doc_id % 3 AS nf
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, f, x, y
+        |       FROM dims, unnest(range(0, nf)) AS uf(f),
+        |            unnest(range(0, w)) AS ux(x),
+        |            unnest(range(0, h)) AS uy(y)
+        |       WHERE f % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(f // 2 AS INTEGER) AS frame_idx,
+        |  CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(sum((doc_id * 7 + 19 * f + 3 * x + 5 * y) % 256) AS BIGINT)
+        |    AS sum_r,
+        |  CAST(sum((doc_id * 11 + 23 * f + 2 * x + 7 * y) % 256) AS BIGINT)
+        |    AS sum_g,
+        |  CAST(sum((doc_id * 13 + 29 * f + x + 4 * y) % 256) AS BIGINT)
+        |    AS sum_b
+        |FROM px GROUP BY doc_id, f, w, h
+        |ORDER BY doc_id, frame_idx""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeFrameStats(
+        graft.multimodal.Multimodal.decimateFrames(
+          graft.multimodal.Multimodal.syntheticFrameVideos(s, d), 2))
+        .toDF().orderBy("media_id", "frame_idx")),
+
     // audio NEAR-DUP dedup (round 9): 64-bit energy-profile fingerprint
     // over REAL decoded WAV/PCM (65-window pooling, consecutive-window
     // energy comparisons — the dHash analog), pairs via the shared
