@@ -13,6 +13,69 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Exact per-vertex TRIANGLE counts (round 10) — the standard
+    * clustering-coefficient / community-density primitive, in the
+    * degree-oriented two-join shape (Suri & Vassilvitskii 2011, "Counting
+    * Triangles and the Curse of the Last Reducer"): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher
+    * one, so each triangle is enumerated EXACTLY once as a directed wedge
+    * a→b, b→c closed by a→c, and — the scale point — every vertex's
+    * oriented out-degree is bounded by ~√(2m), so the wedge join never
+    * explodes on a hub vertex the way a naive neighbor self-join does
+    * (the "last reducer" a 100 TB social graph would otherwise starve on).
+    *
+    * Cost: one degree aggregate, one broadcast-or-shuffle join to attach
+    * degrees, then TWO hash equi-joins (wedge build + closure check) and
+    * a per-vertex count — all partial-aggregated, no iteration, no driver
+    * data. Self-loops and duplicate/reverse edges are normalized away.
+    *
+    * @param edges columns `src`, `dst` (undirected; either orientation)
+    * @return (id, n_triangles) for every vertex appearing in an edge
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // canonical undirected edge set: min-id first, self-loops dropped
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+    val degrees = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    def withDeg(side: String) = degrees
+      .select(col("id").as(side), col("deg").as(s"__d_$side"))
+    // orient low-(deg, id) → high-(deg, id)
+    val oriented = und
+      .join(withDeg("a"), "a").join(withDeg("b"), "b")
+      .select(
+        when(struct(col("__d_a"), col("a")) < struct(col("__d_b"), col("b")),
+          struct(col("a").as("u"), col("b").as("v")))
+          .otherwise(struct(col("b").as("u"), col("a").as("v")))
+          .as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    // wedges u→v, u→w (v < w by the orientation order is NOT guaranteed —
+    // dedupe by requiring v < w on the struct key is unnecessary: the two
+    // out-edges are distinct rows, and each unordered pair appears twice
+    // (v,w) and (w,v); keep one side
+    val e1 = oriented.select(col("u"), col("v").as("w1"))
+    val e2 = oriented.select(col("u"), col("v").as("w2"))
+    val wedges = e1.join(e2, "u").filter(col("w1") < col("w2"))
+    // closure: the wedge (u; w1, w2) is a triangle iff oriented edge
+    // w1→w2 or w2→w1 exists — orientation direction between w1/w2 is
+    // fixed by their (deg, id) order, but comparing against the canonical
+    // undirected set is simplest and equally bounded
+    val closing = und.select(col("a").as("w1"), col("b").as("w2"))
+    val tris = wedges.join(closing, Seq("w1", "w2"))
+      .select(col("u"), col("w1"), col("w2"))
+    val perVertex = tris
+      .select(explode(array(col("u"), col("w1"), col("w2"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("n_triangles"))
+    degrees.select("id")
+      .join(perVertex, Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
   /** Connected components by iterative min-label propagation (the
     * "hash-to-min" MapReduce scheme): every vertex starts labeled with its
     * own id; each round, each vertex takes the min of its own label and its

@@ -2009,6 +2009,53 @@ object PipelineQueries {
           .orderBy("l_orderkey", "l_linenumber")
       }),
 
+    // exact triangle counts (round 10): the degree-oriented two-join
+    // shape (Suri-Vassilvitskii) — each triangle enumerated once from its
+    // lowest-(degree, id) apex, so no hub vertex ever owns a quadratic
+    // wedge set. The oracle replays orientation, wedges, closure, and
+    // per-vertex credit over the same synthetic 60-node graph.
+    Q("pl_triangles",
+      """WITH e0 AS (
+        |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60 FROM documents),
+        |und AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+        |        FROM e0 WHERE s <> d),
+        |deg AS (SELECT id, count(*) AS dg FROM (
+        |          SELECT a AS id FROM und UNION ALL SELECT b FROM und)
+        |        GROUP BY id),
+        |ori AS (SELECT
+        |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND a < b)
+        |         THEN a ELSE b END AS u,
+        |    CASE WHEN (da.dg < db.dg) OR (da.dg = db.dg AND a < b)
+        |         THEN b ELSE a END AS v
+        |  FROM und JOIN deg da ON und.a = da.id
+        |           JOIN deg db ON und.b = db.id),
+        |w AS (SELECT e1.u, e1.v AS w1, e2.v AS w2
+        |      FROM ori e1 JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v),
+        |t AS (SELECT u, w1, w2 FROM w
+        |      JOIN und ON w.w1 = und.a AND w.w2 = und.b),
+        |pv AS (SELECT id, count(*) AS n FROM (
+        |         SELECT u AS id FROM t UNION ALL SELECT w1 FROM t
+        |         UNION ALL SELECT w2 FROM t) GROUP BY id)
+        |SELECT deg.id, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+        |FROM deg LEFT JOIN pv USING (id) ORDER BY deg.id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val edges = docs.select(
+          (col("doc_id") % 60).as("src"),
+          ((col("doc_id") * 7 + 1) % 60).as("dst"))
+          .unionByName(docs.select(
+            (col("doc_id") % 60).as("src"),
+            ((col("doc_id") * 13 + 2) % 60).as("dst")))
+          .unionByName(docs.select(
+            ((col("doc_id") * 3) % 60).as("src"),
+            ((col("doc_id") * 11 + 5) % 60).as("dst")))
+        graft.functions.Graph.triangleCounts(edges).orderBy("id")
+      }),
+
     // RANK-binned Z-order (round 10): the skew-proof variant — bins from
     // each column's exact global rank (distributed prefix sum, never a
     // single-task window), so heavy-hitter columns still spread across
