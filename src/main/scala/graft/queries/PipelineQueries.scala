@@ -2056,6 +2056,60 @@ object PipelineQueries {
         graft.functions.Graph.triangleCounts(edges).orderBy("id")
       }),
 
+    // deterministic integer PageRank (round 10): 5 fixed iterations of
+    // scale-scaled long arithmetic (teleport ⌊scale·15/(N·100)⌋ + damped
+    // floor-divided contributions) — partition-invariant and replayed
+    // exactly by unrolling the iterations in SQL over the same directed
+    // synthetic graph as pl_triangles.
+    Q("pl_pagerank", {
+      val iters = 5
+      val sb = new StringBuilder
+      sb ++= """WITH e0raw AS (
+        |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d FROM documents
+        |  UNION ALL
+        |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60 FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60 FROM documents),
+        |e AS (SELECT DISTINCT s AS src, d AS dst FROM e0raw WHERE s <> d),
+        |ids AS (SELECT DISTINCT id FROM (
+        |          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r
+        |       FROM ids),
+        |""".stripMargin
+      for (k <- 1 to iters) {
+        sb ++= s"""c$k AS (SELECT e.dst AS id, r.r // od.odeg AS c
+          |  FROM e JOIN od ON e.src = od.src
+          |         JOIN r${k - 1} r ON e.src = r.id),
+          |s$k AS (SELECT id, sum(c) AS si FROM c$k GROUP BY id),
+          |r$k AS (SELECT ids.id,
+          |    (1000000000000 * 15) // ((SELECT n FROM nn) * 100)
+          |    + ((coalesce(si, 0) * 85) // 100) AS r
+          |  FROM ids LEFT JOIN s$k USING (id)),
+          |""".stripMargin
+      }
+      sb.result().stripSuffix(",\n") + "\n" +
+        s"""SELECT id, CAST(r AS BIGINT) AS rank_scaled
+           |FROM r$iters ORDER BY id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val edges = docs.select(
+          (col("doc_id") % 60).as("src"),
+          ((col("doc_id") * 7 + 1) % 60).as("dst"))
+          .unionByName(docs.select(
+            (col("doc_id") % 60).as("src"),
+            ((col("doc_id") * 13 + 2) % 60).as("dst")))
+          .unionByName(docs.select(
+            ((col("doc_id") * 3) % 60).as("src"),
+            ((col("doc_id") * 11 + 5) % 60).as("dst")))
+        val verts = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        graft.functions.Graph.pageRank(verts, edges, iters = 5)
+          .orderBy("id")
+      }),
+
     // RANK-binned Z-order (round 10): the skew-proof variant — bins from
     // each column's exact global rank (distributed prefix sum, never a
     // single-task window), so heavy-hitter columns still spread across

@@ -158,6 +158,47 @@ class GraphSamplingSpec extends AnyFunSuite {
       again.collect().map(_.getLong(0)).toSet)
   }
 
+  test("triangleCounts: clique, star, and orientation edge cases") {
+    import graft.functions.Graph
+    // K4 clique: every vertex is in C(3,2) = 3 triangles
+    val k4 = (for {
+      a <- 0L to 3L; b <- 0L to 3L if a < b
+    } yield (a, b)).toDF("src", "dst")
+    val gotK4 = Graph.triangleCounts(k4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotK4 == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L))
+    // star graph: no triangles, every vertex reported with 0
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    val gotStar = Graph.triangleCounts(star).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotStar.values.forall(_ == 0L) && gotStar.size == 6)
+    // duplicate + reversed + self-loop edges normalize away
+    val messy = Seq((1L, 2L), (2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L),
+      (2L, 2L)).toDF("src", "dst")
+    val gotMessy = Graph.triangleCounts(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotMessy == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+  }
+
+  test("pageRank: sink-vs-source ordering, determinism, mass bound") {
+    import graft.functions.Graph
+    // chain 0→1→2 plus 3→2: vertex 2 collects everything, sources only
+    // keep the teleport floor
+    val edges = Seq((0L, 1L), (1L, 2L), (3L, 2L)).toDF("src", "dst")
+    val verts = Seq(0L, 1L, 2L, 3L).toDF("id")
+    val r = Graph.pageRank(verts, edges, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(2L) > r(1L) && r(1L) > r(0L) && r(0L) == r(3L),
+      s"rank order must follow link structure: $r")
+    // total mass stays ~scale (flooring loses only ulps; dangling vertex
+    // 2's mass drains per iteration — documented)
+    assert(r.values.sum <= 1000000000000L)
+    // partition-invariant: identical longs under a different layout
+    val r2 = Graph.pageRank(verts.repartition(7), edges.repartition(5),
+      iters = 5).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r == r2)
+  }
+
   test("mixture samples each stratum at its own rate") {
     val df = (0L until 3000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "src")
     val got = Sampling.mixture(df, "src", "doc_id",
