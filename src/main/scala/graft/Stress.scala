@@ -488,6 +488,30 @@ object Stress {
         Seq("event_id", "user_id"), bits = 16)
       keyed
     }
+    // round-10: degree-oriented triangle counting — at fixed avg degree
+    // the oriented wedge count is bounded per vertex, so time should
+    // scale near-linearly with edges
+    time("triangles", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      graft.functions.Graph.triangleCounts(edges)
+    }
+    // round-10: integer PageRank, 5 fixed iterations — cost is
+    // iters × (join + partial-agg), linear in edges at fixed iters
+    timeBody("pagerank", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.functions.Graph.pageRank(verts, edges, iters = 5)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),
