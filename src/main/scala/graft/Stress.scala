@@ -455,17 +455,23 @@ object Stress {
         .write.format("noop").mode("overwrite").save()
     }
     // round-10 stress row: incremental MinHash near-dup with the corpus
-    // FIXED (90k docs — the stored index) and only the probing batch
-    // scaling with n (n/100 docs) — the incremental contract under test
-    // is "probe cost ∝ batch, never corpus", so the 2× ratio isolates
-    // the batch-side signature + probe + verify work
+    // index PREBUILT outside the timed block (the stored index of the
+    // production shape — r10 review fix: timing the 90k-doc index build
+    // inside every repeat measured corpus-side work, damping the ratio)
+    // and only the probing batch scaling with n (n/100 docs) — the
+    // contract under test is "probe cost ∝ batch, never corpus"
+    lazy val minhashIdx = {
+      val idx = graft.functions.Dedup.minhashIndex(
+        docs.filter(col("doc_id") < 90000L), "doc_id", "text")
+      idx.buckets.write.format("noop").mode("overwrite").save()
+      idx
+    }
     time("incr_minhash", n / 100) {
-      val corpusN = 90000L
-      val corpus = docs.filter(col("doc_id") < corpusN)
       val batch = docs.filter(
-        col("doc_id") >= corpusN && col("doc_id") < corpusN + n / 100)
+        col("doc_id") >= 90000L && col("doc_id") < 90000L + n / 100)
       graft.functions.Dedup.incrementalMinhashDedup(
-        batch, corpus, "doc_id", "text")
+        batch, minhashIdx, "doc_id", "text",
+        n = 3, k = 64, rowsPerBand = 4, threshold = 0.8)
     }
     // round-10: span decontamination — benchmark k-grams broadcast, hits
     // are a map-side semi probe of the exploded corpus shingles; time

@@ -121,6 +121,11 @@ object Tables {
         // the pushdown flag must be on here too (not just the executor
         // session)
         s.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+        // newSession inherits only SparkConf, not runtime conf — carry
+        // the nanos-timestamp armor (doLoad sets it on the caller at
+        // runtime), or a TIMESTAMP(NANOS) testdata regeneration would
+        // fail loadAgg's schema conversion where load() survives it
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         v2Sessions.put(spark, s)
         s
       }

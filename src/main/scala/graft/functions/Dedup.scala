@@ -176,21 +176,30 @@ object Dedup {
     * candidates only, never all pairs. Popular buckets (near-identical
     * crops of a viral image) are an equi-join AQE can skew-split.
     */
-  def hammingDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
-      maxDist: Int, nBands: Int = 8): DataFrame = {
+  /** The 64-bit Hamming band-key array shared by [[hammingDupPairs]] and
+    * [[incrementalHammingDedup]]: band b's bucket = bits
+    * [b·bandBits, (b+1)·bandBits). The pigeonhole-exactness guarantee of
+    * BOTH operators depends on the layout staying bit-identical — one
+    * definition, two call sites. */
+  private def hammingBandKeys(h: Column, nBands: Int): Column = {
     require(64 % nBands == 0, s"nBands must divide 64: $nBands")
-    require(maxDist < nBands,
-      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
     val bandBits = 64 / nBands
     val mask = (1L << bandBits) - 1
-    val bandArr = array((0 until nBands).map { b =>
+    array((0 until nBands).map { b =>
       struct(lit(b).as("band"),
-        shiftrightunsigned(col("__h"), b * bandBits)
+        shiftrightunsigned(h, b * bandBits)
           .bitwiseAND(lit(mask)).as("bucket"))
     }: _*)
+  }
+
+  def hammingDupPairs(hashes: DataFrame, idCol: String, hashCol: String,
+      maxDist: Int, nBands: Int = 8): DataFrame = {
+    require(maxDist < nBands,
+      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
     val buckets = hashes
       .select(col(idCol).as("id"), col(hashCol).as("__h"))
-      .select(col("id"), col("__h"), explode(bandArr).as("bb"))
+      .select(col("id"), col("__h"),
+        explode(hammingBandKeys(col("__h"), nBands)).as("bb"))
       .select(col("id"), col("__h"), col("bb.band"), col("bb.bucket"))
     buckets.as("a").join(buckets.as("b"), Seq("band", "bucket"))
       .filter(col("a.id") < col("b.id"))
@@ -223,24 +232,17 @@ object Dedup {
   def incrementalHammingDedup(batch: DataFrame, corpus: DataFrame,
       idCol: String, hashCol: String,
       maxDist: Int, nBands: Int = 8): DataFrame = {
-    require(64 % nBands == 0, s"nBands must divide 64: $nBands")
     require(maxDist < nBands,
       s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
-    val bandBits = 64 / nBands
-    val mask = (1L << bandBits) - 1
-    def bandArr(h: Column) = array((0 until nBands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(h, b * bandBits)
-          .bitwiseAND(lit(mask)).as("bucket"))
-    }: _*)
     val corpusBuckets = corpus
       .select(col(idCol).as("__cid"), col(hashCol).as("__ch"))
-      .select(col("__ch"), explode(bandArr(col("__ch"))).as("bb"))
+      .select(col("__ch"),
+        explode(hammingBandKeys(col("__ch"), nBands)).as("bb"))
       .select(col("__ch"), col("bb.band"), col("bb.bucket"))
     val b = batch.select(col(idCol).as("__bid"), col(hashCol).as("__bh"))
     val batchBuckets = b
       .select(col("__bid"), col("__bh"),
-        explode(bandArr(col("__bh"))).as("bb"))
+        explode(hammingBandKeys(col("__bh"), nBands)).as("bb"))
       .select(col("__bid"), col("__bh"), col("bb.band"), col("bb.bucket"))
     val drops = batchBuckets
       .join(corpusBuckets, Seq("band", "bucket"))
@@ -494,12 +496,18 @@ object Dedup {
     *
     * @return surviving batch rows: (id)
     */
-  def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
-      idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
-      threshold: Double = 0.8): DataFrame = {
-    // the corpus index: signatures checkpointed once (the CollapseProject
-    // barrier of minhashDupPairs), band tuples derived from them
+  /** A built MinHash-LSH corpus index: the checkpointed (id, shingle set)
+    * rows plus the derived (id, band, bucket) probe tuples. In production
+    * BOTH persist as tables — building once and probing per ingest is the
+    * whole point of the incremental form; [[minhashIndex]] is the
+    * build-once step and [[incrementalMinhashDedup]] the per-ingest probe.
+    */
+  final case class MinhashIndex(sets: DataFrame, buckets: DataFrame)
+
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): MinhashIndex = {
+    // signatures checkpointed once (the CollapseProject barrier of
+    // minhashDupPairs), band tuples derived from them
     val corpusSets = corpus
       .select(col(idCol).as("__cid"), shingleSet(col(textCol), n).as("__csh"))
       .filter(size(col("__csh")) > 0)
@@ -509,6 +517,28 @@ object Dedup {
       .select(col("__cid"),
         explode(lshBands(col("__csig"), k, rowsPerBand)).as("bb"))
       .select(col("__cid"), col("bb.band"), col("bb.bucket"))
+    MinhashIndex(corpusSets, corpusBuckets)
+  }
+
+  def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame =
+    incrementalMinhashDedup(batch,
+      minhashIndex(corpus, idCol, textCol, n, k, rowsPerBand),
+      idCol, textCol, n, k, rowsPerBand, threshold)
+
+  def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
+      idCol: String, textCol: String): DataFrame =
+    incrementalMinhashDedup(batch, corpus, idCol, textCol, 3, 64, 4, 0.8)
+
+  /** The per-ingest probe against a prebuilt [[MinhashIndex]]. */
+  def incrementalMinhashDedup(batch: DataFrame, index: MinhashIndex,
+      idCol: String, textCol: String,
+      n: Int, k: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val corpusSets = index.sets
+    val corpusBuckets = index.buckets
     val batchSets = batch
       .select(col(idCol).as("__bid"), shingleSet(col(textCol), n).as("__bsh"))
       .localCheckpoint()

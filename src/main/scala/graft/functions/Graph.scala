@@ -106,8 +106,12 @@ object Graph {
         expression(a), expression(b)))
     val e = localCheckpointNoStats(edges.select(col("src"), col("dst"))
       .filter(col("src") =!= col("dst")).distinct())
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__outdeg"))
-    val ids = vertices.select(col("id")).distinct()
+    // loop invariants materialize ONCE: outdeg and the distinct vertex
+    // set never change between iterations, and a lazy reference inside
+    // the loop would re-run their shuffles every round
+    val outdeg = localCheckpointNoStats(
+      e.groupBy("src").agg(count(lit(1)).as("__outdeg")))
+    val ids = localCheckpointNoStats(vertices.select(col("id")).distinct())
     val n = ids.count()
     require(n > 0, "empty vertex set")
     val teleport = (scale * 15L) / (n * 100L) // driver-exact integer

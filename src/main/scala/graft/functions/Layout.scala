@@ -74,6 +74,9 @@ object Layout {
         max(col(c)).cast("long").as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val ranges = cols.zipWithIndex.map { case (c, i) =>
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"zOrderKey: column '$c' has no non-null values (empty input " +
+          "or all-null column) — nothing to cluster on")
       c -> (row.getLong(2 * i), row.getLong(2 * i + 1))
     }.toMap
     val key = mortonKey(

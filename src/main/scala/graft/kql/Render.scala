@@ -113,6 +113,9 @@ object Render {
     case Aggregation.Variance(f) => s"variance(${f.render})"
     case Aggregation.TDigestA(f) => s"tdigest(${f.render})"
     case Aggregation.TDigestMerge(f) => s"merge_tdigest(${f.render})"
+    case Aggregation.TopKApprox(f, k) => s"topk_approx(${f.render}, $k)"
+    case Aggregation.TopKAccum(f) => s"topk_accum(${f.render})"
+    case Aggregation.TopKMerge(f) => s"merge_topk(${f.render})"
     case Aggregation.StdevP(f) => s"stdevp(${f.render})"
     case Aggregation.VarianceP(f) => s"variancep(${f.render})"
     case Aggregation.Covariance(pop, a, b) =>

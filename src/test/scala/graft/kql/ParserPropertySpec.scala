@@ -80,4 +80,33 @@ class ParserPropertySpec extends AnyFunSuite {
       reparsed == e
     })
   }
+
+  test("every aggregation renders and round-trips (r10 MatchError guard)") {
+    // the r10 review caught Render.agg missing the new TopK cases — a
+    // /explain of any topk query threw scala.MatchError. Render + reparse
+    // every aggregate form once so a future Aggregation case added to
+    // Parser/Compiler/Ast but not Render fails here, not in production.
+    val aggs = Seq(
+      "count()", "countif(x > 1)", "dcount(x)", "dcount_approx(x)",
+      "sum(x)", "avg(x)", "min(x)", "max(x)", "percentile(x, 95)",
+      "make_list(x)", "make_set(x)", "make_list_if(x, x > 1)",
+      "make_set_if(x, x > 1)", "make_list_with_nulls(x)", "stdev(x)",
+      "variance(x)", "stdevp(x)", "variancep(x)", "covariance(x, y)",
+      "covariancep(x, y)", "correlation(x, y)", "tdigest(x)",
+      "merge_tdigest(x)", "topk_approx(x, 10)", "topk_accum(x)",
+      "merge_topk(x)", "arg_max(x, y)", "arg_min(x, y)", "take_any(x)",
+      "take_anyif(x, x > 1)", "binary_all_and(x)", "binary_all_or(x)",
+      "binary_all_xor(x)", "hll(x)", "hll_merge(x)", "make_bag(x)",
+      "sumif(x, x > 1)", "avgif(x, x > 1)", "minif(x, x > 1)",
+      "maxif(x, x > 1)", "dcountif(x, x > 1)", "buildschema(x)")
+    aggs.foreach { a =>
+      val parsed = new Parser(s"t | summarize r = $a", 0L).parse()
+      val agg = parsed.query.steps(1)
+        .asInstanceOf[QueryStep.Summarize].aggs.head.agg
+      val rendered = Render.agg(agg) // must not MatchError
+      val reparsed = new Parser(s"t | summarize r = $rendered", 0L).parse()
+        .query.steps(1).asInstanceOf[QueryStep.Summarize].aggs.head.agg
+      assert(reparsed == agg, s"$a -> $rendered did not round-trip")
+    }
+  }
 }
