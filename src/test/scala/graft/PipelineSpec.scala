@@ -246,6 +246,56 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental minhash: prebuilt index path equals the inline path") {
+    // the r10 review split minhashIndex out as a build-once API; the
+    // per-ingest probe against the stored index must give the identical
+    // survivor set to the corpus-DataFrame convenience overload
+    val docs = TestSpark.spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
+    val batch = docs.filter(col("doc_id") >= 250)
+    val corpus = docs.filter(col("doc_id") < 250)
+    val inline = Dedup.incrementalMinhashDedup(batch, corpus,
+      "doc_id", "text", n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    val idx = Dedup.minhashIndex(corpus, "doc_id", "text")
+    val viaIndex = Dedup.incrementalMinhashDedup(batch, idx,
+      "doc_id", "text", n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
+      .collect().map(_.getLong(0)).toSet
+    assert(inline == viaIndex && inline.nonEmpty)
+  }
+
+  test("decimation metadata: durations follow kept content, exactly") {
+    import graft.multimodal.Multimodal
+    // 3 frames at 40ms each decimated by 2 keeps 2 frames => 80ms (the
+    // r10 review fix: duration/2 would report 60)
+    def png(v: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, v + x)
+      val b = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", b)
+      b.toByteArray
+    }
+    val clip = png(10) ++ png(20) ++ png(30)
+    val media = Seq(Multimodal.MediaRow(1L, "video", clip, 4, 4, 120L)).toDS()
+    val out = Multimodal.decimateFrames(media, 2).collect().head
+    assert(out.duration_ms == 80L,
+      s"2 kept frames of 40ms must report 80ms: ${out.duration_ms}")
+    assert(Multimodal.splitFrames(out.content).length == 2)
+    // audio: 301 samples at 8kHz decimated by 2 -> 151 samples at 4kHz
+    // = 37ms (long math; float division would round differently at scale)
+    val pcm = new Array[Byte](301 * 2)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 301L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = Seq(Multimodal.MediaRow(2L, "audio", bos.toByteArray,
+      0, 0, 37L)).toDS()
+    val aout = Multimodal.decimateAudio(wav, 2).collect().head
+    assert(aout.duration_ms == 151L * 1000L / 4000L, s"${aout.duration_ms}")
+  }
+
   test("image near-dup: dHash + banded Hamming LSH equals all-pairs") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 80)
