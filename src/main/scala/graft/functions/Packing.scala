@@ -48,7 +48,20 @@ object Packing {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid").orderBy(col(orderCol), col(sizeCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = parted.withColumn("__run", sum(col(sizeCol)).over(w))
+    // The checkpoint is a CORRECTNESS barrier, not an optimization:
+    // `local` feeds both the per-partition totals and the final join, and
+    // its plan embeds spark_partition_id() — a nondeterministic
+    // expression. Without materialization the two consumers evaluate the
+    // subtree INDEPENDENTLY, and AQE may coalesce the range exchange
+    // differently per evaluation (different advisory sizes), giving the
+    // two runs DIFFERENT pid spaces — the inner join on __pid then drops
+    // rows (observed: 100k events → ~50k nondeterministically at sf0.1;
+    // small inputs coalesce identically, which is why every earlier
+    // caller passed). Checkpointing pins one partition assignment that
+    // both consumers read.
+    val local = parted
+      .withColumn("__run", sum(col(sizeCol)).over(w))
+      .localCheckpoint()
     // one row per partition; the exclusive prefix sum over them runs on a
     // single task by construction — that is the point (bounded input)
     val wp = Window.orderBy("__pid")

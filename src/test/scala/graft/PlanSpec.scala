@@ -152,12 +152,19 @@ class PlanSpec extends AnyFunSuite {
           org.apache.spark.sql.functions.lit(1L).as("n")),
       "doc_id", "n", "off")
     val p = df.queryExecution.executedPlan.toString
-    // the doc-bearing side goes through a range repartition; the lone
-    // SinglePartition exchange feeds the tiny per-partition totals window
-    assert(p.contains("rangepartitioning") || p.contains("RangePartitioning"),
-      s"expected range partitioning for the data side:\n$p")
+    // since the r10 fix the ranged + pid-tagged pass materializes behind
+    // a checkpoint (the correctness barrier: spark_partition_id() is
+    // nondeterministic, and evaluating that subtree independently for the
+    // totals and the join let AQE coalesce the two runs differently —
+    // observed dropping half the rows at sf0.1). The returned plan
+    // therefore reads the pinned RDD; the range exchange lives inside the
+    // checkpoint's own job.
+    assert(p.contains("Scan ExistingRDD"),
+      s"the pid-tagged pass must be checkpoint-pinned:\n$p")
     assert("SinglePartition".r.findAllIn(p).length <= 1,
       s"at most the totals prefix-sum may be single-partition:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"per-partition bases must broadcast back:\n$p")
   }
 
   test("top-nested joins level 2 to the level-1 survivors by broadcast") {
@@ -183,8 +190,10 @@ class PlanSpec extends AnyFunSuite {
     val df = graft.functions.Sampling.shuffleOrder(
       Tables.load(spark, sf, "documents").select("doc_id"), "doc_id", 1L)
     val p = df.queryExecution.executedPlan.toString
-    assert(p.toLowerCase.contains("rangepartitioning"),
-      s"shuffle key must range-partition the corpus:\n$p")
+    // see the packing pin above: the ranged pass is checkpoint-pinned
+    // since r10, so the visible plan reads the pinned RDD
+    assert(p.toLowerCase.contains("scan existingrdd"),
+      s"the pid-tagged pass must be checkpoint-pinned:\n$p")
     assert("SinglePartition".r.findAllIn(p).length <= 1,
       s"at most the totals prefix-sum may be single-partition:\n$p")
   }
