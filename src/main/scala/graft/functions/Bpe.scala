@@ -77,6 +77,15 @@ object Bpe {
       if (cached != null) cached
       else {
         val s = spark.newSession()
+        // newSession() inherits only SparkConf-time settings; carry the
+        // caller's RUNTIME SQLConf overrides (shuffle partitions,
+        // timezone, codegen flags, …) so the clone materializes under
+        // the same confs. Static/non-modifiable entries are skipped.
+        // NOTE: the clone is cached per parent session at first use —
+        // conf changes the caller makes later do not refresh it.
+        spark.conf.getAll.foreach { case (k, v) =>
+          scala.util.Try(s.conf.set(k, v))
+        }
         s.conf.set("spark.sql.adaptive.enabled", "false")
         noAqeSessions.put(spark, s)
         s

@@ -85,7 +85,11 @@ object Sampling {
       df: DataFrame, domainCol: String, idCol: String,
       temperature: Double): DataFrame = {
     require(temperature > 0, s"temperature must be positive: $temperature")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    // cast the domain to string so a non-string domain column cannot
+    // ClassCastException the driver-side collect
+    val counts = df
+      .groupBy(col(domainCol).cast("string").as("__dom"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     val exps = counts.map { case (d, n) =>
@@ -101,9 +105,12 @@ object Sampling {
 
   /** Temperature resampling, UPSAMPLING form — the actual Pile/ROOTS
     * mixture operation ([[temperatureMixture]] only thins): rates
-    * normalize by the MINIMUM rescaled share, so the most-common domain
-    * keeps exactly one copy and every rarer domain REPLICATES at
-    * r_i = p_i^(1/T−1) / min_j(p_j^(1/T−1)) ≥ 1. Each row emits
+    * normalize by the MINIMUM rescaled share, so every rate is ≥ 1 and
+    * some domain keeps exactly one copy. For T ≥ 1 (flattening — the
+    * intended use) that anchor is the most-common domain and rarer
+    * domains REPLICATE at r_i = p_i^(1/T−1) / min_j(p_j^(1/T−1)); for
+    * T < 1 the exponent flips sign, so the RAREST domain anchors at one
+    * copy and common domains replicate (sharpening). Each row emits
     * ⌊r⌋ copies plus one more when `mix(id) < frac(r)·M` — the same
     * deterministic Bernoulli as every sampler here, so the replicated
     * corpus is a pure function of (id, domain shares): byte-reproducible
@@ -120,7 +127,11 @@ object Sampling {
       df: DataFrame, domainCol: String, idCol: String,
       temperature: Double): DataFrame = {
     require(temperature > 0, s"temperature must be positive: $temperature")
-    val counts = df.groupBy(col(domainCol)).agg(count(lit(1)).as("n"))
+    // cast the domain to string so a non-string domain column cannot
+    // ClassCastException the driver-side collect
+    val counts = df
+      .groupBy(col(domainCol).cast("string").as("__dom"))
+      .agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val total = counts.values.sum.toDouble
     val exps = counts.map { case (dm, n) =>

@@ -281,6 +281,12 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.duration_ms == 80L,
       s"2 kept frames of 40ms must report 80ms: ${out.duration_ms}")
     assert(Multimodal.splitFrames(out.content).length == 2)
+    // non-divisible duration: multiply BEFORE the divide — 2 kept of a
+    // 125ms 3-frame clip is 2*125/3 = 83ms, not 2*(125/3) = 82ms (the
+    // truncate-first form loses up to nFrames-1 ms per clip)
+    val odd = Seq(Multimodal.MediaRow(3L, "video", clip, 4, 4, 125L)).toDS()
+    val oout = Multimodal.decimateFrames(odd, 2).collect().head
+    assert(oout.duration_ms == 83L, s"${oout.duration_ms}")
     // audio: 301 samples at 8kHz decimated by 2 -> 151 samples at 4kHz
     // = 37ms (long math; float division would round differently at scale)
     val pcm = new Array[Byte](301 * 2)
