@@ -478,6 +478,20 @@ object Stress {
         batch, minhashIdx, "doc_id", "text",
         n = 3, k = 64, rowsPerBand = 4, threshold = 0.8)
     }
+    // round-11 stress row: persisted-index APPEND cost must track the
+    // batch, never the corpus — the 90k-doc index is saved once OUTSIDE
+    // the timed block; the timed body computes and appends only the
+    // batch's sets/band tuples (pl_index_update's nightly lifecycle step)
+    val idxDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-idx").toString
+    if (!only.exists(!_.contains("index_append")))
+      graft.functions.Dedup.saveMinhashIndex(minhashIdx, idxDir)
+    timeBody("index_append", n / 100) {
+      val batch = docs.filter(
+        col("doc_id") >= 90000L && col("doc_id") < 90000L + n / 100)
+      graft.functions.Dedup.appendToMinhashIndex(spark, idxDir,
+        batch, "doc_id", "text")
+    }
     // round-10: span decontamination — benchmark k-grams broadcast, hits
     // are a map-side semi probe of the exploded corpus shingles; time
     // should track the corpus linearly (benchmark fixed at 500 docs)

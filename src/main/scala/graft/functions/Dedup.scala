@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for training-data pipelines, all expressed as
@@ -231,14 +231,69 @@ object Dedup {
     */
   def incrementalHammingDedup(batch: DataFrame, corpus: DataFrame,
       idCol: String, hashCol: String,
-      maxDist: Int, nBands: Int = 8): DataFrame = {
-    require(maxDist < nBands,
-      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
-    val corpusBuckets = corpus
+      maxDist: Int, nBands: Int = 8): DataFrame =
+    incrementalHammingDedup(batch,
+      hammingIndex(corpus, idCol, hashCol, nBands), idCol, hashCol, maxDist)
+
+  /** A built banded-Hamming corpus index: the (hash, band, bucket) probe
+    * tuples plus the nBands they were banded under (a probe under a
+    * different banding would look in the wrong buckets, so the probe
+    * requires the stored value). Same lifecycle as [[MinhashIndex]]:
+    * build once ([[hammingIndex]]), persist ([[saveHammingIndex]]),
+    * probe per ingest ([[loadHammingIndex]] +
+    * [[incrementalHammingDedup]]), append the ingest's survivors
+    * ([[appendToHammingIndex]]). */
+  final case class HammingIndex(buckets: DataFrame, nBands: Int)
+
+  /** The band-tuple derivation shared by build and append — cost ∝ the
+    * rows passed in (one map-side explode, no shuffle). */
+  private def hammingIndexRows(rows: DataFrame, idCol: String,
+      hashCol: String, nBands: Int): DataFrame =
+    rows
       .select(col(idCol).as("__cid"), col(hashCol).as("__ch"))
       .select(col("__ch"),
         explode(hammingBandKeys(col("__ch"), nBands)).as("bb"))
       .select(col("__ch"), col("bb.band"), col("bb.bucket"))
+
+  def hammingIndex(corpus: DataFrame, idCol: String, hashCol: String,
+      nBands: Int = 8): HammingIndex =
+    HammingIndex(hammingIndexRows(corpus, idCol, hashCol, nBands), nBands)
+
+  /** Persist a [[HammingIndex]] as parquet under `path` (`buckets/` +
+    * one-row `meta/` with the banding). Overwrites. */
+  def saveHammingIndex(index: HammingIndex, path: String): Unit = {
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq(index.nBands).toDF("n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a persisted [[HammingIndex]] — a pinned file-set snapshot, the
+    * same rootPaths-equality trap as [[loadMinhashIndex]]. */
+  def loadHammingIndex(spark: SparkSession, path: String): HammingIndex =
+    HammingIndex(
+      spark.read.parquet(snapshotFiles(spark, s"$path/buckets"): _*),
+      spark.read.parquet(s"$path/meta").collect().head.getAs[Int]("n_bands"))
+
+  /** APPEND an ingest's surviving (id, hash) rows to a persisted index
+    * under its stored banding — appends only the batch's band tuples,
+    * never reads or rewrites the corpus rows. */
+  def appendToHammingIndex(spark: SparkSession, path: String,
+      survivors: DataFrame, idCol: String, hashCol: String): Unit = {
+    val nBands =
+      spark.read.parquet(s"$path/meta").collect().head.getAs[Int]("n_bands")
+    hammingIndexRows(survivors, idCol, hashCol, nBands)
+      .write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** The per-ingest probe against a prebuilt [[HammingIndex]]. */
+  def incrementalHammingDedup(batch: DataFrame, index: HammingIndex,
+      idCol: String, hashCol: String, maxDist: Int): DataFrame = {
+    val nBands = index.nBands
+    require(maxDist < nBands,
+      s"recall guarantee needs maxDist < nBands: $maxDist >= $nBands")
+    val corpusBuckets = index.buckets
     val b = batch.select(col(idCol).as("__bid"), col(hashCol).as("__bh"))
     val batchBuckets = b
       .select(col("__bid"), col("__bh"),
@@ -497,27 +552,119 @@ object Dedup {
     * @return surviving batch rows: (id)
     */
   /** A built MinHash-LSH corpus index: the checkpointed (id, shingle set)
-    * rows plus the derived (id, band, bucket) probe tuples. In production
-    * BOTH persist as tables — building once and probing per ingest is the
-    * whole point of the incremental form; [[minhashIndex]] is the
-    * build-once step and [[incrementalMinhashDedup]] the per-ingest probe.
+    * rows plus the derived (id, band, bucket) probe tuples, together with
+    * the (n, k, rowsPerBand) parameters they were built under — a probe
+    * with mismatched parameters would silently generate wrong buckets and
+    * miss near-dups, so [[incrementalMinhashDedup]] requires equality.
+    * The full production lifecycle is build-once ([[minhashIndex]]) /
+    * persist ([[saveMinhashIndex]]) / probe-per-ingest
+    * ([[loadMinhashIndex]] + [[incrementalMinhashDedup]]) / append the
+    * ingest's survivors ([[appendToMinhashIndex]]) — tomorrow's batch
+    * then near-dups against today's survivors without a corpus rebuild.
     */
-  final case class MinhashIndex(sets: DataFrame, buckets: DataFrame)
+  final case class MinhashIndex(sets: DataFrame, buckets: DataFrame,
+      n: Int, k: Int, rowsPerBand: Int)
 
-  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): MinhashIndex = {
-    // signatures checkpointed once (the CollapseProject barrier of
-    // minhashDupPairs), band tuples derived from them
-    val corpusSets = corpus
+  /** The shared (sets, buckets) derivation of the build and append steps:
+    * shingle → signature (checkpointed once, the CollapseProject barrier
+    * of [[minhashDupPairs]]) → band tuples. Cost ∝ the rows passed in. */
+  private def minhashIndexRows(rows: DataFrame, idCol: String,
+      textCol: String, n: Int, k: Int, rowsPerBand: Int)
+      : (DataFrame, DataFrame) = {
+    val sets = rows
       .select(col(idCol).as("__cid"), shingleSet(col(textCol), n).as("__csh"))
       .filter(size(col("__csh")) > 0)
       .withColumn("__csig", minhashSignature(col("__csh"), k))
       .localCheckpoint()
-    val corpusBuckets = corpusSets
+    val buckets = sets
       .select(col("__cid"),
         explode(lshBands(col("__csig"), k, rowsPerBand)).as("bb"))
       .select(col("__cid"), col("bb.band"), col("bb.bucket"))
-    MinhashIndex(corpusSets, corpusBuckets)
+    (sets, buckets)
+  }
+
+  def minhashIndex(corpus: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 64, rowsPerBand: Int = 4): MinhashIndex = {
+    val (corpusSets, corpusBuckets) =
+      minhashIndexRows(corpus, idCol, textCol, n, k, rowsPerBand)
+    MinhashIndex(corpusSets, corpusBuckets, n, k, rowsPerBand)
+  }
+
+  /** Persist a [[MinhashIndex]] as parquet tables under `path`
+    * (`sets/`, `buckets/`, plus a one-row `meta/` carrying the build
+    * parameters so a later load/append/probe cannot run under different
+    * ones). Overwrites any index already at `path`. */
+  def saveMinhashIndex(index: MinhashIndex, path: String): Unit = {
+    index.sets.write.mode("overwrite").parquet(s"$path/sets")
+    index.buckets.write.mode("overwrite").parquet(s"$path/buckets")
+    val spark = index.sets.sparkSession
+    import spark.implicits._
+    Seq((index.n, index.k, index.rowsPerBand))
+      .toDF("n", "k", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** List a parquet directory's data files — each load pins the file SET
+    * it saw, making the loaded index a stable snapshot. This is load-
+    * bearing for correctness, not just hygiene: Spark's
+    * `InMemoryFileIndex` equality compares only rootPaths, so two
+    * directory-scans of the same path taken before and after an APPEND
+    * canonicalize as the same plan, and exchange/AQE-stage reuse then
+    * silently serves the PRE-append stage to the post-append probe when
+    * one query tree contains both (exactly the build→probe→append→probe
+    * gate shape). Distinct file lists give distinct rootPaths, so reuse
+    * only unifies scans that really read the same data. */
+  private def snapshotFiles(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).sorted.toSeq
+  }
+
+  /** Load a persisted [[MinhashIndex]]. The DataFrames are plain parquet
+    * scans over the file set present at load time (a pinned snapshot —
+    * see [[snapshotFiles]]); nothing is materialized until a probe runs,
+    * so loading is metadata-only even for a 100 TB index. */
+  def loadMinhashIndex(spark: SparkSession, path: String): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    MinhashIndex(
+      spark.read.parquet(snapshotFiles(spark, s"$path/sets"): _*),
+      spark.read.parquet(snapshotFiles(spark, s"$path/buckets"): _*),
+      meta.getAs[Int]("n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("rows_per_band"))
+  }
+
+  /** APPEND an ingest's surviving rows to a persisted index: computes the
+    * survivors' shingle sets / signatures / band tuples under the INDEX's
+    * own stored parameters and appends just those parquet rows — cost ∝
+    * the batch, the existing corpus rows are never read or rewritten.
+    * This is the nightly step closing the incremental loop: after
+    * build → probe → append, the next day's probe near-dups against
+    * yesterday's survivors too.
+    *
+    * @param survivors the surviving batch rows WITH their text column
+    *                  (join the probe's surviving ids back to the batch)
+    */
+  def appendToMinhashIndex(spark: SparkSession, path: String,
+      survivors: DataFrame, idCol: String, textCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val (sets, buckets) = minhashIndexRows(survivors, idCol, textCol,
+      meta.getAs[Int]("n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("rows_per_band"))
+    sets.write.mode("append").parquet(s"$path/sets")
+    buckets.write.mode("append").parquet(s"$path/buckets")
+  }
+
+  /** In-memory append — the same survivors-only derivation as
+    * [[appendToMinhashIndex]], unioned into a new [[MinhashIndex]]
+    * without touching storage. */
+  def appendToIndex(index: MinhashIndex, survivors: DataFrame,
+      idCol: String, textCol: String): MinhashIndex = {
+    val (sets, buckets) = minhashIndexRows(survivors, idCol, textCol,
+      index.n, index.k, index.rowsPerBand)
+    MinhashIndex(index.sets.unionByName(sets),
+      index.buckets.unionByName(buckets),
+      index.n, index.k, index.rowsPerBand)
   }
 
   def incrementalMinhashDedup(batch: DataFrame, corpus: DataFrame,
@@ -532,11 +679,25 @@ object Dedup {
       idCol: String, textCol: String): DataFrame =
     incrementalMinhashDedup(batch, corpus, idCol, textCol, 3, 64, 4, 0.8)
 
-  /** The per-ingest probe against a prebuilt [[MinhashIndex]]. */
+  /** Probe under the index's own stored parameters — the natural form
+    * for a loaded index (no way to pass a mismatch). */
+  def incrementalMinhashDedup(batch: DataFrame, index: MinhashIndex,
+      idCol: String, textCol: String, threshold: Double): DataFrame =
+    incrementalMinhashDedup(batch, index, idCol, textCol,
+      index.n, index.k, index.rowsPerBand, threshold)
+
+  /** The per-ingest probe against a prebuilt [[MinhashIndex]]. The
+    * (n, k, rowsPerBand) arguments must equal the parameters the index
+    * was built with — a silent mismatch would band the batch into a
+    * different bucket space and miss every near-dup. */
   def incrementalMinhashDedup(batch: DataFrame, index: MinhashIndex,
       idCol: String, textCol: String,
       n: Int, k: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
+    require(n == index.n && k == index.k && rowsPerBand == index.rowsPerBand,
+      s"probe parameters (n=$n, k=$k, rowsPerBand=$rowsPerBand) must match " +
+        s"the index build parameters (n=${index.n}, k=${index.k}, " +
+        s"rowsPerBand=${index.rowsPerBand})")
     val corpusSets = index.sets
     val corpusBuckets = index.buckets
     val batchSets = batch

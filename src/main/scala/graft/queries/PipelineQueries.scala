@@ -201,6 +201,53 @@ object PipelineQueries {
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
         |         WHERE a.doc_id >= 250 AND b.doc_id < 250)""".stripMargin)
 
+  /** The r11 index-lifecycle oracle (build → probe → APPEND → probe):
+    * day-1 batch (250 ≤ id < 375) probes the day-0 corpus (id < 250)
+    * index; day-1 SURVIVORS join the index membership; day-2
+    * (375 ≤ id < 500) probes the appended index — same XXH64 signature/
+    * band replay, with `cand` as the day-1 probe and the tail deriving
+    * day-1 survivors, the appended membership, and the day-2 probe from
+    * the one shared band CTE. Day-2 must drop docs whose ONLY near-dup
+    * is a day-1 survivor (present at sf0.01: docs 389/457 vs survivors
+    * 310/326 — no corpus hit), which a probe of a non-appended index
+    * would keep. */
+  private def indexUpdateOracleSql: String = minhashOracle(
+    """jac AS (SELECT id_a, id_b,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+      |    len(sa.s) AS na, len(sb.s) AS nb
+      |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+      |            JOIN shs sb ON cand.id_b = sb.doc_id),
+      |hits AS MATERIALIZED (SELECT id_a, id_b FROM jac
+      |         WHERE inter / (na + nb - inter) >= 0.4),
+      |drops1 AS (SELECT DISTINCT id_a AS bid FROM hits
+      |           WHERE id_a >= 250 AND id_a < 375 AND id_b < 250),
+      |surv1 AS (SELECT doc_id FROM documents
+      |          WHERE doc_id >= 250 AND doc_id < 375
+      |            AND doc_id NOT IN (SELECT bid FROM drops1)),
+      |drops2 AS (SELECT DISTINCT id_a AS bid FROM hits
+      |           WHERE id_a >= 375 AND id_a < 500
+      |            AND (id_b < 250
+      |                 OR id_b IN (SELECT doc_id FROM surv1))),
+      |surv2 AS (SELECT doc_id FROM documents
+      |          WHERE doc_id >= 375 AND doc_id < 500
+      |            AND doc_id NOT IN (SELECT bid FROM drops2))
+      |SELECT CAST(1 AS INT) AS day, doc_id FROM surv1
+      |UNION ALL SELECT CAST(2 AS INT) AS day, doc_id FROM surv2
+      |ORDER BY day, doc_id""".stripMargin,
+    // ONE band self-join produces both days' candidates, and `hits` is
+    // MATERIALIZED because DuckDB re-inlines CTEs per reference — each
+    // extra reference downstream of `bands` re-evaluates the whole XXH64
+    // chain (measured: 70 s with two hits references, 30.6 s
+    // materialized; materializing the BIG CTEs instead was 220 s).
+    // "The appended index" is equivalently the LATE filter restricting
+    // day-2 partners to corpus ∪ day-1 SURVIVORS, because the appended
+    // rows are exactly surv1's band tuples.
+    candSql =
+      """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+        |         WHERE (a.doc_id >= 250 AND a.doc_id < 375 AND b.doc_id < 250)
+        |            OR (a.doc_id >= 375 AND a.doc_id < 500 AND b.doc_id < 375))""".stripMargin)
+
   /** Full XXH64 + MinHash + banded-bucket candidate generation in DuckDB
     * SQL (CTEs `docs` → `cand`), composed with a caller-supplied verify
     * tail; `candSql` overrides the default all-pairs self-join candidate
@@ -1067,6 +1114,35 @@ object PipelineQueries {
           docs.filter(col("doc_id") < 250),
           "doc_id", "text", n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
           .orderBy("doc_id")
+      }),
+
+    // the full index LIFECYCLE (round 11): build the day-0 corpus index,
+    // SAVE it to parquet, LOAD + probe the day-1 batch, APPEND the day-1
+    // survivors (their sets/band tuples only — the corpus is never
+    // rescanned), reload and probe the day-2 batch. Day 2 must near-dup
+    // against day-1 SURVIVORS (not the corpus alone, and not dropped
+    // day-1 docs) — the nightly build-once/probe/append production loop.
+    Q("pl_index_update", indexUpdateOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-minhash-index").toString
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
+        val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val surv1 = Dedup.incrementalMinhashDedup(
+          day1, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+        Dedup.appendToMinhashIndex(s, dir,
+          day1.join(surv1, "doc_id"), "doc_id", "text")
+        val day2 = docs.filter(col("doc_id") >= 375 && col("doc_id") < 500)
+        val surv2 = Dedup.incrementalMinhashDedup(
+          day2, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+        surv1.withColumn("day", lit(1))
+          .unionByName(surv2.withColumn("day", lit(2)))
+          .select("day", "doc_id").orderBy("day", "doc_id")
       }),
 
     // n-gram Jaccard near-dup (exact, restricted window so the O(n²) stays

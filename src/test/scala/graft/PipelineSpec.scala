@@ -263,6 +263,84 @@ class PipelineSpec extends AnyFunSuite {
     assert(inline == viaIndex && inline.nonEmpty)
   }
 
+  test("minhash index lifecycle: save/load/append, day-2 sees survivors") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val mk = (id: Long, t: String) => (id, t)
+    val corpus = Seq(
+      mk(0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      mk(1L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val day1 = Seq(
+      mk(10L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup
+      mk(11L, "one two three four five six seven eight"))       // survivor
+      .toDF("doc_id", "text")
+    val day2 = Seq(
+      mk(20L, "one two three four five six seven eight"), // dup of SURVIVOR 11
+      mk(21L, "red orange yellow green blue indigo violet"), // corpus dup
+      mk(22L, "nine ten eleven twelve thirteen fourteen"))    // unique
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-idx-spec").toString
+    Dedup.saveMinhashIndex(
+      Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val idx1 = Dedup.loadMinhashIndex(spark, dir)
+    assert((idx1.n, idx1.k, idx1.rowsPerBand) == ((3, 64, 4)))
+    val surv1 = Dedup.incrementalMinhashDedup(day1, idx1,
+      "doc_id", "text", threshold = 0.8)
+    assert(surv1.collect().map(_.getLong(0)).toSet == Set(11L),
+      "day-1 corpus dup must drop, the unique doc must survive")
+    Dedup.appendToMinhashIndex(spark, dir,
+      day1.join(surv1, "doc_id"), "doc_id", "text")
+    val surv2 = Dedup.incrementalMinhashDedup(day2,
+      Dedup.loadMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.8)
+    assert(surv2.collect().map(_.getLong(0)).toSet == Set(22L),
+      "day-2 must drop the dup of a day-1 SURVIVOR (20) and the corpus " +
+        "dup (21), keep only the unique doc")
+    // REGRESSION PIN: both probes in ONE query tree. InMemoryFileIndex
+    // equality is rootPaths-only, so pre- and post-append scans of the
+    // same directory canonicalize equal and exchange/AQE-stage reuse
+    // serves the day-2 probe the PRE-append corpus stage — the loads pin
+    // their file-set snapshot as distinct rootPaths to prevent exactly
+    // this (silently kept 2 near-dups at sf0.01 before the fix)
+    val union = surv1.withColumn("day", lit(1))
+      .unionByName(surv2.withColumn("day", lit(2)))
+      .collect().map(r => (r.getInt(1), r.getLong(0))).toSet
+    assert(union == Set((1, 11L), (2, 22L)),
+      s"one-tree union must see the appended index on day 2: $union")
+    // the probe refuses parameters that differ from the build's
+    intercept[IllegalArgumentException] {
+      Dedup.incrementalMinhashDedup(day2, idx1, "doc_id", "text",
+        n = 3, k = 128, rowsPerBand = 4, threshold = 0.8)
+    }
+  }
+
+  test("hamming index lifecycle: save/load/append equals inline probe") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = Seq((0L, 0x00000000000000FFL), (1L, 0x7700000000000000L))
+      .toDF("id", "h")
+    val day1 = Seq(
+      (10L, 0x00000000000000FEL), // dist 1 from corpus 0 -> drop
+      (11L, 0x0F0F0F0F0F0F0F0FL)) // unique -> survive
+      .toDF("id", "h")
+    val day2 = Seq(
+      (20L, 0x0F0F0F0F0F0F0F0EL), // dist 1 from SURVIVOR 11 -> drop
+      (21L, 0x1111111111111111L)) // unique -> survive
+      .toDF("id", "h")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hidx-spec").toString
+    Dedup.saveHammingIndex(Dedup.hammingIndex(corpus, "id", "h"), dir)
+    val surv1 = Dedup.incrementalHammingDedup(day1,
+      Dedup.loadHammingIndex(spark, dir), "id", "h", maxDist = 3)
+    assert(surv1.collect().map(_.getLong(0)).toSet == Set(11L))
+    Dedup.appendToHammingIndex(spark, dir, surv1, "id", "h")
+    val surv2 = Dedup.incrementalHammingDedup(day2,
+      Dedup.loadHammingIndex(spark, dir), "id", "h", maxDist = 3)
+    assert(surv2.collect().map(_.getLong(0)).toSet == Set(21L),
+      "day-2 must drop the near-dup of the appended day-1 survivor")
+  }
+
   test("decimation metadata: durations follow kept content, exactly") {
     import graft.multimodal.Multimodal
     // 3 frames at 40ms each decimated by 2 keeps 2 frames => 80ms (the
