@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   *
   * Skew caveat, stated honestly: min/max scaling keeps heavy-hitter skew
   * (a column where 90% of rows share one value leaves its bit planes
-  * constant); the rank/quantile-binned variant trades one extra
-  * approx-quantile pass for skew-proof bit planes. Min/max is the
-  * oracle-exact default and correct for the TPC-H-ish key columns.
+  * constant). For skewed columns the SCALE DEFAULT is
+  * [[zOrderKeyQuantileBinned]] — sampled quantile boundaries, map-side
+  * binning, zero extra shuffles — with [[zOrderKeyRankBinned]] as its
+  * exact-rank oracle twin (one corpus sort + materialization per column,
+  * kept for the gate's bit-exact replay). Min/max is the oracle-exact
+  * default and correct for the TPC-H-ish key columns.
   */
 object Layout {
 
@@ -85,16 +88,20 @@ object Layout {
     (df.withColumn("zkey", key), ranges)
   }
 
-  /** RANK-binned Z-order key — the skew-proof upgrade of [[zOrderKey]]:
-    * each clustering column is binned by its global RANK (exact, via the
-    * two-phase distributed prefix sum of `Packing.withGlobalOffset` —
-    * never a single-task global window), so a column where 90% of rows
-    * share one value still spreads across bit planes where min/max
-    * scaling would leave them constant. Cost: one range-partitioned sort
-    * pass PER clustering column (the price quantile binning pays
-    * anywhere); the bin is `rank · 2^bits div n` — all-integer,
-    * oracle-replayable. Ties order by the `idCols` tiebreak, so the key
-    * is a pure function of the data (partition-invariant).
+  /** RANK-binned Z-order key — the EXACT skew-proof form, kept as the
+    * oracle twin of [[zOrderKeyQuantileBinned]] (which is the scale
+    * default): each clustering column is binned by its global RANK
+    * (exact, via the two-phase distributed prefix sum of
+    * `Packing.withGlobalOffset` — never a single-task global window), so
+    * a column where 90% of rows share one value still spreads across bit
+    * planes where min/max scaling would leave them constant. Cost: one
+    * range-partitioned sort pass AND one full materialization (the
+    * prefix sum's correctness barrier) PER clustering column — at 100 TB
+    * prefer the quantile-binned form, which is one bounded boundary job
+    * and a map-side projection. The bin here is `rank · 2^bits div n` —
+    * all-integer, oracle-replayable. Ties order by the `idCols`
+    * tiebreak, so the key is a pure function of the data
+    * (partition-invariant).
     */
   def zOrderKeyRankBinned(df: DataFrame, cols: Seq[String],
       idCols: Seq[String], bits: Int): DataFrame = {
@@ -121,6 +128,63 @@ object Layout {
       .withColumn("zkey",
         mortonKey(cols.indices.map(i => col(s"__bin_$i")), bits))
       .drop("__one" +: cols.indices.map(i => s"__bin_$i"): _*)
+  }
+
+  /** QUANTILE-binned Z-order key — the SCALE DEFAULT for skewed
+    * clustering columns, with [[zOrderKeyRankBinned]] kept as its
+    * exact-rank oracle twin: each column is binned by sampled
+    * approx-quantile boundaries (the Delta/Iceberg OPTIMIZE approach) —
+    * ONE bounded boundary job per call (the driver collects at most
+    * cols × (2^bits − 1) doubles), the boundaries broadcast as a single
+    * sorted ARRAY literal per column, and the bin is the map-side
+    * monotone count of boundaries ≤ x. The keying itself is pure
+    * projection: NO per-column corpus sort, NO checkpoint, NO exchange —
+    * the write's range partition is the only shuffle of the whole layout
+    * job, where the rank-binned form pays one corpus-wide range sort AND
+    * one full materialization PER column. Equally skew-proof: a
+    * heavy-hitter value occupies exactly the quantile span its frequency
+    * earns, so the remaining values still spread across bit planes.
+    *
+    * Two documented deviations from the exact-rank twin: boundaries are
+    * approximate within `relativeError` (ties inside a boundary's error
+    * band may land one bin off — layout quality, never correctness), and
+    * rows where the column is null bin to 0 (the rank form totals-orders
+    * nulls first — same destination, different mechanism).
+    *
+    * The per-row cost is one codegen'd loop over the boundary array
+    * (2^bits − 1 comparisons), so `bits` is capped at 12; layout
+    * clustering needs far fewer bins than that in practice (Delta's
+    * OPTIMIZE uses range ids at file granularity — hundreds of bins).
+    *
+    * @return (input + `zkey`, per-column boundary arrays — the index
+    *         metadata a catalog would persist)
+    */
+  def zOrderKeyQuantileBinned(df: DataFrame, cols: Seq[String], bits: Int,
+      relativeError: Double = 0.001)
+      : (DataFrame, Map[String, Array[Double]]) = {
+    require(cols.nonEmpty, "zOrderKeyQuantileBinned needs columns")
+    require(bits > 0 && bits * cols.size <= 62,
+      s"bits($bits) x cols(${cols.size}) must stay within a positive long")
+    require(bits <= 12,
+      s"quantile binning caps at 2^12 bins per column (got 2^$bits); " +
+        "use zOrderKeyRankBinned if you genuinely need finer bins")
+    val nBins = 1 << bits
+    val probs = (1 until nBins).map(_.toDouble / nBins).toArray
+    val quantiles =
+      df.stat.approxQuantile(cols.toArray, probs, relativeError)
+    val bounds = cols.zip(quantiles.map(_.distinct.sorted)).toMap
+    val binCols = cols.map { c =>
+      val bs = bounds(c)
+      require(bs.nonEmpty,
+        s"zOrderKeyQuantileBinned: column '$c' has no non-null values")
+      // monotone bin = |{b : b ≤ x}| over the sorted boundary literal —
+      // one whole-stage-codegen loop per row, the binary-search answer
+      // at linear-scan cost (B ≤ 2^bits − 1, bounded above)
+      aggregate(typedLit(bs.toSeq), lit(0L),
+        (acc, b) => acc + when(col(c).cast("double") >= b, 1L)
+          .otherwise(0L))
+    }
+    (df.withColumn("zkey", mortonKey(binCols, bits)), bounds)
   }
 
   /** Cluster-and-write: range-partition on the Morton key (uniform by

@@ -59,4 +59,46 @@ class LayoutSpec extends AnyFunSuite {
     assert(touching <= 8,
       s"a y=3 point filter must prune most files: $touching of 16")
   }
+
+  test("quantile-binned spans match the exact-rank form on SKEWED data") {
+    // x is heavy-hitter skewed (90% of rows share one hot value, the rest
+    // a sparse tail up to 10^6); y is uniform. Min/max scaling would park
+    // the tail in a sliver of bins; both binned forms must keep per-file
+    // y spans narrow AND files balanced, and the sampled-quantile form
+    // must be at span parity with the exact-rank oracle twin.
+    val n = 4096L
+    val df = spark.range(n).select(
+      when(pmod(col("id"), lit(10L)) < 9, lit(7L))
+        .otherwise(col("id") * 244L).as("x"),
+      pmod(col("id") * 37L, lit(64L)).as("y"),
+      col("id").as("rid"))
+    def spans(keyed: org.apache.spark.sql.DataFrame, tag: String)
+        : (Double, Long) = {
+      val dir = Files.createTempDirectory(s"graft_zq_$tag").toString + "/t"
+      keyed.repartitionByRange(16, col("zkey"))
+        .sortWithinPartitions(col("zkey"))
+        .write.mode("overwrite").parquet(dir)
+      val perFile = spark.read.parquet(dir)
+        .groupBy(input_file_name().as("f"))
+        .agg((max("y") - min("y")).as("sy"), count(lit(1)).as("rows"))
+        .collect()
+      (perFile.map(_.getLong(1)).sum.toDouble / perFile.length,
+        perFile.map(_.getLong(2)).max)
+    }
+    val (qKeyed, _) = Layout.zOrderKeyQuantileBinned(
+      df, Seq("x", "y"), bits = 6, relativeError = 0.001)
+    val rKeyed = Layout.zOrderKeyRankBinned(
+      df, Seq("x", "y"), idCols = Seq("rid"), bits = 6)
+    val (qSpan, qMaxRows) = spans(qKeyed, "q")
+    val (rSpan, rMaxRows) = spans(rKeyed, "r")
+    // both forms keep the uniform column's per-file span a fraction of
+    // its 64-value domain, and neither melts into unbalanced files
+    assert(rSpan <= 24, s"rank-binned y span must shrink: $rSpan")
+    assert(qSpan <= 24, s"quantile-binned y span must shrink: $qSpan")
+    assert(qSpan <= rSpan * 1.6 + 4.0,
+      s"quantile binning must be at span parity with exact rank: " +
+        s"$qSpan vs $rSpan")
+    assert(qMaxRows <= 3 * (n / 16) && rMaxRows <= 3 * (n / 16),
+      s"files must stay balanced under skew: q=$qMaxRows r=$rMaxRows")
+  }
 }

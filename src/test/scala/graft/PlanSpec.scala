@@ -167,6 +167,31 @@ class PlanSpec extends AnyFunSuite {
       s"per-partition bases must broadcast back:\n$p")
   }
 
+  // quantile-binned Z-order (round 11, the scale default for skewed
+  // clustering columns): the keying is pure map-side projection over
+  // broadcast boundary literals — NO checkpoint (unlike the exact-rank
+  // twin, whose per-column prefix sums each materialize the corpus) and
+  // exactly ONE exchange in the whole layout job: the write's range
+  // partition
+  test("quantile-binned z-order: no checkpoint, one exchange (the write's)") {
+    import org.apache.spark.sql.functions.col
+    val (keyed, bounds) = graft.functions.Layout.zOrderKeyQuantileBinned(
+      Tables.load(spark, sf, "events")
+        .select("event_id", "user_id", "value"),
+      Seq("user_id", "value"), bits = 6)
+    assert(bounds("user_id").nonEmpty && bounds("value").nonEmpty)
+    val p = keyed
+      .repartitionByRange(16, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Scan ExistingRDD"),
+      s"the quantile-binned keying must not checkpoint:\n$p")
+    assert("Exchange".r.findAllIn(p).length == 1,
+      s"only the write's range exchange may shuffle:\n$p")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"the one exchange is the range partition:\n$p")
+  }
+
   test("top-nested joins level 2 to the level-1 survivors by broadcast") {
     val p = plan("kql_topnested")
     assert(p.contains("BroadcastHashJoin"),
