@@ -80,21 +80,26 @@ object Graph {
     * arithmetic so the result is a pure function of the graph
     * (partition-invariant, run-stable, SQL-replayable): ranks carry as
     * `scale`-scaled longs, each iteration computes
-    * r'(v) = ⌊scale·(1−d)/N⌋ + ⌊d · Σ_{u→v} ⌊r(u)/outdeg(u)⌋⌋ with
-    * d = 85/100 exact. Integer flooring loses a bounded trickle of mass
-    * per iteration (≤ outdeg ulps per vertex) and dangling-node mass is
-    * dropped rather than redistributed — the standard deterministic
-    * simplifications, documented; ORDERINGS (who outranks whom) match
+    * r'(v) = ⌊scale·(1−d)/N⌋ + ⌊d · (Σ_{u→v} ⌊r(u)/outdeg(u)⌋ + ⌊D/N⌋)⌋
+    * with d = 85/100 exact and D the previous iteration's DANGLING mass
+    * (rank held by vertices with no out-edges), redistributed uniformly —
+    * the textbook correction, so ranks keep summing to ~scale on any
+    * graph. Integer flooring loses a bounded trickle of mass per
+    * iteration (≤ outdeg ulps per vertex) — the one remaining
+    * deterministic simplification; ORDERINGS (who outranks whom) match
     * float PageRank far past the flooring error at `scale` = 1e12.
     *
     * Scale shape per iteration: one edge⋈outdeg⋈rank shuffle join + one
     * dst-keyed partial-aggregated sum — the CC loop's cost model; fixed
     * `iters` (no convergence probe needed), stats-severing checkpoints
-    * between iterations (the SPARK-39748 lesson).
+    * between iterations (the SPARK-39748 lesson). The dangling mass is
+    * an [[org.apache.spark.sql.Observation]] metric riding each
+    * checkpoint's materialization job — no extra scan.
     *
     * @param vertices one column `id`
     * @param edges    columns `src`, `dst` (DIRECTED; dups/self-loops dropped)
     * @return (id, rank_scaled) — scaled by `scale`, summing to ~scale
+    *         (short only the flooring trickle, dangling graphs included)
     */
   def pageRank(vertices: DataFrame, edges: DataFrame, iters: Int = 5,
       scale: Long = 1000000000000L): DataFrame = {
@@ -115,8 +120,27 @@ object Graph {
     val n = ids.count()
     require(n > 0, "empty vertex set")
     val teleport = (scale * 15L) / (n * 100L) // driver-exact integer
-    var ranks = localCheckpointNoStats(
-      ids.select(col("id"), lit(scale / n).as("rank_scaled")))
+    // dangling flag (no out-edges) is a loop invariant; each iteration's
+    // dangling MASS rides the ranks checkpoint's own materialization job
+    // as an Observation metric (the connectedComponents probe pattern) —
+    // the textbook redistribution costs no extra scan per iteration
+    val flagged = localCheckpointNoStats(
+      ids.join(
+        outdeg.select(col("src").as("id"), lit(1).as("__has_out")),
+        Seq("id"), "left_outer")
+        .select(col("id"), col("__has_out").isNull.as("__dangling")))
+    val danglingProbe = sum(
+      when(col("__dangling"), col("rank_scaled")).otherwise(lit(0L)))
+      .as("dm")
+    def checkpointWithDangling(df: DataFrame, round: Int)
+        : (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"pr_dangling_$round")
+      val out = localCheckpointNoStats(df.observe(obs, danglingProbe))
+      (out, obs.get("dm").asInstanceOf[Long])
+    }
+    var (ranks, danglingMass) = checkpointWithDangling(
+      flagged.select(col("id"), lit(scale / n).as("rank_scaled"),
+        col("__dangling")), 0)
     var i = 0
     while (i < iters) {
       val contrib = e
@@ -125,15 +149,20 @@ object Graph {
         .select(col("dst").as("id"),
           intDiv(col("rank_scaled"), col("__outdeg")).as("__c"))
       val sums = contrib.groupBy("id").agg(sum(col("__c")).as("__in"))
-      ranks = localCheckpointNoStats(ids
+      val share = danglingMass / n // driver-exact integer
+      val (next, dm) = checkpointWithDangling(flagged
         .join(sums, Seq("id"), "left_outer")
         .select(col("id"),
           (lit(teleport) +
-            intDiv(coalesce(col("__in"), lit(0L)) * lit(85L), lit(100L)))
-            .as("rank_scaled")))
+            intDiv((coalesce(col("__in"), lit(0L)) + lit(share)) * lit(85L),
+              lit(100L)))
+            .as("rank_scaled"),
+          col("__dangling")), i + 1)
+      ranks = next
+      danglingMass = dm
       i += 1
     }
-    ranks
+    ranks.select("id", "rank_scaled")
   }
 
   /** Connected components by iterative min-label propagation (the

@@ -2132,11 +2132,13 @@ object PipelineQueries {
         graft.functions.Graph.triangleCounts(edges).orderBy("id")
       }),
 
-    // deterministic integer PageRank (round 10): 5 fixed iterations of
+    // deterministic integer PageRank (round 10; round 11 adds the
+    // textbook DANGLING-mass redistribution): 5 fixed iterations of
     // scale-scaled long arithmetic (teleport ⌊scale·15/(N·100)⌋ + damped
-    // floor-divided contributions) — partition-invariant and replayed
-    // exactly by unrolling the iterations in SQL over the same directed
-    // synthetic graph as pl_triangles.
+    // floor-divided contributions + ⌊D/N⌋ dangling share) — partition-
+    // invariant and replayed exactly by unrolling the iterations in SQL.
+    // Edges with src ≥ 55 are dropped so vertices 55–59 are DANGLING
+    // (in-edges only) and the redistribution term is genuinely exercised.
     Q("pl_pagerank", {
       val iters = 5
       val sb = new StringBuilder
@@ -2146,22 +2148,34 @@ object PipelineQueries {
         |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60 FROM documents
         |  UNION ALL
         |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60 FROM documents),
-        |e AS (SELECT DISTINCT s AS src, d AS dst FROM e0raw WHERE s <> d),
+        |e AS (SELECT DISTINCT s AS src, d AS dst FROM e0raw
+        |      WHERE s <> d AND s < 55),
         |ids AS (SELECT DISTINCT id FROM (
         |          SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
         |nn AS (SELECT count(*) AS n FROM ids),
         |od AS (SELECT src, count(*) AS odeg FROM e GROUP BY src),
-        |r0 AS (SELECT id, 1000000000000 // (SELECT n FROM nn) AS r
+        |dang AS (SELECT id FROM ids
+        |         WHERE id NOT IN (SELECT src FROM od)),
+        |r0 AS MATERIALIZED (
+        |       SELECT id, 1000000000000 // (SELECT n FROM nn) AS r
         |       FROM ids),
         |""".stripMargin
+      // each iteration references r{k-1} TWICE (dangling mass + edge
+      // contributions) and DuckDB re-inlines CTEs per reference — without
+      // MATERIALIZED the chain expands 2^iters-fold (measured 10.1 s;
+      // materializing the 60-row rank CTEs brings it back under 1 s)
       for (k <- 1 to iters) {
-        sb ++= s"""c$k AS (SELECT e.dst AS id, r.r // od.odeg AS c
+        sb ++= s"""dm${k - 1} AS (SELECT CAST(coalesce(sum(r), 0) AS BIGINT)
+          |    AS dm FROM r${k - 1} WHERE id IN (SELECT id FROM dang)),
+          |c$k AS (SELECT e.dst AS id, r.r // od.odeg AS c
           |  FROM e JOIN od ON e.src = od.src
           |         JOIN r${k - 1} r ON e.src = r.id),
           |s$k AS (SELECT id, sum(c) AS si FROM c$k GROUP BY id),
-          |r$k AS (SELECT ids.id,
+          |r$k AS MATERIALIZED (SELECT ids.id,
           |    (1000000000000 * 15) // ((SELECT n FROM nn) * 100)
-          |    + ((coalesce(si, 0) * 85) // 100) AS r
+          |    + (((coalesce(si, 0)
+          |         + (SELECT dm FROM dm${k - 1}) // (SELECT n FROM nn))
+          |        * 85) // 100) AS r
           |  FROM ids LEFT JOIN s$k USING (id)),
           |""".stripMargin
       }
@@ -2180,6 +2194,7 @@ object PipelineQueries {
           .unionByName(docs.select(
             ((col("doc_id") * 3) % 60).as("src"),
             ((col("doc_id") * 11 + 5) % 60).as("dst")))
+          .filter(col("src") < 55)
         val verts = edges.select(col("src").as("id"))
           .unionByName(edges.select(col("dst").as("id"))).distinct()
         graft.functions.Graph.pageRank(verts, edges, iters = 5)

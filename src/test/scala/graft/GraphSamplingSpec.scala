@@ -190,9 +190,12 @@ class GraphSamplingSpec extends AnyFunSuite {
       .map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(r(2L) > r(1L) && r(1L) > r(0L) && r(0L) == r(3L),
       s"rank order must follow link structure: $r")
-    // total mass stays ~scale (flooring loses only ulps; dangling vertex
-    // 2's mass drains per iteration — documented)
-    assert(r.values.sum <= 1000000000000L)
+    // total mass stays ~scale: dangling vertex 2's mass REDISTRIBUTES
+    // (round 11 — the textbook correction), so the sum is short only the
+    // integer-flooring trickle (≤ a few ulps per vertex per iteration)
+    val total = r.values.sum
+    assert(total <= 1000000000000L && total >= 1000000000000L - 1000L,
+      s"mass must be conserved up to flooring: $total")
     // partition-invariant: identical longs under a different layout
     val r2 = Graph.pageRank(verts.repartition(7), edges.repartition(5),
       iters = 5).collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
