@@ -2578,9 +2578,8 @@ object PipelineQueries {
     // REAL audio decimation (round 10): decode → keep every 2nd sample →
     // re-encode WAV at half rate → decode stats. Lossless PCM, so the
     // oracle replays the generating function at even sample indices —
-    // the audio twin of the resize chain. (Plain decimation without an
-    // anti-alias filter — the documented narrowing; the kernel is the
-    // deterministic part a SQL oracle can check.)
+    // the audio twin of the resize chain. (Plain decimation;
+    // pl_audio_decimate_lp below checks the anti-aliased form.)
     Q("pl_audio_decimate",
       """WITH clip AS (SELECT doc_id, 200 + doc_id % 100 AS n
         |              FROM documents),
@@ -2594,6 +2593,33 @@ object PipelineQueries {
         |FROM samp GROUP BY doc_id, n_dec ORDER BY doc_id""".stripMargin)(
       (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
         graft.multimodal.Multimodal.decimateAudio(
+          graft.multimodal.Multimodal.syntheticWavs(s, d), 2))
+        .toDF().orderBy("media_id")),
+
+    // ANTI-ALIASED audio decimation (round 11): a length-2 integer
+    // boxcar (the CIC moving-average decimation filter, zero-padded
+    // history) convolves BEFORE the 2:1 keep — the production resampling
+    // shape, closing the r10 "no low-pass" narrowing. Lossless PCM, so
+    // the oracle replays the integer convolution exactly: for each kept
+    // even index i, y = (s(i) + s(i-1)) / 2 with s(-1) = 0 — DuckDB's //
+    // and the JVM's / both TRUNCATE toward zero (not floor), which
+    // matters because filtered sums go negative.
+    Q("pl_audio_decimate_lp",
+      """WITH clip AS (SELECT doc_id, 200 + doc_id % 100 AS n
+        |              FROM documents),
+        |samp AS (SELECT doc_id, (n + 1) // 2 AS n_dec,
+        |           (((doc_id * 31 + 17 * i) % 65536) - 32768
+        |            + CASE WHEN i = 0 THEN 0
+        |              ELSE ((doc_id * 31 + 17 * (i - 1)) % 65536) - 32768
+        |              END) // 2 AS y
+        |         FROM clip, unnest(range(0, n)) AS u(i)
+        |         WHERE i % 2 = 0)
+        |SELECT doc_id AS media_id, CAST(n_dec AS BIGINT) AS n_samples,
+        |  CAST(sum(y) AS BIGINT) AS sum_amp,
+        |  CAST(max(y) AS BIGINT) AS max_amp
+        |FROM samp GROUP BY doc_id, n_dec ORDER BY doc_id""".stripMargin)(
+      (s, d) => graft.multimodal.Multimodal.decodeAudioStats(
+        graft.multimodal.Multimodal.decimateAudioLowpass(
           graft.multimodal.Multimodal.syntheticWavs(s, d), 2))
         .toDF().orderBy("media_id")),
 

@@ -380,6 +380,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(aout.duration_ms == 151L * 1000L / 4000L, s"${aout.duration_ms}")
   }
 
+  test("anti-aliased decimation kills the Nyquist tone plain aliases") {
+    import graft.multimodal.Multimodal
+    // an alternating ±1000 tone at fs/2 (the Nyquist frequency): plain
+    // 2:1 decimation keeps only the +1000 samples — the tone ALIASES to
+    // DC — while the length-2 boxcar cancels adjacent samples to zero
+    // (only the zero-padded first sample survives at half amplitude),
+    // which is exactly what an anti-alias low-pass is for
+    val nS = 200
+    val pcm = new Array[Byte](nS * 2)
+    for (i <- 0 until nS) {
+      val s = if (i % 2 == 0) 1000 else -1000
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nS.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = Seq(Multimodal.MediaRow(9L, "audio", bos.toByteArray,
+      0, 0, 25L)).toDS()
+    val plain = Multimodal.decodeAudioStats(
+      Multimodal.decimateAudio(wav, 2)).collect().head
+    assert(plain.n_samples == 100 && plain.max_amp == 1000 &&
+      plain.sum_amp == 100L * 1000L,
+      s"plain decimation must alias the tone to DC: $plain")
+    val lp = Multimodal.decodeAudioStats(
+      Multimodal.decimateAudioLowpass(wav, 2)).collect().head
+    assert(lp.n_samples == 100 && lp.max_amp == 500 && lp.sum_amp == 500L,
+      s"the boxcar must cancel the Nyquist tone: $lp")
+  }
+
   test("image near-dup: dHash + banded Hamming LSH equals all-pairs") {
     import graft.multimodal.Multimodal
     val media = Multimodal.syntheticNearDupPngs(spark, TestSpark.sf, 80)
