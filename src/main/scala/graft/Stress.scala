@@ -537,6 +537,21 @@ object Stress {
       graft.functions.Graph.pageRank(verts, edges, iters = 5)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-11: k-core decomposition — ascending-k peeling on the same
+    // random graph; each vertex peels once overall, each round is one
+    // in-set degree agg + filter, so total time tracks edges × peel
+    // cascade depth (shallow on random graphs at fixed avg degree)
+    timeBody("kcore", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.functions.Graph.coreNumbers(verts, edges)
+        .write.format("noop").mode("overwrite").save()
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

@@ -32,13 +32,18 @@ object Graph {
     * @param edges columns `src`, `dst` (undirected; either orientation)
     * @return (id, n_triangles) for every vertex appearing in an edge
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // canonical undirected edge set: min-id first, self-loops dropped
-    val und = edges
+  /** Canonical undirected edge set: min-id first, self-loops dropped,
+    * duplicate/reverse edges collapsed — the normalization every
+    * undirected operator here starts from. */
+  private def canonicalUndirected(edges: DataFrame): DataFrame =
+    edges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
+
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
     val degrees = und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
@@ -74,6 +79,112 @@ object Graph {
       .join(perVertex, Seq("id"), "left_outer")
       .select(col("id"),
         coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+  }
+
+  /** Per-vertex CLUSTERING COEFFICIENTS (round 11) — the standard
+    * graph-quality signal over [[triangleCounts]]: c(v) = 2·T(v) /
+    * (deg(v)·(deg(v)−1)), the fraction of a vertex's neighbor pairs that
+    * are themselves connected (1 inside a clique — a dup community —
+    * and ~0 on a random link). One degree aggregate joined onto the
+    * triangle counts; the division is the only non-integer step and both
+    * engines evaluate the identical IEEE double quotient of exact longs,
+    * so the value oracles bit-for-bit. Vertices of degree < 2 have no
+    * neighbor pair and report 0.0 by convention.
+    *
+    * @return (id, deg, n_triangles, clustering)
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val degrees = und.select(col("a").as("id"))
+      .union(und.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    triangleCounts(edges)
+      .join(degrees, "id")
+      .select(col("id"), col("deg"), col("n_triangles"),
+        when(col("deg") < 2, lit(0.0))
+          .otherwise((col("n_triangles") * 2L).cast("double") /
+            (col("deg") * (col("deg") - 1L)).cast("double"))
+          .as("clustering"))
+  }
+
+  /** K-CORE DECOMPOSITION (round 11) — core number per vertex: the
+    * largest k such that the vertex survives peeling to the k-core (the
+    * maximal subgraph where every vertex keeps in-subgraph degree ≥ k).
+    * Coreness is the robust density signal of corpus dup-graph analysis
+    * (degree counts links, coreness counts MUTUALLY-supported links: a
+    * star hub has high degree but coreness 1; a dup community is a
+    * high-k core).
+    *
+    * Shape: ascending-k iterative peeling. The k-core seeds from the
+    * (k−1)-core's survivors (cores are nested), so each vertex is peeled
+    * exactly once overall; each peel round is one in-set degree
+    * aggregation (sym-edges semi-joined to the survivor set twice,
+    * dst-keyed partial-agg count) + a filter, with the survivor COUNT
+    * riding the round's checkpoint as an Observation metric (the
+    * [[connectedComponents]] probe pattern — one action per round).
+    * Rounds per level are bounded by the peel cascade depth; total jobs
+    * = Σ_k rounds_k, and k never exceeds √(2m) (a k-core needs
+    * ≥ k(k+1)/2 edges). The driver loop is control flow only.
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `src`, `dst` (undirected; either orientation)
+    * @param maxK     safety bound on the core level (fail loudly rather
+    *                 than loop on a pathological graph)
+    * @return (id, core) for every vertex — 0 for isolated vertices
+    */
+  def coreNumbers(vertices: DataFrame, edges: DataFrame,
+      maxK: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    val und = canonicalUndirected(edges)
+    val sym = localCheckpointNoStats(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+    val ids = localCheckpointNoStats(vertices.select(col("id")).distinct())
+    val probe = count(lit(1)).as("c")
+    def checkpointWithCount(df: DataFrame, tag: String)
+        : (DataFrame, Long) = {
+      val obs = org.apache.spark.sql.Observation(s"kcore_$tag")
+      val out = localCheckpointNoStats(df.observe(obs, probe))
+      (out, obs.get("c").asInstanceOf[Long])
+    }
+    // peel the given survivor set to the k-core fixpoint
+    def peel(set: DataFrame, setCount: Long, k: Int): (DataFrame, Long) = {
+      var cur = set
+      var curCount = setCount
+      var round = 0
+      while (true) {
+        val (next, nextCount) = checkpointWithCount(
+          sym
+            .join(cur.select(col("id").as("u")), "u")
+            .join(cur.select(col("id").as("v")), "v")
+            .groupBy("u").agg(count(lit(1)).as("__d"))
+            .filter(col("__d") >= k)
+            .select(col("u").as("id")), s"${k}_$round")
+        if (nextCount == curCount) return (cur, curCount)
+        cur = next
+        curCount = nextCount
+        round += 1
+      }
+      (cur, curCount) // unreachable
+    }
+    var (survivors, survivorCount) = checkpointWithCount(ids, "init")
+    var k = 1
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    while (survivorCount > 0 && k <= maxK) {
+      val (core, coreCount) = peel(survivors, survivorCount, k)
+      if (coreCount < survivorCount)
+        // both sides are checkpointed, so the lazy anti-join is stable
+        dropped += survivors.join(core, Seq("id"), "left_anti")
+          .select(col("id"), lit(k - 1L).as("core"))
+      survivors = core
+      survivorCount = coreCount
+      k += 1
+    }
+    if (survivorCount > 0)
+      throw new IllegalStateException(
+        s"coreNumbers exceeded maxK=$maxK — pathological graph density")
+    dropped.reduceOption(_ unionByName _)
+      .getOrElse(ids.select(col("id"), lit(0L).as("core")))
   }
 
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER

@@ -2116,7 +2116,11 @@ object PipelineQueries {
         |pv AS (SELECT id, count(*) AS n FROM (
         |         SELECT u AS id FROM t UNION ALL SELECT w1 FROM t
         |         UNION ALL SELECT w2 FROM t) GROUP BY id)
-        |SELECT deg.id, CAST(coalesce(n, 0) AS BIGINT) AS n_triangles
+        |SELECT deg.id, CAST(dg AS BIGINT) AS deg,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n_triangles,
+        |  CASE WHEN dg < 2 THEN 0.0
+        |       ELSE CAST(2 * coalesce(n, 0) AS DOUBLE) / (dg * (dg - 1))
+        |  END AS clustering
         |FROM deg LEFT JOIN pv USING (id) ORDER BY deg.id""".stripMargin)(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
@@ -2129,7 +2133,72 @@ object PipelineQueries {
           .unionByName(docs.select(
             ((col("doc_id") * 3) % 60).as("src"),
             ((col("doc_id") * 11 + 5) % 60).as("dst")))
-        graft.functions.Graph.triangleCounts(edges).orderBy("id")
+        graft.functions.Graph.clusteringCoefficients(edges).orderBy("id")
+      }),
+
+    // K-CORE DECOMPOSITION (round 11): core number per vertex by
+    // ascending-k iterative peeling, on a sparsified variant of the
+    // synthetic graph (generators range-restricted so the decomposition
+    // is non-degenerate: cores 1, 2 and 3 all present at every SF — the
+    // unrestricted graph is 4-regular-ish and peels all-at-once). The
+    // oracle replays the peeling with one recursive CTE per k, using the
+    // shrinking-set-size stamp so DuckDB's UNION-dedup recursion stops
+    // exactly at each k-core fixpoint; a final one-round in-set degree
+    // filter distinguishes the fixpoint from the empty-core stop.
+    Q("pl_kcore", {
+      def kcoreCte(k: Int): String =
+        s"""rem$k(id, sz) AS (
+           |  SELECT id, (SELECT count(*) FROM kids) FROM kids
+           |  UNION
+           |  SELECT id, count(*) OVER () AS sz FROM (
+           |    SELECT s.u AS id FROM ksym s
+           |      JOIN rem$k ru ON s.u = ru.id
+           |      JOIN rem$k rv ON s.v = rv.id
+           |    GROUP BY s.u HAVING count(*) >= $k) t),
+           |m$k AS (SELECT id FROM rem$k
+           |        WHERE sz = (SELECT min(sz) FROM rem$k)),
+           |core$k AS (SELECT u AS id FROM ksym
+           |           WHERE u IN (SELECT id FROM m$k)
+           |             AND v IN (SELECT id FROM m$k)
+           |           GROUP BY u HAVING count(*) >= $k)""".stripMargin
+      s"""WITH RECURSIVE ke0 AS (
+         |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d
+         |  FROM documents WHERE doc_id % 60 < 50
+         |  UNION ALL
+         |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60
+         |  FROM documents WHERE doc_id % 60 < 25
+         |  UNION ALL
+         |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60
+         |  FROM documents WHERE doc_id % 60 < 12),
+         |kund AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |         FROM ke0 WHERE s <> d),
+         |ksym AS (SELECT a AS u, b AS v FROM kund
+         |         UNION ALL SELECT b, a FROM kund),
+         |kids AS (SELECT DISTINCT u AS id FROM ksym),
+         |${(1 to 4).map(kcoreCte).mkString(",\n")}
+         |SELECT id, CAST(CASE
+         |    WHEN id IN (SELECT id FROM core4) THEN 4
+         |    WHEN id IN (SELECT id FROM core3) THEN 3
+         |    WHEN id IN (SELECT id FROM core2) THEN 2
+         |    WHEN id IN (SELECT id FROM core1) THEN 1
+         |    ELSE 0 END AS BIGINT) AS core
+         |FROM kids ORDER BY id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val r = col("doc_id") % 60
+        val edges = docs.filter(r < 50).select(
+          (col("doc_id") % 60).as("src"),
+          ((col("doc_id") * 7 + 1) % 60).as("dst"))
+          .unionByName(docs.filter(r < 25).select(
+            (col("doc_id") % 60).as("src"),
+            ((col("doc_id") * 13 + 2) % 60).as("dst")))
+          .unionByName(docs.filter(r < 12).select(
+            ((col("doc_id") * 3) % 60).as("src"),
+            ((col("doc_id") * 11 + 5) % 60).as("dst")))
+        val verts = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        graft.functions.Graph.coreNumbers(verts, edges).orderBy("id")
       }),
 
     // deterministic integer PageRank (round 10; round 11 adds the

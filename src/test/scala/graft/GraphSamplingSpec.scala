@@ -180,6 +180,42 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(gotMessy == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusteringCoefficients: clique 1.0, star 0.0, degree<2 convention") {
+    import graft.functions.Graph
+    // K4 ∪ a pendant vertex 9 hanging off vertex 0
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (0L, 9L)).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(edges).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    // vertices 1-3: deg 3, all 3 neighbor pairs connected... not quite:
+    // vertex 1's neighbors {0,2,3} are fully connected -> c = 1.0
+    assert(got(1L) == ((3L, 3L, 1.0)) && got(2L) == ((3L, 3L, 1.0)) &&
+      got(3L) == ((3L, 3L, 1.0)), s"$got")
+    // vertex 0: deg 4 (clique + pendant), 3 triangles of 6 pairs -> 0.5
+    assert(got(0L) == ((4L, 3L, 0.5)), s"$got")
+    // the pendant has deg 1 -> 0.0 by convention
+    assert(got(9L) == ((1L, 0L, 0.0)), s"$got")
+  }
+
+  test("coreNumbers: clique 3, chain 1, isolated 0, nested peeling") {
+    import graft.functions.Graph
+    // K4 (core 3) - vertex 4 tied to two clique members (core 2) -
+    // pendant chain 5-6 off vertex 4 (core 1) - isolated vertex 7 (core 0)
+    val edges = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (4L, 0L), (4L, 1L), (5L, 4L), (6L, 5L)).toDF("src", "dst")
+    val verts = (0L to 7L).toDF("id")
+    val got = Graph.coreNumbers(verts, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 3L, 1L -> 3L, 2L -> 3L, 3L -> 3L,
+      4L -> 2L, 5L -> 1L, 6L -> 1L, 7L -> 0L), s"$got")
+    // partition-invariant
+    val got2 = Graph.coreNumbers(verts.repartition(5),
+      edges.repartition(3)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == got2)
+  }
+
   test("pageRank: sink-vs-source ordering, determinism, mass bound") {
     import graft.functions.Graph
     // chain 0→1→2 plus 3→2: vertex 2 collects everything, sources only
