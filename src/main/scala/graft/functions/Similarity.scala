@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Similarity search over embedding columns (`array<float>`).
@@ -532,11 +532,75 @@ object Similarity {
     */
   def incrementalSemDedup(
       batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+      threshold: Double, nCells: Int = 16, nProbe: Int = 2): DataFrame =
+    incrementalSemDedup(batch, ivfIndex(corpus, idCol, vecCol, nCells),
+      idCol, vecCol, threshold, nProbe)
+
+  /** A built IVF corpus index: the cell-assigned (id, vector, cell) rows
+    * plus the frozen centroid table (the coarse quantizer — bounded
+    * k × dim). The third member of the index-lifecycle family
+    * ([[graft.functions.Dedup.MinhashIndex]], `HammingIndex`): build once
+    * ([[ivfIndex]]), persist ([[saveIvfIndex]]), probe per ingest
+    * ([[loadIvfIndex]] + [[incrementalSemDedup]]), append the ingest's
+    * survivors ([[appendToIvfIndex]] — assigned under the STORED
+    * centroids, so the quantizer never reshapes).
+    */
+  final case class IvfIndex(cells: DataFrame, centroids: Array[Array[Float]])
+
+  def ivfIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16): IvfIndex = {
     val (assigned, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
+    IvfIndex(assigned, cents)
+  }
+
+  /** Persist an [[IvfIndex]] as parquet under `path` (`cells/` +
+    * `centroids/` — float arrays round-trip parquet exactly, so the
+    * loaded quantizer is bit-identical). Overwrites. */
+  def saveIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.cells.write.mode("overwrite").parquet(s"$path/cells")
+    val spark = index.cells.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Load a persisted [[IvfIndex]] — the cell rows are a pinned file-set
+    * snapshot (the [[graft.functions.Dedup.snapshotFiles]] rootPaths
+    * trap), the centroids a bounded k × dim collect. */
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    IvfIndex(
+      spark.read.parquet(
+        Dedup.snapshotFiles(spark, s"$path/cells"): _*),
+      cents)
+  }
+
+  /** APPEND an ingest's surviving (id, vector) rows to a persisted
+    * index: survivors are assigned under the index's STORED centroids
+    * (the quantizer is frozen — the incremental contract) and only their
+    * rows append; the corpus cells are never read or rewritten. */
+  def appendToIvfIndex(spark: SparkSession, path: String,
+      survivors: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = loadIvfIndex(spark, path).centroids
+    survivors
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell", element_at(
+        nearestCells(col("__cv"), cents, 1), 1))
+      .write.mode("append").parquet(s"$path/cells")
+  }
+
+  /** The per-ingest probe against a prebuilt [[IvfIndex]]. */
+  def incrementalSemDedup(
+      batch: DataFrame, index: IvfIndex, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int): DataFrame = {
     val b = batch.select(col(idCol).as("__bid"), col(vecCol).as("__bv"))
-      .withColumn("__cells", nearestCells(col("__bv"), cents, nProbe))
-    val c = assigned.select(
+      .withColumn("__cells",
+        nearestCells(col("__bv"), index.centroids, nProbe))
+    val c = index.cells.select(
       col("neighbor_id").as("__cid"), col("__cv"), col("__cell"))
     val drops = b
       .join(c, array_contains(col("__cells"), col("__cell")))

@@ -341,6 +341,62 @@ class PipelineSpec extends AnyFunSuite {
       "day-2 must drop the near-dup of the appended day-1 survivor")
   }
 
+  test("ivf index lifecycle: save/load/append, frozen quantizer") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(0f, 1f, 0f, 0f))).toDF("id", "vec")
+    val day1 = Seq(
+      (10L, Seq(0.99f, 0.01f, 0f, 0f)), // near corpus 0 -> drop
+      (11L, Seq(0f, 0f, 1f, 0f)))       // orthogonal -> survive
+      .toDF("id", "vec")
+    val day2 = Seq(
+      (20L, Seq(0f, 0.01f, 0.99f, 0f)), // near day-1 SURVIVOR 11 -> drop
+      (21L, Seq(0f, 0f, 0f, 1f)))       // orthogonal -> survive
+      .toDF("id", "vec")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-spec").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(corpus, "id", "vec", nCells = 2), dir)
+    val idx1 = Similarity.loadIvfIndex(spark, dir)
+    assert(idx1.centroids.length == 2)
+    val surv1 = Similarity.incrementalSemDedup(day1, idx1,
+      "id", "vec", threshold = 0.9, nProbe = 2)
+    assert(surv1.collect().map(_.getLong(0)).toSet == Set(11L))
+    // append needs the survivors' VECTORS — join the ids back to the batch
+    Similarity.appendToIvfIndex(spark, dir,
+      day1.join(surv1.select("id"), "id"), "id", "vec")
+    val surv2 = Similarity.incrementalSemDedup(day2,
+      Similarity.loadIvfIndex(spark, dir), "id", "vec",
+      threshold = 0.9, nProbe = 2)
+    assert(surv2.collect().map(_.getLong(0)).toSet == Set(21L),
+      "day-2 must drop the near-dup of the appended day-1 survivor")
+  }
+
+  test("ivf index: loaded-from-parquet probe equals the inline path") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 200)
+    val batch = emb.filter(col("vec_id") >= 200 && col("vec_id") < 300)
+    val inline = Similarity.incrementalSemDedup(batch, corpus,
+      "vec_id", "embedding", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-eq").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(corpus, "vec_id", "embedding"), dir)
+    val loaded = Similarity.incrementalSemDedup(batch,
+      Similarity.loadIvfIndex(spark, dir), "vec_id", "embedding",
+      threshold = 0.9, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    // float arrays round-trip parquet exactly, so the frozen quantizer
+    // and therefore the survivor set are identical
+    assert(inline == loaded && inline.nonEmpty)
+  }
+
   test("decimation metadata: durations follow kept content, exactly") {
     import graft.multimodal.Multimodal
     // 3 frames at 40ms each decimated by 2 keeps 2 frames => 80ms (the
