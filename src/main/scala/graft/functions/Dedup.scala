@@ -656,6 +656,41 @@ object Dedup {
     buckets.write.mode("append").parquet(s"$path/buckets")
   }
 
+  /** Rewrite one persisted parquet table into `numFiles` consolidated
+    * files: nightly appends leave a few small files per batch, and after
+    * months of ingests the probe pays file-listing and footer-open cost
+    * per tiny file — the classic small-files problem. The rewrite stages
+    * into a sibling directory and swaps by rename (NOT atomic across the
+    * delete+rename pair — a production deployment puts the index behind
+    * a table format with real snapshot isolation; this is the plain-
+    * parquet form of the same maintenance job). */
+  private[functions] def compactParquetDir(
+      spark: SparkSession, dir: String, numFiles: Int): Unit = {
+    require(numFiles >= 1)
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    spark.read.parquet(snapshotFiles(spark, dir): _*)
+      .repartition(numFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(p, true)
+    fs.rename(tmp, p)
+  }
+
+  /** Compact a persisted [[MinhashIndex]]'s `sets/` and `buckets/`
+    * tables into `numFiles` files each (run periodically between
+    * appends; probe results are unchanged — PipelineSpec proves it). */
+  def compactMinhashIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit = {
+    compactParquetDir(spark, s"$path/sets", numFiles)
+    compactParquetDir(spark, s"$path/buckets", numFiles)
+  }
+
+  /** Compact a persisted `HammingIndex`'s `buckets/` table. */
+  def compactHammingIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit =
+    compactParquetDir(spark, s"$path/buckets", numFiles)
+
   /** In-memory append — the same survivors-only derivation as
     * [[appendToMinhashIndex]], unioned into a new [[MinhashIndex]]
     * without touching storage. */

@@ -593,6 +593,13 @@ object Similarity {
       .write.mode("append").parquet(s"$path/cells")
   }
 
+  /** Compact a persisted [[IvfIndex]]'s `cells/` table (the centroid
+    * table is one tiny file and never grows). Same maintenance job as
+    * [[graft.functions.Dedup.compactMinhashIndex]]. */
+  def compactIvfIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit =
+    Dedup.compactParquetDir(spark, s"$path/cells", numFiles)
+
   /** The per-ingest probe against a prebuilt [[IvfIndex]]. */
   def incrementalSemDedup(
       batch: DataFrame, index: IvfIndex, idCol: String, vecCol: String,

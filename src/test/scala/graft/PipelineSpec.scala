@@ -313,6 +313,19 @@ class PipelineSpec extends AnyFunSuite {
       Dedup.incrementalMinhashDedup(day2, idx1, "doc_id", "text",
         n = 3, k = 128, rowsPerBand = 4, threshold = 0.8)
     }
+    // COMPACTION: appends accumulate small files; compacting rewrites
+    // each table to the requested file count and probe output is
+    // unchanged
+    def nFiles(d: String) = new java.io.File(d).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nFiles(s"$dir/sets") > 1, "append must have added files")
+    Dedup.compactMinhashIndex(spark, dir, numFiles = 1)
+    assert(nFiles(s"$dir/sets") == 1 && nFiles(s"$dir/buckets") == 1,
+      "compaction must consolidate to the requested file count")
+    val surv2c = Dedup.incrementalMinhashDedup(day2,
+      Dedup.loadMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.8)
+    assert(surv2c.collect().map(_.getLong(0)).toSet == Set(22L),
+      "the compacted index must probe identically")
   }
 
   test("hamming index lifecycle: save/load/append equals inline probe") {
