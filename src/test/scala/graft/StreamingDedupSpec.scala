@@ -53,4 +53,41 @@ class StreamingDedupSpec extends AnyFunSuite {
         "state must be evicted past the horizon")
     } finally q.stop()
   }
+
+  test("streaming minhash probe appends survivors between micro-batches") {
+    import graft.functions.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // persisted day-0 corpus index
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-stream-idx").toString
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val input = MemoryStream[(Long, String)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = graft.streaming.StreamingDedup.minhashDedupStream(
+      input.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
+      threshold = 0.8) { surv =>
+      seen ++= surv.collect().map(_.getLong(0)); ()
+    }
+    try {
+      // micro-batch 1: a corpus dup (drops) + a fresh doc (survives,
+      // appends)
+      input.addData(
+        (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+        (11L, "one two three four five six seven eight"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L), s"batch-1 survivors: $seen")
+      // micro-batch 2: a dup of batch-1's SURVIVOR must now drop (the
+      // append is what makes it visible), a fresh doc survives
+      input.addData(
+        (20L, "one two three four five six seven eight"),
+        (21L, "nine ten eleven twelve thirteen fourteen"))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L, 21L),
+        s"batch-2 must drop the dup of the appended survivor: $seen")
+    } finally q.stop()
+  }
 }
