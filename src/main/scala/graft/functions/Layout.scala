@@ -195,8 +195,22 @@ object Layout {
   def writeZOrdered(df: DataFrame, cols: Seq[String], path: String,
       bits: Int = 16, numFiles: Int = 0): DataFrame = {
     val (keyed, _) = zOrderKey(df, cols, bits)
+    rangeWrite(keyed, path, numFiles)
+  }
+
+  /** [[writeZOrdered]] with the QUANTILE-binned key — the write path for
+    * skewed clustering columns: the whole job is the boundary job plus
+    * this one range exchange. */
+  def writeZOrderedQuantile(df: DataFrame, cols: Seq[String], path: String,
+      bits: Int = 8, numFiles: Int = 0): DataFrame = {
+    val (keyed, _) = zOrderKeyQuantileBinned(df, cols, bits)
+    rangeWrite(keyed, path, numFiles)
+  }
+
+  private def rangeWrite(keyed: DataFrame, path: String,
+      numFiles: Int): DataFrame = {
     val parts = if (numFiles > 0) numFiles
-      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      else keyed.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     keyed
       .repartitionByRange(parts, col("zkey"))
       .sortWithinPartitions(col("zkey"))
