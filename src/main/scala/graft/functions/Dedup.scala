@@ -656,6 +656,71 @@ object Dedup {
     buckets.write.mode("append").parquet(s"$path/buckets")
   }
 
+  /** Persist a [[MinhashIndex]] as BUCKETED catalog tables — the
+    * 100 TB probe layout: `<table>_buckets` bucket-sorted by
+    * (band, bucket) and `<table>_sets` by __cid, so BOTH corpus-side
+    * joins of every nightly probe (the band-bucket candidate join and
+    * the __cid Jaccard-verify join) read pre-shuffled buckets and plan
+    * with ZERO corpus-side exchange — only the batch's own small sides
+    * shuffle, at every probe, forever (BucketedJoinSpec's co-location
+    * contract applied to the index). Plain-parquet [[saveMinhashIndex]]
+    * stays the format-portable form; this one needs a catalog.
+    */
+  def saveMinhashIndexBucketed(index: MinhashIndex, table: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    index.sets.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/sets")
+      .bucketBy(nBuckets, "__cid").sortBy("__cid")
+      .saveAsTable(s"${table}_sets")
+    index.buckets.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/buckets")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${table}_buckets")
+    val spark = index.sets.sparkSession
+    import spark.implicits._
+    Seq((index.n, index.k, index.rowsPerBand))
+      .toDF("n", "k", "rows_per_band")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a bucketed-table [[MinhashIndex]] (catalog relations — the
+    * scans carry the bucket spec, so probe joins co-locate). */
+  def loadMinhashIndexBucketed(spark: SparkSession, table: String,
+      path: String): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    MinhashIndex(
+      spark.table(s"${table}_sets"),
+      spark.table(s"${table}_buckets"),
+      meta.getAs[Int]("n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("rows_per_band"))
+  }
+
+  /** APPEND survivors to a bucketed-table index — rows land in their
+    * key's bucket (one batch-sized shuffle into the bucket layout), the
+    * corpus buckets are never rewritten, and the co-location contract
+    * holds for the grown table. */
+  def appendToMinhashIndexBucketed(spark: SparkSession, table: String,
+      path: String, survivors: DataFrame,
+      idCol: String, textCol: String): Unit = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${table}_buckets"))
+      .bucketSpec.map(_.numBuckets)
+    val (sets, buckets) = minhashIndexRows(survivors, idCol, textCol,
+      meta.getAs[Int]("n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("rows_per_band"))
+    // saveAsTable(append) validates the bucket spec against the catalog,
+    // so a drifted layout fails loudly instead of silently de-bucketing
+    val nb = nBuckets.getOrElse(64)
+    sets.write.mode("append").format("parquet")
+      .bucketBy(nb, "__cid").sortBy("__cid")
+      .saveAsTable(s"${table}_sets")
+    buckets.write.mode("append").format("parquet")
+      .bucketBy(nb, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${table}_buckets")
+  }
+
   /** Rewrite one persisted parquet table into `numFiles` consolidated
     * files: nightly appends leave a few small files per batch, and after
     * months of ingests the probe pays file-listing and footer-open cost
