@@ -656,6 +656,35 @@ object Dedup {
     buckets.write.mode("append").parquet(s"$path/buckets")
   }
 
+  /** SNAPSHOT DIFF (round 11) — the what-changed audit between two
+    * corpus snapshots every nightly pipeline runs before deciding what
+    * to reprocess: classify every id as added (new only), removed (old
+    * only), changed (both, content differs) or unchanged.
+    *
+    * 100 TB shape: both sides project to (id, content hash) BEFORE the
+    * join, so the one full-outer shuffle carries 16 bytes per row, never
+    * document text; equality of xxhash64 on the same column is content
+    * equality up to 64-bit collision (the standard snapshot-diff trade —
+    * at 2^32 docs the collision expectation is ~0.5 FALSE-unchanged
+    * rows; a pipeline that cannot tolerate that compares a second
+    * independent hash).
+    *
+    * @return (idCol, status ∈ added|removed|changed|unchanged)
+    */
+  def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("__id"),
+      xxhash64(col(textCol)).as("__ho"))
+    val n = newDf.select(col(idCol).as("__id"),
+      xxhash64(col(textCol)).as("__hn"))
+    o.join(n, Seq("__id"), "full_outer")
+      .select(col("__id").as(idCol),
+        when(col("__ho").isNull, lit("added"))
+          .when(col("__hn").isNull, lit("removed"))
+          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"))
+  }
+
   /** Persist a [[MinhashIndex]] as BUCKETED catalog tables — the
     * 100 TB probe layout: `<table>_buckets` bucket-sorted by
     * (band, bucket) and `<table>_sets` by __cid, so BOTH corpus-side
@@ -710,9 +739,12 @@ object Dedup {
     val (sets, buckets) = minhashIndexRows(survivors, idCol, textCol,
       meta.getAs[Int]("n"), meta.getAs[Int]("k"),
       meta.getAs[Int]("rows_per_band"))
-    // saveAsTable(append) validates the bucket spec against the catalog,
-    // so a drifted layout fails loudly instead of silently de-bucketing
-    val nb = nBuckets.getOrElse(64)
+    // saveAsTable(append) additionally validates the spec against the
+    // catalog, so a drifted layout fails loudly instead of silently
+    // de-bucketing
+    val nb = nBuckets.getOrElse(throw new IllegalStateException(
+      s"${table}_buckets exists but carries no bucket spec — it was not " +
+        "written by saveMinhashIndexBucketed"))
     sets.write.mode("append").format("parquet")
       .bucketBy(nb, "__cid").sortBy("__cid")
       .saveAsTable(s"${table}_sets")

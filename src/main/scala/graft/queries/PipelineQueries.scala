@@ -1116,6 +1116,37 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // SNAPSHOT DIFF (round 11): the what-changed audit between two corpus
+    // snapshots — old drops ids ≡ 5 (mod 13), new drops ids ≡ 0 (mod 10)
+    // and rewrites ids ≡ 1 (mod 7), so all four statuses appear; the
+    // oracle replays the classification with a full outer join on text
+    // equality (hash equality on the same text is the same predicate)
+    Q("pl_snapshot_diff",
+      """WITH o AS (SELECT doc_id, text FROM documents
+        |           WHERE doc_id % 13 <> 5),
+        |n AS (SELECT doc_id,
+        |        CASE WHEN doc_id % 7 = 1 THEN text || ' v2' ELSE text END
+        |          AS text
+        |      FROM documents WHERE doc_id % 10 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.text = n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val oldSnap = docs.filter(col("doc_id") % 13 =!= 5)
+          .select("doc_id", "text")
+        val newSnap = docs.filter(col("doc_id") % 10 =!= 0)
+          .select(col("doc_id"),
+            when(col("doc_id") % 7 === 1, concat(col("text"), lit(" v2")))
+              .otherwise(col("text")).as("text"))
+        Dedup.snapshotDiff(oldSnap, newSnap, "doc_id", "text")
+          .orderBy("doc_id")
+      }),
+
     // the full index LIFECYCLE (round 11): build the day-0 corpus index,
     // SAVE it to parquet, LOAD + probe the day-1 batch, APPEND the day-1
     // survivors (their sets/band tuples only — the corpus is never

@@ -354,6 +354,23 @@ class PipelineSpec extends AnyFunSuite {
       "day-2 must drop the near-dup of the appended day-1 survivor")
   }
 
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
+    val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")
+    val got = Dedup.snapshotDiff(o, n, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"), s"$got")
+    // a null text on a PRESENT row is content, not absence: Spark's
+    // xxhash64 is null-skipping (returns the seed hash, never null), so
+    // the isNull presence checks cannot misfire on null content
+    val o2 = Seq((1L, null: String), (2L, "x")).toDF("id", "t")
+    val n2 = Seq((1L, null: String), (2L, null: String)).toDF("id", "t")
+    val got2 = Dedup.snapshotDiff(o2, n2, "id", "t").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got2 == Map(1L -> "unchanged", 2L -> "changed"), s"$got2")
+  }
+
   test("ivf index lifecycle: save/load/append, frozen quantizer") {
     import graft.functions.Similarity
     val spark = TestSpark.spark
