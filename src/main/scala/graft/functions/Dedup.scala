@@ -713,7 +713,18 @@ object Dedup {
   }
 
   /** Load a bucketed-table [[MinhashIndex]] (catalog relations — the
-    * scans carry the bucket spec, so probe joins co-locate). */
+    * scans carry the bucket spec, so probe joins co-locate).
+    *
+    * CAVEAT, stated honestly: unlike [[loadMinhashIndex]], a catalog
+    * table CANNOT pin its file-set snapshot (reading explicit files
+    * would drop the bucket spec — the whole point of this form), so the
+    * rootPaths-equality reuse trap applies: do NOT evaluate a pre-append
+    * and a post-append load of the same table inside ONE query tree
+    * (exchange/AQE-stage reuse can serve the pre-append corpus stage to
+    * the post-append probe). The nightly production shape — one probe
+    * action, then the append, each its own job — never hits this; the
+    * build→probe→append→probe-in-one-tree gate shape must use the
+    * plain-parquet form, whose loads are pinned snapshots. */
   def loadMinhashIndexBucketed(spark: SparkSession, table: String,
       path: String): MinhashIndex = {
     val meta = spark.read.parquet(s"$path/meta").collect().head
@@ -770,8 +781,14 @@ object Dedup {
     spark.read.parquet(snapshotFiles(spark, dir): _*)
       .repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(p, true)
-    fs.rename(tmp, p)
+    // Hadoop FileSystem reports most delete/rename failures by returning
+    // false, not throwing — a swallowed false here would destroy the
+    // table and return as if compaction succeeded
+    require(fs.delete(p, true),
+      s"compaction could not delete $p; staged rewrite left at $tmp")
+    require(fs.rename(tmp, p),
+      s"compaction could not rename $tmp to $p — the table is GONE and " +
+        s"the data lives at $tmp; restore by renaming manually")
   }
 
   /** Compact a persisted [[MinhashIndex]]'s `sets/` and `buckets/`

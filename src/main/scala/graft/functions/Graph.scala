@@ -44,9 +44,22 @@ object Graph {
 
   def triangleCounts(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val degrees = und.select(col("a").as("id"))
+    val degrees = undirectedDegrees(und)
+    triangleCountsFrom(und, degrees)
+  }
+
+  private def undirectedDegrees(und: DataFrame): DataFrame =
+    und.select(col("a").as("id"))
       .union(und.select(col("b").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+
+  /** [[triangleCounts]] over a pre-canonicalized edge set and its degree
+    * table — shared with [[clusteringCoefficients]] so the coefficient
+    * join reuses the SAME und/degree subtrees (identical canonical plans
+    * collapse via exchange reuse at runtime; building them once keeps
+    * that guaranteed rather than incidental). */
+  private def triangleCountsFrom(und: DataFrame,
+      degrees: DataFrame): DataFrame = {
     def withDeg(side: String) = degrees
       .select(col("id").as(side), col("deg").as(s"__d_$side"))
     // orient low-(deg, id) → high-(deg, id)
@@ -95,10 +108,8 @@ object Graph {
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
     val und = canonicalUndirected(edges)
-    val degrees = und.select(col("a").as("id"))
-      .union(und.select(col("b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("deg"))
-    triangleCounts(edges)
+    val degrees = undirectedDegrees(und)
+    triangleCountsFrom(und, degrees)
       .join(degrees, "id")
       .select(col("id"), col("deg"), col("n_triangles"),
         when(col("deg") < 2, lit(0.0))
@@ -170,7 +181,11 @@ object Graph {
     var (survivors, survivorCount) = checkpointWithCount(ids, "init")
     var k = 1
     val dropped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
-    while (survivorCount > 0 && k <= maxK) {
+    // a vertex of core c is only LABELED when the k = c+1 peel removes
+    // it, so supporting core levels up to maxK needs the loop to reach
+    // maxK + 1 (off-by-one otherwise: a graph whose max core equals
+    // maxK would throw despite never exceeding the documented bound)
+    while (survivorCount > 0 && k <= maxK + 1) {
       val (core, coreCount) = peel(survivors, survivorCount, k)
       if (coreCount < survivorCount)
         // both sides are checkpointed, so the lazy anti-join is stable

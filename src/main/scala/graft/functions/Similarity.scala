@@ -569,15 +569,17 @@ object Similarity {
   /** Load a persisted [[IvfIndex]] — the cell rows are a pinned file-set
     * snapshot (the [[graft.functions.Dedup.snapshotFiles]] rootPaths
     * trap), the centroids a bounded k × dim collect. */
-  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex = {
-    val cents = spark.read.parquet(s"$path/centroids")
+  private def loadCentroids(spark: SparkSession, path: String)
+      : Array[Array[Float]] =
+    spark.read.parquet(s"$path/centroids")
       .orderBy("cell").collect()
       .map(_.getSeq[Float](1).toArray)
+
+  def loadIvfIndex(spark: SparkSession, path: String): IvfIndex =
     IvfIndex(
       spark.read.parquet(
         Dedup.snapshotFiles(spark, s"$path/cells"): _*),
-      cents)
-  }
+      loadCentroids(spark, path))
 
   /** APPEND an ingest's surviving (id, vector) rows to a persisted
     * index: survivors are assigned under the index's STORED centroids
@@ -585,7 +587,10 @@ object Similarity {
     * rows append; the corpus cells are never read or rewritten. */
   def appendToIvfIndex(spark: SparkSession, path: String,
       survivors: DataFrame, idCol: String, vecCol: String): Unit = {
-    val cents = loadIvfIndex(spark, path).centroids
+    // read ONLY the bounded centroid table — going through loadIvfIndex
+    // would list every cells/ data file just to discard the DataFrame,
+    // and append cost must stay ∝ the batch
+    val cents = loadCentroids(spark, path)
     survivors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cell", element_at(

@@ -50,9 +50,20 @@ object StreamingDedup {
     * stream-stream anti-join no streaming planner accepts), and the
     * micro-batch boundary makes them legal — the same pattern lakehouse
     * MERGE sinks use. Index reload per micro-batch is metadata-only (a
-    * file listing + a one-row meta read); survivors materialize via
-    * `localCheckpoint` BEFORE the append so the sink's rows cannot
-    * observe the index state their own append mutates.
+    * file listing + a one-row meta read).
+    *
+    * REPLAY SAFETY (Structured Streaming re-executes a micro-batch after
+    * a sink failure or a crash before the batch commits): a re-executed
+    * probe would find the batch's OWN previously-appended survivors in
+    * the index — each an exact self-dup — and silently drop them. The
+    * per-batch body therefore commits its survivor-id MANIFEST under
+    * `<indexPath>/_batches/` before touching the index; a replay detects
+    * the manifest and rebuilds the same survivor set from it instead of
+    * re-probing, re-appends only if the append marker is missing (a
+    * crash between append and marker can duplicate index rows once —
+    * probe-neutral, since candidates and drops are set-semantics), and
+    * hands the sink the identical rows. The sink must be idempotent per
+    * batchId, as for every foreachBatch sink.
     *
     * @param sink runs once per micro-batch on the SURVIVING rows (full
     *             input columns)
@@ -62,17 +73,52 @@ object StreamingDedup {
       threshold: Double, appendSurvivors: Boolean = true)(
       sink: DataFrame => Unit): StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val idx = graft.functions.Dedup.loadMinhashIndex(spark, indexPath)
-        val survIds = graft.functions.Dedup.incrementalMinhashDedup(
-          batch, idx, idCol, textCol, threshold)
-        val survivors = batch
-          .join(survIds, Seq(idCol), "left_semi").localCheckpoint()
-        if (appendSurvivors)
-          graft.functions.Dedup.appendToMinhashIndex(
-            spark, indexPath, survivors, idCol, textCol)
-        sink(survivors)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probeBatch(batch, indexPath, batchId, idCol, textCol,
+          threshold, appendSurvivors))
       }
       .start()
+
+  /** The per-micro-batch body of [[minhashDedupStream]], exposed so
+    * replay idempotence is directly testable: calling it twice with the
+    * same batchId returns the same survivor set and leaves the index
+    * correct (StreamingDedupSpec pins it). */
+  def probeBatch(batch: DataFrame, indexPath: String, batchId: Long,
+      idCol: String, textCol: String, threshold: Double,
+      appendSurvivors: Boolean): DataFrame = {
+    import graft.functions.Dedup
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val manifestDir = s"$indexPath/_batches/manifest-$batchId"
+    val manifestDone =
+      new org.apache.hadoop.fs.Path(s"$manifestDir/_SUCCESS")
+    val appendMarker =
+      new org.apache.hadoop.fs.Path(s"$indexPath/_batches/appended-$batchId")
+    val fs = manifestDone.getFileSystem(hconf)
+    val replay = fs.exists(manifestDone)
+    val survivors =
+      if (replay)
+        // the index may already contain this batch's survivors (their
+        // self-matches would wrongly drop them) — rebuild from the
+        // committed manifest, never re-probe
+        batch.join(spark.read.parquet(manifestDir), Seq(idCol), "left_semi")
+          .localCheckpoint()
+      else {
+        val idx = Dedup.loadMinhashIndex(spark, indexPath)
+        val s = batch
+          .join(Dedup.incrementalMinhashDedup(
+            batch, idx, idCol, textCol, threshold), Seq(idCol), "left_semi")
+          .localCheckpoint()
+        // the manifest's _SUCCESS is the batch's commit point: written
+        // before any index mutation, so every earlier crash re-probes a
+        // clean index and every later crash replays from the manifest
+        s.select(idCol).write.mode("overwrite").parquet(manifestDir)
+        s
+      }
+    if (appendSurvivors && !fs.exists(appendMarker)) {
+      Dedup.appendToMinhashIndex(spark, indexPath, survivors, idCol, textCol)
+      fs.create(appendMarker, true).close()
+    }
+    survivors
+  }
 }

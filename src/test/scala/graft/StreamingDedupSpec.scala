@@ -90,4 +90,35 @@ class StreamingDedupSpec extends AnyFunSuite {
         s"batch-2 must drop the dup of the appended survivor: $seen")
     } finally q.stop()
   }
+
+  test("replayed micro-batch returns the same survivors, not self-dedup") {
+    import graft.functions.Dedup
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-replay-idx").toString
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup
+      (11L, "one two three four five six seven eight"))       // survivor
+      .toDF("doc_id", "text")
+    def run() = graft.streaming.StreamingDedup.probeBatch(
+      batch, dir, batchId = 7L, "doc_id", "text",
+      threshold = 0.8, appendSurvivors = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(run() == Set(11L))
+    // Structured Streaming re-executes a micro-batch after a crash
+    // before commit: the index now holds doc 11's own rows, so a naive
+    // re-probe would self-dedup it away and the retry would emit NOTHING
+    // for a doc the pipeline never delivered. The manifest replay path
+    // must return the identical survivor set.
+    assert(run() == Set(11L),
+      "a replayed batch must re-emit its committed survivors")
+    // and the replay did not double the appended index rows (the append
+    // marker short-circuits the second append)
+    val setRows = TestSpark.spark.read.parquet(s"$dir/sets")
+      .where(org.apache.spark.sql.functions.col("__cid") === 11L).count()
+    assert(setRows == 1L, s"survivor appended exactly once: $setRows")
+  }
 }
