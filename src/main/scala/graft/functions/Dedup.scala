@@ -771,7 +771,11 @@ object Dedup {
     * into a sibling directory and swaps by rename (NOT atomic across the
     * delete+rename pair — a production deployment puts the index behind
     * a table format with real snapshot isolation; this is the plain-
-    * parquet form of the same maintenance job). */
+    * parquet form of the same maintenance job). Open readers holding the
+    * PRE-compaction file snapshot (any not-yet-materialized DataFrame
+    * from a load) fail after the swap with FILE_NOT_EXIST — materialize
+    * them first or compact between jobs (the pl_index_update gate
+    * demonstrates both the hazard and the fix). */
   private[functions] def compactParquetDir(
       spark: SparkSession, dir: String, numFiles: Int): Unit = {
     require(numFiles >= 1)

@@ -1162,11 +1162,20 @@ object PipelineQueries {
           Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
             "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
         val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        // materialize day-1's survivors BEFORE compacting: their plan
+        // reads the pre-compaction file snapshot, which the compaction
+        // rewrite deletes — the open-reader hazard the compaction
+        // scaladoc warns about (a table format would give snapshot
+        // isolation; plain parquet readers must materialize first)
         val surv1 = Dedup.incrementalMinhashDedup(
           day1, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
-          threshold = 0.4)
+          threshold = 0.4).localCheckpoint()
         Dedup.appendToMinhashIndex(s, dir,
           day1.join(surv1, "doc_id"), "doc_id", "text")
+        // compact between the append and the day-2 probe: the rewrite is
+        // probe-neutral (same oracle), so the gate checks the FULL
+        // maintenance cycle — save, load, probe, append, compact, probe
+        Dedup.compactMinhashIndex(s, dir, numFiles = 4)
         val day2 = docs.filter(col("doc_id") >= 375 && col("doc_id") < 500)
         val surv2 = Dedup.incrementalMinhashDedup(
           day2, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
