@@ -69,25 +69,29 @@ object Bpe {
     * readers even on the happy path).
     */
   private val noAqeSessions =
-    new java.util.WeakHashMap[SparkSession, SparkSession]()
+    new java.util.WeakHashMap[SparkSession, (Int, SparkSession)]()
 
   private def noAqeSession(spark: SparkSession): SparkSession =
     noAqeSessions.synchronized {
+      // the cache is keyed on (session, runtime-conf fingerprint): a
+      // caller that changed a runtime conf since the clone was built
+      // (shuffle partitions, timezone, codegen flags, …) gets a FRESH
+      // clone carrying the new values, so the materialization always
+      // runs under the caller's current confs — the r11 staleness nit
+      val confs = spark.conf.getAll
+      val epoch = confs.hashCode()
       val cached = noAqeSessions.get(spark)
-      if (cached != null) cached
+      if (cached != null && cached._1 == epoch) cached._2
       else {
         val s = spark.newSession()
         // newSession() inherits only SparkConf-time settings; carry the
-        // caller's RUNTIME SQLConf overrides (shuffle partitions,
-        // timezone, codegen flags, …) so the clone materializes under
-        // the same confs. Static/non-modifiable entries are skipped.
-        // NOTE: the clone is cached per parent session at first use —
-        // conf changes the caller makes later do not refresh it.
-        spark.conf.getAll.foreach { case (k, v) =>
+        // caller's RUNTIME SQLConf overrides. Static/non-modifiable
+        // entries are skipped.
+        confs.foreach { case (k, v) =>
           scala.util.Try(s.conf.set(k, v))
         }
         s.conf.set("spark.sql.adaptive.enabled", "false")
-        noAqeSessions.put(spark, s)
+        noAqeSessions.put(spark, (epoch, s))
         s
       }
     }

@@ -618,8 +618,15 @@ object Dedup {
       spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(p).map(_.getPath.toString)
+    recoverInterruptedSwap(fs, dir)
+    val files = fs.listStatus(p).map(_.getPath.toString)
       .filter(_.endsWith(".parquet")).sorted.toSeq
+    // an explicit guard: spark.read.parquet() over zero paths fails later
+    // with an opaque schema-inference error, long after the real cause
+    // (an index built from an empty corpus, or a mistyped path)
+    require(files.nonEmpty,
+      s"no parquet files under $dir — index empty or path wrong")
+    files
   }
 
   /** Load a persisted [[MinhashIndex]]. The DataFrames are plain parquet
@@ -666,22 +673,42 @@ object Dedup {
     * document text; equality of xxhash64 on the same column is content
     * equality up to 64-bit collision (the standard snapshot-diff trade —
     * at 2^32 docs the collision expectation is ~0.5 FALSE-unchanged
-    * rows; a pipeline that cannot tolerate that compares a second
-    * independent hash).
+    * rows). `strict = true` (round 12) makes the documented mitigation
+    * one flag: a SECOND independent 128-bit md5 rides the same shuffle
+    * (32 bytes/row instead of 16) and "unchanged" requires BOTH hashes
+    * equal — a false-unchanged now needs a simultaneous xxhash64 AND md5
+    * collision on the same text, off the table for any realistic corpus.
+    * The join shape, row classification, and default output are
+    * unchanged (the `pl_snapshot_diff` oracle covers the default).
     *
     * @return (idCol, status ∈ added|removed|changed|unchanged)
     */
   def snapshotDiff(oldDf: DataFrame, newDf: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
-    val o = oldDf.select(col(idCol).as("__id"),
-      xxhash64(col(textCol)).as("__ho"))
-    val n = newDf.select(col(idCol).as("__id"),
-      xxhash64(col(textCol)).as("__hn"))
+      idCol: String, textCol: String, strict: Boolean = false): DataFrame = {
+    val o =
+      if (strict) oldDf.select(col(idCol).as("__id"),
+        xxhash64(col(textCol)).as("__ho"),
+        md5(col(textCol).cast("binary")).as("__mo"))
+      else oldDf.select(col(idCol).as("__id"),
+        xxhash64(col(textCol)).as("__ho"))
+    val n =
+      if (strict) newDf.select(col(idCol).as("__id"),
+        xxhash64(col(textCol)).as("__hn"),
+        md5(col(textCol).cast("binary")).as("__mn"))
+      else newDf.select(col(idCol).as("__id"),
+        xxhash64(col(textCol)).as("__hn"))
+    // md5(NULL) is null (unlike xxhash64, which null-skips to the seed
+    // hash), so the second-hash comparison must be null-SAFE — otherwise
+    // strict mode would reclassify a (null, null) content pair from
+    // "unchanged" to "changed", diverging from the default
+    val same =
+      if (strict) col("__ho") === col("__hn") && (col("__mo") <=> col("__mn"))
+      else col("__ho") === col("__hn")
     o.join(n, Seq("__id"), "full_outer")
       .select(col("__id").as(idCol),
         when(col("__ho").isNull, lit("added"))
           .when(col("__hn").isNull, lit("removed"))
-          .when(col("__ho") === col("__hn"), lit("unchanged"))
+          .when(same, lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 
@@ -764,35 +791,99 @@ object Dedup {
       .saveAsTable(s"${table}_buckets")
   }
 
+  /** Heal a compaction swap interrupted by a crash (round 12 — closes
+    * the r11 "table GONE" window): [[compactParquetDir]] marks the swap
+    * with a sibling `<dir>__swapping` file BEFORE moving the live dir
+    * aside, so every crash point is recoverable from the on-disk state:
+    *
+    *  - dir present → no swap in flight (or it never got past staging);
+    *    stale `__compacting`/`__old`/marker leftovers are deleted;
+    *  - dir absent, marker + `__compacting` present → the staged rewrite
+    *    was COMPLETE (the marker is written only after the staging job
+    *    finishes) → roll FORWARD: the compacted table becomes live;
+    *  - dir absent, `__old` present (marker lost or staging gone) →
+    *    roll BACK: the original table becomes live.
+    *
+    * Called by [[snapshotFiles]] (so every index LOAD self-heals — a
+    * reader always sees a complete table, old or new, never neither) and
+    * by [[compactParquetDir]] itself on entry. */
+  private def recoverInterruptedSwap(
+      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val p = new Path(dir)
+    val tmp = new Path(dir + "__compacting")
+    val old = new Path(dir + "__old")
+    val marker = new Path(dir + "__swapping")
+    if (fs.exists(p)) {
+      // live table intact: any siblings are leftovers of a crash before
+      // the rename-away (or after the swap completed) — safe to drop
+      if (fs.exists(marker)) fs.delete(marker, false)
+      if (fs.exists(old)) fs.delete(old, true)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    } else if (fs.exists(marker) && fs.exists(tmp)) {
+      require(fs.rename(tmp, p),
+        s"swap recovery could not rename $tmp to $p")
+      fs.delete(marker, false)
+      if (fs.exists(old)) fs.delete(old, true)
+    } else if (fs.exists(old)) {
+      require(fs.rename(old, p),
+        s"swap recovery could not rename $old back to $p")
+      if (fs.exists(marker)) fs.delete(marker, false)
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+    }
+  }
+
   /** Rewrite one persisted parquet table into `numFiles` consolidated
     * files: nightly appends leave a few small files per batch, and after
     * months of ingests the probe pays file-listing and footer-open cost
-    * per tiny file — the classic small-files problem. The rewrite stages
-    * into a sibling directory and swaps by rename (NOT atomic across the
-    * delete+rename pair — a production deployment puts the index behind
-    * a table format with real snapshot isolation; this is the plain-
-    * parquet form of the same maintenance job). Open readers holding the
-    * PRE-compaction file snapshot (any not-yet-materialized DataFrame
-    * from a load) fail after the swap with FILE_NOT_EXIST — materialize
-    * them first or compact between jobs (the pl_index_update gate
-    * demonstrates both the hazard and the fix). */
+    * per tiny file — the classic small-files problem.
+    *
+    * The swap is CRASH-SAFE (round 12, replacing the r11 delete+rename
+    * whose failure window left the table gone): stage the rewrite into
+    * `<dir>__compacting`, write a `<dir>__swapping` commit marker, rename
+    * the live dir aside to `<dir>__old`, rename the staged dir in, then
+    * clean up. A crash at ANY point leaves a state
+    * [[recoverInterruptedSwap]] heals on the next load or compaction —
+    * readers always see a complete table (the original before the marker
+    * commit, the compacted one after), never an empty path.
+    * CompactionCrashSpec kills the job at each crash point and proves it.
+    *
+    * Two documented limits of the plain-parquet form (a table format
+    * with real snapshot isolation is the production upgrade path):
+    * open readers holding the PRE-compaction file snapshot (any
+    * not-yet-materialized DataFrame from a load) fail after the swap
+    * with FILE_NOT_EXIST — materialize them first or compact between
+    * jobs (the pl_index_update gate demonstrates both the hazard and the
+    * fix); and compaction must NOT run concurrently with a streaming
+    * probe ([[graft.streaming.StreamingDedup]]) — a micro-batch that
+    * listed the dir mid-swap would read a vanished snapshot. */
   private[functions] def compactParquetDir(
       spark: SparkSession, dir: String, numFiles: Int): Unit = {
     require(numFiles >= 1)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
+    val old = new org.apache.hadoop.fs.Path(dir + "__old")
+    val marker = new org.apache.hadoop.fs.Path(dir + "__swapping")
+    recoverInterruptedSwap(fs, dir)
     spark.read.parquet(snapshotFiles(spark, dir): _*)
       .repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    // Hadoop FileSystem reports most delete/rename failures by returning
-    // false, not throwing — a swallowed false here would destroy the
-    // table and return as if compaction succeeded
-    require(fs.delete(p, true),
-      s"compaction could not delete $p; staged rewrite left at $tmp")
+    // the marker is the commit point: from here a crash rolls FORWARD to
+    // the compacted table (recoverInterruptedSwap); before it, back to
+    // the original. Hadoop FileSystem reports most delete/rename
+    // failures by returning false, not throwing — every boolean below is
+    // checked so a failed step aborts loudly instead of destroying the
+    // table silently.
+    fs.create(marker, true).close()
+    require(fs.rename(p, old),
+      s"compaction could not move $p aside; original intact, staged " +
+        s"rewrite left at $tmp")
     require(fs.rename(tmp, p),
-      s"compaction could not rename $tmp to $p — the table is GONE and " +
-        s"the data lives at $tmp; restore by renaming manually")
+      s"compaction could not rename $tmp to $p — recoverable: the next " +
+        s"load or compaction rolls the swap forward from the marker")
+    fs.delete(marker, false)
+    fs.delete(old, true)
   }
 
   /** Compact a persisted [[MinhashIndex]]'s `sets/` and `buckets/`

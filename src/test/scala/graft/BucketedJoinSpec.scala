@@ -11,6 +11,12 @@ import graft.sources.Sinks
 class BucketedJoinSpec extends AnyFunSuite {
   import TestSpark.spark
 
+  /** Shuffle-exchange count in a plan string: hash/range/single
+    * partitioning forms only — bare "Exchange" would also match
+    * BroadcastExchange and ReusedExchange (ADVICE r11). */
+  private def shuffles(plan: String): Int =
+    "Exchange (hash|range|single)partitioning".r.findAllIn(plan).length
+
   test("bucketed tables join without a shuffle exchange") {
     val dir = Files.createTempDirectory("graft_bucketed").toString
     val orders = Tables.load(spark, TestSpark.sf, "orders")
@@ -29,9 +35,12 @@ class BucketedJoinSpec extends AnyFunSuite {
           col("o_custkey") === col("c_custkey"))
       // count in the PLAN STRING: a typed collect over ShuffleExchangeExec
       // is vacuous under AQE (AdaptiveSparkPlanExec exposes no children),
-      // which would make this assertion pass on any plan
+      // which would make this assertion pass on any plan. Match the
+      // SHUFFLE exchange forms specifically — a bare "Exchange" regex
+      // also hits BroadcastExchange/ReusedExchange, where a planner
+      // change could flip the count without any real shuffle regression.
       val p = joined.queryExecution.executedPlan.toString
-      assert("Exchange".r.findAllIn(p).isEmpty,
+      assert(shuffles(p) == 0,
         s"expected zero shuffles, got:\n$p")
       // and it still computes the right thing
       val expected = orders.join(customer,
@@ -74,8 +83,7 @@ class BucketedJoinSpec extends AnyFunSuite {
         Dedup.loadMinhashIndex(spark, plainDir), "doc_id", "text",
         threshold = 0.4)
       val pp = plain.queryExecution.executedPlan.toString
-      val (nB, nP) = ("Exchange".r.findAllIn(p).length,
-        "Exchange".r.findAllIn(pp).length)
+      val (nB, nP) = (shuffles(p), shuffles(pp))
       assert(nB == nP - 2,
         s"bucketing must remove both corpus-side shuffles: $nB vs $nP")
       // and the survivor set equals the plain parquet-index probe

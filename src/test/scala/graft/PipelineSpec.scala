@@ -369,6 +369,18 @@ class PipelineSpec extends AnyFunSuite {
     val got2 = Dedup.snapshotDiff(o2, n2, "id", "t").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got2 == Map(1L -> "unchanged", 2L -> "changed"), s"$got2")
+    // strict mode (round 12): identical classification on every case
+    // above — including the null-content rows, where md5's null result
+    // needs the null-safe comparison — while requiring BOTH an xxhash64
+    // AND an md5 match for "unchanged" (the flag form of the documented
+    // 64-bit-collision mitigation)
+    val strict = Dedup.snapshotDiff(o, n, "id", "t", strict = true).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict == got, s"strict must match default here: $strict")
+    val strict2 = Dedup.snapshotDiff(o2, n2, "id", "t", strict = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(strict2 == got2,
+      s"strict must keep null-content semantics: $strict2")
   }
 
   test("ivf index lifecycle: save/load/append, frozen quantizer") {
