@@ -56,44 +56,145 @@ object StreamingDedup {
     * a sink failure or a crash before the batch commits): a re-executed
     * probe would find the batch's OWN previously-appended survivors in
     * the index — each an exact self-dup — and silently drop them. The
-    * per-batch body therefore commits its survivor-id MANIFEST under
-    * `<indexPath>/_batches/` before touching the index; a replay detects
-    * the manifest and rebuilds the same survivor set from it instead of
-    * re-probing, re-appends only if the append marker is missing (a
-    * crash between append and marker can duplicate index rows once —
-    * probe-neutral, since candidates and drops are set-semantics), and
-    * hands the sink the identical rows. The sink must be idempotent per
-    * batchId, as for every foreachBatch sink.
+    * per-batch body therefore commits its survivor-id MANIFEST before
+    * touching the index; a replay detects the manifest and rebuilds the
+    * same survivor set from it instead of re-probing, re-appends only if
+    * the append marker is missing (a crash between append and marker can
+    * duplicate index rows once — probe-neutral, since candidates and
+    * drops are set-semantics), and hands the sink the identical rows.
+    * The sink must be idempotent per batchId, as for every foreachBatch
+    * sink.
     *
+    * MANIFEST SCOPING (round 12, the r11 ADVICE finding): manifests are
+    * keyed by batchId, and batchIds are only meaningful WITHIN one
+    * checkpoint lineage — a fresh query restarts them at 0, so manifests
+    * must never outlive their checkpoint. They therefore live under the
+    * CHECKPOINT directory (`<checkpoint>/graft_batches/`), not under the
+    * index: a restart from the same checkpoint continues the same batchId
+    * sequence and finds exactly its own manifests; a fresh query gets a
+    * fresh checkpoint — explicit via `checkpointLocation`, or a
+    * generated temporary one — and so can never collide with a prior
+    * run's stale manifest (the silent-drop bug the r11 layout had).
+    * Manifests older than the previous batch are pruned as the stream
+    * advances (Structured Streaming only ever replays the last
+    * uncommitted batch), so the manifest dir stays O(1).
+    *
+    * @param checkpointLocation the stream's checkpoint dir — pass one to
+    *                           make the stream RESTARTABLE (offsets +
+    *                           manifests survive); omitted, a temporary
+    *                           per-run dir is generated (no cross-run
+    *                           replay, and no cross-run collision)
     * @param sink runs once per micro-batch on the SURVIVING rows (full
     *             input columns)
     */
   def minhashDedupStream(
       events: DataFrame, indexPath: String, idCol: String, textCol: String,
-      threshold: Double, appendSurvivors: Boolean = true)(
-      sink: DataFrame => Unit): StreamingQuery =
+      threshold: Double, appendSurvivors: Boolean = true,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val ckpt = resolvedCheckpoint(checkpointLocation, "graft-mh-stream")
     events.writeStream
+      .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(probeBatch(batch, indexPath, batchId, idCol, textCol,
-          threshold, appendSurvivors))
+        sink(probeBatch(batch, indexPath, manifestRoot(ckpt), batchId,
+          idCol, textCol, threshold, appendSurvivors))
       }
       .start()
+  }
+
+  /** Continuous-ingest near-dup dedup for the MEDIA path (round 12):
+    * micro-batches of 64-bit perceptual fingerprints (image dHash —
+    * [[graft.multimodal.Multimodal.dhash64]] — audio/video fingerprints,
+    * text simhash) probe a persisted banded-Hamming index
+    * ([[graft.functions.Dedup.loadHammingIndex]] +
+    * [[graft.functions.Dedup.incrementalHammingDedup]]), sink the
+    * survivors, and append them — the [[minhashDedupStream]] lifecycle
+    * with the Hamming family swapped in. Same foreachBatch rationale,
+    * same manifest replay-safety and checkpoint scoping (the shared
+    * [[runBatch]] machinery); the probe itself is the pigeonhole-exact
+    * banded equi-join, cost ∝ batch.
+    *
+    * @param events streaming DataFrame carrying (idCol, hashCol) — the
+    *               fingerprint is computed upstream (decode work stays in
+    *               the ingest map stage, not the dedup)
+    */
+  def hammingDedupStream(
+      events: DataFrame, indexPath: String, idCol: String, hashCol: String,
+      maxDist: Int, appendSurvivors: Boolean = true,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val ckpt = resolvedCheckpoint(checkpointLocation, "graft-hm-stream")
+    events.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probeHammingBatch(batch, indexPath, manifestRoot(ckpt),
+          batchId, idCol, hashCol, maxDist, appendSurvivors))
+      }
+      .start()
+  }
+
+  private def resolvedCheckpoint(
+      explicit: Option[String], prefix: String): String =
+    explicit.getOrElse(
+      java.nio.file.Files.createTempDirectory(prefix).toString)
+
+  /** The manifest/marker directory for one checkpoint lineage. */
+  private def manifestRoot(checkpoint: String): String =
+    s"$checkpoint/graft_batches"
 
   /** The per-micro-batch body of [[minhashDedupStream]], exposed so
     * replay idempotence is directly testable: calling it twice with the
-    * same batchId returns the same survivor set and leaves the index
-    * correct (StreamingDedupSpec pins it). */
-  def probeBatch(batch: DataFrame, indexPath: String, batchId: Long,
-      idCol: String, textCol: String, threshold: Double,
+    * same (manifestRoot, batchId) returns the same survivor set and
+    * leaves the index correct (StreamingDedupSpec pins it). */
+  def probeBatch(batch: DataFrame, indexPath: String, manifestRoot: String,
+      batchId: Long, idCol: String, textCol: String, threshold: Double,
       appendSurvivors: Boolean): DataFrame = {
     import graft.functions.Dedup
+    runBatch(batch, manifestRoot, batchId, idCol, appendSurvivors,
+      probe = b => {
+        val spark = b.sparkSession
+        b.join(Dedup.incrementalMinhashDedup(
+            b, Dedup.loadMinhashIndex(spark, indexPath), idCol, textCol,
+            threshold), Seq(idCol), "left_semi")
+      },
+      append = surv => Dedup.appendToMinhashIndex(
+        surv.sparkSession, indexPath, surv, idCol, textCol))
+  }
+
+  /** The per-micro-batch body of [[hammingDedupStream]] (same
+    * testability contract as [[probeBatch]]). */
+  def probeHammingBatch(batch: DataFrame, indexPath: String,
+      manifestRoot: String, batchId: Long, idCol: String, hashCol: String,
+      maxDist: Int, appendSurvivors: Boolean): DataFrame = {
+    import graft.functions.Dedup
+    runBatch(batch, manifestRoot, batchId, idCol, appendSurvivors,
+      probe = b => {
+        val spark = b.sparkSession
+        b.join(Dedup.incrementalHammingDedup(
+            b, Dedup.loadHammingIndex(spark, indexPath), idCol, hashCol,
+            maxDist), Seq(idCol), "left_semi")
+      },
+      append = surv => Dedup.appendToHammingIndex(
+        surv.sparkSession, indexPath, surv, idCol, hashCol))
+  }
+
+  /** The shared manifest-committed micro-batch protocol: replay-detect →
+    * probe-or-rebuild → append-once → prune old manifests. `probe` maps
+    * the batch to its surviving rows; `append` persists survivors to the
+    * index. The manifest's _SUCCESS is the batch's commit point: written
+    * before any index mutation, so every earlier crash re-probes a clean
+    * index and every later crash replays from the manifest. */
+  private def runBatch(batch: DataFrame, manifestRoot: String,
+      batchId: Long, idCol: String, appendSurvivors: Boolean,
+      probe: DataFrame => DataFrame,
+      append: DataFrame => Unit): DataFrame = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
-    val manifestDir = s"$indexPath/_batches/manifest-$batchId"
+    val manifestDir = s"$manifestRoot/manifest-$batchId"
     val manifestDone =
       new org.apache.hadoop.fs.Path(s"$manifestDir/_SUCCESS")
     val appendMarker =
-      new org.apache.hadoop.fs.Path(s"$indexPath/_batches/appended-$batchId")
+      new org.apache.hadoop.fs.Path(s"$manifestRoot/appended-$batchId")
     val fs = manifestDone.getFileSystem(hconf)
     val replay = fs.exists(manifestDone)
     val survivors =
@@ -104,21 +205,33 @@ object StreamingDedup {
         batch.join(spark.read.parquet(manifestDir), Seq(idCol), "left_semi")
           .localCheckpoint()
       else {
-        val idx = Dedup.loadMinhashIndex(spark, indexPath)
-        val s = batch
-          .join(Dedup.incrementalMinhashDedup(
-            batch, idx, idCol, textCol, threshold), Seq(idCol), "left_semi")
-          .localCheckpoint()
-        // the manifest's _SUCCESS is the batch's commit point: written
-        // before any index mutation, so every earlier crash re-probes a
-        // clean index and every later crash replays from the manifest
+        val s = probe(batch).localCheckpoint()
         s.select(idCol).write.mode("overwrite").parquet(manifestDir)
         s
       }
     if (appendSurvivors && !fs.exists(appendMarker)) {
-      Dedup.appendToMinhashIndex(spark, indexPath, survivors, idCol, textCol)
+      append(survivors)
       fs.create(appendMarker, true).close()
     }
+    pruneManifests(fs, manifestRoot, batchId)
     survivors
+  }
+
+  /** Drop manifests/markers of batches before `batchId - 1`: batch N
+    * running means N-1 is the newest batch a restart could replay, so
+    * everything older is dead weight — the dir stays O(1) instead of
+    * growing with the stream's lifetime. */
+  private def pruneManifests(fs: org.apache.hadoop.fs.FileSystem,
+      manifestRoot: String, batchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(manifestRoot)
+    if (!fs.exists(root)) return
+    val Pat = "(manifest|appended)-(\\d+)".r
+    fs.listStatus(root).foreach { st =>
+      st.getPath.getName match {
+        case Pat(_, id) if id.toLong < batchId - 1 =>
+          fs.delete(st.getPath, true)
+        case _ => ()
+      }
+    }
   }
 }

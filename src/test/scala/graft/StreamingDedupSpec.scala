@@ -17,6 +17,9 @@ class StreamingDedupSpec extends AnyFunSuite {
 
   private def t(s: String) = Timestamp.valueOf(s)
 
+  private def tmp(prefix: String) =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
   test("drops in-horizon duplicates, evicts state past the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[DedupDoc]
@@ -62,14 +65,14 @@ class StreamingDedupSpec extends AnyFunSuite {
       (0L, "alpha beta gamma delta epsilon zeta eta theta"),
       (1L, "red orange yellow green blue indigo violet"))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-stream-idx").toString
+    val dir = tmp("graft-stream-idx")
     Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val ckpt = tmp("graft-stream-ckpt")
     val input = MemoryStream[(Long, String)]
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
-    val q = graft.streaming.StreamingDedup.minhashDedupStream(
+    val q = StreamingDedup.minhashDedupStream(
       input.toDF().toDF("doc_id", "text"), dir, "doc_id", "text",
-      threshold = 0.8) { surv =>
+      threshold = 0.8, checkpointLocation = Some(ckpt)) { surv =>
       seen ++= surv.collect().map(_.getLong(0)); ()
     }
     try {
@@ -88,6 +91,9 @@ class StreamingDedupSpec extends AnyFunSuite {
       q.processAllAvailable()
       assert(seen.toSet == Set(11L, 21L),
         s"batch-2 must drop the dup of the appended survivor: $seen")
+      // manifests live under the CHECKPOINT, scoped to this lineage
+      assert(new java.io.File(s"$ckpt/graft_batches").exists(),
+        "manifests must live under the checkpoint dir")
     } finally q.stop()
   }
 
@@ -96,29 +102,106 @@ class StreamingDedupSpec extends AnyFunSuite {
     val corpus = Seq(
       (0L, "alpha beta gamma delta epsilon zeta eta theta"))
       .toDF("doc_id", "text")
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-replay-idx").toString
+    val dir = tmp("graft-replay-idx")
     Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
     val batch = Seq(
       (10L, "alpha beta gamma delta epsilon zeta eta theta"), // corpus dup
       (11L, "one two three four five six seven eight"))       // survivor
       .toDF("doc_id", "text")
-    def run() = graft.streaming.StreamingDedup.probeBatch(
-      batch, dir, batchId = 7L, "doc_id", "text",
+    val manifests = tmp("graft-replay-ckpt") + "/graft_batches"
+    def run(root: String) = StreamingDedup.probeBatch(
+      batch, dir, root, batchId = 7L, "doc_id", "text",
       threshold = 0.8, appendSurvivors = true)
       .collect().map(_.getLong(0)).toSet
-    assert(run() == Set(11L))
+    assert(run(manifests) == Set(11L))
     // Structured Streaming re-executes a micro-batch after a crash
     // before commit: the index now holds doc 11's own rows, so a naive
     // re-probe would self-dedup it away and the retry would emit NOTHING
     // for a doc the pipeline never delivered. The manifest replay path
     // must return the identical survivor set.
-    assert(run() == Set(11L),
+    assert(run(manifests) == Set(11L),
       "a replayed batch must re-emit its committed survivors")
     // and the replay did not double the appended index rows (the append
     // marker short-circuits the second append)
     val setRows = TestSpark.spark.read.parquet(s"$dir/sets")
       .where(org.apache.spark.sql.functions.col("__cid") === 11L).count()
     assert(setRows == 1L, s"survivor appended exactly once: $setRows")
+    // A FRESH run (new checkpoint lineage → new manifest root) with the
+    // same batchId must NOT take the replay path — the r11 layout keyed
+    // manifests under the index, so a restarted query with reset
+    // batchIds silently replayed a stale manifest. Here the fresh run
+    // re-probes: doc 11 is now IN the index, so dropping the whole batch
+    // is the correct cross-run dedup answer (and proves no stale replay).
+    val fresh = tmp("graft-replay-ckpt2") + "/graft_batches"
+    assert(run(fresh) == Set.empty,
+      "a fresh lineage must re-probe, never replay a stale manifest")
+  }
+
+  test("streaming hamming probe: media ingest with replay safety") {
+    import graft.functions.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // persisted day-0 fingerprint index (e.g. image dHashes)
+    val corpus = Seq((0L, 0x00000000000000FFL), (1L, 0x7700000000000000L))
+      .toDF("img_id", "fp")
+    val dir = tmp("graft-hm-idx")
+    Dedup.saveHammingIndex(Dedup.hammingIndex(corpus, "img_id", "fp"), dir)
+    val ckpt = tmp("graft-hm-ckpt")
+    val input = MemoryStream[(Long, Long)]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingDedup.hammingDedupStream(
+      input.toDF().toDF("img_id", "fp"), dir, "img_id", "fp",
+      maxDist = 3, checkpointLocation = Some(ckpt)) { surv =>
+      seen ++= surv.collect().map(_.getLong(0)); ()
+    }
+    try {
+      // batch 1: a near-dup of corpus 0 (dist 1 → drops) + a fresh
+      // fingerprint (survives, appends)
+      input.addData((10L, 0x00000000000000FEL), (11L, 0x0F0F0F0F0F0F0F0FL))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L), s"batch-1 survivors: $seen")
+      // batch 2: near-dup of batch-1's appended SURVIVOR drops; fresh
+      // fingerprint survives
+      input.addData((20L, 0x0F0F0F0F0F0F0F0EL), (21L, 0x1111111111111111L))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L, 21L),
+        s"batch-2 must drop the near-dup of the appended survivor: $seen")
+    } finally q.stop()
+    // replay: same manifest root + batchId re-emits committed survivors
+    val batch = Seq((30L, 0x00000000000000FDL), // dist 2 of corpus 0 → drop
+      (31L, 0x5A5A5A5A5A5A5A5AL))               // fresh → survive
+      .toDF("img_id", "fp")
+    val root = s"$ckpt/graft_batches"
+    def run() = StreamingDedup.probeHammingBatch(
+      batch, dir, root, batchId = 9L, "img_id", "fp",
+      maxDist = 3, appendSurvivors = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(run() == Set(31L))
+    assert(run() == Set(31L),
+      "a replayed media batch must re-emit its committed survivors")
+    val bucketRows = TestSpark.spark.read.parquet(s"$dir/buckets")
+      .where(org.apache.spark.sql.functions.col("__ch") === 0x5A5A5A5A5A5A5A5AL)
+      .count()
+    assert(bucketRows == 8L, s"survivor banded exactly once (8 bands): " +
+      s"$bucketRows")
+  }
+
+  test("manifests older than the previous batch are pruned") {
+    import graft.functions.Dedup
+    val corpus = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir = tmp("graft-prune-idx")
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    val root = tmp("graft-prune-ckpt") + "/graft_batches"
+    def run(id: Long, docId: Long) = StreamingDedup.probeBatch(
+      Seq((docId, s"fresh words number $docId only here")).toDF("doc_id", "text"),
+      dir, root, id, "doc_id", "text",
+      threshold = 0.8, appendSurvivors = true).collect()
+    (0L to 4L).foreach(i => run(i, 100L + i))
+    // ignore the local filesystem's .crc checksum sidecars
+    val names = new java.io.File(root).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).toSet
+    assert(names == Set("manifest-3", "manifest-4",
+      "appended-3", "appended-4"),
+      s"only the current and previous batch may remain: $names")
   }
 }
