@@ -492,6 +492,28 @@ object Stress {
       graft.functions.Dedup.appendToMinhashIndex(spark, idxDir,
         batch, "doc_id", "text")
     }
+    // round-12 stress row: persisted-PQ APPEND must track the batch —
+    // codebooks are trained + saved ONCE outside the timed block (the
+    // pl_ann_pq_update lifecycle's train step); the timed body reads only
+    // the bounded books table and encodes/appends the batch's code rows
+    // in one narrow map pass (never touching the 20k-vector corpus codes)
+    def synthEmb(rows: Long, offset: Long): DataFrame =
+      spark.range(rows).toDF("i")
+        .select((col("i") + offset).as("vec_id"))
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-pq").toString
+    if (!only.exists(!_.contains("pq_append")))
+      graft.functions.Similarity.savePqIndex(
+        graft.functions.Similarity.pqIndex(
+          synthEmb(20000L, 0L), "vec_id", "embedding"), pqDir)
+    timeBody("pq_append", n / 100) {
+      graft.functions.Similarity.appendToPqIndex(spark, pqDir,
+        synthEmb(n / 100, 1000000L), "vec_id", "embedding")
+    }
     // round-10: span decontamination — benchmark k-grams broadcast, hits
     // are a map-side semi probe of the exploded corpus shingles; time
     // should track the corpus linearly (benchmark fixed at 500 docs)

@@ -304,6 +304,58 @@ object Similarity {
     java.math.BigDecimal.valueOf(v.toDouble * Embeddings.Scale)
       .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
 
+  /** The (id, scaled-long vector) rows with a checkpoint barrier: the
+    * pre-materialized "__sv" column is what the m·ksub·sub element_at
+    * accesses of the code assignment walk — referencing the scaling
+    * transform inline would let Catalyst re-inline it into every access
+    * (the minhash-signature 16× recompute precedent, measured 12× here).
+    * Carrying the float column too would pin a second full copy of the
+    * corpus in executor storage for nothing. */
+  private def scaledRows(rows: DataFrame, idCol: String,
+      vecCol: String): DataFrame =
+    rows.select(col(idCol).as("neighbor_id"),
+        Embeddings.scaledVec(col(vecCol)).as("__sv"))
+      .localCheckpoint()
+
+  /** The m-wide code-assignment column over a pre-materialized "__sv":
+    * for each subspace, the ksub-candidate argmin of the scaled-integer
+    * squared L2. The codebook ships as ONE nested literal (m × ksub ×
+    * sub scaled longs) walked by higher-order functions — a
+    * LITERAL-EXPANDED form (one sub-expression per centroid component,
+    * ~m·ksub·sub terms) makes Catalyst ANALYSIS itself the bottleneck
+    * (measured 13 s for this gate); the compact tree is constant-size
+    * regardless of codebook dimensions. Integer adds fold order-free. */
+  private def pqCodesCol(book: Array[Array[Array[Float]]]): Column = {
+    val m = book.length
+    val ksub = book(0).length
+    val sub = book(0)(0).length
+    val cb = typedlit(book.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
+    transform(sequence(lit(0), lit(m - 1)), mi => {
+      val cands = transform(sequence(lit(0), lit(ksub - 1)), ci => {
+        val cent = element_at(element_at(cb, mi.cast("int") + 1),
+          ci.cast("int") + 1)
+        val d = aggregate(sequence(lit(1), lit(sub)), lit(0L),
+          (acc, j) => {
+            val diff = element_at(col("__sv"), (mi * sub + j).cast("int")) -
+              element_at(cent, j.cast("int"))
+            acc + diff * diff
+          })
+        struct(d.as("d"), ci.cast("int").as("c"))
+      })
+      array_min(cands)("c")
+    })
+  }
+
+  /** ENCODE rows under FROZEN codebooks — no training, one narrow map
+    * pass (plus the scaling checkpoint): the nightly incremental step of
+    * the persisted-PQ lifecycle, and the shared final stage of
+    * [[pqEncode]]. Returns (neighbor_id, __codes array<int>). */
+  def pqEncodeWith(rows: DataFrame, idCol: String, vecCol: String,
+      books: Array[Array[Array[Float]]]): DataFrame =
+    scaledRows(rows, idCol, vecCol)
+      .withColumn("__codes", pqCodesCol(books))
+      .drop("__sv")
+
   def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 8, ksub: Int = 16): (DataFrame, Array[Array[Array[Float]]]) = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
@@ -317,47 +369,11 @@ object Similarity {
       Array.tabulate(m)(mi => rows.map(_.slice(mi * sub, (mi + 1) * sub)))
     val books0 = sliceBook(seedRows)
 
-    // The codebook ships as ONE nested literal (m × ksub × sub scaled
-    // longs) walked by higher-order functions — a LITERAL-EXPANDED form
-    // (one sub-expression per centroid component, ~m·ksub·sub terms)
-    // makes Catalyst ANALYSIS itself the bottleneck (measured 13 s for
-    // this gate); the compact tree is constant-size regardless of
-    // codebook dimensions. Integer adds fold order-free.
-    def bookLit(book: Array[Array[Array[Float]]]): Column =
-      typedlit(book.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
-    // reads the PRE-MATERIALIZED "__sv" column — referencing the scaling
-    // transform inline would let Catalyst re-inline it into every one of
-    // the m·ksub·sub element_at accesses (the minhash-signature 16×
-    // recompute precedent, measured 12× here)
-    def codesCol(book: Array[Array[Array[Float]]]): Column = {
-      val cb = bookLit(book)
-      transform(sequence(lit(0), lit(m - 1)), mi => {
-        val cands = transform(sequence(lit(0), lit(ksub - 1)), ci => {
-          val cent = element_at(element_at(cb, mi.cast("int") + 1),
-            ci.cast("int") + 1)
-          val d = aggregate(sequence(lit(1), lit(sub)), lit(0L),
-            (acc, j) => {
-              val diff = element_at(col("__sv"), (mi * sub + j).cast("int")) -
-                element_at(cent, j.cast("int"))
-              acc + diff * diff
-            })
-          struct(d.as("d"), ci.cast("int").as("c"))
-        })
-        array_min(cands)("c")
-      })
-    }
-    // checkpoint ONLY (id, __sv): the scaled-long column is what the
-    // m·ksub·sub element_at accesses walk (the checkpoint is the barrier
-    // that stops Catalyst re-inlining the scaling transform into each
-    // access — measured 12×); carrying __cv too would pin a second full
-    // copy of the corpus floats in executor storage for nothing
-    val withSv = c.select(col("neighbor_id"),
-        Embeddings.scaledVec(col("__cv")).as("__sv"))
-      .localCheckpoint()
+    val withSv = scaledRows(c, "neighbor_id", "__cv")
 
     // one Lloyd sweep: exact integer (subspace, code, dim) sums over ONE
     // corpus pass; m × ksub × sub bounded rows collect
-    val assigned0 = withSv.withColumn("__codes", codesCol(books0))
+    val assigned0 = withSv.withColumn("__codes", pqCodesCol(books0))
     val sums = assigned0
       .select(col("__codes"),
         posexplode(col("__sv")).as(Seq("__d", "__v")))
@@ -381,7 +397,7 @@ object Similarity {
           }.getOrElse(books0(mi)(ci))
         }
       }
-    (withSv.withColumn("__codes", codesCol(refined))
+    (withSv.withColumn("__codes", pqCodesCol(refined))
       .drop("__sv"), refined)
   }
 
@@ -396,13 +412,27 @@ object Similarity {
   def pqTopK(queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String, k: Int,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
+    pqAdcTopK(codes, books, queries, qidCol, vecCol, k)
+  }
+
+  /** PQ top-k against a PERSISTED index (round 12) — the production
+    * serving form: codebooks trained once, codes encoded nightly, the
+    * probe never touches corpus floats or retrains. */
+  def pqTopK(queries: DataFrame, index: PqIndex,
+      qidCol: String, vecCol: String, k: Int): DataFrame =
+    pqAdcTopK(index.codes, index.books, queries, qidCol, vecCol, k)
+
+  /** The per-query ADC table column over a pre-materialized "__qsv":
+    * m × ksub scaled-integer inner products against the codebooks (same
+    * compact literal-codebook + HOF shape as the encoder — see the
+    * analysis-cost note there). */
+  private def adcTableCol(books: Array[Array[Array[Float]]]): Column = {
+    val m = books.length
+    val ksub = books(0).length
     val sub = books(0)(0).length
-    // compact ADC table build (same literal-codebook + HOF shape as the
-    // encoder — see the analysis-cost note there)
     val cb = typedlit(books.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
-    val table = transform(sequence(lit(0), lit(m - 1)), mi =>
+    transform(sequence(lit(0), lit(m - 1)), mi =>
       transform(sequence(lit(0), lit(ksub - 1)), ci => {
         val cent = element_at(element_at(cb, mi.cast("int") + 1),
           ci.cast("int") + 1)
@@ -410,20 +440,29 @@ object Similarity {
           acc + element_at(col("__qsv"), (mi * sub + j).cast("int")) *
             element_at(cent, j.cast("int")))
       }))
+  }
+
+  /** Σ of m integer "__tab" lookups indexed by the row's "__codes". */
+  private def adcScoreCol(m: Int): Column =
+    (0 until m).map { mi =>
+      element_at(element_at(col("__tab"), mi + 1),
+        element_at(col("__codes"), mi + 1) + 1)
+    }.reduce(_ + _)
+
+  private def pqAdcTopK(codes: DataFrame,
+      books: Array[Array[Array[Float]]], queries: DataFrame,
+      qidCol: String, vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries
       .select(col(qidCol).as("query_id"),
         Embeddings.scaledVec(col(vecCol)).as("__qsv"))
       .localCheckpoint() // materialize __qsv before the HOF table walks it
-      .withColumn("__tab", table)
+      .withColumn("__tab", adcTableCol(books))
       .drop("__qsv"))
-    val score = (0 until m).map { mi =>
-      element_at(element_at(col("__tab"), mi + 1),
-        element_at(col("__codes"), mi + 1) + 1)
-    }.reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_scaled").desc, col("neighbor_id"))
     codes.join(q, col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_scaled", score)
+      .withColumn("score_scaled", adcScoreCol(books.length))
       // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
@@ -445,37 +484,37 @@ object Similarity {
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (corpusCells, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
     val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
     val coded = corpusCells.select("neighbor_id", "__cell")
       .join(codes, "neighbor_id")
-    val sub = books(0)(0).length
-    val cb = typedlit(books.map(_.map(_.map(scaleLong).toSeq).toSeq).toSeq)
-    val table = transform(sequence(lit(0), lit(m - 1)), mi =>
-      transform(sequence(lit(0), lit(ksub - 1)), ci => {
-        val cent = element_at(element_at(cb, mi.cast("int") + 1),
-          ci.cast("int") + 1)
-        aggregate(sequence(lit(1), lit(sub)), lit(0L), (acc, j) =>
-          acc + element_at(col("__qsv"), (mi * sub + j).cast("int")) *
-            element_at(cent, j.cast("int")))
-      }))
+    ivfPqAdcTopK(coded, cents, books, queries, qidCol, vecCol, k, nProbe)
+  }
+
+  /** IVF-PQ top-k against a PERSISTED index (round 12): cells prune,
+    * stored codes stand in for the floats, nothing retrains. */
+  def ivfPqTopK(queries: DataFrame, index: IvfPqIndex,
+      qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
+    ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
+      queries, qidCol, vecCol, k, nProbe)
+
+  private def ivfPqAdcTopK(coded: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      queries: DataFrame, qidCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val q = broadcast(queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
         Embeddings.scaledVec(col(vecCol)).as("__qsv"))
       .localCheckpoint()
       .withColumn("__cells", nearestCells(col("__qv"), cents, nProbe))
-      .withColumn("__tab", table)
+      .withColumn("__tab", adcTableCol(books))
       .drop("__qv", "__qsv"))
-    val score = (0 until m).map { mi =>
-      element_at(element_at(col("__tab"), mi + 1),
-        element_at(col("__codes"), mi + 1) + 1)
-    }.reduce(_ + _)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_scaled").desc, col("neighbor_id"))
     coded.join(q, array_contains(col("__cells"), col("__cell")) &&
         col("query_id") =!= col("neighbor_id"))
-      .withColumn("score_scaled", score)
+      .withColumn("score_scaled", adcScoreCol(books.length))
       // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k)
@@ -604,6 +643,138 @@ object Similarity {
   def compactIvfIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit =
     Dedup.compactParquetDir(spark, s"$path/cells", numFiles)
+
+  /** A built PQ corpus index (round 12 — the codebook-lifecycle member
+    * of the index family next to [[graft.functions.Dedup.MinhashIndex]],
+    * `HammingIndex` and [[IvfIndex]]): the byte-coded corpus rows
+    * (neighbor_id, __codes) plus the m × ksub × (dim/m) codebooks —
+    * the m bytes/vector serving layout. The billion-vector production
+    * form trains the codebooks ONCE ([[pqIndex]]), persists them
+    * ([[savePqIndex]]), encodes nightly batches incrementally under the
+    * FROZEN books ([[appendToPqIndex]] → [[pqEncodeWith]] — cost ∝
+    * batch, one narrow map pass), and serves ADC probes from the stored
+    * codes ([[loadPqIndex]] + `pqTopK(queries, index, …)`) — never
+    * relearning per call (the r11 gap this closes). */
+  final case class PqIndex(codes: DataFrame,
+      books: Array[Array[Array[Float]]])
+
+  def pqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 8, ksub: Int = 16): PqIndex = {
+    val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
+    PqIndex(codes, books)
+  }
+
+  /** Codebooks persist as (mi, ci, cent array<float>) rows — float
+    * arrays round-trip parquet exactly (the [[saveIvfIndex]] precedent),
+    * so the loaded quantizer is bit-identical and re-encoding any vector
+    * under the loaded books yields the same codes. */
+  private def saveBooks(spark: SparkSession,
+      books: Array[Array[Array[Float]]], dir: String): Unit = {
+    import spark.implicits._
+    books.zipWithIndex.flatMap { case (sub, mi) =>
+      sub.zipWithIndex.map { case (cent, ci) => (mi, ci, cent.toSeq) }
+    }.toSeq.toDF("mi", "ci", "cent")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  private def loadBooks(spark: SparkSession,
+      dir: String): Array[Array[Array[Float]]] = {
+    val rows = spark.read.parquet(dir)
+      .orderBy("mi", "ci").collect()
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, g) =>
+      g.sortBy(_.getInt(1)).map(_.getSeq[Float](2).toArray)
+    }.toArray
+  }
+
+  /** Persist a [[PqIndex]] under `path` (`codes/` + `books/`).
+    * Overwrites. */
+  def savePqIndex(index: PqIndex, path: String): Unit = {
+    index.codes.write.mode("overwrite").parquet(s"$path/codes")
+    saveBooks(index.codes.sparkSession, index.books, s"$path/books")
+  }
+
+  /** Load a persisted [[PqIndex]] — codes are a pinned file-set
+    * snapshot (the [[graft.functions.Dedup.snapshotFiles]] rootPaths
+    * trap), books a bounded m × ksub × (dim/m) collect. */
+  def loadPqIndex(spark: SparkSession, path: String): PqIndex =
+    PqIndex(
+      spark.read.parquet(Dedup.snapshotFiles(spark, s"$path/codes"): _*),
+      loadBooks(spark, s"$path/books"))
+
+  /** APPEND a batch's rows to a persisted [[PqIndex]]: encode under the
+    * index's STORED codebooks (frozen quantizer — the incremental
+    * contract) and append only the batch's code rows; the corpus codes
+    * are never read or rewritten, and nothing retrains. */
+  def appendToPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit =
+    pqEncodeWith(batch, idCol, vecCol, loadBooks(spark, s"$path/books"))
+      .write.mode("append").parquet(s"$path/codes")
+
+  /** Compact a persisted [[PqIndex]]'s `codes/` table. */
+  def compactPqIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit =
+    Dedup.compactParquetDir(spark, s"$path/codes", numFiles)
+
+  /** A built IVF-PQ serving index (round 12): ONE row per corpus vector
+    * — its coarse cell plus its m byte codes (`cellCodes`:
+    * (neighbor_id, __cell, __codes)) — beside the two bounded model
+    * tables (IVF centroids, PQ codebooks). This is the canonical
+    * billion-vector memory layout: a query touches ~nProbe/nCells of
+    * the code rows with integer ADC lookups; the corpus floats exist
+    * only at build/append time, never at serving time. */
+  final case class IvfPqIndex(cellCodes: DataFrame,
+      centroids: Array[Array[Float]], books: Array[Array[Array[Float]]])
+
+  def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, ksub: Int = 16): IvfPqIndex = {
+    val (assigned, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
+    val (codes, books) = pqEncode(corpus, idCol, vecCol, m, ksub)
+    IvfPqIndex(
+      assigned.select("neighbor_id", "__cell").join(codes, "neighbor_id"),
+      cents, books)
+  }
+
+  /** Persist an [[IvfPqIndex]] under `path` (`cellcodes/` +
+    * `centroids/` + `books/`). Overwrites. */
+  def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
+    val spark = index.cellCodes.sparkSession
+    import spark.implicits._
+    index.cellCodes.write.mode("overwrite").parquet(s"$path/cellcodes")
+    index.centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    saveBooks(spark, index.books, s"$path/books")
+  }
+
+  def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
+    IvfPqIndex(
+      spark.read.parquet(
+        Dedup.snapshotFiles(spark, s"$path/cellcodes"): _*),
+      loadCentroids(spark, path),
+      loadBooks(spark, s"$path/books"))
+
+  /** APPEND a batch to a persisted [[IvfPqIndex]]: assign cells under
+    * the STORED centroids, encode under the STORED books (both frozen),
+    * append one (id, cell, codes) row per batch vector — cost ∝ batch,
+    * the corpus rows never read. */
+  def appendToIvfPqIndex(spark: SparkSession, path: String,
+      batch: DataFrame, idCol: String, vecCol: String): Unit = {
+    val cents = loadCentroids(spark, path)
+    val books = loadBooks(spark, s"$path/books")
+    val cells = batch
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("__cell",
+        element_at(nearestCells(col("__cv"), cents, 1), 1))
+      .select("neighbor_id", "__cell")
+    cells.join(pqEncodeWith(batch, idCol, vecCol, books), "neighbor_id")
+      .write.mode("append").parquet(s"$path/cellcodes")
+  }
+
+  /** Compact a persisted [[IvfPqIndex]]'s `cellcodes/` table. */
+  def compactIvfPqIndex(spark: SparkSession, path: String,
+      numFiles: Int = 32): Unit =
+    Dedup.compactParquetDir(spark, s"$path/cellcodes", numFiles)
 
   /** The per-ingest probe against a prebuilt [[IvfIndex]]. */
   def incrementalSemDedup(

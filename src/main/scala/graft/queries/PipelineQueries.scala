@@ -614,6 +614,56 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the persisted-PQ LIFECYCLE gate (round 12): the
+    * shared PQ CTEs train + encode the corpus exactly as before
+    * (`pqrsc` IS the persisted codebook table — parquet round-trips the
+    * floats bit-exactly, so the stored books equal the trained ones);
+    * the appended BATCH (planted reversed variants) encodes under those
+    * same frozen books (`batcode`, the [[Similarity.pqEncodeWith]]
+    * replay); and the probe ADC-scores queries against the UNION of
+    * corpus and batch codes — the state a probe sees after
+    * train → save → load → encode-batch → append → reload. */
+  private val pqUpdateOracleSql: String = {
+    import SignLshSql._
+    val sub = 8
+    def l2(mi: String, svec: String, cvec: String): String =
+      (1 to sub).map { j =>
+        s"(($svec[$mi*$sub+$j]) - ($cvec[$j])) * " +
+          s"(($svec[$mi*$sub+$j]) - ($cvec[$j]))"
+      }.mkString(" + ")
+    s"""WITH ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
+       |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
+       |hord AS (SELECT vec_id, embedding,
+       |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
+       |$pqCtes,
+       |batsv AS (SELECT vec_id + 10000 AS vec_id,
+       |          list_transform(list_reverse(embedding),
+       |            x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |        FROM embeddings WHERE vec_id < 200),
+       |batpb AS (SELECT v.vec_id, r.mi, r.code,
+       |          ${l2("r.mi", "v.s", "r.cs")} AS d
+       |        FROM batsv v CROSS JOIN pqrsc r),
+       |batcode AS (SELECT vec_id, mi, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d, code) AS rn FROM batpb) WHERE rn = 1),
+       |allcodes AS (SELECT vec_id, mi, code FROM pqbcode
+       |             UNION ALL SELECT vec_id, mi, code FROM batcode),
+       |scored AS (SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM pqsv q
+       |        CROSS JOIN allcodes b
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        WHERE q.vec_id < 5 AND q.vec_id != b.vec_id
+       |        GROUP BY 1, 2)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
+       |  SELECT query_id, neighbor_id, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.ivfPqTopK]]: the IVF assignment CTEs
     * provide probe cells (`pb` rn ≤ nProbe) and corpus cells (`bcell`);
     * the shared PQ CTEs ride the same `hord` seed chain; candidates =
@@ -1315,6 +1365,31 @@ object PipelineQueries {
         Similarity.ivfPqTopK(
           emb.filter(col("vec_id") < 5), emb,
           "vec_id", "vec_id", "embedding", 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    // the persisted-PQ LIFECYCLE (round 12, closing the r11 relearn-per-
+    // call gap): train the codebooks on the corpus once, SAVE, LOAD
+    // (books round-trip parquet bit-exactly), encode a planted batch
+    // under the FROZEN loaded books, APPEND its code rows, reload, and
+    // ADC-probe over corpus+batch codes. Every step integer or one IEEE
+    // division, so ranks AND scores stay hash-exact through the full
+    // save/load/append cycle.
+    Q("pl_ann_pq_update", pqUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-pq-index").toString
+        Similarity.savePqIndex(
+          Similarity.pqIndex(emb, "vec_id", "embedding"), dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        // encodes under the STORED books (loaded back from parquet) —
+        // never retrains, cost ∝ batch
+        Similarity.appendToPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.pqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadPqIndex(s, dir), "vec_id", "embedding", 10)
           .orderBy("query_id", "rank")
       }),
 

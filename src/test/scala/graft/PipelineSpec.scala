@@ -439,6 +439,81 @@ class PipelineSpec extends AnyFunSuite {
     assert(inline == loaded && inline.nonEmpty)
   }
 
+  test("pq index lifecycle: loaded probe equals relearn; append is " +
+      "frozen-books encode") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    // relearn-per-call form (the r11 shape) vs train-once/persist/probe
+    val inline = Similarity.pqTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pq-spec").toString
+    Similarity.savePqIndex(
+      Similarity.pqIndex(corpus, "vec_id", "embedding"), dir)
+    val loadedIdx = Similarity.loadPqIndex(spark, dir)
+    val loaded = Similarity.pqTopK(queries, loadedIdx,
+      "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    // codebooks round-trip parquet bit-exactly (float arrays), so ranks
+    // AND integer ADC scores are identical
+    assert(inline == loaded && inline.nonEmpty)
+    // APPEND: a batch encodes under the FROZEN stored books — the codes
+    // written must equal an in-memory encode under the trained books
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 350)
+    Similarity.appendToPqIndex(spark, dir, batch, "vec_id", "embedding")
+    val expectCodes = Similarity.pqEncodeWith(
+      batch, "vec_id", "embedding", loadedIdx.books)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val appended = Similarity.loadPqIndex(spark, dir).codes
+      .filter(col("neighbor_id") >= 300)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(appended == expectCodes && appended.size == 50,
+      "append must encode under the stored books, cost ∝ batch")
+  }
+
+  test("ivfpq index lifecycle: loaded probe equals relearn; append " +
+      "assigns+encodes under the frozen models") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inline = Similarity.ivfPqTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivfpq-spec").toString
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfPqIndex(corpus, "vec_id", "embedding"), dir)
+    val loaded = Similarity.ivfPqTopK(queries,
+      Similarity.loadIvfPqIndex(spark, dir),
+      "vec_id", "embedding", 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(inline == loaded && inline.nonEmpty)
+    // append: one (id, cell, codes) row per batch vector, assigned and
+    // encoded under the stored centroids/books
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 330)
+    Similarity.appendToIvfPqIndex(spark, dir, batch, "vec_id", "embedding")
+    val after = Similarity.loadIvfPqIndex(spark, dir)
+    assert(after.cellCodes.filter(col("neighbor_id") >= 300).count() == 30)
+    // the appended rows are probe-visible: a query identical to an
+    // appended vector must rank it first with the self-inner-product
+    val probeQ = emb.filter(col("vec_id") === 310)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfPqTopK(probeQ, after,
+      "vec_id", "embedding", 1, nProbe = 1).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 310L,
+      s"the appended twin must be the nearest neighbor: ${top.toSeq}")
+  }
+
   test("decimation metadata: durations follow kept content, exactly") {
     import graft.multimodal.Multimodal
     // 3 frames at 40ms each decimated by 2 keeps 2 frames => 80ms (the
