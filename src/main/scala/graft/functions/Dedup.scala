@@ -287,6 +287,60 @@ object Dedup {
       .write.mode("append").parquet(s"$path/buckets")
   }
 
+  /** Persist a [[HammingIndex]] as a BUCKETED catalog table (round 12 —
+    * the [[saveMinhashIndexBucketed]] twin for the perceptual-hash
+    * family): `<table>_buckets` bucket-sorted by (band, bucket), so the
+    * probe's one corpus-side equi-join reads pre-shuffled buckets and
+    * plans with ZERO corpus-side exchange — the nightly image/audio/
+    * video/simhash dedup probe shuffles only its own batch tuples, at
+    * every probe, forever. Same catalog caveat as the minhash form:
+    * bucketed tables cannot pin a file-set snapshot, so never evaluate a
+    * pre-append and a post-append load in ONE query tree (the
+    * rootPaths-equality reuse trap); the nightly one-probe-then-append
+    * shape never hits this. */
+  def saveHammingIndexBucketed(index: HammingIndex, table: String,
+      path: String, nBuckets: Int = 64): Unit = {
+    index.buckets.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/buckets")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${table}_buckets")
+    val spark = index.buckets.sparkSession
+    import spark.implicits._
+    Seq(index.nBands).toDF("n_bands")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a bucketed-table [[HammingIndex]] (catalog relation — the
+    * scan carries the bucket spec, so the probe join co-locates). */
+  def loadHammingIndexBucketed(spark: SparkSession, table: String,
+      path: String): HammingIndex =
+    HammingIndex(
+      spark.table(s"${table}_buckets"),
+      spark.read.parquet(s"$path/meta").collect().head.getAs[Int]("n_bands"))
+
+  /** APPEND survivors to a bucketed-table Hamming index — the batch's
+    * band tuples land in their key's bucket (one batch-sized shuffle);
+    * the corpus buckets are never rewritten. saveAsTable(append)
+    * validates the spec against the catalog, so a drifted layout fails
+    * loudly instead of silently de-bucketing. */
+  def appendToHammingIndexBucketed(spark: SparkSession, table: String,
+      path: String, survivors: DataFrame,
+      idCol: String, hashCol: String): Unit = {
+    val nBands =
+      spark.read.parquet(s"$path/meta").collect().head.getAs[Int]("n_bands")
+    val nBuckets = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${table}_buckets"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_buckets exists but carries no bucket spec — it was " +
+          "not written by saveHammingIndexBucketed"))
+    hammingIndexRows(survivors, idCol, hashCol, nBands)
+      .write.mode("append").format("parquet")
+      .bucketBy(nBuckets, "band", "bucket").sortBy("band", "bucket")
+      .saveAsTable(s"${table}_buckets")
+  }
+
   /** The per-ingest probe against a prebuilt [[HammingIndex]]. */
   def incrementalHammingDedup(batch: DataFrame, index: HammingIndex,
       idCol: String, hashCol: String, maxDist: Int): DataFrame = {

@@ -103,4 +103,105 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS mh_idx_buckets")
     }
   }
+
+  test("bucketed hamming index probes with zero corpus-side shuffle") {
+    import graft.functions.{Dedup, TextAnalysis}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"),
+        Dedup.simhash(TextAnalysis.tokens(col("text"))).as("sh"))
+    val corpus = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val dir = Files.createTempDirectory("graft_bhidx").toString
+    Dedup.saveHammingIndexBucketed(
+      Dedup.hammingIndex(corpus, "doc_id", "sh"), "hm_idx", dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val probe = Dedup.incrementalHammingDedup(batch,
+        Dedup.loadHammingIndexBucketed(spark, "hm_idx", dir),
+        "doc_id", "sh", maxDist = 7)
+      val p = probe.queryExecution.executedPlan.toString
+      assert("Bucketed: true".r.findAllIn(p).length == 1,
+        s"the corpus band scan must read bucketed:\n$p")
+      // the bucket layout deletes exactly the ONE corpus-side exchange
+      // the plain parquet probe pays (its single band-bucket equi-join —
+      // the Hamming verify is a same-row popcount, not a second join)
+      val plainDir = Files.createTempDirectory("graft_phidx").toString
+      Dedup.saveHammingIndex(
+        Dedup.hammingIndex(corpus, "doc_id", "sh"), plainDir)
+      val plain = Dedup.incrementalHammingDedup(batch,
+        Dedup.loadHammingIndex(spark, plainDir), "doc_id", "sh",
+        maxDist = 7)
+      val pp = plain.queryExecution.executedPlan.toString
+      val (nB, nP) = (shuffles(p), shuffles(pp))
+      assert(nB == nP - 1,
+        s"bucketing must remove the corpus-side shuffle: $nB vs $nP")
+      assert(probe.collect().map(_.getLong(0)).toSet ==
+        plain.collect().map(_.getLong(0)).toSet)
+      // append keeps the layout and the catalog spec
+      Dedup.appendToHammingIndexBucketed(spark, "hm_idx", dir,
+        batch.limit(10), "doc_id", "sh")
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("hm_idx_buckets"))
+        .bucketSpec
+      assert(spec.exists(_.numBuckets == 64), s"bucket spec kept: $spec")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS hm_idx_buckets")
+    }
+  }
+
+  test("bucketed ivf index: equi probe has zero corpus-side shuffle and " +
+      "equals the broadcast-probe answer") {
+    import graft.functions.Similarity
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 250)
+    val batch = emb.filter(col("vec_id") < 100).select(
+      (col("vec_id") + 10000).as("vec_id"),
+      when(col("vec_id") % 7 === 0, col("embedding"))
+        .otherwise(reverse(col("embedding"))).as("embedding"))
+    val dir = Files.createTempDirectory("graft_bvidx").toString
+    // the broadcast-batch nested-loop form (right when batch ≪ corpus)
+    // is the semantics oracle for the equi form — computed with default
+    // confs, before broadcast is disabled for the plan pins
+    val expect = Similarity.incrementalSemDedup(batch, corpus,
+      "vec_id", "embedding", threshold = 0.95)
+      .collect().map(_.getLong(0)).toSet
+    Similarity.saveIvfIndexBucketed(
+      Similarity.ivfIndex(corpus, "vec_id", "embedding"), "ivf_idx", dir)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = Similarity.loadIvfIndexBucketed(spark, "ivf_idx", dir)
+      val probe = Similarity.incrementalSemDedupEqui(batch, idx,
+        "vec_id", "embedding", threshold = 0.95, nProbe = 2)
+      val p = probe.queryExecution.executedPlan.toString
+      assert("Bucketed: true".r.findAllIn(p).length == 1,
+        s"the corpus cells scan must read bucketed:\n$p")
+      // vs the SAME equi probe over the plain parquet index: bucketing
+      // deletes exactly the one corpus-side cell-join exchange
+      val plainDir = Files.createTempDirectory("graft_pvidx").toString
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding"), plainDir)
+      val plain = Similarity.incrementalSemDedupEqui(batch,
+        Similarity.loadIvfIndex(spark, plainDir),
+        "vec_id", "embedding", threshold = 0.95, nProbe = 2)
+      val pp = plain.queryExecution.executedPlan.toString
+      val (nB, nP) = (shuffles(p), shuffles(pp))
+      assert(nB == nP - 1,
+        s"bucketing must remove the corpus-side shuffle: $nB vs $nP")
+      assert(probe.collect().map(_.getLong(0)).toSet == expect,
+        "equi probe must equal the broadcast-probe survivors")
+      // append assigns under the stored centroids and keeps the layout
+      Similarity.appendToIvfIndexBucketed(spark, "ivf_idx", dir,
+        emb.filter(col("vec_id") >= 250 && col("vec_id") < 260),
+        "vec_id", "embedding")
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("ivf_idx_cells"))
+        .bucketSpec
+      assert(spec.exists(_.numBuckets == 16), s"bucket spec kept: $spec")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS ivf_idx_cells")
+    }
+  }
 }
