@@ -912,7 +912,16 @@ object Dedup {
     * probe ([[graft.streaming.StreamingDedup]]) — a micro-batch that
     * listed the dir mid-swap would read a vanished snapshot. */
   private[functions] def compactParquetDir(
-      spark: SparkSession, dir: String, numFiles: Int): Unit = {
+      spark: SparkSession, dir: String, numFiles: Int): Unit =
+    rewriteParquetDir(spark, dir, numFiles)(identity)
+
+  /** The generalized staged-rewrite primitive under [[compactParquetDir]]
+    * (identity transform) and the DELETE verbs (anti-join transform):
+    * read the current snapshot, apply `f`, stage `numFiles` files, swap
+    * with the crash-safe marker protocol. */
+  private[functions] def rewriteParquetDir(
+      spark: SparkSession, dir: String, numFiles: Int)(
+      f: DataFrame => DataFrame): Unit = {
     require(numFiles >= 1)
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -920,7 +929,7 @@ object Dedup {
     val old = new org.apache.hadoop.fs.Path(dir + "__old")
     val marker = new org.apache.hadoop.fs.Path(dir + "__swapping")
     recoverInterruptedSwap(fs, dir)
-    spark.read.parquet(snapshotFiles(spark, dir): _*)
+    f(spark.read.parquet(snapshotFiles(spark, dir): _*))
       .repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     // the marker is the commit point: from here a crash rolls FORWARD to
@@ -953,6 +962,54 @@ object Dedup {
   def compactHammingIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit =
     compactParquetDir(spark, s"$path/buckets", numFiles)
+
+  /** DELETE documents from a persisted [[MinhashIndex]] (round 12 — the
+    * retention / right-to-be-forgotten verb completing the lifecycle:
+    * build / persist / probe / append / compact / DELETE). Takedowns,
+    * opt-outs, and license-expiry passes must propagate into the dedup
+    * index, or the pipeline keeps suppressing fresh documents as "near
+    * dups of" content that no longer exists — and keeps the deleted
+    * documents' shingle sets on disk.
+    *
+    * Both tables rewrite through the crash-safe staged swap
+    * ([[rewriteParquetDir]] — one snapshot scan each, the delete set
+    * anti-joined map-side when broadcast-small): `sets/` FIRST, because
+    * it is both the content (the shingle sets a deletion obligation is
+    * about) and the probe's semantic source of truth — a candidate from
+    * a stale `buckets/` tuple inner-joins `sets/` for the Jaccard
+    * verify, so once the sets row is gone the probe can never drop a
+    * batch doc on account of a deleted partner; the `buckets/` rewrite
+    * is then space reclamation. A crash between the two rewrites
+    * therefore leaves a CORRECT (if unvacuumed) index — re-run the
+    * delete to finish.
+    *
+    * @param ids one-column DataFrame of the document ids to delete
+    */
+  def deleteFromMinhashIndex(spark: SparkSession, path: String,
+      ids: DataFrame, numFiles: Int = 32): Unit = {
+    val del = ids.toDF("__cid")
+    rewriteParquetDir(spark, s"$path/sets", numFiles)(
+      _.join(del, Seq("__cid"), "left_anti"))
+    rewriteParquetDir(spark, s"$path/buckets", numFiles)(
+      _.join(del, Seq("__cid"), "left_anti"))
+  }
+
+  /** DELETE fingerprints from a persisted `HammingIndex`. The banded
+    * table stores (hash, band, bucket) tuples without ids (the probe
+    * never needs corpus ids), so deletion is keyed by the HASH: pass
+    * the deleted items' fingerprints; every tuple of an equal hash goes
+    * (items sharing a 64-bit fingerprint are byte-duplicates of each
+    * other at these operators' resolution — if one is taken down, its
+    * identical twins are the same content).
+    *
+    * @param hashes one-column DataFrame of the 64-bit hashes to delete
+    */
+  def deleteFromHammingIndex(spark: SparkSession, path: String,
+      hashes: DataFrame, numFiles: Int = 32): Unit = {
+    val del = hashes.toDF("__ch")
+    rewriteParquetDir(spark, s"$path/buckets", numFiles)(
+      _.join(del, Seq("__ch"), "left_anti"))
+  }
 
   /** In-memory append — the same survivors-only derivation as
     * [[appendToMinhashIndex]], unioned into a new [[MinhashIndex]]

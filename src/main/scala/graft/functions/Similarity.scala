@@ -866,6 +866,32 @@ object Similarity {
       numFiles: Int = 32): Unit =
     Dedup.compactParquetDir(spark, s"$path/cellcodes", numFiles)
 
+  /** DELETE vectors from a persisted [[IvfIndex]] / [[PqIndex]] /
+    * [[IvfPqIndex]] — the retention verb
+    * ([[graft.functions.Dedup.deleteFromMinhashIndex]] has the full
+    * rationale): one crash-safe staged rewrite of the per-vector table,
+    * the delete-id set anti-joined map-side when broadcast-small. The
+    * bounded model tables (centroids, codebooks) are statistical
+    * summaries, not member content, and stay frozen — the incremental
+    * contract survives deletion.
+    *
+    * @param ids one-column DataFrame of the vector ids to delete
+    */
+  def deleteFromIvfIndex(spark: SparkSession, path: String,
+      ids: DataFrame, numFiles: Int = 32): Unit =
+    Dedup.rewriteParquetDir(spark, s"$path/cells", numFiles)(
+      _.join(ids.toDF("neighbor_id"), Seq("neighbor_id"), "left_anti"))
+
+  def deleteFromPqIndex(spark: SparkSession, path: String,
+      ids: DataFrame, numFiles: Int = 32): Unit =
+    Dedup.rewriteParquetDir(spark, s"$path/codes", numFiles)(
+      _.join(ids.toDF("neighbor_id"), Seq("neighbor_id"), "left_anti"))
+
+  def deleteFromIvfPqIndex(spark: SparkSession, path: String,
+      ids: DataFrame, numFiles: Int = 32): Unit =
+    Dedup.rewriteParquetDir(spark, s"$path/cellcodes", numFiles)(
+      _.join(ids.toDF("neighbor_id"), Seq("neighbor_id"), "left_anti"))
+
   /** The per-ingest probe against a prebuilt [[IvfIndex]]. */
   def incrementalSemDedup(
       batch: DataFrame, index: IvfIndex, idCol: String, vecCol: String,

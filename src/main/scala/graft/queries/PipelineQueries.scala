@@ -201,6 +201,31 @@ object PipelineQueries {
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
         |         WHERE a.doc_id >= 250 AND b.doc_id < 250)""".stripMargin)
 
+  /** The r12 DELETE-propagation oracle: after deleting corpus ids
+    * ≡ 0 (mod 3) from the persisted index, a batch probe must behave as
+    * if those documents never existed — "the appended index" equivalence
+    * of the r11 oracle in reverse: deletion is exactly the band-partner
+    * filter `b.doc_id % 3 <> 0`, because the delete verb removes exactly
+    * those documents' set rows and band tuples. Non-vacuous by
+    * construction when some batch doc's ONLY near-dup is a deleted
+    * corpus doc (it must now SURVIVE where `pl_incr_minhash` drops it). */
+  private def indexDeleteOracleSql: String = minhashOracle(
+    """jac AS (SELECT id_a AS bid, id_b AS cid,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+      |    len(sa.s) AS na, len(sb.s) AS nb
+      |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+      |            JOIN shs sb ON cand.id_b = sb.doc_id),
+      |drops AS (SELECT DISTINCT bid FROM jac
+      |          WHERE inter / (na + nb - inter) >= 0.4)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT bid FROM drops)
+      |ORDER BY doc_id""".stripMargin,
+    candSql =
+      """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+        |         WHERE a.doc_id >= 250 AND b.doc_id < 250
+        |           AND b.doc_id % 3 <> 0)""".stripMargin)
+
   /** The r11 index-lifecycle oracle (build → probe → APPEND → probe):
     * day-1 batch (250 ≤ id < 375) probes the day-0 corpus (id < 250)
     * index; day-1 SURVIVORS join the index membership; day-2
@@ -1233,6 +1258,30 @@ object PipelineQueries {
         surv1.withColumn("day", lit(1))
           .unionByName(surv2.withColumn("day", lit(2)))
           .select("day", "doc_id").orderBy("day", "doc_id")
+      }),
+
+    // DELETE propagation (round 12): a retention pass removes corpus
+    // docs ≡ 0 (mod 3) from the persisted index; the batch probe must
+    // then behave as if they never existed — some batch docs' ONLY
+    // near-dup is a deleted doc, so they now SURVIVE where
+    // pl_incr_minhash drops them (the non-vacuity teeth). The delete
+    // rewrites sets/ then buckets/ through the crash-safe staged swap.
+    Q("pl_index_delete", indexDeleteOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-minhash-del").toString
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
+        Dedup.deleteFromMinhashIndex(s, dir,
+          docs.filter(col("doc_id") < 250 && col("doc_id") % 3 === 0)
+            .select("doc_id"), numFiles = 4)
+        Dedup.incrementalMinhashDedup(
+          docs.filter(col("doc_id") >= 250),
+          Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+          .orderBy("doc_id")
       }),
 
     // n-gram Jaccard near-dup (exact, restricted window so the O(n²) stays

@@ -354,6 +354,84 @@ class PipelineSpec extends AnyFunSuite {
       "day-2 must drop the near-dup of the appended day-1 survivor")
   }
 
+  test("index delete: retention removes content and un-suppresses probes") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 0
+      (11L, "one two three four five six seven eight"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-del-idx").toString
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    def probe() = Dedup.incrementalMinhashDedup(batch,
+      Dedup.loadMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(probe() == Set(11L), "doc 10 suppressed by corpus doc 0")
+    Dedup.deleteFromMinhashIndex(spark, dir, Seq(0L).toDF("doc_id"))
+    // the probe behaves as if doc 0 never existed...
+    assert(probe() == Set(10L, 11L),
+      "after deletion the suppressed doc must survive")
+    // ...and the content is physically GONE from both tables
+    assert(spark.read.parquet(s"$dir/sets")
+      .filter(col("__cid") === 0L).count() == 0, "sets row must be gone")
+    assert(spark.read.parquet(s"$dir/buckets")
+      .filter(col("__cid") === 0L).count() == 0, "band tuples must be gone")
+  }
+
+  test("hamming + ivf + pq index deletes propagate") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // Hamming: keyed by hash — deleting corpus 0's fingerprint
+    // un-suppresses the batch near-dup
+    val hc = Seq((0L, 0x00000000000000FFL), (1L, 0x7700000000000000L))
+      .toDF("id", "h")
+    val hb = Seq((10L, 0x00000000000000FEL)).toDF("id", "h")
+    val hdir = java.nio.file.Files
+      .createTempDirectory("graft-del-hidx").toString
+    Dedup.saveHammingIndex(Dedup.hammingIndex(hc, "id", "h"), hdir)
+    def hprobe() = Dedup.incrementalHammingDedup(hb,
+      Dedup.loadHammingIndex(spark, hdir), "id", "h", maxDist = 3)
+      .count()
+    assert(hprobe() == 0L)
+    Dedup.deleteFromHammingIndex(spark, hdir,
+      Seq(0x00000000000000FFL).toDF("h"))
+    assert(hprobe() == 1L, "deleted fingerprint must stop suppressing")
+    // IVF: deleting the near corpus vector un-suppresses the batch one
+    val vc = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("id", "vec")
+    val vb = Seq((10L, Seq(0.99f, 0.01f, 0f, 0f))).toDF("id", "vec")
+    val vdir = java.nio.file.Files
+      .createTempDirectory("graft-del-vidx").toString
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(vc, "id", "vec", nCells = 2), vdir)
+    def vprobe() = Similarity.incrementalSemDedup(vb,
+      Similarity.loadIvfIndex(spark, vdir), "id", "vec",
+      threshold = 0.9, nProbe = 2).count()
+    assert(vprobe() == 0L)
+    Similarity.deleteFromIvfIndex(spark, vdir, Seq(0L).toDF("id"))
+    assert(vprobe() == 1L, "deleted vector must stop suppressing")
+    // PQ: deleted ids drop out of the ADC ranking
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 100)
+    val pdir = java.nio.file.Files
+      .createTempDirectory("graft-del-pidx").toString
+    Similarity.savePqIndex(
+      Similarity.pqIndex(corpus, "vec_id", "embedding"), pdir)
+    Similarity.deleteFromPqIndex(spark, pdir,
+      spark.range(50).toDF("vec_id"))
+    val ranked = Similarity.pqTopK(emb.filter(col("vec_id") < 2),
+      Similarity.loadPqIndex(spark, pdir), "vec_id", "embedding", 10)
+      .collect().map(_.getLong(2))
+    assert(ranked.nonEmpty && ranked.forall(_ >= 50),
+      s"deleted codes must never rank: ${ranked.toSeq}")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")

@@ -114,6 +114,34 @@ class CompactionCrashSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) == 1)
   }
 
+  test("delete crash between the sets and buckets rewrites leaves a " +
+      "correct probe (stale band tuples are garbage, not answers)") {
+    val corpus = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (1L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-del-crash").toString
+    Dedup.saveMinhashIndex(Dedup.minhashIndex(corpus, "doc_id", "text"), dir)
+    // simulate deleteFromMinhashIndex crashing after the sets/ rewrite:
+    // only sets/ is rewritten, buckets/ keeps doc 0's band tuples
+    import org.apache.spark.sql.functions.col
+    Dedup.rewriteParquetDir(spark, s"$dir/sets", 1)(
+      _.filter(col("__cid") =!= 0L))
+    val surv = Dedup.incrementalMinhashDedup(batch,
+      Dedup.loadMinhashIndex(spark, dir), "doc_id", "text", threshold = 0.8)
+      .collect().map(_.getLong(0)).toSet
+    // the stale buckets row still yields a CANDIDATE, but the Jaccard
+    // verify inner-joins sets/ — no sets row, no drop: the probe is
+    // already correct after the sets rewrite (the documented ordering
+    // contract); re-running the delete merely reclaims the band tuples
+    assert(surv == Set(10L),
+      "probe must be correct with only sets/ rewritten")
+  }
+
   test("empty table dir fails loudly at load, not with a schema error") {
     val d = java.nio.file.Files
       .createTempDirectory("graft-empty").toString
