@@ -719,6 +719,71 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the persisted-IVF-PQ LIFECYCLE gate (round 12):
+    * the IVF CTEs train the coarse quantizer (`refined` IS the stored
+    * centroid table) and the PQ CTEs the codebooks (`pqrsc` the stored
+    * books) exactly as the standalone oracles do; the appended BATCH
+    * assigns cells under the frozen centroids (`batcell`, the
+    * [[Similarity.appendToIvfPqIndex]] replay, cosine tie-broken
+    * cell-DESC like the NearestCells kernel) and encodes under the
+    * frozen books (`batcode`); the probe prunes by cells and ADC-scores
+    * over the UNION of corpus and batch rows. */
+  private val ivfPqUpdateOracleSql: String = {
+    val sub = 8
+    def l2(mi: String, svec: String, cvec: String): String =
+      (1 to sub).map { j =>
+        s"(($svec[$mi*$sub+$j]) - ($cvec[$j])) * " +
+          s"(($svec[$mi*$sub+$j]) - ($cvec[$j]))"
+      }.mkString(" + ")
+    s"""WITH ${ivfAssignCtes(64)},
+       |$pqCtes,
+       |bat AS (SELECT vec_id + 10000 AS bid,
+       |        CASE WHEN vec_id % 7 = 0 THEN embedding
+       |             ELSE list_reverse(embedding) END AS bv
+       |        FROM embeddings WHERE vec_id < 200),
+       |batpb AS (SELECT bat.bid, s.cell,
+       |          ${SignLshSql.cosineVsCent("bat.bv", "s.cent", 64)} AS score
+       |        FROM bat CROSS JOIN refined s),
+       |batcell AS (SELECT bid AS vec_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bid
+       |      ORDER BY score DESC, cell DESC) AS rn FROM batpb)
+       |  WHERE rn = 1),
+       |batsv AS (SELECT bid AS vec_id, list_transform(bv,
+       |          x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |        FROM bat),
+       |batpq AS (SELECT v.vec_id, r.mi, r.code,
+       |          ${l2("r.mi", "v.s", "r.cs")} AS d
+       |        FROM batsv v CROSS JOIN pqrsc r),
+       |batcode AS (SELECT vec_id, mi, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d, code) AS rn FROM batpq) WHERE rn = 1),
+       |allcells AS (SELECT vec_id, cell FROM bcell
+       |             UNION ALL SELECT vec_id, cell FROM batcell),
+       |allcodes AS (SELECT vec_id, mi, code FROM pqbcode
+       |             UNION ALL SELECT vec_id, mi, code FROM batcode),
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id
+       |         FROM qc JOIN allcells c ON qc.cell = c.cell
+       |         WHERE qc.query_id != c.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM cand
+       |        JOIN pqsv q ON cand.query_id = q.vec_id
+       |        JOIN allcodes b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
+       |  SELECT query_id, neighbor_id, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     import SignLshSql._
     val dim = 64
@@ -1439,6 +1504,29 @@ object PipelineQueries {
         Similarity.appendToPqIndex(s, dir, batch, "vec_id", "embedding")
         Similarity.pqTopK(emb.filter(col("vec_id") < 5),
           Similarity.loadPqIndex(s, dir), "vec_id", "embedding", 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    // the persisted-IVF-PQ LIFECYCLE (round 12): train both models on
+    // the corpus, SAVE (centroids + books + one (id, cell, codes) row
+    // per vector), append a planted batch — cells assigned under the
+    // FROZEN centroids, codes encoded under the FROZEN books — reload,
+    // and probe over corpus+batch. Hash-exact end to end.
+    Q("pl_ann_ivfpq_update", ivfPqUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-index").toString
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding"), dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+        Similarity.appendToIvfPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadIvfPqIndex(s, dir),
+          "vec_id", "embedding", 10, nProbe = 4)
           .orderBy("query_id", "rank")
       }),
 

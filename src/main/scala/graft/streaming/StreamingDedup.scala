@@ -133,6 +133,48 @@ object StreamingDedup {
       .start()
   }
 
+  /** Continuous-ingest SEMANTIC dedup for the embedding path (round 12):
+    * micro-batches of (id, embedding) probe a persisted IVF index
+    * ([[graft.functions.Similarity.incrementalSemDedup]] — compare only
+    * within the batch's nProbe nearest cells, under the FROZEN
+    * quantizer), sink the survivors, and append them to their cells —
+    * the third streaming twin beside [[minhashDedupStream]] (text) and
+    * [[hammingDedupStream]] (media fingerprints), completing the
+    * modality matrix. Same manifest replay-safety and checkpoint
+    * scoping via the shared [[runBatch]].
+    */
+  def semDedupStream(
+      events: DataFrame, indexPath: String, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int = 2, appendSurvivors: Boolean = true,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val ckpt = resolvedCheckpoint(checkpointLocation, "graft-sd-stream")
+    events.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(probeSemBatch(batch, indexPath, manifestRoot(ckpt), batchId,
+          idCol, vecCol, threshold, nProbe, appendSurvivors))
+      }
+      .start()
+  }
+
+  /** The per-micro-batch body of [[semDedupStream]] (same testability
+    * contract as [[probeBatch]]). */
+  def probeSemBatch(batch: DataFrame, indexPath: String,
+      manifestRoot: String, batchId: Long, idCol: String, vecCol: String,
+      threshold: Double, nProbe: Int, appendSurvivors: Boolean): DataFrame = {
+    import graft.functions.Similarity
+    runBatch(batch, manifestRoot, batchId, idCol, appendSurvivors,
+      probe = b => {
+        val spark = b.sparkSession
+        b.join(Similarity.incrementalSemDedup(
+            b, Similarity.loadIvfIndex(spark, indexPath), idCol, vecCol,
+            threshold, nProbe).select(idCol), Seq(idCol), "left_semi")
+      },
+      append = surv => Similarity.appendToIvfIndex(
+        surv.sparkSession, indexPath, surv, idCol, vecCol))
+  }
+
   private def resolvedCheckpoint(
       explicit: Option[String], prefix: String): String =
     explicit.getOrElse(

@@ -185,6 +185,54 @@ class StreamingDedupSpec extends AnyFunSuite {
       s"$bucketRows")
   }
 
+  test("streaming semantic probe: embedding ingest with replay safety") {
+    import graft.functions.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    // persisted day-0 embedding index
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "emb")
+    val dir = tmp("graft-sd-idx")
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(corpus, "vec_id", "emb", nCells = 2), dir)
+    val ckpt = tmp("graft-sd-ckpt")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingDedup.semDedupStream(
+      input.toDF().toDF("vec_id", "emb"), dir, "vec_id", "emb",
+      threshold = 0.9, checkpointLocation = Some(ckpt)) { surv =>
+      seen ++= surv.collect().map(_.getLong(0)); ()
+    }
+    try {
+      // batch 1: near corpus 0 (drops) + orthogonal (survives, appends)
+      input.addData((10L, Seq(0.99f, 0.01f, 0f, 0f)),
+        (11L, Seq(0f, 0f, 1f, 0f)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L), s"batch-1 survivors: $seen")
+      // batch 2: near batch-1's appended SURVIVOR drops; fresh survives
+      input.addData((20L, Seq(0f, 0.01f, 0.99f, 0f)),
+        (21L, Seq(0f, 0f, 0f, 1f)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(11L, 21L),
+        s"batch-2 must drop the near-dup of the appended survivor: $seen")
+    } finally q.stop()
+    // replay: same manifest root + batchId re-emits committed survivors
+    // (a re-probe would find 30's own appended vector and self-dedup it)
+    val batch = Seq((30L, Seq(0.5f, 0.5f, 0.5f, 0.5f))).toDF("vec_id", "emb")
+    val root = s"$ckpt/graft_batches"
+    def run() = StreamingDedup.probeSemBatch(
+      batch, dir, root, batchId = 9L, "vec_id", "emb",
+      threshold = 0.9, nProbe = 2, appendSurvivors = true)
+      .collect().map(_.getLong(0)).toSet
+    assert(run() == Set(30L))
+    assert(run() == Set(30L),
+      "a replayed embedding batch must re-emit its committed survivors")
+    val cellRows = TestSpark.spark.read.parquet(s"$dir/cells")
+      .where(org.apache.spark.sql.functions.col("neighbor_id") === 30L)
+      .count()
+    assert(cellRows == 1L, s"survivor appended exactly once: $cellRows")
+  }
+
   test("manifests older than the previous batch are pruned") {
     import graft.functions.Dedup
     val corpus = Seq((0L, "alpha beta gamma delta epsilon zeta eta theta"))
