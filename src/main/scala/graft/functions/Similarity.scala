@@ -498,6 +498,121 @@ object Similarity {
     ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
       queries, qidCol, vecCol, k, nProbe)
 
+  /** IVF-PQ with an exact REFINE stage (round 12 — the standard serving
+    * practice ADC alone skips): the ADC scan ranks a candidate pool of
+    * `rerank` ids per query from the compressed codes, then ONLY those
+    * `queries × rerank` ids read their full float vectors back (the
+    * refine read — an id-keyed join against the primary store, touching
+    * ~rerank rows per query out of billions) and re-rank by exact
+    * cosine. Quantization error then affects RECALL only (a true
+    * neighbor outside the ADC pool stays lost) — never the final
+    * ordering or scores, which are exact. The corpus floats come from
+    * `vectors` (the primary store) because the serving index stores
+    * codes, not floats — that split is the point of PQ.
+    *
+    * @param rerank ADC pool size per query (≥ k; 3–10× k is typical)
+    * @return (query_id, rank, neighbor_id, score) — exact cosine, rank
+    *         1..k per query
+    */
+  def ivfPqTopKRefined(queries: DataFrame, index: IvfPqIndex,
+      vectors: DataFrame, qidCol: String, idCol: String, vecCol: String,
+      k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val pool = ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
+      queries, qidCol, vecCol, rerank, nProbe)
+      .select("query_id", "neighbor_id")
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv")))
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    pool
+      .join(c, Seq("neighbor_id")) // the refine read: rerank ids/query
+      .join(q, Seq("query_id"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** RESIDUAL IVFADC (round 12 — the true Jégou 2011 §IV form; the r9
+    * [[ivfPqTopK]] is the documented non-residual simplification): the
+    * PQ codebooks learn on the RESIDUALS v − c(cell) instead of the raw
+    * vectors. Once the coarse cells localize the space the residuals
+    * span a fraction of the vectors' range, so the same m × ksub budget
+    * quantizes finer — the standard accuracy upgrade every production
+    * IVFADC deployment ships.
+    *
+    * The whole chain stays integer-exact, which is what makes a
+    * hash-exact cross-engine oracle possible where float residuals
+    * would drift: residuals are defined in the SCALED space,
+    * r ≔ sv − scaleLong(cent(cell)) (long arithmetic), carried as the
+    * float (r/1e6) — EXACT, since |r| ≲ 2·10⁶ < 2²⁴ — and re-scaled
+    * back to precisely r inside [[pqEncode]] (the HALF_UP round-trip);
+    * and the score decomposes EXACTLY in integers:
+    * dot_s(q, v) = dot_s(q, cent(cell)) + dot_s(q, r), because
+    * sv = scent + r by definition. The first term is computed exactly
+    * per (query, cell) on the broadcast query side (nCells × dim
+    * integer products); ADC approximates only the second. Same probe
+    * cost as [[ivfPqTopK]]: ~nProbe/nCells of the codes, integer
+    * lookups, floats never touched after encoding.
+    */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (assigned, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
+    val dim = cents.head.length
+    val centLit = typedlit(cents.map(_.map(scaleLong).toSeq).toSeq)
+    // checkpoint (id, cell, sv) so the residual transform reads a stored
+    // column (the CollapseProject re-inline trap), then derive the exact
+    // float carrier of the integer residual
+    val withSv = assigned.select(col("neighbor_id"), col("__cell"),
+        Embeddings.scaledVec(col("__cv")).as("__sv"))
+      .localCheckpoint()
+    val resid = withSv.select(col("neighbor_id"), col("__cell"),
+      transform(sequence(lit(1), lit(dim)), j =>
+        ((element_at(col("__sv"), j.cast("int")) -
+          element_at(element_at(centLit, col("__cell") + 1),
+            j.cast("int")))
+          .cast("double") / Embeddings.Scale).cast("float")).as("__rv"))
+    val (codes, books) = pqEncode(resid, "neighbor_id", "__rv", m, ksub)
+    val coded = withSv.select("neighbor_id", "__cell")
+      .join(codes, "neighbor_id")
+    // per-cell EXACT centroid inner products ride the broadcast query
+    // row: nCells × dim integer multiplies per query, once
+    val cellIps = transform(sequence(lit(0), lit(nCells - 1)), ci =>
+      aggregate(sequence(lit(1), lit(dim)), lit(0L), (acc, j) =>
+        acc + element_at(col("__qsv"), j.cast("int")) *
+          element_at(element_at(centLit, ci.cast("int") + 1),
+            j.cast("int"))))
+    val q = broadcast(queries
+      .select(col(qidCol).as("query_id"), col(vecCol).as("__qv"),
+        Embeddings.scaledVec(col(vecCol)).as("__qsv"))
+      .localCheckpoint()
+      .withColumn("__cells", nearestCells(col("__qv"), cents, nProbe))
+      .withColumn("__tab", adcTableCol(books))
+      .withColumn("__cellip", cellIps)
+      .drop("__qv", "__qsv"))
+    val score = element_at(col("__cellip"), col("__cell") + 1) +
+      adcScoreCol(m)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_scaled").desc, col("neighbor_id"))
+    coded.join(q, array_contains(col("__cells"), col("__cell")) &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("score_scaled", score)
+      // raw-int rank filter → partial WindowGroupLimit (see bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score_scaled"))
+  }
+
   private def ivfPqAdcTopK(coded: DataFrame,
       cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
       queries: DataFrame, qidCol: String, vecCol: String,

@@ -559,21 +559,33 @@ object PipelineQueries {
     * `pqrsc(mi, code, cs)` — every arithmetic step integer or one IEEE
     * division, so ADC ranks and scores hash-match.
     */
-  private def pqCtes: String = {
+  private def pqCtes: String = pqCtesOver(
+    """pqin AS (SELECT vec_id, embedding AS fv,
+      |       list_transform(embedding,
+      |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+      |     FROM embeddings)""".stripMargin)
+
+  /** The PQ codebook-learn + encode chain over ANY input `pqin`
+    * (vec_id, fv FLOAT[], s BIGINT[] — s must be the HALF_UP 1e6
+    * scaling of fv, which every caller guarantees by construction):
+    * seeds are the hash-ordered first ksub input rows (riding the
+    * shared `hord` chain), one exact-integer Lloyd sweep, final code
+    * assignment. Exposes `pqsv`, `pqrsc`, `pqbcode`. The raw-embedding
+    * instantiation is [[pqCtes]]; the residual-IVFADC oracle feeds the
+    * integer residuals instead. */
+  private def pqCtesOver(inputCte: String): String = {
     val m = 8; val ksub = 16; val sub = 8
     def l2(mi: String, svec: String, cvec: String): String =
       (1 to sub).map { j =>
         s"(($svec[$mi*$sub+$j]) - ($cvec[$mi*$sub+$j])) * " +
           s"(($svec[$mi*$sub+$j]) - ($cvec[$mi*$sub+$j]))"
       }.mkString(" + ")
-    s"""pqseeds AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS ci,
-       |          embedding FROM hord ORDER BY sh LIMIT $ksub),
-       |pqsv AS (SELECT vec_id, list_transform(embedding,
-       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
-       |       FROM embeddings),
-       |pqscents AS (SELECT ci, list_transform(embedding,
-       |         x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s,
-       |         embedding FROM pqseeds),
+    s"""$inputCte,
+       |pqsv AS (SELECT vec_id, s FROM pqin),
+       |pqseeds AS (SELECT CAST(row_number() OVER (ORDER BY h.sh, h.vec_id) AS INT) - 1 AS ci,
+       |          i.fv, i.s FROM hord h JOIN pqin i USING (vec_id)
+       |          ORDER BY h.sh LIMIT $ksub),
+       |pqscents AS (SELECT ci, s, fv AS embedding FROM pqseeds),
        |pqmis AS (SELECT unnest(range(0, $m)) AS mi),
        |pqpa0 AS (SELECT v.vec_id, pqmis.mi, c.ci,
        |          ${l2("pqmis.mi", "v.s", "c.s")} AS d
@@ -775,6 +787,105 @@ object PipelineQueries {
        |        JOIN allcodes b ON cand.neighbor_id = b.vec_id
        |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
        |        GROUP BY 1, 2)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
+       |  SELECT query_id, neighbor_id, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.ivfPqTopKRefined]]: the IVF-PQ ADC
+    * chain ranks a 30-id pool per query, the pool joins the float store
+    * back, and exact cosine (the bit-exact [[SignLshSql.cosine]] fold
+    * mirror) re-ranks the final 10 — quantization error affects which
+    * ids are IN the pool, never the output ordering or scores. */
+  private val ivfPqRerankOracleSql: String = {
+    import SignLshSql._
+    s"""WITH ${ivfAssignCtes(64)},
+       |$pqCtes,
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, b.vec_id AS neighbor_id
+       |         FROM qc JOIN bcell b ON qc.cell = b.cell
+       |         WHERE qc.query_id != b.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM cand
+       |        JOIN pqsv q ON cand.query_id = q.vec_id
+       |        JOIN pqbcode b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_scaled DESC, neighbor_id) AS rn
+       |    FROM scored) WHERE rn <= 30),
+       |refined_rr AS (SELECT p.query_id, p.neighbor_id,
+       |    ${cosine("q.embedding", "e.embedding", 64)} AS score
+       |  FROM pool p JOIN embeddings q ON p.query_id = q.vec_id
+       |              JOIN embeddings e ON p.neighbor_id = e.vec_id)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM refined_rr)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** DuckDB replay of [[Similarity.ivfAdcTopK]] (residual IVFADC): the
+    * IVF chain trains the quantizer; the PQ chain runs over the INTEGER
+    * residuals r = sv − scaled(cent(cell)) (the generic [[pqCtesOver]]
+    * fed the residual `pqin`, with fv the exact float carrier r/1e6 —
+    * |r| < 2²⁴ makes both the carrier and its re-scaling exact); the
+    * score is the exact integer identity dot_s(q,v) = dot_s(q,cent) +
+    * dot_s(q,r), with the first term computed per (query, cell) and the
+    * second approximated by the residual ADC sum. */
+  private val ivfAdcOracleSql: String = {
+    s"""WITH ${ivfAssignCtes(64)},
+       |scents AS (SELECT cell, list_transform(cent,
+       |           x -> CAST(round(x * 1000000) AS BIGINT)) AS cs
+       |         FROM refined),
+       |${pqCtesOver(
+        """pqin AS (SELECT b.vec_id,
+          |       list_transform(range(1, 65), j ->
+          |         CAST(CAST((CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+          |           - sc.cs[j]) AS DOUBLE) / 1000000 AS FLOAT)) AS fv,
+          |       list_transform(range(1, 65), j ->
+          |         CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+          |           - sc.cs[j]) AS s
+          |     FROM bcell b JOIN embeddings e USING (vec_id)
+          |                  JOIN scents sc ON b.cell = sc.cell)""".stripMargin)},
+       |qsv AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |      FROM embeddings WHERE vec_id < 5),
+       |qips AS (SELECT q.vec_id AS query_id, sc.cell,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           j -> q.s[j] * sc.cs[j])) AS BIGINT) AS ip
+       |       FROM qsv q CROSS JOIN scents sc),
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, b.vec_id AS neighbor_id,
+       |           b.cell
+       |         FROM qc JOIN bcell b ON qc.cell = b.cell
+       |         WHERE qc.query_id != b.vec_id),
+       |adc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS a
+       |        FROM cand
+       |        JOIN qsv q ON cand.query_id = q.vec_id
+       |        JOIN pqbcode b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT adc.query_id, adc.neighbor_id,
+       |          adc.a + qips.ip AS score_scaled
+       |        FROM adc JOIN qips ON adc.query_id = qips.query_id
+       |                          AND adc.cell = qips.cell)
        |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
        |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
        |  SELECT query_id, neighbor_id, score_scaled,
@@ -1527,6 +1638,37 @@ object PipelineQueries {
         Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
           Similarity.loadIvfPqIndex(s, dir),
           "vec_id", "embedding", 10, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // ADC + exact REFINE (round 12): the serving pattern plain ADC
+    // skips — rank a 30-id pool per query from the compressed codes,
+    // read ONLY those floats back from the primary store, re-rank the
+    // final 10 by exact cosine. Quantization error affects pool recall,
+    // never the output ordering or scores (both exact, bit-replayable).
+    Q("pl_ann_ivfpq_rerank", ivfPqRerankOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.ivfPqTopKRefined(
+          emb.filter(col("vec_id") < 5),
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding"),
+          emb, "vec_id", "vec_id", "embedding",
+          k = 10, nProbe = 4, rerank = 30)
+          .orderBy("query_id", "rank")
+      }),
+
+    // RESIDUAL IVFADC (round 12 — the true Jégou §IV form; pl_ann_ivfpq
+    // is the documented non-residual simplification): PQ codebooks learn
+    // on the integer residuals v − cent(cell), and the score is the
+    // EXACT integer identity dot(q,v) = dot(q,cent) + dot(q,r) with only
+    // the residual term ADC-approximated — finer quantization from the
+    // same codebook budget, still hash-exact end to end.
+    Q("pl_ann_ivfadc", ivfAdcOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.ivfAdcTopK(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", 10)
           .orderBy("query_id", "rank")
       }),
 

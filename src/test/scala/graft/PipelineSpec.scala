@@ -432,6 +432,51 @@ class PipelineSpec extends AnyFunSuite {
       s"deleted codes must never rank: ${ranked.toSeq}")
   }
 
+  test("residual ivfadc: carrier exactness and tighter quantization") {
+    import graft.functions.{Embeddings, Similarity}
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    // 1) the design-bearing invariant: the float residual carrier
+    // (r/1e6).toFloat round-trips scaleLong back to exactly
+    // r = sv − scaled(cent(cell)) — |r| < 2^24 makes the float exact
+    val (assigned, cents) = Similarity.ivfAssign(emb, "vec_id", "embedding", 16)
+    def scaleL(v: Float): Long =
+      java.math.BigDecimal.valueOf(v.toDouble * Embeddings.Scale)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val scents = cents.map(_.map(scaleL))
+    val bad = assigned.collect().count { r =>
+      val sv = r.getSeq[Float](1).map(scaleL)
+      val cell = r.getInt(2)
+      sv.zipWithIndex.exists { case (s, j) =>
+        val res = s - scents(cell)(j)
+        val carrier = (res.toDouble / Embeddings.Scale).toFloat
+        scaleL(carrier) != res
+      }
+    }
+    assert(bad == 0, s"$bad rows break the residual float round-trip")
+    // 2) residual quantization approximates the exact scaled IP at least
+    // as tightly as the non-residual form, on the pairs both rank
+    def exactIp(res: org.apache.spark.sql.DataFrame) = res
+      .join(emb.select(col("vec_id").as("query_id"),
+        Embeddings.scaledVec(col("embedding")).as("__qs")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        Embeddings.scaledVec(col("embedding")).as("__ns")), "neighbor_id")
+      .withColumn("__exact", aggregate(
+        zip_with(col("__qs"), col("__ns"), (a, b) => a * b),
+        lit(0L), (acc, v) => acc + v))
+      .select(col("query_id"), col("neighbor_id"),
+        abs(col("score_scaled") - col("__exact")).as("err"))
+    val q5 = emb.filter(col("vec_id") < 5)
+    val residErr = exactIp(Similarity.ivfAdcTopK(
+      q5, emb, "vec_id", "vec_id", "embedding", 50))
+      .agg(avg("err")).collect()(0).getDouble(0)
+    val plainErr = exactIp(Similarity.ivfPqTopK(
+      q5, emb, "vec_id", "vec_id", "embedding", 50))
+      .agg(avg("err")).collect()(0).getDouble(0)
+    assert(residErr < plainErr,
+      s"residual ADC must quantize tighter: $residErr vs $plainErr")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")
