@@ -492,11 +492,17 @@ object Similarity {
   }
 
   /** IVF-PQ top-k against a PERSISTED index (round 12): cells prune,
-    * stored codes stand in for the floats, nothing retrains. */
+    * stored codes stand in for the floats, nothing retrains. Branches
+    * on the index's stored `residual` flag, so a residual index always
+    * probes with the residual score decomposition. */
   def ivfPqTopK(queries: DataFrame, index: IvfPqIndex,
       qidCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame =
-    ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
-      queries, qidCol, vecCol, k, nProbe)
+    if (index.residual)
+      ivfResidualAdcTopK(index.cellCodes, index.centroids, index.books,
+        queries, qidCol, vecCol, k, nProbe)
+    else
+      ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
+        queries, qidCol, vecCol, k, nProbe)
 
   /** IVF-PQ with an exact REFINE stage (round 12 — the standard serving
     * practice ADC alone skips): the ADC scan ranks a candidate pool of
@@ -565,10 +571,20 @@ object Similarity {
       qidCol: String, idCol: String, vecCol: String, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 8, ksub: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val index = ivfAdcIndex(corpus, idCol, vecCol, nCells, m, ksub)
+    ivfPqTopK(queries, index, qidCol, vecCol, k, nProbe)
+  }
+
+  /** Build a RESIDUAL [[IvfPqIndex]] (`residual = true`): same storage
+    * layout as the non-residual form — one (id, cell, codes) row per
+    * vector plus the two bounded model tables — but the codes quantize
+    * residuals, and the flag makes the index self-describing: load /
+    * append / probe all branch on it, so a persisted residual index can
+    * never be silently probed (or appended to) with raw-vector
+    * arithmetic. */
+  def ivfAdcIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nCells: Int = 16, m: Int = 8, ksub: Int = 16): IvfPqIndex = {
     val (assigned, cents) = ivfAssign(corpus, idCol, vecCol, nCells)
-    val dim = cents.head.length
-    val centLit = typedlit(cents.map(_.map(scaleLong).toSeq).toSeq)
     // checkpoint (id, cell, sv) so the residual transform reads a stored
     // column (the CollapseProject re-inline trap), then derive the exact
     // float carrier of the integer residual
@@ -576,14 +592,36 @@ object Similarity {
         Embeddings.scaledVec(col("__cv")).as("__sv"))
       .localCheckpoint()
     val resid = withSv.select(col("neighbor_id"), col("__cell"),
-      transform(sequence(lit(1), lit(dim)), j =>
-        ((element_at(col("__sv"), j.cast("int")) -
-          element_at(element_at(centLit, col("__cell") + 1),
-            j.cast("int")))
-          .cast("double") / Embeddings.Scale).cast("float")).as("__rv"))
+      residualCarrierCol(cents).as("__rv"))
     val (codes, books) = pqEncode(resid, "neighbor_id", "__rv", m, ksub)
-    val coded = withSv.select("neighbor_id", "__cell")
-      .join(codes, "neighbor_id")
+    IvfPqIndex(
+      withSv.select("neighbor_id", "__cell").join(codes, "neighbor_id"),
+      cents, books, residual = true)
+  }
+
+  /** The exact float carrier of the integer residual
+    * r = __sv − scaleLong(cent(__cell)): (r/1e6).toFloat, exact because
+    * |r| ≲ 2·10⁶ < 2²⁴, and re-scaling inside [[pqEncode]]/
+    * [[pqEncodeWith]] recovers precisely r (the HALF_UP round-trip).
+    * Reads the pre-materialized "__sv" and "__cell" columns. */
+  private def residualCarrierCol(cents: Array[Array[Float]]): Column = {
+    val dim = cents.head.length
+    val centLit = typedlit(cents.map(_.map(scaleLong).toSeq).toSeq)
+    transform(sequence(lit(1), lit(dim)), j =>
+      ((element_at(col("__sv"), j.cast("int")) -
+        element_at(element_at(centLit, col("__cell") + 1),
+          j.cast("int")))
+        .cast("double") / Embeddings.Scale).cast("float"))
+  }
+
+  private def ivfResidualAdcTopK(coded: DataFrame,
+      cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      queries: DataFrame, qidCol: String, vecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nCells = cents.length
+    val dim = cents.head.length
+    val centLit = typedlit(cents.map(_.map(scaleLong).toSeq).toSeq)
     // per-cell EXACT centroid inner products ride the broadcast query
     // row: nCells × dim integer multiplies per query, once
     val cellIps = transform(sequence(lit(0), lit(nCells - 1)), ci =>
@@ -599,8 +637,10 @@ object Similarity {
       .withColumn("__tab", adcTableCol(books))
       .withColumn("__cellip", cellIps)
       .drop("__qv", "__qsv"))
+    // dot_s(q, v) = dot_s(q, cent(cell)) + dot_s(q, r) EXACTLY; ADC
+    // approximates only the residual term
     val score = element_at(col("__cellip"), col("__cell") + 1) +
-      adcScoreCol(m)
+      adcScoreCol(books.length)
     val w = Window.partitionBy("query_id")
       .orderBy(col("score_scaled").desc, col("neighbor_id"))
     coded.join(q, array_contains(col("__cells"), col("__cell")) &&
@@ -928,7 +968,8 @@ object Similarity {
     * the code rows with integer ADC lookups; the corpus floats exist
     * only at build/append time, never at serving time. */
   final case class IvfPqIndex(cellCodes: DataFrame,
-      centroids: Array[Array[Float]], books: Array[Array[Array[Float]]])
+      centroids: Array[Array[Float]], books: Array[Array[Array[Float]]],
+      residual: Boolean = false)
 
   def ivfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nCells: Int = 16, m: Int = 8, ksub: Int = 16): IvfPqIndex = {
@@ -940,7 +981,8 @@ object Similarity {
   }
 
   /** Persist an [[IvfPqIndex]] under `path` (`cellcodes/` +
-    * `centroids/` + `books/`). Overwrites. */
+    * `centroids/` + `books/` + one-row `meta/` carrying the residual
+    * flag, so the stored index is self-describing). Overwrites. */
   def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.cellCodes.sparkSession
     import spark.implicits._
@@ -950,6 +992,18 @@ object Similarity {
       .toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     saveBooks(spark, index.books, s"$path/books")
+    Seq(index.residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  private def loadIvfPqResidualFlag(
+      spark: SparkSession, path: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/meta")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // pre-r12 indexes have no meta/ — they were all non-residual
+    fs.exists(p) &&
+      spark.read.parquet(s"$path/meta").collect().head
+        .getAs[Boolean]("residual")
   }
 
   def loadIvfPqIndex(spark: SparkSession, path: String): IvfPqIndex =
@@ -957,23 +1011,41 @@ object Similarity {
       spark.read.parquet(
         Dedup.snapshotFiles(spark, s"$path/cellcodes"): _*),
       loadCentroids(spark, path),
-      loadBooks(spark, s"$path/books"))
+      loadBooks(spark, s"$path/books"),
+      loadIvfPqResidualFlag(spark, path))
 
   /** APPEND a batch to a persisted [[IvfPqIndex]]: assign cells under
-    * the STORED centroids, encode under the STORED books (both frozen),
-    * append one (id, cell, codes) row per batch vector — cost ∝ batch,
-    * the corpus rows never read. */
+    * the STORED centroids, encode under the STORED books (both frozen —
+    * residual indexes encode the batch's residuals against its assigned
+    * cells), append one (id, cell, codes) row per batch vector — cost ∝
+    * batch, the corpus rows never read. */
   def appendToIvfPqIndex(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit = {
     val cents = loadCentroids(spark, path)
     val books = loadBooks(spark, s"$path/books")
-    val cells = batch
-      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("__cell",
-        element_at(nearestCells(col("__cv"), cents, 1), 1))
-      .select("neighbor_id", "__cell")
-    cells.join(pqEncodeWith(batch, idCol, vecCol, books), "neighbor_id")
-      .write.mode("append").parquet(s"$path/cellcodes")
+    if (loadIvfPqResidualFlag(spark, path)) {
+      val withSv = batch
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cell",
+          element_at(nearestCells(col("__cv"), cents, 1), 1))
+        .select(col("neighbor_id"), col("__cell"),
+          Embeddings.scaledVec(col("__cv")).as("__sv"))
+        .localCheckpoint()
+      val resid = withSv.select(col("neighbor_id"), col("__cell"),
+        residualCarrierCol(cents).as("__rv"))
+      withSv.select("neighbor_id", "__cell")
+        .join(pqEncodeWith(resid, "neighbor_id", "__rv", books),
+          "neighbor_id")
+        .write.mode("append").parquet(s"$path/cellcodes")
+    } else {
+      val cells = batch
+        .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+        .withColumn("__cell",
+          element_at(nearestCells(col("__cv"), cents, 1), 1))
+        .select("neighbor_id", "__cell")
+      cells.join(pqEncodeWith(batch, idCol, vecCol, books), "neighbor_id")
+        .write.mode("append").parquet(s"$path/cellcodes")
+    }
   }
 
   /** Compact a persisted [[IvfPqIndex]]'s `cellcodes/` table. */

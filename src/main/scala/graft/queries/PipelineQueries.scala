@@ -895,6 +895,94 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of the RESIDUAL-index lifecycle gate: the
+    * [[ivfAdcOracleSql]] chain plus the appended batch — assigned to
+    * cells under the frozen centroids, residual-encoded under the
+    * frozen books — with the probe scoring the UNION of corpus and
+    * batch rows by the exact cell-IP + residual-ADC decomposition. */
+  private val ivfAdcUpdateOracleSql: String = {
+    val sub = 8
+    def l2(mi: String, svec: String, cvec: String): String =
+      (1 to sub).map { j =>
+        s"(($svec[$mi*$sub+$j]) - ($cvec[$j])) * " +
+          s"(($svec[$mi*$sub+$j]) - ($cvec[$j]))"
+      }.mkString(" + ")
+    s"""WITH ${ivfAssignCtes(64)},
+       |scents AS (SELECT cell, list_transform(cent,
+       |           x -> CAST(round(x * 1000000) AS BIGINT)) AS cs
+       |         FROM refined),
+       |${pqCtesOver(
+        """pqin AS (SELECT b.vec_id,
+          |       list_transform(range(1, 65), j ->
+          |         CAST(CAST((CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+          |           - sc.cs[j]) AS DOUBLE) / 1000000 AS FLOAT)) AS fv,
+          |       list_transform(range(1, 65), j ->
+          |         CAST(round(CAST(e.embedding[j] AS DOUBLE) * 1000000) AS BIGINT)
+          |           - sc.cs[j]) AS s
+          |     FROM bcell b JOIN embeddings e USING (vec_id)
+          |                  JOIN scents sc ON b.cell = sc.cell)""".stripMargin)},
+       |bat AS (SELECT vec_id + 10000 AS bid,
+       |        CASE WHEN vec_id % 7 = 0 THEN embedding
+       |             ELSE list_reverse(embedding) END AS bv
+       |        FROM embeddings WHERE vec_id < 200),
+       |batpb AS (SELECT bat.bid, s.cell,
+       |          ${SignLshSql.cosineVsCent("bat.bv", "s.cent", 64)} AS score
+       |        FROM bat CROSS JOIN refined s),
+       |batcell AS (SELECT bid, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY bid
+       |      ORDER BY score DESC, cell DESC) AS rn FROM batpb)
+       |  WHERE rn = 1),
+       |batrsv AS (SELECT b.bid AS vec_id, bc.cell,
+       |          list_transform(range(1, 65), j ->
+       |            CAST(round(CAST(b.bv[j] AS DOUBLE) * 1000000) AS BIGINT)
+       |              - sc.cs[j]) AS s
+       |        FROM bat b JOIN batcell bc ON b.bid = bc.bid
+       |                   JOIN scents sc ON bc.cell = sc.cell),
+       |batpq AS (SELECT v.vec_id, r.mi, r.code,
+       |          ${l2("r.mi", "v.s", "r.cs")} AS d
+       |        FROM batrsv v CROSS JOIN pqrsc r),
+       |batcode AS (SELECT vec_id, mi, code FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, mi
+       |      ORDER BY d, code) AS rn FROM batpq) WHERE rn = 1),
+       |allcells AS (SELECT vec_id, cell FROM bcell
+       |             UNION ALL SELECT vec_id, cell FROM batrsv),
+       |allcodes AS (SELECT vec_id, mi, code FROM pqbcode
+       |             UNION ALL SELECT vec_id, mi, code FROM batcode),
+       |qsv AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS s
+       |      FROM embeddings WHERE vec_id < 5),
+       |qips AS (SELECT q.vec_id AS query_id, sc.cell,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |           j -> q.s[j] * sc.cs[j])) AS BIGINT) AS ip
+       |       FROM qsv q CROSS JOIN scents sc),
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, c.vec_id AS neighbor_id,
+       |           c.cell
+       |         FROM qc JOIN allcells c ON qc.cell = c.cell
+       |         WHERE qc.query_id != c.vec_id),
+       |adc AS (SELECT cand.query_id, cand.neighbor_id, cand.cell,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS a
+       |        FROM cand
+       |        JOIN qsv q ON cand.query_id = q.vec_id
+       |        JOIN allcodes b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2, 3),
+       |scored AS (SELECT adc.query_id, adc.neighbor_id,
+       |          adc.a + qips.ip AS score_scaled
+       |        FROM adc JOIN qips ON adc.query_id = qips.query_id
+       |                          AND adc.cell = qips.cell)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  CAST(score_scaled AS BIGINT) AS score_scaled FROM (
+       |  SELECT query_id, neighbor_id, score_scaled,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score_scaled DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   private val ivfOracleSql: String = {
     import SignLshSql._
     val dim = 64
@@ -1669,6 +1757,29 @@ object PipelineQueries {
         Similarity.ivfAdcTopK(
           emb.filter(col("vec_id") < 5), emb,
           "vec_id", "vec_id", "embedding", 10)
+          .orderBy("query_id", "rank")
+      }),
+
+    // the RESIDUAL-index lifecycle (round 12): train, save (the meta
+    // flag makes the stored index self-describing), append a planted
+    // batch — cells under the frozen centroids, RESIDUAL codes under
+    // the frozen books — reload, probe with the exact cell-IP +
+    // residual-ADC decomposition over corpus+batch. Hash-exact.
+    Q("pl_ann_ivfadc_update", ivfAdcUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-radc-index").toString
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfAdcIndex(emb, "vec_id", "embedding"), dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+        Similarity.appendToIvfPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadIvfPqIndex(s, dir),
+          "vec_id", "embedding", 10, nProbe = 4)
           .orderBy("query_id", "rank")
       }),
 

@@ -432,6 +432,43 @@ class PipelineSpec extends AnyFunSuite {
       s"deleted codes must never rank: ${ranked.toSeq}")
   }
 
+  test("residual ivfadc index lifecycle: self-describing flag, frozen-" +
+      "model append") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    val inline = Similarity.ivfAdcTopK(queries, corpus,
+      "vec_id", "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-radc-spec").toString
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfAdcIndex(corpus, "vec_id", "embedding"), dir)
+    val loadedIdx = Similarity.loadIvfPqIndex(spark, dir)
+    assert(loadedIdx.residual, "the stored flag must round-trip")
+    val loaded = Similarity.ivfPqTopK(queries, loadedIdx,
+      "vec_id", "embedding", 10, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+    assert(inline == loaded && inline.nonEmpty,
+      "loaded residual probe must equal the relearn form")
+    // append encodes RESIDUALS under the frozen models: an appended
+    // identical twin of a corpus vector must rank first for a query
+    // equal to it (exact cell IP + its own residual code)
+    val batch = emb.filter(col("vec_id") >= 300 && col("vec_id") < 330)
+    Similarity.appendToIvfPqIndex(spark, dir, batch, "vec_id", "embedding")
+    val after = Similarity.loadIvfPqIndex(spark, dir)
+    val probeQ = emb.filter(col("vec_id") === 310)
+      .select((col("vec_id") + 90000).as("vec_id"), col("embedding"))
+    val top = Similarity.ivfPqTopK(probeQ, after,
+      "vec_id", "embedding", 1, nProbe = 1).collect()
+    assert(top.length == 1 && top(0).getLong(2) == 310L,
+      s"the appended twin must be the nearest neighbor: ${top.toSeq}")
+  }
+
   test("residual ivfadc: carrier exactness and tighter quantization") {
     import graft.functions.{Embeddings, Similarity}
     val spark = TestSpark.spark
