@@ -202,6 +202,63 @@ object Graph {
       .getOrElse(ids.select(col("id"), lit(0L).as("core")))
   }
 
+  /** LABEL-PROPAGATION community detection (round 12) — synchronous LPA
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks") made fully
+    * deterministic: every vertex starts with its own id as label; each
+    * of the `iterations` rounds every vertex adopts the label MOST
+    * FREQUENT among its neighbors, ties broken toward the SMALLEST
+    * label; isolated vertices keep theirs. A fixed iteration budget +
+    * deterministic tie-break makes the result a pure function of the
+    * graph — partition-invariant and SQL-replayable — where the paper's
+    * randomized asynchronous sweep is not (and a fixed budget is what
+    * production jobs run anyway; the paper's own finding is ~5 rounds).
+    * Communities complement the rest of the dup-graph family: connected
+    * components give reachability islands, k-cores give density,
+    * LPA gives the mesoscale grouping (template farms, mirror clusters)
+    * that a component- or core-level keep-one policy is too coarse for.
+    *
+    * Shape per round: sym-edges join the (vertex → label) table on the
+    * source (each directed edge copy fetches its neighbor's current
+    * label), one (dst, label)-keyed count with map-side combine (hub
+    * skew absorbed there), one dst-keyed argmax via min(struct(−n,
+    * label)), then a checkpoint (the lineage barrier, PageRank's
+    * pattern). Two shuffles per round, no driver data.
+    *
+    * @return (id, community) — the final label per vertex
+    */
+  def labelPropagation(vertices: DataFrame, edges: DataFrame,
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    require(iterations >= 1)
+    val und = canonicalUndirected(edges)
+    val sym = localCheckpointNoStats(
+      und.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
+    val ids = localCheckpointNoStats(vertices.select(col("id")).distinct())
+    var labels = localCheckpointNoStats(
+      ids.select(col("id"), col("id").as("label")))
+    var i = 0
+    while (i < iterations) {
+      val next = sym
+        .join(labels.select(col("id").as("u"), col("label")), "u")
+        .groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("v"))
+        // most frequent, then smallest label: lexicographic min over
+        // (−count, label)
+        .agg(min(struct((-col("__n")).as("n"), col("label").as("l")))
+          .as("__w"))
+        .select(col("v").as("id"), col("__w.l").as("__next"))
+      labels = localCheckpointNoStats(
+        labels.join(next, Seq("id"), "left_outer")
+          .select(col("id"),
+            coalesce(col("__next"), col("label")).as("label")))
+      i += 1
+    }
+    labels.select(col("id"), col("label").as("community"))
+  }
+
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER
     * arithmetic so the result is a pure function of the graph
     * (partition-invariant, run-stable, SQL-replayable): ranks carry as

@@ -2706,6 +2706,61 @@ object PipelineQueries {
         graft.functions.Graph.coreNumbers(verts, edges).orderBy("id")
       }),
 
+    // LABEL-PROPAGATION communities (round 12): 4 synchronous rounds of
+    // adopt-the-most-frequent-neighbor-label (ties to the smallest),
+    // labels seeded with vertex ids, over the sparsified k-core graph
+    // (its community structure is non-degenerate). Deterministic by
+    // construction (fixed budget + total tie order), so the oracle
+    // unrolls the identical four rounds with a row_number argmax.
+    Q("pl_communities", {
+      def round(i: Int): String = {
+        val prev = s"lp${i - 1}"
+        s"""lpn$i AS (SELECT s.v AS id, l.lab, count(*) AS n
+           |        FROM ksym s JOIN $prev l ON s.u = l.id
+           |        GROUP BY s.v, l.lab),
+           |lpw$i AS (SELECT id, lab FROM (
+           |    SELECT id, lab, row_number() OVER (PARTITION BY id
+           |      ORDER BY n DESC, lab) AS rn FROM lpn$i) WHERE rn = 1),
+           |lp$i AS (SELECT p.id, coalesce(w.lab, p.lab) AS lab
+           |        FROM $prev p LEFT JOIN lpw$i w USING (id))""".stripMargin
+      }
+      s"""WITH ke0 AS (
+         |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d
+         |  FROM documents WHERE doc_id % 60 < 50
+         |  UNION ALL
+         |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60
+         |  FROM documents WHERE doc_id % 60 < 25
+         |  UNION ALL
+         |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60
+         |  FROM documents WHERE doc_id % 60 < 12),
+         |kund AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+         |         FROM ke0 WHERE s <> d),
+         |ksym AS (SELECT a AS u, b AS v FROM kund
+         |         UNION ALL SELECT b, a FROM kund),
+         |kids AS (SELECT DISTINCT u AS id FROM ksym),
+         |lp0 AS (SELECT id, id AS lab FROM kids),
+         |${(1 to 4).map(round).mkString(",\n")}
+         |SELECT id, CAST(lab AS BIGINT) AS community
+         |FROM lp4 ORDER BY id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val r = col("doc_id") % 60
+        val edges = docs.filter(r < 50).select(
+          (col("doc_id") % 60).as("src"),
+          ((col("doc_id") * 7 + 1) % 60).as("dst"))
+          .unionByName(docs.filter(r < 25).select(
+            (col("doc_id") % 60).as("src"),
+            ((col("doc_id") * 13 + 2) % 60).as("dst")))
+          .unionByName(docs.filter(r < 12).select(
+            ((col("doc_id") * 3) % 60).as("src"),
+            ((col("doc_id") * 11 + 5) % 60).as("dst")))
+        val verts = edges.select(col("src").as("id"))
+          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        graft.functions.Graph.labelPropagation(verts, edges,
+          iterations = 4).orderBy("id")
+      }),
+
     // deterministic integer PageRank (round 10; round 11 adds the
     // textbook DANGLING-mass redistribution): 5 fixed iterations of
     // scale-scaled long arithmetic (teleport ⌊scale·15/(N·100)⌋ + damped

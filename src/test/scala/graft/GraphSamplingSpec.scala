@@ -26,6 +26,29 @@ class GraphSamplingSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("labelPropagation: cliques become communities, bridge stays thin") {
+    // two 4-cliques {1..4} and {10..13} joined by ONE bridge edge 4–10,
+    // plus a singleton: LPA must keep the cliques as separate
+    // communities (each labeled by its min id — the deterministic
+    // tie-break) because clique-internal majorities dominate the single
+    // bridge vote; connectedComponents would merge them (the coarser
+    // signal LPA exists to refine)
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val vertices = (Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L, 99L)).toDF("id")
+    val got = Graph.labelPropagation(vertices, edges, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(got(_) == 1L), s"$got")
+    assert(Seq(10L, 11L, 12L, 13L).forall(got(_) == 10L), s"$got")
+    assert(got(99L) == 99L, "isolated vertex keeps its own label")
+    // and the coarser component signal indeed merges the cliques
+    val cc = Graph.connectedComponents(vertices, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L).forall(cc(_) == 1L))
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-...-19: min-label propagation moves the min one hop per
     // round, so this pins that the convergence probe actually iterates
