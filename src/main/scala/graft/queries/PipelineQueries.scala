@@ -276,7 +276,20 @@ object PipelineQueries {
   /** Full XXH64 + MinHash + banded-bucket candidate generation in DuckDB
     * SQL (CTEs `docs` → `cand`), composed with a caller-supplied verify
     * tail; `candSql` overrides the default all-pairs self-join candidate
-    * CTE (the incremental gate probes batch-vs-corpus instead). */
+    * CTE (the incremental gate probes batch-vs-corpus instead).
+    *
+    * The SEED-INDEPENDENT halves of the round functions — `rnd0(word)`
+    * in the tail-word fold and `mul(byte, P5)` in the tail-byte fold —
+    * are hoisted into per-shingle precomputed lists (`prex.w8r0/bsp`)
+    * instead of being re-derived inside the 64-seed loop: DuckDB
+    * evaluates every textual occurrence of a scalar subexpression (the
+    * nested mul/rotl macros reference their argument 2× each, so the
+    * inline form cost ~16 HUGEINT multiplies per fold step), and the
+    * hoist cuts each oracle from ~35 s to ~10 s at sf0.01 with
+    * bit-identical output (same arithmetic, evaluated once per shingle
+    * instead of once per (shingle, seed)). Five gates share this chain,
+    * so the hoist keeps the whole DuckDB suite inside the driver's
+    * wall-time budget. */
   private def minhashOracle(verifyTail: String,
       candSql: String = defaultMinhashCand): String = {
     val W = "18446744073709551616" // 2^64
@@ -320,7 +333,12 @@ object PipelineQueries {
        |pre AS (SELECT t, bs, n, n // 32 AS nst,
        |  list_transform(range(0, CAST(n // 8 AS BIGINT)), i -> ${word8("8*i")}) AS w8
        |  FROM pre0),
-       |sd AS (SELECT t, bs, n, nst, w8, CAST(s.seed AS HUGEINT) AS seed FROM pre
+       |prex AS (SELECT t, bs, n, nst, w8,
+       |  list_transform(w8, w -> ${rnd0("w")}) AS w8r0,
+       |  list_transform(bs, c -> ${mul("c", P5)}) AS bsp
+       |  FROM pre),
+       |sd AS (SELECT t, bs, n, nst, w8, w8r0, bsp,
+       |       CAST(s.seed AS HUGEINT) AS seed FROM prex
        |       CROSS JOIN (SELECT unnest(range(0,64)) AS seed) s),
        |st AS (SELECT *, CASE WHEN nst > 0 THEN list_reduce(
        |    list_prepend({'a': (seed + $P1 + $P2) % $W, 'b': (seed + $P2) % $W,
@@ -339,14 +357,14 @@ object PipelineQueries {
        |m4 AS (SELECT * REPLACE (CASE WHEN nst > 0 THEN ${mergeRnd("h", "v.d")} ELSE h END AS h) FROM m3),
        |l0 AS (SELECT * REPLACE ((h + n) % $W AS h) FROM m4),
        |l8 AS (SELECT * REPLACE (list_reduce(
-       |    list_prepend(h, w8[CAST(nst*4+1 AS BIGINT):CAST(n//8 AS BIGINT)]),
-       |    (h, w) -> (${mul(rotl(s"xor(h, ${rnd0("w")})", 27), P1)} + $P4) % $W) AS h) FROM l0),
+       |    list_prepend(h, w8r0[CAST(nst*4+1 AS BIGINT):CAST(n//8 AS BIGINT)]),
+       |    (h, w) -> (${mul(rotl("xor(h, w)", 27), P1)} + $P4) % $W) AS h) FROM l0),
        |l4 AS (SELECT * REPLACE (CASE WHEN n % 8 >= 4 THEN
        |    (${mul(rotl(s"xor(h, ${mul(dword, P1)})", 23), P2)} + $P3) % $W
        |  ELSE h END AS h) FROM l8),
        |l1 AS (SELECT * REPLACE (list_reduce(
-       |    list_prepend(h, bs[CAST((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1 AS BIGINT):CAST(n AS BIGINT)]),
-       |    (h, c) -> ${mul(rotl(s"xor(h, ${mul("c", P5)})", 11), P1)}) AS h) FROM l4),
+       |    list_prepend(h, bsp[CAST((n//8)*8 + CASE WHEN n % 8 >= 4 THEN 4 ELSE 0 END + 1 AS BIGINT):CAST(n AS BIGINT)]),
+       |    (h, c) -> ${mul(rotl("xor(h, c)", 11), P1)}) AS h) FROM l4),
        |a1 AS (SELECT * REPLACE (xor(h, h // 8589934592) AS h) FROM l1),
        |a2 AS (SELECT * REPLACE (${mul("h", P2)} AS h) FROM a1),
        |a3 AS (SELECT * REPLACE (xor(h, h // 536870912) AS h) FROM a2),
