@@ -259,6 +259,64 @@ object Graph {
     labels.select(col("id"), col("label").as("community"))
   }
 
+  /** MODULARITY per community (round 12) — the quality score for a
+    * community assignment (Newman 2006): Q = Σ_c [e_c/m − (D_c/2m)²],
+    * where e_c counts intra-community edges, D_c sums member degrees and
+    * m is the total undirected edge count. This is the accept/reject
+    * metric for [[labelPropagation]] output (LPA can degenerate to one
+    * blob; Q ≈ 0 flags it) and the standard comparison number between two
+    * clusterings of the same dup graph.
+    *
+    * EXACT integer arithmetic: the per-community contribution is returned
+    * as the numerator `q_num = 4·m·e_c − D_c²` over the implicit common
+    * denominator 4m² (Q = sum(q_num)/4m²), computed in DECIMAL(38,0) —
+    * at web scale m ~ 10¹² makes D_c² overflow a BIGINT, and a float sum
+    * over communities would not be partition-stable. Σq_num / 4m² needs
+    * one division by the caller, with Q's sign and ordering already exact
+    * in the integers.
+    *
+    * Shape: one edge canonicalization, TWO label joins on the edge table
+    * (endpoint communities), one (community) count for e_c, one degree
+    * aggregate joined to labels for D_c, the m total riding a broadcast
+    * one-row aggregate — no iteration, no driver data.
+    *
+    * @param labels (id, community) — e.g. [[labelPropagation]] output
+    * @return (community, n_vertices, intra_edges, degree_sum, q_num)
+    */
+  def modularity(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val lab = labels.select(col("id"), col("community"))
+    val withCa = und
+      .join(lab.select(col("id").as("a"), col("community").as("__ca")), "a")
+      .join(lab.select(col("id").as("b"), col("community").as("__cb")), "b")
+    val intra = withCa.filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val degSum = undirectedDegrees(und)
+      .join(lab, "id")
+      .groupBy(col("community"))
+      .agg(sum("deg").as("degree_sum"))
+    val perC = lab.groupBy(col("community"))
+      .agg(count(lit(1)).as("n_vertices"))
+      .join(intra, Seq("community"), "left_outer")
+      .join(degSum, Seq("community"), "left_outer")
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    val dec = "decimal(38,0)"
+    perC.crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("intra_edges"),
+        col("degree_sum"),
+        (lit(4).cast(dec) * col("__m").cast(dec)
+          * col("intra_edges").cast(dec)
+          - col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+          // re-pin the scale: Spark's decimal type rules can widen the
+          // intermediate to a nonzero scale, and the correctness compare
+          // is STRING equality ("240.000000" would mismatch HUGEINT 240)
+          .cast(dec).as("q_num"))
+  }
+
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER
     * arithmetic so the result is a pure function of the graph
     * (partition-invariant, run-stable, SQL-replayable): ranks carry as

@@ -1,0 +1,194 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 inverted index — the retrieval twin of the dedup-index
+  * lifecycle ([[Dedup.saveMinhashIndex]] family). Training-data pipelines
+  * run retrieval constantly at 100 TB: benchmark-decontamination lookups,
+  * quality-by-retrievability scoring, and dataset search all probe a
+  * corpus-scale index that is BUILT once and then served across nightly
+  * ingests — rebuilding per query (what [[TextAnalysis.bm25]] does, and
+  * every engine's ad-hoc form) rescans the corpus for every question.
+  *
+  * On-disk layout under `dir`:
+  *  - `postings/` (token, doc_id, tf) — the inverted index proper. A probe
+  *    filters it to the query's terms, so parquet dictionary/min-max
+  *    pruning (and the bucketed catalog form's layout) keeps the read
+  *    proportional to the matched postings, never the corpus.
+  *  - `lens/` (doc_id, dl) — per-document token counts for the BM25
+  *    length normalization.
+  *  - `meta/` — one row PER WRITE: (n_docs_delta, total_dl_delta, k1, b).
+  *    Corpus statistics are stored as accumulated deltas so append and
+  *    delete stay O(batch): a probe sums the handful of delta rows
+  *    (bounded by the number of writes — collapsed by [[compactBm25Index]])
+  *    instead of re-aggregating billions of `lens/` rows.
+  *
+  * Lifecycle verbs mirror the dedup indexes: build+persist
+  * ([[saveBm25Index]]) / load-as-pinned-snapshot ([[loadBm25Index]]) /
+  * probe ([[bm25Probe]]) / [[appendToBm25Index]] (cost ∝ batch) /
+  * [[deleteFromBm25Index]] (crash-safe staged rewrite) /
+  * [[compactBm25Index]]. Loads pin the file SET via [[Dedup.snapshotFiles]]
+  * for the same reason the dedup indexes do: `InMemoryFileIndex` equality
+  * compares only rootPaths, so an unpinned post-append probe could be
+  * served a reused pre-append scan stage.
+  */
+object Retrieval {
+
+  /** A loaded BM25 index: pinned-snapshot postings + lens scans and the
+    * summed corpus statistics / parameters they were built under. */
+  final case class Bm25Index(postings: DataFrame, lens: DataFrame,
+      nDocs: Long, totalDl: Long, k1: Double, b: Double)
+
+  /** The shared tokenize→postings derivation of build and append: one
+    * pass over the explode, one (doc, token) partial-agg shuffle; `lens`
+    * reuses the postings rows (sum of tf per doc), so the text is
+    * tokenized exactly once. Documents with zero tokens contribute no
+    * rows — they are invisible to BM25, matching the per-call operator. */
+  private def bm25IndexRows(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val postings = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("token"))
+      .groupBy(col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // one tokenize feeds both tables
+    val lens = postings.groupBy(col("doc_id")).agg(sum("tf").as("dl"))
+    (postings, lens)
+  }
+
+  /** Build and persist the index. Statistics are aggregated from the
+    * WRITTEN `lens/` files (one cheap scan of what was just written, no
+    * recompute and no second tokenize) and stored as the first meta
+    * delta row. */
+  def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
+      dir: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val spark = docs.sparkSession
+    val (postings, lens) = bm25IndexRows(docs, idCol, textCol)
+    postings.write.mode("overwrite").parquet(s"$dir/postings")
+    lens.write.mode("overwrite").parquet(s"$dir/lens")
+    spark.read.parquet(s"$dir/lens")
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+      .select(col("n_docs_delta"), col("total_dl_delta"),
+        lit(k1).as("k1"), lit(b).as("b"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Load as a pinned snapshot. The meta collect is bounded by the number
+    * of writes since the last compaction (one row each), not by data. */
+  def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
+    val meta = spark.read
+      .parquet(Dedup.snapshotFiles(spark, s"$dir/meta"): _*)
+      .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
+        max("k1").as("k1"), max("b").as("b"))
+      .collect().head
+    Bm25Index(
+      spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/postings"): _*),
+      spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*),
+      meta.getAs[Long]("n"), meta.getAs[Long]("t"),
+      meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
+  }
+
+  /** APPEND a batch: tokenizes only the batch, appends its postings/lens
+    * rows, and records the batch's statistics as one more meta delta row
+    * — the existing corpus rows are never read or rewritten. */
+  def appendToBm25Index(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    val (postings, lens) = bm25IndexRows(batch, idCol, textCol)
+    postings.write.mode("append").parquet(s"$dir/postings")
+    val pinnedLens = lens.localCheckpoint() // batch-bounded
+    pinnedLens.write.mode("append").parquet(s"$dir/lens")
+    pinnedLens
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+      .select(col("n_docs_delta"), col("total_dl_delta"),
+        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+  }
+
+  /** DELETE documents — the retention verb. The deleted documents'
+    * statistics are captured (one bounded row) BEFORE the rewrites, then
+    * `postings/` and `lens/` rewrite through the crash-safe staged swap
+    * ([[Dedup.rewriteParquetDir]]), then the negative meta delta lands.
+    * Content removal is ordered first on purpose: a crash after the
+    * rewrites but before the meta row leaves deleted documents fully
+    * unservable with slightly stale idf statistics (scores shift, no
+    * deleted content returns) — re-running the delete with the same ids
+    * is then a no-op on the tables and appends a zero delta. */
+  def deleteFromBm25Index(spark: SparkSession, dir: String,
+      ids: DataFrame, numFiles: Int = 32): Unit = {
+    val del = ids.toDF("doc_id")
+    val gone = spark.read
+      .parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*)
+      .join(del, Seq("doc_id"), "left_semi")
+      .agg(count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t"))
+      .collect().head
+    Dedup.rewriteParquetDir(spark, s"$dir/postings", numFiles)(
+      _.join(del, Seq("doc_id"), "left_anti"))
+    Dedup.rewriteParquetDir(spark, s"$dir/lens", numFiles)(
+      _.join(del, Seq("doc_id"), "left_anti"))
+    import spark.implicits._
+    Seq((-gone.getAs[Long]("n"), -gone.getAs[Long]("t")))
+      .toDF("n_docs_delta", "total_dl_delta")
+      .select(col("n_docs_delta"), col("total_dl_delta"),
+        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
+      .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+  }
+
+  /** Compact the data tables and collapse the accumulated meta deltas to
+    * one row (keeping the stored k1/b). Probe-neutral. */
+  def compactBm25Index(spark: SparkSession, dir: String,
+      numFiles: Int = 32): Unit = {
+    Dedup.compactParquetDir(spark, s"$dir/postings", numFiles)
+    Dedup.compactParquetDir(spark, s"$dir/lens", numFiles)
+    Dedup.rewriteParquetDir(spark, s"$dir/meta", 1)(
+      _.agg(sum("n_docs_delta").as("n_docs_delta"),
+        sum("total_dl_delta").as("total_dl_delta"),
+        max("k1").as("k1"), max("b").as("b")))
+  }
+
+  /** Serve a BM25 top-k from a loaded index. Probe cost ∝ the query
+    * terms' postings, never the corpus: the token filter pushes into the
+    * postings scan (dictionary/min-max pruning), per-term document
+    * frequencies aggregate over just those rows into a ≤|terms|-row
+    * broadcast, and only matching documents join `lens/` for length
+    * normalization. Scores replay [[TextAnalysis.bm25]]'s arithmetic
+    * EXPRESSION-FOR-EXPRESSION — per-term scores pivot into columns and
+    * sum in fixed term order, because a float sum aggregated in partition
+    * order would not be bit-stable. Top-k fuses to TakeOrderedAndProject
+    * (distributed heap), then ranks the surviving k rows.
+    *
+    * @return (doc_id, score, rank), rank 1..k
+    */
+  def bm25Probe(index: Bm25Index, query: Seq[String], k: Int): DataFrame = {
+    val terms = query.distinct
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    require(index.nDocs > 0, "bm25 probe over an empty index")
+    val hits = index.postings.filter(col("token").isin(terms.map(lit): _*))
+    val dfq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfq), "token")
+      .join(index.lens, "doc_id")
+      .withColumn("__score_t",
+        (lit(index.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(index.k1 + 1.0)) /
+          (col("tf") + lit(index.k1) *
+            (lit(1.0 - index.b) +
+              lit(index.b) * col("dl") * lit(index.nDocs) /
+                lit(index.totalDl))))
+    val aggCols = terms.map(t =>
+      max(when(col("token") === t, col("__score_t"))).as(s"__s_$t"))
+    val perDoc = scored.groupBy(col("doc_id"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val summed = perDoc.withColumn("score",
+      terms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+        .reduce(_ + _))
+    val top = summed.orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    top.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id").asc)))
+      .select(col("doc_id"), col("score"), col("rank"))
+  }
+}

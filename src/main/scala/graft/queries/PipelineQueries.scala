@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bpe, Dedup, Graph, Sampling, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Graph, Retrieval, Sampling, Similarity, TextAnalysis}
 
 /** Training-data pipeline operators as checkable queries: dedup, similarity
   * search, text analysis, multimodal plumbing. Oracles where the same
@@ -272,6 +272,112 @@ object PipelineQueries {
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
         |         WHERE (a.doc_id >= 250 AND a.doc_id < 375 AND b.doc_id < 250)
         |            OR (a.doc_id >= 375 AND a.doc_id < 500 AND b.doc_id < 375))""".stripMargin)
+
+  /** The shared LPA replay: the sparsified generator graph (ke0 → kund/
+    * ksym/kids) and four unrolled synchronous rounds (lp0 → lp4), each a
+    * neighbor-label count + row_number argmax (most frequent, ties to the
+    * smallest label) — exactly [[graft.functions.Graph.labelPropagation]]
+    * with iterations = 4. `pl_communities` selects the assignment;
+    * `pl_modularity` scores it. */
+  private def lpaCtes: String = {
+    def round(i: Int): String = {
+      val prev = s"lp${i - 1}"
+      s"""lpn$i AS (SELECT s.v AS id, l.lab, count(*) AS n
+         |        FROM ksym s JOIN $prev l ON s.u = l.id
+         |        GROUP BY s.v, l.lab),
+         |lpw$i AS (SELECT id, lab FROM (
+         |    SELECT id, lab, row_number() OVER (PARTITION BY id
+         |      ORDER BY n DESC, lab) AS rn FROM lpn$i) WHERE rn = 1),
+         |lp$i AS (SELECT p.id, coalesce(w.lab, p.lab) AS lab
+         |        FROM $prev p LEFT JOIN lpw$i w USING (id))""".stripMargin
+    }
+    s"""ke0 AS (
+       |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d
+       |  FROM documents WHERE doc_id % 60 < 50
+       |  UNION ALL
+       |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60
+       |  FROM documents WHERE doc_id % 60 < 25
+       |  UNION ALL
+       |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60
+       |  FROM documents WHERE doc_id % 60 < 12),
+       |kund AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+       |         FROM ke0 WHERE s <> d),
+       |ksym AS (SELECT a AS u, b AS v FROM kund
+       |         UNION ALL SELECT b, a FROM kund),
+       |kids AS (SELECT DISTINCT u AS id FROM ksym),
+       |lp0 AS (SELECT id, id AS lab FROM kids),
+       |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  /** The Spark twin of [[lpaCtes]]'s generator: (vertices, edges). */
+  private def lpaGeneratorGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val docs = Tables.load(s, d, "documents")
+    val r = col("doc_id") % 60
+    val edges = docs.filter(r < 50).select(
+      (col("doc_id") % 60).as("src"),
+      ((col("doc_id") * 7 + 1) % 60).as("dst"))
+      .unionByName(docs.filter(r < 25).select(
+        (col("doc_id") % 60).as("src"),
+        ((col("doc_id") * 13 + 2) % 60).as("dst")))
+      .unionByName(docs.filter(r < 12).select(
+        ((col("doc_id") * 3) % 60).as("src"),
+        ((col("doc_id") * 11 + 5) % 60).as("dst")))
+    val verts = edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id"))).distinct()
+    (verts, edges)
+  }
+
+  /** The `pl_bm25_index` oracle: three full BM25 replays (the `pl_bm25`
+    * SQL shape) over the index's three lifecycle states — built corpus,
+    * after-append, after-delete — because a probe of the persisted index
+    * must score EXACTLY like a from-scratch BM25 over the equivalent
+    * corpus (statistics from meta deltas included). Per-term scores sum
+    * in fixed term order on both sides (float addition is not
+    * associative). */
+  private def bm25IndexOracleSql: String = {
+    val terms = Seq("table", "query", "spark")
+    val inList = terms.map(t => s"'$t'").mkString(", ")
+    def day(i: Int, pred: String): String = {
+      val sum = terms.map(t =>
+        s"coalesce(max(CASE WHEN token = '$t' THEN score_t END), " +
+          "CAST(0 AS DOUBLE))").reduce((a, b) => s"($a + $b)")
+      s"""tok$i AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                       x -> len(x) > 0)) AS token
+         |  FROM documents WHERE $pred),
+         |dl$i AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |         FROM tok$i GROUP BY 1),
+         |st$i AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                CAST(sum(dl) AS BIGINT) AS total_dl FROM dl$i),
+         |tf$i AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |         FROM tok$i WHERE token IN ($inList) GROUP BY 1, 2),
+         |dfq$i AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |          FROM tf$i GROUP BY 1),
+         |sc$i AS (SELECT tf.doc_id, tf.token,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + CAST(1.2 AS DOUBLE)
+         |           * (CAST(0.25 AS DOUBLE)
+         |              + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)) AS score_t
+         |  FROM tf$i tf JOIN dfq$i USING (token)
+         |       JOIN dl$i dl ON dl.doc_id = tf.doc_id CROSS JOIN st$i),
+         |ag$i AS (SELECT doc_id, $sum AS score FROM sc$i GROUP BY 1),
+         |tp$i AS (SELECT CAST($i AS INT) AS day, doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS INTEGER) AS rank
+         |  FROM (SELECT doc_id, score FROM ag$i
+         |        ORDER BY score DESC, doc_id LIMIT 15))""".stripMargin
+    }
+    s"""WITH ${day(0, "doc_id < 250")},
+       |${day(1, "doc_id < 375")},
+       |${day(2, "doc_id < 375 AND doc_id % 5 <> 0")}
+       |SELECT day, rank, doc_id, score FROM
+       |  (SELECT * FROM tp0 UNION ALL SELECT * FROM tp1
+       |   UNION ALL SELECT * FROM tp2)
+       |ORDER BY day, rank""".stripMargin
+  }
 
   /** Full XXH64 + MinHash + banded-bucket candidate generation in DuckDB
     * SQL (CTEs `docs` → `cand`), composed with a caller-supplied verify
@@ -2507,6 +2613,43 @@ object PipelineQueries {
         query = Seq("table", "query", "spark"), k = 20)
         .orderBy("rank")),
 
+    // Persisted BM25 inverted-index lifecycle (round 12): build → save →
+    // probe → APPEND a day's batch → probe → DELETE a retention pass →
+    // COMPACT → probe. Each probe must score exactly like a from-scratch
+    // BM25 over the equivalent corpus — including the idf / length-
+    // normalization shifts from the meta statistic deltas the append and
+    // delete recorded. Day-0/1 probes materialize before the delete's
+    // staged rewrite invalidates their pinned file snapshots (the same
+    // open-reader discipline as pl_index_update).
+    Q("pl_bm25_index", bm25IndexOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-index").toString
+        val terms = Seq("table", "query", "spark")
+        Retrieval.saveBm25Index(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+        val day0 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.appendToBm25Index(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+          "doc_id", "text", dir)
+        val day1 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.deleteFromBm25Index(s, dir,
+          docs.filter(col("doc_id") < 375 && col("doc_id") % 5 === 0)
+            .select("doc_id"), numFiles = 4)
+        Retrieval.compactBm25Index(s, dir, numFiles = 2)
+        val day2 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15)
+        day0.withColumn("day", lit(0))
+          .unionByName(day1.withColumn("day", lit(1)))
+          .unionByName(day2.withColumn("day", lit(2)))
+          .select("day", "rank", "doc_id", "score")
+          .orderBy("day", "rank")
+      }),
+
+
     // Gopher-family repetition signals: duplicate-token fraction, top
     // token / top adjacent-bigram share. Exact counts + single divisions,
     // so the DuckDB mirror hash-matches bit-for-bit.
@@ -2730,53 +2873,54 @@ object PipelineQueries {
     // (its community structure is non-degenerate). Deterministic by
     // construction (fixed budget + total tie order), so the oracle
     // unrolls the identical four rounds with a row_number argmax.
-    Q("pl_communities", {
-      def round(i: Int): String = {
-        val prev = s"lp${i - 1}"
-        s"""lpn$i AS (SELECT s.v AS id, l.lab, count(*) AS n
-           |        FROM ksym s JOIN $prev l ON s.u = l.id
-           |        GROUP BY s.v, l.lab),
-           |lpw$i AS (SELECT id, lab FROM (
-           |    SELECT id, lab, row_number() OVER (PARTITION BY id
-           |      ORDER BY n DESC, lab) AS rn FROM lpn$i) WHERE rn = 1),
-           |lp$i AS (SELECT p.id, coalesce(w.lab, p.lab) AS lab
-           |        FROM $prev p LEFT JOIN lpw$i w USING (id))""".stripMargin
-      }
-      s"""WITH ke0 AS (
-         |  SELECT doc_id % 60 AS s, (doc_id * 7 + 1) % 60 AS d
-         |  FROM documents WHERE doc_id % 60 < 50
-         |  UNION ALL
-         |  SELECT doc_id % 60, (doc_id * 13 + 2) % 60
-         |  FROM documents WHERE doc_id % 60 < 25
-         |  UNION ALL
-         |  SELECT (doc_id * 3) % 60, (doc_id * 11 + 5) % 60
-         |  FROM documents WHERE doc_id % 60 < 12),
-         |kund AS (SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
-         |         FROM ke0 WHERE s <> d),
-         |ksym AS (SELECT a AS u, b AS v FROM kund
-         |         UNION ALL SELECT b, a FROM kund),
-         |kids AS (SELECT DISTINCT u AS id FROM ksym),
-         |lp0 AS (SELECT id, id AS lab FROM kids),
-         |${(1 to 4).map(round).mkString(",\n")}
+    Q("pl_communities",
+      s"""WITH $lpaCtes
          |SELECT id, CAST(lab AS BIGINT) AS community
-         |FROM lp4 ORDER BY id""".stripMargin
-    })(
+         |FROM lp4 ORDER BY id""".stripMargin)(
       (s, d) => {
-        val docs = Tables.load(s, d, "documents")
-        val r = col("doc_id") % 60
-        val edges = docs.filter(r < 50).select(
-          (col("doc_id") % 60).as("src"),
-          ((col("doc_id") * 7 + 1) % 60).as("dst"))
-          .unionByName(docs.filter(r < 25).select(
-            (col("doc_id") % 60).as("src"),
-            ((col("doc_id") * 13 + 2) % 60).as("dst")))
-          .unionByName(docs.filter(r < 12).select(
-            ((col("doc_id") * 3) % 60).as("src"),
-            ((col("doc_id") * 11 + 5) % 60).as("dst")))
-        val verts = edges.select(col("src").as("id"))
-          .unionByName(edges.select(col("dst").as("id"))).distinct()
+        val (verts, edges) = lpaGeneratorGraph(s, d)
         graft.functions.Graph.labelPropagation(verts, edges,
           iterations = 4).orderBy("id")
+      }),
+
+    // MODULARITY of the LPA assignment (round 12): the quality number
+    // that tells a pipeline whether to TRUST a community run (LPA can
+    // degenerate to one blob; Q ≈ 0 flags it). Exact integer
+    // contributions q_num = 4·m·e_c − D_c² over the implicit common
+    // denominator 4m² — DECIMAL(38,0) on the Spark side, HUGEINT in the
+    // oracle — because a float sum over communities is not partition-
+    // stable and D_c² overflows BIGINT at web-scale m.
+    Q("pl_modularity",
+      s"""WITH $lpaCtes,
+         |intra AS (SELECT l1.lab AS community, count(*) AS intra_edges
+         |          FROM kund k JOIN lp4 l1 ON k.a = l1.id
+         |               JOIN lp4 l2 ON k.b = l2.id
+         |          WHERE l1.lab = l2.lab GROUP BY 1),
+         |deg AS (SELECT id, count(*) AS deg FROM
+         |          (SELECT a AS id FROM kund
+         |           UNION ALL SELECT b FROM kund) GROUP BY 1),
+         |degc AS (SELECT l.lab AS community,
+         |                CAST(sum(d.deg) AS BIGINT) AS degree_sum
+         |         FROM deg d JOIN lp4 l ON d.id = l.id GROUP BY 1),
+         |nv AS (SELECT lab AS community, count(*) AS n_vertices
+         |       FROM lp4 GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kund)
+         |SELECT CAST(nv.community AS BIGINT) AS community,
+         |  CAST(n_vertices AS BIGINT) AS n_vertices,
+         |  CAST(coalesce(intra_edges, 0) AS BIGINT) AS intra_edges,
+         |  CAST(coalesce(degree_sum, 0) AS BIGINT) AS degree_sum,
+         |  CAST(4 * CAST(m AS HUGEINT) * coalesce(intra_edges, 0)
+         |    - CAST(coalesce(degree_sum, 0) AS HUGEINT)
+         |      * coalesce(degree_sum, 0) AS DECIMAL(38,0)) AS q_num
+         |FROM nv LEFT JOIN intra USING (community)
+         |        LEFT JOIN degc USING (community) CROSS JOIN m
+         |ORDER BY community""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val labels = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        graft.functions.Graph.modularity(labels, edges)
+          .orderBy("community")
       }),
 
     // deterministic integer PageRank (round 10; round 11 adds the

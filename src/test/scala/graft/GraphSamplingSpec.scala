@@ -49,6 +49,33 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L).forall(cc(_) == 1L))
   }
 
+  test("modularity: exact integers, and the clique split beats one blob") {
+    // same two bridged 4-cliques: m = 13 edges; the 2-community LPA
+    // assignment has e_c = 6 intra edges and D_c = 13 degree-sum per
+    // side (the bridge endpoints carry degree 4), so each community's
+    // q_num = 4·13·6 − 13² = 143 — checked exactly. The one-blob
+    // assignment scores Q = 0 by definition (e = m, D = 2m), and the
+    // split must beat it: that is the metric's whole job.
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val vertices = Seq(1L, 2L, 3L, 4L, 10L, 11L, 12L, 13L).toDF("id")
+    val split = Graph.labelPropagation(vertices, edges, iterations = 5)
+    val got = Graph.modularity(split, edges)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDecimal(4).longValueExact()))).toMap
+    assert(got == Map(
+      1L -> ((4L, 6L, 13L, 143L)), 10L -> ((4L, 6L, 13L, 143L))), s"$got")
+    val blob = vertices.select(col("id"), lit(1L).as("community"))
+    val blobQ = Graph.modularity(blob, edges)
+      .collect().map(_.getDecimal(4).longValueExact()).sum
+    assert(blobQ == 0L, "one blob must score exactly Q = 0")
+    assert(got.values.map(_._4).sum > blobQ,
+      "the clique split must beat the blob")
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-...-19: min-label propagation moves the min one hop per
     // round, so this pins that the convergence probe actually iterates

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Retrieval, TextAnalysis}
+
+/** The persisted BM25 index's lifecycle contract: every probe of the
+  * index must score EXACTLY (bit-for-bit doubles) like a from-scratch
+  * [[TextAnalysis.bm25]] over the equivalent corpus — after build, after
+  * append (statistics deltas included), after delete, and after
+  * compaction. The pl_bm25_index gate proves the same against DuckDB;
+  * this spec proves it against the in-engine per-call operator and covers
+  * the corners the gate's corpus doesn't exercise (absent query terms,
+  * meta delta collapse).
+  */
+class RetrievalIndexSpec extends AnyFunSuite {
+  import TestSpark.spark
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "spark query engine runs a table scan over the table"),
+    (2L, "the query planner rewrites every query against the table"),
+    (3L, "storage formats and compression for columnar data"),
+    (4L, "spark spark spark nothing else here"),
+    (5L, "a table of contents")).toDF("doc_id", "text")
+  private val batch = Seq(
+    (6L, "query the spark table twice"),
+    (7L, "unrelated prose about forests and rivers")).toDF("doc_id", "text")
+  private val terms = Seq("table", "query", "spark")
+
+  private def probeRows(dir: String, q: Seq[String] = terms) =
+    Retrieval.bm25Probe(Retrieval.loadBm25Index(spark, dir), q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+  private def directRows(docs: org.apache.spark.sql.DataFrame,
+      q: Seq[String] = terms) =
+    TextAnalysis.bm25(docs, "doc_id", "text", q, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2))).toSeq
+
+  test("probe of a freshly built index == from-scratch bm25, bit-exact") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    assert(probeRows(dir) == directRows(corpus))
+  }
+
+  test("append shifts statistics; probe == bm25 over the unioned corpus") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+    assert(probeRows(dir) == directRows(corpus.unionByName(batch)))
+  }
+
+  test("delete removes docs AND their statistics; compaction is neutral") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+    Retrieval.deleteFromBm25Index(spark, dir,
+      Seq(2L, 4L).toDF("doc_id"), numFiles = 2)
+    val want = directRows(corpus.unionByName(batch)
+      .filter(!col("doc_id").isin(2L, 4L)))
+    assert(probeRows(dir) == want)
+    assert(!probeRows(dir).exists(r => r._1 == 2L || r._1 == 4L))
+    // compaction collapses the four meta delta rows (save, append,
+    // delete, and the collapse target) to one and changes nothing
+    Retrieval.compactBm25Index(spark, dir, numFiles = 1)
+    assert(probeRows(dir) == want)
+    assert(spark.read.parquet(s"$dir/meta").count() == 1L)
+    val idx = Retrieval.loadBm25Index(spark, dir)
+    assert(idx.nDocs == 5L) // 7 docs minus 2 deleted
+  }
+
+  test("query terms absent from the corpus contribute exactly 0.0") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    val q = Seq("table", "zzz_not_present")
+    assert(probeRows(dir, q) == directRows(corpus, q))
+  }
+}
