@@ -2648,6 +2648,66 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // END-TO-END pipeline composition (round 12): exact dedup → quality
+    // filter → deterministic Bernoulli sample → sequence packing, ONE
+    // lazy plan from corpus to packed training sequences — the "user
+    // story" every per-operator gate is a piece of. Exact duplicates are
+    // PLANTED (docs ≡ 0 mod 7 cloned at +10000) because the synthetic
+    // corpus has none; the clones must all lose to their originals in
+    // stage 1, the quality thresholds drop ~40% more, the hash sample
+    // halves the rest, and the packer's distributed prefix sum assigns
+    // offsets over exactly the surviving ordered stream.
+    Q("pl_pipeline_e2e", {
+      val sw = TextAnalysis.stopwords.map(w => s"'$w'").mkString(",")
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text FROM documents WHERE doc_id % 7 = 0),
+         |keep AS (SELECT min(doc_id) AS doc_id FROM corpus GROUP BY text),
+         |surv AS (SELECT c.doc_id, c.text FROM corpus c JOIN keep USING (doc_id)),
+         |q AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(toks, x -> lower(x) IN ($sw)))
+         |          AS DOUBLE) / greatest(len(toks), 1) AS sw
+         |      FROM (SELECT doc_id,
+         |              list_filter(string_split_regex(text, '\\s+'),
+         |                          x -> len(x) > 0) AS toks
+         |            FROM surv)),
+         |fq AS (SELECT doc_id, n_tokens FROM q
+         |       WHERE n_tokens >= 20 AND sw >= CAST(0.05 AS DOUBLE)),
+         |samp AS (SELECT doc_id, n_tokens FROM fq
+         |         WHERE ${Sampling.mixSql("doc_id")}
+         |               < ${(0.5 * Sampling.M).toLong}),
+         |c AS (SELECT doc_id, n_tokens,
+         |    CAST(sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+         |         - n_tokens AS BIGINT) AS tok_offset
+         |  FROM samp)
+         |SELECT doc_id, n_tokens, tok_offset,
+         |  tok_offset // 512 AS seq_first,
+         |  greatest(tok_offset, tok_offset + n_tokens - 1) // 512 AS seq_last
+         |FROM c ORDER BY doc_id""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 7 === 0)
+            .select((col("doc_id") + 10000).as("doc_id"), col("text")))
+        val keepers = Dedup.exactDupGroups(corpus, "doc_id", "text")
+          .select(col("keeper_id").as("doc_id"))
+        val surv = corpus.join(keepers, "doc_id")
+        val q = surv
+          .withColumn("q", TextAnalysis.qualityFeatures(col("text")))
+          .filter(col("q.n_tokens") >= 20 &&
+            col("q.stopword_ratio") >= 0.05)
+          .select(col("doc_id"),
+            col("q.n_tokens").cast("bigint").as("n_tokens"))
+        val sampled = Sampling.bernoulli(q, "doc_id", 0.5)
+        graft.functions.Packing.packSequences(
+          sampled.select("doc_id", "n_tokens"), "doc_id", "n_tokens",
+          budget = 512L)
+          .select("doc_id", "n_tokens", "tok_offset", "seq_first",
+            "seq_last")
+          .orderBy("doc_id")
+      }),
 
 
     // Gopher-family repetition signals: duplicate-token fraction, top
