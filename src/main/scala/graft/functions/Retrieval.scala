@@ -149,6 +149,83 @@ object Retrieval {
         max("k1").as("k1"), max("b").as("b")))
   }
 
+  /** Persist the index as BUCKETED catalog tables — the serving layout:
+    * `<table>_postings` bucket-sorted by `token` and `<table>_lens` by
+    * `doc_id`, so a probe's df aggregate reads pre-partitioned token
+    * buckets with NO exchange, the lens side of the score join reads
+    * pre-partitioned doc buckets, and the per-document score pivot
+    * reuses the join's doc_id partitioning — the only exchange left in
+    * a probe is the query-terms' own (tiny) filtered postings moving to
+    * their doc buckets. Plain-parquet [[saveBm25Index]] stays the
+    * format-portable form; this one needs a catalog, and shares the
+    * bucketed-MinHash caveat: catalog tables cannot pin a file-set
+    * snapshot, so do not evaluate pre- and post-append loads of the same
+    * table inside one query tree. */
+  def saveBm25IndexBucketed(docs: DataFrame, idCol: String,
+      textCol: String, table: String, path: String, nBuckets: Int = 64,
+      k1: Double = 1.2, b: Double = 0.75): Unit = {
+    val spark = docs.sparkSession
+    val (postings, lens) = bm25IndexRows(docs, idCol, textCol)
+    postings.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/postings")
+      .bucketBy(nBuckets, "token").sortBy("token")
+      .saveAsTable(s"${table}_postings")
+    lens.write.mode("overwrite").format("parquet")
+      .option("path", s"$path/lens")
+      .bucketBy(nBuckets, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_lens")
+    spark.table(s"${table}_lens")
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+      .select(col("n_docs_delta"), col("total_dl_delta"),
+        lit(k1).as("k1"), lit(b).as("b"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load the bucketed-table form (catalog relations — scans carry the
+    * bucket spec, so probe plans co-locate). */
+  def loadBm25IndexBucketed(spark: SparkSession, table: String,
+      path: String): Bm25Index = {
+    val meta = spark.read.parquet(s"$path/meta")
+      .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
+        max("k1").as("k1"), max("b").as("b"))
+      .collect().head
+    Bm25Index(spark.table(s"${table}_postings"),
+      spark.table(s"${table}_lens"),
+      meta.getAs[Long]("n"), meta.getAs[Long]("t"),
+      meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
+  }
+
+  /** APPEND a batch to the bucketed tables: rows land in their key's
+    * bucket (one batch-sized shuffle each), the corpus buckets are never
+    * rewritten, and `saveAsTable(append)` validates the spec against the
+    * catalog so a drifted layout fails loudly. */
+  def appendToBm25IndexBucketed(batch: DataFrame, idCol: String,
+      textCol: String, table: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val nb = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(
+        s"${table}_postings"))
+      .bucketSpec.map(_.numBuckets)
+      .getOrElse(throw new IllegalStateException(
+        s"${table}_postings exists but carries no bucket spec — it was " +
+          "not written by saveBm25IndexBucketed"))
+    val (postings, lens) = bm25IndexRows(batch, idCol, textCol)
+    postings.write.mode("append").format("parquet")
+      .bucketBy(nb, "token").sortBy("token")
+      .saveAsTable(s"${table}_postings")
+    val pinnedLens = lens.localCheckpoint() // batch-bounded
+    pinnedLens.write.mode("append").format("parquet")
+      .bucketBy(nb, "doc_id").sortBy("doc_id")
+      .saveAsTable(s"${table}_lens")
+    pinnedLens
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+      .select(col("n_docs_delta"), col("total_dl_delta"),
+        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
+      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+  }
+
   /** Serve a BM25 top-k from a loaded index. Probe cost ∝ the query
     * terms' postings, never the corpus: the token filter pushes into the
     * postings scan (dictionary/min-max pruning), per-term document

@@ -204,4 +204,59 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS ivf_idx_cells")
     }
   }
+
+  test("bucketed bm25 index probes with one batch-sized shuffle only") {
+    import graft.functions.Retrieval
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val dir = Files.createTempDirectory("graft_bm25b").toString
+    Retrieval.saveBm25IndexBucketed(corpus, "doc_id", "text",
+      "bm25_idx", dir, nBuckets = 8)
+    // force SMJ for the lens join so the assertion tests the bucket
+    // layout; the <=|terms|-row df side stays an explicit broadcast hint
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val idx = Retrieval.loadBm25IndexBucketed(spark, "bm25_idx", dir)
+      val probe = Retrieval.bm25Probe(idx,
+        Seq("table", "query", "spark"), 10)
+      val p = probe.queryExecution.executedPlan.toString
+      // three bucketed corpus scans: postings twice (term hits + the df
+      // aggregate, which reuses the token buckets with NO exchange) and
+      // lens once (pre-partitioned side of the score join)
+      assert("Bucketed: true".r.findAllIn(p).length == 3,
+        s"all corpus scans must read bucketed:\n$p")
+      // bucket PRUNING: the token IN (...) filter selects only the query
+      // terms' buckets — the inverted-index serving property (read ∝
+      // matched postings, never the corpus)
+      val pruned = "SelectedBucketsCount: (\\d+) out of 8".r
+        .findAllMatchIn(p).map(_.group(1).toInt).toSeq
+      assert(pruned.count(_ < 8) >= 2,
+        s"term buckets must prune on both postings scans:\n$p")
+      // the serving contract: the ONLY hash exchange is the query terms'
+      // filtered postings moving to their doc buckets (batch-sized); the
+      // per-doc score pivot reuses the join's partitioning, and the rank
+      // window rides TakeOrderedAndProject's single partition
+      assert("Exchange hashpartitioning".r.findAllIn(p).length == 1,
+        s"only the filtered postings may shuffle:\n$p")
+      // and the scores equal the plain parquet-index probe bit-for-bit
+      val plainDir = Files.createTempDirectory("graft_bm25p").toString
+      Retrieval.saveBm25Index(corpus, "doc_id", "text", plainDir)
+      val plain = Retrieval.bm25Probe(
+        Retrieval.loadBm25Index(spark, plainDir),
+        Seq("table", "query", "spark"), 10)
+      assert(probe.collect().toSeq == plain.collect().toSeq)
+      // append keeps the layout and the catalog's bucket spec
+      Retrieval.appendToBm25IndexBucketed(
+        docs.filter(col("doc_id") >= 250 && col("doc_id") < 300),
+        "doc_id", "text", "bm25_idx", dir)
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bm25_idx_postings"))
+        .bucketSpec
+      assert(spec.exists(_.numBuckets == 8), s"bucket spec kept: $spec")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS bm25_idx_postings")
+      spark.sql("DROP TABLE IF EXISTS bm25_idx_lens")
+    }
+  }
 }

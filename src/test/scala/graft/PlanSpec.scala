@@ -513,4 +513,27 @@ class PlanSpec extends AnyFunSuite {
     assert(t.contains("PushedTopN: [") && t.contains("c_acctbal"),
       s"top-n must push into Derby:\n$t")
   }
+
+  test("bm25 probe pushes the term filter into the postings scan") {
+    // the 100 TB claim of the persisted inverted index: a probe's cost is
+    // proportional to the query terms' postings, never the corpus — which
+    // holds only if the token IN (...) predicate reaches the parquet scan
+    // (dictionary/min-max pruning) instead of filtering post-read, and the
+    // ≤|terms|-row df table joins as a broadcast, not a shuffle
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-plan").toString
+    graft.functions.Retrieval.saveBm25Index(
+      Seq((1L, "alpha beta gamma"), (2L, "beta gamma delta"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir)
+    val p = graft.functions.Retrieval.bm25Probe(
+      graft.functions.Retrieval.loadBm25Index(spark, dir),
+      Seq("beta", "delta"), 5)
+      .queryExecution.executedPlan.toString
+    assert("PushedFilters: \\[In\\(token".r.findFirstIn(p).isDefined,
+      s"term filter must push into the postings scan:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the df side must broadcast:\n$p")
+  }
 }
