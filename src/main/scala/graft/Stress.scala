@@ -514,6 +514,31 @@ object Stress {
       graft.functions.Similarity.appendToPqIndex(spark, pqDir,
         synthEmb(n / 100, 1000000L), "vec_id", "embedding")
     }
+    // round-12 stress rows: the persisted BM25 inverted index over a
+    // corpus that SCALES with n (9n/10 docs, saved ONCE outside the
+    // timed blocks). APPEND tokenizes and writes only the n/100-doc
+    // batch, so its time must track the batch, not the corpus; PROBE
+    // cost tracks the query terms' matched postings (pushed token
+    // filter) — ~0.8% of the corpus per term at this vocabulary, so the
+    // probe may grow with the index but far below the corpus scan it
+    // replaces.
+    val bm25CorpusN = n * 9 / 10
+    val bm25Dir = java.nio.file.Files
+      .createTempDirectory("graft-stress-bm25").toString
+    if (!only.exists(o => !o.contains("bm25_append") && !o.contains("bm25_probe")))
+      graft.functions.Retrieval.saveBm25Index(
+        docs.filter(col("doc_id") < bm25CorpusN), "doc_id", "text", bm25Dir)
+    timeBody("bm25_append", n / 100) {
+      val batch = docs.filter(col("doc_id") >= bm25CorpusN &&
+        col("doc_id") < bm25CorpusN + n / 100)
+      graft.functions.Retrieval.appendToBm25Index(
+        batch, "doc_id", "text", bm25Dir)
+    }
+    time("bm25_probe", n) {
+      graft.functions.Retrieval.bm25Probe(
+        graft.functions.Retrieval.loadBm25Index(spark, bm25Dir),
+        Seq("w1", "w42", "w123"), 20)
+    }
     // round-10: span decontamination — benchmark k-grams broadcast, hits
     // are a map-side semi probe of the exploded corpus shingles; time
     // should track the corpus linearly (benchmark fixed at 500 docs)

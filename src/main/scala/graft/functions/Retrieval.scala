@@ -92,7 +92,10 @@ object Retrieval {
 
   /** APPEND a batch: tokenizes only the batch, appends its postings/lens
     * rows, and records the batch's statistics as one more meta delta row
-    * — the existing corpus rows are never read or rewritten. */
+    * — the existing corpus rows are never read or rewritten. Document
+    * ids must be unique ACROSS appends (the same contract as the dedup
+    * indexes): re-appending an id leaves two lens/posting rows for it
+    * and double-counts it in the statistics. */
   def appendToBm25Index(batch: DataFrame, idCol: String, textCol: String,
       dir: String): Unit = {
     val spark = batch.sparkSession
