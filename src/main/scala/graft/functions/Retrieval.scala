@@ -271,4 +271,61 @@ object Retrieval {
         .orderBy(col("score").desc, col("doc_id").asc)))
       .select(col("doc_id"), col("score"), col("rank"))
   }
+
+  /** BATCHED retrieval — N queries against the index in ONE corpus pass,
+    * the shape production decontamination and retrieval-quality scoring
+    * actually run (thousands of benchmark queries at once; per-query
+    * [[bm25Probe]] calls would rescan the postings N times). The union
+    * of all query terms joins the postings once (a broadcast semi-join —
+    * the term set is query-sized; static IN-pushdown needs literals, so
+    * the single-query probe keeps that form), per-term document
+    * frequencies aggregate from those matched rows, and each (query,
+    * doc) sums its term scores by FOLDING over the token-sorted score
+    * list — `aggregate` over `sort_array`, a sequential fold in a total
+    * order, so the double sum is bit-stable regardless of partitioning
+    * (and SQL-replayable by the same fold). Per-query top-k is a
+    * rank-filtered window partitioned by query — the filter sits
+    * directly on the raw row_number so `InferWindowGroupLimit` plans a
+    * partial WindowGroupLimit below the exchange: every partition keeps
+    * only k rows per query before anything shuffles.
+    *
+    * @param queries (queryIdCol, termsCol: array<string>) — terms are
+    *                de-duplicated per query
+    * @return (queryIdCol, doc_id, score, rank), rank 1..k per query
+    */
+  def bm25ProbeMany(index: Bm25Index, queries: DataFrame,
+      queryIdCol: String, termsCol: String, k: Int): DataFrame = {
+    require(index.nDocs > 0, "bm25 probe over an empty index")
+    val qt = queries.select(col(queryIdCol),
+      explode(array_distinct(col(termsCol))).as("token"))
+    val allTerms = qt.select(col("token")).distinct()
+    val hits = index.postings
+      .join(broadcast(allTerms), Seq("token"), "left_semi")
+    val dfq = hits.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val scored = hits
+      .join(broadcast(dfq), "token")
+      .join(index.lens, "doc_id")
+      .withColumn("__score_t",
+        (lit(index.nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) *
+          (col("tf") * lit(index.k1 + 1.0)) /
+          (col("tf") + lit(index.k1) *
+            (lit(1.0 - index.b) +
+              lit(index.b) * col("dl") * lit(index.nDocs) /
+                lit(index.totalDl))))
+    val perQueryDoc = scored
+      .join(qt.withColumnRenamed(queryIdCol, "__qid"), "token")
+      .groupBy(col("__qid"), col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("token"),
+        col("__score_t").as("s")))).as("__ts"))
+      .withColumn("score",
+        aggregate(col("__ts"), lit(0.0), (acc, x) => acc + x("s")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    perQueryDoc
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k) // raw rank filter → WindowGroupLimit
+      .select(col("__qid").as(queryIdCol), col("doc_id"), col("score"),
+        col("__rn").cast("int").as("rank"))
+  }
 }

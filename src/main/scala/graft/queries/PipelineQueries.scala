@@ -2648,6 +2648,77 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // BATCHED retrieval (round 12): N queries probe the persisted index
+    // in ONE corpus pass — the decontamination / retrieval-scoring
+    // serving shape (per-query probes would rescan the postings N
+    // times). Each (query, doc) sums its term scores by folding over
+    // the token-SORTED score list, so the double sum is bit-stable and
+    // the oracle replays the identical fold with list_reduce; a query
+    // whose terms are absent from the corpus returns no rows. Per-query
+    // top-k is a rank-filtered window (WindowGroupLimit below the
+    // exchange).
+    Q("pl_bm25_many",
+      """WITH queries(query_id, terms) AS (VALUES
+        |    (1, ['table', 'query']),
+        |    (2, ['spark', 'data', 'row']),
+        |    (3, ['scan']),
+        |    (4, ['zzzabsent'])),
+        |qt AS (SELECT query_id, unnest(list_distinct(terms)) AS token
+        |       FROM queries),
+        |tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        |       FROM tok GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |              CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok WHERE token IN (SELECT token FROM qt)
+        |       GROUP BY 1, 2),
+        |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+        |        FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.token,
+        |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+        |      * (tf * CAST(2.2 AS DOUBLE))
+        |      / (tf + CAST(1.2 AS DOUBLE)
+        |           * (CAST(0.25 AS DOUBLE)
+        |              + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)) AS score_t
+        |  FROM tf JOIN dfq USING (token)
+        |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+        |qs AS (SELECT q.query_id, sc.doc_id, sc.token, sc.score_t
+        |       FROM qt q JOIN sc ON q.token = sc.token),
+        |agg AS (SELECT query_id, doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS DOUBLE),
+        |        list_transform(
+        |          list_sort(list(struct_pack(token := token, s := score_t))),
+        |          x -> x.s)),
+        |      (a, b) -> a + b) AS score
+        |  FROM qs GROUP BY 1, 2),
+        |rk AS (SELECT query_id, doc_id, score,
+        |    CAST(row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score, rank
+        |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-many").toString
+        Retrieval.saveBm25Index(
+          Tables.load(s, d, "documents"), "doc_id", "text", dir)
+        val queries = Seq(
+          (1L, Seq("table", "query")),
+          (2L, Seq("spark", "data", "row")),
+          (3L, Seq("scan")),
+          (4L, Seq("zzzabsent"))).toDF("query_id", "terms")
+        Retrieval.bm25ProbeMany(
+          Retrieval.loadBm25Index(s, dir), queries, "query_id", "terms",
+          k = 10)
+          .orderBy("query_id", "rank")
+      }),
+
     // END-TO-END pipeline composition (round 12): exact dedup → quality
     // filter → deterministic Bernoulli sample → sequence packing, ONE
     // lazy plan from corpus to packed training sequences — the "user

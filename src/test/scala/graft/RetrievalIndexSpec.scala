@@ -79,4 +79,26 @@ class RetrievalIndexSpec extends AnyFunSuite {
     val q = Seq("table", "zzz_not_present")
     assert(probeRows(dir, q) == directRows(corpus, q))
   }
+
+  test("batched probe == per-query probes, bit-exact; no-hit query empty") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    val idx = Retrieval.loadBm25Index(spark, dir)
+    val qs = Seq(
+      (1L, Seq("table", "query")), (2L, Seq("spark")),
+      (3L, Seq("zzz_not_present")))
+    val many = Retrieval.bm25ProbeMany(idx, qs.toDF("query_id", "terms"),
+      "query_id", "terms", 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getInt(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._3).toSeq).toMap
+    for ((qid, terms) <- qs.take(2)) {
+      val single = Retrieval.bm25Probe(idx, terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+        .toSeq
+      assert(many(qid) == single, s"query $qid must match its solo probe")
+    }
+    assert(!many.contains(3L), "a query with no matching terms is empty")
+  }
 }
