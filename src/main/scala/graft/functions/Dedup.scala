@@ -860,7 +860,20 @@ object Dedup {
     *
     * Called by [[snapshotFiles]] (so every index LOAD self-heals — a
     * reader always sees a complete table, old or new, never neither) and
-    * by [[compactParquetDir]] itself on entry. */
+    * by [[compactParquetDir]] itself on entry.
+    *
+    * CONTRACT: recovery assumes the swap it finds is CRASHED, not in
+    * flight — it cannot tell the difference from on-disk state alone. A
+    * load that runs concurrently with a LIVE compaction of the same
+    * table may delete the compactor's staged rewrite (live dir present →
+    * leftovers treated as stale) or steal its roll-forward (making the
+    * compactor's own rename fail). This is the same single-maintenance-
+    * writer rule the compaction scaladoc already imposes on streaming
+    * probes, extended to every reader: do not LOAD an index while its
+    * compaction/delete is running. Index maintenance is a nightly
+    * single-owner job in the intended deployment; a table format with
+    * real snapshot isolation is the upgrade path for anything more
+    * concurrent. */
   private def recoverInterruptedSwap(
       fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
     import org.apache.hadoop.fs.Path

@@ -117,9 +117,12 @@ object Retrieval {
     * ([[Dedup.rewriteParquetDir]]), then the negative meta delta lands.
     * Content removal is ordered first on purpose: a crash after the
     * rewrites but before the meta row leaves deleted documents fully
-    * unservable with slightly stale idf statistics (scores shift, no
-    * deleted content returns) — re-running the delete with the same ids
-    * is then a no-op on the tables and appends a zero delta. */
+    * unservable with stale idf statistics (scores shift, no deleted
+    * content returns); a re-run of the delete cannot recover the lost
+    * delta (the rows are gone — it appends zero), so the heal is
+    * [[compactBm25Index]], which RECOUNTS the statistics from `lens/`
+    * rather than summing deltas. Run it after any delete whose meta
+    * write is in doubt. */
   def deleteFromBm25Index(spark: SparkSession, dir: String,
       ids: DataFrame, numFiles: Int = 32): Unit = {
     val del = ids.toDF("doc_id")
@@ -141,15 +144,26 @@ object Retrieval {
   }
 
   /** Compact the data tables and collapse the accumulated meta deltas to
-    * one row (keeping the stored k1/b). Probe-neutral. */
+    * one row (keeping the stored k1/b). The collapsed statistics are
+    * RECOUNTED from the compacted `lens/` table — the source of truth —
+    * rather than summed from the deltas, so compaction is also the
+    * idempotent heal for delta drift (a delete that crashed after its
+    * table rewrites but before its negative delta landed would otherwise
+    * overcount n_docs/total_dl forever). Bit-identical to the delta sum
+    * in every healthy history; probe-neutral either way. */
   def compactBm25Index(spark: SparkSession, dir: String,
       numFiles: Int = 32): Unit = {
     Dedup.compactParquetDir(spark, s"$dir/postings", numFiles)
     Dedup.compactParquetDir(spark, s"$dir/lens", numFiles)
+    val recount = spark.read
+      .parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*)
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
     Dedup.rewriteParquetDir(spark, s"$dir/meta", 1)(
-      _.agg(sum("n_docs_delta").as("n_docs_delta"),
-        sum("total_dl_delta").as("total_dl_delta"),
-        max("k1").as("k1"), max("b").as("b")))
+      _.agg(max("k1").as("k1"), max("b").as("b"))
+        .crossJoin(recount)
+        .select(col("n_docs_delta"), col("total_dl_delta"),
+          col("k1"), col("b")))
   }
 
   /** Persist the index as BUCKETED catalog tables — the serving layout:
@@ -258,12 +272,16 @@ object Retrieval {
             (lit(1.0 - index.b) +
               lit(index.b) * col("dl") * lit(index.nDocs) /
                 lit(index.totalDl))))
-    val aggCols = terms.map(t =>
-      max(when(col("token") === t, col("__score_t"))).as(s"__s_$t"))
+    // pivot columns are named by term INDEX, not the raw term — a term
+    // containing '.' or '`' would otherwise break col() resolution
+    // (TextAnalysis.bm25 uses the same convention for the same reason)
+    val aggCols = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("token") === t, col("__score_t"))).as(s"__s_$i")
+    }
     val perDoc = scored.groupBy(col("doc_id"))
       .agg(aggCols.head, aggCols.tail: _*)
     val summed = perDoc.withColumn("score",
-      terms.map(t => coalesce(col(s"__s_$t"), lit(0.0)))
+      terms.indices.map(i => coalesce(col(s"__s_$i"), lit(0.0)))
         .reduce(_ + _))
     val top = summed.orderBy(col("score").desc, col("doc_id").asc).limit(k)
     top.withColumn("rank",
@@ -280,10 +298,15 @@ object Retrieval {
     * the term set is query-sized; static IN-pushdown needs literals, so
     * the single-query probe keeps that form), per-term document
     * frequencies aggregate from those matched rows, and each (query,
-    * doc) sums its term scores by FOLDING over the token-sorted score
-    * list — `aggregate` over `sort_array`, a sequential fold in a total
-    * order, so the double sum is bit-stable regardless of partitioning
-    * (and SQL-replayable by the same fold). Per-query top-k is a
+    * doc) sums its term scores by FOLDING over the score list sorted by
+    * the term's POSITION in the query — `aggregate` over `sort_array`, a
+    * sequential fold in a total order, so the double sum is bit-stable
+    * regardless of partitioning (and SQL-replayable by the same fold).
+    * Position order rather than token order on purpose: it is
+    * [[bm25Probe]]'s caller-order association, so the batched and solo
+    * probes agree BIT-FOR-BIT on identical term lists (IEEE addition is
+    * not associative — a different fold order would diverge in the last
+    * ulp on 3+ term queries). Per-query top-k is a
     * rank-filtered window partitioned by query — the filter sits
     * directly on the raw row_number so `InferWindowGroupLimit` plans a
     * partial WindowGroupLimit below the exchange: every partition keeps
@@ -297,7 +320,7 @@ object Retrieval {
       queryIdCol: String, termsCol: String, k: Int): DataFrame = {
     require(index.nDocs > 0, "bm25 probe over an empty index")
     val qt = queries.select(col(queryIdCol),
-      explode(array_distinct(col(termsCol))).as("token"))
+      posexplode(array_distinct(col(termsCol))).as(Seq("__pos", "token")))
     val allTerms = qt.select(col("token")).distinct()
     val hits = index.postings
       .join(broadcast(allTerms), Seq("token"), "left_semi")
@@ -315,7 +338,7 @@ object Retrieval {
     val perQueryDoc = scored
       .join(qt.withColumnRenamed(queryIdCol, "__qid"), "token")
       .groupBy(col("__qid"), col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("token"),
+      .agg(sort_array(collect_list(struct(col("__pos"),
         col("__score_t").as("s")))).as("__ts"))
       .withColumn("score",
         aggregate(col("__ts"), lit(0.0), (acc, x) => acc + x("s")))

@@ -525,8 +525,17 @@ object Similarity {
       k: Int, nProbe: Int, rerank: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
-    val pool = ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
-      queries, qidCol, vecCol, rerank, nProbe)
+    // the pool ranking must honor the index's stored residual flag like
+    // every other probe of a persisted index — a residual index ranked
+    // with the raw-vector ADC form would silently drop true neighbors
+    // from high-inner-product cells (the exact-dot centroid term
+    // dominates cross-cell ordering)
+    val pool = (if (index.residual)
+      ivfResidualAdcTopK(index.cellCodes, index.centroids, index.books,
+        queries, qidCol, vecCol, rerank, nProbe)
+    else
+      ivfPqAdcTopK(index.cellCodes, index.centroids, index.books,
+        queries, qidCol, vecCol, rerank, nProbe))
       .select("query_id", "neighbor_id")
     val q = broadcast(queries
       .select(col(qidCol).as("query_id"), col(vecCol).as("__qv")))
@@ -653,7 +662,7 @@ object Similarity {
         col("neighbor_id"), col("score_scaled"))
   }
 
-  private def ivfPqAdcTopK(coded: DataFrame,
+  private[graft] def ivfPqAdcTopK(coded: DataFrame,
       cents: Array[Array[Float]], books: Array[Array[Array[Float]]],
       queries: DataFrame, qidCol: String, vecCol: String,
       k: Int, nProbe: Int): DataFrame = {
@@ -986,14 +995,22 @@ object Similarity {
   def saveIvfPqIndex(index: IvfPqIndex, path: String): Unit = {
     val spark = index.cellCodes.sparkSession
     import spark.implicits._
+    // meta/ is written FIRST: a save that crashes mid-way then leaves an
+    // index whose load fails loudly on the missing data tables, instead
+    // of one whose tables all read cleanly while the absent meta/
+    // defaults the residual flag to false — which would serve a residual
+    // index with raw-vector arithmetic, the silent mix-up the flag
+    // exists to prevent. (Re-saving OVER a live index is still not
+    // crash-atomic across the four tables — the documented plain-parquet
+    // trade; save to a fresh path for that.)
+    Seq(index.residual).toDF("residual")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     index.cellCodes.write.mode("overwrite").parquet(s"$path/cellcodes")
     index.centroids.zipWithIndex
       .map { case (v, i) => (i, v.toSeq) }.toSeq
       .toDF("cell", "vec")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     saveBooks(spark, index.books, s"$path/books")
-    Seq(index.residual).toDF("residual")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
   private def loadIvfPqResidualFlag(
@@ -1038,12 +1055,17 @@ object Similarity {
           "neighbor_id")
         .write.mode("append").parquet(s"$path/cellcodes")
     } else {
-      val cells = batch
+      // one pass over the batch source (it may itself be an expensive
+      // query): checkpoint (id, cell, vec) once and derive both the cell
+      // column and the encode input from it — the residual branch's shape
+      val withCell = batch
         .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
         .withColumn("__cell",
           element_at(nearestCells(col("__cv"), cents, 1), 1))
-        .select("neighbor_id", "__cell")
-      cells.join(pqEncodeWith(batch, idCol, vecCol, books), "neighbor_id")
+        .localCheckpoint()
+      withCell.select("neighbor_id", "__cell")
+        .join(pqEncodeWith(withCell, "neighbor_id", "__cv", books),
+          "neighbor_id")
         .write.mode("append").parquet(s"$path/cellcodes")
     }
   }

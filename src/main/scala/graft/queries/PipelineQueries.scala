@@ -2652,7 +2652,9 @@ object PipelineQueries {
     // in ONE corpus pass — the decontamination / retrieval-scoring
     // serving shape (per-query probes would rescan the postings N
     // times). Each (query, doc) sums its term scores by folding over
-    // the token-SORTED score list, so the double sum is bit-stable and
+    // the score list sorted by the term's POSITION in the query (the
+    // solo probe's caller-order association — bit-equal across the two
+    // APIs), so the double sum is bit-stable and
     // the oracle replays the identical fold with list_reduce; a query
     // whose terms are absent from the corpus returns no rows. Per-query
     // top-k is a rank-filtered window (WindowGroupLimit below the
@@ -2663,8 +2665,14 @@ object PipelineQueries {
         |    (2, ['spark', 'data', 'row']),
         |    (3, ['scan']),
         |    (4, ['zzzabsent'])),
-        |qt AS (SELECT query_id, unnest(list_distinct(terms)) AS token
-        |       FROM queries),
+        |-- pos comes from the ORIGINAL terms list: DuckDB's list_distinct
+        |-- reorders (Spark's array_distinct keeps first-occurrence order),
+        |-- and the fold order must replay the Spark side's caller order
+        |qt AS (SELECT query_id, token,
+        |         list_position(terms, token) AS pos
+        |       FROM (SELECT query_id, terms,
+        |               unnest(list_distinct(terms)) AS token
+        |             FROM queries)),
         |tok AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(text, '\s+'),
         |                       x -> len(x) > 0)) AS token
@@ -2686,13 +2694,13 @@ object PipelineQueries {
         |              + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)) AS score_t
         |  FROM tf JOIN dfq USING (token)
         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
-        |qs AS (SELECT q.query_id, sc.doc_id, sc.token, sc.score_t
+        |qs AS (SELECT q.query_id, sc.doc_id, q.pos, sc.score_t
         |       FROM qt q JOIN sc ON q.token = sc.token),
         |agg AS (SELECT query_id, doc_id,
         |    list_reduce(
         |      list_prepend(CAST(0 AS DOUBLE),
         |        list_transform(
-        |          list_sort(list(struct_pack(token := token, s := score_t))),
+        |          list_sort(list(struct_pack(pos := pos, s := score_t))),
         |          x -> x.s)),
         |      (a, b) -> a + b) AS score
         |  FROM qs GROUP BY 1, 2),

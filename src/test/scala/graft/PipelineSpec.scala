@@ -469,6 +469,42 @@ class PipelineSpec extends AnyFunSuite {
       s"the appended twin must be the nearest neighbor: ${top.toSeq}")
   }
 
+  test("refined rerank honors the residual flag: its pool is the " +
+      "residual ranking") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val corpus = emb.filter(col("vec_id") < 300)
+    val queries = emb.filter(col("vec_id") < 5)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-rref-spec").toString
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfAdcIndex(corpus, "vec_id", "embedding"), dir)
+    val idx = Similarity.loadIvfPqIndex(spark, dir)
+    assert(idx.residual)
+    val rerank = 20
+    def idSets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // non-vacuity: on this index the residual and raw-ADC rankings must
+    // actually disagree in the top-`rerank` — otherwise this test could
+    // not catch a refined probe that ignored the flag
+    val residualPool = idSets(Similarity.ivfPqTopK(queries, idx,
+      "vec_id", "embedding", rerank, nProbe = 4))
+    val rawPool = idSets(Similarity.ivfPqAdcTopK(idx.cellCodes,
+      idx.centroids, idx.books, queries, "vec_id", "embedding",
+      rerank, nProbe = 4))
+    assert(residualPool != rawPool,
+      "pick data where the rankings differ or the test is vacuous")
+    // with k = rerank the refined output is exactly its pool, reranked —
+    // so its id set must equal the RESIDUAL ranking's, not the raw one
+    val refined = idSets(Similarity.ivfPqTopKRefined(queries, idx, corpus,
+      "vec_id", "vec_id", "embedding", k = rerank, nProbe = 4,
+      rerank = rerank))
+    assert(refined == residualPool,
+      "the refined pool must honor the stored residual flag")
+  }
+
   test("residual ivfadc: carrier exactness and tighter quantization") {
     import graft.functions.{Embeddings, Similarity}
     val spark = TestSpark.spark

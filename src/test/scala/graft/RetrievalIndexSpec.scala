@@ -85,8 +85,12 @@ class RetrievalIndexSpec extends AnyFunSuite {
       .createTempDirectory("graft-bm25-spec").toString
     Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
     val idx = Retrieval.loadBm25Index(spark, dir)
+    // q1 has THREE terms on purpose: IEEE addition is not associative,
+    // so this only passes because the batched fold replays the solo
+    // probe's caller-order association (position-sorted, not token-
+    // sorted) — a 2-term query would pass under any order
     val qs = Seq(
-      (1L, Seq("table", "query")), (2L, Seq("spark")),
+      (1L, Seq("table", "query", "spark")), (2L, Seq("spark")),
       (3L, Seq("zzz_not_present")))
     val many = Retrieval.bm25ProbeMany(idx, qs.toDF("query_id", "terms"),
       "query_id", "terms", 10)
