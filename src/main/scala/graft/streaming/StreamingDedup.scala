@@ -259,6 +259,72 @@ object StreamingDedup {
     survivors
   }
 
+  /** Continuous INDEXING for the retrieval path (round 12): every
+    * micro-batch of documents is appended to a persisted BM25 inverted
+    * index ([[graft.functions.Retrieval]]) — the stream that keeps the
+    * decontamination / dataset-search index fresh as data arrives. No
+    * dedup semantics (every row is indexed); what the manifest/marker
+    * protocol guards here is the STATISTICS: BM25 appends are not
+    * set-semantics like the dedup indexes — a replayed micro-batch that
+    * re-appended would duplicate postings/lens rows AND double-count
+    * the n_docs/total_dl deltas, silently skewing every future score.
+    *
+    * Replay therefore runs DELETE-THEN-APPEND when the append marker is
+    * missing (the prior attempt may have crashed mid-append): the
+    * delete nets out whatever fraction of the batch landed — a no-op
+    * rewrite when nothing did — so the batch's rows end up in the index
+    * exactly once. One residual window is documented: a crash that
+    * landed `lens/` but not its meta delta leaves the statistics
+    * drifted (never the rows) until [[graft.functions.Retrieval
+    * .compactBm25Index]] recounts them from `lens/` — run compaction on
+    * the usual nightly cadence and the drift heals there.
+    */
+  def bm25IndexStream(
+      events: DataFrame, indexPath: String, idCol: String, textCol: String,
+      checkpointLocation: Option[String] = None)(
+      sink: DataFrame => Unit): StreamingQuery = {
+    val ckpt = resolvedCheckpoint(checkpointLocation, "graft-bm25-stream")
+    events.writeStream
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(bm25IndexBatch(batch, indexPath, manifestRoot(ckpt), batchId,
+          idCol, textCol))
+      }
+      .start()
+  }
+
+  /** The per-micro-batch body of [[bm25IndexStream]] (exposed for the
+    * same replay testability as [[probeBatch]]): manifest-commit →
+    * exactly-once append (delete-then-append on replay) → prune. */
+  def bm25IndexBatch(batch: DataFrame, indexPath: String,
+      manifestRoot: String, batchId: Long, idCol: String,
+      textCol: String): DataFrame = {
+    import graft.functions.Retrieval
+    val spark = batch.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val manifestDir = s"$manifestRoot/manifest-$batchId"
+    val manifestDone =
+      new org.apache.hadoop.fs.Path(s"$manifestDir/_SUCCESS")
+    val appendMarker =
+      new org.apache.hadoop.fs.Path(s"$manifestRoot/appended-$batchId")
+    val fs = manifestDone.getFileSystem(hconf)
+    val replay = fs.exists(manifestDone)
+    val rows = batch.localCheckpoint()
+    if (!replay)
+      rows.select(idCol).write.mode("overwrite").parquet(manifestDir)
+    if (!fs.exists(appendMarker)) {
+      if (replay)
+        // the prior attempt may have crashed mid-append: net out
+        // whatever landed so the re-append is exactly-once on rows
+        Retrieval.deleteFromBm25Index(spark, indexPath,
+          rows.select(col(idCol).as("doc_id")))
+      Retrieval.appendToBm25Index(rows, idCol, textCol, indexPath)
+      fs.create(appendMarker, true).close()
+    }
+    pruneManifests(fs, manifestRoot, batchId)
+    rows
+  }
+
   /** Drop manifests/markers of batches before `batchId - 1`: batch N
     * running means N-1 is the newest batch a restart could replay, so
     * everything older is dead weight — the dir stays O(1) instead of

@@ -252,4 +252,42 @@ class StreamingDedupSpec extends AnyFunSuite {
       "appended-3", "appended-4"),
       s"only the current and previous batch may remain: $names")
   }
+
+  test("streaming bm25 indexing: replay appends exactly once, even after " +
+      "a crash mid-append") {
+    import graft.functions.{Retrieval, TextAnalysis}
+    val spark = TestSpark.spark
+    val b0 = Seq((1L, "spark query engine over a table"),
+      (2L, "the query planner and the table")).toDF("doc_id", "text")
+    val b1 = Seq((3L, "spark spark spark"),
+      (4L, "storage formats for columnar data")).toDF("doc_id", "text")
+    val dir = tmp("graft-bm25-stream-idx")
+    Retrieval.saveBm25Index(b0, "doc_id", "text", dir)
+    val root = tmp("graft-bm25-stream-ckpt") + "/graft_batches"
+    def runB1() = StreamingDedup.bm25IndexBatch(
+      b1, dir, root, batchId = 3L, "doc_id", "text")
+    runB1()
+    // clean replay (marker present): append short-circuits
+    runB1()
+    val terms = Seq("spark", "table", "query")
+    def probe() = Retrieval.bm25Probe(
+      Retrieval.loadBm25Index(spark, dir), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val want = TextAnalysis.bm25(b0.unionByName(b1), "doc_id", "text",
+      terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == want, "clean replay must leave the index exact")
+    // crash-simulating replay: the append landed but the marker did not
+    // (delete the marker) — the replay must DELETE-then-append so the
+    // batch's rows and statistics land exactly once, not twice
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/appended-3"), false)
+    runB1()
+    assert(probe() == want,
+      "a mid-append replay must not double-count the batch")
+    assert(spark.read.parquet(s"$dir/lens")
+      .where(org.apache.spark.sql.functions.col("doc_id") === 3L)
+      .count() == 1L, "exactly one lens row per replayed doc")
+  }
 }
