@@ -535,5 +535,19 @@ class PlanSpec extends AnyFunSuite {
       s"term filter must push into the postings scan:\n$p")
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
       s"the df side must broadcast:\n$p")
+
+    // the BATCHED probe's top-k must prune BEFORE the per-query shuffle:
+    // the raw row_number filter directly over the window lets
+    // InferWindowGroupLimit plan Partial+Final WindowGroupLimit, so each
+    // partition forwards at most k rows per query instead of every
+    // scored (query, doc) pair
+    val qdf = Seq((1L, Seq("beta", "delta")), (2L, Seq("alpha")))
+      .toDF("query_id", "terms")
+    val mp = graft.functions.Retrieval.bm25ProbeMany(
+      graft.functions.Retrieval.loadBm25Index(spark, dir),
+      qdf, "query_id", "terms", 5)
+      .queryExecution.executedPlan.toString
+    assert(mp.split("\n").count(_.contains("WindowGroupLimit")) == 2,
+      s"batched top-k needs Partial+Final WindowGroupLimit:\n$mp")
   }
 }
