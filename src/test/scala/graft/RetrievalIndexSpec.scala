@@ -80,6 +80,26 @@ class RetrievalIndexSpec extends AnyFunSuite {
     assert(probeRows(dir, q) == directRows(corpus, q))
   }
 
+  test("compaction RECOUNTS statistics from lens/ — the drift heal") {
+    // simulate the documented crash window: a delete whose table
+    // rewrites landed but whose negative meta delta did not (here: a
+    // bogus positive delta plays the stale-stats role). Probes drift —
+    // and compaction must restore exactness by recounting from lens/,
+    // not by summing the (now wrong) deltas.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    val want = directRows(corpus)
+    assert(probeRows(dir) == want)
+    Seq((5L, 40L, Option.empty[Double], Option.empty[Double]))
+      .toDF("n_docs_delta", "total_dl_delta", "k1", "b")
+      .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+    assert(probeRows(dir) != want, "drifted stats must actually drift")
+    Retrieval.compactBm25Index(spark, dir, numFiles = 1)
+    assert(probeRows(dir) == want,
+      "compaction must recount n_docs/total_dl from lens/")
+  }
+
   test("batched probe == per-query probes, bit-exact; no-hit query empty") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-bm25-spec").toString
