@@ -64,6 +64,44 @@ object Similarity {
         col("neighbor_id"), col("score"))
   }
 
+  /** HARD-NEGATIVE mining (round 12) — contrastive-training data prep:
+    * for each anchor, the top-k most similar corpus items whose label
+    * DIFFERS from the anchor's (the near-misses a contrastive loss
+    * learns the most from; random negatives are trivially separable).
+    * Same distributed shape as [[bruteForceTopK]] — broadcast anchors,
+    * map-side cosine, label exclusion fused into the join predicate so
+    * positives never enter the scored stream (and null labels exclude —
+    * unlabeled data is not a KNOWN negative), partial WindowGroupLimit
+    * top-k below the per-anchor exchange. This is the exact baseline;
+    * at billion-vector scale mine the pool from a persisted ANN index
+    * instead ([[ivfPqTopKRefined]] with `rerank` ≥ k + the expected
+    * positive count, then the same label anti-filter on the pool).
+    *
+    * @return (query_id, rank, neighbor_id, score), rank 1..k per anchor
+    */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      qidCol: String, idCol: String, vecCol: String, labelCol: String,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(anchors.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    // plain != on purpose (null-propagating): an UNLABELED item is not a
+    // KNOWN negative — it might be an unmarked positive — so null labels
+    // exclude on either side (a null-labeled anchor mines nothing)
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id") &&
+        col("__ql") =!= col("__cl"))
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k) // raw rank filter → WindowGroupLimit
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for plane p, dim j:
     * uniform in [-0.5, 0.5) derived from xxhash64 — no stored model, any
     * executor recomputes it identically (no broadcast needed).

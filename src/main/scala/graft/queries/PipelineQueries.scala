@@ -2648,6 +2648,35 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // HARD-NEGATIVE mining (round 12): for each anchor the top-k most
+    // similar corpus vectors with a DIFFERENT label — contrastive
+    // training pairs (the near-misses the loss learns from). Label
+    // exclusion is fused into the join predicate; rank-only compare
+    // like the other ANN gates (cosine ties broken by neighbor_id).
+    Q("pl_hard_negatives",
+      """WITH q AS (SELECT vec_id AS query_id,
+        |             CAST(embedding AS DOUBLE[]) AS qv, label AS ql
+        |           FROM embeddings WHERE vec_id < 5),
+        |     c AS (SELECT vec_id AS neighbor_id,
+        |             CAST(embedding AS DOUBLE[]) AS cv, label AS cl
+        |           FROM embeddings)
+        |SELECT query_id, rank, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY list_cosine_similarity(qv, cv) DESC,
+        |                    neighbor_id) AS rank
+        |  FROM q, c
+        |  WHERE query_id != neighbor_id AND ql != cl)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Similarity.hardNegatives(
+          emb.filter(col("vec_id") < 5), emb,
+          "vec_id", "vec_id", "embedding", "label", 10)
+          .select("query_id", "rank", "neighbor_id")
+          .orderBy("query_id", "rank")
+      }),
+
     // BATCHED retrieval (round 12): N queries probe the persisted index
     // in ONE corpus pass — the decontamination / retrieval-scoring
     // serving shape (per-query probes would rescan the postings N

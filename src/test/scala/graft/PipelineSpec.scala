@@ -505,6 +505,29 @@ class PipelineSpec extends AnyFunSuite {
       "the refined pool must honor the stored residual flag")
   }
 
+  test("hard negatives: no positive ever surfaces, null labels excludable") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    import spark.implicits._
+    // anchor label 1; ids 10/11 share it (positives — must NEVER
+    // surface no matter how similar), 20-22 differ, 30 has a NULL label
+    // (unlabeled data is not a known negative — the null-propagating !=
+    // excludes it, even though it is the most similar vector of all)
+    def v(x: Double, y: Double) = Seq(x.toFloat, y.toFloat)
+    val emb = Seq(
+      (1L, v(1.0, 0.0), Some(1)),
+      (10L, v(0.99, 0.14), Some(1)), (11L, v(0.98, 0.2), Some(1)),
+      (20L, v(0.9, 0.44), Some(2)), (21L, v(0.5, 0.87), Some(2)),
+      (22L, v(-1.0, 0.0), Some(3)), (30L, v(1.0, 0.01), None))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(
+      emb.filter(col("vec_id") === 1L), emb,
+      "vec_id", "vec_id", "embedding", "label", 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(got.map(_._2).toSeq == Seq(20L, 21L, 22L),
+      s"nearest different-label items in similarity order: ${got.toSeq}")
+  }
+
   test("residual ivfadc: carrier exactness and tighter quantization") {
     import graft.functions.{Embeddings, Similarity}
     val spark = TestSpark.spark
