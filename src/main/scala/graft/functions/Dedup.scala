@@ -668,7 +668,7 @@ object Dedup {
     * one query tree contains both (exactly the build→probe→append→probe
     * gate shape). Distinct file lists give distinct rootPaths, so reuse
     * only unifies scans that really read the same data. */
-  private[functions] def snapshotFiles(
+  private[graft] def snapshotFiles(
       spark: SparkSession, dir: String): Seq[String] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -225,11 +225,20 @@ object StreamingDedup {
     * the batch to its surviving rows; `append` persists survivors to the
     * index. The manifest's _SUCCESS is the batch's commit point: written
     * before any index mutation, so every earlier crash re-probes a clean
-    * index and every later crash replays from the manifest. */
+    * index and every later crash replays from the manifest.
+    *
+    * `repairOnReplay` (round 12) runs with the committed MANIFEST ids
+    * before a replay's re-append (replay detected + append marker
+    * missing): the hook for indexes whose appends are not set-semantics
+    * (BM25's statistics double-count on re-append, where the dedup
+    * indexes' duplicated rows are probe-neutral). It receives the
+    * manifest ids, not the re-delivered batch's — the manifest is the
+    * committed record of what can have landed. */
   private def runBatch(batch: DataFrame, manifestRoot: String,
       batchId: Long, idCol: String, appendSurvivors: Boolean,
       probe: DataFrame => DataFrame,
-      append: DataFrame => Unit): DataFrame = {
+      append: DataFrame => Unit,
+      repairOnReplay: Option[DataFrame => Unit] = None): DataFrame = {
     val spark = batch.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val manifestDir = s"$manifestRoot/manifest-$batchId"
@@ -252,6 +261,8 @@ object StreamingDedup {
         s
       }
     if (appendSurvivors && !fs.exists(appendMarker)) {
+      if (replay)
+        repairOnReplay.foreach(_(spark.read.parquet(manifestDir)))
       append(survivors)
       fs.create(appendMarker, true).close()
     }
@@ -294,35 +305,34 @@ object StreamingDedup {
   }
 
   /** The per-micro-batch body of [[bm25IndexStream]] (exposed for the
-    * same replay testability as [[probeBatch]]): manifest-commit →
-    * exactly-once append (delete-then-append on replay) → prune. */
+    * same replay testability as [[probeBatch]]): the shared
+    * manifest-committed protocol with `probe` = identity (every row is
+    * indexed) and a REPLAY-REPAIR hook — the prior attempt may have
+    * crashed mid-append, so before re-appending, the ids the COMMITTED
+    * MANIFEST recorded (the only ids that can have landed — not the
+    * re-delivered batch's, which a non-replayable source could have
+    * drifted) are deleted from the index. A cheap postings existence
+    * probe skips the two full-table rewrites when the crashed attempt
+    * never reached the index (`appendToBm25Index` writes `postings/`
+    * first, and each Spark write commits all-or-nothing, so "no
+    * postings rows" implies "nothing landed"). */
   def bm25IndexBatch(batch: DataFrame, indexPath: String,
       manifestRoot: String, batchId: Long, idCol: String,
       textCol: String): DataFrame = {
-    import graft.functions.Retrieval
-    val spark = batch.sparkSession
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val manifestDir = s"$manifestRoot/manifest-$batchId"
-    val manifestDone =
-      new org.apache.hadoop.fs.Path(s"$manifestDir/_SUCCESS")
-    val appendMarker =
-      new org.apache.hadoop.fs.Path(s"$manifestRoot/appended-$batchId")
-    val fs = manifestDone.getFileSystem(hconf)
-    val replay = fs.exists(manifestDone)
-    val rows = batch.localCheckpoint()
-    if (!replay)
-      rows.select(idCol).write.mode("overwrite").parquet(manifestDir)
-    if (!fs.exists(appendMarker)) {
-      if (replay)
-        // the prior attempt may have crashed mid-append: net out
-        // whatever landed so the re-append is exactly-once on rows
-        Retrieval.deleteFromBm25Index(spark, indexPath,
-          rows.select(col(idCol).as("doc_id")))
-      Retrieval.appendToBm25Index(rows, idCol, textCol, indexPath)
-      fs.create(appendMarker, true).close()
-    }
-    pruneManifests(fs, manifestRoot, batchId)
-    rows
+    import graft.functions.{Dedup, Retrieval}
+    runBatch(batch, manifestRoot, batchId, idCol, appendSurvivors = true,
+      probe = b => b,
+      append = rows =>
+        Retrieval.appendToBm25Index(rows, idCol, textCol, indexPath),
+      repairOnReplay = Some { manifestIds =>
+        val spark = manifestIds.sparkSession
+        val del = manifestIds.toDF("doc_id").localCheckpoint()
+        val landed = spark.read
+          .parquet(Dedup.snapshotFiles(spark, s"$indexPath/postings"): _*)
+          .join(del, Seq("doc_id"), "left_semi")
+          .limit(1).count() > 0
+        if (landed) Retrieval.deleteFromBm25Index(spark, indexPath, del)
+      })
   }
 
   /** Drop manifests/markers of batches before `batchId - 1`: batch N

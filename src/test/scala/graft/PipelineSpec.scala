@@ -524,7 +524,7 @@ class PipelineSpec extends AnyFunSuite {
       emb.filter(col("vec_id") === 1L), emb,
       "vec_id", "vec_id", "embedding", "label", 10)
       .collect().map(r => (r.getLong(1), r.getLong(2)))
-    assert(got.map(_._2).toSeq == Seq(20L, 21L, 22L),
+    assert(got.sortBy(_._1).map(_._2).toSeq == Seq(20L, 21L, 22L),
       s"nearest different-label items in similarity order: ${got.toSeq}")
   }
 

@@ -289,5 +289,19 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/lens")
       .where(org.apache.spark.sql.functions.col("doc_id") === 3L)
       .count() == 1L, "exactly one lens row per replayed doc")
+    // crash BEFORE the append (manifest committed, nothing landed): the
+    // replay must detect that no manifest id reached the index and
+    // append exactly once without paying the repair rewrites
+    val b2 = Seq((5L, "a second batch about query planners"))
+      .toDF("doc_id", "text")
+    b2.select("doc_id").write.mode("overwrite")
+      .parquet(s"$root/manifest-4")
+    StreamingDedup.bm25IndexBatch(b2, dir, root, batchId = 4L,
+      "doc_id", "text")
+    val want2 = TextAnalysis.bm25(
+      b0.unionByName(b1).unionByName(b2), "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == want2,
+      "a crash-before-append replay must index the batch exactly once")
   }
 }
