@@ -599,6 +599,35 @@ object Stress {
       graft.functions.Graph.coreNumbers(verts, edges)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-12: label-propagation communities — fixed 4 rounds, each one
+    // edge⋈label shuffle + counted argmax; linear in edges at fixed
+    // iterations (PageRank's cost model with an extra agg per round)
+    timeBody("lpa", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val verts = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+      graft.functions.Graph.labelPropagation(verts, edges, iterations = 4)
+        .write.format("noop").mode("overwrite").save()
+    }
+    // round-12: modularity scoring over a synthetic 1000-community
+    // assignment (a pure projection, so the timing isolates the metric's
+    // own joins/aggregates): two label joins + three partial-agg counts,
+    // no iteration — linear in edges
+    time("modularity", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val labels = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .select(col("id"), (col("id") % 1000).as("community"))
+      graft.functions.Graph.modularity(labels, edges)
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),
