@@ -122,6 +122,26 @@ object TextAnalysis {
     * standard pre-training scrub pass. Pure map-side `regexp_replace`
     * chain: codegen'd, shuffle-free, linear in text size.
     */
+  /** Dedup-normalization kernel (round 12) — the CCNet/RefinedWeb
+    * pre-hash canonicalization: lowercase, digits → `0`, punctuation and
+    * symbols stripped, whitespace collapsed. Hashing the NORMALIZED text
+    * is what makes exact dedup catch the near-identical variants raw
+    * hashing misses (case changes, punctuation edits, version numbers) —
+    * every production pipeline normalizes before the hash, not after the
+    * near-dup pass. Pure map-side Column composition (codegen'd
+    * regexp_replace chain, no UDF, no shuffle); `\p{L}`/`\p{N}`/`\s` are
+    * RE2-compatible so the DuckDB oracle replays the identical regexes
+    * (the same parity the tokenizer gates already rely on). Accent
+    * folding is intentionally out: it needs `java.text.Normalizer` (a
+    * custom expression, not a regex) and the corpus is ASCII — the
+    * MinHash oracle asserts exactly that. */
+  def normalizeForDedup(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), "\\p{N}", "0"),
+        "[^\\p{L}\\p{N}\\s]", ""),
+      "\\s+", " "))
+
   def redactPII(text: Column): Column =
     regexp_replace(
       regexp_replace(text, emailPattern, "<EMAIL>"),

@@ -2648,6 +2648,41 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // NORMALIZED exact dedup (round 12): hash the CCNet-style
+    // canonicalization (lowercase, digits->0, punctuation stripped,
+    // whitespace collapsed) instead of the raw text — planted variants
+    // differing only in case + trailing punctuation (docs = 0 mod 9,
+    // upper-cased + " !!" at +20000) must collapse into their originals'
+    // groups, which raw exact dedup (pl_dedup_exact) cannot do.
+    Q("pl_norm_dedup",
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 20000, upper(text) || ' !!' FROM documents
+        |  WHERE doc_id % 9 = 0),
+        |n AS (SELECT doc_id,
+        |        trim(regexp_replace(regexp_replace(regexp_replace(
+        |          lower(text), '\p{N}', '0', 'g'),
+        |          '[^\p{L}\p{N}\s]', '', 'g'),
+        |          '\s+', ' ', 'g')) AS nt
+        |      FROM corpus)
+        |SELECT md5(nt) AS norm_hash, count(*) AS n_copies,
+        |       min(doc_id) AS keeper_id
+        |FROM n GROUP BY 1 ORDER BY norm_hash""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        val corpus = docs.unionByName(
+          docs.filter(col("doc_id") % 9 === 0)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(upper(col("text")), lit(" !!")).as("text")))
+        corpus
+          .groupBy(md5(TextAnalysis.normalizeForDedup(col("text"))
+            .cast("binary")).as("norm_hash"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("doc_id")).as("keeper_id"))
+          .orderBy("norm_hash")
+      }),
+
     // HARD-NEGATIVE mining (round 12): for each anchor the top-k most
     // similar corpus vectors with a DIFFERENT label — contrastive
     // training pairs (the near-misses the loss learns from). Label

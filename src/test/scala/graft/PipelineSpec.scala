@@ -505,6 +505,25 @@ class PipelineSpec extends AnyFunSuite {
       "the refined pool must honor the stored residual flag")
   }
 
+  test("normalizeForDedup: case/digits/punct/whitespace variants collapse") {
+    import graft.functions.TextAnalysis
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val got = Seq(
+      "Release 2.4 is OUT — download now!!",
+      "release 9.7 is out,   download NOW",  // same after normalization
+      "release is out download now",          // digits differ (none vs 0.0)
+      "a genuinely different sentence")
+      .toDF("text")
+      .select(TextAnalysis.normalizeForDedup(col("text")).as("n"))
+      .collect().map(_.getString(0))
+    assert(got(0) == "release 00 is out download now", got(0))
+    assert(got(0) == got(1), "variants must normalize identically")
+    assert(got(2) == "release is out download now" && got(2) != got(0),
+      "digit presence still distinguishes")
+    assert(got(3) == "a genuinely different sentence")
+  }
+
   test("hard negatives: no positive ever surfaces, null labels excludable") {
     import graft.functions.Similarity
     val spark = TestSpark.spark
