@@ -514,6 +514,32 @@ object Stress {
       graft.functions.Similarity.appendToPqIndex(spark, pqDir,
         synthEmb(n / 100, 1000000L), "vec_id", "embedding")
     }
+    // round-13 stress row: hard-negative mining from a PERSISTED
+    // IVF-PQ index — the index over a CORPUS THAT SCALES with n (n/10
+    // vectors) is trained + saved ONCE outside the timed block; the
+    // timed body mines k=10 negatives for an n/2000-anchor batch. Time
+    // must track the anchor batch (pool = anchors × rerank refine
+    // reads) plus the pruned ADC scan (~nProbe/nCells of the codes) —
+    // NEVER the all-pairs anchors × corpus cosine of the exact
+    // baseline. Doubling n roughly doubles both terms (corpus and
+    // batch both scale), so the row's scaling stays ≈linear where the
+    // brute-force form would be quadratic.
+    def synthLabeled(rows: Long, offset: Long): DataFrame =
+      synthEmb(rows, offset)
+        .withColumn("label", pmod(col("vec_id"), lit(5L)))
+    val hnDir = java.nio.file.Files
+      .createTempDirectory("graft-stress-hn").toString
+    if (!only.exists(!_.contains("hard_neg_ann")))
+      graft.functions.Similarity.saveIvfPqIndex(
+        graft.functions.Similarity.ivfPqIndex(
+          synthLabeled(n / 10, 0L), "vec_id", "embedding"), hnDir)
+    time("hard_neg_ann", n / 2000) {
+      graft.functions.Similarity.hardNegativesFromIndex(
+        synthLabeled(n / 2000, 0L),
+        graft.functions.Similarity.loadIvfPqIndex(spark, hnDir),
+        synthLabeled(n / 10, 0L), "vec_id", "vec_id", "embedding",
+        "label", k = 10, nProbe = 4, rerank = 30)
+    }
     // round-12 stress rows: the persisted BM25 inverted index over a
     // corpus that SCALES with n (9n/10 docs, saved ONCE outside the
     // timed blocks). APPEND tokenizes and writes only the n/100-doc
@@ -627,6 +653,21 @@ object Stress {
         .union(edges.select(col("dst").as("id"))).distinct()
         .select(col("id"), (col("id") % 1000).as("community"))
       graft.functions.Graph.modularity(labels, edges)
+    }
+    // round-13: one-level Louvain refinement over the same synthetic
+    // assignment — one neighbor-community count (two shuffles, map-side
+    // combine on hub skew), bounded community aggregates on broadcast
+    // joins, one per-vertex argmax. Linear in edges; ≤2× at 2× edges.
+    time("louvain_refine", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val labels = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .select(col("id"), (col("id") % 1000).as("community"))
+      graft.functions.Graph.louvainRefine(labels, edges)
     }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),

@@ -860,22 +860,33 @@ object Dedup {
     *
     * Called by [[snapshotFiles]] (so every index LOAD self-heals — a
     * reader always sees a complete table, old or new, never neither) and
-    * by [[compactParquetDir]] itself on entry.
+    * by [[compactParquetDir]] itself on entry — with DIFFERENT scopes
+    * (round 13, narrowing the reader's destructive surface):
     *
-    * CONTRACT: recovery assumes the swap it finds is CRASHED, not in
-    * flight — it cannot tell the difference from on-disk state alone. A
-    * load that runs concurrently with a LIVE compaction of the same
-    * table may delete the compactor's staged rewrite (live dir present →
-    * leftovers treated as stale) or steal its roll-forward (making the
-    * compactor's own rename fail). This is the same single-maintenance-
-    * writer rule the compaction scaladoc already imposes on streaming
-    * probes, extended to every reader: do not LOAD an index while its
-    * compaction/delete is running. Index maintenance is a nightly
-    * single-owner job in the intended deployment; a table format with
-    * real snapshot isolation is the upgrade path for anything more
-    * concurrent. */
+    *  - `maintenance = true` (the compact/delete/rewrite entry points,
+    *    which already own the single-writer lock by contract): full
+    *    recovery INCLUDING leftover cleanup in the dir-present case.
+    *  - `maintenance = false` (every load, via [[snapshotFiles]]): when
+    *    the live dir is PRESENT the reader touches NOTHING — the table
+    *    is readable as-is, and any `__compacting`/marker siblings may
+    *    belong to a LIVE compaction mid-staging (minutes-long at scale;
+    *    r12's unconditional cleanup would have deleted its staged
+    *    rewrite). Only when the dir is ABSENT — unreadable without
+    *    healing — does a reader roll the swap forward/back.
+    *
+    * CONTRACT (what remains): dir-absent recovery still assumes the swap
+    * it finds is CRASHED — a reader racing a live compaction inside its
+    * two-rename swap window (milliseconds: rename-away → rename-in, vs
+    * the minutes-long staging the round-13 split took off the table) can
+    * still steal the roll-forward and fail the compactor's own rename
+    * loudly (never silently, and never leaving "neither table"). Do not
+    * LOAD an index while its compaction/delete is running; maintenance
+    * is a nightly single-owner job in the intended deployment, and a
+    * table format with real snapshot isolation is the upgrade path for
+    * anything more concurrent. */
   private def recoverInterruptedSwap(
-      fs: org.apache.hadoop.fs.FileSystem, dir: String): Unit = {
+      fs: org.apache.hadoop.fs.FileSystem, dir: String,
+      maintenance: Boolean = false): Unit = {
     import org.apache.hadoop.fs.Path
     val p = new Path(dir)
     val tmp = new Path(dir + "__compacting")
@@ -883,10 +894,14 @@ object Dedup {
     val marker = new Path(dir + "__swapping")
     if (fs.exists(p)) {
       // live table intact: any siblings are leftovers of a crash before
-      // the rename-away (or after the swap completed) — safe to drop
-      if (fs.exists(marker)) fs.delete(marker, false)
-      if (fs.exists(old)) fs.delete(old, true)
-      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // the rename-away (or after the swap completed) — the maintenance
+      // owner drops them; a mere READER leaves them alone (they may be a
+      // live compaction's in-flight staging, and the table is readable)
+      if (maintenance) {
+        if (fs.exists(marker)) fs.delete(marker, false)
+        if (fs.exists(old)) fs.delete(old, true)
+        if (fs.exists(tmp)) fs.delete(tmp, true)
+      }
     } else if (fs.exists(marker) && fs.exists(tmp)) {
       require(fs.rename(tmp, p),
         s"swap recovery could not rename $tmp to $p")
@@ -941,7 +956,7 @@ object Dedup {
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")
     val old = new org.apache.hadoop.fs.Path(dir + "__old")
     val marker = new org.apache.hadoop.fs.Path(dir + "__swapping")
-    recoverInterruptedSwap(fs, dir)
+    recoverInterruptedSwap(fs, dir, maintenance = true)
     f(spark.read.parquet(snapshotFiles(spark, dir): _*))
       .repartition(numFiles)
       .write.mode("overwrite").parquet(tmp.toString)

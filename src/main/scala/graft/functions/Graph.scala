@@ -317,6 +317,92 @@ object Graph {
           .cast(dec).as("q_num"))
   }
 
+  /** One-level MODULARITY-GAIN refinement (round 13) — the greedy move
+    * step of Louvain (Blondel et al. 2008 §2) run as ONE SYNCHRONOUS
+    * pass over a seed assignment (e.g. [[labelPropagation]] output):
+    * every vertex evaluates, against the FROZEN seed, the exact
+    * modularity gain of moving to each neighboring community, and moves
+    * to the best strictly-positive one (ties: smallest target
+    * community). Gain for i moving a → b, scaled by the constant 2m²
+    * (ordering- and sign-preserving):
+    * `gain = 2m·(k_{i,b} − k_{i,a−i}) − k_i·(D_b − (D_a − k_i))`,
+    * where k_{i,c} counts i's edges into community c, k_i is i's
+    * degree, and D_c sums member degrees (Blondel's ΔQ with both the
+    * remove-from-a and insert-into-b halves, over the common 2m²
+    * denominator). All terms are exact integers; the gain is computed
+    * in DECIMAL(38,0) because 2m·k overflows BIGINT at web-scale m —
+    * but the OUTPUT columns stay BIGINT (the assignment, not the gain).
+    *
+    * SYNCHRONOUS on purpose (the paper's sweep is sequential — each
+    * move updates D_c for the next vertex — which no distributed plan
+    * can replay): all vertices decide against the same frozen seed,
+    * making the pass a pure function of (graph, seed) — partition-
+    * invariant and SQL-replayable — at the price that simultaneous
+    * moves are not guaranteed jointly optimal (the standard parallel-
+    * Louvain trade, cf. Grappolo). Run it once after LPA to crisp
+    * boundary vertices; [[modularity]] before/after tells whether to
+    * keep it.
+    *
+    * Shape: ONE neighbor-community count (the same two-shuffle join +
+    * map-side combine as an LPA round), two bounded per-community
+    * degree aggregates riding broadcast joins, one per-vertex argmax —
+    * no iteration, no driver data.
+    *
+    * @param labels (id, community) seed assignment
+    * @return (id, community) — the refined assignment, every seed
+    *         vertex present (isolated / interior vertices keep theirs)
+    */
+  def louvainRefine(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val lab = labels.select(col("id"), col("community"))
+    val sym = und.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
+    val deg = undirectedDegrees(und)
+    // D_c and m are community- and graph-bounded — broadcast sides
+    val dTot = deg.join(lab, "id")
+      .groupBy(col("community")).agg(sum("deg").as("__D"))
+    val m = und.agg(count(lit(1)).as("__m"))
+    // k(u, c): u's edge count into each NEIGHBORING community — the one
+    // corpus-scale aggregate (hub skew absorbed by map-side combine)
+    val kUc = sym
+      .join(lab.select(col("id").as("v"), col("community").as("__c")), "v")
+      .groupBy(col("u"), col("__c")).agg(count(lit(1)).as("__k"))
+    val cur = lab.select(col("id").as("u"), col("community").as("__a"))
+      .join(deg.select(col("id").as("u"), col("deg").as("__ki")), "u")
+    // k_{i,a}: edges into the HOME community (0 when i is a boundary
+    // vertex with no same-community neighbor)
+    val kA = cur
+      .join(kUc.withColumnRenamed("__c", "__a"), Seq("u", "__a"), "left_outer")
+      .select(col("u"), col("__a"), col("__ki"),
+        coalesce(col("__k"), lit(0L)).as("__ka"))
+    val dec = "decimal(38,0)"
+    val cand = kUc.filter(col("__c").isNotNull)
+      .join(kA, "u")
+      .filter(col("__c") =!= col("__a"))
+      .join(broadcast(dTot.select(col("community").as("__c"),
+        col("__D").as("__Db"))), "__c")
+      .join(broadcast(dTot.select(col("community").as("__a"),
+        col("__D").as("__Da"))), "__a")
+      .crossJoin(broadcast(m))
+      .select(col("u"), col("__c"),
+        (lit(2).cast(dec) * col("__m").cast(dec)
+          * (col("__k") - col("__ka")).cast(dec)
+          - col("__ki").cast(dec)
+            * (col("__Db") - col("__Da") + col("__ki")).cast(dec))
+          .cast(dec).as("__gain"))
+    val best = cand
+      .groupBy(col("u"))
+      // best gain, ties to the smallest target community
+      .agg(min(struct((-col("__gain")).cast(dec).as("g"),
+        col("__c").as("c"))).as("__w"))
+      .select(col("u").as("id"), col("__w.c").as("__b"),
+        (-col("__w.g")).cast(dec).as("__bg"))
+    lab.join(best, Seq("id"), "left_outer")
+      .select(col("id"),
+        when(col("__bg") > 0, col("__b"))
+          .otherwise(col("community")).as("community"))
+  }
+
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER
     * arithmetic so the result is a pure function of the graph
     * (partition-invariant, run-stable, SQL-replayable): ranks carry as

@@ -83,6 +83,14 @@ object Retrieval {
       .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
         max("k1").as("k1"), max("b").as("b"))
       .collect().head
+    // Append/delete meta rows carry null k1/b (the parameters belong to
+    // the BUILD); an index that was never saveBm25Index-built has no
+    // non-null row, and a silent getAs[Double] would unbox null to 0.0 —
+    // degenerate BM25 (score collapses to idf). Fail loudly instead.
+    require(!meta.isNullAt(meta.fieldIndex("k1")) &&
+        !meta.isNullAt(meta.fieldIndex("b")),
+      s"BM25 index at $dir has no build-time k1/b parameters — it was " +
+        "created by append alone, never by saveBm25Index")
     Bm25Index(
       spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/postings"): _*),
       spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*),
@@ -95,20 +103,111 @@ object Retrieval {
     * — the existing corpus rows are never read or rewritten. Document
     * ids must be unique ACROSS appends (the same contract as the dedup
     * indexes): re-appending an id leaves two lens/posting rows for it
-    * and double-counts it in the statistics. */
-  def appendToBm25Index(batch: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+    * and double-counts it in the statistics. `skipExisting=true` makes
+    * that misuse structurally impossible for at-least-once delivery
+    * OUTSIDE the streaming path (which has its own manifest protection):
+    * the batch's ids semi-join `lens/` (broadcast — the probe side is
+    * batch-sized, so the corpus scan prunes to the id column and the
+    * result is batch-bounded), and already-indexed documents are
+    * anti-filtered out before anything is tokenized or written. */
+  def appendToBm25Index(batch0: DataFrame, idCol: String, textCol: String,
+      dir: String, skipExisting: Boolean = false): Unit = {
+    val spark0 = batch0.sparkSession
+    // a FIRST append onto a fresh dir (the streaming-bootstrap shape)
+    // must stamp the default build parameters, or the index would carry
+    // only null-k1/b delta rows and every load would (rightly) refuse it
+    val bootstrap = !dirHasParquet(spark0, s"$dir/meta")
+    val batch = if (!skipExisting || bootstrap) batch0 else {
+      val ids = batch0.select(col(idCol).as("doc_id")).distinct()
+      val already = spark0.read
+        .parquet(Dedup.snapshotFiles(spark0, s"$dir/lens"): _*)
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id")) // batch-bounded — broadcastable back
+      batch0.join(broadcast(already),
+        batch0(idCol) === already("doc_id"), "left_anti")
+    }
     val spark = batch.sparkSession
     val (postings, lens) = bm25IndexRows(batch, idCol, textCol)
     postings.write.mode("append").parquet(s"$dir/postings")
     val pinnedLens = lens.localCheckpoint() // batch-bounded
     pinnedLens.write.mode("append").parquet(s"$dir/lens")
+    val (k1Col, bCol) =
+      if (bootstrap) (lit(1.2).as("k1"), lit(0.75).as("b"))
+      else (lit(null).cast("double").as("k1"),
+        lit(null).cast("double").as("b"))
     pinnedLens
       .agg(count(lit(1)).as("n_docs_delta"),
         coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
-      .select(col("n_docs_delta"), col("total_dl_delta"),
-        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
+      .select(col("n_docs_delta"), col("total_dl_delta"), k1Col, bCol)
       .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+  }
+
+  /** Whether `dir` exists AND holds at least one committed parquet file
+    * (a crashed write can leave the dir with only `_temporary` litter —
+    * "exists" alone is not "has data"). */
+  private def dirHasParquet(spark: SparkSession, dir: String): Boolean =
+    committedFiles(spark, dir).nonEmpty
+
+  private def committedFiles(
+      spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).map(_.getPath.toString)
+      .filter(_.endsWith(".parquet")).toIndexedSeq
+  }
+
+  /** Heal a CRASHED append (round 13 — the streaming replay repair,
+    * replacing r12's delete-only form): remove whatever fraction of
+    * `ids` landed, probing and rewriting `postings/` and `lens/`
+    * INDEPENDENTLY — a mid-append crash can leave any prefix of the
+    * write sequence (postings → lens → meta) — then RECOUNT the meta
+    * statistics from `lens/` so the delta ledger is exact again
+    * immediately (the r12 repair wrote a negative delta whose positive
+    * counterpart may never have landed, converting an overcount into an
+    * UNDERcount until the nightly compaction recounted). Absent/empty
+    * directories are "nothing landed", not errors: a fresh index whose
+    * FIRST append crashed between the manifest commit and the first
+    * write has nothing to heal (the r12 form threw on the missing dir —
+    * a permanent crash loop in exactly the recovery path the manifest
+    * protocol exists for). */
+  def repairBm25Append(spark: SparkSession, dir: String,
+      ids: DataFrame, numFiles: Int = 32): Unit = {
+    val del = ids.toDF("doc_id").localCheckpoint()
+    def landed(sub: String): Boolean = {
+      val fs = committedFiles(spark, s"$dir/$sub")
+      fs.nonEmpty && spark.read.parquet(fs: _*)
+        .join(del, Seq("doc_id"), "left_semi")
+        .limit(1).count() > 0
+    }
+    if (landed("postings"))
+      Dedup.rewriteParquetDir(spark, s"$dir/postings", numFiles)(
+        _.join(del, Seq("doc_id"), "left_anti"))
+    if (landed("lens"))
+      Dedup.rewriteParquetDir(spark, s"$dir/lens", numFiles)(
+        _.join(del, Seq("doc_id"), "left_anti"))
+    // lens is the source of truth for the statistics; with the batch's
+    // rows gone, one meta recount makes the ledger exact regardless of
+    // which writes (including prior drift) the crash interleaved
+    if (dirHasParquet(spark, s"$dir/lens") &&
+        dirHasParquet(spark, s"$dir/meta"))
+      recountBm25Meta(spark, dir)
+  }
+
+  /** Recount n_docs/total_dl from `lens/` — the source of truth — and
+    * collapse `meta/` to one exact row, keeping the stored k1/b: the
+    * meta-only half of [[compactBm25Index]], for when the delta ledger
+    * needs healing without the data-table rewrites. */
+  def recountBm25Meta(spark: SparkSession, dir: String): Unit = {
+    val recount = spark.read
+      .parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*)
+      .agg(count(lit(1)).as("n_docs_delta"),
+        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+    Dedup.rewriteParquetDir(spark, s"$dir/meta", 1)(
+      _.agg(max("k1").as("k1"), max("b").as("b"))
+        .crossJoin(recount)
+        .select(col("n_docs_delta"), col("total_dl_delta"),
+          col("k1"), col("b")))
   }
 
   /** DELETE documents — the retention verb. The deleted documents'
@@ -155,15 +254,7 @@ object Retrieval {
       numFiles: Int = 32): Unit = {
     Dedup.compactParquetDir(spark, s"$dir/postings", numFiles)
     Dedup.compactParquetDir(spark, s"$dir/lens", numFiles)
-    val recount = spark.read
-      .parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*)
-      .agg(count(lit(1)).as("n_docs_delta"),
-        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
-    Dedup.rewriteParquetDir(spark, s"$dir/meta", 1)(
-      _.agg(max("k1").as("k1"), max("b").as("b"))
-        .crossJoin(recount)
-        .select(col("n_docs_delta"), col("total_dl_delta"),
-          col("k1"), col("b")))
+    recountBm25Meta(spark, dir)
   }
 
   /** Persist the index as BUCKETED catalog tables — the serving layout:
@@ -207,6 +298,10 @@ object Retrieval {
       .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
         max("k1").as("k1"), max("b").as("b"))
       .collect().head
+    require(!meta.isNullAt(meta.fieldIndex("k1")) &&
+        !meta.isNullAt(meta.fieldIndex("b")),
+      s"BM25 index $table has no build-time k1/b parameters — it was " +
+        "created by append alone, never by saveBm25IndexBucketed")
     Bm25Index(spark.table(s"${table}_postings"),
       spark.table(s"${table}_lens"),
       meta.getAs[Long]("n"), meta.getAs[Long]("t"),
@@ -216,9 +311,22 @@ object Retrieval {
   /** APPEND a batch to the bucketed tables: rows land in their key's
     * bucket (one batch-sized shuffle each), the corpus buckets are never
     * rewritten, and `saveAsTable(append)` validates the spec against the
-    * catalog so a drifted layout fails loudly. */
-  def appendToBm25IndexBucketed(batch: DataFrame, idCol: String,
-      textCol: String, table: String, path: String): Unit = {
+    * catalog so a drifted layout fails loudly. `skipExisting` is the
+    * same re-delivery guard as [[appendToBm25Index]]'s — here the lens
+    * probe additionally rides the bucketed layout (the broadcast
+    * semi-join reads only the batch ids' buckets' doc_id column). */
+  def appendToBm25IndexBucketed(batch0: DataFrame, idCol: String,
+      textCol: String, table: String, path: String,
+      skipExisting: Boolean = false): Unit = {
+    val batch = if (!skipExisting) batch0 else {
+      val sp = batch0.sparkSession
+      val ids = batch0.select(col(idCol).as("doc_id")).distinct()
+      val already = sp.table(s"${table}_lens")
+        .join(broadcast(ids), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"))
+      batch0.join(broadcast(already),
+        batch0(idCol) === already("doc_id"), "left_anti")
+    }
     val spark = batch.sparkSession
     val nb = spark.sessionState.catalog
       .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(

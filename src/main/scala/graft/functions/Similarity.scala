@@ -74,8 +74,8 @@ object Similarity {
     * unlabeled data is not a KNOWN negative), partial WindowGroupLimit
     * top-k below the per-anchor exchange. This is the exact baseline;
     * at billion-vector scale mine the pool from a persisted ANN index
-    * instead ([[ivfPqTopKRefined]] with `rerank` ≥ k + the expected
-    * positive count, then the same label anti-filter on the pool).
+    * instead — [[hardNegativesFromIndex]], the round-13 production
+    * form.
     *
     * @return (query_id, rank, neighbor_id, score), rank 1..k per anchor
     */
@@ -98,6 +98,62 @@ object Similarity {
     scored
       .withColumn("__rk", row_number().over(w))
       .filter(col("__rk") <= k) // raw rank filter → WindowGroupLimit
+      .select(col("query_id"), col("__rk").cast("long").as("rank"),
+        col("neighbor_id"), col("score"))
+  }
+
+  /** HARD-NEGATIVE mining from a PERSISTED ANN index (round 13 — the
+    * billion-vector form [[hardNegatives]]' scaladoc names; the exact
+    * brute-force baseline was the one remaining all-pairs-shaped cost
+    * in the pipeline family): the compressed codes rank a candidate
+    * POOL of `rerank` ids per anchor (the [[ivfPqTopK]] ADC scan —
+    * ~nProbe/nCells of the codes, integer lookups, honoring the index's
+    * stored residual flag), then ONLY those anchors × rerank ids read
+    * their floats AND labels back from the primary store in one
+    * id-keyed refine join, re-rank by exact cosine, and drop same-label
+    * rows before the top-k. Cost ∝ anchors × rerank, never the corpus —
+    * the index is built once and served across mining runs.
+    *
+    * Label semantics are [[hardNegatives]]' exactly: plain `=!=`
+    * (null-propagating), so an UNLABELED item is never a known negative
+    * and a null-labeled anchor mines nothing. Approximation lives ONLY
+    * in pool recall (a true near-miss outside the ADC pool stays lost,
+    * and a pool slot spent on a same-label near-duplicate is one fewer
+    * negative candidate — hence the sizing rule): final ordering and
+    * scores are exact cosine. Size `rerank ≥ k + the expected positive
+    * count` per anchor so the anti-filter cannot starve the top-k.
+    *
+    * @param vectors the primary float store carrying BOTH `vecCol` and
+    *                `labelCol` (the serving index stores codes, not
+    *                floats — that split is the point of PQ)
+    * @param rerank  ADC pool size per anchor (≥ k; k + expected
+    *                positives, 3–10× k typical)
+    * @return (query_id, rank, neighbor_id, score) — exact cosine, rank
+    *         1..k per anchor
+    */
+  def hardNegativesFromIndex(anchors: DataFrame, index: IvfPqIndex,
+      vectors: DataFrame, qidCol: String, idCol: String, vecCol: String,
+      labelCol: String, k: Int, nProbe: Int, rerank: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(rerank >= k, s"rerank pool $rerank must be >= k=$k")
+    val pool = ivfPqTopK(anchors, index, qidCol, vecCol, rerank, nProbe)
+      .select("query_id", "neighbor_id")
+    val q = broadcast(anchors.select(col(qidCol).as("query_id"),
+      col(vecCol).as("__qv"), col(labelCol).as("__ql")))
+    // ONE refine read fetches floats and labels together — the pool is
+    // anchors × rerank rows, so it broadcasts to the store's partitions
+    val c = vectors.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score").desc, col("neighbor_id"))
+    broadcast(pool)
+      .join(c, Seq("neighbor_id"))
+      .join(q, Seq("query_id"))
+      .filter(col("__ql") =!= col("__cl")) // null labels exclude
+      .withColumn("score", cosine(col("__qv"), col("__cv")))
+      // raw-int rank filter → partial WindowGroupLimit (bruteForceTopK)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") <= k)
       .select(col("query_id"), col("__rk").cast("long").as("rank"),
         col("neighbor_id"), col("score"))
   }

@@ -961,6 +961,49 @@ object PipelineQueries {
        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
   }
 
+  /** DuckDB replay of [[Similarity.hardNegativesFromIndex]] (round 13):
+    * the IVF-PQ ADC chain ranks the 30-id label-agnostic POOL per
+    * anchor exactly as [[ivfPqRerankOracleSql]] does; the refine read
+    * fetches floats AND labels together; same-label rows drop (plain
+    * `!=` — null-propagating like the Spark side's `=!=`) BEFORE the
+    * exact-cosine top-k. */
+  private val hardNegAnnOracleSql: String = {
+    import SignLshSql._
+    s"""WITH ${ivfAssignCtes(64)},
+       |$pqCtes,
+       |qc AS (SELECT vec_id AS query_id, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cell DESC) AS rn FROM pb)
+       |  WHERE vec_id < 5 AND rn <= 4),
+       |cand AS (SELECT DISTINCT qc.query_id, b.vec_id AS neighbor_id
+       |         FROM qc JOIN bcell b ON qc.cell = b.cell
+       |         WHERE qc.query_id != b.vec_id),
+       |scored AS (SELECT cand.query_id, cand.neighbor_id,
+       |          SUM(${pqIp("b.mi", "q.s", "r.cs")}) AS score_scaled
+       |        FROM cand
+       |        JOIN pqsv q ON cand.query_id = q.vec_id
+       |        JOIN pqbcode b ON cand.neighbor_id = b.vec_id
+       |        JOIN pqrsc r ON b.mi = r.mi AND b.code = r.code
+       |        GROUP BY 1, 2),
+       |pool AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY score_scaled DESC, neighbor_id) AS rn
+       |    FROM scored) WHERE rn <= 30),
+       |hn AS (SELECT p.query_id, p.neighbor_id,
+       |    ${cosine("q.embedding", "e.embedding", 64)} AS score
+       |  FROM pool p JOIN embeddings q ON p.query_id = q.vec_id
+       |              JOIN embeddings e ON p.neighbor_id = e.vec_id
+       |  WHERE q.label != e.label)
+       |SELECT query_id, rank, CAST(neighbor_id AS BIGINT) AS neighbor_id,
+       |  score FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS BIGINT) AS rank
+       |  FROM hn)
+       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.ivfAdcTopK]] (residual IVFADC): the
     * IVF chain trains the quantizer; the PQ chain runs over the INTEGER
     * residuals r = sv − scaled(cent(cell)) (the generic [[pqCtesOver]]
@@ -2712,6 +2755,30 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // HARD NEGATIVES from a PERSISTED ANN index (round 13 — the
+    // billion-vector form; pl_hard_negatives is the exact brute-force
+    // baseline): train + SAVE an IVF-PQ index, reload, rank a 30-id
+    // ADC pool per anchor from the compressed codes, refine-read floats
+    // and labels together, drop same-label rows, exact-cosine top-10.
+    // The oracle replays pool → filter → top-k hash-exact (pool from
+    // the shared integer ADC chain; scores are the bit-exact cosine
+    // fold). Approximation lives only in pool recall, never in the
+    // output ordering or scores.
+    Q("pl_hard_negatives_ann", hardNegAnnOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hn-index").toString
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding"), dir)
+        Similarity.hardNegativesFromIndex(
+          emb.filter(col("vec_id") < 5),
+          Similarity.loadIvfPqIndex(s, dir),
+          emb, "vec_id", "vec_id", "embedding", "label",
+          k = 10, nProbe = 4, rerank = 30)
+          .orderBy("query_id", "rank")
+      }),
+
     // BATCHED retrieval (round 12): N queries probe the persisted index
     // in ONE corpus pass — the decontamination / retrieval-scoring
     // serving shape (per-query probes would rescan the postings N
@@ -3090,9 +3157,13 @@ object PipelineQueries {
     // that tells a pipeline whether to TRUST a community run (LPA can
     // degenerate to one blob; Q ≈ 0 flags it). Exact integer
     // contributions q_num = 4·m·e_c − D_c² over the implicit common
-    // denominator 4m² — DECIMAL(38,0) on the Spark side, HUGEINT in the
-    // oracle — because a float sum over communities is not partition-
-    // stable and D_c² overflows BIGINT at web-scale m.
+    // denominator 4m² — Graft.modularity's API keeps DECIMAL(38,0)
+    // because D_c² overflows BIGINT at web-scale m, but the GATE
+    // narrows q_num to BIGINT on BOTH sides (round 13): at sf-gate
+    // magnitudes |q_num| < 10⁶, and the driver's value hasher
+    // normalizes DECIMAL(38,0) asymmetrically between the parquet read
+    // and the DuckDB result (r12: rows+schema matched, only the hash
+    // split, on the suite's only decimal-typed output column).
     Q("pl_modularity",
       s"""WITH $lpaCtes,
          |intra AS (SELECT l1.lab AS community, count(*) AS intra_edges
@@ -3114,7 +3185,7 @@ object PipelineQueries {
          |  CAST(coalesce(degree_sum, 0) AS BIGINT) AS degree_sum,
          |  CAST(4 * CAST(m AS HUGEINT) * coalesce(intra_edges, 0)
          |    - CAST(coalesce(degree_sum, 0) AS HUGEINT)
-         |      * coalesce(degree_sum, 0) AS DECIMAL(38,0)) AS q_num
+         |      * coalesce(degree_sum, 0) AS BIGINT) AS q_num
          |FROM nv LEFT JOIN intra USING (community)
          |        LEFT JOIN degc USING (community) CROSS JOIN m
          |ORDER BY community""".stripMargin)(
@@ -3123,7 +3194,54 @@ object PipelineQueries {
         val labels = graft.functions.Graph.labelPropagation(
           verts, edges, iterations = 4)
         graft.functions.Graph.modularity(labels, edges)
+          .withColumn("q_num", col("q_num").cast("bigint"))
           .orderBy("community")
+      }),
+
+    // One-level LOUVAIN refinement over the LPA seed (round 13): every
+    // vertex evaluates the EXACT integer modularity gain of moving to
+    // each neighboring community against the frozen lp4 assignment —
+    // gain·2m² = 2m·(k_ib − k_ia) − k_i·(D_b − D_a + k_i) — and moves
+    // to the best strictly-positive one (ties to the smallest target).
+    // Synchronous single pass: a pure function of (graph, seed), so the
+    // oracle replays the identical candidate gains in HUGEINT and the
+    // same argmax. The gate exercises real movement (LPA seeds this
+    // quasi-random generator graph poorly — boundary vertices dominate).
+    Q("pl_louvain_refine",
+      s"""WITH $lpaCtes,
+         |deg AS (SELECT id, count(*) AS deg FROM
+         |  (SELECT a AS id FROM kund UNION ALL SELECT b FROM kund)
+         |  GROUP BY 1),
+         |dtot AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dd
+         |         FROM deg d JOIN lp4 l ON d.id = l.id GROUP BY 1),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kund),
+         |kuc AS (SELECT s.u, l.lab AS c, CAST(count(*) AS BIGINT) AS k
+         |        FROM ksym s JOIN lp4 l ON s.v = l.id GROUP BY 1, 2),
+         |cur AS (SELECT l.id AS u, l.lab AS a, d.deg AS ki
+         |        FROM lp4 l JOIN deg d ON l.id = d.id),
+         |ka AS (SELECT cur.u, cur.a, cur.ki, coalesce(k.k, 0) AS ka
+         |       FROM cur LEFT JOIN kuc k
+         |         ON cur.u = k.u AND k.c = cur.a),
+         |candg AS (SELECT ka.u, kuc.c AS b,
+         |    2 * CAST(m.m AS HUGEINT) * (kuc.k - ka.ka)
+         |      - CAST(ka.ki AS HUGEINT) * (db.dd - da.dd + ka.ki) AS gain
+         |  FROM ka JOIN kuc ON ka.u = kuc.u AND kuc.c != ka.a
+         |       JOIN dtot db ON kuc.c = db.c
+         |       JOIN dtot da ON ka.a = da.c
+         |       CROSS JOIN m),
+         |best AS (SELECT u, b, gain FROM (
+         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
+         |      ORDER BY gain DESC, b) AS rn FROM candg) WHERE rn = 1)
+         |SELECT l.id, CAST(CASE WHEN best.gain > 0 THEN best.b
+         |  ELSE l.lab END AS BIGINT) AS community
+         |FROM lp4 l LEFT JOIN best ON l.id = best.u
+         |ORDER BY l.id""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        graft.functions.Graph.louvainRefine(seed, edges)
+          .orderBy("id")
       }),
 
     // deterministic integer PageRank (round 10; round 11 adds the

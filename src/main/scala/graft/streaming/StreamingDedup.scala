@@ -16,6 +16,23 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * checkpointed by the state store like any streaming agg. Duplicates
   * further apart than the horizon are caught by the periodic batch
   * `exactDupGroups` compaction pass — the standard lambda split.
+  *
+  * INDEX MAINTENANCE vs A LIVE STREAM (round 13, the shared contract of
+  * every index-backed stream here — minhash, hamming, semantic/IVF,
+  * BM25): every micro-batch loads the index FRESH (a metadata-only file
+  * listing), so a retention DELETE or a compaction run BETWEEN
+  * micro-batches propagates into the very next probe — no restart
+  * needed (StreamingDedupSpec pins the semantic-delete case). What is
+  * NOT safe is maintenance racing a micro-batch that is mid-probe: the
+  * staged-swap rewrite can retire the file snapshot that batch pinned
+  * (FILE_NOT_EXIST mid-job — the same hazard the batch compaction docs
+  * name), and a load inside the swap's two-rename window can steal its
+  * roll-forward. QUIESCE RULE: pause the stream (or schedule
+  * maintenance between triggers — with a processing-time trigger, any
+  * gap longer than a micro-batch) before delete/compact, then resume.
+  * The manifest protocol is unaffected either way: it keys on batchId
+  * and ids, not file sets, so a replay across a maintenance boundary
+  * still rebuilds its committed survivor set.
   */
 object StreamingDedup {
 
@@ -280,15 +297,16 @@ object StreamingDedup {
     * re-appended would duplicate postings/lens rows AND double-count
     * the n_docs/total_dl deltas, silently skewing every future score.
     *
-    * Replay therefore runs DELETE-THEN-APPEND when the append marker is
-    * missing (the prior attempt may have crashed mid-append): the
-    * delete nets out whatever fraction of the batch landed — a no-op
-    * rewrite when nothing did — so the batch's rows end up in the index
-    * exactly once. One residual window is documented: a crash that
-    * landed `lens/` but not its meta delta leaves the statistics
-    * drifted (never the rows) until [[graft.functions.Retrieval
-    * .compactBm25Index]] recounts them from `lens/` — run compaction on
-    * the usual nightly cadence and the drift heals there.
+    * Replay therefore runs REPAIR-THEN-APPEND when the append marker is
+    * missing (the prior attempt may have crashed mid-append):
+    * [[graft.functions.Retrieval.repairBm25Append]] nets out whatever
+    * fraction of the batch landed — table by table, since a crash can
+    * leave any prefix of the postings → lens → meta write sequence; a
+    * no-op when nothing did — and then recounts the meta statistics
+    * from `lens/`, so the batch's rows AND its statistics end up in the
+    * index exactly once (round 13: r12's delete-only repair converted a
+    * potential overcount into an undercount until the nightly
+    * compaction; the recount now rides the repair itself).
     */
   def bm25IndexStream(
       events: DataFrame, indexPath: String, idCol: String, textCol: String,
@@ -311,27 +329,23 @@ object StreamingDedup {
     * crashed mid-append, so before re-appending, the ids the COMMITTED
     * MANIFEST recorded (the only ids that can have landed — not the
     * re-delivered batch's, which a non-replayable source could have
-    * drifted) are deleted from the index. A cheap postings existence
-    * probe skips the two full-table rewrites when the crashed attempt
-    * never reached the index (`appendToBm25Index` writes `postings/`
-    * first, and each Spark write commits all-or-nothing, so "no
-    * postings rows" implies "nothing landed"). */
+    * drifted) are healed out of the index by
+    * [[graft.functions.Retrieval.repairBm25Append]]: per-table landed
+    * probes skip rewrites that have nothing to net out, absent dirs (a
+    * fresh index whose first append never started) are "nothing
+    * landed" rather than a crash loop, and the meta ledger is recounted
+    * from `lens/` so statistics are exact before the re-append. */
   def bm25IndexBatch(batch: DataFrame, indexPath: String,
       manifestRoot: String, batchId: Long, idCol: String,
       textCol: String): DataFrame = {
-    import graft.functions.{Dedup, Retrieval}
+    import graft.functions.Retrieval
     runBatch(batch, manifestRoot, batchId, idCol, appendSurvivors = true,
       probe = b => b,
       append = rows =>
         Retrieval.appendToBm25Index(rows, idCol, textCol, indexPath),
       repairOnReplay = Some { manifestIds =>
-        val spark = manifestIds.sparkSession
-        val del = manifestIds.toDF("doc_id").localCheckpoint()
-        val landed = spark.read
-          .parquet(Dedup.snapshotFiles(spark, s"$indexPath/postings"): _*)
-          .join(del, Seq("doc_id"), "left_semi")
-          .limit(1).count() > 0
-        if (landed) Retrieval.deleteFromBm25Index(spark, indexPath, del)
+        Retrieval.repairBm25Append(
+          manifestIds.sparkSession, indexPath, manifestIds)
       })
   }
 

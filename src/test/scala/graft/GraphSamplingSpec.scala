@@ -76,6 +76,47 @@ class GraphSamplingSpec extends AnyFunSuite {
       "the clique split must beat the blob")
   }
 
+  test("louvainRefine: misplaced bridge vertex moves home, the rest stay") {
+    // two bridged 4-cliques with vertex 4 SEEDED into the wrong
+    // community (10). Exact gains at m = 13: moving 4 home to community
+    // 1 scores 2m·(k_b − k_a) − k_i·(D_b − D_a + k_i)
+    //   = 26·(3 − 1) − 4·(9 − 17 + 4) = 68 > 0 → moves;
+    // an interior vertex like 1 moving to community 10 scores
+    //   26·(1 − 2) − 3·(17 − 9 + 3) = −59 < 0 → stays;
+    // clique-10 members see no foreign community → no candidate, stay;
+    // the isolated 99 has no edges → stays. Both branches exercised,
+    // and the pass must strictly improve modularity.
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val seed = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 10L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      99L -> 99L).toDF("id", "community")
+    val got = Graph.louvainRefine(seed, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      99L -> 99L), s"$got")
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(labels, edges)
+        .collect().map(_.getDecimal(4).longValueExact()).sum
+    assert(q(Graph.louvainRefine(seed, edges)) > q(seed),
+      "the greedy pass must strictly improve modularity here")
+    // a perfect seed is a fixed point: every candidate gain ≤ 0
+    val perfect = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+      .toDF("id", "community")
+    val refined = Graph.louvainRefine(perfect, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(refined == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), s"$refined")
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-...-19: min-label propagation moves the min one hop per
     // round, so this pins that the convergence probe actually iterates

@@ -547,6 +547,44 @@ class PipelineSpec extends AnyFunSuite {
       s"nearest different-label items in similarity order: ${got.toSeq}")
   }
 
+  test("hard negatives from a persisted index == brute force at full " +
+      "pool; positives stay excluded at tight pools") {
+    import graft.functions.Similarity
+    val spark = TestSpark.spark
+    val emb = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+    val anchors = emb.filter(col("vec_id") < 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-hn-spec").toString
+    Similarity.saveIvfPqIndex(
+      Similarity.ivfPqIndex(emb, "vec_id", "embedding"), dir)
+    val idx = Similarity.loadIvfPqIndex(spark, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // probing ALL cells with a corpus-sized pool removes the
+    // approximation entirely: the ANN form must equal the brute-force
+    // baseline bit-for-bit (same exact cosine, same tie-break)
+    val n = emb.count().toInt
+    val full = rows(Similarity.hardNegativesFromIndex(anchors, idx, emb,
+      "vec_id", "vec_id", "embedding", "label",
+      k = 5, nProbe = 16, rerank = n))
+    val brute = rows(Similarity.hardNegatives(anchors, emb,
+      "vec_id", "vec_id", "embedding", "label", 5))
+    assert(full == brute,
+      "full-pool ANN mining must equal the exact baseline")
+    // at a tight production pool the label exclusion still holds: no
+    // returned neighbor may share its anchor's label
+    val tight = Similarity.hardNegativesFromIndex(anchors, idx, emb,
+      "vec_id", "vec_id", "embedding", "label",
+      k = 5, nProbe = 4, rerank = 30)
+    val lbl = emb.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    tight.collect().foreach { r =>
+      assert(lbl(r.getLong(0)) != lbl(r.getLong(2)),
+        s"positive leaked: anchor ${r.getLong(0)} → ${r.getLong(2)}")
+    }
+  }
+
   test("residual ivfadc: carrier exactness and tighter quantization") {
     import graft.functions.{Embeddings, Similarity}
     val spark = TestSpark.spark

@@ -125,4 +125,94 @@ class RetrievalIndexSpec extends AnyFunSuite {
     }
     assert(!many.contains(3L), "a query with no matching terms is empty")
   }
+
+  test("skipExisting append drops already-indexed ids — a re-delivered " +
+      "batch cannot double-count statistics") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+    val want = directRows(corpus.unionByName(batch))
+    assert(probeRows(dir) == want)
+    // full re-delivery: with the guard, a no-op
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir,
+      skipExisting = true)
+    assert(probeRows(dir) == want, "a re-delivered batch must be a no-op")
+    assert(spark.read.parquet(s"$dir/lens")
+      .where(col("doc_id") === 6L).count() == 1L)
+    // partial overlap: only the genuinely new doc lands
+    val mixed = Seq(
+      (6L, "query the spark table twice"),
+      (8L, "a brand new doc about the spark table")).toDF("doc_id", "text")
+    Retrieval.appendToBm25Index(mixed, "doc_id", "text", dir,
+      skipExisting = true)
+    assert(probeRows(dir) == directRows(corpus.unionByName(batch)
+      .unionByName(mixed.filter(col("doc_id") === 8L))))
+    // and WITHOUT the guard the same misuse really does double-count
+    // (the documented contract the flag exists to prevent)
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/lens")
+      .where(col("doc_id") === 6L).count() == 2L)
+  }
+
+  test("load fails loudly on an append-only index (no build-time k1/b)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    // bootstrap by APPEND alone (the streaming-ingest shape): the first
+    // append onto a fresh dir stamps default parameters, so the index
+    // stays loadable…
+    Retrieval.appendToBm25Index(corpus, "doc_id", "text", dir)
+    val idx = Retrieval.loadBm25Index(spark, dir)
+    assert(idx.k1 == 1.2 && idx.b == 0.75)
+    assert(probeRows(dir) == directRows(corpus))
+    // …but an index whose meta carries ONLY null-parameter delta rows
+    // (the pre-round-13 append shape) must refuse to load rather than
+    // silently score with k1=0, b=0
+    val dir2 = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir2)
+    import graft.functions.Dedup
+    val legacy = Seq((5L, 40L, Option.empty[Double], Option.empty[Double]))
+      .toDF("n_docs_delta", "total_dl_delta", "k1", "b")
+    // overwrite meta with a null-only ledger
+    legacy.coalesce(1).write.mode("overwrite").parquet(s"$dir2/meta")
+    val e = intercept[IllegalArgumentException] {
+      Retrieval.loadBm25Index(spark, dir2)
+    }
+    assert(e.getMessage.contains("k1/b"))
+  }
+
+  test("repairBm25Append heals a crashed append — partial landings, " +
+      "meta recount, and a fresh dir that never landed") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    val want = directRows(corpus)
+    val ids = batch.select("doc_id")
+    // fresh-index shape: repairing ids that never landed anywhere is a
+    // no-op, INCLUDING when the index dirs don't exist at all (the r12
+    // crash-loop bug)
+    Retrieval.repairBm25Append(spark, dir, ids)
+    assert(probeRows(dir) == want)
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft-bm25-spec").toString + "/nonexistent"
+    Retrieval.repairBm25Append(spark, ghost, ids) // must not throw
+    // crash after postings+lens landed but BEFORE the meta delta (the
+    // undercount window): repair removes the rows AND recounts meta, so
+    // the ledger is exact immediately — not after the nightly compaction
+    // replicate appendToBm25Index's first two writes only
+    val rows = batch
+      .select(col("doc_id"),
+        explode(TextAnalysis.tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    rows.write.mode("append").parquet(s"$dir/postings")
+    rows.groupBy("doc_id").agg(sum("tf").as("dl"))
+      .write.mode("append").parquet(s"$dir/lens")
+    Retrieval.repairBm25Append(spark, dir, ids)
+    assert(probeRows(dir) == want,
+      "repair must remove partial landings and recount statistics")
+    val idx = Retrieval.loadBm25Index(spark, dir)
+    assert(idx.nDocs == 5L && idx.k1 == 1.2,
+      s"meta recount must be exact and keep k1/b: $idx")
+  }
 }

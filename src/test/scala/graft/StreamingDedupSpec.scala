@@ -304,4 +304,46 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(probe() == want2,
       "a crash-before-append replay must index the batch exactly once")
   }
+
+  test("semantic stream: a retention DELETE between micro-batches " +
+      "propagates into the next probe") {
+    import graft.functions.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "emb")
+    val dir = tmp("graft-sd-del-idx")
+    Similarity.saveIvfIndex(
+      Similarity.ivfIndex(corpus, "vec_id", "emb", nCells = 2), dir)
+    val ckpt = tmp("graft-sd-del-ckpt")
+    val input = MemoryStream[(Long, Seq[Float])]
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = StreamingDedup.semDedupStream(
+      input.toDF().toDF("vec_id", "emb"), dir, "vec_id", "emb",
+      threshold = 0.9, checkpointLocation = Some(ckpt)) { surv =>
+      seen ++= surv.collect().map(_.getLong(0)); ()
+    }
+    try {
+      // batch 1: near corpus vector 0 — suppressed as its near-dup
+      input.addData((10L, Seq(0.99f, 0.01f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(seen.isEmpty, s"batch 1 must drop: $seen")
+      // retention delete BETWEEN micro-batches (the quiesce point the
+      // maintenance contract names): vector 0 is taken down. Each
+      // micro-batch loads the index fresh, so the next probe sees the
+      // post-delete snapshot — the pipeline stops suppressing fresh
+      // content as "a near dup of" a document that no longer exists.
+      Similarity.deleteFromIvfIndex(
+        spark, dir, Seq(0L).toDF("vec_id"), numFiles = 2)
+      input.addData((20L, Seq(0.98f, 0.02f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(20L),
+        s"post-delete batch must survive (its dup partner is gone): $seen")
+      // and the appended survivor immediately guards batch 3
+      input.addData((30L, Seq(0.97f, 0.03f, 0f, 0f)))
+      q.processAllAvailable()
+      assert(seen.toSet == Set(20L),
+        s"batch 3 must drop against the appended survivor: $seen")
+    } finally q.stop()
+  }
 }

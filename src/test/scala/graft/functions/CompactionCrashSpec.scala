@@ -13,6 +13,14 @@ import org.scalatest.funsuite.AnyFunSuite
   * empty path. This is the spec the r11 verdict asked for: "kills the
   * job between stage and commit and shows readers still see a complete
   * index (old or new, never neither)".
+  *
+  * Round 13 narrows WHO heals what: while the live dir is PRESENT a
+  * reader is side-effect-free (leftover staging may belong to a live
+  * compaction — destructive cleanup is the maintenance owner's job);
+  * only when the dir is ABSENT (unreadable without healing) does a
+  * reader roll the swap forward/back. The dir-present tests therefore
+  * assert the leftovers SURVIVE the read and the next compaction
+  * completes normally.
   */
 class CompactionCrashSpec extends AnyFunSuite {
   import graft.TestSpark.spark
@@ -62,13 +70,24 @@ class CompactionCrashSpec extends AnyFunSuite {
     val dir = freshDir()
     swapUpTo(dir, 1)
     assert(readIds(dir) == all)
-    // and the stale staging dir is cleaned so a later compaction restarts
+    // round 13: a mere READER no longer deletes siblings when the live
+    // dir is intact (they may be a LIVE compaction's in-flight staging)…
+    assert(fs.exists(new Path(dir + "__compacting")),
+      "a read must be side-effect-free while the live dir is present")
+    // …the next MAINTENANCE run (which owns the single-writer lock)
+    // cleans the stale staging and completes normally
+    Dedup.compactParquetDir(spark, dir, 1)
+    assert(readIds(dir) == all)
     assert(!fs.exists(new Path(dir + "__compacting")))
   }
 
   test("crash after marker, before rename-away: reader sees the ORIGINAL") {
     val dir = freshDir()
     swapUpTo(dir, 2)
+    assert(readIds(dir) == all)
+    assert(fs.exists(new Path(dir + "__swapping")),
+      "a read must be side-effect-free while the live dir is present")
+    Dedup.compactParquetDir(spark, dir, 1)
     assert(readIds(dir) == all)
     assert(!fs.exists(new Path(dir + "__swapping")))
   }
@@ -90,6 +109,11 @@ class CompactionCrashSpec extends AnyFunSuite {
   test("crash after rename-in, before cleanup: reader sees the NEW table") {
     val dir = freshDir()
     swapUpTo(dir, 4)
+    assert(readIds(dir) == all)
+    // live dir present → the reader leaves the leftovers for the next
+    // maintenance owner (round 13)
+    assert(fs.exists(new Path(dir + "__old")))
+    Dedup.compactParquetDir(spark, dir, 1)
     assert(readIds(dir) == all)
     assert(!fs.exists(new Path(dir + "__old")))
     assert(!fs.exists(new Path(dir + "__swapping")))

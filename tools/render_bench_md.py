@@ -49,6 +49,11 @@ NOTES = {
     "pl_communities": "4 synchronous LPA rounds: edge-label join + counted argmax per round",
     "pl_bm25_index": "persisted inverted-index lifecycle: build + save + "
         "append + crash-safe delete rewrite + compaction + three probes",
+    "pl_hard_negatives_ann": "persisted IVF-PQ train/save + ADC pool + "
+        "label-filtered exact-cosine rerank (lifecycle cost, like the "
+        "_update gates)",
+    "pl_louvain_refine": "LPA seed (4 rounds) + one synchronous "
+        "modularity-gain move pass",
 }
 
 
