@@ -669,6 +669,22 @@ object Stress {
         .select(col("id"), (col("id") % 1000).as("community"))
       graft.functions.Graph.louvainRefine(labels, edges)
     }
+    // round-13: two-level Louvain — refine + condense + the weighted
+    // super-graph pass; the condense is the modularity cost model (two
+    // label joins + one partial-agg count) and the level-2 pass runs on
+    // the 1000-super-vertex graph, so the total should track the
+    // level-1 pass. Linear in edges; ≤2× at 2× edges.
+    time("louvain_two_level", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val labels = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .select(col("id"), (col("id") % 1000).as("community"))
+      graft.functions.Graph.louvainTwoLevel(labels, edges)
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

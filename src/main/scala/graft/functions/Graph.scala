@@ -352,33 +352,80 @@ object Graph {
     * @return (id, community) — the refined assignment, every seed
     *         vertex present (isolated / interior vertices keep theirs)
     */
-  def louvainRefine(labels: DataFrame, edges: DataFrame): DataFrame = {
-    val und = canonicalUndirected(edges)
+  def louvainRefine(labels: DataFrame, edges: DataFrame): DataFrame =
+    louvainRefineWeighted(labels,
+      canonicalUndirected(edges)
+        .select(col("a").as("src"), col("b").as("dst"),
+          lit(1L).as("weight")))
+
+  /** The WEIGHTED form of [[louvainRefine]] — the engine of the
+    * multi-level flow, because [[louvainCondense]]'s super-graph carries
+    * edge weights (inter-community edge counts) and SELF-LOOPS (each
+    * community's intra weight). Semantics as the unweighted pass with
+    * every count replaced by a weight sum: m = Σw over canonical edges
+    * (self-loops once), k_i = Σ incident plain weights + 2·w_loop(i),
+    * k_{i,c} excludes the self-loop (it moves WITH i, contributing to
+    * e_c of whichever community holds i, so it cancels from every gain).
+    *
+    * `restrictToSmaller = true` additionally blocks moves to a target
+    * community label ≥ the vertex's current label — the standard
+    * synchronous-Louvain swap breaker (cf. Grappolo's minimum-label
+    * rule): under a SINGLETON seed two mutually-attracted vertices would
+    * otherwise trade labels in the same synchronous step (u adopts v's,
+    * v adopts u's — still two communities, nothing merged); with the
+    * rule only the larger label moves, so mutual pairs MERGE into the
+    * smaller label. Off by default (the LPA-seeded gate pass predates
+    * it and asymmetric seeds make swaps unlikely); the condensed
+    * level-2 pass of [[louvainTwoLevel]] turns it on.
+    *
+    * @param wedges (src, dst, weight) — canonicalized and re-aggregated
+    *               internally; src == dst rows are self-loops
+    */
+  def louvainRefineWeighted(labels: DataFrame, wedges: DataFrame,
+      restrictToSmaller: Boolean = false): DataFrame = {
+    val w = wedges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("weight"))
+      .groupBy("a", "b").agg(sum("weight").as("__w"))
+    val plain = w.filter(col("a") =!= col("b"))
+    val loops = w.filter(col("a") === col("b"))
+      .select(col("a").as("id"), (col("__w") * 2).as("__wl"))
     val lab = labels.select(col("id"), col("community"))
-    val sym = und.select(col("a").as("u"), col("b").as("v"))
-      .unionByName(und.select(col("b").as("u"), col("a").as("v")))
-    val deg = undirectedDegrees(und)
+    val sym = plain.select(col("a").as("u"), col("b").as("v"), col("__w"))
+      .unionByName(
+        plain.select(col("b").as("u"), col("a").as("v"), col("__w")))
+    // weighted degree: incident plain weights + 2 × self-loop weight
+    val deg = sym.groupBy(col("u").as("id"))
+      .agg(sum("__w").as("__dp"))
+      .join(loops, Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(col("__dp"), lit(0L))
+          + coalesce(col("__wl"), lit(0L))).as("deg"))
     // D_c and m are community- and graph-bounded — broadcast sides
     val dTot = deg.join(lab, "id")
       .groupBy(col("community")).agg(sum("deg").as("__D"))
-    val m = und.agg(count(lit(1)).as("__m"))
-    // k(u, c): u's edge count into each NEIGHBORING community — the one
-    // corpus-scale aggregate (hub skew absorbed by map-side combine)
+    val m = w.agg(sum("__w").as("__m"))
+    // k(u, c): u's edge weight into each NEIGHBORING community — the
+    // one corpus-scale aggregate (hub skew absorbed by map-side combine)
     val kUc = sym
       .join(lab.select(col("id").as("v"), col("community").as("__c")), "v")
-      .groupBy(col("u"), col("__c")).agg(count(lit(1)).as("__k"))
+      .groupBy(col("u"), col("__c")).agg(sum("__w").as("__k"))
     val cur = lab.select(col("id").as("u"), col("community").as("__a"))
       .join(deg.select(col("id").as("u"), col("deg").as("__ki")), "u")
-    // k_{i,a}: edges into the HOME community (0 when i is a boundary
+    // k_{i,a}: weight into the HOME community (0 when i is a boundary
     // vertex with no same-community neighbor)
     val kA = cur
       .join(kUc.withColumnRenamed("__c", "__a"), Seq("u", "__a"), "left_outer")
       .select(col("u"), col("__a"), col("__ki"),
         coalesce(col("__k"), lit(0L)).as("__ka"))
     val dec = "decimal(38,0)"
-    val cand = kUc.filter(col("__c").isNotNull)
+    val cand0 = kUc
       .join(kA, "u")
       .filter(col("__c") =!= col("__a"))
+    val cand1 =
+      if (restrictToSmaller) cand0.filter(col("__c") < col("__a"))
+      else cand0
+    val cand = cand1
       .join(broadcast(dTot.select(col("community").as("__c"),
         col("__D").as("__Db"))), "__c")
       .join(broadcast(dTot.select(col("community").as("__a"),
@@ -394,13 +441,109 @@ object Graph {
       .groupBy(col("u"))
       // best gain, ties to the smallest target community
       .agg(min(struct((-col("__gain")).cast(dec).as("g"),
-        col("__c").as("c"))).as("__w"))
-      .select(col("u").as("id"), col("__w.c").as("__b"),
-        (-col("__w.g")).cast(dec).as("__bg"))
+        col("__c").as("c"))).as("__w2"))
+      .select(col("u").as("id"), col("__w2.c").as("__b"),
+        (-col("__w2.g")).cast(dec).as("__bg"))
     lab.join(best, Seq("id"), "left_outer")
       .select(col("id"),
         when(col("__bg") > 0, col("__b"))
           .otherwise(col("community")).as("community"))
+  }
+
+  /** CONDENSE a graph by a community assignment — Louvain's phase 2
+    * (Blondel et al. 2008 §2): communities become super-vertices,
+    * inter-community edge counts become super-edge weights, and each
+    * community's intra count becomes its super-vertex SELF-LOOP, so
+    * modularity of any partition of the condensed graph equals
+    * modularity of the induced partition of the original. One pass:
+    * two label joins on the canonical edge set, one
+    * (super-src, super-dst) partial-aggregated count — the
+    * [[modularity]] cost model.
+    *
+    * @return (src, dst, weight), src ≤ dst; src == dst rows are
+    *         self-loops carrying intra-community weight
+    */
+  def louvainCondense(labels: DataFrame, edges: DataFrame): DataFrame = {
+    val und = canonicalUndirected(edges)
+    val lab = labels.select(col("id"), col("community"))
+    und
+      .join(lab.select(col("id").as("a"), col("community").as("__ca")), "a")
+      .join(lab.select(col("id").as("b"), col("community").as("__cb")), "b")
+      .select(least(col("__ca"), col("__cb")).as("src"),
+        greatest(col("__ca"), col("__cb")).as("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("weight"))
+  }
+
+  /** TWO-LEVEL Louvain (round 13): one greedy move pass over the seed,
+    * condense by the refined assignment, one singleton-seeded WEIGHTED
+    * move pass over the super-graph (with the minimum-label swap
+    * breaker — see [[louvainRefineWeighted]]), and project the level-2
+    * labels back to vertices. This is the first full iteration of the
+    * Louvain pipeline — move, aggregate, move — as a deterministic pure
+    * function of (graph, seed): the level-2 pass merges whole
+    * communities the vertex-level pass cannot (a vertex can only move
+    * alone; merging two cliques takes the super-vertex move), which is
+    * where most of Louvain's quality beyond one level comes from.
+    * Total cost: two refine passes + one condense, every stage the
+    * bounded-aggregate + broadcast shape of its components.
+    */
+  def louvainTwoLevel(seed: DataFrame, edges: DataFrame): DataFrame =
+    louvainLevels(seed, edges, levels = 2)
+
+  /** The WEIGHTED condense — phase 2 over an already-condensed graph,
+    * so [[louvainLevels]] can iterate: weights SUM through the label
+    * mapping and a community's new self-loop collects both its members'
+    * old self-loops and their now-intra edges. */
+  def louvainCondenseWeighted(labels: DataFrame,
+      wedges: DataFrame): DataFrame = {
+    val lab = labels.select(col("id"), col("community"))
+    wedges
+      .join(lab.select(col("id").as("src"),
+        col("community").as("__ca")), "src")
+      .join(lab.select(col("id").as("dst"),
+        col("community").as("__cb")), "dst")
+      .select(least(col("__ca"), col("__cb")).as("src"),
+        greatest(col("__ca"), col("__cb")).as("dst"), col("weight"))
+      .groupBy("src", "dst").agg(sum("weight").as("weight"))
+  }
+
+  /** MULTI-LEVEL Louvain (round 13): the full Blondel et al. 2008 loop
+    * with a FIXED level budget — one vertex-level move pass, then
+    * `levels − 1` rounds of condense → singleton-seeded weighted move
+    * pass (minimum-label swap breaker — see [[louvainRefineWeighted]]),
+    * with the vertex → community mapping composed through the levels.
+    * A fixed budget for the same reason [[labelPropagation]] has one:
+    * run-until-no-improvement is data-dependent control flow, while a
+    * fixed budget keeps the result a pure function of (graph, seed) —
+    * and each level's graph is |communities|-sized, so levels beyond
+    * the second cost a fraction of the first. A perfect assignment is
+    * a FIXED POINT (no strictly-positive gain exists), so over-budgeted
+    * levels are safe — the spec pins levels = 3 ≡ levels = 2 on the
+    * reunited-cliques graph. `pl_louvain_two_level` gates the
+    * levels = 2 instantiation end-to-end against DuckDB.
+    */
+  def louvainLevels(seed: DataFrame, edges: DataFrame,
+      levels: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    require(levels >= 1)
+    var assign = localCheckpointNoStats(louvainRefine(seed, edges))
+    var wgraph = louvainCondense(assign, edges)
+    var i = 1
+    while (i < levels) {
+      val superSeed = assign.select(col("community").as("id")).distinct()
+        .select(col("id"), col("id").as("community"))
+      val l = localCheckpointNoStats(louvainRefineWeighted(
+        superSeed, wgraph, restrictToSmaller = true))
+      assign = localCheckpointNoStats(
+        assign.select(col("id"), col("community").as("__c"))
+          .join(l.select(col("id").as("__c"),
+            col("community").as("__c2")), "__c")
+          .select(col("id"), col("__c2").as("community")))
+      i += 1
+      if (i < levels)
+        wgraph = louvainCondenseWeighted(l, wgraph)
+    }
+    assign
   }
 
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER

@@ -309,6 +309,46 @@ object PipelineQueries {
        |${(1 to 4).map(round).mkString(",\n")}""".stripMargin
   }
 
+  /** The level-1 Louvain move pass over the lp4 seed — the DuckDB
+    * replay of [[graft.functions.Graph.louvainRefine]], shared by
+    * `pl_louvain_refine` (selects `l1`) and `pl_louvain_two_level`
+    * (condenses by `l1` and runs the weighted level-2 pass). Assumes
+    * [[lpaCtes]] (kund/ksym/lp4) precede it; candidate gains in HUGEINT
+    * replay 2m·(k_ib − k_ia) − k_i·(D_b − D_a + k_i) exactly. */
+  private val louvainL1Ctes: String =
+    """deg AS (SELECT id, count(*) AS deg FROM
+      |  (SELECT a AS id FROM kund UNION ALL SELECT b FROM kund)
+      |  GROUP BY 1),
+      |dtot AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dd
+      |         FROM deg d JOIN lp4 l ON d.id = l.id GROUP BY 1),
+      |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kund),
+      |kuc AS (SELECT s.u, l.lab AS c, CAST(count(*) AS BIGINT) AS k
+      |        FROM ksym s JOIN lp4 l ON s.v = l.id GROUP BY 1, 2),
+      |cur AS (SELECT l.id AS u, l.lab AS a, d.deg AS ki
+      |        FROM lp4 l JOIN deg d ON l.id = d.id),
+      |ka AS (SELECT cur.u, cur.a, cur.ki, coalesce(k.k, 0) AS ka
+      |       FROM cur LEFT JOIN kuc k
+      |         ON cur.u = k.u AND k.c = cur.a),
+      |candg AS (SELECT ka.u, kuc.c AS b,
+      |    2 * CAST(m.m AS HUGEINT) * (kuc.k - ka.ka)
+      |      - CAST(ka.ki AS HUGEINT) * (db.dd - da.dd + ka.ki) AS gain
+      |  FROM ka JOIN kuc ON ka.u = kuc.u AND kuc.c != ka.a
+      |       JOIN dtot db ON kuc.c = db.c
+      |       JOIN dtot da ON ka.a = da.c
+      |       CROSS JOIN m),
+      |best AS (SELECT u, b, gain FROM (
+      |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
+      |      ORDER BY gain DESC, b) AS rn FROM candg) WHERE rn = 1),
+      |l1 AS MATERIALIZED (
+      |  -- MATERIALIZED: downstream consumers (the two-level gate's
+      |  -- condense references l1 twice, the final projection once) would
+      |  -- otherwise re-inline the whole LPA + refine chain per reference
+      |  -- — DuckDB re-expands CTEs, and each expansion re-opens the
+      |  -- documents parquet until the process fd limit trips
+      |  SELECT l.id, CAST(CASE WHEN best.gain > 0 THEN best.b
+      |    ELSE l.lab END AS BIGINT) AS community
+      |  FROM lp4 l LEFT JOIN best ON l.id = best.u)""".stripMargin
+
   /** The Spark twin of [[lpaCtes]]'s generator: (vertices, edges). */
   private def lpaGeneratorGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
@@ -2691,6 +2731,68 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // BM25 append idempotence guard (round 13): a RE-DELIVERED batch —
+    // at-least-once delivery outside the streaming path's manifest
+    // protection — appends with skipExisting=true, so already-indexed
+    // ids anti-filter out and only the genuinely new docs land. The
+    // oracle is a from-scratch BM25 over the corpus with every doc
+    // counted ONCE: if the guard failed, the re-delivered docs'
+    // double-counted tf/dl/n_docs rows would shift every score.
+    Q("pl_bm25_skipdup", {
+      val terms = Seq("table", "query", "spark")
+      val inList = terms.map(t => s"'$t'").mkString(", ")
+      val sum = terms.map(t =>
+        s"coalesce(max(CASE WHEN token = '$t' THEN score_t END), " +
+          "CAST(0 AS DOUBLE))").reduce((a, b) => s"($a + $b)")
+      s"""WITH tok AS (SELECT doc_id,
+         |    unnest(list_filter(string_split_regex(text, '\\s+'),
+         |                       x -> len(x) > 0)) AS token
+         |  FROM documents WHERE doc_id < 400),
+         |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+         |       FROM tok GROUP BY 1),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |              CAST(sum(dl) AS BIGINT) AS total_dl FROM dl),
+         |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tok WHERE token IN ($inList) GROUP BY 1, 2),
+         |dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df
+         |        FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id, tf.token,
+         |    ((n_docs - df + CAST(0.5 AS DOUBLE)) / (df + CAST(0.5 AS DOUBLE)))
+         |      * (tf * CAST(2.2 AS DOUBLE))
+         |      / (tf + CAST(1.2 AS DOUBLE)
+         |           * (CAST(0.25 AS DOUBLE)
+         |              + CAST(0.75 AS DOUBLE) * dl * n_docs / total_dl)) AS score_t
+         |  FROM tf JOIN dfq USING (token)
+         |       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN st),
+         |ag AS (SELECT doc_id, $sum AS score FROM sc GROUP BY 1)
+         |SELECT doc_id, score,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |      AS INTEGER) AS rank
+         |FROM (SELECT doc_id, score FROM ag
+         |      ORDER BY score DESC, doc_id LIMIT 15)
+         |ORDER BY rank""".stripMargin
+    })(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-skipdup").toString
+        Retrieval.saveBm25Index(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+        val batch = docs.filter(
+          col("doc_id") >= 250 && col("doc_id") < 375)
+        Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+        // the re-delivery: the same 125 docs plus 25 genuinely new ones
+        // — only the new ones may land
+        val redelivered = docs.filter(
+          col("doc_id") >= 250 && col("doc_id") < 400)
+        Retrieval.appendToBm25Index(redelivered, "doc_id", "text", dir,
+          skipExisting = true)
+        Retrieval.bm25Probe(Retrieval.loadBm25Index(s, dir),
+          Seq("table", "query", "spark"), 15)
+          .select("doc_id", "score", "rank")
+          .orderBy("rank")
+      }),
+
     // NORMALIZED exact dedup (round 12): hash the CCNet-style
     // canonicalization (lowercase, digits->0, punctuation stripped,
     // whitespace collapsed) instead of the raw text — planted variants
@@ -3209,38 +3311,70 @@ object PipelineQueries {
     // quasi-random generator graph poorly — boundary vertices dominate).
     Q("pl_louvain_refine",
       s"""WITH $lpaCtes,
-         |deg AS (SELECT id, count(*) AS deg FROM
-         |  (SELECT a AS id FROM kund UNION ALL SELECT b FROM kund)
-         |  GROUP BY 1),
-         |dtot AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dd
-         |         FROM deg d JOIN lp4 l ON d.id = l.id GROUP BY 1),
-         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM kund),
-         |kuc AS (SELECT s.u, l.lab AS c, CAST(count(*) AS BIGINT) AS k
-         |        FROM ksym s JOIN lp4 l ON s.v = l.id GROUP BY 1, 2),
-         |cur AS (SELECT l.id AS u, l.lab AS a, d.deg AS ki
-         |        FROM lp4 l JOIN deg d ON l.id = d.id),
-         |ka AS (SELECT cur.u, cur.a, cur.ki, coalesce(k.k, 0) AS ka
-         |       FROM cur LEFT JOIN kuc k
-         |         ON cur.u = k.u AND k.c = cur.a),
-         |candg AS (SELECT ka.u, kuc.c AS b,
-         |    2 * CAST(m.m AS HUGEINT) * (kuc.k - ka.ka)
-         |      - CAST(ka.ki AS HUGEINT) * (db.dd - da.dd + ka.ki) AS gain
-         |  FROM ka JOIN kuc ON ka.u = kuc.u AND kuc.c != ka.a
-         |       JOIN dtot db ON kuc.c = db.c
-         |       JOIN dtot da ON ka.a = da.c
-         |       CROSS JOIN m),
-         |best AS (SELECT u, b, gain FROM (
-         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
-         |      ORDER BY gain DESC, b) AS rn FROM candg) WHERE rn = 1)
-         |SELECT l.id, CAST(CASE WHEN best.gain > 0 THEN best.b
-         |  ELSE l.lab END AS BIGINT) AS community
-         |FROM lp4 l LEFT JOIN best ON l.id = best.u
-         |ORDER BY l.id""".stripMargin)(
+         |$louvainL1Ctes
+         |SELECT id, community FROM l1 ORDER BY id""".stripMargin)(
       (s, d) => {
         val (verts, edges) = lpaGeneratorGraph(s, d)
         val seed = graft.functions.Graph.labelPropagation(
           verts, edges, iterations = 4)
         graft.functions.Graph.louvainRefine(seed, edges)
+          .orderBy("id")
+      }),
+
+    // TWO-LEVEL Louvain (round 13): move pass → CONDENSE by the refined
+    // assignment (inter-community counts as super-edge weights, intra
+    // counts as self-loops) → singleton-seeded WEIGHTED move pass over
+    // the super-graph with the minimum-label swap breaker (a synchronous
+    // pass over singleton seeds would otherwise let mutual pairs TRADE
+    // labels instead of merging) → project level-2 labels back. The
+    // level-2 gain under singleton seeds reduces exactly to
+    // 2m·w(u,b) − k_u·k_b with k including 2× the self-loop weight —
+    // the oracle replays it term for term.
+    Q("pl_louvain_two_level",
+      s"""WITH $lpaCtes,
+         |$louvainL1Ctes,
+         |cond AS MATERIALIZED (
+         |         -- referenced 3x (plain2/loops2/m2) — materialize, or
+         |         -- each reference re-runs the condense joins
+         |         SELECT least(a1.community, b1.community) AS ca,
+         |                greatest(a1.community, b1.community) AS cb,
+         |                CAST(count(*) AS BIGINT) AS w
+         |         FROM kund k JOIN l1 a1 ON k.a = a1.id
+         |                     JOIN l1 b1 ON k.b = b1.id
+         |         GROUP BY 1, 2),
+         |plain2 AS (SELECT ca AS a, cb AS b, w FROM cond WHERE ca <> cb),
+         |loops2 AS (SELECT ca AS id, 2 * w AS wl FROM cond WHERE ca = cb),
+         |sym2 AS (SELECT a AS u, b AS v, w FROM plain2
+         |         UNION ALL SELECT b, a, w FROM plain2),
+         |degp2 AS (SELECT u AS id, CAST(sum(w) AS BIGINT) AS dp
+         |          FROM sym2 GROUP BY 1),
+         |ids2 AS (SELECT DISTINCT community AS id FROM l1),
+         |deg2 AS (SELECT ids2.id,
+         |           coalesce(dp, 0) + coalesce(wl, 0) AS k
+         |         FROM ids2 LEFT JOIN degp2 USING (id)
+         |                   LEFT JOIN loops2 USING (id)),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cond),
+         |cg2 AS (SELECT s.u, s.v AS b,
+         |          2 * CAST(m2.m AS HUGEINT) * s.w
+         |            - CAST(du.k AS HUGEINT) * db.k AS gain
+         |        FROM sym2 s JOIN deg2 du ON s.u = du.id
+         |                    JOIN deg2 db ON s.v = db.id
+         |                    CROSS JOIN m2
+         |        WHERE s.v < s.u),
+         |best2 AS (SELECT u, b, gain FROM (
+         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
+         |      ORDER BY gain DESC, b) AS rn FROM cg2) WHERE rn = 1),
+         |l2 AS (SELECT i.id, CAST(CASE WHEN best2.gain > 0 THEN best2.b
+         |         ELSE i.id END AS BIGINT) AS c2
+         |       FROM ids2 i LEFT JOIN best2 ON i.id = best2.u)
+         |SELECT l1.id, l2.c2 AS community
+         |FROM l1 JOIN l2 ON l1.community = l2.id
+         |ORDER BY l1.id""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        graft.functions.Graph.louvainTwoLevel(seed, edges)
           .orderBy("id")
       }),
 

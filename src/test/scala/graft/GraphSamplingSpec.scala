@@ -117,6 +117,65 @@ class GraphSamplingSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L), s"$refined")
   }
 
+  test("louvainCondense: inter counts as weights, intra as self-loops") {
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val perfect = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L)
+      .toDF("id", "community")
+    val got = Graph.louvainCondense(perfect, edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(got == Map(
+      (1L, 1L) -> 6L,   // clique A's 6 intra edges → self-loop
+      (10L, 10L) -> 6L, // clique B's
+      (1L, 10L) -> 1L), // the bridge
+      s"$got")
+  }
+
+  test("louvainTwoLevel: level 2 merges what synchronous level 1 " +
+      "swapped — over-split cliques reunite") {
+    // same two bridged cliques, each SEEDED over-split in half. The
+    // level-1 synchronous pass SWAPS the halves (1,2→c3 while 3,4→c1 —
+    // every gain is computed against the frozen seed, so symmetric
+    // halves trade places; the documented synchronous-pass trade), and
+    // no single vertex move can ever reunite a clique. CONDENSING makes
+    // each half one super-vertex, and the singleton-seeded weighted
+    // level-2 pass (minimum-label rule breaking the mutual-pair tie)
+    // merges the halves: exact super-gain 2·13·4 − 6·7 = 62 > 0 per
+    // clique. The cliques come back whole — the quality step the
+    // one-level pass cannot express.
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val overSplit = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L)
+      .toDF("id", "community")
+    val two = Graph.louvainTwoLevel(overSplit, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val cliqueA = Seq(1L, 2L, 3L, 4L).map(two)
+    val cliqueB = Seq(10L, 11L, 12L, 13L).map(two)
+    assert(cliqueA.distinct.size == 1, s"clique A must reunite: $two")
+    assert(cliqueB.distinct.size == 1, s"clique B must reunite: $two")
+    assert(cliqueA.head != cliqueB.head,
+      s"the bridge must not merge the cliques: $two")
+    // and the reunited assignment strictly beats the over-split seed
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(labels, edges)
+        .collect().map(_.getDecimal(4).longValueExact()).sum
+    assert(q(Graph.louvainTwoLevel(overSplit, edges)) > q(overSplit))
+    // the reunited assignment is a FIXED POINT: a third level finds no
+    // strictly-positive gain, so an over-budgeted loop is safe
+    val three = Graph.louvainLevels(overSplit, edges, levels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(three == two, s"levels=3 must equal levels=2 here: $three")
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-...-19: min-label propagation moves the min one hop per
     // round, so this pins that the convergence probe actually iterates

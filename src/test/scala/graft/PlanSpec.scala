@@ -550,4 +550,33 @@ class PlanSpec extends AnyFunSuite {
     assert(mp.split("\n").count(_.contains("WindowGroupLimit")) == 2,
       s"batched top-k needs Partial+Final WindowGroupLimit:\n$mp")
   }
+
+  test("ANN hard negatives: broadcast pool refine + partial group limit, " +
+      "never an anchors × corpus float scan") {
+    val p = plan("pl_hard_negatives_ann")
+    // the refine read joins the (anchors × rerank)-row pool against the
+    // primary store by id — broadcast, so the store never shuffles
+    assert(p.contains("BroadcastHashJoin"),
+      s"the pool/anchor joins must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no all-pairs scan anywhere in the mining plan:\n$p")
+    // final exact-cosine top-k prunes before the per-anchor exchange
+    assert(p.contains("WindowGroupLimit") && p.contains("Partial"),
+      s"rank<=k must plan a partial WindowGroupLimit:\n$p")
+  }
+
+  test("louvain refine: bounded aggregates broadcast, gain argmax is " +
+      "partial/final, no cartesian candidates") {
+    val p = plan("pl_louvain_refine")
+    // D_c / D_a / m are community- and graph-bounded → broadcast sides;
+    // the only nested-loop is the one-row m frame riding a broadcast
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"per-community degree sums must broadcast-join:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the candidate set is the neighbor-community join, never a " +
+        s"cartesian:\n$p")
+    // the per-vertex best-move argmax combines map-side
+    assert(p.contains("partial_min") || p.contains("partial min"),
+      s"the gain argmax must have a partial (map-side) stage:\n$p")
+  }
 }

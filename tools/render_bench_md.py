@@ -54,6 +54,8 @@ NOTES = {
         "_update gates)",
     "pl_louvain_refine": "LPA seed (4 rounds) + one synchronous "
         "modularity-gain move pass",
+    "pl_louvain_two_level": "LPA seed + move pass + condense + weighted "
+        "super-graph move pass (full two-level Louvain)",
 }
 
 
