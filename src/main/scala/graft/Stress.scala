@@ -565,6 +565,16 @@ object Stress {
         graft.functions.Retrieval.loadBm25Index(spark, bm25Dir),
         Seq("w1", "w42", "w123"), 20)
     }
+    // round-13: near-dup contamination — benchmark sets + band buckets
+    // broadcast (fixed at 500 docs), the corpus side computes shingles/
+    // signature/bands and Jaccard-verifies map-side; linear in corpus
+    time("contam_neardup", n / 4) {
+      graft.functions.Dedup.contaminationNearDup(
+        docs.filter(col("doc_id") < n / 4), "doc_id", "text",
+        docs.filter(col("doc_id") < 500)
+          .select((col("doc_id") + 10000000L).as("doc_id"), col("text")),
+        "doc_id", "text", threshold = 0.4)
+    }
     // round-10: span decontamination — benchmark k-grams broadcast, hits
     // are a map-side semi probe of the exploded corpus shingles; time
     // should track the corpus linearly (benchmark fixed at 500 docs)

@@ -283,8 +283,9 @@ object Dedup {
       survivors: DataFrame, idCol: String, hashCol: String): Unit = {
     val nBands =
       spark.read.parquet(s"$path/meta").collect().head.getAs[Int]("n_bands")
-    hammingIndexRows(survivors, idCol, hashCol, nBands)
-      .write.mode("append").parquet(s"$path/buckets")
+    appendParquet(
+      hammingIndexRows(survivors, idCol, hashCol, nBands),
+      s"$path/buckets")
   }
 
   /** Persist a [[HammingIndex]] as a BUCKETED catalog table (round 12 —
@@ -389,6 +390,65 @@ object Dedup {
         sum(coalesce(col("__hit"), lit(0))).as("n_overlap"))
       .withColumn("contamination",
         col("n_overlap").cast("double") / col("n_shingles"))
+  }
+
+  /** NEAR-DUP contamination (round 13) — the fuzzy complement of
+    * [[contaminationScore]]'s shingle-overlap fraction and
+    * [[decontaminateSpans]]' verbatim-run removal: flag every corpus
+    * document whose MinHash-Jaccard similarity to ANY benchmark document
+    * clears `threshold`. Verbatim checks miss light paraphrase /
+    * whitespace-mangled eval leakage; whole-doc near-dup against the
+    * eval suite is the decontamination pass production corpora run
+    * alongside the exact ones (the LLaMA / Dolma practice).
+    *
+    * Shape at scale — ONE corpus pass, ZERO corpus-side exchange before
+    * the hit rows: the benchmark side (eval suites are tiny next to the
+    * corpus) builds its shingle sets and band tuples once and both
+    * BROADCAST; each corpus document computes shingles → signature →
+    * band tuples map-side and probes the broadcast bucket table, and —
+    * because the join is broadcast — the document's own shingle set
+    * rides THROUGH the band explode (k/rowsPerBand in-memory copies of
+    * one array inside the map stage, never shuffled), so the exact
+    * Jaccard verify against the broadcast benchmark sets also runs
+    * map-side. Only VERIFIED hits (contaminated docs — rare by
+    * construction) reach the two small aggregations that dedup
+    * multi-band matches and count per-document hits.
+    *
+    * @return (idCol, n_bench_hits, first_bench_id) — flagged corpus
+    *         docs only; n_bench_hits counts distinct benchmark partners
+    *         at ≥ threshold, first_bench_id is the smallest (the
+    *         deterministic audit sample)
+    */
+  def contaminationNearDup(corpus: DataFrame, idCol: String,
+      textCol: String, bench: DataFrame, benchIdCol: String,
+      benchTextCol: String, n: Int = 3, k: Int = 64, rowsPerBand: Int = 4,
+      threshold: Double = 0.8): DataFrame = {
+    val bidx = minhashIndex(bench, benchIdCol, benchTextCol,
+      n, k, rowsPerBand)
+    val bBuckets = broadcast(bidx.buckets)
+    val bSets = broadcast(bidx.sets.select(col("__cid"), col("__csh")))
+    val corpusBands = corpus
+      .select(col(idCol).as("__did"), shingleSet(col(textCol), n).as("__dsh"))
+      .filter(size(col("__dsh")) > 0)
+      .withColumn("__dsig", minhashSignature(col("__dsh"), k))
+      .select(col("__did"), col("__dsh"),
+        explode(lshBands(col("__dsig"), k, rowsPerBand)).as("bb"))
+      .select(col("__did"), col("__dsh"), col("bb.band"), col("bb.bucket"))
+    val hits = corpusBands
+      .join(bBuckets, Seq("band", "bucket"))
+      .join(bSets, "__cid")
+      .withColumn("__inter",
+        size(array_intersect(col("__dsh"), col("__csh"))).cast("double"))
+      .filter(col("__inter") /
+        (size(col("__dsh")) + size(col("__csh")) - col("__inter"))
+        >= threshold)
+      .select(col("__did"), col("__cid"))
+      .distinct() // multi-band matches of the same (doc, bench) pair
+    hits.groupBy(col("__did"))
+      .agg(count(lit(1)).as("n_bench_hits"),
+        min(col("__cid")).as("first_bench_id"))
+      .select(col("__did").as(idCol), col("n_bench_hits"),
+        col("first_bench_id"))
   }
 
   /** Pairwise shingle-overlap matrix between corpus slices (sources,
@@ -670,6 +730,17 @@ object Dedup {
     * only unifies scans that really read the same data. */
   private[graft] def snapshotFiles(
       spark: SparkSession, dir: String): Seq[String] = {
+    // a [[SnapshotDir]]-versioned dir pins the newest COMMITTED manifest
+    // — no directory listing of data files, no swap recovery (versioned
+    // rewrites have no swap), and nothing a pinned reader references is
+    // ever deleted by later maintenance (within gc retention)
+    SnapshotDir.latest(spark, dir) match {
+      case Some((_, files)) =>
+        require(files.nonEmpty,
+          s"no parquet files under $dir — index empty or path wrong")
+        return files.sorted
+      case None => ()
+    }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, dir)
@@ -681,6 +752,18 @@ object Dedup {
     require(files.nonEmpty,
       s"no parquet files under $dir — index empty or path wrong")
     files
+  }
+
+  /** APPEND chokepoint for every plain-parquet index table: a
+    * [[SnapshotDir]]-versioned dir gets a manifest-committed segment
+    * (invisible until the commit, preserving `df`'s partitioning); a
+    * plain dir gets the classic `mode("append")` write — bit-identical
+    * to the pre-round-13 behavior. */
+  private[graft] def appendParquet(df: DataFrame, dir: String): Unit = {
+    val spark = df.sparkSession
+    if (SnapshotDir.isVersioned(spark, dir))
+      SnapshotDir.commitAppend(spark, dir, df)
+    else df.write.mode("append").parquet(dir)
   }
 
   /** Load a persisted [[MinhashIndex]]. The DataFrames are plain parquet
@@ -713,8 +796,8 @@ object Dedup {
     val (sets, buckets) = minhashIndexRows(survivors, idCol, textCol,
       meta.getAs[Int]("n"), meta.getAs[Int]("k"),
       meta.getAs[Int]("rows_per_band"))
-    sets.write.mode("append").parquet(s"$path/sets")
-    buckets.write.mode("append").parquet(s"$path/buckets")
+    appendParquet(sets, s"$path/sets")
+    appendParquet(buckets, s"$path/buckets")
   }
 
   /** SNAPSHOT DIFF (round 11) — the what-changed audit between two
@@ -845,6 +928,20 @@ object Dedup {
       .saveAsTable(s"${table}_buckets")
   }
 
+  /** Upgrade a persisted [[MinhashIndex]] to MANIFEST-COMMITTED
+    * snapshot versioning ([[SnapshotDir]]) — both data tables; `meta/`
+    * is write-once and stays plain. After this, appends/deletes/
+    * compactions commit new snapshot versions instead of mutating the
+    * directory: pinned readers survive maintenance, and the quiesce
+    * rule shrinks to [[SnapshotDir.gc]] retention. */
+  def versionMinhashIndex(spark: SparkSession, path: String): Unit =
+    Seq("sets", "buckets").foreach(t =>
+      SnapshotDir.enable(spark, s"$path/$t"))
+
+  /** [[versionMinhashIndex]] for a persisted `HammingIndex`. */
+  def versionHammingIndex(spark: SparkSession, path: String): Unit =
+    SnapshotDir.enable(spark, s"$path/buckets")
+
   /** Heal a compaction swap interrupted by a crash (round 12 — closes
     * the r11 "table GONE" window): [[compactParquetDir]] marks the swap
     * with a sibling `<dir>__swapping` file BEFORE moving the live dir
@@ -881,9 +978,11 @@ object Dedup {
     * still steal the roll-forward and fail the compactor's own rename
     * loudly (never silently, and never leaving "neither table"). Do not
     * LOAD an index while its compaction/delete is running; maintenance
-    * is a nightly single-owner job in the intended deployment, and a
-    * table format with real snapshot isolation is the upgrade path for
-    * anything more concurrent. */
+    * is a nightly single-owner job in the intended deployment. Anything
+    * more concurrent should [[SnapshotDir.enable]] the index's tables
+    * (round 13): versioned dirs have no swap at all — rewrites are a new
+    * segment plus one manifest rename, and this recovery path never
+    * runs. */
   private def recoverInterruptedSwap(
       fs: org.apache.hadoop.fs.FileSystem, dir: String,
       maintenance: Boolean = false): Unit = {
@@ -930,15 +1029,19 @@ object Dedup {
     * commit, the compacted one after), never an empty path.
     * CompactionCrashSpec kills the job at each crash point and proves it.
     *
-    * Two documented limits of the plain-parquet form (a table format
-    * with real snapshot isolation is the production upgrade path):
+    * Two documented limits of the plain-parquet form — both REMOVED by
+    * opting the dir into [[SnapshotDir]] versioning (round 13, the
+    * upgrade path the earlier rounds named; SnapshotDirSpec pins both):
     * open readers holding the PRE-compaction file snapshot (any
     * not-yet-materialized DataFrame from a load) fail after the swap
     * with FILE_NOT_EXIST — materialize them first or compact between
     * jobs (the pl_index_update gate demonstrates both the hazard and the
     * fix); and compaction must NOT run concurrently with a streaming
     * probe ([[graft.streaming.StreamingDedup]]) — a micro-batch that
-    * listed the dir mid-swap would read a vanished snapshot. */
+    * listed the dir mid-swap would read a vanished snapshot. On a
+    * versioned dir a rewrite touches no existing file, so pinned readers
+    * and mid-maintenance micro-batches keep their snapshot; the residual
+    * hazard is [[SnapshotDir.gc]] retention only. */
   private[functions] def compactParquetDir(
       spark: SparkSession, dir: String, numFiles: Int): Unit =
     rewriteParquetDir(spark, dir, numFiles)(identity)
@@ -951,6 +1054,15 @@ object Dedup {
       spark: SparkSession, dir: String, numFiles: Int)(
       f: DataFrame => DataFrame): Unit = {
     require(numFiles >= 1)
+    // versioned dirs have no swap at all: the rewrite is a new segment
+    // plus ONE manifest rename, old versions' files untouched — a pinned
+    // pre-rewrite reader keeps materializing, and a crash at any point
+    // leaves only orphan (uncommitted) files for gc
+    if (SnapshotDir.isVersioned(spark, dir)) {
+      SnapshotDir.commitRewrite(spark, dir,
+        f(spark.read.parquet(snapshotFiles(spark, dir): _*)), numFiles)
+      return
+    }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(dir + "__compacting")

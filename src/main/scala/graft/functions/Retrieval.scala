@@ -128,18 +128,19 @@ object Retrieval {
     }
     val spark = batch.sparkSession
     val (postings, lens) = bm25IndexRows(batch, idCol, textCol)
-    postings.write.mode("append").parquet(s"$dir/postings")
+    Dedup.appendParquet(postings, s"$dir/postings")
     val pinnedLens = lens.localCheckpoint() // batch-bounded
-    pinnedLens.write.mode("append").parquet(s"$dir/lens")
+    Dedup.appendParquet(pinnedLens, s"$dir/lens")
     val (k1Col, bCol) =
       if (bootstrap) (lit(1.2).as("k1"), lit(0.75).as("b"))
       else (lit(null).cast("double").as("k1"),
         lit(null).cast("double").as("b"))
-    pinnedLens
+    val metaDelta = pinnedLens
       .agg(count(lit(1)).as("n_docs_delta"),
         coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
       .select(col("n_docs_delta"), col("total_dl_delta"), k1Col, bCol)
-      .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+      .coalesce(1)
+    Dedup.appendParquet(metaDelta, s"$dir/meta")
   }
 
   /** Whether `dir` exists AND holds at least one committed parquet file
@@ -150,6 +151,12 @@ object Retrieval {
 
   private def committedFiles(
       spark: SparkSession, dir: String): Seq[String] = {
+    // a versioned dir's committed content IS its newest manifest —
+    // uncommitted segment files are invisible by design
+    SnapshotDir.latest(spark, dir) match {
+      case Some((_, files)) => return files
+      case None => ()
+    }
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
@@ -250,6 +257,13 @@ object Retrieval {
     * table rewrites but before its negative delta landed would otherwise
     * overcount n_docs/total_dl forever). Bit-identical to the delta sum
     * in every healthy history; probe-neutral either way. */
+  /** Upgrade a persisted BM25 index to manifest-committed snapshot
+    * versioning ([[SnapshotDir]]) — all three tables, `meta/` included
+    * (its delta ledger is appended and rewritten like the data). */
+  def versionBm25Index(spark: SparkSession, dir: String): Unit =
+    Seq("postings", "lens", "meta").foreach(t =>
+      SnapshotDir.enable(spark, s"$dir/$t"))
+
   def compactBm25Index(spark: SparkSession, dir: String,
       numFiles: Int = 32): Unit = {
     Dedup.compactParquetDir(spark, s"$dir/postings", numFiles)

@@ -888,16 +888,22 @@ object Similarity {
     // would list every cells/ data file just to discard the DataFrame,
     // and append cost must stay ∝ the batch
     val cents = loadCentroids(spark, path)
-    survivors
+    val rows = survivors
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
       .withColumn("__cell", element_at(
         nearestCells(col("__cv"), cents, 1), 1))
-      .write.mode("append").parquet(s"$path/cells")
+    Dedup.appendParquet(rows, s"$path/cells")
   }
 
   /** Compact a persisted [[IvfIndex]]'s `cells/` table (the centroid
     * table is one tiny file and never grows). Same maintenance job as
     * [[graft.functions.Dedup.compactMinhashIndex]]. */
+  /** Upgrade a persisted [[IvfIndex]]'s `cells/` table to
+    * manifest-committed snapshot versioning ([[SnapshotDir]]; the
+    * bounded centroid model table is write-once and stays plain). */
+  def versionIvfIndex(spark: SparkSession, path: String): Unit =
+    SnapshotDir.enable(spark, s"$path/cells")
+
   def compactIvfIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit =
     Dedup.compactParquetDir(spark, s"$path/cells", numFiles)
@@ -1055,10 +1061,15 @@ object Similarity {
     * are never read or rewritten, and nothing retrains. */
   def appendToPqIndex(spark: SparkSession, path: String,
       batch: DataFrame, idCol: String, vecCol: String): Unit =
-    pqEncodeWith(batch, idCol, vecCol, loadBooks(spark, s"$path/books"))
-      .write.mode("append").parquet(s"$path/codes")
+    Dedup.appendParquet(
+      pqEncodeWith(batch, idCol, vecCol, loadBooks(spark, s"$path/books")),
+      s"$path/codes")
 
   /** Compact a persisted [[PqIndex]]'s `codes/` table. */
+  /** [[versionIvfIndex]] for a persisted [[PqIndex]]'s `codes/`. */
+  def versionPqIndex(spark: SparkSession, path: String): Unit =
+    SnapshotDir.enable(spark, s"$path/codes")
+
   def compactPqIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit =
     Dedup.compactParquetDir(spark, s"$path/codes", numFiles)
@@ -1144,10 +1155,11 @@ object Similarity {
         .localCheckpoint()
       val resid = withSv.select(col("neighbor_id"), col("__cell"),
         residualCarrierCol(cents).as("__rv"))
-      withSv.select("neighbor_id", "__cell")
-        .join(pqEncodeWith(resid, "neighbor_id", "__rv", books),
-          "neighbor_id")
-        .write.mode("append").parquet(s"$path/cellcodes")
+      Dedup.appendParquet(
+        withSv.select("neighbor_id", "__cell")
+          .join(pqEncodeWith(resid, "neighbor_id", "__rv", books),
+            "neighbor_id"),
+        s"$path/cellcodes")
     } else {
       // one pass over the batch source (it may itself be an expensive
       // query): checkpoint (id, cell, vec) once and derive both the cell
@@ -1157,14 +1169,20 @@ object Similarity {
         .withColumn("__cell",
           element_at(nearestCells(col("__cv"), cents, 1), 1))
         .localCheckpoint()
-      withCell.select("neighbor_id", "__cell")
-        .join(pqEncodeWith(withCell, "neighbor_id", "__cv", books),
-          "neighbor_id")
-        .write.mode("append").parquet(s"$path/cellcodes")
+      Dedup.appendParquet(
+        withCell.select("neighbor_id", "__cell")
+          .join(pqEncodeWith(withCell, "neighbor_id", "__cv", books),
+            "neighbor_id"),
+        s"$path/cellcodes")
     }
   }
 
   /** Compact a persisted [[IvfPqIndex]]'s `cellcodes/` table. */
+  /** [[versionIvfIndex]] for a persisted [[IvfPqIndex]]'s
+    * `cellcodes/`. */
+  def versionIvfPqIndex(spark: SparkSession, path: String): Unit =
+    SnapshotDir.enable(spark, s"$path/cellcodes")
+
   def compactIvfPqIndex(spark: SparkSession, path: String,
       numFiles: Int = 32): Unit =
     Dedup.compactParquetDir(spark, s"$path/cellcodes", numFiles)

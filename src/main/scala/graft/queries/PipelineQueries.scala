@@ -201,6 +201,32 @@ object PipelineQueries {
         |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
         |         WHERE a.doc_id >= 250 AND b.doc_id < 250)""".stripMargin)
 
+  /** The r13 near-dup CONTAMINATION oracle: same XXH64 signature/band
+    * replay, candidates are corpus (doc_id < 250) banding against the
+    * benchmark slice (250 ≤ id < 300), and the output is the FLAGGED
+    * corpus docs with their distinct verified benchmark-partner count
+    * and smallest partner id. */
+  private def contamNearDupOracleSql: String = minhashOracle(
+    """jac AS (SELECT id_a AS did, id_b AS bid,
+      |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
+      |    len(sa.s) AS na, len(sb.s) AS nb
+      |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
+      |            JOIN shs sb ON cand.id_b = sb.doc_id),
+      |hits AS (SELECT DISTINCT did, bid FROM jac
+      |         WHERE inter / (na + nb - inter) >= 0.4)
+      |SELECT did AS doc_id, CAST(count(*) AS BIGINT) AS n_bench_hits,
+      |       CAST(min(bid) AS BIGINT) AS first_bench_id
+      |FROM hits GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    candSql =
+      """cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bands a JOIN bands b ON a.b = b.b AND a.bucket = b.bucket
+        |         WHERE a.doc_id < 250
+        |           AND b.doc_id >= 250 AND b.doc_id < 300)""".stripMargin,
+    // only the corpus (< 250) and the benchmark slice participate — the
+    // 64-seed XXH64 chain is the oracle's whole cost, so don't hash the
+    // 200 docs the gate never reads
+    docsPred = "doc_id < 300")
+
   /** The r12 DELETE-propagation oracle: after deleting corpus ids
     * ≡ 0 (mod 3) from the persisted index, a batch probe must behave as
     * if those documents never existed — "the appended index" equivalence
@@ -437,7 +463,8 @@ object PipelineQueries {
     * so the hoist keeps the whole DuckDB suite inside the driver's
     * wall-time budget. */
   private def minhashOracle(verifyTail: String,
-      candSql: String = defaultMinhashCand): String = {
+      candSql: String = defaultMinhashCand,
+      docsPred: String = "TRUE"): String = {
     val W = "18446744073709551616" // 2^64
     val P1 = "11400714785074694791"  // 0x9E3779B185EBCA87
     val P2 = "14029467366897019727"  // 0xC2B2AE3D27D4EB4F
@@ -467,7 +494,7 @@ object PipelineQueries {
       "bs[CAST((n//8)*8+3 AS BIGINT)]*65536 + bs[CAST((n//8)*8+4 AS BIGINT)]*16777216"
     s"""WITH docs AS (SELECT doc_id,
        |    list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS toks
-       |  FROM documents),
+       |  FROM documents WHERE $docsPred),
        |shs AS (SELECT doc_id,
        |    list_distinct(list_transform(range(1, len(toks) - 1),
        |      i -> array_to_string(toks[i:i+2], ' '))) AS s
@@ -1662,6 +1689,24 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // NEAR-DUP contamination (round 13): flag corpus docs whose MinHash
+    // Jaccard vs ANY benchmark doc clears the threshold — the fuzzy
+    // decontamination pass (verbatim checks miss paraphrased eval
+    // leakage). Benchmark = the 250–299 slice (whose planted near-dups
+    // live in the corpus < 250); both benchmark tables broadcast, the
+    // Jaccard verify runs map-side through the band explode, and only
+    // verified hits shuffle.
+    Q("pl_contam_neardup", contamNearDupOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        Dedup.contaminationNearDup(
+          docs.filter(col("doc_id") < 250), "doc_id", "text",
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 300),
+          "doc_id", "text",
+          n = 3, k = 64, rowsPerBand = 4, threshold = 0.4)
+          .orderBy("doc_id")
+      }),
+
     // SNAPSHOT DIFF (round 11): the what-changed audit between two corpus
     // snapshots — old drops ids ≡ 5 (mod 13), new drops ids ≡ 0 (mod 10)
     // and rewrites ids ≡ 1 (mod 7), so all four statuses appear; the
@@ -2731,6 +2776,46 @@ object PipelineQueries {
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
+    // VERSIONED index lifecycle (round 13): the identical
+    // build→probe→append→probe→delete→compact→probe cycle as
+    // pl_bm25_index, run on a SnapshotDir-VERSIONED index —
+    // manifest-committed appends/rewrites instead of dir mutation +
+    // staged swaps — under the SAME oracle: versioning must be
+    // semantics-neutral across the full maintenance surface (append
+    // segments, the delete's rewrite, the compaction, the meta-ledger
+    // recount). What it buys beyond the plain form — pinned readers
+    // surviving maintenance, crash-anywhere manifest commits — is
+    // pinned by SnapshotDirSpec; this gate pins that it changes NO
+    // query result.
+    Q("pl_bm25_versioned", bm25IndexOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-vidx").toString
+        val terms = Seq("table", "query", "spark")
+        Retrieval.saveBm25Index(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+        Retrieval.versionBm25Index(s, dir)
+        val day0 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.appendToBm25Index(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+          "doc_id", "text", dir)
+        val day1 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.deleteFromBm25Index(s, dir,
+          docs.filter(col("doc_id") < 375 && col("doc_id") % 5 === 0)
+            .select("doc_id"), numFiles = 4)
+        Retrieval.compactBm25Index(s, dir, numFiles = 2)
+        val day2 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15)
+        day0.withColumn("day", lit(0))
+          .unionByName(day1.withColumn("day", lit(1)))
+          .unionByName(day2.withColumn("day", lit(2)))
+          .select("day", "rank", "doc_id", "score")
+          .orderBy("day", "rank")
+      }),
+
     // BM25 append idempotence guard (round 13): a RE-DELIVERED batch —
     // at-least-once delivery outside the streaming path's manifest
     // protection — appends with skipExisting=true, so already-indexed

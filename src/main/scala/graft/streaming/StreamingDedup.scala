@@ -32,7 +32,11 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * gap longer than a micro-batch) before delete/compact, then resume.
   * The manifest protocol is unaffected either way: it keys on batchId
   * and ids, not file sets, so a replay across a maintenance boundary
-  * still rebuilds its committed survivor set.
+  * still rebuilds its committed survivor set. Indexes opted into
+  * [[graft.functions.SnapshotDir]] versioning (round 13) do not need
+  * the quiesce at all: maintenance there never deletes a committed
+  * file (within gc retention), so a mid-probe micro-batch keeps its
+  * pinned snapshot through any delete/compact.
   */
 object StreamingDedup {
 

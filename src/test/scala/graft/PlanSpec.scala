@@ -565,6 +565,16 @@ class PlanSpec extends AnyFunSuite {
       s"rank<=k must plan a partial WindowGroupLimit:\n$p")
   }
 
+  test("near-dup contamination: benchmark tables broadcast, the corpus " +
+      "side never shuffles before the verified hits") {
+    val p = plan("pl_contam_neardup")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      s"bench buckets AND bench sets must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a sort-merge join means the corpus side shuffled pre-verify:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("louvain refine: bounded aggregates broadcast, gain argmax is " +
       "partial/final, no cartesian candidates") {
     val p = plan("pl_louvain_refine")

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-committed snapshot versioning ([[SnapshotDir]]) — the
+  * round-13 opt-in upgrade of the plain-parquet index dirs. What it must
+  * buy (and what these tests pin): a reader pinned BEFORE maintenance
+  * keeps materializing AFTER it (the plain form's documented
+  * FILE_NOT_EXIST limitation), uncommitted data files are invisible
+  * (crash-anywhere safety without a swap protocol), probe results are
+  * identical to the plain form across the whole lifecycle, and gc
+  * reclaims everything no kept version references.
+  */
+class SnapshotDirSpec extends AnyFunSuite {
+  import graft.TestSpark.spark
+  import spark.implicits._
+
+  private def fs = new Path("/").getFileSystem(
+    spark.sparkContext.hadoopConfiguration)
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("versioned lifecycle: append/rewrite commit new versions; a " +
+      "pinned pre-compaction reader survives the compaction") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 50L).toDF("id").repartition(2)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)
+    // v1 pins the two original files
+    val v1 = Dedup.snapshotFiles(spark, dir)
+    assert(v1.size == 2)
+    // append lands in a segment + new manifest; a fresh load sees it
+    Dedup.appendParquet((50L until 60L).toDF("id"), dir)
+    val afterAppend = spark.read
+      .parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(afterAppend == (0L until 60L).toSet)
+    // the headline: pin a reader, compact UNDER it, reader still works
+    // (the plain-parquet form fails here with FILE_NOT_EXIST — the
+    // documented limitation this layer removes)
+    val pinned = spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+    Dedup.compactParquetDir(spark, dir, numFiles = 1)
+    assert(pinned.count() == 60L,
+      "a pre-compaction reader must keep materializing")
+    val afterCompact = Dedup.snapshotFiles(spark, dir)
+    assert(afterCompact.size == 1, s"compacted to one file: $afterCompact")
+    assert(spark.read.parquet(afterCompact: _*).count() == 60L)
+    // rewrite (the delete verb's shape) also versions
+    Dedup.rewriteParquetDir(spark, dir, 1)(_.filter(col("id") < 10))
+    assert(spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .count() == 10L)
+  }
+
+  test("uncommitted segment files are invisible — crash between data " +
+      "write and manifest commit loses nothing and breaks nothing") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 20L).toDF("id").write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)
+    // simulate the crash: a segment written WITHOUT its manifest commit
+    (100L until 110L).toDF("id")
+      .write.mode("overwrite").parquet(s"$dir/seg-orphan")
+    val seen = spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(seen == (0L until 20L).toSet,
+      "uncommitted segments must be invisible to readers")
+    // and gc reclaims the orphan
+    SnapshotDir.gc(spark, dir, keepVersions = 1)
+    assert(!fs.exists(new Path(s"$dir/seg-orphan")),
+      "gc must reclaim uncommitted segments")
+    assert(spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .count() == 20L)
+  }
+
+  test("gc keeps the newest versions and deletes expired files") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)
+    Dedup.appendParquet((10L until 20L).toDF("id").coalesce(1), dir) // v2
+    Dedup.compactParquetDir(spark, dir, 1)                           // v3
+    // three manifests; the original root file + v2 segment are now only
+    // referenced by expired versions
+    SnapshotDir.gc(spark, dir, keepVersions = 1)
+    val manifests = fs.listStatus(new Path(s"$dir/_manifests"))
+      .map(_.getPath.getName).filter(_.endsWith(".list"))
+    assert(manifests.length == 1, manifests.mkString(","))
+    val files = Dedup.snapshotFiles(spark, dir)
+    assert(files.size == 1)
+    assert(spark.read.parquet(files: _*).count() == 20L)
+    // nothing outside the kept version's segment remains on disk
+    val rootParquet = fs.listStatus(new Path(dir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    assert(rootParquet.isEmpty, "expired root files must be reclaimed")
+  }
+
+  test("a versioned BM25 index probes identically through the whole " +
+      "lifecycle, and its pinned reader survives the delete rewrite") {
+    import graft.functions.{Retrieval, TextAnalysis}
+    val corpus = Seq(
+      (1L, "spark query engine runs a table scan over the table"),
+      (2L, "the query planner rewrites every query against the table"),
+      (3L, "storage formats and compression for columnar data"),
+      (4L, "spark spark spark nothing else here")).toDF("doc_id", "text")
+    val batch = Seq(
+      (6L, "query the spark table twice"),
+      (7L, "unrelated prose about forests")).toDF("doc_id", "text")
+    val terms = Seq("table", "query", "spark")
+    val dir = tmp("graft-snap-bm25")
+    Retrieval.saveBm25Index(corpus, "doc_id", "text", dir)
+    Retrieval.versionBm25Index(spark, dir)
+    Retrieval.appendToBm25Index(batch, "doc_id", "text", dir)
+    def probe() = Retrieval.bm25Probe(
+      Retrieval.loadBm25Index(spark, dir), terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def direct(docs: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25(docs, "doc_id", "text", terms, 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == direct(corpus.unionByName(batch)))
+    // pin a pre-delete index; delete + compact under it
+    val pinnedIdx = Retrieval.loadBm25Index(spark, dir)
+    Retrieval.deleteFromBm25Index(spark, dir,
+      Seq(2L).toDF("doc_id"), numFiles = 1)
+    Retrieval.compactBm25Index(spark, dir, numFiles = 1)
+    assert(probe() == direct(corpus.unionByName(batch)
+      .filter(col("doc_id") =!= 2L)))
+    // the pinned snapshot still materializes its OWN version's rows
+    assert(pinnedIdx.lens.count() == 6L,
+      "a pinned pre-delete reader must survive the rewrites")
+  }
+}

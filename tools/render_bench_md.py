@@ -56,6 +56,8 @@ NOTES = {
         "modularity-gain move pass",
     "pl_louvain_two_level": "LPA seed + move pass + condense + weighted "
         "super-graph move pass (full two-level Louvain)",
+    "pl_bm25_versioned": "pl_bm25_index's full lifecycle on a "
+        "snapshot-versioned index (manifest commits; same oracle)",
 }
 
 
