@@ -317,6 +317,67 @@ object Graph {
           .cast(dec).as("q_num"))
   }
 
+  /** WEIGHTED modularity (round 13) — [[modularity]] for the weighted,
+    * self-looped graphs the Louvain condensation produces, so every
+    * LEVEL of [[louvainLevels]] gets its exact accept/reject number:
+    * intra weight counts plain same-community edges plus members'
+    * self-loops (each once — the convention under which condensation is
+    * modularity-INVARIANT: scoring partition P of the condensed graph
+    * equals scoring the induced partition of the original, which
+    * GraphSamplingSpec pins per-community), degrees count plain
+    * incident weight + 2 × self-loop, m sums every canonical edge once.
+    * Same exact-integer q_num = 4·m·e_c − D_c² contract as
+    * [[modularity]], DECIMAL(38,0) for web-scale m.
+    *
+    * @param wedges (src, dst, weight); src == dst rows are self-loops
+    * @return (community, n_vertices, intra_weight, degree_sum, q_num)
+    */
+  def modularityWeighted(labels: DataFrame, wedges: DataFrame): DataFrame = {
+    val w = wedges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"), col("weight"))
+      .groupBy("a", "b").agg(sum("weight").as("__w"))
+    val plain = w.filter(col("a") =!= col("b"))
+    val loops = w.filter(col("a") === col("b"))
+    val lab = labels.select(col("id"), col("community"))
+    val plainIntra = plain
+      .join(lab.select(col("id").as("a"), col("community").as("__ca")), "a")
+      .join(lab.select(col("id").as("b"), col("community").as("__cb")), "b")
+      .filter(col("__ca") === col("__cb"))
+      .groupBy(col("__ca").as("community")).agg(sum("__w").as("__wi"))
+    val loopIntra = loops
+      .join(lab.select(col("id").as("a"), col("community")), "a")
+      .groupBy(col("community")).agg(sum("__w").as("__wl"))
+    val intra = plainIntra.join(loopIntra, Seq("community"), "full_outer")
+      .select(col("community"),
+        (coalesce(col("__wi"), lit(0L))
+          + coalesce(col("__wl"), lit(0L))).as("intra_weight"))
+    val sym = plain.select(col("a").as("u"), col("__w"))
+      .unionByName(plain.select(col("b").as("u"), col("__w")))
+    val deg = sym.groupBy(col("u").as("id")).agg(sum("__w").as("__dp"))
+      .join(loops.select(col("a").as("id"), (col("__w") * 2).as("__l")),
+        Seq("id"), "full_outer")
+      .select(col("id"), (coalesce(col("__dp"), lit(0L))
+        + coalesce(col("__l"), lit(0L))).as("deg"))
+    val degSum = deg.join(lab, "id")
+      .groupBy(col("community")).agg(sum("deg").as("degree_sum"))
+    val m = w.agg(sum("__w").as("__m"))
+    val dec = "decimal(38,0)"
+    lab.groupBy(col("community")).agg(count(lit(1)).as("n_vertices"))
+      .join(intra, Seq("community"), "left_outer")
+      .join(degSum, Seq("community"), "left_outer")
+      .select(col("community"), col("n_vertices"),
+        coalesce(col("intra_weight"), lit(0L)).as("intra_weight"),
+        coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_vertices"), col("intra_weight"),
+        col("degree_sum"),
+        (lit(4).cast(dec) * col("__m").cast(dec)
+          * col("intra_weight").cast(dec)
+          - col("degree_sum").cast(dec) * col("degree_sum").cast(dec))
+          .cast(dec).as("q_num"))
+  }
+
   /** One-level MODULARITY-GAIN refinement (round 13) — the greedy move
     * step of Louvain (Blondel et al. 2008 §2) run as ONE SYNCHRONOUS
     * pass over a seed assignment (e.g. [[labelPropagation]] output):

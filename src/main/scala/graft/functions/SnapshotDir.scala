@@ -73,6 +73,26 @@ object SnapshotDir {
     }
   }
 
+  /** All committed version numbers, oldest first. */
+  def versions(spark: SparkSession, dir: String): Seq[Long] =
+    committedManifests(fsOf(spark, dir), dir).map(_._1)
+
+  /** TIME TRAVEL: the ABSOLUTE data-file paths of a specific committed
+    * version (within [[gc]] retention) — re-running yesterday's probe
+    * against yesterday's index state is how a training-data pipeline
+    * reproduces a decision after the index has moved on. Fails loudly
+    * on an unknown/expired version. */
+  def filesAt(spark: SparkSession, dir: String,
+      version: Long): Seq[String] = {
+    val fs = fsOf(spark, dir)
+    val p = committedManifests(fs, dir).collectFirst {
+      case (v, path) if v == version => path
+    }.getOrElse(throw new IllegalArgumentException(
+      s"no committed version $version at $dir — expired by gc, or never " +
+        s"committed (have: ${versions(spark, dir).mkString(", ")})"))
+    readManifest(fs, p).map(rel => new Path(dir, rel).toString)
+  }
+
   private def readManifest(fs: FileSystem, p: Path): Seq[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8")
@@ -99,14 +119,19 @@ object SnapshotDir {
   }
 
   /** Upgrade a plain parquet dir in place: v1 = the data files currently
-    * at the root. Idempotent-safe to call once; calling on an
+    * at the root (an absent or empty dir versions as an EMPTY v1 — the
+    * versioned-from-birth shape a bootstrapping stream wants: the first
+    * append commits v2 with the first batch). Calling on an
     * already-versioned dir fails loudly (the manifest history is the
     * source of truth — re-baselining it would orphan pinned readers). */
   def enable(spark: SparkSession, dir: String): Unit = {
     val fs = fsOf(spark, dir)
     require(!isVersioned(spark, dir), s"$dir is already versioned")
-    val files = fs.listStatus(new Path(dir)).toSeq.map(_.getPath)
-      .filter(_.getName.endsWith(".parquet")).map(_.getName)
+    val p = new Path(dir)
+    val files =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath)
+        .filter(_.getName.endsWith(".parquet")).map(_.getName)
     commit(fs, dir, 0L, files)
   }
 

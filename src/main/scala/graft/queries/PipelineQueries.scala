@@ -3463,6 +3463,63 @@ object PipelineQueries {
           .orderBy("id")
       }),
 
+    // WEIGHTED modularity of the CONDENSED level-1 graph under the
+    // identity partition (round 13) — the per-level accept/reject score
+    // of the multi-level loop. By the condensation-invariance property
+    // (GraphSamplingSpec pins it exactly) this equals scoring the
+    // original graph under the refined assignment, so the numbers are
+    // meaningful across levels; under identity labels intra mass is
+    // exactly each super-vertex's self-loop and D_c its weighted degree
+    // with the 2× loop convention. q_num narrows to BIGINT in the GATE
+    // only (the pl_modularity lesson — the checker's only decimal
+    // normalization split), DECIMAL(38,0) stays in the API.
+    Q("pl_louvain_score",
+      s"""WITH $lpaCtes,
+         |$louvainL1Ctes,
+         |cond AS MATERIALIZED (
+         |         SELECT least(a1.community, b1.community) AS ca,
+         |                greatest(a1.community, b1.community) AS cb,
+         |                CAST(count(*) AS BIGINT) AS w
+         |         FROM kund k JOIN l1 a1 ON k.a = a1.id
+         |                     JOIN l1 b1 ON k.b = b1.id
+         |         GROUP BY 1, 2),
+         |plainc AS (SELECT ca AS a, cb AS b, w FROM cond WHERE ca <> cb),
+         |loopsc AS (SELECT ca AS id, w FROM cond WHERE ca = cb),
+         |sym2 AS (SELECT a AS u, w FROM plainc
+         |         UNION ALL SELECT b, w FROM plainc),
+         |degp2 AS (SELECT u AS id, CAST(sum(w) AS BIGINT) AS dp
+         |          FROM sym2 GROUP BY 1),
+         |ids2 AS (SELECT DISTINCT community AS id FROM l1),
+         |deg2 AS (SELECT ids2.id,
+         |           coalesce(dp, 0) + coalesce(2 * loopsc.w, 0) AS k
+         |         FROM ids2 LEFT JOIN degp2 USING (id)
+         |                   LEFT JOIN loopsc USING (id)),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cond)
+         |SELECT i.id AS community, CAST(1 AS BIGINT) AS n_vertices,
+         |  CAST(coalesce(l.w, 0) AS BIGINT) AS intra_weight,
+         |  CAST(deg2.k AS BIGINT) AS degree_sum,
+         |  CAST(4 * CAST(m2.m AS HUGEINT) * coalesce(l.w, 0)
+         |    - CAST(deg2.k AS HUGEINT) * deg2.k AS BIGINT) AS q_num
+         |FROM ids2 i LEFT JOIN loopsc l ON i.id = l.id
+         |     JOIN deg2 ON i.id = deg2.id CROSS JOIN m2
+         |ORDER BY community""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        // checkpoint the refined assignment: condense references it on
+        // BOTH endpoints and the identity seed derives from it too —
+        // un-checkpointed, each reference re-runs the whole refine tree
+        val l1 = graft.functions.Graph.louvainRefine(seed, edges)
+          .localCheckpoint()
+        val condensed = graft.functions.Graph.louvainCondense(l1, edges)
+        val identity = l1.select(col("community").as("id")).distinct()
+          .select(col("id"), col("id").as("community"))
+        graft.functions.Graph.modularityWeighted(identity, condensed)
+          .withColumn("q_num", col("q_num").cast("bigint"))
+          .orderBy("community")
+      }),
+
     // deterministic integer PageRank (round 10; round 11 adds the
     // textbook DANGLING-mass redistribution): 5 fixed iterations of
     // scale-scaled long arithmetic (teleport ⌊scale·15/(N·100)⌋ + damped

@@ -176,6 +176,40 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(three == two, s"levels=3 must equal levels=2 here: $three")
   }
 
+  test("modularityWeighted: condensation is modularity-invariant, " +
+      "per community and exactly") {
+    // the property that makes multi-level Louvain SOUND: scoring the
+    // condensed graph under the identity partition must equal scoring
+    // the original graph under the assignment that condensed it —
+    // same intra mass (self-loops carry it), same degree sums (2× the
+    // loop weight), same m, hence the same exact q_num per community.
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    // a deliberately IMPERFECT assignment so intra/inter both appear
+    val labels = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 10L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L)
+      .toDF("id", "community")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getDecimal(4).longValueExact())))
+      .toMap
+    val orig = rows(Graph.modularity(labels, edges)
+      .withColumnRenamed("intra_edges", "intra_weight"))
+    val condensed = Graph.louvainCondense(labels, edges)
+    val identity = labels.select(col("community").as("id")).distinct()
+      .select(col("id"), col("id").as("community"))
+    val cond = rows(Graph.modularityWeighted(identity, condensed))
+    assert(cond == orig,
+      s"condensed scoring must equal original scoring: $cond vs $orig")
+    // and the weighted form degrades to the exact unweighted one on a
+    // weight-1, loop-free graph
+    val w1 = edges.select(col("src"), col("dst"), lit(1L).as("weight"))
+    assert(rows(Graph.modularityWeighted(labels, w1)) == orig)
+  }
+
   test("connectedComponents converges on a long path within maxIter") {
     // path 0-1-2-...-19: min-label propagation moves the min one hop per
     // round, so this pins that the convergence probe actually iterates

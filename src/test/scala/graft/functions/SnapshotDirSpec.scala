@@ -130,4 +130,91 @@ class SnapshotDirSpec extends AnyFunSuite {
     assert(pinnedIdx.lens.count() == 6L,
       "a pinned pre-delete reader must survive the rewrites")
   }
+
+  test("time travel: any committed version reads back exactly, until " +
+      "gc expires it") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)                                  // v1
+    Dedup.appendParquet((10L until 20L).toDF("id").coalesce(1), dir) // v2
+    Dedup.rewriteParquetDir(spark, dir, 1)(_.filter(col("id") < 5)) // v3
+    assert(SnapshotDir.versions(spark, dir) == Seq(1L, 2L, 3L))
+    def readAt(v: Long) = spark.read
+      .parquet(SnapshotDir.filesAt(spark, dir, v): _*)
+      .collect().map(_.getLong(0)).toSet
+    assert(readAt(1L) == (0L until 10L).toSet)
+    assert(readAt(2L) == (0L until 20L).toSet)
+    assert(readAt(3L) == (0L until 5L).toSet)
+    SnapshotDir.gc(spark, dir, keepVersions = 2)
+    assert(readAt(2L) == (0L until 20L).toSet,
+      "a retained version must survive gc")
+    val e = intercept[IllegalArgumentException] { readAt(1L) }
+    assert(e.getMessage.contains("expired"), e.getMessage)
+  }
+
+  test("every index family's version helper names the right tables: " +
+      "versioned probe == plain probe after an append") {
+    // each family: build twin indexes (plain + versioned), append the
+    // same batch to both, probe both — identical results prove the
+    // helper enabled the tables its appends actually write (a typo'd
+    // subdir would leave the versioned twin missing the appended rows)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "eta theta iota kappa lambda mu")).toDF("doc_id", "text")
+    val batch = Seq(
+      (3L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+
+    // MinHash
+    val (mhP, mhV) = (tmp("sv-mh-p"), tmp("sv-mh-v"))
+    for (d <- Seq(mhP, mhV))
+      Dedup.saveMinhashIndex(
+        Dedup.minhashIndex(docs, "doc_id", "text", 3, 16, 4), d)
+    Dedup.versionMinhashIndex(spark, mhV)
+    for (d <- Seq(mhP, mhV))
+      Dedup.appendToMinhashIndex(spark, d, batch, "doc_id", "text")
+    def mhProbe(d: String) = Dedup.incrementalMinhashDedup(
+      Seq((9L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text"),
+      Dedup.loadMinhashIndex(spark, d), "doc_id", "text", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(mhProbe(mhV) == mhProbe(mhP))
+    assert(SnapshotDir.isVersioned(spark, s"$mhV/sets") &&
+      SnapshotDir.isVersioned(spark, s"$mhV/buckets"))
+
+    // Hamming
+    val hashes = Seq((1L, 0L), (2L, -1L)).toDF("doc_id", "h")
+    val hBatch = Seq((3L, 3L)).toDF("doc_id", "h")
+    val (hmP, hmV) = (tmp("sv-hm-p"), tmp("sv-hm-v"))
+    for (d <- Seq(hmP, hmV))
+      Dedup.saveHammingIndex(
+        Dedup.hammingIndex(hashes, "doc_id", "h"), d)
+    Dedup.versionHammingIndex(spark, hmV)
+    for (d <- Seq(hmP, hmV))
+      Dedup.appendToHammingIndex(spark, d, hBatch, "doc_id", "h")
+    def hmProbe(d: String) = Dedup.incrementalHammingDedup(
+      Seq((9L, 2L)).toDF("doc_id", "h"),
+      Dedup.loadHammingIndex(spark, d), "doc_id", "h", maxDist = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(hmProbe(hmV) == hmProbe(hmP))
+
+    // IVF
+    val vecs = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)))
+      .toDF("vec_id", "emb")
+    val vBatch = Seq((3L, Seq(0.9f, 0.1f))).toDF("vec_id", "emb")
+    val (ivP, ivV) = (tmp("sv-iv-p"), tmp("sv-iv-v"))
+    for (d <- Seq(ivP, ivV))
+      Similarity.saveIvfIndex(
+        Similarity.ivfIndex(vecs, "vec_id", "emb", nCells = 2), d)
+    Similarity.versionIvfIndex(spark, ivV)
+    for (d <- Seq(ivP, ivV))
+      Similarity.appendToIvfIndex(spark, d, vBatch, "vec_id", "emb")
+    def ivProbe(d: String) = Similarity.incrementalSemDedup(
+      Seq((9L, Seq(0.95f, 0.05f))).toDF("vec_id", "emb"),
+      Similarity.loadIvfIndex(spark, d), "vec_id", "emb",
+      threshold = 0.9, nProbe = 2)
+      .collect().map(_.getLong(0)).toSet
+    assert(ivProbe(ivV) == ivProbe(ivP))
+  }
 }
