@@ -486,11 +486,18 @@ object Graph {
     val cand1 =
       if (restrictToSmaller) cand0.filter(col("__c") < col("__a"))
       else cand0
+    // the D_c joins are deliberately NOT hint-broadcast: |communities|
+    // is graph-dependent (a singleton seed makes it |vertices| — forcing
+    // a broadcast there would ship a vertex-scale table to every
+    // executor). At gate/typical scale the planner auto-broadcasts the
+    // small dTot anyway (PlanSpec pins it); at web scale AQE degrades
+    // gracefully to a shuffle join keyed by the candidate's community.
+    // Only the one-row m frame is forced.
     val cand = cand1
-      .join(broadcast(dTot.select(col("community").as("__c"),
-        col("__D").as("__Db"))), "__c")
-      .join(broadcast(dTot.select(col("community").as("__a"),
-        col("__D").as("__Da"))), "__a")
+      .join(dTot.select(col("community").as("__c"),
+        col("__D").as("__Db")), "__c")
+      .join(dTot.select(col("community").as("__a"),
+        col("__D").as("__Da")), "__a")
       .crossJoin(broadcast(m))
       .select(col("u"), col("__c"),
         (lit(2).cast(dec) * col("__m").cast(dec)
