@@ -735,9 +735,15 @@ object Dedup {
     // rewrites have no swap), and nothing a pinned reader references is
     // ever deleted by later maintenance (within gc retention)
     SnapshotDir.latest(spark, dir) match {
-      case Some((_, files)) =>
+      case Some((v, files)) =>
+        // an empty committed snapshot is a legal WRITE state (a
+        // versioned-from-birth dir before its first append) but has no
+        // parquet schema source to read — name the state instead of the
+        // opaque zero-path schema-inference error it would become
         require(files.nonEmpty,
-          s"no parquet files under $dir — index empty or path wrong")
+          s"versioned table at $dir: snapshot v$v is empty — append " +
+            "before the first load/compact (versioned-from-birth dirs " +
+            "are append-first)")
         return files.sorted
       case None => ()
     }
@@ -775,6 +781,28 @@ object Dedup {
     MinhashIndex(
       spark.read.parquet(snapshotFiles(spark, s"$path/sets"): _*),
       spark.read.parquet(snapshotFiles(spark, s"$path/buckets"): _*),
+      meta.getAs[Int]("n"), meta.getAs[Int]("k"),
+      meta.getAs[Int]("rows_per_band"))
+  }
+
+  /** TIME TRAVEL ([[SnapshotDir.filesAt]]): load a [[versionMinhashIndex]]-ed
+    * index AS OF a specific committed snapshot version — re-running
+    * yesterday's probe against yesterday's index state is how a pipeline
+    * reproduces a dedup decision after the index has moved on (appends,
+    * deletes, compactions — none of them touch an old version's files
+    * within [[SnapshotDir.gc]] retention). `version` addresses `sets/`
+    * and `buckets/` in lockstep: every public maintenance verb commits
+    * both tables once per call, so their histories advance together;
+    * write-once `meta/` (the n/k/rowsPerBand parameters) is version-free
+    * by construction. Fails loudly on an unknown or gc-expired version. */
+  def loadMinhashIndexAt(spark: SparkSession, path: String,
+      version: Long): MinhashIndex = {
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    MinhashIndex(
+      spark.read.parquet(
+        SnapshotDir.filesAt(spark, s"$path/sets", version): _*),
+      spark.read.parquet(
+        SnapshotDir.filesAt(spark, s"$path/buckets", version): _*),
       meta.getAs[Int]("n"), meta.getAs[Int]("k"),
       meta.getAs[Int]("rows_per_band"))
   }

@@ -768,6 +768,52 @@ object Graph {
     labels
   }
 
+  /** Community CONNECTIVITY diagnostic — the known defect of Louvain-
+    * style greedy moves is internally-DISCONNECTED communities (Traag,
+    * Waltman & van Eck 2019, the Leiden paper, §2): a move pass can
+    * strand a community's bridge vertex, leaving members with no
+    * intra-community path between them. This pass measures it: restrict
+    * the edge set to INTRA-community edges (both endpoints share a
+    * community), run [[connectedComponents]] once over the restricted
+    * graph (components cannot span communities, so one global run covers
+    * every community at once — no per-community loop), and report per
+    * community how many pieces its induced subgraph falls into.
+    * `n_components > 1` flags a partition a pipeline should not trust
+    * (or should re-split by the components, which is exactly Leiden's
+    * refinement step).
+    *
+    * Scale shape: two assignment joins to filter edges (assignment is
+    * vertex-scale — these shuffle on the edge endpoints like every LPA
+    * round), the CC rounds (diameter-bounded, here by the LARGEST
+    * community's internal diameter, not the graph's), one final count
+    * aggregate. No driver data.
+    *
+    * @param assignment (id, community) — e.g. [[louvainRefine]] output
+    * @param edges      (src, dst) undirected, either orientation
+    * @return (community, n_members, n_components) one row per community
+    */
+  def communityConnectivity(
+      assignment: DataFrame, edges: DataFrame): DataFrame = {
+    // pin the assignment once: four consumers read it (two edge-endpoint
+    // joins, the CC vertex seed, the final group-join) — without the pin
+    // an ITERATIVE upstream plan (LPA seed + refine is the typical
+    // caller) re-executes per consumer
+    val lab = assignment.select(col("id"), col("community"))
+      .localCheckpoint()
+    val intra = edges
+      .join(lab.select(col("id").as("src"), col("community").as("__cs")),
+        "src")
+      .join(lab.select(col("id").as("dst"), col("community").as("__cd")),
+        "dst")
+      .filter(col("__cs") === col("__cd"))
+      .select(col("src"), col("dst"))
+    connectedComponents(lab.select("id"), intra)
+      .join(lab, "id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cluster_id")).as("n_components"))
+  }
+
   /** STRONGLY connected components by forward/backward reachability class
     * refinement (the label-propagation form of FW-BW / Orzan coloring).
     *

@@ -242,11 +242,18 @@ object Retrieval {
     Dedup.rewriteParquetDir(spark, s"$dir/lens", numFiles)(
       _.join(del, Seq("doc_id"), "left_anti"))
     import spark.implicits._
-    Seq((-gone.getAs[Long]("n"), -gone.getAs[Long]("t")))
-      .toDF("n_docs_delta", "total_dl_delta")
-      .select(col("n_docs_delta"), col("total_dl_delta"),
-        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
-      .coalesce(1).write.mode("append").parquet(s"$dir/meta")
+    // through the append chokepoint: on a [[versionBm25Index]]-ed index
+    // the delta must land manifest-committed — a raw mode("append") file
+    // would be an orphan no snapshot reader ever sees, leaving probes
+    // between the delete and the next compaction scoring with stale
+    // pre-delete n_docs/total_dl (and gc would reclaim the orphan)
+    Dedup.appendParquet(
+      Seq((-gone.getAs[Long]("n"), -gone.getAs[Long]("t")))
+        .toDF("n_docs_delta", "total_dl_delta")
+        .select(col("n_docs_delta"), col("total_dl_delta"),
+          lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
+        .coalesce(1),
+      s"$dir/meta")
   }
 
   /** Compact the data tables and collapse the accumulated meta deltas to

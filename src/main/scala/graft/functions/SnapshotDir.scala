@@ -17,10 +17,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    the dir-relative paths of exactly the data files that version
   *    reads.
   *  - COMMIT is a temp-write + rename of one manifest file — all-or-
-  *    nothing on any rename-atomic filesystem (HDFS, local; an object
-  *    store needs its conditional-put equivalent). Data files are
-  *    invisible until their manifest lands, so a crash mid-write leaves
-  *    orphan files (reclaimed by [[gc]]), never a broken table.
+  *    nothing on any rename-atomic filesystem. Data files are invisible
+  *    until their manifest lands, so a crash mid-write leaves orphan
+  *    files (reclaimed by [[gc]]), never a broken table. Atomicity by
+  *    filesystem class: HDFS and local POSIX renames are atomic and
+  *    fail on an existing target (the exists-then-rename pair below is
+  *    belt-and-braces there); object stores (S3-class) have NO atomic
+  *    rename — rename is copy+delete and the exists check races — so a
+  *    deployment on one must replace [[commit]]'s rename with the
+  *    store's conditional put (if-none-match / precondition on the
+  *    manifest key), which is the same one-object commit point. The
+  *    manifest design is what makes that swap local: commit touches
+  *    exactly one small file, everything else is immutable data.
   *  - READERS pin the newest committed manifest. Nothing they reference
   *    is ever deleted by append/rewrite — so the two plain-parquet
   *    hazards are gone for versioned dirs: an open pre-compaction
@@ -112,16 +120,24 @@ object SnapshotDir {
     try out.write(relFiles.sorted.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val target = new Path(md, f"v$v%012d.list")
-    require(!fs.exists(target) && fs.rename(tmp, target),
-      s"snapshot commit of version $v at $dir failed — a concurrent " +
-        "writer? the single-maintenance-writer contract was violated")
+    if (fs.exists(target) || !fs.rename(tmp, target)) {
+      // don't leak the staged manifest on a failed commit — [[gc]] also
+      // sweeps any .tmp-* a crash BEFORE this point left behind
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"snapshot commit of version $v at $dir failed — a concurrent " +
+          "writer? the single-maintenance-writer contract was violated")
+    }
     v
   }
 
   /** Upgrade a plain parquet dir in place: v1 = the data files currently
     * at the root (an absent or empty dir versions as an EMPTY v1 — the
-    * versioned-from-birth shape a bootstrapping stream wants: the first
-    * append commits v2 with the first batch). Calling on an
+    * versioned-from-birth shape a bootstrapping APPEND-ONLY stream
+    * wants: the first append commits v2 with the first batch). An empty
+    * v1 is writable but not readable — parquet has no schema source
+    * until the first append lands, so a load/compact before it fails
+    * loudly ([[Dedup.snapshotFiles]] names this state). Calling on an
     * already-versioned dir fails loudly (the manifest history is the
     * source of truth — re-baselining it would orphan pinned readers). */
   def enable(spark: SparkSession, dir: String): Unit = {
@@ -182,9 +198,15 @@ object SnapshotDir {
     * delete the rest, then delete every data file (and emptied segment
     * dir) no surviving manifest references. The retention window is the
     * one remaining reader hazard: a DataFrame pinned to an expired
-    * version loses its files — size `keepVersions` to cover the longest
-    * reader; [[gc]] is a maintenance verb under the single-writer
-    * contract like compaction. */
+    * version loses its files (a deterministic file-not-found at
+    * materialization — SnapshotDirSpec pins it) — size `keepVersions`
+    * to cover the longest reader. For an index-backed STREAM that is
+    * the longest trigger interval: a micro-batch loads the index at
+    * trigger start and may materialize it until the batch commits, and
+    * every maintenance verb advances one version, so keepVersions must
+    * exceed the maximum maintenance commits per trigger interval (+1
+    * for the pinned base). [[gc]] is a maintenance verb under the
+    * single-writer contract like compaction. */
   def gc(spark: SparkSession, dir: String, keepVersions: Int = 2): Unit = {
     require(keepVersions >= 1)
     val fs = fsOf(spark, dir)
@@ -195,6 +217,12 @@ object SnapshotDir {
     val live: Set[String] =
       keep.flatMap { case (_, p) => readManifest(fs, p) }.toSet
     drop.foreach { case (_, p) => fs.delete(p, false) }
+    // stale staged manifests: a commit that crashed between temp-write
+    // and rename leaves a .tmp-* here that nothing else reclaims
+    fs.listStatus(manifestDir(dir)).foreach { st =>
+      if (st.isFile && st.getPath.getName.startsWith(".tmp-"))
+        fs.delete(st.getPath, false)
+    }
     // root data files
     fs.listStatus(new Path(dir)).foreach { st =>
       val name = st.getPath.getName

@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.Tables
-import graft.functions.{Bpe, Dedup, Graph, Retrieval, Sampling, Similarity, TextAnalysis}
+import graft.functions.{Bpe, Dedup, Graph, Retrieval, Sampling, Similarity, SnapshotDir, TextAnalysis}
 
 /** Training-data pipeline operators as checkable queries: dedup, similarity
   * search, text analysis, multimodal plumbing. Oracles where the same
@@ -262,8 +262,14 @@ object PipelineQueries {
     * is a day-1 survivor (present at sf0.01: docs 389/457 vs survivors
     * 310/326 — no corpus hit), which a probe of a non-appended index
     * would keep. */
-  private def indexUpdateOracleSql: String = minhashOracle(
-    """jac AS (SELECT id_a, id_b,
+  private def indexUpdateOracleSql: String = indexUpdateOracle("")
+
+  /** [[indexUpdateOracleSql]] with an optional extra UNION branch before
+    * the final ORDER BY — the time-travel gate appends
+    * `day 3 = surv1` (a probe pinned to the pre-append v1 snapshot must
+    * reproduce the day-1 result bit-for-bit after the index moved on). */
+  private def indexUpdateOracle(extraUnion: String): String = minhashOracle(
+    s"""jac AS (SELECT id_a, id_b,
       |    CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE) AS inter,
       |    len(sa.s) AS na, len(sb.s) AS nb
       |  FROM cand JOIN shs sa ON cand.id_a = sa.doc_id
@@ -284,6 +290,7 @@ object PipelineQueries {
       |            AND doc_id NOT IN (SELECT bid FROM drops2))
       |SELECT CAST(1 AS INT) AS day, doc_id FROM surv1
       |UNION ALL SELECT CAST(2 AS INT) AS day, doc_id FROM surv2
+      |$extraUnion
       |ORDER BY day, doc_id""".stripMargin,
     // ONE band self-join produces both days' candidates, and `hits` is
     // MATERIALIZED because DuckDB re-inlines CTEs per reference — each
@@ -402,7 +409,18 @@ object PipelineQueries {
     * corpus (statistics from meta deltas included). Per-term scores sum
     * in fixed term order on both sides (float addition is not
     * associative). */
-  private def bm25IndexOracleSql: String = {
+  private def bm25IndexOracleSql: String = bm25LifecycleOracleSql(Seq(
+    "doc_id < 250", "doc_id < 375", "doc_id < 375 AND doc_id % 5 <> 0"))
+
+  /** Generalized N-state form: one full BM25 replay per lifecycle
+    * predicate, each tagged with its day index. The versioned gate adds
+    * a fourth state — a probe BETWEEN delete and compact — whose
+    * predicate equals the post-delete one: on a healthy history the
+    * delta-summed meta is bit-identical to the recount, so the
+    * pre-compact probe must already score like the from-scratch corpus
+    * (this is exactly the window the round-13 meta-bypass bug got
+    * wrong on versioned dirs). */
+  private def bm25LifecycleOracleSql(preds: Seq[String]): String = {
     val terms = Seq("table", "query", "spark")
     val inList = terms.map(t => s"'$t'").mkString(", ")
     def day(i: Int, pred: String): String = {
@@ -436,12 +454,11 @@ object PipelineQueries {
          |  FROM (SELECT doc_id, score FROM ag$i
          |        ORDER BY score DESC, doc_id LIMIT 15))""".stripMargin
     }
-    s"""WITH ${day(0, "doc_id < 250")},
-       |${day(1, "doc_id < 375")},
-       |${day(2, "doc_id < 375 AND doc_id % 5 <> 0")}
+    s"""WITH ${preds.zipWithIndex.map { case (p, i) => day(i, p) }
+          .mkString(",\n")}
        |SELECT day, rank, doc_id, score FROM
-       |  (SELECT * FROM tp0 UNION ALL SELECT * FROM tp1
-       |   UNION ALL SELECT * FROM tp2)
+       |  (${preds.indices.map(i => s"SELECT * FROM tp$i")
+          .mkString(" UNION ALL ")})
        |ORDER BY day, rank""".stripMargin
   }
 
@@ -1776,6 +1793,81 @@ object PipelineQueries {
           .select("day", "doc_id").orderBy("day", "doc_id")
       }),
 
+    // VERSIONED MinHash lifecycle (round 14): the identical
+    // save→probe→append→compact→probe chain as pl_index_update, on a
+    // SnapshotDir-versioned index, under the SAME oracle — the
+    // semantics-neutrality twin the BM25 family got in round 13, now
+    // proving a SECOND index family's versioned path end-to-end. One
+    // deliberate difference doubles as the point: day-1's survivor
+    // DataFrame is NOT localCheckpoint-ed before the compaction (the
+    // open-reader materialization the plain-dir gate needs) — a
+    // versioned reader pins a manifest whose files later maintenance
+    // never deletes, so the lazy plan still evaluates correctly when
+    // the final union materializes it AFTER the append and compact.
+    Q("pl_index_versioned", indexUpdateOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-minhash-vidx").toString
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
+        Dedup.versionMinhashIndex(s, dir)
+        val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val surv1 = Dedup.incrementalMinhashDedup(
+          day1, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+        Dedup.appendToMinhashIndex(s, dir,
+          day1.join(surv1, "doc_id"), "doc_id", "text")
+        Dedup.compactMinhashIndex(s, dir, numFiles = 4)
+        val day2 = docs.filter(col("doc_id") >= 375 && col("doc_id") < 500)
+        val surv2 = Dedup.incrementalMinhashDedup(
+          day2, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+        surv1.withColumn("day", lit(1))
+          .unionByName(surv2.withColumn("day", lit(2)))
+          .select("day", "doc_id").orderBy("day", "doc_id")
+      }),
+
+    // TIME TRAVEL (round 14): after the index moves on (append v2,
+    // compact v3), a probe PINNED to the v1 manifest
+    // (loadMinhashIndexAt) must reproduce the day-1 result bit-for-bit
+    // — the reproducibility story versioning sells: re-run yesterday's
+    // dedup decision against yesterday's index state. Day 3 of the
+    // output is that replay; its oracle branch is literally surv1 again.
+    Q("pl_index_timetravel", indexUpdateOracle(
+      "UNION ALL SELECT CAST(3 AS INT) AS day, doc_id FROM surv1"))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-minhash-tt").toString
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
+        Dedup.versionMinhashIndex(s, dir)
+        val v1 = SnapshotDir.versions(s, s"$dir/sets").last
+        val day1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val surv1 = Dedup.incrementalMinhashDedup(
+          day1, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4).localCheckpoint()
+        Dedup.appendToMinhashIndex(s, dir,
+          day1.join(surv1, "doc_id"), "doc_id", "text")
+        Dedup.compactMinhashIndex(s, dir, numFiles = 4)
+        val day2 = docs.filter(col("doc_id") >= 375 && col("doc_id") < 500)
+        val surv2 = Dedup.incrementalMinhashDedup(
+          day2, Dedup.loadMinhashIndex(s, dir), "doc_id", "text",
+          threshold = 0.4)
+        // the replay: same day-1 batch, index pinned AS OF v1 — before
+        // the append's band tuples and the compaction's rewrite
+        val replay1 = Dedup.incrementalMinhashDedup(
+          day1, Dedup.loadMinhashIndexAt(s, dir, v1), "doc_id", "text",
+          threshold = 0.4)
+        surv1.withColumn("day", lit(1))
+          .unionByName(surv2.withColumn("day", lit(2)))
+          .unionByName(replay1.withColumn("day", lit(3)))
+          .select("day", "doc_id").orderBy("day", "doc_id")
+      }),
+
     // DELETE propagation (round 12): a retention pass removes corpus
     // docs ≡ 0 (mod 3) from the persisted index; the batch probe must
     // then behave as if they never existed — some batch docs' ONLY
@@ -2786,8 +2878,16 @@ object PipelineQueries {
     // recount). What it buys beyond the plain form — pinned readers
     // surviving maintenance, crash-anywhere manifest commits — is
     // pinned by SnapshotDirSpec; this gate pins that it changes NO
-    // query result.
-    Q("pl_bm25_versioned", bm25IndexOracleSql)(
+    // query result. Round 14: a FOURTH probe lands BETWEEN the delete
+    // and the compaction — the window where a versioned index's meta
+    // delta must already be manifest-committed (the round-13 delete
+    // wrote it as an uncommitted orphan, so this probe scored with
+    // stale pre-delete n_docs/total_dl; the oracle's day-2 state is
+    // the post-delete corpus, so a stale-meta probe hash-mismatches).
+    Q("pl_bm25_versioned", bm25LifecycleOracleSql(Seq(
+      "doc_id < 250", "doc_id < 375",
+      "doc_id < 375 AND doc_id % 5 <> 0",
+      "doc_id < 375 AND doc_id % 5 <> 0")))(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
         val dir = java.nio.file.Files
@@ -2806,12 +2906,17 @@ object PipelineQueries {
         Retrieval.deleteFromBm25Index(s, dir,
           docs.filter(col("doc_id") < 375 && col("doc_id") % 5 === 0)
             .select("doc_id"), numFiles = 4)
-        Retrieval.compactBm25Index(s, dir, numFiles = 2)
+        // the delete→compact window: delta-summed meta, rewritten
+        // postings/lens — must equal a from-scratch post-delete index
         val day2 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.compactBm25Index(s, dir, numFiles = 2)
+        val day3 = Retrieval.bm25Probe(
           Retrieval.loadBm25Index(s, dir), terms, 15)
         day0.withColumn("day", lit(0))
           .unionByName(day1.withColumn("day", lit(1)))
           .unionByName(day2.withColumn("day", lit(2)))
+          .unionByName(day3.withColumn("day", lit(3)))
           .select("day", "rank", "doc_id", "score")
           .orderBy("day", "rank")
       }),
@@ -3461,6 +3566,42 @@ object PipelineQueries {
           verts, edges, iterations = 4)
         graft.functions.Graph.louvainTwoLevel(seed, edges)
           .orderBy("id")
+      }),
+
+    // COMMUNITY CONNECTIVITY diagnostic (round 14): Louvain's known
+    // defect is internally-DISCONNECTED communities (Traag et al. 2019,
+    // the Leiden paper) — a move pass can strand a community's bridge
+    // vertex. The diagnostic restricts edges to same-community pairs,
+    // runs one global connected-components pass (components cannot span
+    // communities), and reports pieces per community; n_components > 1
+    // is the partition a pipeline should not trust. Oracle: recursive
+    // min-label reachability over the intra-community edges of the same
+    // refined assignment.
+    Q("pl_louvain_connectivity",
+      s"""WITH RECURSIVE $lpaCtes,
+         |$louvainL1Ctes,
+         |intra AS (SELECT k.a, k.b FROM kund k
+         |            JOIN l1 x ON k.a = x.id
+         |            JOIN l1 y ON k.b = y.id
+         |          WHERE x.community = y.community),
+         |isym AS (SELECT a AS s, b AS d FROM intra
+         |         UNION ALL SELECT b, a FROM intra),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM l1
+         |  UNION
+         |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s),
+         |cc AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+         |SELECT l1.community, CAST(count(*) AS BIGINT) AS n_members,
+         |       CAST(count(DISTINCT cc.comp) AS BIGINT) AS n_components
+         |FROM cc JOIN l1 ON cc.id = l1.id
+         |GROUP BY 1 ORDER BY community""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        val refined = graft.functions.Graph.louvainRefine(seed, edges)
+        graft.functions.Graph.communityConnectivity(refined, edges)
+          .orderBy("community")
       }),
 
     // WEIGHTED modularity of the CONDENSED level-1 graph under the

@@ -26,6 +26,30 @@ class GraphSamplingSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L))
   }
 
+  test("communityConnectivity flags internally-disconnected communities") {
+    // community 1: {1,2} – {3,4} with NO intra edge between the halves
+    // (the stranded-bridge shape Louvain can produce — Traag et al.
+    // 2019); community 2: a connected triangle; community 3: a single
+    // isolated vertex (one trivial component). The 1–5 edge crosses
+    // communities, so it must NOT glue community 1 together.
+    val assignment = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L,
+      9L -> 3L).toDF("id", "community")
+    val edges = Seq(
+      (1L, 2L), (3L, 4L),                 // community 1, two pieces
+      (5L, 6L), (6L, 7L), (5L, 7L),       // community 2, connected
+      (1L, 5L)                            // cross-community bridge
+    ).toDF("src", "dst")
+    val got = Graph.communityConnectivity(assignment, edges)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      1L -> (4L, 2L),   // 4 members, SPLIT into 2 pieces — the flag
+      2L -> (3L, 1L),
+      3L -> (1L, 1L)))
+  }
+
   test("labelPropagation: cliques become communities, bridge stays thin") {
     // two 4-cliques {1..4} and {10..13} joined by ONE bridge edge 4–10,
     // plus a singleton: LPA must keep the cliques as separate

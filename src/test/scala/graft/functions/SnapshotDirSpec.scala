@@ -153,6 +153,65 @@ class SnapshotDirSpec extends AnyFunSuite {
     assert(e.getMessage.contains("expired"), e.getMessage)
   }
 
+  test("gc sweeps stale staged manifests left by a crashed commit") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 5L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)
+    // a commit that died between temp-write and rename leaves this
+    val stale = new Path(s"$dir/_manifests/.tmp-v000000000099-dead")
+    fs.create(stale, true).close()
+    // invisible to readers (the name pattern excludes it) …
+    assert(spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .count() == 5L)
+    // … and reclaimed by gc, which nothing else would ever do
+    SnapshotDir.gc(spark, dir, keepVersions = 1)
+    assert(!fs.exists(stale), "gc must sweep stale .tmp-* manifests")
+  }
+
+  test("versioned-from-birth: empty v1 is append-first — a load before " +
+      "the first append fails loudly by name, after it reads the batch") {
+    val dir = tmp("graft-snap") + "/t"
+    SnapshotDir.enable(spark, dir) // absent dir ⇒ empty v1
+    val e = intercept[IllegalArgumentException] {
+      Dedup.snapshotFiles(spark, dir)
+    }
+    assert(e.getMessage.contains("append"), e.getMessage)
+    Dedup.appendParquet((0L until 5L).toDF("id").coalesce(1), dir)
+    assert(spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+      .count() == 5L)
+  }
+
+  test("gc retention is the one reader hazard: a DataFrame pinned to an " +
+      "expired version fails on materialization — size keepVersions to " +
+      "cover the longest reader") {
+    val dir = tmp("graft-snap") + "/t"
+    (0L until 10L).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    SnapshotDir.enable(spark, dir)                                   // v1
+    val pinnedV1 = spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
+    Dedup.rewriteParquetDir(spark, dir, 1)(_.filter(col("id") < 3)) // v2
+    assert(pinnedV1.count() == 10L,
+      "within retention the pinned reader still materializes")
+    SnapshotDir.gc(spark, dir, keepVersions = 1)
+    // past retention the pinned reader's files are gone — the failure is
+    // a deterministic read error at materialization (the documented gc
+    // contract), not silent partial data
+    val e = intercept[Exception] { pinnedV1.count() }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[java.io.FileNotFoundException] ||
+        String.valueOf(c.getMessage).contains("does not exist") ||
+        String.valueOf(c.getMessage).contains("FILE_NOT_EXIST")),
+      s"expected a file-not-found failure, got: $e")
+    // time travel to the expired version names the expiry, not a crash
+    val tt = intercept[IllegalArgumentException] {
+      SnapshotDir.filesAt(spark, dir, 1L)
+    }
+    assert(tt.getMessage.contains("expired"), tt.getMessage)
+  }
+
   test("every index family's version helper names the right tables: " +
       "versioned probe == plain probe after an append") {
     // each family: build twin indexes (plain + versioned), append the

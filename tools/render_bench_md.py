@@ -58,6 +58,13 @@ NOTES = {
         "super-graph move pass (full two-level Louvain)",
     "pl_bm25_versioned": "pl_bm25_index's full lifecycle on a "
         "snapshot-versioned index (manifest commits; same oracle)",
+    "pl_louvain_connectivity": "LPA seed + refine + one global "
+        "connected-components pass over intra-community edges (the "
+        "Leiden-motivated split-community diagnostic)",
+    "pl_index_timetravel": "versioned MinHash lifecycle + a probe pinned "
+        "to the v1 manifest after append+compact moved the index on",
+    "pl_index_versioned": "pl_index_update's full lifecycle on a "
+        "snapshot-versioned index (manifest commits; same oracle)",
 }
 
 
