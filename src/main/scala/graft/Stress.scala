@@ -695,6 +695,37 @@ object Stress {
         .select(col("id"), (col("id") % 1000).as("community"))
       graft.functions.Graph.louvainTwoLevel(labels, edges)
     }
+    // round-14: the connectivity diagnostic — two edge-endpoint joins
+    // to restrict edges to same-community pairs, then one global CC run
+    // (rounds bounded by the largest community's internal diameter) and
+    // a count aggregate. Linear in edges modulo the CC round count,
+    // which the random generator keeps small. ≤2× at 2× edges.
+    time("community_connectivity", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val labels = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .select(col("id"), (col("id") % 1000).as("community"))
+      graft.functions.Graph.communityConnectivity(labels, edges)
+    }
+    // round-14: two-level Leiden — the louvain_two_level chain plus one
+    // intra-community CC pass per level (the split repair). The CC cost
+    // rides the connectivity shape above; everything else is the
+    // Louvain row. ≤2× at 2× edges.
+    time("leiden_two_level", n / 2) {
+      val m = n / 2
+      val edges = spark.range(m).toDF("eid")
+        .withColumn("src", pmod(xxhash64(col("eid")), lit(m / 4)))
+        .withColumn("dst", pmod(xxhash64(col("eid"), lit(1)), lit(m / 4)))
+        .select("src", "dst")
+      val labels = edges.select(col("src").as("id"))
+        .union(edges.select(col("dst").as("id"))).distinct()
+        .select(col("id"), (col("id") % 1000).as("community"))
+      graft.functions.Graph.leidenTwoLevel(labels, edges)
+    }
     time("url_canon_dedup", n) {
       val url = concat(lit("HTTPS://Site"),
         pmod(col("doc_id"), lit(100000L)).cast("string"),

@@ -614,6 +614,60 @@ object Graph {
     assign
   }
 
+  /** MULTI-LEVEL LEIDEN-STYLE clustering (round 14): [[louvainLevels]]
+    * with the CONNECTIVITY GUARANTEE restored at every level — after
+    * each move pass, [[splitDisconnected]] re-splits any internally-
+    * disconnected community into its connected pieces BEFORE the
+    * condense (Traag et al. 2019's core correction to Louvain: condensing
+    * a disconnected community welds its pieces into one super-vertex
+    * that no later level can ever separate, locking the defect in;
+    * splitting first costs one diameter-bounded CC pass per level and
+    * makes every community of every level connected by construction).
+    * This is the paper's refinement guarantee as a per-level post-pass,
+    * not its randomized within-refinement sampling — the pass stays a
+    * pure function of (graph, seed) like everything else here
+    * (partition-invariant, SQL-replayable; `pl_leiden_two_level` gates
+    * levels = 2 against DuckDB).
+    *
+    * Splits only ever RAISE modularity (the pieces share no edge, so
+    * only the degree-product penalty moves, downward — see
+    * [[splitDisconnected]]), so each level's score is ≥ the same
+    * level's unrepaired score path-for-path. The repair matters at the
+    * super levels too: under the synchronous singleton-seeded pass a
+    * vertex can adopt community b's label in the same step b itself
+    * moves away, stranding the adopter.
+    */
+  def leidenLevels(seed: DataFrame, edges: DataFrame,
+      levels: Int): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    require(levels >= 1)
+    var assign = localCheckpointNoStats(
+      splitDisconnected(louvainRefine(seed, edges), edges))
+    var wgraph = louvainCondense(assign, edges)
+    var i = 1
+    while (i < levels) {
+      val superSeed = assign.select(col("community").as("id")).distinct()
+        .select(col("id"), col("id").as("community"))
+      val moved = louvainRefineWeighted(
+        superSeed, wgraph, restrictToSmaller = true)
+      val l = localCheckpointNoStats(
+        splitDisconnected(moved, wgraph.select(col("src"), col("dst"))))
+      assign = localCheckpointNoStats(
+        assign.select(col("id"), col("community").as("__c"))
+          .join(l.select(col("id").as("__c"),
+            col("community").as("__c2")), "__c")
+          .select(col("id"), col("__c2").as("community")))
+      i += 1
+      if (i < levels)
+        wgraph = louvainCondenseWeighted(l, wgraph)
+    }
+    assign
+  }
+
+  /** [[leidenLevels]] at the two-level instantiation the gate covers. */
+  def leidenTwoLevel(seed: DataFrame, edges: DataFrame): DataFrame =
+    leidenLevels(seed, edges, levels = 2)
+
   /** Deterministic PageRank (round 10) — fixed-iteration, ALL-INTEGER
     * arithmetic so the result is a pure function of the graph
     * (partition-invariant, run-stable, SQL-replayable): ranks carry as
@@ -794,10 +848,52 @@ object Graph {
     */
   def communityConnectivity(
       assignment: DataFrame, edges: DataFrame): DataFrame = {
+    val (lab, cc) = intraComponents(assignment, edges)
+    cc.join(lab, "id")
+      .groupBy("community")
+      .agg(count(lit(1)).as("n_members"),
+        countDistinct(col("cluster_id")).as("n_components"))
+  }
+
+  /** LEIDEN-STYLE SPLIT REPAIR — the fix for what
+    * [[communityConnectivity]] diagnoses: every community is re-split
+    * into its connected pieces (Traag et al. 2019's guarantee that
+    * communities be internally connected, applied as a post-pass rather
+    * than interleaved with the moves). The new label of every vertex is
+    * the MINIMUM member id of its piece — canonical and deterministic,
+    * so a connected community survives intact (relabeled to its min
+    * member id) and a disconnected one splits exactly along its
+    * components. Splitting a disconnected community never DECREASES
+    * modularity: the pieces share no edge (e_between = 0), so the e_c
+    * terms are unchanged while the Σk² degree-product penalty strictly
+    * shrinks — the repaired partition is modularity-≥ and trustworthy
+    * for downstream grouping (GraphSamplingSpec pins both properties).
+    *
+    * Shape: [[communityConnectivity]]'s exact plan minus the final
+    * aggregate — two edge-endpoint joins + the diameter-bounded CC
+    * rounds.
+    *
+    * @param assignment (id, community) — e.g. [[louvainRefine]] output
+    * @param edges      (src, dst) undirected, either orientation
+    * @return (id, community) — community = min vertex id of the
+    *         intra-community connected piece
+    */
+  def splitDisconnected(
+      assignment: DataFrame, edges: DataFrame): DataFrame =
+    intraComponents(assignment, edges)._2
+      .select(col("id"), col("cluster_id").as("community"))
+
+  /** Shared core of [[communityConnectivity]] and [[splitDisconnected]]:
+    * ((id, community) pinned, (id, cluster_id)) where cluster_id labels
+    * the vertex's component in the intra-community-edge-restricted
+    * graph. One global CC run covers every community at once —
+    * components cannot span communities. */
+  private def intraComponents(
+      assignment: DataFrame, edges: DataFrame): (DataFrame, DataFrame) = {
     // pin the assignment once: four consumers read it (two edge-endpoint
-    // joins, the CC vertex seed, the final group-join) — without the pin
-    // an ITERATIVE upstream plan (LPA seed + refine is the typical
-    // caller) re-executes per consumer
+    // joins, the CC vertex seed, the caller's group/final join) —
+    // without the pin an ITERATIVE upstream plan (LPA seed + refine is
+    // the typical caller) re-executes per consumer
     val lab = assignment.select(col("id"), col("community"))
       .localCheckpoint()
     val intra = edges
@@ -807,11 +903,7 @@ object Graph {
         "dst")
       .filter(col("__cs") === col("__cd"))
       .select(col("src"), col("dst"))
-    connectedComponents(lab.select("id"), intra)
-      .join(lab, "id")
-      .groupBy("community")
-      .agg(count(lit(1)).as("n_members"),
-        countDistinct(col("cluster_id")).as("n_components"))
+    (lab, connectedComponents(lab.select("id"), intra))
   }
 
   /** STRONGLY connected components by forward/backward reachability class

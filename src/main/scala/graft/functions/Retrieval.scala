@@ -77,9 +77,29 @@ object Retrieval {
 
   /** Load as a pinned snapshot. The meta collect is bounded by the number
     * of writes since the last compaction (one row each), not by data. */
-  def loadBm25Index(spark: SparkSession, dir: String): Bm25Index = {
+  def loadBm25Index(spark: SparkSession, dir: String): Bm25Index =
+    loadBm25Files(spark, dir,
+      sub => Dedup.snapshotFiles(spark, s"$dir/$sub"))
+
+  /** TIME TRAVEL ([[SnapshotDir.filesAt]]): load a [[versionBm25Index]]-ed
+    * index AS OF a specific committed snapshot version — the retrieval
+    * twin of [[Dedup.loadMinhashIndexAt]]. `version` addresses all three
+    * tables (`postings/`, `lens/`, `meta/`) in LOCKSTEP: every public
+    * maintenance verb (append, delete, compact) commits each table
+    * exactly once per call, so the three histories advance together —
+    * and `meta/` MUST travel with the data (yesterday's probe needs
+    * yesterday's n_docs/total_dl, or idf and length normalization score
+    * against the wrong corpus). Fails loudly on an unknown or
+    * gc-expired version. */
+  def loadBm25IndexAt(spark: SparkSession, dir: String,
+      version: Long): Bm25Index =
+    loadBm25Files(spark, dir,
+      sub => SnapshotDir.filesAt(spark, s"$dir/$sub", version))
+
+  private def loadBm25Files(spark: SparkSession, dir: String,
+      files: String => Seq[String]): Bm25Index = {
     val meta = spark.read
-      .parquet(Dedup.snapshotFiles(spark, s"$dir/meta"): _*)
+      .parquet(files("meta"): _*)
       .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
         max("k1").as("k1"), max("b").as("b"))
       .collect().head
@@ -92,8 +112,8 @@ object Retrieval {
       s"BM25 index at $dir has no build-time k1/b parameters — it was " +
         "created by append alone, never by saveBm25Index")
     Bm25Index(
-      spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/postings"): _*),
-      spark.read.parquet(Dedup.snapshotFiles(spark, s"$dir/lens"): _*),
+      spark.read.parquet(files("postings"): _*),
+      spark.read.parquet(files("lens"): _*),
       meta.getAs[Long]("n"), meta.getAs[Long]("t"),
       meta.getAs[Double]("k1"), meta.getAs[Double]("b"))
   }

@@ -2050,6 +2050,30 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // VERSIONED PQ lifecycle (round 14): pl_ann_pq_update's exact chain
+    // on a SnapshotDir-versioned codes/ table, plus a compaction before
+    // the probe (probe-neutral, so the oracle is shared) — the third
+    // index family with its versioned path oracled end to end
+    // (manifest-committed append + rewrite; BM25 and MinHash are the
+    // other two).
+    Q("pl_ann_pq_versioned", pqUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-pq-vidx").toString
+        Similarity.savePqIndex(
+          Similarity.pqIndex(emb, "vec_id", "embedding"), dir)
+        Similarity.versionPqIndex(s, dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        Similarity.appendToPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.compactPqIndex(s, dir, numFiles = 4)
+        Similarity.pqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadPqIndex(s, dir), "vec_id", "embedding", 10)
+          .orderBy("query_id", "rank")
+      }),
+
     // the persisted-IVF-PQ LIFECYCLE (round 12): train both models on
     // the corpus, SAVE (centroids + books + one (id, cell, codes) row
     // per vector), append a planted batch — cells assigned under the
@@ -2921,6 +2945,40 @@ object PipelineQueries {
           .orderBy("day", "rank")
       }),
 
+    // BM25 TIME TRAVEL (round 14): after an append moves the index to
+    // v2, a probe loaded AS OF v1 (loadBm25IndexAt) must score exactly
+    // like the day-0 index — including the STATISTICS: meta/ travels
+    // with the data (versions advance in lockstep across postings/lens/
+    // meta), so the pinned probe's n_docs/total_dl are day-0's, not
+    // today's. Day 2 of the output is that replay; its oracle state is
+    // literally the day-0 corpus again.
+    Q("pl_bm25_timetravel", bm25LifecycleOracleSql(Seq(
+      "doc_id < 250", "doc_id < 375", "doc_id < 250")))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-tt").toString
+        val terms = Seq("table", "query", "spark")
+        Retrieval.saveBm25Index(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+        Retrieval.versionBm25Index(s, dir)
+        val v1 = SnapshotDir.versions(s, s"$dir/lens").last
+        val day0 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        Retrieval.appendToBm25Index(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 375),
+          "doc_id", "text", dir)
+        val day1 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15)
+        val replay0 = Retrieval.bm25Probe(
+          Retrieval.loadBm25IndexAt(s, dir, v1), terms, 15)
+        day0.withColumn("day", lit(0))
+          .unionByName(day1.withColumn("day", lit(1)))
+          .unionByName(replay0.withColumn("day", lit(2)))
+          .select("day", "rank", "doc_id", "score")
+          .orderBy("day", "rank")
+      }),
+
     // BM25 append idempotence guard (round 13): a RE-DELIVERED batch —
     // at-least-once delivery outside the streaming path's manifest
     // protection — appends with skipExisting=true, so already-indexed
@@ -3602,6 +3660,118 @@ object PipelineQueries {
         val refined = graft.functions.Graph.louvainRefine(seed, edges)
         graft.functions.Graph.communityConnectivity(refined, edges)
           .orderBy("community")
+      }),
+
+    // LEIDEN-STYLE SPLIT REPAIR (round 14): the fix for what the
+    // connectivity diagnostic flags — every community re-splits into
+    // its connected pieces, each labeled by its min member id
+    // (splitting a disconnected community never decreases modularity:
+    // the pieces share no edge, so only the degree-product penalty
+    // moves, downward). Oracle: the same intra-community reachability
+    // chain as pl_louvain_connectivity, selecting the per-vertex
+    // component label instead of aggregating.
+    Q("pl_leiden_split",
+      s"""WITH RECURSIVE $lpaCtes,
+         |$louvainL1Ctes,
+         |intra AS (SELECT k.a, k.b FROM kund k
+         |            JOIN l1 x ON k.a = x.id
+         |            JOIN l1 y ON k.b = y.id
+         |          WHERE x.community = y.community),
+         |isym AS (SELECT a AS s, b AS d FROM intra
+         |         UNION ALL SELECT b, a FROM intra),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM l1
+         |  UNION
+         |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s)
+         |SELECT id, min(r) AS community FROM reach
+         |GROUP BY id ORDER BY id""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        val refined = graft.functions.Graph.louvainRefine(seed, edges)
+        graft.functions.Graph.splitDisconnected(refined, edges)
+          .orderBy("id")
+      }),
+
+    // TWO-LEVEL LEIDEN (round 14): pl_louvain_two_level's chain with
+    // the connectivity repair at BOTH levels — move pass → SPLIT →
+    // condense on the split assignment → singleton-seeded weighted
+    // move pass → SPLIT of the super assignment → project back.
+    // Condensing an unsplit disconnected community would weld its
+    // pieces into one super-vertex forever; the oracle replays both
+    // split passes as recursive reachability and the weighted gains
+    // term for term over the REPAIRED condensed graph.
+    Q("pl_leiden_two_level",
+      s"""WITH RECURSIVE $lpaCtes,
+         |$louvainL1Ctes,
+         |intra AS (SELECT k.a, k.b FROM kund k
+         |            JOIN l1 x ON k.a = x.id
+         |            JOIN l1 y ON k.b = y.id
+         |          WHERE x.community = y.community),
+         |isym AS (SELECT a AS s, b AS d FROM intra
+         |         UNION ALL SELECT b, a FROM intra),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM l1
+         |  UNION
+         |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s),
+         |ls AS MATERIALIZED (
+         |  -- the repaired level-1 assignment: 4 downstream references
+         |  SELECT id, min(r) AS community FROM reach GROUP BY id),
+         |cond AS MATERIALIZED (
+         |         SELECT least(a1.community, b1.community) AS ca,
+         |                greatest(a1.community, b1.community) AS cb,
+         |                CAST(count(*) AS BIGINT) AS w
+         |         FROM kund k JOIN ls a1 ON k.a = a1.id
+         |                     JOIN ls b1 ON k.b = b1.id
+         |         GROUP BY 1, 2),
+         |plain2 AS (SELECT ca AS a, cb AS b, w FROM cond WHERE ca <> cb),
+         |loops2 AS (SELECT ca AS id, 2 * w AS wl FROM cond WHERE ca = cb),
+         |sym2 AS (SELECT a AS u, b AS v, w FROM plain2
+         |         UNION ALL SELECT b, a, w FROM plain2),
+         |degp2 AS (SELECT u AS id, CAST(sum(w) AS BIGINT) AS dp
+         |          FROM sym2 GROUP BY 1),
+         |ids2 AS (SELECT DISTINCT community AS id FROM ls),
+         |deg2 AS (SELECT ids2.id,
+         |           coalesce(dp, 0) + coalesce(wl, 0) AS k
+         |         FROM ids2 LEFT JOIN degp2 USING (id)
+         |                   LEFT JOIN loops2 USING (id)),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cond),
+         |cg2 AS (SELECT s.u, s.v AS b,
+         |          2 * CAST(m2.m AS HUGEINT) * s.w
+         |            - CAST(du.k AS HUGEINT) * db.k AS gain
+         |        FROM sym2 s JOIN deg2 du ON s.u = du.id
+         |                    JOIN deg2 db ON s.v = db.id
+         |                    CROSS JOIN m2
+         |        WHERE s.v < s.u),
+         |best2 AS (SELECT u, b, gain FROM (
+         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
+         |      ORDER BY gain DESC, b) AS rn FROM cg2) WHERE rn = 1),
+         |l2 AS MATERIALIZED (
+         |  SELECT i.id, CAST(CASE WHEN best2.gain > 0 THEN best2.b
+         |         ELSE i.id END AS BIGINT) AS c2
+         |       FROM ids2 i LEFT JOIN best2 ON i.id = best2.u),
+         |intra2 AS (SELECT p.a, p.b FROM plain2 p
+         |             JOIN l2 x ON p.a = x.id
+         |             JOIN l2 y ON p.b = y.id
+         |           WHERE x.c2 = y.c2),
+         |isym2 AS (SELECT a AS s, b AS d FROM intra2
+         |          UNION ALL SELECT b, a FROM intra2),
+         |reach2(id, r) AS (
+         |  SELECT id, id FROM l2
+         |  UNION
+         |  SELECT isym2.d, reach2.r
+         |  FROM reach2 JOIN isym2 ON reach2.id = isym2.s),
+         |s2 AS (SELECT id, min(r) AS c FROM reach2 GROUP BY id)
+         |SELECT ls.id, s2.c AS community
+         |FROM ls JOIN s2 ON ls.community = s2.id
+         |ORDER BY ls.id""".stripMargin)(
+      (s, d) => {
+        val (verts, edges) = lpaGeneratorGraph(s, d)
+        val seed = graft.functions.Graph.labelPropagation(
+          verts, edges, iterations = 4)
+        graft.functions.Graph.leidenTwoLevel(seed, edges)
+          .orderBy("id")
       }),
 
     // WEIGHTED modularity of the CONDENSED level-1 graph under the

@@ -50,6 +50,81 @@ class GraphSamplingSpec extends AnyFunSuite {
       3L -> (1L, 1L)))
   }
 
+  test("splitDisconnected repairs split communities and never lowers " +
+      "modularity; a connected partition only canonicalizes labels") {
+    // same shape as the connectivity test: community 1 is two pieces
+    // {1,2} and {3,4}, community 2 a triangle, 9 isolated
+    val assignment = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L,
+      9L -> 3L).toDF("id", "community")
+    val edges = Seq(
+      (1L, 2L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L),
+      (1L, 5L)).toDF("src", "dst")
+    val got = Graph.splitDisconnected(assignment, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L,   // piece one keeps min id 1
+      3L -> 3L, 4L -> 3L,   // piece two relabels to ITS min id 3
+      5L -> 5L, 6L -> 5L, 7L -> 5L,
+      9L -> 9L), s"$got")
+    // the repair is connected by construction …
+    val conn = Graph.communityConnectivity(
+      Graph.splitDisconnected(assignment, edges), edges)
+      .collect().map(r => r.getLong(2)).toSet
+    assert(conn == Set(1L), "every repaired community must be one piece")
+    // … and modularity-≥ (here strictly >: the split removes the
+    // disconnected pieces' cross-degree-product penalty)
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(labels, edges)
+        .collect().map(_.getDecimal(4).longValueExact()).sum
+    assert(q(Graph.splitDisconnected(assignment, edges)) > q(assignment),
+      "splitting a disconnected community must raise modularity here")
+    // a connected partition survives up to canonical relabeling: same
+    // grouping, labels = min member ids
+    val connected = Seq(
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 9L -> 3L).toDF("id", "community")
+    val e2 = Seq((5L, 6L), (6L, 7L), (5L, 7L)).toDF("src", "dst")
+    val kept = Graph.splitDisconnected(connected, e2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(5L -> 5L, 6L -> 5L, 7L -> 5L, 9L -> 9L), s"$kept")
+  }
+
+  test("leidenTwoLevel separates what louvainTwoLevel welds: a " +
+      "disconnected seed community splits BEFORE the condense") {
+    // two triangles with NO edge between them, seeded into ONE
+    // community. The move pass is a fixed point (every neighbor is
+    // home, no candidate moves), so Louvain condenses the disconnected
+    // community into a single super-vertex — welded forever, Q = 0.
+    // Leiden splits first: the optimal two-triangle partition falls out
+    // and level 2 has nothing to merge (no inter edges).
+    val verts = Seq(1L, 2L, 3L, 7L, 8L, 9L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L),
+      (7L, 8L), (8L, 9L), (7L, 9L)).toDF("src", "dst")
+    val seed = verts.select(col("id"), lit(1L).as("community"))
+    def q(labels: org.apache.spark.sql.DataFrame) =
+      Graph.modularity(labels, edges)
+        .collect().map(_.getDecimal(4).longValueExact()).sum
+    val louvain = Graph.louvainTwoLevel(seed, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(louvain.values.toSet.size == 1,
+      s"unrepaired Louvain must stay welded here: $louvain")
+    val leiden = Graph.leidenTwoLevel(seed, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(leiden == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      7L -> 7L, 8L -> 7L, 9L -> 7L), s"$leiden")
+    assert(q(Graph.leidenTwoLevel(seed, edges)) >
+      q(Graph.louvainTwoLevel(seed, edges)),
+      "the repair must strictly beat the welded partition here")
+    // over-budgeted levels are a fixed point, like louvainLevels
+    val l3 = Graph.leidenLevels(seed, edges, levels = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(l3 == leiden, s"levels=3 must be a fixed point here: $l3")
+  }
+
   test("labelPropagation: cliques become communities, bridge stays thin") {
     // two 4-cliques {1..4} and {10..13} joined by ONE bridge edge 4–10,
     // plus a singleton: LPA must keep the cliques as separate

@@ -350,6 +350,21 @@ class StreamingDedupSpec extends AnyFunSuite {
     assert(probe() == want)
     SnapshotDir.gc(spark, s"$dir/lens", keepVersions = 1)
     assert(probe() == want, "gc must not disturb the newest version")
+    // retention DELETE between micro-batches, probe BEFORE any
+    // compaction: the delete's negative meta delta must be
+    // manifest-committed (it flows through the append chokepoint), so
+    // the very next load scores with post-delete n_docs/total_dl — the
+    // round-13 bug wrote the delta as an uncommitted orphan and this
+    // probe scored with stale statistics
+    Retrieval.deleteFromBm25Index(spark, dir,
+      Seq(2L).toDF("doc_id"), numFiles = 1)
+    val wantPostDelete = TextAnalysis.bm25(
+      b0.unionByName(b1).where(
+        org.apache.spark.sql.functions.col("doc_id") =!= 2L),
+      "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probe() == wantPostDelete,
+      "a versioned delete's statistics must be visible before compaction")
   }
 
   test("semantic stream: a retention DELETE between micro-batches " +
