@@ -437,6 +437,20 @@ object Stress {
         emb.filter(col("vec_id") < 5), emb,
         "vec_id", "vec_id", "embedding", 10, m = 8, ksub = 16)
     }
+    // round-14: public k-means (4 Lloyd sweeps, k=64) over the ann_pq
+    // synthetic embeddings at n/10 — per sweep one narrow corpus scan
+    // against broadcast centroids + a (k × dim)-bounded partial-agg
+    // mean; cost = sweeps + 1 scans, linear in rows. ≤2× at 2× rows.
+    time("kmeans", n / 10) {
+      val m10 = n / 10
+      val emb = spark.range(m10).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      graft.functions.Similarity.kmeansAssign(
+        emb, "vec_id", "embedding", k = 64, sweeps = 4)
+    }
     //  - graph_scomp: SCC over a DIRECTED random graph at n/10 edges —
     //    iterative (outer refinement × directed label propagation), so
     //    the cost is rounds × (join + agg); random directed graphs at

@@ -314,38 +314,124 @@ object Similarity {
     // one Lloyd refinement sweep — enough to spread the cells
     val seeds = c.orderBy(xxhash64(col("neighbor_id"))).limit(nCells)
       .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
-    def nearestCell(vec: Column, cents: Array[Array[Float]]): Column =
-      element_at(nearestCells(vec, cents, 1), 1)
-    // one Lloyd refinement sweep: per-cell mean via (cell, dim) partial sums
-    // — k × dim tiny rows collected, corpus scanned once
-    val assigned0 = c.withColumn("__cell", nearestCell(col("__cv"), seeds))
-    // Per-cell means over EXACT 1e6-scaled longs (the Embeddings centroid
-    // pattern): a double-summed mean is order-sensitive, so the refined
-    // centroids would differ between partitionings of the same data — a
-    // retried stage could flip a boundary assignment. Integer sums are
-    // partition-invariant, and the single double division + float
-    // rounding is IEEE-identical everywhere (and replayable by the
-    // DuckDB oracle).
-    val refined: Array[Array[Float]] = {
-      val dim = seeds.head.length
-      val sums = assigned0
-        .select(col("__cell"),
-          posexplode(Embeddings.scaledVec(col("__cv"))).as(Seq("__d", "__v")))
-        .groupBy("__cell", "__d")
-        .agg(sum(col("__v")).as("s"), count(lit(1)).as("n"))
-        .collect()
-        .groupBy(_.getInt(0))
-      seeds.indices.map { cell =>
-        sums.get(cell).map { rows =>
-          val vec = new Array[Float](dim)
-          rows.foreach(r => vec(r.getInt(1)) =
-            (r.getLong(2).toDouble / (r.getLong(3) * Embeddings.Scale).toDouble).toFloat)
-          vec
-        }.getOrElse(seeds(cell))
-      }.toArray
-    }
+    val refined = lloydSweep(c, seeds)
     (c.withColumn("__cell", nearestCell(col("__cv"), refined)), refined)
   }
+
+  private def nearestCell(vec: Column, cents: Array[Array[Float]]): Column =
+    element_at(nearestCells(vec, cents, 1), 1)
+
+  /** One Lloyd refinement sweep: assign to the nearest current centroid,
+    * then per-cell means via (cell, dim) partial sums — k × dim tiny
+    * rows collected, corpus scanned once. Means are computed over EXACT
+    * 1e6-scaled longs (the Embeddings centroid pattern): a double-summed
+    * mean is order-sensitive, so refined centroids would differ between
+    * partitionings of the same data — a retried stage could flip a
+    * boundary assignment. Integer sums are partition-invariant, and the
+    * single double division + float rounding is IEEE-identical
+    * everywhere (and replayable by the DuckDB oracle). Empty cells keep
+    * their incoming centroid. */
+  private def lloydSweep(c: DataFrame,
+      cents: Array[Array[Float]]): Array[Array[Float]] = {
+    val assigned = c.withColumn("__cell", nearestCell(col("__cv"), cents))
+    val dim = cents.head.length
+    val sums = assigned
+      .select(col("__cell"),
+        posexplode(Embeddings.scaledVec(col("__cv"))).as(Seq("__d", "__v")))
+      .groupBy("__cell", "__d")
+      .agg(sum(col("__v")).as("s"), count(lit(1)).as("n"))
+      .collect()
+      .groupBy(_.getInt(0))
+    cents.indices.map { cell =>
+      sums.get(cell).map { rows =>
+        val vec = new Array[Float](dim)
+        rows.foreach(r => vec(r.getInt(1)) =
+          (r.getLong(2).toDouble / (r.getLong(3) * Embeddings.Scale).toDouble).toFloat)
+        vec
+      }.getOrElse(cents(cell))
+    }.toArray
+  }
+
+  /** DISTRIBUTED K-MEANS CLUSTERING (round 14, Lloyd 1982) as a
+    * first-class operator — the clustering step SemDeDup-style pipelines
+    * (Abbas et al. 2023) run before within-cluster dedup, and the
+    * embedding-space stratifier for cluster-balanced sampling and
+    * per-domain analysis. [[ivfAssign]]'s coarse quantizer iterated:
+    * deterministic hash-ordered seeds, `sweeps` integer-exact Lloyd
+    * refinement sweeps (each [[lloydSweep]] — partition-invariant scaled
+    * sums, empty cells carrying their centroid forward), final
+    * assignment by the same cosine nearest-cell kernel (spherical-style:
+    * similarity is cosine, means are not re-normalized — the right
+    * metric for the normalized-embedding corpora these pipelines use).
+    * Deterministic end to end: a pure function of (corpus, k, sweeps),
+    * partition-invariant and SQL-replayable (`pl_kmeans` hash-matches a
+    * DuckDB replay of every sweep).
+    *
+    * 100 TB shape: per sweep ONE narrow corpus scan (the broadcast
+    * k × dim centroid table rides the codegen'd NearestCells kernel —
+    * no shuffle, no join) plus a (k × dim)-bounded partial-aggregated
+    * sum; the driver holds k × dim floats, never rows. Cost is exactly
+    * `sweeps + 1` corpus scans.
+    *
+    * @return (idCol, cluster) — cluster ∈ [0, k), the vector's nearest
+    *         refined centroid
+    */
+  def kmeansAssign(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sweeps: Int = 4): DataFrame = {
+    val cents = kmeansTrain(corpus, idCol, vecCol, k, sweeps)
+    kmeansAssignWith(corpus, idCol, vecCol, cents)
+  }
+
+  /** The TRAINING half of [[kmeansAssign]]: hash-ordered seeds +
+    * `sweeps` Lloyd sweeps, returning the k × dim centroid table (the
+    * model — driver-held, broadcast-sized). Split out so production
+    * pipelines can train ONCE on the corpus and then assign every
+    * nightly batch under the frozen model ([[kmeansAssignWith]]) — the
+    * same frozen-model contract as the PQ/IVF lifecycles. */
+  def kmeansTrain(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, sweeps: Int = 4): Array[Array[Float]] = {
+    require(k >= 1 && sweeps >= 0)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val seeds = c.orderBy(xxhash64(col("neighbor_id"))).limit(k)
+      .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
+    var cents = seeds
+    var s = 0
+    while (s < sweeps) { cents = lloydSweep(c, cents); s += 1 }
+    cents
+  }
+
+  /** Assign any frame to FROZEN centroids — one narrow scan, no shuffle:
+    * the nightly-batch half of the kmeans lifecycle (new documents get
+    * yesterday's cluster geometry, so cluster-keyed downstream state —
+    * per-cluster quotas, dedup partitions — stays comparable across
+    * days). */
+  def kmeansAssignWith(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame =
+    df.select(col(idCol), col(vecCol).as("__cv"))
+      .withColumn("__cell", nearestCell(col("__cv"), centroids))
+      .select(col(idCol), col("__cell").cast("int").as("cluster"))
+
+  /** Persist a trained kmeans model (one row per centroid). The float
+    * vectors round-trip parquet exactly, so save → [[loadKmeansModel]] →
+    * [[kmeansAssignWith]] is bit-identical to assigning with the
+    * in-memory model (`pl_kmeans_batch` hash-proves it). */
+  def saveKmeansModel(spark: SparkSession,
+      centroids: Array[Array[Float]], dir: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted kmeans model back to the driver-held k × dim
+    * array (bounded by construction — the model, never data). */
+  def loadKmeansModel(spark: SparkSession,
+      dir: String): Array[Array[Float]] =
+    spark.read.parquet(dir)
+      .orderBy("cluster")
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
 
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,

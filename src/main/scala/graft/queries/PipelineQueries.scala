@@ -715,6 +715,55 @@ object PipelineQueries {
        |  WHERE rn = 1)""".stripMargin
   }
 
+  /** DuckDB replay of [[graft.functions.Similarity.kmeansAssign]]
+    * (k = 12, sweeps = 3): the [[ivfAssignCtes]] chain with the Lloyd
+    * sweep UNROLLED — per sweep an assignment argmax (cosine vs the
+    * current centroids, ties to the larger cell) and an integer-exact
+    * scaled-sum mean (one IEEE double division cast through float),
+    * empty cells carrying their centroid forward via the coalesce. */
+  private def kmeansOracleSql: String =
+    s"""WITH $kmeansCtes
+       |SELECT vec_id, cluster FROM kasn ORDER BY vec_id""".stripMargin
+
+  /** Shared by `pl_kmeans` and `pl_cluster_sample`: the unrolled chain
+    * ending in `kasn(vec_id, cluster)`. */
+  private def kmeansCtes: String = {
+    import SignLshSql._
+    val dim = 64
+    val k = 12
+    val sweeps = 3
+    def sweep(i: Int): String =
+      s"""p$i AS (SELECT e.vec_id, e.embedding, s.cell,
+         |    ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
+         |  FROM embeddings e CROSS JOIN c$i s),
+         |a$i AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM p$i)
+         |  WHERE rn = 1),
+         |sums$i AS (SELECT cell, j,
+         |    SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+         |    count(*) AS n
+         |  FROM a$i CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS j) jj GROUP BY cell, j),
+         |ref$i AS (SELECT cell,
+         |    list(CAST(CAST(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE) ORDER BY j) AS cent
+         |  FROM sums$i GROUP BY cell),
+         |c${i + 1} AS (SELECT s.cell, coalesce(r.cent, s.cent) AS cent
+         |            FROM c$i s LEFT JOIN ref$i r ON s.cell = r.cell)""".stripMargin
+    s"""ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
+       |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
+       |hord AS (SELECT vec_id, embedding,
+       |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
+       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS cell,
+       |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
+       |       FROM hord ORDER BY sh LIMIT $k),
+       |${(0 until sweeps).map(sweep).mkString(",\n")},
+       |pf AS (SELECT e.vec_id, s.cell,
+       |    ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
+       |  FROM embeddings e CROSS JOIN c$sweeps s),
+       |kasn AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pf)
+       |  WHERE rn = 1)""".stripMargin
+  }
+
   /** DuckDB replay of [[Similarity.semDedup]]: same assignment CTEs,
     * then within-cell pairwise cosine — a vector drops when any lower-id
     * cell-mate clears the threshold. */
@@ -2325,6 +2374,76 @@ object PipelineQueries {
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
         threshold = 0.3, nCells = 16)
         .orderBy("vec_id")),
+
+    // K-MEANS as a first-class operator (round 14): SemDeDup's
+    // clustering step / the embedding-space stratifier, exposed —
+    // deterministic hash-ordered seeds, THREE integer-exact Lloyd
+    // sweeps (each one corpus scan against broadcast centroids + a
+    // k×dim-bounded partial-agg mean), cosine nearest-cell assignment.
+    // The oracle unrolls every sweep: assignment argmax + scaled-sum
+    // mean, hash-exact.
+    Q("pl_kmeans", kmeansOracleSql)(
+      (s, d) => Similarity.kmeansAssign(
+        Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+        k = 12, sweeps = 3)
+        .orderBy("vec_id")),
+
+    // CLUSTER-BALANCED SAMPLING (round 14): the SemDeDup-pipeline
+    // composition — k-means the embedding space, then a deterministic
+    // per-cluster quota (the k smallest mixed hashes per stratum, the
+    // pl_sample_stratified rule keyed by cluster instead of language).
+    // Balances a sample across semantic regions instead of letting the
+    // head domains dominate; reproducible end to end.
+    Q("pl_cluster_sample",
+      s"""WITH $kmeansCtes
+         |SELECT vec_id, cluster FROM (
+         |  SELECT vec_id, cluster, row_number() OVER (
+         |    PARTITION BY cluster
+         |    ORDER BY ${Sampling.mixSql("vec_id")}, vec_id) AS rn2
+         |  FROM kasn)
+         |WHERE rn2 <= 10 ORDER BY vec_id""".stripMargin)(
+      (s, d) => {
+        val clusters = Similarity.kmeansAssign(
+          Tables.load(s, d, "embeddings"), "vec_id", "embedding",
+          k = 12, sweeps = 3)
+        Sampling.stratified(clusters, "cluster", "vec_id", k = 10)
+          .select("vec_id", "cluster")
+          .orderBy("vec_id")
+      }),
+
+    // KMEANS MODEL LIFECYCLE (round 14): train once on the corpus,
+    // PERSIST the k×dim model, load it back, and assign a NIGHTLY BATCH
+    // (shifted ids, reversed vectors) under the FROZEN geometry — the
+    // same frozen-model contract as the PQ/IVF lifecycles, so
+    // cluster-keyed downstream state stays comparable across days. The
+    // float centroids round-trip parquet exactly; the oracle replays
+    // the training and assigns the same transformed batch against the
+    // final centroid table.
+    Q("pl_kmeans_batch", {
+      import SignLshSql._
+      s"""WITH $kmeansCtes,
+         |batch AS (SELECT vec_id + 10000 AS vec_id,
+         |    list_reverse(embedding) AS embedding FROM embeddings),
+         |pf2 AS (SELECT b.vec_id, s.cell,
+         |    ${cosineVsCent("b.embedding", "s.cent", 64)} AS score
+         |  FROM batch b CROSS JOIN c3 s)
+         |SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pf2)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin
+    })(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-kmeans-model").toString
+        Similarity.saveKmeansModel(s,
+          Similarity.kmeansTrain(emb, "vec_id", "embedding",
+            k = 12, sweeps = 3), dir)
+        val batch = emb.select((col("vec_id") + 10000).as("vec_id"),
+          reverse(col("embedding")).as("embedding"))
+        Similarity.kmeansAssignWith(batch, "vec_id", "embedding",
+          Similarity.loadKmeansModel(s, dir))
+          .orderBy("vec_id")
+      }),
 
     // exact near-dup pairs on a bounded window — DuckDB-oracled (ids only;
     // scores are engine-summation-order dependent)

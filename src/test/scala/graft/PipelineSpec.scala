@@ -630,6 +630,37 @@ class PipelineSpec extends AnyFunSuite {
       s"residual ADC must quantize tighter: $residErr vs $plainErr")
   }
 
+  test("kmeansAssign separates blobs, is partition-invariant, and " +
+      "sweeps refine the seed assignment") {
+    // two tight blobs around orthogonal axes — any reasonable k=2 run
+    // must put each blob in one cluster
+    val rows = (0 until 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Seq(1f, eps, 0f, 0f))
+      else (i.toLong, Seq(eps, 1f, 0f, 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val blobA = (0L until 10L).map(got).toSet
+    val blobB = (10L until 20L).map(got).toSet
+    assert(blobA.size == 1 && blobB.size == 1 && blobA != blobB,
+      s"each blob must land in its own cluster: $got")
+    // partition-invariant: same assignment from a different layout
+    val repart = Similarity.kmeansAssign(emb.repartition(7),
+      "vec_id", "embedding", k = 2, sweeps = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(repart == got, "kmeans must be partition-invariant")
+    // sweeps = 0 is the raw seed assignment; sweeps must be able to
+    // move at least one boundary vector here (hash seeds are arbitrary
+    // vectors, means are blob centers)
+    val raw = Similarity.kmeansAssign(emb, "vec_id", "embedding",
+      k = 2, sweeps = 0)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(raw.keySet == got.keySet)
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")

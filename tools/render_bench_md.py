@@ -65,6 +65,14 @@ NOTES = {
         "to the v1 manifest after append+compact moved the index on",
     "pl_index_versioned": "pl_index_update's full lifecycle on a "
         "snapshot-versioned index (manifest commits; same oracle)",
+    "pl_leiden_two_level": "two-level Leiden: the Louvain two-level "
+        "chain plus one intra-community CC split pass per level",
+    "pl_leiden_split": "LPA seed + refine + the Leiden split repair "
+        "(one intra-community CC pass)",
+    "pl_kmeans": "three integer-exact Lloyd sweeps (one corpus scan "
+        "each) + cosine nearest-cell assignment",
+    "pl_kmeans_batch": "kmeans train + model persist/load + frozen-"
+        "model batch assignment",
 }
 
 
