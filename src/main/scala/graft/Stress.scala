@@ -709,6 +709,17 @@ object Stress {
         .select(col("id"), (col("id") % 1000).as("community"))
       graft.functions.Graph.louvainTwoLevel(labels, edges)
     }
+    // round-14: Naive Bayes classification — train on a BOUNDED seed
+    // slice (n/100 docs, 20 classes), classify the full corpus: one
+    // tokenize + one vocab-keyed model join + one (doc, class) partial
+    // agg. Corpus-linear; the model side is vocab-bounded. ≤2× at 2×.
+    time("nb_classify", n) {
+      val seed = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("label",
+          concat(lit("c"), pmod(col("doc_id"), lit(20L)).cast("string")))
+      val model = graft.functions.TextAnalysis.nbTrain(seed, "label", "text")
+      graft.functions.TextAnalysis.nbClassify(docs, "doc_id", "text", model)
+    }
     // round-14: the connectivity diagnostic — two edge-endpoint joins
     // to restrict edges to same-community pairs, then one global CC run
     // (rounds bounded by the largest community's internal diameter) and

@@ -383,6 +383,100 @@ object TextAnalysis {
       .select(col("id"), col("grp"), col("nb"), col("s"), col("decile"))
   }
 
+  /** A trained [[nbTrain]] model: `priors` is one row per class
+    * (label, prior_nano, unseen_nano — broadcast-sized), `tokenLogProbs`
+    * one row per (class, vocabulary token) — vocab-bounded, the join
+    * side of every classification pass. All log-probabilities are
+    * nano-scaled longs (the [[lmQuality]] discipline), so classification
+    * sums are order-exact integers. */
+  final case class NbModel(priors: DataFrame, tokenLogProbs: DataFrame)
+
+  /** MULTINOMIAL NAIVE BAYES text classifier (round 14) — in-engine
+    * MODEL-BASED filtering, the step modern curation pipelines run
+    * after the heuristic gates (classifier-based quality/domain
+    * filtering à la FineWeb-Edu / DCLM): train on a labeled seed set
+    * (quality labels, domains, or any document grouping), then score
+    * the whole corpus with the frozen model.
+    *
+    * Training is pure counting: per-class token counts (one shuffle),
+    * add-one smoothing, `ln((tf+1)/(tot_c+V))` nano-rounded to a long
+    * per (class, token) — the [[lmQuality]] precedent, making every
+    * downstream document sum an order-exact integer sum (partition-
+    * invariant, SQL-replayable). Priors `ln(n_c/N)` and the unseen-token
+    * mass `ln(1/(tot_c+V))` land beside them, one row per class.
+    *
+    * 100 TB shape: the model is (classes × vocab) rows — bounded by the
+    * vocabulary, not the corpus; training is two aggregations over the
+    * SEED set (small by construction); classification is one corpus
+    * tokenize + one token-keyed join against the model + one
+    * (doc, class) partial-aggregated sum. No iteration, no driver data
+    * beyond the V/N scalars.
+    */
+  def nbTrain(docs: DataFrame, labelCol: String,
+      textCol: String): NbModel = {
+    val tok = docs.select(col(labelCol).as("label"),
+      explode(tokens(col(textCol))).as("token"))
+    val tc = tok.groupBy("label", "token").agg(count(lit(1)).as("__tf"))
+    val ctot = tc.groupBy("label").agg(sum("__tf").as("__tot"))
+    // bounded driver scalars: vocabulary size and seed-set doc count
+    val vocab = tc.select("token").distinct().count()
+    val nDocs = docs.count()
+    val nd = docs.groupBy(col(labelCol).as("label"))
+      .agg(count(lit(1)).as("__nd"))
+    val tokenLogProbs = tc.join(ctot, "label")
+      .select(col("label"), col("token"),
+        round(log((col("__tf") + lit(1)).cast("double") /
+          (col("__tot") + lit(vocab)).cast("double")) * lit(1e9))
+          .cast("long").as("logp_nano"))
+    val priors = nd.join(ctot, "label")
+      .select(col("label"),
+        round(log(col("__nd").cast("double") / lit(nDocs.toDouble))
+          * lit(1e9)).cast("long").as("prior_nano"),
+        round(log(lit(1.0) /
+          (col("__tot") + lit(vocab)).cast("double")) * lit(1e9))
+          .cast("long").as("unseen_nano"))
+    NbModel(priors, tokenLogProbs)
+  }
+
+  /** Classify with a FROZEN [[NbModel]]: per document and class,
+    * score = prior + Σ_matched tf·logp + (len − matched_tf)·unseen,
+    * argmax over classes (ties to the smaller label). Sums ride
+    * DECIMAL(38,0) — a billion-token document times nano-scaled
+    * log-probs overflows BIGINT. Tokens outside the training vocabulary
+    * take the class's unseen mass; empty documents reduce to the prior
+    * argmax. One token-keyed join + one (doc, class) partial agg — the
+    * classification pass is corpus-linear.
+    *
+    * @return (idCol, predicted)
+    */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val dec = "decimal(38,0)"
+    val base = docs.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__t"))
+    val dlen = base.select(col("__id"),
+      size(col("__t")).cast("long").as("__n"))
+    val tf = base.select(col("__id"), explode(col("__t")).as("token"))
+      .groupBy("__id", "token").agg(count(lit(1)).as("__tf"))
+    val matched = tf.join(model.tokenLogProbs, "token")
+      .groupBy(col("__id"), col("label"))
+      .agg(sum((col("__tf") * col("logp_nano")).cast(dec)).as("__ms"),
+        sum(col("__tf")).as("__mtf"))
+    val scored = dlen.crossJoin(broadcast(model.priors))
+      .join(matched, Seq("__id", "label"), "left_outer")
+      .select(col("__id"), col("label"),
+        (col("prior_nano").cast(dec)
+          + coalesce(col("__ms"), lit(0).cast(dec))
+          + ((col("__n") - coalesce(col("__mtf"), lit(0L))).cast(dec)
+            * col("unseen_nano").cast(dec))).as("__score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__id")
+      .orderBy(col("__score").desc, col("label").asc)
+    scored.withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("__id").as(idCol), col("label").as("predicted"))
+  }
+
   /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
     * starting every `chunkTokens − overlapTokens` (the stride), so each
     * chunk shares `overlapTokens` with its predecessor. Chunk count =

@@ -2326,6 +2326,69 @@ object PipelineQueries {
         .select("id", "grp", "nb", "decile")
         .orderBy("id")),
 
+    // NAIVE BAYES classifier (round 14): in-engine model-based
+    // filtering — train a multinomial NB on a labeled seed set
+    // (doc_id < 300, label = source), classify the rest of the corpus
+    // with the frozen model. All log-probs nano-rounded to longs at
+    // train time (the lmQuality discipline), classification sums exact
+    // integers, so the oracle replays training and scoring term for
+    // term; the gate compares the argmax (robust to the 1-ULP libm
+    // band — class margins are ~1e8 nanos, never single nanos).
+    Q("pl_nb_classifier",
+      """WITH tr AS (SELECT source AS label, doc_id, text
+        |            FROM documents WHERE doc_id < 300),
+        |ttok AS (SELECT label,
+        |    unnest(list_filter(string_split_regex(text, '\s+'),
+        |                       x -> len(x) > 0)) AS token FROM tr),
+        |tc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS tf
+        |       FROM ttok GROUP BY 1, 2),
+        |ctot AS (SELECT label, CAST(sum(tf) AS BIGINT) AS tot
+        |         FROM tc GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS V FROM tc),
+        |nd AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |       FROM tr GROUP BY 1),
+        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tr),
+        |tlp AS (SELECT label, token,
+        |    CAST(round(ln(CAST(tf + 1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS lp
+        |  FROM tc JOIN ctot USING (label) CROSS JOIN v),
+        |pri AS (SELECT label,
+        |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
+        |      AS BIGINT) AS prior,
+        |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
+        |      * 1e9) AS BIGINT) AS unseen
+        |  FROM nd JOIN ctot USING (label) CROSS JOIN ntot CROSS JOIN v),
+        |dtokl AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'),
+        |                x -> len(x) > 0) AS t
+        |  FROM documents WHERE doc_id >= 300),
+        |dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM dtokl),
+        |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(t) AS token FROM dtokl)
+        |  GROUP BY 1, 2),
+        |mt AS (SELECT dtf.doc_id, tlp.label,
+        |    SUM(CAST(dtf.tf AS HUGEINT) * tlp.lp) AS ms,
+        |    CAST(sum(dtf.tf) AS BIGINT) AS mtf
+        |  FROM dtf JOIN tlp USING (token) GROUP BY 1, 2),
+        |sc AS (SELECT d.doc_id, p.label,
+        |    CAST(p.prior AS HUGEINT) + coalesce(mt.ms, 0)
+        |      + CAST(d.n - coalesce(mt.mtf, 0) AS HUGEINT) * p.unseen
+        |      AS score
+        |  FROM dlen d CROSS JOIN pri p
+        |       LEFT JOIN mt ON mt.doc_id = d.doc_id AND mt.label = p.label)
+        |SELECT doc_id, label AS predicted FROM (
+        |  SELECT doc_id, label, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val model = TextAnalysis.nbTrain(
+          docs.filter(col("doc_id") < 300), "source", "text")
+        TextAnalysis.nbClassify(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+          .orderBy("doc_id")
+      }),
+
     // fuzzy (edit-distance) near-dup: MinHash-LSH candidates verified
     // with exact Levenshtein — the OCR-noise/typo-farm dedup shape. Same
     // bounded shuffle as pl_minhash_dups (only band tuples and candidate

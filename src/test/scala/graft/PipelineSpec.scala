@@ -661,6 +661,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(raw.keySet == got.keySet)
   }
 
+  test("naive bayes: separable vocabularies classify perfectly, empty " +
+      "docs take the prior, repartitioning changes nothing") {
+    val train = Seq(
+      ("spam", "buy cheap pills now buy buy discount"),
+      ("spam", "cheap discount offer buy now"),
+      ("spam", "discount pills offer offer"),
+      ("ham", "meeting notes from the quarterly review"),
+      ("ham", "please review the attached meeting agenda")).toDF(
+      "label", "text")
+    val model = TextAnalysis.nbTrain(train, "label", "text")
+    val test = Seq(
+      (1L, "cheap pills discount"),
+      (2L, "quarterly meeting review agenda"),
+      (3L, "buy now"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.nbClassify(test, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 4 (empty) takes the prior argmax: spam has 3 of 5 training docs
+    assert(got == Map(1L -> "spam", 2L -> "ham", 3L -> "spam",
+      4L -> "spam"), s"$got")
+    val repart = TextAnalysis.nbClassify(
+      test.repartition(5), "doc_id", "text",
+      TextAnalysis.nbTrain(train.repartition(3), "label", "text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(repart == got, "NB must be partition-invariant")
+  }
+
   test("snapshotDiff classifies added/removed/changed/unchanged") {
     val o = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "t")
     val n = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "t")
