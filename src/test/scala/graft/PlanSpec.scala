@@ -589,4 +589,44 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"the gain argmax must have a partial (map-side) stage:\n$p")
   }
+
+  test("kmeans frozen-model assignment is one narrow pass: no exchange, " +
+      "no join — centroids ride the codegen'd kernel as literals") {
+    import org.apache.spark.sql.functions._
+    // range-backed (a local Seq would constant-fold the whole plan to a
+    // LocalTableScan, hiding the shape under test)
+    val emb = spark.range(64).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(8)), j =>
+          ((col("vec_id") * 7 + j).cast("double") / 10.0).cast("float")))
+    val cents = graft.functions.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 4, sweeps = 1)
+    val p = graft.functions.Similarity.kmeansAssignWith(
+      emb, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"frozen-model assignment must not shuffle:\n$p")
+    assert(!p.contains("Join"),
+      s"the k×dim model is a literal in the kernel, never a join side:\n$p")
+    // "*(1)" is executedPlan.toString's WholeStageCodegen stage marker
+    assert(p.contains("*("),
+      s"the assignment kernel must stay inside codegen:\n$p")
+  }
+
+  test("nb classify: the corpus side partial-aggregates before the " +
+      "(doc, class) shuffle, priors broadcast, no cartesian blowup") {
+    val p = plan("pl_nb_classifier")
+    // the bounded per-class prior table rides a broadcast nested loop
+    // (the deliberate doc × class expansion — |classes| rows, not data);
+    // no plain CartesianProduct may appear
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"priors must broadcast into the doc × class expansion:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast cartesian anywhere in classification:\n$p")
+    // both the per-(doc, token) tf and the per-(doc, class) score sums
+    // must combine map-side
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("Partial"),
+      s"classification aggregates must have partial stages:\n$p")
+  }
 }
