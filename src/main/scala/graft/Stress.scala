@@ -714,9 +714,12 @@ object Stress {
     // tokenize + one vocab-keyed model join + one (doc, class) partial
     // agg. Corpus-linear; the model side is vocab-bounded. ≤2× at 2×.
     time("nb_classify", n) {
+      // label from doc_id/100 — doc_id itself is fixed ≡ 0 (mod 100) by
+      // the seed filter, so pmod(doc_id, 20) would collapse to ONE class
       val seed = docs.filter(col("doc_id") % 100 === 0)
         .withColumn("label",
-          concat(lit("c"), pmod(col("doc_id"), lit(20L)).cast("string")))
+          concat(lit("c"), pmod((col("doc_id") / 100).cast("long"),
+            lit(20L)).cast("string")))
       val model = graft.functions.TextAnalysis.nbTrain(seed, "label", "text")
       graft.functions.TextAnalysis.nbClassify(docs, "doc_id", "text", model)
     }

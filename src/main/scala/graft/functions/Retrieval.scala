@@ -335,7 +335,12 @@ object Retrieval {
     * bucket spec, so probe plans co-locate). */
   def loadBm25IndexBucketed(spark: SparkSession, table: String,
       path: String): Bm25Index = {
-    val meta = spark.read.parquet(s"$path/meta")
+    // meta through the snapshot read chokepoint, like loadBm25Index —
+    // identical on a plain dir, pins the manifest if `$path/meta` was
+    // SnapshotDir-versioned (the data tables are catalog-owned and
+    // cannot be versioned, but the meta ledger is an ordinary dir)
+    val meta = spark.read
+      .parquet(Dedup.snapshotFiles(spark, s"$path/meta"): _*)
       .agg(sum("n_docs_delta").as("n"), sum("total_dl_delta").as("t"),
         max("k1").as("k1"), max("b").as("b"))
       .collect().head
@@ -384,12 +389,19 @@ object Retrieval {
     pinnedLens.write.mode("append").format("parquet")
       .bucketBy(nb, "doc_id").sortBy("doc_id")
       .saveAsTable(s"${table}_lens")
-    pinnedLens
-      .agg(count(lit(1)).as("n_docs_delta"),
-        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
-      .select(col("n_docs_delta"), col("total_dl_delta"),
-        lit(null).cast("double").as("k1"), lit(null).cast("double").as("b"))
-      .coalesce(1).write.mode("append").parquet(s"$path/meta")
+    // through the append chokepoint (the delete-path lesson): identical
+    // on a plain dir, but if anyone versions `$path/meta` a raw
+    // mode("append") file would be a manifest-invisible orphan and
+    // probes would undercount n_docs/total_dl until compaction
+    Dedup.appendParquet(
+      pinnedLens
+        .agg(count(lit(1)).as("n_docs_delta"),
+          coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+        .select(col("n_docs_delta"), col("total_dl_delta"),
+          lit(null).cast("double").as("k1"),
+          lit(null).cast("double").as("b"))
+        .coalesce(1),
+      s"$path/meta")
   }
 
   /** Serve a BM25 top-k from a loaded index. Probe cost ∝ the query

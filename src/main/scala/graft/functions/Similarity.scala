@@ -394,6 +394,11 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
     val seeds = c.orderBy(xxhash64(col("neighbor_id"))).limit(k)
       .select(col("__cv")).collect().map(_.getSeq[Float](0).toArray)
+    // fail loudly BEFORE a sweep dereferences an empty/short centroid
+    // set — the docstring promises cluster ∈ [0, k), which needs k seeds
+    require(seeds.length == k,
+      s"kmeansTrain needs at least k=$k corpus rows to seed k clusters; " +
+        s"got ${seeds.length} — shrink k or grow the corpus")
     var cents = seeds
     var s = 0
     while (s < sweeps) { cents = lloydSweep(c, cents); s += 1 }

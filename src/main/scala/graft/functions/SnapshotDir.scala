@@ -98,7 +98,16 @@ object SnapshotDir {
     }.getOrElse(throw new IllegalArgumentException(
       s"no committed version $version at $dir — expired by gc, or never " +
         s"committed (have: ${versions(spark, dir).mkString(", ")})"))
-    readManifest(fs, p).map(rel => new Path(dir, rel).toString)
+    val files = readManifest(fs, p).map(rel => new Path(dir, rel).toString)
+    // same contract as the latest-version read path (Dedup.snapshotFiles):
+    // an empty pinned snapshot (the versioned-from-birth v1) is a legal
+    // WRITE state but has no parquet schema source — name it instead of
+    // the opaque zero-path schema-inference error downstream
+    require(files.nonEmpty,
+      s"versioned table at $dir: pinned snapshot v$version is empty — " +
+        "append before the first time-travel load (versioned-from-birth " +
+        "dirs are append-first)")
+    files
   }
 
   private def readManifest(fs: FileSystem, p: Path): Seq[String] = {

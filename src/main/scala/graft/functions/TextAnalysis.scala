@@ -438,18 +438,21 @@ object TextAnalysis {
     NbModel(priors, tokenLogProbs)
   }
 
-  /** Classify with a FROZEN [[NbModel]]: per document and class,
-    * score = prior + Σ_matched tf·logp + (len − matched_tf)·unseen,
-    * argmax over classes (ties to the smaller label). Sums ride
-    * DECIMAL(38,0) — a billion-token document times nano-scaled
-    * log-probs overflows BIGINT. Tokens outside the training vocabulary
-    * take the class's unseen mass; empty documents reduce to the prior
-    * argmax. One token-keyed join + one (doc, class) partial agg — the
-    * classification pass is corpus-linear.
+  /** Per-(document, class) INTEGER score under a FROZEN [[NbModel]]:
+    * score = prior + Σ_matched tf·logp + (len − matched_tf)·unseen, in
+    * nano log-units. Every term rides DECIMAL(38,0) — a billion-token
+    * document times nano-scaled log-probs overflows BIGINT, so BOTH
+    * factors of the tf·logp product are cast before multiplying (a
+    * BIGINT×BIGINT product wraps first, the exact case the decimal
+    * discipline exists for; this matches a HUGEINT oracle replay term
+    * for term). Tokens outside the training vocabulary take the class's
+    * unseen mass; empty documents reduce to the prior. One token-keyed
+    * vocab-bounded join + one (doc, class) partial agg — the scoring
+    * pass is corpus-linear, the model side model-bounded.
     *
-    * @return (idCol, predicted)
+    * @return (idCol, label, score_nano) — one row per document × class
     */
-  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+  def nbScore(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val dec = "decimal(38,0)"
     val base = docs.select(col(idCol).as("__id"),
@@ -460,22 +463,75 @@ object TextAnalysis {
       .groupBy("__id", "token").agg(count(lit(1)).as("__tf"))
     val matched = tf.join(model.tokenLogProbs, "token")
       .groupBy(col("__id"), col("label"))
-      .agg(sum((col("__tf") * col("logp_nano")).cast(dec)).as("__ms"),
+      .agg(sum(col("__tf").cast(dec) * col("logp_nano").cast(dec))
+          .as("__ms"),
         sum(col("__tf")).as("__mtf"))
-    val scored = dlen.crossJoin(broadcast(model.priors))
+    dlen.crossJoin(broadcast(model.priors))
       .join(matched, Seq("__id", "label"), "left_outer")
-      .select(col("__id"), col("label"),
+      .select(col("__id").as(idCol), col("label"),
         (col("prior_nano").cast(dec)
           + coalesce(col("__ms"), lit(0).cast(dec))
           + ((col("__n") - coalesce(col("__mtf"), lit(0L))).cast(dec)
-            * col("unseen_nano").cast(dec))).as("__score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("__id")
-      .orderBy(col("__score").desc, col("label").asc)
-    scored.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col("__id").as(idCol), col("label").as("predicted"))
+            * col("unseen_nano").cast(dec))).cast(dec).as("score_nano"))
   }
+
+  /** Classify with a FROZEN [[NbModel]]: argmax of [[nbScore]] over
+    * classes (ties to the smaller label).
+    *
+    * @return (idCol, predicted)
+    */
+  def nbClassify(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score_nano").desc, col("label").asc)
+    nbScore(docs, idCol, textCol, model)
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"))
+  }
+
+  /** [[nbClassify]] plus the EVIDENCE: the winning class's score and
+    * its margin over the runner-up class (nano log-units, exact
+    * integers) — the number a model-based curation filter cuts on
+    * (FineWeb-Edu / DCLM keep documents whose classifier score clears a
+    * threshold τ; the raw per-class log-likelihood is length-dependent,
+    * the margin is the length-robust confidence). Single-class models
+    * have no runner-up → `margin_nano` null. Same plan as [[nbClassify]]
+    * plus one `lead` in the already-present per-document window — no
+    * extra shuffle.
+    *
+    * @return (idCol, predicted, score_nano, margin_nano)
+    */
+  def nbClassifyScored(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol)
+      .orderBy(col("score_nano").desc, col("label").asc)
+    nbScore(docs, idCol, textCol, model)
+      .withColumn("__rk", row_number().over(w))
+      .withColumn("__next", lead(col("score_nano"), 1).over(w))
+      .filter(col("__rk") === 1)
+      .select(col(idCol), col("label").as("predicted"),
+        col("score_nano"),
+        (col("score_nano") - col("__next")).as("margin_nano"))
+  }
+
+  /** The threshold QUALITY/DOMAIN FILTER composition (the FineWeb-Edu /
+    * DCLM curation step): keep documents the frozen model assigns
+    * `keepLabel` with at least `minMarginNano` nano-log-units of margin
+    * over the runner-up class. Survivors only — the filtered corpus
+    * feeds the next pipeline stage.
+    *
+    * @return (idCol, margin_nano)
+    */
+  def nbFilter(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel, keepLabel: String,
+      minMarginNano: Long): DataFrame =
+    nbClassifyScored(docs, idCol, textCol, model)
+      .filter(col("predicted") === keepLabel &&
+        col("margin_nano") >= lit(minMarginNano))
+      .select(col(idCol), col("margin_nano"))
 
   /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
     * starting every `chunkTokens − overlapTokens` (the stride), so each

@@ -111,6 +111,43 @@ object PipelineQueries {
        |WHERE bit_count(xor(a.sh, b.sh)) <= 7
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Oracle for `pl_hamming_versioned` — the banded-Hamming lifecycle
+    * replay: simhash every document and variant via the shared
+    * [[simhashCtes]] chain, then day-1 survivors = batch rows with no
+    * corpus hash within maxDist 7 (all-pairs popcount — exact, because
+    * 7 < 8 bands is pigeonhole-complete), day-2 survivors checked
+    * against corpus ∪ day-1 survivors (the appended index state). The
+    * planted ` xv1` variants give both days real drops: day 1's dup
+    * their corpus originals, day 2's dup only the APPENDED day-1
+    * survivors — vacuous if the append never landed. */
+  private val hammingVersionedOracleSql: String =
+    s"""WITH src AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 10000, text || ' xv1' FROM documents
+       |  WHERE doc_id < 50
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text || ' xv1' FROM documents
+       |  WHERE doc_id >= 250 AND doc_id < 300),
+       |${simhashCtes("src")},
+       |hs AS (SELECT s.doc_id, coalesce(v.simhash, CAST(0 AS BIGINT)) AS sh
+       |       FROM src s LEFT JOIN v ON s.doc_id = v.doc_id),
+       |corp AS (SELECT sh FROM hs WHERE doc_id < 250),
+       |d1 AS (SELECT doc_id, sh FROM hs
+       |       WHERE (doc_id >= 250 AND doc_id < 375)
+       |          OR (doc_id >= 10000 AND doc_id < 10050)),
+       |surv1 AS (SELECT doc_id, sh FROM d1 WHERE NOT EXISTS (
+       |    SELECT 1 FROM corp c WHERE bit_count(xor(d1.sh, c.sh)) <= 7)),
+       |idx2 AS (SELECT sh FROM corp UNION ALL SELECT sh FROM surv1),
+       |d2 AS (SELECT doc_id, sh FROM hs
+       |       WHERE (doc_id >= 375 AND doc_id < 10000)
+       |          OR doc_id >= 20000),
+       |surv2 AS (SELECT doc_id, sh FROM d2 WHERE NOT EXISTS (
+       |    SELECT 1 FROM idx2 i WHERE bit_count(xor(d2.sh, i.sh)) <= 7))
+       |SELECT CAST(1 AS INT) AS day, doc_id FROM surv1
+       |UNION ALL SELECT CAST(2 AS INT) AS day, doc_id FROM surv2
+       |ORDER BY day, doc_id""".stripMargin
+
   /** DuckDB mirror of [[Dedup.minhashDupPairs]] (n=3, k=64, r=4, θ=0.4):
     * a full XXH64 implementation in HUGEINT mod-2^64 SQL — stripe lanes
     * fold through a struct `list_reduce`, 8/4/1-byte tails and the final
@@ -714,6 +751,63 @@ object PipelineQueries {
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pb)
        |  WHERE rn = 1)""".stripMargin
   }
+
+  /** DuckDB replay of the Naive Bayes train→score chain shared by
+    * `pl_nb_classifier` and `pl_nb_filter`: train on the doc_id < 300
+    * seed set labeled by `source`, score every doc_id ≥ 300 against
+    * every class in exact HUGEINT nano arithmetic (mirroring the
+    * engine's DECIMAL(38,0) sums term for term — both cast tf BEFORE
+    * the tf·logp multiply), ending in `rk(doc_id, label, score, rn,
+    * nxt)`: per-document classes ranked by score (ties to the smaller
+    * label) with the runner-up's score alongside for the margin. */
+  private val nbOracleCtes: String =
+    """tr AS (SELECT source AS label, doc_id, text
+      |            FROM documents WHERE doc_id < 300),
+      |ttok AS (SELECT label,
+      |    unnest(list_filter(string_split_regex(text, '\s+'),
+      |                       x -> len(x) > 0)) AS token FROM tr),
+      |tc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS tf
+      |       FROM ttok GROUP BY 1, 2),
+      |ctot AS (SELECT label, CAST(sum(tf) AS BIGINT) AS tot
+      |         FROM tc GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS V FROM tc),
+      |nd AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+      |       FROM tr GROUP BY 1),
+      |ntot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tr),
+      |tlp AS (SELECT label, token,
+      |    CAST(round(ln(CAST(tf + 1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
+      |      * 1e9) AS BIGINT) AS lp
+      |  FROM tc JOIN ctot USING (label) CROSS JOIN v),
+      |pri AS (SELECT label,
+      |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
+      |      AS BIGINT) AS prior,
+      |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
+      |      * 1e9) AS BIGINT) AS unseen
+      |  FROM nd JOIN ctot USING (label) CROSS JOIN ntot CROSS JOIN v),
+      |dtokl AS (SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'),
+      |                x -> len(x) > 0) AS t
+      |  FROM documents WHERE doc_id >= 300),
+      |dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM dtokl),
+      |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(t) AS token FROM dtokl)
+      |  GROUP BY 1, 2),
+      |mt AS (SELECT dtf.doc_id, tlp.label,
+      |    SUM(CAST(dtf.tf AS HUGEINT) * tlp.lp) AS ms,
+      |    CAST(sum(dtf.tf) AS BIGINT) AS mtf
+      |  FROM dtf JOIN tlp USING (token) GROUP BY 1, 2),
+      |sc AS (SELECT d.doc_id, p.label,
+      |    CAST(p.prior AS HUGEINT) + coalesce(mt.ms, 0)
+      |      + CAST(d.n - coalesce(mt.mtf, 0) AS HUGEINT) * p.unseen
+      |      AS score
+      |  FROM dlen d CROSS JOIN pri p
+      |       LEFT JOIN mt ON mt.doc_id = d.doc_id AND mt.label = p.label),
+      |rk AS (SELECT doc_id, label, score,
+      |    row_number() OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, label) AS rn,
+      |    lead(score) OVER (
+      |      PARTITION BY doc_id ORDER BY score DESC, label) AS nxt
+      |  FROM sc)""".stripMargin
 
   /** DuckDB replay of [[graft.functions.Similarity.kmeansAssign]]
     * (k = 12, sweeps = 3): the [[ivfAssignCtes]] chain with the Lloyd
@@ -1878,6 +1972,48 @@ object PipelineQueries {
           .select("day", "doc_id").orderBy("day", "doc_id")
       }),
 
+    // VERSIONED HAMMING lifecycle (round 15): the perceptual-hash
+    // family joins the versioned-gate matrix (MinHash/PQ/BM25 proved
+    // the pattern in r13/r14) — save → version → probe → append →
+    // compact → probe on a SnapshotDir-versioned banded-Hamming index,
+    // with simhash as the 64-bit fingerprint so the whole lifecycle
+    // replays in SQL. Planted ` xv1` variants give both days real
+    // drops; day 2's variants dup only the APPENDED day-1 survivors,
+    // so a silently-lost append fails the gate. Like
+    // pl_index_versioned, day-1's survivor plan is deliberately NOT
+    // checkpointed before the compaction — the pinned manifest is what
+    // makes that safe.
+    Q("pl_hamming_versioned", hammingVersionedOracleSql)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents").select("doc_id", "text")
+        def sh(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+          Dedup.simhash(TextAnalysis.tokens(col("text"))).as("sh"))
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-hamming-vidx").toString
+        Dedup.saveHammingIndex(
+          Dedup.hammingIndex(sh(docs.filter(col("doc_id") < 250)),
+            "doc_id", "sh", nBands = 8), dir)
+        Dedup.versionHammingIndex(s, dir)
+        val day1 = sh(docs.filter(col("doc_id") >= 250 && col("doc_id") < 375))
+          .unionByName(sh(docs.filter(col("doc_id") < 50)
+            .select((col("doc_id") + 10000).as("doc_id"),
+              concat(col("text"), lit(" xv1")).as("text"))))
+        val surv1 = Dedup.incrementalHammingDedup(
+          day1, Dedup.loadHammingIndex(s, dir), "doc_id", "sh", maxDist = 7)
+        Dedup.appendToHammingIndex(s, dir, surv1, "doc_id", "sh")
+        Dedup.compactHammingIndex(s, dir, numFiles = 4)
+        val day2 = sh(docs.filter(col("doc_id") >= 375))
+          .unionByName(sh(docs
+            .filter(col("doc_id") >= 250 && col("doc_id") < 300)
+            .select((col("doc_id") + 20000).as("doc_id"),
+              concat(col("text"), lit(" xv1")).as("text"))))
+        val surv2 = Dedup.incrementalHammingDedup(
+          day2, Dedup.loadHammingIndex(s, dir), "doc_id", "sh", maxDist = 7)
+        surv1.withColumn("day", lit(1))
+          .unionByName(surv2.withColumn("day", lit(2)))
+          .select("day", "doc_id").orderBy("day", "doc_id")
+      }),
+
     // TIME TRAVEL (round 14): after the index moves on (append v2,
     // compact v3), a probe PINNED to the v1 manifest
     // (loadMinhashIndexAt) must reproduce the day-1 result bit-for-bit
@@ -2146,6 +2282,35 @@ object PipelineQueries {
           .orderBy("query_id", "rank")
       }),
 
+    // VERSIONED IVF-PQ lifecycle (round 15): pl_ann_ivfpq_update's
+    // exact chain on SnapshotDir-versioned tables, plus a compaction
+    // before the probe (probe-neutral — same oracle). With
+    // pl_hamming_versioned this completes the versioned-gate matrix:
+    // every index family whose maintenance verbs route through the
+    // append/rewrite chokepoints now has its versioned path proven
+    // end-to-end under a DuckDB oracle (MinHash r14, BM25 r13/r14,
+    // PQ r14, Hamming + IVF-PQ r15; IVF cells ride the same ivfAssign
+    // codepath IVF-PQ pins here).
+    Q("pl_ann_ivfpq_versioned", ivfPqUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-ivfpq-vidx").toString
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfPqIndex(emb, "vec_id", "embedding"), dir)
+        Similarity.versionIvfPqIndex(s, dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+        Similarity.appendToIvfPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.compactIvfPqIndex(s, dir, numFiles = 4)
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadIvfPqIndex(s, dir),
+          "vec_id", "embedding", 10, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
     // ADC + exact REFINE (round 12): the serving pattern plain ADC
     // skips — rank a 30-id pool per query from the compressed codes,
     // read ONLY those floats back from the primary store, re-rank the
@@ -2335,50 +2500,8 @@ object PipelineQueries {
     // term; the gate compares the argmax (robust to the 1-ULP libm
     // band — class margins are ~1e8 nanos, never single nanos).
     Q("pl_nb_classifier",
-      """WITH tr AS (SELECT source AS label, doc_id, text
-        |            FROM documents WHERE doc_id < 300),
-        |ttok AS (SELECT label,
-        |    unnest(list_filter(string_split_regex(text, '\s+'),
-        |                       x -> len(x) > 0)) AS token FROM tr),
-        |tc AS (SELECT label, token, CAST(count(*) AS BIGINT) AS tf
-        |       FROM ttok GROUP BY 1, 2),
-        |ctot AS (SELECT label, CAST(sum(tf) AS BIGINT) AS tot
-        |         FROM tc GROUP BY 1),
-        |v AS (SELECT CAST(count(DISTINCT token) AS BIGINT) AS V FROM tc),
-        |nd AS (SELECT label, CAST(count(*) AS BIGINT) AS n
-        |       FROM tr GROUP BY 1),
-        |ntot AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM tr),
-        |tlp AS (SELECT label, token,
-        |    CAST(round(ln(CAST(tf + 1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
-        |      * 1e9) AS BIGINT) AS lp
-        |  FROM tc JOIN ctot USING (label) CROSS JOIN v),
-        |pri AS (SELECT label,
-        |    CAST(round(ln(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)) * 1e9)
-        |      AS BIGINT) AS prior,
-        |    CAST(round(ln(CAST(1 AS DOUBLE) / CAST(tot + V AS DOUBLE))
-        |      * 1e9) AS BIGINT) AS unseen
-        |  FROM nd JOIN ctot USING (label) CROSS JOIN ntot CROSS JOIN v),
-        |dtokl AS (SELECT doc_id,
-        |    list_filter(string_split_regex(text, '\s+'),
-        |                x -> len(x) > 0) AS t
-        |  FROM documents WHERE doc_id >= 300),
-        |dlen AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n FROM dtokl),
-        |dtf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(t) AS token FROM dtokl)
-        |  GROUP BY 1, 2),
-        |mt AS (SELECT dtf.doc_id, tlp.label,
-        |    SUM(CAST(dtf.tf AS HUGEINT) * tlp.lp) AS ms,
-        |    CAST(sum(dtf.tf) AS BIGINT) AS mtf
-        |  FROM dtf JOIN tlp USING (token) GROUP BY 1, 2),
-        |sc AS (SELECT d.doc_id, p.label,
-        |    CAST(p.prior AS HUGEINT) + coalesce(mt.ms, 0)
-        |      + CAST(d.n - coalesce(mt.mtf, 0) AS HUGEINT) * p.unseen
-        |      AS score
-        |  FROM dlen d CROSS JOIN pri p
-        |       LEFT JOIN mt ON mt.doc_id = d.doc_id AND mt.label = p.label)
-        |SELECT doc_id, label AS predicted FROM (
-        |  SELECT doc_id, label, row_number() OVER (
-        |    PARTITION BY doc_id ORDER BY score DESC, label) AS rn FROM sc)
+      "WITH " + nbOracleCtes + """
+        |SELECT doc_id, label AS predicted FROM rk
         |WHERE rn = 1 ORDER BY doc_id""".stripMargin)(
       (s, d) => {
         val docs = Tables.load(s, d, "documents")
@@ -2386,6 +2509,30 @@ object PipelineQueries {
           docs.filter(col("doc_id") < 300), "source", "text")
         TextAnalysis.nbClassify(
           docs.filter(col("doc_id") >= 300), "doc_id", "text", model)
+          .orderBy("doc_id")
+      }),
+
+    // NB THRESHOLD FILTER (round 15): the actual FineWeb-Edu / DCLM
+    // curation operation — keep documents the frozen classifier assigns
+    // the target class with at least τ nano-log-units of margin over the
+    // runner-up (the length-robust confidence; argmax alone cannot
+    // express "score clears τ"). Scores are exact integer sums of
+    // nano-rounded model longs, so the margin oracles hash-exact; τ sits
+    // in a 65M-nano-wide gap of the sf0.01 margin distribution, far
+    // above any 1-ULP libm band (≤ doc_len nanos).
+    Q("pl_nb_filter",
+      "WITH " + nbOracleCtes + """
+        |SELECT doc_id,
+        |  CAST(score - nxt AS DECIMAL(38,0)) AS margin_nano FROM rk
+        |WHERE rn = 1 AND label = 'src14' AND score - nxt >= 350000000
+        |ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val model = TextAnalysis.nbTrain(
+          docs.filter(col("doc_id") < 300), "source", "text")
+        TextAnalysis.nbFilter(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text", model,
+          keepLabel = "src14", minMarginNano = 350000000L)
           .orderBy("doc_id")
       }),
 

@@ -259,4 +259,35 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS bm25_idx_lens")
     }
   }
+
+  test("bucketed bm25 append commits its meta delta on a versioned meta dir") {
+    import graft.functions.{Dedup, Retrieval, SnapshotDir}
+    val docs = Tables.load(spark, TestSpark.sf, "documents")
+    val corpus = docs.filter(col("doc_id") < 250)
+    val batch = docs.filter(col("doc_id") >= 250 && col("doc_id") < 300)
+    val dir = Files.createTempDirectory("graft_bm25bv").toString
+    try {
+      Retrieval.saveBm25IndexBucketed(corpus, "doc_id", "text",
+        "bm25_idxv", dir, nBuckets = 8)
+      // the data tables are catalog-owned; the meta delta ledger is an
+      // ordinary dir a user may version independently
+      SnapshotDir.enable(spark, s"$dir/meta")
+      Retrieval.appendToBm25IndexBucketed(
+        batch, "doc_id", "text", "bm25_idxv", dir)
+      // the delta must be MANIFEST-visible, not a raw-append orphan a
+      // snapshot reader never sees (and gc would reclaim)
+      val manifestN = spark.read
+        .parquet(Dedup.snapshotFiles(spark, s"$dir/meta"): _*)
+        .agg(org.apache.spark.sql.functions.sum("n_docs_delta"))
+        .collect().head.getLong(0)
+      assert(manifestN == corpus.count() + batch.count(),
+        s"append's meta delta missing from the pinned snapshot: $manifestN")
+      // and the loader reads meta through the same pinned manifest
+      val idx = Retrieval.loadBm25IndexBucketed(spark, "bm25_idxv", dir)
+      assert(idx.nDocs == corpus.count() + batch.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bm25_idxv_postings")
+      spark.sql("DROP TABLE IF EXISTS bm25_idxv_lens")
+    }
+  }
 }

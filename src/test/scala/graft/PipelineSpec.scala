@@ -686,6 +686,44 @@ class PipelineSpec extends AnyFunSuite {
       TextAnalysis.nbTrain(train.repartition(3), "label", "text"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(repart == got, "NB must be partition-invariant")
+    // scored form: same argmax, positive margin on confident docs, and
+    // the filter keeps exactly the τ-clearing target-class survivors
+    val scored = TextAnalysis.nbClassifyScored(
+      test, "doc_id", "text", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getDecimal(3).longValueExact()))).toMap
+    assert(scored.view.mapValues(_._1).toMap == got,
+      "nbClassifyScored must agree with nbClassify on the argmax")
+    assert(scored.values.forall(_._2 > 0L),
+      s"two-class margins are positive here: $scored")
+    val spamMargins = scored.filter(_._2._1 == "spam").values.map(_._2)
+    val tau = spamMargins.toSeq.sorted.apply(1) // keep the top 2 of 3
+    val kept = TextAnalysis.nbFilter(
+      test, "doc_id", "text", model, "spam", tau)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == scored.filter { case (_, (l, m)) =>
+      l == "spam" && m >= tau }.keySet, s"$kept")
+    // single-class model: no runner-up, margin is null
+    val oneClass = TextAnalysis.nbTrain(
+      train.filter(col("label") === "spam"), "label", "text")
+    val m1 = TextAnalysis.nbClassifyScored(
+      test, "doc_id", "text", oneClass).collect()
+    assert(m1.forall(_.isNullAt(3)),
+      "single-class margin must be null")
+  }
+
+  test("kmeansTrain fails loudly when the corpus cannot seed k clusters") {
+    val emb = (0 until 3).map(i => (i.toLong, Seq(1f, i.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 5, sweeps = 1)
+    }
+    assert(e.getMessage.contains("k=5"), e.getMessage)
+    val empty = emb.filter(col("vec_id") < 0)
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.kmeansTrain(empty, "vec_id", "embedding", k = 2, sweeps = 0)
+    }
+    assert(e2.getMessage.contains("corpus"), e2.getMessage)
   }
 
   test("snapshotDiff classifies added/removed/changed/unchanged") {

@@ -177,6 +177,13 @@ class SnapshotDirSpec extends AnyFunSuite {
       Dedup.snapshotFiles(spark, dir)
     }
     assert(e.getMessage.contains("append"), e.getMessage)
+    // TIME TRAVEL hits the same wall: a pinned empty v1 has no parquet
+    // schema source, so filesAt names the append-first state too instead
+    // of the opaque zero-path schema-inference error
+    val te = intercept[IllegalArgumentException] {
+      SnapshotDir.filesAt(spark, dir, 1L)
+    }
+    assert(te.getMessage.contains("append"), te.getMessage)
     Dedup.appendParquet((0L until 5L).toDF("id").coalesce(1), dir)
     assert(spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*)
       .count() == 5L)
