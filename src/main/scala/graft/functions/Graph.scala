@@ -413,11 +413,13 @@ object Graph {
     * @return (id, community) — the refined assignment, every seed
     *         vertex present (isolated / interior vertices keep theirs)
     */
-  def louvainRefine(labels: DataFrame, edges: DataFrame): DataFrame =
+  def louvainRefine(labels: DataFrame, edges: DataFrame,
+      gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame =
     louvainRefineWeighted(labels,
       canonicalUndirected(edges)
         .select(col("a").as("src"), col("b").as("dst"),
-          lit(1L).as("weight")))
+          lit(1L).as("weight")),
+      gammaNum = gammaNum, gammaDen = gammaDen)
 
   /** The WEIGHTED form of [[louvainRefine]] — the engine of the
     * multi-level flow, because [[louvainCondense]]'s super-graph carries
@@ -439,11 +441,29 @@ object Graph {
     * it and asymmetric seeds make swaps unlikely); the condensed
     * level-2 pass of [[louvainTwoLevel]] turns it on.
     *
+    * RESOLUTION parameter γ (round 15): modularity has a known
+    * resolution limit — it cannot see communities below a graph-size-
+    * dependent scale (Fortunato & Barthélemy 2007), the defect Traag
+    * et al. 2019 address with a tunable objective. γ generalizes the
+    * objective to Reichardt–Bornholdt γ-modularity
+    * Q_γ = Σ_c [e_c/m − γ(D_c/2m)²]: γ > 1 penalizes the degree
+    * product harder and resolves SMALLER communities, γ < 1 coarser
+    * ones; γ = 1 is classic modularity. Passed as a RATIONAL
+    * γ = gammaNum/gammaDen so the gain arithmetic stays EXACT integer:
+    * the whole gain is scaled by the positive constant gammaDen
+    * (sign-preserving), giving
+    * `gain_γ = gammaDen·2m·(k_{i,b} − k_{i,a−i})
+    *   − gammaNum·k_i·(D_b − (D_a − k_i))` — the same DECIMAL(38,0)
+    * discipline, still partition-invariant and SQL-replayable.
+    *
     * @param wedges (src, dst, weight) — canonicalized and re-aggregated
     *               internally; src == dst rows are self-loops
     */
   def louvainRefineWeighted(labels: DataFrame, wedges: DataFrame,
-      restrictToSmaller: Boolean = false): DataFrame = {
+      restrictToSmaller: Boolean = false,
+      gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
+    require(gammaNum >= 1L && gammaDen >= 1L,
+      s"resolution must be a positive rational: $gammaNum/$gammaDen")
     val w = wedges
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b"), col("weight"))
@@ -500,9 +520,9 @@ object Graph {
         col("__D").as("__Da")), "__a")
       .crossJoin(broadcast(m))
       .select(col("u"), col("__c"),
-        (lit(2).cast(dec) * col("__m").cast(dec)
+        (lit(2L * gammaDen).cast(dec) * col("__m").cast(dec)
           * (col("__k") - col("__ka")).cast(dec)
-          - col("__ki").cast(dec)
+          - lit(gammaNum).cast(dec) * col("__ki").cast(dec)
             * (col("__Db") - col("__Da") + col("__ki")).cast(dec))
           .cast(dec).as("__gain"))
     val best = cand
@@ -591,17 +611,19 @@ object Graph {
     * levels = 2 instantiation end-to-end against DuckDB.
     */
   def louvainLevels(seed: DataFrame, edges: DataFrame,
-      levels: Int): DataFrame = {
+      levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
     require(levels >= 1)
-    var assign = localCheckpointNoStats(louvainRefine(seed, edges))
+    var assign = localCheckpointNoStats(
+      louvainRefine(seed, edges, gammaNum, gammaDen))
     var wgraph = louvainCondense(assign, edges)
     var i = 1
     while (i < levels) {
       val superSeed = assign.select(col("community").as("id")).distinct()
         .select(col("id"), col("id").as("community"))
       val l = localCheckpointNoStats(louvainRefineWeighted(
-        superSeed, wgraph, restrictToSmaller = true))
+        superSeed, wgraph, restrictToSmaller = true,
+        gammaNum = gammaNum, gammaDen = gammaDen))
       assign = localCheckpointNoStats(
         assign.select(col("id"), col("community").as("__c"))
           .join(l.select(col("id").as("__c"),
@@ -636,20 +658,28 @@ object Graph {
     * super levels too: under the synchronous singleton-seeded pass a
     * vertex can adopt community b's label in the same step b itself
     * moves away, stranding the adopter.
+    *
+    * `gammaNum`/`gammaDen` set the RESOLUTION γ (see
+    * [[louvainRefineWeighted]]) for every level's move pass; the split
+    * repair is γ-safe — the pieces share no edge, so splitting moves
+    * only the degree-product penalty, and −γ(D/2m)² shrinks under any
+    * γ > 0 when D splits.
     */
   def leidenLevels(seed: DataFrame, edges: DataFrame,
-      levels: Int): DataFrame = {
+      levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
     require(levels >= 1)
     var assign = localCheckpointNoStats(
-      splitDisconnected(louvainRefine(seed, edges), edges))
+      splitDisconnected(
+        louvainRefine(seed, edges, gammaNum, gammaDen), edges))
     var wgraph = louvainCondense(assign, edges)
     var i = 1
     while (i < levels) {
       val superSeed = assign.select(col("community").as("id")).distinct()
         .select(col("id"), col("id").as("community"))
       val moved = louvainRefineWeighted(
-        superSeed, wgraph, restrictToSmaller = true)
+        superSeed, wgraph, restrictToSmaller = true,
+        gammaNum = gammaNum, gammaDen = gammaDen)
       val l = localCheckpointNoStats(
         splitDisconnected(moved, wgraph.select(col("src"), col("dst"))))
       assign = localCheckpointNoStats(

@@ -416,6 +416,41 @@ object Similarity {
       .withColumn("__cell", nearestCell(col("__cv"), centroids))
       .select(col(idCol), col("__cell").cast("int").as("cluster"))
 
+  /** Within-cluster cosine OBJECTIVE under frozen centroids (round 15)
+    * — the number that picks k (the elbow) and exposes a degenerate
+    * seeding: per assigned cluster, the member count and
+    * Σ round(1e9·(1 − cos(v, centroid)))·— each vector's distance-like
+    * term nano-rounded to a long BEFORE summing, so the aggregate is a
+    * partition-invariant exact integer (the engine-wide discipline;
+    * raw double sums are accumulation-order-dependent), riding
+    * DECIMAL(38,0) because 2e9 nanos/vector times a 100 TB corpus
+    * overflows BIGINT. Clusters ABSENT from the output are EMPTY —
+    * the degenerate-seeding signal (k was too large, or the hash seeds
+    * collapsed). One narrow corpus scan + a broadcast k-row centroid
+    * join + one k-bounded aggregate; compare totals across `sweeps`
+    * (or k) values to draw the elbow.
+    *
+    * @return (cluster, n, objective_nano) — assigned clusters only
+    */
+  def kmeansObjective(df: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cents = broadcast(centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cluster", "__cent"))
+    df.select(col(vecCol).as("__cv"))
+      .withColumn("cluster", nearestCell(col("__cv"), centroids).cast("int"))
+      .join(cents, "cluster")
+      .select(col("cluster"),
+        round((lit(1.0) - cosine(col("__cv"), col("__cent"))) * lit(1e9))
+          .cast("long").as("__d"))
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d").cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("objective_nano"))
+  }
+
   /** Persist a trained kmeans model (one row per centroid). The float
     * vectors round-trip parquet exactly, so save → [[loadKmeansModel]] →
     * [[kmeansAssignWith]] is bit-identical to assigning with the

@@ -384,9 +384,10 @@ object PipelineQueries {
     * `pl_louvain_refine` (selects `l1`) and `pl_louvain_two_level`
     * (condenses by `l1` and runs the weighted level-2 pass). Assumes
     * [[lpaCtes]] (kund/ksym/lp4) precede it; candidate gains in HUGEINT
-    * replay 2m·(k_ib − k_ia) − k_i·(D_b − D_a + k_i) exactly. */
-  private val louvainL1Ctes: String =
-    """deg AS (SELECT id, count(*) AS deg FROM
+    * replay q·2m·(k_ib − k_ia) − p·k_i·(D_b − D_a + k_i) exactly —
+    * the γ = p/q resolution-scaled gain, (1, 1) = classic modularity. */
+  private def louvainL1Ctes(p: Long = 1L, q: Long = 1L): String =
+    s"""deg AS (SELECT id, count(*) AS deg FROM
       |  (SELECT a AS id FROM kund UNION ALL SELECT b FROM kund)
       |  GROUP BY 1),
       |dtot AS (SELECT l.lab AS c, CAST(sum(d.deg) AS BIGINT) AS dd
@@ -400,8 +401,8 @@ object PipelineQueries {
       |       FROM cur LEFT JOIN kuc k
       |         ON cur.u = k.u AND k.c = cur.a),
       |candg AS (SELECT ka.u, kuc.c AS b,
-      |    2 * CAST(m.m AS HUGEINT) * (kuc.k - ka.ka)
-      |      - CAST(ka.ki AS HUGEINT) * (db.dd - da.dd + ka.ki) AS gain
+      |    $q * 2 * CAST(m.m AS HUGEINT) * (kuc.k - ka.ka)
+      |      - $p * CAST(ka.ki AS HUGEINT) * (db.dd - da.dd + ka.ki) AS gain
       |  FROM ka JOIN kuc ON ka.u = kuc.u AND kuc.c != ka.a
       |       JOIN dtot db ON kuc.c = db.c
       |       JOIN dtot da ON ka.a = da.c
@@ -418,6 +419,99 @@ object PipelineQueries {
       |  SELECT l.id, CAST(CASE WHEN best.gain > 0 THEN best.b
       |    ELSE l.lab END AS BIGINT) AS community
       |  FROM lp4 l LEFT JOIN best ON l.id = best.u)""".stripMargin
+
+  /** The full two-level-Leiden oracle (see `pl_leiden_two_level`'s
+    * comment) with the RESOLUTION γ = p/q threaded through both move
+    * passes' gains — (1, 1) is the classic-modularity gate; the γ gate
+    * replays the identically-scaled integer gains at p/q ≠ 1. */
+  private def leidenTwoLevelOracleSql(p: Long, q: Long): String =
+    s"""WITH RECURSIVE $lpaCtes,
+         |${louvainL1Ctes(p, q)},
+         |intra AS (SELECT k.a, k.b FROM kund k
+         |            JOIN l1 x ON k.a = x.id
+         |            JOIN l1 y ON k.b = y.id
+         |          WHERE x.community = y.community),
+         |isym AS (SELECT a AS s, b AS d FROM intra
+         |         UNION ALL SELECT b, a FROM intra),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM l1
+         |  UNION
+         |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s),
+         |ls AS MATERIALIZED (
+         |  -- the repaired level-1 assignment: 4 downstream references
+         |  SELECT id, min(r) AS community FROM reach GROUP BY id),
+         |cond AS MATERIALIZED (
+         |         SELECT least(a1.community, b1.community) AS ca,
+         |                greatest(a1.community, b1.community) AS cb,
+         |                CAST(count(*) AS BIGINT) AS w
+         |         FROM kund k JOIN ls a1 ON k.a = a1.id
+         |                     JOIN ls b1 ON k.b = b1.id
+         |         GROUP BY 1, 2),
+         |plain2 AS (SELECT ca AS a, cb AS b, w FROM cond WHERE ca <> cb),
+         |loops2 AS (SELECT ca AS id, 2 * w AS wl FROM cond WHERE ca = cb),
+         |sym2 AS (SELECT a AS u, b AS v, w FROM plain2
+         |         UNION ALL SELECT b, a, w FROM plain2),
+         |degp2 AS (SELECT u AS id, CAST(sum(w) AS BIGINT) AS dp
+         |          FROM sym2 GROUP BY 1),
+         |ids2 AS (SELECT DISTINCT community AS id FROM ls),
+         |deg2 AS (SELECT ids2.id,
+         |           coalesce(dp, 0) + coalesce(wl, 0) AS k
+         |         FROM ids2 LEFT JOIN degp2 USING (id)
+         |                   LEFT JOIN loops2 USING (id)),
+         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cond),
+         |cg2 AS (SELECT s.u, s.v AS b,
+         |          $q * 2 * CAST(m2.m AS HUGEINT) * s.w
+         |            - $p * CAST(du.k AS HUGEINT) * db.k AS gain
+         |        FROM sym2 s JOIN deg2 du ON s.u = du.id
+         |                    JOIN deg2 db ON s.v = db.id
+         |                    CROSS JOIN m2
+         |        WHERE s.v < s.u),
+         |best2 AS (SELECT u, b, gain FROM (
+         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
+         |      ORDER BY gain DESC, b) AS rn FROM cg2) WHERE rn = 1),
+         |l2 AS MATERIALIZED (
+         |  SELECT i.id, CAST(CASE WHEN best2.gain > 0 THEN best2.b
+         |         ELSE i.id END AS BIGINT) AS c2
+         |       FROM ids2 i LEFT JOIN best2 ON i.id = best2.u),
+         |intra2 AS (SELECT p.a, p.b FROM plain2 p
+         |             JOIN l2 x ON p.a = x.id
+         |             JOIN l2 y ON p.b = y.id
+         |           WHERE x.c2 = y.c2),
+         |isym2 AS (SELECT a AS s, b AS d FROM intra2
+         |          UNION ALL SELECT b, a FROM intra2),
+         |reach2(id, r) AS (
+         |  SELECT id, id FROM l2
+         |  UNION
+         |  SELECT isym2.d, reach2.r
+         |  FROM reach2 JOIN isym2 ON reach2.id = isym2.s),
+         |s2 AS (SELECT id, min(r) AS c FROM reach2 GROUP BY id)
+         |SELECT ls.id, s2.c AS community
+         |FROM ls JOIN s2 ON ls.community = s2.id
+         |ORDER BY ls.id""".stripMargin
+
+  /** Session-scoped LPA-SEED cache: all nine community gates seed from
+    * the SAME 4-round label propagation over the SAME fixture graph — a
+    * pure function of (session, sfDir), like the tables themselves — but
+    * each gate is independent by design, so without this each one re-ran
+    * the identical iterative seed (~1.5–2 s apiece of pure duplication
+    * across the suite). The [[graft.Tables.load]] memoization pattern,
+    * with a localCheckpoint so the seed computes ONCE and every consumer
+    * reads the materialized rows. Zero semantic change: consumers
+    * receive exactly the DataFrame they previously computed. */
+  private val lpaSeedCache = scala.collection.concurrent.TrieMap[
+    (org.apache.spark.sql.SparkSession, String),
+    org.apache.spark.sql.DataFrame]()
+
+  /** (cached 4-round LPA seed, fixture edges) for the community gates. */
+  private def lpaSeedGraph(s: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val (verts, edges) = lpaGeneratorGraph(s, d)
+    val seed = lpaSeedCache.getOrElseUpdate((s, d),
+      graft.functions.Graph.labelPropagation(verts, edges, iterations = 4)
+        .localCheckpoint())
+    (seed, edges)
+  }
 
   /** The Spark twin of [[lpaCtes]]'s generator: (vertices, edges). */
   private def lpaGeneratorGraph(s: org.apache.spark.sql.SparkSession,
@@ -2598,6 +2692,29 @@ object PipelineQueries {
         k = 12, sweeps = 3)
         .orderBy("vec_id")),
 
+    // K-MEANS OBJECTIVE (round 15): the within-cluster cosine objective
+    // under the trained centroids — the elbow number that picks k and
+    // the degenerate-seeding detector (empty clusters are ABSENT rows).
+    // Each vector's 1e9·(1 − cos) term is nano-rounded to a long before
+    // summing, so the per-cluster aggregate is an exact integer the
+    // oracle replays from the unrolled-sweep CTEs' final probe scores.
+    Q("pl_kmeans_objective",
+      s"""WITH $kmeansCtes,
+         |aobj AS (SELECT k.vec_id, k.cluster, p.score
+         |         FROM kasn k JOIN pf p
+         |           ON k.vec_id = p.vec_id AND k.cluster = p.cell)
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(round((1 - score) * 1e9) AS BIGINT))
+         |    AS DECIMAL(38,0)) AS objective_nano
+         |FROM aobj GROUP BY cluster ORDER BY cluster""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val cents = Similarity.kmeansTrain(
+          emb, "vec_id", "embedding", k = 12, sweeps = 3)
+        Similarity.kmeansObjective(emb, "embedding", cents)
+          .orderBy("cluster")
+      }),
+
     // CLUSTER-BALANCED SAMPLING (round 14): the SemDeDup-pipeline
     // composition — k-means the embedding space, then a deterministic
     // per-cluster quota (the k smallest mixed hashes per stratum, the
@@ -3827,9 +3944,8 @@ object PipelineQueries {
          |SELECT id, CAST(lab AS BIGINT) AS community
          |FROM lp4 ORDER BY id""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        graft.functions.Graph.labelPropagation(verts, edges,
-          iterations = 4).orderBy("id")
+        val (seed, _) = lpaSeedGraph(s, d)
+        seed.orderBy("id")
       }),
 
     // MODULARITY of the LPA assignment (round 12): the quality number
@@ -3869,9 +3985,7 @@ object PipelineQueries {
          |        LEFT JOIN degc USING (community) CROSS JOIN m
          |ORDER BY community""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val labels = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (labels, edges) = lpaSeedGraph(s, d)
         graft.functions.Graph.modularity(labels, edges)
           .withColumn("q_num", col("q_num").cast("bigint"))
           .orderBy("community")
@@ -3888,12 +4002,10 @@ object PipelineQueries {
     // quasi-random generator graph poorly — boundary vertices dominate).
     Q("pl_louvain_refine",
       s"""WITH $lpaCtes,
-         |$louvainL1Ctes
+         |${louvainL1Ctes()}
          |SELECT id, community FROM l1 ORDER BY id""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         graft.functions.Graph.louvainRefine(seed, edges)
           .orderBy("id")
       }),
@@ -3909,7 +4021,7 @@ object PipelineQueries {
     // the oracle replays it term for term.
     Q("pl_louvain_two_level",
       s"""WITH $lpaCtes,
-         |$louvainL1Ctes,
+         |${louvainL1Ctes()},
          |cond AS MATERIALIZED (
          |         -- referenced 3x (plain2/loops2/m2) — materialize, or
          |         -- each reference re-runs the condense joins
@@ -3948,9 +4060,7 @@ object PipelineQueries {
          |FROM l1 JOIN l2 ON l1.community = l2.id
          |ORDER BY l1.id""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         graft.functions.Graph.louvainTwoLevel(seed, edges)
           .orderBy("id")
       }),
@@ -3966,7 +4076,7 @@ object PipelineQueries {
     // refined assignment.
     Q("pl_louvain_connectivity",
       s"""WITH RECURSIVE $lpaCtes,
-         |$louvainL1Ctes,
+         |${louvainL1Ctes()},
          |intra AS (SELECT k.a, k.b FROM kund k
          |            JOIN l1 x ON k.a = x.id
          |            JOIN l1 y ON k.b = y.id
@@ -3983,9 +4093,7 @@ object PipelineQueries {
          |FROM cc JOIN l1 ON cc.id = l1.id
          |GROUP BY 1 ORDER BY community""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         val refined = graft.functions.Graph.louvainRefine(seed, edges)
         graft.functions.Graph.communityConnectivity(refined, edges)
           .orderBy("community")
@@ -4001,7 +4109,7 @@ object PipelineQueries {
     // component label instead of aggregating.
     Q("pl_leiden_split",
       s"""WITH RECURSIVE $lpaCtes,
-         |$louvainL1Ctes,
+         |${louvainL1Ctes()},
          |intra AS (SELECT k.a, k.b FROM kund k
          |            JOIN l1 x ON k.a = x.id
          |            JOIN l1 y ON k.b = y.id
@@ -4015,9 +4123,7 @@ object PipelineQueries {
          |SELECT id, min(r) AS community FROM reach
          |GROUP BY id ORDER BY id""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         val refined = graft.functions.Graph.louvainRefine(seed, edges)
         graft.functions.Graph.splitDisconnected(refined, edges)
           .orderBy("id")
@@ -4031,75 +4137,29 @@ object PipelineQueries {
     // pieces into one super-vertex forever; the oracle replays both
     // split passes as recursive reachability and the weighted gains
     // term for term over the REPAIRED condensed graph.
-    Q("pl_leiden_two_level",
-      s"""WITH RECURSIVE $lpaCtes,
-         |$louvainL1Ctes,
-         |intra AS (SELECT k.a, k.b FROM kund k
-         |            JOIN l1 x ON k.a = x.id
-         |            JOIN l1 y ON k.b = y.id
-         |          WHERE x.community = y.community),
-         |isym AS (SELECT a AS s, b AS d FROM intra
-         |         UNION ALL SELECT b, a FROM intra),
-         |reach(id, r) AS (
-         |  SELECT id, id FROM l1
-         |  UNION
-         |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s),
-         |ls AS MATERIALIZED (
-         |  -- the repaired level-1 assignment: 4 downstream references
-         |  SELECT id, min(r) AS community FROM reach GROUP BY id),
-         |cond AS MATERIALIZED (
-         |         SELECT least(a1.community, b1.community) AS ca,
-         |                greatest(a1.community, b1.community) AS cb,
-         |                CAST(count(*) AS BIGINT) AS w
-         |         FROM kund k JOIN ls a1 ON k.a = a1.id
-         |                     JOIN ls b1 ON k.b = b1.id
-         |         GROUP BY 1, 2),
-         |plain2 AS (SELECT ca AS a, cb AS b, w FROM cond WHERE ca <> cb),
-         |loops2 AS (SELECT ca AS id, 2 * w AS wl FROM cond WHERE ca = cb),
-         |sym2 AS (SELECT a AS u, b AS v, w FROM plain2
-         |         UNION ALL SELECT b, a, w FROM plain2),
-         |degp2 AS (SELECT u AS id, CAST(sum(w) AS BIGINT) AS dp
-         |          FROM sym2 GROUP BY 1),
-         |ids2 AS (SELECT DISTINCT community AS id FROM ls),
-         |deg2 AS (SELECT ids2.id,
-         |           coalesce(dp, 0) + coalesce(wl, 0) AS k
-         |         FROM ids2 LEFT JOIN degp2 USING (id)
-         |                   LEFT JOIN loops2 USING (id)),
-         |m2 AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM cond),
-         |cg2 AS (SELECT s.u, s.v AS b,
-         |          2 * CAST(m2.m AS HUGEINT) * s.w
-         |            - CAST(du.k AS HUGEINT) * db.k AS gain
-         |        FROM sym2 s JOIN deg2 du ON s.u = du.id
-         |                    JOIN deg2 db ON s.v = db.id
-         |                    CROSS JOIN m2
-         |        WHERE s.v < s.u),
-         |best2 AS (SELECT u, b, gain FROM (
-         |    SELECT u, b, gain, row_number() OVER (PARTITION BY u
-         |      ORDER BY gain DESC, b) AS rn FROM cg2) WHERE rn = 1),
-         |l2 AS MATERIALIZED (
-         |  SELECT i.id, CAST(CASE WHEN best2.gain > 0 THEN best2.b
-         |         ELSE i.id END AS BIGINT) AS c2
-         |       FROM ids2 i LEFT JOIN best2 ON i.id = best2.u),
-         |intra2 AS (SELECT p.a, p.b FROM plain2 p
-         |             JOIN l2 x ON p.a = x.id
-         |             JOIN l2 y ON p.b = y.id
-         |           WHERE x.c2 = y.c2),
-         |isym2 AS (SELECT a AS s, b AS d FROM intra2
-         |          UNION ALL SELECT b, a FROM intra2),
-         |reach2(id, r) AS (
-         |  SELECT id, id FROM l2
-         |  UNION
-         |  SELECT isym2.d, reach2.r
-         |  FROM reach2 JOIN isym2 ON reach2.id = isym2.s),
-         |s2 AS (SELECT id, min(r) AS c FROM reach2 GROUP BY id)
-         |SELECT ls.id, s2.c AS community
-         |FROM ls JOIN s2 ON ls.community = s2.id
-         |ORDER BY ls.id""".stripMargin)(
+    Q("pl_leiden_two_level", leidenTwoLevelOracleSql(1, 1))(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         graft.functions.Graph.leidenTwoLevel(seed, edges)
+          .orderBy("id")
+      }),
+
+    // RESOLUTION-γ LEIDEN (round 15): modularity's known resolution
+    // limit (Fortunato & Barthélemy 2007) is why Traag et al. 2019
+    // recommend a tunable objective — γ = p/q scales the degree-product
+    // penalty as an exact rational (gain_γ = q·2m·Δk − p·k_i·ΔD, the
+    // same integer discipline), resolving finer communities at γ > 1.
+    // Identical two-level chain at γ = 13/2 — chosen because it is the
+    // smallest surveyed NON-INTEGER resolution that moves this fixture
+    // (4 vertices change community, 38 → 37 communities), so the gate
+    // exercises BOTH integer scalings (q on the edge term, p on the
+    // penalty) and differs from the γ = 1 gate; the oracle replays the
+    // scaled gains term for term at both levels.
+    Q("pl_leiden_gamma", leidenTwoLevelOracleSql(13, 2))(
+      (s, d) => {
+        val (seed, edges) = lpaSeedGraph(s, d)
+        graft.functions.Graph.leidenLevels(seed, edges, levels = 2,
+          gammaNum = 13, gammaDen = 2)
           .orderBy("id")
       }),
 
@@ -4115,7 +4175,7 @@ object PipelineQueries {
     // normalization split), DECIMAL(38,0) stays in the API.
     Q("pl_louvain_score",
       s"""WITH $lpaCtes,
-         |$louvainL1Ctes,
+         |${louvainL1Ctes()},
          |cond AS MATERIALIZED (
          |         SELECT least(a1.community, b1.community) AS ca,
          |                greatest(a1.community, b1.community) AS cb,
@@ -4144,9 +4204,7 @@ object PipelineQueries {
          |     JOIN deg2 ON i.id = deg2.id CROSS JOIN m2
          |ORDER BY community""".stripMargin)(
       (s, d) => {
-        val (verts, edges) = lpaGeneratorGraph(s, d)
-        val seed = graft.functions.Graph.labelPropagation(
-          verts, edges, iterations = 4)
+        val (seed, edges) = lpaSeedGraph(s, d)
         // checkpoint the refined assignment: condense references it on
         // BOTH endpoints and the identity seed derives from it too —
         // un-checkpointed, each reference re-runs the whole refine tree

@@ -275,6 +275,41 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(three == two, s"levels=3 must equal levels=2 here: $three")
   }
 
+  test("resolution gamma: high gamma forbids the clique-reunite merge " +
+      "that gamma = 1 makes") {
+    // the same over-split bridged-cliques fixture: at γ = 1 the level-2
+    // super-gain for reuniting a clique's halves is 2m·w − k_u·k_b =
+    // 2·13·4 − 7·6 = 62 > 0, so the halves merge. At γ = 5/2 the exact
+    // scaled gain is q·2m·w − p·k_u·k_b = 2·104 − 5·42 = −2 < 0: the
+    // SAME move is forbidden — the resolution parameter doing its job
+    // (γ > 1 resolves finer communities; Fortunato & Barthélemy's
+    // resolution limit is the γ = 1 blind spot).
+    def clique(ids: Seq[Long]) =
+      for { a <- ids; b <- ids if a < b } yield (a, b)
+    val edges = (clique(Seq(1L, 2L, 3L, 4L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (4L -> 10L)).toDF("src", "dst")
+    val overSplit = Seq(
+      1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L,
+      10L -> 10L, 11L -> 10L, 12L -> 12L, 13L -> 12L)
+      .toDF("id", "community")
+    val fine = Graph.louvainLevels(overSplit, edges, levels = 2,
+      gammaNum = 5, gammaDen = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).map(fine).distinct.size >= 2,
+      s"gamma=5/2 must keep clique A split: $fine")
+    assert(Seq(10L, 11L, 12L, 13L).map(fine).distinct.size >= 2,
+      s"gamma=5/2 must keep clique B split: $fine")
+    // and (1, 1) is exactly the classic pass — same frame as no gamma
+    val classic = Graph.louvainLevels(overSplit, edges, levels = 2,
+      gammaNum = 1, gammaDen = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val plain = Graph.louvainTwoLevel(overSplit, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(classic == plain)
+    assert(Seq(1L, 2L, 3L, 4L).map(classic).distinct.size == 1,
+      s"gamma=1 must reunite clique A: $classic")
+  }
+
   test("modularityWeighted: condensation is modularity-invariant, " +
       "per community and exactly") {
     // the property that makes multi-level Louvain SOUND: scoring the

@@ -712,6 +712,33 @@ class PipelineSpec extends AnyFunSuite {
       "single-class margin must be null")
   }
 
+  test("kmeansObjective: sweeps tighten the objective, counts cover the " +
+      "corpus, and it is partition-invariant") {
+    val rows = (0 until 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Seq(1f, eps, 0f, 0f))
+      else (i.toLong, Seq(eps, 1f, 0f, 0f))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    def obj(sweeps: Int) = Similarity.kmeansObjective(emb, "embedding",
+      Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 2, sweeps))
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getDecimal(2).longValueExact())))
+    val refined = obj(3)
+    assert(refined.map(_._2._1).sum == 20L, s"counts cover: $refined")
+    assert(refined.forall { case (c, _) => c == 0 || c == 1 })
+    // Lloyd sweeps tighten the within-cluster objective on separable
+    // blobs (raw hash seeds are arbitrary corpus vectors)
+    assert(refined.map(_._2._2).sum <= obj(0).map(_._2._2).sum,
+      s"sweeps must not loosen the objective")
+    // nano-rounded per-row terms ⇒ the integer sums are layout-proof
+    val repart = Similarity.kmeansObjective(emb.repartition(7), "embedding",
+      Similarity.kmeansTrain(emb, "vec_id", "embedding", k = 2, sweeps = 3))
+      .collect().map(r => (r.getInt(0),
+        (r.getLong(1), r.getDecimal(2).longValueExact())))
+    assert(repart.toMap == refined.toMap)
+  }
+
   test("kmeansTrain fails loudly when the corpus cannot seed k clusters") {
     val emb = (0 until 3).map(i => (i.toLong, Seq(1f, i.toFloat)))
       .toDF("vec_id", "embedding")
