@@ -3425,6 +3425,54 @@ object PipelineQueries {
           .orderBy("day", "rank")
       }),
 
+    // STREAMING ingest on a VERSIONED BM25 index (round 15): two
+    // micro-batches through bm25IndexBatch — the exposed per-batch body
+    // of bm25IndexStream (the probeBatch testing precedent; no async
+    // stream needed) — against a SnapshotDir-versioned dir, probing
+    // after each. Then the crash case the composition exists for:
+    // batch 1's append marker is DELETED (simulating a crash between
+    // the append and the marker write) and the batch re-delivered —
+    // repair-then-append must net the landed rows out of the VERSIONED
+    // index (manifest-committed rewrites), recount meta from lens/, and
+    // re-append exactly once, so the day-2 probe is bit-identical to
+    // day 1 (the oracle's day-2 state is literally day 1's corpus
+    // again). Closes the last ungated composition of the index stack.
+    Q("pl_bm25_stream_versioned", bm25LifecycleOracleSql(Seq(
+      "doc_id < 325", "doc_id < 375", "doc_id < 375")))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-bm25-svidx").toString
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-bm25-svman").toString
+        val terms = Seq("table", "query", "spark")
+        Retrieval.saveBm25Index(
+          docs.filter(col("doc_id") < 250), "doc_id", "text", dir)
+        Retrieval.versionBm25Index(s, dir)
+        graft.streaming.StreamingDedup.bm25IndexBatch(
+          docs.filter(col("doc_id") >= 250 && col("doc_id") < 325),
+          dir, root, 0L, "doc_id", "text")
+        val day0 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        val b1 = docs.filter(col("doc_id") >= 325 && col("doc_id") < 375)
+        graft.streaming.StreamingDedup.bm25IndexBatch(
+          b1, dir, root, 1L, "doc_id", "text")
+        val day1 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15).localCheckpoint()
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/appended-1"), false)
+        graft.streaming.StreamingDedup.bm25IndexBatch(
+          b1, dir, root, 1L, "doc_id", "text")
+        val day2 = Retrieval.bm25Probe(
+          Retrieval.loadBm25Index(s, dir), terms, 15)
+        day0.withColumn("day", lit(0))
+          .unionByName(day1.withColumn("day", lit(1)))
+          .unionByName(day2.withColumn("day", lit(2)))
+          .select("day", "rank", "doc_id", "score")
+          .orderBy("day", "rank")
+      }),
+
     // BM25 append idempotence guard (round 13): a RE-DELIVERED batch —
     // at-least-once delivery outside the streaming path's manifest
     // protection — appends with skipExisting=true, so already-indexed
