@@ -451,6 +451,21 @@ object Stress {
       graft.functions.Similarity.kmeansAssign(
         emb, "vec_id", "embedding", k = 64, sweeps = 4)
     }
+    // round-15: the within-cluster objective under a FROZEN model — one
+    // narrow corpus scan + a broadcast k-row centroid join + one
+    // k-bounded integer aggregate. Linear in rows; ≤2× at 2×.
+    timeBody("kmeans_objective", n / 10) {
+      val m10 = n / 10
+      val emb = spark.range(m10).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      val cents = graft.functions.Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = 64, sweeps = 0)
+      graft.functions.Similarity.kmeansObjective(emb, "embedding", cents)
+        .write.format("noop").mode("overwrite").save()
+    }
     //  - graph_scomp: SCC over a DIRECTED random graph at n/10 edges —
     //    iterative (outer refinement × directed label propagation), so
     //    the cost is rounds × (join + agg); random directed graphs at
@@ -722,6 +737,18 @@ object Stress {
             lit(20L)).cast("string")))
       val model = graft.functions.TextAnalysis.nbTrain(seed, "label", "text")
       graft.functions.TextAnalysis.nbClassify(docs, "doc_id", "text", model)
+    }
+    // round-15: the threshold curation filter — the nb_classify plan
+    // plus one lead() in the already-present per-document window and a
+    // margin filter. Same corpus-linear shape; ≤2× at 2×.
+    time("nb_filter", n) {
+      val seed = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("label",
+          concat(lit("c"), pmod((col("doc_id") / 100).cast("long"),
+            lit(20L)).cast("string")))
+      val model = graft.functions.TextAnalysis.nbTrain(seed, "label", "text")
+      graft.functions.TextAnalysis.nbFilter(docs, "doc_id", "text", model,
+        keepLabel = "c3", minMarginNano = 100000000L)
     }
     // round-14: the connectivity diagnostic — two edge-endpoint joins
     // to restrict edges to same-community pairs, then one global CC run

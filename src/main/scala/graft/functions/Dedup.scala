@@ -772,6 +772,24 @@ object Dedup {
     else df.write.mode("append").parquet(dir)
   }
 
+  /** The OVERWRITE twin of [[appendParquet]] — the chokepoint every
+    * full-replacement save (model publish, small lookup table) routes
+    * through: a raw `mode("overwrite")` on a [[SnapshotDir]]-versioned
+    * dir would delete files pinned readers still reference AND leave
+    * the new files manifest-invisible orphans. On a versioned dir the
+    * replacement commits as a NEW snapshot version instead — which is
+    * exactly model-registry semantics: enable versioning on a model
+    * dir and every retrain publishes v+1, pinned consumers keep
+    * scoring with the model they loaded, and [[SnapshotDir.filesAt]]
+    * rolls back to any retained version. */
+  private[graft] def overwriteParquet(df: DataFrame, dir: String,
+      numFiles: Int): Unit = {
+    val spark = df.sparkSession
+    if (SnapshotDir.isVersioned(spark, dir))
+      SnapshotDir.commitRewrite(spark, dir, df, numFiles)
+    else df.coalesce(numFiles).write.mode("overwrite").parquet(dir)
+  }
+
   /** Load a persisted [[MinhashIndex]]. The DataFrames are plain parquet
     * scans over the file set present at load time (a pinned snapshot —
     * see [[snapshotFiles]]); nothing is materialized until a probe runs,

@@ -454,24 +454,47 @@ object Similarity {
   /** Persist a trained kmeans model (one row per centroid). The float
     * vectors round-trip parquet exactly, so save → [[loadKmeansModel]] →
     * [[kmeansAssignWith]] is bit-identical to assigning with the
-    * in-memory model (`pl_kmeans_batch` hash-proves it). */
+    * in-memory model (`pl_kmeans_batch` hash-proves it). Routed through
+    * the overwrite chokepoint: on a [[SnapshotDir]]-versioned model dir
+    * each save COMMITS a new model version (registry semantics — pinned
+    * consumers keep the model they loaded; [[loadKmeansModelAt]] rolls
+    * back), on a plain dir it is an ordinary overwrite. */
   def saveKmeansModel(spark: SparkSession,
       centroids: Array[Array[Float]], dir: String): Unit = {
     import spark.implicits._
-    centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cluster", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(dir)
+    Dedup.overwriteParquet(
+      centroids.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toSeq
+        .toDF("cluster", "centroid"),
+      dir, numFiles = 1)
   }
 
   /** Load a persisted kmeans model back to the driver-held k × dim
-    * array (bounded by construction — the model, never data). */
+    * array (bounded by construction — the model, never data). Pins the
+    * newest committed version on a versioned dir. */
   def loadKmeansModel(spark: SparkSession,
       dir: String): Array[Array[Float]] =
-    spark.read.parquet(dir)
-      .orderBy("cluster")
+    kmeansModelRows(
+      spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*))
+
+  /** TIME TRAVEL for the model registry ([[SnapshotDir.filesAt]]): the
+    * centroids AS OF a committed model version — re-scoring yesterday's
+    * batch with yesterday's model, or rolling back a bad retrain. */
+  def loadKmeansModelAt(spark: SparkSession, dir: String,
+      version: Long): Array[Array[Float]] =
+    kmeansModelRows(
+      spark.read.parquet(SnapshotDir.filesAt(spark, dir, version): _*))
+
+  private def kmeansModelRows(df: DataFrame): Array[Array[Float]] =
+    df.orderBy("cluster")
       .collect()
       .map(_.getSeq[Float](1).toArray)
+
+  /** Upgrade a persisted kmeans model dir to manifest-committed
+    * snapshot versioning — after this every [[saveKmeansModel]]
+    * publishes a new model VERSION instead of mutating the dir. */
+  def versionKmeansModel(spark: SparkSession, dir: String): Unit =
+    SnapshotDir.enable(spark, dir)
 
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,

@@ -407,10 +407,11 @@ object TextAnalysis {
     *
     * 100 TB shape: the model is (classes × vocab) rows — bounded by the
     * vocabulary, not the corpus; training is two aggregations over the
-    * SEED set (small by construction); classification is one corpus
-    * tokenize + one token-keyed join against the model + one
-    * (doc, class) partial-aggregated sum. No iteration, no driver data
-    * beyond the V/N scalars.
+    * SEED set (small by construction); classification
+    * ([[nbClassifyScored]]) is one corpus tokenize, one 1:1 broadcast
+    * join against the token-pivoted model, and one doc-keyed aggregate
+    * — no doc × class rows, no iteration, no driver data beyond the
+    * V/N scalars and the |classes|-row prior table.
     */
   def nbTrain(docs: DataFrame, labelCol: String,
       textCol: String): NbModel = {
@@ -447,8 +448,15 @@ object TextAnalysis {
     * discipline exists for; this matches a HUGEINT oracle replay term
     * for term). Tokens outside the training vocabulary take the class's
     * unseen mass; empty documents reduce to the prior. One token-keyed
-    * vocab-bounded join + one (doc, class) partial agg — the scoring
-    * pass is corpus-linear, the model side model-bounded.
+    * vocab-bounded join + one (doc, class) partial agg.
+    *
+    * This is the EXPLICIT per-pair frame — the analysis/debugging view
+    * (score distributions per class, calibration curves). It
+    * materializes |docs| · |classes| rows, so at corpus scale prefer
+    * [[nbClassifyScored]], which computes the identical integers
+    * without ever building the expansion (the algebraic split
+    * documented there) and measured LINEAR where this shape went
+    * superlinear on the 2M-doc stress corpus.
     *
     * @return (idCol, label, score_nano) — one row per document × class
     */
@@ -475,21 +483,16 @@ object TextAnalysis {
             * col("unseen_nano").cast(dec))).cast(dec).as("score_nano"))
   }
 
-  /** Classify with a FROZEN [[NbModel]]: argmax of [[nbScore]] over
-    * classes (ties to the smaller label).
+  /** Classify with a FROZEN [[NbModel]]: argmax of the [[nbScore]]
+    * scores over classes (ties to the smaller label). Same plan as
+    * [[nbClassifyScored]] minus the evidence columns.
     *
     * @return (idCol, predicted)
     */
   def nbClassify(docs: DataFrame, idCol: String, textCol: String,
-      model: NbModel): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      .orderBy(col("score_nano").desc, col("label").asc)
-    nbScore(docs, idCol, textCol, model)
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("label").as("predicted"))
-  }
+      model: NbModel): DataFrame =
+    nbClassifyScored(docs, idCol, textCol, model)
+      .select(col(idCol), col("predicted"))
 
   /** [[nbClassify]] plus the EVIDENCE: the winning class's score and
     * its margin over the runner-up class (nano log-units, exact
@@ -497,25 +500,130 @@ object TextAnalysis {
     * (FineWeb-Edu / DCLM keep documents whose classifier score clears a
     * threshold τ; the raw per-class log-likelihood is length-dependent,
     * the margin is the length-robust confidence). Single-class models
-    * have no runner-up → `margin_nano` null. Same plan as [[nbClassify]]
-    * plus one `lead` in the already-present per-document window — no
-    * extra shuffle.
+    * have no runner-up → `margin_nano` null.
+    *
+    * THE PLAN NEVER MATERIALIZES A doc × class ROW. [[nbScore]]'s
+    * explicit expansion costs |docs|·|classes| rows through a partial
+    * aggregate plus a (doc, class)-keyed sort-merge join — measured
+    * SUPERLINEAR on the 2M-doc × 20-class stress shape (2.5–3.0× at
+    * 2×: both the 40M-group partial agg and the 40M-row-per-side SMJ
+    * sort start spilling). Instead, the identical integers come from
+    * the algebraic split
+    * `score(d,c) = prior_c + n_d·unseen_c + Σ_matched tf·(logp − unseen_c)`
+    * (exact integer arithmetic — associativity holds, so the oracle is
+    * unchanged): the model pre-pivots to ONE row per token carrying a
+    * label → (logp − unseen) map, the corpus joins it 1 : 1 broadcast
+    * (no row expansion), ONE per-document hash aggregate computes all
+    * |classes| matched sums as generated DECIMAL(38,0) columns
+    * (map-side combine, |docs| groups — not |docs|·|classes|), and the
+    * argmax + runner-up fall out of one scalar `sort_array` over the
+    * |classes|-element score array. The class table rides the driver
+    * (model-bounded by construction — the kmeans-centroid contract);
+    * the only shuffles are the (doc, token) tf aggregate and the
+    * doc-keyed class-sum aggregate, both corpus-linear.
     *
     * @return (idCol, predicted, score_nano, margin_nano)
     */
   def nbClassifyScored(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol)
-      .orderBy(col("score_nano").desc, col("label").asc)
-    nbScore(docs, idCol, textCol, model)
-      .withColumn("__rk", row_number().over(w))
-      .withColumn("__next", lead(col("score_nano"), 1).over(w))
-      .filter(col("__rk") === 1)
-      .select(col(idCol), col("label").as("predicted"),
-        col("score_nano"),
-        (col("score_nano") - col("__next")).as("margin_nano"))
+    val dec = "decimal(38,0)"
+    // bounded driver pull: one row per class (label, prior, unseen)
+    val classes = model.priors
+      .select(col("label"), col("prior_nano"), col("unseen_nano"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    require(classes.nonEmpty,
+      "nbClassify needs a model with at least one class")
+    // model pre-pivot: token → map(label → logp − unseen), vocab-bounded
+    val adj = model.tokenLogProbs
+      .join(broadcast(model.priors.select(
+        col("label"), col("unseen_nano"))), "label")
+      .select(col("token"), col("label"),
+        (col("logp_nano") - col("unseen_nano")).as("__a"))
+      .groupBy("token")
+      .agg(map_from_entries(collect_list(
+        struct(col("label"), col("__a")))).as("__am"))
+    val base = docs.select(col(idCol).as("__id"),
+      tokens(col(textCol)).as("__t"))
+    val dlen = base.select(col("__id"),
+      size(col("__t")).cast("long").as("__n"))
+    val tf = base.select(col("__id"), explode(col("__t")).as("token"))
+      .groupBy("__id", "token").agg(count(lit(1)).as("__tf"))
+    // OOV tokens drop from the inner join — their mass is n·unseen
+    val sumCols = classes.zipWithIndex.map { case ((l, _, _), i) =>
+      sum(col("__tf").cast(dec) *
+        coalesce(element_at(col("__am"), lit(l)), lit(0L)).cast(dec))
+        .as(s"__s$i")
+    }
+    val sums = tf.join(broadcast(adj), "token")
+      .groupBy("__id")
+      .agg(sumCols.head, sumCols.tail: _*)
+    val entries = classes.zipWithIndex.map { case ((l, p, u), i) =>
+      struct(
+        (-(lit(p).cast(dec)
+          + col("__n").cast(dec) * lit(u).cast(dec)
+          + coalesce(col(s"__s$i"), lit(0).cast(dec)))).cast(dec).as("ns"),
+        lit(l).as("l"))
+    }
+    // asc struct order = score desc, ties to the smaller label
+    val arr = sort_array(array(entries: _*))
+    dlen.join(sums, Seq("__id"), "left_outer")
+      .select(col("__id").as(idCol),
+        arr(0)("l").as("predicted"),
+        (-arr(0)("ns")).cast(dec).as("score_nano"),
+        (if (classes.length > 1) (arr(1)("ns") - arr(0)("ns")).cast(dec)
+         else lit(null).cast(dec)).as("margin_nano"))
   }
+
+  /** Persist a trained [[NbModel]] (the [[graft.functions.Similarity]]
+    * kmeans-model lifecycle, for the classifier): `priors/` is one row
+    * per class, `token_log_probs/` one row per (class, vocab token) —
+    * model-bounded, written with its natural partitioning (a 10M-token
+    * vocab × 20 classes is still a small table, but not a one-file
+    * coalesce). Every stored column is an exact long, so save →
+    * [[loadNbModel]] → [[nbClassify]] is bit-identical to classifying
+    * with the in-memory model (`pl_nb_model_batch` hash-proves it) —
+    * train ONCE on the seed set, classify every nightly batch under the
+    * frozen model. Overwrites. */
+  def saveNbModel(model: NbModel, dir: String,
+      numFiles: Int = 8): Unit = {
+    Dedup.overwriteParquet(model.priors, s"$dir/priors", numFiles = 1)
+    Dedup.overwriteParquet(model.tokenLogProbs,
+      s"$dir/token_log_probs", numFiles)
+  }
+
+  /** Load a persisted [[NbModel]] — metadata-only (plain parquet scans;
+    * nothing materializes until a classification runs). Pins the newest
+    * committed version of each table on a versioned model dir. */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): NbModel =
+    NbModel(
+      spark.read.parquet(
+        Dedup.snapshotFiles(spark, s"$dir/priors"): _*),
+      spark.read.parquet(
+        Dedup.snapshotFiles(spark, s"$dir/token_log_probs"): _*))
+
+  /** TIME TRAVEL for the classifier model registry
+    * ([[SnapshotDir.filesAt]], both tables in lockstep — every
+    * [[saveNbModel]] commits each exactly once): the model AS OF a
+    * committed version — re-scoring yesterday's batch with yesterday's
+    * model, or rolling back a bad retrain. */
+  def loadNbModelAt(spark: org.apache.spark.sql.SparkSession,
+      dir: String, version: Long): NbModel =
+    NbModel(
+      spark.read.parquet(
+        SnapshotDir.filesAt(spark, s"$dir/priors", version): _*),
+      spark.read.parquet(
+        SnapshotDir.filesAt(spark, s"$dir/token_log_probs", version): _*))
+
+  /** Upgrade a persisted NB model dir to manifest-committed snapshot
+    * versioning — after this every [[saveNbModel]] publishes a new
+    * model VERSION instead of mutating the dir. */
+  def versionNbModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    Seq("priors", "token_log_probs").foreach(t =>
+      SnapshotDir.enable(spark, s"$dir/$t"))
 
   /** The threshold QUALITY/DOMAIN FILTER composition (the FineWeb-Edu /
     * DCLM curation step): keep documents the frozen model assigns

@@ -613,20 +613,47 @@ class PlanSpec extends AnyFunSuite {
       s"the assignment kernel must stay inside codegen:\n$p")
   }
 
-  test("nb classify: the corpus side partial-aggregates before the " +
-      "(doc, class) shuffle, priors broadcast, no cartesian blowup") {
+  test("kmeans objective: broadcast centroid join, one exchange (the " +
+      "k-bounded aggregate), partial map-side sums") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(64).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(8)), j =>
+          ((col("vec_id") * 7 + j).cast("double") / 10.0).cast("float")))
+    val cents = graft.functions.Similarity.kmeansTrain(
+      emb, "vec_id", "embedding", k = 4, sweeps = 1)
+    val p = graft.functions.Similarity.kmeansObjective(
+      emb, "embedding", cents)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the k-row centroid table must broadcast:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"only the final k-bounded aggregate may shuffle:\n$p")
+    assert(p.contains("partial"),
+      s"the objective sum must combine map-side:\n$p")
+  }
+
+  test("nb classify: no doc-by-class row expansion — the model map " +
+      "broadcasts, per-class sums ride one doc-keyed partial aggregate") {
     val p = plan("pl_nb_classifier")
-    // the bounded per-class prior table rides a broadcast nested loop
-    // (the deliberate doc × class expansion — |classes| rows, not data);
-    // no plain CartesianProduct may appear
-    assert(p.contains("BroadcastNestedLoopJoin"),
-      s"priors must broadcast into the doc × class expansion:\n$p")
+    // round 15: the doc × class expansion is GONE (it was the measured
+    // superlinearity at 2M docs — a |docs|·|classes|-group partial agg
+    // plus a (doc, class)-keyed SMJ, both spilling); the per-token
+    // label → adj map joins broadcast, and no nested-loop/cartesian
+    // shape may appear anywhere
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"the vocab-bounded model map must broadcast:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the doc × class expansion must not come back:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"no unbroadcast cartesian anywhere in classification:\n$p")
-    // both the per-(doc, token) tf and the per-(doc, class) score sums
-    // must combine map-side
+      s"no cartesian anywhere in classification:\n$p")
+    // the per-(doc, token) tf and per-doc class-sum aggregates must
+    // combine map-side
     assert(p.contains("partial_count") || p.contains("partial count") ||
       p.contains("Partial"),
       s"classification aggregates must have partial stages:\n$p")
+    // no per-document window: the argmax is a scalar sort_array
+    assert(!p.contains("Window"),
+      s"the argmax must not sort a window:\n$p")
   }
 }

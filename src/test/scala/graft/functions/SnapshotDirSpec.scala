@@ -189,6 +189,51 @@ class SnapshotDirSpec extends AnyFunSuite {
       .count() == 5L)
   }
 
+  test("model registry: versioned model dirs give rollback — each save " +
+      "commits a version, loadAt reproduces the old model exactly") {
+    import graft.TestSpark.sf
+    import org.apache.spark.sql.functions.col
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val dir = tmp("graft-kmm") + "/model"
+    // v1: the day-0 model
+    val m1 = Similarity.kmeansTrain(
+      emb.filter(col("vec_id") < 100), "vec_id", "embedding",
+      k = 4, sweeps = 2)
+    Similarity.saveKmeansModel(spark, m1, dir)
+    Similarity.versionKmeansModel(spark, dir)
+    // v2: a retrain on different data REPLACES the model
+    val m2 = Similarity.kmeansTrain(
+      emb.filter(col("vec_id") >= 100), "vec_id", "embedding",
+      k = 4, sweeps = 2)
+    Similarity.saveKmeansModel(spark, m2, dir)
+    assert(SnapshotDir.versions(spark, dir).size == 2)
+    val v1 = SnapshotDir.versions(spark, dir).head
+    assert(Similarity.loadKmeansModel(spark, dir).map(_.toSeq).toSeq ==
+      m2.map(_.toSeq).toSeq, "latest load must be the retrain")
+    assert(Similarity.loadKmeansModelAt(spark, dir, v1)
+      .map(_.toSeq).toSeq == m1.map(_.toSeq).toSeq,
+      "loadAt(v1) must reproduce the day-0 model bit-for-bit")
+    // the NB twin: both tables travel in lockstep
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val nbDir = tmp("graft-nbm") + "/model"
+    val nb1 = TextAnalysis.nbTrain(
+      docs.filter(col("doc_id") < 150), "source", "text")
+    TextAnalysis.saveNbModel(nb1, nbDir)
+    TextAnalysis.versionNbModel(spark, nbDir)
+    TextAnalysis.saveNbModel(TextAnalysis.nbTrain(
+      docs.filter(col("doc_id") >= 150 && col("doc_id") < 300),
+      "source", "text"), nbDir)
+    val nv1 = SnapshotDir.versions(spark, s"$nbDir/priors").head
+    val probe = docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+    val expected = TextAnalysis.nbClassify(
+      probe, "doc_id", "text", nb1).orderBy("doc_id").collect().toSeq
+    val replayed = TextAnalysis.nbClassify(probe, "doc_id", "text",
+      TextAnalysis.loadNbModelAt(spark, nbDir, nv1))
+      .orderBy("doc_id").collect().toSeq
+    assert(replayed == expected,
+      "classification under loadAt(v1) must equal the day-0 model's")
+  }
+
   test("gc retention is the one reader hazard: a DataFrame pinned to an " +
       "expired version fails on materialization — size keepVersions to " +
       "cover the longest reader") {
