@@ -466,6 +466,26 @@ object Stress {
       graft.functions.Similarity.kmeansObjective(emb, "embedding", cents)
         .write.format("noop").mode("overwrite").save()
     }
+    // round-15: nearest-class-centroid classification — train on an
+    // n/100 labeled slice (one exact-sum pass + a |classes|-row
+    // collect), classify the corpus in ONE narrow codegen'd pass (the
+    // model rides as literals — no join, no shuffle). Linear; ≤2× at 2×.
+    timeBody("centroid_classify", n / 10) {
+      val m10 = n / 10
+      val emb = spark.range(m10).toDF("vec_id")
+        .withColumn("embedding",
+          transform(sequence(lit(1), lit(32)), i =>
+            (pmod(xxhash64(pmod(col("vec_id"), lit(5000L)), i), lit(2000L))
+              .cast("double") / 1000.0 - 1.0).cast("float")))
+      val model = graft.functions.Similarity.centroidTrain(
+        emb.filter(col("vec_id") % 100 === 0)
+          .withColumn("lab", pmod((col("vec_id") / 100).cast("long"),
+            lit(8L)).cast("string")),
+        "embedding", "lab")
+      graft.functions.Similarity.centroidClassify(
+        emb, "vec_id", "embedding", model)
+        .write.format("noop").mode("overwrite").save()
+    }
     //  - graph_scomp: SCC over a DIRECTED random graph at n/10 edges —
     //    iterative (outer refinement × directed label propagation), so
     //    the cost is rounds × (join + agg); random directed graphs at

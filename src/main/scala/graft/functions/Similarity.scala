@@ -496,6 +496,128 @@ object Similarity {
   def versionKmeansModel(spark: SparkSession, dir: String): Unit =
     SnapshotDir.enable(spark, dir)
 
+  /** A trained nearest-class-centroid model: class labels (sorted,
+    * stringified) and their mean embeddings — |classes| × dim,
+    * driver-held like the kmeans centroids. */
+  final case class CentroidModel(labels: Array[String],
+      centroids: Array[Array[Float]])
+
+  /** NEAREST-CLASS-CENTROID embedding classifier (round 15) — the
+    * embedding-space twin of [[graft.functions.TextAnalysis.nbTrain]]:
+    * the standard cheap alternative to a learned classifier for
+    * model-based curation when the corpus is already embedded (label a
+    * seed set, classify everything by which class mean it is closest
+    * to). Training is ONE pass: [[Embeddings.labelCentroids]]'s exact
+    * integer per-label sums (the rational Σx·1e6 : n), one bounded
+    * |classes|-row collect, each mean materialized through the SAME
+    * one-IEEE-division-through-float formula as the Lloyd sweep — so
+    * the oracle replays it digit for digit. Labels are compared as
+    * strings (ties to the smaller); any label type casts in. */
+  def centroidTrain(seed: DataFrame, vecCol: String,
+      labelCol: String): CentroidModel = {
+    val rows = Embeddings.labelCentroids(
+      seed.select(col(labelCol).cast("string").as("__l"),
+        col(vecCol).as("__cv")), "__l", "__cv")
+      .collect()
+    require(rows.nonEmpty,
+      "centroidTrain needs a non-empty labeled seed set")
+    val sorted = rows.sortBy(_.getString(0))
+    val labels = sorted.map(_.getString(0))
+    val cents = sorted.map { r =>
+      val s = r.getSeq[Long](1)
+      val n = r.getLong(2)
+      s.map(v => (v.toDouble / (n * Embeddings.Scale).toDouble).toFloat)
+        .toArray
+    }
+    CentroidModel(labels, cents)
+  }
+
+  /** Classify with a FROZEN [[CentroidModel]] plus the EVIDENCE: per
+    * row the nearest class mean by cosine, the winning cosine
+    * nano-rounded to an exact long, and the margin over the runner-up
+    * class — the threshold a curation filter cuts on (the
+    * [[graft.functions.TextAnalysis.nbClassifyScored]] contract for
+    * embedded corpora). ONE narrow codegen'd pass: the |classes| × dim
+    * model rides the row as literals (cosine vs each class mean +
+    * one scalar `sort_array` argmax — no join, no shuffle, no
+    * doc × class rows), the kmeans frozen-assignment shape. Ties go to
+    * the smaller label; single-class models have null margin.
+    *
+    * @return (idCol, predicted, score_nano, margin_nano)
+    */
+  def centroidClassifyScored(df: DataFrame, idCol: String,
+      vecCol: String, model: CentroidModel): DataFrame = {
+    val entries = model.labels.zip(model.centroids).map { case (l, c) =>
+      struct(
+        (-round(cosine(col("__cv"), typedLit(c.toSeq)) * lit(1e9)))
+          .cast("long").as("ns"),
+        lit(l).as("l"))
+    }
+    val arr = sort_array(array(entries.toIndexedSeq: _*))
+    df.select(col(idCol), col(vecCol).as("__cv"))
+      .select(col(idCol),
+        arr(0)("l").as("predicted"),
+        (-arr(0)("ns")).as("score_nano"),
+        (if (model.labels.length > 1) arr(1)("ns") - arr(0)("ns")
+         else lit(null).cast("long")).as("margin_nano"))
+  }
+
+  /** [[centroidClassifyScored]] minus the evidence columns.
+    * @return (idCol, predicted) */
+  def centroidClassify(df: DataFrame, idCol: String, vecCol: String,
+      model: CentroidModel): DataFrame =
+    centroidClassifyScored(df, idCol, vecCol, model)
+      .select(col(idCol), col("predicted"))
+
+  /** The embedding-side threshold filter: keep rows the frozen model
+    * assigns `keepLabel` with at least `minMarginNano` nano-cosine of
+    * margin over the runner-up class.
+    * @return (idCol, margin_nano) */
+  def centroidFilter(df: DataFrame, idCol: String, vecCol: String,
+      model: CentroidModel, keepLabel: String,
+      minMarginNano: Long): DataFrame =
+    centroidClassifyScored(df, idCol, vecCol, model)
+      .filter(col("predicted") === keepLabel &&
+        col("margin_nano") >= lit(minMarginNano))
+      .select(col(idCol), col("margin_nano"))
+
+  /** Persist a [[CentroidModel]] (one row per class). Floats round-trip
+    * parquet exactly; routed through the overwrite chokepoint, so a
+    * [[SnapshotDir]]-versioned model dir gets registry semantics
+    * (each retrain commits a version; [[loadCentroidModelAt]] rolls
+    * back). */
+  def saveCentroidModel(spark: SparkSession, model: CentroidModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    Dedup.overwriteParquet(
+      model.labels.zip(model.centroids)
+        .map { case (l, c) => (l, c.toSeq) }.toSeq
+        .toDF("label", "centroid"),
+      dir, numFiles = 1)
+  }
+
+  /** Load a persisted [[CentroidModel]] (pins the newest committed
+    * version on a versioned dir). */
+  def loadCentroidModel(spark: SparkSession, dir: String): CentroidModel =
+    centroidModelRows(
+      spark.read.parquet(Dedup.snapshotFiles(spark, dir): _*))
+
+  /** TIME TRAVEL for the centroid-model registry. */
+  def loadCentroidModelAt(spark: SparkSession, dir: String,
+      version: Long): CentroidModel =
+    centroidModelRows(
+      spark.read.parquet(SnapshotDir.filesAt(spark, dir, version): _*))
+
+  private def centroidModelRows(df: DataFrame): CentroidModel = {
+    val rows = df.orderBy("label").collect()
+    CentroidModel(rows.map(_.getString(0)),
+      rows.map(_.getSeq[Float](1).toArray))
+  }
+
+  /** Upgrade a persisted centroid model dir to snapshot versioning. */
+  def versionCentroidModel(spark: SparkSession, dir: String): Unit =
+    SnapshotDir.enable(spark, dir)
+
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame,
       qidCol: String, idCol: String, vecCol: String,

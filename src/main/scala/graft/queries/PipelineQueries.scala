@@ -802,6 +802,39 @@ object PipelineQueries {
     }
   }
 
+  /** DuckDB replay of [[graft.functions.Similarity.centroidTrain]] +
+    * `centroidClassifyScored` over the labeled embeddings: per-label
+    * exact scaled-long sums → the Lloyd mean formula (one IEEE double
+    * division rounded through float) → nano-rounded cosine per class →
+    * argmax with ties to the smaller stringified label, runner-up score
+    * alongside. Ends in `crk(vec_id, label, cn, rn, nxt)`. */
+  private val centroidOracleCtes: String = {
+    import SignLshSql._
+    val dim = 64
+    s"""seed AS (SELECT CAST(label AS VARCHAR) AS label, embedding
+       |             FROM embeddings WHERE vec_id < 300),
+       |csums AS (SELECT label, j,
+       |    SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
+       |    count(*) AS n
+       |  FROM seed CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS j) jj
+       |  GROUP BY label, j),
+       |ccents AS (SELECT label,
+       |    list(CAST(CAST(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE) ORDER BY j) AS cent
+       |  FROM csums GROUP BY label),
+       |cprobe AS (SELECT vec_id, embedding FROM embeddings
+       |           WHERE vec_id >= 300),
+       |csc AS (SELECT p.vec_id, c.label,
+       |    CAST(round(${cosineVsCent("p.embedding", "c.cent", dim)} * 1e9)
+       |      AS BIGINT) AS cn
+       |  FROM cprobe p CROSS JOIN ccents c),
+       |crk AS (SELECT vec_id, label, cn,
+       |    row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cn DESC, label) AS rn,
+       |    lead(cn) OVER (PARTITION BY vec_id
+       |      ORDER BY cn DESC, label) AS nxt
+       |  FROM csc)""".stripMargin
+  }
+
   /** DuckDB mirror of [[Similarity.ivfTopK]] (nCells=16, nProbe=4) — now
     * replayable because the Lloyd sweep is exact: seed order from
     * XXH64.hashLong(vec_id, 42) (signed compare), phase-A/B assignment via
@@ -2732,6 +2765,51 @@ object PipelineQueries {
         Tables.load(s, d, "embeddings"), "vec_id", "embedding",
         k = 12, sweeps = 3)
         .orderBy("vec_id")),
+
+    // NEAREST-CLASS-CENTROID classifier (round 15): the embedding-space
+    // twin of pl_nb_classifier — train per-class mean embeddings on the
+    // labeled seed (exact scaled-long sums, the Lloyd mean formula),
+    // classify the tail by nano-rounded cosine argmax with the
+    // runner-up margin alongside (the curation filter's threshold
+    // number). ONE narrow codegen'd pass at classify time: the
+    // |classes| × dim model rides the rows as literals — no join, no
+    // shuffle, no doc × class rows (the shape the NB classifier's
+    // round-15 restructure arrived at, native here).
+    Q("pl_centroid_classify",
+      s"""WITH $centroidOracleCtes
+         |SELECT vec_id, label AS predicted, cn AS score_nano,
+         |       cn - nxt AS margin_nano
+         |FROM crk WHERE rn = 1 ORDER BY vec_id""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val model = Similarity.centroidTrain(
+          emb.filter(col("vec_id") < 300), "embedding", "label")
+        Similarity.centroidClassifyScored(
+          emb.filter(col("vec_id") >= 300), "vec_id", "embedding", model)
+          .orderBy("vec_id")
+      }),
+
+    // ... and its threshold-filter + model-lifecycle composition: train
+    // → SAVE → LOAD → keep rows the frozen stored model assigns class
+    // '3' with ≥ τ nano-cosine margin (floats round-trip parquet
+    // exactly, so the stored model classifies bit-identically).
+    Q("pl_centroid_filter",
+      s"""WITH $centroidOracleCtes
+         |SELECT vec_id, cn - nxt AS margin_nano
+         |FROM crk WHERE rn = 1 AND label = '3'
+         |  AND cn - nxt >= 30000000 ORDER BY vec_id""".stripMargin)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-centroid-model").toString
+        Similarity.saveCentroidModel(s, Similarity.centroidTrain(
+          emb.filter(col("vec_id") < 300), "embedding", "label"), dir)
+        Similarity.centroidFilter(
+          emb.filter(col("vec_id") >= 300), "vec_id", "embedding",
+          Similarity.loadCentroidModel(s, dir),
+          keepLabel = "3", minMarginNano = 30000000L)
+          .orderBy("vec_id")
+      }),
 
     // K-MEANS OBJECTIVE (round 15): the within-cluster cosine objective
     // under the trained centroids — the elbow number that picks k and

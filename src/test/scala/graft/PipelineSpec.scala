@@ -739,6 +739,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(repart.toMap == refined.toMap)
   }
 
+  test("centroid classifier: separable blobs classify perfectly, margins " +
+      "are positive, persist round-trips, single class has null margin") {
+    val seed = (0 until 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Seq(1f, eps, 0f, 0f), "a")
+      else (i.toLong, Seq(eps, 1f, 0f, 0f), "b")
+    }.toDF("vec_id", "embedding", "lab")
+    val model = Similarity.centroidTrain(seed, "embedding", "lab")
+    assert(model.labels.toSeq == Seq("a", "b"))
+    val probe = Seq(
+      (100L, Seq(0.9f, 0.1f, 0f, 0f)),
+      (101L, Seq(0.2f, 0.8f, 0f, 0f))).toDF("vec_id", "embedding")
+    val got = Similarity.centroidClassifyScored(
+      probe, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(got(100L)._1 == "a" && got(101L)._1 == "b", s"$got")
+    assert(got.values.forall(_._2 > 0L), s"margins positive: $got")
+    // persist → load classifies bit-identically (and the filter keeps
+    // exactly the cleared rows)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-cm").toString + "/m"
+    Similarity.saveCentroidModel(spark, model, dir)
+    val re = Similarity.centroidClassifyScored(probe, "vec_id",
+      "embedding", Similarity.loadCentroidModel(spark, dir))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(3)))).toMap
+    assert(re == got)
+    val kept = Similarity.centroidFilter(probe, "vec_id", "embedding",
+      model, "a", got(100L)._2).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(100L), s"$kept")
+    // single-class model: no runner-up → null margin
+    val one = Similarity.centroidTrain(
+      seed.filter(col("lab") === "a"), "embedding", "lab")
+    assert(Similarity.centroidClassifyScored(
+      probe, "vec_id", "embedding", one).collect().forall(_.isNullAt(3)))
+  }
+
   test("kmeansTrain fails loudly when the corpus cannot seed k clusters") {
     val emb = (0 until 3).map(i => (i.toLong, Seq(1f, i.toFloat)))
       .toDF("vec_id", "embedding")

@@ -633,6 +633,27 @@ class PlanSpec extends AnyFunSuite {
       s"the objective sum must combine map-side:\n$p")
   }
 
+  test("centroid classify is one narrow pass: no exchange, no join — " +
+      "the class-mean model rides the rows as literals") {
+    import org.apache.spark.sql.functions._
+    val emb = spark.range(64).toDF("vec_id")
+      .withColumn("embedding",
+        transform(sequence(lit(1), lit(8)), j =>
+          ((col("vec_id") * 7 + j).cast("double") / 10.0).cast("float")))
+      .withColumn("lab", (col("vec_id") % 3).cast("string"))
+    val model = graft.functions.Similarity.centroidTrain(
+      emb, "embedding", "lab")
+    val p = graft.functions.Similarity.centroidClassifyScored(
+      emb, "vec_id", "embedding", model)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"),
+      s"frozen-model classification must not shuffle:\n$p")
+    assert(!p.contains("Join"),
+      s"the class means are literals, never a join side:\n$p")
+    assert(p.contains("*("),
+      s"the scoring pass must stay inside codegen:\n$p")
+  }
+
   test("nb classify: no doc-by-class row expansion — the model map " +
       "broadcasts, per-class sums ride one doc-keyed partial aggregate") {
     val p = plan("pl_nb_classifier")
