@@ -67,6 +67,10 @@ NOTES = {
         "snapshot-versioned index (manifest commits; same oracle)",
     "pl_leiden_two_level": "two-level Leiden: the Louvain two-level "
         "chain plus one intra-community CC split pass per level",
+    "pl_leiden_gamma": "the full two-level Leiden chain again at "
+        "resolution gamma = 13/2 (scaled exact-integer gains)",
+    "pl_bm25_stream_versioned": "two streaming micro-batch appends + a "
+        "crash-replay repair on a versioned BM25 index, three probes",
     "pl_leiden_split": "LPA seed + refine + the Leiden split repair "
         "(one intra-community CC pass)",
     "pl_kmeans": "three integer-exact Lloyd sweeps (one corpus scan "
