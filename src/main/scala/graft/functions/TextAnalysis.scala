@@ -450,38 +450,23 @@ object TextAnalysis {
     * unseen mass; empty documents reduce to the prior. One token-keyed
     * vocab-bounded join + one (doc, class) partial agg.
     *
-    * This is the EXPLICIT per-pair frame — the analysis/debugging view
-    * (score distributions per class, calibration curves). It
-    * materializes |docs| · |classes| rows, so at corpus scale prefer
-    * [[nbClassifyScored]], which computes the identical integers
-    * without ever building the expansion (the algebraic split
-    * documented there) and measured LINEAR where this shape went
-    * superlinear on the 2M-doc stress corpus.
+    * This is the per-pair ANALYSIS frame (score distributions per
+    * class, calibration curves) — but it is computed EXPANSION-FREE:
+    * one map-side `explode` of [[nbClassifyScored]]'s per-document
+    * class-score array, after the aggregates. The |docs| · |classes|
+    * rows exist only in the output projection, never inside a shuffle
+    * or a join (an earlier lowering aggregated and joined ON the
+    * (doc, class) pairs and measured superlinear at 2M docs — see
+    * [[nbClassifyScored]]).
     *
     * @return (idCol, label, score_nano) — one row per document × class
     */
   def nbScore(docs: DataFrame, idCol: String, textCol: String,
-      model: NbModel): DataFrame = {
-    val dec = "decimal(38,0)"
-    val base = docs.select(col(idCol).as("__id"),
-      tokens(col(textCol)).as("__t"))
-    val dlen = base.select(col("__id"),
-      size(col("__t")).cast("long").as("__n"))
-    val tf = base.select(col("__id"), explode(col("__t")).as("token"))
-      .groupBy("__id", "token").agg(count(lit(1)).as("__tf"))
-    val matched = tf.join(model.tokenLogProbs, "token")
-      .groupBy(col("__id"), col("label"))
-      .agg(sum(col("__tf").cast(dec) * col("logp_nano").cast(dec))
-          .as("__ms"),
-        sum(col("__tf")).as("__mtf"))
-    dlen.crossJoin(broadcast(model.priors))
-      .join(matched, Seq("__id", "label"), "left_outer")
-      .select(col("__id").as(idCol), col("label"),
-        (col("prior_nano").cast(dec)
-          + coalesce(col("__ms"), lit(0).cast(dec))
-          + ((col("__n") - coalesce(col("__mtf"), lit(0L))).cast(dec)
-            * col("unseen_nano").cast(dec))).cast(dec).as("score_nano"))
-  }
+      model: NbModel): DataFrame =
+    nbWide(docs, idCol, textCol, model)
+      .select(col(idCol), explode(col("__e")).as("__x"))
+      .select(col(idCol), col("__x")("l").as("label"),
+        (-col("__x")("ns")).cast("decimal(38,0)").as("score_nano"))
 
   /** Classify with a FROZEN [[NbModel]]: argmax of the [[nbScore]]
     * scores over classes (ties to the smaller label). Same plan as
@@ -527,6 +512,40 @@ object TextAnalysis {
   def nbClassifyScored(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val dec = "decimal(38,0)"
+    val wide = nbWide(docs, idCol, textCol, model)
+    // asc struct order = score desc, ties to the smaller label; a
+    // single-class model's array has no element 1 → margin null via
+    // the size guard (array index out of range would also be null, but
+    // the guard states the intent)
+    val arr = sort_array(col("__e"))
+    wide.select(col(idCol),
+      arr(0)("l").as("predicted"),
+      (-arr(0)("ns")).cast(dec).as("score_nano"),
+      when(size(col("__e")) > 1, (arr(1)("ns") - arr(0)("ns")).cast(dec))
+        .as("margin_nano"))
+  }
+
+  /** The shared expansion-free NB scoring plan: one row per DOCUMENT
+    * carrying the |classes|-element array of (−score, label) structs.
+    * The algebraic split
+    * `score(d,c) = prior_c + n_d·unseen_c + Σ_matched tf·(logp − unseen_c)`
+    * (exact integers — associativity holds, so oracles are unchanged):
+    * the model pre-pivots to ONE row per token carrying a
+    * label → (logp − unseen) map, the corpus joins it 1 : 1 broadcast
+    * (no row expansion), ONE per-document hash aggregate computes all
+    * |classes| matched sums as generated DECIMAL(38,0) columns
+    * (map-side combine, |docs| groups — not |docs| · |classes|), and
+    * the per-class scores assemble as a scalar array. The class table
+    * rides the driver (model-bounded by construction — the
+    * kmeans-centroid contract); the only shuffles are the (doc, token)
+    * tf aggregate and the doc-keyed class-sum aggregate, both
+    * corpus-linear. (The previous (doc, class)-keyed lowering measured
+    * 2.5–3.0× at 2× on the 20-class stress shape — partial-agg groups
+    * and join-sort rows both |docs| · |classes|, spilling; this one
+    * measured 1.19×.) */
+  private def nbWide(docs: DataFrame, idCol: String, textCol: String,
+      model: NbModel): DataFrame = {
+    val dec = "decimal(38,0)"
     // bounded driver pull: one row per class (label, prior, unseen)
     val classes = model.priors
       .select(col("label"), col("prior_nano"), col("unseen_nano"))
@@ -566,14 +585,8 @@ object TextAnalysis {
           + coalesce(col(s"__s$i"), lit(0).cast(dec)))).cast(dec).as("ns"),
         lit(l).as("l"))
     }
-    // asc struct order = score desc, ties to the smaller label
-    val arr = sort_array(array(entries: _*))
     dlen.join(sums, Seq("__id"), "left_outer")
-      .select(col("__id").as(idCol),
-        arr(0)("l").as("predicted"),
-        (-arr(0)("ns")).cast(dec).as("score_nano"),
-        (if (classes.length > 1) (arr(1)("ns") - arr(0)("ns")).cast(dec)
-         else lit(null).cast(dec)).as("margin_nano"))
+      .select(col("__id").as(idCol), array(entries: _*).as("__e"))
   }
 
   /** Persist a trained [[NbModel]] (the [[graft.functions.Similarity]]

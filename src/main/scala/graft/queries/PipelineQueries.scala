@@ -2704,6 +2704,47 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // MODEL-BASED CURATION FUNNEL (round 15): the composition the new
+    // classifier pieces exist for, end to end under one oracle —
+    // heuristic length gate (≥ 30 tokens, 162/200 pass) → frozen-model
+    // classification with a CONFIDENCE cut (margin ≥ 100M nanos; the
+    // nearest sf0.01 margin is 1.5M away, four orders above the ULP
+    // band) → exact dedup among the confident survivors (min-id keeper
+    // per text) → per-class survivor counts. The per-doc scores are
+    // frozen-model pure, so gating before classifying changes nothing
+    // but the row count — exactly how a production pipeline staggers
+    // the cheap filters before the model pass.
+    Q("pl_curation_model",
+      "WITH " + nbOracleCtes + """,
+        |qdoc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 300
+        |  AND len(list_filter(string_split_regex(text, '\s+'),
+        |                      x -> len(x) > 0)) >= 30),
+        |conf AS (SELECT r.doc_id, r.label AS predicted, d.text
+        |         FROM rk r JOIN qdoc d USING (doc_id)
+        |         WHERE r.rn = 1 AND r.score - r.nxt >= 100000000),
+        |keep AS (SELECT conf.*, min(doc_id) OVER (PARTITION BY text)
+        |           AS keeper FROM conf)
+        |SELECT predicted, CAST(count(*) AS BIGINT) AS n_confident,
+        |  CAST(count(*) FILTER (WHERE keeper = doc_id) AS BIGINT)
+        |    AS n_kept
+        |FROM keep GROUP BY predicted ORDER BY predicted""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val q = docs.filter(col("doc_id") >= 300 &&
+          size(TextAnalysis.tokens(col("text"))) >= 30)
+        val conf = TextAnalysis.nbClassifyScored(
+          q, "doc_id", "text", nbGateModel(s, d))
+          .filter(col("margin_nano") >= lit(100000000L))
+          .join(q.select("doc_id", "text"), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("text"))
+        conf.withColumn("keeper", min(col("doc_id")).over(w))
+          .groupBy("predicted")
+          .agg(count(lit(1)).as("n_confident"),
+            count_if(col("keeper") === col("doc_id")).as("n_kept"))
+          .orderBy("predicted")
+      }),
+
     // fuzzy (edit-distance) near-dup: MinHash-LSH candidates verified
     // with exact Levenshtein — the OCR-noise/typo-farm dedup shape. Same
     // bounded shuffle as pl_minhash_dups (only band tuples and candidate

@@ -703,6 +703,18 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(kept == scored.filter { case (_, (l, m)) =>
       l == "spam" && m >= tau }.keySet, s"$kept")
+    // the per-pair analysis frame (now expansion-free — one explode of
+    // the scored array) covers the full doc × class grid and its argmax
+    // agrees with the classifier
+    val pairs = TextAnalysis.nbScore(test, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        r.getDecimal(2).longValueExact()).toMap
+    assert(pairs.size == 4 * 2, s"full grid: ${pairs.size}")
+    got.foreach { case (id, lab) =>
+      val best = pairs.collect { case ((i, l), s) if i == id => (l, s) }
+        .toSeq.minBy { case (l, s) => (-s, l) }._1
+      assert(best == lab, s"nbScore argmax must agree for doc $id")
+    }
     // single-class model: no runner-up, margin is null
     val oneClass = TextAnalysis.nbTrain(
       train.filter(col("label") === "spam"), "label", "text")
