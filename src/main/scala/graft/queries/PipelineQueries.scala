@@ -2664,13 +2664,18 @@ object PipelineQueries {
     // the target class with at least τ nano-log-units of margin over the
     // runner-up (the length-robust confidence; argmax alone cannot
     // express "score clears τ"). Scores are exact integer sums of
-    // nano-rounded model longs, so the margin oracles hash-exact; τ sits
-    // in a 65M-nano-wide gap of the sf0.01 margin distribution, far
-    // above any 1-ULP libm band (≤ doc_len nanos).
+    // nano-rounded model longs, so the margin INTEGERS replay exactly;
+    // τ sits in a 65M-nano-wide gap of the sf0.01 margin distribution,
+    // far above any 1-ULP libm band (≤ doc_len nanos). The gate OUTPUT
+    // narrows the engine's DECIMAL(38,0) margin to BIGINT on both sides
+    // (the r13 pl_modularity motion — the driver's value hasher
+    // normalizes decimal columns asymmetrically, so a decimal-typed
+    // output column hash-mismatches even on bit-equal values; gate-scale
+    // margins are ≤ 2.3e9, eight orders inside BIGINT).
     Q("pl_nb_filter",
       "WITH " + nbOracleCtes + """
         |SELECT doc_id,
-        |  CAST(score - nxt AS DECIMAL(38,0)) AS margin_nano FROM rk
+        |  CAST(score - nxt AS BIGINT) AS margin_nano FROM rk
         |WHERE rn = 1 AND label = 'src14' AND score - nxt >= 350000000
         |ORDER BY doc_id""".stripMargin)(
       (s, d) => {
@@ -2679,6 +2684,7 @@ object PipelineQueries {
           docs.filter(col("doc_id") >= 300), "doc_id", "text",
           nbGateModel(s, d),
           keepLabel = "src14", minMarginNano = 350000000L)
+          .withColumn("margin_nano", col("margin_nano").cast("long"))
           .orderBy("doc_id")
       }),
 
@@ -2858,6 +2864,12 @@ object PipelineQueries {
     // Each vector's 1e9·(1 − cos) term is nano-rounded to a long before
     // summing, so the per-cluster aggregate is an exact integer the
     // oracle replays from the unrolled-sweep CTEs' final probe scores.
+    // The gate OUTPUT narrows the engine's DECIMAL(38,0) sum to BIGINT
+    // on both sides (the r13 pl_modularity motion — the driver's value
+    // hasher normalizes decimal columns asymmetrically; gate-scale
+    // totals are ≤ 3.8e10, eight orders inside BIGINT). The engine
+    // keeps DECIMAL internally: a 100 TB cluster's sum of 2e9-nano
+    // terms genuinely overflows BIGINT.
     Q("pl_kmeans_objective",
       s"""WITH $kmeansCtes,
          |aobj AS (SELECT k.vec_id, k.cluster, p.score
@@ -2865,13 +2877,14 @@ object PipelineQueries {
          |           ON k.vec_id = p.vec_id AND k.cluster = p.cell)
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(round((1 - score) * 1e9) AS BIGINT))
-         |    AS DECIMAL(38,0)) AS objective_nano
+         |    AS BIGINT) AS objective_nano
          |FROM aobj GROUP BY cluster ORDER BY cluster""".stripMargin)(
       (s, d) => {
         val emb = Tables.load(s, d, "embeddings")
         val cents = Similarity.kmeansTrain(
           emb, "vec_id", "embedding", k = 12, sweeps = 3)
         Similarity.kmeansObjective(emb, "embedding", cents)
+          .withColumn("objective_nano", col("objective_nano").cast("long"))
           .orderBy("cluster")
       }),
 

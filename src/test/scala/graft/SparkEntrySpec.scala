@@ -32,6 +32,10 @@ class SparkEntrySpec extends AnyFunSuite {
   test("all queries run at sf0.001 and are non-degenerate") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, sf)
+      // decimal-output guard: the driver's value hasher normalizes
+      // decimal columns asymmetrically (cost a gate in r13 and two in
+      // r15) — fail at test time, not in a driver round
+      Verify.assertDecimalFree(name, df.schema)
       val n = df.count()
       withClue(s"$name:") { assert(n >= 0) }
     }
