@@ -575,11 +575,19 @@ object Similarity {
     * @return (idCol, margin_nano) */
   def centroidFilter(df: DataFrame, idCol: String, vecCol: String,
       model: CentroidModel, keepLabel: String,
-      minMarginNano: Long): DataFrame =
+      minMarginNano: Long): DataFrame = {
+    // fail loudly on the degenerate model (the kmeansTrain precedent):
+    // a single-class model has a null margin on every row, so the
+    // threshold filter would silently keep ZERO rows even though every
+    // row is predicted keepLabel
+    require(model.labels.length >= 2,
+      "centroidFilter needs a model with at least 2 classes — a " +
+        "single-class model has no runner-up margin to threshold on")
     centroidClassifyScored(df, idCol, vecCol, model)
       .filter(col("predicted") === keepLabel &&
         col("margin_nano") >= lit(minMarginNano))
       .select(col(idCol), col("margin_nano"))
+  }
 
   /** Persist a [[CentroidModel]] (one row per class). Floats round-trip
     * parquet exactly; routed through the overwrite chokepoint, so a

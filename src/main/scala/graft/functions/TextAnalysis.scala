@@ -389,7 +389,23 @@ object TextAnalysis {
     * side of every classification pass. All log-probabilities are
     * nano-scaled longs (the [[lmQuality]] discipline), so classification
     * sums are order-exact integers. */
-  final case class NbModel(priors: DataFrame, tokenLogProbs: DataFrame)
+  final case class NbModel(priors: DataFrame, tokenLogProbs: DataFrame) {
+    /** Bounded driver pull — one (label, prior, unseen) row per class,
+      * sorted, memoized per model instance so repeated classification
+      * passes (and the fail-loud class-count checks) collect once. */
+    lazy val classRows: Array[(String, Long, Long)] = priors
+      .select(col("label"), col("prior_nano"), col("unseen_nano"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+
+    /** (class, token) model-row count, memoized — the driver-known size
+      * [[nbWide]] gates its broadcast hint on. One count job per model
+      * instance (a parquet metadata count for loaded models; for
+      * freshly trained ones, one extra pass over the SEED set — small
+      * by construction). */
+    lazy val tokenRows: Long = tokenLogProbs.count()
+  }
 
   /** MULTINOMIAL NAIVE BAYES text classifier (round 14) — in-engine
     * MODEL-BASED filtering, the step modern curation pipelines run
@@ -543,15 +559,24 @@ object TextAnalysis {
     * 2.5–3.0× at 2× on the 20-class stress shape — partial-agg groups
     * and join-sort rows both |docs| · |classes|, spilling; this one
     * measured 1.19×.) */
+  /** Broadcast ceiling for the token-pivoted model map, in (class,
+    * token) model rows. Each pivoted entry costs ~40–60 bytes in the
+    * broadcast relation (token string + one map entry), so 50M rows is
+    * ~2–3 GB — comfortably under Spark's 8 GB broadcast hard limit
+    * while covering every realistic curation model (a 2M-token vocab ×
+    * 20 classes = 40M rows). Package-visible for the spec. */
+  private[graft] val NbBroadcastMaxModelRows = 50000000L
+
+  /** Whether a model of `tokenRows` (class, token) rows may carry the
+    * broadcast hint — see [[NbBroadcastMaxModelRows]]. */
+  private[graft] def nbModelBroadcastable(tokenRows: Long): Boolean =
+    tokenRows <= NbBroadcastMaxModelRows
+
   private def nbWide(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel): DataFrame = {
     val dec = "decimal(38,0)"
     // bounded driver pull: one row per class (label, prior, unseen)
-    val classes = model.priors
-      .select(col("label"), col("prior_nano"), col("unseen_nano"))
-      .collect()
-      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      .sortBy(_._1)
+    val classes = model.classRows
     require(classes.nonEmpty,
       "nbClassify needs a model with at least one class")
     // model pre-pivot: token → map(label → logp − unseen), vocab-bounded
@@ -575,7 +600,16 @@ object TextAnalysis {
         coalesce(element_at(col("__am"), lit(l)), lit(0L)).cast(dec))
         .as(s"__s$i")
     }
-    val sums = tf.join(broadcast(adj), "token")
+    // the broadcast hint bypasses autoBroadcastJoinThreshold, so gate
+    // it on the driver-known model size: a 10M-token × 20-class model
+    // pivots to a multi-GB map table that would OOM the driver or hit
+    // Spark's 8 GB broadcast hard limit — above the ceiling the join is
+    // left un-hinted and the planner picks (shuffle join for the giant
+    // model, which is the right plan there: both sides partition by
+    // token, corpus-linear)
+    val adjSized =
+      if (nbModelBroadcastable(model.tokenRows)) broadcast(adj) else adj
+    val sums = tf.join(adjSized, "token")
       .groupBy("__id")
       .agg(sumCols.head, sumCols.tail: _*)
     val entries = classes.zipWithIndex.map { case ((l, p, u), i) =>
@@ -606,16 +640,45 @@ object TextAnalysis {
       s"$dir/token_log_probs", numFiles)
   }
 
+  /** Fail-loud lockstep guard for the two-table NB model dir:
+    * [[saveNbModel]] commits `priors/` and `token_log_probs/` as two
+    * independent [[graft.functions.SnapshotDir]] commits, so a crash
+    * between them leaves the version counters permanently skewed —
+    * after which a versioned load would silently pair a priors table
+    * and a token table from DIFFERENT trainings. Loading therefore
+    * requires the two dirs' committed version sets to match exactly
+    * (and versioning to be all-or-neither); a skewed registry must be
+    * repaired (re-save) before it can be read. */
+  private def requireNbLockstep(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val pv = SnapshotDir.isVersioned(spark, s"$dir/priors")
+    val tv = SnapshotDir.isVersioned(spark, s"$dir/token_log_probs")
+    require(pv == tv,
+      s"NB model dir $dir: versioning is enabled on only one of " +
+        "priors/ and token_log_probs/ — the registry is skewed")
+    if (pv) {
+      val a = SnapshotDir.versions(spark, s"$dir/priors")
+      val b = SnapshotDir.versions(spark, s"$dir/token_log_probs")
+      require(a == b,
+        s"NB model dir $dir: priors/ versions $a and token_log_probs/ " +
+          s"versions $b diverge — a saveNbModel crashed between its two " +
+          "commits; re-save the model before loading")
+    }
+  }
+
   /** Load a persisted [[NbModel]] — metadata-only (plain parquet scans;
     * nothing materializes until a classification runs). Pins the newest
-    * committed version of each table on a versioned model dir. */
+    * committed version of each table on a versioned model dir, after
+    * the [[requireNbLockstep]] skew check. */
   def loadNbModel(spark: org.apache.spark.sql.SparkSession,
-      dir: String): NbModel =
+      dir: String): NbModel = {
+    requireNbLockstep(spark, dir)
     NbModel(
       spark.read.parquet(
         Dedup.snapshotFiles(spark, s"$dir/priors"): _*),
       spark.read.parquet(
         Dedup.snapshotFiles(spark, s"$dir/token_log_probs"): _*))
+  }
 
   /** TIME TRAVEL for the classifier model registry
     * ([[SnapshotDir.filesAt]], both tables in lockstep — every
@@ -623,12 +686,14 @@ object TextAnalysis {
     * committed version — re-scoring yesterday's batch with yesterday's
     * model, or rolling back a bad retrain. */
   def loadNbModelAt(spark: org.apache.spark.sql.SparkSession,
-      dir: String, version: Long): NbModel =
+      dir: String, version: Long): NbModel = {
+    requireNbLockstep(spark, dir)
     NbModel(
       spark.read.parquet(
         SnapshotDir.filesAt(spark, s"$dir/priors", version): _*),
       spark.read.parquet(
         SnapshotDir.filesAt(spark, s"$dir/token_log_probs", version): _*))
+  }
 
   /** Upgrade a persisted NB model dir to manifest-committed snapshot
     * versioning — after this every [[saveNbModel]] publishes a new
@@ -648,11 +713,19 @@ object TextAnalysis {
     */
   def nbFilter(docs: DataFrame, idCol: String, textCol: String,
       model: NbModel, keepLabel: String,
-      minMarginNano: Long): DataFrame =
+      minMarginNano: Long): DataFrame = {
+    // fail loudly on the degenerate model (the kmeansTrain precedent):
+    // a single-class model has a null margin on every row, so the
+    // threshold filter would silently keep ZERO rows even though every
+    // row is predicted keepLabel
+    require(model.classRows.length >= 2,
+      "nbFilter needs a model with at least 2 classes — a single-class " +
+        "model has no runner-up margin to threshold on")
     nbClassifyScored(docs, idCol, textCol, model)
       .filter(col("predicted") === keepLabel &&
         col("margin_nano") >= lit(minMarginNano))
       .select(col(idCol), col("margin_nano"))
+  }
 
   /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
     * starting every `chunkTokens − overlapTokens` (the stride), so each

@@ -502,11 +502,33 @@ object PipelineQueries {
     (org.apache.spark.sql.SparkSession, String),
     org.apache.spark.sql.DataFrame]()
 
+  /** Evict a session's cached seed/model entries when it stops: the
+    * TrieMaps would otherwise pin the stopped session's localCheckpoint
+    * blocks (and the session object itself) for the process lifetime.
+    * One listener per session, registered on first cache insert. */
+  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
+    .newKeySet[org.apache.spark.sql.SparkSession]()
+
+  private def hookCacheEviction(
+      s: org.apache.spark.sql.SparkSession): Unit =
+    if (evictionHooked.add(s))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler
+                .SparkListenerApplicationEnd): Unit = {
+            lpaSeedCache.filterInPlace((k, _) => k._1 ne s)
+            nbModelCache.filterInPlace((k, _) => k._1 ne s)
+            evictionHooked.remove(s)
+          }
+        })
+
   /** (cached 4-round LPA seed, fixture edges) for the community gates. */
   private def lpaSeedGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val (verts, edges) = lpaGeneratorGraph(s, d)
+    hookCacheEviction(s)
     val seed = lpaSeedCache.getOrElseUpdate((s, d),
       graft.functions.Graph.labelPropagation(verts, edges, iterations = 4)
         .localCheckpoint())
@@ -899,7 +921,8 @@ object PipelineQueries {
     graft.functions.TextAnalysis.NbModel]()
 
   private def nbGateModel(s: org.apache.spark.sql.SparkSession,
-      d: String): graft.functions.TextAnalysis.NbModel =
+      d: String): graft.functions.TextAnalysis.NbModel = {
+    hookCacheEviction(s)
     nbModelCache.getOrElseUpdate((s, d), {
       val m = TextAnalysis.nbTrain(
         Tables.load(s, d, "documents").filter(col("doc_id") < 300),
@@ -907,6 +930,7 @@ object PipelineQueries {
       graft.functions.TextAnalysis.NbModel(
         m.priors.localCheckpoint(), m.tokenLogProbs.localCheckpoint())
     })
+  }
 
   private val nbOracleCtes: String =
     """tr AS (SELECT source AS label, doc_id, text

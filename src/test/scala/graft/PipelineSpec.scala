@@ -789,6 +789,58 @@ class PipelineSpec extends AnyFunSuite {
       probe, "vec_id", "embedding", one).collect().forall(_.isNullAt(3)))
   }
 
+  test("degenerate-model + skewed-registry guards fail loudly; the NB " +
+      "broadcast hint is size-gated") {
+    // single-class models: the threshold filters would silently keep
+    // zero rows (null margin), so both entry points require >= 2 classes
+    val seed = (0 until 10).map(i =>
+      (i.toLong, Seq(1f, (i % 5) * 0.01f, 0f, 0f), "a"))
+      .toDF("vec_id", "embedding", "lab")
+    val oneCent = Similarity.centroidTrain(seed, "embedding", "lab")
+    val probe = Seq((100L, Seq(0.9f, 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.centroidFilter(
+        probe, "vec_id", "embedding", oneCent, "a", 0L)
+    }
+    assert(e1.getMessage.contains("2 classes"), e1.getMessage)
+    val docs = Seq((1L, "alpha beta", "x"), (2L, "beta gamma", "x"))
+      .toDF("doc_id", "text", "lab")
+    val oneNb = TextAnalysis.nbTrain(docs, "lab", "text")
+    val e2 = intercept[IllegalArgumentException] {
+      TextAnalysis.nbFilter(docs, "doc_id", "text", oneNb, "x", 0L)
+    }
+    assert(e2.getMessage.contains("2 classes"), e2.getMessage)
+    // broadcast-hint gate: pure size predicate, driver-known row count
+    assert(TextAnalysis.nbModelBroadcastable(1000L))
+    assert(!TextAnalysis.nbModelBroadcastable(
+      TextAnalysis.NbBroadcastMaxModelRows + 1))
+    // lockstep registry guard: a save that crashes between the priors
+    // and token_log_probs commits skews the version sets — loading the
+    // skewed registry must fail by name, not silently pair tables from
+    // different trainings
+    val two = Seq((1L, "alpha beta", "x"), (2L, "gamma delta", "y"))
+      .toDF("doc_id", "text", "lab")
+    val m = TextAnalysis.nbTrain(two, "lab", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-nb-lockstep").toString + "/m"
+    TextAnalysis.saveNbModel(m, dir)
+    TextAnalysis.versionNbModel(spark, dir)
+    // healthy registry loads fine
+    assert(TextAnalysis.loadNbModel(spark, dir)
+      .classRows.map(_._1).toSeq == Seq("x", "y"))
+    // simulate the crash: commit a new version to priors/ ONLY
+    graft.functions.Dedup.overwriteParquet(m.priors, s"$dir/priors", 1)
+    val e3 = intercept[IllegalArgumentException] {
+      TextAnalysis.loadNbModel(spark, dir)
+    }
+    assert(e3.getMessage.contains("diverge"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException] {
+      TextAnalysis.loadNbModelAt(spark, dir, 1L)
+    }
+    assert(e4.getMessage.contains("diverge"), e4.getMessage)
+  }
+
   test("kmeansTrain fails loudly when the corpus cannot seed k clusters") {
     val emb = (0 until 3).map(i => (i.toLong, Seq(1f, i.toFloat)))
       .toDF("vec_id", "embedding")
