@@ -2225,6 +2225,52 @@ object PipelineQueries {
           .select("day", "doc_id").orderBy("day", "doc_id")
       }),
 
+    // STREAMING ingest on a VERSIONED MinHash index (round 16): the
+    // pl_bm25_stream_versioned motion for the DEDUP index family — two
+    // micro-batches through StreamingDedup.probeBatch (the exposed
+    // per-batch body of minhashDedupStream; the probeBatch testing
+    // precedent, no async stream needed) against a SnapshotDir-versioned
+    // index: each batch probes, its survivors append (a manifest-
+    // committed version per append). Then the crash case: batch 2's
+    // append marker is DELETED (a crash between the append and the
+    // marker write) and the batch re-delivered — the replay must
+    // return the SAME survivor set from the committed manifest (never
+    // re-probe: the index already contains these survivors and their
+    // self-matches would wrongly drop them) and its re-append must be
+    // probe-neutral on the versioned dir (set semantics). Day 3 of the
+    // output is that replay; its oracle branch is literally surv2 again.
+    Q("pl_minhash_stream_versioned", indexUpdateOracle(
+      "UNION ALL SELECT CAST(3 AS INT) AS day, doc_id FROM surv2"))(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-minhash-svidx").toString
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-minhash-svman").toString
+        Dedup.saveMinhashIndex(
+          Dedup.minhashIndex(docs.filter(col("doc_id") < 250),
+            "doc_id", "text", n = 3, k = 64, rowsPerBand = 4), dir)
+        Dedup.versionMinhashIndex(s, dir)
+        val b1 = docs.filter(col("doc_id") >= 250 && col("doc_id") < 375)
+        val surv1 = graft.streaming.StreamingDedup.probeBatch(
+          b1, dir, root, 0L, "doc_id", "text", threshold = 0.4,
+          appendSurvivors = true)
+        val b2 = docs.filter(col("doc_id") >= 375 && col("doc_id") < 500)
+        val surv2 = graft.streaming.StreamingDedup.probeBatch(
+          b2, dir, root, 1L, "doc_id", "text", threshold = 0.4,
+          appendSurvivors = true)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$root/appended-1"), false)
+        val replay2 = graft.streaming.StreamingDedup.probeBatch(
+          b2, dir, root, 1L, "doc_id", "text", threshold = 0.4,
+          appendSurvivors = true)
+        surv1.select("doc_id").withColumn("day", lit(1))
+          .unionByName(surv2.select("doc_id").withColumn("day", lit(2)))
+          .unionByName(replay2.select("doc_id").withColumn("day", lit(3)))
+          .select("day", "doc_id").orderBy("day", "doc_id")
+      }),
+
     // DELETE propagation (round 12): a retention pass removes corpus
     // docs ≡ 0 (mod 3) from the persisted index; the batch probe must
     // then behave as if they never existed — some batch docs' ONLY
@@ -2531,6 +2577,33 @@ object PipelineQueries {
           when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
             .otherwise(reverse(col("embedding"))).as("embedding"))
         Similarity.appendToIvfPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
+          Similarity.loadIvfPqIndex(s, dir),
+          "vec_id", "embedding", 10, nProbe = 4)
+          .orderBy("query_id", "rank")
+      }),
+
+    // VERSIONED RESIDUAL-IVFADC lifecycle (round 16): the one index
+    // family whose maintenance path wasn't yet proven on a versioned
+    // dir — pl_ann_ivfadc_update's exact chain on SnapshotDir-versioned
+    // tables, plus a compaction before the probe (probe-neutral — same
+    // oracle; the compaction commits a rewrite version the pinned
+    // readers never see). Completes the versioned-gate matrix across
+    // ALL index families: MinHash, BM25, PQ, Hamming, IVF-PQ, IVFADC.
+    Q("pl_ann_ivfadc_versioned", ivfAdcUpdateOracleSql)(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft-radc-vidx").toString
+        Similarity.saveIvfPqIndex(
+          Similarity.ivfAdcIndex(emb, "vec_id", "embedding"), dir)
+        Similarity.versionIvfPqIndex(s, dir)
+        val batch = emb.filter(col("vec_id") < 200).select(
+          (col("vec_id") + 10000).as("vec_id"),
+          when(pmod(col("vec_id"), lit(7)) === 0, col("embedding"))
+            .otherwise(reverse(col("embedding"))).as("embedding"))
+        Similarity.appendToIvfPqIndex(s, dir, batch, "vec_id", "embedding")
+        Similarity.compactIvfPqIndex(s, dir, numFiles = 4)
         Similarity.ivfPqTopK(emb.filter(col("vec_id") < 5),
           Similarity.loadIvfPqIndex(s, dir),
           "vec_id", "embedding", 10, nProbe = 4)

@@ -232,6 +232,30 @@ class SnapshotDirSpec extends AnyFunSuite {
       .orderBy("doc_id").collect().toSeq
     assert(replayed == expected,
       "classification under loadAt(v1) must equal the day-0 model's")
+    // the CENTROID twin (round 16 — the last registry without a
+    // rollback pin): train v1, retrain v2, classify under loadAt(v1)
+    // must equal the day-0 model's output, latest load the retrain's
+    val cDir = tmp("graft-cmm") + "/model"
+    val c1 = Similarity.centroidTrain(
+      emb.filter(col("vec_id") < 150), "embedding", "label")
+    Similarity.saveCentroidModel(spark, c1, cDir)
+    Similarity.versionCentroidModel(spark, cDir)
+    val c2 = Similarity.centroidTrain(
+      emb.filter(col("vec_id") >= 150 && col("vec_id") < 300),
+      "embedding", "label")
+    Similarity.saveCentroidModel(spark, c2, cDir)
+    val cv1 = SnapshotDir.versions(spark, cDir).head
+    val cProbe = emb.filter(col("vec_id") >= 300 && col("vec_id") < 330)
+    def classify(m: Similarity.CentroidModel) =
+      Similarity.centroidClassifyScored(
+        cProbe, "vec_id", "embedding", m)
+        .orderBy("vec_id").collect().toSeq
+    assert(classify(Similarity.loadCentroidModelAt(spark, cDir, cv1))
+      == classify(c1),
+      "centroid classification under loadAt(v1) must equal day-0's")
+    assert(classify(Similarity.loadCentroidModel(spark, cDir))
+      == classify(c2),
+      "latest centroid load must be the retrain")
   }
 
   test("gc retention is the one reader hazard: a DataFrame pinned to an " +
