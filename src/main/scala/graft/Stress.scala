@@ -770,6 +770,21 @@ object Stress {
       graft.functions.TextAnalysis.nbFilter(docs, "doc_id", "text", model,
         keepLabel = "c3", minMarginNano = 100000000L)
     }
+    // round-16: the PERCENTILE curation filter — the nb_filter margin
+    // plan plus exact cutoff learning: kthLargest's bounded histogram
+    // passes (each one ≤65536-group aggregate over the checkpointed
+    // narrow (id, margin) frame — never a global sort), then one
+    // filter. The selection passes cost O(passes · scan of 16 B/row),
+    // so the row scales with the classify pass alone. ≤2× at 2×.
+    time("nb_filter_topfrac", n) {
+      val seed = docs.filter(col("doc_id") % 100 === 0)
+        .withColumn("label",
+          concat(lit("c"), pmod((col("doc_id") / 100).cast("long"),
+            lit(20L)).cast("string")))
+      val model = graft.functions.TextAnalysis.nbTrain(seed, "label", "text")
+      graft.functions.TextAnalysis.nbFilterTopFraction(
+        docs, "doc_id", "text", model, keepLabel = "c3", fraction = 0.25)
+    }
     // round-14: the connectivity diagnostic — two edge-endpoint joins
     // to restrict edges to same-community pairs, then one global CC run
     // (rounds bounded by the largest community's internal diameter) and

@@ -237,6 +237,81 @@ object Sampling {
   def shuffleKeySql(idCol: String, epoch: Long): String =
     mixSql(s"($idCol + ${epoch * 1000003L})")
 
+  /** EXACT k-th largest value of an integer column WITHOUT a global
+    * sort: iterative histogram refinement. Each pass is ONE bounded
+    * aggregate — at most 65536 map-side-combined buckets over the
+    * current value range — and narrows the range by 2^16, so any
+    * 64-bit range resolves in ≤ 4 passes (2–3 in practice after the
+    * adaptive min/max first pass). This is the 100 TB shape of "learn
+    * the score cutoff": corpus-linear scans, driver state one
+    * histogram, versus the global sort/rank a naive percentile takes.
+    * Offsets ride decimal(38,0) so a range spanning the full signed
+    * 64-bit space cannot wrap. Ignores null values. The result is a
+    * pure property of the multiset (selection is order-free), so it
+    * replays exactly in SQL (`row_number() ... DESC` at rank k).
+    *
+    * Callers iterating over an expensive plan should materialize the
+    * column first ([[keepTopFraction]] does). */
+  def kthLargest(df: DataFrame, valueCol: String, k: Long): Long = {
+    require(k >= 1, s"kthLargest needs k >= 1, got $k")
+    val dec = "decimal(38,0)"
+    val vals = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val head = vals.agg(min("__v"), max("__v"), count(lit(1))).head()
+    require(!head.isNullAt(0) && head.getLong(2) >= k,
+      s"kthLargest: k=$k exceeds the ${head.getLong(2)} non-null rows")
+    val buckets = 65536
+    var lo = BigInt(head.getLong(0))
+    var hi = BigInt(head.getLong(1))
+    var need = k // rank from the top within [lo, hi]
+    while (lo < hi) {
+      val w = ((hi - lo + 1) + (buckets - 1)) / buckets // width ≥ 1
+      val l = lo.toLong
+      val counts = vals
+        .filter(col("__v") >= lit(l) && col("__v") <= lit(hi.toLong))
+        .groupBy(floor((col("__v").cast(dec) - lit(l).cast(dec))
+          / lit(w.toLong)).cast("int").as("__b"))
+        .agg(count(lit(1)).as("__n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .sortBy(-_._1) // walk from the TOP bucket down
+      var sel = -1
+      for ((b, n) <- counts if sel < 0)
+        if (need <= n) sel = b else need -= n
+      assert(sel >= 0, "histogram walk must land (counts cover need)")
+      val nlo = lo + BigInt(sel) * w
+      hi = (nlo + w - 1).min(hi)
+      lo = nlo
+    }
+    lo.toLong
+  }
+
+  /** Keep the rows whose `scoreCol` is in the top `fraction` of the
+    * frame's score distribution — the production FineWeb-Edu / DCLM
+    * curation operation ("keep the top p% by classifier score"), where
+    * a fixed τ can't track a drifting distribution. The cutoff is the
+    * exact ceil(fraction·n)-th largest score ([[kthLargest]] — bounded
+    * histogram passes, never a global sort); rows TIED at the cutoff
+    * are all kept, so the result is a pure property of the data (no
+    * arbitrary tie-break), possibly exceeding p% by the tie width.
+    *
+    * The frame is localCheckpoint-ed first: the cutoff learning scans
+    * it ~3–5 times, so pass a NARROW projection (id + score — the
+    * checkpoint is what makes the repeated scans cheap; 16 bytes/row,
+    * not the corpus). Empty input returns empty. */
+  def keepTopFraction(df: DataFrame, scoreCol: String,
+      fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val scored = df.localCheckpoint()
+    val n = scored.count()
+    if (n == 0L) scored
+    else {
+      val k = math.ceil(fraction * n).toLong
+      val cutoff = kthLargest(scored, scoreCol, k)
+      scored.filter(col(scoreCol) >= lit(cutoff))
+    }
+  }
+
   def weightedStratified(
       df: DataFrame, strataCol: String, idCol: String,
       weightCol: String, k: Int): DataFrame = {

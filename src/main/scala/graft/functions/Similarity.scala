@@ -589,6 +589,29 @@ object Similarity {
       .select(col(idCol), col("margin_nano"))
   }
 
+  /** PERCENTILE-threshold curation for embedded corpora (round 16):
+    * keep the top `fraction` of keepLabel-predicted rows by margin —
+    * the [[graft.functions.TextAnalysis.nbFilterTopFraction]] contract
+    * with the nearest-class-centroid classifier. The cutoff is the
+    * exact ceil(p·n)-th largest margin via
+    * [[graft.functions.Sampling.kthLargest]] (bounded histogram
+    * passes over a checkpointed narrow frame — never a global sort);
+    * ties at the cutoff are kept.
+    * @return (idCol, margin_nano) */
+  def centroidFilterTopFraction(df: DataFrame, idCol: String,
+      vecCol: String, model: CentroidModel, keepLabel: String,
+      fraction: Double): DataFrame = {
+    require(model.labels.length >= 2,
+      "centroidFilterTopFraction needs a model with at least 2 " +
+        "classes — a single-class model has no runner-up margin to " +
+        "rank on")
+    Sampling.keepTopFraction(
+      centroidClassifyScored(df, idCol, vecCol, model)
+        .filter(col("predicted") === keepLabel)
+        .select(col(idCol), col("margin_nano")),
+      "margin_nano", fraction)
+  }
+
   /** Persist a [[CentroidModel]] (one row per class). Floats round-trip
     * parquet exactly; routed through the overwrite chokepoint, so a
     * [[SnapshotDir]]-versioned model dir gets registry semantics

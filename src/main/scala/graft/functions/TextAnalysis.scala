@@ -727,6 +727,37 @@ object TextAnalysis {
       .select(col(idCol), col("margin_nano"))
   }
 
+  /** PERCENTILE-threshold curation (round 16): keep the top `fraction`
+    * of keepLabel-predicted documents by margin — the production
+    * FineWeb-Edu operation ("keep the top p% by classifier score"),
+    * where [[nbFilter]]'s fixed τ can't track a drifting score
+    * distribution. Classification is the same frozen-model pass; the
+    * cutoff is the EXACT ceil(p·n)-th largest margin, learned by
+    * [[Sampling.kthLargest]]'s bounded histogram passes over a
+    * checkpointed narrow (id, margin) frame — never a global sort —
+    * and ties at the cutoff are kept (the result is a pure property of
+    * the data, SQL-replayable via `row_number() ... DESC` at rank k).
+    *
+    * @return (idCol, margin_nano BIGINT). Range contract: the margin is
+    * a per-document score difference, ≤ doc tokens × max |logp| nanos —
+    * BIGINT-safe for documents up to ~4·10⁸ tokens (the engine keeps
+    * DECIMAL internally where corpus SUMS demand it; a single
+    * document's margin does not).
+    */
+  def nbFilterTopFraction(docs: DataFrame, idCol: String,
+      textCol: String, model: NbModel, keepLabel: String,
+      fraction: Double): DataFrame = {
+    require(model.classRows.length >= 2,
+      "nbFilterTopFraction needs a model with at least 2 classes — a " +
+        "single-class model has no runner-up margin to rank on")
+    Sampling.keepTopFraction(
+      nbClassifyScored(docs, idCol, textCol, model)
+        .filter(col("predicted") === keepLabel)
+        .select(col(idCol), col("margin_nano").cast("long")
+          .as("margin_nano")),
+      "margin_nano", fraction)
+  }
+
   /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
     * starting every `chunkTokens − overlapTokens` (the stride), so each
     * chunk shares `overlapTokens` with its predecessor. Chunk count =

@@ -993,40 +993,45 @@ object PipelineQueries {
 
   /** Shared by `pl_kmeans` and `pl_cluster_sample`: the unrolled chain
     * ending in `kasn(vec_id, cluster)`. */
-  private def kmeansCtes: String = {
+  private def kmeansCtes: String = kmeansCtes(12, "")
+
+  /** [[kmeansCtes]] parameterized by k with every CTE name prefixed, so
+    * several chains (the elbow gate's k ∈ {4, 12, 24}) coexist under
+    * ONE `WITH`. The chain ends in `${pfx}kasn(vec_id, cluster)` and
+    * `${pfx}pf(vec_id, cell, score)`. */
+  private def kmeansCtes(k: Int, pfx: String): String = {
     import SignLshSql._
     val dim = 64
-    val k = 12
     val sweeps = 3
     def sweep(i: Int): String =
-      s"""p$i AS (SELECT e.vec_id, e.embedding, s.cell,
+      s"""${pfx}p$i AS (SELECT e.vec_id, e.embedding, s.cell,
          |    ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
-         |  FROM embeddings e CROSS JOIN c$i s),
-         |a$i AS (SELECT vec_id, embedding, cell FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM p$i)
+         |  FROM embeddings e CROSS JOIN ${pfx}c$i s),
+         |${pfx}a$i AS (SELECT vec_id, embedding, cell FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM ${pfx}p$i)
          |  WHERE rn = 1),
-         |sums$i AS (SELECT cell, j,
+         |${pfx}sums$i AS (SELECT cell, j,
          |    SUM(CAST(round(CAST(embedding[j] AS DOUBLE) * 1000000) AS BIGINT)) AS s,
          |    count(*) AS n
-         |  FROM a$i CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS j) jj GROUP BY cell, j),
-         |ref$i AS (SELECT cell,
+         |  FROM ${pfx}a$i CROSS JOIN (SELECT unnest(range(1,${dim + 1})) AS j) jj GROUP BY cell, j),
+         |${pfx}ref$i AS (SELECT cell,
          |    list(CAST(CAST(CAST(s AS DOUBLE) / CAST(n * 1000000 AS DOUBLE) AS FLOAT) AS DOUBLE) ORDER BY j) AS cent
-         |  FROM sums$i GROUP BY cell),
-         |c${i + 1} AS (SELECT s.cell, coalesce(r.cent, s.cent) AS cent
-         |            FROM c$i s LEFT JOIN ref$i r ON s.cell = r.cell)""".stripMargin
-    s"""ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
-       |${hashLongCtes("hl", "l", "CAST(42 AS HUGEINT)", "ids")},
-       |hord AS (SELECT vec_id, embedding,
-       |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM hl6),
-       |c0 AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS cell,
+         |  FROM ${pfx}sums$i GROUP BY cell),
+         |${pfx}c${i + 1} AS (SELECT s.cell, coalesce(r.cent, s.cent) AS cent
+         |            FROM ${pfx}c$i s LEFT JOIN ${pfx}ref$i r ON s.cell = r.cell)""".stripMargin
+    s"""${pfx}ids AS (SELECT vec_id, embedding, CAST(vec_id AS HUGEINT) AS l FROM embeddings),
+       |${hashLongCtes(s"${pfx}hl", "l", "CAST(42 AS HUGEINT)", s"${pfx}ids")},
+       |${pfx}hord AS (SELECT vec_id, embedding,
+       |    CASE WHEN h >= 9223372036854775808 THEN h - $W ELSE h END AS sh FROM ${pfx}hl6),
+       |${pfx}c0 AS (SELECT CAST(row_number() OVER (ORDER BY sh, vec_id) AS INT) - 1 AS cell,
        |       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cent
-       |       FROM hord ORDER BY sh LIMIT $k),
+       |       FROM ${pfx}hord ORDER BY sh LIMIT $k),
        |${(0 until sweeps).map(sweep).mkString(",\n")},
-       |pf AS (SELECT e.vec_id, s.cell,
+       |${pfx}pf AS (SELECT e.vec_id, s.cell,
        |    ${cosineVsCent("e.embedding", "s.cent", dim)} AS score
-       |  FROM embeddings e CROSS JOIN c$sweeps s),
-       |kasn AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM (
-       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM pf)
+       |  FROM embeddings e CROSS JOIN ${pfx}c$sweeps s),
+       |${pfx}kasn AS (SELECT vec_id, CAST(cell AS INTEGER) AS cluster FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cell DESC) AS rn FROM ${pfx}pf)
        |  WHERE rn = 1)""".stripMargin
   }
 
@@ -2785,6 +2790,33 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // PERCENTILE-THRESHOLD CURATION (round 16): the production
+    // FineWeb-Edu form of the filter above — keep the top 25% of
+    // keepLabel-predicted documents BY MARGIN, not a fixed τ. The
+    // engine learns the exact ceil(p·n)-th-largest cutoff via bounded
+    // histogram passes (Sampling.kthLargest — never a global sort; the
+    // oracle replays the selection as row_number() DESC at rank k over
+    // the same exact integer margins). Ties at the cutoff are kept by
+    // both engines, so the survivor set is a pure property of the data.
+    Q("pl_curation_topfrac",
+      "WITH " + nbOracleCtes + """,
+        |marg AS (SELECT doc_id, score - nxt AS m FROM rk
+        |         WHERE rn = 1 AND label = 'src14'),
+        |stat AS (SELECT count(*) AS n FROM marg),
+        |cutk AS (SELECT m AS c FROM (
+        |    SELECT m, row_number() OVER (ORDER BY m DESC) AS r
+        |    FROM marg), stat
+        |  WHERE r = CAST(ceil(0.25 * n) AS BIGINT))
+        |SELECT doc_id, CAST(m AS BIGINT) AS margin_nano
+        |FROM marg, cutk WHERE m >= c ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        TextAnalysis.nbFilterTopFraction(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text",
+          nbGateModel(s, d), keepLabel = "src14", fraction = 0.25)
+          .orderBy("doc_id")
+      }),
+
     // NB MODEL LIFECYCLE (round 15): train → SAVE → LOAD → classify
     // must be bit-identical to classifying with the in-memory model
     // (every stored column is an exact long; parquet round-trips them
@@ -2983,6 +3015,40 @@ object PipelineQueries {
         Similarity.kmeansObjective(emb, "embedding", cents)
           .withColumn("objective_nano", col("objective_nano").cast("long"))
           .orderBy("cluster")
+      }),
+
+    // K-MEANS ELBOW SWEEP (round 16): the comparison pl_kmeans_objective
+    // exists for — train at k ∈ {4, 12, 24} and read the total
+    // within-cluster objective per k (the actual elbow read; on this
+    // corpus the hash-ordered seeds nest across k, so the totals
+    // decrease in k — PipelineSpec asserts that read). Three prefixed
+    // copies of the unrolled Lloyd chain coexist under one oracle WITH;
+    // each total is the same exact-integer per-vector nano sum, so the
+    // three-row output hash-matches. BIGINT outputs (the gate-boundary
+    // contract).
+    Q("pl_kmeans_elbow", {
+      val branches = Seq(4 -> "e4", 12 -> "e12", 24 -> "e24")
+      s"""WITH ${branches.map { case (k, p) => kmeansCtes(k, p) }
+           .mkString(",\n")},
+         |tot AS (${branches.map { case (k, p) =>
+             s"""SELECT CAST($k AS INT) AS k,
+                |  CAST(sum(CAST(round((1 - y.score) * 1e9) AS BIGINT))
+                |    AS BIGINT) AS objective_nano
+                |FROM ${p}kasn x JOIN ${p}pf y
+                |  ON x.vec_id = y.vec_id AND x.cluster = y.cell"""
+               .stripMargin }.mkString("\nUNION ALL\n")})
+         |SELECT k, objective_nano FROM tot ORDER BY k""".stripMargin
+    })(
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+        Seq(4, 12, 24).map { k =>
+          val cents = Similarity.kmeansTrain(
+            emb, "vec_id", "embedding", k = k, sweeps = 3)
+          Similarity.kmeansObjective(emb, "embedding", cents)
+            .agg(sum(col("objective_nano")).cast("long")
+              .as("objective_nano"))
+            .select(lit(k).as("k"), col("objective_nano"))
+        }.reduce(_.unionByName(_)).orderBy("k")
       }),
 
     // CLUSTER-BALANCED SAMPLING (round 14): the SemDeDup-pipeline

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{Dedup, Similarity, TextAnalysis}
+import graft.functions.{Dedup, Sampling, Similarity, TextAnalysis}
 import graft.multimodal.Multimodal
 
 /** Deterministic tests for the pipeline operators whose hashes make them
@@ -839,6 +839,93 @@ class PipelineSpec extends AnyFunSuite {
       TextAnalysis.loadNbModelAt(spark, dir, 1L)
     }
     assert(e4.getMessage.contains("diverge"), e4.getMessage)
+  }
+
+  test("kthLargest/keepTopFraction: exact sort-free selection, ties " +
+      "kept, partition-invariant, centroid composition agrees") {
+    // range wider than one 65536-bucket histogram pass → multi-pass
+    // refinement; duplicates; negatives
+    val vals = Seq(5L, -3L, 1L << 40, 7L, (1L << 40) + 1, -3L, 100L)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+    assert(Sampling.kthLargest(df, "v", 1) == (1L << 40) + 1)
+    assert(Sampling.kthLargest(df, "v", 2) == (1L << 40))
+    assert(Sampling.kthLargest(df, "v", 3) == 100L)
+    assert(Sampling.kthLargest(df, "v", 6) == -3L)
+    assert(Sampling.kthLargest(df, "v", 7) == -3L)
+    assert(Sampling.kthLargest(df.repartition(5), "v", 3) == 100L,
+      "selection must be partition-invariant")
+    intercept[IllegalArgumentException] {
+      Sampling.kthLargest(df, "v", 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.kthLargest(df, "v", 0)
+    }
+    // randomized cross-check against the sorted definition
+    val rnd = new scala.util.Random(7)
+    val many = (0 until 300).map(i =>
+      (i.toLong, rnd.nextLong() % (1L << 50))).toDF("id", "v")
+    val sorted = many.collect().map(_.getLong(1)).sorted(
+      Ordering[Long].reverse)
+    for (k <- Seq(1, 17, 150, 300))
+      assert(Sampling.kthLargest(many, "v", k) == sorted(k - 1),
+        s"k=$k")
+    // keepTopFraction: ceil(p·n)-th largest cutoff, ties INCLUSIVE
+    // scores desc: 50,40,40,30,30,20,20,10,10,0
+    val scores = (1 to 10).map(i => (i.toLong, (i / 2) * 10L))
+      .toDF("id", "s")
+    def kept(p: Double) = Sampling.keepTopFraction(scores, "s", p)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept(0.3) == Set(8L, 9L, 10L)) // k=3, cutoff 40
+    assert(kept(0.2) == Set(8L, 9L, 10L),
+      "k=2 but the rank-2 value 40 is tied — ties are kept")
+    assert(kept(1.0) == (1L to 10L).toSet)
+    assert(Sampling.keepTopFraction(
+      scores.filter(col("id") < 0), "s", 0.5).count() == 0L)
+    // the centroid composition: top-half by margin equals the scored
+    // frame's own top half
+    val seed = (0 until 20).map { i =>
+      val eps = (i % 5) * 0.01f
+      if (i < 10) (i.toLong, Seq(1f, eps, 0f, 0f), "a")
+      else (i.toLong, Seq(eps, 1f, 0f, 0f), "b")
+    }.toDF("vec_id", "embedding", "lab")
+    val model = Similarity.centroidTrain(seed, "embedding", "lab")
+    val probe = (0 until 8).map(i =>
+      (100L + i, Seq(1f - i * 0.1f, i * 0.1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val scored = Similarity.centroidClassifyScored(
+      probe, "vec_id", "embedding", model)
+      .filter(col("predicted") === "a")
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    val k = math.ceil(0.5 * scored.size).toInt
+    val cutoff = scored.values.toSeq.sorted(Ordering[Long].reverse)
+      .apply(k - 1)
+    val expect = scored.filter(_._2 >= cutoff).keySet
+    val got = Similarity.centroidFilterTopFraction(
+      probe, "vec_id", "embedding", model, "a", 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"$got vs $expect")
+  }
+
+  test("kmeans elbow read: totals decrease in k on the fixture (nested " +
+      "hash-ordered seeds), and the gate rows equal the per-k sums") {
+    import TestSpark.sf
+    val emb = Tables.load(spark, sf, "embeddings")
+    val totals = Seq(4, 12, 24).map { k =>
+      val cents = Similarity.kmeansTrain(
+        emb, "vec_id", "embedding", k = k, sweeps = 3)
+      k -> Similarity.kmeansObjective(emb, "embedding", cents)
+        .agg(sum(col("objective_nano"))).head().getDecimal(0)
+        .longValueExact()
+    }
+    // the elbow comparison this operator family exists for: more
+    // clusters → tighter within-cluster objective (the seed chain is
+    // nested across k on this corpus, so the read is strict)
+    assert(totals(0)._2 > totals(1)._2 && totals(1)._2 > totals(2)._2,
+      s"elbow must decrease in k: $totals")
+    val gate = SparkEntry.queries("pl_kmeans_elbow")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    assert(gate == totals, s"gate rows must equal the per-k sums: $gate")
   }
 
   test("kmeansTrain fails loudly when the corpus cannot seed k clusters") {
