@@ -252,37 +252,97 @@ object Sampling {
     *
     * Callers iterating over an expensive plan should materialize the
     * column first ([[keepTopFraction]] does). */
-  def kthLargest(df: DataFrame, valueCol: String, k: Long): Long = {
-    require(k >= 1, s"kthLargest needs k >= 1, got $k")
+  def kthLargest(df: DataFrame, valueCol: String, k: Long): Long =
+    kthLargestMulti(df, valueCol, Seq(k))(k)
+
+  /** One refinement pass of the selection: the bounded histogram of
+    * `[lo, hi]` values in buckets of width `w` — a plain partial/final
+    * HashAggregate over ≤ 65536 groups, NO Sort, NO window, no join
+    * (PlanSpec pins that shape; the filter and bucket arithmetic are
+    * codegen'd). Exposed for the plan pin. */
+  private[graft] def selectionHistogram(vals: DataFrame, lo: Long,
+      hi: Long, w: Long): DataFrame = {
     val dec = "decimal(38,0)"
+    vals
+      .filter(col("__v") >= lit(lo) && col("__v") <= lit(hi))
+      .groupBy(floor((col("__v").cast(dec) - lit(lo).cast(dec))
+        / lit(w)).cast("int").as("__b"))
+      .agg(count(lit(1)).as("__n"))
+  }
+
+  /** [[kthLargest]] for SEVERAL ranks at once, sharing histogram
+    * passes: targets whose (lo, hi) search ranges coincide — always
+    * true on the first pass, usually for several passes after — are
+    * answered by ONE aggregate, so q quantiles cost far fewer than
+    * q × passes scans. Returns k → value. */
+  def kthLargestMulti(df: DataFrame, valueCol: String,
+      ks: Seq[Long]): Map[Long, Long] = {
+    require(ks.nonEmpty && ks.forall(_ >= 1),
+      s"kthLargestMulti needs ranks >= 1, got $ks")
     val vals = df.select(col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
     val head = vals.agg(min("__v"), max("__v"), count(lit(1))).head()
-    require(!head.isNullAt(0) && head.getLong(2) >= k,
-      s"kthLargest: k=$k exceeds the ${head.getLong(2)} non-null rows")
+    require(!head.isNullAt(0) && head.getLong(2) >= ks.max,
+      s"kthLargestMulti: k=${ks.max} exceeds the ${head.getLong(2)} " +
+        "non-null rows")
     val buckets = 65536
-    var lo = BigInt(head.getLong(0))
-    var hi = BigInt(head.getLong(1))
-    var need = k // rank from the top within [lo, hi]
-    while (lo < hi) {
-      val w = ((hi - lo + 1) + (buckets - 1)) / buckets // width ≥ 1
-      val l = lo.toLong
-      val counts = vals
-        .filter(col("__v") >= lit(l) && col("__v") <= lit(hi.toLong))
-        .groupBy(floor((col("__v").cast(dec) - lit(l).cast(dec))
-          / lit(w.toLong)).cast("int").as("__b"))
-        .agg(count(lit(1)).as("__n"))
-        .collect().map(r => (r.getInt(0), r.getLong(1)))
-        .sortBy(-_._1) // walk from the TOP bucket down
-      var sel = -1
-      for ((b, n) <- counts if sel < 0)
-        if (need <= n) sel = b else need -= n
-      assert(sel >= 0, "histogram walk must land (counts cover need)")
-      val nlo = lo + BigInt(sel) * w
-      hi = (nlo + w - 1).min(hi)
-      lo = nlo
+    // (original k, current lo, current hi, remaining top-rank in range)
+    var targets = ks.distinct
+      .map(k => (k, BigInt(head.getLong(0)), BigInt(head.getLong(1)), k))
+    val done = scala.collection.mutable.Map[Long, Long]()
+    while (targets.nonEmpty) {
+      targets = targets
+        .groupBy { case (_, lo, hi, _) => (lo, hi) }
+        .toSeq
+        .flatMap { case ((lo, hi), ts) =>
+          val w = ((hi - lo + 1) + (buckets - 1)) / buckets // width ≥ 1
+          val counts =
+            selectionHistogram(vals, lo.toLong, hi.toLong, w.toLong)
+              .collect().map(r => (r.getInt(0), r.getLong(1)))
+              .sortBy(-_._1) // walk from the TOP bucket down
+          ts.map { case (k, _, _, need0) =>
+            var need = need0
+            var sel = -1
+            for ((b, n) <- counts if sel < 0)
+              if (need <= n) sel = b else need -= n
+            assert(sel >= 0, "histogram walk must land")
+            val nlo = lo + BigInt(sel) * w
+            (k, nlo, (nlo + w - 1).min(hi), need)
+          }
+        }
+        .filter { case (k, lo, hi, _) =>
+          if (lo == hi) { done(k) = lo.toLong; false } else true
+        }
     }
-    lo.toLong
+    ks.map(k => k -> done(k)).toMap
+  }
+
+  /** EXACT discrete quantiles without a global sort: for each
+    * `fraction` p, the value at ascending rank ceil(p·n) (the "lower"
+    * / type-1 discrete quantile — p = 0.5 the lower median, p = 1 the
+    * max), answered via [[kthLargestMulti]] with the descending rank
+    * n − ceil(p·n) + 1, all fractions sharing histogram passes. The
+    * rank is computed with the fraction's DECIMAL string value,
+    * matching the oracle's SQL decimal-literal ceil(p·n): 0.07 · 1100
+    * is exactly 77 in decimal where the double product is
+    * 77.00000000000001 and would ceil to 78.
+    * @return (fraction, value) in input order */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+      fractions: Seq[Double]): Seq[(Double, Long)] = {
+    require(fractions.nonEmpty &&
+      fractions.forall(p => p > 0.0 && p <= 1.0),
+      s"fractions must be in (0, 1], got $fractions")
+    val vals = df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .localCheckpoint()
+    val n = vals.count()
+    require(n > 0, "exactQuantiles needs a non-empty column")
+    def rankOf(p: Double): Long =
+      (BigDecimal(p.toString) * n)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
+    val byK = kthLargestMulti(vals, "__v",
+      fractions.map(p => n - rankOf(p) + 1).distinct)
+    fractions.map(p => p -> byK(n - rankOf(p) + 1))
   }
 
   /** Keep the rows whose `scoreCol` is in the top `fraction` of the
@@ -306,10 +366,44 @@ object Sampling {
     val n = scored.count()
     if (n == 0L) scored
     else {
-      val k = math.ceil(fraction * n).toLong
+      // decimal-string rank arithmetic (see exactQuantiles): matches
+      // the oracle's SQL decimal-literal ceil(p·n) exactly
+      val k = (BigDecimal(fraction.toString) * n)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
       val cutoff = kthLargest(scored, scoreCol, k)
       scored.filter(col(scoreCol) >= lit(cutoff))
     }
+  }
+
+  /** [[keepTopFraction]] WITHIN each group — the per-language /
+    * per-domain / per-class balanced curation cut ("top p% of every
+    * stratum", so head strata can't crowd out the tail). The cutoff is
+    * per-group, so the lowering is the stratified-sampling shape
+    * rather than the global form's histogram passes (which would need
+    * one selection per group): ONE shuffle by `groupCol`, a per-group
+    * descending rank (ties broken by `tieCol` only for WHERE the rank
+    * lands — the kept set is still tie-inclusive and a pure property
+    * of the data), the group count and the rank-ceil(p·n_g) cutoff
+    * value as whole-partition window aggregates, then the `score ≥
+    * cutoff` filter. No global sort, no driver state; group
+    * cardinality is unbounded (each group sorts within its partition,
+    * spilling like any window).
+    * @return the surviving input rows */
+  def keepTopFractionByGroup(df: DataFrame, groupCol: String,
+      scoreCol: String, tieCol: String, fraction: Double): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val wOrd = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(tieCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    df.withColumn("__rnk", row_number().over(wOrd))
+      .withColumn("__kg",
+        ceil(lit(new java.math.BigDecimal(fraction.toString))
+          * count(lit(1)).over(wAll)).cast("long"))
+      .withColumn("__cut",
+        max(when(col("__rnk") === col("__kg"), col(scoreCol))).over(wAll))
+      .filter(col(scoreCol) >= col("__cut"))
+      .drop("__rnk", "__kg", "__cut")
   }
 
   def weightedStratified(

@@ -758,6 +758,29 @@ object TextAnalysis {
       "margin_nano", fraction)
   }
 
+  /** CLASS-BALANCED percentile curation (round 16): keep the top
+    * `fraction` of documents by margin WITHIN each predicted class —
+    * the balanced form of [[nbFilterTopFraction]], so high-confidence
+    * head classes can't crowd the whole budget (every class
+    * contributes its own top p%). One frozen-model scored pass, then
+    * [[Sampling.keepTopFractionByGroup]]'s single group-keyed shuffle
+    * (per-class rank + tie-inclusive cutoff — no global sort, no
+    * driver state, class count unbounded).
+    * @return (idCol, predicted, margin_nano BIGINT — the
+    * [[nbFilterTopFraction]] range contract) */
+  def nbFilterTopFractionByClass(docs: DataFrame, idCol: String,
+      textCol: String, model: NbModel, fraction: Double): DataFrame = {
+    require(model.classRows.length >= 2,
+      "nbFilterTopFractionByClass needs a model with at least 2 " +
+        "classes — a single-class model has no runner-up margin to " +
+        "rank on")
+    Sampling.keepTopFractionByGroup(
+      nbClassifyScored(docs, idCol, textCol, model)
+        .select(col(idCol), col("predicted"),
+          col("margin_nano").cast("long").as("margin_nano")),
+      "predicted", "margin_nano", idCol, fraction)
+  }
+
   /** RAG-style overlapping token chunks: windows of `chunkTokens` tokens
     * starting every `chunkTokens − overlapTokens` (the stride), so each
     * chunk shares `overlapTokens` with its predecessor. Chunk count =

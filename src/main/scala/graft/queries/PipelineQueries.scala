@@ -2817,6 +2817,35 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // CLASS-BALANCED percentile curation (round 16): the top 25% BY
+    // MARGIN WITHIN EACH PREDICTED CLASS — the balanced form of the
+    // gate above (head classes can't crowd the budget). One scored
+    // pass + one class-keyed shuffle with a per-class rank and a
+    // tie-inclusive rank-ceil(p·n_c) cutoff; the oracle replays the
+    // same windows over the same exact integer margins.
+    Q("pl_curation_topfrac_class",
+      "WITH " + nbOracleCtes + """,
+        |marg AS (SELECT doc_id, label AS predicted, score - nxt AS m
+        |         FROM rk WHERE rn = 1),
+        |wr AS (SELECT doc_id, predicted, m,
+        |    row_number() OVER (PARTITION BY predicted
+        |      ORDER BY m DESC, doc_id) AS rn2,
+        |    count(*) OVER (PARTITION BY predicted) AS n FROM marg),
+        |cut AS (SELECT predicted,
+        |    max(CASE WHEN rn2 = CAST(ceil(0.25 * n) AS BIGINT)
+        |        THEN m END) AS c
+        |  FROM wr GROUP BY predicted)
+        |SELECT w.doc_id, w.predicted, CAST(w.m AS BIGINT) AS margin_nano
+        |FROM wr w JOIN cut ON w.predicted = cut.predicted
+        |WHERE w.m >= cut.c ORDER BY doc_id""".stripMargin)(
+      (s, d) => {
+        val docs = Tables.load(s, d, "documents")
+        TextAnalysis.nbFilterTopFractionByClass(
+          docs.filter(col("doc_id") >= 300), "doc_id", "text",
+          nbGateModel(s, d), fraction = 0.25)
+          .orderBy("doc_id")
+      }),
+
     // NB MODEL LIFECYCLE (round 15): train → SAVE → LOAD → classify
     // must be bit-identical to classifying with the in-memory model
     // (every stored column is an exact long; parquet round-trips them
@@ -3466,6 +3495,40 @@ object PipelineQueries {
         .select(col("lang"),
           col("qs")(0).as("p50"), col("qs")(1).as("p90"), col("qs")(2).as("p99"))
         .orderBy("lang")),
+
+    // EXACT GLOBAL QUANTILES, SORT-FREE (round 16): the third member
+    // beside the exact per-group ranks (pl_token_quantiles) and the
+    // sketch (pl_token_quantiles_approx) — exact type-1 quantiles of
+    // an integer column computed by Sampling.exactQuantiles: shared
+    // bounded histogram passes (kthLargestMulti — ≤ 65536-group
+    // aggregates, ≤ 4 passes for any 64-bit range, all fractions
+    // sharing passes while their search ranges coincide), NEVER a
+    // global sort. The oracle replays each value at ascending rank
+    // ceil(p·n) — tie-invariant, so selection-by-histogram and
+    // rank-by-sort agree bit-for-bit.
+    Q("pl_exact_quantiles",
+      """WITH t AS (
+        |  SELECT CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |                              x -> len(x) > 0)) AS BIGINT) AS n
+        |  FROM documents),
+        |r AS (SELECT n, row_number() OVER (ORDER BY n) AS rn,
+        |             count(*) OVER () AS cnt FROM t),
+        |ps(pct, p) AS (VALUES (10, 0.10), (25, 0.25), (50, 0.50),
+        |                      (75, 0.75), (90, 0.90), (99, 0.99),
+        |                      (100, 1.00))
+        |SELECT ps.pct,
+        |  max(CASE WHEN r.rn = CAST(ceil(ps.p * r.cnt) AS BIGINT)
+        |      THEN r.n END) AS n_tokens
+        |FROM ps CROSS JOIN r GROUP BY ps.pct ORDER BY pct""".stripMargin)(
+      (s, d) => {
+        import s.implicits._
+        val tc = Tables.load(s, d, "documents")
+          .select(TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n"))
+        val ps = Seq(10, 25, 50, 75, 90, 99, 100)
+        val qs = Sampling.exactQuantiles(tc, "n", ps.map(_ / 100.0))
+        ps.zip(qs.map(_._2)).toDF("pct", "n_tokens").orderBy("pct")
+      }),
 
     // ───── as-of enrichment + keyword extraction ─────
 

@@ -907,6 +907,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("exactQuantiles matches the sorted rank definition (incl. the " +
+      "decimal-rank 0.1·600 case); keepTopFractionByGroup keeps each " +
+      "group's tie-inclusive top p%") {
+    // n = 600 so p = 0.1 exercises the decimal-string rank arithmetic:
+    // ceil(0.1 · 600) must be 60, not ceil of the double 60.0000…04 = 61
+    val rnd = new scala.util.Random(11)
+    val raw = (0 until 600).map(i => (i.toLong, rnd.nextLong() % 100000L))
+    val df = raw.toDF("id", "v")
+    val asc = raw.map(_._2).sorted
+    for (p <- Seq(0.1, 0.25, 0.5, 0.9, 0.99, 1.0)) {
+      val rank = (BigDecimal(p.toString) * 600)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      val got = Sampling.exactQuantiles(df, "v", Seq(p)).head._2
+      assert(got == asc(rank - 1), s"p=$p rank=$rank")
+    }
+    // the decimal-vs-double rank divergence the BigDecimal arithmetic
+    // guards against: 0.07 · 1100 is exactly 77 in decimal, but the
+    // double product is 77.00000000000001 and would ceil to 78
+    assert((BigDecimal("0.07") * 1100).setScale(
+      0, BigDecimal.RoundingMode.CEILING).toInt == 77 &&
+      math.ceil(0.07 * 1100).toInt == 78,
+      "the decimal-vs-double rank divergence this guards against")
+    // multi-fraction call shares passes and returns input order
+    val multi = Sampling.exactQuantiles(df, "v", Seq(0.9, 0.1, 0.9))
+    assert(multi.map(_._1) == Seq(0.9, 0.1, 0.9))
+    assert(multi(0)._2 == multi(2)._2)
+    // per-group: scores desc per group; g=a has 4 rows (k=ceil(2)=2,
+    // rank-2 value 30 tied twice → 3 kept), g=b has 2 (k=1 → 1 kept)
+    val grouped = Seq(
+      ("a", 1L, 40L), ("a", 2L, 30L), ("a", 3L, 30L), ("a", 4L, 10L),
+      ("b", 5L, 7L), ("b", 6L, 3L)).toDF("g", "id", "s")
+    val kept = Sampling.keepTopFractionByGroup(
+      grouped, "g", "s", "id", 0.5)
+      .collect().map(_.getLong(1)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L), s"$kept")
+    // the class-balanced NB composition agrees with a driver replay
+    val train = Seq(
+      (1L, "spam spam offer money", "spam"),
+      (2L, "meeting notes agenda", "ham"),
+      (3L, "offer money now", "spam"),
+      (4L, "agenda for the meeting", "ham")).toDF("doc_id", "text", "lab")
+    val model = TextAnalysis.nbTrain(train, "lab", "text")
+    val test = Seq(
+      (10L, "money offer offer"), (11L, "spam money spam"),
+      (12L, "meeting agenda"), (13L, "notes agenda notes"),
+      (14L, "offer"), (15L, "meeting")).toDF("doc_id", "text")
+    val scored = TextAnalysis.nbClassifyScored(
+      test, "doc_id", "text", model)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getDecimal(3).longValueExact())).toSeq
+    val expect = scored.groupBy(_._2).flatMap { case (_, rows) =>
+      val k = (BigDecimal("0.5") * rows.size)
+        .setScale(0, BigDecimal.RoundingMode.CEILING).toInt
+      val cut = rows.map(_._3).sorted(Ordering[Long].reverse)(k - 1)
+      rows.filter(_._3 >= cut)
+    }.map(_._1).toSet
+    val got = TextAnalysis.nbFilterTopFractionByClass(
+      test, "doc_id", "text", model, fraction = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(got == expect, s"$got vs $expect")
+  }
+
   test("kmeans elbow read: totals decrease in k on the fixture (nested " +
       "hash-ordered seeds), and the gate rows equal the per-k sums") {
     import TestSpark.sf

@@ -677,4 +677,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"),
       s"the argmax must not sort a window:\n$p")
   }
+
+  test("selection histogram pass: one partial/final aggregate, no sort, " +
+      "no window, no join — the sort-free-quantile contract") {
+    import org.apache.spark.sql.functions._
+    val vals = spark.range(100000).toDF("id")
+      .select((col("id") * 37 % 9999).as("__v"))
+    val p = graft.functions.Sampling
+      .selectionHistogram(vals, 0L, 9998L, 16L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Sort"),
+      s"kthLargest/exactQuantiles must never sort:\n$p")
+    assert(!p.contains("Window"), s"no window rank:\n$p")
+    assert(!p.contains("Join"), s"no join:\n$p")
+    assert(p.contains("HashAggregate") &&
+      (p.contains("partial") || p.contains("Partial")),
+      s"the bucket counts must combine map-side:\n$p")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 1,
+      s"one bounded-cardinality shuffle at most:\n$p")
+  }
 }
