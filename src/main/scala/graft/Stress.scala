@@ -785,6 +785,18 @@ object Stress {
       graft.functions.TextAnalysis.nbFilterTopFraction(
         docs, "doc_id", "text", model, keepLabel = "c3", fraction = 0.25)
     }
+    // round-16: sort-free exact quantiles — 7 fractions over the
+    // token-count column via shared bounded histogram passes (the
+    // checkpointed narrow column scans a handful of times; driver
+    // state one 65536-row histogram per pass). Corpus-linear; the
+    // pass count is range-dependent, not n-dependent. ≤2× at 2×.
+    timeBody("exact_quantiles", n) {
+      graft.functions.Sampling.exactQuantiles(
+        docs.select(col("doc_id"),
+          graft.functions.TextAnalysis.tokenCount(col("text"))
+            .cast("long").as("nt")),
+        "nt", Seq(0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+    }
     // round-14: the connectivity diagnostic — two edge-endpoint joins
     // to restrict edges to same-community pairs, then one global CC run
     // (rounds bounded by the largest community's internal diameter) and
