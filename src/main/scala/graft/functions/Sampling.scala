@@ -375,6 +375,25 @@ object Sampling {
     }
   }
 
+  /** One-pass APPROXIMATE variant of [[keepTopFraction]] — the sketch
+    * path when the p% budget is a target rather than a contract: the
+    * cutoff is `percentile_approx(score, 1 − p)` (Spark's mergeable GK
+    * sketch, rank error ≤ n/accuracy), so ONE aggregate replaces the
+    * exact selection's histogram passes and the input is scanned twice
+    * total (cutoff + filter) with no checkpoint. Survivor count is
+    * p·n ± the sketch's rank error; exact-mode GK (n ≤ accuracy)
+    * degenerates to [[keepTopFraction]]'s cutoff. Ties at the cutoff
+    * are kept, like the exact form. */
+  def keepTopFractionApprox(df: DataFrame, scoreCol: String,
+      fraction: Double, accuracy: Int = 10000): DataFrame = {
+    require(fraction > 0.0 && fraction <= 1.0,
+      s"fraction must be in (0, 1], got $fraction")
+    val row = df.agg(percentile_approx(col(scoreCol),
+      lit(1.0 - fraction), lit(accuracy)).as("c")).head()
+    if (row.isNullAt(0)) df.filter(lit(false)) // empty input
+    else df.filter(col(scoreCol) >= lit(row.get(0)))
+  }
+
   /** [[keepTopFraction]] WITHIN each group — the per-language /
     * per-domain / per-class balanced curation cut ("top p% of every
     * stratum", so head strata can't crowd out the tail). The cutoff is

@@ -882,6 +882,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(kept(1.0) == (1L to 10L).toSet)
     assert(Sampling.keepTopFraction(
       scores.filter(col("id") < 0), "s", 0.5).count() == 0L)
+    // the one-pass sketch path: in GK exact mode (n << accuracy) the
+    // approximate cutoff's survivor count is within one rank of the
+    // exact form's, and p = 1 keeps everything
+    val exact = Sampling.keepTopFraction(many, "v", 0.1).count()
+    val approx = Sampling.keepTopFractionApprox(many, "v", 0.1).count()
+    assert(math.abs(exact - approx) <= 1, s"$exact vs $approx")
+    assert(Sampling.keepTopFractionApprox(many, "v", 1.0).count() == 300L)
+    assert(Sampling.keepTopFractionApprox(
+      scores.filter(col("id") < 0), "s", 0.5).count() == 0L)
     // the centroid composition: top-half by margin equals the scored
     // frame's own top half
     val seed = (0 until 20).map { i =>
