@@ -270,25 +270,56 @@ object Sampling {
       .agg(count(lit(1)).as("__n"))
   }
 
+  /** The long-cast non-null value column the selection walks. The
+    * histogram path is INTEGER selection — a fractional column would
+    * silently learn its cutoff on truncated values and then filter the
+    * untruncated ones, so non-integral types fail loudly here. */
+  private def longVals(df: DataFrame, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"exact selection needs an integral column; '$valueCol' is $dt " +
+        "(for fractional scores use keepTopFractionApprox, or scale to " +
+        "integer nanos first — the engine-wide *_nano discipline)")
+    df.select(col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+  }
+
+  /** (min, max, count) of the prepared value column — ONE aggregate,
+    * shared by the selection entry points so no caller pays a separate
+    * count() scan. count = 0 ⇒ min/max are None. */
+  private def longStats(vals: DataFrame): (Option[(Long, Long)], Long) = {
+    val r = vals.agg(min("__v"), max("__v"), count(lit(1))).head()
+    if (r.isNullAt(0)) (None, 0L)
+    else (Some((r.getLong(0), r.getLong(1))), r.getLong(2))
+  }
+
   /** [[kthLargest]] for SEVERAL ranks at once, sharing histogram
     * passes: targets whose (lo, hi) search ranges coincide — always
     * true on the first pass, usually for several passes after — are
     * answered by ONE aggregate, so q quantiles cost far fewer than
-    * q × passes scans. Returns k → value. */
+    * q × passes scans. Null values are ignored (a null is never in a
+    * top-k). Returns k → value. */
   def kthLargestMulti(df: DataFrame, valueCol: String,
       ks: Seq[Long]): Map[Long, Long] = {
+    val vals = longVals(df, valueCol)
+    val (range, n) = longStats(vals)
+    selectKth(vals, range, n, ks)
+  }
+
+  /** The refinement loop over an already-prepared `__v` column with
+    * known stats — the shared core of [[kthLargestMulti]] /
+    * [[exactQuantiles]] / [[keepTopFraction]]. */
+  private def selectKth(vals: DataFrame, range: Option[(Long, Long)],
+      n: Long, ks: Seq[Long]): Map[Long, Long] = {
     require(ks.nonEmpty && ks.forall(_ >= 1),
-      s"kthLargestMulti needs ranks >= 1, got $ks")
-    val vals = df.select(col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
-    val head = vals.agg(min("__v"), max("__v"), count(lit(1))).head()
-    require(!head.isNullAt(0) && head.getLong(2) >= ks.max,
-      s"kthLargestMulti: k=${ks.max} exceeds the ${head.getLong(2)} " +
-        "non-null rows")
+      s"exact selection needs ranks >= 1, got $ks")
+    require(range.nonEmpty && n >= ks.max,
+      s"exact selection: k=${ks.max} exceeds the $n non-null rows")
     val buckets = 65536
     // (original k, current lo, current hi, remaining top-rank in range)
     var targets = ks.distinct
-      .map(k => (k, BigInt(head.getLong(0)), BigInt(head.getLong(1)), k))
+      .map(k => (k, BigInt(range.get._1), BigInt(range.get._2), k))
     val done = scala.collection.mutable.Map[Long, Long]()
     while (targets.nonEmpty) {
       targets = targets
@@ -332,15 +363,13 @@ object Sampling {
     require(fractions.nonEmpty &&
       fractions.forall(p => p > 0.0 && p <= 1.0),
       s"fractions must be in (0, 1], got $fractions")
-    val vals = df.select(col(valueCol).cast("long").as("__v"))
-      .filter(col("__v").isNotNull)
-      .localCheckpoint()
-    val n = vals.count()
+    val vals = longVals(df, valueCol).localCheckpoint()
+    val (range, n) = longStats(vals)
     require(n > 0, "exactQuantiles needs a non-empty column")
     def rankOf(p: Double): Long =
       (BigDecimal(p.toString) * n)
         .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-    val byK = kthLargestMulti(vals, "__v",
+    val byK = selectKth(vals, range, n,
       fractions.map(p => n - rankOf(p) + 1).distinct)
     fractions.map(p => p -> byK(n - rankOf(p) + 1))
   }
@@ -357,20 +386,25 @@ object Sampling {
     * The frame is localCheckpoint-ed first: the cutoff learning scans
     * it ~3–5 times, so pass a NARROW projection (id + score — the
     * checkpoint is what makes the repeated scans cheap; 16 bytes/row,
-    * not the corpus). Empty input returns empty. */
+    * not the corpus). The score column must be integral (the
+    * [[longVals]] contract); null-score rows are EXCLUDED before the
+    * fraction is taken — a null is never in a top p%, and counting
+    * nulls into n would deepen the cutoff past the requested fraction
+    * of real scores. Empty (or all-null) input returns empty. */
   def keepTopFraction(df: DataFrame, scoreCol: String,
       fraction: Double): DataFrame = {
     require(fraction > 0.0 && fraction <= 1.0,
       s"fraction must be in (0, 1], got $fraction")
-    val scored = df.localCheckpoint()
-    val n = scored.count()
+    val scored = df.filter(col(scoreCol).isNotNull).localCheckpoint()
+    val (range, n) = longStats(longVals(scored, scoreCol))
     if (n == 0L) scored
     else {
       // decimal-string rank arithmetic (see exactQuantiles): matches
       // the oracle's SQL decimal-literal ceil(p·n) exactly
       val k = (BigDecimal(fraction.toString) * n)
         .setScale(0, BigDecimal.RoundingMode.CEILING).toLong
-      val cutoff = kthLargest(scored, scoreCol, k)
+      val cutoff =
+        selectKth(longVals(scored, scoreCol), range, n, Seq(k))(k)
       scored.filter(col(scoreCol) >= lit(cutoff))
     }
   }
@@ -415,7 +449,13 @@ object Sampling {
     val wOrd = Window.partitionBy(col(groupCol))
       .orderBy(col(scoreCol).desc, col(tieCol))
     val wAll = Window.partitionBy(col(groupCol))
-    df.withColumn("__rnk", row_number().over(wOrd))
+    // null scores are excluded BEFORE the per-group fraction is taken:
+    // desc ordering sorts nulls last, so counting them into n_g could
+    // land the rank-⌈p·n_g⌉ cutoff ON a null and silently drop the
+    // whole group (a null is never in a top p% anyway). Any orderable
+    // score type works here — no histogram, unlike the global form.
+    df.filter(col(scoreCol).isNotNull)
+      .withColumn("__rnk", row_number().over(wOrd))
       .withColumn("__kg",
         ceil(lit(new java.math.BigDecimal(fraction.toString))
           * count(lit(1)).over(wAll)).cast("long"))

@@ -498,40 +498,33 @@ object PipelineQueries {
     * with a localCheckpoint so the seed computes ONCE and every consumer
     * reads the materialized rows. Zero semantic change: consumers
     * receive exactly the DataFrame they previously computed. */
-  private val lpaSeedCache = scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String),
-    org.apache.spark.sql.DataFrame]()
+  /** Session-keyed gate caches with WEAK keys: a SparkSession has no
+    * per-session stop event (newSession()/cloneSession() share one
+    * context; SparkListenerApplicationEnd fires only at process end,
+    * when eviction frees nothing), so eviction-by-listener cannot work
+    * — instead the cache holds its session key weakly. A discarded
+    * session's entry (and through it the cached DataFrames, whose
+    * localCheckpoint blocks the ContextCleaner then reclaims) becomes
+    * unreachable with the session itself. Values are held strongly
+    * only for live sessions. */
+  private val gateCaches = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      scala.collection.concurrent.TrieMap[String, AnyRef]]())
 
-  /** Evict a session's cached seed/model entries when it stops: the
-    * TrieMaps would otherwise pin the stopped session's localCheckpoint
-    * blocks (and the session object itself) for the process lifetime.
-    * One listener per session, registered on first cache insert. */
-  private val evictionHooked = java.util.concurrent.ConcurrentHashMap
-    .newKeySet[org.apache.spark.sql.SparkSession]()
-
-  private def hookCacheEviction(
-      s: org.apache.spark.sql.SparkSession): Unit =
-    if (evictionHooked.add(s))
-      s.sparkContext.addSparkListener(
-        new org.apache.spark.scheduler.SparkListener {
-          override def onApplicationEnd(
-              e: org.apache.spark.scheduler
-                .SparkListenerApplicationEnd): Unit = {
-            lpaSeedCache.filterInPlace((k, _) => k._1 ne s)
-            nbModelCache.filterInPlace((k, _) => k._1 ne s)
-            evictionHooked.remove(s)
-          }
-        })
+  private def sessionCache(s: org.apache.spark.sql.SparkSession)
+      : scala.collection.concurrent.TrieMap[String, AnyRef] =
+    gateCaches.computeIfAbsent(s,
+      _ => scala.collection.concurrent.TrieMap.empty)
 
   /** (cached 4-round LPA seed, fixture edges) for the community gates. */
   private def lpaSeedGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
       org.apache.spark.sql.DataFrame) = {
     val (verts, edges) = lpaGeneratorGraph(s, d)
-    hookCacheEviction(s)
-    val seed = lpaSeedCache.getOrElseUpdate((s, d),
+    val seed = sessionCache(s).getOrElseUpdate(s"lpa-seed:$d",
       graft.functions.Graph.labelPropagation(verts, edges, iterations = 4)
         .localCheckpoint())
+      .asInstanceOf[org.apache.spark.sql.DataFrame]
     (seed, edges)
   }
 
@@ -916,21 +909,15 @@ object PipelineQueries {
     * computed. `pl_nb_model_batch` still exercises its OWN save → load
     * round trip on top (the thing it gates); only the training is
     * shared. */
-  private val nbModelCache = scala.collection.concurrent.TrieMap[
-    (org.apache.spark.sql.SparkSession, String),
-    graft.functions.TextAnalysis.NbModel]()
-
   private def nbGateModel(s: org.apache.spark.sql.SparkSession,
-      d: String): graft.functions.TextAnalysis.NbModel = {
-    hookCacheEviction(s)
-    nbModelCache.getOrElseUpdate((s, d), {
+      d: String): graft.functions.TextAnalysis.NbModel =
+    sessionCache(s).getOrElseUpdate(s"nb-model:$d", {
       val m = TextAnalysis.nbTrain(
         Tables.load(s, d, "documents").filter(col("doc_id") < 300),
         "source", "text")
       graft.functions.TextAnalysis.NbModel(
         m.priors.localCheckpoint(), m.tokenLogProbs.localCheckpoint())
-    })
-  }
+    }).asInstanceOf[graft.functions.TextAnalysis.NbModel]
 
   private val nbOracleCtes: String =
     """tr AS (SELECT source AS label, doc_id, text

@@ -891,6 +891,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sampling.keepTopFractionApprox(many, "v", 1.0).count() == 300L)
     assert(Sampling.keepTopFractionApprox(
       scores.filter(col("id") < 0), "s", 0.5).count() == 0L)
+    // null scores are excluded before the fraction is taken — not
+    // counted into n (which would deepen the cutoff or, per-group,
+    // land the cutoff rank ON a null and drop the whole group)
+    val withNulls = Seq[(Long, java.lang.Long)](
+      (1L, 10L), (2L, null), (3L, null), (4L, null))
+      .toDF("id", "s")
+    assert(Sampling.keepTopFraction(withNulls, "s", 0.5)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "top-50% of one real score is that score")
+    val gNulls = Seq[(String, Long, java.lang.Long)](
+      ("a", 1L, 10L), ("a", 2L, null), ("a", 3L, null), ("a", 4L, null),
+      ("b", 5L, 7L), ("b", 6L, 3L)).toDF("g", "id", "s")
+    assert(Sampling.keepTopFractionByGroup(gNulls, "g", "s", "id", 0.5)
+      .collect().map(_.getLong(1)).toSet == Set(1L, 5L),
+      "group a's single real score must survive, not vanish on a " +
+        "null-ranked cutoff")
+    // fractional score columns fail loudly on the histogram path (the
+    // cutoff would be learned on truncated values, then filter the
+    // untruncated ones)
+    val dbl = Seq((1L, 10.9), (2L, 10.1), (3L, 5.0)).toDF("id", "s")
+    val de = intercept[IllegalArgumentException] {
+      Sampling.keepTopFraction(dbl, "s", 0.5)
+    }
+    assert(de.getMessage.contains("integral"), de.getMessage)
+    // ...while the approx and per-group forms accept them
+    assert(Sampling.keepTopFractionApprox(dbl, "s", 1.0).count() == 3L)
+    assert(Sampling.keepTopFractionByGroup(
+      dbl.withColumn("g", lit("x")), "g", "s", "id", 0.3)
+      .collect().map(_.getLong(0)).toSet == Set(1L),
+      "ceil(0.3 * 3) = 1 -> top double score only")
     // the centroid composition: top-half by margin equals the scored
     // frame's own top half
     val seed = (0 until 20).map { i =>
