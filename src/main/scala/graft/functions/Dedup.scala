@@ -563,6 +563,33 @@ object Dedup {
     df.groupBy(md5(col(textCol).cast("binary")).as("text_hash"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 
+  /** QUALITY-AWARE dedup keeper (round 16): of each duplicate cluster,
+    * keep the BEST-scoring member (ties to the smaller id) — the
+    * FineWeb / Dolma curation rule, where the min-id keeper of
+    * [[exactDupGroups]] is arbitrary about WHICH copy survives. Takes
+    * any (id, cluster, integer score) frame — compose with near-dup
+    * clusters ([[graft.functions.Graph.connectedComponents]] over
+    * verified pairs) or exact-dup hashes, and any deterministic score
+    * (token count, [[graft.functions.TextAnalysis.lmQuality]] nanos, a
+    * classifier margin). ONE partial-combine min-struct aggregate
+    * keyed by the cluster — never a window (a window would co-locate
+    * every copy of a boilerplate cluster in one partition), no
+    * all-pairs; the argmax is exact via min(struct(−score, id))
+    * (score must exceed Long.MinValue — any *_nano or count does).
+    *
+    * @return (clusterCol, keeper id as `keeper_id`, its score as
+    *         `keeper_score`, `n_members`) — one row per cluster */
+  def keepBestPerCluster(scored: DataFrame, idCol: String,
+      clusterCol: String, scoreCol: String): DataFrame =
+    scored
+      .groupBy(col(clusterCol))
+      .agg(
+        min(struct((-col(scoreCol).cast("long")).as("ns"),
+          col(idCol).as("i"))).as("__w"),
+        count(lit(1)).as("n_members"))
+      .select(col(clusterCol), col("__w")("i").as("keeper_id"),
+        (-col("__w")("ns")).as("keeper_score"), col("n_members"))
+
   /** Incremental (cross-snapshot) exact dedup: drop batch documents whose
     * text already exists in the prior corpus INDEX (its text hashes — at
     * 100 TB the index is hashes only, orders of magnitude smaller than

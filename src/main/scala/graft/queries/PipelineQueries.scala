@@ -3608,6 +3608,75 @@ object PipelineQueries {
           .orderBy("doc_id")
       }),
 
+    // QUALITY-AWARE KEEPER (round 16): the FineWeb/Dolma rule — of each
+    // near-dup cluster keep the BEST-scoring member, not the arbitrary
+    // min-id. Same CC cluster chain as pl_dedup_keep, score = token
+    // count (the operator takes any deterministic integer score); the
+    // keeper is one partial-combine min-struct aggregate per cluster
+    // (never a window), replayed by the oracle as a rank-1 window over
+    // (score DESC, id). PLANTED ` xv1` variants (ids + 100 over the
+    // first 20 docs, one token longer) give the rule teeth: at sf0.01
+    // the raw <60 slice is all singletons, and every planted cluster's
+    // keeper must be the HIGHER-scoring planted copy — the opposite of
+    // the min-id rule, so a keeper regression to min-id fails 20 rows.
+    Q("pl_dedup_keep_best",
+      """WITH RECURSIVE src AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+        |  UNION ALL
+        |  SELECT doc_id + 100 AS doc_id, text || ' xv1' AS text
+        |  FROM documents WHERE doc_id < 20),
+        |sh AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> array_to_string(toks[i:i+2], ' '))) AS s,
+        |         CAST(len(toks) AS BIGINT) AS nt
+        |  FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS toks
+        |        FROM src)),
+        |pairs AS (
+        |  SELECT a.doc_id AS s, b.doc_id AS d FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+        |          / len(list_distinct(list_concat(a.s, b.s))) >= 0.2),
+        |edges AS (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM sh
+        |  UNION
+        |  SELECT edges.d, reach.r FROM reach JOIN edges ON reach.id = edges.s),
+        |cc AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+        |rk AS (SELECT cc.cluster_id, cc.id, sh.nt,
+        |         row_number() OVER (PARTITION BY cc.cluster_id
+        |           ORDER BY sh.nt DESC, cc.id) AS rn,
+        |         count(*) OVER (PARTITION BY cc.cluster_id) AS n
+        |       FROM cc JOIN sh ON cc.id = sh.doc_id)
+        |SELECT cluster_id, id AS keeper_id, nt AS keeper_score,
+        |       CAST(n AS BIGINT) AS n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)(
+      (s, d) => {
+        val base = Tables.load(s, d, "documents")
+        val docs = base.filter(col("doc_id") < 60)
+          .select("doc_id", "text")
+          .unionByName(base.filter(col("doc_id") < 20).select(
+            (col("doc_id") + 100).as("doc_id"),
+            concat(col("text"), lit(" xv1")).as("text")))
+        val sh = docs.select(col("doc_id"), Dedup.shingleSet(col("text"), 3).as("s"))
+        val a = sh.select(col("doc_id").as("id_a"), col("s").as("sa"))
+        val b = sh.select(col("doc_id").as("id_b"), col("s").as("sb"))
+        val pairs = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+          .filter(
+            size(array_intersect(col("sa"), col("sb"))).cast("double") /
+              size(array_union(col("sa"), col("sb"))).cast("double") >= 0.2)
+          .select(col("id_a").as("src"), col("id_b").as("dst"))
+        val clusters = Graph.connectedComponents(
+          docs.select(col("doc_id").as("id")), pairs)
+        val scored = clusters.join(
+          docs.select(col("doc_id").as("id"),
+            TextAnalysis.tokenCount(col("text")).cast("long").as("nt")),
+          "id")
+        Dedup.keepBestPerCluster(scored, "id", "cluster_id", "nt")
+          .orderBy("cluster_id")
+      }),
+
     // interval-containment join: errors attributed to the gap-session that
     // contains them (bin-bucketed range join — candidates only where point
     // and interval share a time bin; see graft.functions.Temporal). Oracle

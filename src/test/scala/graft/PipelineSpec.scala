@@ -1008,6 +1008,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expect, s"$got vs $expect")
   }
 
+  test("keepBestPerCluster: highest score wins, ties to the smaller id, " +
+      "singletons keep themselves, partition-invariant") {
+    val scored = Seq(
+      (1L, 10L, 5L), (2L, 10L, 9L), (3L, 10L, 9L), // tie at 9 -> id 2
+      (4L, 40L, 7L),                               // singleton
+      (5L, 50L, 1L), (6L, 50L, 3L))                // 6 beats min-id 5
+      .toDF("id", "cluster", "score")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepBestPerCluster(df, "id", "cluster", "score")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val got = run(scored)
+    assert(got == Map(
+      10L -> ((2L, 9L, 3L)), 40L -> ((4L, 7L, 1L)),
+      50L -> ((6L, 3L, 2L))), s"$got")
+    assert(run(scored.repartition(5)) == got,
+      "keeper must be partition-invariant (exact min-struct agg)")
+  }
+
   test("kmeans elbow read: totals decrease in k on the fixture (nested " +
       "hash-ordered seeds), and the gate rows equal the per-k sums") {
     import TestSpark.sf
