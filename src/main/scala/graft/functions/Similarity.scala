@@ -709,8 +709,10 @@ object Similarity {
     * corpus in executor storage for nothing. */
   private def scaledRows(rows: DataFrame, idCol: String,
       vecCol: String): DataFrame =
-    rows.select(col(idCol).as("neighbor_id"),
-        Embeddings.scaledVec(col(vecCol)).as("__sv"))
+    FanOut( // the m·ksub·sub code-assignment kernel downstream is the
+      // expensive narrow pass — spread a single-split input first
+      rows.select(col(idCol).as("neighbor_id"),
+        Embeddings.scaledVec(col(vecCol)).as("__sv")))
       .localCheckpoint()
 
   /** The m-wide code-assignment column over a pre-materialized "__sv":
