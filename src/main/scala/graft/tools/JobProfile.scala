@@ -26,6 +26,12 @@ object JobProfile {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
     var tasksByJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
     val stageToJob = scala.collection.concurrent.TrieMap.empty[Int, Int]
+    // wall-clock bookkeeping so the report shows DRIVER GAPS (time between
+    // one job's end and the next job's start — planning, file listing,
+    // commit protocol) alongside in-job time; lifecycle gates spend a
+    // large fraction there and bench totals alone cannot show it
+    @volatile var repStart = System.currentTimeMillis()
+    @volatile var lastEnd = 0L
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         val site = Option(js.properties)
@@ -42,7 +48,10 @@ object JobProfile {
       }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         Option(jobs.get(je.jobId)).foreach { case (t0, site, tasks) =>
-          println(f"[job] ${je.jobId}%4d ${(je.time - t0) / 1e3}%8.3fs " +
+          val gap = (t0 - math.max(lastEnd, repStart)) / 1e3
+          lastEnd = je.time
+          println(f"[job] ${je.jobId}%4d at=${(t0 - repStart) / 1e3}%7.3f " +
+            f"gap=$gap%7.3f ${(je.time - t0) / 1e3}%8.3fs " +
             f"tasks=${tasksByJob.getOrElse(je.jobId, tasks)}%-5d $site")
         }
       }
@@ -53,6 +62,8 @@ object JobProfile {
     spark.sparkContext.addSparkListener(listener)
     for (i <- 1 to repeats) {
       println(s"=== $name rep $i ===")
+      repStart = System.currentTimeMillis()
+      lastEnd = 0L
       val t0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       // small grace period so async listener events drain before the total

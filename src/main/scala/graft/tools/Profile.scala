@@ -21,7 +21,27 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     val registry = graft.SparkEntry.queries
     if (args(1) == "explain") {
-      registry(args(2))(spark, sfDir).explain("formatted")
+      // one JVM, many plans: `explain q1 q2 …` writes each query's
+      // formatted physical plan to plans/<out>/<q>_<suffix>.txt (suffix
+      // via SPARK_GRAFT_PLAN_SUFFIX, dir via SPARK_GRAFT_PLAN_DIR) —
+      // the round-16 before/after plan evidence workflow
+      val suffix = sys.env.getOrElse("SPARK_GRAFT_PLAN_SUFFIX", "plan")
+      val outDir = sys.env.get("SPARK_GRAFT_PLAN_DIR")
+      args.drop(2).foreach { q =>
+        val df = registry(q)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        outDir match {
+          case Some(dir) =>
+            java.nio.file.Files.createDirectories(
+              java.nio.file.Paths.get(dir))
+            java.nio.file.Files.writeString(
+              java.nio.file.Paths.get(s"$dir/${q}_$suffix.txt"), plan)
+            println(s"[plan] wrote $dir/${q}_$suffix.txt")
+          case None =>
+            println(s"=== $q ==="); println(plan)
+        }
+      }
       return
     }
     val repeats = args(1).toInt
