@@ -150,7 +150,6 @@ object Graph {
     val sym = localCheckpointNoStats(
       und.select(col("a").as("u"), col("b").as("v"))
         .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
-    val ids = localCheckpointNoStats(vertices.select(col("id")).distinct())
     val probe = count(lit(1)).as("c")
     def checkpointWithCount(df: DataFrame, tag: String)
         : (DataFrame, Long) = {
@@ -158,6 +157,11 @@ object Graph {
       val out = localCheckpointNoStats(df.observe(obs, probe))
       (out, obs.get("c").asInstanceOf[Long])
     }
+    // the survivor count rides the ids materialization itself (round 16)
+    // — the previous separate checkpointWithCount(ids, "init") re-ran a
+    // second materialization job over the just-checkpointed distinct
+    val (ids, idCount) =
+      checkpointWithCount(vertices.select(col("id")).distinct(), "init")
     // peel the given survivor set to the k-core fixpoint
     def peel(set: DataFrame, setCount: Long, k: Int): (DataFrame, Long) = {
       var cur = set
@@ -178,7 +182,8 @@ object Graph {
       }
       (cur, curCount) // unreachable
     }
-    var (survivors, survivorCount) = checkpointWithCount(ids, "init")
+    var survivors = ids
+    var survivorCount = idCount
     var k = 1
     val dropped = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     // a vertex of core c is only LABELED when the k = c+1 peel removes
@@ -236,8 +241,10 @@ object Graph {
       und.select(col("a").as("u"), col("b").as("v"))
         .unionByName(und.select(col("b").as("u"), col("a").as("v"))))
     val ids = localCheckpointNoStats(vertices.select(col("id")).distinct())
-    var labels = localCheckpointNoStats(
-      ids.select(col("id"), col("id").as("label")))
+    // lazy seed over the checkpointed ids — materializing (id, id) as its
+    // own checkpoint bought a Spark job per LPA call and nothing else
+    // (round 1 reads the trivial projection twice; ids is materialized)
+    var labels = ids.select(col("id"), col("id").as("label"))
     var i = 0
     while (i < iterations) {
       val next = sym
@@ -746,11 +753,20 @@ object Graph {
     // dangling MASS rides the ranks checkpoint's own materialization job
     // as an Observation metric (the connectedComponents probe pattern) —
     // the textbook redistribution costs no extra scan per iteration
+    // the dangling COUNT rides flagged's own checkpoint materialization
+    // (round 16): iteration 0's dangling mass is exactly
+    // (scale / n) × |dangling| — driver-exact — so the separate ranks-0
+    // checkpoint job bought nothing; the initial ranks frame is a lazy
+    // literal projection over the already-materialized flagged rows
+    val initObs = org.apache.spark.sql.Observation("pr_dangling_init")
     val flagged = localCheckpointNoStats(
       ids.join(
         outdeg.select(col("src").as("id"), lit(1).as("__has_out")),
         Seq("id"), "left_outer")
-        .select(col("id"), col("__has_out").isNull.as("__dangling")))
+        .select(col("id"), col("__has_out").isNull.as("__dangling"))
+        .observe(initObs,
+          sum(when(col("__dangling"), lit(1L)).otherwise(lit(0L)))
+            .as("nd")))
     val danglingProbe = sum(
       when(col("__dangling"), col("rank_scaled")).otherwise(lit(0L)))
       .as("dm")
@@ -760,9 +776,10 @@ object Graph {
       val out = localCheckpointNoStats(df.observe(obs, danglingProbe))
       (out, obs.get("dm").asInstanceOf[Long])
     }
-    var (ranks, danglingMass) = checkpointWithDangling(
-      flagged.select(col("id"), lit(scale / n).as("rank_scaled"),
-        col("__dangling")), 0)
+    var ranks = flagged.select(col("id"),
+      lit(scale / n).as("rank_scaled"), col("__dangling"))
+    var danglingMass =
+      (scale / n) * initObs.get("nd").asInstanceOf[Long]
     var i = 0
     while (i < iters) {
       val contrib = e
@@ -817,25 +834,37 @@ object Graph {
     // decimal(38,0) keeps the probe exact far past a BIGINT overflow
     // (1e12 vertices × 1e12 max label would wrap a 64-bit sum)
     val probe = sum(col("cluster_id").cast("decimal(38,0)")).as("ls")
+    // the SEED sum rides round 1's own observation instead of a separate
+    // init checkpoint job (round 16): every round's output holds exactly
+    // one row per vertex id, so sum(id) over round 1's output IS the
+    // seed labeling's sum — the init materialization of (id, id) bought
+    // nothing but a Spark job per CC invocation (and CC runs inside
+    // every dup-cluster / split-repair / connectivity gate)
+    val seedProbe = sum(col("id").cast("decimal(38,0)")).as("ss")
     def checkpointWithSum(df: DataFrame, round: Int)
-        : (DataFrame, java.math.BigDecimal) = {
+        : (DataFrame, java.math.BigDecimal, java.math.BigDecimal) = {
       val obs = org.apache.spark.sql.Observation(s"cc_probe_$round")
       // stats-severing checkpoint: the loop body joins the previous
       // checkpoint, so preserved origin stats would SQUARE per round
       // (see GraftColumnBridge.localCheckpointNoStats)
-      val out = localCheckpointNoStats(df.observe(obs, probe))
-      (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+      val out = localCheckpointNoStats(df.observe(obs, probe, seedProbe))
+      def dec(k: String) = obs.get(k).asInstanceOf[java.math.BigDecimal] match {
+        case null => java.math.BigDecimal.ZERO // empty vertex set
+        case d    => d
+      }
+      (out, dec("ls"), dec("ss"))
     }
-    var (labels, prevSum) = checkpointWithSum(
-      vertices.select(col("id"), col("id").as("cluster_id")), 0)
+    var labels = vertices.select(col("id"), col("id").as("cluster_id"))
+    var prevSum: java.math.BigDecimal = null // round 1 reads it from "ss"
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
       val msgs = sym.join(labels, sym("src") === labels("id"))
         .select(col("dst").as("id"), col("cluster_id"))
-      val (next, nextSum) = checkpointWithSum(
+      val (next, nextSum, idSum) = checkpointWithSum(
         labels.unionByName(msgs)
           .groupBy("id").agg(min("cluster_id").as("cluster_id")), i + 1)
+      if (prevSum == null) prevSum = idSum
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       labels = next
@@ -991,22 +1020,32 @@ object Graph {
         .select(col("src"), col("dst"))
       val inClassCk = localCheckpointNoStats(inClass0)
       val lprobe = sum(col("lbl").cast("decimal(38,0)")).as("ls")
+      // seed sum rides round 1's observation — same init-job elimination
+      // as [[connectedComponents]] (each propagate call saved one
+      // checkpoint job, and the outer loop calls propagate TWICE a round)
+      val sprobe = sum(col("id").cast("decimal(38,0)")).as("ss")
       def ckpt(df: DataFrame, tag: String)
-          : (DataFrame, java.math.BigDecimal) = {
+          : (DataFrame, java.math.BigDecimal, java.math.BigDecimal) = {
         val obs = org.apache.spark.sql.Observation(s"sccp_$tag")
-        val out = localCheckpointNoStats(df.observe(obs, lprobe))
-        (out, obs.get("ls").asInstanceOf[java.math.BigDecimal])
+        val out = localCheckpointNoStats(df.observe(obs, lprobe, sprobe))
+        def dec(k: String) =
+          obs.get(k).asInstanceOf[java.math.BigDecimal] match {
+            case null => java.math.BigDecimal.ZERO
+            case d    => d
+          }
+        (out, dec("ls"), dec("ss"))
       }
-      var (labels, prev) = ckpt(
-        cls.select(col("id"), col("id").as("lbl")), s"init_$reversed")
+      var labels = cls.select(col("id"), col("id").as("lbl"))
+      var prev: java.math.BigDecimal = null
       var conv = false
       var i = 0
       while (!conv && i < maxInner) {
         val msgs = inClassCk.join(labels, inClassCk("src") === labels("id"))
           .select(col("dst").as("id"), col("lbl"))
-        val (next, ns) = ckpt(
+        val (next, ns, ids) = ckpt(
           labels.unionByName(msgs)
             .groupBy("id").agg(min("lbl").as("lbl")), s"${i}_$reversed")
+        if (prev == null) prev = ids
         conv = ns.compareTo(prev) == 0
         prev = ns
         labels = next

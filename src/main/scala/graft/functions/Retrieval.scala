@@ -45,7 +45,7 @@ object Retrieval {
     * reuses the postings rows (sum of tf per doc), so the text is
     * tokenized exactly once. Documents with zero tokens contribute no
     * rows — they are invisible to BM25, matching the per-call operator. */
-  private def bm25IndexRows(docs: DataFrame, idCol: String,
+  private[graft] def bm25IndexRows(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val postings = docs
       .select(col(idCol).as("doc_id"),
@@ -63,13 +63,29 @@ object Retrieval {
     * delta row. */
   def saveBm25Index(docs: DataFrame, idCol: String, textCol: String,
       dir: String, k1: Double = 1.2, b: Double = 0.75): Unit = {
-    val spark = docs.sparkSession
     val (postings, lens) = bm25IndexRows(docs, idCol, textCol)
+    saveBm25IndexRows(postings, lens, dir, k1, b)
+  }
+
+  /** [[saveBm25Index]] over pre-derived (postings, lens) rows. The
+    * corpus statistics RIDE the lens write as an Observation (round 16):
+    * count/sum are partition-invariant, so the observed values are
+    * bit-identical to the former read-back-and-aggregate of the written
+    * `lens/` files — one less scan job per save, and at 100 TB one less
+    * full pass over the lens table. */
+  private[graft] def saveBm25IndexRows(postings: DataFrame,
+      lens: DataFrame, dir: String, k1: Double = 1.2,
+      b: Double = 0.75): Unit = {
+    val spark = postings.sparkSession
     postings.write.mode("overwrite").parquet(s"$dir/postings")
-    lens.write.mode("overwrite").parquet(s"$dir/lens")
-    spark.read.parquet(s"$dir/lens")
-      .agg(count(lit(1)).as("n_docs_delta"),
-        coalesce(sum("dl"), lit(0L)).as("total_dl_delta"))
+    val obs = org.apache.spark.sql.Observation(
+      s"bm25_save_${java.util.UUID.randomUUID()}")
+    lens.observe(obs,
+        count(lit(1)).as("n"), coalesce(sum("dl"), lit(0L)).as("t"))
+      .write.mode("overwrite").parquet(s"$dir/lens")
+    import spark.implicits._
+    Seq((obs.get("n").asInstanceOf[Long], obs.get("t").asInstanceOf[Long]))
+      .toDF("n_docs_delta", "total_dl_delta")
       .select(col("n_docs_delta"), col("total_dl_delta"),
         lit(k1).as("k1"), lit(b).as("b"))
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
