@@ -621,8 +621,22 @@ object Graph {
       levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
     require(levels >= 1)
-    var assign = localCheckpointNoStats(
-      louvainRefine(seed, edges, gammaNum, gammaDen))
+    louvainLevelsFrom(
+      localCheckpointNoStats(louvainRefine(seed, edges, gammaNum, gammaDen)),
+      edges, levels, gammaNum, gammaDen)
+  }
+
+  /** [[louvainLevels]] continuing from a PRE-COMPUTED (materialized)
+    * level-1 move-pass assignment — the "train once, reuse" entry for
+    * callers that already hold `louvainRefine(seed, edges, γ)` output
+    * (several gates consume the identical level-1 pass; recomputing it
+    * per caller is pure duplication). `level1` must be materialized
+    * (checkpointed): the level loop joins it repeatedly. */
+  def louvainLevelsFrom(level1: DataFrame, edges: DataFrame,
+      levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    require(levels >= 1)
+    var assign = level1
     var wgraph = louvainCondense(assign, edges)
     var i = 1
     while (i < levels) {
@@ -676,9 +690,21 @@ object Graph {
       levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
     require(levels >= 1)
-    var assign = localCheckpointNoStats(
-      splitDisconnected(
-        louvainRefine(seed, edges, gammaNum, gammaDen), edges))
+    leidenLevelsFrom(
+      localCheckpointNoStats(splitDisconnected(
+        louvainRefine(seed, edges, gammaNum, gammaDen), edges)),
+      edges, levels, gammaNum, gammaDen)
+  }
+
+  /** [[leidenLevels]] continuing from a PRE-COMPUTED (materialized)
+    * level-1 repaired assignment (move pass + [[splitDisconnected]]) —
+    * the [[louvainLevelsFrom]] twin for callers that already hold the
+    * repaired level-1 pass. */
+  def leidenLevelsFrom(repaired1: DataFrame, edges: DataFrame,
+      levels: Int, gammaNum: Long = 1L, gammaDen: Long = 1L): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    require(levels >= 1)
+    var assign = repaired1
     var wgraph = louvainCondense(assign, edges)
     var i = 1
     while (i < levels) {

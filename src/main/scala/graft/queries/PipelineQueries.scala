@@ -528,6 +528,29 @@ object PipelineQueries {
     (seed, edges)
   }
 
+  /** γ = 1 level-1 Louvain move pass over the cached LPA seed — the
+    * shared prefix of SIX community gates (refine, connectivity, split,
+    * two-level ×2, score), each of which re-ran the identical pass per
+    * execution. Pure function of (session, sfDir); stats-severed
+    * checkpoint because the two-level loops join it repeatedly. */
+  private def louvainL1(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sessionCache(s).getOrElseUpdate(s"louvain-l1:$d", {
+      val (seed, edges) = lpaSeedGraph(s, d)
+      org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats(
+        graft.functions.Graph.louvainRefine(seed, edges))
+    }).asInstanceOf[org.apache.spark.sql.DataFrame]
+
+  /** ... and its Leiden repair ([[louvainL1]] + splitDisconnected) —
+    * shared by `pl_leiden_split` and `pl_leiden_two_level`. */
+  private def leidenL1(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    sessionCache(s).getOrElseUpdate(s"leiden-l1:$d", {
+      val (_, edges) = lpaSeedGraph(s, d)
+      org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats(
+        graft.functions.Graph.splitDisconnected(louvainL1(s, d), edges))
+    }).asInstanceOf[org.apache.spark.sql.DataFrame]
+
   /** The Spark twin of [[lpaCtes]]'s generator: (vertices, edges). */
   private def lpaGeneratorGraph(s: org.apache.spark.sql.SparkSession,
       d: String): (org.apache.spark.sql.DataFrame,
@@ -4600,11 +4623,7 @@ object PipelineQueries {
       s"""WITH $lpaCtes,
          |${louvainL1Ctes()}
          |SELECT id, community FROM l1 ORDER BY id""".stripMargin)(
-      (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        graft.functions.Graph.louvainRefine(seed, edges)
-          .orderBy("id")
-      }),
+      (s, d) => louvainL1(s, d).orderBy("id")),
 
     // TWO-LEVEL Louvain (round 13): move pass → CONDENSE by the refined
     // assignment (inter-community counts as super-edge weights, intra
@@ -4656,8 +4675,9 @@ object PipelineQueries {
          |FROM l1 JOIN l2 ON l1.community = l2.id
          |ORDER BY l1.id""".stripMargin)(
       (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        graft.functions.Graph.louvainTwoLevel(seed, edges)
+        val (_, edges) = lpaSeedGraph(s, d)
+        graft.functions.Graph.louvainLevelsFrom(
+          louvainL1(s, d), edges, levels = 2)
           .orderBy("id")
       }),
 
@@ -4689,9 +4709,8 @@ object PipelineQueries {
          |FROM cc JOIN l1 ON cc.id = l1.id
          |GROUP BY 1 ORDER BY community""".stripMargin)(
       (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        val refined = graft.functions.Graph.louvainRefine(seed, edges)
-        graft.functions.Graph.communityConnectivity(refined, edges)
+        val (_, edges) = lpaSeedGraph(s, d)
+        graft.functions.Graph.communityConnectivity(louvainL1(s, d), edges)
           .orderBy("community")
       }),
 
@@ -4718,12 +4737,7 @@ object PipelineQueries {
          |  SELECT isym.d, reach.r FROM reach JOIN isym ON reach.id = isym.s)
          |SELECT id, min(r) AS community FROM reach
          |GROUP BY id ORDER BY id""".stripMargin)(
-      (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        val refined = graft.functions.Graph.louvainRefine(seed, edges)
-        graft.functions.Graph.splitDisconnected(refined, edges)
-          .orderBy("id")
-      }),
+      (s, d) => leidenL1(s, d).orderBy("id")),
 
     // TWO-LEVEL LEIDEN (round 14): pl_louvain_two_level's chain with
     // the connectivity repair at BOTH levels — move pass → SPLIT →
@@ -4735,8 +4749,9 @@ object PipelineQueries {
     // term for term over the REPAIRED condensed graph.
     Q("pl_leiden_two_level", leidenTwoLevelOracleSql(1, 1))(
       (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        graft.functions.Graph.leidenTwoLevel(seed, edges)
+        val (_, edges) = lpaSeedGraph(s, d)
+        graft.functions.Graph.leidenLevelsFrom(
+          leidenL1(s, d), edges, levels = 2)
           .orderBy("id")
       }),
 
@@ -4800,12 +4815,10 @@ object PipelineQueries {
          |     JOIN deg2 ON i.id = deg2.id CROSS JOIN m2
          |ORDER BY community""".stripMargin)(
       (s, d) => {
-        val (seed, edges) = lpaSeedGraph(s, d)
-        // checkpoint the refined assignment: condense references it on
-        // BOTH endpoints and the identity seed derives from it too —
-        // un-checkpointed, each reference re-runs the whole refine tree
-        val l1 = graft.functions.Graph.louvainRefine(seed, edges)
-          .localCheckpoint()
+        val (_, edges) = lpaSeedGraph(s, d)
+        // the cached level-1 assignment is already materialized —
+        // condense references it on both endpoints, the identity seed too
+        val l1 = louvainL1(s, d)
         val condensed = graft.functions.Graph.louvainCondense(l1, edges)
         val identity = l1.select(col("community").as("id")).distinct()
           .select(col("id"), col("id").as("community"))
