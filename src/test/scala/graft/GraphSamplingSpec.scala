@@ -125,6 +125,33 @@ class GraphSamplingSpec extends AnyFunSuite {
     assert(l3 == leiden, s"levels=3 must be a fixed point here: $l3")
   }
 
+  test("louvainLevelsFrom/leidenLevelsFrom over an externally " +
+      "materialized level-1 pass == the seed forms (round-16 reuse entry)") {
+    // a shape where BOTH levels do real work: two cliques over-split by
+    // the seed (level 2 merges) plus a disconnected seeded community
+    // (the Leiden repair splits) — if the From continuations diverged
+    // from the seed forms anywhere in the loop, this graph shows it
+    val verts = (1L to 9L).toDF("id")
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L), (5L, 7L),
+      (8L, 9L)).toDF("src", "dst")
+    val seed = verts.select(col("id"),
+      when(col("id") <= 2, lit(1L))
+        .when(col("id") <= 4, lit(3L))
+        .when(col("id") <= 7, lit(5L))
+        .otherwise(lit(5L)).as("community"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.GraftColumnBridge.localCheckpointNoStats
+    val l1 = localCheckpointNoStats(Graph.louvainRefine(seed, edges))
+    assert(m(Graph.louvainLevelsFrom(l1, edges, levels = 2)) ==
+      m(Graph.louvainLevels(seed, edges, levels = 2)))
+    val r1 = localCheckpointNoStats(Graph.splitDisconnected(l1, edges))
+    assert(m(Graph.leidenLevelsFrom(r1, edges, levels = 2)) ==
+      m(Graph.leidenLevels(seed, edges, levels = 2)))
+  }
+
   test("labelPropagation: cliques become communities, bridge stays thin") {
     // two 4-cliques {1..4} and {10..13} joined by ONE bridge edge 4–10,
     // plus a singleton: LPA must keep the cliques as separate
