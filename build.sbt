@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked-process stdout passes through UNPREFIXED (no "[info] "): the
+// driver parses the bench's final one-line JSON from the output tail, and
+// sbt's log-prefix wrapping has defeated that parse since r12 (every
+// BENCH_*.json since records parsed:null). ScalaTest REPORTS are
+// unaffected — they reach sbt through the test-framework logger, not the
+// forked JVM's stdout.
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -507,14 +507,68 @@ object PipelineQueries {
     * localCheckpoint blocks the ContextCleaner then reclaims) becomes
     * unreachable with the session itself. Values are held strongly
     * only for live sessions. */
+  /** Round 17: the per-session store is BOUNDED — an access-order LRU
+    * capped at [[MaxGateCacheEntries]] (a full sfDir populates ~16 keys,
+    * so the cap holds several live sfDirs; beyond that the least-
+    * recently-served model is dropped and its localCheckpoint blocks
+    * reclaimed by the ContextCleaner once unreferenced). Without the
+    * bound, a long-lived QueryServer session touching many sfDirs pinned
+    * every checkpoint forever (r16 verdict, "What's wrong" #5). */
+  private[graft] val MaxGateCacheEntries = 64
+
+  private[graft] final class GateCache {
+    private val m = new java.util.LinkedHashMap[String, AnyRef](
+      32, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, AnyRef]): Boolean =
+        size() > MaxGateCacheEntries
+    }
+    // value computed under the lock (reentrant — louvainL1 seeds through
+    // lpaSeedGraph on the same cache) so concurrent consumers of one
+    // session never train the same model twice
+    def getOrElseUpdate(k: String, v: => AnyRef): AnyRef = synchronized {
+      val hit = m.get(k)
+      if (hit != null) hit
+      else { val x = v; m.put(k, x); x }
+    }
+    def size: Int = synchronized(m.size)
+    def clear(): Unit = synchronized(m.clear())
+  }
+
   private val gateCaches = java.util.Collections.synchronizedMap(
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
-      scala.collection.concurrent.TrieMap[String, AnyRef]]())
+      GateCache]())
+
+  /** True iff [[sessionCache]] was consulted since the last
+    * [[resetGateCacheProbe]] — the bench's memo-gate detector: a query
+    * whose build touches the gate cache is one whose warm time can
+    * amortize shared training, so the bench re-times it cold. */
+  private val gateCacheTouched =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private[graft] def resetGateCacheProbe(): Unit =
+    gateCacheTouched.set(false)
+  private[graft] def gateCacheWasTouched: Boolean = gateCacheTouched.get
+
+  /** Drop every cached gate model of `s` — the cold-bench hook: the next
+    * gate execution recomputes its models from the parquet inputs. */
+  private[graft] def clearGateCaches(
+      s: org.apache.spark.sql.SparkSession): Unit = {
+    val c = gateCaches.get(s)
+    if (c != null) c.clear()
+  }
+
+  private[graft] def gateCacheSize(
+      s: org.apache.spark.sql.SparkSession): Int = {
+    val c = gateCaches.get(s)
+    if (c == null) 0 else c.size
+  }
 
   private def sessionCache(s: org.apache.spark.sql.SparkSession)
-      : scala.collection.concurrent.TrieMap[String, AnyRef] =
-    gateCaches.computeIfAbsent(s,
-      _ => scala.collection.concurrent.TrieMap.empty)
+      : GateCache = {
+    gateCacheTouched.set(true)
+    gateCaches.computeIfAbsent(s, _ => new GateCache)
+  }
 
   /** (cached 4-round LPA seed, fixture edges) for the community gates. */
   private def lpaSeedGraph(s: org.apache.spark.sql.SparkSession,

@@ -577,7 +577,18 @@ class PlanSpec extends AnyFunSuite {
 
   test("louvain refine: bounded aggregates broadcast, gain argmax is " +
       "partial/final, no cartesian candidates") {
-    val p = plan("pl_louvain_refine")
+    import org.apache.spark.sql.functions._
+    // The GATE's plan legitimately collapses to a scan of the session-
+    // cached level-1 checkpoint once any suite has populated the cache
+    // (pinned in the next test), so the ALGORITHM's shape is asserted on
+    // an uncached construction — range-backed like the kmeans
+    // frozen-model test (a local Seq would constant-fold the plan).
+    val seed = spark.range(64).select(
+      col("id"), (col("id") % 7).as("community"))
+    val edges = spark.range(200).select(
+      (col("id") % 61).as("src"), ((col("id") * 13 + 1) % 64).as("dst"))
+    val p = graft.functions.Graph.louvainRefine(seed, edges)
+      .queryExecution.executedPlan.toString
     // D_c / D_a / m are community- and graph-bounded → broadcast sides;
     // the only nested-loop is the one-row m frame riding a broadcast
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
@@ -588,6 +599,17 @@ class PlanSpec extends AnyFunSuite {
     // the per-vertex best-move argmax combines map-side
     assert(p.contains("partial_min") || p.contains("partial min"),
       s"the gain argmax must have a partial (map-side) stage:\n$p")
+  }
+
+  test("louvain refine GATE serves the session-cached level-1 pass: a " +
+      "materialized scan, not a recomputation") {
+    // building the gate populates the cache eagerly (localCheckpoint),
+    // so this shape is deterministic regardless of suite order
+    val p = plan("pl_louvain_refine")
+    assert(p.contains("Scan ExistingRDD"),
+      s"the gate must read the cached level-1 checkpoint:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"serving the cached pass must not recompute the refine:\n$p")
   }
 
   test("kmeans frozen-model assignment is one narrow pass: no exchange, " +
